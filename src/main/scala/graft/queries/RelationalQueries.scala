@@ -1,0 +1,544 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Relational operator coverage for SURVEY.md §2 (scans, projections,
+  * casts, joins, aggregates, windows, sorts, set-ops, scalar functions),
+  * expressed over the driver's synthetic tables.
+  *
+  * Scale notes (100 TB thinking, verified via .explain on sf0.1):
+  *  - dimension sides of joins (region/nation/customer/part) are explicitly
+  *    broadcast — the fact tables (lineitem/orders/events) never move for
+  *    dim enrichment;
+  *  - aggregates are plain groupBy (partial + final hash agg, map-side
+  *    combine for free); no collect-based logic anywhere;
+  *  - the only global-window query (cumulative daily totals, SURVEY §2.5
+  *    W1) runs over an already-aggregated per-day frame, so the
+  *    single-partition window sees ~days rows, not raw events.
+  */
+object RelationalQueries {
+
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+  private def dbl(c: Column): Column = c.cast("double")
+
+  /** TPC-H Q1 shape — scan + filter + hash agg with decimal-exact money
+    * math (SURVEY §2.4 A1, §2.2 P5). Reference analog: the daily gas/tx
+    * aggregation models (bread dbt/old_models/gas/gas_used_per_day.sql:1-5).
+    */
+  val q01 = Q(
+    "q01_pricing_summary",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dbl(sum(dec(col("l_quantity")))).as("sum_qty"),
+          dbl(sum(dec(col("l_extendedprice")))).as("sum_base_price"),
+          dbl(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))))
+            .as("sum_disc_price"),
+          dbl(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))
+            * (lit(1) + dec(col("l_tax"))))).as("sum_charge"),
+          (dbl(sum(dec(col("l_quantity")))) / count(lit(1))).as("avg_qty"),
+          (dbl(sum(dec(col("l_extendedprice")))) / count(lit(1))).as("avg_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+    Some("""
+      SELECT l_returnflag, l_linestatus,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+             COUNT(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus"""))
+
+  /** Projection + range predicate pushed to the parquet scan
+    * (SURVEY §2.2 P1/P3/P6; PushedFilters visible in .explain). */
+  val q02 = Q(
+    "q02_filter_project",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate").between(
+          lit("1997-01-01").cast("timestamp"), lit("1997-03-31").cast("timestamp"))
+          && col("l_quantity") > 45)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber"),
+    Some("""
+      SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+      FROM lineitem
+      WHERE l_shipdate BETWEEN TIMESTAMP '1997-01-01 00:00:00' AND TIMESTAMP '1997-03-31 00:00:00'
+        AND l_quantity > 45
+      ORDER BY l_orderkey, l_linenumber"""))
+
+  /** Explicit cast of a numeric column (SURVEY §2.2 P5, §2.8 F12 — the
+    * reference's dashboard probe `cast(gas_used as int)`,
+    * bread pages/index.md:9). floor() first: Spark truncates double→int
+    * while DuckDB rounds, so the cast itself must see an integral value. */
+  val q03 = Q(
+    "q03_cast_int",
+    (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"),
+          floor(col("value")).cast("long").as("value_int"),
+          col("event_type"))
+        .orderBy("event_id"),
+    Some("""
+      SELECT event_id, CAST(FLOOR(value) AS BIGINT) AS value_int, event_type
+      FROM events ORDER BY event_id"""))
+
+  /** Inner equi-join, dimension explicitly broadcast (SURVEY §2.3 J1 —
+    * bread's time-enrichment join parse.py:219-221). */
+  val q04 = Q(
+    "q04_join_broadcast",
+    (s, d) =>
+      Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)),
+          col("o_custkey") === col("c_custkey"))
+        .filter(col("o_totalprice") > 300000)
+        .select("o_orderkey", "c_name", "c_mktsegment", "o_totalprice")
+        .orderBy("o_orderkey"),
+    Some("""
+      SELECT o_orderkey, c_name, c_mktsegment, o_totalprice
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      WHERE o_totalprice > 300000
+      ORDER BY o_orderkey"""))
+
+  /** Left join + null-filling aggregate (SURVEY §2.3 J2, §2.2 P10). */
+  val q05 = Q(
+    "q05_left_join_agg",
+    (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+          coalesce(dbl(sum(dec(col("o_totalprice")))), lit(0.0)).as("total_spend"),
+          count(col("o_orderkey")).as("n_orders"))
+        .orderBy("c_custkey"),
+    Some("""
+      SELECT c_custkey, c_name,
+             COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS total_spend,
+             COUNT(o_orderkey) AS n_orders
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey, c_name
+      ORDER BY c_custkey"""))
+
+  /** Anti join — customers with no orders (SURVEY §2.3 J3, bread's
+    * missing-height set difference extract.py:246-254). */
+  val q06 = Q(
+    "q06_anti_join",
+    (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey"),
+    Some("""
+      SELECT c_custkey, c_name FROM customer c
+      WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      ORDER BY c_custkey"""))
+
+  /** Semi join — orders containing a near-full-quantity line. */
+  val q07 = Q(
+    "q07_semi_join",
+    (s, d) =>
+      Tables.orders(s, d)
+        .join(Tables.lineitem(s, d).filter(col("l_quantity") >= 48),
+          col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey"),
+    Some("""
+      SELECT o_orderkey, o_totalprice FROM orders o
+      WHERE EXISTS (SELECT 1 FROM lineitem l
+                    WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 48)
+      ORDER BY o_orderkey"""))
+
+  /** Multi-way star join: one fact-fact shuffle join (orders⋈lineitem),
+    * every dimension broadcast (SURVEY §2.3; TPC-H Q5 shape). */
+  val q08 = Q(
+    "q08_star_revenue",
+    (s, d) => {
+      val dims = broadcast(
+        Tables.customer(s, d)
+          .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+          .select("c_custkey", "n_name", "r_name"))
+      Tables.orders(s, d)
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .join(dims, col("o_custkey") === col("c_custkey"))
+        .groupBy("r_name", "n_name")
+        .agg(dbl(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))))
+          .as("revenue"))
+        .orderBy("r_name", "n_name")
+    },
+    Some("""
+      SELECT r_name, n_name,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      FROM orders
+      JOIN lineitem ON o_orderkey = l_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      GROUP BY r_name, n_name
+      ORDER BY r_name, n_name"""))
+
+  /** date_trunc daily rollup (SURVEY §2.4 A2, §2.8 F7/F8 — bread's
+    * gas_used_per_day.sql). Day emitted as a string: raw timestamps are
+    * never compared across engines (ns vs µs). */
+  val q09 = Q(
+    "q09_daily_rollup",
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+        .agg(
+          dbl(sum(dec(col("value")))).as("total_value"),
+          count(lit(1)).as("n_events"))
+        .orderBy("day"),
+    Some("""
+      SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+             COUNT(*) AS n_events
+      FROM events GROUP BY 1 ORDER BY day"""))
+
+  /** Plain group-by count (SURVEY §2.4 A3 — num_txs_per_day.sql). */
+  val q10 = Q(
+    "q10_count_by_type",
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+        .orderBy("event_type"),
+    Some("""
+      SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  /** Cumulative sum with an explicit ROWS frame over pre-aggregated days
+    * (SURVEY §2.5 W1 — cum_txs_per_day.sql). Global window is safe: input
+    * is one row per day. DuckDB's window SUM(bigint) widens to HUGEINT,
+    * hence the cast. */
+  val q11 = Q(
+    "q11_cum_daily_counts",
+    (s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily.select(col("day"), col("n"), sum("n").over(w).as("cum_n"))
+        .orderBy("day")
+    },
+    Some("""
+      WITH daily AS (
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, COUNT(*) AS n
+        FROM events GROUP BY 1)
+      SELECT day, n,
+             CAST(SUM(n) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n
+      FROM daily ORDER BY day"""))
+
+  /** Cumulative decimal money sum per day (SURVEY §2.5 W1 —
+    * daily_cum_ibc_transfers.sql). Running sum stays decimal (exact),
+    * double only at the edge. */
+  val q12 = Q(
+    "q12_cum_daily_value",
+    (s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+        .agg(sum(dec(col("value"))).as("sd"))
+      val w = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily.select(col("day"), dbl(col("sd")).as("daily_value"),
+        dbl(sum("sd").over(w)).as("cum_value"))
+        .orderBy("day")
+    },
+    Some("""
+      WITH daily AS (
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               SUM(CAST(value AS DECIMAL(18,2))) AS sd
+        FROM events GROUP BY 1)
+      SELECT day, CAST(sd AS DOUBLE) AS daily_value,
+             CAST(SUM(sd) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_value
+      FROM daily ORDER BY day"""))
+
+  /** Group-wise occurrence numbering (SURVEY §2.4 A4 / §2.5 W2 — bread's
+    * cumcount parse.py:178). Ordered by the unique event_id (insertion
+    * order), NOT by ts: the ns→µs truncation could otherwise create
+    * engine-dependent ties. */
+  val q13 = Q(
+    "q13_occurrence",
+    (s, d) => {
+      val w = Window.partitionBy("user_id", "event_type").orderBy("event_id")
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          (row_number().over(w) - 1).cast("long").as("occurrence"))
+        .orderBy("event_id")
+    },
+    Some("""
+      SELECT event_id, user_id, event_type,
+             CAST(ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY event_id) - 1 AS BIGINT) AS occurrence
+      FROM events ORDER BY event_id"""))
+
+  /** Pivot to a wide table with a fixed column set (SURVEY §2.4 A5 —
+    * bread's events pivot parse.py:179). Explicit value list keeps the
+    * schema static; count nulls are filled to 0 on both sides. */
+  val q14 = Q(
+    "q14_pivot_counts",
+    (s, d) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val p = Tables.events(s, d)
+        .groupBy("user_id")
+        .pivot("event_type", types)
+        .count()
+      p.select(col("user_id") +: types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+        .orderBy("user_id")
+    },
+    Some("""
+      SELECT user_id,
+             COUNT(*) FILTER (WHERE event_type = 'click')    AS click,
+             COUNT(*) FILTER (WHERE event_type = 'error')    AS error,
+             COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+             COUNT(*) FILTER (WHERE event_type = 'signup')   AS signup,
+             COUNT(*) FILTER (WHERE event_type = 'view')     AS view
+      FROM events GROUP BY user_id ORDER BY user_id"""))
+
+  /** UNION (distinct) with sign flip (SURVEY §2.7 U1 — ibc_transfers.sql:
+    * inflows positive, outflows negated, SQL UNION dedups). */
+  val q15 = Q(
+    "q15_union_sign",
+    (s, d) => {
+      val e = Tables.events(s, d)
+        .withColumn("day", date_format(date_trunc("day", col("ts")), "yyyy-MM-dd"))
+      val in = e.filter(col("event_type") === "purchase").select(col("day"), col("value"))
+      val out = e.filter(col("event_type") === "error")
+        .select(col("day"), (-col("value")).as("value"))
+      in.union(out).distinct()
+        .groupBy("day")
+        .agg(dbl(sum(dec(col("value")))).as("net_value"))
+        .orderBy("day")
+    },
+    Some("""
+      WITH flows AS (
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, value
+        FROM events WHERE event_type = 'purchase'
+        UNION
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, -value AS value
+        FROM events WHERE event_type = 'error')
+      SELECT day, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS net_value
+      FROM flows GROUP BY day ORDER BY day"""))
+
+  /** UNION ALL keeps duplicates (SURVEY §2.7 U2 — pd.concat). */
+  val q16 = Q(
+    "q16_union_all",
+    (s, d) => {
+      val e = Tables.events(s, d)
+      e.filter(col("value") > 150).select("event_id", "event_type")
+        .unionByName(
+          e.filter(col("event_type") === "signup").select("event_id", "event_type"))
+        .orderBy("event_id", "event_type")
+    },
+    Some("""
+      SELECT event_id, event_type FROM events WHERE value > 150
+      UNION ALL
+      SELECT event_id, event_type FROM events WHERE event_type = 'signup'
+      ORDER BY event_id, event_type"""))
+
+  /** Regex extract of the numeric part + regex strip of it (SURVEY §2.8
+    * F1/F2 — ibc amount/denom split ibc_transfers_in.sql:8-16). */
+  val q17 = Q(
+    "q17_regex_amount",
+    (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"),
+          regexp_extract(col("props"), "[0-9]+", 0).cast("long").as("k_num"),
+          regexp_replace(col("props"), "[0-9]+", "").as("skeleton"))
+        .orderBy("event_id"),
+    Some("""
+      SELECT event_id,
+             CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS k_num,
+             regexp_replace(props, '[0-9]+', '', 'g') AS skeleton
+      FROM events ORDER BY event_id"""))
+
+  /** JSON field access on a string column (SURVEY §2.8 F4 — postgres
+    * `parsed -> 'field'`). */
+  val q18 = Q(
+    "q18_json_field",
+    (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("k")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("k"),
+    Some("""
+      SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, COUNT(*) AS n
+      FROM events GROUP BY 1 ORDER BY k"""))
+
+  /** Base64 encode/decode round-trip (SURVEY §2.8 F6 — bread's event
+    * attribute decode parse.py:52-64). Input kept short so Spark's
+    * MIME-style chunking (76-char lines) can never differ from DuckDB. */
+  val q19 = Q(
+    "q19_base64",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          base64(encode(substring(col("text"), 1, 24), "UTF-8")).as("b64"),
+          decode(unbase64(base64(encode(substring(col("text"), 1, 24), "UTF-8"))), "UTF-8")
+            .as("roundtrip"))
+        .orderBy("doc_id"),
+    Some("""
+      SELECT doc_id,
+             to_base64(encode(substr(text, 1, 24))) AS b64,
+             decode(from_base64(to_base64(encode(substr(text, 1, 24))))) AS roundtrip
+      FROM documents ORDER BY doc_id"""))
+
+  /** String concat + period formatting (SURVEY §2.8 F10/F8 — bread's
+    * `type_key` concat and to_period partition strings). */
+  val q20 = Q(
+    "q20_concat_period",
+    (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(concat_ws("_", col("o_orderpriority"),
+          date_format(col("o_orderdate"), "yyyy-MM")).as("tag"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("tag"),
+    Some("""
+      SELECT o_orderpriority || '_' || strftime(o_orderdate, '%Y-%m') AS tag, COUNT(*) AS n
+      FROM orders GROUP BY 1 ORDER BY tag"""))
+
+  /** Global descending sort (SURVEY §2.6 O1). */
+  val q21 = Q(
+    "q21_sort_desc",
+    (s, d) =>
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(desc("o_totalprice"), asc("o_orderkey")),
+    Some("""
+      SELECT o_orderkey, o_totalprice FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey"""))
+
+  /** Top-k per group via ranked window (SURVEY §2.5 W2). */
+  val q22 = Q(
+    "q22_topk_per_customer",
+    (s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          row_number().over(w).as("rk"))
+        .filter(col("rk") <= 3)
+        .orderBy("o_custkey", "rk")
+    },
+    Some("""
+      SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rk
+        FROM orders) t
+      WHERE rk <= 3 ORDER BY o_custkey, rk"""))
+
+  /** Trailing 7-day moving average over pre-aggregated days. */
+  val q23 = Q(
+    "q23_moving_avg",
+    (s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+      daily.select(col("day"), col("n"),
+        (dbl(sum("n").over(w)) / dbl(count("n").over(w))).as("ma7"))
+        .orderBy("day")
+    },
+    Some("""
+      WITH daily AS (
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, COUNT(*) AS n
+        FROM events GROUP BY 1)
+      SELECT day, n,
+             CAST(SUM(n) OVER w AS DOUBLE) / CAST(COUNT(n) OVER w AS DOUBLE) AS ma7
+      FROM daily
+      WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+      ORDER BY day"""))
+
+  /** HAVING-style post-aggregation filter + conditional aggregates. */
+  val q24 = Q(
+    "q24_having_caseagg",
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(when(col("value") > 100, 1L).otherwise(0L)).as("n_big"),
+          dbl(max(dec(col("value")))).as("max_value"))
+        .filter(col("n") >= 5)
+        .orderBy("user_id"),
+    Some("""
+      SELECT user_id, COUNT(*) AS n,
+             CAST(SUM(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
+             CAST(MAX(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS max_value
+      FROM events GROUP BY user_id HAVING COUNT(*) >= 5 ORDER BY user_id"""))
+
+  /** Min/max watermark aggregate (SURVEY §2.4 A6, §2.1 S12 — bread's
+    * metadata.json min/max heights). Timestamps emitted at second
+    * granularity as strings. */
+  val q25 = Q(
+    "q25_watermarks",
+    (s, d) =>
+      Tables.events(s, d)
+        .agg(
+          min(col("event_id")).as("min_id"),
+          max(col("event_id")).as("max_id"),
+          date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("min_ts"),
+          date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("max_ts"),
+          count(lit(1)).as("n")),
+    Some("""
+      SELECT MIN(event_id) AS min_id, MAX(event_id) AS max_id,
+             strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS min_ts,
+             strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS max_ts,
+             COUNT(*) AS n
+      FROM events"""))
+
+  /** Left join with unmatched-side null fill (SURVEY §2.2 P10 —
+    * parts never sold). */
+  val q26 = Q(
+    "q26_fillna_unsold",
+    (s, d) =>
+      Tables.part(s, d)
+        .join(Tables.lineitem(s, d), col("p_partkey") === col("l_partkey"), "left")
+        .groupBy("p_partkey", "p_name")
+        .agg(coalesce(dbl(sum(dec(col("l_quantity")))), lit(0.0)).as("sold_qty"))
+        .orderBy("p_partkey"),
+    Some("""
+      SELECT p_partkey, p_name,
+             COALESCE(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS sold_qty
+      FROM part LEFT JOIN lineitem ON p_partkey = l_partkey
+      GROUP BY p_partkey, p_name ORDER BY p_partkey"""))
+
+  /** Ordered explode with position (SURVEY §2.8 F3, §2.3 J4 — bread's
+    * log→event→attribute explode chain; posexplode gives the
+    * deterministic ordinal the reference gets from input order). */
+  val q27 = Q(
+    "q27_posexplode_tokens",
+    (s, d) =>
+      Tables.documents(s, d)
+        .filter(col("doc_id") < 200)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .toDF("doc_id", "pos", "token")
+        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("token"))
+        .orderBy("doc_id", "pos"),
+    Some("""
+      SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, toks[i] AS token
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks
+            FROM documents WHERE doc_id < 200) t,
+           LATERAL (SELECT UNNEST(generate_series(1, len(toks))) AS i) g
+      ORDER BY doc_id, pos"""))
+
+  def all: Seq[Q] = Seq(
+    q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
+    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
+    q21, q22, q23, q24, q25, q26, q27)
+}

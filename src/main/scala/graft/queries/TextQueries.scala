@@ -1,0 +1,129 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Text-pipeline operators over the `documents` table: token statistics,
+  * quality scoring, exact deduplication, fingerprinting (the
+  * training-data-pipeline extensions; SURVEY.md §7 north-star list).
+  *
+  * Scale notes: everything here is embarrassingly parallel per document
+  * except the dedup group-bys, which shuffle on text/hash — at 100 TB the
+  * group key would be the 128-bit fingerprint (fixed width) rather than
+  * the raw text; q_dedup_* below group by md5 for that reason.
+  */
+object TextQueries {
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+  private val stopList  = stopwords.map(w => s"'$w'").mkString(", ")
+
+  /** Token counting — whitespace tokenization. Documents are single-space
+    * word bags, so a literal-space split is semantics-identical in both
+    * engines. */
+  val q28 = Q(
+    "q28_token_count",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          length(col("text")).cast("long").as("len_chars"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .orderBy("doc_id"),
+    Some("""
+      SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS len_chars,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents ORDER BY doc_id"""))
+
+  /** Quality scoring: stopword ratio + vocabulary diversity. Ratios are
+    * double divisions of exact integers — deterministic. */
+  val q29 = Q(
+    "q29_doc_quality",
+    (s, d) => {
+      val toks = split(lower(col("text")), " ")
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(toks).cast("long").as("n_tokens"),
+          size(filter(toks, t => t.isin(stopwords: _*))).cast("long").as("n_stop"),
+          size(array_distinct(toks)).cast("long").as("n_uniq"))
+        .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_tokens"))
+        .withColumn("uniq_ratio", col("n_uniq").cast("double") / col("n_tokens"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             CAST(len(list_filter(toks, x -> x IN ($stopList))) AS BIGINT) AS n_stop,
+             CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq,
+             CAST(len(list_filter(toks, x -> x IN ($stopList))) AS DOUBLE) / len(toks) AS stop_ratio,
+             CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS uniq_ratio
+      FROM t ORDER BY doc_id"""))
+
+  /** Corpus profile per language label (group-by over doc metadata). */
+  val q30 = Q(
+    "q30_lang_profile",
+    (s, d) =>
+      Tables.documents(s, d)
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("source")).as("n_sources"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"),
+          (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"))
+        .orderBy("lang"),
+    Some("""
+      SELECT lang, COUNT(*) AS n_docs, COUNT(DISTINCT source) AS n_sources,
+             MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+             CAST(CAST(SUM(n_chars) AS BIGINT) AS DOUBLE) / COUNT(*) AS avg_chars
+      FROM documents GROUP BY lang ORDER BY lang"""))
+
+  /** Exact-duplicate groups: hash-groupBy dedup (the md5 is the group
+    * fingerprint that would replace the raw text as shuffle key at
+    * scale). */
+  val q31 = Q(
+    "q31_exact_dup_groups",
+    (s, d) =>
+      Tables.documents(s, d)
+        .groupBy(md5(col("text")).as("fingerprint"))
+        .agg(count(lit(1)).as("copies"), min(col("doc_id")).as("keeper"))
+        .filter(col("copies") > 1)
+        .orderBy("fingerprint"),
+    Some("""
+      SELECT md5(text) AS fingerprint, COUNT(*) AS copies, MIN(doc_id) AS keeper
+      FROM documents GROUP BY md5(text) HAVING COUNT(*) > 1
+      ORDER BY fingerprint"""))
+
+  /** Exact dedup, keep-first policy: rows that would be dropped. */
+  val q32 = Q(
+    "q32_dedup_drops",
+    (s, d) => {
+      val w = Window.partitionBy("text")
+      Tables.documents(s, d)
+        .withColumn("keeper", min(col("doc_id")).over(w))
+        .filter(col("doc_id") =!= col("keeper"))
+        .select("doc_id", "keeper")
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id, keeper FROM (
+        SELECT doc_id, MIN(doc_id) OVER (PARTITION BY text) AS keeper
+        FROM documents) t
+      WHERE doc_id <> keeper ORDER BY doc_id"""))
+
+  /** Document fingerprinting: md5 over whitespace-normalized lowercase
+    * text (DuckDB regexp_replace needs the 'g' flag for global). */
+  val q33 = Q(
+    "q33_fingerprint",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))).as("fp"))
+        .orderBy("doc_id"),
+    Some("""
+      SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+      FROM documents ORDER BY doc_id"""))
+
+  def all: Seq[Q] = Seq(q28, q29, q30, q31, q32, q33)
+}
