@@ -1,0 +1,32 @@
+package graft
+
+import graft.queries.Registry
+
+/** Every registered query must run end-to-end on the sf0.001 tables and
+  * produce a stable, non-degenerate result frame. The DuckDB hash-compare
+  * happens driver-side (tools/check.py mirrors it); this spec is the fast
+  * local gate that a change didn't break plan construction or execution.
+  */
+class QueriesSmokeSpec extends SparkSpec {
+  private val dir = sf("sf0.001")
+
+  Registry.all.foreach { q =>
+    test(s"${q.name} runs at sf0.001") {
+      val df  = q.spark(spark, dir)
+      val n   = df.count()
+      assert(df.columns.nonEmpty, "result must have columns")
+      assert(df.columns.distinct.length === df.columns.length,
+        s"duplicate column names: ${df.columns.mkString(",")}")
+      assert(n >= 0)
+    }
+  }
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracle key has a query") {
+    val qs = Registry.queries.keySet
+    assert(Registry.oracleSql.keySet.subsetOf(qs))
+  }
+}
