@@ -1,46 +1,48 @@
 package graft.queries
 
-import org.apache.spark.sql.{Column, SparkSession, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.vec
 
 /** Similarity search over the `embeddings` table (64-dim float vectors).
   *
-  * Determinism: vectors are cast float→double (exact) and the dot/norm
-  * folds are explicit left-to-right `aggregate` reductions, so Spark's
-  * result is bit-deterministic. Cosine values are rounded to 4 dp before
-  * ordering/compare so engine-level summation-order differences (1e-15)
-  * can never flip the oracle hash.
+  * All vector math goes through graft.functions.vec — custom Catalyst
+  * expressions with `doGenCode` (tight primitive loops inside
+  * WholeStageCodegen), not higher-order-function folds. Floats are widened
+  * to double per element, ascending index order, so results match an
+  * oracle that casts to DOUBLE[] first. Cosines are rounded to 4 dp at the
+  * output edge so engine-level summation-order noise (~1e-15) can never
+  * flip the hash compare.
   *
-  * Scale notes: the brute-force top-k broadcasts the single query vector
-  * — a map-only scan + a k-row reduce, which is exactly the right plan at
-  * 100 TB too. All-pairs work (not done here) goes through LSH bucketing
-  * (see graft.operators.Similarity).
+  * Scale notes:
+  *  - q34 broadcasts the single query vector: map-only scan + k-row
+  *    reduce — the right plan at 100 TB too.
+  *  - q39 (all-pairs near-dup) is the honest quadratic baseline, bounded
+  *    here by data size; the scale path for all-pairs is LSH banding
+  *    (see DedupQueries' MinHash pipeline for the text analog).
+  *  - q40 is the scale path for top-k: IVF — assign every vector to its
+  *    nearest anchor (one map-side pass, anchors broadcast), probe only
+  *    the query's top-2 anchor cells. At 100 TB the assignment is written
+  *    once as a bucketed table and each query touches ~nprobe/ncells of
+  *    the data instead of all of it.
   */
 object SimilarityQueries {
 
   private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
-
-  /** dot(a,b) via zip_with + left-fold in double. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-
-  def norm(a: Column): Column = sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
-
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Brute-force cosine top-k against one query vector (vec_id=0). */
   val q34 = Q(
     "q34_ann_bruteforce",
     (s, d) => {
       val e = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
-      val qv = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+      val qv = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
       e.filter(col("vec_id") =!= 0)
         .crossJoin(broadcast(qv))
         .select(col("vec_id"), col("label"),
-          round(cosine(col("v"), col("qv")), 4).as("sim"))
+          round(vec.cosine(col("embedding"), col("qv")), 4).as("sim"))
         .orderBy(desc("sim"), asc("vec_id"))
         .limit(10)
     },
@@ -59,7 +61,7 @@ object SimilarityQueries {
     (s, d) =>
       Tables.embeddings(s, d)
         .select(col("vec_id"),
-          round(norm(asDouble(col("embedding"))), 4).as("l2"),
+          round(vec.norm(col("embedding")), 4).as("l2"),
           size(col("embedding")).cast("long").as("dims"))
         .orderBy("vec_id"),
     Some("""
@@ -68,5 +70,96 @@ object SimilarityQueries {
              CAST(len(embedding) AS BIGINT) AS dims
       FROM embeddings ORDER BY vec_id"""))
 
-  def all: Seq[Q] = Seq(q34, q35)
+  /** Embedding-cosine near-duplicate pairs: all pairs with cosine >= 0.6.
+    * Norms are computed once per vector before the pair join, so the
+    * quadratic stage does one codegen'd dot per pair. */
+  val q39 = Q(
+    "q39_embed_neardup",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"),
+          vec.norm(col("embedding")).as("nrm"))
+      val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+        col("nrm").as("na"))
+      val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+        col("nrm").as("nb"))
+      a.join(b, col("vec_a") < col("vec_b"))
+        .withColumn("cos", vec.dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+        .filter(col("cos") >= 0.6)
+        .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("sim"))
+        .orderBy("vec_a", "vec_b")
+    },
+    Some("""
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                          CAST(b.embedding AS DOUBLE[])), 4) AS sim
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])) >= 0.6
+      ORDER BY vec_a, vec_b"""))
+
+  /** IVF-style bucketed ANN: vectors with vec_id < 8 act as the 8 anchor
+    * centroids. Every vector is assigned to its nearest anchor (argmax
+    * cosine, ties → lower anchor id); the query (vec_id=0) probes its 2
+    * nearest anchor cells and ranks only vectors assigned there. */
+  val q40 = Q(
+    "q40_ann_ivf",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val anchors = broadcast(
+        e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("anchor_id"), col("embedding").as("av")))
+
+      val byCos = Window.partitionBy("vec_id")
+        .orderBy(desc("acos"), asc("anchor_id"))
+      val assigned = e.crossJoin(anchors)
+        .select(col("vec_id"), col("label"), col("embedding"),
+          col("anchor_id"), vec.cosine(col("embedding"), col("av")).as("acos"))
+        .withColumn("rk", row_number().over(byCos))
+        .filter(col("rk") === 1)
+        .select(col("vec_id"), col("label"), col("embedding"),
+          col("anchor_id").as("cell"))
+
+      val qv = broadcast(e.filter(col("vec_id") === 0).select(col("embedding").as("qv")))
+      val probeCells = broadcast(
+        anchors.crossJoin(qv)
+          .select(col("anchor_id"), vec.cosine(col("av"), col("qv")).as("qcos"))
+          .orderBy(desc("qcos"), asc("anchor_id"))
+          .limit(2)
+          .select(col("anchor_id").as("cell")))
+
+      assigned
+        .join(probeCells, Seq("cell"))
+        .filter(col("vec_id") =!= 0)
+        .crossJoin(qv)
+        .select(col("vec_id"), col("label"),
+          round(vec.cosine(col("embedding"), col("qv")), 4).as("sim"))
+        .orderBy(desc("sim"), asc("vec_id"))
+        .limit(10)
+    },
+    Some("""
+      WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+      anchors AS (SELECT vec_id AS anchor_id, CAST(embedding AS DOUBLE[]) AS av
+                  FROM embeddings WHERE vec_id < 8),
+      assigned AS (
+        SELECT vec_id, label, embedding, anchor_id AS cell FROM (
+          SELECT e.vec_id, e.label, e.embedding, a.anchor_id,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), a.av) DESC,
+                            a.anchor_id) AS rk
+          FROM embeddings e CROSS JOIN anchors a) t
+        WHERE rk = 1),
+      probe AS (
+        SELECT anchor_id AS cell FROM anchors, q
+        ORDER BY list_cosine_similarity(av, qv) DESC, anchor_id
+        LIMIT 2)
+      SELECT vec_id, label,
+             ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv), 4) AS sim
+      FROM assigned JOIN probe USING (cell), q
+      WHERE vec_id <> 0
+      ORDER BY sim DESC, vec_id
+      LIMIT 10"""))
+
+  def all: Seq[Q] = Seq(q34, q35, q39, q40)
 }
