@@ -1,0 +1,229 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Near-duplicate detection over `documents` — the training-data-pipeline
+  * dedup family: MinHash+LSH, SimHash, exact n-gram Jaccard.
+  *
+  * Engine-parity design: every pseudo-random hash is md5 over an explicit
+  * string (identical hex in Spark and DuckDB), min/ordering over those hex
+  * strings is plain ASCII comparison in both engines, and all scores are
+  * exact-integer ratios divided once in double — so the DuckDB oracle can
+  * mirror the *entire* pipeline, not just a summary.
+  *
+  * Scale notes (100 TB):
+  *  - The MinHash pipeline is linear in corpus size until the band-bucket
+  *    self-join, which only explodes where buckets collide — i.e. on the
+  *    near-duplicate mass itself. Shuffle keys are fixed-width hex
+  *    signatures, never raw text.
+  *  - Verification joins only candidate pairs back to their shingle sets
+  *    (a semi-join-shaped plan), so the quadratic stage touches
+  *    |candidates|, not |corpus|².
+  *  - SimHash is one linear pass ending in a 16-hex signature per doc —
+  *    grouping/partitioning then operates on 8-byte keys.
+  *  - The exact Jaccard join (q38) is the honest baseline: it blows up on
+  *    common shingles and is kept only as the ground-truth reference for
+  *    the LSH path.
+  */
+object DedupQueries {
+
+  /** word n-gram shingles of `toks` joined by single spaces. */
+  private def shingleExpr(n: Int): Column =
+    expr(s"transform(sequence(0, size(toks) - $n), i -> array_join(slice(toks, i + 1, $n), ' '))")
+
+  /** (doc_id, sh) distinct word-n-gram shingle pairs. */
+  private def shingles(s: SparkSession, d: String, n: Int): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"), explode(shingleExpr(n)).as("sh"))
+      .distinct()
+
+  private val ShingleN = 4 // shingle width for the MinHash pipeline
+  private val K = 16       // minhash functions
+  private val Bands = 4    // LSH bands of K/Bands rows each
+
+  /** MinHash + LSH near-dup pairs, verified with exact Jaccard >= 0.5.
+    *
+    * shingle -> K md5 minhashes -> 4 bands of 4 -> band-signature
+    * self-join for candidates -> exact Jaccard verification. Pairs whose
+    * banded signatures never collide are (by LSH design) not reported,
+    * even if their true Jaccard passes the threshold.
+    */
+  val q36 = Q(
+    "q36_minhash_lsh_pairs",
+    (s, d) => {
+      val sh = shingles(s, d, ShingleN)
+
+      val minh = sh
+        .select(col("doc_id"), col("sh"),
+          explode(sequence(lit(0), lit(K - 1))).as("i"))
+        .select(col("doc_id"), col("i"),
+          md5(concat(col("i").cast("string"), lit(":"), col("sh"))).as("h"))
+        .groupBy("doc_id", "i")
+        .agg(min("h").as("minh"))
+
+      val bands = minh
+        .withColumn("band", expr(s"i div ${K / Bands}"))
+        .groupBy("doc_id", "band")
+        .agg(expr("array_join(transform(array_sort(collect_list(struct(i, minh))), x -> x.minh), '|')")
+          .as("sig"))
+
+      val cand = bands.select(col("doc_id").as("da"), col("band"), col("sig"))
+        .join(bands.select(col("doc_id").as("db"), col("band"), col("sig")),
+          Seq("band", "sig"))
+        .filter(col("da") < col("db"))
+        .select("da", "db")
+        .distinct()
+
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = cand
+        .join(sh.select(col("doc_id").as("da"), col("sh")), "da")
+        .join(sh.select(col("doc_id").as("db"), col("sh")), Seq("db", "sh"))
+        .groupBy("da", "db")
+        .agg(count(lit(1)).as("inter"))
+
+      inter
+        .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
+        .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+        .withColumn("jacc",
+          col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+        .filter(col("jacc") >= 0.5)
+        .select(col("da").as("doc_a"), col("db").as("doc_b"),
+          round(col("jacc"), 4).as("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    },
+    Some(s"""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      tf AS (SELECT doc_id, toks FROM t WHERE len(toks) >= $ShingleN),
+      sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i+1:i+$ShingleN], ' ') AS sh
+             FROM tf, LATERAL (SELECT UNNEST(range(0, len(toks) - ${ShingleN - 1})) AS i) g),
+      hashes AS (SELECT doc_id, i, md5(CAST(i AS VARCHAR) || ':' || sh) AS h
+                 FROM sh, (SELECT UNNEST(range(0, $K)) AS i) ii),
+      minh AS (SELECT doc_id, i, MIN(h) AS minh FROM hashes GROUP BY doc_id, i),
+      bands AS (SELECT doc_id, i // ${K / Bands} AS band,
+                       string_agg(minh, '|' ORDER BY i) AS sig
+                FROM minh GROUP BY doc_id, i // ${K / Bands}),
+      cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+               FROM bands a JOIN bands b
+                 ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+      sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (SELECT c.da, c.db, COUNT(*) AS inter
+                FROM cand c
+                JOIN sh x ON x.doc_id = c.da
+                JOIN sh y ON y.doc_id = c.db AND y.sh = x.sh
+                GROUP BY c.da, c.db)
+      SELECT i.da AS doc_a, i.db AS doc_b,
+             ROUND(CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter), 4) AS jaccard
+      FROM inter i
+      JOIN sizes sa ON i.da = sa.doc_id
+      JOIN sizes sb ON i.db = sb.doc_id
+      WHERE CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter) >= 0.5
+      ORDER BY doc_a, doc_b"""))
+
+  /** 64-bit SimHash per document as a 16-hex-char signature.
+    *
+    * Per distinct token: md5 -> 16 hex digits -> 4 bits each. Signature
+    * digit p = for each bit b, sign of sum over tokens of (+1 if bit set
+    * else -1); ties (sum == 0) resolve to 0. All-integer math.
+    */
+  val q37 = Q(
+    "q37_simhash",
+    (s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(array_distinct(split(lower(col("text")), " "))).as("tok"))
+        .select(col("doc_id"), md5(col("tok")).as("h"))
+
+      val digitsIn = toks
+        .select(col("doc_id"), col("h"),
+          explode(sequence(lit(1), lit(16))).as("p"))
+        .withColumn("digit", expr("instr('0123456789abcdef', substring(h, p, 1)) - 1"))
+
+      val sums = digitsIn.groupBy("doc_id", "p").agg(
+        sum(expr("CASE WHEN digit % 2 = 1 THEN 1 ELSE -1 END")).as("s0"),
+        sum(expr("CASE WHEN (digit div 2) % 2 = 1 THEN 1 ELSE -1 END")).as("s1"),
+        sum(expr("CASE WHEN (digit div 4) % 2 = 1 THEN 1 ELSE -1 END")).as("s2"),
+        sum(expr("CASE WHEN (digit div 8) % 2 = 1 THEN 1 ELSE -1 END")).as("s3"))
+
+      sums
+        .withColumn("c", expr(
+          """substring('0123456789abcdef',
+             (CASE WHEN s0 > 0 THEN 1 ELSE 0 END) +
+             2 * (CASE WHEN s1 > 0 THEN 1 ELSE 0 END) +
+             4 * (CASE WHEN s2 > 0 THEN 1 ELSE 0 END) +
+             8 * (CASE WHEN s3 > 0 THEN 1 ELSE 0 END) + 1, 1)"""))
+        .groupBy("doc_id")
+        .agg(expr("array_join(transform(array_sort(collect_list(struct(p, c))), x -> x.c), '')")
+          .as("simhash"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH t AS (SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS toks
+                 FROM documents),
+      tk AS (SELECT doc_id, md5(tok) AS h
+             FROM t, LATERAL (SELECT UNNEST(toks) AS tok) u),
+      pos AS (SELECT doc_id,
+                     instr('0123456789abcdef', substr(h, i, 1)) - 1 AS digit,
+                     i AS p
+              FROM tk, (SELECT UNNEST(range(1, 17)) AS i) ii),
+      sums AS (SELECT doc_id, p,
+                      SUM(CASE WHEN digit % 2 = 1 THEN 1 ELSE -1 END) AS s0,
+                      SUM(CASE WHEN (digit // 2) % 2 = 1 THEN 1 ELSE -1 END) AS s1,
+                      SUM(CASE WHEN (digit // 4) % 2 = 1 THEN 1 ELSE -1 END) AS s2,
+                      SUM(CASE WHEN (digit // 8) % 2 = 1 THEN 1 ELSE -1 END) AS s3
+               FROM pos GROUP BY doc_id, p),
+      dg AS (SELECT doc_id, p,
+                    substr('0123456789abcdef',
+                      (CASE WHEN s0 > 0 THEN 1 ELSE 0 END) +
+                      2 * (CASE WHEN s1 > 0 THEN 1 ELSE 0 END) +
+                      4 * (CASE WHEN s2 > 0 THEN 1 ELSE 0 END) +
+                      8 * (CASE WHEN s3 > 0 THEN 1 ELSE 0 END) + 1, 1) AS c
+             FROM sums)
+      SELECT doc_id, string_agg(c, '' ORDER BY p) AS simhash
+      FROM dg GROUP BY doc_id ORDER BY doc_id"""))
+
+  /** Exact word-5-gram Jaccard similarity join (>= 0.3) — the ground-truth
+    * all-pairs baseline that the LSH path approximates. */
+  val q38 = Q(
+    "q38_ngram_jaccard",
+    (s, d) => {
+      val sh = shingles(s, d, 5)
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = sh.select(col("doc_id").as("da"), col("sh"))
+        .join(sh.select(col("doc_id").as("db"), col("sh")), "sh")
+        .filter(col("da") < col("db"))
+        .groupBy("da", "db")
+        .agg(count(lit(1)).as("inter"))
+      inter
+        .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
+        .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+        .withColumn("jacc",
+          col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+        .filter(col("jacc") >= 0.3)
+        .select(col("da").as("doc_a"), col("db").as("doc_b"),
+          round(col("jacc"), 4).as("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    },
+    Some("""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      tf AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 5),
+      sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i+1:i+5], ' ') AS sh
+             FROM tf, LATERAL (SELECT UNNEST(range(0, len(toks) - 4)) AS i) g),
+      sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (SELECT x.doc_id AS da, y.doc_id AS db, COUNT(*) AS inter
+                FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+                GROUP BY 1, 2)
+      SELECT i.da AS doc_a, i.db AS doc_b,
+             ROUND(CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter), 4) AS jaccard
+      FROM inter i
+      JOIN sizes sa ON i.da = sa.doc_id
+      JOIN sizes sb ON i.db = sb.doc_id
+      WHERE CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter) >= 0.3
+      ORDER BY doc_a, doc_b"""))
+
+  def all: Seq[Q] = Seq(q36, q37, q38)
+}

@@ -22,7 +22,8 @@ final case class Q(
 
 object Registry {
   def all: Seq[Q] =
-    RelationalQueries.all ++ TextQueries.all ++ SimilarityQueries.all
+    RelationalQueries.all ++ TextQueries.all ++ SimilarityQueries.all ++
+      DedupQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.spark).toMap
