@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: images/audio/video as opaque `binary`
+  * columns plus a typed metadata struct, with decode / feature-extract /
+  * frame-sample stages running as partition-local batch transforms.
+  *
+  * The Spark-side shape is the real thing — schema, encoders, partition
+  * batching, null handling — while the codec itself is a pluggable
+  * `MediaDecoder`. This container ships no image/audio libraries, so the
+  * default decoder is `StubDecoder`, a clearly-marked deterministic fake
+  * that derives "decoded" dimensions from the bytes; swapping in a real
+  * JNI/Java codec is a one-line constructor change and touches none of
+  * the distributed plumbing.
+  *
+  * Scale notes (100 TB):
+  *  - media bytes never pass through a shuffle here: every stage is
+  *    mapPartitions (narrow), so the only data movement is the initial
+  *    scan. Partition sizing is governed by
+  *    `spark.sql.files.maxPartitionBytes` against the parquet binary
+  *    column — decode cost scales per-byte, not per-row.
+  *  - the decoder is constructed once per partition (not per record),
+  *    mirroring the batch-init pattern of a vectorized Python UDF
+  *    (`mapInPandas`), which is where a real codec would amortize model
+  *    or codec-context setup.
+  *  - feature rows (small, fixed-width) are what flow into downstream
+  *    joins/aggregations — the binary payload is dropped as early as the
+  *    query allows.
+  */
+object Multimodal {
+
+  /** Typed metadata carried alongside the opaque payload. */
+  val metaSchema: StructType = StructType(Seq(
+    StructField("fmt", StringType, nullable = false),
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true)))
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("content", BinaryType, nullable = true),
+    StructField("meta", metaSchema, nullable = false)))
+
+  /** Decoded-feature output schema of [[decodeFeatures]]. */
+  val featureSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("fmt", StringType, nullable = false),
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("n_frames", IntegerType, nullable = false),
+    StructField("mean_byte", DoubleType, nullable = true)))
+
+  /** Partition-local codec contract. Implementations must be
+    * serializable and are constructed once per partition. */
+  trait MediaDecoder extends Serializable {
+    /** (width, height, nFrames, meanByte) for a payload; None for null/empty. */
+    def decode(fmt: String, bytes: Array[Byte]): Option[(Int, Int, Int, Double)]
+  }
+
+  /** Deterministic fake decoder — STUB for the absent media libraries.
+    * "Dimensions" are derived from payload length, "frames" from a fixed
+    * chunk size, mean byte value from the real bytes, so tests get stable
+    * values while exercising the exact plumbing a real codec would use. */
+  final class StubDecoder(frameBytes: Int = 64) extends MediaDecoder {
+    override def decode(fmt: String, bytes: Array[Byte]): Option[(Int, Int, Int, Double)] = {
+      if (bytes == null || bytes.isEmpty) None
+      else {
+        val n = bytes.length
+        val w = math.max(1, math.sqrt(n.toDouble).toInt)
+        val h = math.max(1, n / w)
+        val frames = (n + frameBytes - 1) / frameBytes
+        var s = 0L
+        var i = 0
+        while (i < n) { s += (bytes(i) & 0xff); i += 1 }
+        Some((w, h, frames, s.toDouble / n))
+      }
+    }
+  }
+
+  /** Wrap a text/bytes DataFrame into the media shape: `(media_id,
+    * content: binary, meta)`. Used by tests and by q42 to manufacture a
+    * deterministic multimodal table from `documents`. */
+  def fromDocuments(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      encode(col("text"), "UTF-8").as("content"),
+      struct(
+        lit("txt").as("fmt"),
+        length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"),
+        lit(null).cast("int").as("width"),
+        lit(null).cast("int").as("height")).as("meta"))
+
+  /** Typed views of [[mediaSchema]] / [[featureSchema]] for Dataset ops. */
+  final case class MediaMeta(fmt: String, n_bytes: Long, width: Option[Int], height: Option[Int])
+  final case class MediaRecord(media_id: Long, content: Array[Byte], meta: MediaMeta)
+  final case class MediaFeatures(
+      media_id: Long, fmt: String, n_bytes: Long,
+      width: Option[Int], height: Option[Int],
+      n_frames: Int, mean_byte: Option[Double])
+
+  /** Decode + feature-extract: one decoder instance per partition (the
+    * batch-init point a real codec amortizes), one output row per media
+    * row. Narrow — no shuffle; the binary column is dropped on output. */
+  def decodeFeatures(media: DataFrame, decoder: MediaDecoder = new StubDecoder()): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      // per-partition init — where a real codec opens its context once
+      val d = decoder
+      it.map { r =>
+        d.decode(r.meta.fmt, r.content) match {
+          case Some((w, h, frames, mean)) =>
+            MediaFeatures(r.media_id, r.meta.fmt, r.meta.n_bytes,
+              Some(w), Some(h), frames, Some(mean))
+          case None =>
+            MediaFeatures(r.media_id, r.meta.fmt, r.meta.n_bytes,
+              None, None, 0, None)
+        }
+      }
+    }
+  }
+
+  /** Frame sampling: every `stride`-th fixed-size chunk of the payload,
+    * exploded to one row per sampled frame (narrow, shuffle-free). */
+  def sampleFrames(media: DataFrame, frameBytes: Int = 64, stride: Int = 4): DataFrame = {
+    require(frameBytes > 0 && stride > 0)
+    media
+      .select(col("media_id"), col("content"))
+      .where(col("content").isNotNull)
+      .select(col("media_id"),
+        posexplode(expr(
+          s"""transform(
+                filter(sequence(0, CAST(ceil(length(content) / $frameBytes.0D) AS INT) - 1),
+                       i -> i % $stride = 0),
+                i -> substring(content, i * $frameBytes + 1, $frameBytes))""")))
+      .toDF("media_id", "sample_idx", "frame_bytes")
+      .withColumn("frame_no", col("sample_idx") * stride)
+      .select("media_id", "frame_no", "frame_bytes")
+  }
+}

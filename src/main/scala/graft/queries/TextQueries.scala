@@ -125,5 +125,73 @@ object TextQueries {
       SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
       FROM documents ORDER BY doc_id"""))
 
-  def all: Seq[Q] = Seq(q28, q29, q30, q31, q32, q33)
+  /** Language identification via corpus-trained token profiles (n-gram
+    * heuristic classifier, trained and applied in one relational plan):
+    *
+    *  1. per-(lang, token) counts vs per-token totals → distinctiveness
+    *     ratio; top-20 marker tokens per language (ties → token asc);
+    *  2. each document scores one point per token occurrence that is a
+    *     marker of a language; predicted = argmax score (ties → lang asc);
+    *  3. output is the confusion matrix (true lang × predicted).
+    *
+    * All scoring is integer counting; the only double (the marker ratio)
+    * is a single division of identical integers in both engines. At
+    * 100 TB the profile build is a two-pass aggregate over fixed-width
+    * keys, the markers table is tiny and broadcast, and scoring is
+    * map-side — no quadratic stage anywhere.
+    */
+  val q41 = Q(
+    "q41_lang_id",
+    (s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          explode(split(lower(col("text")), " ")).as("tok"))
+      val byLang = toks.groupBy("lang", "tok").agg(count(lit(1)).as("c_lt"))
+      val byTok  = toks.groupBy("tok").agg(count(lit(1)).as("c_t"))
+      val wm = Window.partitionBy("lang").orderBy(desc("ratio"), asc("tok"))
+      val markers = byLang.join(byTok, "tok")
+        .withColumn("ratio", col("c_lt").cast("double") / col("c_t"))
+        .withColumn("rk", row_number().over(wm))
+        .filter(col("rk") <= 20)
+        .select(col("lang").as("marker_lang"), col("tok"))
+      val wd = Window.partitionBy("doc_id").orderBy(desc("score"), asc("marker_lang"))
+      toks.join(markers, "tok")
+        .groupBy("doc_id", "lang", "marker_lang")
+        .agg(count(lit(1)).as("score"))
+        .withColumn("rk", row_number().over(wd))
+        .filter(col("rk") === 1)
+        .groupBy(col("lang"), col("marker_lang").as("predicted"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang", "predicted")
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, lang, tok
+        FROM (SELECT doc_id, lang, string_split(lower(text), ' ') AS ts FROM documents) t,
+             LATERAL (SELECT UNNEST(ts) AS tok) u),
+      by_lang AS (SELECT lang, tok, COUNT(*) AS c_lt FROM toks GROUP BY 1, 2),
+      by_tok  AS (SELECT tok, COUNT(*) AS c_t FROM toks GROUP BY 1),
+      markers AS (
+        SELECT lang AS marker_lang, tok FROM (
+          SELECT l.lang, l.tok,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY l.lang
+                   ORDER BY CAST(l.c_lt AS DOUBLE) / t.c_t DESC, l.tok) AS rk
+          FROM by_lang l JOIN by_tok t ON l.tok = t.tok) x
+        WHERE rk <= 20),
+      scores AS (
+        SELECT t.doc_id, t.lang, m.marker_lang, COUNT(*) AS score
+        FROM toks t JOIN markers m ON t.tok = m.tok
+        GROUP BY 1, 2, 3),
+      pred AS (
+        SELECT doc_id, lang, marker_lang FROM (
+          SELECT doc_id, lang, marker_lang,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY doc_id ORDER BY score DESC, marker_lang) AS rk
+          FROM scores) x
+        WHERE rk = 1)
+      SELECT lang, marker_lang AS predicted, COUNT(*) AS n_docs
+      FROM pred GROUP BY 1, 2 ORDER BY lang, predicted"""))
+
+  def all: Seq[Q] = Seq(q28, q29, q30, q31, q32, q33, q41)
 }

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Multimodal
+
+class MultimodalSpec extends AnyFunSuite with SparkSpec {
+
+  // filter (pushed to the scan), not limit: limit injects a
+  // single-partition Exchange that would mask narrow-plan assertions
+  private def media = Multimodal.fromDocuments(
+    Tables.documents(spark, sf("sf0.001")).filter(col("doc_id") < 50))
+
+  test("fromDocuments produces the opaque-binary media schema") {
+    val sch = media.schema
+    assert(sch("content").dataType == BinaryType)
+    assert(sch("meta").dataType.asInstanceOf[StructType].fieldNames.toSeq ==
+      Seq("fmt", "n_bytes", "width", "height"))
+    val r = media.orderBy("media_id").head()
+    val bytes = r.getAs[Array[Byte]]("content")
+    val meta = r.getStruct(r.fieldIndex("meta"))
+    assert(meta.getAs[Long]("n_bytes") == bytes.length)
+  }
+
+  test("decodeFeatures: stub codec yields deterministic per-row features") {
+    val feats = Multimodal.decodeFeatures(media).collect()
+    assert(feats.length == media.count())
+    feats.foreach { f =>
+      assert(f.n_frames == (f.n_bytes + 63) / 64, s"frames for ${f.media_id}")
+      assert(f.width.exists(_ >= 1) && f.height.exists(_ >= 1))
+      // content is ASCII text → mean byte strictly inside (32, 127)
+      assert(f.mean_byte.exists(m => m > 32 && m < 127))
+    }
+    // determinism across runs
+    val again = Multimodal.decodeFeatures(media).collect()
+    assert(feats.sortBy(_.media_id).toSeq == again.sortBy(_.media_id).toSeq)
+  }
+
+  test("decodeFeatures: null/empty payload → empty features, no crash") {
+    import spark.implicits._
+    val m = Multimodal.fromDocuments(
+      Seq((1L, "hello world"), (2L, "")).toDF("doc_id", "text"))
+    val f = Multimodal.decodeFeatures(m).collect().sortBy(_.media_id)
+    assert(f(0).width.nonEmpty)
+    assert(f(1).width.isEmpty && f(1).n_frames == 0 && f(1).mean_byte.isEmpty)
+  }
+
+  test("sampleFrames: strided fixed-size chunks, narrow plan") {
+    val frames = Multimodal.sampleFrames(media, frameBytes = 64, stride = 4)
+    val byDoc = frames.groupBy("media_id").agg(count(lit(1)).as("n"),
+      max("frame_no").as("max_no")).collect()
+    assert(byDoc.nonEmpty)
+    byDoc.foreach { r =>
+      assert(r.getAs[Long]("n") >= 1)
+      assert(r.getAs[Int]("max_no") % 4 == 0)
+    }
+    // narrow: no exchange in the plan
+    val plan = frames.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+    // chunk payloads are at most frameBytes long and non-overlapping prefixes
+    val one = frames.filter(col("media_id") === media.head().getLong(0))
+      .orderBy("frame_no").collect()
+    one.foreach(r => assert(r.getAs[Array[Byte]]("frame_bytes").length <= 64))
+  }
+}
