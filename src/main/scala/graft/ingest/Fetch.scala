@@ -1,0 +1,129 @@
+package graft.ingest
+
+import scala.util.Try
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** Chain-node envelope parsing + the distributed paginated fetch harness
+  * (reference extract.py: S1 paginated scan :48-105, S2 adaptive
+  * page-size degrade :81-101, S4 async fan-out :295-316/338-406,
+  * S5 tip/floor discovery :498-514).
+  *
+  * Spark realization: the height range is partitioned into inclusive
+  * [[HeightChunk]]s on the driver (the predicate pushdown — each chunk
+  * becomes the RPC query `tx.height>={start} AND tx.height<={end}`), and
+  * chunks fan out as `Dataset[HeightChunk].mapPartitions(fetch)` — task
+  * parallelism replaces the reference's asyncio semaphore. The HTTP call
+  * is a pluggable `String => String` so the harness is testable in this
+  * zero-egress container; production wires `java.net.http`.
+  */
+object ChainClient {
+
+  /** `/abci_info` → result.response.last_block_height (string int,
+    * extract.py:509-514). */
+  def parseTip(json: String): Long =
+    (JsonMethods.parse(json) \ "result" \ "response" \ "last_block_height") match {
+      case JString(s) => s.toLong
+      case JInt(i)    => i.toLong
+      case other => throw new IllegalArgumentException(s"bad abci_info envelope: $other")
+    }
+
+  /** `/block?height=1` → 1 if `result` present, else the last word of
+    * error.data ("... lowest height is 42" → 42, extract.py:498-507). */
+  def parseChainFloor(json: String): Long = {
+    val parsed = JsonMethods.parse(json)
+    parsed \ "result" match {
+      case JNothing =>
+        parsed \ "error" \ "data" match {
+          case JString(msg) => msg.split(' ').last.toLong
+          case other => throw new IllegalArgumentException(s"bad error envelope: $other")
+        }
+      case _ => 1L
+    }
+  }
+
+  /** `total_count` is a string in RPC envelopes (extract.py:72-78). */
+  def parseTotalCount(json: String): Long =
+    (JsonMethods.parse(json) \ "result" \ "total_count") match {
+      case JString(s) => s.toLong
+      case JInt(i)    => i.toLong
+      case other => throw new IllegalArgumentException(s"bad count envelope: $other")
+    }
+}
+
+/** Inclusive height range fetched by one task. */
+final case class HeightChunk(start: Long, end: Long)
+
+/** One page fetch outcome: raw JSON payload or a quarantined failure. */
+final case class FetchResult(
+    start: Long, end: Long, page: Int, perPage: Int,
+    body: Option[String], quarantined: Boolean)
+
+object Fetch {
+
+  /** RPC page URL (extract.py:150). */
+  def txSearchUrl(api: String, start: Long, end: Long, page: Int, perPage: Int): String =
+    s"""$api/tx_search?query="tx.height>=$start AND tx.height<=$end"&page=$page&per_page=$perPage&order_by="asc""""
+
+  /** Partition an inclusive range into fetch chunks (the source-side
+    * predicate pushdown: ranges ARE the predicate). */
+  def chunks(start: Long, end: Long, chunkSize: Long): Seq[HeightChunk] = {
+    require(chunkSize > 0)
+    (start to end by chunkSize).map(s => HeightChunk(s, math.min(s + chunkSize - 1, end)))
+  }
+
+  /** Fetch every page of one chunk with the reference's adaptive degrade
+    * (extract.py:81-101): on an unparseable/oversized response, halve
+    * per_page and recompute the current page from items already consumed;
+    * below per_page 1, quarantine the failing height and move on.
+    *
+    * `fetch` is executed executor-side; `countOf` extracts total_count
+    * from a page-1 probe. Retries on transient errors are the fetcher's
+    * concern (the reference sleeps and retries forever; a Spark task
+    * should bound retries and let task-retry handle the rest).
+    */
+  def fetchChunk(
+      chunk: HeightChunk,
+      initialPerPage: Int,
+      fetch: String => String,
+      urlOf: (Long, Long, Int, Int) => String,
+      totalOf: String => Long): Seq[FetchResult] = {
+    val total = totalOf(fetch(urlOf(chunk.start, chunk.end, 1, 1)))
+    val out = Seq.newBuilder[FetchResult]
+    var consumed = 0L
+    var perPage = initialPerPage
+    var failedAt = -1L
+    while (consumed < total && failedAt < 0) {
+      val page = (consumed / perPage).toInt + 1
+      val body = Try(fetch(urlOf(chunk.start, chunk.end, page, perPage))).toOption
+      body match {
+        case Some(b) =>
+          out += FetchResult(chunk.start, chunk.end, page, perPage, Some(b), quarantined = false)
+          consumed += math.min(perPage.toLong, total - consumed)
+        case None if perPage > 1 =>
+          perPage = perPage / 2 // degrade and recompute page from consumed
+        case None =>
+          failedAt = consumed // per_page < 1 equivalent: give up, quarantine
+          out += FetchResult(chunk.start, chunk.end, page, perPage, None, quarantined = true)
+      }
+    }
+    out.result()
+  }
+
+  /** Distributed fan-out: one task per chunk partition, results (raw page
+    * JSON + quarantine rows) back as a Dataset. */
+  def fetchAll(
+      spark: SparkSession,
+      ranges: Seq[HeightChunk],
+      initialPerPage: Int,
+      fetch: String => String,
+      urlOf: (Long, Long, Int, Int) => String,
+      totalOf: String => Long): Dataset[FetchResult] = {
+    import spark.implicits._
+    spark.createDataset(ranges)
+      .repartition(math.max(1, math.min(ranges.size, spark.sparkContext.defaultParallelism)))
+      .mapPartitions(_.flatMap(c => fetchChunk(c, initialPerPage, fetch, urlOf, totalOf)))
+  }
+}

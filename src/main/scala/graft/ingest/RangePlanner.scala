@@ -1,0 +1,54 @@
+package graft.ingest
+
+/** Pure range-planning arithmetic for the sync / backfill / gap-fill
+  * protocol (reference pipelines/pipeline.py:16-62, 99-109, 115-131).
+  * Heights are inclusive on both ends everywhere, matching the RPC query
+  * `tx.height>={start} AND tx.height<={end}`.
+  *
+  * Driver-side only: these decide *what* to fetch; the fetch itself fans
+  * out as Spark tasks (see [[ChainClient]] / SURVEY §2.1 S1-S4).
+  */
+object RangePlanner {
+
+  /** Sync the most recent window (pipeline.py:20-41):
+    * end = node tip; start = max(tip − numBlocks, minIngested + 1,
+    * chainFloor) — never refetch below what's ingested, never below the
+    * node's pruning floor. */
+  def syncRange(tip: Long, chainFloor: Long, minIngested: Long, numBlocks: Long): (Long, Long) =
+    (Seq(tip - numBlocks, minIngested + 1, chainFloor).max, tip)
+
+  /** Backfill backwards from the oldest ingested block
+    * (pipeline.py:44-62): end = minIngested − 1;
+    * start = max(end − numBlocks + 1, chainFloor). */
+  def backfillRange(chainFloor: Long, minIngested: Long, numBlocks: Long): (Long, Long) = {
+    val end = minIngested - 1
+    (math.max(end - numBlocks + 1, chainFloor), end)
+  }
+
+  /** The chunked backfill loop (pipeline.py:126-128): emit
+    * `(start, min(start + numBlocks, end))` then advance by
+    * numBlocks + 1 (each chunk spans numBlocks + 1 inclusive heights),
+    * while start < end. */
+  def backfillChunks(start: Long, end: Long, numBlocks: Long): Seq[(Long, Long)] = {
+    val out = Seq.newBuilder[(Long, Long)]
+    var s = start
+    while (s < end) {
+      out += ((s, math.min(s + numBlocks, end)))
+      s += numBlocks + 1
+    }
+    out.result()
+  }
+
+  /** Gap-fill planning from quarantined heights
+    * (pipeline.py:99-109: one height per line in
+    * errors/error_heights.txt): collapse sorted distinct heights into
+    * inclusive contiguous ranges. */
+  def gapFillRanges(errorHeights: Seq[Long]): Seq[(Long, Long)] = {
+    val hs = errorHeights.distinct.sorted
+    if (hs.isEmpty) Nil
+    else hs.tail.foldLeft(List((hs.head, hs.head))) {
+      case ((s, e) :: acc, h) if h == e + 1 => (s, h) :: acc
+      case (acc, h)                         => (h, h) :: acc
+    }.reverse
+  }
+}

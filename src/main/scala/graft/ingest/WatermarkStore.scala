@@ -1,0 +1,72 @@
+package graft.ingest
+
+import java.nio.file.{Files, Path, Paths}
+
+import scala.jdk.CollectionConverters._
+import scala.util.Try
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** Height-watermark state over a raw-zone directory of
+  * `{start}_{end}.json` files (reference extract.py:474-551).
+  *
+  * Protocol contract pinned by the reference's own tests
+  * (tests/extract_test.py:30-67):
+  *  - min/max heights derive from FILENAMES (`100_200.json` → 100, 200);
+  *    empty directory → 0;
+  *  - `metadata.json` `{min_height, max_height}`; missing file or key
+  *    → 0 (the FileNotFoundError/KeyError fallback, extract.py:487-488);
+  *  - `validate` compares metadata against filenames; `updateFromFiles`
+  *    repairs metadata from filenames.
+  */
+final class WatermarkStore(directory: String) {
+  private val metaPath: Path = Paths.get(directory, "metadata.json")
+
+  private def heightFiles: Seq[String] = {
+    val dir = Paths.get(directory)
+    if (!Files.isDirectory(dir)) Nil
+    else Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(n => n.endsWith(".json") && n.count(_ == '_') == 1 && n != "metadata.json")
+      .toSeq
+  }
+
+  def minHeightFromFiles: Long = {
+    val mins = heightFiles.flatMap(n => Try(n.split("_")(0).toLong).toOption)
+    if (mins.isEmpty) 0L else mins.min
+  }
+
+  def maxHeightFromFiles: Long = {
+    val maxs = heightFiles.flatMap(n =>
+      Try(n.split("_")(1).stripSuffix(".json").toLong).toOption)
+    if (maxs.isEmpty) 0L else maxs.max
+  }
+
+  private def metaField(field: String): Long =
+    (for {
+      text <- Try(Files.readString(metaPath)).toOption
+      json <- Try(JsonMethods.parse(text)).toOption
+      v <- (json \ field) match {
+        case JInt(i)  => Some(i.toLong)
+        case JLong(l) => Some(l)
+        case _        => None // missing key → 0 (extract.py:487-488)
+      }
+    } yield v).getOrElse(0L)
+
+  def minIngested: Long = metaField("min_height")
+  def maxIngested: Long = metaField("max_height")
+
+  def write(minHeight: Long, maxHeight: Long): Unit = {
+    Files.createDirectories(metaPath.getParent)
+    Files.writeString(metaPath,
+      s"""{"min_height":$minHeight,"max_height":$maxHeight}""")
+  }
+
+  /** metadata matches filename-derived truth (extract.py:516-528). */
+  def validate(): Boolean =
+    minHeightFromFiles == minIngested && maxHeightFromFiles == maxIngested
+
+  /** repair metadata from filenames (extract.py:530-536). */
+  def updateFromFiles(): Unit = write(minHeightFromFiles, maxHeightFromFiles)
+}

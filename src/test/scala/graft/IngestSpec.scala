@@ -1,0 +1,138 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ingest._
+
+/** Ports the reference's own sync-protocol tests
+  * (tests/extract_test.py:30-112) plus the planner arithmetic they pin. */
+class IngestSpec extends AnyFunSuite with SparkSpec {
+
+  private def tempDir(files: String*): String = {
+    val dir = Files.createTempDirectory("graft-ingest")
+    files.foreach(f => Files.writeString(dir.resolve(f), "[]"))
+    dir.toString
+  }
+
+  // --- watermark store (extract_test.py:61-67, 42-52) ---
+
+  test("min/max heights derive from filenames; empty dir → 0") {
+    val ws = new WatermarkStore(tempDir("100_200.json", "200_300.json"))
+    assert(ws.minHeightFromFiles == 100L)
+    assert(ws.maxHeightFromFiles == 300L)
+    val empty = new WatermarkStore(tempDir())
+    assert(empty.minHeightFromFiles == 0L)
+    assert(empty.maxHeightFromFiles == 0L)
+  }
+
+  test("metadata: missing file or key → 0; write/read/validate/repair") {
+    val dir = tempDir("100_200.json")
+    val ws = new WatermarkStore(dir)
+    assert(ws.minIngested == 0L && ws.maxIngested == 0L) // no metadata.json
+    ws.write(100, 200)
+    assert(ws.minIngested == 100L && ws.maxIngested == 200L)
+    assert(ws.validate())
+    Files.writeString(java.nio.file.Paths.get(dir, "150_300.json"), "[]")
+    assert(!ws.validate()) // mismatch detection (extract_test.py:42-52)
+    ws.updateFromFiles()
+    assert(ws.validate() && ws.maxIngested == 300L)
+    Files.writeString(java.nio.file.Paths.get(dir, "metadata.json"), """{"max_height": 9}""")
+    assert(ws.minIngested == 0L && ws.maxIngested == 9L) // missing key → 0
+  }
+
+  // --- manifest (parse.py:66-95) ---
+
+  test("manifest: missing/empty/non-dict resets; record + newFiles filter") {
+    val dir = tempDir()
+    val m = new Manifest(dir)
+    assert(m.load() == Map("blocks" -> Nil, "txs" -> Nil))
+    Files.writeString(java.nio.file.Paths.get(dir, "parsed_files.json"), """["not","a","dict"]""")
+    assert(m.load() == Map("blocks" -> Nil, "txs" -> Nil))
+    m.record(Seq("100_200.json"), "blocks")
+    assert(m.newFiles(Seq("100_200.json", "200_300.json"), "blocks") == Seq("200_300.json"))
+    assert(m.newFiles(Seq("100_200.json"), "txs") == Seq("100_200.json"))
+    m.record(Seq("200_300.json"), "blocks")
+    assert(m.load()("blocks") == Seq("100_200.json", "200_300.json"))
+  }
+
+  // --- chain client envelope parsing (extract.py:498-514, 72-78) ---
+
+  test("tip / chain floor / total_count envelope parsing") {
+    assert(ChainClient.parseTip(
+      """{"result":{"response":{"last_block_height":"10000"}}}""") == 10000L)
+    assert(ChainClient.parseChainFloor("""{"result":{"block":{}}}""") == 1L)
+    assert(ChainClient.parseChainFloor(
+      """{"error":{"data":"height 1 is not available, lowest height is 42"}}""") == 42L)
+    assert(ChainClient.parseTotalCount("""{"result":{"total_count":"257"}}""") == 257L)
+  }
+
+  // --- range planners (pipeline.py:16-62, 126-128) ---
+
+  test("sync range: tip window clipped by ingested watermark and chain floor") {
+    assert(RangePlanner.syncRange(tip = 10000, chainFloor = 1, minIngested = 0, numBlocks = 1000) == (9000L, 10000L))
+    assert(RangePlanner.syncRange(10000, 1, 9500, 1000) == (9501L, 10000L))
+    assert(RangePlanner.syncRange(10000, 9800, 0, 1000) == (9800L, 10000L))
+  }
+
+  test("backfill range and chunk loop") {
+    assert(RangePlanner.backfillRange(chainFloor = 1, minIngested = 9001, numBlocks = 1000) == (8001L, 9000L))
+    assert(RangePlanner.backfillRange(8900, 9001, 1000) == (8900L, 9000L))
+    val chunks = RangePlanner.backfillChunks(1, 25, 10)
+    assert(chunks == Seq((1L, 11L), (12L, 22L), (23L, 25L)))
+    assert(RangePlanner.backfillChunks(5, 5, 10).isEmpty)
+  }
+
+  test("gap-fill ranges collapse contiguous error heights") {
+    assert(RangePlanner.gapFillRanges(Seq(5, 3, 4, 9, 11, 12)) ==
+      Seq((3L, 5L), (9L, 9L), (11L, 12L)))
+    assert(RangePlanner.gapFillRanges(Nil).isEmpty)
+  }
+
+  // --- fetch harness (extract.py:48-105) ---
+
+  test("chunking covers the range inclusively") {
+    assert(Fetch.chunks(1, 25, 10) == Seq(HeightChunk(1, 10), HeightChunk(11, 20), HeightChunk(21, 25)))
+  }
+
+  test("adaptive page-size degrade halves per_page and recomputes the page") {
+    // fake node: 10 items; any request with per_page > 4 is "oversized"
+    val urls = collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    def url(s: Long, e: Long, page: Int, perPage: Int) = s"$page:$perPage"
+    def fetchF(u: String): String = {
+      val Array(p, pp) = u.split(":").map(_.toInt)
+      if (pp > 4 && u != "1:1") throw new RuntimeException("oversized")
+      urls += ((p, pp)); s"""{"result":{"total_count":"10"}}"""
+    }
+    val res = Fetch.fetchChunk(HeightChunk(1, 100), initialPerPage = 16,
+      fetchF, url, ChainClient.parseTotalCount)
+    // 16 → 8 (both fail) → 4: pages 1,2 then page 3 (8 consumed / 4 + 1)
+    assert(res.forall(!_.quarantined))
+    assert(res.map(r => (r.page, r.perPage)) == Seq((1, 4), (2, 4), (3, 4)))
+  }
+
+  test("per_page exhaustion quarantines instead of looping forever") {
+    // only the page-1/per_page-1 shape ever succeeds: the count probe and
+    // the fully-degraded first page; everything else is "oversized"
+    def fetchF(u: String): String =
+      if (u == "1:1") s"""{"result":{"total_count":"5"}}"""
+      else throw new RuntimeException("always oversized")
+    def url(s: Long, e: Long, page: Int, perPage: Int) = s"$page:$perPage"
+    val res = Fetch.fetchChunk(HeightChunk(1, 10), initialPerPage = 4,
+      fetchF, url, ChainClient.parseTotalCount)
+    // 4 → 2 → 1: page 1 succeeds at per_page 1, page 2 cannot → quarantine
+    assert(res.size == 2)
+    assert(!res.head.quarantined && res.head.page == 1 && res.head.perPage == 1)
+    assert(res.last.quarantined && res.last.page == 2)
+  }
+
+  test("fetchAll fans chunks out as Spark tasks") {
+    val res = Fetch.fetchAll(spark, Fetch.chunks(1, 40, 10), 100,
+      u => u, (s, e, p, pp) => s"""{"result":{"total_count":"3"},"range":"$s-$e"}""",
+      ChainClient.parseTotalCount).collect()
+    assert(res.length == 4 && res.forall(r => r.body.isDefined && !r.quarantined))
+    assert(res.map(r => (r.start, r.end)).sorted.toSeq ==
+      Seq((1L, 10L), (11L, 20L), (21L, 30L), (31L, 40L)))
+  }
+}
