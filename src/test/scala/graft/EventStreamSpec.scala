@@ -1,0 +1,104 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.EventStream
+
+class EventStreamSpec extends AnyFunSuite with SparkSpec {
+
+  private def ev(id: Long, ts: String, user: Long, typ: String, v: Double): String =
+    s"""{"event_id":$id,"ts":"$ts","user_id":$user,"event_type":"$typ","value":$v}"""
+
+  private def newDirs(): (String, String) = {
+    val root = Files.createTempDirectory("graft-stream")
+    val in = root.resolve("in"); Files.createDirectories(in)
+    (in.toString, root.resolve("chk").toString)
+  }
+
+  private def drop(dir: String, name: String, lines: String*): Unit =
+    Files.writeString(Paths.get(dir, name), lines.mkString("\n"))
+
+  test("file stream + checkpoint = exactly-once incremental file pickup") {
+    val (in, chk) = newDirs()
+    drop(in, "a.json",
+      ev(1, "2024-01-01T00:10:00Z", 1, "click", 1.0),
+      ev(2, "2024-01-01T00:20:00Z", 1, "view", 2.0))
+    val counts = EventStream.windowedCounts(
+      EventStream.jsonFileStream(spark, in, EventStream.eventSchema))
+    val q1 = EventStream.runAvailableNow(counts, "wc", chk, outputMode = "complete")
+    q1.awaitTermination()
+    assert(spark.table("wc").count() == 2) // two (window, type) groups
+
+    // second run: only the NEW file is processed (checkpoint file log),
+    // but complete mode still re-emits full aggregate state
+    drop(in, "b.json", ev(3, "2024-01-01T00:30:00Z", 2, "click", 3.0))
+    val q2 = EventStream.runAvailableNow(counts, "wc", chk, outputMode = "complete")
+    q2.awaitTermination()
+    val rows = spark.table("wc").collect()
+      .map(r => (r.getAs[String]("window_start"), r.getAs[String]("event_type"),
+        r.getAs[Long]("n"), r.getAs[Double]("total_value")))
+    assert(rows.toSet == Set(
+      ("2024-01-01 00:00:00", "click", 2L, 4.0),
+      ("2024-01-01 00:00:00", "view", 1L, 2.0)))
+  }
+
+  test("append mode emits a window only after the watermark passes it") {
+    val (in, chk) = newDirs()
+    val out = Files.createTempDirectory("graft-wm-out").toString
+    drop(in, "a.json",
+      ev(1, "2024-01-01T00:10:00Z", 1, "click", 1.0),
+      ev(2, "2024-01-01T01:30:00Z", 1, "click", 1.0))
+    val counts = EventStream.windowedCounts(
+      EventStream.jsonFileStream(spark, in, EventStream.eventSchema),
+      lateness = "10 minutes")
+    val q1 = EventStream.runAvailableNowToParquet(counts, out, chk)
+    q1.awaitTermination()
+    // watermark after run 1 = 01:30 − 10m = 01:20 → hour-0 window closed
+    drop(in, "b.json", ev(3, "2024-01-01T03:00:00Z", 1, "click", 1.0))
+    val q2 = EventStream.runAvailableNowToParquet(counts, out, chk)
+    q2.awaitTermination()
+    val emitted = spark.read.parquet(out).collect()
+      .map(r => r.getAs[String]("window_start")).toSet
+    assert(emitted.contains("2024-01-01 00:00:00"))
+    assert(!emitted.contains("2024-01-01 03:00:00")) // still open
+  }
+
+  test("sessionize: event-time gap closes and evicts per-user sessions") {
+    val (in, chk) = newDirs()
+    drop(in, "a.json",
+      ev(1, "2024-01-01T00:00:00Z", 7, "click", 1.0),
+      ev(2, "2024-01-01T00:10:00Z", 7, "view", 2.5),
+      ev(3, "2024-01-01T00:05:00Z", 8, "click", 1.0))
+    val outDir = Files.createTempDirectory("graft-sess-out").toString
+    val sessions = EventStream.sessionize(
+      spark.readStream.schema(EventStream.eventSchema).json(in),
+      gapMs = 30 * 60 * 1000L)
+    val q1 = EventStream.runAvailableNowToParquet(sessions.toDF(), outDir, chk)
+    q1.awaitTermination()
+    // nothing closed yet: watermark is at 00:10
+    assert(spark.read.parquet(outDir).isEmpty)
+
+    // events far in the future push the watermark past every gap
+    drop(in, "b.json", ev(4, "2024-01-01T06:00:00Z", 9, "click", 0.5))
+    val q2 = EventStream.runAvailableNowToParquet(sessions.toDF(), outDir, chk)
+    q2.awaitTermination()
+    val out = spark.read.parquet(outDir).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("n_events"),
+        r.getAs[Double]("duration_sec"), r.getAs[Double]("total_value"))).toSet
+    assert(out == Set((7L, 2, 600.0, 3.5), (8L, 1, 0.0, 1.0)))
+  }
+
+  test("the batch flatteners run unchanged on a streaming DataFrame") {
+    val (in, chk) = newDirs()
+    drop(in, "blocks.json",
+      """{"block":{"header":{"height":"5","chain_id":"c","time":"2023-08-01T00:00:00.000000001Z","proposer_address":"P"},"data":{"txs":[]}}}""")
+    val q = EventStream.runAvailableNow(
+      EventStream.blocksStream(spark, in), "blk", chk)
+    q.awaitTermination()
+    val r = spark.table("blk").head()
+    assert(r.getAs[Long]("height") == 5L)
+    assert(r.getAs[String]("day") == "2023-08-01")
+  }
+}
