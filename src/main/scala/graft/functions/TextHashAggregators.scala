@@ -1,0 +1,122 @@
+package graft.functions
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/** One-pass typed aggregators for the text-dedup hot paths.
+  *
+  * Both compute exactly the same md5-derived values as their relational
+  * formulations (and therefore the same DuckDB-oracle results) — they
+  * exist because the relational shape explodes every (shingle, hash-index)
+  * or (token, hex-position) combination into shuffled rows. At sf0.1 that
+  * is ~4.6M rows for MinHash and ~3.8M for SimHash; at 100 TB it is the
+  * difference between shuffling the corpus ×16 and shuffling one
+  * fixed-width aggregate state per document. Spark runs these with
+  * map-side partial aggregation: each partition folds its shingles/tokens
+  * locally and only the small states (16 hex strings / 64 int counters)
+  * cross the wire.
+  *
+  * md5 here must stay bit-identical to SQL `md5()` (it does: both are
+  * RFC 1321 over UTF-8 bytes, lowercase hex).
+  */
+object TextHashAggregators {
+
+  private val Hex = "0123456789abcdef".toCharArray
+  private val digests = ThreadLocal.withInitial[MessageDigest](
+    () => MessageDigest.getInstance("MD5"))
+
+  private def md5hex(s: String): String = {
+    val md = digests.get()
+    md.reset()
+    val d = md.digest(s.getBytes(StandardCharsets.UTF_8))
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = Hex((d(i) >> 4) & 0xf)
+      out(2 * i + 1) = Hex(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** K element-wise-minimum md5 hex strings over `md5(i + ":" + shingle)`
+    * for a whole per-document shingle array, as one scalar pass — min
+    * over ASCII hex = the same ordering SQL `MIN(varchar)` uses.
+    *
+    * Scalar-per-doc beats both the relational K-way explode (shuffles
+    * corpus ×K) and an Aggregator (pays a buffer encode/decode per input
+    * row): a document's shingles are already colocated in its `toks`
+    * array, so the signature needs no data movement at all. Duplicate
+    * shingles cannot change an element-wise min, so the caller may pass
+    * shingles with repeats. */
+  def minhashSignature(shingles: Seq[String], k: Int): Seq[String] = {
+    val prefixes = Array.tabulate(k)(i => i.toString + ":")
+    val acc = Array.fill[String](k)(null)
+    shingles.foreach { sh =>
+      var i = 0
+      while (i < k) {
+        val h = md5hex(prefixes(i) + sh)
+        if (acc(i) == null || h.compareTo(acc(i)) < 0) acc(i) = h
+        i += 1
+      }
+    }
+    acc.toSeq
+  }
+
+  /** SimHash over md5(token): 64 bit-vote counters (+1 set / −1 clear per
+    * hex-digit bit), finished to the 16-hex signature with the same
+    * sum>0 rule as the relational formulation. */
+  final class SimHashAggregator extends Aggregator[String, Array[Int], String] {
+    override def zero: Array[Int] = new Array[Int](64)
+    override def reduce(acc: Array[Int], tokenMd5: String): Array[Int] = {
+      var p = 0
+      while (p < 16) {
+        val digit = Character.digit(tokenMd5.charAt(p), 16)
+        var b = 0
+        while (b < 4) {
+          acc(p * 4 + b) += (if (((digit >> b) & 1) == 1) 1 else -1)
+          b += 1
+        }
+        p += 1
+      }
+      acc
+    }
+    override def merge(a: Array[Int], b: Array[Int]): Array[Int] = {
+      var i = 0
+      while (i < 64) { a(i) += b(i); i += 1 }
+      a
+    }
+    override def finish(acc: Array[Int]): String = {
+      val sb = new java.lang.StringBuilder(16)
+      var p = 0
+      while (p < 16) {
+        var digit = 0
+        var b = 0
+        while (b < 4) {
+          if (acc(p * 4 + b) > 0) digit |= (1 << b)
+          b += 1
+        }
+        sb.append("0123456789abcdef".charAt(digit))
+        p += 1
+      }
+      sb.toString
+    }
+    override def bufferEncoder: Encoder[Array[Int]] = ExpressionEncoder[Array[Int]]()
+    override def outputEncoder: Encoder[String] = Encoders.STRING
+  }
+
+  /** minhash(shingleArrayCol) → array<string> of K element-wise min
+    * hashes, computed per row (narrow, shuffle-free). */
+  def minhash(shingleArray: Column, k: Int = 16): Column =
+    org.apache.spark.sql.functions.udf(
+      (sh: Seq[String]) => minhashSignature(sh, k)).apply(shingleArray)
+
+  /** simhash(md5TokenCol) → 16-hex-char signature string. */
+  def simhash(tokenMd5: Column): Column =
+    udaf(new SimHashAggregator, Encoders.STRING).apply(tokenMd5)
+}

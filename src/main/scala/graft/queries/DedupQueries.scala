@@ -58,19 +58,23 @@ object DedupQueries {
     (s, d) => {
       val sh = shingles(s, d, ShingleN)
 
-      val minh = sh
-        .select(col("doc_id"), col("sh"),
-          explode(sequence(lit(0), lit(K - 1))).as("i"))
-        .select(col("doc_id"), col("i"),
-          md5(concat(col("i").cast("string"), lit(":"), col("sh"))).as("h"))
-        .groupBy("doc_id", "i")
-        .agg(min("h").as("minh"))
-
-      val bands = minh
-        .withColumn("band", expr(s"i div ${K / Bands}"))
-        .groupBy("doc_id", "band")
-        .agg(expr("array_join(transform(array_sort(collect_list(struct(i, minh))), x -> x.minh), '|')")
-          .as("sig"))
+      // signature per doc in one narrow pass over its shingle array (see
+      // TextHashAggregators.minhashSignature for why this beats both the
+      // K-way explode and an Aggregator)
+      val rows = K / Bands
+      // repartition: the synthetic corpus is one small parquet file (one
+      // input split); the signature UDF is CPU-bound, so spread it across
+      // cores — at real scale the scan already has that many splits
+      val bands = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= ShingleN)
+        .select(col("doc_id"),
+          graft.functions.TextHashAggregators.minhash(shingleExpr(ShingleN), K).as("mh"))
+        .select(col("doc_id"),
+          explode(sequence(lit(0), lit(Bands - 1))).as("band"), col("mh"))
+        .select(col("doc_id"), col("band"),
+          expr(s"array_join(slice(mh, band * $rows + 1, $rows), '|')").as("sig"))
 
       val cand = bands.select(col("doc_id").as("da"), col("band"), col("sig"))
         .join(bands.select(col("doc_id").as("db"), col("band"), col("sig")),
@@ -132,35 +136,14 @@ object DedupQueries {
     */
   val q37 = Q(
     "q37_simhash",
-    (s, d) => {
-      val toks = Tables.documents(s, d)
+    (s, d) =>
+      Tables.documents(s, d)
         .select(col("doc_id"),
           explode(array_distinct(split(lower(col("text")), " "))).as("tok"))
         .select(col("doc_id"), md5(col("tok")).as("h"))
-
-      val digitsIn = toks
-        .select(col("doc_id"), col("h"),
-          explode(sequence(lit(1), lit(16))).as("p"))
-        .withColumn("digit", expr("instr('0123456789abcdef', substring(h, p, 1)) - 1"))
-
-      val sums = digitsIn.groupBy("doc_id", "p").agg(
-        sum(expr("CASE WHEN digit % 2 = 1 THEN 1 ELSE -1 END")).as("s0"),
-        sum(expr("CASE WHEN (digit div 2) % 2 = 1 THEN 1 ELSE -1 END")).as("s1"),
-        sum(expr("CASE WHEN (digit div 4) % 2 = 1 THEN 1 ELSE -1 END")).as("s2"),
-        sum(expr("CASE WHEN (digit div 8) % 2 = 1 THEN 1 ELSE -1 END")).as("s3"))
-
-      sums
-        .withColumn("c", expr(
-          """substring('0123456789abcdef',
-             (CASE WHEN s0 > 0 THEN 1 ELSE 0 END) +
-             2 * (CASE WHEN s1 > 0 THEN 1 ELSE 0 END) +
-             4 * (CASE WHEN s2 > 0 THEN 1 ELSE 0 END) +
-             8 * (CASE WHEN s3 > 0 THEN 1 ELSE 0 END) + 1, 1)"""))
         .groupBy("doc_id")
-        .agg(expr("array_join(transform(array_sort(collect_list(struct(p, c))), x -> x.c), '')")
-          .as("simhash"))
-        .orderBy("doc_id")
-    },
+        .agg(graft.functions.TextHashAggregators.simhash(col("h")).as("simhash"))
+        .orderBy("doc_id"),
     Some("""
       WITH t AS (SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS toks
                  FROM documents),
