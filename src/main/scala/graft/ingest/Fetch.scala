@@ -63,9 +63,12 @@ final case class FetchResult(
 
 object Fetch {
 
-  /** RPC page URL (extract.py:150). */
+  /** RPC page URLs (extract.py:150, 169). */
   def txSearchUrl(api: String, start: Long, end: Long, page: Int, perPage: Int): String =
     s"""$api/tx_search?query="tx.height>=$start AND tx.height<=$end"&page=$page&per_page=$perPage&order_by="asc""""
+
+  def blockSearchUrl(api: String, start: Long, end: Long, page: Int, perPage: Int): String =
+    s"""$api/block_search?query="block.height>=$start AND block.height<=$end"&page=$page&per_page=$perPage&order_by="asc""""
 
   /** Partition an inclusive range into fetch chunks (the source-side
     * predicate pushdown: ranges ARE the predicate). */

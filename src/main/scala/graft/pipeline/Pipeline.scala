@@ -1,0 +1,158 @@
+package graft.pipeline
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.ingest.{Fetch, HeightChunk, Manifest, RangePlanner, WatermarkStore}
+import graft.models.{Model, ModelRunner}
+import graft.parse.Flatteners
+
+/** The reference's orchestrated flow (pipelines/pipeline.py:115-131) as a
+  * plain Scala driver program over one SparkSession:
+  *
+  *   plan sync range → fetch raw pages → raw JSON zone → backfill loop →
+  *   parse (4 flatteners, incremental via manifest) → hive-partitioned
+  *   parquet → model DAG (ModelRunner) → dashboard queries.
+  *
+  * Differences from the reference, by design:
+  *  - fetch fans out as Spark tasks instead of an asyncio semaphore
+  *    (graft.ingest.Fetch);
+  *  - all SQL runs in-session through Catalyst — no dbt subprocess and
+  *    no DuckDB/postgres-proxy hop (SURVEY §3.1 boundary analysis);
+  *  - exactly-once parsing still uses the parsed-files manifest, so the
+  *    raw-zone contract (`{start}_{end}.json` files + metadata.json)
+  *    stays byte-compatible with the reference's layout.
+  */
+final class Pipeline(
+    spark: SparkSession,
+    dataRoot: String,
+    fetcher: String => String,
+    apiUrl: String = "http://node",
+    perPage: Int = 100) {
+
+  private def rawDir(kind: String) = s"$dataRoot/rpc/$kind"
+  private val parsedRoot = s"$dataRoot/parsed"
+
+  // the reference's partition columns are period STRINGS ("2023-08",
+  // "2023") — without this, hive partition discovery would re-type
+  // day as DATE and year as INT and diverge from the 4-table contract
+  spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+
+  /** Plan + fetch one inclusive range into the raw zone (extract stage):
+    * page envelopes are flattened to their item arrays (the reference's
+    * process_responses, extract.py:408-424) and written as one JSON array
+    * file per range (save_json layout, extract.py:186-192). */
+  def extractRange(kind: String, start: Long, end: Long): String = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    // locals, not fields: these close over executor-side lambdas and must
+    // not drag the (non-serializable) Pipeline in with them
+    val (api, fetch) = (apiUrl, fetcher)
+    val urlOf: (Long, Long, Int, Int) => String =
+      if (kind == "blocks") Fetch.blockSearchUrl(api, _, _, _, _)
+      else Fetch.txSearchUrl(api, _, _, _, _)
+    val results = Fetch.fetchAll(
+      spark, Seq(HeightChunk(start, end)), perPage, fetch, urlOf,
+      graft.ingest.ChainClient.parseTotalCount
+    ).collect()
+    val items = results.flatMap(_.body).flatMap { b =>
+      (JsonMethods.parse(b) \ "result" \ kind) match {
+        case JArray(vs) => vs
+        case _          => Nil
+      }
+    }
+    val dir = Paths.get(rawDir(kind))
+    Files.createDirectories(dir)
+    val path = dir.resolve(s"${start}_$end.json")
+    Files.writeString(path, JsonMethods.compact(JArray(items.toList)))
+    new WatermarkStore(rawDir(kind)).updateFromFiles()
+    path.toString
+  }
+
+  /** Parse stage (parse.py:202-226): manifest-filtered raw files →
+    * 4 flatteners → time-enriched hive-partitioned parquet. */
+  def parse(): Unit = {
+    val manifest = new Manifest(parsedRoot)
+
+    def newFiles(kind: String): Seq[String] = {
+      val dir = Paths.get(rawDir(kind))
+      val all =
+        if (!Files.isDirectory(dir)) Nil
+        else Files.list(dir).iterator().asScala.map(_.getFileName.toString)
+          .filter(n => n.endsWith(".json") && n != "metadata.json").toSeq.sorted
+      manifest.newFiles(all, kind)
+    }
+
+    val blockFiles = newFiles("blocks")
+    val txFiles = newFiles("txs")
+    if (blockFiles.isEmpty && txFiles.isEmpty) return
+
+    // raw files are single JSON arrays (orjson list dump) → multiLine
+    val rawBlocks = spark.read.schema(Flatteners.blockSchema)
+      .option("multiLine", "true")
+      .json(blockFiles.map(f => s"${rawDir("blocks")}/$f"): _*)
+    val blocks = Flatteners.parseBlocks(rawBlocks).cache()
+    Flatteners.writePartitioned(blocks.drop("ts"), s"$parsedRoot/blocks")
+
+    if (txFiles.nonEmpty) {
+      val rawTxs = spark.read.schema(Flatteners.txSchema)
+        .option("multiLine", "true")
+        .json(txFiles.map(f => s"${rawDir("txs")}/$f"): _*)
+      def enrich(df: DataFrame) =
+        Flatteners.enrichTime(df, blocks).drop("ts")
+      Flatteners.writePartitioned(
+        enrich(Flatteners.parseTxResult(rawTxs)), s"$parsedRoot/tx_result")
+      Flatteners.writePartitioned(
+        enrich(Flatteners.parseLogAttributes(rawTxs)), s"$parsedRoot/log_attributes")
+      Flatteners.writePartitioned(
+        enrich(Flatteners.parseEventsWide(rawTxs)), s"$parsedRoot/events")
+    }
+
+    manifest.record(blockFiles, "blocks")
+    manifest.record(txFiles, "txs")
+    blocks.unpersist()
+  }
+
+  /** Model stage (dbt run analog): build the given SQL model DAG against
+    * the parsed zone; parsed tables are registered as temp views first. */
+  def runModels(models: Seq[Model]): Map[String, DataFrame] = {
+    Seq("blocks", "tx_result", "log_attributes", "events").foreach { t =>
+      val dir = Paths.get(s"$parsedRoot/$t")
+      if (Files.isDirectory(dir)) {
+        // a table whose every batch was empty has no footers to read —
+        // skip it (same visible behavior as dbt with zero-row sources)
+        try spark.read.parquet(dir.toString).createOrReplaceTempView(t)
+        catch { case _: org.apache.spark.sql.AnalysisException => () }
+      }
+    }
+    new ModelRunner(spark).run(models)
+  }
+
+  /** The full flow (pipeline.py:115-131): sync newest → backfill older
+    * chunks → parse → models. `tip`/`chainFloor` come from the node
+    * client in production; injected here. */
+  def run(tip: Long, chainFloor: Long, numBlocks: Long,
+      models: Seq[Model]): Map[String, DataFrame] = {
+    val blocksWs = new WatermarkStore(rawDir("blocks"))
+    val minIngested = blocksWs.minHeightFromFiles
+
+    val (syncStart, syncEnd) =
+      RangePlanner.syncRange(tip, chainFloor, minIngested, numBlocks)
+    extractRange("blocks", syncStart, syncEnd)
+    extractRange("txs", syncStart, syncEnd)
+
+    val (bfStart, bfEnd) =
+      RangePlanner.backfillRange(chainFloor, blocksWs.minHeightFromFiles, numBlocks)
+    RangePlanner.backfillChunks(bfStart, bfEnd, numBlocks).foreach {
+      case (s, e) =>
+        extractRange("blocks", s, e)
+        extractRange("txs", s, e)
+    }
+
+    parse()
+    runModels(models)
+  }
+}

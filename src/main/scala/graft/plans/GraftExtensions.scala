@@ -1,0 +1,50 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{VecDot, VecNorm}
+
+/** SQL-surface registration for the custom Catalyst expressions, so
+  * `spark.sql("SELECT vec_dot(a, b) ...")` works the same as the typed
+  * Column API (graft.functions.vec).
+  *
+  * Two entry points:
+  *  - config `spark.sql.extensions=graft.plans.GraftExtensions` applies
+  *    at session build time (the standard extensions hook);
+  *  - [[GraftExtensions.register]] injects into an already-running
+  *    session's function registry (tests, notebooks).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[VecDot].getName, null, name, usage, "", "", "",
+      "math_funcs", "4.0.0", "", "built-in")
+
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("vec_dot"),
+      info("vec_dot", "vec_dot(a, b) - double dot product of two float/double arrays"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "vec_dot takes 2 arguments")
+        VecDot(args(0), args(1))
+      }),
+    (FunctionIdentifier("vec_norm"),
+      info("vec_norm", "vec_norm(a) - L2 norm of a float/double array"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "vec_norm takes 1 argument")
+        VecNorm(args.head)
+      }))
+
+  /** Register on a live session (idempotent). */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (ident, inf, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(ident, inf, builder)
+    }
+}

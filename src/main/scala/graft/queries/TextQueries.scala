@@ -193,5 +193,51 @@ object TextQueries {
       SELECT lang, marker_lang AS predicted, COUNT(*) AS n_docs
       FROM pred GROUP BY 1, 2 ORDER BY lang, predicted"""))
 
-  def all: Seq[Q] = Seq(q28, q29, q30, q31, q32, q33, q41)
+  /** BPE-ish piece tokenization: regex alternation over letter runs,
+    * digit runs, and single other symbols — the shape of a byte-pair
+    * pre-tokenizer's first split. Same pattern semantics in Java regex
+    * and RE2 (plain character classes, no lookaround). */
+  val q43 = Q(
+    "q43_bpe_pieces",
+    (s, d) => {
+      val pieces = regexp_extract_all(
+        col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(pieces).cast("long").as("n_pieces"),
+          size(array_distinct(pieces)).cast("long").as("n_uniq_pieces"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_pieces,
+             CAST(len(list_distinct(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT) AS n_uniq_pieces
+      FROM documents ORDER BY doc_id"""))
+
+  /** Polynomial rolling hash over the token stream (Rabin-Karp shape):
+    * h = (h*31 + len(tok)*131 + ascii(first char)) mod 1e9+7, folded
+    * left-to-right — order-sensitive, so permuted documents hash apart
+    * while byte-identical ones collide. All-integer math in both
+    * engines; h < 2^30 keeps every intermediate far from overflow. */
+  val q44 = Q(
+    "q44_rolling_hash",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          expr("""aggregate(
+                    transform(split(text, ' '),
+                              t -> CAST(length(t) AS BIGINT) * 131 + ascii(t)),
+                    CAST(0 AS BIGINT),
+                    (a, b) -> (a * 31 + b) % 1000000007)""").as("rh"))
+        .orderBy("doc_id"),
+    Some("""
+      SELECT doc_id,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(string_split(text, ' '),
+                                t -> CAST(length(t) AS BIGINT) * 131 + ascii(t))),
+               (a, b) -> (a * 31 + b) % 1000000007) AS rh
+      FROM documents ORDER BY doc_id"""))
+
+  def all: Seq[Q] = Seq(q28, q29, q30, q31, q32, q33, q41, q43, q44)
 }

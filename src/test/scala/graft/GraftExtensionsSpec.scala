@@ -1,0 +1,33 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.GraftExtensions
+
+class GraftExtensionsSpec extends AnyFunSuite with SparkSpec {
+
+  test("vec_dot / vec_norm usable from SQL after registration") {
+    GraftExtensions.register(spark)
+    Tables.embeddings(spark, sf("sf0.001")).createOrReplaceTempView("emb")
+    val r = spark.sql(
+      """SELECT vec_id,
+        |       vec_dot(embedding, embedding) AS d,
+        |       vec_norm(embedding) AS n
+        |FROM emb ORDER BY vec_id LIMIT 5""".stripMargin).collect()
+    assert(r.length == 5)
+    r.foreach { row =>
+      val (d, n) = (row.getDouble(1), row.getDouble(2))
+      assert(math.abs(math.sqrt(d) - n) < 1e-9)
+    }
+  }
+
+  test("registration is idempotent and arity is enforced") {
+    GraftExtensions.register(spark)
+    GraftExtensions.register(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT vec_norm(embedding, embedding) FROM emb").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("1 argument") ||
+      e.getMessage.toLowerCase.contains("vec_norm"))
+  }
+}

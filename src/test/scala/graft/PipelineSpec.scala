@@ -1,0 +1,96 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.Files
+import java.util.Base64
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.models.Model
+import graft.pipeline.Pipeline
+
+/** End-to-end: fake node → raw zone → flatteners → hive-partitioned
+  * parquet → model DAG → the reference's dashboard probe
+  * (pages/index.md:8-10). Mirrors `make pipeline` (SURVEY §3.1). */
+/** Fake node lives outside the suite: the fetcher closure ships to
+  * executors and must not capture the (non-serializable) test engine. */
+object FakeNode extends Serializable {
+
+  private def b64(s: String): String =
+    Base64.getEncoder.encodeToString(s.getBytes(StandardCharsets.UTF_8))
+
+  /** 5 blocks (heights 1-5), one tx at every odd height. All pages
+    * served in one response (per_page default 100). */
+  def fetch(url: String): String = {
+    val range = "height>=(\\d+) AND \\w+\\.height<=(\\d+)".r.unanchored
+    val (start, end) = range.findFirstMatchIn(url)
+      .map(m => (m.group(1).toLong, m.group(2).toLong))
+      .getOrElse(sys.error(s"no range in $url"))
+    def block(h: Long) =
+      s"""{"block":{"header":{"height":"$h","chain_id":"e2e-1","time":"2023-08-0${h}T00:00:0$h.00000000${h}Z","proposer_address":"P$h"},"data":{"txs":[]}}}"""
+    def tx(h: Long) = {
+      val log = s"""[{\\"msg_index\\":0,\\"events\\":[{\\"type\\":\\"transfer\\",\\"attributes\\":[{\\"key\\":\\"amount\\",\\"value\\":\\"${h}00uakt\\"}]}]}]"""
+      s"""{"hash":"T$h","height":"$h","tx_result":{"code":0,"log":"$log","info":"","gas_wanted":"${h * 1000}","gas_used":"${h * 900}","codespace":"",
+         |"events":[{"type":"transfer","attributes":[{"key":"${b64("amount")}","value":"${b64(s"${h}00uakt")}"}]}]}}""".stripMargin.replace("\n", "")
+    }
+    if (url.contains("block_search")) {
+      val hs = (math.max(1, start) to math.min(5, end))
+      s"""{"result":{"total_count":"${hs.size}","blocks":[${hs.map(block).mkString(",")}]}}"""
+    } else {
+      val hs = (math.max(1, start) to math.min(5, end)).filter(_ % 2 == 1)
+      s"""{"result":{"total_count":"${hs.size}","txs":[${hs.map(tx).mkString(",")}]}}"""
+    }
+  }
+}
+
+class PipelineSpec extends AnyFunSuite with SparkSpec {
+
+  test("full flow: sync + backfill -> parse -> models -> dashboard probe") {
+    val root = Files.createTempDirectory("graft-e2e").toString
+    val pipe = new Pipeline(spark, root, FakeNode.fetch)
+
+    val models = Seq(
+      Model("gas_used_per_day",
+        "SELECT day, SUM(CAST(gas_used AS BIGINT)) AS gas FROM tx_result GROUP BY day",
+        "table"),
+      Model("cum_gas",
+        """SELECT day, gas, SUM(gas) OVER (ORDER BY day ASC
+          |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_gas
+          |FROM {{ ref("gas_used_per_day") }}""".stripMargin))
+
+    // tip=5, floor=1, sync window of 2 → sync [3,5], then backfill [1,2]
+    val out = pipe.run(tip = 5, chainFloor = 1, numBlocks = 2, models = models)
+
+    // raw zone: sync file + backfill chunks, watermark repaired from files
+    val ws = new graft.ingest.WatermarkStore(s"$root/rpc/blocks")
+    assert(ws.minHeightFromFiles == 1L && ws.maxHeightFromFiles == 5L)
+
+    // parsed zone
+    assert(spark.read.parquet(s"$root/parsed/blocks").count() == 5)
+    val txr = spark.read.parquet(s"$root/parsed/tx_result")
+    assert(txr.count() == 3) // odd heights 1,3,5
+    // time-enrichment joined the per-height day strings
+    assert(txr.filter("height = 3").head().getAs[String]("day") == "2023-08-03")
+    // events wide: pivoted transfer_amount column with decoded base64
+    val ev = spark.read.parquet(s"$root/parsed/events")
+    assert(ev.filter("height = 5").head().getAs[String]("transfer_amount") == "500uakt")
+
+    // models: ref() DAG built in order; cumulative window over days
+    val cum = out("cum_gas").orderBy("day").collect()
+    assert(cum.map(_.getAs[Long]("gas")).toSeq == Seq(900L, 2700L, 4500L))
+    assert(cum.map(_.getAs[Long]("cum_gas")).toSeq == Seq(900L, 3600L, 8100L))
+
+    // log_attributes EAV rows flowed through the lenient log-JSON path
+    val la = spark.read.parquet(s"$root/parsed/log_attributes")
+    assert(la.filter("height = 1").head().getAs[String]("value") == "100uakt")
+
+    // the reference's first dashboard probe runs against the same session
+    val gas = spark.sql(
+      "SELECT CAST(gas_used AS INT) AS gas_used, CAST(gas_wanted AS INT) AS gas_wanted FROM tx_result")
+    assert(gas.count() == 3)
+
+    // idempotent re-parse: manifest filters already-processed raw files
+    pipe.parse()
+    assert(spark.read.parquet(s"$root/parsed/tx_result").count() == 3)
+  }
+}
