@@ -27,12 +27,17 @@ object RangePlanner {
 
   /** The chunked backfill loop (pipeline.py:126-128): emit
     * `(start, min(start + numBlocks, end))` then advance by
-    * numBlocks + 1 (each chunk spans numBlocks + 1 inclusive heights),
-    * while start < end. */
+    * numBlocks + 1 (each chunk spans numBlocks + 1 inclusive heights).
+    *
+    * Intended-semantics repair: the reference loops `while start < end`,
+    * which silently drops the last height whenever the final remainder is
+    * exactly one block (start == end) — and then re-plans and re-drops it
+    * on every subsequent run. We loop `while s <= end` so chunks always
+    * cover [start, end] exactly (pinned by PropertySpec). */
   def backfillChunks(start: Long, end: Long, numBlocks: Long): Seq[(Long, Long)] = {
     val out = Seq.newBuilder[(Long, Long)]
     var s = start
-    while (s < end) {
+    while (s <= end) {
       out += ((s, math.min(s + numBlocks, end)))
       s += numBlocks + 1
     }

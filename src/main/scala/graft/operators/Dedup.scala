@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextHashAggregators
+
+/** Reusable deduplication operators over a corpus DataFrame — the
+  * library surface behind the q31/q32/q36-q38 query entries. Every
+  * operator is `DataFrame => DataFrame` with explicit id/text columns so
+  * it composes into any pipeline stage.
+  *
+  * Scale design notes are on each method; the common rule: shuffle keys
+  * are always fixed-width digests/signatures, never raw text, and
+  * anything quadratic is restricted to LSH-colliding candidates.
+  */
+object Dedup {
+
+  /** word n-gram shingles of a token array column (by name), joined by
+    * spaces. */
+  def shingles(toksCol: String, n: Int): Column =
+    expr(s"transform(sequence(0, size($toksCol) - $n), i -> array_join(slice($toksCol, i + 1, $n), ' '))")
+
+  private def tokenized(docs: DataFrame, id: String, text: String, n: Int): DataFrame =
+    docs.select(col(id), split(col(text), " ").as("toks"))
+      .filter(size(col("toks")) >= n)
+
+  /** Distinct (id, shingle) pairs. */
+  def shingleSet(docs: DataFrame, id: String, text: String, n: Int): DataFrame =
+    tokenized(docs, id, text, n)
+      .select(col(id), explode(shingles("toks", n)).as("sh"))
+      .distinct()
+
+  /** Exact-duplicate groups keyed by content digest (md5 — the shuffle
+    * key is 16 bytes regardless of document size). */
+  def exactDuplicateGroups(docs: DataFrame, id: String, text: String): DataFrame =
+    docs.groupBy(md5(col(text)).as("fingerprint"))
+      .agg(count(lit(1)).as("copies"), min(col(id)).as("keeper"))
+      .filter(col("copies") > 1)
+
+  /** Keep-first exact dedup: returns surviving rows. */
+  def dropExactDuplicates(docs: DataFrame, id: String, text: String): DataFrame = {
+    val w = Window.partitionBy(text)
+    docs.withColumn("__keeper", min(col(id)).over(w))
+      .filter(col(id) === col("__keeper"))
+      .drop("__keeper")
+  }
+
+  /** MinHash signatures: one narrow pass per document (no shuffle; see
+    * TextHashAggregators.minhashSignature). Output: (id, mh array<string>). */
+  def minHashSignatures(docs: DataFrame, id: String, text: String,
+      n: Int = 4, k: Int = 16): DataFrame =
+    tokenized(docs, id, text, n)
+      .select(col(id), TextHashAggregators.minhash(shingles("toks", n), k).as("mh"))
+
+  /** LSH candidate pairs: band the signature, self-join on band
+    * signatures. Only colliding buckets pay join cost — the quadratic
+    * mass is the near-duplicate mass itself, not the corpus. */
+  def lshCandidatePairs(signatures: DataFrame, id: String,
+      k: Int = 16, bands: Int = 4): DataFrame = {
+    val rows = k / bands
+    val banded = signatures
+      .select(col(id), explode(sequence(lit(0), lit(bands - 1))).as("band"), col("mh"))
+      .select(col(id), col("band"),
+        expr(s"array_join(slice(mh, band * $rows + 1, $rows), '|')").as("sig"))
+    banded.select(col(id).as("id_a"), col("band"), col("sig"))
+      .join(banded.select(col(id).as("id_b"), col("band"), col("sig")),
+        Seq("band", "sig"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+  }
+
+  /** Exact Jaccard over shingle sets for given candidate pairs only
+    * (semi-join-shaped verification; |candidates| not |corpus|²). */
+  def verifiedJaccard(candidates: DataFrame, shingleSets: DataFrame,
+      id: String, threshold: Double): DataFrame = {
+    val sizes = shingleSets.groupBy(col(id)).agg(count(lit(1)).as("n"))
+    candidates
+      .join(shingleSets.select(col(id).as("id_a"), col("sh")), "id_a")
+      .join(shingleSets.select(col(id).as("id_b"), col("sh")), Seq("id_b", "sh"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col(id).as("id_a"), col("n").as("na")), "id_a")
+      .join(sizes.select(col(id).as("id_b"), col("n").as("nb")), "id_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Full MinHash+LSH near-dup pipeline (signatures → candidates →
+    * verified Jaccard ≥ threshold). */
+  def minHashLshPairs(docs: DataFrame, id: String, text: String,
+      n: Int = 4, k: Int = 16, bands: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    val cands = lshCandidatePairs(minHashSignatures(docs, id, text, n, k), id, k, bands)
+    verifiedJaccard(cands, shingleSet(docs, id, text, n), id, threshold)
+  }
+
+  /** 64-bit SimHash per document as a 16-hex signature (one aggregation,
+    * fixed-width state; see TextHashAggregators.SimHashAggregator). */
+  def simHashSignatures(docs: DataFrame, id: String, text: String): DataFrame =
+    docs.select(col(id), explode(array_distinct(split(lower(col(text)), " "))).as("tok"))
+      .select(col(id), md5(col("tok")).as("h"))
+      .groupBy(col(id))
+      .agg(TextHashAggregators.simhash(col("h")).as("simhash"))
+}

@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.vec
+
+/** Reusable similarity-search operators over an embeddings DataFrame
+  * `(id, embedding: array<float>)` — the library surface behind
+  * q34/q39/q40. All vector math runs through the codegen'd expressions
+  * in graft.functions.vec.
+  */
+object Similarity {
+
+  /** Brute-force cosine top-k against one stored query vector: broadcast
+    * the query, map-only scan, k-row reduce (TakeOrdered) — the correct
+    * plan at any scale when k is small.
+    *
+    * `roundAt` rounds sim BEFORE ranking: ranking on rounded values (with
+    * the id tie-break) is reproducible across engines whose float
+    * summation order differs by ~1e-15; ranking on raw doubles is not. */
+  def cosineTopK(emb: DataFrame, id: String, queryId: Long, k: Int,
+      roundAt: Int = 4): DataFrame = {
+    val qv = emb.filter(col(id) === queryId).select(col("embedding").as("qv"))
+    emb.filter(col(id) =!= queryId)
+      .crossJoin(broadcast(qv))
+      .withColumn("sim", round(vec.cosine(col("embedding"), col("qv")), roundAt))
+      .drop("qv")
+      .orderBy(desc("sim"), asc(id))
+      .limit(k)
+  }
+
+  /** All-pairs cosine near-duplicates ≥ threshold. Norms are computed
+    * once per vector before the quadratic stage; the pair join itself is
+    * the honest O(n²) baseline — for corpus-scale use, bucket first
+    * (random-hyperplane LSH or the IVF cells below) and verify within
+    * buckets, exactly like Dedup.minHashLshPairs does for text. */
+  def nearDupPairs(emb: DataFrame, id: String, threshold: Double): DataFrame = {
+    val e = emb.select(col(id), col("embedding"), vec.norm(col("embedding")).as("nrm"))
+    val a = e.select(col(id).as("id_a"), col("embedding").as("ea"), col("nrm").as("na"))
+    val b = e.select(col(id).as("id_b"), col("embedding").as("eb"), col("nrm").as("nb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("sim", vec.dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+      .filter(col("sim") >= threshold)
+      .select("id_a", "id_b", "sim")
+  }
+
+  /** IVF cell assignment: nearest anchor per vector (anchors broadcast;
+    * ties → lower anchor id). At scale this is written once as a
+    * cell-bucketed table. */
+  def ivfAssign(emb: DataFrame, anchors: DataFrame, id: String): DataFrame = {
+    val byCos = Window.partitionBy(id).orderBy(desc("acos"), asc("anchor_id"))
+    emb.crossJoin(broadcast(anchors))
+      .withColumn("acos", vec.cosine(col("embedding"), col("av")))
+      .withColumn("rk", row_number().over(byCos))
+      .filter(col("rk") === 1)
+      .drop("av", "acos", "rk")
+      .withColumnRenamed("anchor_id", "cell")
+  }
+
+  /** IVF top-k: probe the query's `nprobe` nearest cells, rank only
+    * vectors assigned there — each query touches ~nprobe/ncells of the
+    * corpus instead of all of it. */
+  def ivfTopK(emb: DataFrame, id: String, queryId: Long,
+      anchors: DataFrame, nprobe: Int, k: Int, roundAt: Int = 4): DataFrame = {
+    val assigned = ivfAssign(emb, anchors, id)
+    val qv = broadcast(emb.filter(col(id) === queryId).select(col("embedding").as("qv")))
+    val probed = broadcast(
+      anchors.crossJoin(qv)
+        .select(col("anchor_id"), vec.cosine(col("av"), col("qv")).as("qcos"))
+        .orderBy(desc("qcos"), asc("anchor_id"))
+        .limit(nprobe)
+        .select(col("anchor_id").as("cell")))
+    assigned.join(probed, Seq("cell"))
+      .filter(col(id) =!= queryId)
+      .crossJoin(qv)
+      .withColumn("sim", round(vec.cosine(col("embedding"), col("qv")), roundAt))
+      .drop("qv")
+      .orderBy(desc("sim"), asc(id))
+      .limit(k)
+  }
+}

@@ -56,48 +56,16 @@ object DedupQueries {
   val q36 = Q(
     "q36_minhash_lsh_pairs",
     (s, d) => {
-      val sh = shingles(s, d, ShingleN)
-
-      // signature per doc in one narrow pass over its shingle array (see
-      // TextHashAggregators.minhashSignature for why this beats both the
-      // K-way explode and an Aggregator)
-      val rows = K / Bands
       // repartition: the synthetic corpus is one small parquet file (one
       // input split); the signature UDF is CPU-bound, so spread it across
       // cores — at real scale the scan already has that many splits
-      val bands = Tables.documents(s, d)
+      val docs = Tables.documents(s, d)
         .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-        .select(col("doc_id"), split(col("text"), " ").as("toks"))
-        .filter(size(col("toks")) >= ShingleN)
-        .select(col("doc_id"),
-          graft.functions.TextHashAggregators.minhash(shingleExpr(ShingleN), K).as("mh"))
-        .select(col("doc_id"),
-          explode(sequence(lit(0), lit(Bands - 1))).as("band"), col("mh"))
-        .select(col("doc_id"), col("band"),
-          expr(s"array_join(slice(mh, band * $rows + 1, $rows), '|')").as("sig"))
-
-      val cand = bands.select(col("doc_id").as("da"), col("band"), col("sig"))
-        .join(bands.select(col("doc_id").as("db"), col("band"), col("sig")),
-          Seq("band", "sig"))
-        .filter(col("da") < col("db"))
-        .select("da", "db")
-        .distinct()
-
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val inter = cand
-        .join(sh.select(col("doc_id").as("da"), col("sh")), "da")
-        .join(sh.select(col("doc_id").as("db"), col("sh")), Seq("db", "sh"))
-        .groupBy("da", "db")
-        .agg(count(lit(1)).as("inter"))
-
-      inter
-        .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
-        .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
-        .withColumn("jacc",
-          col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
-        .filter(col("jacc") >= 0.5)
-        .select(col("da").as("doc_a"), col("db").as("doc_b"),
-          round(col("jacc"), 4).as("jaccard"))
+      graft.operators.Dedup
+        .minHashLshPairs(docs, "doc_id", "text",
+          n = ShingleN, k = K, bands = Bands, threshold = 0.5)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+          round(col("jaccard"), 4).as("jaccard"))
         .orderBy("doc_a", "doc_b")
     },
     Some(s"""
@@ -137,12 +105,8 @@ object DedupQueries {
   val q37 = Q(
     "q37_simhash",
     (s, d) =>
-      Tables.documents(s, d)
-        .select(col("doc_id"),
-          explode(array_distinct(split(lower(col("text")), " "))).as("tok"))
-        .select(col("doc_id"), md5(col("tok")).as("h"))
-        .groupBy("doc_id")
-        .agg(graft.functions.TextHashAggregators.simhash(col("h")).as("simhash"))
+      graft.operators.Dedup
+        .simHashSignatures(Tables.documents(s, d), "doc_id", "text")
         .orderBy("doc_id"),
     Some("""
       WITH t AS (SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS toks

@@ -36,16 +36,10 @@ object SimilarityQueries {
   /** Brute-force cosine top-k against one query vector (vec_id=0). */
   val q34 = Q(
     "q34_ann_bruteforce",
-    (s, d) => {
-      val e = Tables.embeddings(s, d)
-      val qv = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
-      e.filter(col("vec_id") =!= 0)
-        .crossJoin(broadcast(qv))
-        .select(col("vec_id"), col("label"),
-          round(vec.cosine(col("embedding"), col("qv")), 4).as("sim"))
-        .orderBy(desc("sim"), asc("vec_id"))
-        .limit(10)
-    },
+    (s, d) =>
+      graft.operators.Similarity
+        .cosineTopK(Tables.embeddings(s, d), "vec_id", queryId = 0, k = 10)
+        .select("vec_id", "label", "sim"),
     Some("""
       WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
       SELECT vec_id, label,
@@ -75,20 +69,12 @@ object SimilarityQueries {
     * quadratic stage does one codegen'd dot per pair. */
   val q39 = Q(
     "q39_embed_neardup",
-    (s, d) => {
-      val e = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("embedding"),
-          vec.norm(col("embedding")).as("nrm"))
-      val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
-        col("nrm").as("na"))
-      val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
-        col("nrm").as("nb"))
-      a.join(b, col("vec_a") < col("vec_b"))
-        .withColumn("cos", vec.dot(col("ea"), col("eb")) / (col("na") * col("nb")))
-        .filter(col("cos") >= 0.6)
-        .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("sim"))
-        .orderBy("vec_a", "vec_b")
-    },
+    (s, d) =>
+      graft.operators.Similarity
+        .nearDupPairs(Tables.embeddings(s, d), "vec_id", threshold = 0.6)
+        .select(col("id_a").as("vec_a"), col("id_b").as("vec_b"),
+          round(col("sim"), 4).as("sim"))
+        .orderBy("vec_a", "vec_b"),
     Some("""
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
              ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
@@ -106,36 +92,11 @@ object SimilarityQueries {
     "q40_ann_ivf",
     (s, d) => {
       val e = Tables.embeddings(s, d)
-      val anchors = broadcast(
-        e.filter(col("vec_id") < 8)
-          .select(col("vec_id").as("anchor_id"), col("embedding").as("av")))
-
-      val byCos = Window.partitionBy("vec_id")
-        .orderBy(desc("acos"), asc("anchor_id"))
-      val assigned = e.crossJoin(anchors)
-        .select(col("vec_id"), col("label"), col("embedding"),
-          col("anchor_id"), vec.cosine(col("embedding"), col("av")).as("acos"))
-        .withColumn("rk", row_number().over(byCos))
-        .filter(col("rk") === 1)
-        .select(col("vec_id"), col("label"), col("embedding"),
-          col("anchor_id").as("cell"))
-
-      val qv = broadcast(e.filter(col("vec_id") === 0).select(col("embedding").as("qv")))
-      val probeCells = broadcast(
-        anchors.crossJoin(qv)
-          .select(col("anchor_id"), vec.cosine(col("av"), col("qv")).as("qcos"))
-          .orderBy(desc("qcos"), asc("anchor_id"))
-          .limit(2)
-          .select(col("anchor_id").as("cell")))
-
-      assigned
-        .join(probeCells, Seq("cell"))
-        .filter(col("vec_id") =!= 0)
-        .crossJoin(qv)
-        .select(col("vec_id"), col("label"),
-          round(vec.cosine(col("embedding"), col("qv")), 4).as("sim"))
-        .orderBy(desc("sim"), asc("vec_id"))
-        .limit(10)
+      val anchors = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("anchor_id"), col("embedding").as("av"))
+      graft.operators.Similarity
+        .ivfTopK(e, "vec_id", queryId = 0, anchors, nprobe = 2, k = 10)
+        .select("vec_id", "label", "sim")
     },
     Some("""
       WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),

@@ -85,10 +85,8 @@ object TextQueries {
   val q31 = Q(
     "q31_exact_dup_groups",
     (s, d) =>
-      Tables.documents(s, d)
-        .groupBy(md5(col("text")).as("fingerprint"))
-        .agg(count(lit(1)).as("copies"), min(col("doc_id")).as("keeper"))
-        .filter(col("copies") > 1)
+      graft.operators.Dedup
+        .exactDuplicateGroups(Tables.documents(s, d), "doc_id", "text")
         .orderBy("fingerprint"),
     Some("""
       SELECT md5(text) AS fingerprint, COUNT(*) AS copies, MIN(doc_id) AS keeper

@@ -81,7 +81,9 @@ class IngestSpec extends AnyFunSuite with SparkSpec {
     assert(RangePlanner.backfillRange(8900, 9001, 1000) == (8900L, 9000L))
     val chunks = RangePlanner.backfillChunks(1, 25, 10)
     assert(chunks == Seq((1L, 11L), (12L, 22L), (23L, 25L)))
-    assert(RangePlanner.backfillChunks(5, 5, 10).isEmpty)
+    // single-height remainder is fetched, not dropped (reference bug repaired)
+    assert(RangePlanner.backfillChunks(5, 5, 10) == Seq((5L, 5L)))
+    assert(RangePlanner.backfillChunks(6, 5, 10).isEmpty)
   }
 
   test("gap-fill ranges collapse contiguous error heights") {

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.Registry
+
+/** Physical-plan regression tests: the properties that make these
+  * operators viable at 100 TB are asserted, not assumed. If a refactor
+  * reintroduces a shuffle, drops a broadcast hint, or breaks filter
+  * pushdown, this suite fails before any benchmark notices.
+  */
+class PlanAuditSpec extends AnyFunSuite with SparkSpec {
+
+  private val d = sf("sf0.001")
+  private def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
+  private def run(name: String): DataFrame = Registry.queries(name)(spark, d)
+
+  test("q02: filters and column pruning reach the parquet scan") {
+    val p = plan(run("q02_filter_project"))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p)
+    // projection+filter columns only — not the 16-column lineitem schema
+    assert(p.contains("ReadSchema: struct<l_orderkey"), p)
+    assert(!p.contains("l_comment"), p)
+    assert(!p.contains("l_returnflag"), p)
+  }
+
+  test("q04: dimension join is a broadcast hash join, fact side never shuffles") {
+    val p = plan(run("q04_join_broadcast"))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q08: star schema = exactly one fact-fact shuffle join, dims broadcast") {
+    // disable auto-broadcast: at sf0.001 everything fits under the
+    // threshold, which would mask whether the EXPLICIT dim hints hold
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val p = plan(run("q08_star_revenue"))
+      assert("SortMergeJoin|ShuffledHashJoin".r.findAllIn(p).size == 1, p)
+      assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    } finally spark.conf.set(key, prev)
+  }
+
+  test("q01: aggregation is partial (map-side combine) before the exchange") {
+    val p = plan(run("q01_pricing_summary"))
+    val aggs = "HashAggregate".r.findAllIn(p).size
+    assert(aggs >= 2, s"expected partial+final HashAggregate:\n$p")
+  }
+
+  test("q34: top-k is TakeOrdered (k-row reduce), not a global sort") {
+    val p = plan(run("q34_ann_bruteforce"))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p) // 1-row query side broadcast
+  }
+
+  test("minhash signatures are computed without any shuffle") {
+    val docs = Tables.documents(spark, d)
+    val p = plan(graft.operators.Dedup.minHashSignatures(docs, "doc_id", "text"))
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("simhash aggregation is partial: fixed-width states cross the wire") {
+    val docs = Tables.documents(spark, d)
+    val p = plan(graft.operators.Dedup.simHashSignatures(docs, "doc_id", "text"))
+    // ObjectHashAggregate partial + final around a single exchange
+    assert("ObjectHashAggregate".r.findAllIn(p).size == 2, p)
+    assert("Exchange".r.findAllIn(p).size == 1, p)
+  }
+
+  test("q40: IVF probe side is broadcast — the corpus scan never moves for the query") {
+    val p = plan(run("q40_ann_ivf"))
+    assert("BroadcastNestedLoopJoin|BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("events scan converts nanos without breaking codegen") {
+    val p = plan(Tables.events(spark, d).filter(col("event_type") === "click")
+      .select("event_id", "ts"))
+    assert(p.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,click)]"), p)
+    // "*(n)" prefixes mark operators fused into a WholeStageCodegen stage
+    assert(p.contains("*(1)"), p)
+  }
+}

@@ -1,0 +1,101 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TextHashAggregators
+import graft.ingest.RangePlanner
+
+/** Property tests over the pure kernels (SURVEY §5 strategy: pin the
+  * scalar/planner contracts with generated inputs, not just examples). */
+class PropertySpec extends AnyFunSuite with SparkSpec {
+
+  private def check(p: Prop, n: Int = 200): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(n), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val word = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)
+  private val shingleList = Gen.listOfN(30, word)
+
+  test("minhash signature is set-semantic: order and duplicates never matter") {
+    check(Prop.forAll(shingleList, Gen.long) { (sh, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val shuffledWithDups = rnd.shuffle(sh ++ rnd.shuffle(sh).take(sh.size / 2))
+      TextHashAggregators.minhashSignature(sh, 16) ==
+        TextHashAggregators.minhashSignature(shuffledWithDups, 16)
+    })
+  }
+
+  test("minhash signature only decreases element-wise as shingles are added") {
+    check(Prop.forAll(shingleList, shingleList) { (a, b) =>
+      val base = TextHashAggregators.minhashSignature(a, 16)
+      val more = TextHashAggregators.minhashSignature(a ++ b, 16)
+      base.zip(more).forall { case (x, y) => y <= x }
+    })
+  }
+
+  test("identical shingle sets ⇒ identical signatures; Jaccard of signature agreement approximates set Jaccard for equal sets") {
+    check(Prop.forAll(shingleList) { sh =>
+      val s1 = TextHashAggregators.minhashSignature(sh, 16)
+      val s2 = TextHashAggregators.minhashSignature(sh.reverse, 16)
+      s1 == s2
+    })
+  }
+
+  test("backfill chunks are disjoint, ordered, and cover [start, end] exactly") {
+    val gen = for {
+      start <- Gen.chooseNum(1L, 10000L)
+      len <- Gen.chooseNum(1L, 500L)
+      nb <- Gen.chooseNum(1L, 100L)
+    } yield (start, start + len, nb)
+    check(Prop.forAll(gen) { case (start, end, nb) =>
+      val chunks = RangePlanner.backfillChunks(start, end, nb)
+      val covered = chunks.flatMap { case (s, e) => s to e }
+      chunks.forall { case (s, e) => s <= e && s >= start && e <= end } &&
+        covered == covered.distinct && covered.sorted == (start to end).toList
+    })
+  }
+
+  test("gap-fill ranges reproduce exactly the input height set") {
+    check(Prop.forAll(Gen.listOf(Gen.chooseNum(1L, 300L))) { hs =>
+      val ranges = RangePlanner.gapFillRanges(hs)
+      val expanded = ranges.flatMap { case (s, e) => s to e }
+      expanded.toSet == hs.toSet &&
+        expanded.size == hs.distinct.size && // no overlap
+        ranges.forall { case (s, e) => s <= e }
+    })
+  }
+
+  test("sync/backfill planner invariants: never refetch, never cross the floor") {
+    val gen = for {
+      tip <- Gen.chooseNum(100L, 1000000L)
+      floor <- Gen.chooseNum(1L, 99L)
+      ingested <- Gen.chooseNum(0L, 1000000L)
+      nb <- Gen.chooseNum(1L, 50000L)
+    } yield (tip, floor, ingested, nb)
+    check(Prop.forAll(gen) { case (tip, floor, ingested, nb) =>
+      val (s, e) = RangePlanner.syncRange(tip, floor, ingested, nb)
+      val (bs, be) = RangePlanner.backfillRange(floor, ingested, nb)
+      s > ingested - 1 && s >= floor && e == tip &&
+        bs >= floor && be == ingested - 1 && (be - bs + 1) <= nb
+    })
+  }
+
+  test("base64 round-trip parity: Spark expr vs JVM codec on generated strings") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val strings = Gen.listOfN(50,
+      Gen.nonEmptyListOf(Gen.asciiPrintableChar).map(_.mkString.take(40)))
+      .sample.get
+    val df = strings.toDF("s")
+      .select(col("s"), decode(unbase64(base64(encode(col("s"), "UTF-8"))), "UTF-8").as("rt"),
+        base64(encode(col("s"), "UTF-8")).as("b64"))
+    df.collect().foreach { r =>
+      assert(r.getString(1) == r.getString(0))
+      val jvm = java.util.Base64.getMimeEncoder.encodeToString(
+        r.getString(0).getBytes("UTF-8")).replaceAll("\r\n", "")
+      assert(r.getString(2).replaceAll("\r\n", "") == jvm)
+    }
+  }
+}
