@@ -70,6 +70,41 @@ object Fetch {
   def blockSearchUrl(api: String, start: Long, end: Long, page: Int, perPage: Int): String =
     s"""$api/block_search?query="block.height>=$start AND block.height<=$end"&page=$page&per_page=$perPage&order_by="asc""""
 
+  /** Cosmos LCD REST endpoint (extract.py:161 — offset/limit pagination;
+    * the reference notes RPC is ~50× faster for these queries). */
+  def lcdTxsUrl(api: String, start: Long, end: Long, page: Int, perPage: Int): String =
+    s"$api/cosmos/tx/v1beta1/txs?events=tx.height>=$start&events=tx.height<=$end" +
+      s"&pagination.offset=${(page - 1).toLong * perPage}&pagination.limit=$perPage" +
+      "&pagination.count_total=true&order_by=ORDER_BY_ASC"
+
+  /** LCD envelope: parallel `txs` + `tx_responses` arrays zipped into one
+    * struct per transaction (extract.py:107-141 collects the two lists
+    * side by side; the zip is the relational equivalent). Returns
+    * compact-rendered `{"tx":…,"tx_response":…}` JSON strings. */
+  def zipLcdPage(json: String): Seq[String] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val parsed = JsonMethods.parse(json)
+    val txs = parsed \ "txs" match { case JArray(vs) => vs; case _ => Nil }
+    val rsps = parsed \ "tx_responses" match { case JArray(vs) => vs; case _ => Nil }
+    require(txs.size == rsps.size,
+      s"LCD arrays out of sync: ${txs.size} txs vs ${rsps.size} tx_responses")
+    txs.zip(rsps).map { case (t, r) =>
+      JsonMethods.compact(JObject("tx" -> t, "tx_response" -> r))
+    }
+  }
+
+  /** LCD `pagination.total` (a string count of matching txs). */
+  def parseLcdTotal(json: String): Long = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    (JsonMethods.parse(json) \ "pagination" \ "total") match {
+      case JString(s) => s.toLong
+      case JInt(i)    => i.toLong
+      case other => throw new IllegalArgumentException(s"bad LCD envelope: $other")
+    }
+  }
+
   /** Partition an inclusive range into fetch chunks (the source-side
     * predicate pushdown: ranges ARE the predicate). */
   def chunks(start: Long, end: Long, chunkSize: Long): Seq[HeightChunk] = {

@@ -70,3 +70,26 @@ final class WatermarkStore(directory: String) {
   /** repair metadata from filenames (extract.py:530-536). */
   def updateFromFiles(): Unit = write(minHeightFromFiles, maxHeightFromFiles)
 }
+
+/** Quarantine ledger: `errors/error_heights.txt`, one height per line
+  * (extract.py:88-89; consumed by the gap-fill planner,
+  * pipelines/pipeline.py:99-109). Missing file → empty. */
+object ErrorHeights {
+  private def path(directory: String): Path =
+    Paths.get(directory, "errors", "error_heights.txt")
+
+  def read(directory: String): Seq[Long] = {
+    val p = path(directory)
+    if (!Files.isRegularFile(p)) Nil
+    else Files.readAllLines(p).asScala.toSeq
+      .map(_.trim).filter(_.nonEmpty).map(_.toLong)
+  }
+
+  def append(directory: String, heights: Seq[Long]): Unit = {
+    if (heights.isEmpty) return
+    val p = path(directory)
+    Files.createDirectories(p.getParent)
+    val existing = if (Files.isRegularFile(p)) Files.readString(p) else ""
+    Files.writeString(p, existing + heights.mkString("", "\n", "\n"))
+  }
+}

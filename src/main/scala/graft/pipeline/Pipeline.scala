@@ -64,6 +64,11 @@ final class Pipeline(
         case _          => Nil
       }
     }
+    // quarantined pages → error-height ledger for the gap-fill planner
+    val failed = results.filter(_.quarantined)
+    if (failed.nonEmpty)
+      graft.ingest.ErrorHeights.append(dataRoot,
+        failed.flatMap(r => r.start to r.end).distinct)
     val dir = Paths.get(rawDir(kind))
     Files.createDirectories(dir)
     val path = dir.resolve(s"${start}_$end.json")

@@ -92,6 +92,16 @@ class IngestSpec extends AnyFunSuite with SparkSpec {
     assert(RangePlanner.gapFillRanges(Nil).isEmpty)
   }
 
+  test("error-height ledger: append + read + gap-fill roundtrip") {
+    val dir = tempDir()
+    assert(ErrorHeights.read(dir).isEmpty) // missing file → empty
+    ErrorHeights.append(dir, Seq(7L, 8L))
+    ErrorHeights.append(dir, Seq(12L))
+    assert(ErrorHeights.read(dir) == Seq(7L, 8L, 12L))
+    assert(RangePlanner.gapFillRanges(ErrorHeights.read(dir)) ==
+      Seq((7L, 8L), (12L, 12L)))
+  }
+
   // --- fetch harness (extract.py:48-105) ---
 
   test("chunking covers the range inclusively") {
@@ -127,6 +137,26 @@ class IngestSpec extends AnyFunSuite with SparkSpec {
     assert(res.size == 2)
     assert(!res.head.quarantined && res.head.page == 1 && res.head.perPage == 1)
     assert(res.last.quarantined && res.last.page == 2)
+  }
+
+  test("LCD scan: offset pagination URL + parallel-array zip (extract.py:107-141)") {
+    val url = Fetch.lcdTxsUrl("http://n", 10, 20, page = 3, perPage = 50)
+    assert(url.contains("pagination.offset=100") && url.contains("pagination.limit=50"))
+    assert(url.contains("events=tx.height>=10") && url.contains("events=tx.height<=20"))
+
+    val page =
+      """{"txs":[{"body":"a"},{"body":"b"}],
+         |"tx_responses":[{"height":"1"},{"height":"2"}],
+         |"pagination":{"total":"7"}}""".stripMargin
+    assert(Fetch.parseLcdTotal(page) == 7L)
+    val zipped = Fetch.zipLcdPage(page)
+    assert(zipped == Seq(
+      """{"tx":{"body":"a"},"tx_response":{"height":"1"}}""",
+      """{"tx":{"body":"b"},"tx_response":{"height":"2"}}"""))
+    // out-of-sync arrays are an error, not silent misalignment
+    intercept[IllegalArgumentException] {
+      Fetch.zipLcdPage("""{"txs":[{}],"tx_responses":[],"pagination":{"total":"1"}}""")
+    }
   }
 
   test("fetchAll fans chunks out as Spark tasks") {
