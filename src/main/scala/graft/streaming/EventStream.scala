@@ -65,6 +65,15 @@ object EventStream {
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
         col("event_type"), col("n"), col("total_value"))
 
+  /** Streaming exact dedup: drop re-deliveries of the same (id, ts)
+    * across micro-batches. The watermark bounds the dedup state — ids
+    * older than the lateness horizon are evicted, which is what lets a
+    * continuous ingest run forever; without it state grows with the
+    * stream. (The reference gets the same effect batch-wise from its
+    * file manifest + height watermarks.) */
+  def dedupedStream(events: DataFrame, lateness: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", lateness).dropDuplicates("event_id", "ts")
+
   // --- event-time sessionization via flatMapGroupsWithState ---
 
   final case class Ev(event_id: Long, ts: Timestamp, user_id: Long,

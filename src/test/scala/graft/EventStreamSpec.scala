@@ -90,6 +90,24 @@ class EventStreamSpec extends AnyFunSuite with SparkSpec {
     assert(out == Set((7L, 2, 600.0, 3.5), (8L, 1, 0.0, 1.0)))
   }
 
+  test("streaming dedup drops cross-batch re-deliveries within the watermark") {
+    val (in, chk) = newDirs()
+    val out = Files.createTempDirectory("graft-dedup-out").toString
+    drop(in, "a.json",
+      ev(1, "2024-01-01T00:10:00Z", 1, "click", 1.0),
+      ev(2, "2024-01-01T00:20:00Z", 1, "view", 2.0))
+    val deduped = EventStream.dedupedStream(
+      EventStream.jsonFileStream(spark, in, EventStream.eventSchema))
+    EventStream.runAvailableNowToParquet(deduped, out, chk).awaitTermination()
+    // second batch re-delivers event 2 and adds event 3
+    drop(in, "b.json",
+      ev(2, "2024-01-01T00:20:00Z", 1, "view", 2.0),
+      ev(3, "2024-01-01T00:25:00Z", 2, "click", 3.0))
+    EventStream.runAvailableNowToParquet(deduped, out, chk).awaitTermination()
+    val ids = spark.read.parquet(out).collect().map(_.getAs[Long]("event_id")).sorted
+    assert(ids.toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("the batch flatteners run unchanged on a streaming DataFrame") {
     val (in, chk) = newDirs()
     drop(in, "blocks.json",

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Layout
+
+class LayoutSpec extends AnyFunSuite with SparkSpec {
+
+  test("bucketed tables join without a shuffle") {
+    val db = "graft_buckets"
+    // unique location per JVM: the in-memory catalog forgets tables
+    // between runs but their files would survive and collide
+    val loc = java.nio.file.Files.createTempDirectory("graft-bucketdb")
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$loc'")
+    spark.sql(s"DROP TABLE IF EXISTS $db.orders_b")
+    spark.sql(s"DROP TABLE IF EXISTS $db.lineitem_b")
+    val orders = Tables.orders(spark, sf("sf0.001"))
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val lineitem = Tables.lineitem(spark, sf("sf0.001"))
+      .select("l_orderkey", "l_quantity")
+    Layout.writeBucketed(orders, s"$db.orders_b", Seq("o_orderkey"), 8)
+    Layout.writeBucketed(
+      lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+      s"$db.lineitem_b", Seq("o_orderkey"), 8)
+
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1") // force the join to be shuffle-shaped
+      val joined = spark.table(s"$db.orders_b")
+        .join(spark.table(s"$db.lineitem_b"), "o_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange"), s"bucketed join should not shuffle:\n$plan")
+      assert(plan.contains("SelectedBucketsCount"), plan)
+      // and it computes the same thing as the plain join
+      val plain = orders.join(
+        lineitem.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey")
+      assert(joined.count() == plain.count())
+    } finally spark.conf.set(key, prev)
+  }
+
+  test("salted join equals the plain join and spreads the hot key") {
+    import spark.implicits._
+    // skewed fact: one hot key (90%) + tail
+    val fact = (1 to 2000).map(i => (if (i % 10 == 0) i.toLong else 7L, i))
+      .toDF("k", "v")
+    val dim = Seq((7L, "hot"), (10L, "ten"), (20L, "twenty"), (999L, "none"))
+      .toDF("k", "name")
+
+    val salted = Layout.saltedJoin(fact, dim, "k", salts = 8)
+    val plain = fact.join(dim, Seq("k"))
+    assert(salted.count() == plain.count())
+    assert(
+      salted.groupBy("k", "name").count().orderBy("k").collect().toSeq ==
+        plain.groupBy("k", "name").count().orderBy("k").collect().toSeq)
+
+    // the hot key actually scatters across the salt domain
+    val spread = fact.withColumn("__salt",
+      pmod(hash(col("k"), monotonically_increasing_id()), lit(8)))
+      .filter(col("k") === 7L).select("__salt").distinct().count()
+    assert(spread == 8, s"hot key used only $spread of 8 salts")
+  }
+
+  test("salted left join keeps unmatched fact rows exactly once") {
+    import spark.implicits._
+    val fact = Seq((1L, "a"), (1L, "b"), (5L, "c")).toDF("k", "v")
+    val dim = Seq((1L, "one")).toDF("k", "name")
+    val out = Layout.saltedJoin(fact, dim, "k", salts = 4, joinType = "left")
+      .orderBy("k", "v").collect()
+    assert(out.length == 3)
+    assert(out.map(r => (r.getAs[Long]("k"), r.getAs[String]("v"),
+      r.getAs[String]("name"))).toSeq ==
+      Seq((1L, "a", "one"), (1L, "b", "one"), (5L, "c", null)))
+  }
+}
