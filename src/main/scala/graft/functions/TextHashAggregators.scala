@@ -110,11 +110,54 @@ object TextHashAggregators {
     override def outputEncoder: Encoder[String] = Encoders.STRING
   }
 
+  /** SimHash of a whole token array in one scalar pass — identical
+    * result to feeding distinct-token md5s through
+    * [[SimHashAggregator]] (dedup to set semantics, vote per hex-digit
+    * bit, sum>0 rule), but narrow and shuffle-free for the common case
+    * where a document's tokens are already colocated in one array. */
+  def simhashSignature(tokens: Seq[String]): String = {
+    val acc = new Array[Int](64)
+    val seen = new java.util.HashSet[String]()
+    tokens.foreach { tok =>
+      if (seen.add(tok)) {
+        val h = md5hex(tok)
+        var p = 0
+        while (p < 16) {
+          val digit = Character.digit(h.charAt(p), 16)
+          var b = 0
+          while (b < 4) {
+            acc(p * 4 + b) += (if (((digit >> b) & 1) == 1) 1 else -1)
+            b += 1
+          }
+          p += 1
+        }
+      }
+    }
+    val sb = new java.lang.StringBuilder(16)
+    var p = 0
+    while (p < 16) {
+      var digit = 0
+      var b = 0
+      while (b < 4) {
+        if (acc(p * 4 + b) > 0) digit |= (1 << b)
+        b += 1
+      }
+      sb.append("0123456789abcdef".charAt(digit))
+      p += 1
+    }
+    sb.toString
+  }
+
   /** minhash(shingleArrayCol) → array<string> of K element-wise min
     * hashes, computed per row (narrow, shuffle-free). */
   def minhash(shingleArray: Column, k: Int = 16): Column =
     org.apache.spark.sql.functions.udf(
       (sh: Seq[String]) => minhashSignature(sh, k)).apply(shingleArray)
+
+  /** simhash of a token array column per row (narrow, shuffle-free). */
+  def simhashOfTokens(tokens: Column): Column =
+    org.apache.spark.sql.functions.udf(
+      (toks: Seq[String]) => simhashSignature(toks)).apply(tokens)
 
   /** simhash(md5TokenCol) → 16-hex-char signature string. */
   def simhash(tokenMd5: Column): Column =

@@ -99,11 +99,12 @@ object Dedup {
     verifiedJaccard(cands, shingleSet(docs, id, text, n), id, threshold)
   }
 
-  /** 64-bit SimHash per document as a 16-hex signature (one aggregation,
-    * fixed-width state; see TextHashAggregators.SimHashAggregator). */
+  /** 64-bit SimHash per document as a 16-hex signature — one narrow
+    * scalar pass over the token array (no explode, no shuffle). For
+    * inputs where tokens arrive as rows (streams, EAV tables), use
+    * [[TextHashAggregators.SimHashAggregator]] instead: same result,
+    * aggregation shape. */
   def simHashSignatures(docs: DataFrame, id: String, text: String): DataFrame =
-    docs.select(col(id), explode(array_distinct(split(lower(col(text)), " "))).as("tok"))
-      .select(col(id), md5(col("tok")).as("h"))
-      .groupBy(col(id))
-      .agg(TextHashAggregators.simhash(col("h")).as("simhash"))
+    docs.select(col(id),
+      TextHashAggregators.simhashOfTokens(split(lower(col(text)), " ")).as("simhash"))
 }

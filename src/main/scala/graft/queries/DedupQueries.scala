@@ -172,5 +172,51 @@ object DedupQueries {
       WHERE CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter) >= 0.3
       ORDER BY doc_a, doc_b"""))
 
-  def all: Seq[Q] = Seq(q36, q37, q38)
+  /** Winnowing document fingerprints (the MOSS scheme): hash every
+    * 4-gram shingle, slide a window of 5 consecutive shingle hashes,
+    * keep each window's minimum — a document's fingerprint set is the
+    * distinct selected hashes. Guarantees any shared run of
+    * window+shingle-1 tokens between two documents shares a
+    * fingerprint, at ~1/window the storage of the full shingle set.
+    * Output: per-doc fingerprint count + the lexicographic first
+    * fingerprint (stable summary of the set).
+    */
+  val q45 = Q(
+    "q45_winnowing",
+    (s, d) => {
+      val win = 5
+      val sh = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= ShingleN)
+        .select(col("doc_id"), posexplode(shingleExpr(ShingleN)))
+        .toDF("doc_id", "pos", "sh")
+        .select(col("doc_id"), col("pos"), md5(col("sh")).as("h"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(-(win - 1), org.apache.spark.sql.expressions.Window.currentRow)
+      sh.withColumn("wmin", min("h").over(w))
+        .filter(col("pos") >= win - 1) // only full windows select
+        .groupBy("doc_id")
+        .agg(
+          countDistinct(col("wmin")).as("n_fps"),
+          min(col("wmin")).as("first_fp"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      tf AS (SELECT doc_id, toks FROM t WHERE len(toks) >= $ShingleN),
+      sh AS (SELECT doc_id, i AS pos,
+                    md5(array_to_string(toks[i+1:i+$ShingleN], ' ')) AS h
+             FROM tf, LATERAL (SELECT UNNEST(range(0, len(toks) - ${ShingleN - 1})) AS i) g),
+      wm AS (SELECT doc_id, pos,
+                    MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS wmin
+             FROM sh)
+      SELECT doc_id,
+             COUNT(DISTINCT wmin) AS n_fps,
+             MIN(wmin) AS first_fp
+      FROM wm WHERE pos >= 4
+      GROUP BY doc_id ORDER BY doc_id"""))
+
+  def all: Seq[Q] = Seq(q36, q37, q38, q45)
 }

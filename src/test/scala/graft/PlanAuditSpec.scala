@@ -63,9 +63,21 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("Exchange"), p)
   }
 
-  test("simhash aggregation is partial: fixed-width states cross the wire") {
+  test("simhash signatures are computed without any shuffle (scalar path)") {
     val docs = Tables.documents(spark, d)
     val p = plan(graft.operators.Dedup.simHashSignatures(docs, "doc_id", "text"))
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("simhash aggregator path is partial: fixed-width states cross the wire") {
+    import org.apache.spark.sql.functions._
+    // row-shaped input (tokens as rows) — the shape streams/EAV produce
+    val toks = Tables.documents(spark, d)
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
+      .select(col("doc_id"), md5(col("tok")).as("h"))
+      .groupBy("doc_id")
+      .agg(graft.functions.TextHashAggregators.simhash(col("h")).as("simhash"))
+    val p = plan(toks)
     // ObjectHashAggregate partial + final around a single exchange
     assert("ObjectHashAggregate".r.findAllIn(p).size == 2, p)
     assert("Exchange".r.findAllIn(p).size == 1, p)

@@ -43,6 +43,24 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
     })
   }
 
+  test("simhash: scalar path and Aggregator path agree on any token bag") {
+    check(Prop.forAll(shingleList, Gen.long) { (toks, seed) =>
+      val agg = new TextHashAggregators.SimHashAggregator
+      val viaAgg = {
+        // aggregator consumes DISTINCT token md5s (set semantics)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def md5hex(s: String) = {
+          md.reset()
+          md.digest(s.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+        }
+        val state = toks.distinct.foldLeft(agg.zero)((b, t) => agg.reduce(b, md5hex(t)))
+        agg.finish(state)
+      }
+      val shuffled = new scala.util.Random(seed).shuffle(toks ++ toks)
+      viaAgg == TextHashAggregators.simhashSignature(shuffled)
+    }, n = 100)
+  }
+
   test("backfill chunks are disjoint, ordered, and cover [start, end] exactly") {
     val gen = for {
       start <- Gen.chooseNum(1L, 10000L)
