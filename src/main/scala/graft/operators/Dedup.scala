@@ -74,10 +74,16 @@ object Dedup {
 
   /** Exact Jaccard over shingle sets for given candidate pairs only
     * (semi-join-shaped verification; |candidates| not |corpus|²). */
+  /** `broadcastCandidates`: LSH-colliding pairs are usually sparse, and
+    * Catalyst can't estimate that through the distinct — the hint keeps
+    * the corpus-sized shingle table map-side. On a corpus whose
+    * near-duplicate mass is itself huge (candidates won't fit one
+    * executor), pass false and let the pair join shuffle on id. */
   def verifiedJaccard(candidates: DataFrame, shingleSets: DataFrame,
-      id: String, threshold: Double): DataFrame = {
+      id: String, threshold: Double,
+      broadcastCandidates: Boolean = true): DataFrame = {
     val sizes = shingleSets.groupBy(col(id)).agg(count(lit(1)).as("n"))
-    candidates
+    (if (broadcastCandidates) broadcast(candidates) else candidates)
       .join(shingleSets.select(col(id).as("id_a"), col("sh")), "id_a")
       .join(shingleSets.select(col(id).as("id_b"), col("sh")), Seq("id_b", "sh"))
       .groupBy("id_a", "id_b")

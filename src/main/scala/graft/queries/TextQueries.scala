@@ -147,11 +147,12 @@ object TextQueries {
       val byLang = toks.groupBy("lang", "tok").agg(count(lit(1)).as("c_lt"))
       val byTok  = toks.groupBy("tok").agg(count(lit(1)).as("c_t"))
       val wm = Window.partitionBy("lang").orderBy(desc("ratio"), asc("tok"))
-      val markers = byLang.join(byTok, "tok")
+      // ≤ 20 rows per language — broadcast so doc scoring stays map-side
+      val markers = broadcast(byLang.join(byTok, "tok")
         .withColumn("ratio", col("c_lt").cast("double") / col("c_t"))
         .withColumn("rk", row_number().over(wm))
         .filter(col("rk") <= 20)
-        .select(col("lang").as("marker_lang"), col("tok"))
+        .select(col("lang").as("marker_lang"), col("tok")))
       val wd = Window.partitionBy("doc_id").orderBy(desc("score"), asc("marker_lang"))
       toks.join(markers, "tok")
         .groupBy("doc_id", "lang", "marker_lang")
