@@ -114,6 +114,63 @@ object EventStream {
       }
   }
 
+  // --- streaming near-duplicate filter: stateful LSH buckets ---
+
+  final case class BucketHit(doc_id: Long, band: Int, owner: Long)
+  final case class BucketState(owner: Long)
+
+  /** Streaming MinHash-LSH near-duplicate detection: each arriving
+    * document computes its signature (narrow), fans out to `bands` band
+    * keys, and each (band, band-signature) bucket keeps one piece of
+    * state — the lowest doc_id ever seen there (the bucket's owner).
+    * A document whose hit rows carry an owner other than itself collided
+    * with an earlier near-duplicate on that band.
+    *
+    * State is bounded by the watermark: buckets idle past `lateness` are
+    * evicted via event-time timeout, so a continuous corpus stream dedups
+    * within its horizon at fixed memory — the streaming analog of
+    * Dedup.minHashLshPairs' batch banding. Within one micro-batch, docs
+    * are folded in doc_id order, so ownership is deterministic under any
+    * partitioning.
+    *
+    * Input schema: (doc_id long, text string, ts timestamp). */
+  def lshNearDupHits(docs: DataFrame, n: Int = 4, k: Int = 16,
+      bands: Int = 4, lateness: String = "1 hour"): Dataset[BucketHit] = {
+    import docs.sparkSession.implicits._
+    val rows = k / bands
+    val banded = docs
+      .withWatermark("ts", lateness)
+      .filter(size(split(col("text"), " ")) >= n)
+      .select(col("doc_id"), col("ts"),
+        graft.functions.TextHashAggregators.minhash(
+          graft.operators.Dedup.shingles("split(text, ' ')", n), k).as("mh"))
+      .select(col("doc_id"), col("ts"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"),
+        expr(s"array_join(slice(mh, band * $rows + 1, $rows), '|')").as("sig"))
+      .as[(Long, Timestamp, Int, String)]
+
+    banded
+      .groupByKey { case (_, _, band, sig) => (band, sig) }
+      .flatMapGroupsWithState[BucketState, BucketHit](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: (Int, String), vs: Iterator[(Long, Timestamp, Int, String)],
+            state: GroupState[BucketState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val batch = vs.toSeq.sortBy(_._1) // deterministic fold order
+            var owner = state.getOption.map(_.owner).getOrElse(Long.MaxValue)
+            val hits = batch.map { case (docId, _, band, _) =>
+              if (docId < owner) owner = docId
+              BucketHit(docId, band, owner)
+            }
+            state.update(BucketState(owner))
+            val horizon = batch.map(_._2.getTime).max
+            state.setTimeoutTimestamp(horizon, lateness)
+            hits.iterator
+          }
+      }
+  }
+
   /** Drain everything currently available into an in-memory table (the
     * reference's batch-loop analog: one bounded run per invocation,
     * resumable via checkpoint). */

@@ -108,6 +108,39 @@ class EventStreamSpec extends AnyFunSuite with SparkSpec {
     assert(ids.toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("streaming LSH near-dup filter: later near-copies hit the earlier owner's buckets") {
+    val (in, chk) = newDirs()
+    val out = Files.createTempDirectory("graft-lsh-out").toString
+    def doc(id: Long, ts: String, text: String): String =
+      s"""{"doc_id":$id,"text":"$text","ts":"$ts"}"""
+    val textA = (1 to 12).map(i => s"w$i").mkString(" ")
+    val textB = (1 to 12).map(i => s"x$i").mkString(" ")
+    drop(in, "a.json",
+      doc(1, "2024-01-01T00:00:00Z", textA),
+      doc(2, "2024-01-01T00:01:00Z", textB))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType)))
+    val hits = EventStream.lshNearDupHits(
+      spark.readStream.schema(schema).json(in))
+    EventStream.runAvailableNowToParquet(hits.toDF(), out, chk).awaitTermination()
+    // doc 3 is a byte-copy of doc 1 → every band bucket already owned by 1
+    drop(in, "b.json",
+      doc(3, "2024-01-01T00:05:00Z", textA),
+      doc(4, "2024-01-01T00:06:00Z", (1 to 12).map(i => s"y$i").mkString(" ")))
+    EventStream.runAvailableNowToParquet(hits.toDF(), out, chk).awaitTermination()
+
+    val rows = spark.read.parquet(out).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("owner")))
+    val byDoc = rows.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byDoc(1L) == Set(1L)) // first doc owns its buckets
+    assert(byDoc(2L) == Set(2L))
+    assert(byDoc(3L) == Set(1L), s"near-copy should hit doc 1's buckets: $byDoc")
+    assert(byDoc(4L) == Set(4L))
+    assert(rows.count(_._1 == 3L) == 4) // one hit per band
+  }
+
   test("the batch flatteners run unchanged on a streaming DataFrame") {
     val (in, chk) = newDirs()
     drop(in, "blocks.json",
