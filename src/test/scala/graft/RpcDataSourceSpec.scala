@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.RpcFetcher
+
+/** Deterministic fake node as a no-arg-constructible fetcher (the class
+  * name rides through scan options to executors). */
+class FakeRpcFetcher extends RpcFetcher {
+  override def fetch(url: String): String = {
+    val range = "height>=(\\d+) AND \\w+\\.height<=(\\d+)".r.unanchored
+    val m = range.findFirstMatchIn(url).get
+    val (start, end) = (m.group(1).toLong, m.group(2).toLong)
+    val total = end - start + 1 // one tx per height
+    s"""{"result":{"total_count":"$total","txs":[],"range":"${start}_$end"}}"""
+  }
+}
+
+class RpcDataSourceSpec extends AnyFunSuite with SparkSpec {
+
+  private def read(start: Long, end: Long, chunk: Long, perPage: Int) =
+    spark.read.format("tendermint-rpc")
+      .option("url", "http://node")
+      .option("kind", "txs")
+      .option("start", start).option("end", end)
+      .option("chunk", chunk).option("perPage", perPage)
+      .option("fetcher", classOf[FakeRpcFetcher].getName)
+      .load()
+
+  test("short name resolves via DataSourceRegister; schema is fixed") {
+    val df = read(1, 100, 50, 100)
+    assert(df.schema.fieldNames.toSeq ==
+      Seq("start", "end", "page", "per_page", "body", "quarantined"))
+  }
+
+  test("one input partition per height chunk; pages per chunk follow total_count") {
+    val df = read(1, 100, 25, 10)
+    // 4 chunks of 25 heights; 25 items at per_page 10 → 3 pages each
+    assert(df.rdd.getNumPartitions == 4)
+    val rows = df.collect()
+    assert(rows.length == 12)
+    assert(rows.forall(!_.getAs[Boolean]("quarantined")))
+    val byChunk = rows.groupBy(r => (r.getAs[Long]("start"), r.getAs[Long]("end")))
+    assert(byChunk.keySet == Set((1L, 25L), (26L, 50L), (51L, 75L), (76L, 100L)))
+    assert(byChunk.values.forall(_.map(_.getAs[Int]("page")).sorted.toSeq == Seq(1, 2, 3)))
+  }
+
+  test("page bodies parse downstream with from_json (ELT hand-off)") {
+    val df = read(1, 20, 10, 100)
+    val parsed = df.select(
+      get_json_object(col("body"), "$.result.range").as("range"))
+    assert(parsed.collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("11_20", "1_10"))
+  }
+
+  test("missing required option fails fast") {
+    val e = intercept[Exception] {
+      spark.read.format("tendermint-rpc").option("url", "x")
+        .option("fetcher", classOf[FakeRpcFetcher].getName)
+        .load().collect()
+    }
+    assert(e.getMessage.contains("missing option"))
+  }
+}
