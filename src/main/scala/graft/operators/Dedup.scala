@@ -105,6 +105,30 @@ object Dedup {
     verifiedJaccard(cands, shingleSet(docs, id, text, n), id, threshold)
   }
 
+  /** Winnowing fingerprints (the MOSS scheme): hash every n-gram
+    * shingle, slide a window of `window` consecutive hashes, keep each
+    * window's minimum. Output: one row per distinct selected hash
+    * `(id, fp)`. Any shared run of window+n-1 tokens between two
+    * documents is guaranteed to share a fingerprint, at ~1/window the
+    * storage of the full shingle set — the index you join on for
+    * containment (partial-copy) detection, which MinHash's whole-doc
+    * Jaccard misses. */
+  def winnowingFingerprints(docs: DataFrame, id: String, text: String,
+      n: Int = 4, window: Int = 5): DataFrame = {
+    val sh = docs
+      .select(col(id), split(col(text), " ").as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col(id), posexplode(shingles("toks", n)))
+      .withColumnsRenamed(Map("pos" -> "__pos", "col" -> "__sh"))
+      .select(col(id), col("__pos"), md5(col("__sh")).as("__h"))
+    val w = Window.partitionBy(id).orderBy("__pos")
+      .rowsBetween(-(window - 1), Window.currentRow)
+    sh.withColumn("__wmin", min("__h").over(w))
+      .filter(col("__pos") >= window - 1) // only full windows select
+      .select(col(id), col("__wmin").as("fp"))
+      .distinct()
+  }
+
   /** 64-bit SimHash per document as a 16-hex signature — one narrow
     * scalar pass over the token array (no explode, no shuffle). For
     * inputs where tokens arrive as rows (streams, EAV tables), use

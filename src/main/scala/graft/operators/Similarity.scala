@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -62,6 +62,42 @@ object Similarity {
   /** IVF top-k: probe the query's `nprobe` nearest cells, rank only
     * vectors assigned there — each query touches ~nprobe/ncells of the
     * corpus instead of all of it. */
+  /** Persist the IVF assignment as a cell-bucketed table: the one-off
+    * build cost that turns every later search into a bucket-pruned scan.
+    * At 100 TB the assignment pass runs once (or incrementally on new
+    * vectors); searches then read ~nprobe/numBuckets of the data with no
+    * shuffle (verified by SimilaritySpec via SelectedBucketsCount). */
+  def ivfBuildIndex(emb: DataFrame, anchors: DataFrame, id: String,
+      table: String, numBuckets: Int = 16): Unit =
+    Layout.writeBucketed(ivfAssign(emb, anchors, id), table,
+      bucketCols = Seq("cell"), numBuckets = numBuckets)
+
+  /** Top-k against a persisted IVF index: probe cells are resolved from
+    * the (broadcast) anchors, then the bucketed table is scanned with a
+    * `cell IN (...)` filter that prunes to the probed buckets. */
+  def ivfSearchIndexed(spark: org.apache.spark.sql.SparkSession,
+      table: String, id: String, queryVec: Array[Float],
+      anchors: DataFrame, nprobe: Int, k: Int, roundAt: Int = 4,
+      excludeId: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val qdf = spark.createDataFrame(
+      java.util.List.of[Row](Row(queryVec.toSeq)),
+      StructType(Seq(StructField("qv", ArrayType(FloatType)))))
+    val cells = anchors.crossJoin(broadcast(qdf))
+      .select(col("anchor_id"), vec.cosine(col("av"), col("qv")).as("qcos"))
+      .orderBy(desc("qcos"), asc("anchor_id"))
+      .limit(nprobe)
+      .collect().map(_.getAs[Number]("anchor_id").longValue())
+    val base = spark.table(table).filter(col("cell").isin(cells: _*))
+    excludeId.fold(base)(x => base.filter(col(id) =!= x)) // self-match drop
+      .crossJoin(broadcast(qdf))
+      .withColumn("sim", round(vec.cosine(col("embedding"), col("qv")), roundAt))
+      .drop("qv")
+      .orderBy(desc("sim"), asc(id))
+      .limit(k)
+  }
+
   def ivfTopK(emb: DataFrame, id: String, queryId: Long,
       anchors: DataFrame, nprobe: Int, k: Int, roundAt: Int = 4): DataFrame = {
     val assigned = ivfAssign(emb, anchors, id)

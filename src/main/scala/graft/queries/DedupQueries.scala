@@ -183,25 +183,15 @@ object DedupQueries {
     */
   val q45 = Q(
     "q45_winnowing",
-    (s, d) => {
-      val win = 5
-      val sh = Tables.documents(s, d)
-        .select(col("doc_id"), split(col("text"), " ").as("toks"))
-        .filter(size(col("toks")) >= ShingleN)
-        .select(col("doc_id"), posexplode(shingleExpr(ShingleN)))
-        .toDF("doc_id", "pos", "sh")
-        .select(col("doc_id"), col("pos"), md5(col("sh")).as("h"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("doc_id").orderBy("pos")
-        .rowsBetween(-(win - 1), org.apache.spark.sql.expressions.Window.currentRow)
-      sh.withColumn("wmin", min("h").over(w))
-        .filter(col("pos") >= win - 1) // only full windows select
+    (s, d) =>
+      graft.operators.Dedup
+        .winnowingFingerprints(Tables.documents(s, d), "doc_id", "text",
+          n = ShingleN, window = 5)
         .groupBy("doc_id")
         .agg(
-          countDistinct(col("wmin")).as("n_fps"),
-          min(col("wmin")).as("first_fp"))
-        .orderBy("doc_id")
-    },
+          count(lit(1)).as("n_fps"),
+          min(col("fp")).as("first_fp"))
+        .orderBy("doc_id"),
     Some(s"""
       WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
       tf AS (SELECT doc_id, toks FROM t WHERE len(toks) >= $ShingleN),

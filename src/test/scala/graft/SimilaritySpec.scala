@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Similarity
+
+class SimilaritySpec extends AnyFunSuite with SparkSpec {
+
+  private def emb = Tables.embeddings(spark, sf("sf0.001"))
+  private def anchors = emb.filter(col("vec_id") < 8)
+    .select(col("vec_id").as("anchor_id"), col("embedding").as("av"))
+
+  test("persisted IVF index: bucket-pruned search matches the inline IVF plan") {
+    val db = "graft_ivf"
+    val loc = java.nio.file.Files.createTempDirectory("graft-ivfdb")
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$loc'")
+    spark.sql(s"DROP TABLE IF EXISTS $db.emb_ivf")
+
+    Similarity.ivfBuildIndex(emb, anchors, "vec_id", s"$db.emb_ivf", numBuckets = 8)
+
+    val qv = emb.filter(col("vec_id") === 0)
+      .head().getAs[Seq[Float]]("embedding").toArray
+    val hits = Similarity.ivfSearchIndexed(
+      spark, s"$db.emb_ivf", "vec_id", qv, anchors, nprobe = 2, k = 10,
+      excludeId = Some(0L))
+
+    // bucket pruning engaged: only the probed cells' buckets are read.
+    // (autoBucketedScan would otherwise disable bucketed reading for a
+    // filter-only query — in production either conf works, since the IN
+    // filter also prunes via parquet row-group stats.)
+    val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "false")
+      val plan = hits.queryExecution.executedPlan.toString
+      assert(plan.contains("SelectedBucketsCount"), plan)
+      val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(plan).get
+      assert(sel.group(1).toInt < sel.group(2).toInt,
+        s"expected pruning, read ${sel.group(1)}/${sel.group(2)} buckets")
+    } finally spark.conf.set(key, prev)
+
+    // same results as the inline (unpersisted) IVF path
+    val inline = Similarity.ivfTopK(emb, "vec_id", 0, anchors, nprobe = 2, k = 10)
+    assert(
+      hits.select("vec_id", "sim").collect().map(r => (r.getLong(0), r.getDouble(1))).toSet ==
+        inline.select("vec_id", "sim").collect().map(r => (r.getLong(0), r.getDouble(1))).toSet)
+  }
+
+  test("IVF recall vs brute force on the probed fraction") {
+    val exact = Similarity.cosineTopK(emb, "vec_id", 0, 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val approx = Similarity.ivfTopK(emb, "vec_id", 0, anchors, nprobe = 2, k = 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    // nprobe=2 of 8 cells: recall won't be perfect, but the probed cells
+    // must contribute a non-trivial overlap with the exact top-10
+    assert(approx.size == 10)
+    assert((exact intersect approx).nonEmpty,
+      s"zero overlap between exact $exact and IVF $approx")
+  }
+}
