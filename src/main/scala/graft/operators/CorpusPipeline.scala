@@ -41,6 +41,17 @@ object CorpusPipeline {
     docs.join(losers, Seq(id), "left_anti")
   }
 
+  /** Seeded stratified sample: per-stratum fractions (e.g. rebalance
+    * languages or sources in a training mix). `sampleBy` is a narrow
+    * per-row Bernoulli draw — no shuffle, deterministic for a fixed
+    * seed and partitioning, and at 100 TB the only affordable way to
+    * downsample: nothing is counted or sorted first. Strata absent from
+    * `fractions` are dropped (fraction 0), matching training-mix specs
+    * where unlisted sources are excluded. */
+  def stratifiedSample(docs: DataFrame, stratum: String,
+      fractions: Map[String, Double], seed: Long): DataFrame =
+    docs.stat.sampleBy(stratum, fractions, seed)
+
   /** Full curation pass; returns the surviving corpus + stage counts. */
   def curate(docs: DataFrame, id: String, text: String,
       minTokens: Int = 10, nearDupThreshold: Double = 0.5): (DataFrame, Report) = {

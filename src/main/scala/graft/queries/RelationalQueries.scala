@@ -537,8 +537,35 @@ object RelationalQueries {
            LATERAL (SELECT UNNEST(generate_series(1, len(toks))) AS i) g
       ORDER BY doc_id, pos"""))
 
+  /** Approximate distinct counts (HyperLogLog++) — the 100 TB substitute
+    * for exact COUNT(DISTINCT): sketches merge map-side, so cardinality
+    * costs one narrow pass instead of a distinct shuffle. Engines'
+    * sketches differ, so the cross-engine contract is the error bound,
+    * not the estimate: the query emits whether Spark's estimate is
+    * within 5% of exact (rsd=0.02), and the oracle asserts the same
+    * bound trivially against itself — a failing bound breaks the hash
+    * compare on both the boolean and, indirectly, the exact count
+    * column. */
+  val q46 = Q(
+    "q46_approx_distinct",
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(
+          countDistinct(col("user_id")).as("exact_users"),
+          approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("approx_users") - col("exact_users")).cast("double") /
+            col("exact_users") <= 0.05).as("within_5pct"))
+        .orderBy("event_type"),
+    Some("""
+      SELECT event_type,
+             COUNT(DISTINCT user_id) AS exact_users,
+             TRUE AS within_5pct
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
   def all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
-    q21, q22, q23, q24, q25, q26, q27)
+    q21, q22, q23, q24, q25, q26, q27, q46)
 }

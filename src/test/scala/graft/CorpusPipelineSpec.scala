@@ -32,6 +32,27 @@ class CorpusPipelineSpec extends AnyFunSuite with SparkSpec {
     assert(out.filter(col("doc_id") === 1L).head().getAs[Int]("n_tokens") == 30)
   }
 
+  test("stratified sampling: deterministic per-language fractions, no shuffle") {
+    val docs = Tables.documents(spark, sf("sf0.01"))
+    val fractions = Map("en" -> 0.5, "de" -> 1.0, "zh" -> 0.1)
+    val s1 = CorpusPipeline.stratifiedSample(docs, "lang", fractions, seed = 42)
+    val s2 = CorpusPipeline.stratifiedSample(docs, "lang", fractions, seed = 42)
+    // deterministic under a fixed seed
+    assert(s1.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      s2.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
+    val byLang = s1.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang("de") == totals("de"))            // fraction 1.0 keeps all
+    assert(!byLang.contains("fr"))                  // unlisted stratum dropped
+    val enRatio = byLang("en").toDouble / totals("en")
+    assert(enRatio > 0.3 && enRatio < 0.7, s"en ratio $enRatio")
+    // narrow: sampling adds no exchange
+    val plan = s1.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("curate on the real corpus drops exactly the planted near-duplicates") {
     val docs = Tables.documents(spark, sf("sf0.01"))
     val (_, report) = CorpusPipeline.curate(docs, "doc_id", "text")
