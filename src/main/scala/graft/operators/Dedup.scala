@@ -60,10 +60,15 @@ object Dedup {
   def lshCandidatePairs(signatures: DataFrame, id: String,
       k: Int = 16, bands: Int = 4): DataFrame = {
     val rows = k / bands
+    // repartition inserts an exchange AFTER the signature computation:
+    // the self-join's two identical subplans then collapse into one via
+    // ReuseExchange, so the (CPU-bound) signatures are computed once
+    // instead of once per join side
     val banded = signatures
       .select(col(id), explode(sequence(lit(0), lit(bands - 1))).as("band"), col("mh"))
       .select(col(id), col("band"),
         expr(s"array_join(slice(mh, band * $rows + 1, $rows), '|')").as("sig"))
+      .repartition(col("band"), col("sig"))
     banded.select(col(id).as("id_a"), col("band"), col("sig"))
       .join(banded.select(col(id).as("id_b"), col("band"), col("sig")),
         Seq("band", "sig"))

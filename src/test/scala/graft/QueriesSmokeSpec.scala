@@ -29,4 +29,14 @@ class QueriesSmokeSpec extends SparkSpec {
     val qs = Registry.queries.keySet
     assert(Registry.oracleSql.keySet.subsetOf(qs))
   }
+
+  test("registry invariants: unique names, every query oracled") {
+    val names = Registry.all.map(_.name)
+    assert(names.distinct.length == names.length,
+      s"duplicate query names: ${names.diff(names.distinct).mkString(",")}")
+    // the correctness gate is only as wide as its oracle coverage — a
+    // query without oracle SQL silently downgrades to a rows-only check
+    val unoracled = Registry.all.filter(_.oracle.isEmpty).map(_.name)
+    assert(unoracled.isEmpty, s"queries without oracles: ${unoracled.mkString(",")}")
+  }
 }
