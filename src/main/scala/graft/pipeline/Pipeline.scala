@@ -127,9 +127,16 @@ final class Pipeline(
     Seq("blocks", "tx_result", "log_attributes", "events").foreach { t =>
       val dir = Paths.get(s"$parsedRoot/$t")
       if (Files.isDirectory(dir)) {
+        // events' pivot columns are data-dependent (parse.py:177-179):
+        // each appended batch may carry a different column set, so the
+        // scan must union footers (mergeSchema) or a later batch's new
+        // event types silently vanish behind one file's schema
+        val reader =
+          if (t == "events") spark.read.option("mergeSchema", "true")
+          else spark.read
         // a table whose every batch was empty has no footers to read —
         // skip it (same visible behavior as dbt with zero-row sources)
-        try spark.read.parquet(dir.toString).createOrReplaceTempView(t)
+        try reader.parquet(dir.toString).createOrReplaceTempView(t)
         catch { case _: org.apache.spark.sql.AnalysisException => () }
       }
     }

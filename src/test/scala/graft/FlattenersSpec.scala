@@ -103,6 +103,36 @@ class FlattenersSpec extends AnyFunSuite with SparkSpec {
     assert(rows(1).getAs[String]("message_module") == null)
   }
 
+  test("appended pivot batches with different column sets merge on read") {
+    import spark.implicits._
+    // batch 1 only has transfer events; batch 2 only mint events — the
+    // wide table's columns differ per batch (data-dependent pivot)
+    def tx(hash: String, height: Int, typ: String, key: String): String =
+      s"""{"hash":"$hash","height":"$height","tx_result":{"code":0,"log":"","info":"","gas_wanted":"1","gas_used":"1","codespace":"",
+         |"events":[{"type":"$typ","attributes":[{"key":"${b64(key)}","value":"${b64("v")}"}]}]}}"""
+        .stripMargin.replace("\n", "")
+    val b1 = spark.read.schema(Flatteners.txSchema).json(Seq(tx("A", 1, "transfer", "amount")).toDS())
+    val b2 = spark.read.schema(Flatteners.txSchema).json(Seq(tx("B", 2, "mint", "supply")).toDS())
+
+    val dir = Files.createTempDirectory("graft-pivot-merge").toString
+    val w1 = Flatteners.parseEventsWide(b1)
+      .withColumn("year", lit("2023")).withColumn("month", lit("2023-08"))
+      .withColumn("day", lit("2023-08-01"))
+    Flatteners.writePartitioned(w1, s"$dir/events")
+    val w2 = Flatteners.parseEventsWide(b2)
+      .withColumn("year", lit("2023")).withColumn("month", lit("2023-08"))
+      .withColumn("day", lit("2023-08-02"))
+    Flatteners.writePartitioned(w2, s"$dir/events")
+
+    val merged = spark.read.option("mergeSchema", "true").parquet(s"$dir/events")
+    assert(merged.columns.toSet.contains("transfer_amount"))
+    assert(merged.columns.toSet.contains("mint_supply"))
+    assert(merged.count() == 2)
+    val a = merged.filter(col("hash") === "A").head()
+    assert(a.getAs[String]("transfer_amount") == "v")
+    assert(a.getAs[String]("mint_supply") == null) // absent in batch 1
+  }
+
   test("enrichTime + partitioned write/read roundtrip (parse.py:182-226)") {
     val blocks = Flatteners.parseBlocks(rawBlocks)
     val enriched = Flatteners.enrichTime(Flatteners.parseTxResult(rawTxs), blocks)
