@@ -11,11 +11,19 @@ package graft.ingest
 object RangePlanner {
 
   /** Sync the most recent window (pipeline.py:20-41):
-    * end = node tip; start = max(tip − numBlocks, minIngested + 1,
-    * chainFloor) — never refetch below what's ingested, never below the
-    * node's pruning floor. */
-  def syncRange(tip: Long, chainFloor: Long, minIngested: Long, numBlocks: Long): (Long, Long) =
-    (Seq(tip - numBlocks, minIngested + 1, chainFloor).max, tip)
+    * end = node tip; start = max(tip − numBlocks, maxIngested + 1,
+    * chainFloor) — never refetch what's ingested, never below the
+    * node's pruning floor.
+    *
+    * Intended-semantics repair: the reference guards on the MIN ingested
+    * height (pipeline.py:31,39 uses get_min_height_from_files), so any
+    * run where the tip advanced by less than numBlocks re-fetches and
+    * re-ingests the entire already-ingested window above that minimum —
+    * duplicate rows in the parsed zone on every incremental sync. The
+    * correct clip for "don't refetch" is the MAX ingested height + 1
+    * (pinned by IngestSpec/PropertySpec). */
+  def syncRange(tip: Long, chainFloor: Long, maxIngested: Long, numBlocks: Long): (Long, Long) =
+    (Seq(tip - numBlocks, maxIngested + 1, chainFloor).max, tip)
 
   /** Backfill backwards from the oldest ingested block
     * (pipeline.py:44-62): end = minIngested − 1;

@@ -26,10 +26,14 @@ final class WatermarkStore(directory: String) {
   private def heightFiles: Seq[String] = {
     val dir = Paths.get(directory)
     if (!Files.isDirectory(dir)) Nil
-    else Files.list(dir).iterator().asScala
-      .map(_.getFileName.toString)
-      .filter(n => n.endsWith(".json") && n.count(_ == '_') == 1 && n != "metadata.json")
-      .toSeq
+    else {
+      val stream = Files.list(dir) // close: leaks a directory fd per call
+      try stream.iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(n => n.endsWith(".json") && n.count(_ == '_') == 1 && n != "metadata.json")
+        .toSeq
+      finally stream.close()
+    }
   }
 
   def minHeightFromFiles: Long = {

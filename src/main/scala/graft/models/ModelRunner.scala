@@ -132,9 +132,12 @@ object ModelRunner {
   /** Load every *.sql under a directory (recursively); model name = file
     * basename, mirroring dbt's models/ convention. */
   def loadDirectory(dir: Path): Seq[Model] = {
-    val files = Files.walk(dir).iterator().asScala
-      .filter(p => p.toString.endsWith(".sql"))
-      .toSeq.sortBy(_.toString)
+    val stream = Files.walk(dir) // close: leaks a directory fd per call
+    val files =
+      try stream.iterator().asScala
+        .filter(p => p.toString.endsWith(".sql"))
+        .toSeq.sortBy(_.toString)
+      finally stream.close()
     files.map { p =>
       val name = p.getFileName.toString.stripSuffix(".sql")
       parseModel(name, Files.readString(p))

@@ -52,16 +52,22 @@ object CorpusPipeline {
       fractions: Map[String, Double], seed: Long): DataFrame =
     docs.stat.sampleBy(stratum, fractions, seed)
 
-  /** Full curation pass; returns the surviving corpus + stage counts. */
+  /** Full curation pass; returns the surviving corpus + stage counts.
+    * Intermediate stages are persisted while the audit counts run (each
+    * count would otherwise re-execute everything upstream, re-running
+    * the LSH dedup ~3×); the returned frame stays cached — callers
+    * materialize it once and may `unpersist()` after. */
   def curate(docs: DataFrame, id: String, text: String,
       minTokens: Int = 10, nearDupThreshold: Double = 0.5): (DataFrame, Report) = {
     val q = qualityFilter(docs, text, minTokens = minTokens)
-    val exact = Dedup.dropExactDuplicates(q, id, text)
+    val exact = Dedup.dropExactDuplicates(q, id, text).persist()
     val near = dropNearDuplicates(exact, id, text, nearDupThreshold)
     val annotated = near
       .withColumn("fingerprint", md5(col(text)))
       .withColumn("n_tokens", size(split(col(text), " ")))
-    (annotated,
-      Report(docs.count(), q.count(), exact.count(), near.count()))
+      .persist()
+    val report = Report(docs.count(), q.count(), exact.count(), annotated.count())
+    exact.unpersist()
+    (annotated, report)
   }
 }

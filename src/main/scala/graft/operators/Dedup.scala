@@ -128,8 +128,14 @@ object Dedup {
       .select(col(id), col("__pos"), md5(col("__sh")).as("__h"))
     val w = Window.partitionBy(id).orderBy("__pos")
       .rowsBetween(-(window - 1), Window.currentRow)
+    val counts = Window.partitionBy(id)
     sh.withColumn("__wmin", min("__h").over(w))
-      .filter(col("__pos") >= window - 1) // only full windows select
+      .withColumn("__nsh", count(lit(1)).over(counts))
+      // full windows select; a doc with fewer than `window` shingles
+      // still emits the min over its whole (partial) window — dropping
+      // it entirely would make short docs invisible to containment
+      .filter(col("__pos") >= window - 1 ||
+        (col("__nsh") < window && col("__pos") === col("__nsh") - 1))
       .select(col(id), col("__wmin").as("fp"))
       .distinct()
   }

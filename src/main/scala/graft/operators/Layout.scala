@@ -37,6 +37,12 @@ object Layout {
   def saltedJoin(skewed: DataFrame, dim: DataFrame, key: String,
       salts: Int, joinType: String = "inner"): DataFrame = {
     require(salts > 0)
+    // dim-side-preserving joins would duplicate unmatched dim rows once
+    // per salt (the dim side is exploded `salts`×) — reject them
+    val supported = Set("inner", "left", "leftouter", "leftsemi", "leftanti", "cross")
+    require(supported.contains(joinType.toLowerCase.replace("_", "")),
+      s"saltedJoin supports fact-side-preserving join types only, got '$joinType' " +
+        "(right/full outer would emit one row per salt for unmatched dim keys)")
     val saltedFact = skewed.withColumn("__salt",
       pmod(hash(col(key), monotonically_increasing_id()), lit(salts)))
     val saltedDim = dim.withColumn("__salt",

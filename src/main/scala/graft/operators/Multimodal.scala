@@ -129,7 +129,9 @@ object Multimodal {
     require(frameBytes > 0 && stride > 0)
     media
       .select(col("media_id"), col("content"))
-      .where(col("content").isNotNull)
+      // empty payloads have zero frames — and sequence(0, -1) would
+      // otherwise produce a DESCENDING [0, -1] and emit a phantom frame
+      .where(col("content").isNotNull && length(col("content")) > 0)
       .select(col("media_id"),
         posexplode(expr(
           s"""transform(

@@ -48,11 +48,15 @@ object Similarity {
 
   /** IVF cell assignment: nearest anchor per vector (anchors broadcast;
     * ties → lower anchor id). At scale this is written once as a
-    * cell-bucketed table. */
-  def ivfAssign(emb: DataFrame, anchors: DataFrame, id: String): DataFrame = {
+    * cell-bucketed table. The argmax ranks on ROUNDED cosine (same rule
+    * as cosineTopK): raw-double ranking is not reproducible across
+    * engines whose summation order differs, and a flipped assignment
+    * changes the candidate set downstream. */
+  def ivfAssign(emb: DataFrame, anchors: DataFrame, id: String,
+      roundAt: Int = 4): DataFrame = {
     val byCos = Window.partitionBy(id).orderBy(desc("acos"), asc("anchor_id"))
     emb.crossJoin(broadcast(anchors))
-      .withColumn("acos", vec.cosine(col("embedding"), col("av")))
+      .withColumn("acos", round(vec.cosine(col("embedding"), col("av")), roundAt))
       .withColumn("rk", row_number().over(byCos))
       .filter(col("rk") === 1)
       .drop("av", "acos", "rk")
@@ -85,7 +89,7 @@ object Similarity {
       java.util.List.of[Row](Row(queryVec.toSeq)),
       StructType(Seq(StructField("qv", ArrayType(FloatType)))))
     val cells = anchors.crossJoin(broadcast(qdf))
-      .select(col("anchor_id"), vec.cosine(col("av"), col("qv")).as("qcos"))
+      .select(col("anchor_id"), round(vec.cosine(col("av"), col("qv")), roundAt).as("qcos"))
       .orderBy(desc("qcos"), asc("anchor_id"))
       .limit(nprobe)
       .collect().map(_.getAs[Number]("anchor_id").longValue())
@@ -104,7 +108,7 @@ object Similarity {
     val qv = broadcast(emb.filter(col(id) === queryId).select(col("embedding").as("qv")))
     val probed = broadcast(
       anchors.crossJoin(qv)
-        .select(col("anchor_id"), vec.cosine(col("av"), col("qv")).as("qcos"))
+        .select(col("anchor_id"), round(vec.cosine(col("av"), col("qv")), roundAt).as("qcos"))
         .orderBy(desc("qcos"), asc("anchor_id"))
         .limit(nprobe)
         .select(col("anchor_id").as("cell")))

@@ -5,6 +5,7 @@ import java.nio.file.{Files, Paths}
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, to_timestamp}
 
 import graft.ingest.{Fetch, HeightChunk, Manifest, RangePlanner, WatermarkStore}
 import graft.models.{Model, ModelRunner}
@@ -86,8 +87,12 @@ final class Pipeline(
       val dir = Paths.get(rawDir(kind))
       val all =
         if (!Files.isDirectory(dir)) Nil
-        else Files.list(dir).iterator().asScala.map(_.getFileName.toString)
-          .filter(n => n.endsWith(".json") && n != "metadata.json").toSeq.sorted
+        else {
+          val stream = Files.list(dir) // close: leaks a directory fd per call
+          try stream.iterator().asScala.map(_.getFileName.toString)
+            .filter(n => n.endsWith(".json") && n != "metadata.json").toSeq.sorted
+          finally stream.close()
+        }
       manifest.newFiles(all, kind)
     }
 
@@ -96,29 +101,38 @@ final class Pipeline(
     if (blockFiles.isEmpty && txFiles.isEmpty) return
 
     // raw files are single JSON arrays (orjson list dump) → multiLine
-    val rawBlocks = spark.read.schema(Flatteners.blockSchema)
-      .option("multiLine", "true")
-      .json(blockFiles.map(f => s"${rawDir("blocks")}/$f"): _*)
-    val blocks = Flatteners.parseBlocks(rawBlocks).cache()
-    Flatteners.writePartitioned(blocks.drop("ts"), s"$parsedRoot/blocks")
+    if (blockFiles.nonEmpty) {
+      val rawBlocks = spark.read.schema(Flatteners.blockSchema)
+        .option("multiLine", "true")
+        .json(blockFiles.map(f => s"${rawDir("blocks")}/$f"): _*)
+      Flatteners.writePartitioned(
+        Flatteners.parseBlocks(rawBlocks).drop("ts"), s"$parsedRoot/blocks")
+      // record immediately after a successful write: a crash between
+      // table writes must not leave files half-recorded
+      manifest.record(blockFiles, "blocks")
+    }
 
     if (txFiles.nonEmpty) {
+      // enrichment joins the FULL parsed blocks zone, not just this
+      // batch's new block files: tx files can arrive in a later batch
+      // than their blocks (gap-fill, partial-failure replay), and a
+      // batch-local join would strand those rows with null day/month/
+      // year in the hive default partition
+      val allBlocks = spark.read.parquet(s"$parsedRoot/blocks")
+        .withColumn("ts", to_timestamp(col("time")))
       val rawTxs = spark.read.schema(Flatteners.txSchema)
         .option("multiLine", "true")
         .json(txFiles.map(f => s"${rawDir("txs")}/$f"): _*)
       def enrich(df: DataFrame) =
-        Flatteners.enrichTime(df, blocks).drop("ts")
+        Flatteners.enrichTime(df, allBlocks).drop("ts")
       Flatteners.writePartitioned(
         enrich(Flatteners.parseTxResult(rawTxs)), s"$parsedRoot/tx_result")
       Flatteners.writePartitioned(
         enrich(Flatteners.parseLogAttributes(rawTxs)), s"$parsedRoot/log_attributes")
       Flatteners.writePartitioned(
         enrich(Flatteners.parseEventsWide(rawTxs)), s"$parsedRoot/events")
+      manifest.record(txFiles, "txs")
     }
-
-    manifest.record(blockFiles, "blocks")
-    manifest.record(txFiles, "txs")
-    blocks.unpersist()
   }
 
   /** Model stage (dbt run analog): build the given SQL model DAG against
@@ -149,10 +163,9 @@ final class Pipeline(
   def run(tip: Long, chainFloor: Long, numBlocks: Long,
       models: Seq[Model]): Map[String, DataFrame] = {
     val blocksWs = new WatermarkStore(rawDir("blocks"))
-    val minIngested = blocksWs.minHeightFromFiles
 
     val (syncStart, syncEnd) =
-      RangePlanner.syncRange(tip, chainFloor, minIngested, numBlocks)
+      RangePlanner.syncRange(tip, chainFloor, blocksWs.maxHeightFromFiles, numBlocks)
     extractRange("blocks", syncStart, syncEnd)
     extractRange("txs", syncStart, syncEnd)
 

@@ -200,12 +200,13 @@ object DedupQueries {
              FROM tf, LATERAL (SELECT UNNEST(range(0, len(toks) - ${ShingleN - 1})) AS i) g),
       wm AS (SELECT doc_id, pos,
                     MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
-                                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS wmin
+                                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS wmin,
+                    COUNT(*) OVER (PARTITION BY doc_id) AS nsh
              FROM sh)
       SELECT doc_id,
              COUNT(DISTINCT wmin) AS n_fps,
              MIN(wmin) AS first_fp
-      FROM wm WHERE pos >= 4
+      FROM wm WHERE pos >= 4 OR (nsh < 5 AND pos = nsh - 1)
       GROUP BY doc_id ORDER BY doc_id"""))
 
   def all: Seq[Q] = Seq(q36, q37, q38, q45)

@@ -23,7 +23,12 @@ object MultimodalQueries {
         col("meta.fmt").as("fmt"),
         col("meta.n_bytes").as("n_bytes"),
         md5(col("content")).as("digest"),
-        lower(hex(substring(col("content"), 1, 8))).as("head_hex"))
+        // head bytes of the first 8 CHARACTERS: decode → slice → encode.
+        // Slicing the binary directly would count BYTES and split a
+        // multi-byte codepoint the moment the corpus stops being pure
+        // ASCII, while the oracle's substr(text, ...) counts characters.
+        lower(hex(encode(
+          substring(decode(col("content"), "UTF-8"), 1, 8), "UTF-8"))).as("head_hex"))
         .orderBy("media_id")
     },
     Some("""

@@ -107,13 +107,13 @@ object SimilarityQueries {
           SELECT e.vec_id, e.label, e.embedding, a.anchor_id,
                  ROW_NUMBER() OVER (
                    PARTITION BY e.vec_id
-                   ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), a.av) DESC,
+                   ORDER BY ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), a.av), 4) DESC,
                             a.anchor_id) AS rk
           FROM embeddings e CROSS JOIN anchors a) t
         WHERE rk = 1),
       probe AS (
         SELECT anchor_id AS cell FROM anchors, q
-        ORDER BY list_cosine_similarity(av, qv) DESC, anchor_id
+        ORDER BY ROUND(list_cosine_similarity(av, qv), 4) DESC, anchor_id
         LIMIT 2)
       SELECT vec_id, label,
              ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv), 4) AS sim

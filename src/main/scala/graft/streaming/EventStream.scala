@@ -82,12 +82,19 @@ object EventStream {
   final case class SessionOut(user_id: Long, n_events: Int,
       duration_sec: Double, total_value: Double)
 
-  /** Custom stateful operator: per-user sessions closed after `gap` of
-    * event-time silence. State is one SessionAgg per active user; the
-    * event-time timeout (driven by the watermark) both emits and evicts. */
+  /** Custom stateful operator: per-user sessions closed after `gapMs` of
+    * event-time silence. State is one open SessionAgg per active user;
+    * the event-time timeout (driven by the watermark) emits and evicts
+    * the open session. Gaps WITHIN a micro-batch also split sessions:
+    * events are folded in event-time order and every gap-exceeded
+    * boundary closes the running session immediately — so a large
+    * replayed batch (Trigger.AvailableNow over history) produces the
+    * same sessions as live micro-batches would. */
   def sessionize(events: DataFrame, gapMs: Long = 30 * 60 * 1000L,
       lateness: String = "0 seconds"): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
+    def closed(uid: Long, s: SessionAgg): SessionOut =
+      SessionOut(uid, s.n, (s.endMs - s.startMs) / 1000.0, s.sum)
     events
       .withWatermark("ts", lateness)
       .as[Ev]
@@ -98,18 +105,29 @@ object EventStream {
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
-            Iterator(SessionOut(uid, s.n, (s.endMs - s.startMs) / 1000.0, s.sum))
+            Iterator(closed(uid, s))
           } else {
-            val batch = evs.toSeq
-            val lo = batch.map(_.ts.getTime).min
-            val hi = batch.map(_.ts.getTime).max
-            val prev = state.getOption.getOrElse(SessionAgg(lo, hi, 0, 0.0))
-            val next = SessionAgg(math.min(prev.startMs, lo),
-              math.max(prev.endMs, hi),
-              prev.n + batch.size, prev.sum + batch.map(_.value).sum)
-            state.update(next)
-            state.setTimeoutTimestamp(next.endMs + gapMs)
-            Iterator.empty
+            val batch = evs.toSeq.sortBy(_.ts.getTime)
+            val emitted = Seq.newBuilder[SessionOut]
+            var open = state.getOption
+            batch.foreach { e =>
+              val t = e.ts.getTime
+              open match {
+                case Some(s) if t - s.endMs > gapMs =>
+                  emitted += closed(uid, s) // gap inside the batch
+                  open = Some(SessionAgg(t, t, 1, e.value))
+                case Some(s) =>
+                  open = Some(SessionAgg(s.startMs, math.max(s.endMs, t),
+                    s.n + 1, s.sum + e.value))
+                case None =>
+                  open = Some(SessionAgg(t, t, 1, e.value))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.endMs + gapMs)
+            }
+            emitted.result().iterator
           }
       }
   }

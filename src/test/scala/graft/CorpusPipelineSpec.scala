@@ -32,6 +32,20 @@ class CorpusPipelineSpec extends AnyFunSuite with SparkSpec {
     assert(out.filter(col("doc_id") === 1L).head().getAs[Int]("n_tokens") == 30)
   }
 
+  test("winnowing emits a fingerprint even for docs with fewer shingles than the window") {
+    import spark.implicits._
+    // 6 tokens, n=4 → 3 shingles < window 5: partial-window min selected
+    val docs = Seq(
+      (1L, "a b c d e f"),
+      (2L, (1 to 30).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
+    val fps = graft.operators.Dedup
+      .winnowingFingerprints(docs, "doc_id", "text", n = 4, window = 5)
+    val byDoc = fps.groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byDoc(1L) == 1L, s"short doc must keep one fingerprint: $byDoc")
+    assert(byDoc(2L) >= 1L)
+  }
+
   test("stratified sampling: deterministic per-language fractions, no shuffle") {
     val docs = Tables.documents(spark, sf("sf0.01"))
     val fractions = Map("en" -> 0.5, "de" -> 1.0, "zh" -> 0.1)

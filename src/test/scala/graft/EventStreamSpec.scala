@@ -70,24 +70,36 @@ class EventStreamSpec extends AnyFunSuite with SparkSpec {
     drop(in, "a.json",
       ev(1, "2024-01-01T00:00:00Z", 7, "click", 1.0),
       ev(2, "2024-01-01T00:10:00Z", 7, "view", 2.5),
-      ev(3, "2024-01-01T00:05:00Z", 8, "click", 1.0))
+      ev(3, "2024-01-01T00:05:00Z", 8, "click", 1.0),
+      // user 10: two events 3h apart IN THE SAME BATCH → the first
+      // session must close inside the batch, not merge across the gap
+      ev(5, "2024-01-01T00:00:00Z", 10, "click", 4.0),
+      ev(6, "2024-01-01T03:00:00Z", 10, "click", 8.0))
     val outDir = Files.createTempDirectory("graft-sess-out").toString
     val sessions = EventStream.sessionize(
       spark.readStream.schema(EventStream.eventSchema).json(in),
       gapMs = 30 * 60 * 1000L)
     val q1 = EventStream.runAvailableNowToParquet(sessions.toDF(), outDir, chk)
     q1.awaitTermination()
-    // nothing closed yet: watermark is at 00:10
-    assert(spark.read.parquet(outDir).isEmpty)
+    // user 10's first session closes mid-batch (gap split); users 7/8
+    // close at the end of run 1 because user 10's 03:00 event advanced
+    // the watermark past their 30-minute timeouts
+    val run1 = spark.read.parquet(outDir).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("n_events"),
+        r.getAs[Double]("duration_sec"), r.getAs[Double]("total_value"))).toSet
+    assert(run1 == Set((10L, 1, 0.0, 4.0), (7L, 2, 600.0, 3.5), (8L, 1, 0.0, 1.0)))
 
     // events far in the future push the watermark past every gap
-    drop(in, "b.json", ev(4, "2024-01-01T06:00:00Z", 9, "click", 0.5))
+    drop(in, "b.json", ev(4, "2024-01-01T09:00:00Z", 9, "click", 0.5))
     val q2 = EventStream.runAvailableNowToParquet(sessions.toDF(), outDir, chk)
     q2.awaitTermination()
     val out = spark.read.parquet(outDir).collect()
       .map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("n_events"),
         r.getAs[Double]("duration_sec"), r.getAs[Double]("total_value"))).toSet
-    assert(out == Set((7L, 2, 600.0, 3.5), (8L, 1, 0.0, 1.0)))
+    assert(out == Set(
+      (10L, 1, 0.0, 4.0),   // emitted in run 1 (intra-batch split)
+      (7L, 2, 600.0, 3.5), (8L, 1, 0.0, 1.0),
+      (10L, 1, 0.0, 8.0)))  // user 10's second session, closed by watermark
   }
 
   test("streaming dedup drops cross-batch re-deliveries within the watermark") {

@@ -71,9 +71,12 @@ class IngestSpec extends AnyFunSuite with SparkSpec {
   // --- range planners (pipeline.py:16-62, 126-128) ---
 
   test("sync range: tip window clipped by ingested watermark and chain floor") {
-    assert(RangePlanner.syncRange(tip = 10000, chainFloor = 1, minIngested = 0, numBlocks = 1000) == (9000L, 10000L))
+    assert(RangePlanner.syncRange(tip = 10000, chainFloor = 1, maxIngested = 0, numBlocks = 1000) == (9000L, 10000L))
     assert(RangePlanner.syncRange(10000, 1, 9500, 1000) == (9501L, 10000L))
     assert(RangePlanner.syncRange(10000, 9800, 0, 1000) == (9800L, 10000L))
+    // tip advanced by less than numBlocks: start clips to maxIngested+1,
+    // not back into the ingested window (the reference's min-guard bug)
+    assert(RangePlanner.syncRange(10050, 1, 10000, 1000) == (10001L, 10050L))
   }
 
   test("backfill range and chunk loop") {

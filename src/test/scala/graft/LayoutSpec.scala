@@ -63,6 +63,16 @@ class LayoutSpec extends AnyFunSuite with SparkSpec {
     assert(spread == 8, s"hot key used only $spread of 8 salts")
   }
 
+  test("salted join rejects dim-side-preserving join types") {
+    import spark.implicits._
+    val fact = Seq((1L, "a")).toDF("k", "v")
+    val dim = Seq((1L, "one")).toDF("k", "name")
+    val e = intercept[IllegalArgumentException] {
+      Layout.saltedJoin(fact, dim, "k", salts = 4, joinType = "full_outer")
+    }
+    assert(e.getMessage.contains("fact-side-preserving"))
+  }
+
   test("salted left join keeps unmatched fact rows exactly once") {
     import spark.implicits._
     val fact = Seq((1L, "a"), (1L, "b"), (5L, "c")).toDF("k", "v")

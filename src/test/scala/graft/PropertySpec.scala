@@ -95,7 +95,7 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
     check(Prop.forAll(gen) { case (tip, floor, ingested, nb) =>
       val (s, e) = RangePlanner.syncRange(tip, floor, ingested, nb)
       val (bs, be) = RangePlanner.backfillRange(floor, ingested, nb)
-      s > ingested - 1 && s >= floor && e == tip &&
+      s > ingested && s >= floor && e == tip && // sync never refetches
         bs >= floor && be == ingested - 1 && (be - bs + 1) <= nb
     })
   }
