@@ -123,6 +123,30 @@ object Multimodal {
     }
   }
 
+  /** Resize: re-encode each payload to a target size via the pluggable
+    * codec — STUBBED here as deterministic byte decimation (every k-th
+    * byte so the output is ~targetBytes long), standing in for a real
+    * image/audio resampler. The plumbing is the real thing: narrow
+    * mapPartitions over the typed Dataset, metadata updated alongside
+    * the payload, decoder constructed once per partition. */
+  def resize(media: DataFrame, targetBytes: Int): Dataset[MediaRecord] = {
+    require(targetBytes > 0)
+    import media.sparkSession.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      it.map { r =>
+        if (r.content == null || r.content.isEmpty) r
+        else {
+          val stride = math.max(1, r.content.length / targetBytes)
+          val out = r.content.indices.collect {
+            case i if i % stride == 0 => r.content(i)
+          }.toArray
+          r.copy(content = out,
+            meta = r.meta.copy(n_bytes = out.length))
+        }
+      }
+    }
+  }
+
   /** Frame sampling: every `stride`-th fixed-size chunk of the payload,
     * exploded to one row per sampled frame (narrow, shuffle-free). */
   def sampleFrames(media: DataFrame, frameBytes: Int = 64, stride: Int = 4): DataFrame = {

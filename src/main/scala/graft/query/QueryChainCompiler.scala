@@ -94,4 +94,15 @@ object QueryChainCompiler {
         case None      => Right(spark.sql(c.sql))
       })
     }.toMap
+
+  /** The `/api/{route}.json` endpoint shape (reference
+    * [route].json/+server.js:7-11): every page query as JSON rows, ready
+    * to serialize. `maxRows` bounds the driver-side collect — dashboards
+    * read aggregates, not raw scans, and an unbounded collect of a fact
+    * table would OOM the serving tier. */
+  def runToJson(spark: SparkSession, markdown: String,
+      maxRows: Int = 10000): Map[String, Either[String, Seq[String]]] =
+    run(spark, markdown).map { case (id, r) =>
+      id -> r.map(_.limit(maxRows).toJSON.collect().toSeq)
+    }
 }

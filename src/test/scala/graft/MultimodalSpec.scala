@@ -47,6 +47,19 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(f(1).width.isEmpty && f(1).n_frames == 0 && f(1).mean_byte.isEmpty)
   }
 
+  test("resize: stub decimation hits the target size, metadata tracks payload") {
+    val resized = Multimodal.resize(media, targetBytes = 64).collect()
+    assert(resized.nonEmpty)
+    resized.foreach { r =>
+      assert(r.content.length <= 130, s"media ${r.media_id}: ${r.content.length}")
+      assert(r.meta.n_bytes == r.content.length)
+    }
+    // deterministic
+    val again = Multimodal.resize(media, targetBytes = 64).collect()
+    assert(resized.map(r => (r.media_id, r.content.toSeq)).sortBy(_._1).toSeq ==
+      again.map(r => (r.media_id, r.content.toSeq)).sortBy(_._1).toSeq)
+  }
+
   test("sampleFrames: strided fixed-size chunks, narrow plan") {
     val frames = Multimodal.sampleFrames(media, frameBytes = 64, stride = 4)
     val byDoc = frames.groupBy("media_id").agg(count(lit(1)).as("n"),

@@ -82,6 +82,26 @@ class QueryChainCompilerSpec extends SparkSpec {
     assert(qs.head.sql === "select cast(gas_used as int) as gas_used from tx_result")
   }
 
+  test("runToJson: the /api/{route}.json endpoint shape (JSON rows per query)") {
+    import spark.implicits._
+    Seq((1, "a"), (2, "b")).toDF("id", "name").createOrReplaceTempView("chain_json_t")
+    val md =
+      """```sql base
+        |select id, name from chain_json_t
+        |```
+        |```sql top
+        |select max(id) as max_id from ${base}
+        |```
+        |```sql broken
+        |select * from ${nope}
+        |```""".stripMargin
+    val out = QueryChainCompiler.runToJson(spark, md)
+    assert(out("top") == Right(Seq("""{"max_id":2}""")))
+    assert(out("base").toOption.get.toSet ==
+      Set("""{"id":1,"name":"a"}""", """{"id":2,"name":"b"}"""))
+    assert(out("broken").swap.toOption.get.contains("not a query on this page"))
+  }
+
   test("end-to-end: markdown page compiles and executes against Spark") {
     import spark.implicits._
     Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("id", "gas_used")
