@@ -209,5 +209,43 @@ object DedupQueries {
       FROM wm WHERE pos >= 4 OR (nsh < 5 AND pos = nsh - 1)
       GROUP BY doc_id ORDER BY doc_id"""))
 
-  def all: Seq[Q] = Seq(q36, q37, q38, q45)
+  /** Containment detection via winnowing fingerprints: documents sharing
+    * selected hashes — catches partial copies (a paragraph lifted into a
+    * larger doc) that whole-document Jaccard dilutes away. The join key
+    * is a 32-hex fingerprint, and each doc contributes ~1/window of its
+    * shingles, so the pair join touches a fraction of what the exact
+    * shingle join (q38) does. */
+  val q47 = Q(
+    "q47_winnow_containment",
+    (s, d) => {
+      val fps = graft.operators.Dedup
+        .winnowingFingerprints(Tables.documents(s, d), "doc_id", "text",
+          n = ShingleN, window = 5)
+      fps.select(col("doc_id").as("doc_a"), col("fp"))
+        .join(fps.select(col("doc_id").as("doc_b"), col("fp")), "fp")
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(count(lit(1)).as("shared_fps"))
+        .filter(col("shared_fps") >= 3)
+        .orderBy("doc_a", "doc_b")
+    },
+    Some(s"""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      tf AS (SELECT doc_id, toks FROM t WHERE len(toks) >= $ShingleN),
+      sh AS (SELECT doc_id, i AS pos,
+                    md5(array_to_string(toks[i+1:i+$ShingleN], ' ')) AS h
+             FROM tf, LATERAL (SELECT UNNEST(range(0, len(toks) - ${ShingleN - 1})) AS i) g),
+      wm AS (SELECT doc_id, pos,
+                    MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS wmin,
+                    COUNT(*) OVER (PARTITION BY doc_id) AS nsh
+             FROM sh),
+      fps AS (SELECT DISTINCT doc_id, wmin AS fp
+              FROM wm WHERE pos >= 4 OR (nsh < 5 AND pos = nsh - 1))
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared_fps
+      FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING COUNT(*) >= 3
+      ORDER BY doc_a, doc_b"""))
+
+  def all: Seq[Q] = Seq(q36, q37, q38, q45, q47)
 }

@@ -46,6 +46,33 @@ class CorpusPipelineSpec extends AnyFunSuite with SparkSpec {
     assert(byDoc(2L) >= 1L)
   }
 
+  test("winnowing guarantee: a planted shared run always shares a fingerprint") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def words(n: Int, tag: String) = (1 to n).map(_ => s"$tag${rnd.nextInt(5000)}")
+    // 20 pairs: doc A = noise + planted run + noise; doc B = other noise
+    // + the SAME run + other noise. Run length = window + n - 1 = 8
+    // tokens, the guarantee's minimum.
+    val rows = (0 until 20).flatMap { i =>
+      val run = words(8, s"run${i}_")
+      val a = (words(15, s"an${i}_") ++ run ++ words(15, s"az${i}_")).mkString(" ")
+      val b = (words(25, s"bn${i}_") ++ run ++ words(5, s"bz${i}_")).mkString(" ")
+      Seq((i * 2L, a), (i * 2L + 1, b))
+    }
+    val fps = graft.operators.Dedup
+      .winnowingFingerprints(rows.toDF("doc_id", "text"), "doc_id", "text",
+        n = 4, window = 5)
+    val shared = fps.select(col("doc_id").as("a"), col("fp"))
+      .join(fps.select(col("doc_id").as("b"), col("fp")), "fp")
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0 until 20).foreach { i =>
+      assert(shared.contains((i * 2L, i * 2L + 1)),
+        s"pair $i with a planted ${8}-token run shares no fingerprint")
+    }
+  }
+
   test("stratified sampling: deterministic per-language fractions, no shuffle") {
     val docs = Tables.documents(spark, sf("sf0.01"))
     val fractions = Map("en" -> 0.5, "de" -> 1.0, "zh" -> 0.1)
