@@ -30,14 +30,16 @@ object CorpusPipeline {
     docs.filter(size(toks).between(minTokens, maxTokens))
   }
 
-  /** Near-dedup keep-first policy: from every verified near-dup pair,
-    * drop the higher id (transitively: anything reachable from a lower
-    * keeper goes; one pass drops pair-wise, which is the standard
-    * approximation — iterate to a fixpoint for full transitivity). */
+  /** Near-dedup keep-first policy: cluster the verified near-dup pairs
+    * transitively (connected components) and keep each cluster's lowest
+    * id — a chain a~b~c keeps only a, even when a and c never collide
+    * directly. */
   def dropNearDuplicates(docs: DataFrame, id: String, text: String,
       threshold: Double = 0.5): DataFrame = {
-    val losers = Dedup.minHashLshPairs(docs, id, text, threshold = threshold)
-      .select(col("id_b").as(id)).distinct()
+    val pairs = Dedup.minHashLshPairs(docs, id, text, threshold = threshold)
+    val losers = Dedup.duplicateClusters(pairs)
+      .filter(col("id") =!= col("cluster"))
+      .select(col("id").as(id))
     docs.join(losers, Seq(id), "left_anti")
   }
 

@@ -110,6 +110,46 @@ object Dedup {
     verifiedJaccard(cands, shingleSet(docs, id, text, n), id, threshold)
   }
 
+  /** Connected components over a near-duplicate pair graph: every doc
+    * labeled with the smallest id reachable through pairs — the cluster
+    * representative. Iterative min-label propagation; each round is one
+    * join + aggregate, converging in O(graph diameter) rounds (duplicate
+    * chains are short in practice; `maxIterations` bounds adversarial
+    * chains). `localCheckpoint` truncates the growing loop lineage —
+    * without it each iteration's plan contains all previous ones.
+    *
+    * Input: pairs (id_a, id_b). Output: (id, cluster) for every id that
+    * appears in a pair; singletons never enter and keep themselves. */
+  def duplicateClusters(pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster", col("id"))
+      .localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIterations) {
+      val viaNeighbor = edges
+        .join(labels.withColumnRenamed("id", "dst")
+          .withColumnRenamed("cluster", "ncluster"), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min("ncluster").as("ncluster"))
+      val next = labels.join(viaNeighbor, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("ncluster"), col("cluster"))).as("cluster"))
+        .localCheckpoint(true)
+      converged = next.withColumnRenamed("cluster", "__c_next")
+        .join(labels.withColumnRenamed("cluster", "__c_prev"), Seq("id"))
+        .filter(col("__c_next") =!= col("__c_prev"))
+        .isEmpty
+      labels = next
+      i += 1
+    }
+    labels
+  }
+
   /** Winnowing fingerprints (the MOSS scheme): hash every n-gram
     * shingle, slide a window of `window` consecutive hashes, keep each
     * window's minimum. Output: one row per distinct selected hash

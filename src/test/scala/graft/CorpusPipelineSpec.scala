@@ -46,6 +46,18 @@ class CorpusPipelineSpec extends AnyFunSuite with SparkSpec {
     assert(byDoc(2L) >= 1L)
   }
 
+  test("duplicateClusters: transitive chains collapse to the lowest id") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L), (10L, 9L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val clusters = graft.operators.Dedup.duplicateClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L,          // chain 1-2-3: 1 and 3 never paired directly
+      7L -> 7L, 8L -> 7L,
+      9L -> 9L, 10L -> 9L, 11L -> 9L))
+  }
+
   test("winnowing guarantee: a planted shared run always shares a fingerprint") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
