@@ -122,5 +122,45 @@ object SimilarityQueries {
       ORDER BY sim DESC, vec_id
       LIMIT 10"""))
 
-  def all: Seq[Q] = Seq(q34, q35, q39, q40)
+  /** Scalar int8 quantization of the embedding column: per-vector scale
+    * = max|x|/127, code = floor(x/scale), plus the L2 reconstruction
+    * error. Floor (not round) keeps the codes engine-identical — round
+    * differs on .5 ties across engines. At 100 TB this is the 4×
+    * storage/bandwidth lever for the ANN index: codes are exact integers
+    * in both engines, only the error metric needs rounding. */
+  val q48 = Q(
+    "q48_quantize_int8",
+    (s, d) =>
+      Tables.embeddings(s, d)
+        .withColumn("scale", expr(
+          "aggregate(embedding, CAST(0.0 AS DOUBLE), (a, v) -> greatest(a, abs(CAST(v AS DOUBLE)))) / 127.0D"))
+        .filter(col("scale") > 0)
+        .withColumn("q", expr(
+          "transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) / scale) AS BIGINT))"))
+        .select(col("vec_id"),
+          round(col("scale"), 6).as("scale_r"),
+          expr("CAST(aggregate(q, CAST(0 AS BIGINT), (a, v) -> a + abs(v)) AS BIGINT)").as("l1_code"),
+          round(sqrt(expr(
+            """aggregate(
+                 transform(sequence(1, size(embedding)),
+                           i -> pow(CAST(element_at(embedding, i) AS DOUBLE)
+                                    - element_at(q, i) * scale, 2)),
+                 CAST(0.0 AS DOUBLE), (a, v) -> a + v)""")), 4).as("l2_err"))
+        .orderBy("vec_id"),
+    Some("""
+      WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+      s AS (SELECT vec_id, x,
+                   list_max(list_transform(x, v -> abs(v))) / 127.0 AS scale
+            FROM t),
+      qz AS (SELECT vec_id, x, scale,
+                    list_transform(x, v -> CAST(floor(v / scale) AS BIGINT)) AS q
+             FROM s WHERE scale > 0)
+      SELECT vec_id,
+             ROUND(scale, 6) AS scale_r,
+             CAST(list_sum(list_transform(q, v -> abs(v))) AS BIGINT) AS l1_code,
+             ROUND(sqrt(list_sum(list_transform(range(1, len(x) + 1),
+                          i -> pow(x[i] - q[i] * scale, 2)))), 4) AS l2_err
+      FROM qz ORDER BY vec_id"""))
+
+  def all: Seq[Q] = Seq(q34, q35, q39, q40, q48)
 }
