@@ -29,7 +29,12 @@ trait RpcFetcher extends Serializable {
 final class JavaHttpFetcher extends RpcFetcher {
   @transient private lazy val client = java.net.http.HttpClient.newHttpClient()
   override def fetch(url: String): String = {
-    val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url)).GET().build()
+    // the reference's URL format embeds literal spaces, quotes and
+    // comparison operators in the query string (extract.py:150); a
+    // java.net.URI rejects all of them unescaped
+    val escaped = url.replace(" ", "%20").replace("\"", "%22")
+      .replace(">", "%3E").replace("<", "%3C")
+    val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(escaped)).GET().build()
     val rsp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
     require(rsp.statusCode() == 200, s"HTTP ${rsp.statusCode()} for $url")
     rsp.body()

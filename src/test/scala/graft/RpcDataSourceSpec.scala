@@ -54,6 +54,37 @@ class RpcDataSourceSpec extends AnyFunSuite with SparkSpec {
       Seq("11_20", "1_10"))
   }
 
+  test("JavaHttpFetcher + DSv2 source over a real local socket") {
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    try {
+      server.createContext("/", new HttpHandler {
+        override def handle(ex: HttpExchange): Unit = {
+          val uri = java.net.URLDecoder.decode(ex.getRequestURI.toString, "UTF-8")
+          val body = FakeNode.fetch(uri)
+          val bytes = body.getBytes("UTF-8")
+          ex.sendResponseHeaders(200, bytes.length)
+          ex.getResponseBody.write(bytes)
+          ex.close()
+        }
+      })
+      server.start()
+      val port = server.getAddress.getPort
+      // FakeNode serves heights 1-5 (one tx per odd height): chunks
+      // (1,2),(3,4),(5,5) each hold one tx → one page each
+      val rows = spark.read.format("tendermint-rpc")
+        .option("url", s"http://127.0.0.1:$port")
+        .option("kind", "txs")
+        .option("start", 1).option("end", 5)
+        .option("chunk", 2).option("perPage", 100)
+        .load() // default fetcher = JavaHttpFetcher over the real socket
+        .collect()
+      assert(rows.length == 3, rows.mkString(";"))
+      assert(rows.forall(!_.getAs[Boolean]("quarantined")))
+      assert(rows.forall(_.getAs[String]("body").contains("total_count")))
+    } finally server.stop(0)
+  }
+
   test("missing required option fails fast") {
     val e = intercept[Exception] {
       spark.read.format("tendermint-rpc").option("url", "x")
