@@ -66,6 +66,29 @@ object Similarity {
   /** IVF top-k: probe the query's `nprobe` nearest cells, rank only
     * vectors assigned there — each query touches ~nprobe/ncells of the
     * corpus instead of all of it. */
+  /** All-pairs near-dup, bucketed: assign vectors to IVF cells and pair
+    * only within a cell — candidate count drops from n²/2 to
+    * Σ|cell|²/2. An approximation by design: a pair straddling two cells
+    * is missed (recall rises with fewer/larger cells, or by also pairing
+    * against each vector's second-nearest cell — same trade as LSH
+    * banding for text). This is the 100 TB shape; [[nearDupPairs]] is
+    * the exact baseline it approximates. */
+  def nearDupPairsBucketed(emb: DataFrame, anchors: DataFrame, id: String,
+      threshold: Double): DataFrame = {
+    val assigned = ivfAssign(emb, anchors, id)
+      .select(col(id), col("embedding"), col("cell"),
+        vec.norm(col("embedding")).as("nrm"))
+    val a = assigned.select(col(id).as("id_a"), col("cell"),
+      col("embedding").as("ea"), col("nrm").as("na"))
+    val b = assigned.select(col(id).as("id_b"), col("cell"),
+      col("embedding").as("eb"), col("nrm").as("nb"))
+    a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim", vec.dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+      .filter(col("sim") >= threshold)
+      .select("id_a", "id_b", "sim")
+  }
+
   /** Persist the IVF assignment as a cell-bucketed table: the one-off
     * build cost that turns every later search into a bucket-pruned scan.
     * At 100 TB the assignment pass runs once (or incrementally on new

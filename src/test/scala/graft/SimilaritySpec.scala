@@ -47,6 +47,28 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
         inline.select("vec_id", "sim").collect().map(r => (r.getLong(0), r.getDouble(1))).toSet)
   }
 
+  test("bucketed near-dup pairing: quadratic work shrinks, in-cell pairs are exact") {
+    val lowT = 0.15 // low threshold so the tiny corpus yields pairs
+    val exact = Similarity.nearDupPairs(emb, "vec_id", lowT)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bucketed = Similarity.nearDupPairsBucketed(emb, anchors, "vec_id", lowT)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // sound: every bucketed pair is a true pair
+    assert(bucketed.subsetOf(exact), s"false pairs: ${bucketed.diff(exact)}")
+    // complete within cells: a pair sharing a cell must be found
+    val cells = Similarity.ivfAssign(emb, anchors, "vec_id")
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sameCellExact = exact.filter { case (x, y) => cells(x) == cells(y) }
+    assert(bucketed == sameCellExact)
+    // and the candidate space genuinely shrinks
+    val n = emb.count()
+    val cellSizes = cells.values.groupBy(identity).map(_._2.size.toLong)
+    val bucketedCand = cellSizes.map(c => c * (c - 1) / 2).sum
+    assert(bucketedCand < n * (n - 1) / 2 / 2,
+      s"bucketing should cut candidates: $bucketedCand vs ${n * (n - 1) / 2}")
+  }
+
   test("IVF recall vs brute force on the probed fraction") {
     val exact = Similarity.cosineTopK(emb, "vec_id", 0, 10)
       .select("vec_id").collect().map(_.getLong(0)).toSet
