@@ -144,9 +144,17 @@ object Dedup {
         .join(labels.withColumnRenamed("cluster", "__c_prev"), Seq("id"))
         .filter(col("__c_next") =!= col("__c_prev"))
         .isEmpty
+      labels.unpersist() // release the superseded checkpoint's blocks
       labels = next
       i += 1
     }
+    edges.unpersist()
+    // silent truncation would mean silently-wrong dedup (a doc labeled a
+    // local min keeps itself and survives as a duplicate) — fail instead
+    if (!converged)
+      throw new IllegalStateException(
+        s"duplicateClusters did not converge in $maxIterations iterations " +
+          "(pair-graph diameter exceeds it); raise maxIterations")
     labels
   }
 

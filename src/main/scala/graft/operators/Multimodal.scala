@@ -123,20 +123,22 @@ object Multimodal {
     }
   }
 
-  /** Resize: re-encode each payload to a target size via the pluggable
-    * codec — STUBBED here as deterministic byte decimation (every k-th
-    * byte so the output is ~targetBytes long), standing in for a real
-    * image/audio resampler. The plumbing is the real thing: narrow
-    * mapPartitions over the typed Dataset, metadata updated alongside
-    * the payload, decoder constructed once per partition. */
+  /** Resize: shrink each payload to at most `targetBytes` — STUBBED as
+    * deterministic byte decimation (ceil-stride sampling), standing in
+    * for a real image/audio resampler. The distributed plumbing is the
+    * real thing — narrow mapPartitions over the typed Dataset, metadata
+    * updated alongside the payload; a real implementation threads a
+    * codec the way [[decodeFeatures]] threads its `MediaDecoder`. */
   def resize(media: DataFrame, targetBytes: Int): Dataset[MediaRecord] = {
     require(targetBytes > 0)
     import media.sparkSession.implicits._
     media.as[MediaRecord].mapPartitions { it =>
       it.map { r =>
-        if (r.content == null || r.content.isEmpty) r
+        if (r.content == null || r.content.length <= targetBytes) r
         else {
-          val stride = math.max(1, r.content.length / targetBytes)
+          // ceil stride keeps output <= targetBytes (floor would leave
+          // up to ~2x the target: len=127/target=64 → stride 1 = no-op)
+          val stride = (r.content.length + targetBytes - 1) / targetBytes
           val out = r.content.indices.collect {
             case i if i % stride == 0 => r.content(i)
           }.toArray

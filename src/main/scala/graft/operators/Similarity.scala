@@ -37,7 +37,11 @@ object Similarity {
     * (random-hyperplane LSH or the IVF cells below) and verify within
     * buckets, exactly like Dedup.minHashLshPairs does for text. */
   def nearDupPairs(emb: DataFrame, id: String, threshold: Double): DataFrame = {
+    // zero-norm vectors have no defined cosine — and an unguarded 0/0
+    // gives NaN, which Spark's comparison orders ABOVE every threshold
+    // (spurious "near-dup" pairs); exclude them up front
     val e = emb.select(col(id), col("embedding"), vec.norm(col("embedding")).as("nrm"))
+      .filter(col("nrm") > 0)
     val a = e.select(col(id).as("id_a"), col("embedding").as("ea"), col("nrm").as("na"))
     val b = e.select(col(id).as("id_b"), col("embedding").as("eb"), col("nrm").as("nb"))
     a.join(b, col("id_a") < col("id_b"))
@@ -56,16 +60,17 @@ object Similarity {
       roundAt: Int = 4): DataFrame = {
     val byCos = Window.partitionBy(id).orderBy(desc("acos"), asc("anchor_id"))
     emb.crossJoin(broadcast(anchors))
-      .withColumn("acos", round(vec.cosine(col("embedding"), col("av")), roundAt))
+      // nanvl: a zero-norm vector's cosine is NaN, which would sort
+      // ABOVE every real similarity; map it to -1 so such vectors land
+      // deterministically in the lowest-id anchor's cell instead
+      .withColumn("acos",
+        round(nanvl(vec.cosine(col("embedding"), col("av")), lit(-1.0)), roundAt))
       .withColumn("rk", row_number().over(byCos))
       .filter(col("rk") === 1)
       .drop("av", "acos", "rk")
       .withColumnRenamed("anchor_id", "cell")
   }
 
-  /** IVF top-k: probe the query's `nprobe` nearest cells, rank only
-    * vectors assigned there — each query touches ~nprobe/ncells of the
-    * corpus instead of all of it. */
   /** All-pairs near-dup, bucketed: assign vectors to IVF cells and pair
     * only within a cell — candidate count drops from n²/2 to
     * Σ|cell|²/2. An approximation by design: a pair straddling two cells
@@ -78,6 +83,7 @@ object Similarity {
     val assigned = ivfAssign(emb, anchors, id)
       .select(col(id), col("embedding"), col("cell"),
         vec.norm(col("embedding")).as("nrm"))
+      .filter(col("nrm") > 0) // see nearDupPairs: NaN would pass any threshold
     val a = assigned.select(col(id).as("id_a"), col("cell"),
       col("embedding").as("ea"), col("nrm").as("na"))
     val b = assigned.select(col(id).as("id_b"), col("cell"),
@@ -125,6 +131,9 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF top-k: probe the query's `nprobe` nearest cells, rank only
+    * vectors assigned there — each query touches ~nprobe/ncells of the
+    * corpus instead of all of it. */
   def ivfTopK(emb: DataFrame, id: String, queryId: Long,
       anchors: DataFrame, nprobe: Int, k: Int, roundAt: Int = 4): DataFrame = {
     val assigned = ivfAssign(emb, anchors, id)

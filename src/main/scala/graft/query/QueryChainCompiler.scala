@@ -95,14 +95,22 @@ object QueryChainCompiler {
       })
     }.toMap
 
+  final case class JsonResult(rows: Seq[String], truncated: Boolean)
+
   /** The `/api/{route}.json` endpoint shape (reference
     * [route].json/+server.js:7-11): every page query as JSON rows, ready
     * to serialize. `maxRows` bounds the driver-side collect — dashboards
     * read aggregates, not raw scans, and an unbounded collect of a fact
-    * table would OOM the serving tier. */
+    * table would OOM the serving tier. Collecting maxRows+1 lets the
+    * caller distinguish "exactly maxRows" from "cut off" instead of
+    * silently rendering a truncated result as complete. */
   def runToJson(spark: SparkSession, markdown: String,
-      maxRows: Int = 10000): Map[String, Either[String, Seq[String]]] =
+      maxRows: Int = 10000): Map[String, Either[String, JsonResult]] =
     run(spark, markdown).map { case (id, r) =>
-      id -> r.map(_.limit(maxRows).toJSON.collect().toSeq)
+      id -> r.map { df =>
+        val rows = df.limit(maxRows + 1).toJSON.collect().toSeq
+        if (rows.length > maxRows) JsonResult(rows.take(maxRows), truncated = true)
+        else JsonResult(rows, truncated = false)
+      }
     }
 }

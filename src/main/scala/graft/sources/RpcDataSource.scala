@@ -28,16 +28,32 @@ trait RpcFetcher extends Serializable {
   * infinite sleep-retry, extract.py:352-370). */
 final class JavaHttpFetcher extends RpcFetcher {
   @transient private lazy val client = java.net.http.HttpClient.newHttpClient()
+
   override def fetch(url: String): String = {
-    // the reference's URL format embeds literal spaces, quotes and
-    // comparison operators in the query string (extract.py:150); a
-    // java.net.URI rejects all of them unescaped
-    val escaped = url.replace(" ", "%20").replace("\"", "%22")
-      .replace(">", "%3E").replace("<", "%3C")
-    val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(escaped)).GET().build()
+    val req = java.net.http.HttpRequest
+      .newBuilder(java.net.URI.create(JavaHttpFetcher.escapeUrl(url))).GET().build()
     val rsp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
     require(rsp.statusCode() == 200, s"HTTP ${rsp.statusCode()} for $url")
     rsp.body()
+  }
+}
+
+object JavaHttpFetcher {
+  /** Percent-encode every character java.net.URI rejects in a query
+    * string. The URL builders (Fetch.txSearchUrl etc.) deliberately emit
+    * the reference's human-readable format verbatim (literal spaces,
+    * quotes, comparison operators — extract.py:150): that string is the
+    * cross-transport contract, and test fetchers pattern-match it raw;
+    * escaping is each HTTP transport's job. '%' is encoded too — the
+    * builders never emit escapes, so a literal '%' must not be
+    * misread as one. */
+  def escapeUrl(url: String): String = {
+    val keep = ((('a' to 'z') ++ ('A' to 'Z') ++ ('0' to '9')) ++
+      "-._~!$&'()*+,;=:@/?#").toSet
+    url.flatMap { c =>
+      if (keep(c)) c.toString
+      else c.toString.getBytes("UTF-8").map(b => f"%%${b & 0xff}%02X").mkString
+    }
   }
 }
 

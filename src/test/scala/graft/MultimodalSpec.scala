@@ -51,7 +51,7 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     val resized = Multimodal.resize(media, targetBytes = 64).collect()
     assert(resized.nonEmpty)
     resized.foreach { r =>
-      assert(r.content.length <= 130, s"media ${r.media_id}: ${r.content.length}")
+      assert(r.content.length <= 64, s"media ${r.media_id}: ${r.content.length}")
       assert(r.meta.n_bytes == r.content.length)
     }
     // deterministic

@@ -96,10 +96,16 @@ class QueryChainCompilerSpec extends SparkSpec {
         |select * from ${nope}
         |```""".stripMargin
     val out = QueryChainCompiler.runToJson(spark, md)
-    assert(out("top") == Right(Seq("""{"max_id":2}""")))
-    assert(out("base").toOption.get.toSet ==
+    assert(out("top") == Right(QueryChainCompiler.JsonResult(Seq("""{"max_id":2}"""), false)))
+    assert(out("base").toOption.get.rows.toSet ==
       Set("""{"id":1,"name":"a"}""", """{"id":2,"name":"b"}"""))
     assert(out("broken").swap.toOption.get.contains("not a query on this page"))
+
+    // truncation is flagged, not silent
+    val trunc = QueryChainCompiler.runToJson(spark,
+      "```sql base\nselect id, name from chain_json_t\n```", maxRows = 1)
+    val r = trunc("base").toOption.get
+    assert(r.rows.length == 1 && r.truncated)
   }
 
   test("end-to-end: markdown page compiles and executes against Spark") {

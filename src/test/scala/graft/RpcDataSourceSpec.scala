@@ -85,6 +85,15 @@ class RpcDataSourceSpec extends AnyFunSuite with SparkSpec {
     } finally server.stop(0)
   }
 
+  test("escapeUrl: every URI-illegal char percent-encoded, including %") {
+    import graft.sources.JavaHttpFetcher.escapeUrl
+    assert(escapeUrl("""http://n/tx_search?query="tx.height>=1 AND tx.height<=2"""") ==
+      "http://n/tx_search?query=%22tx.height%3E=1%20AND%20tx.height%3C=2%22")
+    assert(escapeUrl("http://n/a?x=50%") == "http://n/a?x=50%25")
+    // the escaped form is always a valid URI
+    java.net.URI.create(escapeUrl("""http://n/p?q="a b" | {c}^d"""))
+  }
+
   test("missing required option fails fast") {
     val e = intercept[Exception] {
       spark.read.format("tendermint-rpc").option("url", "x")
