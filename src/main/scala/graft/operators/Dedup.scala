@@ -191,7 +191,7 @@ object Dedup {
   /** 64-bit SimHash per document as a 16-hex signature — one narrow
     * scalar pass over the token array (no explode, no shuffle). For
     * inputs where tokens arrive as rows (streams, EAV tables), use
-    * [[TextHashAggregators.SimHashAggregator]] instead: same result,
+    * `TextHashAggregators.SimHashAggregator` instead: same result,
     * aggregation shape. */
   def simHashSignatures(docs: DataFrame, id: String, text: String): DataFrame =
     docs.select(col(id),

@@ -122,8 +122,8 @@ object SimilarityQueries {
       ORDER BY sim DESC, vec_id
       LIMIT 10"""))
 
-  /** Scalar int8 quantization of the embedding column: per-vector scale
-    * = max|x|/127, code = floor(x/scale), plus the L2 reconstruction
+  /** Scalar int8 quantization of the embedding column: per-vector
+    * scale of max|x|/127, code = floor(x/scale), plus the L2 reconstruction
     * error. Floor (not round) keeps the codes engine-identical — round
     * differs on .5 ties across engines. At 100 TB this is the 4×
     * storage/bandwidth lever for the ANN index: codes are exact integers

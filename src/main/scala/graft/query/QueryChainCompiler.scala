@@ -9,7 +9,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Faithful port of the chaining semantics in the reference's
   * .evidence/template/src/pages/api/status/[...route]/extractQueries.server.js:46-109:
   *
-  *  - named SQL blocks may reference each other with `${query_id}`;
+  *  - named SQL blocks may reference each other with a `\$`-braced
+  *    query id;
   *  - each reference is inlined as a parenthesized derived table
   *    `(referenced SQL)`;
   *  - up to 16 passes (maxIterations = 15, loop runs `0 to 15`); a query
