@@ -121,6 +121,43 @@ final class ModelRunner(
   }
 }
 
+/** dbt-style schema tests (reference dbt/old_models/gas/_gas.yml:6-9,
+  * txs/_tx_models.yml:7-18: `unique` and `not_null` probes generated as
+  * SQL against the built model). A test passes when its probe returns
+  * zero violating rows. */
+object SchemaTests {
+  sealed trait Kind { def probeSql(view: String, column: String): String }
+  case object Unique extends Kind {
+    override def probeSql(view: String, column: String): String =
+      s"SELECT $column FROM $view WHERE $column IS NOT NULL " +
+        s"GROUP BY $column HAVING COUNT(*) > 1"
+  }
+  case object NotNull extends Kind {
+    override def probeSql(view: String, column: String): String =
+      s"SELECT 1 FROM $view WHERE $column IS NULL"
+  }
+
+  final case class SchemaTest(model: String, column: String, kind: Kind)
+  final case class Result(test: SchemaTest, violations: Long) {
+    def passed: Boolean = violations == 0
+  }
+
+  /** Run probes against already-built models (registered views). */
+  def run(spark: SparkSession, tests: Seq[SchemaTest]): Seq[Result] =
+    tests.map { t =>
+      Result(t, spark.sql(t.kind.probeSql(t.model, t.column)).count())
+    }
+
+  /** The reference's own declared test set (gas/txs day columns). */
+  val breadTests: Seq[SchemaTest] = Seq(
+    SchemaTest("gas_used_per_day", "day", Unique),
+    SchemaTest("gas_used_per_day", "day", NotNull),
+    SchemaTest("num_txs_per_day", "day", Unique),
+    SchemaTest("num_txs_per_day", "day", NotNull),
+    SchemaTest("cum_txs_per_day", "day", Unique),
+    SchemaTest("cum_txs_per_day", "day", NotNull))
+}
+
 object ModelRunner {
   private val matP = raw"""(?m)^\s*--\s*materialized:\s*(\w+)\s*$$""".r
 

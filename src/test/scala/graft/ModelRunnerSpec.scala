@@ -1,5 +1,28 @@
 package graft
 
+import graft.models.SchemaTests
+
+class SchemaTestsSpec extends org.scalatest.funsuite.AnyFunSuite with SparkSpec {
+  test("unique + not_null probes detect violations and pass clean data") {
+    import spark.implicits._
+    Seq(("2023-08-01", 1L), ("2023-08-02", 2L))
+      .toDF("day", "n").createOrReplaceTempView("st_clean")
+    Seq((Option("2023-08-01"), 1L), (Option("2023-08-01"), 2L), (None, 3L))
+      .toDF("day", "n").createOrReplaceTempView("st_dirty")
+
+    val clean = SchemaTests.run(spark, Seq(
+      SchemaTests.SchemaTest("st_clean", "day", SchemaTests.Unique),
+      SchemaTests.SchemaTest("st_clean", "day", SchemaTests.NotNull)))
+    assert(clean.forall(_.passed))
+
+    val dirty = SchemaTests.run(spark, Seq(
+      SchemaTests.SchemaTest("st_dirty", "day", SchemaTests.Unique),
+      SchemaTests.SchemaTest("st_dirty", "day", SchemaTests.NotNull)))
+    assert(dirty.map(r => (r.test.kind, r.violations)).toSet ==
+      Set((SchemaTests.Unique, 1L), (SchemaTests.NotNull, 1L)))
+  }
+}
+
 import java.nio.file.Files
 import java.sql.Timestamp
 
@@ -123,12 +146,12 @@ class ModelRunnerSpec extends SparkSpec {
   }
 
   test("dbt schema probes: day unique + not_null on the gas/txs models") {
-    // the reference's own tests (_gas.yml:6-9, _tx_models.yml:7-18)
-    Seq("gas_used_per_day", "num_txs_per_day", "cum_txs_per_day").foreach { m =>
-      val df = built(m)
-      assert(df.filter(col("day").isNull).count() === 0, s"$m day not_null")
-      assert(df.select("day").distinct().count() === df.count(), s"$m day unique")
-    }
+    // the reference's own declared tests (_gas.yml:6-9,
+    // _tx_models.yml:7-18), run through the SchemaTests probe API
+    built // ensure the DAG is built and views registered
+    val results = SchemaTests.run(spark, SchemaTests.breadTests)
+    assert(results.forall(_.passed),
+      results.filterNot(_.passed).map(_.test).mkString(", "))
   }
 
   test("parsed models scan hive-partitioned parquet with partition recovery") {
