@@ -45,6 +45,19 @@ object FakeNode extends Serializable {
 
 class PipelineSpec extends AnyFunSuite with SparkSpec {
 
+  test("PipelineMain arg/env contract mirrors the reference CLI") {
+    import graft.pipeline.PipelineMain
+    val env = Map("API_URL" -> "http://n", "NETWORK" -> "akash", "PER_PAGE" -> "50")
+    val c = PipelineMain.parseArgs(Seq("--dir", "/tmp/x", "--num_blocks", "500"), env)
+    assert(c == PipelineMain.Config("/tmp/x", 500L, "http://n", 50))
+    // defaults follow the reference (./data/$NETWORK, 10000 blocks, 100/page)
+    val d = PipelineMain.parseArgs(Nil, Map("API_URL" -> "http://n", "NETWORK" -> "akash"))
+    assert(d == PipelineMain.Config("./data/akash", 10000L, "http://n", 100))
+    intercept[IllegalArgumentException](PipelineMain.parseArgs(Nil, Map.empty))
+    intercept[IllegalArgumentException](
+      PipelineMain.parseArgs(Seq("--bogus", "1"), env))
+  }
+
   test("full flow: sync + backfill -> parse -> models -> dashboard probe") {
     val root = Files.createTempDirectory("graft-e2e").toString
     val pipe = new Pipeline(spark, root, FakeNode.fetch)
