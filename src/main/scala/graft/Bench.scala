@@ -23,7 +23,13 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       (System.nanoTime() - t0) / 1e9
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=q36,q38 (prefix match) narrows the run for local
+    // profiling; the driver never sets it, so the contract is unchanged.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (name, _) =>
+      only.forall(_.exists(name.startsWith))
+    }
+    val results = selected.map { case (name, fn) =>
       name -> math.min(timeOnce(fn), timeOnce(fn))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -44,9 +44,22 @@ object TextHashAggregators {
     new String(out)
   }
 
-  /** K element-wise-minimum md5 hex strings over `md5(i + ":" + shingle)`
-    * for a whole per-document shingle array, as one scalar pass — min
-    * over ASCII hex = the same ordering SQL `MIN(varchar)` uses.
+  /** K element-wise-minimum hashes per shingle array, one scalar pass.
+    *
+    * Hash family: ONE md5 per shingle, split into two unsigned 64-bit
+    * halves (a, b); hash i is `(a + i*b) mod 2^64` (Kirsch–Mitzenmacher
+    * double hashing — the same construction Spark ML's MinHashLSH and
+    * Bloom filters use for a hash family from one base hash). One digest
+    * instead of K makes the pass ~K× cheaper in both CPU and allocation;
+    * the latter matters because this UDF runs on every shingle of every
+    * document and allocation-heavy inner loops go GC-bound on large
+    * driver heaps.
+    *
+    * Each element is emitted as the unsigned decimal zero-padded to 20
+    * chars, so lexicographic string order (Spark MIN(string), band
+    * signature equality, DuckDB MIN(varchar)) equals unsigned numeric
+    * order — the oracle can mirror the family exactly with HUGEINT
+    * arithmetic.
     *
     * Scalar-per-doc beats both the relational K-way explode (shuffles
     * corpus ×K) and an Aggregator (pays a buffer encode/decode per input
@@ -55,17 +68,34 @@ object TextHashAggregators {
     * shingles cannot change an element-wise min, so the caller may pass
     * shingles with repeats. */
   def minhashSignature(shingles: Seq[String], k: Int): Seq[String] = {
-    val prefixes = Array.tabulate(k)(i => i.toString + ":")
-    val acc = Array.fill[String](k)(null)
+    val mins = Array.fill[Long](k)(-1L) // unsigned max
+    var any = false
     shingles.foreach { sh =>
+      any = true
+      val md = digests.get()
+      md.reset()
+      val d = md.digest(sh.getBytes(StandardCharsets.UTF_8))
+      var a = 0L
+      var b = 0L
+      var j = 0
+      while (j < 8) {
+        a = (a << 8) | (d(j) & 0xffL)
+        b = (b << 8) | (d(j + 8) & 0xffL)
+        j += 1
+      }
       var i = 0
+      var h = a // h after i steps = (a + i*b) mod 2^64 (wrapping add)
       while (i < k) {
-        val h = md5hex(prefixes(i) + sh)
-        if (acc(i) == null || h.compareTo(acc(i)) < 0) acc(i) = h
+        if (java.lang.Long.compareUnsigned(h, mins(i)) < 0) mins(i) = h
+        h += b
         i += 1
       }
     }
-    acc.toSeq
+    if (!any) Seq.fill[String](k)(null)
+    else mins.toSeq.map { m =>
+      val s = java.lang.Long.toUnsignedString(m)
+      "00000000000000000000".substring(s.length) + s
+    }
   }
 
   /** SimHash over md5(token): 64 bit-vote counters (+1 set / −1 clear per

@@ -8,11 +8,12 @@ import graft.Tables
 /** Near-duplicate detection over `documents` — the training-data-pipeline
   * dedup family: MinHash+LSH, SimHash, exact n-gram Jaccard.
   *
-  * Engine-parity design: every pseudo-random hash is md5 over an explicit
-  * string (identical hex in Spark and DuckDB), min/ordering over those hex
-  * strings is plain ASCII comparison in both engines, and all scores are
-  * exact-integer ratios divided once in double — so the DuckDB oracle can
-  * mirror the *entire* pipeline, not just a summary.
+  * Engine-parity design: every pseudo-random hash derives from md5 over an
+  * explicit string (identical hex in Spark and DuckDB); derived integers use
+  * mod-2^64 arithmetic that DuckDB mirrors with HUGEINT, emitted as
+  * fixed-width strings so MIN/equality agree across engines; and all scores
+  * are exact-integer ratios divided once in double — so the DuckDB oracle
+  * can mirror the *entire* pipeline, not just a summary.
   *
   * Scale notes (100 TB):
   *  - The MinHash pipeline is linear in corpus size until the band-bucket
@@ -48,10 +49,13 @@ object DedupQueries {
 
   /** MinHash + LSH near-dup pairs, verified with exact Jaccard >= 0.5.
     *
-    * shingle -> K md5 minhashes -> 4 bands of 4 -> band-signature
-    * self-join for candidates -> exact Jaccard verification. Pairs whose
-    * banded signatures never collide are (by LSH design) not reported,
-    * even if their true Jaccard passes the threshold.
+    * shingle -> one md5 -> K double-hashed minhashes ((a + i*b) mod 2^64
+    * over the digest halves, emitted as 20-digit zero-padded unsigned
+    * decimal so string MIN == unsigned numeric MIN in both engines) ->
+    * 4 bands of 4 -> band-signature self-join for candidates -> exact
+    * Jaccard verification. Pairs whose banded signatures never collide
+    * are (by LSH design) not reported, even if their true Jaccard passes
+    * the threshold.
     */
   val q36 = Q(
     "q36_minhash_lsh_pairs",
@@ -73,11 +77,21 @@ object DedupQueries {
       tf AS (SELECT doc_id, toks FROM t WHERE len(toks) >= $ShingleN),
       sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i+1:i+$ShingleN], ' ') AS sh
              FROM tf, LATERAL (SELECT UNNEST(range(0, len(toks) - ${ShingleN - 1})) AS i) g),
-      hashes AS (SELECT doc_id, i, md5(CAST(i AS VARCHAR) || ':' || sh) AS h
-                 FROM sh, (SELECT UNNEST(range(0, $K)) AS i) ii),
-      minh AS (SELECT doc_id, i, MIN(h) AS minh FROM hashes GROUP BY doc_id, i),
+      hx AS (SELECT doc_id, md5(sh) AS h FROM sh),
+      ab AS (SELECT doc_id,
+                    list_reduce(list_prepend(0::HUGEINT, list_transform(range(1, 17),
+                      j -> instr('0123456789abcdef', substr(h, j, 1)) - 1)),
+                      (acc, d) -> acc * 16 + d) AS a,
+                    list_reduce(list_prepend(0::HUGEINT, list_transform(range(17, 33),
+                      j -> instr('0123456789abcdef', substr(h, j, 1)) - 1)),
+                      (acc, d) -> acc * 16 + d) AS b
+             FROM hx),
+      minh AS (SELECT doc_id, i,
+                      MIN((a + i * b) % 18446744073709551616) AS minv
+               FROM ab, (SELECT UNNEST(range(0, $K)) AS i) ii
+               GROUP BY doc_id, i),
       bands AS (SELECT doc_id, i // ${K / Bands} AS band,
-                       string_agg(minh, '|' ORDER BY i) AS sig
+                       string_agg(lpad(CAST(minv AS VARCHAR), 20, '0'), '|' ORDER BY i) AS sig
                 FROM minh GROUP BY doc_id, i // ${K / Bands}),
       cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
                FROM bands a JOIN bands b
