@@ -114,8 +114,19 @@ object Fetch {
 
   /** Fetch every page of one chunk with the reference's adaptive degrade
     * (extract.py:81-101): on an unparseable/oversized response, halve
-    * per_page and recompute the current page from items already consumed;
+    * per_page and recompute the current page from items already fetched;
     * below per_page 1, quarantine the failing height and move on.
+    *
+    * Progress is tracked as the index of the first UNFETCHED item; after
+    * a success on page p the next index is `p * per_page` (what the page
+    * actually covered), never an increment of a running counter — an
+    * increment both drifts when a degraded per_page no longer divides
+    * the fetched prefix (the recomputed page re-covers earlier items)
+    * and can terminate early, silently dropping the chunk tail. When a
+    * mid-chunk degrade lands the recomputed page before the fetched
+    * prefix, the overlap re-emits those items into the raw zone
+    * (page-numbered APIs offer no offset recovery); coverage stays
+    * complete and downstream parse dedup absorbs the repeats.
     *
     * `fetch` is executed executor-side; `countOf` extracts total_count
     * from a page-1 probe. Retries on transient errors are the fetcher's
@@ -130,20 +141,20 @@ object Fetch {
       totalOf: String => Long): Seq[FetchResult] = {
     val total = totalOf(fetch(urlOf(chunk.start, chunk.end, 1, 1)))
     val out = Seq.newBuilder[FetchResult]
-    var consumed = 0L
+    var next = 0L // index of the first item no fetched page has covered
     var perPage = initialPerPage
-    var failedAt = -1L
-    while (consumed < total && failedAt < 0) {
-      val page = (consumed / perPage).toInt + 1
+    var failed = false
+    while (next < total && !failed) {
+      val page = (next / perPage).toInt + 1
       val body = Try(fetch(urlOf(chunk.start, chunk.end, page, perPage))).toOption
       body match {
         case Some(b) =>
           out += FetchResult(chunk.start, chunk.end, page, perPage, Some(b), quarantined = false)
-          consumed += math.min(perPage.toLong, total - consumed)
+          next = math.min(page.toLong * perPage, total)
         case None if perPage > 1 =>
-          perPage = perPage / 2 // degrade and recompute page from consumed
+          perPage = perPage / 2 // degrade and recompute page from next
         case None =>
-          failedAt = consumed // per_page < 1 equivalent: give up, quarantine
+          failed = true // per_page < 1 equivalent: give up, quarantine
           out += FetchResult(chunk.start, chunk.end, page, perPage, None, quarantined = true)
       }
     }

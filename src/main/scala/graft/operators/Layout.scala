@@ -38,8 +38,10 @@ object Layout {
       salts: Int, joinType: String = "inner"): DataFrame = {
     require(salts > 0)
     // dim-side-preserving joins would duplicate unmatched dim rows once
-    // per salt (the dim side is exploded `salts`×) — reject them
-    val supported = Set("inner", "left", "leftouter", "leftsemi", "leftanti", "cross")
+    // per salt (the dim side is exploded `salts`×) — reject them; no
+    // "cross" either (Dataset.join rejects Cross with USING columns, and
+    // a cross join with equi-using keys is just inner)
+    val supported = Set("inner", "left", "leftouter", "leftsemi", "leftanti")
     require(supported.contains(joinType.toLowerCase.replace("_", "")),
       s"saltedJoin supports fact-side-preserving join types only, got '$joinType' " +
         "(right/full outer would emit one row per salt for unmatched dim keys)")

@@ -117,9 +117,25 @@ final class Pipeline(
       // batch's new block files: tx files can arrive in a later batch
       // than their blocks (gap-fill, partial-failure replay), and a
       // batch-local join would strand those rows with null day/month/
-      // year in the hive default partition
-      val allBlocks = spark.read.parquet(s"$parsedRoot/blocks")
-        .withColumn("ts", to_timestamp(col("time")))
+      // year in the hive default partition. On a first run / replay
+      // where tx files precede any blocks batch, the zone doesn't exist
+      // yet — enrich against an empty frame so tx rows land with null
+      // time columns (the documented late-blocks behavior) instead of
+      // failing the whole parse stage on the missing path
+      val blocksZone = Paths.get(s"$parsedRoot/blocks")
+      val allBlocks =
+        if (Files.isDirectory(blocksZone))
+          spark.read.parquet(blocksZone.toString)
+            .withColumn("ts", to_timestamp(col("time")))
+        else
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("height", org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
+              org.apache.spark.sql.types.StructField("day", org.apache.spark.sql.types.StringType),
+              org.apache.spark.sql.types.StructField("month", org.apache.spark.sql.types.StringType),
+              org.apache.spark.sql.types.StructField("year", org.apache.spark.sql.types.StringType))))
       val rawTxs = spark.read.schema(Flatteners.txSchema)
         .option("multiLine", "true")
         .json(txFiles.map(f => s"${rawDir("txs")}/$f"): _*)

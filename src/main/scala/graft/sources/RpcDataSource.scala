@@ -46,10 +46,12 @@ object JavaHttpFetcher {
     * cross-transport contract, and test fetchers pattern-match it raw;
     * escaping is each HTTP transport's job. '%' is encoded too — the
     * builders never emit escapes, so a literal '%' must not be
-    * misread as one. */
+    * misread as one. '#' is encoded too: the builders never need a raw
+    * fragment delimiter, and an unescaped '#' inside a query value would
+    * make java.net.URI silently truncate the query at the fragment. */
   def escapeUrl(url: String): String = {
     val keep = ((('a' to 'z') ++ ('A' to 'Z') ++ ('0' to '9')) ++
-      "-._~!$&'()*+,;=:@/?#").toSet
+      "-._~!$&'()*+,;=:@/?").toSet
     url.flatMap { c =>
       if (keep(c)) c.toString
       else c.toString.getBytes("UTF-8").map(b => f"%%${b & 0xff}%02X").mkString

@@ -127,6 +127,27 @@ class IngestSpec extends AnyFunSuite with SparkSpec {
     assert(res.map(r => (r.page, r.perPage)) == Seq((1, 4), (2, 4), (3, 4)))
   }
 
+  test("mid-chunk degrade never drops the chunk tail (non-dividing per_page)") {
+    // 110 items; per_page 100 serves page 1 then oversizes; halving lands
+    // on 12, which does not divide the 100 already fetched — the
+    // recomputed page re-covers items 96-107 (documented duplication) and
+    // the tail 108-109 must still be fetched. A consumed-counter
+    // recompute (consumed += per_page) claims 110 after page 9 and drops
+    // the tail.
+    def url(s: Long, e: Long, page: Int, perPage: Int) = s"$page:$perPage"
+    def fetchF(u: String): String = {
+      val Array(p, pp) = u.split(":").map(_.toInt)
+      if (u == "1:1" || (p == 1 && pp == 100) || pp <= 12)
+        s"""{"result":{"total_count":"110"}}"""
+      else throw new RuntimeException("oversized")
+    }
+    val res = Fetch.fetchChunk(HeightChunk(1, 200), initialPerPage = 100,
+      fetchF, url, ChainClient.parseTotalCount)
+    assert(res.forall(!_.quarantined))
+    // 100 → 50 → 25 → 12: page 9 covers 96-107, page 10 covers 108-119
+    assert(res.map(r => (r.page, r.perPage)) == Seq((1, 100), (9, 12), (10, 12)))
+  }
+
   test("per_page exhaustion quarantines instead of looping forever") {
     // only the page-1/per_page-1 shape ever succeeds: the count probe and
     // the fully-degraded first page; everything else is "oversized"

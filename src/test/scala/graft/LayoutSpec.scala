@@ -71,6 +71,11 @@ class LayoutSpec extends AnyFunSuite with SparkSpec {
       Layout.saltedJoin(fact, dim, "k", salts = 4, joinType = "full_outer")
     }
     assert(e.getMessage.contains("fact-side-preserving"))
+    // "cross" passes no USING-join validation in Spark either — rejected
+    // up front rather than throwing AnalysisException at runtime
+    intercept[IllegalArgumentException] {
+      Layout.saltedJoin(fact, dim, "k", salts = 4, joinType = "cross")
+    }
   }
 
   test("salted left join keeps unmatched fact rows exactly once") {

@@ -58,6 +58,19 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
       PipelineMain.parseArgs(Seq("--bogus", "1"), env))
   }
 
+  test("parse with tx files but no blocks zone lands rows with null time columns") {
+    // first run / replay where a tx file precedes any blocks batch: the
+    // parse stage must not fail on the missing parsed-blocks path; tx
+    // rows land with null day/month/year (late-blocks enrichment)
+    val root = Files.createTempDirectory("graft-noblocks").toString
+    val pipe = new Pipeline(spark, root, FakeNode.fetch)
+    pipe.extractRange("txs", 1, 5)
+    pipe.parse()
+    val txr = spark.read.parquet(s"$root/parsed/tx_result")
+    assert(txr.count() == 3) // odd heights 1, 3, 5
+    assert(txr.filter("day IS NULL").count() == 3)
+  }
+
   test("full flow: sync + backfill -> parse -> models -> dashboard probe") {
     val root = Files.createTempDirectory("graft-e2e").toString
     val pipe = new Pipeline(spark, root, FakeNode.fetch)

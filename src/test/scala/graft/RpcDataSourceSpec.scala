@@ -90,6 +90,10 @@ class RpcDataSourceSpec extends AnyFunSuite with SparkSpec {
     assert(escapeUrl("""http://n/tx_search?query="tx.height>=1 AND tx.height<=2"""") ==
       "http://n/tx_search?query=%22tx.height%3E=1%20AND%20tx.height%3C=2%22")
     assert(escapeUrl("http://n/a?x=50%") == "http://n/a?x=50%25")
+    // '#' must be encoded, or URI would read it as a fragment delimiter
+    // and silently truncate the query sent to the node
+    assert(escapeUrl("http://n/a?q=x#y") == "http://n/a?q=x%23y")
+    assert(java.net.URI.create(escapeUrl("http://n/a?q=x#y")).getFragment == null)
     // the escaped form is always a valid URI
     java.net.URI.create(escapeUrl("""http://n/p?q="a b" | {c}^d"""))
   }
