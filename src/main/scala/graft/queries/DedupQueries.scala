@@ -47,33 +47,12 @@ object DedupQueries {
   private val K = 16       // minhash functions
   private val Bands = 4    // LSH bands of K/Bands rows each
 
-  /** MinHash + LSH near-dup pairs, verified with exact Jaccard >= 0.5.
-    *
-    * shingle -> one md5 -> K double-hashed minhashes ((a + i*b) mod 2^64
-    * over the digest halves, emitted as 20-digit zero-padded unsigned
-    * decimal so string MIN == unsigned numeric MIN in both engines) ->
-    * 4 bands of 4 -> band-signature self-join for candidates -> exact
-    * Jaccard verification. Pairs whose banded signatures never collide
-    * are (by LSH design) not reported, even if their true Jaccard passes
-    * the threshold.
-    */
-  val q36 = Q(
-    "q36_minhash_lsh_pairs",
-    (s, d) => {
-      // repartition: the synthetic corpus is one small parquet file (one
-      // input split); the signature UDF is CPU-bound, so spread it across
-      // cores — at real scale the scan already has that many splits
-      val docs = Tables.documents(s, d)
-        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-      graft.operators.Dedup
-        .minHashLshPairs(docs, "doc_id", "text",
-          n = ShingleN, k = K, bands = Bands, threshold = 0.5)
-        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
-          round(col("jaccard"), 4).as("jaccard"))
-        .orderBy("doc_a", "doc_b")
-    },
-    Some(s"""
-      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+  /** The MinHash+LSH candidate/verification CTE chain (everything up to
+    * per-pair intersection counts), shared by q36 (verified pairs) and
+    * q51 (transitive clusters over them). No leading WITH: q51 needs
+    * `WITH RECURSIVE`. */
+  private val NearDupCtes = s"""
+      t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
       tf AS (SELECT doc_id, toks FROM t WHERE len(toks) >= $ShingleN),
       sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i+1:i+$ShingleN], ' ') AS sh
              FROM tf, LATERAL (SELECT UNNEST(range(0, len(toks) - ${ShingleN - 1})) AS i) g),
@@ -101,7 +80,35 @@ object DedupQueries {
                 FROM cand c
                 JOIN sh x ON x.doc_id = c.da
                 JOIN sh y ON y.doc_id = c.db AND y.sh = x.sh
-                GROUP BY c.da, c.db)
+                GROUP BY c.da, c.db)"""
+
+  /** MinHash + LSH near-dup pairs, verified with exact Jaccard >= 0.5.
+    *
+    * shingle -> one md5 -> K double-hashed minhashes ((a + i*b) mod 2^64
+    * over the digest halves, emitted as 20-digit zero-padded unsigned
+    * decimal so string MIN == unsigned numeric MIN in both engines) ->
+    * 4 bands of 4 -> band-signature self-join for candidates -> exact
+    * Jaccard verification. Pairs whose banded signatures never collide
+    * are (by LSH design) not reported, even if their true Jaccard passes
+    * the threshold.
+    */
+  val q36 = Q(
+    "q36_minhash_lsh_pairs",
+    (s, d) => {
+      // repartition: the synthetic corpus is one small parquet file (one
+      // input split); the signature UDF is CPU-bound, so spread it across
+      // cores — at real scale the scan already has that many splits
+      val docs = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      graft.operators.Dedup
+        .minHashLshPairs(docs, "doc_id", "text",
+          n = ShingleN, k = K, bands = Bands, threshold = 0.5)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+          round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    },
+    Some(s"""
+      WITH $NearDupCtes
       SELECT i.da AS doc_a, i.db AS doc_b,
              ROUND(CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter), 4) AS jaccard
       FROM inter i
@@ -109,6 +116,40 @@ object DedupQueries {
       JOIN sizes sb ON i.db = sb.doc_id
       WHERE CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter) >= 0.5
       ORDER BY doc_a, doc_b"""))
+
+  /** Transitive near-duplicate clusters over the q36 pair graph: every
+    * doc in a verified pair labeled with the smallest doc_id reachable
+    * through pairs (the cluster representative a keep-one-per-cluster
+    * dedup pass would retain). Spark side: iterative min-label
+    * propagation (operators.Dedup.duplicateClusters); oracle side: a
+    * recursive-CTE transitive closure over the same verified pairs. */
+  val q51 = Q(
+    "q51_dup_clusters",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      val pairs = graft.operators.Dedup
+        .minHashLshPairs(docs, "doc_id", "text",
+          n = ShingleN, k = K, bands = Bands, threshold = 0.5)
+        .select("id_a", "id_b")
+      graft.operators.Dedup.duplicateClusters(pairs)
+        .select(col("id").as("doc_id"), col("cluster"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH RECURSIVE $NearDupCtes,
+      verified AS (SELECT i.da, i.db
+                   FROM inter i
+                   JOIN sizes sa ON i.da = sa.doc_id
+                   JOIN sizes sb ON i.db = sb.doc_id
+                   WHERE CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter) >= 0.5),
+      edges AS (SELECT da AS a, db AS b FROM verified
+                UNION SELECT db, da FROM verified),
+      reach AS (SELECT a, b FROM edges
+                UNION
+                SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+      SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster
+      FROM reach GROUP BY a ORDER BY doc_id"""))
 
   /** 64-bit SimHash per document as a 16-hex-char signature.
     *
@@ -261,5 +302,5 @@ object DedupQueries {
       GROUP BY 1, 2 HAVING COUNT(*) >= 3
       ORDER BY doc_a, doc_b"""))
 
-  def all: Seq[Q] = Seq(q36, q37, q38, q45, q47)
+  def all: Seq[Q] = Seq(q36, q37, q38, q45, q47, q51)
 }

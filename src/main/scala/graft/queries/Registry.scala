@@ -23,7 +23,7 @@ final case class Q(
 object Registry {
   def all: Seq[Q] =
     RelationalQueries.all ++ TextQueries.all ++ SimilarityQueries.all ++
-      DedupQueries.all ++ MultimodalQueries.all
+      DedupQueries.all ++ MultimodalQueries.all ++ TemporalQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.spark).toMap

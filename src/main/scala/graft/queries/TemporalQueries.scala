@@ -1,0 +1,96 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.TemporalJoin
+
+/** Point-in-time operators over the `events` stream table: as-of join
+  * and interval (range) join — feature-engineering staples (latest state
+  * at event time, activity inside a sliding window) that Spark has no
+  * built-in operator for. See operators.TemporalJoin for the scale
+  * design; these entries pin the semantics against DuckDB's native
+  * ASOF JOIN and inequality-join executors.
+  *
+  * Determinism: (user_id, ts) is unique per event type in the synthetic
+  * data (asserted in data checks), so latest-preceding lookups are
+  * well-defined; output timestamps are formatted to strings at
+  * microsecond precision (Spark truncates the ns source to µs; DuckDB
+  * keeps ns, so the oracle truncates with epoch_us arithmetic).
+  */
+object TemporalQueries {
+
+  /** For every purchase event, the user's latest click at-or-before the
+    * purchase (ASOF semantics), with its value; null when the purchase
+    * precedes every click. */
+  val q49 = Q(
+    "q49_asof_join",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"),
+          col("value").as("click_value"))
+      TemporalJoin.asOf(purchases, clicks, "user_id",
+          leftTime = "ts", rightTime = "click_ts",
+          rightCols = Seq("click_ts", "click_value"))
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("purchase_ts"),
+          date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("last_click_ts"),
+          // raw passthrough: an untouched double is bit-identical in both
+          // engines; ROUND would reintroduce engine-specific rounding
+          col("click_value"))
+        .orderBy("event_id")
+    },
+    Some("""
+      WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+      c AS (SELECT user_id, ts AS click_ts, value AS click_value
+            FROM events WHERE event_type = 'click')
+      SELECT p.event_id, p.user_id,
+             strftime(make_timestamp(epoch_us(p.ts)), '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+             strftime(make_timestamp(epoch_us(c.click_ts)), '%Y-%m-%d %H:%M:%S.%f') AS last_click_ts,
+             c.click_value
+      FROM p ASOF LEFT JOIN c
+        ON p.user_id = c.user_id AND p.ts >= c.click_ts
+      ORDER BY event_id"""))
+
+  /** Per purchase event: how many clicks the same user made in the 15
+    * minutes before it (clicks in [ts - 15min, ts), zero-extended) — the
+    * bucketized interval join (operators.TemporalJoin.intervalJoin)
+    * aggregated per left row. */
+  val q50 = Q(
+    "q50_interval_join",
+    (s, d) => {
+      val Min15 = 15L * 60 * 1000 * 1000
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"),
+          col("event_id").as("click_id"))
+      val pairs = TemporalJoin.intervalJoin(purchases, clicks, "user_id",
+        leftTime = "ts", rightTime = "click_ts",
+        lowerMicros = -Min15, upperMicros = 0L)
+      val counts = pairs.groupBy("event_id")
+        .agg(count(lit(1)).as("n_recent_clicks"))
+      purchases
+        .join(counts, Seq("event_id"), "left")
+        .select(col("event_id"), col("user_id"),
+          coalesce(col("n_recent_clicks"), lit(0L)).as("n_recent_clicks"))
+        .orderBy("event_id")
+    },
+    Some("""
+      WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+      c AS (SELECT user_id, ts AS click_ts FROM events WHERE event_type = 'click')
+      SELECT p.event_id, p.user_id,
+             CAST(COUNT(c.click_ts) AS BIGINT) AS n_recent_clicks
+      FROM p LEFT JOIN c
+        ON p.user_id = c.user_id
+       AND c.click_ts >= p.ts - INTERVAL 15 MINUTE
+       AND c.click_ts < p.ts
+      GROUP BY p.event_id, p.user_id
+      ORDER BY event_id"""))
+
+  def all: Seq[Q] = Seq(q49, q50)
+}

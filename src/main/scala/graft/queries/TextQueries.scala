@@ -238,5 +238,102 @@ object TextQueries {
                (a, b) -> (a * 31 + b) % 1000000007) AS rh
       FROM documents ORDER BY doc_id"""))
 
-  def all: Seq[Q] = Seq(q28, q29, q30, q31, q32, q33, q41, q43, q44)
+  /** Text canonicalization for fuzzy-exact dedup: lowercase, mask digit
+    * runs, strip punctuation, collapse whitespace — then fingerprint the
+    * canonical form. Docs whose canonical md5 collides are
+    * format-variant duplicates that byte-exact dedup (q31) misses.
+    * Regex replace is global in Spark by default; the oracle passes 'g'.
+    */
+  val q52 = Q(
+    "q52_canonical_fp",
+    (s, d) => {
+      val canon = trim(regexp_replace(regexp_replace(regexp_replace(
+        lower(col("text")), "[0-9]+", "0"), "[^a-z0-9 ]", " "), " +", " "))
+      Tables.documents(s, d)
+        .select(col("doc_id"), canon.as("canon"))
+        .select(col("doc_id"), md5(col("canon")).as("canon_fp"),
+          size(split(col("canon"), " ")).cast("long").as("n_canon_tokens"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH c AS (SELECT doc_id,
+                        trim(regexp_replace(regexp_replace(regexp_replace(
+                          lower(text), '[0-9]+', '0', 'g'),
+                          '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS canon
+                 FROM documents)
+      SELECT doc_id, md5(canon) AS canon_fp,
+             CAST(len(string_split(canon, ' ')) AS BIGINT) AS n_canon_tokens
+      FROM c ORDER BY doc_id"""))
+
+  /** TF-IDF top terms: the 3 highest-scoring terms per document, score =
+    * tf * ln(N / df). Scores are rounded to 4dp BEFORE ranking (ln may
+    * differ in the last ulp across engines) and ties break on the term
+    * itself, so the top-3 set is deterministic. */
+  val q53 = Q(
+    "q53_tfidf_top_terms",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val toks = docs.select(col("doc_id"),
+        explode(split(lower(col("text")), " ")).as("term"))
+      val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val n = docs.select(count(lit(1)).as("n_docs"))
+      val scored = tf.join(df, "term").crossJoin(broadcast(n))
+        .withColumn("score",
+          round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("term"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("rank").cast("long").as("rank"),
+          col("term"), col("score"))
+        .orderBy("doc_id", "rank")
+    },
+    Some("""
+      WITH toks AS (SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS term
+                    FROM documents),
+      tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+      df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+      n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      scored AS (SELECT tf.doc_id, tf.term,
+                        ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 4) AS score
+                 FROM tf JOIN df USING (term), n),
+      ranked AS (SELECT doc_id, term, score,
+                        ROW_NUMBER() OVER (PARTITION BY doc_id
+                          ORDER BY score DESC, term) AS rank
+                 FROM scored)
+      SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, score
+      FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank"""))
+
+  /** Repetition ratio (a Gopher-style quality signal): the fraction of a
+    * document's word bigrams that are repeats of an earlier bigram.
+    * Exact-integer ratio — deterministic across engines. */
+  val q54 = Q(
+    "q54_repetition_ratio",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(col("doc_id"),
+          expr("transform(sequence(0, size(toks) - 2), i -> array_join(slice(toks, i + 1, 2), ' '))")
+            .as("bigrams"))
+        .select(col("doc_id"),
+          size(col("bigrams")).cast("long").as("n_bigrams"),
+          size(array_distinct(col("bigrams"))).cast("long").as("n_distinct"))
+        .withColumn("rep_ratio",
+          round(lit(1.0) - col("n_distinct").cast("double") / col("n_bigrams"), 4))
+        .orderBy("doc_id"),
+    Some("""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      b AS (SELECT doc_id,
+                   list_transform(range(0, len(toks) - 1),
+                     i -> array_to_string(toks[i+1:i+2], ' ')) AS bigrams
+            FROM t WHERE len(toks) >= 2)
+      SELECT doc_id, CAST(len(bigrams) AS BIGINT) AS n_bigrams,
+             CAST(len(list_distinct(bigrams)) AS BIGINT) AS n_distinct,
+             ROUND(1.0 - CAST(len(list_distinct(bigrams)) AS DOUBLE) / len(bigrams), 4) AS rep_ratio
+      FROM b ORDER BY doc_id"""))
+
+  def all: Seq[Q] =
+    Seq(q28, q29, q30, q31, q32, q33, q41, q43, q44, q52, q53, q54)
 }

@@ -1,0 +1,66 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.TemporalJoin
+
+class TemporalJoinSpec extends AnyFunSuite with SparkSpec {
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("asOf picks the latest right row at-or-before each left row, per key") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, "k1", ts("2024-01-01 10:00:00")),  // after both k1 rights
+      (2L, "k1", ts("2024-01-01 08:30:00")),  // between the two
+      (3L, "k1", ts("2024-01-01 08:00:00")),  // EQUAL to a right ts → inclusive
+      (4L, "k1", ts("2024-01-01 07:00:00")),  // before every right → null
+      (5L, "k2", ts("2024-01-01 10:00:00"))   // key with no right rows → null
+    ).toDF("id", "k", "t")
+    val right = Seq(
+      ("k1", ts("2024-01-01 08:00:00"), "a"),
+      ("k1", ts("2024-01-01 09:00:00"), "b")
+    ).toDF("k", "rt", "v")
+    val out = TemporalJoin.asOf(left, right, "k", "t", "rt", Seq("rt", "v"))
+      .orderBy("id").collect()
+    assert(out.map(r => (r.getAs[Long]("id"), r.getAs[String]("v"))).toSeq ==
+      Seq((1L, "b"), (2L, "a"), (3L, "a"), (4L, null), (5L, null)))
+    // left row count is preserved exactly (no explosion, no drops)
+    assert(out.length == 5)
+  }
+
+  test("asOf rejects colliding right column names") {
+    import spark.implicits._
+    val l = Seq((1L, "k", ts("2024-01-01 00:00:00"))).toDF("id", "k", "t")
+    val r = Seq(("k", ts("2024-01-01 00:00:00"))).toDF("k", "t")
+    intercept[IllegalArgumentException](
+      TemporalJoin.asOf(l, r, "k", "t", "t", Seq("t")))
+  }
+
+  test("intervalJoin: inclusive lower, exclusive upper, matches across bucket edges") {
+    import spark.implicits._
+    val min15 = 15L * 60 * 1000 * 1000
+    val left = Seq((1L, "u", ts("2024-01-01 10:00:00"))).toDF("id", "u", "t")
+    val right = Seq(
+      ("u", 10L, ts("2024-01-01 09:45:00")), // == t - 15min → inclusive
+      ("u", 11L, ts("2024-01-01 09:44:59")), // just outside
+      ("u", 12L, ts("2024-01-01 09:59:59")), // inside, same bucket as t
+      ("u", 13L, ts("2024-01-01 10:00:00")), // == t → exclusive upper
+      ("u", 14L, ts("2024-01-01 09:50:00"))  // inside, previous bucket
+    ).toDF("u", "rid", "rt")
+    val got = TemporalJoin
+      .intervalJoin(left, right, "u", "t", "rt", -min15, 0L)
+      .select("rid").as[Long].collect().sorted.toSeq
+    assert(got == Seq(10L, 12L, 14L))
+  }
+
+  test("intervalJoin rejects shared non-key columns") {
+    import spark.implicits._
+    val l = Seq((1L, "u", ts("2024-01-01 00:00:00"))).toDF("id", "u", "t")
+    val r = Seq((2L, "u", ts("2024-01-01 00:00:00"))).toDF("id", "u", "rt")
+    intercept[IllegalArgumentException](
+      TemporalJoin.intervalJoin(l, r, "u", "t", "rt", -1000000L, 0L))
+  }
+}
