@@ -48,11 +48,12 @@ object DedupQueries {
   private val Bands = 4    // LSH bands of K/Bands rows each
 
   /** The MinHash+LSH candidate/verification CTE chain (everything up to
-    * per-pair intersection counts), shared by q36 (verified pairs) and
-    * q51 (transitive clusters over them). No leading WITH: q51 needs
-    * `WITH RECURSIVE`. */
-  private val NearDupCtes = s"""
-      t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    * per-pair intersection counts) over the relation `src(doc_id, text)`,
+    * shared by q36 (verified pairs), q51 (transitive clusters) and q55
+    * (curation, where it runs on quality/exact-dedup survivors). No
+    * leading WITH: q51/q55 need `WITH RECURSIVE`. */
+  private def nearDupCtes(src: String): String = s"""
+      t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM $src),
       tf AS (SELECT doc_id, toks FROM t WHERE len(toks) >= $ShingleN),
       sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i+1:i+$ShingleN], ' ') AS sh
              FROM tf, LATERAL (SELECT UNNEST(range(0, len(toks) - ${ShingleN - 1})) AS i) g),
@@ -108,7 +109,7 @@ object DedupQueries {
         .orderBy("doc_a", "doc_b")
     },
     Some(s"""
-      WITH $NearDupCtes
+      WITH ${nearDupCtes("documents")}
       SELECT i.da AS doc_a, i.db AS doc_b,
              ROUND(CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter), 4) AS jaccard
       FROM inter i
@@ -137,7 +138,7 @@ object DedupQueries {
         .orderBy("doc_id")
     },
     Some(s"""
-      WITH RECURSIVE $NearDupCtes,
+      WITH RECURSIVE ${nearDupCtes("documents")},
       verified AS (SELECT i.da, i.db
                    FROM inter i
                    JOIN sizes sa ON i.da = sa.doc_id
@@ -150,6 +151,52 @@ object DedupQueries {
                 SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
       SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster
       FROM reach GROUP BY a ORDER BY doc_id"""))
+
+  /** Full corpus-curation pass (operators.CorpusPipeline.curate): quality
+    * gate (10..100000 tokens) → keep-first exact dedup → transitive
+    * MinHash-LSH near-dedup (clusters keep their lowest id) → annotate
+    * survivors with content fingerprint + token count. The oracle mirrors
+    * every stage, with the LSH chain running on the quality/exact
+    * survivors exactly as the pipeline composes it. */
+  val q55 = Q(
+    "q55_curate",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      val (out, _) = graft.operators.CorpusPipeline
+        .curate(docs, "doc_id", "text", minTokens = 10, nearDupThreshold = 0.5)
+      val res = out
+        .select(col("doc_id"), col("fingerprint"),
+          col("n_tokens").cast("long").as("n_tokens"))
+        .orderBy("doc_id")
+        .localCheckpoint(true) // materialize before curate's frame unpersists
+      out.unpersist()
+      res
+    },
+    Some(s"""
+      WITH RECURSIVE q AS (SELECT doc_id, text FROM documents
+                           WHERE len(string_split(text, ' ')) BETWEEN 10 AND 100000),
+      ex AS (SELECT doc_id, text FROM (
+               SELECT doc_id, text, MIN(doc_id) OVER (PARTITION BY text) AS keeper
+               FROM q) WHERE doc_id = keeper),
+      ${nearDupCtes("ex")},
+      verified AS (SELECT i.da, i.db
+                   FROM inter i
+                   JOIN sizes sa ON i.da = sa.doc_id
+                   JOIN sizes sb ON i.db = sb.doc_id
+                   WHERE CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter) >= 0.5),
+      edges AS (SELECT da AS a, db AS b FROM verified
+                UNION SELECT db, da FROM verified),
+      reach AS (SELECT a, b FROM edges
+                UNION
+                SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      losers AS (SELECT a AS doc_id FROM reach GROUP BY a
+                 HAVING LEAST(a, MIN(b)) <> a)
+      SELECT e.doc_id, md5(e.text) AS fingerprint,
+             CAST(len(string_split(e.text, ' ')) AS BIGINT) AS n_tokens
+      FROM ex e
+      WHERE e.doc_id NOT IN (SELECT doc_id FROM losers)
+      ORDER BY doc_id"""))
 
   /** 64-bit SimHash per document as a 16-hex-char signature.
     *
@@ -302,5 +349,5 @@ object DedupQueries {
       GROUP BY 1, 2 HAVING COUNT(*) >= 3
       ORDER BY doc_a, doc_b"""))
 
-  def all: Seq[Q] = Seq(q36, q37, q38, q45, q47, q51)
+  def all: Seq[Q] = Seq(q36, q37, q38, q45, q47, q51, q55)
 }

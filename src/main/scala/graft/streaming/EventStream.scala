@@ -74,6 +74,24 @@ object EventStream {
   def dedupedStream(events: DataFrame, lateness: String = "1 hour"): DataFrame =
     events.withWatermark("ts", lateness).dropDuplicates("event_id", "ts")
 
+  /** Streaming dedup on the business key alone: a re-delivery whose
+    * retry carries a DIFFERENT event time (producer re-stamped it) still
+    * collapses, which (id, ts)-dedup misses. State per key is evicted
+    * once the watermark passes its event time + the delay — the Spark
+    * 3.5+ `dropDuplicatesWithinWatermark` operator. */
+  def dedupedByKeyWithinWatermark(events: DataFrame,
+      lateness: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Stream-static enrichment join — the streaming analog of the
+    * pipeline's time-enrichment (Flatteners.enrichTime): every
+    * micro-batch joins against the static dimension snapshot; the dim is
+    * broadcast so the stream side never shuffles. Narrow + stateless:
+    * nothing accumulates between batches. */
+  def enrichStream(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   // --- event-time sessionization via flatMapGroupsWithState ---
 
   final case class Ev(event_id: Long, ts: Timestamp, user_id: Long,

@@ -120,6 +120,44 @@ class EventStreamSpec extends AnyFunSuite with SparkSpec {
     assert(ids.toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("key-only streaming dedup collapses re-deliveries with re-stamped event times") {
+    val (in, chk) = newDirs()
+    val out = Files.createTempDirectory("graft-dedup2-out").toString
+    drop(in, "a.json",
+      ev(1, "2024-01-01T00:10:00Z", 1, "click", 1.0),
+      // same event_id re-delivered with a DIFFERENT ts in the same batch:
+      // (id, ts)-dedup would keep both; key-only dedup must not
+      ev(1, "2024-01-01T00:12:00Z", 1, "click", 1.0),
+      ev(2, "2024-01-01T00:20:00Z", 1, "view", 2.0))
+    val deduped = EventStream.dedupedByKeyWithinWatermark(
+      EventStream.jsonFileStream(spark, in, EventStream.eventSchema))
+    EventStream.runAvailableNowToParquet(deduped, out, chk).awaitTermination()
+    // next batch: another re-stamped re-delivery of 1, plus a new event
+    drop(in, "b.json",
+      ev(1, "2024-01-01T00:14:00Z", 1, "click", 1.0),
+      ev(3, "2024-01-01T00:25:00Z", 2, "click", 3.0))
+    EventStream.runAvailableNowToParquet(deduped, out, chk).awaitTermination()
+    val ids = spark.read.parquet(out).collect().map(_.getAs[Long]("event_id")).sorted
+    assert(ids.toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("stream-static enrichment broadcasts the dim; the stream side keeps flowing") {
+    import spark.implicits._
+    val (in, chk) = newDirs()
+    val out = Files.createTempDirectory("graft-enrich-out").toString
+    drop(in, "a.json",
+      ev(1, "2024-01-01T00:10:00Z", 10, "click", 1.0),
+      ev(2, "2024-01-01T00:20:00Z", 11, "view", 2.0),
+      ev(3, "2024-01-01T00:30:00Z", 99, "view", 3.0)) // no dim row → null
+    val dim = Seq((10L, "gold"), (11L, "silver")).toDF("user_id", "tier")
+    val enriched = EventStream.enrichStream(
+      EventStream.jsonFileStream(spark, in, EventStream.eventSchema), dim, "user_id")
+    EventStream.runAvailableNowToParquet(enriched, out, chk).awaitTermination()
+    val got = spark.read.parquet(out).collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[String]("tier"))).sortBy(_._1)
+    assert(got.toSeq == Seq((1L, "gold"), (2L, "silver"), (3L, null)))
+  }
+
   test("streaming LSH near-dup filter: later near-copies hit the earlier owner's buckets") {
     val (in, chk) = newDirs()
     val out = Files.createTempDirectory("graft-lsh-out").toString

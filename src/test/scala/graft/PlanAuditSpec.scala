@@ -91,6 +91,36 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert("BroadcastNestedLoopJoin|BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
   }
 
+  test("q49: as-of join is window-over-union — no join operator, one exchange per side") {
+    val p = plan(run("q49_asof_join"))
+    // the whole point of the union-tag shape: no join at all, so no
+    // per-key cross product to explode on hot keys
+    assert(!p.contains("Join"), p)
+    assert(p.contains("Window"), p)
+    // both sides shuffle by key into the window, nothing else moves
+    // (plus the final presentation sort's range exchange)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
+  test("q50: interval join is a single equi shuffle join on (key, bucket)") {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1") // at real scale neither side broadcasts
+      val p = plan(run("q50_interval_join"))
+      // bucketized: equi-join on (user_id, __bucket) — never a
+      // nested-loop/range join, which degenerates per key
+      assert("SortMergeJoin|ShuffledHashJoin".r.findAllIn(p).nonEmpty, p)
+      assert(!p.contains("BroadcastNestedLoopJoin"), p)
+      assert(!p.contains("CartesianProduct"), p)
+    } finally spark.conf.set(key, prev)
+  }
+
+  test("q53: the corpus-size scalar is broadcast, not shuffled against tf") {
+    val p = plan(run("q53_tfidf_top_terms"))
+    assert(p.contains("BroadcastNestedLoopJoin"), p) // 1-row N cross join
+  }
+
   test("events scan converts nanos without breaking codegen") {
     val p = plan(Tables.events(spark, d).filter(col("event_type") === "click")
       .select("event_id", "ts"))
