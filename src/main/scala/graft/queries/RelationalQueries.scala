@@ -574,8 +574,96 @@ object RelationalQueries {
              TRUE AS within_5pct
       FROM events GROUP BY event_type ORDER BY event_type"""))
 
+  /** Exact interpolated percentiles of order value per priority class —
+    * distribution analytics (Spark `percentile` == DuckDB
+    * `quantile_cont`: both linear-interpolate on the sorted values;
+    * outputs rounded to 4dp to absorb last-ulp arithmetic-order
+    * differences). At scale the exact percentile is a sort-based
+    * aggregate per group; the approximate path (percentile_approx /
+    * t-digest) trades that for a mergeable sketch — kept exact here so
+    * the oracle can mirror it. */
+  val q56 = Q(
+    "q56_percentiles",
+    (s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .agg(
+          count(lit(1)).as("n"),
+          round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+          round(expr("percentile(o_totalprice, 0.99)"), 4).as("p99"))
+        .orderBy("o_orderpriority"),
+    Some("""
+      SELECT o_orderpriority, COUNT(*) AS n,
+             ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+             ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+             ROUND(quantile_cont(o_totalprice, 0.99), 4) AS p99
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
+  /** ROLLUP aggregate: revenue by (returnflag, linestatus) with subtotal
+    * and grand-total rows. Group keys surface as 'ALL' on rolled-up
+    * levels so row ordering is total in both engines (decimal-exact sum,
+    * double only at the end). */
+  val q57 = Q(
+    "q57_rollup_revenue",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_linestatus"),
+          (col("l_extendedprice").cast(DecimalType(18, 2)) *
+            (lit(java.math.BigDecimal.ONE).cast(DecimalType(18, 2)) -
+              col("l_discount").cast(DecimalType(18, 2)))).as("rev"))
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), sum(col("rev")).as("revenue"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("n"), col("revenue").cast("double").as("revenue"))
+        .orderBy("returnflag", "linestatus"),
+    Some("""
+      SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+             COALESCE(l_linestatus, 'ALL') AS linestatus,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+                  AS DOUBLE) AS revenue
+      FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      ORDER BY returnflag, linestatus"""))
+
+  /** Inter-event gap statistics per user (lead/lag window family): gaps
+    * are exact integer microsecond differences; the average divides the
+    * exact sum once in double. */
+  val q58 = Q(
+    "q58_event_gaps",
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, d)
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+        .withColumn("gap_us", unix_micros(col("ts")) - col("prev_us"))
+        .filter(col("gap_us").isNotNull)
+        .groupBy("user_id")
+        .agg(
+          count(lit(1)).as("n_gaps"),
+          sum(col("gap_us")).as("sum_gap_us"),
+          max(col("gap_us")).as("max_gap_us"))
+        .select(col("user_id"), col("n_gaps"),
+          round(col("sum_gap_us").cast("double") / col("n_gaps") / lit(1e6), 4)
+            .as("avg_gap_sec"),
+          (col("max_gap_us").cast("double") / lit(1e6)).as("max_gap_sec"))
+        .orderBy("user_id")
+    },
+    Some("""
+      WITH g AS (SELECT user_id,
+                        epoch_us(ts) - LAG(epoch_us(ts), 1) OVER (
+                          PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+                 FROM events)
+      SELECT user_id, COUNT(*) AS n_gaps,
+             ROUND(CAST(CAST(SUM(gap_us) AS BIGINT) AS DOUBLE) / COUNT(*) / 1e6, 4) AS avg_gap_sec,
+             CAST(MAX(gap_us) AS DOUBLE) / 1e6 AS max_gap_sec
+      FROM g WHERE gap_us IS NOT NULL
+      GROUP BY user_id ORDER BY user_id"""))
+
   def all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
-    q21, q22, q23, q24, q25, q26, q27, q46)
+    q21, q22, q23, q24, q25, q26, q27, q46, q56, q57, q58)
 }
