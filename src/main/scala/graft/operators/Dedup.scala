@@ -136,16 +136,16 @@ object Dedup {
           .withColumnRenamed("cluster", "ncluster"), "dst")
         .groupBy(col("src").as("id"))
         .agg(min("ncluster").as("ncluster"))
-      val next = labels.join(viaNeighbor, Seq("id"), "left")
-        .select(col("id"),
+      // carry the previous label through the checkpoint so convergence is
+      // a narrow filter over the materialized step — not a second
+      // shuffle join of next against labels per iteration
+      val step = labels.join(viaNeighbor, Seq("id"), "left")
+        .select(col("id"), col("cluster").as("__prev"),
           least(col("cluster"), coalesce(col("ncluster"), col("cluster"))).as("cluster"))
         .localCheckpoint(true)
-      converged = next.withColumnRenamed("cluster", "__c_next")
-        .join(labels.withColumnRenamed("cluster", "__c_prev"), Seq("id"))
-        .filter(col("__c_next") =!= col("__c_prev"))
-        .isEmpty
+      converged = step.filter(col("cluster") =!= col("__prev")).isEmpty
       labels.unpersist() // release the superseded checkpoint's blocks
-      labels = next
+      labels = step.drop("__prev")
       i += 1
     }
     edges.unpersist()

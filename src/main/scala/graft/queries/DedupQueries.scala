@@ -161,8 +161,11 @@ object DedupQueries {
   val q55 = Q(
     "q55_curate",
     (s, d) => {
+      // no outer repartition here (unlike q36): the exact-dedup window
+      // inside curate already shuffles the corpus across cores before
+      // the CPU-bound LSH stage, and an extra exchange would be re-paid
+      // by every audit count
       val docs = Tables.documents(s, d)
-        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       val (out, _) = graft.operators.CorpusPipeline
         .curate(docs, "doc_id", "text", minTokens = 10, nearDupThreshold = 0.5)
       val res = out
