@@ -5,8 +5,13 @@ import java.security.MessageDigest
 
 import org.apache.spark.sql.{Column, Encoder, Encoders}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions.udaf
+import org.apache.spark.sql.types.{ArrayType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** One-pass typed aggregators for the text-dedup hot paths.
   *
@@ -67,6 +72,32 @@ object TextHashAggregators {
     * array, so the signature needs no data movement at all. Duplicate
     * shingles cannot change an element-wise min, so the caller may pass
     * shingles with repeats. */
+  /** Fold one shingle digest into the element-wise-min accumulator:
+    * hash i is `(a + i*b) mod 2^64` over the digest halves (wrapping
+    * add), compared unsigned. */
+  private def foldDigestInto(mins: Array[Long], d: Array[Byte], k: Int): Unit = {
+    var a = 0L
+    var b = 0L
+    var j = 0
+    while (j < 8) {
+      a = (a << 8) | (d(j) & 0xffL)
+      b = (b << 8) | (d(j + 8) & 0xffL)
+      j += 1
+    }
+    var i = 0
+    var h = a // h after i steps = (a + i*b) mod 2^64 (wrapping add)
+    while (i < k) {
+      if (java.lang.Long.compareUnsigned(h, mins(i)) < 0) mins(i) = h
+      h += b
+      i += 1
+    }
+  }
+
+  private def pad20(m: Long): String = {
+    val s = java.lang.Long.toUnsignedString(m)
+    "00000000000000000000".substring(s.length) + s
+  }
+
   def minhashSignature(shingles: Seq[String], k: Int): Seq[String] = {
     val mins = Array.fill[Long](k)(-1L) // unsigned max
     var any = false
@@ -74,28 +105,36 @@ object TextHashAggregators {
       any = true
       val md = digests.get()
       md.reset()
-      val d = md.digest(sh.getBytes(StandardCharsets.UTF_8))
-      var a = 0L
-      var b = 0L
-      var j = 0
-      while (j < 8) {
-        a = (a << 8) | (d(j) & 0xffL)
-        b = (b << 8) | (d(j + 8) & 0xffL)
-        j += 1
-      }
-      var i = 0
-      var h = a // h after i steps = (a + i*b) mod 2^64 (wrapping add)
-      while (i < k) {
-        if (java.lang.Long.compareUnsigned(h, mins(i)) < 0) mins(i) = h
-        h += b
-        i += 1
-      }
+      foldDigestInto(mins, md.digest(sh.getBytes(StandardCharsets.UTF_8)), k)
     }
     if (!any) Seq.fill[String](k)(null)
-    else mins.toSeq.map { m =>
-      val s = java.lang.Long.toUnsignedString(m)
-      "00000000000000000000".substring(s.length) + s
+    else mins.toSeq.map(pad20)
+  }
+
+  /** Catalyst-facing minhash kernel: same signature as
+    * [[minhashSignature]] but over Tungsten types — md5 runs on the
+    * UTF8String's raw bytes, no per-element java.lang.String is ever
+    * materialized, and the result array is built as UTF8Strings
+    * directly. Invoked via `StaticInvoke` (see [[minhash]]) so the
+    * projection stays a direct call inside whole-stage codegen instead
+    * of a ScalaUDF with converter round-trips on every row. */
+  def minhashArrayData(shingles: ArrayData, k: Int): ArrayData = {
+    val n = shingles.numElements()
+    if (n == 0) return new GenericArrayData(new Array[Any](k)) // all-null
+    val mins = Array.fill[Long](k)(-1L)
+    val md = digests.get()
+    var idx = 0
+    while (idx < n) {
+      if (!shingles.isNullAt(idx)) {
+        md.reset()
+        foldDigestInto(mins, md.digest(shingles.getUTF8String(idx).getBytes), k)
+      }
+      idx += 1
     }
+    val out = new Array[Any](k)
+    var i = 0
+    while (i < k) { out(i) = UTF8String.fromString(pad20(mins(i))); i += 1 }
+    new GenericArrayData(out)
   }
 
   /** SimHash over md5(token): 64 bit-vote counters (+1 set / −1 clear per
@@ -178,16 +217,72 @@ object TextHashAggregators {
     sb.toString
   }
 
+  /** Catalyst-facing simhash kernel over a Tungsten token array — same
+    * result as [[simhashSignature]] (distinct-token md5 nibble votes,
+    * sum>0 rule), UTF8String-native like [[minhashArrayData]]. */
+  def simhashArrayData(tokens: ArrayData): UTF8String = {
+    val acc = new Array[Int](64)
+    val seen = new java.util.HashSet[UTF8String]()
+    val md = digests.get()
+    val n = tokens.numElements()
+    var idx = 0
+    while (idx < n) {
+      if (!tokens.isNullAt(idx)) {
+        val tok = tokens.getUTF8String(idx)
+        if (seen.add(tok)) {
+          md.reset()
+          val d = md.digest(tok.getBytes)
+          // hex digit p of md5hex(tok) = nibble p of the digest bytes
+          var p = 0
+          while (p < 16) {
+            val digit =
+              if ((p & 1) == 0) (d(p / 2) >> 4) & 0xf else d(p / 2) & 0xf
+            var b = 0
+            while (b < 4) {
+              acc(p * 4 + b) += (if (((digit >> b) & 1) == 1) 1 else -1)
+              b += 1
+            }
+            p += 1
+          }
+        }
+      }
+      idx += 1
+    }
+    val sb = new java.lang.StringBuilder(16)
+    var p = 0
+    while (p < 16) {
+      var digit = 0
+      var b = 0
+      while (b < 4) {
+        if (acc(p * 4 + b) > 0) digit |= (1 << b)
+        b += 1
+      }
+      sb.append("0123456789abcdef".charAt(digit))
+      p += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
   /** minhash(shingleArrayCol) → array<string> of K element-wise min
-    * hashes, computed per row (narrow, shuffle-free). */
+    * hashes, computed per row (narrow, shuffle-free). StaticInvoke keeps
+    * the call a direct codegen'd invocation on Tungsten types — no
+    * ScalaUDF converter round-trip. */
   def minhash(shingleArray: Column, k: Int = 16): Column =
-    org.apache.spark.sql.functions.udf(
-      (sh: Seq[String]) => minhashSignature(sh, k)).apply(shingleArray)
+    org.apache.spark.sql.GraftBridge.column(StaticInvoke(
+      TextHashAggregators.getClass,
+      ArrayType(StringType),
+      "minhashArrayData",
+      Seq(org.apache.spark.sql.GraftBridge.expression(shingleArray), Literal(k)),
+      returnNullable = false))
 
   /** simhash of a token array column per row (narrow, shuffle-free). */
   def simhashOfTokens(tokens: Column): Column =
-    org.apache.spark.sql.functions.udf(
-      (toks: Seq[String]) => simhashSignature(toks)).apply(tokens)
+    org.apache.spark.sql.GraftBridge.column(StaticInvoke(
+      TextHashAggregators.getClass,
+      StringType,
+      "simhashArrayData",
+      Seq(org.apache.spark.sql.GraftBridge.expression(tokens)),
+      returnNullable = false))
 
   /** simhash(md5TokenCol) → 16-hex-char signature string. */
   def simhash(tokenMd5: Column): Column =

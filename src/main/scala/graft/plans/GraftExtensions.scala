@@ -4,8 +4,10 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+import org.apache.spark.sql.types.{ArrayType, StringType}
 
-import graft.functions.{VecDot, VecNorm}
+import graft.functions.{TextHashAggregators, VecDot, VecNorm}
 
 /** SQL-surface registration for the custom Catalyst expressions, so
   * `spark.sql("SELECT vec_dot(a, b) ...")` works the same as the typed
@@ -40,6 +42,22 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 1, "vec_norm takes 1 argument")
         VecNorm(args.head)
+      }),
+    (FunctionIdentifier("minhash"),
+      info("minhash",
+        "minhash(shingles, k) - k element-wise-min double-hashed md5 signatures of a string array"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "minhash takes 2 arguments")
+        StaticInvoke(TextHashAggregators.getClass, ArrayType(StringType),
+          "minhashArrayData", Seq(args(0), args(1)), returnNullable = false)
+      }),
+    (FunctionIdentifier("simhash_tokens"),
+      info("simhash_tokens",
+        "simhash_tokens(tokens) - 16-hex 64-bit simhash of a string array (distinct tokens)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "simhash_tokens takes 1 argument")
+        StaticInvoke(TextHashAggregators.getClass, StringType,
+          "simhashArrayData", Seq(args.head), returnNullable = false)
       }))
 
   /** Register on a live session (idempotent). */

@@ -21,6 +21,19 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("SQL minhash/simhash_tokens agree with the scalar kernels") {
+    import graft.functions.TextHashAggregators
+    GraftExtensions.register(spark)
+    val row = spark.sql(
+      """SELECT minhash(array('a b c d', 'b c d e', 'c d e f'), 4) AS mh,
+        |       simhash_tokens(array('alpha', 'beta', 'alpha')) AS sh""".stripMargin)
+      .collect().head
+    assert(row.getSeq[String](0) ==
+      TextHashAggregators.minhashSignature(Seq("a b c d", "b c d e", "c d e f"), 4))
+    assert(row.getString(1) ==
+      TextHashAggregators.simhashSignature(Seq("alpha", "beta", "alpha")))
+  }
+
   test("registration is idempotent and arity is enforced") {
     GraftExtensions.register(spark)
     GraftExtensions.register(spark)
