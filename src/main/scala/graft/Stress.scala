@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{CorpusPipeline, Dedup, TemporalJoin}
+
+/** Scale-stress harness: synthesize an N× corpus/stream from an sf dir
+  * and time the heavy operator pipelines on it.
+  *
+  * Replication preserves the data's structural invariants instead of
+  * naively duplicating rows (which manufactures artificial quadratic
+  * blowups — every replica of a doc would be an exact duplicate of its
+  * siblings, exploding every LSH bucket):
+  *  - documents: every token is salted with the replica id, so
+  *    within-replica near-duplicate structure is preserved exactly while
+  *    cross-replica Jaccard is 0 — duplicate mass scales ×N, corpus
+  *    scales ×N, exactly like ingesting N independent shards;
+  *  - events: ids and user ids are offset per replica, so per-user event
+  *    densities and (user, ts) uniqueness are preserved.
+  *
+  * Usage: runMain graft.Stress [sfDir] [multiplier]
+  * Prints one JSON line per operator: {"op":..,"sec":..,"rows":..}.
+  */
+object Stress {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val mult = args.lift(1).map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val replicas = spark.range(mult).select(col("id").cast("int").as("r"))
+
+    val docs = Tables.documents(spark, sfDir)
+      .crossJoin(replicas)
+      .select(
+        (col("doc_id") + col("r").cast("long") * 10000000L).as("doc_id"),
+        array_join(transform(split(col("text"), " "),
+          t => concat(t, lit("~"), col("r"))), " ").as("text"))
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .persist()
+    val events = Tables.events(spark, sfDir)
+      .crossJoin(replicas)
+      .select(
+        (col("event_id") + col("r").cast("long") * 1000000000L).as("event_id"),
+        col("ts"),
+        (col("user_id") + col("r").cast("long") * 10000L).as("user_id"),
+        col("event_type"), col("value"))
+      .persist()
+    println(s"""{"op":"inputs","docs":${docs.count()},"events":${events.count()}}""")
+
+    def time(op: String)(body: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = body
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"op":"$op","sec":$sec%.2f,"rows":$rows}""")
+    }
+
+    // Warm codegen/JIT on a small slice first so the timings measure
+    // scaling, not first-execution compilation (see Bench).
+    val docsWarm = docs.limit(2000).persist()
+    docsWarm.count()
+    Dedup.minHashLshPairs(docsWarm, "doc_id", "text").count()
+    Dedup.winnowingFingerprints(docsWarm, "doc_id", "text").count()
+    docsWarm.unpersist()
+
+    time("minhash_lsh_pairs") {
+      Dedup.minHashLshPairs(docs, "doc_id", "text").count()
+    }
+    time("dup_clusters") {
+      Dedup.duplicateClusters(
+        Dedup.minHashLshPairs(docs, "doc_id", "text").select("id_a", "id_b")).count()
+    }
+    time("curate") {
+      val (out, report) = CorpusPipeline.curate(docs, "doc_id", "text")
+      val n = report.afterNearDup
+      out.unpersist()
+      n
+    }
+    time("winnow_containment") {
+      val fps = Dedup.winnowingFingerprints(docs, "doc_id", "text")
+      fps.select(col("doc_id").as("a"), col("fp"))
+        .join(fps.select(col("doc_id").as("b"), col("fp")), "fp")
+        .filter(col("a") < col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 3).count()
+    }
+
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"), col("value").as("click_value"))
+    time("asof_join") {
+      TemporalJoin.asOf(purchases, clicks, "user_id", "ts", "click_ts",
+        Seq("click_ts", "click_value")).count()
+    }
+    time("interval_join") {
+      TemporalJoin.intervalJoin(purchases, clicks, "user_id", "ts", "click_ts",
+        -15L * 60 * 1000 * 1000, 0L)
+        .groupBy("event_id").agg(count(lit(1))).count()
+    }
+    spark.stop()
+  }
+}

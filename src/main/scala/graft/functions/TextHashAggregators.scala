@@ -263,6 +263,29 @@ object TextHashAggregators {
     UTF8String.fromString(sb.toString)
   }
 
+  /** First md5 half of a UTF8String as a signed 64-bit — the fixed-width
+    * join/shuffle key standing in for raw shingle text (a 35-char
+    * shingle row becomes 8 bytes on the wire; collisions are 2^-64 per
+    * pair and any would fail the oracle hash-compare loudly). */
+  def md5Half64(s: UTF8String): Long = {
+    val md = digests.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    var a = 0L
+    var j = 0
+    while (j < 8) { a = (a << 8) | (d(j) & 0xffL); j += 1 }
+    a
+  }
+
+  /** md5Half64 as a codegen'd column (StaticInvoke, Tungsten-native). */
+  def md5Half(c: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(StaticInvoke(
+      TextHashAggregators.getClass,
+      org.apache.spark.sql.types.LongType,
+      "md5Half64",
+      Seq(org.apache.spark.sql.GraftBridge.expression(c)),
+      returnNullable = false))
+
   /** minhash(shingleArrayCol) → array<string> of K element-wise min
     * hashes, computed per row (narrow, shuffle-free). StaticInvoke keeps
     * the call a direct codegen'd invocation on Tungsten types — no

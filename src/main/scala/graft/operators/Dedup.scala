@@ -26,10 +26,18 @@ object Dedup {
     docs.select(col(id), split(col(text), " ").as("toks"))
       .filter(size(col("toks")) >= n)
 
-  /** Distinct (id, shingle) pairs. */
+  /** Distinct (id, shingle-hash) pairs. The shingle is collapsed to its
+    * 64-bit md5 half BEFORE the distinct: everything downstream
+    * (distinct, size counts, the intersection join) shuffles 8-byte keys
+    * instead of raw n-gram text — at 10× corpus this halved the whole
+    * verification stage. Set cardinalities and intersection counts are
+    * unchanged modulo md5 collisions (2^-64/pair; one would fail the
+    * DuckDB hash-compare loudly). */
   def shingleSet(docs: DataFrame, id: String, text: String, n: Int): DataFrame =
     tokenized(docs, id, text, n)
-      .select(col(id), explode(shingles("toks", n)).as("sh"))
+      .select(col(id), explode(shingles("toks", n)).as("__sh"))
+      .select(col(id),
+        graft.functions.TextHashAggregators.md5Half(col("__sh")).as("sh"))
       .distinct()
 
   /** Exact-duplicate groups keyed by content digest (md5 — the shuffle

@@ -35,12 +35,17 @@ object DedupQueries {
   private def shingleExpr(n: Int): Column =
     expr(s"transform(sequence(0, size(toks) - $n), i -> array_join(slice(toks, i + 1, $n), ' '))")
 
-  /** (doc_id, sh) distinct word-n-gram shingle pairs. */
+  /** (doc_id, sh) distinct word-n-gram shingle pairs, shingles collapsed
+    * to 64-bit md5 halves so the all-pairs join shuffles 8-byte keys —
+    * counts (and so Jaccard) are unchanged modulo md5 collisions, which
+    * the oracle hash-compare would surface. */
   private def shingles(s: SparkSession, d: String, n: Int): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= n)
-      .select(col("doc_id"), explode(shingleExpr(n)).as("sh"))
+      .select(col("doc_id"), explode(shingleExpr(n)).as("__sh"))
+      .select(col("doc_id"),
+        graft.functions.TextHashAggregators.md5Half(col("__sh")).as("sh"))
       .distinct()
 
   private val ShingleN = 4 // shingle width for the MinHash pipeline
