@@ -162,5 +162,69 @@ object SimilarityQueries {
                           i -> pow(x[i] - q[i] * scale, 2)))), 4) AS l2_err
       FROM qz ORDER BY vec_id"""))
 
-  def all: Seq[Q] = Seq(q34, q35, q39, q40, q48)
+  /** Random-hyperplane (cosine) LSH signatures — the second ANN scale
+    * path next to IVF (q40): 16 md5-derived integer hyperplanes, one
+    * sign bit each, giving a 16-bit bucket id per vector; candidate
+    * search then touches only same-bucket (or near-bucket, by Hamming
+    * distance) vectors instead of the corpus.
+    *
+    * Cross-engine determinism: hyperplane components are integers in
+    * [-1000, 1000] derived from the unsigned first md5 half of
+    * "hp:j:i" mod 2001, and they dot against the q48 int8 quantization
+    * of each vector — ALL-INTEGER sums, so a sign can never flip on
+    * float summation order the way raw-float hyperplane dots could.
+    * The per-bucket population comes along as `bucket_n`. */
+  val q59 = Q(
+    "q59_lsh_hyperplane",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val dim = emb.agg(max(size(col("embedding")))).head.getInt(0)
+      val planes: Seq[Seq[Long]] = (0 until 16).map { j =>
+        (1 to dim).map { i =>
+          java.lang.Long.remainderUnsigned(
+            graft.functions.TextHashAggregators.md5Half64(
+              org.apache.spark.unsafe.types.UTF8String.fromString(s"hp:$j:$i")),
+            2001L) - 1000L
+        }
+      }
+      val qz = emb
+        .withColumn("scale", expr(
+          "aggregate(embedding, CAST(0.0 AS DOUBLE), (a, v) -> greatest(a, abs(CAST(v AS DOUBLE)))) / 127.0D"))
+        .filter(col("scale") > 0)
+        .withColumn("q", expr(
+          "transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) / scale) AS BIGINT))"))
+      val sigCol = planes.zipWithIndex.map { case (r, j) =>
+        val rl = array(r.map(lit): _*)
+        when(aggregate(zip_with(col("q"), rl, (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x) > 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      qz.select(col("vec_id"), sigCol.as("sig"))
+        .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy("sig")))
+        .orderBy("vec_id")
+    },
+    Some("""
+      WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+      s AS (SELECT vec_id, x, list_max(list_transform(x, v -> abs(v))) / 127.0 AS scale
+            FROM t),
+      qz AS (SELECT vec_id, list_transform(x, v -> CAST(floor(v / scale) AS BIGINT)) AS q
+             FROM s WHERE scale > 0),
+      dims AS (SELECT DISTINCT len(q) AS dim FROM qz),
+      hp AS (SELECT j, i,
+                    CAST(list_reduce(list_prepend(0::HUGEINT, list_transform(range(1, 17),
+                           c -> instr('0123456789abcdef', substr(md5('hp:' || j || ':' || i), c, 1)) - 1)),
+                         (acc, dd) -> acc * 16 + dd) % 2001 AS BIGINT) - 1000 AS r
+             FROM (SELECT UNNEST(range(0, 16)) AS j) jj, dims,
+                  LATERAL (SELECT UNNEST(range(1, dim + 1)) AS i) g),
+      unq AS (SELECT vec_id, i, q[i] AS qi
+              FROM qz, LATERAL (SELECT UNNEST(range(1, len(q) + 1)) AS i) g),
+      dots AS (SELECT u.vec_id, h.j, SUM(u.qi * h.r) AS dot
+               FROM unq u JOIN hp h ON h.i = u.i GROUP BY 1, 2),
+      sig AS (SELECT vec_id,
+                     SUM(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS sig
+              FROM dots GROUP BY 1)
+      SELECT vec_id, CAST(sig AS BIGINT) AS sig,
+             CAST(COUNT(*) OVER (PARTITION BY sig) AS BIGINT) AS bucket_n
+      FROM sig ORDER BY vec_id"""))
+
+  def all: Seq[Q] = Seq(q34, q35, q39, q40, q48, q59)
 }
