@@ -162,48 +162,39 @@ object SimilarityQueries {
                           i -> pow(x[i] - q[i] * scale, 2)))), 4) AS l2_err
       FROM qz ORDER BY vec_id"""))
 
-  /** Random-hyperplane (cosine) LSH signatures — the second ANN scale
-    * path next to IVF (q40): 16 md5-derived integer hyperplanes, one
-    * sign bit each, giving a 16-bit bucket id per vector; candidate
-    * search then touches only same-bucket (or near-bucket, by Hamming
-    * distance) vectors instead of the corpus.
-    *
-    * Cross-engine determinism: hyperplane components are integers in
-    * [-1000, 1000] derived from the unsigned first md5 half of
-    * "hp:j:i" mod 2001, and they dot against the q48 int8 quantization
-    * of each vector — ALL-INTEGER sums, so a sign can never flip on
-    * float summation order the way raw-float hyperplane dots could.
-    * The per-bucket population comes along as `bucket_n`. */
-  val q59 = Q(
-    "q59_lsh_hyperplane",
-    (s, d) => {
-      val emb = Tables.embeddings(s, d)
-      val dim = emb.agg(max(size(col("embedding")))).head.getInt(0)
-      val planes: Seq[Seq[Long]] = (0 until 16).map { j =>
-        (1 to dim).map { i =>
-          java.lang.Long.remainderUnsigned(
-            graft.functions.TextHashAggregators.md5Half64(
-              org.apache.spark.unsafe.types.UTF8String.fromString(s"hp:$j:$i")),
-            2001L) - 1000L
-        }
+  /** Random-hyperplane signature frame: (vec_id, label, embedding, sig)
+    * with sig a 16-bit bucket id — 16 md5-derived integer hyperplanes,
+    * one sign bit each, dotted against the q48 int8 quantization of the
+    * vector. ALL-INTEGER sums, so a sign can never flip on float
+    * summation order the way raw-float hyperplane dots could. Shared by
+    * q59 (signature/bucket audit) and q60 (multi-probe search). */
+  private def hyperplaneSigs(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val dim = emb.agg(max(size(col("embedding")))).head.getInt(0)
+    val planes: Seq[Seq[Long]] = (0 until 16).map { j =>
+      (1 to dim).map { i =>
+        java.lang.Long.remainderUnsigned(
+          graft.functions.TextHashAggregators.md5Half64(
+            org.apache.spark.unsafe.types.UTF8String.fromString(s"hp:$j:$i")),
+          2001L) - 1000L
       }
-      val qz = emb
-        .withColumn("scale", expr(
-          "aggregate(embedding, CAST(0.0 AS DOUBLE), (a, v) -> greatest(a, abs(CAST(v AS DOUBLE)))) / 127.0D"))
-        .filter(col("scale") > 0)
-        .withColumn("q", expr(
-          "transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) / scale) AS BIGINT))"))
-      val sigCol = planes.zipWithIndex.map { case (r, j) =>
-        val rl = array(r.map(lit): _*)
-        when(aggregate(zip_with(col("q"), rl, (a, b) => a * b),
-          lit(0L), (acc, x) => acc + x) > 0, lit(1L << j)).otherwise(lit(0L))
-      }.reduce(_ + _)
-      qz.select(col("vec_id"), sigCol.as("sig"))
-        .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy("sig")))
-        .orderBy("vec_id")
-    },
-    Some("""
-      WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+    }
+    val qz = emb
+      .withColumn("scale", expr(
+        "aggregate(embedding, CAST(0.0 AS DOUBLE), (a, v) -> greatest(a, abs(CAST(v AS DOUBLE)))) / 127.0D"))
+      .filter(col("scale") > 0)
+      .withColumn("q", expr(
+        "transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) / scale) AS BIGINT))"))
+    val sigCol = planes.zipWithIndex.map { case (r, j) =>
+      val rl = array(r.map(lit): _*)
+      when(aggregate(zip_with(col("q"), rl, (a, b) => a * b),
+        lit(0L), (acc, x) => acc + x) > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    qz.select(col("vec_id"), col("label"), col("embedding"), sigCol.as("sig"))
+  }
+
+  /** The matching DuckDB CTE chain ending in `sig(vec_id, sig)`. */
+  private val SigCtes = """t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
       s AS (SELECT vec_id, x, list_max(list_transform(x, v -> abs(v))) / 127.0 AS scale
             FROM t),
       qz AS (SELECT vec_id, list_transform(x, v -> CAST(floor(v / scale) AS BIGINT)) AS q
@@ -220,11 +211,58 @@ object SimilarityQueries {
       dots AS (SELECT u.vec_id, h.j, SUM(u.qi * h.r) AS dot
                FROM unq u JOIN hp h ON h.i = u.i GROUP BY 1, 2),
       sig AS (SELECT vec_id,
-                     SUM(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS sig
-              FROM dots GROUP BY 1)
-      SELECT vec_id, CAST(sig AS BIGINT) AS sig,
+                     CAST(SUM(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)
+                          AS BIGINT) AS sig
+              FROM dots GROUP BY 1)"""
+
+  /** Random-hyperplane (cosine) LSH signatures — the second ANN scale
+    * path next to IVF (q40): every vector lands in a 16-bit bucket;
+    * candidate search then touches only same/near buckets instead of
+    * the corpus. Emits the per-bucket population as `bucket_n`. */
+  val q59 = Q(
+    "q59_lsh_hyperplane",
+    (s, d) =>
+      hyperplaneSigs(s, d)
+        .select(col("vec_id"), col("sig"))
+        .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy("sig")))
+        .orderBy("vec_id"),
+    Some(s"""
+      WITH $SigCtes
+      SELECT vec_id, sig,
              CAST(COUNT(*) OVER (PARTITION BY sig) AS BIGINT) AS bucket_n
       FROM sig ORDER BY vec_id"""))
 
-  def all: Seq[Q] = Seq(q34, q35, q39, q40, q48, q59)
+  /** Multi-probe LSH search: the query (vec_id=0) probes its own bucket
+    * plus every bucket within Hamming distance 4 (~2.5k of 65536 — the
+    * multi-probe radius is a recall/cost dial; 4 keeps dozens of
+    * candidates live on the test corpus), and only those candidates pay
+    * a verified cosine — the bucket-pruned
+    * candidate path that replaces the corpus scan at 100 TB. Probing is
+    * a bit_count(sig XOR qsig) <= 1 predicate in both engines. */
+  val q60 = Q(
+    "q60_lsh_multiprobe",
+    (s, d) => {
+      val sigs = hyperplaneSigs(s, d)
+      val qrow = sigs.filter(col("vec_id") === 0)
+        .select(col("sig").as("qsig"), col("embedding").as("qv"))
+      sigs.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(qrow))
+        .filter(expr("bit_count(sig ^ qsig)") <= 4)
+        .select(col("vec_id"), col("label"),
+          round(vec.cosine(asDouble(col("embedding")), asDouble(col("qv"))), 4).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id"))
+        .limit(10)
+    },
+    Some(s"""
+      WITH $SigCtes,
+      q AS (SELECT s.sig AS qsig, CAST(e.embedding AS DOUBLE[]) AS qv
+            FROM sig s JOIN embeddings e USING (vec_id) WHERE vec_id = 0)
+      SELECT e.vec_id, e.label,
+             ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 4) AS sim
+      FROM sig s JOIN embeddings e USING (vec_id), q
+      WHERE e.vec_id <> 0 AND bit_count(xor(s.sig, q.qsig)) <= 4
+      ORDER BY sim DESC, vec_id
+      LIMIT 10"""))
+
+  def all: Seq[Q] = Seq(q34, q35, q39, q40, q48, q59, q60)
 }
