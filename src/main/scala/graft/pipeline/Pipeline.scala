@@ -47,8 +47,6 @@ final class Pipeline(
     * process_responses, extract.py:408-424) and written as one JSON array
     * file per range (save_json layout, extract.py:186-192). */
   def extractRange(kind: String, start: Long, end: Long): String = {
-    import org.json4s._
-    import org.json4s.jackson.JsonMethods
     // locals, not fields: these close over executor-side lambdas and must
     // not drag the (non-serializable) Pipeline in with them
     val (api, fetch) = (apiUrl, fetcher)
@@ -59,6 +57,40 @@ final class Pipeline(
       spark, Seq(HeightChunk(start, end)), perPage, fetch, urlOf,
       graft.ingest.ChainClient.parseTotalCount
     ).collect()
+    writeRaw(kind, start, end, results)
+  }
+
+  /** Extract through the DataSourceV2 source instead of the
+    * mapPartitions harness — same raw-zone contract, but the scan is a
+    * first-class table (`spark.read.format("tendermint-rpc")`), so it
+    * composes with everything DSv2 gives (column pruning, the SQL
+    * surface, a future streaming Table). `fetcherClass` must name an
+    * `RpcFetcher` with a no-arg constructor (or a Scala object) — DSv2
+    * options can't carry closures. */
+  def extractRangeViaSource(kind: String, start: Long, end: Long,
+      fetcherClass: String, chunk: Long = 10000L): String = {
+    val results = spark.read.format("tendermint-rpc")
+      .option("url", apiUrl)
+      .option("kind", kind)
+      .option("start", start)
+      .option("end", end)
+      .option("chunk", chunk)
+      .option("perPage", perPage)
+      .option("fetcher", fetcherClass)
+      .load()
+      .collect()
+      .map(r => graft.ingest.FetchResult(r.getLong(0), r.getLong(1),
+        r.getInt(2), r.getInt(3), Option(r.getString(4)), r.getBoolean(5)))
+    writeRaw(kind, start, end, results)
+  }
+
+  /** Flatten page envelopes to item arrays and land the `{start}_{end}`
+    * raw file + error ledger + watermark (save_json layout,
+    * extract.py:186-192). */
+  private def writeRaw(kind: String, start: Long, end: Long,
+      results: Array[graft.ingest.FetchResult]): String = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
     val items = results.flatMap(_.body).flatMap { b =>
       (JsonMethods.parse(b) \ "result" \ kind) match {
         case JArray(vs) => vs

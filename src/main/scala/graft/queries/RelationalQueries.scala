@@ -662,8 +662,44 @@ object RelationalQueries {
       FROM g WHERE gap_us IS NOT NULL
       GROUP BY user_id ORDER BY user_id"""))
 
+  /** Fixed-bin histogram + cumulative distribution of order value — the
+    * mergeable building block behind approximate percentiles at scale
+    * (one map-side count per bin, constant state per partition; the
+    * exact per-group percentile q56 sorts instead). All-integer counts,
+    * one final double division. */
+  val q61 = Q(
+    "q61_histogram",
+    (s, d) => {
+      val binW = 30000.0
+      val bins = 20
+      val binned = Tables.orders(s, d)
+        .select(least(floor(col("o_totalprice") / binW), lit(bins - 1))
+          .cast("long").as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as("n"))
+      val w = Window.orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val total = binned.agg(sum("n").as("total"))
+      binned.crossJoin(broadcast(total))
+        .withColumn("cum_n", sum("n").over(w))
+        .select(col("bin"),
+          (col("bin") * binW).as("lo"),
+          col("n"),
+          round(col("cum_n").cast("double") / col("total"), 6).as("cum_frac"))
+        .orderBy("bin")
+    },
+    Some("""
+      WITH b AS (SELECT CAST(LEAST(FLOOR(o_totalprice / 30000.0), 19) AS BIGINT) AS bin,
+                        COUNT(*) AS n
+                 FROM orders GROUP BY 1),
+      t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM b)
+      SELECT bin, bin * 30000.0 AS lo, CAST(n AS BIGINT) AS n,
+             ROUND(CAST(CAST(SUM(n) OVER (ORDER BY bin
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS DOUBLE)
+                   / total, 6) AS cum_frac
+      FROM b, t ORDER BY bin"""))
+
   def all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
-    q21, q22, q23, q24, q25, q26, q27, q46, q56, q57, q58)
+    q21, q22, q23, q24, q25, q26, q27, q46, q56, q57, q58, q61)
 }

@@ -220,6 +220,24 @@ object EventStream {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** foreachBatch drain with an IDEMPOTENT sink: each micro-batch
+    * overwrites its own `batch=<id>` directory, so a batch replayed
+    * after a failure between sink-write and checkpoint-commit lands in
+    * the same place instead of appending duplicates — exactly-once
+    * end-to-end from the at-least-once replay contract. This is the
+    * pattern for sinks with no transactional file log (JDBC upserts,
+    * object stores): make the write a deterministic function of
+    * (batchId, data). */
+  def runForeachBatchIdempotent(out: DataFrame, path: String,
+      checkpoint: String): StreamingQuery =
+    out.writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        df.write.mode("overwrite").parquet(s"$path/batch=$batchId")
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Append-mode drain to a parquet sink — unlike the memory sink, file
     * sinks recover from a checkpoint across runs, which is what the
     * repeated bounded-run (batch-loop) deployment shape needs. */

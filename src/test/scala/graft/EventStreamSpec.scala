@@ -158,6 +158,30 @@ class EventStreamSpec extends AnyFunSuite with SparkSpec {
     assert(got.toSeq == Seq((1L, "gold"), (2L, "silver"), (3L, null)))
   }
 
+  test("foreachBatch idempotent sink: a replayed batch overwrites, never duplicates") {
+    val (in, chk) = newDirs()
+    val out = Files.createTempDirectory("graft-fb-out").toString
+    drop(in, "a.json",
+      ev(1, "2024-01-01T00:10:00Z", 1, "click", 1.0),
+      ev(2, "2024-01-01T00:20:00Z", 1, "view", 2.0))
+    val stream = EventStream.jsonFileStream(spark, in, EventStream.eventSchema)
+    EventStream.runForeachBatchIdempotent(stream, out, chk).awaitTermination()
+    drop(in, "b.json", ev(3, "2024-01-01T00:25:00Z", 2, "click", 3.0))
+    EventStream.runForeachBatchIdempotent(stream, out, chk).awaitTermination()
+    assert(spark.read.parquet(out).count() == 3)
+    // simulate the failure mode: batch 1 replays (sink write ran, the
+    // checkpoint commit didn't) — the overwrite-by-batchId sink must
+    // converge to the same state instead of appending a second copy
+    val b1 = spark.read.parquet(s"$out/batch=1")
+    val replay = spark.createDataFrame(
+      new java.util.ArrayList(java.util.Arrays.asList(b1.collect(): _*)), b1.schema)
+    replay.write.mode("overwrite").parquet(s"$out/batch=1")
+    val rows = spark.read.parquet(out)
+    assert(rows.count() == 3)
+    assert(rows.select("event_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L, 3L))
+  }
+
   test("streaming LSH near-dup filter: later near-copies hit the earlier owner's buckets") {
     val (in, chk) = newDirs()
     val out = Files.createTempDirectory("graft-lsh-out").toString

@@ -1,7 +1,7 @@
 package graft
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.Files
+import java.nio.file.{Files, Paths}
 import java.util.Base64
 
 import org.scalatest.funsuite.AnyFunSuite
@@ -43,6 +43,13 @@ object FakeNode extends Serializable {
   }
 }
 
+/** FakeNode as a named RpcFetcher: the DSv2 path carries the fetcher by
+  * class name (options can't hold closures), so the test transport must
+  * be instantiable reflectively. */
+object FakeNodeFetcher extends graft.sources.RpcFetcher {
+  override def fetch(url: String): String = FakeNode.fetch(url)
+}
+
 class PipelineSpec extends AnyFunSuite with SparkSpec {
 
   test("PipelineMain arg/env contract mirrors the reference CLI") {
@@ -56,6 +63,20 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     intercept[IllegalArgumentException](PipelineMain.parseArgs(Nil, Map.empty))
     intercept[IllegalArgumentException](
       PipelineMain.parseArgs(Seq("--bogus", "1"), env))
+  }
+
+  test("extract via the DSv2 source lands the identical raw-zone file") {
+    val rootA = Files.createTempDirectory("graft-dsv2-a").toString
+    val rootB = Files.createTempDirectory("graft-dsv2-b").toString
+    val a = new Pipeline(spark, rootA, FakeNode.fetch)
+      .extractRange("txs", 1, 5)
+    val b = new Pipeline(spark, rootB, FakeNode.fetch)
+      .extractRangeViaSource("txs", 1, 5, FakeNodeFetcher.getClass.getName)
+    assert(Files.readString(Paths.get(a)) == Files.readString(Paths.get(b)))
+    // and the parse stage consumes it unchanged
+    val pipeB = new Pipeline(spark, rootB, FakeNode.fetch)
+    pipeB.parse()
+    assert(spark.read.parquet(s"$rootB/parsed/tx_result").count() == 3)
   }
 
   test("parse with tx files but no blocks zone lands rows with null time columns") {
