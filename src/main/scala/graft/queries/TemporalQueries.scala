@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -92,5 +93,51 @@ object TemporalQueries {
       GROUP BY p.event_id, p.user_id
       ORDER BY event_id"""))
 
-  def all: Seq[Q] = Seq(q49, q50)
+  /** Batch sessionization: per-user sessions split at >30min event-time
+    * gaps — lag to flag session starts, running sum of flags for the
+    * session index, then one aggregate per session. The batch analog of
+    * streaming.EventStream.sessionize (same gap rule; the streaming
+    * side additionally closes sessions by watermark timeout). Durations
+    * are exact integer µs differences divided once. */
+  val q62 = Q(
+    "q62_sessionize",
+    (s, d) => {
+      val gapUs = 30L * 60 * 1000 * 1000
+      val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+      val run = Window.partitionBy("user_id").orderBy("tus", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("tus"), col("value"))
+        .withColumn("prev", lag(col("tus"), 1).over(w))
+        .withColumn("new_s",
+          when(col("prev").isNull || col("tus") - col("prev") > gapUs, 1L)
+            .otherwise(0L))
+        .withColumn("session_idx", sum("new_s").over(run))
+        .groupBy("user_id", "session_idx")
+        .agg(
+          count(lit(1)).as("n_events"),
+          ((max("tus") - min("tus")).cast("double") / lit(1e6)).as("duration_sec"),
+          sum(col("value").cast("double")).as("total_value"))
+        .select(col("user_id"), col("session_idx"), col("n_events"),
+          col("duration_sec"), round(col("total_value"), 4).as("total_value"))
+        .orderBy("user_id", "session_idx")
+    },
+    Some("""
+      WITH o AS (SELECT user_id, event_id, epoch_us(ts) AS tus, value FROM events),
+      g AS (SELECT user_id, event_id, tus, value,
+                   CASE WHEN LAG(tus) OVER w IS NULL
+                          OR tus - LAG(tus) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s
+            FROM o WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+      s AS (SELECT user_id, event_id, tus, value,
+                   CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+            FROM g)
+      SELECT user_id, session_idx, COUNT(*) AS n_events,
+             CAST(MAX(tus) - MIN(tus) AS DOUBLE) / 1e6 AS duration_sec,
+             ROUND(SUM(value), 4) AS total_value
+      FROM s GROUP BY user_id, session_idx
+      ORDER BY user_id, session_idx"""))
+
+  def all: Seq[Q] = Seq(q49, q50, q62)
 }
