@@ -60,15 +60,24 @@ object CorpusPipeline {
     * the LSH dedup ~3×); the returned frame stays cached — callers
     * materialize it once and may `unpersist()` after. */
   def curate(docs: DataFrame, id: String, text: String,
-      minTokens: Int = 10, nearDupThreshold: Double = 0.5): (DataFrame, Report) = {
-    val q = qualityFilter(docs, text, minTokens = minTokens)
+      minTokens: Int = 10, maxTokens: Int = 100000,
+      nearDupThreshold: Double = 0.5): (DataFrame, Report) = {
+    val q = qualityFilter(docs, text, minTokens = minTokens, maxTokens = maxTokens)
     val exact = Dedup.dropExactDuplicates(q, id, text).persist()
     val near = dropNearDuplicates(exact, id, text, nearDupThreshold)
     val annotated = near
       .withColumn("fingerprint", md5(col(text)))
       .withColumn("n_tokens", size(split(col(text), " ")))
       .persist()
-    val report = Report(docs.count(), q.count(), exact.count(), annotated.count())
+    // input + after-quality in ONE scan (the quality predicate re-counted
+    // as a conditional aggregate) — two separate counts would tokenize
+    // the whole corpus twice
+    val toks = split(col(text), " ")
+    val inQ = docs.agg(
+      count(lit(1)).as("n"),
+      count(when(size(toks).between(minTokens, maxTokens), 1)).as("nq")).head()
+    val report = Report(inQ.getLong(0), inQ.getLong(1),
+      exact.count(), annotated.count())
     exact.unpersist()
     (annotated, report)
   }

@@ -220,6 +220,30 @@ object EventStream {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Stream-stream interval join: every purchase joined to the same
+    * user's clicks in the 15 minutes before it — the streaming analog of
+    * TemporalJoin.intervalJoin (q50), using Spark's watermarked
+    * stream-stream join. Both sides carry watermarks and the join
+    * condition bounds click_ts relative to purchase_ts, so each side's
+    * buffered state is evicted once the other side's watermark passes
+    * the bound — state stays proportional to the lateness horizon, not
+    * the stream. */
+  def purchaseClickJoin(events: DataFrame,
+      lateness: String = "1 hour"): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", lateness)
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", lateness)
+    purchases.join(clicks,
+      expr("""user_id = click_user
+              AND click_ts >= purchase_ts - INTERVAL 15 MINUTES
+              AND click_ts < purchase_ts"""))
+      .select("purchase_id", "user_id", "click_id", "click_ts")
+  }
+
   /** foreachBatch drain with an IDEMPOTENT sink: each micro-batch
     * overwrites its own `batch=<id>` directory, so a batch replayed
     * after a failure between sink-write and checkpoint-commit lands in

@@ -158,6 +158,23 @@ class EventStreamSpec extends AnyFunSuite with SparkSpec {
     assert(got.toSeq == Seq((1L, "gold"), (2L, "silver"), (3L, null)))
   }
 
+  test("stream-stream interval join pairs purchases with the user's recent clicks") {
+    val (in, chk) = newDirs()
+    val out = Files.createTempDirectory("graft-ssjoin-out").toString
+    drop(in, "a.json",
+      ev(1, "2024-01-01T09:50:00Z", 1, "click", 1.0),    // 10 min before → match
+      ev(2, "2024-01-01T09:40:00Z", 1, "click", 1.0),    // 20 min before → outside
+      ev(3, "2024-01-01T09:55:00Z", 2, "click", 1.0),    // other user
+      ev(4, "2024-01-01T10:00:00Z", 1, "purchase", 9.0),
+      ev(5, "2024-01-01T10:00:00Z", 3, "purchase", 5.0)) // no clicks → no row
+    val joined = EventStream.purchaseClickJoin(
+      EventStream.jsonFileStream(spark, in, EventStream.eventSchema))
+    EventStream.runAvailableNowToParquet(joined, out, chk).awaitTermination()
+    val got = spark.read.parquet(out).collect()
+      .map(r => (r.getAs[Long]("purchase_id"), r.getAs[Long]("click_id")))
+    assert(got.toSeq.sorted == Seq((4L, 1L)))
+  }
+
   test("foreachBatch idempotent sink: a replayed batch overwrites, never duplicates") {
     val (in, chk) = newDirs()
     val out = Files.createTempDirectory("graft-fb-out").toString
