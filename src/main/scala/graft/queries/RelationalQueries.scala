@@ -698,8 +698,43 @@ object RelationalQueries {
                    / total, 6) AS cum_frac
       FROM b, t ORDER BY bin"""))
 
+  /** INTERSECT (distinct set semantics): customers that placed BOTH an
+    * urgent and a low-priority order. */
+  val q63 = Q(
+    "q63_intersect",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      o.filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+        .intersect(
+          o.filter(col("o_orderpriority") === "5-LOW").select("o_custkey"))
+        .orderBy("o_custkey")
+    },
+    Some("""
+      SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      INTERSECT
+      SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+      ORDER BY o_custkey"""))
+
+  /** EXCEPT (distinct set semantics): customers with orders but never an
+    * urgent one. */
+  val q64 = Q(
+    "q64_except",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      o.select("o_custkey")
+        .except(
+          o.filter(col("o_orderpriority") === "1-URGENT").select("o_custkey"))
+        .orderBy("o_custkey")
+    },
+    Some("""
+      SELECT o_custkey FROM orders
+      EXCEPT
+      SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      ORDER BY o_custkey"""))
+
   def all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
-    q21, q22, q23, q24, q25, q26, q27, q46, q56, q57, q58, q61)
+    q21, q22, q23, q24, q25, q26, q27, q46, q56, q57, q58, q61,
+    q63, q64)
 }
