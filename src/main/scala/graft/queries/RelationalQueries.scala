@@ -732,9 +732,35 @@ object RelationalQueries {
       SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
       ORDER BY o_custkey"""))
 
+  /** Z-order (Morton) clustering key over (custkey, order-day): the
+    * interleaved integer operators.Layout.zorderWrite clusters files by,
+    * emitted per order so the oracle pins the exact bit math both
+    * engines compute. */
+  val q65 = Q(
+    "q65_zorder_key",
+    (s, d) =>
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          (col("o_custkey") % 65536).as("a"),
+          datediff(col("o_orderdate"), lit("1995-01-01")).cast("long").as("b"))
+        .select(col("o_orderkey"),
+          graft.operators.Layout.zValue(col("a"), col("b"), 16).as("z"))
+        .orderBy("o_orderkey"),
+    Some {
+      val terms = (0 until 16).map(i =>
+        s"(((a >> $i) & 1) << ${2 * i}) + (((b >> $i) & 1) << ${2 * i + 1})")
+        .mkString(" + ")
+      s"""
+      WITH t AS (SELECT o_orderkey, o_custkey % 65536 AS a,
+                        CAST(date_diff('day', DATE '1995-01-01', o_orderdate) AS BIGINT) AS b
+                 FROM orders)
+      SELECT o_orderkey, CAST($terms AS BIGINT) AS z
+      FROM t ORDER BY o_orderkey"""
+    })
+
   def all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q46, q56, q57, q58, q61,
-    q63, q64)
+    q63, q64, q65)
 }

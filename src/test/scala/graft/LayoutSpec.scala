@@ -78,6 +78,39 @@ class LayoutSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("z-order layout keeps a range predicate on EITHER column local to few files") {
+    import spark.implicits._
+    val grid = for {x <- 0 until 64; y <- 0 until 64} yield (x, y)
+    val df = grid.toDF("x", "y")
+    val zDir = java.nio.file.Files.createTempDirectory("graft-z").toString
+    val xDir = java.nio.file.Files.createTempDirectory("graft-x").toString
+    Layout.zorderWrite(df, zDir, "x", "y", numFiles = 16, bits = 6)
+    // the 1-D alternative: sorted and split by x only
+    df.repartitionByRange(16, col("x")).sortWithinPartitions("x")
+      .write.mode("overwrite").parquet(xDir)
+    def filesTouched(dir: String, pred: String): Long =
+      spark.read.parquet(dir).filter(pred)
+        .select(input_file_name()).distinct().count()
+    // an x-predicate is local in both layouts...
+    assert(filesTouched(zDir, "x < 8") <= 8)
+    // ...but a y-predicate hits EVERY x-sorted file and only a minority
+    // of z-ordered files — the skippability z-ordering buys
+    val zTouched = filesTouched(zDir, "y < 8")
+    val xTouched = filesTouched(xDir, "y < 8")
+    assert(xTouched == 16, s"x-sorted layout should spread y everywhere, got $xTouched")
+    assert(zTouched <= 8, s"z-ordered layout should localize y, got $zTouched")
+  }
+
+  test("zValue interleaves bits exactly") {
+    import spark.implicits._
+    // a=0b101 (bits at 0,2 -> z positions 0,4), b=0b11 (bits at 0,1 ->
+    // z positions 1,3): z = 1 + 2 + 8 + 16 = 27
+    val z = Seq((5, 3)).toDF("a", "b")
+      .select(Layout.zValue(col("a"), col("b"), 8).as("z"))
+      .head().getLong(0)
+    assert(z == 27L)
+  }
+
   test("salted left join keeps unmatched fact rows exactly once") {
     import spark.implicits._
     val fact = Seq((1L, "a"), (1L, "b"), (5L, "c")).toDF("k", "v")
