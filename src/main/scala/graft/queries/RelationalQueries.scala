@@ -758,9 +758,62 @@ object RelationalQueries {
       FROM t ORDER BY o_orderkey"""
     })
 
+  /** Wide per-user activity profile: pivot event_type into one summed
+    * value column per type (the A5 pivot family over the stream table;
+    * fixed column list so the schema is static). Decimal-exact sums,
+    * double at the edge. */
+  val q66 = Q(
+    "q66_pivot_value",
+    (s, d) =>
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          col("value").cast(DecimalType(18, 6)).as("v"))
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(sum("v"))
+        .select(col("user_id"),
+          coalesce(col("click"), lit(0)).cast("double").as("click_v"),
+          coalesce(col("view"), lit(0)).cast("double").as("view_v"),
+          coalesce(col("purchase"), lit(0)).cast("double").as("purchase_v"),
+          coalesce(col("signup"), lit(0)).cast("double").as("signup_v"),
+          coalesce(col("error"), lit(0)).cast("double").as("error_v"))
+        .orderBy("user_id"),
+    Some("""
+      SELECT user_id,
+             CAST(COALESCE(SUM(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,6)) END), 0) AS DOUBLE) AS click_v,
+             CAST(COALESCE(SUM(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(18,6)) END), 0) AS DOUBLE) AS view_v,
+             CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,6)) END), 0) AS DOUBLE) AS purchase_v,
+             CAST(COALESCE(SUM(CASE WHEN event_type = 'signup' THEN CAST(value AS DECIMAL(18,6)) END), 0) AS DOUBLE) AS signup_v,
+             CAST(COALESCE(SUM(CASE WHEN event_type = 'error' THEN CAST(value AS DECIMAL(18,6)) END), 0) AS DOUBLE) AS error_v
+      FROM events GROUP BY user_id ORDER BY user_id"""))
+
+  /** Decile assignment (ntile) over order value, summarized per decile —
+    * the equal-count bucketing used for spend-tier segmentation. ntile
+    * semantics (first buckets get the remainder) match across engines;
+    * ties broken by orderkey for total determinism. */
+  val q67 = Q(
+    "q67_ntile_deciles",
+    (s, d) => {
+      val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("decile", ntile(10).over(w).cast("long"))
+        .groupBy("decile")
+        .agg(
+          count(lit(1)).as("n"),
+          min(col("o_totalprice")).as("lo"),
+          max(col("o_totalprice")).as("hi"))
+        .orderBy("decile")
+    },
+    Some("""
+      WITH t AS (SELECT o_totalprice,
+                        CAST(NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS decile
+                 FROM orders)
+      SELECT decile, COUNT(*) AS n, MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+      FROM t GROUP BY decile ORDER BY decile"""))
+
   def all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q46, q56, q57, q58, q61,
-    q63, q64, q65)
+    q63, q64, q65, q66, q67)
 }
