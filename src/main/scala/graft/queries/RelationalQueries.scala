@@ -811,9 +811,113 @@ object RelationalQueries {
       SELECT decile, COUNT(*) AS n, MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
       FROM t GROUP BY decile ORDER BY decile"""))
 
+  /** Register the named tables as temp views and run SQL — the
+    * spark.sql entry path (what ModelRunner uses), for queries whose
+    * oracle text should be near-identical across engines. */
+  private def viaSql(s: SparkSession, d: String, names: Seq[String], sql: String): DataFrame = {
+    names.foreach(t => Tables.table(s, d, t).createOrReplaceTempView(t))
+    s.sql(sql)
+  }
+
+  /** TPC-H Q3 shape (shipping priority): 3-way join, date-window
+    * predicates on both fact tables, decimal-exact revenue, top-10.
+    * Catalyst plans the join order + pushes both date filters to the
+    * scans. */
+  val q68 = Q(
+    "q68_tpch_q3",
+    (s, d) => viaSql(s, d, Seq("customer", "orders", "lineitem"), """
+      SELECT l_orderkey,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                      (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+             date_format(o_orderdate, 'yyyy-MM-dd') AS orderdate,
+             o_orderpriority
+      FROM customer JOIN orders ON c_custkey = o_custkey
+                    JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < DATE '1996-03-15'
+        AND l_shipdate > DATE '1996-03-15'
+      GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      ORDER BY revenue DESC, l_orderkey
+      LIMIT 10"""),
+    Some("""
+      SELECT l_orderkey,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                      (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+             strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+             o_orderpriority
+      FROM customer JOIN orders ON c_custkey = o_custkey
+                    JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < DATE '1996-03-15'
+        AND l_shipdate > DATE '1996-03-15'
+      GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      ORDER BY revenue DESC, l_orderkey
+      LIMIT 10"""))
+
+  /** TPC-H Q5 shape (local supplier volume): 6-way join where customer
+    * and supplier must share a nation, region + date-window filters,
+    * revenue per nation. The bounded dims (nation/region) broadcast;
+    * the fact-fact joins shuffle. */
+  val q69 = Q(
+    "q69_tpch_q5",
+    (s, d) => viaSql(s, d,
+      Seq("customer", "orders", "lineitem", "supplier", "nation", "region"), """
+      SELECT n_name,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                      (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+        AND o_orderdate >= DATE '1996-01-01'
+        AND o_orderdate < DATE '1997-01-01'
+      GROUP BY n_name
+      ORDER BY revenue DESC, n_name"""),
+    Some("""
+      SELECT n_name,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                      (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+        AND o_orderdate >= DATE '1996-01-01'
+        AND o_orderdate < DATE '1997-01-01'
+      GROUP BY n_name
+      ORDER BY revenue DESC, n_name"""))
+
+  /** Correlated scalar subqueries (Catalyst decorrelates both into
+    * aggregated joins): orders worth more than twice their customer's
+    * average, kept exact by comparing price*count > 2*sum on decimals —
+    * no division, no float-order sensitivity. */
+  val q70 = Q(
+    "q70_corr_subquery",
+    (s, d) => viaSql(s, d, Seq("orders"), """
+      SELECT o_orderkey, o_custkey
+      FROM orders o
+      WHERE CAST(o_totalprice AS DECIMAL(18,2)) *
+              (SELECT COUNT(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+            > 2 * (SELECT SUM(CAST(o3.o_totalprice AS DECIMAL(18,2)))
+                   FROM orders o3 WHERE o3.o_custkey = o.o_custkey)
+      ORDER BY o_orderkey"""),
+    Some("""
+      SELECT o_orderkey, o_custkey
+      FROM orders o
+      WHERE CAST(o_totalprice AS DECIMAL(18,2)) *
+              (SELECT COUNT(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+            > 2 * (SELECT SUM(CAST(o3.o_totalprice AS DECIMAL(18,2)))
+                   FROM orders o3 WHERE o3.o_custkey = o.o_custkey)
+      ORDER BY o_orderkey"""))
+
   def all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q46, q56, q57, q58, q61,
-    q63, q64, q65, q66, q67)
+    q63, q64, q65, q66, q67, q68, q69, q70)
 }
