@@ -121,6 +121,16 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin"), p) // 1-row N cross join
   }
 
+  test("q69: six-way join keeps bounded dims broadcast; only fact joins shuffle") {
+    val p = plan(run("q69_tpch_q5"))
+    // nation/region/supplier fit under the broadcast threshold; the
+    // customer⋈orders⋈lineitem chain carries the data volume
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+    // both date bounds reach the orders scan
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate)"), p)
+  }
+
   test("events scan converts nanos without breaking codegen") {
     val p = plan(Tables.events(spark, d).filter(col("event_type") === "click")
       .select("event_id", "ts"))
