@@ -122,7 +122,7 @@ object Similarity {
       .orderBy(desc("qcos"), asc("anchor_id"))
       .limit(nprobe)
       .collect().map(_.getAs[Number]("anchor_id").longValue())
-    val base = spark.table(table).filter(col("cell").isin(cells: _*))
+    val base = spark.table(table).filter(col("cell").isin(cells.toIndexedSeq: _*))
     excludeId.fold(base)(x => base.filter(col(id) =!= x)) // self-match drop
       .crossJoin(broadcast(qdf))
       .withColumn("sim", round(vec.cosine(col("embedding"), col("qv")), roundAt))

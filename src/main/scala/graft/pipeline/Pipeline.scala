@@ -101,7 +101,7 @@ final class Pipeline(
     val failed = results.filter(_.quarantined)
     if (failed.nonEmpty)
       graft.ingest.ErrorHeights.append(dataRoot,
-        failed.flatMap(r => r.start to r.end).distinct)
+        failed.toIndexedSeq.flatMap(r => r.start to r.end).distinct)
     val dir = Paths.get(rawDir(kind))
     Files.createDirectories(dir)
     val path = dir.resolve(s"${start}_$end.json")

@@ -170,7 +170,7 @@ object SimilarityQueries {
     * q59 (signature/bucket audit) and q60 (multi-probe search). */
   private def hyperplaneSigs(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
-    val dim = emb.agg(max(size(col("embedding")))).head.getInt(0)
+    val dim = emb.agg(max(size(col("embedding")))).head().getInt(0)
     val planes: Seq[Seq[Long]] = (0 until 16).map { j =>
       (1 to dim).map { i =>
         java.lang.Long.remainderUnsigned(
