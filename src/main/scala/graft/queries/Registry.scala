@@ -23,7 +23,8 @@ final case class Q(
 object Registry {
   def all: Seq[Q] =
     RelationalQueries.all ++ TextQueries.all ++ SimilarityQueries.all ++
-      DedupQueries.all ++ MultimodalQueries.all ++ TemporalQueries.all
+      DedupQueries.all ++ MultimodalQueries.all ++ TemporalQueries.all ++
+      ScaleQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.spark).toMap

@@ -1,0 +1,298 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Scale-technique queries: each entry demonstrates a pattern that only
+  * matters at cluster scale (deterministic sampling, skew-safe two-stage
+  * aggregation, mergeable sketches, subtotal cubes, spine fills) or a
+  * curation op a pretraining pipeline needs (chunk-level dedup, benchmark
+  * decontamination, redaction, entropy scoring). All are exact-oracled
+  * except the sketch entries, which pin an error bound (the q46 pattern:
+  * engines' sketches differ, the bound is the cross-engine contract).
+  */
+object ScaleQueries {
+
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+  private def dbl(c: Column): Column = c.cast("double")
+
+  /** Deterministic hash sampling — the 100 TB way to take a reproducible
+    * ~5% sample: a pure predicate on md5(key) ("first hex byte < 0x0d",
+    * 13/256 ≈ 5.1%). No count, no sort, no RNG state; the same rows are
+    * selected on any engine, any partitioning, any run — which is what
+    * makes sampled pipelines debuggable and their results re-joinable.
+    * Contrast `TABLESAMPLE`/`rand()`: partitioning-dependent. */
+  val q71 = Q(
+    "q71_hash_sample",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(substring(md5(concat_ws(":", col("l_orderkey"), col("l_linenumber"))), 1, 2) < "0d")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), dbl(sum(dec(col("l_quantity")))).as("sum_qty"))
+        .orderBy("l_returnflag"),
+    Some("""
+      SELECT l_returnflag, COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      FROM lineitem
+      WHERE substr(md5(l_orderkey || ':' || l_linenumber), 1, 2) < '0d'
+      GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** CUBE subtotals (GROUPING SETS family) — every (flag, status) combo
+    * plus both one-dimension rollups plus the grand total in ONE pass:
+    * Spark expands the grouping sets before the hash aggregate, so the
+    * fact table is scanned once, not 4×. Labels use COALESCE('ALL')
+    * because both grouping columns are non-null in the data. */
+  val q72 = Q(
+    "q72_cube_subtotals",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), dbl(sum(dec(col("l_quantity")))).as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("n"), col("sum_qty"))
+        .orderBy("returnflag", "linestatus"),
+    Some("""
+      SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+             COALESCE(l_linestatus, 'ALL') AS linestatus,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+      ORDER BY returnflag, linestatus"""))
+
+  /** Edit distance (fuzzy matching) — levenshtein against a fixed probe
+    * over each document's prefix. Both engines implement unit-cost
+    * Levenshtein, so the distances are exactly comparable. The per-row
+    * kernel is codegen'd (no UDF); at scale this is a narrow map. */
+  val q73 = Q(
+    "q73_edit_distance",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          levenshtein(substring(col("text"), 1, 20), lit("table value part hash"))
+            .cast("long").as("dist"))
+        .orderBy("doc_id"),
+    Some("""
+      SELECT doc_id,
+             CAST(levenshtein(substr(text, 1, 20), 'table value part hash') AS BIGINT) AS dist
+      FROM documents ORDER BY doc_id"""))
+
+  /** Skew-safe two-stage aggregation: salt the group key with
+    * pmod(hash(rowkey), 32), partially aggregate (key, salt), then
+    * re-aggregate by key. A single hot key (l_returnflag has 3 values
+    * over 600k+ rows — maximal skew) is spread over 32 reducers instead
+    * of melting one. The oracle is the PLAIN single-stage group-by:
+    * decimal partials make the rewrite algebraically exact, which is the
+    * point — salting must never change results. (Spark's AQE skew join
+    * handles join skew; aggregation skew is handled by this rewrite or
+    * by partial aggregation — shown explicitly here as the portable
+    * pattern.) */
+  val q74 = Q(
+    "q74_salted_agg",
+    (s, d) => {
+      val partial = Tables.lineitem(s, d)
+        .withColumn("__salt", pmod(hash(col("l_orderkey")), lit(32)))
+        .groupBy("l_returnflag", "__salt")
+        .agg(sum(dec(col("l_extendedprice"))).as("rev_partial"),
+          count(lit(1)).as("n_partial"))
+      partial.groupBy("l_returnflag")
+        .agg(sum("n_partial").as("n"), dbl(sum(col("rev_partial"))).as("revenue"))
+        .orderBy("l_returnflag")
+    },
+    Some("""
+      SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** Date-spine zero-fill: generate the full calendar between min and
+    * max order date with sequence() and left-join the daily aggregate,
+    * so days with no orders appear as explicit zeros (time-series
+    * completeness — cumulative/moving windows silently skip missing days
+    * otherwise). The spine is ~days rows — trivially broadcast; the fact
+    * table is aggregated before the join so nothing wide moves. */
+  val q75 = Q(
+    "q75_date_spine",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+        .select(to_date(col("o_orderdate")).as("day"), col("o_totalprice"))
+      val spine = o.agg(min("day").as("lo"), max("day").as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+      val daily = o.groupBy("day")
+        .agg(count(lit(1)).as("n_orders"), dbl(sum(dec(col("o_totalprice")))).as("revenue"))
+      spine.join(daily, Seq("day"), "left")
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          coalesce(col("revenue"), lit(0.0)).as("revenue"))
+        .orderBy("day")
+    },
+    Some("""
+      WITH o AS (SELECT CAST(o_orderdate AS DATE) AS day, o_totalprice FROM orders),
+      b AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM o),
+      spine AS (SELECT CAST(UNNEST(generate_series(CAST(lo AS TIMESTAMP), CAST(hi AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day FROM b),
+      daily AS (SELECT day, COUNT(*) AS n_orders,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+                FROM o GROUP BY day)
+      SELECT strftime(s.day, '%Y-%m-%d') AS day,
+             CAST(COALESCE(d.n_orders, 0) AS BIGINT) AS n_orders,
+             COALESCE(d.revenue, 0.0) AS revenue
+      FROM spine s LEFT JOIN daily d ON s.day = d.day ORDER BY day"""))
+
+  /** Approximate percentile (mergeable quantile sketch) — the scale
+    * substitute for q56's exact sort-based percentile: percentile_approx
+    * builds a bounded-size sketch that merges map-side, one narrow pass,
+    * no per-group sort. Like q46 (HLL), the sketch itself is
+    * engine-specific, so the cross-engine contract is the bound: the
+    * estimate must land within 1% of the exact median, and the oracle
+    * asserts the same bound trivially. A failing bound breaks the hash
+    * compare on the boolean. */
+  val q76 = Q(
+    "q76_approx_median",
+    (s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          expr("percentile(o_totalprice, 0.5)").as("__exact"),
+          percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)).as("__ap"))
+        .select(col("o_orderpriority"), col("n"),
+          round(col("__exact"), 4).as("p50_exact"),
+          (abs(col("__ap") - col("__exact")) / col("__exact") <= 0.01).as("within_1pct"))
+        .orderBy("o_orderpriority"),
+    Some("""
+      SELECT o_orderpriority, COUNT(*) AS n,
+             ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50_exact,
+             TRUE AS within_1pct
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
+  /** Chunk-level exact dedup (paragraph dedup at token granularity):
+    * split each document into 10-token chunks, dedup chunks globally
+    * with a keep-first policy (rank by (doc_id, chunk_idx) within each
+    * chunk hash), report per-document survival. This is the
+    * sub-document dedup pass pretraining pipelines run AFTER whole-doc
+    * dedup — boilerplate headers/footers repeat across documents that
+    * are not near-duplicates of each other. Shuffle key is the 16-byte
+    * chunk hash; nothing quadratic. */
+  val q77 = Q(
+    "q77_chunk_dedup",
+    (s, d) => {
+      val C = 10
+      val chunks = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), posexplode(transform(
+          sequence(lit(0L), expr(s"(size(toks) - 1) div $C")),
+          i => array_join(slice(col("toks"), (i * C + 1).cast("int"), lit(C)), " "))))
+        .withColumnsRenamed(Map("pos" -> "chunk_idx", "col" -> "chunk"))
+      val ranked = chunks
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(md5(col("chunk"))).orderBy("doc_id", "chunk_idx")))
+      ranked.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          count(when(col("rn") === 1, 1)).as("n_kept"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      ch AS (SELECT doc_id, i AS chunk_idx, array_to_string(toks[i*10+1:i*10+10], ' ') AS chunk
+             FROM t, LATERAL (SELECT UNNEST(range(0, ((len(toks)-1) // 10) + 1)) AS i) g),
+      r AS (SELECT doc_id, chunk_idx,
+                   ROW_NUMBER() OVER (PARTITION BY md5(chunk) ORDER BY doc_id, chunk_idx) AS rn
+            FROM ch)
+      SELECT doc_id, COUNT(*) AS n_chunks, COUNT(CASE WHEN rn = 1 THEN 1 END) AS n_kept
+      FROM r GROUP BY doc_id ORDER BY doc_id"""))
+
+  /** Benchmark decontamination: flag training documents sharing any
+    * 8-gram with a held-out benchmark set (here: doc_id % 50 == 0 as
+    * the stand-in benchmark). The canonical eval-contamination check
+    * (GPT-3 appendix C / PaLM style: n-gram collision against eval
+    * sets). Scale shape: the benchmark gram set is tiny relative to the
+    * corpus → distinct it and let Spark broadcast the join; the corpus
+    * side is a narrow explode → semi-match, never a cross product. */
+  val q78 = Q(
+    "q78_decontaminate",
+    (s, d) => {
+      val n = 8
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= n)
+      def grams(df: DataFrame): DataFrame = df
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(0), size(col("toks")) - n),
+          i => md5(array_join(slice(col("toks"), (i + 1).cast("int"), lit(n)), " ")))).as("g"))
+        .distinct()
+      val bench = grams(toks.filter(col("doc_id") % 50 === 0)).select("g").distinct()
+      val train = grams(toks.filter(col("doc_id") % 50 =!= 0))
+      val shared = train.join(bench, Seq("g"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+      train.select("doc_id").distinct()
+        .join(shared, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+          (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+                 WHERE len(string_split(text, ' ')) >= 8),
+      g AS (SELECT doc_id, md5(array_to_string(toks[i+1:i+8], ' ')) AS g
+            FROM t, LATERAL (SELECT UNNEST(range(0, len(toks) - 7)) AS i) u),
+      bench AS (SELECT DISTINCT g FROM g WHERE doc_id % 50 = 0),
+      train AS (SELECT DISTINCT doc_id, g FROM g WHERE doc_id % 50 <> 0),
+      sh AS (SELECT doc_id, COUNT(*) AS n_shared FROM train JOIN bench USING (g) GROUP BY doc_id)
+      SELECT td.doc_id, CAST(COALESCE(sh.n_shared, 0) AS BIGINT) AS n_shared,
+             COALESCE(sh.n_shared, 0) > 0 AS contaminated
+      FROM (SELECT DISTINCT doc_id FROM train) td LEFT JOIN sh USING (doc_id)
+      ORDER BY doc_id"""))
+
+  /** Regex redaction (PII-masking shape): replace every digit run in the
+    * event props JSON with a placeholder and fingerprint the result —
+    * the masking pass anonymization pipelines run before sharing data.
+    * Grouped by masked fingerprint to prove the mask is global (one
+    * surviving shape) and count total redactions. Narrow map + tiny
+    * aggregate; the regex kernel is codegen'd in both engines. */
+  val q79 = Q(
+    "q79_redact_props",
+    (s, d) =>
+      Tables.events(s, d)
+        .select(
+          md5(regexp_replace(col("props"), "[0-9]+", "<NUM>")).as("masked_fp"),
+          expr("size(regexp_extract_all(props, '[0-9]+', 0))").cast("long").as("nm"))
+        .groupBy("masked_fp")
+        .agg(count(lit(1)).as("n_events"), sum("nm").as("n_masked_total"))
+        .orderBy("masked_fp"),
+    Some("""
+      SELECT md5(regexp_replace(props, '[0-9]+', '<NUM>', 'g')) AS masked_fp,
+             COUNT(*) AS n_events,
+             CAST(SUM(len(regexp_extract_all(props, '[0-9]+'))) AS BIGINT) AS n_masked_total
+      FROM events GROUP BY masked_fp ORDER BY masked_fp"""))
+
+  /** Token-distribution entropy per document — a quality signal (low
+    * entropy = repetitive/templated text; complements q54's bigram
+    * repetition ratio). Computed as log2(n) - Σ c·log2(c) / n from one
+    * grouped aggregate, so no per-document sort; 4dp rounding absorbs
+    * last-ulp summation-order differences between engines. */
+  val q80 = Q(
+    "q80_token_entropy",
+    (s, d) => {
+      val tf = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      tf.groupBy("doc_id")
+        .agg(round(
+          log2(sum("c").cast("double")) -
+            sum(col("c") * log2(col("c"))) / sum("c"), 4).as("entropy"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH tf AS (SELECT doc_id, tok, COUNT(*) AS c
+                  FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents)
+                  GROUP BY doc_id, tok)
+      SELECT doc_id,
+             ROUND(log2(CAST(SUM(c) AS DOUBLE)) - SUM(c * log2(CAST(c AS DOUBLE))) / SUM(c), 4) AS entropy
+      FROM tf GROUP BY doc_id ORDER BY doc_id"""))
+
+  def all: Seq[Q] = Seq(q71, q72, q73, q74, q75, q76, q77, q78, q79, q80)
+}
