@@ -1,0 +1,233 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Statistical and advanced-window analytics: distribution moments,
+  * least-squares regression aggregates, boolean/conditional aggregates,
+  * ordered string aggregation, RANGE-frame event windows, rank
+  * distributions, array set algebra, sketch-based heavy hitters, and
+  * JSON-map access. These round out the OLAP function surface a warehouse
+  * user expects; every aggregate here is a hash-aggregate or window over
+  * a bounded partition — nothing driver-side except the heavy-hitter
+  * sketch summary (constant-size by construction).
+  *
+  * Determinism: doubles are rounded to 4dp after aggregation (both
+  * engines' one-pass moment kernels agree well past 1e-8 at these
+  * magnitudes); every window order ends in a unique key.
+  */
+object AnalyticsQueries {
+
+  /** Distribution moments per group — stddev/variance/correlation/
+    * covariance in ONE hash aggregate pass (all four are algebraic:
+    * partial (n, Σx, Σx², Σxy) merge map-side; no sort, no second
+    * scan). */
+  val q81 = Q(
+    "q81_moments",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+          round(var_samp(col("l_quantity")), 4).as("var_qty"),
+          round(corr(col("l_extendedprice"), col("l_quantity")), 4).as("corr_pq"),
+          round(covar_samp(col("l_extendedprice"), col("l_quantity")), 4).as("cov_pq"))
+        .orderBy("l_returnflag"),
+    Some("""
+      SELECT l_returnflag,
+             ROUND(stddev_samp(l_quantity), 4) AS sd_qty,
+             ROUND(var_samp(l_quantity), 4) AS var_qty,
+             ROUND(corr(l_extendedprice, l_quantity), 4) AS corr_pq,
+             ROUND(covar_samp(l_extendedprice, l_quantity), 4) AS cov_pq
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** In-database least squares (regr_* family): slope/intercept/R² of
+    * price on quantity per flag — the "fit a trend line per group"
+    * query analysts run constantly; algebraic like q81, so it scales as
+    * a single map-combine aggregate. */
+  val q82 = Q(
+    "q82_regression",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("regr_slope(l_extendedprice, l_quantity)"), 4).as("slope"),
+          round(expr("regr_intercept(l_extendedprice, l_quantity)"), 4).as("icept"),
+          round(expr("regr_r2(l_extendedprice, l_quantity)"), 4).as("r2"))
+        .orderBy("l_returnflag"),
+    Some("""
+      SELECT l_returnflag,
+             ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+             ROUND(regr_intercept(l_extendedprice, l_quantity), 4) AS icept,
+             ROUND(regr_r2(l_extendedprice, l_quantity), 4) AS r2
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** Boolean and conditional aggregates — data-quality assertions as
+    * queries (the dbt-test shape: "all balances above floor", "any
+    * whale", "how many negative") evaluated per segment in one pass. */
+  val q83 = Q(
+    "q83_bool_aggs",
+    (s, d) =>
+      Tables.customer(s, d)
+        .groupBy("c_mktsegment")
+        .agg(
+          expr("bool_and(c_acctbal > -1000)").as("all_above"),
+          expr("bool_or(c_acctbal > 9000)").as("any_rich"),
+          expr("count_if(c_acctbal < 0)").as("n_neg"))
+        .orderBy("c_mktsegment"),
+    Some("""
+      SELECT c_mktsegment,
+             bool_and(c_acctbal > -1000) AS all_above,
+             bool_or(c_acctbal > 9000) AS any_rich,
+             CAST(count_if(c_acctbal < 0) AS BIGINT) AS n_neg
+      FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
+  /** Ordered string aggregation (LISTAGG/string_agg): line numbers per
+    * order as a comma list. collect_list is order-nondeterministic under
+    * parallel merge, so the deterministic recipe is collect → array_sort
+    * → join; DuckDB's string_agg takes ORDER BY directly. */
+  val q84 = Q(
+    "q84_string_agg",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_orderkey") < 100)
+        .groupBy("l_orderkey")
+        .agg(array_join(
+          transform(array_sort(collect_list(col("l_linenumber"))),
+            x => x.cast("string")), ",").as("lines"))
+        .orderBy("l_orderkey"),
+    Some("""
+      SELECT l_orderkey,
+             string_agg(CAST(l_linenumber AS VARCHAR), ',' ORDER BY l_linenumber) AS lines
+      FROM lineitem WHERE l_orderkey < 100 GROUP BY l_orderkey ORDER BY l_orderkey"""))
+
+  /** RANGE-frame window over event time: per event, how many of the
+    * same user's events fall in the trailing 10 minutes — the
+    * value-based frame (peers included by time distance, not row
+    * count), computed on integer epoch-µs so frame bounds are exact in
+    * both engines. The partition is per-user, so the sort is local to
+    * each user's slice — no global sort. */
+  val q85 = Q(
+    "q85_range_window",
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("tus")
+        .rangeBetween(-600000000L, 0L)
+      Tables.events(s, d)
+        .filter(col("user_id") < 20)
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("tus"))
+        .withColumn("n_10min", count(lit(1)).over(w))
+        .select("event_id", "user_id", "n_10min")
+        .orderBy("event_id")
+    },
+    Some("""
+      SELECT event_id, user_id,
+             COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW) AS n_10min
+      FROM events WHERE user_id < 20 ORDER BY event_id"""))
+
+  /** Rank-distribution window functions: percent_rank and cume_dist
+    * (frame-free), first/last value (default RANGE frame for first,
+    * explicit full frame for last — the classic last_value trap, pinned
+    * identically in both engines). Order ends in the unique key. */
+  val q86 = Q(
+    "q86_rank_distribution",
+    (s, d) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy("o_totalprice", "o_orderkey")
+      val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, d)
+        .filter(col("o_orderkey") < 500)
+        .select(col("o_orderkey"),
+          round(percent_rank().over(w), 4).as("pr"),
+          round(cume_dist().over(w), 4).as("cd"),
+          first(col("o_orderkey")).over(w).as("first_k"),
+          last(col("o_orderkey")).over(full).as("last_k"))
+        .orderBy("o_orderkey")
+    },
+    Some("""
+      SELECT o_orderkey,
+             ROUND(percent_rank() OVER w, 4) AS pr,
+             ROUND(cume_dist() OVER w, 4) AS cd,
+             FIRST_VALUE(o_orderkey) OVER w AS first_k,
+             LAST_VALUE(o_orderkey) OVER (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_k
+      FROM orders WHERE o_orderkey < 500
+      WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+      ORDER BY o_orderkey"""))
+
+  /** Array set algebra on token sets: distinct-token intersection and
+    * union sizes for document pairs (the building block under Jaccard
+    * q38, exposed directly). Counts are set-cardinalities, so the
+    * engines' differing element orders don't matter. */
+  val q87 = Q(
+    "q87_array_setops",
+    (s, d) => {
+      val t = Tables.documents(s, d)
+        .filter(col("doc_id") < 10)
+        .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
+      t.as("a").join(t.as("b"), col("a.doc_id") < col("b.doc_id"))
+        .select(
+          col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+          size(array_intersect(col("a.toks"), col("b.toks"))).cast("long").as("n_common"),
+          size(array_distinct(concat(col("a.toks"), col("b.toks")))).cast("long").as("n_union"))
+        .orderBy("id_a", "id_b")
+    },
+    Some("""
+      WITH t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+                 FROM documents WHERE doc_id < 10)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS n_common,
+             CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS BIGINT) AS n_union
+      FROM t a JOIN t b ON a.doc_id < b.doc_id ORDER BY id_a, id_b"""))
+
+  /** Sketch-based heavy hitters: tokens above 3% corpus frequency. The
+    * exact list comes from a plain aggregate; the `found` flag asserts
+    * the single-pass Karp–Shenker sketch (stat.freqItems) surfaced every
+    * true heavy hitter — guaranteed by the algorithm (it admits false
+    * positives, never false negatives), which is what makes the boolean
+    * a deterministic cross-engine contract (q46/q76 pattern). The
+    * sketch summary is constant-size (≤ 1/support items) — the only
+    * driver-side value in this module. */
+  val q88 = Q(
+    "q88_heavy_hitters",
+    (s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("tok"))
+      val total = toks.count()
+      val sketch = toks.stat.freqItems(Seq("tok"), 0.03)
+        .head().getSeq[String](0).toSet
+      toks.groupBy("tok").agg(count(lit(1)).as("n"))
+        .filter(col("n") > total * 0.03)
+        .select(col("tok"), col("n"),
+          col("tok").isin(sketch.toSeq: _*).as("found"))
+        .orderBy("tok")
+    },
+    Some("""
+      WITH t AS (SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents),
+      c AS (SELECT tok, COUNT(*) AS n FROM t GROUP BY tok)
+      SELECT tok, n, TRUE AS found FROM c
+      WHERE n > (SELECT COUNT(*) FROM t) * 0.03 ORDER BY tok"""))
+
+  /** JSON-as-map access: parse the props JSON into a typed MAP and sum a
+    * key per event type — the map-type path (from_json → element_at)
+    * rather than q18's string-path get_json_object; at scale the parse
+    * happens once per row inside codegen, no intermediate blow-up. */
+  val q89 = Q(
+    "q89_json_map",
+    (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"),
+          element_at(from_json(col("props"), lit("map<string,int>")), "k").as("k"))
+        .groupBy("event_type")
+        .agg(sum("k").as("sum_k"))
+        .orderBy("event_type"),
+    Some("""
+      SELECT event_type,
+             CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  def all: Seq[Q] = Seq(q81, q82, q83, q84, q85, q86, q87, q88, q89)
+}
