@@ -131,6 +131,40 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("PushedFilters: [IsNotNull(o_orderdate)"), p)
   }
 
+  test("q74: salted aggregation is exactly two partial+final stages") {
+    val p = plan(run("q74_salted_agg"))
+    // stage 1 shuffles (flag, salt) — 32-way spread of the hot key;
+    // stage 2 re-shuffles only the 96 partial rows by flag
+    assert("HashAggregate".r.findAllIn(p).size == 4, p)
+    assert(p.contains("hashpartitioning(l_returnflag") &&
+      p.contains("__salt"), p)
+  }
+
+  test("q71: hash sampling prunes the scan to the 4 referenced columns") {
+    val p = plan(run("q71_hash_sample"))
+    assert(!p.contains("l_extendedprice"), p)
+    assert(!p.contains("l_shipdate"), p)
+  }
+
+  test("q85: RANGE window shuffles by user only — no pre-window global sort") {
+    val p = plan(run("q85_range_window"))
+    assert(p.contains("hashpartitioning(user_id"), p)
+    // one partition exchange for the window + the final presentation
+    // sort's range exchange, nothing else
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(p.contains("specifiedwindowframe(RangeFrame"), p)
+  }
+
+  test("q78: the benchmark gram set broadcasts against the corpus grams") {
+    val df = run("q78_decontaminate")
+    df.count() // let AQE finalize join strategies on real stats
+    val p = plan(df)
+    // the distinct'd benchmark set is tiny relative to the corpus: the
+    // containment join must resolve to a broadcast, never a cartesian
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("events scan converts nanos without breaking codegen") {
     val p = plan(Tables.events(spark, d).filter(col("event_type") === "click")
       .select("event_id", "ts"))
