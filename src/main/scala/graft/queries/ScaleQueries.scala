@@ -294,5 +294,93 @@ object ScaleQueries {
              ROUND(log2(CAST(SUM(c) AS DOUBLE)) - SUM(c * log2(CAST(c AS DOUBLE))) / SUM(c), 4) AS entropy
       FROM tf GROUP BY doc_id ORDER BY doc_id"""))
 
-  def all: Seq[Q] = Seq(q71, q72, q73, q74, q75, q76, q77, q78, q79, q80)
+  /** Document packing: assign documents to fixed token-budget bins
+    * (2048 tokens) per source — the sequence-packing prep step before
+    * training (documents stream into contexts in a stable order; the
+    * bin index is the cumulative token count div the budget). The
+    * running sum partitions by source, so each partition's window is
+    * local — no global sort; bins then aggregate in one pass. */
+  val q90 = Q(
+    "q90_pack_bins",
+    (s, d) => {
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .withColumn("cum", sum("n_tokens").over(w))
+        .withColumn("bin", floor((col("cum") - 1) / 2048).cast("long"))
+        .groupBy("source", "bin")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("bin_tokens"))
+        .orderBy("source", "bin")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens FROM documents),
+      c AS (SELECT doc_id, source, n_tokens,
+                   SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM d)
+      SELECT source, CAST((cum - 1) // 2048 AS BIGINT) AS bin,
+             COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
+      FROM c GROUP BY source, bin ORDER BY source, bin"""))
+
+  /** Unigram surprisal (perplexity-proxy quality score): average
+    * -log2 P(token) per document under the corpus unigram model — the
+    * cheap stand-in for KenLM-style LM filtering. The vocabulary (31
+    * terms here; bounded in any real corpus after frequency cutoff) is
+    * broadcast to the token stream, and the corpus-total scalar rides a
+    * 1-row broadcast — the fact-side token explosion never shuffles for
+    * enrichment. */
+  val q91 = Q(
+    "q91_unigram_surprisal",
+    (s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      val freq = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+      val total = toks.agg(count(lit(1)).as("total"))
+      toks.join(broadcast(freq), Seq("tok"))
+        .crossJoin(broadcast(total))
+        .groupBy("doc_id")
+        .agg(round(avg(-log2(col("c").cast("double") / col("total"))), 4)
+          .as("avg_surprisal"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH t AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents),
+      f AS (SELECT tok, COUNT(*) AS c FROM t GROUP BY tok),
+      n AS (SELECT COUNT(*) AS total FROM t)
+      SELECT t.doc_id, ROUND(AVG(-log2(CAST(f.c AS DOUBLE) / n.total)), 4) AS avg_surprisal
+      FROM t JOIN f USING (tok), n GROUP BY t.doc_id ORDER BY t.doc_id"""))
+
+  /** Training-mix reweighting: per-source resampling weights that move
+    * the corpus from its observed token share to a uniform target mix
+    * (weight = target_frac / actual_frac) — the arithmetic behind
+    * "balance the sources in the next epoch". Two tiny aggregates and a
+    * 1-row broadcast; the corpus itself is touched once to count
+    * tokens. */
+  val q92 = Q(
+    "q92_mix_weights",
+    (s, d) => {
+      val perSource = Tables.documents(s, d)
+        .select(col("source"), size(split(col("text"), " ")).cast("long").as("n"))
+        .groupBy("source").agg(sum("n").as("tokens"))
+      val totals = perSource.agg(sum("tokens").as("total"), count(lit(1)).as("k"))
+      perSource.crossJoin(broadcast(totals))
+        .select(col("source"), col("tokens"),
+          round(col("tokens").cast("double") / col("total"), 4).as("actual_frac"),
+          round((lit(1.0) / col("k")) / (col("tokens").cast("double") / col("total")), 4)
+            .as("weight"))
+        .orderBy("source")
+    },
+    Some("""
+      WITH s AS (SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens
+                 FROM documents GROUP BY source),
+      t AS (SELECT CAST(SUM(tokens) AS BIGINT) AS total, COUNT(*) AS k FROM s)
+      SELECT source, tokens,
+             ROUND(CAST(tokens AS DOUBLE) / total, 4) AS actual_frac,
+             ROUND((1.0 / k) / (CAST(tokens AS DOUBLE) / total), 4) AS weight
+      FROM s, t ORDER BY source"""))
+
+  def all: Seq[Q] = Seq(q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
+    q90, q91, q92)
 }
