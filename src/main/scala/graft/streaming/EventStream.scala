@@ -244,6 +244,30 @@ object EventStream {
       .select("purchase_id", "user_id", "click_id", "click_ts")
   }
 
+  /** LEFT OUTER variant of the stream-stream interval join: purchases
+    * with no preceding click still emit, with nulls on the click side —
+    * but only once the CLICK side's watermark passes the purchase time,
+    * because until then a matching click could still arrive. That is
+    * the semantic difference from batch left joins worth pinning: the
+    * null row's emission time is a watermark decision, not a data
+    * arrival. State bounds are the same as the inner variant. */
+  def purchaseClickLeftJoin(events: DataFrame,
+      lateness: String = "1 hour"): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", lateness)
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", lateness)
+    purchases.join(clicks,
+      expr("""user_id = click_user
+              AND click_ts >= purchase_ts - INTERVAL 15 MINUTES
+              AND click_ts < purchase_ts"""),
+      "left_outer")
+      .select("purchase_id", "user_id", "click_id", "click_ts")
+  }
+
   /** foreachBatch drain with an IDEMPOTENT sink: each micro-batch
     * overwrites its own `batch=<id>` directory, so a batch replayed
     * after a failure between sink-write and checkpoint-commit lands in

@@ -175,6 +175,41 @@ class EventStreamSpec extends AnyFunSuite with SparkSpec {
     assert(got.toSeq.sorted == Seq((4L, 1L)))
   }
 
+  test("left-outer interval join: null click rows flush when the click watermark passes") {
+    val (in, chk) = newDirs()
+    val out = Files.createTempDirectory("graft-ssleft-out").toString
+    drop(in, "a.json",
+      ev(1, "2024-01-01T09:50:00Z", 1, "click", 1.0),    // match for purchase 4
+      ev(4, "2024-01-01T10:00:00Z", 1, "purchase", 9.0),
+      ev(5, "2024-01-01T10:00:00Z", 3, "purchase", 5.0)) // no clicks → null row
+    val joined = EventStream.purchaseClickLeftJoin(
+      EventStream.jsonFileStream(spark, in, EventStream.eventSchema),
+      lateness = "10 minutes")
+    EventStream.runAvailableNowToParquet(joined, out, chk).awaitTermination()
+    // run 1: the matched row emits; the unmatched purchase is still held
+    // back — a click before 10:00 could yet arrive under the watermark
+    val run1 = spark.read.parquet(out).collect()
+      .map(r => (r.getAs[Long]("purchase_id"), r.getAs[Any]("click_id")))
+    assert(run1.toSeq == Seq((4L, 1L)), run1.toSeq)
+    // later events must advance BOTH sides' watermarks (the query
+    // watermark is their MIN) past 10:00, proving no match can arrive
+    // for purchase 5 → its null row can emit
+    drop(in, "b.json",
+      ev(8, "2024-01-02T00:00:00Z", 7, "purchase", 1.0),
+      ev(9, "2024-01-02T00:00:00Z", 8, "click", 1.0))
+    EventStream.runAvailableNowToParquet(joined, out, chk).awaitTermination()
+    // the watermark advance commits at the END of that batch; the null
+    // row emits in the next batch that runs with it — drive one more
+    drop(in, "c.json",
+      ev(10, "2024-01-02T02:00:00Z", 7, "purchase", 1.0),
+      ev(11, "2024-01-02T02:00:00Z", 8, "click", 1.0))
+    EventStream.runAvailableNowToParquet(joined, out, chk).awaitTermination()
+    val run2 = spark.read.parquet(out).collect()
+      .map(r => (r.getAs[Long]("purchase_id"), Option(r.getAs[Any]("click_id"))))
+      .filter(_._1 <= 5).sortBy(_._1)
+    assert(run2.toSeq == Seq((4L, Some(1L)), (5L, None)), run2.toSeq)
+  }
+
   test("foreachBatch idempotent sink: a replayed batch overwrites, never duplicates") {
     val (in, chk) = newDirs()
     val out = Files.createTempDirectory("graft-fb-out").toString
