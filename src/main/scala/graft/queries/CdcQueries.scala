@@ -1,0 +1,165 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Incremental-maintenance semantics (the CDC family): keyed upsert
+  * (MERGE), SCD2 validity intervals, keep-latest compaction, and
+  * table-version diff. The change sets are derived deterministically
+  * from the base tables (key-modulus predicates), so the oracles mirror
+  * them exactly — no fixtures, no RNG.
+  *
+  * Scale shape: upsert and diff are single key-equi joins (anti + union
+  * / full outer) — with a bucketed layout (Layout.writeBucketed) both
+  * sides co-locate and the shuffle disappears; SCD2 and compaction are
+  * per-key windows, local to each key's partition slice.
+  */
+object CdcQueries {
+
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+  private def dbl(c: Column): Column = c.cast("double")
+  private val dec224 = DecimalType(22, 4)
+
+  /** Keyed upsert (MERGE INTO shape): apply a change set — updates
+    * (keys % 10 = 0, price uplifted by an exact decimal 1.10 factor)
+    * plus inserts (shifted keys) — onto the base. Implemented as
+    * anti-join (drop superseded rows) + union (apply the change set):
+    * the portable MERGE without a transactional table format. The
+    * uplift stays in decimal the whole way, so the merged revenue is
+    * bit-exact against the oracle. */
+  val q93 = Q(
+    "q93_upsert",
+    (s, d) => {
+      val base = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          dec(col("o_totalprice")).cast(dec224).as("p"))
+      val upd = base.filter(col("o_orderkey") % 10 === 0)
+        .withColumn("p", (col("p") * dec(lit(1.1))).cast(dec224))
+      val ins = base.filter(col("o_orderkey") % 1000 === 7)
+        .withColumn("o_orderkey", col("o_orderkey") + 100000000L)
+      val chg = upd.unionByName(ins)
+      base.join(chg.select("o_orderkey"), Seq("o_orderkey"), "left_anti")
+        .unionByName(chg)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), dbl(sum("p")).as("revenue"))
+        .orderBy("o_orderstatus")
+    },
+    Some("""
+      WITH base AS (SELECT o_orderkey, o_orderstatus,
+                           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(22,4)) AS p
+                    FROM orders),
+      upd AS (SELECT o_orderkey, o_orderstatus,
+                     CAST(p * CAST(1.1 AS DECIMAL(18,2)) AS DECIMAL(22,4)) AS p
+              FROM base WHERE o_orderkey % 10 = 0),
+      ins AS (SELECT o_orderkey + 100000000 AS o_orderkey, o_orderstatus, p
+              FROM base WHERE o_orderkey % 1000 = 7),
+      chg AS (SELECT * FROM upd UNION ALL SELECT * FROM ins),
+      merged AS (
+        SELECT * FROM base b
+        WHERE NOT EXISTS (SELECT 1 FROM chg c WHERE c.o_orderkey = b.o_orderkey)
+        UNION ALL SELECT * FROM chg)
+      SELECT o_orderstatus, COUNT(*) AS n,
+             CAST(SUM(p) AS DOUBLE) AS revenue
+      FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
+  /** SCD2 history build: each user event becomes a validity interval
+    * [ts, next event's ts), open-ended (null) on the latest — the
+    * slowly-changing-dimension type-2 shape built from an event log
+    * with one lead() per key. */
+  val q94 = Q(
+    "q94_scd2_intervals",
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, d)
+        .filter(col("user_id") < 10)
+        .withColumn("next_ts", lead(col("ts"), 1).over(w))
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("valid_from"),
+          date_format(col("next_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("valid_to"),
+          col("next_ts").isNull.as("is_current"))
+        .orderBy("user_id", "valid_from", "event_id")
+    },
+    Some("""
+      SELECT user_id, event_id, event_type,
+             strftime(make_timestamp(epoch_us(ts)), '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+             strftime(make_timestamp(epoch_us(LEAD(ts) OVER w)), '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
+             LEAD(ts) OVER w IS NULL AS is_current
+      FROM events WHERE user_id < 10
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ORDER BY user_id, valid_from, event_id"""))
+
+  /** Keep-latest compaction: one surviving row per key — the CDC-log
+    * compaction every incremental sink needs before serving (latest by
+    * event time, event_id as the total tie-break). row_number, not
+    * max-join: one window pass, no self-join. */
+  val q95 = Q(
+    "q95_compact_latest",
+    (s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"))
+        .orderBy("user_id")
+    },
+    Some("""
+      WITH r AS (SELECT user_id, event_id, event_type, ts,
+                        ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+                 FROM events)
+      SELECT user_id, event_id, event_type,
+             strftime(make_timestamp(epoch_us(ts)), '%Y-%m-%d %H:%M:%S.%f') AS ts
+      FROM r WHERE rn = 1 ORDER BY user_id"""))
+
+  /** Table-version diff: classify every key across two table versions
+    * (v2 = v1 with deletes, price updates, and inserts applied) as
+    * added / removed / changed / unchanged via ONE full outer join —
+    * the reconciliation query behind "what did this pipeline run
+    * change". Only (key, price) travel, not whole rows. */
+  val q96 = Q(
+    "q96_table_diff",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val v1 = o.select(col("o_orderkey"), col("o_totalprice").as("price"))
+      val v2 = o.filter(col("o_orderkey") % 97 =!= 0)
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 10 === 0, col("o_totalprice") * 1.1)
+            .otherwise(col("o_totalprice")).as("price"))
+        .unionByName(o.filter(col("o_orderkey") % 1000 === 7)
+          .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+            col("o_totalprice").as("price")))
+      v1.as("a").join(v2.as("b"),
+          col("a.o_orderkey") === col("b.o_orderkey"), "full_outer")
+        .select(
+          when(col("a.o_orderkey").isNull, "added")
+            .when(col("b.o_orderkey").isNull, "removed")
+            .when(col("a.price") =!= col("b.price"), "changed")
+            .otherwise("unchanged").as("status"))
+        .groupBy("status").agg(count(lit(1)).as("n"))
+        .orderBy("status")
+    },
+    Some("""
+      WITH v1 AS (SELECT o_orderkey, o_totalprice AS price FROM orders),
+      v2 AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 1.1
+                    ELSE o_totalprice END AS price
+        FROM orders WHERE o_orderkey % 97 <> 0
+        UNION ALL
+        SELECT o_orderkey + 100000000, o_totalprice
+        FROM orders WHERE o_orderkey % 1000 = 7),
+      d AS (SELECT CASE WHEN v1.o_orderkey IS NULL THEN 'added'
+                        WHEN v2.o_orderkey IS NULL THEN 'removed'
+                        WHEN v1.price <> v2.price THEN 'changed'
+                        ELSE 'unchanged' END AS status
+            FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey)
+      SELECT status, COUNT(*) AS n FROM d GROUP BY status ORDER BY status"""))
+
+  def all: Seq[Q] = Seq(q93, q94, q95, q96)
+}
