@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Incremental-maintenance (CDC) operators: keyed upsert, SCD2 interval
+  * building, keep-latest compaction, and two-version reconciliation.
+  * Each is a single relational plan — one key-equi join or one per-key
+  * window — so they inherit Spark's scale machinery (AQE, broadcast of
+  * small change sets, bucketed co-location via Layout.writeBucketed)
+  * instead of inventing a log format. The oracled registry entries
+  * q93-q96 pin their semantics against DuckDB.
+  */
+object Cdc {
+
+  /** MERGE INTO without a transactional table format: rows of `base`
+    * whose key appears in `changes` are superseded (anti-join), then
+    * the change set lands (union). Updates and inserts are just rows of
+    * `changes`; deletes are "absent from changes but tombstoned" —
+    * filter them out of `changes` and pass their keys via `deletes`.
+    * Schemas of `base` and `changes` must match (unionByName). */
+  def upsert(base: DataFrame, changes: DataFrame, key: String,
+      deletes: Option[DataFrame] = None): DataFrame = {
+    val dropKeys = deletes match {
+      case Some(del) => changes.select(key).unionByName(del.select(key))
+      case None      => changes.select(key)
+    }
+    base.join(dropKeys, Seq(key), "left_anti").unionByName(changes)
+  }
+
+  /** SCD2 history from an event/change log: appends `valid_from`
+    * (= the row's own `ts`), `valid_to` (the key's next `ts`, null while
+    * open) and `is_current`. One lead() per key; rows keep all their
+    * original columns. `tieBreak` totalizes the order for same-ts rows
+    * so interval boundaries are deterministic. */
+  def scd2(log: DataFrame, key: String, ts: String, tieBreak: String): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(ts, tieBreak)
+    log
+      .withColumn("valid_from", col(ts))
+      .withColumn("valid_to", lead(col(ts), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+
+  /** Keep-latest compaction: one surviving row per key, chosen by the
+    * `order` columns descending-first semantics supplied by the caller
+    * (e.g. Seq(col("ts").desc, col("id").desc)). One window pass — no
+    * max-subquery self-join, which would scan and shuffle twice. */
+  def compactLatest(log: DataFrame, key: String, order: Seq[Column]): DataFrame =
+    log
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(key).orderBy(order: _*)))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+
+  /** Reconcile two versions of a keyed table: one row per key with
+    * status added / removed / changed / unchanged, judged on
+    * `compareCols` equality (null-safe). One full outer join on the
+    * key; only key + compared columns travel. */
+  def tableDiff(v1: DataFrame, v2: DataFrame, key: String,
+      compareCols: Seq[String]): DataFrame = {
+    val a = v1.select((key +: compareCols).map(col): _*).as("a")
+    val b = v2.select((key +: compareCols).map(col): _*).as("b")
+    val changed = compareCols
+      .map(c => !(col(s"a.$c") <=> col(s"b.$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    a.join(b, col(s"a.$key") === col(s"b.$key"), "full_outer")
+      .select(
+        coalesce(col(s"a.$key"), col(s"b.$key")).as(key),
+        when(col(s"a.$key").isNull, "added")
+          .when(col(s"b.$key").isNull, "removed")
+          .when(changed, "changed")
+          .otherwise("unchanged").as("status"))
+  }
+}

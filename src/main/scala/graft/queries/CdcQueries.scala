@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
+import graft.operators.Cdc
 
 /** Incremental-maintenance semantics (the CDC family): keyed upsert
   * (MERGE), SCD2 validity intervals, keep-latest compaction, and
@@ -42,8 +43,7 @@ object CdcQueries {
       val ins = base.filter(col("o_orderkey") % 1000 === 7)
         .withColumn("o_orderkey", col("o_orderkey") + 100000000L)
       val chg = upd.unionByName(ins)
-      base.join(chg.select("o_orderkey"), Seq("o_orderkey"), "left_anti")
-        .unionByName(chg)
+      Cdc.upsert(base, chg, "o_orderkey")
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n"), dbl(sum("p")).as("revenue"))
         .orderBy("o_orderstatus")
@@ -72,17 +72,14 @@ object CdcQueries {
     * with one lead() per key. */
   val q94 = Q(
     "q94_scd2_intervals",
-    (s, d) => {
-      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-      Tables.events(s, d)
-        .filter(col("user_id") < 10)
-        .withColumn("next_ts", lead(col("ts"), 1).over(w))
+    (s, d) =>
+      Cdc.scd2(Tables.events(s, d).filter(col("user_id") < 10),
+          "user_id", "ts", "event_id")
         .select(col("user_id"), col("event_id"), col("event_type"),
-          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("valid_from"),
-          date_format(col("next_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("valid_to"),
-          col("next_ts").isNull.as("is_current"))
-        .orderBy("user_id", "valid_from", "event_id")
-    },
+          date_format(col("valid_from"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("valid_from"),
+          date_format(col("valid_to"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("valid_to"),
+          col("is_current"))
+        .orderBy("user_id", "valid_from", "event_id"),
     Some("""
       SELECT user_id, event_id, event_type,
              strftime(make_timestamp(epoch_us(ts)), '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
@@ -98,16 +95,12 @@ object CdcQueries {
     * max-join: one window pass, no self-join. */
   val q95 = Q(
     "q95_compact_latest",
-    (s, d) => {
-      val w = Window.partitionBy("user_id")
-        .orderBy(col("ts").desc, col("event_id").desc)
-      Tables.events(s, d)
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
+    (s, d) =>
+      Cdc.compactLatest(Tables.events(s, d), "user_id",
+          Seq(col("ts").desc, col("event_id").desc))
         .select(col("user_id"), col("event_id"), col("event_type"),
           date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"))
-        .orderBy("user_id")
-    },
+        .orderBy("user_id"),
     Some("""
       WITH r AS (SELECT user_id, event_id, event_type, ts,
                         ROW_NUMBER() OVER (PARTITION BY user_id
@@ -134,13 +127,7 @@ object CdcQueries {
         .unionByName(o.filter(col("o_orderkey") % 1000 === 7)
           .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
             col("o_totalprice").as("price")))
-      v1.as("a").join(v2.as("b"),
-          col("a.o_orderkey") === col("b.o_orderkey"), "full_outer")
-        .select(
-          when(col("a.o_orderkey").isNull, "added")
-            .when(col("b.o_orderkey").isNull, "removed")
-            .when(col("a.price") =!= col("b.price"), "changed")
-            .otherwise("unchanged").as("status"))
+      Cdc.tableDiff(v1, v2, "o_orderkey", Seq("price"))
         .groupBy("status").agg(count(lit(1)).as("n"))
         .orderBy("status")
     },

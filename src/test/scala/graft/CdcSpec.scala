@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Cdc
+
+/** Unit semantics of the CDC operators on hand-built frames — the
+  * oracled registry entries (q93-q96) cover them at table scale; these
+  * pin the edge cases those queries don't reach (deletes, null compare
+  * columns, same-ts tie-breaks).
+  */
+class CdcSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("upsert applies updates, inserts, and tombstoned deletes") {
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "name", "v")
+    val changes = Seq((2L, "b2", 25.0), (4L, "d", 40.0)).toDF("k", "name", "v")
+    val deletes = Seq(Tuple1(3L)).toDF("k")
+    val got = Cdc.upsert(base, changes, "k", Some(deletes))
+      .orderBy("k").as[(Long, String, Double)].collect().toSeq
+    assert(got == Seq((1L, "a", 10.0), (2L, "b2", 25.0), (4L, "d", 40.0)))
+  }
+
+  test("scd2 builds half-open intervals with a deterministic same-ts tie-break") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val log = Seq(
+      (1L, 10L, ts("2024-01-01 00:00:00"), "bronze"),
+      (1L, 11L, ts("2024-01-01 00:00:00"), "silver"), // same ts → id breaks it
+      (1L, 12L, ts("2024-01-02 00:00:00"), "gold"),
+      (2L, 20L, ts("2024-01-05 00:00:00"), "bronze"))
+      .toDF("k", "id", "ts", "tier")
+    val got = Cdc.scd2(log, "k", "ts", "id")
+      .select("k", "id", "tier", "is_current").orderBy("k", "id")
+      .as[(Long, Long, String, Boolean)].collect().toSeq
+    assert(got == Seq(
+      (1L, 10L, "bronze", false), (1L, 11L, "silver", false),
+      (1L, 12L, "gold", true), (2L, 20L, "bronze", true)))
+    // interval chaining: each non-current row's valid_to is the key's
+    // next valid_from
+    val iv = Cdc.scd2(log, "k", "ts", "id").filter(col("k") === 1)
+      .select("valid_from", "valid_to").orderBy("id")
+      .as[(java.sql.Timestamp, Option[java.sql.Timestamp])].collect()
+    assert(iv(0)._2.contains(iv(1)._1) && iv(1)._2.contains(iv(2)._1))
+    assert(iv(2)._2.isEmpty)
+  }
+
+  test("compactLatest keeps exactly the newest row per key") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val log = Seq(
+      (1L, 10L, ts("2024-01-01 00:00:00"), "old"),
+      (1L, 11L, ts("2024-01-03 00:00:00"), "new"),
+      (2L, 20L, ts("2024-01-02 00:00:00"), "only"))
+      .toDF("k", "id", "ts", "v")
+    val got = Cdc.compactLatest(log, "k", Seq(col("ts").desc, col("id").desc))
+      .select("k", "v").orderBy("k").as[(Long, String)].collect().toSeq
+    assert(got == Seq((1L, "new"), (2L, "only")))
+  }
+
+  test("tableDiff classifies keys null-safely") {
+    val v1 = Seq((1L, Some(10.0)), (2L, None), (3L, Some(30.0)), (5L, Some(50.0)))
+      .toDF("k", "v")
+    val v2 = Seq((1L, Some(10.0)), (2L, None), (3L, Some(31.0)), (4L, Some(40.0)))
+      .toDF("k", "v")
+    val got = Cdc.tableDiff(v1, v2, "k", Seq("v"))
+      .orderBy("k").as[(Long, String)].collect().toSeq
+    // null == null must read unchanged (null-safe compare), not changed
+    assert(got == Seq((1L, "unchanged"), (2L, "unchanged"),
+      (3L, "changed"), (4L, "added"), (5L, "removed")))
+  }
+}
