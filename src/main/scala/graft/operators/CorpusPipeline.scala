@@ -54,6 +54,52 @@ object CorpusPipeline {
       fractions: Map[String, Double], seed: Long): DataFrame =
     docs.stat.sampleBy(stratum, fractions, seed)
 
+  /** Token-budget document packing: assign each document a bin index
+    * within its stratum — the running token count (in `orderCol` order)
+    * divided by the budget. The sequence-packing prep for training:
+    * documents stream into fixed-size contexts in a stable, reproducible
+    * order. Appends `n_tokens`, `bin`. Per-stratum window: no global
+    * sort, each stratum's slice packs independently. */
+  def packBins(docs: DataFrame, stratum: String, orderCol: String,
+      text: String, budgetTokens: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratum).orderBy(orderCol)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    docs
+      .withColumn("n_tokens", size(split(col(text), " ")).cast("long"))
+      .withColumn("bin",
+        floor((sum("n_tokens").over(w) - 1) / budgetTokens).cast("long"))
+  }
+
+  /** Benchmark decontamination: per `train` document, the number of
+    * distinct token n-grams it shares with the `bench` corpus (and a
+    * contaminated flag) — the eval-overlap check run before training.
+    * Documents shorter than `n` tokens carry no gram and are dropped
+    * (they cannot collide). The bench gram set is distinct'd first:
+    * relative to any real corpus it is small, so Spark broadcasts it
+    * and the corpus-side explosion never shuffles. */
+  def decontaminate(train: DataFrame, bench: DataFrame, id: String,
+      text: String, n: Int = 8): DataFrame = {
+    def grams(df: DataFrame): DataFrame = df
+      .select(col(id), split(col(text), " ").as("__toks"))
+      .filter(size(col("__toks")) >= n)
+      .select(col(id), explode(transform(
+        sequence(lit(0), size(col("__toks")) - n),
+        i => md5(array_join(slice(col("__toks"), (i + 1).cast("int"), lit(n)), " "))))
+        .as("__g"))
+      .distinct()
+    val benchGrams = grams(bench).select("__g").distinct()
+    val shared = grams(train).join(benchGrams, Seq("__g"))
+      .groupBy(id).agg(count(lit(1)).as("n_shared"))
+    train
+      .filter(size(split(col(text), " ")) >= n).select(col(id)).distinct()
+      .join(shared, Seq(id), "left")
+      .select(col(id),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
+  }
+
   /** Full curation pass; returns the surviving corpus + stage counts.
     * Intermediate stages are persisted while the audit counts run (each
     * count would otherwise re-execute everything upstream, re-running

@@ -166,6 +166,26 @@ object Dedup {
     labels
   }
 
+  /** Chunk-level (paragraph) keep-first dedup: split each document into
+    * fixed `chunkTokens`-token chunks and rank every chunk globally
+    * within its content hash by (id, chunk_idx) — rank 1 is the kept
+    * copy. Returns (id, chunk_idx, chunk, kept). This is the
+    * sub-document pass run AFTER whole-doc dedup: boilerplate repeats
+    * across documents that are not near-duplicates of each other. The
+    * only shuffle key is the 16-byte chunk hash. */
+  def chunkKeepFirst(docs: DataFrame, id: String, text: String,
+      chunkTokens: Int = 10): DataFrame = {
+    val c = chunkTokens
+    docs
+      .select(col(id), split(col(text), " ").as("__toks"))
+      .select(col(id), posexplode(transform(
+        sequence(lit(0L), expr(s"(size(__toks) - 1) div $c")),
+        i => array_join(slice(col("__toks"), (i * c + 1).cast("int"), lit(c)), " "))))
+      .withColumnsRenamed(Map("pos" -> "chunk_idx", "col" -> "chunk"))
+      .withColumn("kept", row_number().over(
+        Window.partitionBy(md5(col("chunk"))).orderBy(id, "chunk_idx")) === 1)
+  }
+
   /** Winnowing fingerprints (the MOSS scheme): hash every n-gram
     * shingle, slide a window of `window` consecutive hashes, keep each
     * window's minimum. Output: one row per distinct selected hash

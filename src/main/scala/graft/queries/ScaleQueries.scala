@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
+import graft.operators.{CorpusPipeline, Dedup}
 
 /** Scale-technique queries: each entry demonstrates a pattern that only
   * matters at cluster scale (deterministic sampling, skew-safe two-stage
@@ -178,22 +179,12 @@ object ScaleQueries {
     * chunk hash; nothing quadratic. */
   val q77 = Q(
     "q77_chunk_dedup",
-    (s, d) => {
-      val C = 10
-      val chunks = Tables.documents(s, d)
-        .select(col("doc_id"), split(col("text"), " ").as("toks"))
-        .select(col("doc_id"), posexplode(transform(
-          sequence(lit(0L), expr(s"(size(toks) - 1) div $C")),
-          i => array_join(slice(col("toks"), (i * C + 1).cast("int"), lit(C)), " "))))
-        .withColumnsRenamed(Map("pos" -> "chunk_idx", "col" -> "chunk"))
-      val ranked = chunks
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(md5(col("chunk"))).orderBy("doc_id", "chunk_idx")))
-      ranked.groupBy("doc_id")
+    (s, d) =>
+      Dedup.chunkKeepFirst(Tables.documents(s, d), "doc_id", "text", chunkTokens = 10)
+        .groupBy("doc_id")
         .agg(count(lit(1)).as("n_chunks"),
-          count(when(col("rn") === 1, 1)).as("n_kept"))
-        .orderBy("doc_id")
-    },
+          count(when(col("kept"), 1)).as("n_kept"))
+        .orderBy("doc_id"),
     Some("""
       WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
       ch AS (SELECT doc_id, i AS chunk_idx, array_to_string(toks[i*10+1:i*10+10], ' ') AS chunk
@@ -214,24 +205,11 @@ object ScaleQueries {
   val q78 = Q(
     "q78_decontaminate",
     (s, d) => {
-      val n = 8
-      val toks = Tables.documents(s, d)
-        .select(col("doc_id"), split(col("text"), " ").as("toks"))
-        .filter(size(col("toks")) >= n)
-      def grams(df: DataFrame): DataFrame = df
-        .select(col("doc_id"), explode(transform(
-          sequence(lit(0), size(col("toks")) - n),
-          i => md5(array_join(slice(col("toks"), (i + 1).cast("int"), lit(n)), " ")))).as("g"))
-        .distinct()
-      val bench = grams(toks.filter(col("doc_id") % 50 === 0)).select("g").distinct()
-      val train = grams(toks.filter(col("doc_id") % 50 =!= 0))
-      val shared = train.join(bench, Seq("g"))
-        .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
-      train.select("doc_id").distinct()
-        .join(shared, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("n_shared"), lit(0L)).as("n_shared"),
-          (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
+      val docs = Tables.documents(s, d)
+      CorpusPipeline.decontaminate(
+          docs.filter(col("doc_id") % 50 =!= 0),
+          docs.filter(col("doc_id") % 50 === 0),
+          "doc_id", "text", n = 8)
         .orderBy("doc_id")
     },
     Some("""
@@ -302,18 +280,13 @@ object ScaleQueries {
     * local — no global sort; bins then aggregate in one pass. */
   val q90 = Q(
     "q90_pack_bins",
-    (s, d) => {
-      val w = Window.partitionBy("source").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables.documents(s, d)
-        .select(col("doc_id"), col("source"),
-          size(split(col("text"), " ")).cast("long").as("n_tokens"))
-        .withColumn("cum", sum("n_tokens").over(w))
-        .withColumn("bin", floor((col("cum") - 1) / 2048).cast("long"))
+    (s, d) =>
+      CorpusPipeline.packBins(Tables.documents(s, d),
+          stratum = "source", orderCol = "doc_id", text = "text",
+          budgetTokens = 2048)
         .groupBy("source", "bin")
         .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("bin_tokens"))
-        .orderBy("source", "bin")
-    },
+        .orderBy("source", "bin"),
     Some("""
       WITH d AS (SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens FROM documents),
       c AS (SELECT doc_id, source, n_tokens,

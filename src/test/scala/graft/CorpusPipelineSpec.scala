@@ -106,6 +106,48 @@ class CorpusPipelineSpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("packBins: bins respect the budget boundary and stratum isolation") {
+    import spark.implicits._
+    // 3 docs of 5 tokens in one stratum, budget 8 → cum 5,10,15 → bins 0,1,1
+    val docs = Seq(
+      (1L, "s1", "a b c d e"), (2L, "s1", "a b c d e"), (3L, "s1", "a b c d e"),
+      (4L, "s2", "a b c d e"))
+      .toDF("doc_id", "source", "text")
+    val got = CorpusPipeline.packBins(docs, "source", "doc_id", "text", 8)
+      .select("doc_id", "bin").orderBy("doc_id")
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 0L), (2L, 1L), (3L, 1L), (4L, 0L)))
+  }
+
+  test("decontaminate: only docs sharing an n-gram with the bench set flag") {
+    import spark.implicits._
+    val bench = Seq((100L, "w1 w2 w3 w4 w5 w6 w7 w8 tail")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8 other words here"), // shares the 8-gram
+      (2L, "x1 x2 x3 x4 x5 x6 x7 x8 clean"),            // disjoint
+      (3L, "too short"))                                 // < 8 tokens → absent
+      .toDF("doc_id", "text")
+    val got = CorpusPipeline.decontaminate(train, bench, "doc_id", "text", n = 8)
+      .orderBy("doc_id").as[(Long, Long, Boolean)].collect().toSeq
+    assert(got.map(r => (r._1, r._3)) == Seq((1L, true), (2L, false)))
+    assert(got.head._2 >= 1)
+  }
+
+  test("chunkKeepFirst keeps the (lowest id, lowest idx) copy of a repeated chunk") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c x y z"),   // chunks (3 tokens): "a b c", "x y z"
+      (2L, "a b c q r s"))   // "a b c" repeats → not kept here
+      .toDF("doc_id", "text")
+    val got = graft.operators.Dedup.chunkKeepFirst(docs, "doc_id", "text", 3)
+      .select("doc_id", "chunk_idx", "chunk", "kept")
+      .orderBy("doc_id", "chunk_idx")
+      .as[(Long, Int, String, Boolean)].collect().toSeq
+    assert(got == Seq(
+      (1L, 0, "a b c", true), (1L, 1, "x y z", true),
+      (2L, 0, "a b c", false), (2L, 1, "q r s", true)))
+  }
+
   test("curate on the real corpus drops exactly the planted near-duplicates") {
     val docs = Tables.documents(spark, sf("sf0.01"))
     val (_, report) = CorpusPipeline.curate(docs, "doc_id", "text")
