@@ -229,5 +229,79 @@ object AnalyticsQueries {
              CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k
       FROM events GROUP BY event_type ORDER BY event_type"""))
 
-  def all: Seq[Q] = Seq(q81, q82, q83, q84, q85, q86, q87, q88, q89)
+  /** UNPIVOT / melt: wide metric columns to long (metric, value) form —
+    * the inverse of q14/q66's pivot and the standard feed into
+    * metric-generic pipelines. Spark's unpivot is a narrow generate
+    * (each row fans to 3), no shuffle until the aggregate. Values are
+    * unified to decimal before the sum so the long-form total is exact. */
+  val q97 = Q(
+    "q97_unpivot",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_orderkey") < 50)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax")
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+          "metric", "val")
+        .groupBy("metric")
+        .agg(count(lit(1)).as("n"),
+          sum(col("val").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .cast("double").as("total"))
+        .orderBy("metric"),
+    Some("""
+      WITH u AS (
+        SELECT l_orderkey, l_linenumber, metric, val
+        FROM (SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_tax
+              FROM lineitem WHERE l_orderkey < 50)
+        UNPIVOT (val FOR metric IN (l_quantity, l_discount, l_tax)))
+      SELECT metric, COUNT(*) AS n,
+             CAST(SUM(CAST(val AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM u GROUP BY metric ORDER BY metric"""))
+
+  /** try_cast lenient parsing: casts that yield null instead of failing
+    * the job — the difference between one malformed row poisoning a
+    * 100 TB run and it landing in a quarantine count. n_ok counts
+    * successful casts of a present JSON field; n_bad counts rows whose
+    * missing-field cast nulled out (all of them). */
+  val q98 = Q(
+    "q98_try_cast",
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(
+          count(expr("try_cast(get_json_object(props, '$.k') AS INT)")).as("n_ok"),
+          (count(lit(1)) -
+            count(expr("try_cast(get_json_object(props, '$.missing') AS INT)")))
+            .as("n_bad"))
+        .orderBy("event_type"),
+    Some("""
+      SELECT event_type,
+             CAST(COUNT(TRY_CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS n_ok,
+             CAST(COUNT(*) - COUNT(TRY_CAST(json_extract_string(props, '$.missing') AS INT)) AS BIGINT) AS n_bad
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  /** Batch sliding windows: hourly event counts every 30 minutes via
+    * Spark's native window(ts, '1 hour', '30 minutes') — each event
+    * fans to exactly two epoch-aligned windows (a narrow generate),
+    * then one hash aggregate; the oracle mirrors the fan-out with
+    * time_bucket. The batch twin of the streaming windowedCounts. */
+  val q99 = Q(
+    "q99_sliding_window",
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n"))
+        .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          col("n"))
+        .orderBy("window_start"),
+    Some("""
+      WITH e2 AS (SELECT UNNEST([tb, tb - INTERVAL 30 MINUTE]) AS ws
+                  FROM (SELECT time_bucket(INTERVAL 30 MINUTE,
+                               make_timestamp(epoch_us(ts))) AS tb FROM events))
+      SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, COUNT(*) AS n
+      FROM e2 GROUP BY ws ORDER BY window_start"""))
+
+  def all: Seq[Q] = Seq(q81, q82, q83, q84, q85, q86, q87, q88, q89,
+    q97, q98, q99)
 }
