@@ -91,6 +91,23 @@ object Stress {
         .filter(col("n") >= 3).count()
     }
 
+    time("decontaminate") {
+      // bench set = every 50th doc; the gram set stays small relative to
+      // the corpus, which is what the broadcast path depends on
+      CorpusPipeline.decontaminate(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0), "doc_id", "text").count()
+    }
+    time("chunk_dedup") {
+      Dedup.chunkKeepFirst(docs, "doc_id", "text").filter(col("kept")).count()
+    }
+    time("pack_bins") {
+      // single stratum = worst case: one window partition carries the
+      // whole corpus ordering
+      CorpusPipeline.packBins(docs.withColumn("src", col("doc_id") % 20),
+        "src", "doc_id", "text", 2048).groupBy("src", "bin").count().count()
+    }
+
     val purchases = events.filter(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"), col("ts"))
     val clicks = events.filter(col("event_type") === "click")
