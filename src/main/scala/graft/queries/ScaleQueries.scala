@@ -354,6 +354,46 @@ object ScaleQueries {
              ROUND((1.0 / k) / (CAST(tokens AS DOUBLE) / total), 4) AS weight
       FROM s, t ORDER BY source"""))
 
+  /** Per-source quality funnel: how many documents survive each
+    * progressive filter stage (length → type-token ratio → mean word
+    * length), as ONE conditional-aggregate scan — the curation
+    * dashboard query, costing one pass regardless of stage count.
+    * Every predicate is integer cross-multiplied (10·distinct ≥ 3·n
+    * instead of distinct/n ≥ 0.3), so there is no float-boundary risk
+    * in the cross-engine compare. */
+  val q100 = Q(
+    "q100_quality_funnel",
+    (s, d) => {
+      val toks = split(col("text"), " ")
+      Tables.documents(s, d)
+        .select(col("source"),
+          size(toks).as("n"),
+          size(array_distinct(toks)).as("nd"),
+          (length(col("text")) - (size(toks) - 1)).as("chars"))
+        .withColumn("p1", col("n") >= 20 && col("n") <= 100000)
+        .withColumn("p2", col("p1") && col("nd") * 10 >= col("n") * 3)
+        .withColumn("p3", col("p2") &&
+          col("chars") >= col("n") * 3 && col("chars") <= col("n") * 12)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("p1"), 1)).as("pass_len"),
+          count(when(col("p2"), 1)).as("pass_ttr"),
+          count(when(col("p3"), 1)).as("pass_all"))
+        .orderBy("source")
+    },
+    Some("""
+      WITH t AS (
+        SELECT source, len(string_split(text, ' ')) AS n,
+               len(list_distinct(string_split(text, ' '))) AS nd,
+               length(text) - (len(string_split(text, ' ')) - 1) AS chars
+        FROM documents)
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(count_if(n >= 20 AND n <= 100000) AS BIGINT) AS pass_len,
+             CAST(count_if(n >= 20 AND n <= 100000 AND 10*nd >= 3*n) AS BIGINT) AS pass_ttr,
+             CAST(count_if(n >= 20 AND n <= 100000 AND 10*nd >= 3*n
+                           AND chars >= 3*n AND chars <= 12*n) AS BIGINT) AS pass_all
+      FROM t GROUP BY source ORDER BY source"""))
+
   def all: Seq[Q] = Seq(q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
-    q90, q91, q92)
+    q90, q91, q92, q100)
 }
