@@ -127,12 +127,51 @@ object Dedup {
     * without it each iteration's plan contains all previous ones.
     *
     * Input: pairs (id_a, id_b). Output: (id, cluster) for every id that
-    * appears in a pair; singletons never enter and keep themselves. */
-  def duplicateClusters(pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
+    * appears in a pair; singletons never enter and keep themselves.
+    *
+    * Adaptive small-graph fast path: the pair graph is collision-sized —
+    * tiny relative to the corpus (256 pairs for 5k docs at sf0.1) —
+    * so when it fits comfortably on the driver (≤ `driverMaxEdges`,
+    * numeric ids), a local union-find replaces the iterative join loop:
+    * same labels, none of the per-iteration shuffle/checkpoint fixed
+    * costs. Past the threshold (or for non-numeric ids) the distributed
+    * loop runs unchanged — correctness never depends on the graph
+    * fitting anywhere. */
+  def duplicateClusters(pairs: DataFrame, maxIterations: Int = 20,
+      driverMaxEdges: Long = 1L << 20): DataFrame = {
+    import org.apache.spark.sql.types.{IntegerType, LongType}
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
       .localCheckpoint(true)
+    val idType = pairs.schema("id_a").dataType
+    // count is ~free: the frame was just materialized by the checkpoint
+    if ((idType == LongType || idType == IntegerType) &&
+        edges.count() <= driverMaxEdges) {
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val es = edges.select(col("src").cast("long"), col("dst").cast("long"))
+        .as[(Long, Long)].collect()
+      edges.unpersist()
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x // path compression
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      es.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(if (ra < rb) rb else ra) = math.min(ra, rb)
+      }
+      // roots are min-ids already (union always points at the smaller root)
+      val labeled = parent.keys.toSeq.map(idVal => (idVal, find(idVal)))
+      return labeled.toDF("id", "cluster")
+        .select(col("id").cast(idType).as("id"),
+          col("cluster").cast(idType).as("cluster"))
+    }
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster", col("id"))
       .localCheckpoint(true)

@@ -106,6 +106,21 @@ class CorpusPipelineSpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("duplicateClusters: driver union-find and distributed loop agree") {
+    import spark.implicits._
+    // chain 1-2-3, star 10-{11,12}, plus an isolated pair
+    val pairs = Seq((2L, 1L), (3L, 2L), (10L, 11L), (12L, 10L), (20L, 21L))
+      .toDF("id_a", "id_b")
+    def labels(driverMax: Long) =
+      graft.operators.Dedup.duplicateClusters(pairs, driverMaxEdges = driverMax)
+        .orderBy("id").as[(Long, Long)].collect().toSeq
+    val fast = labels(Long.MaxValue) // small-graph path
+    val dist = labels(0L)            // forced distributed loop
+    assert(fast == dist, s"fast=$fast dist=$dist")
+    assert(fast == Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L),
+      (11L, 10L), (12L, 10L), (20L, 20L), (21L, 20L)))
+  }
+
   test("packBins: bins respect the budget boundary and stratum isolation") {
     import spark.implicits._
     // 3 docs of 5 tokens in one stratum, budget 8 → cum 5,10,15 → bins 0,1,1
