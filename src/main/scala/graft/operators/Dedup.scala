@@ -114,8 +114,18 @@ object Dedup {
   def minHashLshPairs(docs: DataFrame, id: String, text: String,
       n: Int = 4, k: Int = 16, bands: Int = 4,
       threshold: Double = 0.5): DataFrame = {
+    // materialize both shared inputs once: candidates feed a broadcast
+    // and the shingle set feeds THREE consumers (two intersection joins
+    // + the size agg) — AQE builds those subtrees as concurrent
+    // independent stages, so without a hard materialization boundary
+    // each re-runs the tokenize+md5 scan (the CPU hot spot) for itself.
+    // Both frames are collision/corpus-bounded: candidate pairs are
+    // sparse by construction and the shingle set is ~tokens-per-corpus
+    // rows of 8-byte hashes.
     val cands = lshCandidatePairs(minHashSignatures(docs, id, text, n, k), id, k, bands)
-    verifiedJaccard(cands, shingleSet(docs, id, text, n), id, threshold)
+      .localCheckpoint(true)
+    val shingles = shingleSet(docs, id, text, n).localCheckpoint(true)
+    verifiedJaccard(cands, shingles, id, threshold)
   }
 
   /** Connected components over a near-duplicate pair graph: every doc
@@ -140,8 +150,15 @@ object Dedup {
   def duplicateClusters(pairs: DataFrame, maxIterations: Int = 20,
       driverMaxEdges: Long = 1L << 20): DataFrame = {
     import org.apache.spark.sql.types.{IntegerType, LongType}
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // materialize the pair frame BEFORE referencing it twice: each union
+    // branch is otherwise a full copy of whatever produced the pairs
+    // (for LSH input, the entire signature+verification pipeline), and
+    // AQE executes the two branches as independent subqueries — measured
+    // ~2× the whole upstream cost on q55 (exchange reuse does not bridge
+    // the differing final projects)
+    val p = pairs.localCheckpoint(true)
+    val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(p.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
       .localCheckpoint(true)
     val idType = pairs.schema("id_a").dataType

@@ -42,9 +42,17 @@ object Similarity {
     // (spurious "near-dup" pairs); exclude them up front
     val e = emb.select(col(id), col("embedding"), vec.norm(col("embedding")).as("nrm"))
       .filter(col("nrm") > 0)
-    val a = e.select(col(id).as("id_a"), col("embedding").as("ea"), col("nrm").as("na"))
+    // The pair stage is a nested-loop join (inequality condition): its
+    // parallelism is the STREAMED side's partition count, and a small
+    // embeddings table read from one parquet split would run the whole
+    // O(n²) loop on one core. Spread the streamed side across the
+    // session's shuffle-partition width; broadcast the other side
+    // explicitly (it's the same small table).
+    val n = emb.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val a = e.repartition(n)
+      .select(col(id).as("id_a"), col("embedding").as("ea"), col("nrm").as("na"))
     val b = e.select(col(id).as("id_b"), col("embedding").as("eb"), col("nrm").as("nb"))
-    a.join(b, col("id_a") < col("id_b"))
+    a.join(broadcast(b), col("id_a") < col("id_b"))
       .withColumn("sim", vec.dot(col("ea"), col("eb")) / (col("na") * col("nb")))
       .filter(col("sim") >= threshold)
       .select("id_a", "id_b", "sim")
