@@ -169,6 +169,44 @@ object ScaleQueries {
              TRUE AS within_1pct
       FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
 
+  /** The library's OWN mergeable quantile sketch (functions.QuantileSketch,
+    * a simplified merging t-digest exposed as a typed Aggregator): per-group
+    * p50/p95 estimates checked against a RANK contract — the count of rows at
+    * or below each estimate must sit within 3% of the target rank. Rank (not
+    * value) error is what the sketch bounds, so the contract transfers to any
+    * distribution. Exact percentiles ride along as the cross-engine values;
+    * the estimates themselves are not emitted (sketch merge order is
+    * scheduling-dependent, so their low bits are not reproducible — the
+    * contract booleans are). Unlike q76's built-in percentile_approx, this
+    * digest is a first-class column value pipelines can store per-day and
+    * re-merge across jobs without touching raw data again. */
+  val q101 = Q(
+    "q101_tdigest_quantile",
+    (s, d) => {
+      val td50 = graft.functions.QuantileSketch.tdigestQuantile(0.5)
+      val td95 = graft.functions.QuantileSketch.tdigestQuantile(0.95)
+      val o = Tables.orders(s, d)
+      val est = o.groupBy("o_orderpriority")
+        .agg(td50(col("o_totalprice")).as("e50"), td95(col("o_totalprice")).as("e95"))
+      o.join(broadcast(est), Seq("o_orderpriority"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50_exact"),
+          round(expr("percentile(o_totalprice, 0.95)"), 4).as("p95_exact"),
+          count(when(col("o_totalprice") <= col("e50"), 1)).as("__r50"),
+          count(when(col("o_totalprice") <= col("e95"), 1)).as("__r95"))
+        .select(col("o_orderpriority"), col("n"), col("p50_exact"), col("p95_exact"),
+          (abs(col("__r50") - col("n") * 0.5) <= col("n") * 0.03 + 1).as("p50_rank_ok"),
+          (abs(col("__r95") - col("n") * 0.95) <= col("n") * 0.03 + 1).as("p95_rank_ok"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""
+      SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+             ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50_exact,
+             ROUND(quantile_cont(o_totalprice, 0.95), 4) AS p95_exact,
+             TRUE AS p50_rank_ok, TRUE AS p95_rank_ok
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
   /** Chunk-level exact dedup (paragraph dedup at token granularity):
     * split each document into 10-token chunks, dedup chunks globally
     * with a keep-first policy (rank by (doc_id, chunk_idx) within each
@@ -395,5 +433,5 @@ object ScaleQueries {
       FROM t GROUP BY source ORDER BY source"""))
 
   def all: Seq[Q] = Seq(q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
-    q90, q91, q92, q100)
+    q90, q91, q92, q100, q101)
 }
