@@ -79,4 +79,29 @@ object Layout {
       .sortWithinPartitions("__z")
       .drop("__z")
       .write.mode("overwrite").parquet(dir)
+
+  /** Per-file column statistics of whatever the frame scans — the
+    * file-skipping audit for a layout: one row per input file with row
+    * count and per-column min/max/null-count. This is the check that a
+    * clustered write (zorderWrite, a sorted ingest, hive partitioning)
+    * actually produced tight, skippable stats — run it after a layout
+    * change, not on every query. One shuffle on the file name; stats are
+    * partial-aggregated map-side, so cost is a single scan regardless of
+    * file count. */
+  def statsSummary(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val perCol = cols.flatMap { c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
+        (count(lit(1)) - count(col(c))).as(s"nulls_$c"))
+    }
+    df.groupBy(regexp_extract(input_file_name(), "([^/]+)$", 1).as("file"))
+      .agg(count(lit(1)).as("n_rows"), perCol: _*)
+  }
+
+  /** Files a `lo <= c <= hi` range predicate can SKIP, judged from a
+    * statsSummary frame: everything whose [min_c, max_c] misses the
+    * range entirely. The returned fraction of the file population is the
+    * layout's skipping effectiveness for that predicate — the number a
+    * 100 TB table lives or dies by. */
+  def pruneableFiles(stats: DataFrame, c: String, lo: Column, hi: Column): DataFrame =
+    stats.filter(col(s"max_$c") < lo || col(s"min_$c") > hi)
 }

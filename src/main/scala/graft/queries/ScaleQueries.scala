@@ -432,6 +432,66 @@ object ScaleQueries {
                            AND chars >= 3*n AND chars <= 12*n) AS BIGINT) AS pass_all
       FROM t GROUP BY source ORDER BY source"""))
 
+  /** File-level stats audit (operators.Layout.statsSummary): one row per
+    * scanned parquet file with row count and per-column min/max/nulls —
+    * the skipping-effectiveness check run after any layout change. The
+    * test tables are single-file so the oracle pins the stat VALUES (and
+    * the basename contract); LayoutSpec drives the real multi-file case
+    * against a z-ordered write and asserts actual pruning fractions. */
+  val q102 = Q(
+    "q102_file_stats",
+    (s, d) =>
+      graft.operators.Layout
+        .statsSummary(Tables.lineitem(s, d), Seq("l_orderkey", "l_quantity"))
+        .select(col("file"), col("n_rows"),
+          col("min_l_orderkey"), col("max_l_orderkey"), col("nulls_l_orderkey"),
+          round(col("min_l_quantity"), 4).as("min_l_quantity"),
+          round(col("max_l_quantity"), 4).as("max_l_quantity"),
+          col("nulls_l_quantity"))
+        .orderBy("file"),
+    Some("""
+      SELECT 'lineitem.parquet' AS file, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(MIN(l_orderkey) AS BIGINT) AS min_l_orderkey,
+             CAST(MAX(l_orderkey) AS BIGINT) AS max_l_orderkey,
+             CAST(COUNT(*) - COUNT(l_orderkey) AS BIGINT) AS nulls_l_orderkey,
+             ROUND(MIN(l_quantity), 4) AS min_l_quantity,
+             ROUND(MAX(l_quantity), 4) AS max_l_quantity,
+             CAST(COUNT(*) - COUNT(l_quantity) AS BIGINT) AS nulls_l_quantity
+      FROM lineitem"""))
+
+  /** Deterministic weighted sampling (A-Res reservoir keys with a
+    * hash-derived uniform): each document draws u from the first 8 md5
+    * hex digits of its id and scores u^(1/w) with w = token count —
+    * heavier docs win more often, and the SAME sample comes out on any
+    * engine, any partitioning, any run, because there is no RNG state.
+    * The 100 TB sampling rule: top-k by score is one TakeOrdered pass,
+    * no count/sort/shuffle of the corpus. Scores round to 6 dp before
+    * ranking (pow differs in the last ulp across libm implementations);
+    * doc_id breaks ties totally. */
+  val q103 = Q(
+    "q103_weighted_sample",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("w"),
+          ((conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("long").cast("double") + 0.5) / 4294967296.0).as("__u"))
+        .filter(col("w") > 0)
+        .withColumn("skey", round(pow(col("__u"), lit(1.0) / col("w")), 6))
+        .select("doc_id", "w", "skey")
+        .orderBy(col("skey").desc, col("doc_id"))
+        .limit(20),
+    Some("""
+      WITH u AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS w,
+               (CAST(list_reduce(list_prepend(0::HUGEINT, list_transform(range(1, 9),
+                  c -> instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), c, 1)) - 1)),
+                  (acc, dd) -> acc * 16 + dd) AS DOUBLE) + 0.5) / 4294967296.0 AS uu
+        FROM documents),
+      k AS (SELECT doc_id, CAST(w AS BIGINT) AS w, ROUND(POW(uu, 1.0 / w), 6) AS skey
+            FROM u WHERE w > 0)
+      SELECT doc_id, w, skey FROM k ORDER BY skey DESC, doc_id LIMIT 20"""))
+
   def all: Seq[Q] = Seq(q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
-    q90, q91, q92, q100, q101)
+    q90, q91, q92, q100, q101, q102, q103)
 }

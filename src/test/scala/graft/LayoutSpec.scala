@@ -101,6 +101,33 @@ class LayoutSpec extends AnyFunSuite with SparkSpec {
     assert(zTouched <= 8, s"z-ordered layout should localize y, got $zTouched")
   }
 
+  test("statsSummary reports per-file stats and pruneableFiles measures skippability") {
+    import spark.implicits._
+    val grid = for {x <- 0 until 64; y <- 0 until 64} yield (x, y)
+    val zDir = java.nio.file.Files.createTempDirectory("graft-zstats").toString
+    Layout.zorderWrite(grid.toDF("x", "y"), zDir, "x", "y", numFiles = 16, bits = 6)
+
+    val stats = Layout.statsSummary(spark.read.parquet(zDir), Seq("x", "y"))
+    val rows = stats.collect()
+    assert(rows.length == 16, s"one row per file, got ${rows.length}")
+    assert(rows.map(_.getAs[Long]("n_rows")).sum == 64L * 64L)
+    assert(rows.forall(_.getAs[Long]("nulls_x") == 0L))
+    // stats must be consistent per file: min <= max, all within domain
+    rows.foreach { r =>
+      assert(r.getAs[Int]("min_x") <= r.getAs[Int]("max_x"))
+      assert(r.getAs[Int]("min_y") >= 0 && r.getAs[Int]("max_y") < 64)
+    }
+    // a narrow range on either z-ordered dimension skips most files,
+    // and never more than the true non-matching population
+    for (c <- Seq("x", "y")) {
+      val skippable = Layout.pruneableFiles(stats, c, lit(0), lit(7)).count()
+      assert(skippable >= 8, s"z-order should let a narrow $c-range skip most files, got $skippable")
+      val matching = spark.read.parquet(zDir).filter(col(c) <= 7)
+        .select(input_file_name()).distinct().count()
+      assert(skippable + matching <= 16)
+    }
+  }
+
   test("zValue interleaves bits exactly") {
     import spark.implicits._
     // a=0b101 (bits at 0,2 -> z positions 0,4), b=0b11 (bits at 0,1 ->
