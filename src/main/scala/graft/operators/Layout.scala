@@ -93,8 +93,14 @@ object Layout {
       Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
         (count(lit(1)) - count(col(c))).as(s"nulls_$c"))
     }
-    df.groupBy(regexp_extract(input_file_name(), "([^/]+)$", 1).as("file"))
+    // group on the raw path and take the basename AFTER the aggregate:
+    // the regexp then runs once per file instead of once per row
+    df.groupBy(input_file_name().as("__path"))
       .agg(count(lit(1)).as("n_rows"), perCol: _*)
+      .withColumn("file", regexp_extract(col("__path"), "([^/]+)$", 1))
+      .drop("__path")
+      .select(col("file") +: (col("n_rows") +:
+        cols.flatMap(c => Seq(col(s"min_$c"), col(s"max_$c"), col(s"nulls_$c")))): _*)
   }
 
   /** Files a `lo <= c <= hi` range predicate can SKIP, judged from a

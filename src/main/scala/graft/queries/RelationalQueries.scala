@@ -892,6 +892,114 @@ object RelationalQueries {
       GROUP BY n_name
       ORDER BY revenue DESC, n_name"""))
 
+  /** TPC-H Q6 shape (forecast revenue): the pure-scan query — three
+    * pushed-down predicates, no join, one global decimal sum. The plan to
+    * want at 100 TB: a single WholeStageCodegen scan-filter-partial-agg
+    * pass with every predicate in PushedFilters. */
+  val q104 = Q(
+    "q104_tpch_q6",
+    (s, d) => viaSql(s, d, Seq("lineitem"), """
+      SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                      CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+        AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"""),
+    Some("""
+      SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                      CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+        AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"""))
+
+  /** TPC-H Q10 shape (returned-item losses): fact-fact join under a date
+    * window + returnflag filter, broadcast nation dim, revenue per
+    * customer, top-20. */
+  val q105 = Q(
+    "q105_tpch_q10",
+    (s, d) => viaSql(s, d, Seq("customer", "orders", "lineitem", "nation"), """
+      SELECT c_custkey, c_name, n_name,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                      (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+             ROUND(c_acctbal, 2) AS acctbal
+      FROM customer JOIN orders ON c_custkey = o_custkey
+                    JOIN lineitem ON l_orderkey = o_orderkey
+                    JOIN nation ON c_nationkey = n_nationkey
+      WHERE l_returnflag = 'R'
+        AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-07-01'
+      GROUP BY c_custkey, c_name, n_name, c_acctbal
+      ORDER BY revenue DESC, c_custkey LIMIT 20"""),
+    Some("""
+      SELECT c_custkey, c_name, n_name,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                      (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+             ROUND(c_acctbal, 2) AS acctbal
+      FROM customer JOIN orders ON c_custkey = o_custkey
+                    JOIN lineitem ON l_orderkey = o_orderkey
+                    JOIN nation ON c_nationkey = n_nationkey
+      WHERE l_returnflag = 'R'
+        AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-07-01'
+      GROUP BY c_custkey, c_name, n_name, c_acctbal
+      ORDER BY revenue DESC, c_custkey LIMIT 20"""))
+
+  /** TPC-H Q18 shape (large-volume orders): HAVING over a grouped fact
+    * (orders whose total quantity clears a threshold — 150 fits this
+    * generator's ~4-items/order shape; spec TPC-H uses 300), then the
+    * customer/order detail for the top-100. Spark evaluates the HAVING
+    * as a post-aggregate filter — no second scan. */
+  val q106 = Q(
+    "q106_tpch_q18",
+    (s, d) => viaSql(s, d, Seq("customer", "orders", "lineitem"), """
+      SELECT c_custkey, c_name, o_orderkey,
+             date_format(o_orderdate, 'yyyy-MM-dd') AS orderdate,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      FROM customer JOIN orders ON c_custkey = o_custkey
+                    JOIN lineitem ON l_orderkey = o_orderkey
+      GROUP BY c_custkey, c_name, o_orderkey, o_orderdate
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150
+      ORDER BY sum_qty DESC, o_orderkey LIMIT 100"""),
+    Some("""
+      SELECT c_custkey, c_name, o_orderkey,
+             strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      FROM customer JOIN orders ON c_custkey = o_custkey
+                    JOIN lineitem ON l_orderkey = o_orderkey
+      GROUP BY c_custkey, c_name, o_orderkey, o_orderdate
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150
+      ORDER BY sum_qty DESC, o_orderkey LIMIT 100"""))
+
+  /** TPC-H Q14 shape (promo revenue share): part-dim join under a narrow
+    * date window, conditional decimal aggregate, one output row. The
+    * ratio divides two decimal-exact doubles — identical operands on
+    * both engines, so the 4 dp round is stable. */
+  val q107 = Q(
+    "q107_tpch_q14",
+    (s, d) => viaSql(s, d, Seq("lineitem", "part"), """
+      SELECT CAST(SUM(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                 ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS promo_revenue,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                      (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue,
+             ROUND(CAST(SUM(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                 ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) * 100.0 /
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                        (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 4) AS promo_pct
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= DATE '1996-03-01' AND l_shipdate < DATE '1996-04-01'"""),
+    Some("""
+      SELECT CAST(SUM(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                 ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS promo_revenue,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                      (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue,
+             ROUND(CAST(SUM(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                 ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) * 100.0 /
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                        (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 4) AS promo_pct
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= DATE '1996-03-01' AND l_shipdate < DATE '1996-04-01'"""))
+
   /** Correlated scalar subqueries (Catalyst decorrelates both into
     * aggregated joins): orders worth more than twice their customer's
     * average, kept exact by comparing price*count > 2*sum on decimals —
@@ -919,5 +1027,5 @@ object RelationalQueries {
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q46, q56, q57, q58, q61,
-    q63, q64, q65, q66, q67, q68, q69, q70)
+    q63, q64, q65, q66, q67, q68, q69, q70, q104, q105, q106, q107)
 }

@@ -146,6 +146,26 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("l_shipdate"), p)
   }
 
+  test("q104: the scan-only TPC-H Q6 pushes every predicate and prunes to 4 columns") {
+    val p = plan(run("q104_tpch_q6"))
+    // the plan string truncates the PushedFilters list, so assert the
+    // visible prefix covers all three predicate columns
+    assert(p.contains(
+      "PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_discount), IsNotNull(l_quantity), GreaterThanOrEqual"), p)
+    assert(!p.contains("l_orderkey"), p) // pruned: only the 4 referenced columns scan
+    // one partial+final agg pair around a single exchange, no join
+    assert(!p.contains("Join"), p)
+    assert("Exchange".r.findAllIn(p).size == 1, p)
+  }
+
+  test("q102: per-file stats aggregate partially map-side (no row-level shuffle)") {
+    val p = plan(run("q102_file_stats"))
+    // partial_min/max markers prove the map-side combine: only per-file
+    // partials cross the exchange, not rows
+    assert(p.contains("partial_min"), p)
+    assert(p.contains("partial_count"), p)
+  }
+
   test("q85: RANGE window shuffles by user only — no pre-window global sort") {
     val p = plan(run("q85_range_window"))
     assert(p.contains("hashpartitioning(user_id"), p)
