@@ -102,6 +102,24 @@ class EventStreamSpec extends AnyFunSuite with SparkSpec {
       (10L, 1, 0.0, 8.0)))  // user 10's second session, closed by watermark
   }
 
+  test("maxFilesPerTrigger throttles a backlog into bounded micro-batches") {
+    // the backpressure contract for a 100 TB raw-zone backfill: however
+    // deep the file backlog, AvailableNow drains it in batches of at
+    // most N files, so per-batch state/memory is bounded by N files —
+    // not by the backlog
+    val (in, chk) = newDirs()
+    for (i <- 1 to 6)
+      drop(in, s"f$i.json", ev(i.toLong, f"2024-01-01T00:$i%02d:00Z", 1, "click", 1.0))
+    val src = EventStream.jsonFileStream(
+      spark, in, EventStream.eventSchema, maxFilesPerTrigger = Some(2))
+    val q = EventStream.runAvailableNow(src, "throttled", chk)
+    q.awaitTermination()
+    assert(spark.table("throttled").count() == 6) // the whole backlog lands...
+    val batches = q.recentProgress.filter(_.numInputRows > 0)
+    assert(batches.length == 3, s"expected 3 bounded batches, got ${batches.length}")
+    assert(batches.forall(_.numInputRows == 2)) // ...two files (rows) at a time
+  }
+
   test("streaming dedup drops cross-batch re-deliveries within the watermark") {
     val (in, chk) = newDirs()
     val out = Files.createTempDirectory("graft-dedup-out").toString
