@@ -492,6 +492,30 @@ object ScaleQueries {
             FROM u WHERE w > 0)
       SELECT doc_id, w, skey FROM k ORDER BY skey DESC, doc_id LIMIT 20"""))
 
+  /** Salted equi-join (operators.Layout.saltedJoin): the skew-safe join —
+    * the dim side replicates across the salt domain, every fact row
+    * scatters uniformly, and no single reducer owns a hot key's whole
+    * partition. Result is EXACTLY the plain join (the oracle), which is
+    * the point: salting is a physical rewrite, not a semantic one. q74
+    * is the aggregation analog. */
+  val q108 = Q(
+    "q108_salted_join",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_suppkey").as("s_suppkey"), col("l_extendedprice"))
+      val sup = Tables.supplier(s, d).select("s_suppkey", "s_name")
+      graft.operators.Layout.saltedJoin(li, sup, "s_suppkey", salts = 8)
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("n"),
+          dbl(sum(dec(col("l_extendedprice")))).as("sum_price"))
+        .orderBy("s_name")
+    },
+    Some("""
+      SELECT s_name, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY s_name ORDER BY s_name"""))
+
   def all: Seq[Q] = Seq(q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
-    q90, q91, q92, q100, q101, q102, q103)
+    q90, q91, q92, q100, q101, q102, q103, q108)
 }

@@ -264,5 +264,45 @@ object SimilarityQueries {
       ORDER BY sim DESC, vec_id
       LIMIT 10"""))
 
-  def all: Seq[Q] = Seq(q34, q35, q39, q40, q48, q59, q60)
+  /** Bucketed (IVF-celled) near-dup pairs — the 100 TB shape q39
+    * approximates away from: assign every vector to its nearest anchor
+    * cell (one broadcast map pass), pair only within a cell. Candidate
+    * mass drops from n²/2 to Σ|cell|²/2; a pair straddling two cells is
+    * missed by design (recall vs cost dial — same trade as LSH banding).
+    * The oracle mirrors the assignment CTE exactly, so this checks the
+    * approximation's DEFINITION, not just its plumbing. */
+  val q109 = Q(
+    "q109_embed_neardup_bucketed",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val anchors = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("anchor_id"), col("embedding").as("av"))
+      graft.operators.Similarity
+        .nearDupPairsBucketed(e, anchors, "vec_id", threshold = 0.4)
+        .select(col("id_a").as("vec_a"), col("id_b").as("vec_b"),
+          round(col("sim"), 4).as("sim"))
+        .orderBy("vec_a", "vec_b")
+    },
+    Some("""
+      WITH anchors AS (SELECT vec_id AS anchor_id, CAST(embedding AS DOUBLE[]) AS av
+                       FROM embeddings WHERE vec_id < 8),
+      assigned AS (
+        SELECT vec_id, embedding, anchor_id AS cell FROM (
+          SELECT e.vec_id, e.embedding, a.anchor_id,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), a.av), 4) DESC,
+                            a.anchor_id) AS rk
+          FROM embeddings e CROSS JOIN anchors a
+          WHERE list_sum(list_transform(CAST(e.embedding AS DOUBLE[]), x -> x * x)) > 0) t
+        WHERE rk = 1)
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                          CAST(b.embedding AS DOUBLE[])), 4) AS sim
+      FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])) >= 0.4
+      ORDER BY vec_a, vec_b"""))
+
+  def all: Seq[Q] = Seq(q34, q35, q39, q40, q48, q59, q60, q109)
 }
