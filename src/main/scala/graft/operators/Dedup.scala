@@ -47,9 +47,14 @@ object Dedup {
       .agg(count(lit(1)).as("copies"), min(col(id)).as("keeper"))
       .filter(col("copies") > 1)
 
-  /** Keep-first exact dedup: returns surviving rows. */
+  /** Keep-first exact dedup: returns surviving rows. The window
+    * partitions on the content DIGEST, not the content: the shuffle then
+    * moves 16-byte keys instead of whole documents' worth of comparator
+    * work (same rule as every other operator here; groups differ from
+    * raw-text grouping only on an md5 collision, which the cross-engine
+    * hash compare would surface loudly). */
   def dropExactDuplicates(docs: DataFrame, id: String, text: String): DataFrame = {
-    val w = Window.partitionBy(text)
+    val w = Window.partitionBy(md5(col(text)))
     docs.withColumn("__keeper", min(col(id)).over(w))
       .filter(col(id) === col("__keeper"))
       .drop("__keeper")

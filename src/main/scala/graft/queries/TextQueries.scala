@@ -93,11 +93,13 @@ object TextQueries {
       FROM documents GROUP BY md5(text) HAVING COUNT(*) > 1
       ORDER BY fingerprint"""))
 
-  /** Exact dedup, keep-first policy: rows that would be dropped. */
+  /** Exact dedup, keep-first policy: rows that would be dropped. The
+    * window keys on md5(text) — 16-byte shuffle/sort keys, not whole
+    * documents (see Dedup.dropExactDuplicates). */
   val q32 = Q(
     "q32_dedup_drops",
     (s, d) => {
-      val w = Window.partitionBy("text")
+      val w = Window.partitionBy(md5(col("text")))
       Tables.documents(s, d)
         .withColumn("keeper", min(col("doc_id")).over(w))
         .filter(col("doc_id") =!= col("keeper"))
