@@ -1000,6 +1000,29 @@ object RelationalQueries {
       FROM lineitem JOIN part ON l_partkey = p_partkey
       WHERE l_shipdate >= DATE '1996-03-01' AND l_shipdate < DATE '1996-04-01'"""))
 
+  /** TPC-H Q19 shape (discounted revenue under a DISJUNCTION of
+    * brand/size/quantity conjuncts): the OR spans both join sides, so
+    * the part-side conjuncts (brand, size) must still reach the part
+    * scan as a pushed disjunction while the mixed terms evaluate post-
+    * join — the classic test that an optimizer splits OR predicates by
+    * table rather than evaluating everything after the join. */
+  val q110 = Q(
+    "q110_tpch_q19",
+    (s, d) => viaSql(s, d, Seq("lineitem", "part"), """
+      SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                      (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+         OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 20)"""),
+    Some("""
+      SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                      (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+         OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 20)"""))
+
   /** Correlated scalar subqueries (Catalyst decorrelates both into
     * aggregated joins): orders worth more than twice their customer's
     * average, kept exact by comparing price*count > 2*sum on decimals —
@@ -1027,5 +1050,5 @@ object RelationalQueries {
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q46, q56, q57, q58, q61,
-    q63, q64, q65, q66, q67, q68, q69, q70, q104, q105, q106, q107)
+    q63, q64, q65, q66, q67, q68, q69, q70, q104, q105, q106, q107, q110)
 }

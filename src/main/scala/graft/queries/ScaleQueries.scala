@@ -516,6 +516,28 @@ object ScaleQueries {
       FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
       GROUP BY s_name ORDER BY s_name"""))
 
+  /** Deterministic stratified sampling — the training-mix rebalance:
+    * per-stratum keep rates as pure md5-prefix predicates (en keeps
+    * ~25%, every other language ~75%, evening out an English-heavy
+    * corpus). Like q71/q103 there is no RNG state: the same documents
+    * survive on any engine, partitioning, or run, so downstream joins
+    * against the sample stay stable. Contrast sampleBy: seeded Bernoulli
+    * over partition order — not reproducible across engines. */
+  val q111 = Q(
+    "q111_stratified_hash_sample",
+    (s, d) =>
+      Tables.documents(s, d)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_total"),
+          count(when(substring(md5(col("doc_id").cast("string")), 1, 2) <
+            when(col("lang") === "en", "40").otherwise("c0"), 1)).as("n_kept"))
+        .orderBy("lang"),
+    Some("""
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_total,
+             CAST(COUNT(*) FILTER (WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+               CASE WHEN lang = 'en' THEN '40' ELSE 'c0' END) AS BIGINT) AS n_kept
+      FROM documents GROUP BY lang ORDER BY lang"""))
+
   def all: Seq[Q] = Seq(q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
-    q90, q91, q92, q100, q101, q102, q103, q108)
+    q90, q91, q92, q100, q101, q102, q103, q108, q111)
 }
