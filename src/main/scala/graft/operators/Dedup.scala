@@ -101,13 +101,20 @@ object Dedup {
       id: String, threshold: Double,
       broadcastCandidates: Boolean = true): DataFrame = {
     val sizes = shingleSets.groupBy(col(id)).agg(count(lit(1)).as("n"))
+    // the size table is one fixed-width row per DOCUMENT (not per
+    // shingle) — broadcast both lookups under the same sparse-candidate
+    // assumption as the candidate hint, saving two shuffles of the
+    // intersection counts
+    val (szA, szB) =
+      (sizes.select(col(id).as("id_a"), col("n").as("na")),
+        sizes.select(col(id).as("id_b"), col("n").as("nb")))
     (if (broadcastCandidates) broadcast(candidates) else candidates)
       .join(shingleSets.select(col(id).as("id_a"), col("sh")), "id_a")
       .join(shingleSets.select(col(id).as("id_b"), col("sh")), Seq("id_b", "sh"))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("inter"))
-      .join(sizes.select(col(id).as("id_a"), col("n").as("na")), "id_a")
-      .join(sizes.select(col(id).as("id_b"), col("n").as("nb")), "id_b")
+      .join(if (broadcastCandidates) broadcast(szA) else szA, "id_a")
+      .join(if (broadcastCandidates) broadcast(szB) else szB, "id_b")
       .withColumn("jaccard",
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= threshold)
