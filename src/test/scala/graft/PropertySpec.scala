@@ -100,6 +100,41 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
     })
   }
 
+  test("salted join equals the plain join on generated skew shapes") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val facts = Gen.listOfN(60,
+      Gen.zip(Gen.chooseNum(0L, 5L), Gen.chooseNum(0, 1000)))
+    val dims = Gen.listOfN(8, Gen.zip(Gen.chooseNum(0L, 9L), word))
+    check(Prop.forAll(facts, dims, Gen.chooseNum(1, 6)) { (fs, ds, salts) =>
+      val fact = fs.toDF("k", "v")
+      val dim = ds.distinctBy(_._1).toDF("k", "name") // unique join keys dim-side
+      val salted = graft.operators.Layout.saltedJoin(fact, dim, "k", salts)
+        .select("k", "v", "name").collect().map(_.toSeq).sortBy(_.toString)
+      val plain = fact.join(dim, Seq("k"))
+        .select("k", "v", "name").collect().map(_.toSeq).sortBy(_.toString)
+      salted.sameElements(plain)
+    }, n = 20) // each trial runs two Spark jobs — keep the count sane
+  }
+
+  test("statsSummary conserves row counts and brackets every value") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val rows = Gen.nonEmptyListOf(Gen.chooseNum(-1000, 1000))
+    check(Prop.forAll(rows) { xs =>
+      val df = xs.toDF("x").repartition(3) // several files' worth of splits
+      val dir = java.nio.file.Files.createTempDirectory("graft-prop-stats").toString
+      df.write.mode("overwrite").parquet(dir)
+      val stats = graft.operators.Layout
+        .statsSummary(spark.read.parquet(dir), Seq("x")).collect()
+      val total = stats.map(_.getAs[Long]("n_rows")).sum
+      total == xs.length &&
+        stats.forall(r => r.getAs[Int]("min_x") <= r.getAs[Int]("max_x")) &&
+        stats.map(_.getAs[Int]("min_x")).min == xs.min &&
+        stats.map(_.getAs[Int]("max_x")).max == xs.max
+    }, n = 15)
+  }
+
   test("base64 round-trip parity: Spark expr vs JVM codec on generated strings") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
