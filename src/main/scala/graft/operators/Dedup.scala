@@ -265,6 +265,12 @@ object Dedup {
   def winnowingFingerprints(docs: DataFrame, id: String, text: String,
       n: Int = 4, window: Int = 5): DataFrame = {
     val sh = docs
+      // pre-partition by id: the per-doc window below needs exactly this
+      // partitioning, so the exchange moves COMPACT rows (id, text) once
+      // before the shingle explosion instead of exploded rows after —
+      // and a small single-split scan stops serializing the CPU-bound
+      // explode+md5 on one core
+      .repartition(col(id))
       .select(col(id), split(col(text), " ").as("toks"))
       .filter(size(col("toks")) >= n)
       .select(col(id), posexplode(shingles("toks", n)))

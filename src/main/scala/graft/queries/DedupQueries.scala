@@ -41,6 +41,10 @@ object DedupQueries {
     * the oracle hash-compare would surface. */
   private def shingles(s: SparkSession, d: String, n: Int): DataFrame =
     Tables.documents(s, d)
+      // spread the corpus BEFORE the CPU-bound explode+md5: a small
+      // single-split parquet otherwise runs the whole shingling on one
+      // core (harmless at real scale, where the scan has many splits)
+      .repartition(s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= n)
       .select(col("doc_id"), explode(shingleExpr(n)).as("__sh"))
@@ -248,7 +252,9 @@ object DedupQueries {
   val q38 = Q(
     "q38_ngram_jaccard",
     (s, d) => {
-      val sh = shingles(s, d, 5)
+      // three consumers (two join sides + sizes): materialize once so
+      // AQE's independent subtrees don't each re-shingle the corpus
+      val sh = shingles(s, d, 5).localCheckpoint(true)
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val inter = sh.select(col("doc_id").as("da"), col("sh"))
         .join(sh.select(col("doc_id").as("db"), col("sh")), "sh")
@@ -328,9 +334,13 @@ object DedupQueries {
   val q47 = Q(
     "q47_winnow_containment",
     (s, d) => {
+      // the self-join references the fingerprint frame twice:
+      // materialize once so AQE's independent join-side subtrees don't
+      // each recompute the winnowing pass
       val fps = graft.operators.Dedup
         .winnowingFingerprints(Tables.documents(s, d), "doc_id", "text",
           n = ShingleN, window = 5)
+        .localCheckpoint(true)
       fps.select(col("doc_id").as("doc_a"), col("fp"))
         .join(fps.select(col("doc_id").as("doc_b"), col("fp")), "fp")
         .filter(col("doc_a") < col("doc_b"))

@@ -169,7 +169,10 @@ object SimilarityQueries {
     * summation order the way raw-float hyperplane dots could. Shared by
     * q59 (signature/bucket audit) and q60 (multi-probe search). */
   private def hyperplaneSigs(s: SparkSession, d: String): DataFrame = {
+    // spread the (single-split) table before the CPU-bound 16-plane
+    // signature pass — at real scale the scan already has many splits
     val emb = Tables.embeddings(s, d)
+      .repartition(s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
     val dim = emb.agg(max(size(col("embedding")))).head().getInt(0)
     val planes: Seq[Seq[Long]] = (0 until 16).map { j =>
       (1 to dim).map { i =>
