@@ -538,6 +538,85 @@ object ScaleQueries {
                CASE WHEN lang = 'en' THEN '40' ELSE 'c0' END) AS BIGINT) AS n_kept
       FROM documents GROUP BY lang ORDER BY lang"""))
 
+  /** Time-series gap repair over a date spine: daily purchase totals with
+    * a simulated outage (every day-of-month divisible by 3 dropped),
+    * rebuilt by linear interpolation between the nearest observed
+    * neighbors, forward-fill past the last observation. The q75 spine
+    * join plus IGNORE NULLS window lookups — the standard feature-store /
+    * metrics backfill op. The interpolation divides identical decimal-
+    * exact doubles in both engines, so the 4 dp round is stable. Global
+    * 30-row window: single-partition by design at daily granularity. */
+  val q112 = Q(
+    "q112_gap_interpolate",
+    (s, d) => {
+      val ev = Tables.events(s, d).filter(col("event_type") === "purchase")
+      val obs = ev
+        .filter(dayofmonth(col("ts")) % 3 =!= 0)
+        .groupBy(date_trunc("day", col("ts")).as("d"))
+        .agg(dbl(sum(dec(col("value")))).as("v"))
+      val spine = ev
+        .agg(date_trunc("day", min(col("ts"))).as("lo"),
+          date_trunc("day", max(col("ts"))).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"),
+          expr("interval 1 day"))).as("d"))
+      val before = Window.orderBy("dn").rowsBetween(Window.unboundedPreceding, -1)
+      val after = Window.orderBy("dn").rowsBetween(1, Window.unboundedFollowing)
+      spine.join(obs, Seq("d"), "left")
+        .withColumn("dn", datediff(col("d"), to_date(lit("1970-01-01"))))
+        .withColumn("pdn",
+          last(when(col("v").isNotNull, col("dn")), ignoreNulls = true).over(before))
+        .withColumn("pv", last(col("v"), ignoreNulls = true).over(before))
+        .withColumn("ndn",
+          first(when(col("v").isNotNull, col("dn")), ignoreNulls = true).over(after))
+        .withColumn("nv", first(col("v"), ignoreNulls = true).over(after))
+        .select(
+          date_format(col("d"), "yyyy-MM-dd").as("day"),
+          round(
+            when(col("v").isNotNull, col("v"))
+              .when(col("pv").isNotNull && col("nv").isNotNull,
+                col("pv") + (col("nv") - col("pv")) *
+                  (col("dn") - col("pdn")).cast("double") /
+                  (col("ndn") - col("pdn")).cast("double"))
+              .when(col("pv").isNotNull, col("pv"))
+              .otherwise(col("nv")), 4).as("filled"),
+          when(col("v").isNotNull, "obs")
+            .when(col("pv").isNotNull && col("nv").isNotNull, "interp")
+            .when(col("pv").isNotNull, "ffill")
+            .otherwise("bfill").as("src"))
+        .orderBy("day")
+    },
+    Some("""
+      WITH obs AS (
+        SELECT date_trunc('day', ts) AS d,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+        FROM events WHERE event_type = 'purchase'
+          AND day(CAST(ts AS DATE)) % 3 <> 0
+        GROUP BY 1),
+      bounds AS (SELECT date_trunc('day', MIN(ts)) AS lo, date_trunc('day', MAX(ts)) AS hi
+                 FROM events WHERE event_type = 'purchase'),
+      spine AS (SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS d FROM bounds),
+      j AS (SELECT s.d, o.v, date_diff('day', DATE '1970-01-01', CAST(s.d AS DATE)) AS dn
+            FROM spine s LEFT JOIN obs o USING (d)),
+      w AS (SELECT d, dn, v,
+              LAST_VALUE(CASE WHEN v IS NOT NULL THEN dn END IGNORE NULLS)
+                OVER (ORDER BY dn ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pdn,
+              LAST_VALUE(v IGNORE NULLS)
+                OVER (ORDER BY dn ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+              FIRST_VALUE(CASE WHEN v IS NOT NULL THEN dn END IGNORE NULLS)
+                OVER (ORDER BY dn ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS ndn,
+              FIRST_VALUE(v IGNORE NULLS)
+                OVER (ORDER BY dn ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv
+            FROM j)
+      SELECT strftime(d, '%Y-%m-%d') AS day,
+             ROUND(CASE WHEN v IS NOT NULL THEN v
+                        WHEN pv IS NOT NULL AND nv IS NOT NULL
+                          THEN pv + (nv - pv) * (dn - pdn) / (ndn - pdn)
+                        WHEN pv IS NOT NULL THEN pv ELSE nv END, 4) AS filled,
+             CASE WHEN v IS NOT NULL THEN 'obs'
+                  WHEN pv IS NOT NULL AND nv IS NOT NULL THEN 'interp'
+                  WHEN pv IS NOT NULL THEN 'ffill' ELSE 'bfill' END AS src
+      FROM w ORDER BY day"""))
+
   def all: Seq[Q] = Seq(q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
-    q90, q91, q92, q100, q101, q102, q103, q108, q111)
+    q90, q91, q92, q100, q101, q102, q103, q108, q111, q112)
 }
