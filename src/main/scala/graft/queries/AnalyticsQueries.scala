@@ -302,6 +302,35 @@ object AnalyticsQueries {
       SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, COUNT(*) AS n
       FROM e2 GROUP BY ws ORDER BY window_start"""))
 
+  /** Per-user event-transition bigrams (behavioral Markov counts): lag
+    * the event type within each user's timeline, count every
+    * (prev → next) pair and its distinct-user support. One window shuffle
+    * on user_id + one hash aggregate on the 25 transition keys. Ordering
+    * parity: Spark's ts is the ns source truncated to µs, so BOTH
+    * engines order by (µs, event_id) — ordering DuckDB by its raw ns ts
+    * could split sub-µs ties differently. */
+  val q113 = Q(
+    "q113_event_transitions",
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, d)
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type").as("next_type"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+        .orderBy("prev_type", "next_type")
+    },
+    Some("""
+      WITH seq AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_type
+        FROM events)
+      SELECT prev_type, event_type AS next_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, next_type ORDER BY prev_type, next_type"""))
+
   def all: Seq[Q] = Seq(q81, q82, q83, q84, q85, q86, q87, q88, q89,
-    q97, q98, q99)
+    q97, q98, q99, q113)
 }
