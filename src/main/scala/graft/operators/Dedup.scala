@@ -169,19 +169,18 @@ object Dedup {
     // ~2× the whole upstream cost on q55 (exchange reuse does not bridge
     // the differing final projects)
     val p = pairs.localCheckpoint(true)
-    val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(p.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .distinct()
-      .localCheckpoint(true)
     val idType = pairs.schema("id_a").dataType
-    // count is ~free: the frame was just materialized by the checkpoint
+    // count is ~free: the frame was just materialized by the checkpoint.
+    // The small-graph branch collects the PAIRS and mirrors them on the
+    // driver — no distributed union/distinct round trip (union-find is
+    // indifferent to duplicate or directed edges)
     if ((idType == LongType || idType == IntegerType) &&
-        edges.count() <= driverMaxEdges) {
+        p.count() * 2 <= driverMaxEdges) {
       val spark = pairs.sparkSession
       import spark.implicits._
-      val es = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      val es = p.select(col("id_a").cast("long"), col("id_b").cast("long"))
         .as[(Long, Long)].collect()
-      edges.unpersist()
+      p.unpersist()
       val parent = scala.collection.mutable.Map.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x
@@ -201,6 +200,10 @@ object Dedup {
         .select(col("id").cast(idType).as("id"),
           col("cluster").cast(idType).as("cluster"))
     }
+    val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(p.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster", col("id"))
       .localCheckpoint(true)
