@@ -331,6 +331,54 @@ object AnalyticsQueries {
       FROM seq WHERE prev_type IS NOT NULL
       GROUP BY prev_type, next_type ORDER BY prev_type, next_type"""))
 
+  /** max_by / arg_max with a DETERMINISTIC composite key: both engines'
+    * arg-max picks an arbitrary winner on ties, so the ranking key packs
+    * (total in exact cents, inverted user id) into one BIGINT — highest
+    * total wins, lowest user id breaks ties, reproducibly everywhere. */
+  val q114 = Q(
+    "q114_argmax_top_user",
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy("event_type", "user_id")
+        .agg((sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2))) * 100)
+          .cast("long").as("tv_cents"))
+        .groupBy("event_type")
+        .agg(
+          max_by(col("user_id"),
+            col("tv_cents") * 10000000L + (lit(9999999L) - col("user_id"))).as("top_user"),
+          (max(col("tv_cents")).cast("double") / 100).as("top_value"))
+        .orderBy("event_type"),
+    Some("""
+      WITH per AS (SELECT event_type, user_id,
+                     CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS tv_cents
+                   FROM events GROUP BY 1, 2)
+      SELECT event_type,
+             arg_max(user_id, tv_cents * 10000000 + (9999999 - user_id)) AS top_user,
+             CAST(MAX(tv_cents) AS DOUBLE) / 100 AS top_value
+      FROM per GROUP BY event_type ORDER BY event_type"""))
+
+  /** GROUPING() bitmask over CUBE subtotals: unlike q72's COALESCE
+    * labels, grouping_id distinguishes a real NULL group value from a
+    * subtotal row — the only correct disambiguation once grouping
+    * columns are nullable. */
+  val q115 = Q(
+    "q115_grouping_id",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(grouping_id().as("gid"), count(lit(1)).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("(all)")).as("rf"),
+          coalesce(col("l_linestatus"), lit("(all)")).as("ls"),
+          col("gid"), col("n"))
+        .orderBy("gid", "rf", "ls"),
+    Some("""
+      SELECT COALESCE(l_returnflag, '(all)') AS rf, COALESCE(l_linestatus, '(all)') AS ls,
+             CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+      ORDER BY gid, rf, ls"""))
+
   def all: Seq[Q] = Seq(q81, q82, q83, q84, q85, q86, q87, q88, q89,
-    q97, q98, q99, q113)
+    q97, q98, q99, q113, q114, q115)
 }
