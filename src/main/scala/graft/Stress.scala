@@ -108,6 +108,29 @@ object Stress {
         "src", "doc_id", "text", 2048).groupBy("src", "bin").count().count()
     }
 
+    // embeddings: each replica is the base vector cyclically ROTATED by r
+    // positions — norms and all within-replica cosines are preserved
+    // exactly, while cross-replica cosines are decorrelated (a rotation
+    // is an orthogonal transform), so near-dup mass scales ×N instead of
+    // collapsing every replica into one direction
+    val embs = Tables.embeddings(spark, sfDir)
+      .crossJoin(replicas)
+      .select(
+        (col("vec_id") + col("r").cast("long") * 10000000L).as("vec_id"),
+        expr("""concat(slice(embedding, pmod(r, size(embedding)) + 1,
+                             size(embedding) - pmod(r, size(embedding))),
+                       slice(embedding, 1, pmod(r, size(embedding))))""")
+          .as("embedding"))
+      .persist()
+    embs.count()
+    time("embed_neardup_bucketed") {
+      val anchors = embs.filter(col("vec_id") % 10000000L < 8)
+        .select(col("vec_id").as("anchor_id"), col("embedding").as("av"))
+      graft.operators.Similarity
+        .nearDupPairsBucketed(embs, anchors, "vec_id", threshold = 0.4).count()
+    }
+    embs.unpersist()
+
     val purchases = events.filter(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"), col("ts"))
     val clicks = events.filter(col("event_type") === "click")
