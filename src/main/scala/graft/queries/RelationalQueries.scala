@@ -1023,6 +1023,55 @@ object RelationalQueries {
       WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
          OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 20)"""))
 
+  /** 7-day trailing moving average of daily revenue — the bounded-frame
+    * window every metrics dashboard needs next to the cumulative sums
+    * (q11/q12). The frame averages decimal-exact doubles, so the 4 dp
+    * round is stable across engines. */
+  val q116 = Q(
+    "q116_moving_avg",
+    (s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+        .agg(dbl(sum(dec(col("value")))).as("v"))
+      daily
+        .withColumn("ma7", round(avg(col("v")).over(
+          Window.orderBy("day").rowsBetween(-6, Window.currentRow)), 4))
+        .select("day", "ma7")
+        .orderBy("day")
+    },
+    Some("""
+      WITH daily AS (
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+        FROM events GROUP BY 1)
+      SELECT day, ROUND(AVG(v) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7
+      FROM daily ORDER BY day"""))
+
+  /** Correlated LATERAL subquery with LIMIT — top-2 nations by customer
+    * count per region, written as the per-row subquery a SQL user
+    * reaches for first; the optimizer decorrelates it into a ranked
+    * join rather than running one query per region. */
+  val q117 = Q(
+    "q117_lateral_topn",
+    (s, d) => viaSql(s, d, Seq("region", "nation", "customer"), """
+      SELECT r.r_name, t.n_name, t.n_customers
+      FROM region r, LATERAL (
+        SELECT n.n_name, CAST(COUNT(c.c_custkey) AS BIGINT) AS n_customers
+        FROM nation n LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey
+        WHERE n.n_regionkey = r.r_regionkey
+        GROUP BY n.n_name
+        ORDER BY n_customers DESC, n.n_name LIMIT 2) t
+      ORDER BY r.r_name, t.n_customers DESC, t.n_name"""),
+    Some("""
+      SELECT r.r_name, t.n_name, t.n_customers
+      FROM region r, LATERAL (
+        SELECT n.n_name, CAST(COUNT(c.c_custkey) AS BIGINT) AS n_customers
+        FROM nation n LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey
+        WHERE n.n_regionkey = r.r_regionkey
+        GROUP BY n.n_name
+        ORDER BY n_customers DESC, n.n_name LIMIT 2) t
+      ORDER BY r.r_name, t.n_customers DESC, t.n_name"""))
+
   /** Correlated scalar subqueries (Catalyst decorrelates both into
     * aggregated joins): orders worth more than twice their customer's
     * average, kept exact by comparing price*count > 2*sum on decimals —
@@ -1050,5 +1099,5 @@ object RelationalQueries {
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q46, q56, q57, q58, q61,
-    q63, q64, q65, q66, q67, q68, q69, q70, q104, q105, q106, q107, q110)
+    q63, q64, q65, q66, q67, q68, q69, q70, q104, q105, q106, q107, q110, q116, q117)
 }
