@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** The library's recommended SparkSession configuration — one place that
+  * encodes the settings every graft workload relies on, locally and on a
+  * cluster:
+  *
+  *  - AQE on, with partition coalescing and skew-join splitting: runtime
+  *    re-planning is what keeps the written plans safe at 100 TB (skewed
+  *    keys split, tiny shuffles merge, sort-merge joins demote to
+  *    broadcast when a side turns out small);
+  *  - `spark.sql.shuffle.partitions` sized to the core count locally; on
+  *    a real cluster set `shufflePartitions` to 2-3× total executor
+  *    cores — the AQE coalescer shrinks oversized fan-outs, it never
+  *    grows undersized ones;
+  *  - partition-column type inference OFF: the raw zone's hive layout
+  *    (`year=2023/month=2023-08/...`) is a string contract (see
+  *    Pipeline); inference would silently re-type it per directory;
+  *  - session timezone pinned to UTC so timestamp formatting is
+  *    reproducible wherever the driver runs;
+  *  - the SQL surface of the custom Catalyst expressions (vec_dot,
+  *    vec_norm, minhash, simhash_tokens) registered up front.
+  *
+  * Mains call [[local]]; library users embedding graft in an existing
+  * session can instead call `graft.plans.GraftExtensions.register` and
+  * copy whichever conf lines apply.
+  */
+object GraftSession {
+
+  def local(appName: String, cores: Int,
+      shufflePartitions: Option[Int] = None): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.getOrElse(cores))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.plans.GraftExtensions.register(spark)
+    spark
+  }
+}
