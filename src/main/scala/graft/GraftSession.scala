@@ -24,23 +24,28 @@ import org.apache.spark.sql.SparkSession
   *
   * Mains call [[local]]; library users embedding graft in an existing
   * session can instead call `graft.plans.GraftExtensions.register` and
-  * copy whichever conf lines apply.
+  * apply [[recommendedConf]] to their own builder.
   */
 object GraftSession {
 
+  /** The conf contract, exposed as data so callers (and the spec) can
+    * inspect it without mutating any live session. */
+  val recommendedConf: Map[String, String] = Map(
+    "spark.sql.adaptive.enabled" -> "true",
+    "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+    "spark.sql.adaptive.skewJoin.enabled" -> "true",
+    "spark.sql.sources.partitionColumnTypeInference.enabled" -> "false",
+    "spark.sql.session.timeZone" -> "UTC")
+
   def local(appName: String, cores: Int,
       shufflePartitions: Option[Int] = None): SparkSession = {
-    val spark = SparkSession.builder()
+    val b = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(appName)
       .config("spark.sql.shuffle.partitions", shufflePartitions.getOrElse(cores))
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      .config("spark.sql.adaptive.skewJoin.enabled", "true")
-      .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
-      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    recommendedConf.foreach { case (k, v) => b.config(k, v) }
+    val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.plans.GraftExtensions.register(spark)
     spark

@@ -12,13 +12,10 @@ import org.apache.spark.sql.SparkSession
 object ProfileQ {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, name) = args.take(2)
-    val spark = SparkSession.builder()
-      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[32]"))
-      .appName("graft-profile")
-      .config("spark.sql.shuffle.partitions", 32)
-      .config("spark.ui.enabled", false)
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // same session recipe as Bench/Verify — a profile is only useful if
+    // it observes the plans those mains actually execute
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = GraftSession.local("graft-profile", cpus)
 
     val base = new java.util.concurrent.atomic.AtomicLong(System.nanoTime())
     val starts = scala.collection.concurrent.TrieMap[Int, (Long, String)]()

@@ -101,20 +101,22 @@ object Dedup {
       id: String, threshold: Double,
       broadcastCandidates: Boolean = true): DataFrame = {
     val sizes = shingleSets.groupBy(col(id)).agg(count(lit(1)).as("n"))
-    // the size table is one fixed-width row per DOCUMENT (not per
-    // shingle) — broadcast both lookups under the same sparse-candidate
-    // assumption as the candidate hint, saving two shuffles of the
-    // intersection counts
-    val (szA, szB) =
-      (sizes.select(col(id).as("id_a"), col("n").as("na")),
-        sizes.select(col(id).as("id_b"), col("n").as("nb")))
-    (if (broadcastCandidates) broadcast(candidates) else candidates)
-      .join(shingleSets.select(col(id).as("id_a"), col("sh")), "id_a")
+    // size lookups stay CANDIDATE-bounded: the sparse candidate set is
+    // broadcast against the corpus-sized size table first (map-side, no
+    // shuffle of sizes), and the enriched — still candidate-sized —
+    // frame is broadcast once more against the intersection counts.
+    // Never broadcast `sizes` itself: it is one row per DOCUMENT and
+    // does not fit the sparse-candidate assumption at corpus scale.
+    val c = if (broadcastCandidates) broadcast(candidates) else candidates
+    val withSizes = c
+      .join(sizes.select(col(id).as("id_a"), col("n").as("na")), "id_a")
+      .join(sizes.select(col(id).as("id_b"), col("n").as("nb")), "id_b")
+    c.join(shingleSets.select(col(id).as("id_a"), col("sh")), "id_a")
       .join(shingleSets.select(col(id).as("id_b"), col("sh")), Seq("id_b", "sh"))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("inter"))
-      .join(if (broadcastCandidates) broadcast(szA) else szA, "id_a")
-      .join(if (broadcastCandidates) broadcast(szB) else szB, "id_b")
+      .join(if (broadcastCandidates) broadcast(withSizes) else withSizes,
+        Seq("id_a", "id_b"))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= threshold)
@@ -204,6 +206,7 @@ object Dedup {
       .union(p.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
       .localCheckpoint(true)
+    p.unpersist() // edges is materialized; p's blocks are dead weight now
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster", col("id"))
       .localCheckpoint(true)
@@ -272,8 +275,11 @@ object Dedup {
       // partitioning, so the exchange moves COMPACT rows (id, text) once
       // before the shingle explosion instead of exploded rows after —
       // and a small single-split scan stops serializing the CPU-bound
-      // explode+md5 on one core
-      .repartition(col(id))
+      // explode+md5 on one core. The partition count is EXPLICIT:
+      // repartition(col) alone is coalescible by AQE, which would fold a
+      // small input right back to one partition before the heavy work.
+      .repartition(docs.sparkSession.conf
+        .get("spark.sql.shuffle.partitions", "32").toInt, col(id))
       .select(col(id), split(col(text), " ").as("toks"))
       .filter(size(col("toks")) >= n)
       .select(col(id), posexplode(shingles("toks", n)))

@@ -105,9 +105,13 @@ object Layout {
 
   /** Files a `lo <= c <= hi` range predicate can SKIP, judged from a
     * statsSummary frame: everything whose [min_c, max_c] misses the
-    * range entirely. The returned fraction of the file population is the
-    * layout's skipping effectiveness for that predicate — the number a
-    * 100 TB table lives or dies by. */
+    * range entirely, plus all-null files (their min/max are NULL, the
+    * three-valued range test says UNKNOWN — but no row of them can
+    * match, and real engines skip them on the null-count stat). The
+    * returned fraction of the file population is the layout's skipping
+    * effectiveness for that predicate — the number a 100 TB table lives
+    * or dies by. */
   def pruneableFiles(stats: DataFrame, c: String, lo: Column, hi: Column): DataFrame =
-    stats.filter(col(s"max_$c") < lo || col(s"min_$c") > hi)
+    stats.filter(col(s"max_$c") < lo || col(s"min_$c") > hi ||
+      col(s"nulls_$c") === col("n_rows"))
 }

@@ -334,7 +334,11 @@ object AnalyticsQueries {
   /** max_by / arg_max with a DETERMINISTIC composite key: both engines'
     * arg-max picks an arbitrary winner on ties, so the ranking key packs
     * (total in exact cents, inverted user id) into one BIGINT — highest
-    * total wins, lowest user id breaks ties, reproducibly everywhere. */
+    * total wins, lowest user id breaks ties, reproducibly everywhere.
+    * Domain contract of the packing: user_id < 10^7 and per-group totals
+    * under ~$9.2e9 (BIGINT headroom) — both generous for this schema;
+    * beyond them, widen the radix or rank on a struct in engines that
+    * support struct-ordered arg-max (DuckDB 1.0's does not). */
   val q114 = Q(
     "q114_argmax_top_user",
     (s, d) =>

@@ -107,7 +107,8 @@ object SimilarityQueries {
           SELECT e.vec_id, e.label, e.embedding, a.anchor_id,
                  ROW_NUMBER() OVER (
                    PARTITION BY e.vec_id
-                   ORDER BY ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), a.av), 4) DESC,
+                   ORDER BY ROUND(CASE WHEN isnan(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), a.av))
+                                       THEN -1 ELSE list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), a.av) END, 4) DESC,
                             a.anchor_id) AS rk
           FROM embeddings e CROSS JOIN anchors a) t
         WHERE rk = 1),
@@ -294,7 +295,8 @@ object SimilarityQueries {
           SELECT e.vec_id, e.embedding, a.anchor_id,
                  ROW_NUMBER() OVER (
                    PARTITION BY e.vec_id
-                   ORDER BY ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), a.av), 4) DESC,
+                   ORDER BY ROUND(CASE WHEN isnan(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), a.av))
+                                       THEN -1 ELSE list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), a.av) END, 4) DESC,
                             a.anchor_id) AS rk
           FROM embeddings e CROSS JOIN anchors a
           WHERE list_sum(list_transform(CAST(e.embedding AS DOUBLE[]), x -> x * x)) > 0) t

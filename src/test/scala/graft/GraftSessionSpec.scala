@@ -3,11 +3,19 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Pins the shared session contract the mains rely on: scale-relevant
-  * conf defaults and the SQL registration of the custom expressions. */
+  * conf defaults and the SQL registration of the custom expressions.
+  *
+  * Deliberately does NOT call GraftSession.local here: getOrCreate on
+  * the shared test session would re-apply the recommended conf to it,
+  * changing planner behavior for every suite that runs afterwards
+  * (order-dependent flakiness). The conf contract is asserted as data;
+  * the fresh-session path is exactly `recommendedConf` + the builder
+  * boilerplate, both visible in GraftSession.local.
+  */
 class GraftSessionSpec extends AnyFunSuite with SparkSpec {
 
   test("registered SQL surface: vec_dot/vec_norm/minhash/simhash_tokens resolve") {
-    graft.plans.GraftExtensions.register(spark)
+    graft.plans.GraftExtensions.register(spark) // idempotent
     val r = spark.sql("""
       SELECT vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
              vec_norm(array(3.0D, 4.0D)) AS n,
@@ -19,14 +27,12 @@ class GraftSessionSpec extends AnyFunSuite with SparkSpec {
     assert(r.getInt(3) === 16)
   }
 
-  test("local() applies the documented scale defaults") {
-    // the shared test session exists; GraftSession.local goes through
-    // getOrCreate, so conf asserted on the returned handle reflects what
-    // the mains run with
-    val s = GraftSession.local("graft-session-spec", 4)
-    assert(s.conf.get("spark.sql.adaptive.enabled") == "true")
-    assert(s.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true")
-    assert(s.conf.get("spark.sql.sources.partitionColumnTypeInference.enabled") == "false")
-    assert(s.conf.get("spark.sql.session.timeZone") == "UTC")
+  test("the recommended conf carries the documented scale contract") {
+    val c = GraftSession.recommendedConf
+    assert(c("spark.sql.adaptive.enabled") == "true")
+    assert(c("spark.sql.adaptive.coalescePartitions.enabled") == "true")
+    assert(c("spark.sql.adaptive.skewJoin.enabled") == "true")
+    assert(c("spark.sql.sources.partitionColumnTypeInference.enabled") == "false")
+    assert(c("spark.sql.session.timeZone") == "UTC")
   }
 }

@@ -126,6 +126,15 @@ class LayoutSpec extends AnyFunSuite with SparkSpec {
         .select(input_file_name()).distinct().count()
       assert(skippable + matching <= 16)
     }
+
+    // an all-null file is skippable by ANY range predicate, even though
+    // its min/max stats are NULL (the three-valued range test alone
+    // would say UNKNOWN and drop it from the pruneable set)
+    val nullDir = java.nio.file.Files.createTempDirectory("graft-nullstats").toString
+    Seq[(Integer, Int)]((null, 1), (null, 2)).toDF("x", "y")
+      .coalesce(1).write.mode("overwrite").parquet(nullDir)
+    val nullStats = Layout.statsSummary(spark.read.parquet(nullDir), Seq("x"))
+    assert(Layout.pruneableFiles(nullStats, "x", lit(0), lit(100)).count() == 1)
   }
 
   test("zValue interleaves bits exactly") {
