@@ -383,6 +383,29 @@ object AnalyticsQueries {
       FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
       ORDER BY gid, rf, ls"""))
 
+  /** regexp_extract_all over the raw props payload: count and sum every
+    * embedded number per event type — the scrape-all-matches scalar that
+    * q79's single-pattern redaction doesn't exercise. All-integer
+    * aggregation; nothing to round. */
+  val q118 = Q(
+    "q118_extract_all_numbers",
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(
+          sum(size(regexp_extract_all(col("props"), lit("[0-9]+"), lit(0))))
+            .cast("long").as("n_nums"),
+          sum(expr(
+            "aggregate(transform(regexp_extract_all(props, '[0-9]+', 0), x -> CAST(x AS BIGINT)), 0L, (a, v) -> a + v)"))
+            .cast("long").as("sum_nums"))
+        .orderBy("event_type"),
+    Some("""
+      SELECT event_type,
+             CAST(SUM(len(regexp_extract_all(props, '[0-9]+'))) AS BIGINT) AS n_nums,
+             CAST(SUM(list_sum(list_transform(regexp_extract_all(props, '[0-9]+'),
+               x -> CAST(x AS BIGINT)))) AS BIGINT) AS sum_nums
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
   def all: Seq[Q] = Seq(q81, q82, q83, q84, q85, q86, q87, q88, q89,
-    q97, q98, q99, q113, q114, q115)
+    q97, q98, q99, q113, q114, q115, q118)
 }
