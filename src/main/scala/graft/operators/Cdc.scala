@@ -72,4 +72,21 @@ object Cdc {
           .when(changed, "changed")
           .otherwise("unchanged").as("status"))
   }
+
+  /** Incremental aggregate maintenance (materialized-view refresh for
+    * ADDITIVE aggregates): merge a stored aggregate state with the SAME-
+    * shaped aggregate of a delta batch — one full outer join on the
+    * grouping keys, each additive column summed with null-as-zero. The
+    * refreshed state equals the direct aggregate over base ∪ delta (the
+    * oracle contract q119 pins), at the cost of |state| + |delta| rather
+    * than a full recompute. Counts and decimal sums are additive; for
+    * avg carry (sum, count), for min/max this only works for inserts. */
+  def refreshAgg(state: DataFrame, deltaAgg: DataFrame, keys: Seq[String],
+      aggCols: Seq[String]): DataFrame = {
+    val d = deltaAgg.select(
+      (keys.map(col) ++ aggCols.map(c => col(c).as(s"__d_$c"))): _*)
+    state.join(d, keys, "full_outer")
+      .select((keys.map(col) ++ aggCols.map(c =>
+        (coalesce(col(c), lit(0)) + coalesce(col(s"__d_$c"), lit(0))).as(c))): _*)
+  }
 }

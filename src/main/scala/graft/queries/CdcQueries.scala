@@ -148,5 +148,71 @@ object CdcQueries {
             FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey)
       SELECT status, COUNT(*) AS n FROM d GROUP BY status ORDER BY status"""))
 
-  def all: Seq[Q] = Seq(q93, q94, q95, q96)
+  /** Incremental aggregate refresh (Cdc.refreshAgg): aggregate the first
+    * 25 days as the stored state, merge the last days' delta aggregate,
+    * and the result must equal the direct aggregate over everything —
+    * the oracle IS the semantic definition, computed directly in DuckDB.
+    * This is materialized-view maintenance: cost |state| + |delta|, not
+    * a recompute of the base. */
+  val q119 = Q(
+    "q119_incremental_refresh",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val cut = to_date(lit("2024-01-25"))
+      def aggOf(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast(DecimalType(18, 2))).as("total"))
+      Cdc.refreshAgg(
+        aggOf(ev.filter(col("ts").cast("date") <= cut)),
+        aggOf(ev.filter(col("ts").cast("date") > cut)),
+        Seq("event_type"), Seq("n", "total"))
+        .select(col("event_type"), col("n").cast("long").as("n"),
+          col("total").cast("double").as("total"))
+        .orderBy("event_type")
+    },
+    Some("""
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  /** Weekly purchase retention cohorts: of the users purchasing in week
+    * w, the fraction purchasing again in week w+1 — the distinct-per-
+    * period self-join every growth dashboard runs. Week index uses
+    * INTEGER division on both engines (DuckDB's CAST rounds; `//` is
+    * the floor-division that matches Spark's floor). */
+  val q120 = Q(
+    "q120_weekly_retention",
+    (s, d) => {
+      // (week, user) pairs feed both sides of the self-join: materialize
+      // once (the AQE fan-out rule — see Dedup.minHashLshPairs)
+      val wk = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(
+          floor(datediff(col("ts").cast("date"), to_date(lit("2024-01-01"))) / 7)
+            .cast("long").as("w"),
+          col("user_id"))
+        .distinct()
+        .localCheckpoint(true)
+      val a = wk.as("a")
+      val b = wk.as("b")
+      a.join(b, col("b.user_id") === col("a.user_id") && col("b.w") === col("a.w") + 1, "left")
+        .groupBy(col("a.w").as("w"))
+        .agg(count(lit(1)).as("active"), count(col("b.user_id")).as("retained"))
+        .select(col("w"), col("active"), col("retained"),
+          round(col("retained").cast("double") / col("active"), 4).as("retention"))
+        .orderBy("w")
+    },
+    Some("""
+      WITH wk AS (SELECT DISTINCT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7 AS w,
+                         user_id FROM events WHERE event_type = 'purchase'),
+      r AS (SELECT a.w, CAST(COUNT(*) AS BIGINT) AS active,
+                   CAST(COUNT(b.user_id) AS BIGINT) AS retained
+            FROM wk a LEFT JOIN wk b ON b.user_id = a.user_id AND b.w = a.w + 1
+            GROUP BY a.w)
+      SELECT CAST(w AS BIGINT) AS w, active, retained,
+             ROUND(CAST(retained AS DOUBLE) / active, 4) AS retention
+      FROM r ORDER BY w"""))
+
+  def all: Seq[Q] = Seq(q93, q94, q95, q96, q119, q120)
 }

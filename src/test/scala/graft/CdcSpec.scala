@@ -68,4 +68,17 @@ class CdcSpec extends SparkSpec {
     assert(got == Seq((1L, "unchanged"), (2L, "unchanged"),
       (3L, "changed"), (4L, "added"), (5L, "removed")))
   }
+
+  test("refreshAgg merges state with a delta aggregate: existing, delta-only, and state-only keys") {
+    import spark.implicits._
+    val state = Seq(("a", 2L, 10.0), ("b", 1L, 5.0)).toDF("k", "n", "total")
+    val deltaAgg = Seq(("a", 3L, 7.5), ("c", 1L, 1.0)).toDF("k", "n", "total")
+    val got = Cdc.refreshAgg(state, deltaAgg, Seq("k"), Seq("n", "total"))
+      .orderBy("k").as[(String, Long, Double)].collect().toSeq
+    assert(got == Seq(("a", 5L, 17.5), ("b", 1L, 5.0), ("c", 1L, 1.0)))
+    // an empty delta is the identity
+    val same = Cdc.refreshAgg(state, deltaAgg.limit(0), Seq("k"), Seq("n", "total"))
+      .orderBy("k").as[(String, Long, Double)].collect().toSeq
+    assert(same == Seq(("a", 2L, 10.0), ("b", 1L, 5.0)))
+  }
 }
