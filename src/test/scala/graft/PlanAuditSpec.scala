@@ -166,6 +166,26 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("partial_count"), p)
   }
 
+  test("q34: the ANN query vector is broadcast — the corpus scan never shuffles") {
+    val p = plan(run("q34_ann_bruteforce"))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q113: transition bigrams shuffle once for the window, then aggregate") {
+    val p = plan(run("q113_event_transitions"))
+    assert(p.contains("hashpartitioning(user_id"), p)
+    // lag window over user partitions, then the 25-key aggregate: the
+    // window exchange is the only per-row shuffle
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size == 1, p)
+  }
+
+  test("q119: incremental refresh is one full-outer join of two aggregates") {
+    val p = plan(run("q119_incremental_refresh"))
+    assert(p.contains("FullOuter"), p)
+    assert(p.contains("partial_count"), p) // both inputs partial-aggregate map-side
+  }
+
   test("q85: RANGE window shuffles by user only — no pre-window global sort") {
     val p = plan(run("q85_range_window"))
     assert(p.contains("hashpartitioning(user_id"), p)
