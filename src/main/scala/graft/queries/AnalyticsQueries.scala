@@ -406,6 +406,40 @@ object AnalyticsQueries {
                x -> CAST(x AS BIGINT)))) AS BIGINT) AS sum_nums
       FROM events GROUP BY event_type ORDER BY event_type"""))
 
+  /** Strict-order funnel (view → click → purchase on FIRST occurrences):
+    * one conditional-min aggregate per user, then three comparisons —
+    * no self-joins, no sequence explode; timestamps compared as exact
+    * integer microseconds on both engines. */
+  val q121 = Q(
+    "q121_funnel",
+    (s, d) => {
+      def firstTs(t: String) =
+        min(when(col("event_type") === t, unix_micros(col("ts")))).as(s"t_$t")
+      Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(firstTs("view"), firstTs("click"), firstTs("purchase"))
+        .agg(
+          count(lit(1)).as("n_users"),
+          count(when(col("t_view").isNotNull, 1)).as("viewed"),
+          count(when(col("t_view").isNotNull && col("t_click") > col("t_view"), 1))
+            .as("then_clicked"),
+          count(when(col("t_view").isNotNull && col("t_click") > col("t_view")
+            && col("t_purchase") > col("t_click"), 1)).as("then_purchased"))
+    },
+    Some("""
+      WITH stages AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t_view,
+               MIN(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS t_click,
+               MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t_purchase
+        FROM events GROUP BY user_id)
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(COUNT(CASE WHEN t_view IS NOT NULL THEN 1 END) AS BIGINT) AS viewed,
+             CAST(COUNT(CASE WHEN t_view IS NOT NULL AND t_click > t_view THEN 1 END) AS BIGINT) AS then_clicked,
+             CAST(COUNT(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                              AND t_purchase > t_click THEN 1 END) AS BIGINT) AS then_purchased
+      FROM stages"""))
+
   def all: Seq[Q] = Seq(q81, q82, q83, q84, q85, q86, q87, q88, q89,
-    q97, q98, q99, q113, q114, q115, q118)
+    q97, q98, q99, q113, q114, q115, q118, q121)
 }
