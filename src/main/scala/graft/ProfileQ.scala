@@ -11,6 +11,7 @@ import org.apache.spark.sql.SparkSession
   */
 object ProfileQ {
   def main(args: Array[String]): Unit = {
+    if (args.length < 2) sys.error("usage: runMain graft.ProfileQ <sfDir> <queryName>")
     val Array(sfDir, name) = args.take(2)
     // same session recipe as Bench/Verify — a profile is only useful if
     // it observes the plans those mains actually execute
@@ -18,9 +19,15 @@ object ProfileQ {
     val spark = GraftSession.local("graft-profile", cpus)
 
     val base = new java.util.concurrent.atomic.AtomicLong(System.nanoTime())
+    // jobs at or below the cutoff belong to the cold run: listener events
+    // arrive on an async bus, so a clear()-based reset would let
+    // still-queued cold events repopulate the map and print into the
+    // warm profile — filter by job id instead, which is race-free
+    val cutoff = new java.util.concurrent.atomic.AtomicInteger(-1)
     val starts = scala.collection.concurrent.TrieMap[Int, (Long, String)]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit = {
+        if (j.jobId <= cutoff.get()) return
         val site = Option(j.properties)
           .flatMap(p => Option(p.getProperty("callSite.short")))
           .filter(_.nonEmpty)
@@ -42,6 +49,9 @@ object ProfileQ {
     // spark4-api-gotchas); the printed per-job profile is the WARM run
     q.spark(spark, sfDir).collect()
     println("--- warm run ---")
+    Thread.sleep(200) // let the bus drain the cold run's queued events
+    cutoff.set((spark.sparkContext.statusTracker.getJobIdsForGroup(null) ++
+      starts.keys).foldLeft(-1)(math.max))
     starts.clear()
     base.set(System.nanoTime())
     val t0 = System.nanoTime()

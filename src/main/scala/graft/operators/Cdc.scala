@@ -83,10 +83,17 @@ object Cdc {
     * avg carry (sum, count), for min/max this only works for inserts. */
   def refreshAgg(state: DataFrame, deltaAgg: DataFrame, keys: Seq[String],
       aggCols: Seq[String]): DataFrame = {
+    // NULL-SAFE key match (like tableDiff): a using-columns join treats a
+    // null state key and a null delta key as different rows, which would
+    // split a null group into two and break the ≡-direct-aggregate
+    // contract for nullable grouping keys
     val d = deltaAgg.select(
-      (keys.map(col) ++ aggCols.map(c => col(c).as(s"__d_$c"))): _*)
-    state.join(d, keys, "full_outer")
-      .select((keys.map(col) ++ aggCols.map(c =>
-        (coalesce(col(c), lit(0)) + coalesce(col(s"__d_$c"), lit(0))).as(c))): _*)
+      (keys.map(k => col(k).as(s"__d_$k")) ++
+        aggCols.map(c => col(c).as(s"__d_$c"))): _*)
+    state.join(d, keys.map(k => col(k) <=> col(s"__d_$k")).reduce(_ && _),
+        "full_outer")
+      .select((keys.map(k => coalesce(col(k), col(s"__d_$k")).as(k)) ++
+        aggCols.map(c =>
+          (coalesce(col(c), lit(0)) + coalesce(col(s"__d_$c"), lit(0))).as(c))): _*)
   }
 }

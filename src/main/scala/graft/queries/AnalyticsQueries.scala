@@ -391,19 +391,21 @@ object AnalyticsQueries {
     "q118_extract_all_numbers",
     (s, d) =>
       Tables.events(s, d)
+        // extract once per row; two aggregate children each re-running
+        // the regex would double the scan CPU on the hot column
+        .withColumn("__nums", regexp_extract_all(col("props"), lit("[0-9]+"), lit(0)))
         .groupBy("event_type")
         .agg(
-          sum(size(regexp_extract_all(col("props"), lit("[0-9]+"), lit(0))))
-            .cast("long").as("n_nums"),
+          sum(size(col("__nums"))).cast("long").as("n_nums"),
           sum(expr(
-            "aggregate(transform(regexp_extract_all(props, '[0-9]+', 0), x -> CAST(x AS BIGINT)), 0L, (a, v) -> a + v)"))
+            "aggregate(transform(__nums, x -> CAST(x AS BIGINT)), 0L, (a, v) -> a + v)"))
             .cast("long").as("sum_nums"))
         .orderBy("event_type"),
     Some("""
       SELECT event_type,
              CAST(SUM(len(regexp_extract_all(props, '[0-9]+'))) AS BIGINT) AS n_nums,
-             CAST(SUM(list_sum(list_transform(regexp_extract_all(props, '[0-9]+'),
-               x -> CAST(x AS BIGINT)))) AS BIGINT) AS sum_nums
+             CAST(SUM(COALESCE(list_sum(list_transform(regexp_extract_all(props, '[0-9]+'),
+               x -> CAST(x AS BIGINT))), 0)) AS BIGINT) AS sum_nums
       FROM events GROUP BY event_type ORDER BY event_type"""))
 
   /** Strict-order funnel (view → click → purchase on FIRST occurrences):

@@ -80,5 +80,11 @@ class CdcSpec extends SparkSpec {
     val same = Cdc.refreshAgg(state, deltaAgg.limit(0), Seq("k"), Seq("n", "total"))
       .orderBy("k").as[(String, Long, Double)].collect().toSeq
     assert(same == Seq(("a", 2L, 10.0), ("b", 1L, 5.0)))
+    // a NULL grouping key must MERGE (null-safe key match), not split
+    val nullState = Seq((Option.empty[String], 2L)).toDF("k", "n")
+    val nullDelta = Seq((Option.empty[String], 3L)).toDF("k", "n")
+    val merged = Cdc.refreshAgg(nullState, nullDelta, Seq("k"), Seq("n"))
+      .as[(Option[String], Long)].collect().toSeq
+    assert(merged == Seq((None, 5L)))
   }
 }

@@ -166,12 +166,6 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("partial_count"), p)
   }
 
-  test("q34: the ANN query vector is broadcast — the corpus scan never shuffles") {
-    val p = plan(run("q34_ann_bruteforce"))
-    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
-    assert(p.contains("TakeOrderedAndProject"), p)
-  }
-
   test("q113: transition bigrams shuffle once for the window, then aggregate") {
     val p = plan(run("q113_event_transitions"))
     assert(p.contains("hashpartitioning(user_id"), p)
