@@ -1072,6 +1072,46 @@ object RelationalQueries {
         ORDER BY n_customers DESC, n.n_name LIMIT 2) t
       ORDER BY r.r_name, t.n_customers DESC, t.n_name"""))
 
+  /** TPC-H Q12 shape (priority buckets per return flag): fact-fact join
+    * under a date window with conditional CASE counts — the canonical
+    * "bucketed tally in one pass" aggregate. (The generator's schema has
+    * no shipmode/commitdate; order priority stands in for the urgency
+    * split.) */
+  val q122 = Q(
+    "q122_tpch_q12",
+    (s, d) => viaSql(s, d, Seq("orders", "lineitem"), """
+      SELECT l_returnflag,
+             CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+             CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+      GROUP BY l_returnflag ORDER BY l_returnflag"""),
+    Some("""
+      SELECT l_returnflag,
+             CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+             CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+      GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** TPC-H Q13 shape (customer order-count distribution): left join so
+    * zero-order customers survive, then a second aggregation over the
+    * first's output — the double-grouped histogram. */
+  val q123 = Q(
+    "q123_tpch_q13",
+    (s, d) => viaSql(s, d, Seq("customer", "orders"), """
+      SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist FROM (
+        SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey) t
+      GROUP BY c_count ORDER BY custdist DESC, c_count DESC"""),
+    Some("""
+      SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist FROM (
+        SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey) t
+      GROUP BY c_count ORDER BY custdist DESC, c_count DESC"""))
+
   /** Correlated scalar subqueries (Catalyst decorrelates both into
     * aggregated joins): orders worth more than twice their customer's
     * average, kept exact by comparing price*count > 2*sum on decimals —
@@ -1099,5 +1139,5 @@ object RelationalQueries {
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q46, q56, q57, q58, q61,
-    q63, q64, q65, q66, q67, q68, q69, q70, q104, q105, q106, q107, q110, q116, q117)
+    q63, q64, q65, q66, q67, q68, q69, q70, q104, q105, q106, q107, q110, q116, q117, q122, q123)
 }
