@@ -944,19 +944,30 @@ object RelationalQueries {
   /** TPC-H Q18 shape (large-volume orders): HAVING over a grouped fact
     * (orders whose total quantity clears a threshold — 150 fits this
     * generator's ~4-items/order shape; spec TPC-H uses 300), then the
-    * customer/order detail for the top-100. Spark evaluates the HAVING
-    * as a post-aggregate filter — no second scan. */
+    * customer/order detail for the top-100.
+    *
+    * The aggregate is pushed BELOW the joins by hand: the order-level
+    * quantity sum groups only lineitem columns, so summing + filtering
+    * first shrinks the fact from |lineitem| rows to the few qualifying
+    * orders before any join — the customer/orders joins then move a
+    * threshold-sized frame instead of re-keying the whole fact table
+    * (Catalyst does not reorder aggregates below joins itself). */
   val q106 = Q(
     "q106_tpch_q18",
-    (s, d) => viaSql(s, d, Seq("customer", "orders", "lineitem"), """
-      SELECT c_custkey, c_name, o_orderkey,
-             date_format(o_orderdate, 'yyyy-MM-dd') AS orderdate,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
-      FROM customer JOIN orders ON c_custkey = o_custkey
-                    JOIN lineitem ON l_orderkey = o_orderkey
-      GROUP BY c_custkey, c_name, o_orderkey, o_orderdate
-      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150
-      ORDER BY sum_qty DESC, o_orderkey LIMIT 100"""),
+    (s, d) => {
+      val big = Tables.lineitem(s, d)
+        .groupBy("l_orderkey")
+        .agg(sum(dec(col("l_quantity"))).as("__sum_qty"))
+        .filter(col("__sum_qty") > 150)
+      big
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+          dbl(col("__sum_qty")).as("sum_qty"))
+        .orderBy(desc("sum_qty"), col("o_orderkey"))
+        .limit(100)
+    },
     Some("""
       SELECT c_custkey, c_name, o_orderkey,
              strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
