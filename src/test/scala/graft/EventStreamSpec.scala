@@ -120,6 +120,32 @@ class EventStreamSpec extends AnyFunSuite with SparkSpec {
     assert(batches.forall(_.numInputRows == 2)) // ...two files (rows) at a time
   }
 
+  test("incremental aggregate sink: streamed state equals the direct aggregate") {
+    import org.apache.spark.sql.functions._
+    val (in, chk) = newDirs()
+    val state = Files.createTempDirectory("graft-incragg").toString
+    drop(in, "a.json",
+      ev(1, "2024-01-01T00:10:00Z", 1, "click", 1.5),
+      ev(2, "2024-01-01T00:20:00Z", 2, "view", 2.0))
+    val src = EventStream.jsonFileStream(spark, in, EventStream.eventSchema)
+    EventStream.runIncrementalAgg(src, state, chk).awaitTermination()
+    // second bounded run merges only the NEW file's delta into the state
+    drop(in, "b.json",
+      ev(3, "2024-01-01T00:30:00Z", 1, "click", 2.5),
+      ev(4, "2024-01-01T00:40:00Z", 3, "purchase", 9.0))
+    EventStream.runIncrementalAgg(src, state, chk).awaitTermination()
+    val got = EventStream.latestAggState(spark, state)
+      .select(col("event_type"), col("n").cast("long"),
+        col("total").cast("double"))
+      .orderBy("event_type").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == Seq(("click", 2L, 4.0), ("purchase", 1L, 9.0), ("view", 1L, 2.0)))
+    // a run with no new files merges nothing and leaves the state intact
+    EventStream.runIncrementalAgg(src, state, chk).awaitTermination()
+    assert(EventStream.latestAggState(spark, state)
+      .agg(sum(col("n").cast("long"))).head().getLong(0) == 4L)
+  }
+
   test("streaming dedup drops cross-batch re-deliveries within the watermark") {
     val (in, chk) = newDirs()
     val out = Files.createTempDirectory("graft-dedup-out").toString
