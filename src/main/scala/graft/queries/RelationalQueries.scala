@@ -1123,6 +1123,276 @@ object RelationalQueries {
         GROUP BY c_custkey) t
       GROUP BY c_count ORDER BY custdist DESC, c_count DESC"""))
 
+  /** TPC-H Q4 shape (order priority checking): correlated EXISTS that
+    * references the OUTER table's o_orderdate inside the subquery
+    * predicate — Catalyst decorrelates it into a semi-join on orderkey
+    * with the date comparison as a post-join condition. (The generator
+    * has no commitdate/receiptdate; "late" = shipped more than 30 days
+    * after the order date.) */
+  val q124 = Q(
+    "q124_tpch_q4",
+    (s, d) => viaSql(s, d, Seq("orders", "lineitem"), """
+      SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+      FROM orders o
+      WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-10-01'
+        AND EXISTS (SELECT 1 FROM lineitem l
+                    WHERE l.l_orderkey = o.o_orderkey
+                      AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+      GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
+    Some("""
+      SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+      FROM orders o
+      WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-10-01'
+        AND EXISTS (SELECT 1 FROM lineitem l
+                    WHERE l.l_orderkey = o.o_orderkey
+                      AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+      GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
+  /** TPC-H Q7 shape (volume shipping between two nations): 6-way join
+    * where the same dimension (nation) enters TWICE under different
+    * roles, with a symmetric pair-disjunction across the two aliases.
+    * Both nation sides broadcast; the fact-fact joins shuffle on their
+    * keys. */
+  val q125 = Q(
+    "q125_tpch_q7",
+    (s, d) => viaSql(s, d,
+      Seq("supplier", "lineitem", "orders", "customer", "nation"), """
+      SELECT supp_nation, cust_nation, l_year,
+             CAST(SUM(volume) AS DOUBLE) AS revenue
+      FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS INT) AS l_year,
+               CAST(l_extendedprice AS DECIMAL(18,2)) *
+                 (1 - CAST(l_discount AS DECIMAL(18,2))) AS volume
+        FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+             JOIN orders ON o_orderkey = l_orderkey
+             JOIN customer ON c_custkey = o_custkey
+             JOIN nation n1 ON s_nationkey = n1.n_nationkey
+             JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+           OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')) shipping
+      GROUP BY supp_nation, cust_nation, l_year
+      ORDER BY supp_nation, cust_nation, l_year"""),
+    Some("""
+      SELECT supp_nation, cust_nation, l_year,
+             CAST(SUM(volume) AS DOUBLE) AS revenue
+      FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS INT) AS l_year,
+               CAST(l_extendedprice AS DECIMAL(18,2)) *
+                 (1 - CAST(l_discount AS DECIMAL(18,2))) AS volume
+        FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+             JOIN orders ON o_orderkey = l_orderkey
+             JOIN customer ON c_custkey = o_custkey
+             JOIN nation n1 ON s_nationkey = n1.n_nationkey
+             JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+           OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')) shipping
+      GROUP BY supp_nation, cust_nation, l_year
+      ORDER BY supp_nation, cust_nation, l_year"""))
+
+  /** TPC-H Q8 shape (national market share): 7-table star with region
+    * gating the CUSTOMER side and the share computed as a conditional
+    * decimal sum over the supplier nation — numerator and denominator
+    * both decimal-exact, divided as doubles once per year row. */
+  val q126 = Q(
+    "q126_tpch_q8",
+    (s, d) => viaSql(s, d,
+      Seq("part", "lineitem", "orders", "customer", "supplier", "nation", "region"), """
+      SELECT o_year,
+             ROUND(CAST(SUM(CASE WHEN nation = 'NATION_3' THEN volume
+                                 ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) /
+                   CAST(SUM(volume) AS DOUBLE), 4) AS mkt_share
+      FROM (
+        SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+               CAST(l_extendedprice AS DECIMAL(18,2)) *
+                 (1 - CAST(l_discount AS DECIMAL(18,2))) AS volume,
+               n2.n_name AS nation
+        FROM part JOIN lineitem ON p_partkey = l_partkey
+             JOIN orders ON l_orderkey = o_orderkey
+             JOIN customer ON o_custkey = c_custkey
+             JOIN nation n1 ON c_nationkey = n1.n_nationkey
+             JOIN region ON n1.n_regionkey = r_regionkey
+             JOIN supplier ON l_suppkey = s_suppkey
+             JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE r_name = 'ASIA' AND p_type = 'ECONOMY') allnations
+      GROUP BY o_year ORDER BY o_year"""),
+    Some("""
+      SELECT o_year,
+             ROUND(CAST(SUM(CASE WHEN nation = 'NATION_3' THEN volume
+                                 ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) /
+                   CAST(SUM(volume) AS DOUBLE), 4) AS mkt_share
+      FROM (
+        SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+               CAST(l_extendedprice AS DECIMAL(18,2)) *
+                 (1 - CAST(l_discount AS DECIMAL(18,2))) AS volume,
+               n2.n_name AS nation
+        FROM part JOIN lineitem ON p_partkey = l_partkey
+             JOIN orders ON l_orderkey = o_orderkey
+             JOIN customer ON o_custkey = c_custkey
+             JOIN nation n1 ON c_nationkey = n1.n_nationkey
+             JOIN region ON n1.n_regionkey = r_regionkey
+             JOIN supplier ON l_suppkey = s_suppkey
+             JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE r_name = 'ASIA' AND p_type = 'ECONOMY') allnations
+      GROUP BY o_year ORDER BY o_year"""))
+
+  /** TPC-H Q17 shape (small-quantity orders): correlated per-part
+    * average rewritten division-free — `qty * 5 * count < sum` over
+    * decimals is exactly `qty < 0.2 * avg` with no float threshold, so
+    * rows at the boundary land identically on both engines. */
+  val q127 = Q(
+    "q127_tpch_q17",
+    (s, d) => viaSql(s, d, Seq("lineitem", "part"), """
+      SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS small_qty_revenue,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM lineitem l JOIN part p ON p_partkey = l_partkey
+      WHERE p_brand = 'Brand#1'
+        AND CAST(l_quantity AS DECIMAL(18,2)) * 5 *
+              (SELECT COUNT(*) FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+            < (SELECT SUM(CAST(l2.l_quantity AS DECIMAL(18,2)))
+               FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)"""),
+    Some("""
+      SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS small_qty_revenue,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM lineitem l JOIN part p ON p_partkey = l_partkey
+      WHERE p_brand = 'Brand#1'
+        AND CAST(l_quantity AS DECIMAL(18,2)) * 5 *
+              (SELECT COUNT(*) FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+            < (SELECT SUM(CAST(l2.l_quantity AS DECIMAL(18,2)))
+               FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)"""))
+
+  /** TPC-H Q22 shape (global-sales opportunity): above-average balance
+    * test kept exact as `bal * count > total` on decimals, plus a NOT
+    * EXISTS anti-join against RECENT orders (every synthetic customer
+    * has some order, so the classic no-orders-at-all test would be
+    * vacuously empty — inactivity-since-2000 keeps the anti-join real); the "country code" stands in as a
+    * custkey bucket (the generator has no phone column). */
+  val q128 = Q(
+    "q128_tpch_q22",
+    (s, d) => viaSql(s, d, Seq("customer", "orders"), """
+      WITH avg_bal AS (
+        SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS total,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM customer WHERE c_acctbal > 0)
+      SELECT CAST(c_custkey % 7 AS BIGINT) AS cgroup,
+             CAST(COUNT(*) AS BIGINT) AS numcust,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+      FROM customer c, avg_bal
+      WHERE CAST(c_acctbal AS DECIMAL(18,2)) * avg_bal.n > avg_bal.total
+        AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= DATE '2000-01-01')
+      GROUP BY 1 ORDER BY 1"""),
+    Some("""
+      WITH avg_bal AS (
+        SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS total,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM customer WHERE c_acctbal > 0)
+      SELECT CAST(c_custkey % 7 AS BIGINT) AS cgroup,
+             CAST(COUNT(*) AS BIGINT) AS numcust,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+      FROM customer c, avg_bal
+      WHERE CAST(c_acctbal AS DECIMAL(18,2)) * avg_bal.n > avg_bal.total
+        AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= DATE '2000-01-01')
+      GROUP BY 1 ORDER BY 1"""))
+
+  /** TPC-H Q15 shape (top supplier): a reused aggregate CTE compared
+    * against its own MAX via scalar subquery — the comparison is on the
+    * un-cast decimal, so "equal to the max" is exact, not a float
+    * equality. */
+  val q129 = Q(
+    "q129_tpch_q15",
+    (s, d) => viaSql(s, d, Seq("supplier", "lineitem"), """
+      WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                   (1 - CAST(l_discount AS DECIMAL(18,2)))) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+        GROUP BY l_suppkey)
+      SELECT s_suppkey, s_name,
+             CAST(total_revenue AS DOUBLE) AS total_revenue
+      FROM supplier JOIN revenue ON s_suppkey = supplier_no
+      WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+      ORDER BY s_suppkey"""),
+    Some("""
+      WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                   (1 - CAST(l_discount AS DECIMAL(18,2)))) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+        GROUP BY l_suppkey)
+      SELECT s_suppkey, s_name,
+             CAST(total_revenue AS DOUBLE) AS total_revenue
+      FROM supplier JOIN revenue ON s_suppkey = supplier_no
+      WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+      ORDER BY s_suppkey"""))
+
+  /** TPC-H Q16 shape (supplier relationship): COUNT(DISTINCT) under a
+    * NOT IN subquery (no NULLs in the key domain, so NOT IN is a plain
+    * anti-join on both engines). */
+  val q130 = Q(
+    "q130_tpch_q16",
+    (s, d) => viaSql(s, d, Seq("part", "lineitem", "supplier"), """
+      SELECT p_brand, p_type, p_size,
+             CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+      FROM part JOIN lineitem ON p_partkey = l_partkey
+      WHERE p_brand <> 'Brand#1'
+        AND p_size IN (1, 7, 14, 23, 30, 36, 45, 49)
+        AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      GROUP BY p_brand, p_type, p_size
+      ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"""),
+    Some("""
+      SELECT p_brand, p_type, p_size,
+             CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+      FROM part JOIN lineitem ON p_partkey = l_partkey
+      WHERE p_brand <> 'Brand#1'
+        AND p_size IN (1, 7, 14, 23, 30, 36, 45, 49)
+        AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      GROUP BY p_brand, p_type, p_size
+      ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"""))
+
+  /** TPC-H Q21 shape (suppliers who kept orders waiting): EXISTS plus
+    * NOT EXISTS over the same fact table, both correlated on the outer
+    * line's orderkey with inequality side-conditions — the hardest
+    * decorrelation pattern in the TPC-H suite. "Late" = shipped more
+    * than 60 days after the order date (no commit/receipt dates in this
+    * schema). */
+  val q131 = Q(
+    "q131_tpch_q21",
+    (s, d) => viaSql(s, d, Seq("supplier", "lineitem", "orders"), """
+      SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+      FROM supplier
+      JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+      JOIN orders ON o_orderkey = l1.l_orderkey
+      WHERE o_orderstatus = 'F'
+        AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+        AND EXISTS (SELECT 1 FROM lineitem l2
+                    WHERE l2.l_orderkey = l1.l_orderkey
+                      AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                        WHERE l3.l_orderkey = l1.l_orderkey
+                          AND l3.l_suppkey <> l1.l_suppkey
+                          AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      GROUP BY s_name ORDER BY numwait DESC, s_name"""),
+    Some("""
+      SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+      FROM supplier
+      JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+      JOIN orders ON o_orderkey = l1.l_orderkey
+      WHERE o_orderstatus = 'F'
+        AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+        AND EXISTS (SELECT 1 FROM lineitem l2
+                    WHERE l2.l_orderkey = l1.l_orderkey
+                      AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                        WHERE l3.l_orderkey = l1.l_orderkey
+                          AND l3.l_suppkey <> l1.l_suppkey
+                          AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      GROUP BY s_name ORDER BY numwait DESC, s_name"""))
+
   /** Correlated scalar subqueries (Catalyst decorrelates both into
     * aggregated joins): orders worth more than twice their customer's
     * average, kept exact by comparing price*count > 2*sum on decimals —
@@ -1150,5 +1420,6 @@ object RelationalQueries {
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q46, q56, q57, q58, q61,
-    q63, q64, q65, q66, q67, q68, q69, q70, q104, q105, q106, q107, q110, q116, q117, q122, q123)
+    q63, q64, q65, q66, q67, q68, q69, q70, q104, q105, q106, q107, q110, q116, q117, q122, q123,
+    q124, q125, q126, q127, q128, q129, q130, q131)
 }
