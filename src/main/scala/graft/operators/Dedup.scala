@@ -67,20 +67,27 @@ object Dedup {
     tokenized(docs, id, text, n)
       .select(col(id), TextHashAggregators.minhash(shingles("toks", n), k).as("mh"))
 
+  /** Band a signature frame: one row per (id, band) carrying the
+    * concatenated in-band minhashes as the bucket key. */
+  private def bandedSignatures(signatures: DataFrame, id: String,
+      k: Int, bands: Int): DataFrame = {
+    val rows = k / bands
+    signatures
+      .select(col(id), explode(sequence(lit(0), lit(bands - 1))).as("band"), col("mh"))
+      .select(col(id), col("band"),
+        expr(s"array_join(slice(mh, band * $rows + 1, $rows), '|')").as("sig"))
+  }
+
   /** LSH candidate pairs: band the signature, self-join on band
     * signatures. Only colliding buckets pay join cost — the quadratic
     * mass is the near-duplicate mass itself, not the corpus. */
   def lshCandidatePairs(signatures: DataFrame, id: String,
       k: Int = 16, bands: Int = 4): DataFrame = {
-    val rows = k / bands
     // repartition inserts an exchange AFTER the signature computation:
     // the self-join's two identical subplans then collapse into one via
     // ReuseExchange, so the (CPU-bound) signatures are computed once
     // instead of once per join side
-    val banded = signatures
-      .select(col(id), explode(sequence(lit(0), lit(bands - 1))).as("band"), col("mh"))
-      .select(col(id), col("band"),
-        expr(s"array_join(slice(mh, band * $rows + 1, $rows), '|')").as("sig"))
+    val banded = bandedSignatures(signatures, id, k, bands)
       .repartition(col("band"), col("sig"))
     banded.select(col(id).as("id_a"), col("band"), col("sig"))
       .join(banded.select(col(id).as("id_b"), col("band"), col("sig")),
@@ -88,6 +95,50 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct()
+  }
+
+  /** Incremental near-dup maintenance — the append-a-shard path a 100 TB
+    * corpus actually runs: keep the per-document MinHash signatures and
+    * shingle-hash sets from previous batches (both fixed-width, tiny
+    * next to the raw text), and when a new batch of documents arrives
+    * compute ONLY the pairs that touch a new document (new↔old and
+    * new↔new). Old↔old pairs were reported by earlier batches and are
+    * never re-verified, so ingest cost is proportional to the BATCH
+    * (plus one bucket join against the stored index), not the corpus.
+    *
+    * Invariant (IncrementalLshSpec): previous pairs ∪ this result ==
+    * `minHashLshPairs` over the whole corpus, for any batch split.
+    *
+    * `oldSignatures`/`oldShingles` are the stored index frames from
+    * `minHashSignatures`/`shingleSet` (or the previous call's updated
+    * union). Returns the new pairs `(id_a, id_b, jaccard)` with ids
+    * normalized least-first. */
+  def incrementalLshPairs(
+      oldSignatures: DataFrame, oldShingles: DataFrame,
+      newDocs: DataFrame, id: String, text: String,
+      n: Int = 4, k: Int = 16, bands: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    // materialize the new batch's signatures/shingles once — each feeds
+    // two consumers (bucket join + verification) and the signature UDF
+    // is the CPU hot spot
+    val newBand = bandedSignatures(
+      minHashSignatures(newDocs, id, text, n, k), id, k, bands)
+      .localCheckpoint(true)
+    // probe side = new batch only; build side = stored index ∪ new
+    // batch. Old↔old bucket collisions never form because the probe
+    // side contains no old documents.
+    val allBand = bandedSignatures(oldSignatures, id, k, bands).union(newBand)
+    val cands = newBand.select(col(id).as("__na"), col("band"), col("sig"))
+      .join(allBand.select(col(id).as("__nb"), col("band"), col("sig")),
+        Seq("band", "sig"))
+      .filter(col("__na") =!= col("__nb"))
+      .select(least(col("__na"), col("__nb")).as("id_a"),
+        greatest(col("__na"), col("__nb")).as("id_b"))
+      .distinct()
+      .localCheckpoint(true)
+    val allShingles = oldShingles.union(shingleSet(newDocs, id, text, n))
+      .localCheckpoint(true)
+    verifiedJaccard(cands, allShingles, id, threshold)
   }
 
   /** Exact Jaccard over shingle sets for given candidate pairs only

@@ -442,6 +442,73 @@ object AnalyticsQueries {
                               AND t_purchase > t_click THEN 1 END) AS BIGINT) AS then_purchased
       FROM stages"""))
 
+  /** PageRank (3 iterations, damping 0.85) over the event-type
+    * transition graph from q113 — the canonical iterative-computation
+    * shape, run as a driver-side loop of joins against a cached,
+    * broadcast-size edge frame. The node domain (distinct event types)
+    * is small by construction, so the per-iteration join broadcasts;
+    * at 100 TB the EDGE derivation is the heavy part and it's one
+    * window + one aggregate over the fact table. The oracle unrolls the
+    * same three iterations as chained CTEs; both engines sum the same
+    * ≤|V| IEEE doubles per node, so the 6 dp round is stable. */
+  val q133 = Q(
+    "q133_pagerank",
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val ev = Tables.events(s, d)
+      val edges = ev
+        .withColumn("src", lag(col("event_type"), 1).over(w))
+        .filter(col("src").isNotNull)
+        .groupBy(col("src"), col("event_type").as("dst"))
+        .agg(count(lit(1)).as("c"))
+      val nodes = ev.select(col("event_type").as("v")).distinct().cache()
+      val n = nodes.count() // node domain, not data volume — driver-safe
+      val outdeg = edges.groupBy("src").agg(sum("c").as("tot"))
+      val wts = edges.join(outdeg, "src")
+        .select(col("src"), col("dst"),
+          (col("c").cast("double") / col("tot")).as("w"))
+        .cache()
+      var ranks = nodes.withColumn("r", lit(1.0 / n))
+      for (_ <- 1 to 3) {
+        val contrib = wts.join(broadcast(ranks), wts("src") === ranks("v"))
+          .groupBy(col("dst")).agg(sum(col("w") * col("r")).as("acc"))
+        ranks = nodes.join(broadcast(contrib), nodes("v") === contrib("dst"), "left")
+          .select(col("v"),
+            (lit(0.15 / n) + lit(0.85) * coalesce(col("acc"), lit(0.0))).as("r"))
+      }
+      val out = ranks
+        .select(col("v").as("event_type"), round(col("r"), 6).as("pagerank"))
+        .orderBy("event_type")
+        .localCheckpoint(true)
+      nodes.unpersist(); wts.unpersist()
+      out
+    },
+    Some("""
+      WITH seq AS (SELECT user_id, event_type AS dst,
+                     LAG(event_type) OVER (PARTITION BY user_id
+                       ORDER BY epoch_us(ts), event_id) AS src
+                   FROM events),
+      e AS (SELECT src, dst, COUNT(*) AS c FROM seq WHERE src IS NOT NULL GROUP BY 1, 2),
+      outdeg AS (SELECT src, SUM(c) AS tot FROM e GROUP BY src),
+      w AS (SELECT e.src, e.dst, CAST(e.c AS DOUBLE) / tot AS w
+            FROM e JOIN outdeg USING (src)),
+      nodes AS (SELECT DISTINCT event_type AS v FROM events),
+      nn AS (SELECT COUNT(*) AS n FROM nodes),
+      r0 AS (SELECT v, 1.0 / (SELECT n FROM nn) AS r FROM nodes),
+      r1 AS (SELECT nd.v, 0.15 / (SELECT n FROM nn) + 0.85 * COALESCE((
+               SELECT SUM(w.w * r.r) FROM w JOIN r0 r ON r.v = w.src
+               WHERE w.dst = nd.v), 0.0) AS r
+             FROM nodes nd),
+      r2 AS (SELECT nd.v, 0.15 / (SELECT n FROM nn) + 0.85 * COALESCE((
+               SELECT SUM(w.w * r.r) FROM w JOIN r1 r ON r.v = w.src
+               WHERE w.dst = nd.v), 0.0) AS r
+             FROM nodes nd),
+      r3 AS (SELECT nd.v, 0.15 / (SELECT n FROM nn) + 0.85 * COALESCE((
+               SELECT SUM(w.w * r.r) FROM w JOIN r2 r ON r.v = w.src
+               WHERE w.dst = nd.v), 0.0) AS r
+             FROM nodes nd)
+      SELECT v AS event_type, ROUND(r, 6) AS pagerank FROM r3 ORDER BY event_type"""))
+
   def all: Seq[Q] = Seq(q81, q82, q83, q84, q85, q86, q87, q88, q89,
-    q97, q98, q99, q113, q114, q115, q118, q121)
+    q97, q98, q99, q113, q114, q115, q118, q121, q133)
 }

@@ -367,5 +367,57 @@ object DedupQueries {
       GROUP BY 1, 2 HAVING COUNT(*) >= 3
       ORDER BY doc_a, doc_b"""))
 
-  def all: Seq[Q] = Seq(q36, q37, q38, q45, q47, q51, q55)
+  /** Cluster-representative selection — the step after q51's transitive
+    * clustering that an actual dedup pipeline runs: keep ONE document
+    * per duplicate cluster, chosen by a quality criterion (longest
+    * n_chars, ties to the lowest doc_id). The winner is picked by
+    * max_by over a packed integer key (n_chars·10^7 + inverted id), so
+    * the arg-max is deterministic on both engines; the oracle ranks
+    * with a window over the same recursive-CTE clusters. */
+  val q134 = Q(
+    "q134_cluster_reps",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      val pairs = graft.operators.Dedup
+        .minHashLshPairs(docs, "doc_id", "text",
+          n = ShingleN, k = K, bands = Bands, threshold = 0.5)
+        .select("id_a", "id_b")
+      val clusters = graft.operators.Dedup.duplicateClusters(pairs)
+        .select(col("id").as("doc_id"), col("cluster"))
+      clusters
+        .join(docs.select("doc_id", "n_chars"), "doc_id")
+        .groupBy("cluster")
+        .agg(
+          max_by(col("doc_id"),
+            col("n_chars") * 10000000L + (lit(9999999L) - col("doc_id"))).as("rep_doc"),
+          count(lit(1)).as("cluster_size"),
+          max("n_chars").as("rep_chars"))
+        .orderBy("cluster")
+    },
+    Some(s"""
+      WITH RECURSIVE ${nearDupCtes("documents")},
+      verified AS (SELECT i.da, i.db
+                   FROM inter i
+                   JOIN sizes sa ON i.da = sa.doc_id
+                   JOIN sizes sb ON i.db = sb.doc_id
+                   WHERE CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter) >= 0.5),
+      edges AS (SELECT da AS a, db AS b FROM verified
+                UNION SELECT db, da FROM verified),
+      reach AS (SELECT a, b FROM edges
+                UNION
+                SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      members AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster
+                  FROM reach GROUP BY a),
+      ranked AS (SELECT m.cluster, m.doc_id, d.n_chars,
+                        ROW_NUMBER() OVER (PARTITION BY m.cluster
+                          ORDER BY d.n_chars DESC, m.doc_id) AS rn
+                 FROM members m JOIN documents d ON d.doc_id = m.doc_id)
+      SELECT cluster,
+             MIN(CASE WHEN rn = 1 THEN doc_id END) AS rep_doc,
+             CAST(COUNT(*) AS BIGINT) AS cluster_size,
+             CAST(MAX(n_chars) AS BIGINT) AS rep_chars
+      FROM ranked GROUP BY cluster ORDER BY cluster"""))
+
+  def all: Seq[Q] = Seq(q36, q37, q38, q45, q47, q51, q55, q134)
 }

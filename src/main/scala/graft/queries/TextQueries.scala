@@ -336,6 +336,56 @@ object TextQueries {
              ROUND(1.0 - CAST(len(list_distinct(bigrams)) AS DOUBLE) / len(bigrams), 4) AS rep_ratio
       FROM b ORDER BY doc_id"""))
 
+  /** PMI (pointwise mutual information) collocations over the corpus —
+    * the classic phrase-mining signal. All counts are exact integers;
+    * the only float step is one ln over a ratio whose operands are
+    * built with the SAME left-to-right multiplication order on both
+    * engines (products stay inside the exactly-representable double
+    * range at these scales), so the 4 dp round is stable. Selection
+    * and ordering rank on the integer count, never the float score. */
+  val q132 = Q(
+    "q132_pmi_bigrams",
+    (s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(split(col("text"), " ").as("toks"))
+      val uni = toks.select(explode(col("toks")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+      val bi = toks.filter(size(col("toks")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(toks) - 2), i -> struct(toks[i] AS w1, toks[i + 1] AS w2))")).as("b"))
+        .select(col("b.w1"), col("b.w2"))
+      val bcnt = bi.groupBy("w1", "w2").agg(count(lit(1)).as("n"))
+      val totals = broadcast(
+        uni.agg(sum("c").as("nu")).crossJoin(bi.agg(count(lit(1)).as("nb"))))
+      bcnt
+        .join(broadcast(uni.select(col("w").as("w1"), col("c").as("cx"))), "w1")
+        .join(broadcast(uni.select(col("w").as("w2"), col("c").as("cy"))), "w2")
+        .crossJoin(totals)
+        .filter(col("n") >= 5)
+        .select(col("w1"), col("w2"), col("n"),
+          round(log(col("n").cast("double") * col("nu") * col("nu") /
+            (col("nb").cast("double") * col("cx") * col("cy"))), 4).as("pmi"))
+        .orderBy(col("n").desc, col("w1"), col("w2"))
+        .limit(50)
+    },
+    Some("""
+      WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+      tf AS (SELECT toks FROM t WHERE len(toks) >= 2),
+      uni AS (SELECT UNNEST(toks) AS w FROM t),
+      ucnt AS (SELECT w, COUNT(*) AS c FROM uni GROUP BY w),
+      bi AS (SELECT toks[i] AS w1, toks[i + 1] AS w2
+             FROM tf, LATERAL (SELECT UNNEST(range(1, len(toks))) AS i) g),
+      bcnt AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n FROM bi GROUP BY w1, w2),
+      tot AS (SELECT (SELECT COUNT(*) FROM uni) AS nu,
+                     (SELECT COUNT(*) FROM bi) AS nb)
+      SELECT w1, w2, n,
+             ROUND(LN(CAST(n AS DOUBLE) * nu * nu /
+                      (CAST(nb AS DOUBLE) * cx.c * cy.c)), 4) AS pmi
+      FROM bcnt JOIN ucnt cx ON cx.w = bcnt.w1
+                JOIN ucnt cy ON cy.w = bcnt.w2, tot
+      WHERE n >= 5
+      ORDER BY n DESC, w1, w2 LIMIT 50"""))
+
   def all: Seq[Q] =
-    Seq(q28, q29, q30, q31, q32, q33, q41, q43, q44, q52, q53, q54)
+    Seq(q28, q29, q30, q31, q32, q33, q41, q43, q44, q52, q53, q54, q132)
 }

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** Incremental LSH maintenance (Dedup.incrementalLshPairs): appending a
+  * batch against a stored signature/shingle index must report exactly the
+  * pairs a full recompute reports, minus the old↔old pairs earlier
+  * batches already own — for any split of the corpus into batches.
+  */
+class IncrementalLshSpec extends SparkSpec {
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select(col("id_a").cast("long"), col("id_b").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("incremental batch == full recompute minus prior pairs (real corpus)") {
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val oldDocs = docs.filter(col("doc_id") % 3 =!= 0)
+    val newDocs = docs.filter(col("doc_id") % 3 === 0)
+
+    val full = pairSet(Dedup.minHashLshPairs(docs, "doc_id", "text"))
+    val oldOnly = pairSet(Dedup.minHashLshPairs(oldDocs, "doc_id", "text"))
+
+    val incr = pairSet(Dedup.incrementalLshPairs(
+      Dedup.minHashSignatures(oldDocs, "doc_id", "text"),
+      Dedup.shingleSet(oldDocs, "doc_id", "text", n = 4),
+      newDocs, "doc_id", "text"))
+
+    // every incremental pair touches a new document
+    val newIds = newDocs.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(incr.forall { case (a, b) => newIds(a) || newIds(b) })
+    // old pairs ∪ incremental pairs == full recompute
+    assert((oldOnly ++ incr) === full)
+    // and the decomposition is disjoint: incremental never re-reports
+    assert(oldOnly.intersect(incr).isEmpty)
+  }
+
+  test("two-step append chain converges to the full result") {
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val b0 = docs.filter(col("doc_id") % 3 === 0)
+    val b1 = docs.filter(col("doc_id") % 3 === 1)
+    val b2 = docs.filter(col("doc_id") % 3 === 2)
+
+    val p0 = pairSet(Dedup.minHashLshPairs(b0, "doc_id", "text"))
+
+    val p1 = pairSet(Dedup.incrementalLshPairs(
+      Dedup.minHashSignatures(b0, "doc_id", "text"),
+      Dedup.shingleSet(b0, "doc_id", "text", n = 4),
+      b1, "doc_id", "text"))
+
+    val b01 = b0.unionByName(b1)
+    val p2 = pairSet(Dedup.incrementalLshPairs(
+      Dedup.minHashSignatures(b01, "doc_id", "text"),
+      Dedup.shingleSet(b01, "doc_id", "text", n = 4),
+      b2, "doc_id", "text"))
+
+    val full = pairSet(Dedup.minHashLshPairs(docs, "doc_id", "text"))
+    assert((p0 ++ p1 ++ p2) === full)
+  }
+
+  test("jaccard values match the full recompute on shared pairs") {
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val oldDocs = docs.filter(col("doc_id") % 2 === 0)
+    val newDocs = docs.filter(col("doc_id") % 2 === 1)
+    def jmap(df: org.apache.spark.sql.DataFrame): Map[(Long, Long), Double] =
+      df.select(col("id_a").cast("long"), col("id_b").cast("long"), col("jaccard"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val full = jmap(Dedup.minHashLshPairs(docs, "doc_id", "text"))
+    val incr = jmap(Dedup.incrementalLshPairs(
+      Dedup.minHashSignatures(oldDocs, "doc_id", "text"),
+      Dedup.shingleSet(oldDocs, "doc_id", "text", n = 4),
+      newDocs, "doc_id", "text"))
+    incr.foreach { case (k, j) => assert(full.get(k).contains(j), s"pair $k") }
+  }
+}
