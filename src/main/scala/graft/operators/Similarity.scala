@@ -139,6 +139,82 @@ object Similarity {
       .limit(k)
   }
 
+  /** Lloyd's k-means over `(id, embedding: array<float>)` — the
+    * clustering pass that turns hash-picked IVF anchors into LEARNED
+    * cell centroids (tighter cells → better recall at the same nprobe),
+    * and the baseline corpus-exploration tool (topic buckets, dedup
+    * stratification).
+    *
+    * Deterministic by construction: seeds are the `k` vectors with the
+    * lowest md5(id) (hash-random, reproducible on any engine and
+    * partitioning — same device as the deterministic samplers q71/q103);
+    * assignment breaks distance ties on the lower cluster id; per-vector
+    * distances are sequential-sum doubles, so they never depend on
+    * partitioning. Mean updates aggregate per (cluster, dimension) —
+    * float-summation order across partitions can differ between RUNS at
+    * the last-ulp level, which matters only for vectors equidistant to
+    * two centroids (SimilaritySpec pins exact determinism on the real
+    * corpus).
+    *
+    * Scale shape: centroid state is O(k·d) and lives on the driver
+    * between iterations (it is the MODEL, not data); each iteration is
+    * one broadcast-join scan (assignment) + one (cluster, dim)-keyed
+    * aggregate (update) — no quadratic stage anywhere. Empty clusters
+    * keep their previous centroid.
+    *
+    * Returns (assignments `(id, cluster, dist2)`, centroids
+    * `(cluster, centroid: array<double>)`). */
+  def kmeans(emb: DataFrame, id: String, k: Int, iters: Int): (DataFrame, DataFrame) = {
+    require(k > 0 && iters >= 0)
+    val spark = emb.sparkSession
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+
+    val vecs = emb.select(col(id), col("embedding"))
+    var centroids: Array[(Long, Array[Double])] =
+      vecs.withColumn("__h", md5(col(id).cast("string")))
+        .orderBy("__h", id).limit(k)
+        .select(col("embedding")).collect()
+        .zipWithIndex
+        .map { case (r, i) =>
+          i.toLong -> r.getSeq[Float](0).map(_.toDouble).toArray
+        }
+
+    def centroidDf: DataFrame = spark.createDataFrame(
+      java.util.Arrays.asList(
+        centroids.map { case (c, v) => Row(c, v.toSeq) }: _*),
+      StructType(Seq(StructField("cluster", LongType),
+        StructField("cv", ArrayType(DoubleType)))))
+
+    // nearest centroid per vector; ||x - c||² = dot(x,x) - 2·dot(x,c) + dot(c,c)
+    def assign(cs: DataFrame): DataFrame = {
+      val byDist = Window.partitionBy(id).orderBy(asc("dist2"), asc("cluster"))
+      vecs.crossJoin(broadcast(cs))
+        .withColumn("dist2",
+          vec.dot(col("embedding"), col("embedding"))
+            - lit(2.0) * vec.dot(col("embedding"), col("cv"))
+            + vec.dot(col("cv"), col("cv")))
+        .withColumn("__rk", row_number().over(byDist))
+        .filter(col("__rk") === 1)
+        .select(col(id), col("cluster"), col("dist2"))
+    }
+
+    for (_ <- 1 to iters) {
+      val means = assign(centroidDf)
+        .join(vecs, id)
+        .select(col("cluster"), posexplode(col("embedding")))
+        .groupBy("cluster", "pos")
+        .agg(avg(col("col").cast("double")).as("m"))
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (c, rows) =>
+          c -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray
+        }
+      centroids = centroids.map { case (c, prev) => c -> means.getOrElse(c, prev) }
+    }
+    (assign(centroidDf), centroidDf)
+  }
+
   /** IVF top-k: probe the query's `nprobe` nearest cells, rank only
     * vectors assigned there — each query touches ~nprobe/ncells of the
     * corpus instead of all of it. */

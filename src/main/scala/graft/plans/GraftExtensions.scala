@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
 import org.apache.spark.sql.types.{ArrayType, StringType}
 
-import graft.functions.{TextHashAggregators, VecDot, VecNorm}
+import graft.functions.{TextHashAggregators, UnicodeNormalize, VecDot, VecNorm}
 
 /** SQL-surface registration for the custom Catalyst expressions, so
   * `spark.sql("SELECT vec_dot(a, b) ...")` works the same as the typed
@@ -58,6 +58,20 @@ object GraftExtensions {
         require(args.length == 1, "simhash_tokens takes 1 argument")
         StaticInvoke(TextHashAggregators.getClass, StringType,
           "simhashArrayData", Seq(args.head), returnNullable = false)
+      }),
+    (FunctionIdentifier("nfc_normalize"),
+      info("nfc_normalize",
+        "nfc_normalize(str) - Unicode NFC canonical normalization (DuckDB-compatible name)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "nfc_normalize takes 1 argument")
+        UnicodeNormalize(args.head, "NFC")
+      }),
+    (FunctionIdentifier("nfkc_normalize"),
+      info("nfkc_normalize",
+        "nfkc_normalize(str) - Unicode NFKC compatibility normalization"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "nfkc_normalize takes 1 argument")
+        UnicodeNormalize(args.head, "NFKC")
       }))
 
   /** Register on a live session (idempotent). */

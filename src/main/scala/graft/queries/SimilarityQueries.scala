@@ -309,5 +309,24 @@ object SimilarityQueries {
                                    CAST(b.embedding AS DOUBLE[])) >= 0.4
       ORDER BY vec_a, vec_b"""))
 
-  def all: Seq[Q] = Seq(q34, q35, q39, q40, q48, q59, q60, q109)
+  /** Lloyd k-means cluster profile (operators.Similarity.kmeans — md5-
+    * seeded, deterministic assignment). No SQL oracle: the mean updates
+    * are distributed float sums whose last-ulp order differs across
+    * engines, so cross-engine hashing would pin noise, not semantics —
+    * SimilaritySpec pins the real contracts (nearest-centroid
+    * assignment, monotone SSE, partition-independence) and the driver
+    * records the rows-only check here. */
+  val q136 = Q(
+    "q136_kmeans",
+    (s, d) => {
+      val (assign, _) = graft.operators.Similarity.kmeans(
+        Tables.embeddings(s, d), "vec_id", k = 8, iters = 3)
+      assign.groupBy("cluster")
+        .agg(count(lit(1)).as("n_vectors"),
+          round(sum("dist2"), 2).as("sse"))
+        .orderBy("cluster")
+    },
+    None)
+
+  def all: Seq[Q] = Seq(q34, q35, q39, q40, q48, q59, q60, q109, q136)
 }

@@ -386,6 +386,35 @@ object TextQueries {
       WHERE n >= 5
       ORDER BY n DESC, w1, w2 LIMIT 50"""))
 
+  /** Unicode NFC canonicalization (graft.functions.UnicodeNormalize — a
+    * codegen'd Catalyst expression; DuckDB's nfc_normalize is the
+    * oracle). The corpus is ASCII, so each text gets a suffix of
+    * DECOMPOSED accents (combining marks, written as \\u escapes so both
+    * engines receive identical codepoints); NFC must compose them —
+    * len_nfc < len_raw — and the md5 of the composed form must agree
+    * byte-for-byte across engines. Canonicalizing before hashing is what
+    * makes dedup robust to visually-identical-but-differently-encoded
+    * text. */
+  val q135 = Q(
+    "q135_unicode_nfc",
+    (s, d) => {
+      val decomposed = concat(col("text"), lit(" café élève"))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          length(decomposed).cast("long").as("len_raw"),
+          length(graft.functions.textnorm.nfc(decomposed)).cast("long").as("len_nfc"),
+          md5(graft.functions.textnorm.nfc(decomposed)).as("fp"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id,
+             CAST(length(decomposed) AS BIGINT) AS len_raw,
+             CAST(length(nfc_normalize(decomposed)) AS BIGINT) AS len_nfc,
+             md5(nfc_normalize(decomposed)) AS fp
+      FROM (SELECT doc_id, text || ' café élève' AS decomposed
+            FROM documents) t
+      ORDER BY doc_id"""))
+
   def all: Seq[Q] =
-    Seq(q28, q29, q30, q31, q32, q33, q41, q43, q44, q52, q53, q54, q132)
+    Seq(q28, q29, q30, q31, q32, q33, q41, q43, q44, q52, q53, q54, q132, q135)
 }

@@ -34,6 +34,25 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkSpec {
       TextHashAggregators.simhashSignature(Seq("alpha", "beta", "alpha")))
   }
 
+  test("nfc/nfkc normalization: composes combining marks, fixed point, null-safe") {
+    GraftExtensions.register(spark)
+    // "cafe" + combining acute; NFKC input adds a compatibility ligature ﬁ (U+FB01)
+    val r = spark.sql(
+      "SELECT nfc_normalize('café') AS c, " +
+        "length(nfc_normalize('café')) AS lc, " +
+        "nfkc_normalize('ﬁle café') AS k, " +
+        "nfc_normalize(CAST(NULL AS STRING)) AS nl").collect().head
+    assert(r.getString(0) == "café")
+    assert(r.getInt(1) == 4) // 5 codepoints composed to 4
+    assert(r.getString(2) == "file café") // ligature expanded + composed
+    assert(r.isNullAt(3))
+    // fixed point: normalizing twice changes nothing
+    val twice = spark.sql(
+      "SELECT nfc_normalize(nfc_normalize('é')) = nfc_normalize('é')")
+      .collect().head.getBoolean(0)
+    assert(twice)
+  }
+
   test("registration is idempotent and arity is enforced") {
     GraftExtensions.register(spark)
     GraftExtensions.register(spark)

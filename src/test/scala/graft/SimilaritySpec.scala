@@ -80,4 +80,47 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert((exact intersect approx).nonEmpty,
       s"zero overlap between exact $exact and IVF $approx")
   }
+
+  test("kmeans: every vector is assigned to its nearest centroid") {
+    val (assign, cents) = Similarity.kmeans(emb, "vec_id", k = 5, iters = 3)
+    val cs = cents.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val vecs = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def d2(x: Array[Double], c: Array[Double]): Double =
+      x.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum
+    val rows = assign.collect()
+    assert(rows.length == vecs.size)
+    rows.foreach { r =>
+      val (id, cl) = (r.getLong(0), r.getLong(1))
+      val best = cs.toSeq.map { case (c, cv) => (d2(vecs(id), cv), c) }.min
+      // assigned distance must equal the true minimum (ties may pick
+      // either centroid id; the distance itself is what argmin pins)
+      assert(math.abs(d2(vecs(id), cs(cl)) - best._1) < 1e-9,
+        s"vector $id assigned to non-nearest centroid $cl")
+    }
+  }
+
+  test("kmeans: within-cluster SSE is non-increasing across iterations") {
+    def sse(iters: Int): Double =
+      Similarity.kmeans(emb, "vec_id", k = 5, iters = iters)._1
+        .agg(org.apache.spark.sql.functions.sum("dist2")).head().getDouble(0)
+    val curve = (0 to 3).map(sse)
+    curve.sliding(2).foreach { case Seq(a, b) =>
+      assert(b <= a + 1e-6, s"SSE increased: $curve")
+    }
+    // and the iterations actually moved the centroids off the raw seeds
+    assert(curve.last < curve.head)
+  }
+
+  test("kmeans: deterministic under repartitioning") {
+    val base = Similarity.kmeans(emb, "vec_id", k = 4, iters = 2)._1
+      .select("vec_id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val shuffled = Similarity.kmeans(
+      emb.repartition(7, col("vec_id")), "vec_id", k = 4, iters = 2)._1
+      .select("vec_id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(base == shuffled)
+  }
 }
