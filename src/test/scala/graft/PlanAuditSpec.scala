@@ -199,6 +199,50 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q124: correlated EXISTS decorrelates to a semi join — no per-row subquery") {
+    val p = plan(run("q124_tpch_q4"))
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the orders date window reaches the scan
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate)"), p)
+  }
+
+  test("q131: EXISTS + NOT EXISTS both decorrelate to semi/anti joins") {
+    val p = plan(run("q131_tpch_q21"))
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the status filter reaches the orders scan
+    assert(p.contains("EqualTo(o_orderstatus,F)"), p)
+  }
+
+  test("q125: dual-role nation dim broadcasts on both sides") {
+    val p = plan(run("q125_tpch_q7"))
+    // nation appears twice (supplier role + customer role): both
+    // occurrences must broadcast — the fact chain never moves for a dim
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q127: both correlated scalar aggregates decorrelate into one lineitem re-agg") {
+    val p = plan(run("q127_tpch_q17"))
+    // count(*) and sum(qty) per partkey merge into a single aggregate
+    // subtree joined back on l_partkey (not two separate passes, and
+    // never a per-row loop)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_count"), p)
+    assert(p.contains("partial_sum"), p)
+  }
+
+  test("q133: pagerank's per-iteration rank vector is broadcast, never shuffled") {
+    val p = plan(run("q133_pagerank"))
+    // three assignment joins + the final left join: every rank-vector
+    // join must be a broadcast (the vector is O(|node domain|)); the
+    // only row-level exchanges belong to the edge derivation window/agg
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("events scan converts nanos without breaking codegen") {
     val p = plan(Tables.events(spark, d).filter(col("event_type") === "click")
       .select("event_id", "ts"))
