@@ -77,6 +77,24 @@ object Stress {
       out.unpersist()
       n
     }
+    // Incremental maintenance: the last replica plays the "newly ingested
+    // shard" against a prebuilt signature/shingle index over the rest.
+    // The claim under test: append cost tracks the BATCH (constant as
+    // the multiplier grows), while the full-recompute rows above track
+    // the whole corpus — the difference is the entire point of keeping
+    // the index.
+    locally {
+      val cut = (mult - 1).toLong * 10000000L
+      val old = docs.filter(col("doc_id") < cut)
+      val fresh = docs.filter(col("doc_id") >= cut)
+      val sigs = Dedup.minHashSignatures(old, "doc_id", "text").localCheckpoint(true)
+      val shs = Dedup.shingleSet(old, "doc_id", "text", 4).localCheckpoint(true)
+      sigs.count(); shs.count() // index build = the amortized one-off, not timed
+      time("incremental_lsh_append") {
+        Dedup.incrementalLshPairs(sigs, shs, fresh, "doc_id", "text").count()
+      }
+    }
+
     time("winnow_containment") {
       val fps = Dedup.winnowingFingerprints(docs, "doc_id", "text")
       fps.select(col("doc_id").as("a"), col("fp"))
@@ -123,6 +141,10 @@ object Stress {
         .select(col("vec_id").as("anchor_id"), col("embedding").as("av"))
       graft.operators.Similarity
         .nearDupPairsBucketed(embs, anchors, "vec_id", threshold = 0.4).count()
+    }
+    time("kmeans") {
+      graft.operators.Similarity.kmeans(embs, "vec_id", k = 8, iters = 3)
+        ._1.groupBy("cluster").count().count()
     }
     embs.unpersist()
 
