@@ -114,4 +114,110 @@ object Layout {
   def pruneableFiles(stats: DataFrame, c: String, lo: Column, hi: Column): DataFrame =
     stats.filter(col(s"max_$c") < lo || col(s"min_$c") > hi ||
       col(s"nulls_$c") === col("n_rows"))
+
+  /** Runtime bloom-filter join pruning, made explicit: build a Bloom
+    * filter over the dimension side's keys once, pre-filter the fact
+    * side map-side (no shuffle), THEN run the exact join — false
+    * positives are eliminated by the join itself, so the result is
+    * byte-identical to `fact ⋈ dim` while only ~|matching| + fpp·|fact|
+    * rows ever reach the join's exchange.
+    *
+    * Spark's AQE injects this automatically for one query when
+    * `runtime.bloomFilter.enabled` fires; the explicit operator is for
+    * the cases AQE can't see: reusing one filter across MANY batch or
+    * micro-batch joins against the same dimension (stream enrichment,
+    * the backfill loop), or pre-filtering before an expensive non-join
+    * stage. The filter object is driver-built from the dim side
+    * (dim-scan cost, constant memory = the sketch) and broadcast. */
+  def bloomPrunedJoin(fact: DataFrame, dim: DataFrame, key: String,
+      expectedItems: Long = 1000000L, fpp: Double = 0.01,
+      joinType: String = "inner"): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, IntegerType, StringType}
+    val bf = dim.stat.bloomFilter(key, expectedItems, fpp)
+    val bc = fact.sparkSession.sparkContext.broadcast(bf)
+    val might = fact.schema(key).dataType match {
+      case LongType | IntegerType =>
+        udf((k: java.lang.Long) => k != null && bc.value.mightContainLong(k))
+          .apply(col(key).cast("long"))
+      case StringType =>
+        udf((k: String) => k != null && bc.value.mightContainString(k))
+          .apply(col(key))
+      case other =>
+        throw new IllegalArgumentException(
+          s"bloomPrunedJoin supports long/int/string keys, got $other")
+    }
+    fact.filter(might).join(dim, Seq(key), joinType)
+  }
+
+  /** Small-file compaction plan: list a parquet directory's data files
+    * and first-fit-decreasing bin-pack them into bins of ≤ `targetBytes`
+    * (any single file over the target gets its own bin and will be left
+    * as-is). Returns one row per file: (bin, file, bytes, n_files_in_bin)
+    * — the maintenance query a table-health dashboard shows, and the
+    * input to [[compact]]. Listing is a driver-side filesystem op: file
+    * COUNT is what the small-files problem is about, and a listing that
+    * overwhelms one JVM means the table needed compaction long ago. */
+  def compactionPlan(spark: org.apache.spark.sql.SparkSession, dir: String,
+      targetBytes: Long): DataFrame = {
+    require(targetBytes > 0)
+    import org.apache.hadoop.fs.Path
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(p).toIndexedSeq
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_")
+        && !s.getPath.getName.startsWith("."))
+      .map(s => (s.getPath.getName, s.getLen))
+      .sortBy { case (name, len) => (-len, name) } // FFD; name-tie for determinism
+    val bins = scala.collection.mutable.ArrayBuffer.empty[(Long, scala.collection.mutable.ArrayBuffer[(String, Long)])]
+    files.foreach { case (name, len) =>
+      bins.find { case (used, _) => used + len <= targetBytes } match {
+        case Some(b) =>
+          val i = bins.indexOf(b)
+          bins(i) = (b._1 + len, b._2 += ((name, len)))
+        case None =>
+          bins += ((len, scala.collection.mutable.ArrayBuffer((name, len))))
+      }
+    }
+    import spark.implicits._
+    bins.zipWithIndex.flatMap { case ((_, fls), bin) =>
+      fls.map { case (name, len) => (bin.toLong, name, len, fls.size.toLong) }
+    }.toSeq.toDF("bin", "file", "bytes", "n_files_in_bin")
+  }
+
+  /** Execute a compaction plan surgically: bins holding one file are
+    * copied through untouched (no decode/re-encode of already-healthy
+    * files); each multi-file bin is read and rewritten as ONE file. Row
+    * content is preserved exactly; file count drops to the bin count.
+    * One small Spark job per rewritten bin — compaction is a maintenance
+    * pass, and per-bin jobs keep peak memory at one bin, not the table. */
+  def compact(spark: org.apache.spark.sql.SparkSession, dir: String,
+      outDir: String, targetBytes: Long): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val plan = compactionPlan(spark, dir, targetBytes)
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new Path(outDir))
+    val groups = plan.collect()
+      .groupBy(_.getLong(0))
+      .toSeq.sortBy(_._1)
+    groups.foreach { case (bin, rows) =>
+      val names = rows.map(_.getString(1)).sorted
+      if (names.length == 1) {
+        org.apache.hadoop.fs.FileUtil.copy(
+          fs, new Path(s"$dir/${names.head}"),
+          fs, new Path(s"$outDir/bin-$bin-${names.head}"),
+          false, spark.sparkContext.hadoopConfiguration)
+      } else {
+        spark.read.parquet(names.map(n => s"$dir/$n"): _*)
+          .coalesce(1)
+          .write.mode("append").parquet(s"$outDir/__bin-$bin")
+        // hoist the single part file up and drop the per-bin dir, so the
+        // output directory is a flat healthy-file layout
+        val part = fs.listStatus(new Path(s"$outDir/__bin-$bin"))
+          .filter(s => s.getPath.getName.startsWith("part-")).head.getPath
+        fs.rename(part, new Path(s"$outDir/bin-$bin-${part.getName}"))
+        fs.delete(new Path(s"$outDir/__bin-$bin"), true)
+      }
+    }
+    plan
+  }
 }

@@ -617,6 +617,35 @@ object ScaleQueries {
                   WHEN pv IS NOT NULL THEN 'ffill' ELSE 'bfill' END AS src
       FROM w ORDER BY day"""))
 
+  /** Bloom-pruned dimension join (operators.Layout.bloomPrunedJoin):
+    * a driver-built Bloom filter over the (sparse) dim keys pre-filters
+    * the fact side map-side before the exact join, so only ~matching
+    * rows reach the exchange — the reusable-runtime-filter pattern for
+    * repeated joins against one dimension. The oracle is the PLAIN
+    * join: the physical rewrite must be semantically invisible (false
+    * positives die in the exact join). */
+  val q137 = Q(
+    "q137_bloom_join",
+    (s, d) => {
+      val fact = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_extendedprice"))
+      val dim = Tables.orders(s, d)
+        .filter(col("o_orderkey") % 100 === 0)
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      graft.operators.Layout
+        .bloomPrunedJoin(fact, dim, "l_orderkey", expectedItems = 100000)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          dbl(sum(dec(col("l_extendedprice")))).as("sum_price"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""
+      SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderkey % 100 = 0
+      GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
   def all: Seq[Q] = Seq(q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
-    q90, q91, q92, q100, q101, q102, q103, q108, q111, q112)
+    q90, q91, q92, q100, q101, q102, q103, q108, q111, q112, q137)
 }

@@ -158,4 +158,58 @@ class LayoutSpec extends AnyFunSuite with SparkSpec {
       r.getAs[String]("name"))).toSeq ==
       Seq((1L, "a", "one"), (1L, "b", "one"), (5L, "c", null)))
   }
+
+  test("bloom-pruned join: byte-identical result, fact side pre-shrunk map-side") {
+    import org.apache.spark.sql.functions._
+    val fact = Tables.lineitem(spark, sf("sf0.001"))
+      .select("l_orderkey", "l_partkey", "l_quantity")
+    // sparse dim: 1% of orders
+    val dim = Tables.orders(spark, sf("sf0.001"))
+      .filter(col("o_orderkey") % 100 === 0)
+      .select(col("o_orderkey").as("l_orderkey"), col("o_totalprice"))
+    val plain = fact.join(dim, Seq("l_orderkey")).collect().toSet
+    val pruned = Layout.bloomPrunedJoin(fact, dim, "l_orderkey",
+      expectedItems = 1000, fpp = 0.01)
+    assert(pruned.collect().toSet === plain)
+    // the bloom prefilter alone must cut the fact side hard (≈1% + fpp)
+    val bf = dim.stat.bloomFilter("l_orderkey", 1000, 0.01)
+    val kept = fact.collect().count(r => bf.mightContainLong(r.getLong(0)))
+    assert(kept < fact.count() / 10, s"bloom kept $kept rows")
+  }
+
+  test("compaction: FFD plan respects the target, compact preserves rows and shrinks file count") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact-in").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-compact-out").toString
+    // many small files + one big one
+    (1 to 6).foreach { i =>
+      spark.range(200).select((col("id") + i * 1000).as("v"))
+        .coalesce(1).write.mode("append").parquet(dir)
+    }
+    spark.range(50000).select(col("id").as("v"))
+      .coalesce(1).write.mode("append").parquet(dir)
+
+    val sizes = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.startsWith("part-")).map(_.length())
+    val big = sizes.max
+    val target = big + 1000 // big file fills its own bin; small ones pack
+
+    val plan = Layout.compact(spark, dir, out, target)
+    val bins = plan.select("bin").distinct().count()
+    assert(bins < sizes.length, "plan must merge the small files")
+    // per-bin byte sums respect the target (single-file bins may exceed)
+    plan.groupBy("bin").agg(sum("bytes").as("b"), count(lit(1)).as("n"))
+      .collect().foreach { r =>
+        assert(r.getLong(1) <= target || r.getLong(2) == 1,
+          s"bin over target: $r")
+      }
+    // content preserved exactly, output file count == bin count
+    val before = spark.read.parquet(dir).groupBy("v").count()
+    val after = spark.read.parquet(out).groupBy("v").count()
+    assert(before.exceptAll(after).isEmpty && after.exceptAll(before).isEmpty)
+    val outFiles = new java.io.File(out).listFiles()
+      .filter(f => f.isFile && f.getName.startsWith("bin-"))
+    assert(outFiles.length.toLong == bins, outFiles.map(_.getName).mkString(","))
+  }
 }

@@ -35,8 +35,14 @@ class QueriesSmokeSpec extends SparkSpec {
     assert(names.distinct.length == names.length,
       s"duplicate query names: ${names.diff(names.distinct).mkString(",")}")
     // the correctness gate is only as wide as its oracle coverage — a
-    // query without oracle SQL silently downgrades to a rows-only check
+    // query without oracle SQL silently downgrades to a rows-only check,
+    // so going oracle-less is an explicit, justified decision, not a
+    // default. Current allowlist: q136_kmeans (distributed float mean
+    // updates aren't cross-engine hashable; SimilaritySpec pins its
+    // real contracts instead).
+    val allowedRowsOnly = Set("q136_kmeans")
     val unoracled = Registry.all.filter(_.oracle.isEmpty).map(_.name)
+      .filterNot(allowedRowsOnly)
     assert(unoracled.isEmpty, s"queries without oracles: ${unoracled.mkString(",")}")
   }
 }
