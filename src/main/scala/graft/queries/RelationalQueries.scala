@@ -1393,6 +1393,144 @@ object RelationalQueries {
                           AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
       GROUP BY s_name ORDER BY numwait DESC, s_name"""))
 
+  /** TPC-H Q2 shape (minimum-cost supplier): correlated MIN subquery
+    * over a shared CTE, re-entered from the WHERE clause — the classic
+    * "join against your own aggregate" decorrelation. (No partsupp
+    * table in this schema: "cost" is the account balance of suppliers
+    * who actually shipped the part, region-gated like the original.)
+    * The min-equality compares the same stored double on both sides —
+    * no arithmetic, so no float sensitivity. */
+  val q138 = Q(
+    "q138_tpch_q2",
+    (s, d) => viaSql(s, d,
+      Seq("part", "lineitem", "supplier", "nation", "region"), """
+      WITH cost AS (
+        SELECT DISTINCT l_partkey AS partkey, s_suppkey, s_name, s_acctbal, n_name
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+             JOIN nation ON s_nationkey = n_nationkey
+             JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE')
+      SELECT p_partkey, p_name, c.s_name, c.n_name, c.s_acctbal
+      FROM part p JOIN cost c ON c.partkey = p.p_partkey
+      WHERE p_size < 10
+        AND c.s_acctbal = (SELECT MIN(c2.s_acctbal) FROM cost c2
+                           WHERE c2.partkey = p.p_partkey)
+      ORDER BY p_partkey, c.s_suppkey"""),
+    Some("""
+      WITH cost AS (
+        SELECT DISTINCT l_partkey AS partkey, s_suppkey, s_name, s_acctbal, n_name
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+             JOIN nation ON s_nationkey = n_nationkey
+             JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE')
+      SELECT p_partkey, p_name, c.s_name, c.n_name, c.s_acctbal
+      FROM part p JOIN cost c ON c.partkey = p.p_partkey
+      WHERE p_size < 10
+        AND c.s_acctbal = (SELECT MIN(c2.s_acctbal) FROM cost c2
+                           WHERE c2.partkey = p.p_partkey)
+      ORDER BY p_partkey, c.s_suppkey"""))
+
+  /** TPC-H Q9 shape (product-type profit by nation and year): LIKE
+    * filter on the part dim, 5-way join, profit = revenue − cost as
+    * pure decimal products (cost proxies retailprice·quantity — the
+    * schema has no partsupp supplycost), grouped on a derived year. */
+  val q139 = Q(
+    "q139_tpch_q9",
+    (s, d) => viaSql(s, d,
+      Seq("part", "lineitem", "orders", "supplier", "nation"), """
+      SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+      FROM (
+        SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+               CAST(l_extendedprice AS DECIMAL(18,2)) *
+                 (1 - CAST(l_discount AS DECIMAL(18,2)))
+               - CAST(p_retailprice AS DECIMAL(18,2)) *
+                 CAST(l_quantity AS DECIMAL(18,2)) AS amount
+        FROM part JOIN lineitem ON p_partkey = l_partkey
+             JOIN supplier ON l_suppkey = s_suppkey
+             JOIN orders ON o_orderkey = l_orderkey
+             JOIN nation ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%bolt%') profit
+      GROUP BY nation, o_year
+      ORDER BY nation, o_year DESC"""),
+    Some("""
+      SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+      FROM (
+        SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+               CAST(l_extendedprice AS DECIMAL(18,2)) *
+                 (1 - CAST(l_discount AS DECIMAL(18,2)))
+               - CAST(p_retailprice AS DECIMAL(18,2)) *
+                 CAST(l_quantity AS DECIMAL(18,2)) AS amount
+        FROM part JOIN lineitem ON p_partkey = l_partkey
+             JOIN supplier ON l_suppkey = s_suppkey
+             JOIN orders ON o_orderkey = l_orderkey
+             JOIN nation ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%bolt%') profit
+      GROUP BY nation, o_year
+      ORDER BY nation, o_year DESC"""))
+
+  /** TPC-H Q11 shape (important stock identification): a grouped CTE
+    * filtered by a scalar-subquery fraction of its OWN total — the
+    * aggregate feeds both the rows and the threshold. (Supply value is
+    * nation-gated lineitem revenue; no partsupp in this schema.) Both
+    * comparison sides are decimal-exact sums cast to double once. */
+  val q140 = Q(
+    "q140_tpch_q11",
+    (s, d) => viaSql(s, d, Seq("lineitem", "supplier", "nation"), """
+      WITH sv AS (
+        SELECT l_partkey AS partkey,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS value
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+             JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_5'
+        GROUP BY l_partkey)
+      SELECT partkey, CAST(value AS DOUBLE) AS value
+      FROM sv
+      WHERE CAST(value AS DOUBLE) >
+            (SELECT CAST(SUM(value) AS DOUBLE) * 0.001 FROM sv)
+      ORDER BY value DESC, partkey"""),
+    Some("""
+      WITH sv AS (
+        SELECT l_partkey AS partkey,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS value
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+             JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_5'
+        GROUP BY l_partkey)
+      SELECT partkey, CAST(value AS DOUBLE) AS value
+      FROM sv
+      WHERE CAST(value AS DOUBLE) >
+            (SELECT CAST(SUM(value) AS DOUBLE) * 0.001 FROM sv)
+      ORDER BY value DESC, partkey"""))
+
+  /** TPC-H Q20 shape (excess inventory): IN against a grouped HAVING
+    * subquery — the semi-join whose right side is itself an aggregate.
+    * ("Excess" = shipped over 30 units of one ECONOMY part in 1997; the
+    * schema has no partsupp availqty.) */
+  val q141 = Q(
+    "q141_tpch_q20",
+    (s, d) => viaSql(s, d, Seq("supplier", "nation", "lineitem", "part"), """
+      SELECT s_suppkey, s_name
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_7'
+        AND s_suppkey IN (
+          SELECT l_suppkey FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE p_type = 'ECONOMY'
+            AND l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
+          GROUP BY l_suppkey, l_partkey
+          HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 30)
+      ORDER BY s_suppkey"""),
+    Some("""
+      SELECT s_suppkey, s_name
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_7'
+        AND s_suppkey IN (
+          SELECT l_suppkey FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE p_type = 'ECONOMY'
+            AND l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
+          GROUP BY l_suppkey, l_partkey
+          HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 30)
+      ORDER BY s_suppkey"""))
+
   /** Correlated scalar subqueries (Catalyst decorrelates both into
     * aggregated joins): orders worth more than twice their customer's
     * average, kept exact by comparing price*count > 2*sum on decimals —
@@ -1421,5 +1559,5 @@ object RelationalQueries {
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q46, q56, q57, q58, q61,
     q63, q64, q65, q66, q67, q68, q69, q70, q104, q105, q106, q107, q110, q116, q117, q122, q123,
-    q124, q125, q126, q127, q128, q129, q130, q131)
+    q124, q125, q126, q127, q128, q129, q130, q131, q138, q139, q140, q141)
 }
