@@ -49,12 +49,17 @@ object Stress {
       .persist()
     println(s"""{"op":"inputs","docs":${docs.count()},"events":${events.count()}}""")
 
-    def time(op: String)(body: => Long): Unit = {
-      val t0 = System.nanoTime()
-      val rows = body
-      val sec = (System.nanoTime() - t0) / 1e9
-      println(f"""{"op":"$op","sec":$sec%.2f,"rows":$rows}""")
-    }
+    // SPARK_GRAFT_STRESS_ONLY=minhash,kmeans (prefix match) narrows a run
+    // for high-multiplier sweeps where the deliberately-quadratic ops
+    // (embed_neardup's anchor dial) would dominate the wall-clock.
+    val only = sys.env.get("SPARK_GRAFT_STRESS_ONLY").map(_.split(",").toSeq)
+    def time(op: String)(body: => Long): Unit =
+      if (only.forall(_.exists(op.startsWith))) {
+        val t0 = System.nanoTime()
+        val rows = body
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"""{"op":"$op","sec":$sec%.2f,"rows":$rows}""")
+      }
 
     // Warm codegen/JIT on a small slice first so the timings measure
     // scaling, not first-execution compilation (see Bench).
