@@ -149,6 +149,44 @@ object Multimodal {
     }
   }
 
+  /** Distinct frame fingerprints per media item: fixed-size payload
+    * chunks digested to md5 — the perceptual-hash-shaped signature set
+    * that media dedup joins on. (The digest is over the frame's hex
+    * encoding so a SQL oracle without blob-md5 support can reproduce it;
+    * the hex detour is byte-lossless.) Narrow until the final distinct,
+    * which shuffles 16-byte digests — never payload bytes. */
+  def frameFingerprints(media: DataFrame, frameBytes: Int = 64,
+      stride: Int = 1): DataFrame =
+    sampleFrames(media, frameBytes, stride)
+      .select(col("media_id"), md5(hex(col("frame_bytes"))).as("fp"))
+      .distinct()
+
+  /** Media near-duplicate pairs by frame-set Jaccard ≥ threshold — the
+    * video/audio analog of document shingle dedup: two items that share
+    * most of their (sampled) frames are versions of the same asset
+    * (re-encode, trim, watermark). Same scale rules as Dedup: the pair
+    * stage joins on fixed-width digests, so the quadratic mass is the
+    * shared-frame mass, not |media|². For corpus-scale use, band the
+    * fingerprints (Dedup.minHashLshPairs over the fp strings) before
+    * pairing; this exact variant is the oracle-checkable baseline. */
+  def nearDupMedia(media: DataFrame, frameBytes: Int = 64, stride: Int = 1,
+      threshold: Double = 0.5): DataFrame = {
+    val fps = frameFingerprints(media, frameBytes, stride)
+      .localCheckpoint(true) // three consumers: sizes + both join sides
+    val sizes = fps.groupBy("media_id").agg(count(lit(1)).as("n"))
+    fps.select(col("media_id").as("media_a"), col("fp"))
+      .join(fps.select(col("media_id").as("media_b"), col("fp")), "fp")
+      .filter(col("media_a") < col("media_b"))
+      .groupBy("media_a", "media_b")
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("media_id").as("media_a"), col("n").as("na")), "media_a")
+      .join(sizes.select(col("media_id").as("media_b"), col("n").as("nb")), "media_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("media_a", "media_b", "jaccard")
+  }
+
   /** Frame sampling: every `stride`-th fixed-size chunk of the payload,
     * exploded to one row per sampled frame (narrow, shuffle-free). */
   def sampleFrames(media: DataFrame, frameBytes: Int = 64, stride: Int = 4): DataFrame = {

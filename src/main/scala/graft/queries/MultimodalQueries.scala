@@ -38,5 +38,41 @@ object MultimodalQueries {
              lower(hex(encode(substr(text, 1, 8)))) AS head_hex
       FROM documents ORDER BY media_id"""))
 
-  def all: Seq[Q] = Seq(q42)
+  /** Media near-dup by frame-set Jaccard (Multimodal.nearDupMedia over
+    * the documents-as-binary table): the video-dedup shape — fixed
+    * 64-byte "frames", md5-of-hex fingerprints (byte-lossless hex
+    * detour because DuckDB's md5 is VARCHAR-only; the oracle slices the
+    * hex STRING at 128-char stride, which is exactly the byte-aligned
+    * frame's hex since DuckDB 1.0 can't slice blobs). Exact set Jaccard.
+    * Near-dup documents share long byte prefixes, so their frame sets
+    * overlap — the planted pairs surface here just like in q36. */
+  val q142 = Q(
+    "q142_media_neardup",
+    (s, d) => {
+      val media = Multimodal.fromDocuments(Tables.documents(s, d))
+        .repartition(s.sparkContext.defaultParallelism, col("media_id"))
+      Multimodal.nearDupMedia(media, frameBytes = 64, stride = 1, threshold = 0.3)
+        .select(col("media_a"), col("media_b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("media_a", "media_b")
+    },
+    Some("""
+      WITH m AS (SELECT doc_id AS media_id, hex(encode(text)) AS h FROM documents),
+      fr AS (SELECT media_id,
+                    md5(substr(h, i * 128 + 1, 128)) AS fp
+             FROM m, LATERAL (SELECT UNNEST(range(0,
+                    CAST(ceil(length(h) / 128.0) AS INT))) AS i) g
+             WHERE length(h) > 0),
+      fps AS (SELECT DISTINCT media_id, fp FROM fr),
+      sizes AS (SELECT media_id, COUNT(*) AS n FROM fps GROUP BY 1),
+      inter AS (SELECT a.media_id AS media_a, b.media_id AS media_b, COUNT(*) AS i
+                FROM fps a JOIN fps b ON a.fp = b.fp AND a.media_id < b.media_id
+                GROUP BY 1, 2)
+      SELECT media_a, media_b,
+             ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS jaccard
+      FROM inter JOIN sizes sa ON media_a = sa.media_id
+                 JOIN sizes sb ON media_b = sb.media_id
+      WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.3
+      ORDER BY media_a, media_b"""))
+
+  def all: Seq[Q] = Seq(q42, q142)
 }

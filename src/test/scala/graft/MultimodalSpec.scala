@@ -77,4 +77,28 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
       .orderBy("frame_no").collect()
     one.foreach(r => assert(r.getAs[Array[Byte]]("frame_bytes").length <= 64))
   }
+
+  test("nearDupMedia: a truncated copy scores by shared-frame fraction; disjoint payloads never pair") {
+    import spark.implicits._
+    // media 1 = 8 frames of 64 bytes; media 2 = the first 6 frames of it
+    // (a trimmed re-upload); media 3 = entirely different bytes
+    def bytes(seed: Int, n: Int): Array[Byte] =
+      Array.tabulate(n)(i => ((i * 31 + seed * 97) % 251).toByte)
+    val rows = Seq(
+      (1L, bytes(1, 512)), (2L, bytes(1, 512).take(384)), (3L, bytes(7, 512)))
+    val m = rows.toDF("media_id", "content")
+      .select(col("media_id"), col("content"),
+        org.apache.spark.sql.functions.struct(
+          lit("bin").as("fmt"),
+          org.apache.spark.sql.functions.length(col("content")).cast("long").as("n_bytes"),
+          lit(null).cast("int").as("width"),
+          lit(null).cast("int").as("height")).as("meta"))
+    val pairs = Multimodal.nearDupMedia(m, frameBytes = 64, stride = 1,
+      threshold = 0.5).collect()
+    assert(pairs.length == 1)
+    val p = pairs.head
+    assert((p.getLong(0), p.getLong(1)) == (1L, 2L))
+    // 6 shared frames of 8 distinct total → jaccard 6/8
+    assert(math.abs(p.getDouble(2) - 0.75) < 1e-9, p.getDouble(2))
+  }
 }
