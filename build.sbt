@@ -26,7 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default: the full bench/verify runs ~140 queries x 3 executions
+  // in one JVM; at 8g the later queries ran up to 15x slower than in
+  // isolation from accumulated GC pressure (the box has 128 GiB).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
   // Throughput collector: this is a batch workload with allocation-heavy
   // inner loops (hash/shingle kernels), where G1's concurrent machinery
   // degrades badly at large heaps (measured 2x total / 8x on the

@@ -26,7 +26,20 @@ object Bench {
     // second run is warm yet is a JIT-scheduling race). The reported
     // number is steady-state per-query latency.
     selected.foreach { case (_, fn) => timeOnce(fn) }
+    // Reclaim cross-query residue before each measured pair: queries that
+    // localCheckpoint internal frames leave blocks in the block manager
+    // until their RDDs are GC'd, and over ~140 queries x 3 executions
+    // that residue inflates LATER queries' times via GC pressure (same
+    // query: 0.3s isolated vs 5.4s late in a full run). The residue is
+    // measurement cross-talk, not part of any query's cost, so dropping
+    // it between queries is what makes the reported number per-query.
+    def reclaim(): Unit = {
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      System.gc() // lets ContextCleaner collect dropped broadcasts too
+    }
     val results = selected.map { case (name, fn) =>
+      reclaim()
       name -> math.min(timeOnce(fn), timeOnce(fn))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
