@@ -1,0 +1,71 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.types.{BinaryType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.sketch.CountMinSketch
+
+/** Point lookup into a serialized Count-Min sketch built by Spark's
+  * `count_min_sketch(col, eps, confidence, seed)` aggregate — the read
+  * half the built-in surface is missing (the aggregate returns opaque
+  * bytes; nothing in `functions._` can probe them).
+  *
+  * `cms_probe(sketch, item)` returns the estimated count of `item`,
+  * with the CMS guarantee: never below the true count, and within
+  * eps * totalCount above it with the sketch's confidence. The
+  * aggregate ingests strings as their UTF-8 bytes, so the probe hashes
+  * the same representation (estimateCount on byte[] — a probe with a
+  * Java String would hash differently and read garbage cells).
+  *
+  * Scale shape: the sketch is a fixed-width mergeable state (the
+  * aggregate's partial states combine by cell-wise add), so heavy-hitter
+  * estimation over a 100 TB stream is one map-side-combined aggregation
+  * producing a KB-sized array, broadcast to whoever probes it. Probes
+  * deserialize once per distinct sketch per partition (ref-cached), not
+  * once per row.
+  *
+  * Off the hot path by design (probe tables are key-sized), so
+  * CodegenFallback instead of a doGenCode — the interpreter overhead is
+  * paid per probed key, not per corpus row.
+  */
+case class CmsProbe(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"cms_probe requires (binary sketch, string item), got (${l.sql}, ${r.sql})")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "cms_probe"
+
+  // same serialized sketch bytes arrive for every probe row (one agg
+  // output, usually broadcast); deserialize once per instance per array
+  @transient private var cachedBytes: Array[Byte] = _
+  @transient private var cachedSketch: CountMinSketch = _
+
+  override protected def nullSafeEval(sk: Any, item: Any): Any = {
+    val bytes = sk.asInstanceOf[Array[Byte]]
+    if (!(bytes eq cachedBytes)) {
+      cachedSketch = CountMinSketch.readFrom(bytes)
+      cachedBytes = bytes
+    }
+    cachedSketch.estimateCount(item.asInstanceOf[UTF8String].getBytes)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CmsProbe =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Column-level entry points for the sketch probes. */
+object sketch {
+  import org.apache.spark.sql.GraftBridge.{column, expression}
+
+  def cmsProbe(sk: Column, item: Column): Column =
+    column(CmsProbe(expression(sk), expression(item)))
+}

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
 import org.apache.spark.sql.types.{ArrayType, StringType}
 
-import graft.functions.{TextHashAggregators, UnicodeNormalize, VecDot, VecNorm}
+import graft.functions.{CmsProbe, TextHashAggregators, UnicodeNormalize, VecDot, VecNorm}
 
 /** SQL-surface registration for the custom Catalyst expressions, so
   * `spark.sql("SELECT vec_dot(a, b) ...")` works the same as the typed
@@ -58,6 +58,13 @@ object GraftExtensions {
         require(args.length == 1, "simhash_tokens takes 1 argument")
         StaticInvoke(TextHashAggregators.getClass, StringType,
           "simhashArrayData", Seq(args.head), returnNullable = false)
+      }),
+    (FunctionIdentifier("cms_probe"),
+      info("cms_probe",
+        "cms_probe(sketch, item) - estimated count of a string item in a count_min_sketch binary"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "cms_probe takes 2 arguments")
+        CmsProbe(args(0), args(1))
       }),
     (FunctionIdentifier("nfc_normalize"),
       info("nfc_normalize",

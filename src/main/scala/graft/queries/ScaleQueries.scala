@@ -646,6 +646,41 @@ object ScaleQueries {
       WHERE o_orderkey % 100 = 0
       GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
 
+  /** Count-Min-sketch heavy hitters over the corpus token stream —
+    * the streaming-safe frequency estimator (mergeable fixed-width
+    * state) next to q46's HLL and q101's t-digest. The sketch is built
+    * by Spark's `count_min_sketch` aggregate (eps 1e-4, confidence
+    * 0.999, seed 42 — deterministic cells for a fixed seed); the top-20
+    * exact tokens are then probed through [[graft.functions.CmsProbe]]
+    * and checked against the CMS contract: estimates never undercount,
+    * and overcount by at most eps * stream length. Engines' sketches
+    * differ, so the bound is the cross-engine contract (q46 pattern);
+    * the exact counts anchor the hash compare. */
+  val q143 = Q(
+    "q143_cms_heavy_hitters",
+    (s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(explode(split(lower(col("text")), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+      val sk = toks.agg(
+        expr("count_min_sketch(tok, CAST(0.0001 AS DOUBLE), CAST(0.999 AS DOUBLE), 42)").as("sk"),
+        count(lit(1)).as("n_stream"))
+      val top = toks.groupBy("tok").agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("tok"))
+        .limit(20)
+      top.crossJoin(broadcast(sk))
+        .withColumn("est", graft.functions.sketch.cmsProbe(col("sk"), col("tok")))
+        .select(col("tok"), col("n_exact"),
+          (col("est") >= col("n_exact")).as("no_undercount"),
+          (col("est") <= col("n_exact") + ceil(col("n_stream") * 0.0001)).as("within_eps"))
+        .orderBy(col("n_exact").desc, col("tok"))
+    },
+    Some("""
+      WITH toks AS (SELECT UNNEST(string_split(lower(text), ' ')) AS tok FROM documents),
+      t AS (SELECT tok, COUNT(*) AS n_exact FROM toks WHERE tok <> '' GROUP BY tok)
+      SELECT tok, n_exact, TRUE AS no_undercount, TRUE AS within_eps
+      FROM t ORDER BY n_exact DESC, tok LIMIT 20"""))
+
   def all: Seq[Q] = Seq(q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
-    q90, q91, q92, q100, q101, q102, q103, q108, q111, q112, q137)
+    q90, q91, q92, q100, q101, q102, q103, q108, q111, q112, q137, q143)
 }

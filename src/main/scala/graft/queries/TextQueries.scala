@@ -415,6 +415,39 @@ object TextQueries {
             FROM documents) t
       ORDER BY doc_id"""))
 
+  /** Zipf-law fit over the corpus vocabulary: regression slope of
+    * ln(freq) on ln(rank) for the top-1000 tokens — the standard
+    * sanity check that a corpus has natural-language token statistics
+    * (clean text ≈ -1; templated/synthetic text drifts off). The rank
+    * window is global but VOCABULARY-sized (the corpus was already
+    * reduced by the frequency aggregate), so the single-partition sort
+    * is bounded at any corpus scale. Rank ties break on the token so
+    * both engines fit the same 1000 points; the slope is one distributed
+    * float fold, rounded to 4dp at the edge. */
+  val q144 = Q(
+    "q144_zipf_slope",
+    (s, d) => {
+      val freq = Tables.documents(s, d)
+        .select(explode(split(lower(col("text")), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy("tok").agg(count(lit(1)).as("n"))
+      freq
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("n").desc, col("tok"))))
+        .filter(col("rank") <= 1000)
+        .agg(count(lit(1)).as("n_points"),
+          round(regr_slope(log(col("n")), log(col("rank"))), 4).as("zipf_slope"))
+    },
+    Some("""
+      WITH toks AS (SELECT UNNEST(string_split(lower(text), ' ')) AS tok FROM documents),
+      f AS (SELECT tok, COUNT(*) AS n FROM toks WHERE tok <> '' GROUP BY tok),
+      r AS (SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS rank FROM f
+            QUALIFY rank <= 1000)
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+             ROUND(regr_slope(ln(n), ln(rank)), 4) AS zipf_slope
+      FROM r"""))
+
   def all: Seq[Q] =
-    Seq(q28, q29, q30, q31, q32, q33, q41, q43, q44, q52, q53, q54, q132, q135)
+    Seq(q28, q29, q30, q31, q32, q33, q41, q43, q44, q52, q53, q54, q132, q135,
+      q144)
 }
