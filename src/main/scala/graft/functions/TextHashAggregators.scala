@@ -7,10 +7,12 @@ import org.apache.spark.sql.{Column, Encoder, Encoders}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions.udaf
-import org.apache.spark.sql.types.{ArrayType, StringType}
+import org.apache.spark.sql.types.{ArrayType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** One-pass typed aggregators for the text-dedup hot paths.
@@ -135,6 +137,47 @@ object TextHashAggregators {
     var i = 0
     while (i < k) { out(i) = UTF8String.fromString(pad20(mins(i))); i += 1 }
     new GenericArrayData(out)
+  }
+
+  /** One-pass fusion of [[minhashArrayData]] and the per-shingle
+    * [[md5Half64]] keys: a single md5 per shingle feeds BOTH the k-min
+    * signature fold and the emitted 64-bit first-half used downstream as
+    * the shingle-set key. The LSH pipeline needs both outputs over the
+    * same corpus scan (signatures → banding; shingle-hash sets →
+    * verification), and computing them separately tokenizes + shingles +
+    * digests the whole corpus twice — the CPU hot spot of every dedup
+    * query. Values are bit-identical to the separate kernels.
+    *
+    * Returns struct(mh: array<string> of k padded min hashes,
+    * hs: array<long> of per-shingle md5 halves, input order, not
+    * distinct — callers dedup after the explode). */
+  def minhashAndHalvesData(shingles: ArrayData, k: Int): InternalRow = {
+    val n = shingles.numElements()
+    val mins = Array.fill[Long](k)(-1L) // unsigned max
+    val hs = new Array[Any](n)
+    val md = digests.get()
+    var idx = 0
+    var any = false
+    while (idx < n) {
+      if (!shingles.isNullAt(idx)) {
+        any = true
+        md.reset()
+        val d = md.digest(shingles.getUTF8String(idx).getBytes)
+        var a = 0L
+        var j = 0
+        while (j < 8) { a = (a << 8) | (d(j) & 0xffL); j += 1 }
+        hs(idx) = a // == md5Half64(shingle)
+        foldDigestInto(mins, d, k)
+      }
+      idx += 1
+    }
+    val mh = new Array[Any](k)
+    if (any) {
+      var i = 0
+      while (i < k) { mh(i) = UTF8String.fromString(pad20(mins(i))); i += 1 }
+    } // else: all-null signature, same as minhashArrayData on empty input
+    new GenericInternalRow(Array[Any](
+      new GenericArrayData(mh), new GenericArrayData(hs)))
   }
 
   /** SimHash over md5(token): 64 bit-vote counters (+1 set / −1 clear per
@@ -295,6 +338,19 @@ object TextHashAggregators {
       TextHashAggregators.getClass,
       ArrayType(StringType),
       "minhashArrayData",
+      Seq(org.apache.spark.sql.GraftBridge.expression(shingleArray), Literal(k)),
+      returnNullable = false))
+
+  /** Fused minhash + shingle-half column: struct(mh array<string>,
+    * hs array<long>) per row — one md5 per shingle for both outputs
+    * (see [[minhashAndHalvesData]]). */
+  def minhashWithHalves(shingleArray: Column, k: Int = 16): Column =
+    org.apache.spark.sql.GraftBridge.column(StaticInvoke(
+      TextHashAggregators.getClass,
+      StructType(Seq(
+        StructField("mh", ArrayType(StringType)),
+        StructField("hs", ArrayType(LongType)))),
+      "minhashAndHalvesData",
       Seq(org.apache.spark.sql.GraftBridge.expression(shingleArray), Literal(k)),
       returnNullable = false))
 

@@ -179,18 +179,29 @@ object Dedup {
   def minHashLshPairs(docs: DataFrame, id: String, text: String,
       n: Int = 4, k: Int = 16, bands: Int = 4,
       threshold: Double = 0.5): DataFrame = {
-    // materialize both shared inputs once: candidates feed a broadcast
-    // and the shingle set feeds THREE consumers (two intersection joins
-    // + the size agg) — AQE builds those subtrees as concurrent
-    // independent stages, so without a hard materialization boundary
-    // each re-runs the tokenize+md5 scan (the CPU hot spot) for itself.
-    // Both frames are collision/corpus-bounded: candidate pairs are
-    // sparse by construction and the shingle set is ~tokens-per-corpus
-    // rows of 8-byte hashes.
-    val cands = lshCandidatePairs(minHashSignatures(docs, id, text, n, k), id, k, bands)
+    // ONE corpus pass feeds both halves of the pipeline: the fused
+    // kernel digests each shingle once and emits the signature (for
+    // banding) and the shingle-hash set (for verification) together —
+    // bit-identical values to the separate kernels, but the
+    // tokenize+shingle+md5 scan (the CPU hot spot) runs once, not
+    // twice. The base is materialized because its two consumers (and
+    // verification's three) run as independent AQE stage jobs; the
+    // checkpointed rows are compact (k×20-char signature + 8 bytes per
+    // shingle — never the raw n-gram text).
+    val base = tokenized(docs, id, text, n)
+      .select(col(id), graft.functions.TextHashAggregators
+        .minhashWithHalves(shingles("toks", n), k).as("__s"))
+      .select(col(id), col("__s.mh").as("mh"), col("__s.hs").as("hs"))
       .localCheckpoint(true)
-    val shingles = shingleSet(docs, id, text, n).localCheckpoint(true)
-    verifiedJaccard(cands, shingles, id, threshold)
+    val cands = lshCandidatePairs(base.select(col(id), col("mh").as("mh")), id, k, bands)
+      .localCheckpoint(true)
+    // distinct AFTER the per-doc explode, same as shingleSet; still
+    // materialized once for verifiedJaccard's three consumers
+    val shingleSets = base.select(col(id), explode(col("hs")).as("sh"))
+      .distinct()
+      .localCheckpoint(true)
+    base.unpersist() // both derivations are materialized; drop the blocks
+    verifiedJaccard(cands, shingleSets, id, threshold)
   }
 
   /** Connected components over a near-duplicate pair graph: every doc
