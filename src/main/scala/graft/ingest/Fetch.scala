@@ -63,6 +63,9 @@ final case class FetchResult(
 
 object Fetch {
 
+  /** Chain-tip probe endpoint (extract.py:509). */
+  def abciInfoUrl(api: String): String = s"$api/abci_info"
+
   /** RPC page URLs (extract.py:150, 169). */
   def txSearchUrl(api: String, start: Long, end: Long, page: Int, perPage: Int): String =
     s"""$api/tx_search?query="tx.height>=$start AND tx.height<=$end"&page=$page&per_page=$perPage&order_by="asc""""

@@ -8,6 +8,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -107,7 +108,7 @@ final class RpcTable(options: Map[String, String]) extends Table with SupportsRe
   override def name(): String = s"tendermint-rpc(${options.getOrElse("url", "?")})"
   override def schema(): StructType = RpcDataSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(caseInsensitive: CaseInsensitiveStringMap): ScanBuilder =
     new RpcScanBuilder(options)
 }
@@ -134,6 +135,93 @@ final class RpcScanBuilder(options: Map[String, String]) extends ScanBuilder wit
       options.getOrElse("kind", "txs"),
       options.getOrElse("perpage", options.getOrElse("perPage", "100")).toInt,
       options.getOrElse("fetcher", classOf[JavaHttpFetcher].getName))
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new RpcMicroBatchStream(options)
+}
+
+/** Stream offset = highest height the stream has planned (inclusive). */
+final case class RpcOffset(height: Long) extends Offset {
+  override def json(): String = height.toString
+}
+
+/** Streaming upgrade of the reference's sync loop (SURVEY §2.9): the
+  * pipeline's "poll tip → extract [last+1, min(tip, last+num_blocks)]"
+  * batch iteration (pipelines/pipeline.py:115-131) becomes a
+  * MicroBatchStream whose offset is the last planned block height —
+  * checkpointed by Structured Streaming, which replaces the reference's
+  * hand-rolled metadata.json watermark with exactly-once offset
+  * tracking:
+  *
+  * {{{
+  * spark.readStream.format("tendermint-rpc")
+  *   .option("url", ...).option("kind", "txs")
+  *   .option("start", 100)            // first height on a fresh checkpoint
+  *   .option("maxBlocksPerBatch", 10000)  // reference num_blocks
+  *   .load()
+  * }}}
+  *
+  * Each micro-batch fans the admitted height window out as one input
+  * partition per `chunk` heights (same reader as the batch path, same
+  * adaptive per-page degrade + quarantine). An empty window (tip not
+  * advanced) yields no batch.
+  */
+final class RpcMicroBatchStream(options: Map[String, String])
+    extends MicroBatchStream with SupportsAdmissionControl {
+  private def opt(key: String): String = options.getOrElse(key,
+    throw new IllegalArgumentException(s"tendermint-rpc: missing option '$key'"))
+
+  private val url = opt("url")
+  private val chunkSize = options.getOrElse("chunk", "1000").toLong
+  private val maxPerBatch = // reference sync batch: num_blocks = 10000
+    options.getOrElse("maxblocksperbatch",
+      options.getOrElse("maxBlocksPerBatch", "10000")).toLong
+  private val fetcherClass = options.getOrElse("fetcher", classOf[JavaHttpFetcher].getName)
+  @transient private lazy val fetcher = RpcDataSource.instantiateFetcher(fetcherClass)
+
+  private def tip(): Long = ChainClient.parseTip(fetcher.fetch(Fetch.abciInfoUrl(url)))
+
+  // "last planned height" before anything is planned = start - 1
+  override def initialOffset(): Offset =
+    RpcOffset(options.getOrElse("start", "1").toLong - 1)
+
+  /** Admission control is where the batch cap belongs: the admitted end
+    * offset is what the engine commits, so capping anywhere later (e.g.
+    * partition planning) would silently skip the un-planned heights.
+    * min(tip, last + maxBlocksPerBatch) — exactly the reference's
+    * `determine_sync_range` arithmetic, with catch-up across batches. */
+  override def latestOffset(startOffset: Offset, limit: ReadLimit): Offset = {
+    val last = startOffset.asInstanceOf[RpcOffset].height
+    RpcOffset(math.min(tip(), last + maxPerBatch))
+  }
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  /** Un-capped tip, for progress reporting. */
+  override def reportLatestOffset(): Offset = RpcOffset(tip())
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called instead of this method")
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val lo = start.asInstanceOf[RpcOffset].height + 1
+    val hi = end.asInstanceOf[RpcOffset].height
+    if (hi < lo) Array.empty
+    else Fetch.chunks(lo, hi, chunkSize)
+      .map(c => RpcInputPartition(c.start, c.end): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new RpcReaderFactory(
+      url,
+      options.getOrElse("kind", "txs"),
+      options.getOrElse("perpage", options.getOrElse("perPage", "100")).toInt,
+      fetcherClass)
+
+  override def deserializeOffset(json: String): Offset = RpcOffset(json.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 final case class RpcInputPartition(start: Long, end: Long) extends InputPartition

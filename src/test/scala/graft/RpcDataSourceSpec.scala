@@ -17,6 +17,18 @@ class FakeRpcFetcher extends RpcFetcher {
   }
 }
 
+/** Fake node with a controllable chain tip (static state: executors in
+  * local mode share the JVM). Pages delegate to [[FakeRpcFetcher]]. */
+class FakeTipRpcFetcher extends RpcFetcher {
+  override def fetch(url: String): String =
+    if (url.contains("abci_info"))
+      s"""{"result":{"response":{"last_block_height":"${FakeTipRpcFetcher.tip.get}"}}}"""
+    else new FakeRpcFetcher().fetch(url)
+}
+object FakeTipRpcFetcher {
+  val tip = new java.util.concurrent.atomic.AtomicLong(50L)
+}
+
 class RpcDataSourceSpec extends AnyFunSuite with SparkSpec {
 
   private def read(start: Long, end: Long, chunk: Long, perPage: Int) =
@@ -96,6 +108,62 @@ class RpcDataSourceSpec extends AnyFunSuite with SparkSpec {
     assert(java.net.URI.create(escapeUrl("http://n/a?q=x#y")).getFragment == null)
     // the escaped form is always a valid URI
     java.net.URI.create(escapeUrl("""http://n/p?q="a b" | {c}^d"""))
+  }
+
+  private def startStream(checkpoint: String, queryName: String) =
+    spark.readStream.format("tendermint-rpc")
+      .option("url", "http://node").option("kind", "txs")
+      .option("start", 1).option("chunk", 10)
+      .option("maxBlocksPerBatch", 20)
+      .option("fetcher", classOf[FakeTipRpcFetcher].getName)
+      .load()
+      .writeStream.format("memory").queryName(queryName)
+      .option("checkpointLocation", checkpoint)
+      .start()
+
+  test("micro-batch stream: tip-capped batches cover each height exactly once") {
+    val ckpt = java.nio.file.Files.createTempDirectory("rpc-stream").toString
+    FakeTipRpcFetcher.tip.set(50L)
+    val q = startStream(ckpt, "rpc_stream")
+    try { q.processAllAvailable() } finally q.stop()
+    val ranges = spark.table("rpc_stream").collect()
+      .map(r => (r.getAs[Long]("start"), r.getAs[Long]("end"))).sorted.toSeq
+    // 50 heights, chunk 10 → 5 single-page chunks, no dup / no gap
+    assert(ranges == Seq((1L, 10L), (11L, 20L), (21L, 30L), (31L, 40L), (41L, 50L)))
+    // admission control capped each batch at 20 blocks → 3 offset commits
+    val offsets = new java.io.File(s"$ckpt/offsets").list().count(!_.startsWith("."))
+    assert(offsets == 3, s"expected 3 capped batches, saw $offsets")
+  }
+
+  test("micro-batch stream: checkpoint restart resumes past the committed tip") {
+    // parquet sink: the memory sink refuses checkpoint recovery, and the
+    // file sink additionally proves exactly-once coverage across restart
+    val ckpt = java.nio.file.Files.createTempDirectory("rpc-stream2").toString
+    val out = java.nio.file.Files.createTempDirectory("rpc-stream2-out").toString
+    def run(): Unit = {
+      val q = spark.readStream.format("tendermint-rpc")
+        .option("url", "http://node").option("kind", "txs")
+        .option("start", 1).option("chunk", 10)
+        .option("maxBlocksPerBatch", 20)
+        .option("fetcher", classOf[FakeTipRpcFetcher].getName)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    FakeTipRpcFetcher.tip.set(30L)
+    run()
+    assert(spark.read.parquet(out).count() == 3) // heights 1-30
+
+    FakeTipRpcFetcher.tip.set(70L) // chain advanced while we were down
+    run()
+    // offset came back from the checkpoint, not from "start": heights
+    // 1-70 covered exactly once across both runs, no re-fetch, no gap
+    val ranges = spark.read.parquet(out).collect()
+      .map(r => (r.getAs[Long]("start"), r.getAs[Long]("end"))).sorted.toSeq
+    assert(ranges == (0 until 7).map(i => (i * 10L + 1, i * 10L + 10)))
   }
 
   test("missing required option fails fast") {
