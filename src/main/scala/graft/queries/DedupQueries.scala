@@ -419,5 +419,97 @@ object DedupQueries {
              CAST(MAX(n_chars) AS BIGINT) AS rep_chars
       FROM ranked GROUP BY cluster ORDER BY cluster"""))
 
-  def all: Seq[Q] = Seq(q36, q37, q38, q45, q47, q51, q55, q134)
+  /** Near-dup pair rate BY SOURCE pair — the curation-analytics view a
+    * data team actually reads: which source combinations generate the
+    * duplicate mass (mirror sites, cross-posted content). Reuses the
+    * verified q36 pair graph, joins doc metadata onto both endpoints,
+    * normalizes the source pair alphabetically, and counts. The join is
+    * pair-bounded (collision-sized), never corpus². */
+  val q145 = Q(
+    "q145_neardup_by_source",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      val pairs = graft.operators.Dedup
+        .minHashLshPairs(docs, "doc_id", "text",
+          n = ShingleN, k = K, bands = Bands, threshold = 0.5)
+      val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      pairs
+        .join(src.select(col("doc_id").as("id_a"), col("source").as("__sa")), "id_a")
+        .join(src.select(col("doc_id").as("id_b"), col("source").as("__sb")), "id_b")
+        .groupBy(least(col("__sa"), col("__sb")).as("source_x"),
+          greatest(col("__sa"), col("__sb")).as("source_y"))
+        .agg(count(lit(1)).as("n_pairs"),
+          round(avg("jaccard"), 4).as("avg_jaccard"))
+        .orderBy("source_x", "source_y")
+    },
+    Some(s"""
+      WITH ${nearDupCtes("documents")},
+      verified AS (SELECT i.da, i.db,
+                          CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter) AS jaccard
+                   FROM inter i
+                   JOIN sizes sa ON i.da = sa.doc_id
+                   JOIN sizes sb ON i.db = sb.doc_id
+                   WHERE CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter) >= 0.5)
+      SELECT LEAST(da_s.source, db_s.source) AS source_x,
+             GREATEST(da_s.source, db_s.source) AS source_y,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             ROUND(AVG(v.jaccard), 4) AS avg_jaccard
+      FROM verified v
+      JOIN documents da_s ON da_s.doc_id = v.da
+      JOIN documents db_s ON db_s.doc_id = v.db
+      GROUP BY 1, 2 ORDER BY source_x, source_y"""))
+
+  /** Paragraph-level near-dedup: split documents into 20-token chunks,
+    * run the SAME MinHash+LSH pipeline over chunks (chunk id =
+    * doc_id·100000 + chunk_idx), keep cross-document chunk pairs ≥ 0.7,
+    * and report per document pair the count of near-dup chunks and the
+    * strongest match. Catches partial-copy/boilerplate overlap that
+    * whole-document Jaccard dilutes below its threshold — the
+    * sub-document analog of q36, and the fuzzy counterpart of q77's
+    * exact chunk dedup. The oracle mirrors the ENTIRE chunk+LSH chain
+    * (nearDupCtes over the chunk relation), so candidate recall is
+    * engine-identical by construction. */
+  val q146 = Q(
+    "q146_chunk_neardup",
+    (s, d) => {
+      val c = 20 // chunk width in tokens
+      val chunks = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"), split(col("text"), " ").as("__toks"))
+        .select(col("doc_id"), posexplode(expr(
+          s"transform(sequence(0, (size(__toks) - 1) div $c), i -> array_join(slice(__toks, i * $c + 1, $c), ' '))")))
+        .select((col("doc_id") * 100000L + col("pos")).as("cid"),
+          col("col").as("text"))
+      val pairs = graft.operators.Dedup
+        .minHashLshPairs(chunks, "cid", "text",
+          n = ShingleN, k = K, bands = Bands, threshold = 0.7)
+        .withColumn("doc_a", (col("id_a") / 100000L).cast("long"))
+        .withColumn("doc_b", (col("id_b") / 100000L).cast("long"))
+        .filter(col("doc_a") =!= col("doc_b"))
+      pairs.groupBy("doc_a", "doc_b")
+        .agg(count(lit(1)).as("n_chunk_pairs"),
+          round(max("jaccard"), 4).as("max_jaccard"))
+        .orderBy("doc_a", "doc_b")
+    },
+    Some(s"""
+      WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS toks0 FROM documents),
+      chunks AS (SELECT doc_id * 100000 + i AS doc_id,
+                        array_to_string(toks0[i*20+1:i*20+20], ' ') AS text
+                 FROM t0, LATERAL (SELECT UNNEST(range(0, ((len(toks0)-1) // 20) + 1)) AS i) g),
+      ${nearDupCtes("chunks")},
+      verified AS (SELECT i.da, i.db,
+                          CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter) AS jaccard
+                   FROM inter i
+                   JOIN sizes sa ON i.da = sa.doc_id
+                   JOIN sizes sb ON i.db = sb.doc_id
+                   WHERE CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter) >= 0.7)
+      SELECT da // 100000 AS doc_a, db // 100000 AS doc_b,
+             CAST(COUNT(*) AS BIGINT) AS n_chunk_pairs,
+             ROUND(MAX(jaccard), 4) AS max_jaccard
+      FROM verified
+      WHERE da // 100000 <> db // 100000
+      GROUP BY 1, 2 ORDER BY doc_a, doc_b"""))
+
+  def all: Seq[Q] = Seq(q36, q37, q38, q45, q47, q51, q55, q134, q145, q146)
 }
