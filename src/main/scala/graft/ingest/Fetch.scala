@@ -127,9 +127,9 @@ object Fetch {
     * the fetched prefix (the recomputed page re-covers earlier items)
     * and can terminate early, silently dropping the chunk tail. When a
     * mid-chunk degrade lands the recomputed page before the fetched
-    * prefix, the overlap re-emits those items into the raw zone
-    * (page-numbered APIs offer no offset recovery); coverage stays
-    * complete and downstream parse dedup absorbs the repeats.
+    * prefix, the overlap re-emits those items (page-numbered APIs offer
+    * no offset recovery); coverage stays complete and the raw-zone sink
+    * (Pipeline.writeRaw) dedups items structurally before landing them.
     *
     * `fetch` is executed executor-side; `countOf` extracts total_count
     * from a page-1 probe. Retries on transient errors are the fetcher's

@@ -91,12 +91,16 @@ final class Pipeline(
       results: Array[graft.ingest.FetchResult]): String = {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
+    // distinct absorbs the page-overlap duplicates a mid-chunk per-page
+    // degrade can emit (Fetch.fetchChunk: a recomputed page may re-cover
+    // already-fetched items when the halved per_page no longer divides
+    // the fetched prefix). Structural JValue equality, keep-first order.
     val items = results.flatMap(_.body).flatMap { b =>
       (JsonMethods.parse(b) \ "result" \ kind) match {
         case JArray(vs) => vs
         case _          => Nil
       }
-    }
+    }.distinct
     // quarantined pages → error-height ledger for the gap-fill planner
     val failed = results.filter(_.quarantined)
     if (failed.nonEmpty)

@@ -52,6 +52,31 @@ object FakeNodeFetcher extends graft.sources.RpcFetcher {
 
 class PipelineSpec extends AnyFunSuite with SparkSpec {
 
+  test("degrade-overlap duplicates never reach the raw zone") {
+    // per_page 5, total 7, page 2@5 oversized → degrade to 2 → the
+    // recomputed page 3@2 re-covers item 5 (5 not divisible by 2): the
+    // fetch layer re-emits height 5, the raw sink must land it once
+    val dir = Files.createTempDirectory("graft-dedup-raw").toString
+    val pageRe = "page=(\\d+)&per_page=(\\d+)".r.unanchored
+    val fetch: String => String = { url =>
+      val m = pageRe.findFirstMatchIn(url).get
+      val (page, pp) = (m.group(1).toInt, m.group(2).toInt)
+      if (pp == 5 && page == 2) sys.error("oversized response")
+      val hs = ((page - 1) * pp + 1) to math.min(7, page * pp)
+      val blocks = hs.map(h =>
+        s"""{"block":{"header":{"height":"$h","chain_id":"e2e-1"}}}""")
+      s"""{"result":{"total_count":"7","blocks":[${blocks.mkString(",")}]}}"""
+    }
+    val p = new Pipeline(spark, dir, fetch, perPage = 5)
+    val path = p.extractRange("blocks", 1, 7)
+    val heights = org.json4s.jackson.JsonMethods.parse(Files.readString(Paths.get(path))) match {
+      case org.json4s.JArray(vs) => vs.map(v =>
+        (v \ "block" \ "header" \ "height").asInstanceOf[org.json4s.JString].s.toLong)
+      case other => fail(s"raw file is not an array: $other")
+    }
+    assert(heights == (1L to 7L), s"raw items not unique/ordered: $heights")
+  }
+
   test("PipelineMain arg/env contract mirrors the reference CLI") {
     import graft.pipeline.PipelineMain
     val env = Map("API_URL" -> "http://n", "NETWORK" -> "akash", "PER_PAGE" -> "50")
