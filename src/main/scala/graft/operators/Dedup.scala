@@ -118,11 +118,16 @@ object Dedup {
       newDocs: DataFrame, id: String, text: String,
       n: Int = 4, k: Int = 16, bands: Int = 4,
       threshold: Double = 0.5): DataFrame = {
-    // materialize the new batch's signatures/shingles once — each feeds
-    // two consumers (bucket join + verification) and the signature UDF
-    // is the CPU hot spot
-    val newBand = bandedSignatures(
-      minHashSignatures(newDocs, id, text, n, k), id, k, bands)
+    // ONE batch scan feeds signatures AND shingle hashes (same fusion
+    // as minHashLshPairs — the kernel digests each shingle once); both
+    // derivations are materialized because each feeds two consumers
+    // (bucket join + verification) and the scan is the CPU hot spot
+    val newBase = tokenized(newDocs, id, text, n)
+      .select(col(id), graft.functions.TextHashAggregators
+        .minhashWithHalves(shingles("toks", n), k).as("__s"))
+      .select(col(id), col("__s.mh").as("mh"), col("__s.hs").as("hs"))
+      .localCheckpoint(true)
+    val newBand = bandedSignatures(newBase.select(col(id), col("mh")), id, k, bands)
       .localCheckpoint(true)
     // probe side = new batch only; build side = stored index ∪ new
     // batch. Old↔old bucket collisions never form because the probe
@@ -136,8 +141,10 @@ object Dedup {
         greatest(col("__na"), col("__nb")).as("id_b"))
       .distinct()
       .localCheckpoint(true)
-    val allShingles = oldShingles.union(shingleSet(newDocs, id, text, n))
+    val allShingles = oldShingles
+      .union(newBase.select(col(id), explode(col("hs")).as("sh")).distinct())
       .localCheckpoint(true)
+    newBase.unpersist() // both derivations materialized; blocks are dead
     verifiedJaccard(cands, allShingles, id, threshold)
   }
 

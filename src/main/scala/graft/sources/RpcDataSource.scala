@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -167,7 +167,8 @@ final case class RpcOffset(height: Long) extends Offset {
   * advanced) yields no batch.
   */
 final class RpcMicroBatchStream(options: Map[String, String])
-    extends MicroBatchStream with SupportsAdmissionControl {
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
   private def opt(key: String): String = options.getOrElse(key,
     throw new IllegalArgumentException(s"tendermint-rpc: missing option '$key'"))
 
@@ -181,6 +182,13 @@ final class RpcMicroBatchStream(options: Map[String, String])
 
   private def tip(): Long = ChainClient.parseTip(fetcher.fetch(Fetch.abciInfoUrl(url)))
 
+  // Trigger.AvailableNow: pin the tip once at query start; the engine
+  // then drains [last, pinnedTip] in maxBlocksPerBatch-capped batches
+  // and stops — the reference's one-shot `make pipeline` sync, with
+  // streaming's checkpointed exactly-once bookkeeping.
+  @volatile private var pinnedTip: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit = pinnedTip = Some(tip())
+
   // "last planned height" before anything is planned = start - 1
   override def initialOffset(): Offset =
     RpcOffset(options.getOrElse("start", "1").toLong - 1)
@@ -192,7 +200,7 @@ final class RpcMicroBatchStream(options: Map[String, String])
     * `determine_sync_range` arithmetic, with catch-up across batches. */
   override def latestOffset(startOffset: Offset, limit: ReadLimit): Offset = {
     val last = startOffset.asInstanceOf[RpcOffset].height
-    RpcOffset(math.min(tip(), last + maxPerBatch))
+    RpcOffset(math.min(pinnedTip.getOrElse(tip()), last + maxPerBatch))
   }
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()

@@ -135,6 +135,26 @@ class RpcDataSourceSpec extends AnyFunSuite with SparkSpec {
     assert(offsets == 3, s"expected 3 capped batches, saw $offsets")
   }
 
+  test("Trigger.AvailableNow drains to the pinned tip in capped batches, then stops") {
+    val ckpt = java.nio.file.Files.createTempDirectory("rpc-avnow").toString
+    FakeTipRpcFetcher.tip.set(50L)
+    val q = spark.readStream.format("tendermint-rpc")
+      .option("url", "http://node").option("kind", "txs")
+      .option("start", 1).option("chunk", 10)
+      .option("maxBlocksPerBatch", 20)
+      .option("fetcher", classOf[FakeTipRpcFetcher].getName)
+      .load()
+      .writeStream.format("memory").queryName("rpc_avnow")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    // AvailableNow terminates on its own once the pinned tip is reached
+    assert(q.awaitTermination(60000), "AvailableNow query did not self-terminate")
+    val ranges = spark.table("rpc_avnow").collect()
+      .map(r => (r.getAs[Long]("start"), r.getAs[Long]("end"))).sorted.toSeq
+    assert(ranges == Seq((1L, 10L), (11L, 20L), (21L, 30L), (31L, 40L), (41L, 50L)))
+  }
+
   test("micro-batch stream: checkpoint restart resumes past the committed tip") {
     // parquet sink: the memory sink refuses checkpoint recovery, and the
     // file sink additionally proves exactly-once coverage across restart
