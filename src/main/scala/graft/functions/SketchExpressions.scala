@@ -44,13 +44,17 @@ case class CmsProbe(left: Expression, right: Expression)
   override def prettyName: String = "cms_probe"
 
   // same serialized sketch bytes arrive for every probe row (one agg
-  // output, usually broadcast); deserialize once per instance per array
+  // output, usually broadcast), but each row's UnsafeRow.getBinary is a
+  // FRESH copy — reference equality never hits, so the cache key is the
+  // content. Arrays.equals on a hit is a linear memcmp (~KBs-MBs), still
+  // orders of magnitude cheaper than re-deserializing the sketch's cell
+  // matrix per row; a miss (different sketch) pays one deserialize.
   @transient private var cachedBytes: Array[Byte] = _
   @transient private var cachedSketch: CountMinSketch = _
 
   override protected def nullSafeEval(sk: Any, item: Any): Any = {
     val bytes = sk.asInstanceOf[Array[Byte]]
-    if (!(bytes eq cachedBytes)) {
+    if (cachedBytes == null || !java.util.Arrays.equals(bytes, cachedBytes)) {
       cachedSketch = CountMinSketch.readFrom(bytes)
       cachedBytes = bytes
     }

@@ -17,6 +17,19 @@ import graft.functions.TextHashAggregators
   */
 object Dedup {
 
+  /** Release a localCheckpoint'ed frame's storage for real:
+    * `Dataset.unpersist` only talks to the CacheManager, which never saw
+    * the checkpoint — the persisted RDD lives inside the plan's
+    * LogicalRDD leaf, so unpersist that RDD directly. Without this the
+    * corpus-sized signature/shingle blocks linger until GC collects the
+    * RDD, piling up across repeated pipeline calls. No-op on plans
+    * without a LogicalRDD. */
+  private[operators] def freeLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd.unpersist(false)
+      case _ => ()
+    }
+
   /** word n-gram shingles of a token array column (by name), joined by
     * spaces. */
   def shingles(toksCol: String, n: Int): Column =
@@ -144,7 +157,7 @@ object Dedup {
     val allShingles = oldShingles
       .union(newBase.select(col(id), explode(col("hs")).as("sh")).distinct())
       .localCheckpoint(true)
-    newBase.unpersist() // both derivations materialized; blocks are dead
+    freeLocalCheckpoint(newBase) // both derivations materialized
     verifiedJaccard(cands, allShingles, id, threshold)
   }
 
@@ -207,7 +220,7 @@ object Dedup {
     val shingleSets = base.select(col(id), explode(col("hs")).as("sh"))
       .distinct()
       .localCheckpoint(true)
-    base.unpersist() // both derivations are materialized; drop the blocks
+    freeLocalCheckpoint(base) // both derivations are materialized
     verifiedJaccard(cands, shingleSets, id, threshold)
   }
 
@@ -251,7 +264,7 @@ object Dedup {
       import spark.implicits._
       val es = p.select(col("id_a").cast("long"), col("id_b").cast("long"))
         .as[(Long, Long)].collect()
-      p.unpersist()
+      freeLocalCheckpoint(p)
       val parent = scala.collection.mutable.Map.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x
@@ -275,7 +288,7 @@ object Dedup {
       .union(p.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
       .localCheckpoint(true)
-    p.unpersist() // edges is materialized; p's blocks are dead weight now
+    freeLocalCheckpoint(p) // edges is materialized; p's blocks are dead weight
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster", col("id"))
       .localCheckpoint(true)
@@ -295,11 +308,11 @@ object Dedup {
           least(col("cluster"), coalesce(col("ncluster"), col("cluster"))).as("cluster"))
         .localCheckpoint(true)
       converged = step.filter(col("cluster") =!= col("__prev")).isEmpty
-      labels.unpersist() // release the superseded checkpoint's blocks
+      freeLocalCheckpoint(labels) // release the superseded checkpoint's blocks
       labels = step.drop("__prev")
       i += 1
     }
-    edges.unpersist()
+    freeLocalCheckpoint(edges)
     // silent truncation would mean silently-wrong dedup (a doc labeled a
     // local min keeps itself and survives as a duplicate) — fail instead
     if (!converged)

@@ -2,7 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.SparkSession
 
-import graft.ingest.ChainClient
+import graft.ingest.{ChainClient, Fetch}
 import graft.models.Model
 import graft.sources.JavaHttpFetcher
 
@@ -48,7 +48,7 @@ object PipelineMain {
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     val fetcher = new JavaHttpFetcher
-    val tip = ChainClient.parseTip(fetcher.fetch(s"${cfg.apiUrl}/abci_info"))
+    val tip = ChainClient.parseTip(fetcher.fetch(Fetch.abciInfoUrl(cfg.apiUrl)))
     val floor = ChainClient.parseChainFloor(
       fetcher.fetch(s"${cfg.apiUrl}/block?height=1"))
     val pipe = new Pipeline(spark, cfg.dir, fetcher.fetch, cfg.apiUrl, cfg.perPage)

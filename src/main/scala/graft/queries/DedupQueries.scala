@@ -462,7 +462,9 @@ object DedupQueries {
 
   /** Paragraph-level near-dedup: split documents into 20-token chunks,
     * run the SAME MinHash+LSH pipeline over chunks (chunk id =
-    * doc_id·100000 + chunk_idx), keep cross-document chunk pairs ≥ 0.7,
+    * doc_id·10^9 + chunk_idx — 10^9 bounds docs at 20B tokens before a
+    * collision, vs ~2M for a 100k multiplier), keep cross-document
+    * chunk pairs ≥ 0.7,
     * and report per document pair the count of near-dup chunks and the
     * strongest match. Catches partial-copy/boilerplate overlap that
     * whole-document Jaccard dilutes below its threshold — the
@@ -479,13 +481,13 @@ object DedupQueries {
         .select(col("doc_id"), split(col("text"), " ").as("__toks"))
         .select(col("doc_id"), posexplode(expr(
           s"transform(sequence(0, (size(__toks) - 1) div $c), i -> array_join(slice(__toks, i * $c + 1, $c), ' '))")))
-        .select((col("doc_id") * 100000L + col("pos")).as("cid"),
+        .select((col("doc_id") * 1000000000L + col("pos")).as("cid"),
           col("col").as("text"))
       val pairs = graft.operators.Dedup
         .minHashLshPairs(chunks, "cid", "text",
           n = ShingleN, k = K, bands = Bands, threshold = 0.7)
-        .withColumn("doc_a", (col("id_a") / 100000L).cast("long"))
-        .withColumn("doc_b", (col("id_b") / 100000L).cast("long"))
+        .withColumn("doc_a", floor(col("id_a") / 1000000000L).cast("long"))
+        .withColumn("doc_b", floor(col("id_b") / 1000000000L).cast("long"))
         .filter(col("doc_a") =!= col("doc_b"))
       pairs.groupBy("doc_a", "doc_b")
         .agg(count(lit(1)).as("n_chunk_pairs"),
@@ -494,7 +496,7 @@ object DedupQueries {
     },
     Some(s"""
       WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS toks0 FROM documents),
-      chunks AS (SELECT doc_id * 100000 + i AS doc_id,
+      chunks AS (SELECT doc_id * 1000000000 + i AS doc_id,
                         array_to_string(toks0[i*20+1:i*20+20], ' ') AS text
                  FROM t0, LATERAL (SELECT UNNEST(range(0, ((len(toks0)-1) // 20) + 1)) AS i) g),
       ${nearDupCtes("chunks")},
@@ -504,11 +506,11 @@ object DedupQueries {
                    JOIN sizes sa ON i.da = sa.doc_id
                    JOIN sizes sb ON i.db = sb.doc_id
                    WHERE CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter) >= 0.7)
-      SELECT da // 100000 AS doc_a, db // 100000 AS doc_b,
+      SELECT da // 1000000000 AS doc_a, db // 1000000000 AS doc_b,
              CAST(COUNT(*) AS BIGINT) AS n_chunk_pairs,
              ROUND(MAX(jaccard), 4) AS max_jaccard
       FROM verified
-      WHERE da // 100000 <> db // 100000
+      WHERE da // 1000000000 <> db // 1000000000
       GROUP BY 1, 2 ORDER BY doc_a, doc_b"""))
 
   def all: Seq[Q] = Seq(q36, q37, q38, q45, q47, q51, q55, q134, q145, q146)

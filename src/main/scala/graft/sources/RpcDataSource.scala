@@ -119,8 +119,12 @@ final class RpcScanBuilder(options: Map[String, String]) extends ScanBuilder wit
 
   override def build(): Scan = this
   override def readSchema(): StructType = RpcDataSource.schema
+  // must not throw: streaming reads have no "end" option, and the
+  // engine renders description() in explain/UI/event-log for every
+  // micro-batch plan
   override def description(): String =
-    s"tendermint-rpc scan heights [${opt("start")}, ${opt("end")}]"
+    s"tendermint-rpc scan heights [${options.getOrElse("start", "1")}, " +
+      s"${options.getOrElse("end", "unbounded")}]"
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] = {
@@ -200,7 +204,12 @@ final class RpcMicroBatchStream(options: Map[String, String])
     * `determine_sync_range` arithmetic, with catch-up across batches. */
   override def latestOffset(startOffset: Offset, limit: ReadLimit): Offset = {
     val last = startOffset.asInstanceOf[RpcOffset].height
-    RpcOffset(math.min(pinnedTip.getOrElse(tip()), last + maxPerBatch))
+    // never below `last`: a lagging node behind a load balancer (or a
+    // rolled-back chain) can answer with a tip BELOW the committed
+    // offset; writing that regressed offset to the log would make the
+    // next advance re-plan already-fetched heights — duplicates in the
+    // sink. Hold position until the tip catches up instead.
+    RpcOffset(math.max(last, math.min(pinnedTip.getOrElse(tip()), last + maxPerBatch)))
   }
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()

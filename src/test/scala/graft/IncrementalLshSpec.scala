@@ -15,6 +15,23 @@ class IncrementalLshSpec extends SparkSpec {
     df.select(col("id_a").cast("long"), col("id_b").cast("long"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
 
+  test("intermediate checkpoint blocks are freed, not leaked across calls") {
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    def persisted(): Int = spark.sparkContext.getPersistentRDDs.size
+    Dedup.minHashLshPairs(docs, "doc_id", "text").count()
+    System.gc() // let ContextCleaner drop RDDs whose frames died with the call
+    Thread.sleep(200)
+    val after1 = persisted()
+    (1 to 3).foreach(_ => Dedup.minHashLshPairs(docs, "doc_id", "text").count())
+    System.gc()
+    Thread.sleep(200)
+    // without freeLocalCheckpoint each call leaks its base/cands/shingle
+    // checkpoints (+3 per call); with it (and GC for the result-reachable
+    // ones) the persisted set must not grow run-over-run
+    assert(persisted() <= after1 + 2,
+      s"checkpoint blocks accumulate: $after1 -> ${persisted()}")
+  }
+
   test("incremental batch == full recompute minus prior pairs (real corpus)") {
     val docs = Tables.documents(spark, sf("sf0.001"))
     val oldDocs = docs.filter(col("doc_id") % 3 =!= 0)

@@ -65,7 +65,6 @@ def main():
             bench = json.loads(line)
     bench_q = (bench or {}).get("queries", {})
 
-    total_d = sum(v for v in times.values() if v == v)
     print(f"{'query':34s} {'duckdb':>8s} {'spark':>8s} {'ratio':>7s}")
     rows = []
     for name, td in sorted(times.items()):
@@ -74,16 +73,21 @@ def main():
         rows.append((name, td, ts, ratio))
         print(f"{name:34s} {td:8.3f} " +
               (f"{ts:8.3f} {ratio:7.2f}" if ratio is not None else f"{'-':>8s} {'-':>7s}"))
-    print(f"{'TOTAL (oracle-covered)':34s} {total_d:8.2f}", end="")
     if bench_q:
-        total_s = sum(ts for _, td, ts, _ in rows if ts is not None and td == td)
+        # totals over MATCHED queries only — a narrowed bench JSON must
+        # not deflate the ratio by comparing a subset sum to the full sum
+        matched = [(td, ts) for _, td, ts, _ in rows if ts is not None and td == td]
+        total_d = sum(td for td, _ in matched)
+        total_s = sum(ts for _, ts in matched)
+        print(f"{'TOTAL (%d matched)' % len(matched):34s} {total_d:8.2f}", end="")
         print(f" {total_s:8.2f} {total_s/total_d:7.2f}")
         slower = [(n, r) for n, _, _, r in rows if r is not None and r > 2.0]
         print(f"\n{len(slower)} queries >2x slower than DuckDB:")
         for n, r in sorted(slower, key=lambda x: -x[1])[:20]:
             print(f"  {n}: {r:.1f}x")
     else:
-        print()
+        total_d = sum(v for v in times.values() if v == v)
+        print(f"{'TOTAL (duckdb only)':34s} {total_d:8.2f}")
 
 if __name__ == "__main__":
     main()
