@@ -65,6 +65,26 @@ object EventStream {
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
         col("event_type"), col("n"), col("total_value"))
 
+  /** Declarative gap-sessionization via the built-in `session_window`
+    * aggregate — the Catalyst-native counterpart to [[sessionize]]'s
+    * flatMapGroupsWithState: sessions merge as late-but-in-watermark
+    * events arrive, close when the watermark passes end + gap, and the
+    * whole thing stays inside the streaming aggregation operator (no
+    * user state code, mergeable session state, AQE-compatible batch
+    * execution on the same frame). Prefer this when the per-session
+    * output is aggregate-shaped; drop to [[sessionize]] only for
+    * custom emission logic (e.g. mid-session triggers). */
+  def sessionWindowStats(events: DataFrame, gap: String = "30 minutes",
+      lateness: String = "0 seconds"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(col("session_window.end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        col("n_events"), col("total_value"))
+
   /** Streaming exact dedup: drop re-deliveries of the same (id, ts)
     * across micro-batches. The watermark bounds the dedup state — ids
     * older than the lateness horizon are evicted, which is what lets a

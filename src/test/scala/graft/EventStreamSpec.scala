@@ -65,6 +65,34 @@ class EventStreamSpec extends AnyFunSuite with SparkSpec {
     assert(!emitted.contains("2024-01-01 03:00:00")) // still open
   }
 
+  test("session_window aggregate matches the stateful sessionizer's splits") {
+    val (in, chk) = newDirs()
+    drop(in, "a.json",
+      ev(1, "2024-01-01T00:00:00Z", 7, "click", 1.0),
+      ev(2, "2024-01-01T00:10:00Z", 7, "view", 2.5),
+      ev(3, "2024-01-01T00:05:00Z", 8, "click", 1.0),
+      ev(5, "2024-01-01T00:00:00Z", 10, "click", 4.0),
+      ev(6, "2024-01-01T03:00:00Z", 10, "click", 8.0),
+      // watermark driver so every session above can close
+      ev(7, "2024-01-01T09:00:00Z", 9, "click", 0.5))
+    val outDir = Files.createTempDirectory("graft-swin-out").toString
+    val stats = EventStream.sessionWindowStats(
+      spark.readStream.schema(EventStream.eventSchema).json(in), gap = "30 minutes")
+    val q = EventStream.runAvailableNowToParquet(stats, outDir, chk)
+    q.awaitTermination()
+    val out = spark.read.parquet(outDir).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("session_start"),
+        r.getAs[Long]("n_events"), r.getAs[Double]("total_value"))).toSet
+    // same session splits as the flatMapGroupsWithState path: user 10's
+    // 3h gap yields two sessions; user 9's driver event stays open (its
+    // own watermark never passes it) — only closed sessions emit
+    assert(out == Set(
+      (7L, "2024-01-01 00:00:00", 2L, 3.5),
+      (8L, "2024-01-01 00:05:00", 1L, 1.0),
+      (10L, "2024-01-01 00:00:00", 1L, 4.0),
+      (10L, "2024-01-01 03:00:00", 1L, 8.0)))
+  }
+
   test("sessionize: event-time gap closes and evicts per-user sessions") {
     val (in, chk) = newDirs()
     drop(in, "a.json",

@@ -27,6 +27,22 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
     })
   }
 
+  test("fused minhash+halves kernel is bit-identical to the separate kernels") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    check(Prop.forAll(shingleList) { sh =>
+      val arr = new GenericArrayData(sh.map(UTF8String.fromString).toArray[Any])
+      val fused = TextHashAggregators.minhashAndHalvesData(arr, 16)
+      val mh = fused.getArray(0)
+      val hs = fused.getArray(1)
+      val sepMh = TextHashAggregators.minhashArrayData(arr, 16)
+      val mhOk = (0 until 16).forall(i => mh.getUTF8String(i) == sepMh.getUTF8String(i))
+      val hsOk = sh.indices.forall(i =>
+        hs.getLong(i) == TextHashAggregators.md5Half64(UTF8String.fromString(sh(i))))
+      mhOk && hsOk && hs.numElements() == sh.size
+    })
+  }
+
   test("minhash signature only decreases element-wise as shingles are added") {
     check(Prop.forAll(shingleList, shingleList) { (a, b) =>
       val base = TextHashAggregators.minhashSignature(a, 16)
