@@ -199,6 +199,28 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q143: the CMS sketch broadcasts against the probe keys — the token stream shuffles only into the two aggregates") {
+    val df = run("q143_cms_heavy_hitters")
+    df.count() // let AQE finalize join strategies on real stats
+    val p = plan(df)
+    // the sketch is one aggregated row: its join with the top-k probe
+    // table must be a broadcast, and nothing may cartesian the corpus
+    assert("BroadcastHashJoin|BroadcastNestedLoopJoin".r.findFirstIn(p).isDefined, p)
+    assert(!p.contains("CartesianProduct"), p)
+    // both sketch build and exact counts aggregate partially map-side
+    assert("partial_count_min_sketch|partial_count".r.findFirstIn(p).isDefined, p)
+  }
+
+  test("q145: metadata joins stay pair-bounded — the source lookup broadcasts") {
+    val df = run("q145_neardup_by_source")
+    df.count()
+    val p = plan(df)
+    // the verified pair graph is collision-sized; joining doc metadata
+    // onto it must never shuffle the corpus against pairs
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q124: correlated EXISTS decorrelates to a semi join — no per-row subquery") {
     val p = plan(run("q124_tpch_q4"))
     assert(p.contains("LeftSemi"), p)
