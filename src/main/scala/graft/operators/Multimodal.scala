@@ -187,6 +187,32 @@ object Multimodal {
       .select("media_a", "media_b", "jaccard")
   }
 
+  /** Deterministic per-media embedding from sampled frames: the 16-dim
+    * hex-digit histogram of the payload's sampled frames, pooled by
+    * EXACT integer summation (order-independent — no float pooling
+    * noise to round away). Stands in for a real frame-encoder model the
+    * way [[StubDecoder]] stands in for a codec: the pipeline shape —
+    * frames → per-frame features → integer-exact pooling → fixed-width
+    * vector per media — is precisely what a production embed stage
+    * does, and everything downstream (ANN, near-dup, clustering from
+    * graft.operators.Similarity) consumes it unchanged. Narrow until
+    * the final 16-column aggregate; frame bytes never shuffle. */
+  def hexHistogramEmbedding(media: DataFrame, frameBytes: Int = 64,
+      stride: Int = 4): DataFrame = {
+    val digits = "0123456789ABCDEF"
+    val withHex = sampleFrames(media, frameBytes, stride)
+      .select(col("media_id"), hex(col("frame_bytes")).as("__h"))
+    val counts = digits.map(ch =>
+      (length(col("__h")) - length(expr(s"replace(__h, '$ch', '')")))
+        .cast("long").as(s"__c$ch"))
+    withHex.select(col("media_id") +: counts: _*)
+      .groupBy("media_id")
+      .agg(sum(s"__c${digits.head}").as(s"__s${digits.head}"),
+        digits.tail.map(ch => sum(s"__c$ch").as(s"__s$ch")): _*)
+      .select(col("media_id"),
+        array(digits.map(ch => col(s"__s$ch")): _*).as("v"))
+  }
+
   /** Frame sampling: every `stride`-th fixed-size chunk of the payload,
     * exploded to one row per sampled frame (narrow, shuffle-free). */
   def sampleFrames(media: DataFrame, frameBytes: Int = 64, stride: Int = 4): DataFrame = {

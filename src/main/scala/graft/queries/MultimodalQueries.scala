@@ -74,5 +74,51 @@ object MultimodalQueries {
       WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.3
       ORDER BY media_a, media_b"""))
 
-  def all: Seq[Q] = Seq(q42, q142)
+  /** Media ANN: embed every media item (16-dim hex-digit histogram of
+    * its sampled frames, integer-exact pooling — the stub for a frame
+    * encoder), broadcast the query item's vector, rank by cosine — the
+    * full media → embedding → similarity-search composition, with the
+    * same map-only + k-row-reduce plan as q34. Counts are exact
+    * integers on both engines, so only the final cosine needs the 4dp
+    * round. */
+  val q147 = Q(
+    "q147_media_embed_ann",
+    (s, d) => {
+      import graft.functions.vec
+      val media = Multimodal.fromDocuments(Tables.documents(s, d))
+        .repartition(s.sparkContext.defaultParallelism, col("media_id"))
+      val emb = Multimodal.hexHistogramEmbedding(media, frameBytes = 64, stride = 4)
+        .withColumn("vd", expr("transform(v, x -> CAST(x AS DOUBLE))"))
+        .filter(vec.norm(col("vd")) > 0)
+      val q = emb.filter(col("media_id") === 0)
+        .select(col("vd").as("qv"))
+      emb.filter(col("media_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("media_id"),
+          round(vec.cosine(col("vd"), col("qv")), 4).as("sim"))
+        .orderBy(col("sim").desc, col("media_id"))
+        .limit(5)
+    },
+    Some("""
+      WITH m AS (SELECT doc_id AS media_id, hex(encode(text)) AS h FROM documents),
+      fr AS (SELECT media_id, substr(h, i * 128 + 1, 128) AS fh
+             FROM m, LATERAL (SELECT UNNEST(range(0,
+                    CAST(ceil(length(h) / 128.0) AS INT))) AS i) g
+             WHERE length(h) > 0 AND i % 4 = 0),
+      digits AS (SELECT UNNEST(range(0, 16)) AS j,
+                        UNNEST(string_split('0,1,2,3,4,5,6,7,8,9,A,B,C,D,E,F', ',')) AS dch),
+      cnt AS (SELECT media_id, j,
+                     SUM(length(fh) - length(replace(fh, dch, ''))) AS c
+              FROM fr, digits GROUP BY 1, 2),
+      emb AS (SELECT media_id, list(CAST(c AS DOUBLE) ORDER BY j) AS v
+              FROM cnt GROUP BY 1
+              HAVING list_sum(list_transform(list(CAST(c AS DOUBLE) ORDER BY j), x -> x * x)) > 0),
+      q AS (SELECT v AS qv FROM emb WHERE media_id = 0)
+      SELECT e.media_id, ROUND(list_cosine_similarity(e.v, q.qv), 4) AS sim
+      FROM emb e, q
+      WHERE e.media_id <> 0
+      ORDER BY sim DESC, media_id
+      LIMIT 5"""))
+
+  def all: Seq[Q] = Seq(q42, q142, q147)
 }
