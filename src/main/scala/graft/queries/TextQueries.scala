@@ -147,7 +147,10 @@ object TextQueries {
         .select(col("doc_id"), col("lang"),
           explode(split(lower(col("text")), " ")).as("tok"))
       val byLang = toks.groupBy("lang", "tok").agg(count(lit(1)).as("c_lt"))
-      val byTok  = toks.groupBy("tok").agg(count(lit(1)).as("c_t"))
+      // c_t = Σ_lang c_lt: derive the global counts from the (lang, tok)
+      // aggregate instead of re-shuffling the full token stream — one
+      // corpus-wide aggregation replaced by a vocab-sized re-agg
+      val byTok = byLang.groupBy("tok").agg(sum("c_lt").as("c_t"))
       val wm = Window.partitionBy("lang").orderBy(desc("ratio"), asc("tok"))
       // ≤ 20 rows per language — broadcast so doc scoring stays map-side
       val markers = broadcast(byLang.join(byTok, "tok")
