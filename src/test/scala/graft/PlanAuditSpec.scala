@@ -191,7 +191,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
 
   test("q78: the benchmark gram set broadcasts against the corpus grams") {
     val df = run("q78_decontaminate")
-    df.count() // let AQE finalize join strategies on real stats
+    df.collect() // execute df's OWN QueryExecution so AQE finalizes it
     val p = plan(df)
     // the distinct'd benchmark set is tiny relative to the corpus: the
     // containment join must resolve to a broadcast, never a cartesian
@@ -201,7 +201,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
 
   test("q143: the CMS sketch broadcasts against the probe keys — the token stream shuffles only into the two aggregates") {
     val df = run("q143_cms_heavy_hitters")
-    df.count() // let AQE finalize join strategies on real stats
+    df.collect() // execute df's OWN QueryExecution so AQE finalizes it
     val p = plan(df)
     // the sketch is one aggregated row: its join with the top-k probe
     // table must be a broadcast, and nothing may cartesian the corpus
@@ -213,7 +213,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
 
   test("q145: metadata joins stay pair-bounded — the source lookup broadcasts") {
     val df = run("q145_neardup_by_source")
-    df.count()
+    df.collect() // execute df's OWN QueryExecution so AQE finalizes it
     val p = plan(df)
     // the verified pair graph is collision-sized; joining doc metadata
     // onto it must never shuffle the corpus against pairs
