@@ -186,6 +186,35 @@ class RpcDataSourceSpec extends AnyFunSuite with SparkSpec {
     assert(ranges == (0 until 7).map(i => (i * 10L + 1, i * 10L + 10)))
   }
 
+  test("a lagging node's regressed tip never rewinds the committed offset") {
+    val ckpt = java.nio.file.Files.createTempDirectory("rpc-lag").toString
+    val out = java.nio.file.Files.createTempDirectory("rpc-lag-out").toString
+    def run(): Unit = {
+      val q = spark.readStream.format("tendermint-rpc")
+        .option("url", "http://node").option("kind", "txs")
+        .option("start", 1).option("chunk", 10)
+        .option("fetcher", classOf[FakeTipRpcFetcher].getName)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    FakeTipRpcFetcher.tip.set(30L)
+    run()
+    assert(spark.read.parquet(out).count() == 3) // heights 1-30
+
+    FakeTipRpcFetcher.tip.set(20L) // lagging replica answers below committed
+    run()
+    assert(spark.read.parquet(out).count() == 3, "regressed tip re-fetched heights")
+
+    FakeTipRpcFetcher.tip.set(40L) // recovered: only the NEW heights arrive
+    run()
+    val ranges = spark.read.parquet(out).collect()
+      .map(r => (r.getAs[Long]("start"), r.getAs[Long]("end"))).sorted.toSeq
+    assert(ranges == (0 until 4).map(i => (i * 10L + 1, i * 10L + 10)))
+  }
+
   test("missing required option fails fast") {
     val e = intercept[Exception] {
       spark.read.format("tendermint-rpc").option("url", "x")
