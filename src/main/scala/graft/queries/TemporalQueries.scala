@@ -139,5 +139,47 @@ object TemporalQueries {
       FROM s GROUP BY user_id, session_idx
       ORDER BY user_id, session_idx"""))
 
-  def all: Seq[Q] = Seq(q49, q50, q62)
+  /** Event-time disorder profile per event type: fraction of events
+    * arriving behind the running event-time max (in event_id arrival
+    * order) and the p95/max lateness — the measurement that SETS a
+    * streaming watermark's lateness budget instead of guessing it
+    * (`withWatermark("ts", lateness)` should cover ~p95-p99 of observed
+    * disorder). All arithmetic is exact integer µs until the final
+    * division; percentile == quantile_cont (both interpolate, q56
+    * precedent). The per-type window mirrors production, where arrival
+    * order is per ingest shard — the partition key just widens to
+    * (type, shard). */
+  val q148 = Q(
+    "q148_disorder_profile",
+    (s, d) => {
+      val w = Window.partitionBy("event_type").orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("event_type"), col("event_id"), unix_micros(col("ts")).as("tus"))
+        .withColumn("delay_us", max("tus").over(w) - col("tus"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          count(when(col("delay_us") > 0, 1)).as("n_out_of_order"),
+          round(count(when(col("delay_us") > 0, 1)).cast("double") / count(lit(1)), 4)
+            .as("ooo_frac"),
+          round(expr("percentile(delay_us, 0.95)") / 1000000.0, 4).as("p95_lateness_sec"),
+          round(max("delay_us") / 1000000.0, 4).as("max_lateness_sec"))
+        .orderBy("event_type")
+    },
+    Some("""
+      WITH o AS (SELECT event_type, event_id, epoch_us(ts) AS tus FROM events),
+      r AS (SELECT event_type, tus,
+                   MAX(tus) OVER (PARTITION BY event_type ORDER BY event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     - tus AS delay_us
+            FROM o)
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(COUNT(CASE WHEN delay_us > 0 THEN 1 END) AS BIGINT) AS n_out_of_order,
+             ROUND(CAST(COUNT(CASE WHEN delay_us > 0 THEN 1 END) AS DOUBLE) / COUNT(*), 4) AS ooo_frac,
+             ROUND(quantile_cont(delay_us, 0.95) / 1000000.0, 4) AS p95_lateness_sec,
+             ROUND(MAX(delay_us) / 1000000.0, 4) AS max_lateness_sec
+      FROM r GROUP BY event_type ORDER BY event_type"""))
+
+  def all: Seq[Q] = Seq(q49, q50, q62, q148)
 }
