@@ -161,7 +161,14 @@ object Flatteners {
       Seq("height"), "left")
 
   /** Hive-partitioned parquet sink (parse.py:182-200): append-mode,
-    * year/month/day layout — downstream scans get partition pruning. */
+    * year/month/day layout — downstream scans get partition pruning.
+    *
+    * The REBALANCE hint routes each hive partition's rows to as few
+    * tasks as its volume needs (AQE splits oversized groups, coalesces
+    * tiny ones): without it every write task emits one file into EVERY
+    * partition it holds rows for — tasks × days small files at scale.
+    * With it, a quiet day is one file and a heavy day still fans out. */
   def writePartitioned(df: DataFrame, dir: String): Unit =
-    df.write.mode("append").partitionBy("year", "month", "day").parquet(dir)
+    df.hint("rebalance", col("year"), col("month"), col("day"))
+      .write.mode("append").partitionBy("year", "month", "day").parquet(dir)
 }

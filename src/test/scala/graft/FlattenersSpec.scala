@@ -148,6 +148,14 @@ class FlattenersSpec extends AnyFunSuite with SparkSpec {
     assert(back.columns.toSet.contains("year"))
     val pruned = back.filter(col("day") === "2023-08-01")
     assert(pruned.count() == 1)
+    // the rebalance routes each hive partition to as few tasks as its
+    // volume needs: a tiny day must land as ONE file, not one per task
+    val dayDir = java.nio.file.Paths.get(
+      s"$dir/tx_result/year=2023/month=2023-08/day=2023-08-01")
+    val files = java.nio.file.Files.list(dayDir).iterator()
+    val parquets = scala.jdk.CollectionConverters.IteratorHasAsScala(files)
+      .asScala.map(_.getFileName.toString).filter(_.endsWith(".parquet")).toSeq
+    assert(parquets.size == 1, s"expected 1 file for a tiny partition: $parquets")
     assert(pruned.queryExecution.executedPlan.toString.contains("PartitionFilters"))
   }
 }
