@@ -114,6 +114,53 @@ final class Pipeline(
     path.toString
   }
 
+  /** The reference's sync loop as ONE continuous streaming query:
+    * `readStream.format("tendermint-rpc")` (offsets = block heights,
+    * checkpointed — metadata.json retired) → page envelopes → parseBlocks
+    * → hive-partitioned parsed zone. Trigger.AvailableNow drains to the
+    * tip pinned at start and stops, so each invocation behaves like one
+    * `make pipeline` run with streaming's bookkeeping.
+    *
+    * Exactly-once without a transactional file log: each micro-batch
+    * overwrites its own `batch=<id>` subtree (the write is a
+    * deterministic function of (batchId, data) — the
+    * EventStream.runForeachBatchIdempotent pattern), and height windows
+    * never overlap across batches, so a replayed batch lands in place
+    * instead of appending duplicates. Readers just
+    * `spark.read.parquet(zone)` — batch/year/month/day all come back as
+    * partition columns and day-level pruning works unchanged. */
+  def streamingSyncBlocks(fetcherClass: String, startHeight: Long = 1L,
+      chunk: Long = 1000L, maxBlocksPerBatch: Long = 10000L)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.types.{ArrayType, StructField, StructType}
+    val envelope = StructType(Seq(StructField("result", StructType(Seq(
+      StructField("blocks", ArrayType(Flatteners.blockSchema)))))))
+    val zone = s"$parsedRoot/blocks_stream"
+    spark.readStream.format("tendermint-rpc")
+      .option("url", apiUrl).option("kind", "blocks")
+      .option("start", startHeight).option("chunk", chunk)
+      .option("maxBlocksPerBatch", maxBlocksPerBatch)
+      .option("perPage", perPage)
+      .option("fetcher", fetcherClass)
+      .load()
+      .writeStream
+      .option("checkpointLocation", s"$dataRoot/checkpoints/blocks_sync")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (pages: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val raw = pages
+          .filter(col("quarantined") === false && col("body").isNotNull)
+          .select(org.apache.spark.sql.functions.explode(
+            org.apache.spark.sql.functions.from_json(col("body"), envelope)
+              .getField("result").getField("blocks")).as("b"))
+          .select("b.*")
+        Flatteners.parseBlocks(raw).drop("ts")
+          .write.mode("overwrite")
+          .partitionBy("year", "month", "day")
+          .parquet(s"$zone/batch=$batchId")
+      }
+      .start()
+  }
+
   /** Parse stage (parse.py:202-226): manifest-filtered raw files →
     * 4 flatteners → time-enriched hive-partitioned parquet. */
   def parse(): Unit = {

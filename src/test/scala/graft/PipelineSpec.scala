@@ -50,7 +50,39 @@ object FakeNodeFetcher extends graft.sources.RpcFetcher {
   override def fetch(url: String): String = FakeNode.fetch(url)
 }
 
+/** FakeNode plus a chain tip, for the streaming sync (the stream polls
+  * /abci_info; FakeNode only serves search pages). */
+class FakeChainFetcher extends graft.sources.RpcFetcher {
+  override def fetch(url: String): String =
+    if (url.contains("abci_info"))
+      """{"result":{"response":{"last_block_height":"5"}}}"""
+    else FakeNode.fetch(url)
+}
+
 class PipelineSpec extends AnyFunSuite with SparkSpec {
+
+  test("streaming sync: rpc stream -> flatteners -> hive zone, exactly-once") {
+    val dir = Files.createTempDirectory("graft-stream-sync").toString
+    val p = new Pipeline(spark, dir, FakeNode.fetch)
+    def sync(): Unit = {
+      val q = p.streamingSyncBlocks(classOf[FakeChainFetcher].getName,
+        startHeight = 1, chunk = 2, maxBlocksPerBatch = 2)
+      q.awaitTermination()
+    }
+    sync()
+    val zone = spark.read.parquet(s"$dir/parsed/blocks_stream")
+    val heights = zone.select("height").collect().map(_.getLong(0)).sorted.toSeq
+    assert(heights == (1L to 5L), s"zone heights: $heights")
+    // hive partition columns survive the batch-keyed layout and prune
+    assert(zone.columns.toSet.contains("day"))
+    assert(zone.filter(org.apache.spark.sql.functions.col("day") === "2023-08-03").count() == 1)
+    // drained in maxBlocksPerBatch=2 windows: [1,2] [3,4] [5]
+    assert(new java.io.File(s"$dir/parsed/blocks_stream").listFiles()
+      .count(_.getName.startsWith("batch=")) == 3)
+
+    sync() // tip unchanged: a second run must add nothing (exactly-once)
+    assert(spark.read.parquet(s"$dir/parsed/blocks_stream").count() == 5)
+  }
 
   test("degrade-overlap duplicates never reach the raw zone") {
     // per_page 5, total 7, page 2@5 oversized → degrade to 2 → the
