@@ -146,7 +146,21 @@ final class Pipeline(
       .writeStream
       .option("checkpointLocation", s"$dataRoot/checkpoints/blocks_sync")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .foreachBatch { (pages: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        // persist first: this body runs TWO actions (ledger collect +
+        // zone write), and a foreachBatch frame re-executes its source
+        // per action — without the cache every micro-batch would fetch
+        // its pages from the node twice
+        val pages = batch.persist()
+        try {
+        // quarantined pages → error-height ledger, same as the batch
+        // path (writeRaw): the offset commits past them, so without the
+        // ledger the gap-fill planner could never recover those heights
+        val failed = pages.filter(col("quarantined"))
+          .select("start", "end").collect()
+        if (failed.nonEmpty)
+          graft.ingest.ErrorHeights.append(dataRoot,
+            failed.toIndexedSeq.flatMap(r => r.getLong(0) to r.getLong(1)).distinct)
         val raw = pages
           .filter(col("quarantined") === false && col("body").isNotNull)
           .select(org.apache.spark.sql.functions.explode(
@@ -154,9 +168,17 @@ final class Pipeline(
               .getField("result").getField("blocks")).as("b"))
           .select("b.*")
         Flatteners.parseBlocks(raw).drop("ts")
+          // a mid-chunk per-page degrade can re-cover already-fetched
+          // items (see writeRaw's distinct); heights are unique within
+          // a batch window, so the height dedup absorbs the overlap
+          .dropDuplicates("height")
+          // same REBALANCE as writePartitioned: without it every task
+          // writes a file into every day it touches
+          .hint("rebalance", col("year"), col("month"), col("day"))
           .write.mode("overwrite")
           .partitionBy("year", "month", "day")
           .parquet(s"$zone/batch=$batchId")
+        } finally pages.unpersist()
       }
       .start()
   }

@@ -152,9 +152,11 @@ class FlattenersSpec extends AnyFunSuite with SparkSpec {
     // volume needs: a tiny day must land as ONE file, not one per task
     val dayDir = java.nio.file.Paths.get(
       s"$dir/tx_result/year=2023/month=2023-08/day=2023-08-01")
-    val files = java.nio.file.Files.list(dayDir).iterator()
-    val parquets = scala.jdk.CollectionConverters.IteratorHasAsScala(files)
-      .asScala.map(_.getFileName.toString).filter(_.endsWith(".parquet")).toSeq
+    val stream = java.nio.file.Files.list(dayDir) // close: directory fd
+    val parquets =
+      try scala.jdk.CollectionConverters.IteratorHasAsScala(stream.iterator())
+        .asScala.map(_.getFileName.toString).filter(_.endsWith(".parquet")).toSeq
+      finally stream.close()
     assert(parquets.size == 1, s"expected 1 file for a tiny partition: $parquets")
     assert(pruned.queryExecution.executedPlan.toString.contains("PartitionFilters"))
   }

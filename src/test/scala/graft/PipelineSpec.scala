@@ -59,6 +59,17 @@ class FakeChainFetcher extends graft.sources.RpcFetcher {
     else FakeNode.fetch(url)
 }
 
+/** FakeChainFetcher that permanently fails real page fetches for the
+  * 3-4 height chunk (the 1-item count probe still answers), forcing the
+  * degrade → quarantine path inside a streaming batch. */
+class FlakyChainFetcher extends graft.sources.RpcFetcher {
+  private val inner = new FakeChainFetcher
+  override def fetch(url: String): String =
+    if (url.contains("height>=3") && !url.contains("page=1&per_page=1&"))
+      sys.error("oversized response")
+    else inner.fetch(url)
+}
+
 class PipelineSpec extends AnyFunSuite with SparkSpec {
 
   test("streaming sync: rpc stream -> flatteners -> hive zone, exactly-once") {
@@ -82,6 +93,28 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
 
     sync() // tip unchanged: a second run must add nothing (exactly-once)
     assert(spark.read.parquet(s"$dir/parsed/blocks_stream").count() == 5)
+  }
+
+  test("streaming sync: quarantined pages land in the error ledger, not the void") {
+    // heights 3-4: count probe (page=1&per_page=1) succeeds; every real
+    // page fails → degrade to per_page 1 covers height 3, then page 2
+    // fails at per_page 1 → quarantine. The offset commits past the
+    // chunk, so the ledger is the ONLY record of the gap.
+    val dir = Files.createTempDirectory("graft-stream-quar").toString
+    val p = new Pipeline(spark, dir, FakeNode.fetch)
+    val q = p.streamingSyncBlocks(classOf[FlakyChainFetcher].getName,
+      startHeight = 1, chunk = 2, maxBlocksPerBatch = 2)
+    q.awaitTermination()
+    val zone = spark.read.parquet(s"$dir/parsed/blocks_stream")
+    val heights = zone.select("height").collect().map(_.getLong(0)).sorted.toSeq
+    // FakeNode serves the full range in any page body, so the one page
+    // that survived the degrade still carries both blocks (and the
+    // height dedup keeps them single); what matters is the LEDGER:
+    // the quarantined chunk's heights are recorded for gap-fill even
+    // though the stream's offset committed past them
+    assert(heights == (1L to 5L), s"zone heights: $heights")
+    val ledger = graft.ingest.ErrorHeights.read(dir)
+    assert(ledger.toSet == Set(3L, 4L), s"ledger: $ledger")
   }
 
   test("degrade-overlap duplicates never reach the raw zone") {
