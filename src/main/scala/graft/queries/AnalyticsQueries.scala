@@ -509,6 +509,39 @@ object AnalyticsQueries {
              FROM nodes nd)
       SELECT v AS event_type, ROUND(r, 6) AS pagerank FROM r3 ORDER BY event_type"""))
 
+  /** The Evidence-style query-chain surface routed through the oracle
+    * gate: a markdown page whose second query references the first via
+    * `${flagged}` (inlined as a derived table by
+    * graft.query.QueryChainCompiler, cycle/unknown-ref checks included)
+    * — the oracle is the manually-inlined SQL, so the COMPILER's
+    * rewrite itself is what gets hash-verified. */
+  val q149 = Q(
+    "q149_query_chain",
+    (s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+      val md =
+        """```sql flagged
+          |SELECT l_returnflag, l_linestatus,
+          |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+          |FROM lineitem GROUP BY l_returnflag, l_linestatus
+          |```
+          |```sql shares
+          |SELECT l_returnflag,
+          |       CAST(COUNT(*) AS BIGINT) AS n_status,
+          |       ROUND(SUM(qty), 4) AS total_qty
+          |FROM ${flagged} GROUP BY l_returnflag ORDER BY l_returnflag
+          |```""".stripMargin
+      graft.query.QueryChainCompiler.run(s, md)("shares")
+        .fold(err => sys.error(err), identity)
+    },
+    Some("""
+      WITH flagged AS (SELECT l_returnflag, l_linestatus,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+            FROM lineitem GROUP BY l_returnflag, l_linestatus)
+      SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_status,
+             ROUND(SUM(qty), 4) AS total_qty
+      FROM flagged GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
   def all: Seq[Q] = Seq(q81, q82, q83, q84, q85, q86, q87, q88, q89,
-    q97, q98, q99, q113, q114, q115, q118, q121, q133)
+    q97, q98, q99, q113, q114, q115, q118, q121, q133, q149)
 }
