@@ -542,6 +542,44 @@ object AnalyticsQueries {
              ROUND(SUM(qty), 4) AS total_qty
       FROM flagged GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  /** The dbt-style model surface routed through the oracle gate: a
+    * two-model DAG (daily rollup → `{{ ref('ord_daily') }}` cumulative
+    * window — the reference's cum_txs_per_day shape) built by
+    * graft.models.ModelRunner with template resolution and topo
+    * ordering; the oracle is the manually-inlined SQL, so the ref
+    * rewrite + build order are what gets hash-verified. */
+  val q150 = Q(
+    "q150_model_dag",
+    (s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      val models = Seq(
+        graft.models.Model("ord_daily",
+          """SELECT date_format(o_orderdate, 'yyyy-MM-dd') AS day,
+            |       CAST(COUNT(*) AS BIGINT) AS n_orders,
+            |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+            |FROM orders GROUP BY 1""".stripMargin),
+        graft.models.Model("ord_cum",
+          """SELECT day, n_orders,
+            |       CAST(SUM(n_orders) OVER (ORDER BY day ASC
+            |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_orders,
+            |       ROUND(SUM(revenue) OVER (ORDER BY day ASC
+            |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS cum_revenue
+            |FROM {{ ref('ord_daily') }} ORDER BY day""".stripMargin))
+      new graft.models.ModelRunner(s).run(models)("ord_cum")
+    },
+    Some("""
+      WITH ord_daily AS (
+        SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM orders GROUP BY 1)
+      SELECT day, n_orders,
+             CAST(SUM(n_orders) OVER (ORDER BY day ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_orders,
+             ROUND(SUM(revenue) OVER (ORDER BY day ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS cum_revenue
+      FROM ord_daily ORDER BY day"""))
+
   def all: Seq[Q] = Seq(q81, q82, q83, q84, q85, q86, q87, q88, q89,
-    q97, q98, q99, q113, q114, q115, q118, q121, q133, q149)
+    q97, q98, q99, q113, q114, q115, q118, q121, q133, q149, q150)
 }
