@@ -77,7 +77,14 @@ final class WatermarkStore(directory: String) {
 
 /** Quarantine ledger: `errors/error_heights.txt`, one height per line
   * (extract.py:88-89; consumed by the gap-fill planner,
-  * pipelines/pipeline.py:99-109). Missing file → empty. */
+  * pipelines/pipeline.py:99-109). Missing file → empty.
+  *
+  * The ledger is a SET of heights, so both ends dedup: `append` skips
+  * heights already present (a streaming micro-batch replayed after a
+  * crash between ledger append and offset commit re-appends the same
+  * heights — idempotence here is what makes the foreachBatch sink
+  * exactly-once end to end), and `read` returns distinct values (repairs
+  * ledgers written before this invariant held). */
 object ErrorHeights {
   private def path(directory: String): Path =
     Paths.get(directory, "errors", "error_heights.txt")
@@ -86,14 +93,17 @@ object ErrorHeights {
     val p = path(directory)
     if (!Files.isRegularFile(p)) Nil
     else Files.readAllLines(p).asScala.toSeq
-      .map(_.trim).filter(_.nonEmpty).map(_.toLong)
+      .map(_.trim).filter(_.nonEmpty).map(_.toLong).distinct
   }
 
   def append(directory: String, heights: Seq[Long]): Unit = {
     if (heights.isEmpty) return
     val p = path(directory)
     Files.createDirectories(p.getParent)
-    val existing = if (Files.isRegularFile(p)) Files.readString(p) else ""
-    Files.writeString(p, existing + heights.mkString("", "\n", "\n"))
+    val existing = read(directory).toSet
+    val fresh = heights.distinct.filterNot(existing)
+    if (fresh.isEmpty) return
+    val prefix = if (Files.isRegularFile(p)) Files.readString(p) else ""
+    Files.writeString(p, prefix + fresh.mkString("", "\n", "\n"))
   }
 }

@@ -158,6 +158,7 @@ object Dedup {
       .union(newBase.select(col(id), explode(col("hs")).as("sh")).distinct())
       .localCheckpoint(true)
     freeLocalCheckpoint(newBase) // both derivations materialized
+    freeLocalCheckpoint(newBand) // only consumer (cands) materialized above
     verifiedJaccard(cands, allShingles, id, threshold)
   }
 

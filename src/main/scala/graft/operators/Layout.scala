@@ -133,6 +133,12 @@ object Layout {
       expectedItems: Long = 1000000L, fpp: Double = 0.01,
       joinType: String = "inner"): DataFrame = {
     import org.apache.spark.sql.types.{LongType, IntegerType, StringType}
+    // Pre-filtering the fact side is only result-preserving when unmatched
+    // fact rows are NOT part of the result: inner and left_semi. For
+    // left/left_anti/full the dropped rows would change the answer.
+    val jt = joinType.toLowerCase.replace("_", "").replace("outer", "")
+    require(jt == "inner" || jt == "leftsemi" || jt == "semi",
+      s"bloomPrunedJoin preserves results only for inner/left_semi joins, got '$joinType'")
     val bf = dim.stat.bloomFilter(key, expectedItems, fpp)
     val bc = fact.sparkSession.sparkContext.broadcast(bf)
     val might = fact.schema(key).dataType match {

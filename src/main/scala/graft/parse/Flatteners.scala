@@ -153,12 +153,16 @@ object Flatteners {
       .agg(first("value"))
 
   /** Time-enrichment join (parse.py:219-221): pull ts/day/month/year from
-    * blocks by height. Blocks side is per-batch small → broadcast; the
-    * fact side never shuffles. */
-  def enrichTime(table: DataFrame, blocks: DataFrame): DataFrame =
-    table.join(
-      broadcast(blocks.select("height", "ts", "day", "month", "year")),
-      Seq("height"), "left")
+    * blocks by height. The blocks side must be BOUNDED by the caller
+    * (Pipeline.parse prunes it to the batch's height span) — then it is
+    * per-batch small → broadcast and the fact side never shuffles. Pass
+    * `hintBroadcast = false` when no bound is known and AQE should pick
+    * the strategy from the real size. */
+  def enrichTime(table: DataFrame, blocks: DataFrame,
+      hintBroadcast: Boolean = true): DataFrame = {
+    val b = blocks.select("height", "ts", "day", "month", "year")
+    table.join(if (hintBroadcast) broadcast(b) else b, Seq("height"), "left")
+  }
 
   /** Hive-partitioned parquet sink (parse.py:182-200): append-mode,
     * year/month/day layout — downstream scans get partition pruning.

@@ -218,34 +218,34 @@ final class Pipeline(
     }
 
     if (txFiles.nonEmpty) {
-      // enrichment joins the FULL parsed blocks zone, not just this
-      // batch's new block files: tx files can arrive in a later batch
-      // than their blocks (gap-fill, partial-failure replay), and a
+      // enrichment joins the parsed blocks zone, not just this batch's
+      // new block files: tx files can arrive in a later batch than
+      // their blocks (gap-fill, partial-failure replay), and a
       // batch-local join would strand those rows with null day/month/
       // year in the hive default partition. On a first run / replay
       // where tx files precede any blocks batch, the zone doesn't exist
       // yet — enrich against an empty frame so tx rows land with null
       // time columns (the documented late-blocks behavior) instead of
-      // failing the whole parse stage on the missing path
-      val blocksZone = Paths.get(s"$parsedRoot/blocks")
-      val allBlocks =
-        if (Files.isDirectory(blocksZone))
-          spark.read.parquet(blocksZone.toString)
-            .withColumn("ts", to_timestamp(col("time")))
-        else
-          spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-            org.apache.spark.sql.types.StructType(Seq(
-              org.apache.spark.sql.types.StructField("height", org.apache.spark.sql.types.LongType),
-              org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
-              org.apache.spark.sql.types.StructField("day", org.apache.spark.sql.types.StringType),
-              org.apache.spark.sql.types.StructField("month", org.apache.spark.sql.types.StringType),
-              org.apache.spark.sql.types.StructField("year", org.apache.spark.sql.types.StringType))))
+      // failing the whole parse stage on the missing path.
+      //
+      // The zone is NOT joined whole: blocks grow with chain height
+      // forever, and enrichTime broadcasts its blocks side — an
+      // unbounded broadcast at scale. The tx batch's height span is
+      // free from the raw filenames (`{start}_{end}.json`), so the
+      // blocks scan is pruned to that span FIRST: the broadcast is
+      // bounded by the batch window, and the height range predicate
+      // pushes down to the parquet scan (row-group pruning).
+      val txSpan = Pipeline.fileHeightSpan(txFiles)
+      val allBlocks = enrichmentBlocks(txSpan)
       val rawTxs = spark.read.schema(Flatteners.txSchema)
         .option("multiLine", "true")
         .json(txFiles.map(f => s"${rawDir("txs")}/$f"): _*)
+      // if no filename bounded the span (foreign files in the raw dir),
+      // the blocks side is the whole zone — skip the broadcast hint and
+      // let AQE pick the strategy from the real size
       def enrich(df: DataFrame) =
-        Flatteners.enrichTime(df, allBlocks).drop("ts")
+        Flatteners.enrichTime(df, allBlocks,
+          hintBroadcast = txSpan.isDefined).drop("ts")
       Flatteners.writePartitioned(
         enrich(Flatteners.parseTxResult(rawTxs)), s"$parsedRoot/tx_result")
       Flatteners.writePartitioned(
@@ -254,6 +254,30 @@ final class Pipeline(
         enrich(Flatteners.parseEventsWide(rawTxs)), s"$parsedRoot/events")
       manifest.record(txFiles, "txs")
     }
+  }
+
+  /** The blocks frame the time-enrichment joins: the parsed blocks zone
+    * pruned to the tx batch's height span (pushed to the parquet scan),
+    * or an empty typed frame when the zone doesn't exist yet.
+    * Package-visible so PipelineSpec can audit the pruning. */
+  private[graft] def enrichmentBlocks(txSpan: Option[(Long, Long)]): DataFrame = {
+    val blocksZone = Paths.get(s"$parsedRoot/blocks")
+    if (Files.isDirectory(blocksZone)) {
+      val zone = spark.read.parquet(blocksZone.toString)
+        .withColumn("ts", to_timestamp(col("time")))
+      txSpan match {
+        case Some((lo, hi)) => zone.filter(col("height").between(lo, hi))
+        case None           => zone
+      }
+    } else
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("height", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
+          org.apache.spark.sql.types.StructField("day", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("month", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("year", org.apache.spark.sql.types.StringType))))
   }
 
   /** Model stage (dbt run analog): build the given SQL model DAG against
@@ -300,5 +324,27 @@ final class Pipeline(
 
     parse()
     runModels(models)
+  }
+}
+
+object Pipeline {
+  /** Inclusive height span covered by a batch of raw `{start}_{end}.json`
+    * files — the filename contract writeRaw pins (extract.py:186-192) —
+    * or None if no filename parses. Driver-side and free: this is what
+    * bounds the parse stage's time-enrichment broadcast to the batch
+    * window instead of the whole (ever-growing) blocks zone. */
+  def fileHeightSpan(files: Seq[String]): Option[(Long, Long)] = {
+    val spans = files.flatMap { n =>
+      n.stripSuffix(".json").split("_") match {
+        case Array(a, b) =>
+          for {
+            lo <- scala.util.Try(a.toLong).toOption
+            hi <- scala.util.Try(b.toLong).toOption
+          } yield (lo, hi)
+        case _ => None
+      }
+    }
+    if (spans.isEmpty) None
+    else Some((spans.map(_._1).min, spans.map(_._2).max))
   }
 }

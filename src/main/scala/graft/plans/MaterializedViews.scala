@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Coalesce, Expression, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -97,9 +97,11 @@ object MaterializedViews {
         case a: AttributeReference => mv.groupCols.contains(a.name)
         case Alias(ae: AggregateExpression, _) if !ae.isDistinct && ae.filter.isEmpty =>
           ae.aggregateFunction match {
-            case Sum(c: AttributeReference, _) => mv.sums.contains(c.name)
-            case Count(Seq(Literal(_, _)))     => true // count(*) / count(1)
-            case _                             => false
+            // count(*) / count(1) only: count(NULL) is always 0 and must
+            // NOT be rewritten to SUM(n) = row count
+            case Sum(c: AttributeReference, _)                 => mv.sums.contains(c.name)
+            case Count(Seq(Literal(v, _))) if v != null        => true
+            case _                                             => false
           }
         case _ => false
       }
@@ -131,7 +133,10 @@ object MaterializedViews {
               if (re.dataType == ae.dataType) re else Cast(re, ae.dataType)
             case Count(_) =>
               val re = ae.copy(aggregateFunction = Sum(mvAttr(mv.countCol)))
-              if (re.dataType == LongType) re else Cast(re, LongType)
+              val sum = if (re.dataType == LongType) re else Cast(re, LongType)
+              // global count(*) over an empty base is 0, but SUM over the
+              // (empty) MV is NULL — coalesce restores count semantics
+              Coalesce(Seq(sum, Literal(0L)))
             case other =>
               throw new IllegalStateException(s"unexpected aggregate $other")
           }

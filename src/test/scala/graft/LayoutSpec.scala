@@ -175,6 +175,17 @@ class LayoutSpec extends AnyFunSuite with SparkSpec {
     val bf = dim.stat.bloomFilter("l_orderkey", 1000, 0.01)
     val kept = fact.collect().count(r => bf.mightContainLong(r.getLong(0)))
     assert(kept < fact.count() / 10, s"bloom kept $kept rows")
+    // semi keeps fact rows with a dim match — prefilter-safe
+    val semi = Layout.bloomPrunedJoin(fact, dim.select("l_orderkey"),
+      "l_orderkey", expectedItems = 1000, joinType = "left_semi")
+    assert(semi.collect().map(_.getLong(0)).toSet ===
+      plain.map(_.getLong(0)))
+    // outer/anti joins need the unmatched fact rows the prefilter drops:
+    // the API must refuse, not silently return a wrong answer
+    intercept[IllegalArgumentException](
+      Layout.bloomPrunedJoin(fact, dim, "l_orderkey", joinType = "left"))
+    intercept[IllegalArgumentException](
+      Layout.bloomPrunedJoin(fact, dim, "l_orderkey", joinType = "left_anti"))
   }
 
   test("compaction: FFD plan respects the target, compact preserves rows and shrinks file count") {

@@ -83,6 +83,36 @@ class MaterializedViewSpec extends SparkSpec {
     } finally MaterializedViews.clear(spark)
   }
 
+  test("count(NULL) is never rewritten; global count over empty base stays 0") {
+    val baseDir = java.nio.file.Files.createTempDirectory("graft-mv-null").toString
+    val mvDir = java.nio.file.Files.createTempDirectory("graft-mv-nullv").toString
+    // empty base table (schema only) + its (empty) MV
+    Tables.events(spark, sf("sf0.001"))
+      .select(col("event_type"), col("value").cast("long").as("v"))
+      .limit(0)
+      .write.mode("overwrite").parquet(baseDir)
+    spark.read.parquet(baseDir)
+      .groupBy("event_type").agg(count(lit(1)).as("n"), sum("v").as("sum_v"))
+      .write.mode("overwrite").parquet(mvDir)
+    spark.read.parquet(mvDir).createOrReplaceTempView("mv_empty")
+    try {
+      MaterializedViews.register(spark, Seq(MvDef(
+        baseDir, "mv_empty", Set("event_type"), Map("v" -> "sum_v"), "n")))
+
+      // count(NULL-literal) is always 0, NOT the row count: the rule
+      // must leave it alone (rewriting to SUM(n) would return rows)
+      val cn = spark.read.parquet(baseDir).groupBy("event_type")
+        .agg(count(lit(null)).as("c"))
+      assert(!scanPaths(cn).contains(mvDir), scanPaths(cn))
+
+      // global count(*) over the empty base: SUM over the empty MV is
+      // NULL — the rewrite must coalesce back to count semantics (0)
+      val global = spark.read.parquet(baseDir).agg(count(lit(1)).as("c"))
+      assert(global.head().getLong(0) == 0L,
+        s"global count over empty base: ${global.head()}")
+    } finally MaterializedViews.clear(spark)
+  }
+
   test("decimal sums re-cast to the original aggregate type") {
     val baseDir = java.nio.file.Files.createTempDirectory("graft-mv-dec").toString
     val mvDir = java.nio.file.Files.createTempDirectory("graft-mv-decv").toString

@@ -182,6 +182,44 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(txr.filter("day IS NULL").count() == 3)
   }
 
+  test("time-enrichment blocks side is pruned to the tx batch's height span") {
+    // the blocks zone grows with chain height forever; the enrichment
+    // broadcast must be bounded by the BATCH window, with the range
+    // predicate pushed into the parquet scan
+    val root = Files.createTempDirectory("graft-bounded-enrich").toString
+    val pipe = new Pipeline(spark, root, FakeNode.fetch)
+    pipe.extractRange("blocks", 1, 5)
+    pipe.parse() // blocks land first
+    // filename contract → span
+    assert(Pipeline.fileHeightSpan(Seq("3_5.json", "1_2.json")) == Some((1L, 5L)))
+    assert(Pipeline.fileHeightSpan(Seq("metadata.json", "junk")) == None)
+    assert(Pipeline.fileHeightSpan(Nil) == None)
+    // the bounded frame carries the span filter down to the file scan
+    val bounded = pipe.enrichmentBlocks(Some((3L, 5L)))
+    val scan = bounded.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("GreaterThanOrEqual(height,3)") &&
+      scan.contains("LessThanOrEqual(height,5)"),
+      s"height span not pushed to the blocks scan:\n$scan")
+    assert(bounded.select("height").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(3L, 4L, 5L))
+    // and the late-blocks tx batch still enriches correctly end-to-end:
+    // txs [3,5] join only their window's blocks
+    pipe.extractRange("txs", 3, 5)
+    pipe.parse()
+    val txr = spark.read.parquet(s"$root/parsed/tx_result")
+    assert(txr.filter("height = 3").head().getAs[String]("day") == "2023-08-03")
+    assert(txr.filter("day IS NULL").count() == 0)
+  }
+
+  test("error-height ledger appends are idempotent under batch replay") {
+    val root = Files.createTempDirectory("graft-ledger-replay").toString
+    graft.ingest.ErrorHeights.append(root, Seq(3L, 4L))
+    // a crash between ledger append and offset commit replays the batch
+    graft.ingest.ErrorHeights.append(root, Seq(3L, 4L))
+    graft.ingest.ErrorHeights.append(root, Seq(4L, 9L))
+    assert(graft.ingest.ErrorHeights.read(root) == Seq(3L, 4L, 9L))
+  }
+
   test("full flow: sync + backfill -> parse -> models -> dashboard probe") {
     val root = Files.createTempDirectory("graft-e2e").toString
     val pipe = new Pipeline(spark, root, FakeNode.fetch)
