@@ -180,6 +180,71 @@ object TextHashAggregators {
       new GenericArrayData(mh), new GenericArrayData(hs)))
   }
 
+  /** Fused winnowing kernel: token array → distinct selected
+    * fingerprints, one call per document (narrow, shuffle-free, no
+    * intermediate shingle strings — each shingle's md5 is fed token
+    * bytes + separator directly, so md5("a b c d") costs no string
+    * concat). Window minima compare the raw 16-byte digests unsigned
+    * (identical order to comparing the lowercase-hex strings); only the
+    * selected minima are hex-encoded. A doc with fewer than `w` shingles
+    * emits the min over its whole partial window — dropping it would
+    * make short docs invisible to containment. Selection and values are
+    * bit-identical to the relational formulation (explode + md5 + MIN
+    * OVER a `w`-row frame + distinct). */
+  def winnowData(toks: ArrayData, n: Int, w: Int): ArrayData = {
+    val nt = toks.numElements()
+    val ns = nt - n + 1
+    if (ns <= 0) return new GenericArrayData(Array.empty[Any])
+    val md = digests.get()
+    val ds = new Array[Array[Byte]](ns)
+    var i = 0
+    while (i < ns) {
+      md.reset()
+      var j = 0
+      while (j < n) {
+        if (j > 0) md.update(' '.toByte)
+        if (!toks.isNullAt(i + j)) md.update(toks.getUTF8String(i + j).getBytes)
+        j += 1
+      }
+      ds(i) = md.digest()
+      i += 1
+    }
+    def less(a: Array[Byte], b: Array[Byte]): Boolean = {
+      var p = 0
+      while (p < 16) {
+        val c = (a(p) & 0xff) - (b(p) & 0xff)
+        if (c != 0) return c < 0
+        p += 1
+      }
+      false
+    }
+    val seen = new java.util.LinkedHashSet[String]()
+    def selectMin(from: Int, until: Int): Unit = {
+      var best = from
+      var p = from + 1
+      while (p < until) { if (less(ds(p), ds(best))) best = p; p += 1 }
+      val d = ds(best)
+      val sb = new java.lang.StringBuilder(32)
+      var q = 0
+      while (q < 16) {
+        sb.append(Character.forDigit((d(q) >> 4) & 0xf, 16))
+        sb.append(Character.forDigit(d(q) & 0xf, 16))
+        q += 1
+      }
+      seen.add(sb.toString)
+    }
+    if (ns < w) selectMin(0, ns)
+    else {
+      var p = w - 1
+      while (p < ns) { selectMin(p - w + 1, p + 1); p += 1 }
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = UTF8String.fromString(it.next()); o += 1 }
+    new GenericArrayData(out)
+  }
+
   /** SimHash over md5(token): 64 bit-vote counters (+1 set / −1 clear per
     * hex-digit bit), finished to the 16-hex signature with the same
     * sum>0 rule as the relational formulation. */
@@ -352,6 +417,16 @@ object TextHashAggregators {
         StructField("hs", ArrayType(LongType)))),
       "minhashAndHalvesData",
       Seq(org.apache.spark.sql.GraftBridge.expression(shingleArray), Literal(k)),
+      returnNullable = false))
+
+  /** winnowing fingerprints of a token array column per row (narrow,
+    * shuffle-free; see [[winnowData]]). */
+  def winnow(tokens: Column, n: Int, w: Int): Column =
+    org.apache.spark.sql.GraftBridge.column(StaticInvoke(
+      TextHashAggregators.getClass,
+      ArrayType(StringType),
+      "winnowData",
+      Seq(org.apache.spark.sql.GraftBridge.expression(tokens), Literal(n), Literal(w)),
       returnNullable = false))
 
   /** simhash of a token array column per row (narrow, shuffle-free). */

@@ -196,33 +196,62 @@ object Dedup {
   }
 
   /** Full MinHash+LSH near-dup pipeline (signatures → candidates →
-    * verified Jaccard ≥ threshold). */
+    * verified Jaccard ≥ threshold).
+    *
+    * Stage economy is the design (this is the hot operator of q36/q51/
+    * q55): ONE corpus pass (the fused kernel digests each shingle once
+    * and emits signature + shingle-hash set together) is materialized;
+    * candidates come from a single (band, sig) groupBy with in-bucket
+    * pair expansion (map-side, no self-join); verification is two
+    * broadcast joins of the candidate-bounded pair frame against the
+    * per-doc shingle-hash ARRAYS with an `array_intersect` — no
+    * corpus-wide explode, no intersection shuffle. The only shuffles in
+    * the whole pipeline are the bucket groupBy and the cross-band pair
+    * distinct, both over fixed-width keys.
+    *
+    * The in-bucket expansion is quadratic in BUCKET size — the same
+    * near-dup collision mass the self-join formulation pays, just
+    * without the join machinery. The returned frame is checkpointed
+    * (it is candidate-bounded tiny) so the corpus-sized base blocks are
+    * freed before returning. */
   def minHashLshPairs(docs: DataFrame, id: String, text: String,
       n: Int = 4, k: Int = 16, bands: Int = 4,
       threshold: Double = 0.5): DataFrame = {
-    // ONE corpus pass feeds both halves of the pipeline: the fused
-    // kernel digests each shingle once and emits the signature (for
-    // banding) and the shingle-hash set (for verification) together —
-    // bit-identical values to the separate kernels, but the
-    // tokenize+shingle+md5 scan (the CPU hot spot) runs once, not
-    // twice. The base is materialized because its two consumers (and
-    // verification's three) run as independent AQE stage jobs; the
-    // checkpointed rows are compact (k×20-char signature + 8 bytes per
-    // shingle — never the raw n-gram text).
     val base = tokenized(docs, id, text, n)
       .select(col(id), graft.functions.TextHashAggregators
         .minhashWithHalves(shingles("toks", n), k).as("__s"))
       .select(col(id), col("__s.mh").as("mh"), col("__s.hs").as("hs"))
       .localCheckpoint(true)
-    val cands = lshCandidatePairs(base.select(col(id), col("mh").as("mh")), id, k, bands)
-      .localCheckpoint(true)
-    // distinct AFTER the per-doc explode, same as shingleSet; still
-    // materialized once for verifiedJaccard's three consumers
-    val shingleSets = base.select(col(id), explode(col("hs")).as("sh"))
+    val banded = bandedSignatures(base.select(col(id), col("mh")), id, k, bands)
+    val cands = banded.groupBy("band", "sig")
+      .agg(collect_list(col(id)).as("__ids"))
+      .filter(size(col("__ids")) > 1)
+      // all i<j pairs within the bucket, normalized least-first so the
+      // cross-band distinct collapses mirrored orderings
+      .select(explode(expr(
+        """flatten(transform(__ids, (x, i) ->
+          |  transform(slice(__ids, i + 2, size(__ids) - i - 1), y ->
+          |    named_struct('id_a', least(x, y), 'id_b', greatest(x, y)))))"""
+          .stripMargin)).as("__p"))
+      .select(col("__p.id_a").as("id_a"), col("__p.id_b").as("id_b"))
       .distinct()
+    // per-doc shingle SET = distinct of the kernel's per-shingle halves
+    val sets = base.select(col(id), array_distinct(col("hs")).as("__hs"))
+    // each join's build side stays candidate-bounded: cands, then the
+    // (still pair-sized) half-enriched frame — the corpus-sized sets
+    // frame is always the stream side, so verification never shuffles
+    val withA = broadcast(cands)
+      .join(sets.select(col(id).as("id_a"), col("__hs").as("__hsa")), "id_a")
+    val out = broadcast(withA)
+      .join(sets.select(col(id).as("id_b"), col("__hs").as("__hsb")), "id_b")
+      .withColumn("__inter", size(array_intersect(col("__hsa"), col("__hsb"))))
+      .withColumn("jaccard", col("__inter").cast("double") /
+        (size(col("__hsa")) + size(col("__hsb")) - col("__inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
       .localCheckpoint(true)
-    freeLocalCheckpoint(base) // both derivations are materialized
-    verifiedJaccard(cands, shingleSets, id, threshold)
+    freeLocalCheckpoint(base)
+    out
   }
 
   /** Connected components over a near-duplicate pair graph: every doc
@@ -353,33 +382,22 @@ object Dedup {
     * Jaccard misses. */
   def winnowingFingerprints(docs: DataFrame, id: String, text: String,
       n: Int = 4, window: Int = 5): DataFrame = {
-    val sh = docs
-      // pre-partition by id: the per-doc window below needs exactly this
-      // partitioning, so the exchange moves COMPACT rows (id, text) once
-      // before the shingle explosion instead of exploded rows after —
-      // and a small single-split scan stops serializing the CPU-bound
-      // explode+md5 on one core. The partition count is EXPLICIT:
-      // repartition(col) alone is coalescible by AQE, which would fold a
-      // small input right back to one partition before the heavy work.
+    val w = window
+    docs
+      // spread the CPU-bound md5 pass: a small single-split scan would
+      // otherwise serialize it on one core. The partition count is
+      // EXPLICIT: repartition(col) alone is coalescible by AQE, which
+      // would fold a small input right back to one partition.
       .repartition(docs.sparkSession.conf
         .get("spark.sql.shuffle.partitions", "32").toInt, col(id))
       .select(col(id), split(col(text), " ").as("toks"))
       .filter(size(col("toks")) >= n)
-      .select(col(id), posexplode(shingles("toks", n)))
-      .withColumnsRenamed(Map("pos" -> "__pos", "col" -> "__sh"))
-      .select(col(id), col("__pos"), md5(col("__sh")).as("__h"))
-    val w = Window.partitionBy(id).orderBy("__pos")
-      .rowsBetween(-(window - 1), Window.currentRow)
-    val counts = Window.partitionBy(id)
-    sh.withColumn("__wmin", min("__h").over(w))
-      .withColumn("__nsh", count(lit(1)).over(counts))
-      // full windows select; a doc with fewer than `window` shingles
-      // still emits the min over its whole (partial) window — dropping
-      // it entirely would make short docs invisible to containment
-      .filter(col("__pos") >= window - 1 ||
-        (col("__nsh") < window && col("__pos") === col("__nsh") - 1))
-      .select(col(id), col("__wmin").as("fp"))
-      .distinct()
+      // one fused kernel call per doc does shingle→md5→window-min→
+      // distinct (TextHashAggregators.winnowData): NARROW — no explode,
+      // no per-shingle rows, no window sort; the explode that follows
+      // is over the tiny per-doc fingerprint set (~1/window of shingles)
+      .select(col(id),
+        explode(TextHashAggregators.winnow(col("toks"), n, w)).as("fp"))
   }
 
   /** 64-bit SimHash per document as a 16-hex signature — one narrow

@@ -334,16 +334,24 @@ object DedupQueries {
   val q47 = Q(
     "q47_winnow_containment",
     (s, d) => {
-      // the self-join references the fingerprint frame twice:
-      // materialize once so AQE's independent join-side subtrees don't
-      // each recompute the winnowing pass
-      val fps = graft.operators.Dedup
+      // one (fp → doc list) groupBy with in-bucket pair expansion
+      // replaces the fp self-join: the fingerprint frame is referenced
+      // ONCE (no materialization needed), each shared fp contributes
+      // one count to each of its bucket's i<j pairs, and the quadratic
+      // mass stays bounded by fp-collision bucket size — the same
+      // shape Dedup.minHashLshPairs uses for LSH buckets
+      graft.operators.Dedup
         .winnowingFingerprints(Tables.documents(s, d), "doc_id", "text",
           n = ShingleN, window = 5)
-        .localCheckpoint(true)
-      fps.select(col("doc_id").as("doc_a"), col("fp"))
-        .join(fps.select(col("doc_id").as("doc_b"), col("fp")), "fp")
-        .filter(col("doc_a") < col("doc_b"))
+        .groupBy("fp")
+        .agg(collect_list(col("doc_id")).as("__ids"))
+        .filter(size(col("__ids")) > 1)
+        .select(explode(expr(
+          """flatten(transform(__ids, (x, i) ->
+            |  transform(slice(__ids, i + 2, size(__ids) - i - 1), y ->
+            |    named_struct('doc_a', least(x, y), 'doc_b', greatest(x, y)))))"""
+            .stripMargin)).as("__p"))
+        .select(col("__p.doc_a").as("doc_a"), col("__p.doc_b").as("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(count(lit(1)).as("shared_fps"))
         .filter(col("shared_fps") >= 3)
