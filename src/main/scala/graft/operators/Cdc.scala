@@ -73,6 +73,52 @@ object Cdc {
           .otherwise("unchanged").as("status"))
   }
 
+  /** Replay-safe versioned sink for batch CDC outputs — the
+    * `batch=<id>` overwrite pattern of the streaming sinks
+    * (EventStream.runForeachBatchIdempotent, Pipeline.streamingSyncBlocks)
+    * generalized to batch jobs, so upsert/compaction results are
+    * idempotent under orchestration retries WITHOUT a transactional
+    * table format: each run writes its whole result under
+    * `path/v=<version>` with overwrite semantics, so a re-run of the
+    * same version lands in place (run twice ≡ run once) and a
+    * half-written crash victim is simply overwritten by the retry.
+    * `version` is the caller's run/batch id — anything monotone
+    * (orchestrator run id, source watermark, batch id).
+    *
+    * Readers take [[readLatest]] — the highest COMPLETE version (Spark's
+    * `_SUCCESS` marker gates visibility, so a writer dying mid-copy
+    * never serves a torn table). Old versions double as time travel and
+    * are reaped by the caller's retention policy; concurrent WRITERS to
+    * the SAME version are the one thing this does not arbitrate — that
+    * is what a log-backed format (Delta/Iceberg) buys. */
+  def writeVersioned(df: DataFrame, path: String, version: Long): String = {
+    val dir = s"$path/v=$version"
+    df.write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  /** Versions under `path` with a `_SUCCESS` marker, ascending. */
+  def completeVersions(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[Long] = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).toIndexedSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
+      .filter(s => fs.exists(new Path(s.getPath, "_SUCCESS")))
+      .map(_.getPath.getName.stripPrefix("v=").toLong)
+      .sorted
+  }
+
+  /** Read the latest complete version of a [[writeVersioned]] table. */
+  def readLatest(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    val vs = completeVersions(spark, path)
+    require(vs.nonEmpty, s"no complete version under $path")
+    spark.read.parquet(s"$path/v=${vs.last}")
+  }
+
   /** Incremental aggregate maintenance (materialized-view refresh for
     * ADDITIVE aggregates): merge a stored aggregate state with the SAME-
     * shaped aggregate of a delta batch — one full outer join on the

@@ -81,6 +81,42 @@ object Multimodal {
     }
   }
 
+  /** REAL image decoder over the JDK's built-in `javax.imageio` (PNG,
+    * BMP, GIF, JPEG — no external dependency): width/height from the
+    * actual decoded raster, n_frames = 1, mean_byte = mean luminance
+    * ((r+g+b)/3 averaged over every pixel). Proves the `MediaDecoder`
+    * seam carries a real codec through the distributed plumbing
+    * unchanged; payloads ImageIO cannot parse decode to None (the same
+    * null-feature path as empty payloads). Stateless → trivially
+    * serializable; ImageIO readers are obtained per call, which is the
+    * codec-context cost a heavier codec would amortize per partition. */
+  final class JdkImageDecoder extends MediaDecoder {
+    override def decode(fmt: String, bytes: Array[Byte]): Option[(Int, Int, Int, Double)] = {
+      if (bytes == null || bytes.isEmpty) None
+      else {
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          catch { case _: java.io.IOException => null }
+        if (img == null) None
+        else {
+          val (w, h) = (img.getWidth, img.getHeight)
+          var s = 0.0
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              s += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3.0
+              x += 1
+            }
+            y += 1
+          }
+          Some((w, h, 1, s / (w.toLong * h)))
+        }
+      }
+    }
+  }
+
   /** Wrap a text/bytes DataFrame into the media shape: `(media_id,
     * content: binary, meta)`. Used by tests and by q42 to manufacture a
     * deterministic multimodal table from `documents`. */

@@ -309,13 +309,44 @@ object SimilarityQueries {
                                    CAST(b.embedding AS DOUBLE[])) >= 0.4
       ORDER BY vec_a, vec_b"""))
 
+  /** One Lloyd iteration as oracle CTEs: assignment of every vector to
+    * its nearest centroid in `cPrev` (squared distance expanded the same
+    * way the Spark side does, ties to the lower cluster id), then
+    * per-(cluster, dim) means re-assembled into the next centroid list;
+    * an empty cluster keeps its previous centroid — all double math,
+    * matching Similarity.kmeans step for step. */
+  private def kmeansIterSql(i: Int): String = {
+    val (cPrev, a, m, c) = (s"c${i - 1}", s"a$i", s"m$i", s"c$i")
+    s"""
+      $a AS (SELECT vec_id, cluster, dist2 FROM (
+               SELECT vec_id, cluster, dist2,
+                      ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY dist2, cluster) AS rk
+               FROM (SELECT e.vec_id, c.cluster,
+                            list_dot_product(e.x, e.x)
+                              - 2 * list_dot_product(e.x, c.cv)
+                              + list_dot_product(c.cv, c.cv) AS dist2
+                     FROM e CROSS JOIN $cPrev c) t0) t1
+             WHERE rk = 1),
+      $m AS (SELECT a.cluster, g.i AS pos, AVG(e.x[g.i]) AS m
+             FROM $a a JOIN e ON a.vec_id = e.vec_id,
+                  LATERAL (SELECT UNNEST(range(1, len(e.x) + 1)) AS i) g
+             GROUP BY a.cluster, g.i),
+      $c AS (SELECT c.cluster, COALESCE(mm.cv, c.cv) AS cv
+             FROM $cPrev c LEFT JOIN
+                  (SELECT cluster, list(m ORDER BY pos) AS cv
+                   FROM $m GROUP BY cluster) mm USING (cluster))"""
+  }
+
   /** Lloyd k-means cluster profile (operators.Similarity.kmeans — md5-
-    * seeded, deterministic assignment). No SQL oracle: the mean updates
-    * are distributed float sums whose last-ulp order differs across
-    * engines, so cross-engine hashing would pin noise, not semantics —
-    * SimilaritySpec pins the real contracts (nearest-centroid
-    * assignment, monotone SSE, partition-independence) and the driver
-    * records the rows-only check here. */
+    * seeded init, deterministic assignment, 3 iterations). The oracle
+    * replays the ENTIRE algorithm in SQL (seed order, unrolled
+    * iterations, final assignment): every step is double math in both
+    * engines, assignments are discrete (a flip needs a near-exact
+    * distance tie), and the one float-noise-bearing output (sse) is
+    * rounded to 2 dp — so the hash compares semantics, not summation
+    * order. SimilaritySpec additionally pins nearest-centroid
+    * assignment, monotone SSE and partition independence. */
   val q136 = Q(
     "q136_kmeans",
     (s, d) => {
@@ -326,7 +357,27 @@ object SimilarityQueries {
           round(sum("dist2"), 2).as("sse"))
         .orderBy("cluster")
     },
-    None)
+    Some(s"""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+      c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cluster,
+                    x AS cv
+             FROM (SELECT vec_id, x FROM e
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8) s),
+      ${kmeansIterSql(1)},
+      ${kmeansIterSql(2)},
+      ${kmeansIterSql(3)},
+      a4 AS (SELECT vec_id, cluster, dist2 FROM (
+               SELECT vec_id, cluster, dist2,
+                      ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY dist2, cluster) AS rk
+               FROM (SELECT e.vec_id, c.cluster,
+                            list_dot_product(e.x, e.x)
+                              - 2 * list_dot_product(e.x, c.cv)
+                              + list_dot_product(c.cv, c.cv) AS dist2
+                     FROM e CROSS JOIN c3 c) t0) t1
+             WHERE rk = 1)
+      SELECT cluster, COUNT(*) AS n_vectors, ROUND(SUM(dist2), 2) AS sse
+      FROM a4 GROUP BY cluster ORDER BY cluster"""))
 
   def all: Seq[Q] = Seq(q34, q35, q39, q40, q48, q59, q60, q109, q136)
 }

@@ -1,0 +1,105 @@
+package graft.query
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.SparkSession
+
+/** Thin serving shim for the query-chain surface (SURVEY §2.10 Q7): the
+  * reference serves every page's compiled queries as JSON over
+  * `GET /api/{route}.json`
+  * (.evidence/template/src/pages/api/[route].json/+server.js:1-11); this
+  * is the same endpoint over the JDK's built-in `com.sun.net.httpserver`
+  * — no new dependency, no framework.
+  *
+  * A page registry maps route → markdown source; each request compiles
+  * the page's ```sql blocks (QueryChainCompiler — `${ref}` chaining,
+  * circular-reference and unknown-id errors exactly as the reference
+  * surfaces them) and runs them through the shared SparkSession. The
+  * response is one JSON object per query id:
+  * `{"ok":true,"truncated":false,"rows":[...]}` or
+  * `{"ok":false,"error":"Compiler error: circular reference"}` — errors
+  * are per-query, never a 500, mirroring the reference which renders the
+  * error message in the failed query's place while the rest of the page
+  * loads.
+  *
+  * Serving-tier scale notes: `runToJson`'s row cap bounds every
+  * driver-side collect (dashboards read aggregates, and `truncated`
+  * makes a cut-off response self-describing); the server thread pool is
+  * the JDK default executor — a production deployment would front MANY
+  * Spark apps, but the per-request path here (compile → Catalyst →
+  * collect) is exactly what any deployment runs. For a concurrent
+  * multi-tenant gateway, Spark's own Thrift/Connect servers are the
+  * stock answer (SURVEY §2.10 Q8 — out of scope by design).
+  */
+final class QueryServer(
+    spark: SparkSession,
+    pages: Map[String, String],
+    maxRows: Int = 10000) {
+
+  private var server: Option[HttpServer] = None
+  private val route = "^/api/([A-Za-z0-9_-]+)\\.json$".r
+
+  /** Start on `port` (0 = ephemeral); returns the bound port. */
+  def start(port: Int = 0): Int = synchronized {
+    require(server.isEmpty, "QueryServer already started")
+    val s = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+    s.createContext("/api", (exchange: HttpExchange) => handle(exchange))
+    s.start()
+    server = Some(s)
+    s.getAddress.getPort
+  }
+
+  def stop(): Unit = synchronized {
+    server.foreach(_.stop(0))
+    server = None
+  }
+
+  private def handle(exchange: HttpExchange): Unit =
+    try {
+      val path = exchange.getRequestURI.getPath
+      (exchange.getRequestMethod, path) match {
+        case ("GET", route(name)) if pages.contains(name) =>
+          respond(exchange, 200, pageJson(name))
+        case ("GET", route(name)) =>
+          respond(exchange, 404, s"""{"error":"no page '${escape(name)}'"}""")
+        case ("GET", _) =>
+          respond(exchange, 404, """{"error":"not found"}""")
+        case (_, _) =>
+          respond(exchange, 405, """{"error":"method not allowed"}""")
+      }
+    } catch {
+      case e: Exception =>
+        respond(exchange, 500, s"""{"error":"${escape(String.valueOf(e.getMessage))}"}""")
+    } finally exchange.close()
+
+  private def pageJson(name: String): String = {
+    val results = QueryChainCompiler.runToJson(spark, pages(name), maxRows)
+    results.toSeq.sortBy(_._1).map {
+      case (id, Right(r)) =>
+        s""""${escape(id)}":{"ok":true,"truncated":${r.truncated},"rows":[${r.rows.mkString(",")}]}"""
+      case (id, Left(err)) =>
+        s""""${escape(id)}":{"ok":false,"error":"${escape(err)}"}"""
+    }.mkString("{", ",", "}")
+  }
+
+  private def escape(s: String): String =
+    s.flatMap {
+      case '"'           => "\\\""
+      case '\\'          => "\\\\"
+      case '\n'          => "\\n"
+      case '\r'          => "\\r"
+      case '\t'          => "\\t"
+      case c if c < ' '  => f"\\u${c.toInt}%04x"
+      case c             => c.toString
+    }
+
+  private def respond(exchange: HttpExchange, code: Int, body: String): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    exchange.getResponseHeaders.set("Content-Type", "application/json")
+    exchange.sendResponseHeaders(code, bytes.length.toLong)
+    val out = exchange.getResponseBody
+    try out.write(bytes) finally out.close()
+  }
+}

@@ -57,6 +57,44 @@ class CdcSpec extends SparkSpec {
     assert(got == Seq((1L, "new"), (2L, "only")))
   }
 
+  test("writeVersioned: replayed runs land in place (run twice ≡ run once)") {
+    val root = java.nio.file.Files.createTempDirectory("graft-cdc-ver").toString
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "name", "v")
+    val changes = Seq((2L, "b2", 25.0), (4L, "d", 40.0)).toDF("k", "name", "v")
+
+    def runUpsert(): Unit = Cdc.writeVersioned(
+      Cdc.upsert(base, changes, "k"), s"$root/upserted", version = 7L)
+    runUpsert()
+    val once = Cdc.readLatest(spark, s"$root/upserted")
+      .orderBy("k").as[(Long, String, Double)].collect().toSeq
+    runUpsert() // orchestrator retry of the SAME run id
+    runUpsert()
+    val thrice = Cdc.readLatest(spark, s"$root/upserted")
+      .orderBy("k").as[(Long, String, Double)].collect().toSeq
+    assert(once == thrice && once.map(_._1) == Seq(1L, 2L, 3L, 4L))
+
+    // compaction output through the same sink: replay-safe, and a newer
+    // version supersedes without touching the old one (time travel)
+    val log = Seq((1L, 1L, "x"), (1L, 2L, "y"), (2L, 3L, "z"))
+      .toDF("k", "ts", "payload")
+    def runCompact(v: Long, l: org.apache.spark.sql.DataFrame): Unit =
+      Cdc.writeVersioned(
+        Cdc.compactLatest(l, "k", Seq(col("ts").desc)), s"$root/compacted", v)
+    runCompact(1L, log)
+    runCompact(1L, log) // replay
+    assert(Cdc.readLatest(spark, s"$root/compacted")
+      .orderBy("k").as[(Long, Long, String)].collect().toSeq ==
+      Seq((1L, 2L, "y"), (2L, 3L, "z")))
+    runCompact(2L, log.union(Seq((1L, 9L, "w")).toDF("k", "ts", "payload")))
+    assert(Cdc.completeVersions(spark, s"$root/compacted") == Seq(1L, 2L))
+    assert(Cdc.readLatest(spark, s"$root/compacted")
+      .filter("k = 1").head().getString(2) == "w")
+    // the superseded version is still readable (retention is the caller's)
+    assert(spark.read.parquet(s"$root/compacted/v=1")
+      .filter("k = 1").head().getString(2) == "y")
+  }
+
   test("tableDiff classifies keys null-safely") {
     val v1 = Seq((1L, Some(10.0)), (2L, None), (3L, Some(30.0)), (5L, Some(50.0)))
       .toDF("k", "v")

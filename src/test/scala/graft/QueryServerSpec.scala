@@ -1,0 +1,59 @@
+package graft
+
+import java.net.{HttpURLConnection, URI}
+import java.nio.charset.StandardCharsets
+
+import graft.query.QueryServer
+
+/** Drives the Q7 serving shim over real HTTP: a chained page's queries
+  * come back as JSON rows, per-query errors (circular reference) surface
+  * in the failed query's slot exactly as the reference renders them, and
+  * unknown routes 404. */
+class QueryServerSpec extends SparkSpec {
+
+  private def get(port: Int, path: String): (Int, String) = {
+    val conn = URI.create(s"http://127.0.0.1:$port$path").toURL
+      .openConnection().asInstanceOf[HttpURLConnection]
+    conn.setRequestMethod("GET")
+    val code = conn.getResponseCode
+    val in = if (code >= 400) conn.getErrorStream else conn.getInputStream
+    val body = new String(in.readAllBytes(), StandardCharsets.UTF_8)
+    conn.disconnect()
+    (code, body)
+  }
+
+  test("GET /api/{route}.json serves a chained page's queries as JSON rows") {
+    Tables.nation(spark, sf("sf0.001")).createOrReplaceTempView("nation")
+    val page =
+      """# Nations
+        |```sql regions
+        |SELECT n_regionkey, count(*) AS n FROM nation GROUP BY n_regionkey
+        |```
+        |```sql biggest
+        |SELECT n_regionkey, n FROM ${regions} ORDER BY n DESC, n_regionkey LIMIT 1
+        |```
+        |```sql broken
+        |SELECT * FROM ${broken}
+        |```
+      """.stripMargin
+    val srv = new QueryServer(spark, Map("nations" -> page), maxRows = 3)
+    val port = srv.start()
+    try {
+      val (code, body) = get(port, "/api/nations.json")
+      assert(code == 200, body)
+      // chained query executed through Spark and serialized as rows
+      assert(body.contains(""""biggest":{"ok":true,"truncated":false,"rows":[{"n_regionkey":"""),
+        body)
+      // row cap: 5 region groups, maxRows=3 → truncated flag set
+      assert(body.contains(""""regions":{"ok":true,"truncated":true"""), body)
+      // the cycle error lands in ITS query's slot; the page still serves
+      assert(body.contains(
+        s""""broken":{"ok":false,"error":"${query.QueryChainCompiler.CircularRefError}"}"""),
+        body)
+
+      val (missing, mbody) = get(port, "/api/nope.json")
+      assert(missing == 404 && mbody.contains("no page"), mbody)
+      assert(get(port, "/api/definitely/not/here")._1 == 404)
+    } finally srv.stop()
+  }
+}
