@@ -79,16 +79,39 @@ object Similarity {
       .withColumnRenamed("anchor_id", "cell")
   }
 
+  /** Multi-probe IVF assignment: one row per (vector, probed cell) for
+    * the vector's `nprobe` nearest anchors — rank 1 is [[ivfAssign]]'s
+    * home cell, rank 2 the second-nearest, etc. Ranking rounds the
+    * cosine first (cross-engine reproducibility, see [[ivfAssign]]);
+    * zero-norm vectors probe the lowest-id anchors via the nanvl(-1)
+    * rule. */
+  def ivfAssignProbes(emb: DataFrame, anchors: DataFrame, id: String,
+      nprobe: Int, roundAt: Int = 4): DataFrame = {
+    require(nprobe >= 1)
+    val byCos = Window.partitionBy(id).orderBy(desc("acos"), asc("anchor_id"))
+    emb.crossJoin(broadcast(anchors))
+      .withColumn("acos",
+        round(nanvl(vec.cosine(col("embedding"), col("av")), lit(-1.0)), roundAt))
+      .withColumn("probe_rk", row_number().over(byCos))
+      .filter(col("probe_rk") <= nprobe)
+      .drop("av", "acos")
+      .withColumnRenamed("anchor_id", "cell")
+  }
+
   /** All-pairs near-dup, bucketed: assign vectors to IVF cells and pair
-    * only within a cell — candidate count drops from n²/2 to
-    * Σ|cell|²/2. An approximation by design: a pair straddling two cells
-    * is missed (recall rises with fewer/larger cells, or by also pairing
-    * against each vector's second-nearest cell — same trade as LSH
-    * banding for text). This is the 100 TB shape; [[nearDupPairs]] is
-    * the exact baseline it approximates. */
+    * only within a shared cell — candidate count drops from n²/2 to
+    * Σ|cell|²/2 per probe. `nprobe = 2` (default) also pairs against
+    * each vector's second-nearest cell, recovering most pairs that
+    * straddle a cell boundary (both endpoints sit near it, so their
+    * probe SETS usually intersect) for ~2× candidate mass — the same
+    * recall/cost dial as multi-band LSH for text. Still an approximation
+    * by design: [[nearDupPairs]] is the exact baseline it approximates,
+    * and SimilaritySpec pins this variant's recall against it. A pair
+    * colliding in several shared cells is emitted once (pair-key dedup
+    * on fixed-width ids, never embeddings). */
   def nearDupPairsBucketed(emb: DataFrame, anchors: DataFrame, id: String,
-      threshold: Double): DataFrame = {
-    val assigned = ivfAssign(emb, anchors, id)
+      threshold: Double, nprobe: Int = 2): DataFrame = {
+    val assigned = ivfAssignProbes(emb, anchors, id, nprobe)
       .select(col(id), col("embedding"), col("cell"),
         vec.norm(col("embedding")).as("nrm"))
       .filter(col("nrm") > 0) // see nearDupPairs: NaN would pass any threshold
@@ -101,6 +124,7 @@ object Similarity {
       .withColumn("sim", vec.dot(col("ea"), col("eb")) / (col("na") * col("nb")))
       .filter(col("sim") >= threshold)
       .select("id_a", "id_b", "sim")
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** Persist the IVF assignment as a cell-bucketed table: the one-off

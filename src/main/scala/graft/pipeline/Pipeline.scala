@@ -183,6 +183,81 @@ final class Pipeline(
       .start()
   }
 
+  /** The tx half of the streaming sync: `readStream` over `/tx_search`
+    * pages (same DSv2 source, `kind = txs`) → the three tx flatteners →
+    * time-enriched, hive-partitioned zones, one streaming query feeding
+    * ALL of tx_result/log_attributes/events — with streamingSyncBlocks
+    * this makes the whole reference pipeline (both raw kinds) run as
+    * streaming queries.
+    *
+    * Same exactly-once device as the blocks stream (each table overwrites
+    * its own `batch=<id>` subtree; the error ledger is append-idempotent),
+    * and the same broadcast bound as the batch parse stage: the
+    * enrichment's blocks side is pruned to THIS batch's height window
+    * (free from the page rows' start/end) before the broadcast join.
+    * Page-overlap duplicates from a mid-chunk degrade collapse on the tx
+    * hash — one raw tx feeds all three flatteners exactly once. */
+  def streamingSyncTxs(fetcherClass: String, startHeight: Long = 1L,
+      chunk: Long = 1000L, maxBlocksPerBatch: Long = 10000L,
+      blocksZoneName: String = "blocks_stream")
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.types.{ArrayType, StructField, StructType}
+    val envelope = StructType(Seq(StructField("result", StructType(Seq(
+      StructField("txs", ArrayType(Flatteners.txSchema)))))))
+    spark.readStream.format("tendermint-rpc")
+      .option("url", apiUrl).option("kind", "txs")
+      .option("start", startHeight).option("chunk", chunk)
+      .option("maxBlocksPerBatch", maxBlocksPerBatch)
+      .option("perPage", perPage)
+      .option("fetcher", fetcherClass)
+      .load()
+      .writeStream
+      .option("checkpointLocation", s"$dataRoot/checkpoints/txs_sync")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        // persist first: this body runs FIVE actions (ledger + span +
+        // three zone writes) and a foreachBatch frame re-executes its
+        // source per action — without the cache each would re-fetch
+        val pages = batch.persist()
+        try {
+          val failed = pages.filter(col("quarantined"))
+            .select("start", "end").collect()
+          if (failed.nonEmpty)
+            graft.ingest.ErrorHeights.append(dataRoot,
+              failed.toIndexedSeq.flatMap(r => r.getLong(0) to r.getLong(1)).distinct)
+          // the batch's height window bounds the enrichment broadcast —
+          // the streaming analog of the batch path's filename-span prune
+          val spanRow = pages.agg(
+            org.apache.spark.sql.functions.min("start"),
+            org.apache.spark.sql.functions.max("end")).head()
+          val span =
+            if (spanRow.isNullAt(0)) None
+            else Some((spanRow.getLong(0), spanRow.getLong(1)))
+          val blocks = enrichmentBlocks(span, blocksZoneName)
+          val raw = pages
+            .filter(col("quarantined") === false && col("body").isNotNull)
+            .select(org.apache.spark.sql.functions.explode(
+              org.apache.spark.sql.functions.from_json(col("body"), envelope)
+                .getField("result").getField("txs")).as("t"))
+            .select("t.*")
+            // a mid-chunk degrade can re-cover already-fetched txs (see
+            // writeRaw's distinct); the chain tx hash is the natural key
+            .dropDuplicates("hash")
+          def land(df: DataFrame, table: String): Unit =
+            Flatteners.enrichTime(df, blocks, hintBroadcast = span.isDefined)
+              .drop("ts")
+              .hint("rebalance", col("year"), col("month"), col("day"))
+              .write.mode("overwrite")
+              .partitionBy("year", "month", "day")
+              .parquet(s"$parsedRoot/${table}_stream/batch=$batchId")
+          land(Flatteners.parseTxResult(raw), "tx_result")
+          land(Flatteners.parseLogAttributes(raw), "log_attributes")
+          land(Flatteners.parseEventsWide(raw), "events")
+        } finally pages.unpersist()
+      }
+      .start()
+  }
+
   /** Parse stage (parse.py:202-226): manifest-filtered raw files →
     * 4 flatteners → time-enriched hive-partitioned parquet. */
   def parse(): Unit = {
@@ -260,8 +335,9 @@ final class Pipeline(
     * pruned to the tx batch's height span (pushed to the parquet scan),
     * or an empty typed frame when the zone doesn't exist yet.
     * Package-visible so PipelineSpec can audit the pruning. */
-  private[graft] def enrichmentBlocks(txSpan: Option[(Long, Long)]): DataFrame = {
-    val blocksZone = Paths.get(s"$parsedRoot/blocks")
+  private[graft] def enrichmentBlocks(txSpan: Option[(Long, Long)],
+      zoneName: String = "blocks"): DataFrame = {
+    val blocksZone = Paths.get(s"$parsedRoot/$zoneName")
     if (Files.isDirectory(blocksZone)) {
       val zone = spark.read.parquet(blocksZone.toString)
         .withColumn("ts", to_timestamp(col("time")))

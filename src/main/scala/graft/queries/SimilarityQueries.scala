@@ -269,12 +269,14 @@ object SimilarityQueries {
       LIMIT 10"""))
 
   /** Bucketed (IVF-celled) near-dup pairs — the 100 TB shape q39
-    * approximates away from: assign every vector to its nearest anchor
-    * cell (one broadcast map pass), pair only within a cell. Candidate
-    * mass drops from n²/2 to Σ|cell|²/2; a pair straddling two cells is
-    * missed by design (recall vs cost dial — same trade as LSH banding).
-    * The oracle mirrors the assignment CTE exactly, so this checks the
-    * approximation's DEFINITION, not just its plumbing. */
+    * approximates away from: assign every vector to its TWO nearest
+    * anchor cells (multi-probe, one broadcast map pass), pair only
+    * within a shared cell, dedup pairs that collide in both. Candidate
+    * mass stays Σ|cell|²-bounded while the second probe recovers most
+    * boundary-straddling pairs (recall vs cost dial — same trade as LSH
+    * banding). The oracle mirrors the 2-probe assignment and the
+    * DISTINCT pair set exactly, so this checks the approximation's
+    * DEFINITION, not just its plumbing. */
   val q109 = Q(
     "q109_embed_neardup_bucketed",
     (s, d) => {
@@ -282,7 +284,7 @@ object SimilarityQueries {
       val anchors = e.filter(col("vec_id") < 8)
         .select(col("vec_id").as("anchor_id"), col("embedding").as("av"))
       graft.operators.Similarity
-        .nearDupPairsBucketed(e, anchors, "vec_id", threshold = 0.4)
+        .nearDupPairsBucketed(e, anchors, "vec_id", threshold = 0.4, nprobe = 2)
         .select(col("id_a").as("vec_a"), col("id_b").as("vec_b"),
           round(col("sim"), 4).as("sim"))
         .orderBy("vec_a", "vec_b")
@@ -300,8 +302,8 @@ object SimilarityQueries {
                             a.anchor_id) AS rk
           FROM embeddings e CROSS JOIN anchors a
           WHERE list_sum(list_transform(CAST(e.embedding AS DOUBLE[]), x -> x * x)) > 0) t
-        WHERE rk = 1)
-      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        WHERE rk <= 2)
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
              ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                           CAST(b.embedding AS DOUBLE[])), 4) AS sim
       FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id

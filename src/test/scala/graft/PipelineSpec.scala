@@ -95,6 +95,35 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(spark.read.parquet(s"$dir/parsed/blocks_stream").count() == 5)
   }
 
+  test("streaming tx sync: tx_search stream -> three zones, exactly-once, enriched") {
+    val dir = Files.createTempDirectory("graft-stream-txs").toString
+    val p = new Pipeline(spark, dir, FakeNode.fetch)
+    // blocks stream first: the tx stream's time enrichment reads its zone
+    p.streamingSyncBlocks(classOf[FakeChainFetcher].getName,
+      startHeight = 1, chunk = 2, maxBlocksPerBatch = 2).awaitTermination()
+    def syncTxs(): Unit =
+      p.streamingSyncTxs(classOf[FakeChainFetcher].getName,
+        startHeight = 1, chunk = 2, maxBlocksPerBatch = 2).awaitTermination()
+    syncTxs()
+
+    val txr = spark.read.parquet(s"$dir/parsed/tx_result_stream")
+    assert(txr.select("height").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 3L, 5L)) // FakeNode: one tx at every odd height
+    // enrichment joined the per-height day strings from the blocks zone
+    assert(txr.filter("height = 3").head().getAs[String]("day") == "2023-08-03")
+    assert(txr.filter("day IS NULL").count() == 0)
+    // all three tx tables flow from the one stream
+    val la = spark.read.parquet(s"$dir/parsed/log_attributes_stream")
+    assert(la.filter("height = 1").head().getAs[String]("value") == "100uakt")
+    val ev = spark.read.parquet(s"$dir/parsed/events_stream")
+    assert(ev.filter("height = 5").head().getAs[String]("transfer_amount") == "500uakt")
+
+    syncTxs() // tip unchanged: a re-run must add nothing (exactly-once)
+    assert(spark.read.parquet(s"$dir/parsed/tx_result_stream").count() == 3)
+    assert(spark.read.option("mergeSchema", "true")
+      .parquet(s"$dir/parsed/events_stream").count() == 3)
+  }
+
   test("streaming sync: quarantined pages land in the error ledger, not the void") {
     // heights 3-4: count probe (page=1&per_page=1) succeeds; every real
     // page fails → degrade to per_page 1 covers height 3, then page 2

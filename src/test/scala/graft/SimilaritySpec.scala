@@ -51,22 +51,55 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     val lowT = 0.15 // low threshold so the tiny corpus yields pairs
     val exact = Similarity.nearDupPairs(emb, "vec_id", lowT)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val bucketed = Similarity.nearDupPairsBucketed(emb, anchors, "vec_id", lowT)
+    val single = Similarity.nearDupPairsBucketed(emb, anchors, "vec_id", lowT,
+        nprobe = 1)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     // sound: every bucketed pair is a true pair
-    assert(bucketed.subsetOf(exact), s"false pairs: ${bucketed.diff(exact)}")
-    // complete within cells: a pair sharing a cell must be found
+    assert(single.subsetOf(exact), s"false pairs: ${single.diff(exact)}")
+    // complete within cells: a pair sharing a home cell must be found
     val cells = Similarity.ivfAssign(emb, anchors, "vec_id")
       .select("vec_id", "cell").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val sameCellExact = exact.filter { case (x, y) => cells(x) == cells(y) }
-    assert(bucketed == sameCellExact)
+    assert(single == sameCellExact)
     // and the candidate space genuinely shrinks
     val n = emb.count()
     val cellSizes = cells.values.groupBy(identity).map(_._2.size.toLong)
     val bucketedCand = cellSizes.map(c => c * (c - 1) / 2).sum
     assert(bucketedCand < n * (n - 1) / 2 / 2,
       s"bucketing should cut candidates: $bucketedCand vs ${n * (n - 1) / 2}")
+    // the second probe only ADDS true pairs: sound, and recall never
+    // drops below single-probe
+    val multi = Similarity.nearDupPairsBucketed(emb, anchors, "vec_id", lowT,
+        nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(multi.subsetOf(exact), s"false pairs: ${multi.diff(exact)}")
+    assert(single.subsetOf(multi),
+      s"second probe lost pairs: ${single.diff(multi)}")
+  }
+
+  test("second-probe recall vs the exact q39 baseline at sf0.1") {
+    // the q39/q109 operating point: threshold 0.4 over the sf0.1 corpus
+    val e = Tables.embeddings(spark, sf("sf0.1"))
+    val a = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("anchor_id"), col("embedding").as("av"))
+    val exact = Similarity.nearDupPairs(e, "vec_id", 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def bucketedPairs(np: Int) =
+      Similarity.nearDupPairsBucketed(e, a, "vec_id", 0.4, nprobe = np)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val single = bucketedPairs(1)
+    val multi = bucketedPairs(2)
+    assert(multi.subsetOf(exact), s"false pairs: ${multi.diff(exact)}")
+    assert(single.subsetOf(multi), s"lost pairs: ${single.diff(multi)}")
+    if (exact.nonEmpty) {
+      val rSingle = single.size.toDouble / exact.size
+      val rMulti = multi.size.toDouble / exact.size
+      assert(rMulti >= rSingle,
+        s"second probe reduced recall: $rMulti < $rSingle")
+      info(f"recall vs exact: single-probe $rSingle%.3f, 2-probe $rMulti%.3f " +
+        s"(${exact.size} true pairs)")
+    }
   }
 
   test("IVF recall vs brute force on the probed fraction") {
