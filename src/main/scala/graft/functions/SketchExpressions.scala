@@ -66,10 +66,69 @@ case class CmsProbe(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Codegen'd membership probe against a DRIVER-BUILT Bloom filter
+  * (`DataFrameStatFunctions.bloomFilter`) — the read half of that
+  * surface, which otherwise forces a scalar UDF per probe. Unlike
+  * [[CmsProbe]] this sits on the HOT path (it pre-filters a fact table
+  * row-by-row before a join), so it carries a real `doGenCode`: the
+  * filter object rides the codegen references array
+  * (`ctx.addReferenceObj`, the same device Spark's own runtime
+  * bloom-join filter uses) and each row pays one inlined
+  * `mightContainLong`/`mightContainBinary` call inside whole-stage
+  * codegen — no UDF boxing, no Row round-trip.
+  *
+  * String probes hash the UTF-8 bytes directly (`mightContainBinary`),
+  * which is bit-identical to `putString`'s ingestion; long/int probes
+  * take the widened long. */
+case class BloomMightContain(bloom: org.apache.spark.util.sketch.BloomFilter,
+    child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType | org.apache.spark.sql.types.IntegerType | StringType =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bloom_might_contain requires a long/int/string probe, got ${other.sql}")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def prettyName: String = "bloom_might_contain"
+
+  override protected def nullSafeEval(v: Any): Any = child.dataType match {
+    case LongType => bloom.mightContainLong(v.asInstanceOf[Long])
+    case org.apache.spark.sql.types.IntegerType =>
+      bloom.mightContainLong(v.asInstanceOf[Int].toLong)
+    case StringType =>
+      bloom.mightContainBinary(v.asInstanceOf[UTF8String].getBytes)
+  }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val bf = ctx.addReferenceObj("bloomFilter", bloom,
+      classOf[org.apache.spark.util.sketch.BloomFilter].getName)
+    nullSafeCodeGen(ctx, ev, c => child.dataType match {
+      case LongType =>
+        s"${ev.value} = $bf.mightContainLong($c);"
+      case org.apache.spark.sql.types.IntegerType =>
+        s"${ev.value} = $bf.mightContainLong((long) $c);"
+      case StringType =>
+        s"${ev.value} = $bf.mightContainBinary($c.getBytes());"
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BloomMightContain =
+    copy(child = newChild)
+}
+
 /** Column-level entry points for the sketch probes. */
 object sketch {
   import org.apache.spark.sql.GraftBridge.{column, expression}
 
   def cmsProbe(sk: Column, item: Column): Column =
     column(CmsProbe(expression(sk), expression(item)))
+
+  def bloomMightContain(bf: org.apache.spark.util.sketch.BloomFilter,
+      probe: Column): Column =
+    column(BloomMightContain(bf, expression(probe)))
 }

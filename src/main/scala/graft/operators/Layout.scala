@@ -139,19 +139,18 @@ object Layout {
     val jt = joinType.toLowerCase.replace("_", "").replace("outer", "")
     require(jt == "inner" || jt == "leftsemi" || jt == "semi",
       s"bloomPrunedJoin preserves results only for inner/left_semi joins, got '$joinType'")
-    val bf = dim.stat.bloomFilter(key, expectedItems, fpp)
-    val bc = fact.sparkSession.sparkContext.broadcast(bf)
-    val might = fact.schema(key).dataType match {
-      case LongType | IntegerType =>
-        udf((k: java.lang.Long) => k != null && bc.value.mightContainLong(k))
-          .apply(col(key).cast("long"))
-      case StringType =>
-        udf((k: String) => k != null && bc.value.mightContainString(k))
-          .apply(col(key))
-      case other =>
-        throw new IllegalArgumentException(
-          s"bloomPrunedJoin supports long/int/string keys, got $other")
+    fact.schema(key).dataType match {
+      case LongType | IntegerType | StringType => ()
+      case other => throw new IllegalArgumentException(
+        s"bloomPrunedJoin supports long/int/string keys, got $other")
     }
+    val bf = dim.stat.bloomFilter(key, expectedItems, fpp)
+    // codegen'd membership probe (graft.functions.BloomMightContain):
+    // the filter rides the codegen references array, each row pays one
+    // inlined mightContain call inside WholeStageCodegen — no scalar-UDF
+    // boxing on the per-row hot path. NULL keys probe as null → filter
+    // drops them, same as the join would.
+    val might = graft.functions.sketch.bloomMightContain(bf, col(key))
     fact.filter(might).join(dim, Seq(key), joinType)
   }
 

@@ -175,6 +175,17 @@ class LayoutSpec extends AnyFunSuite with SparkSpec {
     val bf = dim.stat.bloomFilter("l_orderkey", 1000, 0.01)
     val kept = fact.collect().count(r => bf.mightContainLong(r.getLong(0)))
     assert(kept < fact.count() / 10, s"bloom kept $kept rows")
+    // the probe is a codegen'd expression, not a scalar UDF
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("bloom_might_contain"), plan)
+    assert(!plan.contains("UDF"), s"scalar UDF on the probe path:\n$plan")
+    // string keys go through the UTF-8 mightContainBinary path
+    val sdim = dim.select(col("l_orderkey").cast("string").as("k"))
+    val sfact = fact.select(col("l_orderkey").cast("string").as("k"),
+      col("l_quantity"))
+    assert(Layout.bloomPrunedJoin(sfact, sdim, "k", expectedItems = 1000)
+      .collect().toSet ===
+      sfact.join(sdim, Seq("k")).collect().toSet)
     // semi keeps fact rows with a dim match — prefilter-safe
     val semi = Layout.bloomPrunedJoin(fact, dim.select("l_orderkey"),
       "l_orderkey", expectedItems = 1000, joinType = "left_semi")
