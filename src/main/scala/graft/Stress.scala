@@ -92,11 +92,10 @@ object Stress {
       val cut = (mult - 1).toLong * 10000000L
       val old = docs.filter(col("doc_id") < cut)
       val fresh = docs.filter(col("doc_id") >= cut)
-      val sigs = Dedup.minHashSignatures(old, "doc_id", "text").localCheckpoint(true)
-      val shs = Dedup.shingleSet(old, "doc_id", "text", 4).localCheckpoint(true)
-      sigs.count(); shs.count() // index build = the amortized one-off, not timed
+      val index = Dedup.indexDocs(old, "doc_id", "text").localCheckpoint(true)
+      index.count() // index build = the amortized one-off, not timed
       time("incremental_lsh_append") {
-        Dedup.incrementalLshPairs(sigs, shs, fresh, "doc_id", "text").count()
+        Dedup.incrementalLshPairs(index, fresh, "doc_id", "text").count()
       }
     }
 

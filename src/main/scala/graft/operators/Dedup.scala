@@ -39,19 +39,21 @@ object Dedup {
     docs.select(col(id), split(col(text), " ").as("toks"))
       .filter(size(col("toks")) >= n)
 
-  /** Distinct (id, shingle-hash) pairs. The shingle is collapsed to its
-    * 64-bit md5 half BEFORE the distinct: everything downstream
-    * (distinct, size counts, the intersection join) shuffles 8-byte keys
-    * instead of raw n-gram text — at 10× corpus this halved the whole
-    * verification stage. Set cardinalities and intersection counts are
-    * unchanged modulo md5 collisions (2^-64/pair; one would fail the
-    * DuckDB hash-compare loudly). */
-  def shingleSet(docs: DataFrame, id: String, text: String, n: Int): DataFrame =
+  /** The LSH document index: one row per doc with the MinHash signature
+    * (for banding) and the DISTINCT shingle-hash set as an array (for
+    * verification) — both from ONE fused kernel pass that digests each
+    * shingle once. This is the canonical stored-index shape the
+    * incremental path persists between batches: fixed-width per doc
+    * (k×20-char signature + 8 bytes/distinct shingle, never raw text),
+    * and verification joins carry whole docs' sets as single rows
+    * instead of exploding to per-shingle rows. */
+  def indexDocs(docs: DataFrame, id: String, text: String,
+      n: Int = 4, k: Int = 16): DataFrame =
     tokenized(docs, id, text, n)
-      .select(col(id), explode(shingles("toks", n)).as("__sh"))
-      .select(col(id),
-        graft.functions.TextHashAggregators.md5Half(col("__sh")).as("sh"))
-      .distinct()
+      .select(col(id), graft.functions.TextHashAggregators
+        .minhashWithHalves(shingles("toks", n), k).as("__s"))
+      .select(col(id), col("__s.mh").as("mh"),
+        array_distinct(col("__s.hs")).as("hs"))
 
   /** Exact-duplicate groups keyed by content digest (md5 — the shuffle
     * key is 16 bytes regardless of document size). */
@@ -111,86 +113,66 @@ object Dedup {
   }
 
   /** Incremental near-dup maintenance — the append-a-shard path a 100 TB
-    * corpus actually runs: keep the per-document MinHash signatures and
-    * shingle-hash sets from previous batches (both fixed-width, tiny
-    * next to the raw text), and when a new batch of documents arrives
-    * compute ONLY the pairs that touch a new document (new↔old and
-    * new↔new). Old↔old pairs were reported by earlier batches and are
-    * never re-verified, so ingest cost is proportional to the BATCH
-    * (plus one bucket join against the stored index), not the corpus.
+    * corpus actually runs: keep the per-document [[indexDocs]] frame
+    * from previous batches (fixed-width per doc, tiny next to the raw
+    * text), and when a new batch of documents arrives compute ONLY the
+    * pairs that touch a new document (new↔old and new↔new). Old↔old
+    * pairs were reported by earlier batches and are never re-verified,
+    * so ingest cost is proportional to the BATCH (plus one bucket
+    * aggregation over the stored index), not the corpus.
+    *
+    * Same stage shape as [[minHashLshPairs]]: one (band, sig) groupBy
+    * over old ∪ new with in-bucket pair expansion (old↔old pairs are
+    * dropped INSIDE the bucket lambda, before the explode), then the
+    * broadcast array-intersect verification — the stored index never
+    * explodes to per-shingle rows on the append path.
     *
     * Invariant (IncrementalLshSpec): previous pairs ∪ this result ==
     * `minHashLshPairs` over the whole corpus, for any batch split.
-    *
-    * `oldSignatures`/`oldShingles` are the stored index frames from
-    * `minHashSignatures`/`shingleSet` (or the previous call's updated
-    * union). Returns the new pairs `(id_a, id_b, jaccard)` with ids
-    * normalized least-first. */
+    * Returns the new pairs `(id_a, id_b, jaccard)`, ids least-first. */
   def incrementalLshPairs(
-      oldSignatures: DataFrame, oldShingles: DataFrame,
-      newDocs: DataFrame, id: String, text: String,
+      oldIndex: DataFrame, newDocs: DataFrame, id: String, text: String,
       n: Int = 4, k: Int = 16, bands: Int = 4,
       threshold: Double = 0.5): DataFrame = {
-    // ONE batch scan feeds signatures AND shingle hashes (same fusion
-    // as minHashLshPairs — the kernel digests each shingle once); both
-    // derivations are materialized because each feeds two consumers
-    // (bucket join + verification) and the scan is the CPU hot spot
-    val newBase = tokenized(newDocs, id, text, n)
-      .select(col(id), graft.functions.TextHashAggregators
-        .minhashWithHalves(shingles("toks", n), k).as("__s"))
-      .select(col(id), col("__s.mh").as("mh"), col("__s.hs").as("hs"))
-      .localCheckpoint(true)
-    val newBand = bandedSignatures(newBase.select(col(id), col("mh")), id, k, bands)
-      .localCheckpoint(true)
-    // probe side = new batch only; build side = stored index ∪ new
-    // batch. Old↔old bucket collisions never form because the probe
-    // side contains no old documents.
-    val allBand = bandedSignatures(oldSignatures, id, k, bands).union(newBand)
-    val cands = newBand.select(col(id).as("__na"), col("band"), col("sig"))
-      .join(allBand.select(col(id).as("__nb"), col("band"), col("sig")),
-        Seq("band", "sig"))
-      .filter(col("__na") =!= col("__nb"))
-      .select(least(col("__na"), col("__nb")).as("id_a"),
-        greatest(col("__na"), col("__nb")).as("id_b"))
+    val newIndex = indexDocs(newDocs, id, text, n, k).localCheckpoint(true)
+    val tagged = (isNew: Boolean, idx: DataFrame) =>
+      bandedSignatures(idx.select(col(id), col("mh")), id, k, bands)
+        .withColumn("__nw", lit(isNew))
+    val cands = tagged(false, oldIndex).union(tagged(true, newIndex))
+      .groupBy("band", "sig")
+      .agg(collect_list(struct(col(id).as("i"), col("__nw").as("nw"))).as("__ids"))
+      .filter(size(col("__ids")) > 1)
+      .select(explode(expr(
+        """filter(flatten(transform(__ids, (x, i) ->
+          |  transform(slice(__ids, i + 2, size(__ids) - i - 1), y ->
+          |    named_struct('id_a', least(x.i, y.i), 'id_b', greatest(x.i, y.i),
+          |                 'nw', x.nw OR y.nw)))), p -> p.nw)"""
+          .stripMargin)).as("__p"))
+      .select(col("__p.id_a").as("id_a"), col("__p.id_b").as("id_b"))
       .distinct()
-      .localCheckpoint(true)
-    val allShingles = oldShingles
-      .union(newBase.select(col(id), explode(col("hs")).as("sh")).distinct())
-      .localCheckpoint(true)
-    freeLocalCheckpoint(newBase) // both derivations materialized
-    freeLocalCheckpoint(newBand) // only consumer (cands) materialized above
-    verifiedJaccard(cands, allShingles, id, threshold)
+    val sets = oldIndex.select(col(id), col("hs"))
+      .union(newIndex.select(col(id), col("hs")))
+    val out = verifyPairs(cands, sets, id, threshold).localCheckpoint(true)
+    freeLocalCheckpoint(newIndex)
+    out
   }
 
-  /** Exact Jaccard over shingle sets for given candidate pairs only
-    * (semi-join-shaped verification; |candidates| not |corpus|²). */
-  /** `broadcastCandidates`: LSH-colliding pairs are usually sparse, and
-    * Catalyst can't estimate that through the distinct — the hint keeps
-    * the corpus-sized shingle table map-side. On a corpus whose
-    * near-duplicate mass is itself huge (candidates won't fit one
-    * executor), pass false and let the pair join shuffle on id. */
-  def verifiedJaccard(candidates: DataFrame, shingleSets: DataFrame,
-      id: String, threshold: Double,
-      broadcastCandidates: Boolean = true): DataFrame = {
-    val sizes = shingleSets.groupBy(col(id)).agg(count(lit(1)).as("n"))
-    // size lookups stay CANDIDATE-bounded: the sparse candidate set is
-    // broadcast against the corpus-sized size table first (map-side, no
-    // shuffle of sizes), and the enriched — still candidate-sized —
-    // frame is broadcast once more against the intersection counts.
-    // Never broadcast `sizes` itself: it is one row per DOCUMENT and
-    // does not fit the sparse-candidate assumption at corpus scale.
-    val c = if (broadcastCandidates) broadcast(candidates) else candidates
-    val withSizes = c
-      .join(sizes.select(col(id).as("id_a"), col("n").as("na")), "id_a")
-      .join(sizes.select(col(id).as("id_b"), col("n").as("nb")), "id_b")
-    c.join(shingleSets.select(col(id).as("id_a"), col("sh")), "id_a")
-      .join(shingleSets.select(col(id).as("id_b"), col("sh")), Seq("id_b", "sh"))
-      .groupBy("id_a", "id_b")
-      .agg(count(lit(1)).as("inter"))
-      .join(if (broadcastCandidates) broadcast(withSizes) else withSizes,
-        Seq("id_a", "id_b"))
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+  /** Exact-Jaccard verification of candidate pairs against per-doc
+    * shingle-hash SETS (`sets` = (id, hs array), e.g. [[indexDocs]]):
+    * two broadcast joins — cands against the id_a sets, the (still
+    * pair-sized) half-enriched frame against the id_b sets — and one
+    * `array_intersect` per pair. The corpus-sized sets frame is always
+    * the STREAM side, so verification never shuffles; candidate pairs
+    * must be sparse enough to broadcast (LSH collisions are). */
+  private def verifyPairs(cands: DataFrame, sets: DataFrame, id: String,
+      threshold: Double): DataFrame = {
+    val withA = broadcast(cands)
+      .join(sets.select(col(id).as("id_a"), col("hs").as("__hsa")), "id_a")
+    broadcast(withA)
+      .join(sets.select(col(id).as("id_b"), col("hs").as("__hsb")), "id_b")
+      .withColumn("__inter", size(array_intersect(col("__hsa"), col("__hsb"))))
+      .withColumn("jaccard", col("__inter").cast("double") /
+        (size(col("__hsa")) + size(col("__hsb")) - col("__inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
@@ -217,13 +199,9 @@ object Dedup {
   def minHashLshPairs(docs: DataFrame, id: String, text: String,
       n: Int = 4, k: Int = 16, bands: Int = 4,
       threshold: Double = 0.5): DataFrame = {
-    val base = tokenized(docs, id, text, n)
-      .select(col(id), graft.functions.TextHashAggregators
-        .minhashWithHalves(shingles("toks", n), k).as("__s"))
-      .select(col(id), col("__s.mh").as("mh"), col("__s.hs").as("hs"))
-      .localCheckpoint(true)
-    val banded = bandedSignatures(base.select(col(id), col("mh")), id, k, bands)
-    val cands = banded.groupBy("band", "sig")
+    val base = indexDocs(docs, id, text, n, k).localCheckpoint(true)
+    val cands = bandedSignatures(base.select(col(id), col("mh")), id, k, bands)
+      .groupBy("band", "sig")
       .agg(collect_list(col(id)).as("__ids"))
       .filter(size(col("__ids")) > 1)
       // all i<j pairs within the bucket, normalized least-first so the
@@ -235,20 +213,7 @@ object Dedup {
           .stripMargin)).as("__p"))
       .select(col("__p.id_a").as("id_a"), col("__p.id_b").as("id_b"))
       .distinct()
-    // per-doc shingle SET = distinct of the kernel's per-shingle halves
-    val sets = base.select(col(id), array_distinct(col("hs")).as("__hs"))
-    // each join's build side stays candidate-bounded: cands, then the
-    // (still pair-sized) half-enriched frame — the corpus-sized sets
-    // frame is always the stream side, so verification never shuffles
-    val withA = broadcast(cands)
-      .join(sets.select(col(id).as("id_a"), col("__hs").as("__hsa")), "id_a")
-    val out = broadcast(withA)
-      .join(sets.select(col(id).as("id_b"), col("__hs").as("__hsb")), "id_b")
-      .withColumn("__inter", size(array_intersect(col("__hsa"), col("__hsb"))))
-      .withColumn("jaccard", col("__inter").cast("double") /
-        (size(col("__hsa")) + size(col("__hsb")) - col("__inter")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+    val out = verifyPairs(cands, base.select(col(id), col("hs")), id, threshold)
       .localCheckpoint(true)
     freeLocalCheckpoint(base)
     out

@@ -41,8 +41,7 @@ class IncrementalLshSpec extends SparkSpec {
     val oldOnly = pairSet(Dedup.minHashLshPairs(oldDocs, "doc_id", "text"))
 
     val incr = pairSet(Dedup.incrementalLshPairs(
-      Dedup.minHashSignatures(oldDocs, "doc_id", "text"),
-      Dedup.shingleSet(oldDocs, "doc_id", "text", n = 4),
+      Dedup.indexDocs(oldDocs, "doc_id", "text"),
       newDocs, "doc_id", "text"))
 
     // every incremental pair touches a new document
@@ -63,14 +62,12 @@ class IncrementalLshSpec extends SparkSpec {
     val p0 = pairSet(Dedup.minHashLshPairs(b0, "doc_id", "text"))
 
     val p1 = pairSet(Dedup.incrementalLshPairs(
-      Dedup.minHashSignatures(b0, "doc_id", "text"),
-      Dedup.shingleSet(b0, "doc_id", "text", n = 4),
+      Dedup.indexDocs(b0, "doc_id", "text"),
       b1, "doc_id", "text"))
 
     val b01 = b0.unionByName(b1)
     val p2 = pairSet(Dedup.incrementalLshPairs(
-      Dedup.minHashSignatures(b01, "doc_id", "text"),
-      Dedup.shingleSet(b01, "doc_id", "text", n = 4),
+      Dedup.indexDocs(b01, "doc_id", "text"),
       b2, "doc_id", "text"))
 
     val full = pairSet(Dedup.minHashLshPairs(docs, "doc_id", "text"))
@@ -86,8 +83,7 @@ class IncrementalLshSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     val full = jmap(Dedup.minHashLshPairs(docs, "doc_id", "text"))
     val incr = jmap(Dedup.incrementalLshPairs(
-      Dedup.minHashSignatures(oldDocs, "doc_id", "text"),
-      Dedup.shingleSet(oldDocs, "doc_id", "text", n = 4),
+      Dedup.indexDocs(oldDocs, "doc_id", "text"),
       newDocs, "doc_id", "text"))
     incr.foreach { case (k, j) => assert(full.get(k).contains(j), s"pair $k") }
   }
