@@ -94,9 +94,12 @@ object Multimodal {
     override def decode(fmt: String, bytes: Array[Byte]): Option[(Int, Int, Int, Double)] = {
       if (bytes == null || bytes.isEmpty) None
       else {
+        // NonFatal, not just IOException: ImageIO plugins throw
+        // unchecked exceptions (IllegalArgument, CMMException, ...) on
+        // corrupt payloads, and one bad record must not kill the stage
         val img =
           try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-          catch { case _: java.io.IOException => null }
+          catch { case scala.util.control.NonFatal(_) => null }
         if (img == null) None
         else {
           val (w, h) = (img.getWidth, img.getHeight)

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Coalesce, Expression, Literal, NamedExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -36,10 +36,12 @@ import org.apache.spark.sql.types.LongType
   * exactly such count+sum state incrementally) closes the loop: ingest
   * maintains the MV, the rule routes queries to it.
   *
-  * Scope (v1, by design): sum/count over plain columns, grouping by
-  * plain columns. min/max would re-aggregate the same way; avg must
-  * rewrite to sum/count (not avg of avgs) and is deliberately excluded
-  * rather than half-supported.
+  * Scope (by design): sum/count/min/max over plain columns, grouping
+  * by plain columns — min/max re-aggregate exactly (min of per-group
+  * mins); avg must rewrite to sum/count (not avg of avgs) and is
+  * deliberately excluded rather than half-supported. min/max views are
+  * correct for insert-only maintenance (a delete can strand a stale
+  * extremum — the classic MV limitation).
   */
 object MaterializedViews {
 
@@ -52,13 +54,17 @@ object MaterializedViews {
     *        by a subset)
     * @param sums           base column → mv column holding sum(base col)
     * @param countCol       mv column holding count(*) per group
+    * @param mins           base column → mv column holding min(base col)
+    * @param maxs           base column → mv column holding max(base col)
     */
   final case class MvDef(
       basePathMarker: String,
       mvTable: String,
       groupCols: Set[String],
       sums: Map[String, String],
-      countCol: String)
+      countCol: String,
+      mins: Map[String, String] = Map.empty,
+      maxs: Map[String, String] = Map.empty)
 
   final class Rewrite(spark: SparkSession, defs: Seq[MvDef])
       extends Rule[LogicalPlan] {
@@ -101,6 +107,8 @@ object MaterializedViews {
             // NOT be rewritten to SUM(n) = row count
             case Sum(c: AttributeReference, _)                 => mv.sums.contains(c.name)
             case Count(Seq(Literal(v, _))) if v != null        => true
+            case Min(c: AttributeReference)                    => mv.mins.contains(c.name)
+            case Max(c: AttributeReference)                    => mv.maxs.contains(c.name)
             case _                                             => false
           }
         case _ => false
@@ -137,6 +145,10 @@ object MaterializedViews {
               // global count(*) over an empty base is 0, but SUM over the
               // (empty) MV is NULL — coalesce restores count semantics
               Coalesce(Seq(sum, Literal(0L)))
+            case Min(c: AttributeReference) =>
+              ae.copy(aggregateFunction = Min(mvAttr(mv.mins(c.name))))
+            case Max(c: AttributeReference) =>
+              ae.copy(aggregateFunction = Max(mvAttr(mv.maxs(c.name))))
             case other =>
               throw new IllegalStateException(s"unexpected aggregate $other")
           }

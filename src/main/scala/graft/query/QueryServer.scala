@@ -41,10 +41,21 @@ final class QueryServer(
   private var server: Option[HttpServer] = None
   private val route = "^/api/([A-Za-z0-9_-]+)\\.json$".r
 
-  /** Start on `port` (0 = ephemeral); returns the bound port. */
+  /** Start on `port` (0 = ephemeral); returns the bound port.
+    * Requests run on a cached thread pool, not the server's single
+    * dispatcher thread: Spark schedules jobs from concurrent caller
+    * threads FIFO within one SparkContext, so simultaneous page loads
+    * interleave instead of queueing behind each other — the small-N
+    * concurrent story (the full multi-tenant gateway remains Spark
+    * Thrift/Connect, SURVEY §2.10 Q8). */
   def start(port: Int = 0): Int = synchronized {
     require(server.isEmpty, "QueryServer already started")
     val s = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+    s.setExecutor(java.util.concurrent.Executors.newCachedThreadPool(r => {
+      val t = new Thread(r, "graft-query-server")
+      t.setDaemon(true)
+      t
+    }))
     s.createContext("/api", (exchange: HttpExchange) => handle(exchange))
     s.start()
     server = Some(s)

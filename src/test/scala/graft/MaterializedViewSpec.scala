@@ -71,7 +71,8 @@ class MaterializedViewSpec extends SparkSpec {
         .groupBy("day").agg(sum("cents").as("s"))
       assert(!scanPaths(filtered).contains(mvDir), scanPaths(filtered))
 
-      // NOT covered: an aggregate the view lacks (min) → untouched
+      // NOT covered: an aggregate the view lacks (no min registered) →
+      // untouched
       val minq = spark.read.parquet(baseDir)
         .groupBy("day").agg(min("cents").as("m"))
       assert(!scanPaths(minq).contains(mvDir), scanPaths(minq))
@@ -80,6 +81,40 @@ class MaterializedViewSpec extends SparkSpec {
       val other = Tables.lineitem(spark, sf("sf0.001"))
         .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
       assert(!scanPaths(other).contains(mvDir))
+    } finally MaterializedViews.clear(spark)
+  }
+
+  test("registered min/max re-aggregate from the MV (min of mins)") {
+    val baseDir = java.nio.file.Files.createTempDirectory("graft-mv-mm").toString
+    val mvDir = java.nio.file.Files.createTempDirectory("graft-mv-mmv").toString
+    Tables.events(spark, sf("sf0.001"))
+      .select(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+        col("event_type"),
+        col("value").cast("long").as("v"))
+      .write.mode("overwrite").parquet(baseDir)
+    spark.read.parquet(baseDir)
+      .groupBy("day", "event_type")
+      .agg(count(lit(1)).as("n"), min("v").as("min_v"), max("v").as("max_v"))
+      .write.mode("overwrite").parquet(mvDir)
+    spark.read.parquet(mvDir).createOrReplaceTempView("mv_mm")
+    try {
+      val direct = spark.read.parquet(baseDir)
+        .groupBy("event_type").agg(min("v").as("lo"), max("v").as("hi"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      MaterializedViews.register(spark, Seq(MvDef(
+        baseDir, "mv_mm", Set("day", "event_type"), Map.empty, "n",
+        mins = Map("v" -> "min_v"), maxs = Map("v" -> "max_v"))))
+      // coarser grouping than the view → min of per-group mins
+      val served = spark.read.parquet(baseDir)
+        .groupBy("event_type").agg(min("v").as("lo"), max("v").as("hi"))
+      assert(scanPaths(served).contains(mvDir), scanPaths(served))
+      assert(!scanPaths(served).contains(baseDir))
+      assert(served.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet === direct)
+      // mixing in an unregistered aggregate keeps the whole query on base
+      val mixed = spark.read.parquet(baseDir)
+        .groupBy("event_type").agg(min("v").as("lo"), avg("v").as("a"))
+      assert(!scanPaths(mixed).contains(mvDir), scanPaths(mixed))
     } finally MaterializedViews.clear(spark)
   }
 

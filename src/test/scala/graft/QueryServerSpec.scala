@@ -56,4 +56,29 @@ class QueryServerSpec extends SparkSpec {
       assert(get(port, "/api/definitely/not/here")._1 == 404)
     } finally srv.stop()
   }
+
+  test("concurrent page loads interleave instead of queueing") {
+    Tables.nation(spark, sf("sf0.001")).createOrReplaceTempView("nation")
+    val pages = (1 to 4).map { i =>
+      s"p$i" ->
+        s"""```sql q$i
+           |SELECT n_regionkey, count(*) + $i AS n FROM nation GROUP BY n_regionkey
+           |```
+         """.stripMargin
+    }.toMap
+    val srv = new QueryServer(spark, pages)
+    val port = srv.start()
+    try {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val results = Await.result(
+        Future.sequence((1 to 4).map(i => Future(get(port, s"/api/p$i.json")))),
+        2.minutes)
+      results.zipWithIndex.foreach { case ((code, body), ix) =>
+        assert(code == 200, body)
+        assert(body.contains(s""""q${ix + 1}":{"ok":true"""), body)
+      }
+    } finally srv.stop()
+  }
 }
