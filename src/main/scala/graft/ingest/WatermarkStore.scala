@@ -96,7 +96,12 @@ object ErrorHeights {
       .map(_.trim).filter(_.nonEmpty).map(_.toLong).distinct
   }
 
-  def append(directory: String, heights: Seq[Long]): Unit = {
+  // append is a read-modify-write: serialize it within the JVM — the
+  // blocks and txs streaming queries run their foreachBatch bodies on
+  // concurrent driver threads and share one ledger. (foreachBatch always
+  // executes on the driver, so a JVM lock is sufficient; multiple driver
+  // PROCESSES writing one ledger are out of contract.)
+  def append(directory: String, heights: Seq[Long]): Unit = synchronized {
     if (heights.isEmpty) return
     val p = path(directory)
     Files.createDirectories(p.getParent)

@@ -112,6 +112,27 @@ object Dedup {
       .distinct()
   }
 
+  /** In-bucket i<j pair expansion over a collected id list column: each
+    * bucket's C(m,2) pairs as (id_a, id_b) structs, normalized
+    * least-first so a cross-band distinct collapses mirrored orderings,
+    * with SELF-PAIRS dropped (`id_a <> id_b` — a doc id appearing twice
+    * in one bucket, e.g. duplicate input rows, must not pair with
+    * itself; the old self-join formulation's strict `<` dropped these).
+    * `extraPred` further filters pairs inside the lambda (before the
+    * explode) from the element structs `x`/`y`. */
+  private[graft] def bucketPairs(idsCol: String, aField: String, bField: String,
+      aExpr: String = "x", bExpr: String = "y",
+      extraPred: Option[String] = None): Column = {
+    val guard = extraPred.map(p => s" AND ($p)").getOrElse("")
+    expr(
+      s"""filter(flatten(transform($idsCol, (x, i) ->
+         |  transform(slice($idsCol, i + 2, size($idsCol) - i - 1), y ->
+         |    named_struct('$aField', least($aExpr, $bExpr),
+         |                 '$bField', greatest($aExpr, $bExpr),
+         |                 '__keep', $aExpr <> $bExpr$guard)))),
+         |  p -> p.__keep)""".stripMargin)
+  }
+
   /** Incremental near-dup maintenance — the append-a-shard path a 100 TB
     * corpus actually runs: keep the per-document [[indexDocs]] frame
     * from previous batches (fixed-width per doc, tiny next to the raw
@@ -120,6 +141,11 @@ object Dedup {
     * pairs were reported by earlier batches and are never re-verified,
     * so ingest cost is proportional to the BATCH (plus one bucket
     * aggregation over the stored index), not the corpus.
+    *
+    * PRECONDITION: `oldIndex` and `newDocs` are disjoint on `id` — a doc
+    * present in both would carry two rows into the verification sets
+    * frame and double its intersection counts. (Self-pairs from such an
+    * overlap are guarded regardless.)
     *
     * Same stage shape as [[minHashLshPairs]]: one (band, sig) groupBy
     * over old ∪ new with in-bucket pair expansion (old↔old pairs are
@@ -142,12 +168,9 @@ object Dedup {
       .groupBy("band", "sig")
       .agg(collect_list(struct(col(id).as("i"), col("__nw").as("nw"))).as("__ids"))
       .filter(size(col("__ids")) > 1)
-      .select(explode(expr(
-        """filter(flatten(transform(__ids, (x, i) ->
-          |  transform(slice(__ids, i + 2, size(__ids) - i - 1), y ->
-          |    named_struct('id_a', least(x.i, y.i), 'id_b', greatest(x.i, y.i),
-          |                 'nw', x.nw OR y.nw)))), p -> p.nw)"""
-          .stripMargin)).as("__p"))
+      .select(explode(bucketPairs("__ids", "id_a", "id_b",
+        aExpr = "x.i", bExpr = "y.i",
+        extraPred = Some("x.nw OR y.nw"))).as("__p"))
       .select(col("__p.id_a").as("id_a"), col("__p.id_b").as("id_b"))
       .distinct()
     val sets = oldIndex.select(col(id), col("hs"))
@@ -159,16 +182,22 @@ object Dedup {
 
   /** Exact-Jaccard verification of candidate pairs against per-doc
     * shingle-hash SETS (`sets` = (id, hs array), e.g. [[indexDocs]]):
-    * two broadcast joins — cands against the id_a sets, the (still
-    * pair-sized) half-enriched frame against the id_b sets — and one
-    * `array_intersect` per pair. The corpus-sized sets frame is always
-    * the STREAM side, so verification never shuffles; candidate pairs
-    * must be sparse enough to broadcast (LSH collisions are). */
-  private def verifyPairs(cands: DataFrame, sets: DataFrame, id: String,
-      threshold: Double): DataFrame = {
-    val withA = broadcast(cands)
+    * two broadcast joins — cands against the id_a sets, the half-
+    * enriched frame against the id_b sets — and one `array_intersect`
+    * per pair. The corpus-sized sets frame is always the STREAM side,
+    * so verification never shuffles with `broadcastPairs = true`
+    * (the default; right whenever LSH collisions are sparse). Note the
+    * second broadcast carries each pair's id_a shingle array — on a
+    * corpus whose near-duplicate mass is itself huge (candidate pairs ×
+    * set size approaching broadcast limits), pass `broadcastPairs =
+    * false`: the second join then shuffles both (pair-bounded) halves
+    * on id_b instead of broadcasting arrays. */
+  private[operators] def verifyPairs(cands: DataFrame, sets: DataFrame,
+      id: String, threshold: Double,
+      broadcastPairs: Boolean = true): DataFrame = {
+    val withA = (if (broadcastPairs) broadcast(cands) else cands)
       .join(sets.select(col(id).as("id_a"), col("hs").as("__hsa")), "id_a")
-    broadcast(withA)
+    (if (broadcastPairs) broadcast(withA) else withA)
       .join(sets.select(col(id).as("id_b"), col("hs").as("__hsb")), "id_b")
       .withColumn("__inter", size(array_intersect(col("__hsa"), col("__hsb"))))
       .withColumn("jaccard", col("__inter").cast("double") /
@@ -204,13 +233,7 @@ object Dedup {
       .groupBy("band", "sig")
       .agg(collect_list(col(id)).as("__ids"))
       .filter(size(col("__ids")) > 1)
-      // all i<j pairs within the bucket, normalized least-first so the
-      // cross-band distinct collapses mirrored orderings
-      .select(explode(expr(
-        """flatten(transform(__ids, (x, i) ->
-          |  transform(slice(__ids, i + 2, size(__ids) - i - 1), y ->
-          |    named_struct('id_a', least(x, y), 'id_b', greatest(x, y)))))"""
-          .stripMargin)).as("__p"))
+      .select(explode(bucketPairs("__ids", "id_a", "id_b")).as("__p"))
       .select(col("__p.id_a").as("id_a"), col("__p.id_b").as("id_b"))
       .distinct()
     val out = verifyPairs(cands, base.select(col(id), col("hs")), id, threshold)

@@ -103,12 +103,18 @@ object Multimodal {
         if (img == null) None
         else {
           val (w, h) = (img.getWidth, img.getHeight)
+          // bulk getRGB: one ColorModel conversion per ROW of pixels,
+          // not one virtual call + bounds check per pixel — this loop is
+          // the per-byte hot path the class doc describes. Row-at-a-time
+          // keeps the scratch buffer O(width), not O(pixels).
+          val row = new Array[Int](w)
           var s = 0.0
           var y = 0
           while (y < h) {
+            img.getRGB(0, y, w, 1, row, 0, w)
             var x = 0
             while (x < w) {
-              val rgb = img.getRGB(x, y)
+              val rgb = row(x)
               s += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3.0
               x += 1
             }

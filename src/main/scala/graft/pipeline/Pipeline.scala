@@ -234,15 +234,19 @@ final class Pipeline(
             if (spanRow.isNullAt(0)) None
             else Some((spanRow.getLong(0), spanRow.getLong(1)))
           val blocks = enrichmentBlocks(span, blocksZoneName)
-          val raw = pages
+          val rawAll = pages
             .filter(col("quarantined") === false && col("body").isNotNull)
             .select(org.apache.spark.sql.functions.explode(
               org.apache.spark.sql.functions.from_json(col("body"), envelope)
                 .getField("result").getField("txs")).as("t"))
             .select("t.*")
-            // a mid-chunk degrade can re-cover already-fetched txs (see
-            // writeRaw's distinct); the chain tx hash is the natural key
-            .dropDuplicates("hash")
+          // a mid-chunk degrade can re-cover already-fetched txs (see
+          // writeRaw's distinct); the chain tx hash is the natural key.
+          // NULL hashes (malformed envelope rows) bypass the dedup:
+          // dropDuplicates treats nulls as equal and would silently
+          // collapse every null-hash row to one
+          val raw = rawAll.filter(col("hash").isNotNull).dropDuplicates("hash")
+            .unionByName(rawAll.filter(col("hash").isNull))
           def land(df: DataFrame, table: String): Unit =
             Flatteners.enrichTime(df, blocks, hintBroadcast = span.isDefined)
               .drop("ts")
@@ -405,12 +409,18 @@ final class Pipeline(
 
 object Pipeline {
   /** Inclusive height span covered by a batch of raw `{start}_{end}.json`
-    * files — the filename contract writeRaw pins (extract.py:186-192) —
-    * or None if no filename parses. Driver-side and free: this is what
-    * bounds the parse stage's time-enrichment broadcast to the batch
-    * window instead of the whole (ever-growing) blocks zone. */
+    * files — the filename contract writeRaw pins (extract.py:186-192).
+    * Driver-side and free: this is what bounds the parse stage's
+    * time-enrichment broadcast to the batch window instead of the whole
+    * (ever-growing) blocks zone.
+    *
+    * Returns None unless EVERY filename parses: a partial span computed
+    * from only the conforming files could exclude the blocks that a
+    * non-conforming file's txs need, silently stranding those rows with
+    * null time columns — when any filename is foreign, the caller falls
+    * back to the unpruned zone (and skips the broadcast hint). */
   def fileHeightSpan(files: Seq[String]): Option[(Long, Long)] = {
-    val spans = files.flatMap { n =>
+    val spans = files.map { n =>
       n.stripSuffix(".json").split("_") match {
         case Array(a, b) =>
           for {
@@ -420,7 +430,7 @@ object Pipeline {
         case _ => None
       }
     }
-    if (spans.isEmpty) None
-    else Some((spans.map(_._1).min, spans.map(_._2).max))
+    if (spans.isEmpty || spans.exists(_.isEmpty)) None
+    else Some((spans.flatten.map(_._1).min, spans.flatten.map(_._2).max))
   }
 }

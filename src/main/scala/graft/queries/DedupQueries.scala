@@ -346,11 +346,8 @@ object DedupQueries {
         .groupBy("fp")
         .agg(collect_list(col("doc_id")).as("__ids"))
         .filter(size(col("__ids")) > 1)
-        .select(explode(expr(
-          """flatten(transform(__ids, (x, i) ->
-            |  transform(slice(__ids, i + 2, size(__ids) - i - 1), y ->
-            |    named_struct('doc_a', least(x, y), 'doc_b', greatest(x, y)))))"""
-            .stripMargin)).as("__p"))
+        .select(explode(graft.operators.Dedup
+          .bucketPairs("__ids", "doc_a", "doc_b")).as("__p"))
         .select(col("__p.doc_a").as("doc_a"), col("__p.doc_b").as("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(count(lit(1)).as("shared_fps"))

@@ -32,6 +32,19 @@ class IncrementalLshSpec extends SparkSpec {
       s"checkpoint blocks accumulate: $after1 -> ${persisted()}")
   }
 
+  test("duplicate input rows never produce self-pairs") {
+    import spark.implicits._
+    // the same doc id twice (raw-data duplication — exactly what a
+    // dedup library gets pointed at): its bucket holds the id twice and
+    // naive i<j position pairing would emit (X, X) with jaccard 1.0
+    val t = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq((1L, t), (1L, t), (2L, t + " iota")).toDF("doc_id", "text")
+    val pairs = Dedup.minHashLshPairs(docs, "doc_id", "text", threshold = 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.forall { case (a, b) => a != b }, pairs.toSeq)
+    assert(pairs.contains((1L, 2L)), pairs.toSeq) // real pair survives
+  }
+
   test("incremental batch == full recompute minus prior pairs (real corpus)") {
     val docs = Tables.documents(spark, sf("sf0.001"))
     val oldDocs = docs.filter(col("doc_id") % 3 =!= 0)
