@@ -10,11 +10,13 @@ import org.apache.spark.sql.types._
   *
   * The Spark-side shape is the real thing — schema, encoders, partition
   * batching, null handling — while the codec itself is a pluggable
-  * `MediaDecoder`. This container ships no image/audio libraries, so the
-  * default decoder is `StubDecoder`, a clearly-marked deterministic fake
-  * that derives "decoded" dimensions from the bytes; swapping in a real
-  * JNI/Java codec is a one-line constructor change and touches none of
-  * the distributed plumbing.
+  * `MediaDecoder`. Real JDK-built-in codecs cover images
+  * ([[JdkImageDecoder]], `javax.imageio`) and audio
+  * ([[JdkAudioDecoder]], `javax.sound.sampled`), routed per record by
+  * [[JdkMediaDecoder]]; the default remains `StubDecoder`, a
+  * clearly-marked deterministic fake for formats with no in-container
+  * codec (video). Swapping decoders is a one-line constructor change
+  * and touches none of the distributed plumbing.
   *
   * Scale notes (100 TB):
   *  - media bytes never pass through a shuffle here: every stage is
@@ -123,6 +125,88 @@ object Multimodal {
           Some((w, h, 1, s / (w.toLong * h)))
         }
       }
+    }
+  }
+
+  /** REAL audio decoder over the JDK's built-in `javax.sound.sampled`
+    * (WAV, AIFF, AU — no external dependency). Feature mapping for the
+    * shared tuple: width = channels, height = sample rate (Hz),
+    * n_frames = PCM frame count, mean_byte = mean ABSOLUTE sample
+    * amplitude normalized to 0..255 (a loudness proxy on the same scale
+    * as image luminance, so downstream thresholds stay unit-compatible).
+    * Supports 8/16-bit PCM, signed or unsigned, either endianness —
+    * everything the JDK WAV/AIFF readers themselves emit. Unparseable
+    * payloads take the None path like any other corrupt record. */
+  final class JdkAudioDecoder extends MediaDecoder {
+    override def decode(fmt: String, bytes: Array[Byte]): Option[(Int, Int, Int, Double)] = {
+      if (bytes == null || bytes.isEmpty) None
+      else {
+        val in =
+          try javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          catch { case scala.util.control.NonFatal(_) => null }
+        if (in == null) None
+        else try {
+          val f = in.getFormat
+          val bits = f.getSampleSizeInBits
+          val signed =
+            f.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+          val unsigned =
+            f.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+          if ((bits != 8 && bits != 16) || !(signed || unsigned)) None
+          else {
+            val pcm = in.readAllBytes()
+            val bytesPerSample = bits / 8
+            val n = pcm.length / bytesPerSample
+            if (n == 0) None
+            else {
+              // mean |amplitude| in one integer pass; full-scale = 2^(bits-1)
+              var s = 0.0
+              var i = 0
+              while (i < n) {
+                val off = i * bytesPerSample
+                val v =
+                  if (bits == 8) {
+                    val raw = pcm(off) & 0xff
+                    if (signed) pcm(off).toInt else raw - 128
+                  } else {
+                    val (lo, hi) =
+                      if (f.isBigEndian) (pcm(off + 1) & 0xff, pcm(off).toInt)
+                      else (pcm(off) & 0xff, pcm(off + 1).toInt)
+                    val raw = (hi << 8) | lo
+                    if (signed) raw.toShort.toInt else (raw & 0xffff) - 32768
+                  }
+                s += math.abs(v)
+                i += 1
+              }
+              val fullScale = 1 << (bits - 1)
+              val frames = n / math.max(1, f.getChannels)
+              Some((f.getChannels, f.getSampleRate.toInt, frames,
+                s / n / fullScale * 255.0))
+            }
+          }
+        } catch { case scala.util.control.NonFatal(_) => None }
+        finally in.close()
+      }
+    }
+  }
+
+  /** Format-routing decoder: dispatch each record to the real JDK codec
+    * for its modality — `javax.imageio` for raster formats,
+    * `javax.sound.sampled` for audio containers — so one decoder
+    * instance serves a mixed media corpus. Unknown formats decode to
+    * None (quarantine-shaped, not a crash), keeping "a format we cannot
+    * decode" distinguishable from "a payload that failed to decode". */
+  final class JdkMediaDecoder extends MediaDecoder {
+    private val image = new JdkImageDecoder
+    private val audio = new JdkAudioDecoder
+    private val imageFmts = Set("png", "bmp", "gif", "jpg", "jpeg", "wbmp")
+    private val audioFmts = Set("wav", "wave", "aiff", "aif", "au", "snd")
+    override def decode(fmt: String, bytes: Array[Byte]): Option[(Int, Int, Int, Double)] = {
+      val f = if (fmt == null) "" else fmt.toLowerCase
+      if (imageFmts(f)) image.decode(fmt, bytes)
+      else if (audioFmts(f)) audio.decode(fmt, bytes)
+      else None
     }
   }
 

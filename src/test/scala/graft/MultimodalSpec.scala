@@ -72,6 +72,85 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(f(2).width.isEmpty && f(2).n_frames == 0 && f(2).mean_byte.isEmpty)
   }
 
+  test("decodeFeatures: JdkAudioDecoder decodes REAL WAV payloads") {
+    import spark.implicits._
+    // synthesize 16-bit signed PCM in-memory, round-trip through the real
+    // JDK WAV writer, and decode through the full distributed path:
+    // channels/sample-rate/frame-count must come from the actual header,
+    // mean_byte from the actual samples
+    def wavBytes(channels: Int, rate: Float, frames: Int,
+        amplitude: Double): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(rate, 16, channels, true, false)
+      val pcm = new Array[Byte](frames * channels * 2)
+      for (i <- 0 until frames; c <- 0 until channels) {
+        val v = (amplitude * Short.MaxValue *
+          math.sin(2 * math.Pi * i / 32.0)).toInt
+        val off = (i * channels + c) * 2
+        pcm(off) = (v & 0xff).toByte
+        pcm(off + 1) = ((v >> 8) & 0xff).toByte
+      }
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    val rows = Seq(
+      (1L, wavBytes(1, 8000f, 640, 0.5), "wav"),
+      (2L, wavBytes(2, 44100f, 256, 0.5), "wav"),
+      (3L, "not audio".getBytes("UTF-8"), "wav"))
+    val m = rows.toDF("media_id", "content", "fmt")
+      .select(col("media_id"), col("content"),
+        struct(col("fmt"), length(col("content")).cast("long").as("n_bytes"),
+          lit(null).cast("int").as("width"),
+          lit(null).cast("int").as("height")).as("meta"))
+    val f = Multimodal.decodeFeatures(m, new Multimodal.JdkAudioDecoder)
+      .collect().sortBy(_.media_id)
+    assert(f(0).width.contains(1) && f(0).height.contains(8000) && f(0).n_frames == 640)
+    assert(f(1).width.contains(2) && f(1).height.contains(44100) && f(1).n_frames == 256)
+    // half-scale sine: mean |sin| = 2/pi, so mean_byte ≈ 0.5 * 2/pi * 255
+    val expected = 0.5 * 2 / math.Pi * 255
+    assert(f(0).mean_byte.exists(mb => math.abs(mb - expected) < 3), f(0).mean_byte)
+    // undecodable payload → the None path, not a crash
+    assert(f(2).width.isEmpty && f(2).n_frames == 0 && f(2).mean_byte.isEmpty)
+  }
+
+  test("decodeFeatures: JdkMediaDecoder routes a MIXED image+audio corpus") {
+    import spark.implicits._
+    def png(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    def wav(frames: Int): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(16000f, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(new Array[Byte](frames * 2)), fmt, frames.toLong)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    val rows = Seq(
+      (1L, png(5, 3), "png"),
+      (2L, wav(100), "wav"),
+      (3L, Array[Byte](1, 2, 3), "mp4")) // no in-container codec → None
+    val m = rows.toDF("media_id", "content", "fmt")
+      .select(col("media_id"), col("content"),
+        struct(col("fmt"), length(col("content")).cast("long").as("n_bytes"),
+          lit(null).cast("int").as("width"),
+          lit(null).cast("int").as("height")).as("meta"))
+    val f = Multimodal.decodeFeatures(m, new Multimodal.JdkMediaDecoder)
+      .collect().sortBy(_.media_id)
+    assert(f(0).width.contains(5) && f(0).height.contains(3))   // image route
+    assert(f(1).width.contains(1) && f(1).height.contains(16000) // audio route
+      && f(1).n_frames == 100)
+    assert(f(2).width.isEmpty && f(2).n_frames == 0)             // unknown fmt
+  }
+
   test("decodeFeatures: null/empty payload → empty features, no crash") {
     import spark.implicits._
     val m = Multimodal.fromDocuments(
