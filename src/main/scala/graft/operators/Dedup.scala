@@ -360,6 +360,79 @@ object Dedup {
         Window.partitionBy(md5(col("chunk"))).orderBy(id, "chunk_idx")) === 1)
   }
 
+  /** Exact shared-substring spans between document pairs — the
+    * "exact substring deduplication" pass of training-data curation
+    * (long verbatim overlaps: licenses, templates, quoted articles)
+    * that Jaccard-style whole-doc scoring dilutes away. Classic
+    * formulations build a corpus-wide suffix array; this is the
+    * shuffle-native equivalent:
+    *
+    *  1. every k-token gram hashed to 8 bytes (one narrow pass),
+    *  2. gram-hash buckets expanded to cross-document (pos_a, pos_b)
+    *     matches — the SAME collision-bounded bucket shape as the LSH
+    *     candidate stage: cost is the matched-gram mass (the suffix
+    *     array's output size), never corpus²,
+    *  3. matches on one (pair, pos_a - pos_b) diagonal grouped into
+    *     maximal consecutive runs (gaps-and-islands): a run of m
+    *     consecutive matching grams is a shared span of m + k - 1
+    *     tokens.
+    *
+    * Returns one row per maximal shared span: (doc_a, doc_b, start_a,
+    * start_b, span_tokens), ids least-first, spans ≥ `minSpanTokens`.
+    * Shuffle keys are the 8-byte gram hash, then (pair, diagonal) —
+    * raw text never shuffles. Highly repetitive text inflates the
+    * bucket mass quadratically in its repetition count (as it does a
+    * suffix array's LCP intervals); cap it upstream with
+    * [[winnowingFingerprints]]-based prefiltering if a corpus has
+    * pathological boilerplate. */
+  def exactSubstringSpans(docs: DataFrame, id: String, text: String,
+      k: Int = 8, minSpanTokens: Int = 12): DataFrame = {
+    require(k >= 1 && minSpanTokens >= k,
+      s"need minSpanTokens >= k, got k=$k minSpanTokens=$minSpanTokens")
+    val grams = docs
+      // spread the CPU-bound gram+md5 pass (same rationale as
+      // winnowingFingerprints: a single-split scan serializes it)
+      .repartition(docs.sparkSession.conf
+        .get("spark.sql.shuffle.partitions", "32").toInt, col(id))
+      .select(col(id), split(col(text), " ").as("toks"))
+      .filter(size(col("toks")) >= k)
+      .select(col(id).as("__id"), posexplode(shingles("toks", k)))
+      .select(col("__id"), col("pos"),
+        TextHashAggregators.md5Half(col("col")).as("h"))
+    val matches = grams
+      .groupBy("h")
+      .agg(collect_list(struct(col("__id").as("i"), col("pos").as("p"))).as("__hits"))
+      .filter(size(col("__hits")) > 1)
+      // in-bucket cross-doc expansion, least-id-first WITH its position
+      // (bucketPairs normalizes whole structs, which would mis-pair the
+      // positions, so the expansion is inlined here)
+      .select(explode(expr(
+        """filter(flatten(transform(__hits, (x, i) ->
+          |  transform(slice(__hits, i + 2, size(__hits) - i - 1), y ->
+          |    named_struct(
+          |      'doc_a', if(x.i < y.i, x.i, y.i),
+          |      'doc_b', if(x.i < y.i, y.i, x.i),
+          |      'pa', if(x.i < y.i, x.p, y.p),
+          |      'pb', if(x.i < y.i, y.p, x.p),
+          |      '__keep', x.i <> y.i)))),
+          |  p -> p.__keep)""".stripMargin)).as("__m"))
+      .select(col("__m.doc_a").as("doc_a"), col("__m.doc_b").as("doc_b"),
+        col("__m.pa").as("pa"), col("__m.pb").as("pb"))
+    // consecutive matches share a diagonal and advance pa by 1: pa minus
+    // its rank within (pair, diagonal) is constant exactly over one
+    // maximal run
+    val grp = col("pa") - row_number().over(
+      Window.partitionBy("doc_a", "doc_b", "__diag").orderBy("pa"))
+    matches
+      .withColumn("__diag", col("pa") - col("pb"))
+      .withColumn("__grp", grp)
+      .groupBy("doc_a", "doc_b", "__diag", "__grp")
+      .agg(min("pa").as("start_a"), min("pb").as("start_b"),
+        (count(lit(1)) + lit(k - 1)).as("span_tokens"))
+      .filter(col("span_tokens") >= minSpanTokens)
+      .select("doc_a", "doc_b", "start_a", "start_b", "span_tokens")
+  }
+
   /** Winnowing fingerprints (the MOSS scheme): hash every n-gram
     * shingle, slide a window of `window` consecutive hashes, keep each
     * window's minimum. Output: one row per distinct selected hash

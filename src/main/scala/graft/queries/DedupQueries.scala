@@ -518,5 +518,43 @@ object DedupQueries {
       WHERE da // 1000000000 <> db // 1000000000
       GROUP BY 1, 2 ORDER BY doc_a, doc_b"""))
 
-  def all: Seq[Q] = Seq(q36, q37, q38, q45, q47, q51, q55, q134, q145, q146)
+  /** Exact shared-substring spans (suffix-array-style ESD, reformulated
+    * as gram-hash buckets + gaps-and-islands — Dedup.exactSubstringSpans):
+    * document pairs sharing a verbatim run of ≥ 12 tokens, with the
+    * number of maximal shared spans and the longest one. The oracle
+    * mirrors the whole chain: k-gram positions, cross-doc matches on the
+    * gram, islands on the (pair, pos_a - pos_b) diagonal via the
+    * pos-minus-row_number trick, span length = run + k - 1. Both engines
+    * join grams on md5 (Spark folds it to 8-byte halves; counts agree
+    * modulo collisions, which the hash-compare would surface). */
+  val q151 = Q(
+    "q151_exact_substring_spans",
+    (s, d) =>
+      graft.operators.Dedup
+        .exactSubstringSpans(Tables.documents(s, d), "doc_id", "text",
+          k = 8, minSpanTokens = 12)
+        .groupBy("doc_a", "doc_b")
+        .agg(count(lit(1)).as("n_spans"),
+          max("span_tokens").as("max_span"))
+        .orderBy("doc_a", "doc_b"),
+    Some("""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      tf AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 8),
+      g AS (SELECT doc_id, i AS pos, md5(array_to_string(toks[i+1:i+8], ' ')) AS h
+            FROM tf, LATERAL (SELECT UNNEST(range(0, len(toks) - 7)) AS i) gg),
+      m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb
+            FROM g a JOIN g b ON a.h = b.h AND a.doc_id < b.doc_id),
+      isl AS (SELECT doc_a, doc_b, pa - pb AS diag, pa,
+                     pa - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, pa - pb
+                                             ORDER BY pa) AS grp
+              FROM m),
+      spans AS (SELECT doc_a, doc_b, COUNT(*) + 7 AS span_tokens
+                FROM isl GROUP BY doc_a, doc_b, diag, grp)
+      SELECT doc_a, doc_b,
+             CAST(COUNT(*) AS BIGINT) AS n_spans,
+             CAST(MAX(span_tokens) AS BIGINT) AS max_span
+      FROM spans WHERE span_tokens >= 12
+      GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b"""))
+
+  def all: Seq[Q] = Seq(q36, q37, q38, q45, q47, q51, q55, q134, q145, q146, q151)
 }

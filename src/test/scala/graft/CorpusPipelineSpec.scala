@@ -85,6 +85,31 @@ class CorpusPipelineSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("exactSubstringSpans: planted verbatim runs recovered with exact positions") {
+    import spark.implicits._
+    def words(tag: String, n: Int) = (0 until n).map(i => s"$tag$i")
+    val run1 = words("shared", 20)  // 20-token verbatim overlap
+    val run2 = words("quote", 14)   // second, disjoint 14-token overlap
+    val short = words("tiny", 9)    // 9 tokens < minSpan 12 → filtered out
+    val a = (words("a", 20) ++ run1 ++ words("b", 5) ++ run2 ++
+      words("c", 7) ++ short).mkString(" ")
+    val b = (words("d", 10) ++ run1 ++ words("e", 30) ++ run2 ++
+      short ++ words("f", 3)).mkString(" ")
+    val docs = Seq((1L, a), (2L, b), (3L, words("z", 60).mkString(" ")))
+      .toDF("doc_id", "text")
+    val spans = graft.operators.Dedup
+      .exactSubstringSpans(docs, "doc_id", "text", k = 8, minSpanTokens = 12)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Int]("start_a"), r.getAs[Int]("start_b"),
+        r.getAs[Long]("span_tokens"))).toSet
+    // run1: doc 1 tokens [20,40) vs doc 2 tokens [10,30); run2 follows
+    // 5 (resp. 30) filler tokens later; the 9-token run is sub-minSpan
+    assert(spans == Set(
+      (1L, 2L, 20, 10, 20L),
+      (1L, 2L, 45, 60, 14L)), spans)
+  }
+
   test("stratified sampling: deterministic per-language fractions, no shuffle") {
     val docs = Tables.documents(spark, sf("sf0.01"))
     val fractions = Map("en" -> 0.5, "de" -> 1.0, "zh" -> 0.1)
