@@ -108,6 +108,12 @@ object Stress {
         .filter(col("n") >= 3).count()
     }
 
+    time("exact_substring_spans") {
+      // token salting zeroes cross-replica gram matches, so matched-gram
+      // mass (= this op's cost driver) scales ×N like the corpus does
+      Dedup.exactSubstringSpans(docs, "doc_id", "text").count()
+    }
+
     time("decontaminate") {
       // bench set = every 50th doc; the gram set stays small relative to
       // the corpus, which is what the broadcast path depends on
