@@ -433,6 +433,39 @@ object Dedup {
       .select("doc_a", "doc_b", "start_a", "start_b", "span_tokens")
   }
 
+  /** The removal step of exact-substring dedup: mask every shared span
+    * (from [[exactSubstringSpans]]) out of the LATER document of its
+    * pair — keep-first at token granularity, the transform that actually
+    * shrinks a training corpus (whole-doc dedup only drops full
+    * duplicates; this cuts the embedded verbatim overlap out of
+    * otherwise-distinct documents). Overlapping spans from different
+    * pairs union into one mask per document.
+    *
+    * Returns every input document as (id, clean_text, n_removed) —
+    * n_removed = 0 and clean_text = the original for untouched docs.
+    * The mask frame is span-bounded (the duplicate mass, not the
+    * corpus), grouped to one integer array per affected doc before the
+    * single join back to the corpus; within-document self-repetition is
+    * out of scope (pairs are cross-document). */
+  def stripSharedSpans(docs: DataFrame, id: String, text: String,
+      k: Int = 8, minSpanTokens: Int = 12): DataFrame = {
+    val mask = exactSubstringSpans(docs, id, text, k, minSpanTokens)
+      .select(col("doc_b").as("__id"),
+        explode(sequence(col("start_b"),
+          col("start_b") + col("span_tokens").cast("int") - 1)).as("__pos"))
+      .groupBy("__id")
+      .agg(collect_set(col("__pos")).as("__mask"))
+    docs
+      .select(col(id), split(col(text), " ").as("__toks"))
+      .join(mask, col(id) === col("__id"), "left")
+      .select(col(id),
+        array_join(expr(
+          """filter(transform(__toks, (t, i) ->
+            |  if(array_contains(coalesce(__mask, array()), i), null, t)),
+            |  x -> x is not null)""".stripMargin), " ").as("clean_text"),
+        coalesce(size(col("__mask")), lit(0)).cast("long").as("n_removed"))
+  }
+
   /** Winnowing fingerprints (the MOSS scheme): hash every n-gram
     * shingle, slide a window of `window` consecutive hashes, keep each
     * window's minimum. Output: one row per distinct selected hash

@@ -556,5 +556,52 @@ object DedupQueries {
       FROM spans WHERE span_tokens >= 12
       GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b"""))
 
-  def all: Seq[Q] = Seq(q36, q37, q38, q45, q47, q51, q55, q134, q145, q146, q151)
+  /** The removal step of exact-substring dedup (Dedup.stripSharedSpans):
+    * every shared ≥12-token span masked out of the LATER document of its
+    * pair, keep-first at token granularity. Output per document: md5 of
+    * the cleaned text (so the compare stays fixed-width) and tokens
+    * removed. The oracle rebuilds the cleaned text by anti-joining token
+    * positions against the same span-derived position mask. */
+  val q152 = Q(
+    "q152_substring_strip",
+    (s, d) =>
+      graft.operators.Dedup
+        .stripSharedSpans(Tables.documents(s, d), "doc_id", "text",
+          k = 8, minSpanTokens = 12)
+        .select(col("doc_id"), md5(col("clean_text")).as("clean_fp"),
+          col("n_removed"))
+        .orderBy("doc_id"),
+    Some("""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      tf AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 8),
+      g AS (SELECT doc_id, i AS pos, md5(array_to_string(toks[i+1:i+8], ' ')) AS h
+            FROM tf, LATERAL (SELECT UNNEST(range(0, len(toks) - 7)) AS i) gg),
+      m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb
+            FROM g a JOIN g b ON a.h = b.h AND a.doc_id < b.doc_id),
+      isl AS (SELECT doc_a, doc_b, pa - pb AS diag, pa, pb,
+                     pa - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, pa - pb
+                                             ORDER BY pa) AS grp
+              FROM m),
+      sp AS (SELECT doc_b, MIN(pb) AS start_b, COUNT(*) + 7 AS span_tokens
+             FROM isl GROUP BY doc_a, doc_b, diag, grp),
+      mask AS (SELECT DISTINCT doc_b AS doc_id, start_b + j AS pos
+               FROM sp, LATERAL (SELECT UNNEST(range(0, span_tokens)) AS j) u
+               WHERE span_tokens >= 12),
+      toksu AS (SELECT doc_id, i AS pos, toks[i+1] AS tok
+                FROM t, LATERAL (SELECT UNNEST(range(0, len(toks))) AS i) u),
+      kept AS (SELECT tu.doc_id,
+                      string_agg(tu.tok, ' ' ORDER BY tu.pos) AS clean_text,
+                      COUNT(*) AS n_kept
+               FROM toksu tu
+               WHERE NOT EXISTS (SELECT 1 FROM mask mm
+                                 WHERE mm.doc_id = tu.doc_id AND mm.pos = tu.pos)
+               GROUP BY tu.doc_id)
+      SELECT t.doc_id,
+             md5(COALESCE(k.clean_text, '')) AS clean_fp,
+             CAST(len(t.toks) - COALESCE(k.n_kept, 0) AS BIGINT) AS n_removed
+      FROM t LEFT JOIN kept k ON k.doc_id = t.doc_id
+      ORDER BY t.doc_id"""))
+
+  def all: Seq[Q] = Seq(q36, q37, q38, q45, q47, q51, q55, q134, q145, q146,
+    q151, q152)
 }

@@ -110,6 +110,27 @@ class CorpusPipelineSpec extends AnyFunSuite with SparkSpec {
       (1L, 2L, 45, 60, 14L)), spans)
   }
 
+  test("stripSharedSpans: the later doc loses exactly the shared spans, keep-first intact") {
+    import spark.implicits._
+    def words(tag: String, n: Int) = (0 until n).map(i => s"$tag$i")
+    val run1 = words("shared", 20)
+    val run2 = words("quote", 14)
+    val aToks = words("a", 20) ++ run1 ++ words("b", 5) ++ run2
+    val bToks = words("d", 10) ++ run1 ++ words("e", 30) ++ run2 ++ words("f", 3)
+    val docs = Seq((1L, aToks.mkString(" ")), (2L, bToks.mkString(" ")),
+      (3L, words("z", 40).mkString(" "))).toDF("doc_id", "text")
+    val out = graft.operators.Dedup
+      .stripSharedSpans(docs, "doc_id", "text", k = 8, minSpanTokens = 12)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("clean_text"), r.getAs[Long]("n_removed"))).toMap
+    // keep-first: doc 1 untouched, doc 3 untouched
+    assert(out(1L) == (aToks.mkString(" "), 0L))
+    assert(out(3L) == (words("z", 40).mkString(" "), 0L))
+    // doc 2 loses both runs (34 tokens), everything else survives in order
+    val expectedB = words("d", 10) ++ words("e", 30) ++ words("f", 3)
+    assert(out(2L) == (expectedB.mkString(" "), 34L), out(2L))
+  }
+
   test("stratified sampling: deterministic per-language fractions, no shuffle") {
     val docs = Tables.documents(spark, sf("sf0.01"))
     val fractions = Map("en" -> 0.5, "de" -> 1.0, "zh" -> 0.1)

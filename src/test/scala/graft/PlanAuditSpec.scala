@@ -265,6 +265,19 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q151: substring spans use bucket expansion, not a self-join — text never shuffles") {
+    val spans = graft.operators.Dedup.exactSubstringSpans(
+      Tables.documents(spark, d), "doc_id", "text")
+    val p = plan(spans)
+    // candidate stage is a gram-hash groupBy with in-bucket expansion:
+    // no join operator of any kind, no quadratic fallback
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // exchanges: doc spread, gram-hash buckets, (pair, diagonal) window
+    // — the island aggregate reuses the window's partitioning
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 3, p)
+  }
+
   test("events scan converts nanos without breaking codegen") {
     val p = plan(Tables.events(spark, d).filter(col("event_type") === "click")
       .select("event_id", "ts"))
