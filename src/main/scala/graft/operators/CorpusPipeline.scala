@@ -81,24 +81,57 @@ object CorpusPipeline {
     * and the corpus-side explosion never shuffles. */
   def decontaminate(train: DataFrame, bench: DataFrame, id: String,
       text: String, n: Int = 8): DataFrame = {
-    def grams(df: DataFrame): DataFrame = df
-      .select(col(id), split(col(text), " ").as("__toks"))
-      .filter(size(col("__toks")) >= n)
-      .select(col(id), explode(transform(
-        sequence(lit(0), size(col("__toks")) - n),
-        i => md5(array_join(slice(col("__toks"), (i + 1).cast("int"), lit(n)), " "))))
-        .as("__g"))
-      .distinct()
-    val benchGrams = grams(bench).select("__g").distinct()
-    val shared = grams(train).join(benchGrams, Seq("__g"))
+    val benchGrams = gramTable(bench, id, text, n).select("__g").distinct()
+    val shared = gramTable(train, id, text, n).join(benchGrams, Seq("__g"))
       .groupBy(id).agg(count(lit(1)).as("n_shared"))
-    train
-      .filter(size(split(col(text), " ")) >= n).select(col(id)).distinct()
-      .join(shared, Seq(id), "left")
-      .select(col(id),
-        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
-        (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
+    contaminationReport(train, shared, id, text, n)
   }
+
+  /** Scale path of [[decontaminate]] — byte-identical output, different
+    * join shape. A full eval-suite bench set can carry tens of millions
+    * of grams: big enough that shuffling EVERY gram of every training
+    * document into the confirm join's exchange dominates the job. Here a
+    * Bloom filter over the bench grams (constant-size sketch, built once
+    * driver-side, inlined into codegen via
+    * `graft.functions.sketch.bloomMightContain`) pre-filters the corpus
+    * gram stream map-side, so only ~|shared| + fpp·|grams| rows reach
+    * the exchange; the exact join then eliminates the bloom's false
+    * positives, which is what keeps the result identical to
+    * [[decontaminate]]'s for any fpp. `expectedGrams` sizes the sketch
+    * (overestimate freely — the sketch stays megabytes). */
+  def decontaminateBloom(train: DataFrame, bench: DataFrame, id: String,
+      text: String, n: Int = 8, expectedGrams: Long = 4000000L,
+      fpp: Double = 0.01): DataFrame = {
+    val benchGrams = gramTable(bench, id, text, n).select("__g").distinct()
+    val shared = Layout
+      .bloomPrunedJoin(gramTable(train, id, text, n), benchGrams, "__g",
+        expectedItems = expectedGrams, fpp = fpp)
+      .groupBy(id).agg(count(lit(1)).as("n_shared"))
+    contaminationReport(train, shared, id, text, n)
+  }
+
+  /** Distinct (id, md5(n-gram)) pairs of a corpus — the shared gram
+    * stream both decontamination paths consume. Documents shorter than
+    * `n` tokens carry no gram (they cannot collide). */
+  private def gramTable(df: DataFrame, id: String, text: String,
+      n: Int): DataFrame = df
+    .select(col(id), split(col(text), " ").as("__toks"))
+    .filter(size(col("__toks")) >= n)
+    .select(col(id), explode(transform(
+      sequence(lit(0), size(col("__toks")) - n),
+      i => md5(array_join(slice(col("__toks"), (i + 1).cast("int"), lit(n)), " "))))
+      .as("__g"))
+    .distinct()
+
+  /** Left-join the per-doc shared-gram counts back onto every gram-bearing
+    * training document (zero-share docs report 0, not absence). */
+  private def contaminationReport(train: DataFrame, shared: DataFrame,
+      id: String, text: String, n: Int): DataFrame = train
+    .filter(size(split(col(text), " ")) >= n).select(col(id)).distinct()
+    .join(shared, Seq(id), "left")
+    .select(col(id),
+      coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+      (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
 
   /** Full curation pass; returns the surviving corpus + stage counts.
     * Intermediate stages are persisted while the audit counts run (each

@@ -263,6 +263,38 @@ object ScaleQueries {
       FROM (SELECT DISTINCT doc_id FROM train) td LEFT JOIN sh USING (doc_id)
       ORDER BY doc_id"""))
 
+  /** Bloom-prefiltered decontamination (CorpusPipeline.decontaminateBloom)
+    * — the scale path of q78 for when the benchmark gram set outgrows a
+    * cheap broadcast: a driver-built Bloom sketch over the bench grams
+    * prunes the corpus gram stream map-side (codegen'd probe), the exact
+    * confirm join removes the sketch's false positives, and the result
+    * is byte-identical to the exact path — which is exactly what the
+    * oracle checks: the SQL below is the EXACT semantics, blind to the
+    * bloom. Different gram width and bench split than q78 so the two
+    * queries don't share rows. */
+  val q153 = Q(
+    "q153_decontaminate_bloom",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      CorpusPipeline.decontaminateBloom(
+          docs.filter(col("doc_id") % 40 =!= 0),
+          docs.filter(col("doc_id") % 40 === 0),
+          "doc_id", "text", n = 6, expectedGrams = 200000L)
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+                 WHERE len(string_split(text, ' ')) >= 6),
+      g AS (SELECT doc_id, md5(array_to_string(toks[i+1:i+6], ' ')) AS g
+            FROM t, LATERAL (SELECT UNNEST(range(0, len(toks) - 5)) AS i) u),
+      bench AS (SELECT DISTINCT g FROM g WHERE doc_id % 40 = 0),
+      train AS (SELECT DISTINCT doc_id, g FROM g WHERE doc_id % 40 <> 0),
+      sh AS (SELECT doc_id, COUNT(*) AS n_shared FROM train JOIN bench USING (g) GROUP BY doc_id)
+      SELECT td.doc_id, CAST(COALESCE(sh.n_shared, 0) AS BIGINT) AS n_shared,
+             COALESCE(sh.n_shared, 0) > 0 AS contaminated
+      FROM (SELECT DISTINCT doc_id FROM train) td LEFT JOIN sh USING (doc_id)
+      ORDER BY doc_id"""))
+
   /** Regex redaction (PII-masking shape): replace every digit run in the
     * event props JSON with a placeholder and fingerprint the result —
     * the masking pass anonymization pipelines run before sharing data.
@@ -682,5 +714,6 @@ object ScaleQueries {
       FROM t ORDER BY n_exact DESC, tok LIMIT 20"""))
 
   def all: Seq[Q] = Seq(q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
-    q90, q91, q92, q100, q101, q102, q103, q108, q111, q112, q137, q143)
+    q90, q91, q92, q100, q101, q102, q103, q108, q111, q112, q137, q143,
+    q153)
 }

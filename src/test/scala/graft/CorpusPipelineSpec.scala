@@ -194,6 +194,22 @@ class CorpusPipelineSpec extends AnyFunSuite with SparkSpec {
     assert(got.head._2 >= 1)
   }
 
+  test("decontaminateBloom is byte-identical to the exact path on the real corpus") {
+    // the bloom is a prefilter, not an approximation: false positives die
+    // in the confirm join, so any fpp (even an aggressive one) must leave
+    // the output exactly equal to decontaminate's
+    val docs = Tables.documents(spark, sf("sf0.01"))
+    val train = docs.filter(col("doc_id") % 40 =!= 0)
+    val bench = docs.filter(col("doc_id") % 40 === 0)
+    val exact = CorpusPipeline
+      .decontaminate(train, bench, "doc_id", "text", n = 6)
+    val bloom = CorpusPipeline
+      .decontaminateBloom(train, bench, "doc_id", "text", n = 6,
+        expectedGrams = 50000L, fpp = 0.2) // coarse sketch on purpose
+    assert(bloom.exceptAll(exact).isEmpty && exact.exceptAll(bloom).isEmpty)
+    assert(exact.filter(col("contaminated")).count() > 0) // non-degenerate
+  }
+
   test("chunkKeepFirst keeps the (lowest id, lowest idx) copy of a repeated chunk") {
     import spark.implicits._
     val docs = Seq(

@@ -199,6 +199,17 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q153: the bloom probe prunes the gram stream BEFORE any exchange") {
+    val df = run("q153_decontaminate_bloom")
+    df.collect() // execute df's OWN QueryExecution so AQE finalizes it
+    val p = plan(df)
+    // the codegen'd sketch probe must sit in the corpus-side filter —
+    // that is the whole point of the scale path: grams are dropped
+    // map-side, not after a shuffle
+    assert(p.contains("bloom_might_contain"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q143: the CMS sketch broadcasts against the probe keys — the token stream shuffles only into the two aggregates") {
     val df = run("q143_cms_heavy_hitters")
     df.collect() // execute df's OWN QueryExecution so AQE finalizes it
