@@ -110,6 +110,65 @@ object CorpusPipeline {
     contaminationReport(train, shared, id, text, n)
   }
 
+  /** Deterministic shard assignment for training-data export: shard =
+    * first 32 bits of md5(text) mod `numShards` — a pure function of
+    * CONTENT, so re-ingesting the same corpus under different ids, file
+    * order or cluster size lands every document in the same shard.
+    * Appends `shard`. Narrow (no shuffle); the hash doubles as the
+    * corpus-wide shuffle device training pipelines want (a content hash
+    * is uniform, so shards are balanced regardless of source skew). */
+  def assignShards(docs: DataFrame, text: String, numShards: Int): DataFrame = {
+    require(numShards > 0)
+    docs.withColumn("shard",
+      (conv(substring(md5(col(text)), 1, 8), 16, 10).cast("long")
+        % numShards).as("shard"))
+  }
+
+  /** Per-shard export manifest — what a training run verifies before it
+    * trusts an exported corpus: document count, token count, and an
+    * ORDER-SENSITIVE fingerprint of the shard's documents in their
+    * canonical intra-shard order (content fingerprint, then id).
+    * Byte-reproducible across runs and partitionings: nothing depends
+    * on Spark's physical row order, and any dropped/duplicated/reordered
+    * document changes the shard_fp.
+    *
+    * Scale shape: one narrow map + one shuffle keyed on shard. The
+    * fingerprint folds a per-shard sorted array of 32-byte digests —
+    * size `numShards` so |corpus|/numShards digests fit an executor
+    * (1M docs/shard ≈ 48 MB transient), which a real export wants
+    * anyway for file-size reasons. */
+  def shardManifest(docs: DataFrame, id: String, text: String,
+      numShards: Int): DataFrame =
+    assignShards(docs, text, numShards)
+      .select(col("shard"), md5(col(text)).as("__fp"),
+        size(split(col(text), " ")).cast("long").as("__tok"),
+        col(id).cast("long").as("__id"))
+      .groupBy("shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("__tok").as("n_tokens"),
+        md5(array_join(
+          transform(
+            array_sort(collect_list(struct(col("__fp"), col("__id")))),
+            x => concat(x.getField("__fp"), lit("#"),
+              x.getField("__id").cast("string"))),
+          ",")).as("shard_fp"))
+
+  /** Materialize the sharded export: one hive partition per shard, rows
+    * in the canonical (content fingerprint, id) order within each shard
+    * — so a byte-compare of two exports of the same corpus is exact,
+    * and [[shardManifest]]'s shard_fp can be recomputed from the files.
+    * One shuffle (repartition on shard) + an intra-partition sort;
+    * never a global sort. */
+  def writeSharded(docs: DataFrame, id: String, text: String,
+      numShards: Int, outDir: String): Unit =
+    assignShards(docs, text, numShards)
+      .withColumn("__fp", md5(col(text)))
+      .repartition(numShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("__fp"), col(id))
+      .drop("__fp")
+      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+
   /** Distinct (id, md5(n-gram)) pairs of a corpus — the shared gram
     * stream both decontamination paths consume. Documents shorter than
     * `n` tokens carry no gram (they cannot collide). */

@@ -295,6 +295,31 @@ object ScaleQueries {
       FROM (SELECT DISTINCT doc_id FROM train) td LEFT JOIN sh USING (doc_id)
       ORDER BY doc_id"""))
 
+  /** Deterministic export-shard manifest (CorpusPipeline.shardManifest):
+    * content-hash sharding (first 32 bits of md5(text) mod 16) plus an
+    * order-sensitive per-shard fingerprint over (doc fingerprint, id) in
+    * canonical order — the reproducibility contract of a training-data
+    * export. The oracle recomputes the same hash arithmetic via DuckDB's
+    * '0x' cast and the same canonical ordering via an ordered
+    * string_agg; a single reordered or dropped document flips shard_fp.
+    * DuckDB's SUM(BIGINT) widens to int128, so the token total is cast
+    * back to BIGINT for schema parity. */
+  val q154 = Q(
+    "q154_shard_manifest",
+    (s, d) =>
+      CorpusPipeline
+        .shardManifest(Tables.documents(s, d), "doc_id", "text", numShards = 16)
+        .orderBy("shard"),
+    Some("""
+      WITH d AS (SELECT doc_id, md5(text) AS fp,
+                        len(string_split(text, ' ')) AS tok,
+                        ('0x' || substr(md5(text), 1, 8))::BIGINT % 16 AS shard
+                 FROM documents)
+      SELECT shard, COUNT(*) AS n_docs,
+             CAST(SUM(tok) AS BIGINT) AS n_tokens,
+             md5(string_agg(fp || '#' || doc_id, ',' ORDER BY fp, doc_id)) AS shard_fp
+      FROM d GROUP BY shard ORDER BY shard"""))
+
   /** Regex redaction (PII-masking shape): replace every digit run in the
     * event props JSON with a placeholder and fingerprint the result —
     * the masking pass anonymization pipelines run before sharing data.
@@ -715,5 +740,5 @@ object ScaleQueries {
 
   def all: Seq[Q] = Seq(q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
     q90, q91, q92, q100, q101, q102, q103, q108, q111, q112, q137, q143,
-    q153)
+    q153, q154)
 }

@@ -210,6 +210,39 @@ class CorpusPipelineSpec extends AnyFunSuite with SparkSpec {
     assert(exact.filter(col("contaminated")).count() > 0) // non-degenerate
   }
 
+  test("shardManifest is invariant under physical row order and partitioning") {
+    val docs = Tables.documents(spark, sf("sf0.01"))
+    val base = CorpusPipeline.shardManifest(docs, "doc_id", "text", 8)
+      .orderBy("shard").collect().toSeq
+    // same corpus, scrambled physical layout → byte-identical manifest
+    val scrambled = CorpusPipeline.shardManifest(
+      docs.repartition(13, col("lang")).sortWithinPartitions(col("source")),
+      "doc_id", "text", 8).orderBy("shard").collect().toSeq
+    assert(base == scrambled)
+    assert(base.map(_.getLong(1)).sum == docs.count()) // every doc in exactly one shard
+    assert(base.size > 1) // hash sharding actually spreads
+  }
+
+  test("writeSharded round-trips: canonical intra-shard order, manifest recomputable") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val dir = java.nio.file.Files.createTempDirectory("shard_export").toString
+    CorpusPipeline.writeSharded(docs, "doc_id", "text", 4, dir)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == docs.count())
+    // per shard, file order IS the canonical (fp, id) order
+    val shard0 = spark.read.parquet(s"$dir/shard=0")
+      .select(md5(col("text")).as("fp"), col("doc_id")).as[(String, Long)]
+      .collect().toSeq
+    assert(shard0 == shard0.sorted && shard0.nonEmpty)
+    // the manifest recomputed from the exported files equals the source's
+    val m1 = CorpusPipeline.shardManifest(docs, "doc_id", "text", 4)
+      .orderBy("shard").collect().toSeq
+    val m2 = CorpusPipeline.shardManifest(back.drop("shard"), "doc_id", "text", 4)
+      .orderBy("shard").collect().toSeq
+    assert(m1 == m2)
+  }
+
   test("chunkKeepFirst keeps the (lowest id, lowest idx) copy of a repeated chunk") {
     import spark.implicits._
     val docs = Seq(

@@ -210,6 +210,17 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q154: the shard manifest shuffles once on shard — map-side partial agg, no global sort before the aggregate") {
+    // pre-execution plan: AQE's post-run string repeats the plan in its
+    // Final/Initial sections, which would double every exchange count
+    val p = plan(run("q154_shard_manifest"))
+    // one hash exchange keyed on the shard id; the only range exchange
+    // is the presentation ORDER BY over 16 manifest rows
+    assert("Exchange hashpartitioning\\(shard".r.findAllIn(p).size == 1, p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(p.contains("partial_count"), p)
+  }
+
   test("q143: the CMS sketch broadcasts against the probe keys — the token stream shuffles only into the two aggregates") {
     val df = run("q143_cms_heavy_hitters")
     df.collect() // execute df's OWN QueryExecution so AQE finalizes it
