@@ -133,6 +133,30 @@ object Dedup {
          |  p -> p.__keep)""".stripMargin)
   }
 
+  /** Hot-bucket guard for the LSH candidate stage. The in-bucket pair
+    * expansion is quadratic in bucket size, and `collect_list` holds a
+    * whole bucket in one aggregation buffer — so a single degenerate
+    * bucket (millions of near-identical boilerplate docs landing on one
+    * (band, sig) key) can dominate the job or OOM an executor. With a
+    * cap set, a count pre-pass (fixed-width keys, map-side partial
+    * count — cheap) drops buckets above `maxBucketSize` BEFORE any list
+    * is collected, bounding both memory and pair mass by construction.
+    *
+    * Recall note: a true near-dup pair is lost only if EVERY band it
+    * collides in is hot — and hot buckets are overwhelmingly exact-dup/
+    * boilerplate mass that upstream exact dedup should have removed.
+    * Default `Int.MaxValue` = guard off, behavior byte-identical. */
+  private def hotBucketGuard(banded: DataFrame, maxBucketSize: Int): DataFrame =
+    if (maxBucketSize == Int.MaxValue) banded
+    else {
+      require(maxBucketSize >= 2, s"maxBucketSize must be >= 2, got $maxBucketSize")
+      val ok = banded.groupBy("band", "sig")
+        .agg(count(lit(1)).as("__n"))
+        .filter(col("__n") <= maxBucketSize)
+        .select("band", "sig")
+      banded.join(ok, Seq("band", "sig"))
+    }
+
   /** Incremental near-dup maintenance — the append-a-shard path a 100 TB
     * corpus actually runs: keep the per-document [[indexDocs]] frame
     * from previous batches (fixed-width per doc, tiny next to the raw
@@ -159,12 +183,13 @@ object Dedup {
   def incrementalLshPairs(
       oldIndex: DataFrame, newDocs: DataFrame, id: String, text: String,
       n: Int = 4, k: Int = 16, bands: Int = 4,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5, maxBucketSize: Int = Int.MaxValue): DataFrame = {
     val newIndex = indexDocs(newDocs, id, text, n, k).localCheckpoint(true)
     val tagged = (isNew: Boolean, idx: DataFrame) =>
       bandedSignatures(idx.select(col(id), col("mh")), id, k, bands)
         .withColumn("__nw", lit(isNew))
-    val cands = tagged(false, oldIndex).union(tagged(true, newIndex))
+    val cands = hotBucketGuard(
+        tagged(false, oldIndex).union(tagged(true, newIndex)), maxBucketSize)
       .groupBy("band", "sig")
       .agg(collect_list(struct(col(id).as("i"), col("__nw").as("nw"))).as("__ids"))
       .filter(size(col("__ids")) > 1)
@@ -222,14 +247,17 @@ object Dedup {
     *
     * The in-bucket expansion is quadratic in BUCKET size — the same
     * near-dup collision mass the self-join formulation pays, just
-    * without the join machinery. The returned frame is checkpointed
-    * (it is candidate-bounded tiny) so the corpus-sized base blocks are
-    * freed before returning. */
+    * without the join machinery; set `maxBucketSize` to engage the
+    * [[hotBucketGuard]] against degenerate boilerplate buckets. The
+    * returned frame is checkpointed (it is candidate-bounded tiny) so
+    * the corpus-sized base blocks are freed before returning. */
   def minHashLshPairs(docs: DataFrame, id: String, text: String,
       n: Int = 4, k: Int = 16, bands: Int = 4,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5, maxBucketSize: Int = Int.MaxValue): DataFrame = {
     val base = indexDocs(docs, id, text, n, k).localCheckpoint(true)
-    val cands = bandedSignatures(base.select(col(id), col("mh")), id, k, bands)
+    val cands = hotBucketGuard(
+        bandedSignatures(base.select(col(id), col("mh")), id, k, bands),
+        maxBucketSize)
       .groupBy("band", "sig")
       .agg(collect_list(col(id)).as("__ids"))
       .filter(size(col("__ids")) > 1)

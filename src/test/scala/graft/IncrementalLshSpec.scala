@@ -45,6 +45,35 @@ class IncrementalLshSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L)), pairs.toSeq) // real pair survives
   }
 
+  test("hotBucketGuard: a degenerate boilerplate bucket is dropped, normal pairs survive") {
+    import spark.implicits._
+    // 40 byte-identical boilerplate docs: every band bucket they share
+    // has 40 members → C(40,2)·bands pair mass. With the cap they emit
+    // nothing; the genuine near-dup pair in its small buckets survives.
+    val boiler = (100L to 139L).map(i => (i, "the same boilerplate line repeated " +
+      "across the whole crawl again and again and again"))
+    val real = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"))
+    val docs = (boiler ++ real).toDF("doc_id", "text")
+    val capped = pairSet(Dedup.minHashLshPairs(docs, "doc_id", "text",
+      threshold = 0.5, maxBucketSize = 10))
+    assert(capped.contains((1L, 2L)), capped)
+    assert(capped.forall { case (a, b) => a < 100L && b < 100L }, capped)
+    // a cap above every bucket size is byte-identical to no cap
+    val uncapped = pairSet(Dedup.minHashLshPairs(docs, "doc_id", "text", threshold = 0.5))
+    val highCap = pairSet(Dedup.minHashLshPairs(docs, "doc_id", "text",
+      threshold = 0.5, maxBucketSize = 1000))
+    assert(highCap == uncapped)
+    // same guard on the incremental path: the boilerplate flood arriving
+    // as a new batch must not explode against the stored index
+    val incrCapped = pairSet(Dedup.incrementalLshPairs(
+      Dedup.indexDocs(real.toDF("doc_id", "text"), "doc_id", "text"),
+      boiler.toDF("doc_id", "text"), "doc_id", "text",
+      threshold = 0.5, maxBucketSize = 10))
+    assert(incrCapped.forall { case (a, b) => a < 100L && b < 100L }, incrCapped)
+  }
+
   test("incremental batch == full recompute minus prior pairs (real corpus)") {
     val docs = Tables.documents(spark, sf("sf0.001"))
     val oldDocs = docs.filter(col("doc_id") % 3 =!= 0)
