@@ -311,6 +311,63 @@ object SimilarityQueries {
                                    CAST(b.embedding AS DOUBLE[])) >= 0.4
       ORDER BY vec_a, vec_b"""))
 
+  /** Semantic dedup (SemDeDup shape): the q109 bucketed near-dup pairs
+    * promoted to a KEEP/DROP decision — transitive clusters over the
+    * pair graph (a~b~c is ONE semantic group even if a,c never share a
+    * cell pair), each cluster keeps its lowest vec_id, everything else
+    * is dropped; vectors in no pair keep themselves. This is the
+    * embedding-space twin of q51's text clustering, composed from the
+    * same operators (`nearDupPairsBucketed` → `duplicateClusters`), so
+    * the 100 TB shape is inherited: cell-bounded candidate mass, then a
+    * pair-graph-sized clustering. The oracle rebuilds the identical
+    * 2-probe pair set and closes it with a recursive CTE. */
+  val q155 = Q(
+    "q155_semantic_dedup",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val anchors = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("anchor_id"), col("embedding").as("av"))
+      val pairs = graft.operators.Similarity
+        .nearDupPairsBucketed(e, anchors, "vec_id", threshold = 0.4, nprobe = 2)
+        .select("id_a", "id_b")
+      val clusters = graft.operators.Dedup.duplicateClusters(pairs)
+      e.select(col("vec_id"))
+        .join(clusters.select(col("id").as("vec_id"), col("cluster")),
+          Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("cluster"), col("vec_id")).as("rep"),
+          (coalesce(col("cluster"), col("vec_id")) === col("vec_id")).as("kept"))
+        .orderBy("vec_id")
+    },
+    Some("""
+      WITH RECURSIVE anchors AS (SELECT vec_id AS anchor_id, CAST(embedding AS DOUBLE[]) AS av
+                       FROM embeddings WHERE vec_id < 8),
+      assigned AS (
+        SELECT vec_id, embedding, anchor_id AS cell FROM (
+          SELECT e.vec_id, e.embedding, a.anchor_id,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY ROUND(CASE WHEN isnan(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), a.av))
+                                       THEN -1 ELSE list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), a.av) END, 4) DESC,
+                            a.anchor_id) AS rk
+          FROM embeddings e CROSS JOIN anchors a
+          WHERE list_sum(list_transform(CAST(e.embedding AS DOUBLE[]), x -> x * x)) > 0) t
+        WHERE rk <= 2),
+      pairs AS (SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+                FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
+                WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                             CAST(b.embedding AS DOUBLE[])) >= 0.4),
+      edges AS (SELECT va AS a, vb AS b FROM pairs
+                UNION SELECT vb, va FROM pairs),
+      reach AS (SELECT a, b FROM edges
+                UNION
+                SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      cl AS (SELECT a AS vec_id, LEAST(a, MIN(b)) AS rep FROM reach GROUP BY a)
+      SELECT e.vec_id, COALESCE(cl.rep, e.vec_id) AS rep,
+             COALESCE(cl.rep, e.vec_id) = e.vec_id AS kept
+      FROM embeddings e LEFT JOIN cl USING (vec_id)
+      ORDER BY e.vec_id"""))
+
   /** One Lloyd iteration as oracle CTEs: assignment of every vector to
     * its nearest centroid in `cPrev` (squared distance expanded the same
     * way the Spark side does, ties to the lower cluster id), then
@@ -381,5 +438,5 @@ object SimilarityQueries {
       SELECT cluster, COUNT(*) AS n_vectors, ROUND(SUM(dist2), 2) AS sse
       FROM a4 GROUP BY cluster ORDER BY cluster"""))
 
-  def all: Seq[Q] = Seq(q34, q35, q39, q40, q48, q59, q60, q109, q136)
+  def all: Seq[Q] = Seq(q34, q35, q39, q40, q48, q59, q60, q109, q136, q155)
 }
