@@ -121,6 +121,18 @@ object Stress {
         docs.filter(col("doc_id") % 50 =!= 0),
         docs.filter(col("doc_id") % 50 === 0), "doc_id", "text").count()
     }
+    time("decontaminate_bloom") {
+      // same semantics through the sketch prefilter: cost must track the
+      // (tiny) collision mass after the map-side probe, not the gram count
+      CorpusPipeline.decontaminateBloom(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0), "doc_id", "text").count()
+    }
+    time("shard_manifest") {
+      // one narrow pass + one shard-keyed exchange; per-shard digest
+      // arrays grow with |corpus|/shards — the documented design bound
+      CorpusPipeline.shardManifest(docs, "doc_id", "text", 64).count()
+    }
     time("chunk_dedup") {
       Dedup.chunkKeepFirst(docs, "doc_id", "text").filter(col("kept")).count()
     }

@@ -185,6 +185,22 @@ object Dedup {
       n: Int = 4, k: Int = 16, bands: Int = 4,
       threshold: Double = 0.5, maxBucketSize: Int = Int.MaxValue): DataFrame = {
     val newIndex = indexDocs(newDocs, id, text, n, k).localCheckpoint(true)
+    val out = incrementalLshPairsIndexed(oldIndex, newIndex, id,
+      k = k, bands = bands, threshold = threshold, maxBucketSize = maxBucketSize)
+    freeLocalCheckpoint(newIndex) // out is checkpointed; safe to drop
+    out
+  }
+
+  /** The [[incrementalLshPairs]] append path when the new batch's index
+    * rows are ALREADY materialized (both frames in [[indexDocs]] shape)
+    * — e.g. the streaming maintenance sink persists the batch's index
+    * rows anyway, so recomputing the CPU-bound signature pass here
+    * would double the per-batch cost. Same disjointness precondition on
+    * the two frames' ids. */
+  def incrementalLshPairsIndexed(
+      oldIndex: DataFrame, newIndex: DataFrame, id: String,
+      k: Int = 16, bands: Int = 4,
+      threshold: Double = 0.5, maxBucketSize: Int = Int.MaxValue): DataFrame = {
     val tagged = (isNew: Boolean, idx: DataFrame) =>
       bandedSignatures(idx.select(col(id), col("mh")), id, k, bands)
         .withColumn("__nw", lit(isNew))
@@ -200,9 +216,7 @@ object Dedup {
       .distinct()
     val sets = oldIndex.select(col(id), col("hs"))
       .union(newIndex.select(col(id), col("hs")))
-    val out = verifyPairs(cands, sets, id, threshold).localCheckpoint(true)
-    freeLocalCheckpoint(newIndex)
-    out
+    verifyPairs(cands, sets, id, threshold).localCheckpoint(true)
   }
 
   /** Exact-Jaccard verification of candidate pairs against per-doc

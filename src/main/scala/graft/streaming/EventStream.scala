@@ -288,6 +288,58 @@ object EventStream {
       .select("purchase_id", "user_id", "click_id", "click_ts")
   }
 
+  /** Verified near-dup maintenance as ONE continuous streaming query —
+    * the streaming form of `Dedup.incrementalLshPairs`: every
+    * micro-batch of documents is LSH'd against the PERSISTENT
+    * signature/shingle index (all documents prior batches ingested),
+    * emits only the verified-Jaccard pairs that touch this batch, and
+    * appends its own index rows. Per-batch cost is batch-proportional
+    * (plus one bucket aggregation over the stored index) — the 100 TB
+    * ingest-and-dedup loop with streaming's offset bookkeeping instead
+    * of hand-rolled manifests. Unlike [[lshNearDupHits]] (bounded-state
+    * bucket hits within a watermark horizon), this maintains the FULL
+    * corpus index on storage and reports exact verified pairs.
+    *
+    * Exactly-once with no transactional log: pairs and index rows both
+    * land under `batch=<id>` (the idempotent-overwrite device), and the
+    * index read excludes partitions >= the current batch id — a
+    * replayed batch never sees its own half-written index rows (which
+    * would break the disjointness precondition) and overwrites its
+    * outputs in place. The batch's index rows are written FIRST and
+    * read back, so the CPU-bound signature pass runs once per batch,
+    * not twice.
+    *
+    * Input schema: (`id` long, `text` string). */
+  def streamingNearDupPairs(docs: DataFrame, indexDir: String,
+      pairsDir: String, checkpoint: String,
+      id: String = "doc_id", text: String = "text",
+      n: Int = 4, k: Int = 16, bands: Int = 4, threshold: Double = 0.5,
+      maxBucketSize: Int = Int.MaxValue): StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val newIdxPath = s"$indexDir/batch=$batchId"
+        graft.operators.Dedup.indexDocs(batch, id, text, n, k)
+          .write.mode("overwrite").parquet(newIdxPath)
+        val hasPrior = Option(new java.io.File(indexDir).listFiles())
+          .getOrElse(Array.empty[java.io.File])
+          .exists(f => f.isDirectory && f.getName.startsWith("batch=")
+            && f.getName.stripPrefix("batch=").toLong < batchId)
+        val newIndex = spark.read.parquet(newIdxPath)
+        val prior =
+          if (hasPrior) spark.read.parquet(indexDir)
+            .filter(col("batch") < batchId).drop("batch")
+          else newIndex.limit(0)
+        graft.operators.Dedup
+          .incrementalLshPairsIndexed(prior, newIndex, id,
+            k = k, bands = bands, threshold = threshold,
+            maxBucketSize = maxBucketSize)
+          .write.mode("overwrite").parquet(s"$pairsDir/batch=$batchId")
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** foreachBatch drain with an IDEMPOTENT sink: each micro-batch
     * overwrites its own `batch=<id>` directory, so a batch replayed
     * after a failure between sink-write and checkpoint-commit lands in

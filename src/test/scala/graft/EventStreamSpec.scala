@@ -339,6 +339,45 @@ class EventStreamSpec extends AnyFunSuite with SparkSpec {
     assert(rows.count(_._1 == 3L) == 4) // one hit per band
   }
 
+  test("streaming near-dup maintenance: cross-batch pairs equal a full recompute") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val (in, chk) = newDirs()
+    val idx = Files.createTempDirectory("graft-snd-idx").toString
+    val pairsDir = Files.createTempDirectory("graft-snd-pairs").toString
+    def doc(id: Long, text: String) = s"""{"doc_id":$id,"text":"$text"}"""
+    val tA = (1 to 12).map(i => s"w$i").mkString(" ")
+    val tB = tA.replace("w12", "z12") // jaccard 0.8 vs tA
+    val tC = (1 to 12).map(i => s"q$i").mkString(" ")
+    val tD = (1 to 12).map(i => s"r$i").mkString(" ")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val stream = spark.readStream.schema(schema).json(in)
+
+    // batch 0: no pairs yet; batch 1: the cross-batch pair (1,2) must
+    // come out of the incremental run against the STORED index
+    drop(in, "a.json", doc(1, tA), doc(5, tC))
+    EventStream.streamingNearDupPairs(stream, idx, pairsDir, chk)
+      .awaitTermination()
+    drop(in, "b.json", doc(2, tB), doc(6, tD))
+    EventStream.streamingNearDupPairs(stream, idx, pairsDir, chk)
+      .awaitTermination()
+
+    val got = spark.read.parquet(pairsDir)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    import spark.implicits._
+    val all = Seq((1L, tA), (5L, tC), (2L, tB), (6L, tD)).toDF("doc_id", "text")
+    val full = graft.operators.Dedup.minHashLshPairs(all, "doc_id", "text")
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == full, s"streamed $got vs full $full")
+    assert(got.contains((1L, 2L)))
+    // the persistent index holds every ingested doc exactly once
+    val idxIds = spark.read.parquet(idx).select("doc_id").collect()
+      .map(_.getLong(0)).toSeq
+    assert(idxIds.sorted == Seq(1L, 2L, 5L, 6L))
+  }
+
   test("the batch flatteners run unchanged on a streaming DataFrame") {
     val (in, chk) = newDirs()
     drop(in, "blocks.json",
