@@ -136,6 +136,19 @@ object Stress {
     time("chunk_dedup") {
       Dedup.chunkKeepFirst(docs, "doc_id", "text").filter(col("kept")).count()
     }
+    time("bigram_surprisal") {
+      // token salting makes each replica's vocab disjoint: the bigram
+      // model scales ×N in rows while per-key counts stay constant —
+      // the fit shuffle and the scoring join must both track corpus size
+      graft.operators.QualityModels
+        .bigramSurprisal(docs, "doc_id", "text").count()
+    }
+    time("source_overlap") {
+      // cross-replica grams never collide (salting), so the gram
+      // self-join's matched mass scales ×N like the corpus, not ×N²
+      graft.operators.QualityModels.sourceOverlap(
+        docs.withColumn("src", col("doc_id") % 20), "src", "text").count()
+    }
     time("pack_bins") {
       // single stratum = worst case: one window partition carries the
       // whole corpus ordering

@@ -1,0 +1,210 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Statistical quality models a pretraining-data pipeline fits ON the
+  * corpus and then scores the corpus WITH — the lightweight stand-ins
+  * for KenLM perplexity filtering and DSIR importance resampling that
+  * ship in public curation stacks (CCNet's LM filter, DSIR's hashed
+  * n-gram log-ratio, mT5's temperature mixing).
+  *
+  * Every model here is a pair of relational passes: an aggregate that
+  * builds the model (token/bigram/vocabulary counts — small next to the
+  * corpus, broadcastable), and a scoring pass that joins the model back
+  * onto the token stream. Nothing is driver-held except what is O(vocab)
+  * by construction; the corpus-sized frames only ever flow through
+  * hash aggregates and broadcast-joined lookups, so each scorer is one
+  * shuffle over tokens plus map-side work — the shape that survives a
+  * 100 TB corpus (tokens shuffle once to count; scoring re-reads the
+  * corpus with model lookups map-side).
+  *
+  * Cross-engine determinism (the repo's oracle rules): probabilities are
+  * ratios of exact integer counts, logs are applied per-token and
+  * averaged per-document, and every emitted float is rounded — so the
+  * DuckDB oracle replays the identical arithmetic.
+  */
+object QualityModels {
+
+  private def toks(docs: DataFrame, id: String, text: String): DataFrame =
+    docs.select(col(id), explode(split(col(text), " ")).as("tok"))
+
+  /** Per-document add-k-smoothed bigram surprisal — the self-scored
+    * KenLM-style quality signal: fit bigram/context counts on the whole
+    * corpus, then score each document by the mean negative log2
+    * probability of its bigrams,
+    * `P(w|p) = (c(p,w) + k) / (c(p,·) + k·V)` with V = unigram vocab
+    * size. Boilerplate scores low (its bigrams dominate the counts),
+    * word salad scores high; both tails get cut by the curation filter.
+    *
+    * Scale shape: the bigram-count model is |distinct bigrams| rows —
+    * built with one shuffle on the bigram key and NOT collected; scoring
+    * joins the per-doc bigram stream against it on the same key (the
+    * partitioning is reused), context counts and V ride along as
+    * broadcasts. A document with fewer than 2 tokens has no bigrams and
+    * is excluded (no NULL-score rows).
+    *
+    * Output: (id, n_bigrams, surprisal), surprisal rounded to 4 dp. */
+  def bigramSurprisal(docs: DataFrame, id: String, text: String,
+      k: Double = 1.0): DataFrame = {
+    require(k > 0, s"smoothing constant must be positive, got $k")
+    val arr = docs.select(col(id), split(col(text), " ").as("toks"))
+    val bi = arr.filter(size(col("toks")) >= 2)
+      .select(col(id), explode(expr(
+        "transform(sequence(0, size(toks) - 2), i -> struct(toks[i] AS p, toks[i + 1] AS w))")).as("b"))
+      .select(col(id), col("b.p").as("p"), col("b.w").as("w"))
+    val bcnt = bi.groupBy("p", "w").agg(count(lit(1)).as("cb"))
+    // context mass = bigram occurrences starting at p (NOT the unigram
+    // count: the last token of a doc opens no bigram), so P(·|p) sums
+    // to 1 over the V-word vocabulary under add-k
+    val ctx = bcnt.groupBy("p").agg(sum("cb").as("cp"))
+    val vocab = broadcast(toks(docs, id, text).agg(countDistinct("tok").as("v")))
+    bi.join(bcnt, Seq("p", "w"))
+      .join(broadcast(ctx), Seq("p"))
+      .crossJoin(vocab)
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(-log2((col("cb") + lit(k)) /
+          (col("cp") + lit(k) * col("v")))), 4).as("surprisal"))
+      .orderBy(col(id))
+  }
+
+  /** DSIR-style importance log-ratio: how much more likely a document's
+    * tokens are under a TARGET domain's unigram distribution than under
+    * the full corpus's — `score(d) = mean_w log2(P_tgt(w) / P_all(w))`,
+    * both distributions add-1 smoothed over the corpus-wide vocabulary
+    * (so target-unseen tokens penalize, never zero out). Positive means
+    * "looks like the target domain"; importance resampling keeps the
+    * high scorers. `targetPred` selects the target rows (a language, a
+    * curated source, a benchmark-adjacent slice).
+    *
+    * Scale shape: both unigram models are vocab-sized aggregates; the
+    * scoring join is a single broadcast lookup on the token stream —
+    * the corpus is read twice (fit, score) and shuffled once (fit).
+    *
+    * Output: (id, n_toks, log_ratio), rounded to 4 dp. */
+  def dsirLogRatio(docs: DataFrame, id: String, text: String,
+      targetPred: Column): DataFrame = {
+    val all = toks(docs, id, text)
+    val tgt = toks(docs.filter(targetPred), id, text)
+    val allCnt = all.groupBy("tok").agg(count(lit(1)).as("ca"))
+    // left join: vocab = corpus vocab; target-absent tokens get ct=0
+    val model = allCnt.join(
+      tgt.groupBy("tok").agg(count(lit(1)).as("ct")), Seq("tok"), "left")
+      .select(col("tok"), col("ca"), coalesce(col("ct"), lit(0L)).as("ct"))
+    val totals = broadcast(
+      all.agg(count(lit(1)).as("na"), countDistinct("tok").as("v"))
+        .crossJoin(tgt.agg(count(lit(1)).as("nt"))))
+    all.join(broadcast(model), Seq("tok"))
+      .crossJoin(totals)
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_toks"),
+        round(avg(log2(
+          ((col("ct") + 1) / (col("nt") + col("v")).cast("double")) /
+            ((col("ca") + 1) / (col("na") + col("v")).cast("double")))), 4)
+          .as("log_ratio"))
+      .orderBy(col(id))
+  }
+
+  /** Frequency-ranked vocabulary fit + per-document OOV rate — the
+    * tokenizer-fitting step: take the `vocabSize` most frequent tokens
+    * (count desc, token asc as the deterministic tie-break), then score
+    * every document by the fraction of its tokens that fall outside the
+    * vocabulary. High OOV = encoding junk, rare-language leakage, or
+    * mojibake; it is also the direct estimate of the UNK rate a fixed
+    * tokenizer would pay on that document.
+    *
+    * The vocabulary is rank-selected with a distributed top-k
+    * (`orderBy().limit()` plans as TakeOrderedAndProject: per-partition
+    * heaps + a k-row merge, never a global sort — the shape that holds
+    * when the vocab aggregate is itself millions of rows) and the
+    * scoring pass is one broadcast semi-lookup per token. Output:
+    * (id, n_toks, n_oov, oov_rate), rate rounded to 4 dp. */
+  def vocabOovRate(docs: DataFrame, id: String, text: String,
+      vocabSize: Int): DataFrame = {
+    require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
+    val t = toks(docs, id, text)
+    val vocab = t.groupBy("tok").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok").asc)
+      .limit(vocabSize)
+      .select("tok")
+    t.join(broadcast(vocab.withColumn("__in", lit(1))), Seq("tok"), "left")
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_toks"),
+        sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col(id), col("n_toks"), col("n_oov"),
+        round(col("n_oov") / col("n_toks").cast("double"), 4).as("oov_rate"))
+      .orderBy(col(id))
+  }
+
+  /** Temperature-based source mixing (the mT5/multilingual sampling
+    * rule): resampling weights that move the per-source token shares
+    * `p_i` to `p_i^alpha / Σ p_j^alpha`. `alpha = 1` keeps the natural
+    * mix, `alpha = 0` is uniform; the usual 0.2–0.7 range upsamples the
+    * tail without flattening the head. Generalizes the uniform-target
+    * reweighting (weight = temp_frac / actual_frac).
+    *
+    * Everything after the one token-count scan is sources-sized (a few
+    * hundred rows at any corpus scale). Output per source:
+    * (source, tokens, actual_frac, temp_frac, weight), 4 dp. */
+  def temperatureMix(docs: DataFrame, source: String, text: String,
+      alpha: Double): DataFrame = {
+    require(alpha >= 0, s"alpha must be >= 0, got $alpha")
+    val perSource = docs
+      .select(col(source), size(split(col(text), " ")).cast("long").as("n"))
+      .groupBy(source).agg(sum("n").as("tokens"))
+    val total = broadcast(perSource.agg(sum("tokens").as("total")))
+    val frac = perSource.crossJoin(total)
+      .select(col(source), col("tokens"),
+        (col("tokens").cast("double") / col("total")).as("p"))
+    val z = broadcast(frac.agg(sum(pow(col("p"), alpha)).as("z")))
+    frac.crossJoin(z)
+      .select(col(source), col("tokens"),
+        round(col("p"), 4).as("actual_frac"),
+        round(pow(col("p"), alpha) / col("z"), 4).as("temp_frac"),
+        round(pow(col("p"), alpha) / col("z") / col("p"), 4).as("weight"))
+      .orderBy(col(source))
+  }
+
+  /** Cross-source n-gram overlap matrix: exact Jaccard similarity of
+    * the distinct word-`n`-gram sets of every source pair — the corpus
+    * forensics view that flags two "different" crawls sharing a common
+    * ancestor (mirrors, re-crawls, licensed re-releases) before dedup
+    * even runs. Upper triangle only (`source_a < source_b`).
+    *
+    * Scale shape: grams are distinct-ed per source FIRST (the big
+    * shuffle, on the gram key), per-source set sizes are a tiny
+    * aggregate, and the pair intersection self-joins the deduped gram
+    * table on gram — a join bounded by grams appearing in ≥2 sources,
+    * not by corpus mass. Sources-squared output is dashboard-sized.
+    * Jaccard = inter / (|A| + |B| - inter), rounded to 4 dp; pairs with
+    * an empty intersection are still emitted (jaccard 0) so the matrix
+    * is complete. */
+  def sourceOverlap(docs: DataFrame, source: String, text: String,
+      n: Int = 3): DataFrame = {
+    require(n >= 1, s"n-gram order must be >= 1, got $n")
+    val grams = docs
+      .select(col(source).as("src"), split(col(text), " ").as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("src"), explode(expr(
+        s"transform(sequence(0, size(toks) - $n), i -> " +
+          s"array_join(slice(toks, i + 1, $n), ' '))")).as("g"))
+      .distinct()
+    val sizes = grams.groupBy("src").agg(count(lit(1)).as("sz"))
+    val inter = grams.select(col("src").as("source_a"), col("g"))
+      .join(grams.select(col("src").as("source_b"), col("g")), Seq("g"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b").agg(count(lit(1)).as("inter"))
+    val pairs = sizes.select(col("src").as("source_a"), col("sz").as("sza"))
+      .crossJoin(sizes.select(col("src").as("source_b"), col("sz").as("szb")))
+      .filter(col("source_a") < col("source_b"))
+    pairs.join(inter, Seq("source_a", "source_b"), "left")
+      .select(col("source_a"), col("source_b"),
+        coalesce(col("inter"), lit(0L)).as("inter"),
+        (col("sza") + col("szb") - coalesce(col("inter"), lit(0L))).as("uni"),
+        round(coalesce(col("inter"), lit(0L)) /
+          (col("sza") + col("szb") - coalesce(col("inter"), lit(0L))).cast("double"), 4)
+          .as("jaccard"))
+      .orderBy("source_a", "source_b")
+  }
+}

@@ -1,0 +1,126 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.QualityModels
+
+/** Corpus quality-model queries (operators.QualityModels): statistical
+  * filters a pretraining pipeline fits on the corpus and scores the
+  * corpus with — bigram-LM surprisal (the KenLM-perplexity stand-in),
+  * DSIR importance log-ratios, tokenizer OOV rates, temperature mixing,
+  * and the cross-source n-gram overlap matrix. All exact-oracled: the
+  * models are ratios of integer counts, so DuckDB replays the identical
+  * arithmetic and only the final rounded float is compared.
+  */
+object QualityQueries {
+
+  /** Add-1-smoothed bigram surprisal per document, self-scored on the
+    * corpus — low = boilerplate, high = word salad; the LM-filter
+    * signal CCNet-style pipelines cut on. */
+  val q156 = Q(
+    "q156_bigram_surprisal",
+    (s, d) => QualityModels.bigramSurprisal(
+      Tables.documents(s, d), "doc_id", "text", k = 1.0),
+    Some("""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      uni AS (SELECT UNNEST(toks) AS w FROM t),
+      vs AS (SELECT COUNT(DISTINCT w) AS v FROM uni),
+      bi AS (SELECT doc_id, toks[i] AS p, toks[i + 1] AS w
+             FROM (SELECT doc_id, toks FROM t WHERE len(toks) >= 2) tf,
+                  LATERAL (SELECT UNNEST(range(1, len(toks))) AS i) g),
+      bcnt AS (SELECT p, w, COUNT(*) AS cb FROM bi GROUP BY p, w),
+      ctx AS (SELECT p, SUM(cb) AS cp FROM bcnt GROUP BY p)
+      SELECT bi.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             ROUND(AVG(-log2((bcnt.cb + 1.0) / (ctx.cp + 1.0 * vs.v))), 4) AS surprisal
+      FROM bi JOIN bcnt USING (p, w) JOIN ctx USING (p), vs
+      GROUP BY bi.doc_id ORDER BY bi.doc_id"""))
+
+  /** DSIR importance log-ratio against the English slice as the target
+    * domain: positive = distributionally English-like; the resampling
+    * score that upweights target-domain-looking documents. */
+  val q157 = Q(
+    "q157_dsir_weights",
+    (s, d) => QualityModels.dsirLogRatio(
+      Tables.documents(s, d), "doc_id", "text", col("lang") === "en"),
+    Some("""
+      WITH t AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents),
+      tt AS (SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents WHERE lang = 'en'),
+      ac AS (SELECT tok, COUNT(*) AS ca FROM t GROUP BY tok),
+      tc AS (SELECT tok, COUNT(*) AS ct FROM tt GROUP BY tok),
+      m AS (SELECT ac.tok AS tok, ac.ca AS ca, COALESCE(tc.ct, 0) AS ct
+            FROM ac LEFT JOIN tc ON ac.tok = tc.tok),
+      tot AS (SELECT (SELECT COUNT(*) FROM t) AS na,
+                     (SELECT COUNT(DISTINCT tok) FROM t) AS v,
+                     (SELECT COUNT(*) FROM tt) AS nt)
+      SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks,
+             ROUND(AVG(log2(((m.ct + 1) / CAST(tot.nt + tot.v AS DOUBLE)) /
+                            ((m.ca + 1) / CAST(tot.na + tot.v AS DOUBLE)))), 4) AS log_ratio
+      FROM t JOIN m ON t.tok = m.tok, tot
+      GROUP BY t.doc_id ORDER BY t.doc_id"""))
+
+  /** Top-20 frequency-ranked vocabulary + per-document OOV rate — the
+    * UNK rate a fixed tokenizer would pay per document. */
+  val q158 = Q(
+    "q158_vocab_oov",
+    (s, d) => QualityModels.vocabOovRate(
+      Tables.documents(s, d), "doc_id", "text", vocabSize = 20),
+    Some("""
+      WITH t AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents),
+      cnt AS (SELECT tok, COUNT(*) AS c FROM t GROUP BY tok),
+      vocab AS (SELECT tok FROM (
+                  SELECT tok, ROW_NUMBER() OVER (ORDER BY c DESC, tok ASC) AS rk
+                  FROM cnt) r WHERE rk <= 20)
+      SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks,
+             CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+             ROUND(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)
+                   / CAST(COUNT(*) AS DOUBLE), 4) AS oov_rate
+      FROM t LEFT JOIN vocab v ON t.tok = v.tok
+      GROUP BY t.doc_id ORDER BY t.doc_id"""))
+
+  /** Temperature mixing at alpha = 0.3 (the multilingual-sampling
+    * default family): per-source resampling weights that upsample the
+    * tail sources without flattening the head. */
+  val q159 = Q(
+    "q159_temperature_mix",
+    (s, d) => QualityModels.temperatureMix(
+      Tables.documents(s, d), "source", "text", alpha = 0.3),
+    Some("""
+      WITH s AS (SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens
+                 FROM documents GROUP BY source),
+      t AS (SELECT CAST(SUM(tokens) AS BIGINT) AS total FROM s),
+      f AS (SELECT source, tokens, CAST(tokens AS DOUBLE) / total AS p FROM s, t),
+      z AS (SELECT SUM(POW(p, 0.3)) AS z FROM f)
+      SELECT source, tokens, ROUND(p, 4) AS actual_frac,
+             ROUND(POW(p, 0.3) / z, 4) AS temp_frac,
+             ROUND(POW(p, 0.3) / z / p, 4) AS weight
+      FROM f, z ORDER BY source"""))
+
+  /** Exact 4-gram Jaccard overlap between every source pair — the
+    * mirror/re-crawl detector run before dedup. */
+  val q160 = Q(
+    "q160_source_overlap",
+    (s, d) => QualityModels.sourceOverlap(
+      Tables.documents(s, d), "source", "text", n = 4),
+    Some("""
+      WITH t AS (SELECT source AS src, string_split(text, ' ') AS toks FROM documents),
+      g AS (SELECT DISTINCT src,
+                   concat_ws(' ', toks[i], toks[i + 1], toks[i + 2], toks[i + 3]) AS gram
+            FROM (SELECT src, toks FROM t WHERE len(toks) >= 4) tf,
+                 LATERAL (SELECT UNNEST(range(1, len(toks) - 2)) AS i) r),
+      sz AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS sz FROM g GROUP BY src),
+      i AS (SELECT a.src AS source_a, b.src AS source_b, CAST(COUNT(*) AS BIGINT) AS inter
+            FROM g a JOIN g b ON a.gram = b.gram AND a.src < b.src
+            GROUP BY a.src, b.src),
+      p AS (SELECT a.src AS source_a, b.src AS source_b, a.sz AS sza, b.sz AS szb
+            FROM sz a, sz b WHERE a.src < b.src)
+      SELECT p.source_a, p.source_b,
+             COALESCE(i.inter, 0) AS inter,
+             p.sza + p.szb - COALESCE(i.inter, 0) AS uni,
+             ROUND(COALESCE(i.inter, 0)
+                   / CAST(p.sza + p.szb - COALESCE(i.inter, 0) AS DOUBLE), 4) AS jaccard
+      FROM p LEFT JOIN i ON p.source_a = i.source_a AND p.source_b = i.source_b
+      ORDER BY p.source_a, p.source_b"""))
+
+  def all: Seq[Q] = Seq(q156, q157, q158, q159, q160)
+}

@@ -24,7 +24,8 @@ object Registry {
   def all: Seq[Q] =
     RelationalQueries.all ++ TextQueries.all ++ SimilarityQueries.all ++
       DedupQueries.all ++ MultimodalQueries.all ++ TemporalQueries.all ++
-      ScaleQueries.all ++ AnalyticsQueries.all ++ CdcQueries.all
+      ScaleQueries.all ++ AnalyticsQueries.all ++ CdcQueries.all ++
+      QualityQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.spark).toMap

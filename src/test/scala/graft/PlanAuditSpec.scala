@@ -300,6 +300,37 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).size <= 3, p)
   }
 
+  test("q156: bigram-LM model joins are hash-based, count aggregates partial map-side") {
+    val df = run("q156_bigram_surprisal")
+    df.collect() // execute df's OWN QueryExecution so AQE finalizes it
+    val p = plan(df)
+    // the vocab-size and context-mass frames ride as broadcasts; the
+    // bigram-count lookup joins on its key — never a cartesian over the
+    // token stream
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("q158: the vocabulary is a distributed top-k, not a global sort") {
+    val p = plan(run("q158_vocab_oov"))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // the only full sort allowed is the presentation ORDER BY on doc_id
+    assert(!p.contains("Window"), p)
+  }
+
+  test("q160: the gram self-join is hash-keyed; only the sources-sized pair frame may cross") {
+    val df = run("q160_source_overlap")
+    df.collect() // execute df's OWN QueryExecution so AQE finalizes it
+    val p = plan(df)
+    // per-source distinct grams aggregate partially before any exchange,
+    // and the intersection join is keyed on the gram — the corpus-scale
+    // frames never meet a nested-loop join (the sizes×sizes cross is
+    // sources², dashboard-sized by construction)
+    assert("SortMergeJoin|BroadcastHashJoin".r.findFirstIn(p).isDefined, p)
+    assert(p.contains("partial_count"), p)
+  }
+
   test("events scan converts nanos without breaking codegen") {
     val p = plan(Tables.events(spark, d).filter(col("event_type") === "click")
       .select("event_id", "ts"))

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.QualityModels
+
+class QualityModelsSpec extends AnyFunSuite with SparkSpec {
+
+  test("bigramSurprisal: add-k probabilities match hand computation") {
+    import spark.implicits._
+    // corpus: d1 = "a b a", d2 = "a b"; V = 2
+    // bigram counts: (a,b)=2, (b,a)=1; context mass: a=2, b=1
+    // P(b|a) = (2+1)/(2+2) = 3/4 ; P(a|b) = (1+1)/(1+2) = 2/3
+    val docs = Seq((1L, "a b a"), (2L, "a b")).toDF("doc_id", "text")
+    val out = QualityModels.bigramSurprisal(docs, "doc_id", "text", k = 1.0)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // d1: avg(-log2(3/4), -log2(2/3)) = (0.4150 + 0.5850)/2 = 0.5
+    assert(out(1L) == (2L, 0.5))
+    assert(out(2L) == (1L, 0.415))
+  }
+
+  test("bigramSurprisal: single-token docs carry no bigrams and are excluded") {
+    import spark.implicits._
+    val docs = Seq((1L, "only"), (2L, "two words")).toDF("doc_id", "text")
+    val ids = QualityModels.bigramSurprisal(docs, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(2L))
+  }
+
+  test("dsirLogRatio: target-like docs score positive, others negative") {
+    import spark.implicits._
+    // target = en. all: a=2,b=2,c=1 (na=5, v=3); target: a=2,b=1 (nt=3)
+    val docs = Seq(
+      (1L, "en", "a a b"),
+      (2L, "de", "b c")).toDF("doc_id", "lang", "text")
+    val out = QualityModels.dsirLogRatio(docs, "doc_id", "text", col("lang") === "en")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(1L) == (3L, 0.22))      // avg(log2(4/3), log2(4/3), log2(8/9))
+    assert(out(2L) == (2L, -0.3774))   // avg(log2(8/9), log2(2/3))
+    assert(out(1L)._2 > 0 && out(2L)._2 < 0)
+  }
+
+  test("vocabOovRate: rank-selected vocab, per-doc OOV fraction") {
+    import spark.implicits._
+    // counts: b=4, a=2, c=1 → top-1 vocab = {b}
+    val docs = Seq((1L, "a a b"), (2L, "b b b c")).toDF("doc_id", "text")
+    val out = QualityModels.vocabOovRate(docs, "doc_id", "text", vocabSize = 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1L) == (3L, 2L, 0.6667))
+    assert(out(2L) == (4L, 1L, 0.25))
+  }
+
+  test("vocabOovRate: ties at the vocab boundary break deterministically by token") {
+    import spark.implicits._
+    // a and b tie at count 1: asc tie-break admits 'a', leaves 'b' OOV
+    val docs = Seq((1L, "a b")).toDF("doc_id", "text")
+    val out = QualityModels.vocabOovRate(docs, "doc_id", "text", vocabSize = 1)
+      .head()
+    assert(out.getLong(2) == 1L && out.getDouble(3) == 0.5)
+  }
+
+  test("temperatureMix: alpha=1 is the natural mix, alpha=0 is uniform") {
+    import spark.implicits._
+    val docs = Seq(
+      ("s1", "t t t t t t"),   // 6 tokens = 75%
+      ("s2", "t t")).toDF("source", "text") // 2 tokens = 25%
+    val nat = QualityModels.temperatureMix(docs, "source", "text", alpha = 1.0)
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    assert(nat("s1") == 1.0 && nat("s2") == 1.0)
+    val uni = QualityModels.temperatureMix(docs, "source", "text", alpha = 0.0)
+      .collect().map(r => r.getString(0) -> (r.getDouble(3), r.getDouble(4))).toMap
+    assert(uni("s1") == (0.5, 0.6667)) // 0.5 target / 0.75 actual
+    assert(uni("s2") == (0.5, 2.0))    // 0.5 target / 0.25 actual
+  }
+
+  test("sourceOverlap: exact n-gram Jaccard, zero-overlap pairs still emitted") {
+    import spark.implicits._
+    val docs = Seq(
+      ("s1", "a b c d"),   // 3-grams {a b c, b c d}
+      ("s2", "b c d e"),   // 3-grams {b c d, c d e}
+      ("s3", "x y z w"))   // disjoint
+      .toDF("source", "text")
+    val out = QualityModels.sourceOverlap(docs, "source", "text", n = 3)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(out(("s1", "s2")) == (1L, 3L, 0.3333))
+    assert(out(("s1", "s3")) == (0L, 4L, 0.0))
+    assert(out(("s2", "s3")) == (0L, 4L, 0.0))
+    assert(out.size == 3)
+  }
+
+  test("sourceOverlap: duplicate grams within one source count once") {
+    import spark.implicits._
+    val docs = Seq(
+      ("s1", "a b a b"),   // 2-grams: {a b, b a} (a b appears twice)
+      ("s2", "a b")).toDF("source", "text")
+    val r = QualityModels.sourceOverlap(docs, "source", "text", n = 2).head()
+    assert((r.getLong(2), r.getLong(3)) == (1L, 2L))
+  }
+}
