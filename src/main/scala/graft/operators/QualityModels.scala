@@ -148,11 +148,20 @@ object QualityModels {
     * hundred rows at any corpus scale). Output per source:
     * (source, tokens, actual_frac, temp_frac, weight), 4 dp. */
   def temperatureMix(docs: DataFrame, source: String, text: String,
+      alpha: Double): DataFrame =
+    temperatureMixFromCounts(
+      docs.select(col(source), size(split(col(text), " ")).cast("long").as("n"))
+        .groupBy(source).agg(sum("n").as("tokens")),
+      source, alpha)
+
+  /** [[temperatureMix]] when the per-source token counts are already
+    * materialized (a `(source, tokens)` frame) — the entry point for
+    * incrementally-maintained counts (streaming.EventStream keeps them
+    * as a versioned parquet state; the weights are recomputed from the
+    * sources-sized state without rescanning any corpus). */
+  def temperatureMixFromCounts(perSource: DataFrame, source: String,
       alpha: Double): DataFrame = {
     require(alpha >= 0, s"alpha must be >= 0, got $alpha")
-    val perSource = docs
-      .select(col(source), size(split(col(text), " ")).cast("long").as("n"))
-      .groupBy(source).agg(sum("n").as("tokens"))
     val total = broadcast(perSource.agg(sum("tokens").as("total")))
     val frac = perSource.crossJoin(total)
       .select(col(source), col("tokens"),

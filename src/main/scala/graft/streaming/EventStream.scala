@@ -398,6 +398,54 @@ object EventStream {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Online data-mixing maintenance: keep per-source token counts as a
+    * versioned parquet state while document shards stream in, so the
+    * temperature-mixing weights (operators.QualityModels) can be
+    * recomputed from the sources-sized state after every batch — the
+    * corpus is never rescanned. Same exactly-once device as
+    * [[runIncrementalAgg]]: each batch's delta merges into the latest
+    * state version strictly older than its batch id and overwrites its
+    * own `v=<batchId>`, so a replayed batch cannot double-count.
+    *
+    * Input schema: (`source` string, `text` string); state rows are
+    * (source, tokens). */
+  def streamingSourceTokenCounts(docs: DataFrame, statePath: String,
+      checkpoint: String, source: String = "source", text: String = "text")
+      : StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val fs = new java.io.File(statePath)
+        fs.mkdirs()
+        val versions = Option(fs.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.isDirectory && f.getName.startsWith("v="))
+          .map(_.getName.stripPrefix("v=").toLong)
+        val delta = batch
+          .select(col(source), size(split(col(text), " ")).cast("long").as("n"))
+          .groupBy(source).agg(sum("n").as("tokens"))
+        val prev = versions.filter(_ < batchId).sorted.lastOption
+        val refreshed = prev match {
+          case Some(v) => graft.operators.Cdc.refreshAgg(
+            spark.read.parquet(s"$statePath/v=$v"), delta,
+            Seq(source), Seq("tokens"))
+          case None => delta
+        }
+        refreshed.write.mode("overwrite").parquet(s"$statePath/v=$batchId")
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** Temperature-mixing weights from the latest
+    * [[streamingSourceTokenCounts]] state — the per-epoch sampling
+    * weights, updated as shards arrive, at sources-sized cost. */
+  def mixWeightsFromState(spark: SparkSession, statePath: String,
+      alpha: Double, source: String = "source"): DataFrame =
+    graft.operators.QualityModels.temperatureMixFromCounts(
+      latestAggState(spark, statePath)
+        .select(col(source), col("tokens").cast("long").as("tokens")),
+      source, alpha)
+
   /** Latest materialized state written by [[runIncrementalAgg]]. */
   def latestAggState(spark: SparkSession, statePath: String): DataFrame = {
     val vs = Option(new java.io.File(statePath).listFiles()).getOrElse(Array.empty)

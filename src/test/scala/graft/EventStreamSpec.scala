@@ -174,6 +174,39 @@ class EventStreamSpec extends AnyFunSuite with SparkSpec {
       .agg(sum(col("n").cast("long"))).head().getLong(0) == 4L)
   }
 
+  test("streaming mix-weights: state tracks shards, weights match the batch operator") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val docSchema = StructType(Seq(
+      StructField("source", StringType), StructField("text", StringType)))
+    def doc(src: String, text: String) = s"""{"source":"$src","text":"$text"}"""
+    val (in, chk) = newDirs()
+    val state = Files.createTempDirectory("graft-mixstate").toString
+    drop(in, "a.json", doc("a", "t1 t2 t3"), doc("b", "t1 t2"))
+    val src = EventStream.jsonFileStream(spark, in, docSchema)
+    EventStream.streamingSourceTokenCounts(src, state, chk).awaitTermination()
+    // second shard lands only source a's delta
+    drop(in, "b.json", doc("a", "x y z"))
+    EventStream.streamingSourceTokenCounts(src, state, chk).awaitTermination()
+    val counts = EventStream.latestAggState(spark, state)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("a" -> 6L, "b" -> 2L))
+    // weights off the state ≡ the batch operator over the full corpus
+    val streamed = EventStream.mixWeightsFromState(spark, state, alpha = 0.0)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(3), r.getDouble(4)))
+    import spark.implicits._
+    val direct = graft.operators.QualityModels.temperatureMix(
+      Seq(("a", "t1 t2 t3"), ("b", "t1 t2"), ("a", "x y z"))
+        .toDF("source", "text"), "source", "text", alpha = 0.0)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(3), r.getDouble(4)))
+    assert(streamed.toSeq == direct.toSeq)
+    assert(streamed.toSeq == Seq(("a", 6L, 0.5, 0.6667), ("b", 2L, 0.5, 2.0)))
+    // a run with no new shards leaves the state intact
+    EventStream.streamingSourceTokenCounts(src, state, chk).awaitTermination()
+    assert(EventStream.latestAggState(spark, state)
+      .agg(sum(col("tokens"))).head().getLong(0) == 8L)
+  }
+
   test("streaming dedup drops cross-batch re-deliveries within the watermark") {
     val (in, chk) = newDirs()
     val out = Files.createTempDirectory("graft-dedup-out").toString
