@@ -122,5 +122,43 @@ object QualityQueries {
       FROM p LEFT JOIN i ON p.source_a = i.source_a AND p.source_b = i.source_b
       ORDER BY p.source_a, p.source_b"""))
 
-  def all: Seq[Q] = Seq(q156, q157, q158, q159, q160)
+  /** Corpus data card: the per-(source, lang) profile plus ROLLUP
+    * subtotals (per-source and grand-total rows) in ONE pass — docs,
+    * token mass, doc-length min/max/mean. The report every dataset
+    * release ships; ROLLUP expands the grouping sets before the hash
+    * aggregate, so the corpus is scanned once, not three times. Mean is
+    * an exact-integer sum divided once at the end (no float
+    * accumulation), so the cross-engine hash is stable. */
+  val q161 = Q(
+    "q161_corpus_profile",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(col("source"), col("lang"),
+          size(split(col("text"), " ")).cast("long").as("n"))
+        .rollup("source", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n").as("tokens"),
+          min("n").as("min_toks"),
+          max("n").as("max_toks"))
+        .select(
+          coalesce(col("source"), lit("ALL")).as("source"),
+          coalesce(col("lang"), lit("ALL")).as("lang"),
+          col("n_docs"), col("tokens"), col("min_toks"), col("max_toks"),
+          round(col("tokens").cast("double") / col("n_docs"), 2).as("avg_toks"))
+        .orderBy("source", "lang"),
+    Some("""
+      WITH t AS (SELECT source, lang,
+                        CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+                 FROM documents)
+      SELECT COALESCE(source, 'ALL') AS source,
+             COALESCE(lang, 'ALL') AS lang,
+             COUNT(*) AS n_docs,
+             CAST(SUM(n) AS BIGINT) AS tokens,
+             MIN(n) AS min_toks,
+             MAX(n) AS max_toks,
+             ROUND(CAST(SUM(n) AS DOUBLE) / COUNT(*), 2) AS avg_toks
+      FROM t GROUP BY ROLLUP(source, lang)
+      ORDER BY source, lang"""))
+
+  def all: Seq[Q] = Seq(q156, q157, q158, q159, q160, q161)
 }
