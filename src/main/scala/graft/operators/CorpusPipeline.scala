@@ -110,6 +110,35 @@ object CorpusPipeline {
     contaminationReport(train, shared, id, text, n)
   }
 
+  /** Fuzzy (near-match) decontamination: where [[decontaminate]] flags
+    * verbatim n-gram overlap, this flags training documents that are
+    * NEAR-duplicates of a benchmark document (MinHash+LSH candidates,
+    * exact-Jaccard verified ≥ `threshold`) — the paraphrase-level leak
+    * the exact-gram probe misses. Same report shape as
+    * [[decontaminate]]: one row per train doc (with enough tokens to
+    * shingle), `(id, n_hits, max_jaccard, contaminated)`.
+    *
+    * Scale shape: Dedup.crossFrameLshPairs bounds all pairwise work to
+    * cross-frame bucket collisions; the bench index is batch-sized and
+    * the train corpus is indexed once (the same fused kernel pass the
+    * dedup family uses), so cost tracks train + collision mass — never
+    * train × bench. */
+  def decontaminateFuzzy(train: DataFrame, bench: DataFrame, id: String,
+      text: String, n: Int = 4, k: Int = 16, bands: Int = 4,
+      threshold: Double = 0.5, maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    val perDoc = Dedup
+      .crossFrameLshPairs(train, bench, id, text, n, k, bands, threshold,
+        maxBucketSize)
+      .groupBy(col("id_l").as(id))
+      .agg(count(lit(1)).as("n_hits"), max("jaccard").as("__mx"))
+    train.filter(size(split(col(text), " ")) >= n).select(col(id)).distinct()
+      .join(perDoc, Seq(id), "left")
+      .select(col(id),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("__mx"), lit(0.0)), 4).as("max_jaccard"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+  }
+
   /** Deterministic shard assignment for training-data export: shard =
     * first 32 bits of md5(text) mod `numShards` — a pure function of
     * CONTENT, so re-ingesting the same corpus under different ids, file

@@ -284,6 +284,53 @@ object Dedup {
     out
   }
 
+  /** Near-dup pairs BETWEEN two corpora: same banding/verification
+    * machinery as [[minHashLshPairs]], but only pairs with one endpoint
+    * in `left` and one in `right` are expanded (the `x.r <> y.r` bucket
+    * predicate drops within-frame pairs BEFORE the explode) — the
+    * train-vs-benchmark shape of fuzzy decontamination, and the general
+    * corpus-vs-corpus overlap probe. Candidate mass is bounded by
+    * cross-frame bucket collisions, not by either corpus.
+    *
+    * PRECONDITION: `left` and `right` are disjoint on `id` (same
+    * contract as the incremental append path). Output:
+    * (id_l, id_r, jaccard) with id_l always from `left` — orientation
+    * is restored after the (least-first-normalized) bucket expansion by
+    * probing the right frame's id set, which is broadcast-sized in the
+    * decontamination use (bench suites are small) and pair-bounded
+    * regardless. */
+  def crossFrameLshPairs(left: DataFrame, right: DataFrame,
+      id: String, text: String,
+      n: Int = 4, k: Int = 16, bands: Int = 4,
+      threshold: Double = 0.5, maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    val li = indexDocs(left, id, text, n, k).localCheckpoint(true)
+    val ri = indexDocs(right, id, text, n, k).localCheckpoint(true)
+    val tag = (isRight: Boolean, idx: DataFrame) =>
+      bandedSignatures(idx.select(col(id), col("mh")), id, k, bands)
+        .withColumn("__r", lit(isRight))
+    val cands = hotBucketGuard(
+        tag(false, li).union(tag(true, ri)), maxBucketSize)
+      .groupBy("band", "sig")
+      .agg(collect_list(struct(col(id).as("i"), col("__r").as("r"))).as("__ids"))
+      .filter(size(col("__ids")) > 1)
+      .select(explode(bucketPairs("__ids", "id_a", "id_b",
+        aExpr = "x.i", bExpr = "y.i", extraPred = Some("x.r <> y.r"))).as("__p"))
+      .select(col("__p.id_a").as("id_a"), col("__p.id_b").as("id_b"))
+      .distinct()
+    val sets = li.select(col(id), col("hs")).union(ri.select(col(id), col("hs")))
+    val rids = broadcast(ri.select(col(id).as("__rid")))
+    val out = verifyPairs(cands, sets, id, threshold)
+      .join(rids, col("id_a") === col("__rid"), "left")
+      .select(
+        when(col("__rid").isNotNull, col("id_b")).otherwise(col("id_a")).as("id_l"),
+        when(col("__rid").isNotNull, col("id_a")).otherwise(col("id_b")).as("id_r"),
+        col("jaccard"))
+      .localCheckpoint(true)
+    freeLocalCheckpoint(li)
+    freeLocalCheckpoint(ri)
+    out
+  }
+
   /** Connected components over a near-duplicate pair graph: every doc
     * labeled with the smallest id reachable through pairs — the cluster
     * representative. Iterative min-label propagation; each round is one

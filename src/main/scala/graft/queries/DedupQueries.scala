@@ -602,6 +602,46 @@ object DedupQueries {
       FROM t LEFT JOIN kept k ON k.doc_id = t.doc_id
       ORDER BY t.doc_id"""))
 
+  /** Fuzzy decontamination (operators.CorpusPipeline.decontaminateFuzzy):
+    * train docs (doc_id % 10 <> 0) that are NEAR-duplicates of a bench
+    * doc (% 10 = 0) — MinHash+LSH cross-frame candidates, exact-Jaccard
+    * verified ≥ 0.5. The oracle replays the q36 hash chain over the
+    * whole corpus (train ∪ bench IS `documents`) and keeps only pairs
+    * straddling the split: within-bucket collision is symmetric, so the
+    * cross-frame operator's candidate set equals the full chain's
+    * candidates ∩ cross pairs — engine-identical, like q36/q146. */
+  val q163 = Q(
+    "q163_decontaminate_fuzzy",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      graft.operators.CorpusPipeline.decontaminateFuzzy(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", n = ShingleN, k = K, bands = Bands, threshold = 0.5)
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH ${nearDupCtes("documents")},
+      x AS (SELECT i.da, i.db,
+                   CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter) AS j
+            FROM inter i
+            JOIN sizes sa ON i.da = sa.doc_id
+            JOIN sizes sb ON i.db = sb.doc_id
+            WHERE CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter) >= 0.5
+              AND ((i.da % 10 = 0) <> (i.db % 10 = 0))),
+      hits AS (SELECT CASE WHEN da % 10 <> 0 THEN da ELSE db END AS doc_id,
+                      CAST(COUNT(*) AS BIGINT) AS n_hits, MAX(j) AS mx
+               FROM x GROUP BY 1),
+      base AS (SELECT doc_id FROM documents
+               WHERE doc_id % 10 <> 0
+                 AND len(string_split(text, ' ')) >= $ShingleN)
+      SELECT b.doc_id, COALESCE(h.n_hits, 0) AS n_hits,
+             ROUND(COALESCE(h.mx, 0.0), 4) AS max_jaccard,
+             COALESCE(h.n_hits, 0) > 0 AS contaminated
+      FROM base b LEFT JOIN hits h ON b.doc_id = h.doc_id
+      ORDER BY b.doc_id"""))
+
   def all: Seq[Q] = Seq(q36, q37, q38, q45, q47, q51, q55, q134, q145, q146,
-    q151, q152)
+    q151, q152, q163)
 }

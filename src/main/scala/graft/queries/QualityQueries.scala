@@ -160,5 +160,46 @@ object QualityQueries {
       FROM t GROUP BY ROLLUP(source, lang)
       ORDER BY source, lang"""))
 
-  def all: Seq[Q] = Seq(q156, q157, q158, q159, q160, q161)
+  /** Per-label embedding coherence — ‖mean normalized vector‖², the
+    * closed-form estimate of the expected pairwise cosine within the
+    * group (1 = all vectors identical, → 0 = isotropic): the embedding
+    * data-card metric that flags a collapsed or over-duplicated slice
+    * WITHOUT any pairwise work. One narrow component explode + a
+    * (label, pos) aggregate — linear in n·d where all-pairs would be
+    * n²·d; the per-vector norm is computed once (codegen VecNorm,
+    * sequential accumulation — engine-identical), cross-vector float
+    * averaging is the only order-dependent step, and the final 4-dp
+    * round absorbs its 1e-15 noise (the q91 device). */
+  val q162 = Q(
+    "q162_embed_coherence",
+    (s, d) => {
+      import graft.functions.vec
+      val e = Tables.embeddings(s, d)
+        .withColumn("nrm", vec.norm(col("embedding")))
+        .filter(col("nrm") > 0)
+      val comps = e.select(col("label"), col("nrm"),
+          posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy("label", "pos")
+        .agg(avg(col("x") / col("nrm")).as("m"))
+      comps.groupBy("label")
+        .agg(round(sum(col("m") * col("m")), 4).as("coherence"))
+        .join(e.groupBy("label").agg(count(lit(1)).as("n_vectors")), Seq("label"))
+        .select(col("label").cast("long").as("label"),
+          col("n_vectors"), col("coherence"))
+        .orderBy("label")
+    },
+    Some("""
+      WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+      f AS (SELECT label, x, sqrt(list_dot_product(x, x)) AS nrm FROM e),
+      g AS (SELECT label, x, nrm FROM f WHERE nrm > 0),
+      c AS (SELECT label, i AS pos, AVG(x[i] / nrm) AS m
+            FROM g, LATERAL (SELECT UNNEST(range(1, len(x) + 1)) AS i) r
+            GROUP BY label, i),
+      n AS (SELECT label, COUNT(*) AS n_vectors FROM g GROUP BY label)
+      SELECT CAST(c.label AS BIGINT) AS label, n.n_vectors,
+             ROUND(SUM(c.m * c.m), 4) AS coherence
+      FROM c JOIN n ON c.label = n.label
+      GROUP BY c.label, n.n_vectors ORDER BY label"""))
+
+  def all: Seq[Q] = Seq(q156, q157, q158, q159, q160, q161, q162)
 }

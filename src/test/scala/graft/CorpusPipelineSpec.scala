@@ -32,6 +32,40 @@ class CorpusPipelineSpec extends AnyFunSuite with SparkSpec {
     assert(out.filter(col("doc_id") === 1L).head().getAs[Int]("n_tokens") == 30)
   }
 
+  test("crossFrameLshPairs: only cross-frame pairs, orientation restored") {
+    import spark.implicits._
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    // 10 and 11 are EXACT duplicates of each other — a within-left pair
+    // that must never be emitted; both are near-dups of right's doc 1
+    val left = Seq((10L, base), (11L, base),
+      (12L, (100 to 140).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+    val right = Seq((1L, base + " extra")).toDF("doc_id", "text")
+    val pairs = graft.operators.Dedup
+      .crossFrameLshPairs(left, right, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((10L, 1L), (11L, 1L)),
+      s"got ${pairs.toSeq}")
+    assert(pairs.forall(_._3 > 0.9))
+  }
+
+  test("decontaminateFuzzy: near-dup-of-bench train docs flagged, short docs excluded") {
+    import spark.implicits._
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val train = Seq(
+      (10L, base),                                        // near-dup of bench 1
+      (12L, (100 to 140).map(i => s"w$i").mkString(" ")), // clean
+      (13L, "a b c"))                                     // too short to shingle
+      .toDF("doc_id", "text")
+    val bench = Seq((1L, base + " extra")).toDF("doc_id", "text")
+    val rep = CorpusPipeline.decontaminateFuzzy(train, bench, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+      .toMap
+    assert(rep.keySet == Set(10L, 12L))
+    assert(rep(10L)._1 == 1L && rep(10L)._3 && rep(10L)._2 > 0.9)
+    assert(rep(12L) == ((0L, 0.0, false)))
+  }
+
   test("winnowing emits a fingerprint even for docs with fewer shingles than the window") {
     import spark.implicits._
     // 6 tokens, n=4 → 3 shingles < window 5: partial-window min selected
