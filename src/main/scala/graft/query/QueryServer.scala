@@ -57,6 +57,7 @@ final class QueryServer(
       t
     }))
     s.createContext("/api", (exchange: HttpExchange) => handle(exchange))
+    s.createContext("/sql", (exchange: HttpExchange) => handle(exchange))
     s.start()
     server = Some(s)
     s.getAddress.getPort
@@ -75,6 +76,10 @@ final class QueryServer(
           respond(exchange, 200, pageJson(name))
         case ("GET", route(name)) =>
           respond(exchange, 404, s"""{"error":"no page '${escape(name)}'"}""")
+        case ("POST", "/sql") =>
+          val sql = new String(exchange.getRequestBody.readAllBytes(),
+            StandardCharsets.UTF_8)
+          respond(exchange, 200, sqlJson(sql))
         case ("GET", _) =>
           respond(exchange, 404, """{"error":"not found"}""")
         case (_, _) =>
@@ -94,6 +99,28 @@ final class QueryServer(
         s""""${escape(id)}":{"ok":false,"error":"${escape(err)}"}"""
     }.mkString("{", ",", "}")
   }
+
+  /** `POST /sql` with a raw SQL body — the ad-hoc concurrent SQL
+    * gateway (SURVEY §2.10 Q8's capability over plain HTTP: the
+    * reference fronts DuckDB with a postgres-wire proxy so dbt and the
+    * dashboard can query concurrently; here concurrent POSTs run on the
+    * request pool against one thread-safe SparkSession, and the wire
+    * protocol is JSON — a postgres-wire listener proper remains the
+    * stock Spark Thrift/Connect servers' job). Query errors (parse,
+    * missing table) come back `ok:false` in a 200 — a bad query is a
+    * result, not a server failure — with the same row cap + `truncated`
+    * contract as the page endpoint. */
+  private def sqlJson(sql: String): String =
+    try {
+      val rows = spark.sql(sql).limit(maxRows + 1).toJSON.collect().toSeq
+      val (kept, trunc) =
+        if (rows.length > maxRows) (rows.take(maxRows), true)
+        else (rows, false)
+      s"""{"ok":true,"truncated":$trunc,"rows":[${kept.mkString(",")}]}"""
+    } catch {
+      case e: Exception =>
+        s"""{"ok":false,"error":"${escape(String.valueOf(e.getMessage))}"}"""
+    }
 
   private def escape(s: String): String =
     s.flatMap {

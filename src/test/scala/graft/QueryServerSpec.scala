@@ -81,4 +81,46 @@ class QueryServerSpec extends SparkSpec {
       }
     } finally srv.stop()
   }
+
+  private def post(port: Int, path: String, body: String): (Int, String) = {
+    val conn = URI.create(s"http://127.0.0.1:$port$path").toURL
+      .openConnection().asInstanceOf[HttpURLConnection]
+    conn.setRequestMethod("POST")
+    conn.setDoOutput(true)
+    val out = conn.getOutputStream
+    try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    val code = conn.getResponseCode
+    val in = if (code >= 400) conn.getErrorStream else conn.getInputStream
+    val resp = new String(in.readAllBytes(), StandardCharsets.UTF_8)
+    conn.disconnect()
+    (code, resp)
+  }
+
+  test("POST /sql: ad-hoc concurrent SQL gateway with row cap and per-query errors") {
+    Tables.nation(spark, sf("sf0.001")).createOrReplaceTempView("nation")
+    val srv = new QueryServer(spark, Map.empty, maxRows = 3)
+    val port = srv.start()
+    try {
+      val (code, body) = post(port, "/sql",
+        "SELECT n_regionkey, count(*) AS n FROM nation GROUP BY n_regionkey ORDER BY n_regionkey")
+      assert(code == 200, body)
+      assert(body.startsWith("""{"ok":true,"truncated":true,"rows":["""), body)
+      assert(body.contains(""""n_regionkey":0"""), body)
+
+      // a bad query is a result, not a server failure
+      val (bcode, bbody) = post(port, "/sql", "SELECT * FROM no_such_table")
+      assert(bcode == 200 && bbody.startsWith("""{"ok":false,"error":"""), bbody)
+
+      // concurrent ad-hoc statements all complete
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val results = Await.result(
+        Future.sequence((1 to 4).map(i =>
+          Future(post(port, "/sql", s"SELECT $i AS x")))), 2.minutes)
+      results.zipWithIndex.foreach { case ((c, b), ix) =>
+        assert(c == 200 && b.contains(s""""x":${ix + 1}"""), b)
+      }
+    } finally srv.stop()
+  }
 }
