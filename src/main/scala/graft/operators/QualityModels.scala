@@ -189,6 +189,41 @@ object QualityModels {
     * Jaccard = inter / (|A| + |B| - inter), rounded to 4 dp; pairs with
     * an empty intersection are still emitted (jaccard 0) so the matrix
     * is complete. */
+  /** [[sourceOverlap]]'s sketch path — the shape that survives MANY
+    * sources at corpus scale: per-source Datasketches-HLL sketches of
+    * the gram stream (no distinct shuffle — the sketch dedups; built
+    * map-side-mergeable in one narrow pass), then every pair's Jaccard
+    * estimated from |A|, |B| and the |A∪B| of the merged sketches via
+    * inclusion-exclusion. The gram SELF-JOIN of the exact operator —
+    * whose output is the intersection mass itself — disappears
+    * entirely; pairwise work is sources² sketch merges (KB each).
+    * `lgK = 14` ⇒ ~0.8% rsd per cardinality; the oracle (q164) pins an
+    * absolute Jaccard-error bound, the q46 cross-engine contract for
+    * sketches. Output: (source_a, source_b, est_a, est_b, est_union,
+    * jaccard_est). */
+  def sourceOverlapSketch(docs: DataFrame, source: String, text: String,
+      n: Int = 3, lgK: Int = 14): DataFrame = {
+    require(n >= 1, s"n-gram order must be >= 1, got $n")
+    val grams = docs
+      .select(col(source).as("src"), split(col(text), " ").as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("src"), explode(expr(
+        s"transform(sequence(0, size(toks) - $n), i -> " +
+          s"array_join(slice(toks, i + 1, $n), ' '))")).as("g"))
+    val sk = grams.groupBy("src").agg(hll_sketch_agg(col("g"), lgK).as("sk"))
+    val a = sk.select(col("src").as("source_a"), col("sk").as("ska"))
+    val b = sk.select(col("src").as("source_b"), col("sk").as("skb"))
+    a.crossJoin(b).filter(col("source_a") < col("source_b"))
+      .select(col("source_a"), col("source_b"),
+        hll_sketch_estimate(col("ska")).as("est_a"),
+        hll_sketch_estimate(col("skb")).as("est_b"),
+        hll_sketch_estimate(hll_union(col("ska"), col("skb"))).as("est_union"))
+      .withColumn("jaccard_est",
+        round((col("est_a") + col("est_b") - col("est_union")).cast("double") /
+          col("est_union"), 4))
+      .orderBy("source_a", "source_b")
+  }
+
   def sourceOverlap(docs: DataFrame, source: String, text: String,
       n: Int = 3): DataFrame = {
     require(n >= 1, s"n-gram order must be >= 1, got $n")

@@ -201,5 +201,46 @@ object QualityQueries {
       FROM c JOIN n ON c.label = n.label
       GROUP BY c.label, n.n_vectors ORDER BY label"""))
 
-  def all: Seq[Q] = Seq(q156, q157, q158, q159, q160, q161, q162)
+  /** Sketch-path source overlap (QualityModels.sourceOverlapSketch):
+    * per-source HLL gram sketches + pairwise union estimates instead of
+    * the gram self-join. Engines' sketches differ, so the cross-engine
+    * contract is the error bound (the q46 pattern): the query emits the
+    * EXACT pair stats alongside whether the sketch Jaccard landed
+    * within 0.05 absolute, and the oracle asserts the bound trivially —
+    * any pair drifting out of bound breaks the hash compare. */
+  val q164 = Q(
+    "q164_source_overlap_sketch",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val est = QualityModels.sourceOverlapSketch(docs, "source", "text", n = 4)
+        .select(col("source_a"), col("source_b"), col("jaccard_est"))
+      QualityModels.sourceOverlap(docs, "source", "text", n = 4)
+        .join(est, Seq("source_a", "source_b"))
+        .select(col("source_a"), col("source_b"), col("inter"), col("uni"),
+          col("jaccard"),
+          (abs(col("jaccard_est") - col("jaccard")) <= 0.05).as("within_05"))
+        .orderBy("source_a", "source_b")
+    },
+    Some("""
+      WITH t AS (SELECT source AS src, string_split(text, ' ') AS toks FROM documents),
+      g AS (SELECT DISTINCT src,
+                   concat_ws(' ', toks[i], toks[i + 1], toks[i + 2], toks[i + 3]) AS gram
+            FROM (SELECT src, toks FROM t WHERE len(toks) >= 4) tf,
+                 LATERAL (SELECT UNNEST(range(1, len(toks) - 2)) AS i) r),
+      sz AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS sz FROM g GROUP BY src),
+      i AS (SELECT a.src AS source_a, b.src AS source_b, CAST(COUNT(*) AS BIGINT) AS inter
+            FROM g a JOIN g b ON a.gram = b.gram AND a.src < b.src
+            GROUP BY a.src, b.src),
+      p AS (SELECT a.src AS source_a, b.src AS source_b, a.sz AS sza, b.sz AS szb
+            FROM sz a, sz b WHERE a.src < b.src)
+      SELECT p.source_a, p.source_b,
+             COALESCE(i.inter, 0) AS inter,
+             p.sza + p.szb - COALESCE(i.inter, 0) AS uni,
+             ROUND(COALESCE(i.inter, 0)
+                   / CAST(p.sza + p.szb - COALESCE(i.inter, 0) AS DOUBLE), 4) AS jaccard,
+             TRUE AS within_05
+      FROM p LEFT JOIN i ON p.source_a = i.source_a AND p.source_b = i.source_b
+      ORDER BY p.source_a, p.source_b"""))
+
+  def all: Seq[Q] = Seq(q156, q157, q158, q159, q160, q161, q162, q164)
 }

@@ -91,6 +91,18 @@ class QualityModelsSpec extends AnyFunSuite with SparkSpec {
     assert(out.size == 3)
   }
 
+  test("sourceOverlapSketch: at sparse cardinalities the HLL estimates are exact") {
+    import spark.implicits._
+    val docs = Seq(
+      ("s1", "a b c d"),   // 3-grams {a b c, b c d}
+      ("s2", "b c d e"))   // 3-grams {b c d, c d e}
+      .toDF("source", "text")
+    val r = graft.operators.QualityModels
+      .sourceOverlapSketch(docs, "source", "text", n = 3).head()
+    assert((r.getLong(2), r.getLong(3), r.getLong(4)) == (2L, 2L, 3L))
+    assert(r.getDouble(5) == 0.3333) // (2+2-3)/3
+  }
+
   test("sourceOverlap: duplicate grams within one source count once") {
     import spark.implicits._
     val docs = Seq(
