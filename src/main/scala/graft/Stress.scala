@@ -128,6 +128,15 @@ object Stress {
         docs.filter(col("doc_id") % 50 =!= 0),
         docs.filter(col("doc_id") % 50 === 0), "doc_id", "text").count()
     }
+    time("decontaminate_fuzzy") {
+      // near-match decontamination: bench set = every 50th doc; cost
+      // must track train + cross-frame collision mass (salting keeps
+      // cross-replica collisions zero, so hit mass scales ×N)
+      CorpusPipeline.decontaminateFuzzy(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0), "doc_id", "text")
+        .filter(col("contaminated")).count()
+    }
     time("shard_manifest") {
       // one narrow pass + one shard-keyed exchange; per-shard digest
       // arrays grow with |corpus|/shards — the documented design bound

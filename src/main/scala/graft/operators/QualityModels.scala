@@ -175,6 +175,63 @@ object QualityModels {
       .orderBy(col(source))
   }
 
+  /** Greedy BPE-style merge training over whitespace tokens — the
+    * tokenizer-FIT step (q43 applies a fixed tokenization; this LEARNS
+    * the merge table): each round counts adjacent token pairs across
+    * the corpus, adopts the most frequent pair (count desc, pair asc as
+    * the deterministic tie-break) as a new merged token, and rewrites
+    * the corpus before the next round — the byte-pair-encoding training
+    * loop, run at word granularity so both engines can replay it. The
+    * rewrite is a literal, non-overlapping, left-to-right string
+    * replace on a separator-delimited token string; an occurrence that
+    * shares its boundary separator with an earlier match in the same
+    * round (consecutive repeats of the pair) stays un-merged and is
+    * simply counted afresh next round — a documented approximation of
+    * per-occurrence BPE greed whose semantics are byte-identical in
+    * Spark and DuckDB (which is what makes the unrolled oracle exact).
+    *
+    * Scale shape: each round is one corpus pass (pair count, map-side
+    * partial) + a 1-row broadcast of the adopted merge + one narrow
+    * rewrite pass; the corpus string is re-materialized per round
+    * (`localCheckpoint`) so round r's plan does not replay rounds
+    * 1..r-1. Driver holds nothing but the merge table (`rounds` rows).
+    *
+    * Output: (step, w1, w2, n) — the learned merge table with adoption
+    * counts. */
+  def bpeMerges(docs: DataFrame, id: String, text: String,
+      rounds: Int = 3): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val sep = "␟"
+    var cur = docs.select(col(id), regexp_replace(col(text), " ", sep).as("s"))
+      .localCheckpoint(true)
+    val steps = (1 to rounds).map { r =>
+      val toks = split(col("s"), sep)
+      // materialized (1 row) BEFORE the rewrite frees the prior corpus
+      // checkpoint its lineage reads
+      val top = cur.select(toks.as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(toks) - 2), i -> struct(toks[i] AS w1, toks[i + 1] AS w2))")).as("b"))
+        .groupBy("b.w1", "b.w2").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("w1").asc, col("w2").asc)
+        .limit(1).withColumn("step", lit(r))
+        .localCheckpoint(true)
+      val next = cur.crossJoin(broadcast(top.select(col("w1"), col("w2"))))
+        .select(col(id), expr(
+          s"""trim(BOTH '$sep' FROM replace(
+             |  '$sep' || s || '$sep',
+             |  '$sep' || w1 || '$sep' || w2 || '$sep',
+             |  '$sep' || w1 || '_' || w2 || '$sep'))""".stripMargin).as("s"))
+        .localCheckpoint(true)
+      val prev = cur
+      cur = next
+      Dedup.freeLocalCheckpoint(prev)
+      top
+    }
+    Dedup.freeLocalCheckpoint(cur)
+    steps.reduce(_ union _).select("step", "w1", "w2", "n").orderBy("step")
+  }
+
   /** Cross-source n-gram overlap matrix: exact Jaccard similarity of
     * the distinct word-`n`-gram sets of every source pair — the corpus
     * forensics view that flags two "different" crawls sharing a common

@@ -242,5 +242,41 @@ object QualityQueries {
       FROM p LEFT JOIN i ON p.source_a = i.source_a AND p.source_b = i.source_b
       ORDER BY p.source_a, p.source_b"""))
 
-  def all: Seq[Q] = Seq(q156, q157, q158, q159, q160, q161, q162, q164)
+  /** One unrolled round of the BPE training loop (SQL mirror of
+    * QualityModels.bpeMerges): count adjacent pairs over `r${r-1}`,
+    * adopt the top pair as `m$r`, rewrite into `r$r`. */
+  private def bpeRoundSql(r: Int): String = s"""
+      p$r AS (SELECT toks[i] AS w1, toks[i + 1] AS w2, COUNT(*) AS n
+              FROM (SELECT string_split(s, '␟') AS toks FROM r${r - 1}) t,
+                   LATERAL (SELECT UNNEST(range(1, len(toks))) AS i) g
+              GROUP BY 1, 2),
+      m$r AS (SELECT $r AS step, w1, w2, CAST(n AS BIGINT) AS n
+              FROM p$r ORDER BY n DESC, w1, w2 LIMIT 1),
+      r$r AS (SELECT doc_id,
+                     trim(replace('␟' || s || '␟',
+                                  '␟' || m.w1 || '␟' || m.w2 || '␟',
+                                  '␟' || m.w1 || '_' || m.w2 || '␟'),
+                          '␟') AS s
+              FROM r${r - 1}, m$r m)"""
+
+  /** BPE merge-table training, 3 rounds (QualityModels.bpeMerges): the
+    * tokenizer-fit loop — count pairs, adopt the top pair, rewrite,
+    * repeat — with every round unrolled in the oracle (the q136
+    * unrolled-Lloyd device). Counts are exact integers and the rewrite
+    * is a literal left-to-right replace with identical semantics in
+    * both engines, so the learned merge table hash-matches. */
+  val q165 = Q(
+    "q165_bpe_merges",
+    (s, d) => graft.operators.QualityModels.bpeMerges(
+      Tables.documents(s, d), "doc_id", "text", rounds = 3),
+    Some(s"""
+      WITH r0 AS (SELECT doc_id, replace(text, ' ', '␟') AS s FROM documents),
+      ${bpeRoundSql(1)},
+      ${bpeRoundSql(2)},
+      ${bpeRoundSql(3)}
+      SELECT step, w1, w2, n FROM (
+        SELECT * FROM m1 UNION ALL SELECT * FROM m2 UNION ALL SELECT * FROM m3) u
+      ORDER BY step"""))
+
+  def all: Seq[Q] = Seq(q156, q157, q158, q159, q160, q161, q162, q164, q165)
 }

@@ -91,6 +91,19 @@ class QualityModelsSpec extends AnyFunSuite with SparkSpec {
     assert(out.size == 3)
   }
 
+  test("bpeMerges: learns top pairs, defers separator-sharing repeats, breaks ties by pair") {
+    import spark.implicits._
+    // round 1: (a,b)=3 wins. The rewrite merges doc 1's FIRST "a b" only
+    // (the second shares its boundary separator with the match) →
+    // [a_b, a, b, c] / [a_b]. round 2: all pairs tie at 1; "a" < "a_b"
+    // so (a,b) wins again by the pair tie-break.
+    val docs = Seq((1L, "a b a b c"), (2L, "a b")).toDF("doc_id", "text")
+    val out = graft.operators.QualityModels
+      .bpeMerges(docs, "doc_id", "text", rounds = 2)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(out.toSeq == Seq((1, "a", "b", 3L), (2, "a", "b", 1L)))
+  }
+
   test("sourceOverlapSketch: at sparse cardinalities the HLL estimates are exact") {
     import spark.implicits._
     val docs = Seq(
