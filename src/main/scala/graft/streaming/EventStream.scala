@@ -398,6 +398,30 @@ object EventStream {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Ingest-time fuzzy decontamination: every streamed shard of
+    * training documents is screened against a fixed benchmark frame
+    * (operators.CorpusPipeline.decontaminateFuzzy — MinHash+LSH
+    * cross-frame candidates, exact-Jaccard verified), and the per-doc
+    * report lands under `batch=<id>` (idempotent overwrite — replays
+    * cannot duplicate). Screening at ingest is the 100 TB shape: each
+    * batch pays batch + bench cost (the bench re-index per batch is
+    * benchmark-sized by definition), instead of a corpus-wide sweep
+    * later. Input schema: (`id` long, `text` string). */
+  def streamingDecontaminate(docs: DataFrame, bench: DataFrame,
+      outDir: String, checkpoint: String,
+      id: String = "doc_id", text: String = "text",
+      n: Int = 4, k: Int = 16, bands: Int = 4,
+      threshold: Double = 0.5): StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.operators.CorpusPipeline
+          .decontaminateFuzzy(batch, bench, id, text, n, k, bands, threshold)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Online data-mixing maintenance: keep per-source token counts as a
     * versioned parquet state while document shards stream in, so the
     * temperature-mixing weights (operators.QualityModels) can be

@@ -174,6 +174,37 @@ class EventStreamSpec extends AnyFunSuite with SparkSpec {
       .agg(sum(col("n").cast("long"))).head().getLong(0) == 4L)
   }
 
+  test("streaming decontamination screens each shard against the bench set") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    def doc(id: Long, text: String) = s"""{"doc_id":$id,"text":"$text"}"""
+    val (in, chk) = newDirs()
+    val out = Files.createTempDirectory("graft-decontam-out").toString
+    import spark.implicits._
+    val bench = Seq((1L, base + " extra")).toDF("doc_id", "text")
+    // shard 1: one contaminated doc, one clean
+    drop(in, "a.json", doc(10, base),
+      doc(12, (100 to 140).map(i => s"w$i").mkString(" ")))
+    val src = EventStream.jsonFileStream(spark, in, docSchema)
+    EventStream.streamingDecontaminate(src, bench, out, chk).awaitTermination()
+    // shard 2: another near-dup of the bench doc
+    drop(in, "b.json", doc(20, base + " tail"))
+    EventStream.streamingDecontaminate(src, bench, out, chk).awaitTermination()
+    val rep = spark.read.parquet(out)
+      .select(col("doc_id"), col("contaminated"), col("batch").cast("long"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), r.getLong(2))).toMap
+    assert(rep.keySet == Set(10L, 12L, 20L))
+    assert(rep(10L) == ((true, 0L)) && rep(12L) == ((false, 0L)))
+    assert(rep(20L)._1 && rep(20L)._2 == 1L)
+    // a re-run with no new shards changes nothing (idempotent batches)
+    EventStream.streamingDecontaminate(src, bench, out, chk).awaitTermination()
+    assert(spark.read.parquet(out).count() == 3)
+  }
+
   test("streaming mix-weights: state tracks shards, weights match the batch operator") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.{StringType, StructField, StructType}
