@@ -191,21 +191,85 @@ object Multimodal {
     }
   }
 
+  /** REAL video-container metadata probe: walks the RIFF chunk tree of
+    * an AVI payload (no codec needed — the container layout is plain
+    * byte structure) to the `avih` main header and reads the true
+    * width, height and total frame count; mean_byte is computed over
+    * the actual payload bytes. PIXEL decode still requires a codec the
+    * container does not ship (the `StubDecoder` boundary) — but
+    * dimension/duration extraction, the metadata half of every video
+    * curation filter ("drop < 240p", "drop < 10 frames"), is real.
+    * Truncated or non-AVI payloads probe to None like any other
+    * unparseable record. Chunk sizes are validated against the buffer
+    * before every read — a hostile length field cannot index out of
+    * bounds. */
+  final class RiffAviProbe extends MediaDecoder {
+    private def le32(b: Array[Byte], off: Int): Long =
+      ((b(off) & 0xffL)) | ((b(off + 1) & 0xffL) << 8) |
+        ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+    private def tag(b: Array[Byte], off: Int): String =
+      new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+    /** Depth-first walk over a chunk run [from, until); returns the data
+      * offset of the first `avih` chunk. */
+    private def findAvih(b: Array[Byte], from: Int, until: Int): Option[Int] = {
+      var off = from
+      while (off + 8 <= until) {
+        val id = tag(b, off)
+        val size = le32(b, off + 4)
+        val dataStart = off + 8
+        if (size < 0 || dataStart + size > until) return None // lying header
+        if (id == "avih") return Some(dataStart)
+        if (id == "LIST" && size >= 4) {
+          // LIST data = 4-byte list type + nested chunk run
+          val hit = findAvih(b, dataStart + 4, dataStart + size.toInt)
+          if (hit.isDefined) return hit
+        }
+        off = dataStart + size.toInt + (size.toInt & 1) // chunks are even-padded
+      }
+      None
+    }
+
+    override def decode(fmt: String, bytes: Array[Byte]): Option[(Int, Int, Int, Double)] = {
+      if (bytes == null || bytes.length < 12) None
+      else if (tag(bytes, 0) != "RIFF" || tag(bytes, 8) != "AVI ") None
+      else
+        findAvih(bytes, 12, bytes.length).flatMap { at =>
+          // avih layout (little-endian u32s from data start): +16 total
+          // frames, +32 width, +36 height — needs 40 readable bytes
+          if (at + 40 > bytes.length) None
+          else {
+            val frames = le32(bytes, at + 16)
+            val w = le32(bytes, at + 32)
+            val h = le32(bytes, at + 36)
+            var s = 0L
+            var i = 0
+            while (i < bytes.length) { s += (bytes(i) & 0xff); i += 1 }
+            Some((w.toInt, h.toInt, frames.toInt, s.toDouble / bytes.length))
+          }
+        }
+    }
+  }
+
   /** Format-routing decoder: dispatch each record to the real JDK codec
     * for its modality — `javax.imageio` for raster formats,
-    * `javax.sound.sampled` for audio containers — so one decoder
-    * instance serves a mixed media corpus. Unknown formats decode to
-    * None (quarantine-shaped, not a crash), keeping "a format we cannot
-    * decode" distinguishable from "a payload that failed to decode". */
+    * `javax.sound.sampled` for audio containers, the RIFF walker for
+    * AVI video metadata — so one decoder instance serves a mixed media
+    * corpus. Unknown formats decode to None (quarantine-shaped, not a
+    * crash), keeping "a format we cannot decode" distinguishable from
+    * "a payload that failed to decode". */
   final class JdkMediaDecoder extends MediaDecoder {
     private val image = new JdkImageDecoder
     private val audio = new JdkAudioDecoder
+    private val video = new RiffAviProbe
     private val imageFmts = Set("png", "bmp", "gif", "jpg", "jpeg", "wbmp")
     private val audioFmts = Set("wav", "wave", "aiff", "aif", "au", "snd")
+    private val videoFmts = Set("avi")
     override def decode(fmt: String, bytes: Array[Byte]): Option[(Int, Int, Int, Double)] = {
       val f = if (fmt == null) "" else fmt.toLowerCase
       if (imageFmts(f)) image.decode(fmt, bytes)
       else if (audioFmts(f)) audio.decode(fmt, bytes)
+      else if (videoFmts(f)) video.decode(fmt, bytes)
       else None
     }
   }

@@ -151,6 +151,37 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(f(2).width.isEmpty && f(2).n_frames == 0)             // unknown fmt
   }
 
+  test("RiffAviProbe reads REAL AVI container metadata; hostile sizes stay in bounds") {
+    def aviBytes(w: Int, h: Int, frames: Int): Array[Byte] = {
+      // RIFF('AVI ' LIST('hdrl' avih(56-byte main header)))
+      val buf = java.nio.ByteBuffer.allocate(88)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes("US-ASCII")).putInt(80)
+        .put("AVI ".getBytes("US-ASCII"))
+      buf.put("LIST".getBytes("US-ASCII")).putInt(4 + 8 + 56)
+        .put("hdrl".getBytes("US-ASCII"))
+      buf.put("avih".getBytes("US-ASCII")).putInt(56)
+      buf.putInt(33333).putInt(0).putInt(0).putInt(0) // usec/frame, ...
+      buf.putInt(frames).putInt(0).putInt(0).putInt(0) // dwTotalFrames @ +16
+      buf.putInt(w).putInt(h)                          // dwWidth/dwHeight @ +32
+      buf.putInt(0).putInt(0).putInt(0).putInt(0)
+      buf.array()
+    }
+    val probe = new Multimodal.RiffAviProbe
+    val ok = probe.decode("avi", aviBytes(320, 240, 42))
+    assert(ok.map(t => (t._1, t._2, t._3)).contains((320, 240, 42)))
+    // routed through the mixed-corpus decoder by format
+    assert(new Multimodal.JdkMediaDecoder()
+      .decode("avi", aviBytes(64, 48, 7)).map(_._3).contains(7))
+    // truncated mid-header, non-RIFF, and a lying chunk size → None
+    assert(probe.decode("avi", aviBytes(320, 240, 42).take(40)).isEmpty)
+    assert(probe.decode("avi", "not media at all".getBytes).isEmpty)
+    val lying = aviBytes(320, 240, 42)
+    val bb = java.nio.ByteBuffer.wrap(lying).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(16, Int.MaxValue) // LIST size now points far past the buffer
+    assert(probe.decode("avi", lying).isEmpty)
+  }
+
   test("decodeFeatures: null/empty payload → empty features, no crash") {
     import spark.implicits._
     val m = Multimodal.fromDocuments(
