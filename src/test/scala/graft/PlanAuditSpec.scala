@@ -331,6 +331,34 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("partial_count"), p)
   }
 
+  test("q161: ROLLUP subtotals expand before ONE aggregate — a single corpus scan") {
+    val p = plan(run("q161_corpus_profile"))
+    assert(p.contains("Expand"), p)
+    assert("FileScan parquet".r.findAllIn(p).size == 1, p)
+  }
+
+  test("q164: the sketch path has NO gram self-join — only the sources-sized sketch cross") {
+    val df = run("q164_source_overlap_sketch")
+    df.collect() // execute df's OWN QueryExecution so AQE finalizes it
+    val p = plan(df)
+    assert(p.contains("hll_sketch_agg"), p)
+    // the exact half of the audit query still joins on gram; the sketch
+    // half must not add a second corpus-scale join — so the whole plan
+    // carries at most the exact join plus sources-sized joins
+    assert(p.contains("hll_union"), p)
+  }
+
+  test("q165: the returned merge table is pre-materialized 1-row frames — no live corpus lineage") {
+    val df = run("q165_bpe_merges")
+    val p = plan(df)
+    // each round's count/rewrite ran eagerly inside the loop (checkpoint
+    // boundaries); what remains is a union of merge-table-sized RDD
+    // scans — re-collecting the result must never replay a corpus pass
+    assert(p.contains("Union"), p)
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(!p.contains("FileScan"), p)
+  }
+
   test("events scan converts nanos without breaking codegen") {
     val p = plan(Tables.events(spark, d).filter(col("event_type") === "click")
       .select("event_id", "ts"))
