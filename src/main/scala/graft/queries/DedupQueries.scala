@@ -642,6 +642,42 @@ object DedupQueries {
       FROM base b LEFT JOIN hits h ON b.doc_id = h.doc_id
       ORDER BY b.doc_id"""))
 
+  /** Dedup-threshold tuning curve: the verified-Jaccard HISTOGRAM over
+    * every LSH candidate pair (threshold 0 keeps them all), binned at
+    * 0.05 with a cumulative pairs-at-or-above column — the one-pass
+    * answer to "what does 0.5 vs 0.7 cost me?" before committing a
+    * corpus-wide dedup threshold. Bin = floor(jaccard·20): an exact
+    * integer ratio through identical IEEE ops in both engines. The
+    * cumulative window runs over ≤ 21 bin rows. */
+  val q166 = Q(
+    "q166_jaccard_histogram",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      graft.operators.Dedup
+        .minHashLshPairs(docs, "doc_id", "text",
+          n = ShingleN, k = K, bands = Bands, threshold = 0.0)
+        .select(floor(col("jaccard") * 20).cast("int").as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as("n_pairs"))
+        .withColumn("n_at_or_above",
+          sum("n_pairs").over(Window.orderBy(col("bin").desc)))
+        .select(round(col("bin") / 20.0, 2).as("bin_lo"),
+          col("n_pairs"), col("n_at_or_above"))
+        .orderBy("bin_lo")
+    },
+    Some(s"""
+      WITH ${nearDupCtes("documents")},
+      j AS (SELECT CAST(FLOOR(20 * CAST(i.inter AS DOUBLE)
+                              / (sa.n + sb.n - i.inter)) AS INTEGER) AS bin
+            FROM inter i
+            JOIN sizes sa ON i.da = sa.doc_id
+            JOIN sizes sb ON i.db = sb.doc_id),
+      h AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_pairs FROM j GROUP BY bin)
+      SELECT ROUND(bin / 20.0, 2) AS bin_lo, n_pairs,
+             CAST(SUM(n_pairs) OVER (ORDER BY bin DESC) AS BIGINT) AS n_at_or_above
+      FROM h ORDER BY bin_lo"""))
+
   def all: Seq[Q] = Seq(q36, q37, q38, q45, q47, q51, q55, q134, q145, q146,
-    q151, q152, q163)
+    q151, q152, q163, q166)
 }

@@ -278,5 +278,51 @@ object QualityQueries {
         SELECT * FROM m1 UNION ALL SELECT * FROM m2 UNION ALL SELECT * FROM m3) u
       ORDER BY step"""))
 
-  def all: Seq[Q] = Seq(q156, q157, q158, q159, q160, q161, q162, q164, q165)
+  /** Robust per-source length-outlier detection: median + MAD (median
+    * absolute deviation) of token counts, and the count of docs beyond
+    * 3 MADs — the outlier rule that survives the heavy tails that wreck
+    * mean/stddev fences. Integer lengths make every median a multiple
+    * of 0.5 (exactly representable), so the 3-MAD comparison is crisp
+    * cross-engine (Spark `percentile` and DuckDB `quantile_cont` both
+    * linear-interpolate, the q56 equivalence). Two aggregate passes +
+    * one sources-sized broadcast — no corpus sort. */
+  val q167 = Q(
+    "q167_length_outliers",
+    (s, d) => {
+      val lens = Tables.documents(s, d)
+        .select(col("source"), size(split(col("text"), " ")).cast("long").as("len"))
+      val med = lens.groupBy("source")
+        .agg(expr("percentile(len, 0.5)").as("med"))
+      val dev = lens.join(broadcast(med), Seq("source"))
+        .withColumn("adev", abs(col("len") - col("med")))
+      val mad = dev.groupBy("source")
+        .agg(expr("percentile(adev, 0.5)").as("mad"))
+      dev.join(broadcast(mad), Seq("source"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          round(first("med"), 2).as("median_toks"),
+          round(first("mad"), 2).as("mad"),
+          sum(when(col("adev") > lit(3) * col("mad"), 1L).otherwise(0L))
+            .as("n_outliers"))
+        .orderBy("source")
+    },
+    Some("""
+      WITH l AS (SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS len
+                 FROM documents),
+      m AS (SELECT source, quantile_cont(len, 0.5) AS med FROM l GROUP BY source),
+      d AS (SELECT l.source, l.len, ABS(l.len - m.med) AS adev
+            FROM l JOIN m ON l.source = m.source),
+      md AS (SELECT source, quantile_cont(adev, 0.5) AS mad FROM d GROUP BY source)
+      SELECT d.source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             ROUND(ANY_VALUE(m.med), 2) AS median_toks,
+             ROUND(ANY_VALUE(md.mad), 2) AS mad,
+             CAST(SUM(CASE WHEN d.adev > 3 * md.mad THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_outliers
+      FROM d JOIN m ON d.source = m.source
+             JOIN md ON d.source = md.source
+      GROUP BY d.source ORDER BY d.source"""))
+
+  def all: Seq[Q] = Seq(q156, q157, q158, q159, q160, q161, q162, q164, q165,
+    q167)
 }
