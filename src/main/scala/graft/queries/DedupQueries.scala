@@ -678,6 +678,61 @@ object DedupQueries {
              CAST(SUM(n_pairs) OVER (ORDER BY bin DESC) AS BIGINT) AS n_at_or_above
       FROM h ORDER BY bin_lo"""))
 
+  /** Dup-graph shape QA: triangle count and transitivity over the
+    * verified near-dup pair graph — cliques (transitive duplicate
+    * groups) versus chains (A≈B≈C but A≉C, where keep-one-per-cluster
+    * quietly drops non-duplicates). Wedges = Σ C(deg,2); transitivity =
+    * 3·triangles / wedges. The pair graph is collision-bounded (tiny
+    * next to the corpus), so the triangle join is pair-scale work:
+    * edges ordered a<b, joined e1.b=e2.a, closed against the edge set.
+    * All-integer output except the final ratio. */
+  val q168 = Q(
+    "q168_dup_triangles",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      val e = graft.operators.Dedup
+        .minHashLshPairs(docs, "doc_id", "text",
+          n = ShingleN, k = K, bands = Bands, threshold = 0.5)
+        .select(col("id_a").as("a"), col("id_b").as("b")) // already a < b
+      val tri = e.as("e1")
+        .join(e.as("e2"), col("e1.b") === col("e2.a"))
+        .join(e.as("e3"),
+          col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
+        .agg(count(lit(1)).as("triangles"))
+      val wedges = e.select(col("a").as("v")).union(e.select(col("b").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("deg"))
+        .agg(sum(col("deg") * (col("deg") - 1) / 2).as("wedges"),
+          count(lit(1)).as("n_vertices"))
+      e.agg(count(lit(1)).as("n_edges")).crossJoin(tri).crossJoin(wedges)
+        .select(col("n_edges"), col("n_vertices"), col("triangles"),
+          col("wedges").cast("long").as("wedges"),
+          round(when(col("wedges") > 0,
+            lit(3.0) * col("triangles") / col("wedges")).otherwise(lit(0.0)), 4)
+            .as("transitivity"))
+    },
+    Some(s"""
+      WITH ${nearDupCtes("documents")},
+      e AS (SELECT i.da AS a, i.db AS b
+            FROM inter i
+            JOIN sizes sa ON i.da = sa.doc_id
+            JOIN sizes sb ON i.db = sb.doc_id
+            WHERE CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter) >= 0.5),
+      tri AS (SELECT CAST(COUNT(*) AS BIGINT) AS triangles
+              FROM e e1 JOIN e e2 ON e1.b = e2.a
+                        JOIN e e3 ON e1.a = e3.a AND e2.b = e3.b),
+      w AS (SELECT CAST(SUM(deg * (deg - 1) / 2) AS BIGINT) AS wedges,
+                   CAST(COUNT(*) AS BIGINT) AS n_vertices
+            FROM (SELECT v, COUNT(*) AS deg FROM (
+                    SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e) u
+                  GROUP BY v) dg),
+      ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM e)
+      SELECT ne.n_edges, w.n_vertices, tri.triangles, w.wedges,
+             ROUND(CASE WHEN w.wedges > 0
+                        THEN 3.0 * tri.triangles / w.wedges ELSE 0.0 END, 4)
+               AS transitivity
+      FROM ne, tri, w"""))
+
   def all: Seq[Q] = Seq(q36, q37, q38, q45, q47, q51, q55, q134, q145, q146,
-    q151, q152, q163, q166)
+    q151, q152, q163, q166, q168)
 }
