@@ -580,6 +580,39 @@ object AnalyticsQueries {
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS cum_revenue
       FROM ord_daily ORDER BY day"""))
 
+  /** Recency-decayed engagement: per-user Σ value·e^(−0.1·age_days),
+    * age anchored at the corpus max timestamp (deterministic "now").
+    * The exponential-decay score every freshness-weighted ranking uses —
+    * computed in one pass with a 1-row broadcast anchor, no window. Ages
+    * are exact integer µs; the only float noise is libm exp's last ulp,
+    * absorbed by round-before-rank with a user_id tie-break (the q53
+    * device). Top 20. */
+  val q169 = Q(
+    "q169_decayed_engagement",
+    (s, d) => {
+      val e = Tables.events(s, d)
+        .select(col("user_id"), col("value"), unix_micros(col("ts")).as("tus"))
+      val mx = broadcast(e.agg(max("tus").as("mx")))
+      e.crossJoin(mx)
+        .select(col("user_id"),
+          (col("value") *
+            exp(lit(-0.1) * (col("mx") - col("tus")) / lit(86400000000.0))).as("w"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"), round(sum("w"), 4).as("decayed"))
+        .orderBy(col("decayed").desc, col("user_id"))
+        .limit(20)
+    },
+    Some("""
+      WITH e AS (SELECT user_id, value, epoch_us(ts) AS tus FROM events),
+      m AS (SELECT MAX(tus) AS mx FROM e),
+      w AS (SELECT user_id,
+                   value * EXP(-0.1 * (m.mx - tus) / 86400000000.0) AS w
+            FROM e, m)
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+             ROUND(SUM(w), 4) AS decayed
+      FROM w GROUP BY user_id
+      ORDER BY decayed DESC, user_id LIMIT 20"""))
+
   def all: Seq[Q] = Seq(q81, q82, q83, q84, q85, q86, q87, q88, q89,
-    q97, q98, q99, q113, q114, q115, q118, q121, q133, q149, q150)
+    q97, q98, q99, q113, q114, q115, q118, q121, q133, q149, q150, q169)
 }
