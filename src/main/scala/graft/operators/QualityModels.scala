@@ -204,7 +204,11 @@ object QualityModels {
     val sep = "␟"
     var cur = docs.select(col(id), regexp_replace(col(text), " ", sep).as("s"))
       .localCheckpoint(true)
-    val steps = (1 to rounds).map { r =>
+    val steps = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    var lastTop: DataFrame = null
+    var stopped = false
+    var r = 1
+    while (r <= rounds && !stopped) {
       val toks = split(col("s"), sep)
       // materialized (1 row) BEFORE the rewrite frees the prior corpus
       // checkpoint its lineage reads
@@ -216,20 +220,28 @@ object QualityModels {
         .orderBy(col("n").desc, col("w1").asc, col("w2").asc)
         .limit(1).withColumn("step", lit(r))
         .localCheckpoint(true)
-      val next = cur.crossJoin(broadcast(top.select(col("w1"), col("w2"))))
-        .select(col(id), expr(
-          s"""trim(BOTH '$sep' FROM replace(
-             |  '$sep' || s || '$sep',
-             |  '$sep' || w1 || '$sep' || w2 || '$sep',
-             |  '$sep' || w1 || '_' || w2 || '$sep'))""".stripMargin).as("s"))
-        .localCheckpoint(true)
-      val prev = cur
-      cur = next
-      Dedup.freeLocalCheckpoint(prev)
-      top
+      lastTop = top
+      // a pair-less round adopts nothing: stop instead of cross-joining
+      // the corpus with an empty merge frame (which would empty it)
+      if (top.isEmpty) stopped = true
+      else {
+        steps += top
+        val next = cur.crossJoin(broadcast(top.select(col("w1"), col("w2"))))
+          .select(col(id), expr(
+            s"""trim(BOTH '$sep' FROM replace(
+               |  '$sep' || s || '$sep',
+               |  '$sep' || w1 || '$sep' || w2 || '$sep',
+               |  '$sep' || w1 || '_' || w2 || '$sep'))""".stripMargin).as("s"))
+          .localCheckpoint(true)
+        val prev = cur
+        cur = next
+        Dedup.freeLocalCheckpoint(prev)
+      }
+      r += 1
     }
     Dedup.freeLocalCheckpoint(cur)
-    steps.reduce(_ union _).select("step", "w1", "w2", "n").orderBy("step")
+    steps.foldLeft(lastTop.limit(0))(_ union _)
+      .select("step", "w1", "w2", "n").orderBy("step")
   }
 
   /** Cross-source n-gram overlap matrix: exact Jaccard similarity of

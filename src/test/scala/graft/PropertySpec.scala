@@ -133,6 +133,53 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
     }, n = 20) // each trial runs two Spark jobs — keep the count sane
   }
 
+  test("temperatureMix: temp_frac is a distribution; alpha=1 leaves weights at 1") {
+    import spark.implicits._
+    val corpora = Gen.nonEmptyListOf(
+      Gen.zip(Gen.oneOf("s1", "s2", "s3", "s4"), Gen.chooseNum(1, 40)))
+    check(Prop.forAll(corpora, Gen.oneOf(0.0, 0.3, 0.7, 1.0)) { (rows, alpha) =>
+      val docs = rows.map { case (src, n) => (src, Seq.fill(n)("t").mkString(" ")) }
+        .toDF("source", "text")
+      val out = graft.operators.QualityModels
+        .temperatureMix(docs, "source", "text", alpha).collect()
+      val fracSum = out.map(_.getDouble(3)).sum
+      val distOk = math.abs(fracSum - 1.0) <= 0.001 * out.length // 4-dp rounding slack
+      val alphaOneOk = alpha != 1.0 || out.forall(_.getDouble(4) == 1.0)
+      distOk && alphaOneOk
+    }, n = 15) // each trial runs Spark jobs — keep the count sane
+  }
+
+  test("bigramSurprisal is row-order invariant (the model is set-semantic)") {
+    import spark.implicits._
+    val corpora = Gen.listOfN(6,
+      Gen.nonEmptyListOf(Gen.oneOf("a", "b", "c", "d")).map(_.mkString(" ")))
+    check(Prop.forAll(corpora, Gen.long) { (texts, seed) =>
+      val rows = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val shuffled = new scala.util.Random(seed).shuffle(rows)
+      def run(rs: Seq[(Long, String)]) = graft.operators.QualityModels
+        .bigramSurprisal(rs.toDF("doc_id", "text"), "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      run(rows) == run(shuffled)
+    }, n = 10)
+  }
+
+  test("bpeMerges: adopted-pair counts never increase across rounds") {
+    import spark.implicits._
+    // merging the top pair can only shrink any other pair's count, and
+    // pairs created by the merge are bounded by the merged token's
+    // occurrences — so the adoption-count sequence is non-increasing
+    val corpora = Gen.listOfN(5,
+      Gen.nonEmptyListOf(Gen.oneOf("a", "b", "c")).map(_.mkString(" ")))
+    check(Prop.forAll(corpora) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val ns = graft.operators.QualityModels
+        .bpeMerges(docs, "doc_id", "text", rounds = 3)
+        .collect().sortBy(_.getInt(0)).map(_.getLong(3))
+      ns.isEmpty || ns.zip(ns.tail).forall { case (a, b) => b <= a }
+    }, n = 10)
+  }
+
   test("statsSummary conserves row counts and brackets every value") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._

@@ -104,6 +104,15 @@ class QualityModelsSpec extends AnyFunSuite with SparkSpec {
     assert(out.toSeq == Seq((1, "a", "b", 3L), (2, "a", "b", 1L)))
   }
 
+  test("bpeMerges: a pair-less corpus adopts nothing and never empties the input") {
+    import spark.implicits._
+    val docs = Seq((1L, "only"), (2L, "single")).toDF("doc_id", "text")
+    val out = graft.operators.QualityModels
+      .bpeMerges(docs, "doc_id", "text", rounds = 3)
+    assert(out.count() == 0)
+    assert(out.columns.toSeq == Seq("step", "w1", "w2", "n"))
+  }
+
   test("sourceOverlapSketch: at sparse cardinalities the HLL estimates are exact") {
     import spark.implicits._
     val docs = Seq(
