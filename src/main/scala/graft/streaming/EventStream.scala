@@ -470,7 +470,8 @@ object EventStream {
         .select(col(source), col("tokens").cast("long").as("tokens")),
       source, alpha)
 
-  /** Latest materialized state written by [[runIncrementalAgg]]. */
+  /** Latest materialized state written by a versioned-state sink
+    * ([[runIncrementalAgg]], [[streamingSourceTokenCounts]]). */
   def latestAggState(spark: SparkSession, statePath: String): DataFrame = {
     val vs = Option(new java.io.File(statePath).listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith("v="))
