@@ -126,17 +126,27 @@ object CorpusPipeline {
   def decontaminateFuzzy(train: DataFrame, bench: DataFrame, id: String,
       text: String, n: Int = 4, k: Int = 16, bands: Int = 4,
       threshold: Double = 0.5, maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    // index once: the train index feeds BOTH the pair search and the
+    // report base (indexDocs already keeps exactly the ≥n-token docs),
+    // so the corpus is scanned once, not twice
+    val li = Dedup.indexDocs(train, id, text, n, k).localCheckpoint(true)
+    val ri = Dedup.indexDocs(bench, id, text, n, k).localCheckpoint(true)
     val perDoc = Dedup
-      .crossFrameLshPairs(train, bench, id, text, n, k, bands, threshold,
-        maxBucketSize)
+      .crossFrameLshPairsIndexed(li, ri, id,
+        k = k, bands = bands, threshold = threshold,
+        maxBucketSize = maxBucketSize)
       .groupBy(col("id_l").as(id))
       .agg(count(lit(1)).as("n_hits"), max("jaccard").as("__mx"))
-    train.filter(size(split(col(text), " ")) >= n).select(col(id)).distinct()
+    val out = li.select(col(id)).distinct()
       .join(perDoc, Seq(id), "left")
       .select(col(id),
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),
         round(coalesce(col("__mx"), lit(0.0)), 4).as("max_jaccard"),
         (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+      .localCheckpoint(true)
+    Dedup.freeLocalCheckpoint(li)
+    Dedup.freeLocalCheckpoint(ri)
+    out
   }
 
   /** Deterministic shard assignment for training-data export: shard =

@@ -292,19 +292,37 @@ object Dedup {
     * corpus-vs-corpus overlap probe. Candidate mass is bounded by
     * cross-frame bucket collisions, not by either corpus.
     *
-    * PRECONDITION: `left` and `right` are disjoint on `id` (same
-    * contract as the incremental append path). Output:
-    * (id_l, id_r, jaccard) with id_l always from `left` — orientation
-    * is restored after the (least-first-normalized) bucket expansion by
-    * probing the right frame's id set, which is broadcast-sized in the
-    * decontamination use (bench suites are small) and pair-bounded
-    * regardless. */
+    * PRECONDITION: `left` and `right` are disjoint on `id` — an id on
+    * both sides would carry two shingle-set rows into verification.
+    * Checked fail-fast on the (fixed-width, already-materialized)
+    * indexes — an index-scale semi probe, not a corpus scan.
+    *
+    * Output: (id_l, id_r, jaccard), id_l always from `left`:
+    * orientation is emitted directly from the side tags inside the
+    * bucket lambda — no post-hoc id-set probe, nothing broadcast that
+    * grows with either corpus. */
   def crossFrameLshPairs(left: DataFrame, right: DataFrame,
       id: String, text: String,
       n: Int = 4, k: Int = 16, bands: Int = 4,
       threshold: Double = 0.5, maxBucketSize: Int = Int.MaxValue): DataFrame = {
     val li = indexDocs(left, id, text, n, k).localCheckpoint(true)
     val ri = indexDocs(right, id, text, n, k).localCheckpoint(true)
+    val out = crossFrameLshPairsIndexed(li, ri, id,
+      k = k, bands = bands, threshold = threshold, maxBucketSize = maxBucketSize)
+    freeLocalCheckpoint(li)
+    freeLocalCheckpoint(ri)
+    out
+  }
+
+  /** [[crossFrameLshPairs]] over already-materialized [[indexDocs]]
+    * frames — the entry point when a caller needs the indexes too
+    * (e.g. decontamination reports every indexed left doc) or screens
+    * many batches against one stored right index. */
+  def crossFrameLshPairsIndexed(li: DataFrame, ri: DataFrame, id: String,
+      k: Int = 16, bands: Int = 4,
+      threshold: Double = 0.5, maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    require(li.select(col(id)).join(ri.select(col(id)), Seq(id), "left_semi")
+      .isEmpty, s"crossFrameLshPairs frames must be disjoint on '$id'")
     val tag = (isRight: Boolean, idx: DataFrame) =>
       bandedSignatures(idx.select(col(id), col("mh")), id, k, bands)
         .withColumn("__r", lit(isRight))
@@ -313,22 +331,21 @@ object Dedup {
       .groupBy("band", "sig")
       .agg(collect_list(struct(col(id).as("i"), col("__r").as("r"))).as("__ids"))
       .filter(size(col("__ids")) > 1)
-      .select(explode(bucketPairs("__ids", "id_a", "id_b",
-        aExpr = "x.i", bExpr = "y.i", extraPred = Some("x.r <> y.r"))).as("__p"))
+      // oriented in-bucket expansion: the side tag picks which element
+      // is the left endpoint, so no later lookup must recover sides
+      .select(explode(expr(
+        """filter(flatten(transform(__ids, (x, i) ->
+          |  transform(slice(__ids, i + 2, size(__ids) - i - 1), y ->
+          |    named_struct('id_a', if(x.r, y.i, x.i),
+          |                 'id_b', if(x.r, x.i, y.i),
+          |                 '__keep', x.r <> y.r)))),
+          |  p -> p.__keep)""".stripMargin)).as("__p"))
       .select(col("__p.id_a").as("id_a"), col("__p.id_b").as("id_b"))
       .distinct()
     val sets = li.select(col(id), col("hs")).union(ri.select(col(id), col("hs")))
-    val rids = broadcast(ri.select(col(id).as("__rid")))
-    val out = verifyPairs(cands, sets, id, threshold)
-      .join(rids, col("id_a") === col("__rid"), "left")
-      .select(
-        when(col("__rid").isNotNull, col("id_b")).otherwise(col("id_a")).as("id_l"),
-        when(col("__rid").isNotNull, col("id_a")).otherwise(col("id_b")).as("id_r"),
-        col("jaccard"))
+    verifyPairs(cands, sets, id, threshold)
+      .select(col("id_a").as("id_l"), col("id_b").as("id_r"), col("jaccard"))
       .localCheckpoint(true)
-    freeLocalCheckpoint(li)
-    freeLocalCheckpoint(ri)
-    out
   }
 
   /** Connected components over a near-duplicate pair graph: every doc

@@ -211,7 +211,9 @@ object Multimodal {
       new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
 
     /** Depth-first walk over a chunk run [from, until); returns the data
-      * offset of the first `avih` chunk. */
+      * offset of the first `avih` chunk whose DECLARED size covers the
+      * 40 header bytes read below — a shorter declaration means those
+      * bytes belong to the next chunk, not the header. */
     private def findAvih(b: Array[Byte], from: Int, until: Int): Option[Int] = {
       var off = from
       while (off + 8 <= until) {
@@ -219,7 +221,7 @@ object Multimodal {
         val size = le32(b, off + 4)
         val dataStart = off + 8
         if (size < 0 || dataStart + size > until) return None // lying header
-        if (id == "avih") return Some(dataStart)
+        if (id == "avih") return if (size >= 40) Some(dataStart) else None
         if (id == "LIST" && size >= 4) {
           // LIST data = 4-byte list type + nested chunk run
           val hit = findAvih(b, dataStart + 4, dataStart + size.toInt)
@@ -236,12 +238,14 @@ object Multimodal {
       else
         findAvih(bytes, 12, bytes.length).flatMap { at =>
           // avih layout (little-endian u32s from data start): +16 total
-          // frames, +32 width, +36 height — needs 40 readable bytes
-          if (at + 40 > bytes.length) None
+          // frames, +32 width, +36 height
+          val frames = le32(bytes, at + 16)
+          val w = le32(bytes, at + 32)
+          val h = le32(bytes, at + 36)
+          // u32 fields that would wrap a signed Int are corrupt, not
+          // metadata — the contract is None, never negative dimensions
+          if (w > Int.MaxValue || h > Int.MaxValue || frames > Int.MaxValue) None
           else {
-            val frames = le32(bytes, at + 16)
-            val w = le32(bytes, at + 32)
-            val h = le32(bytes, at + 36)
             var s = 0L
             var i = 0
             while (i < bytes.length) { s += (bytes(i) & 0xff); i += 1 }

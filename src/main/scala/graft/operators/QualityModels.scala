@@ -226,12 +226,18 @@ object QualityModels {
       if (top.isEmpty) stopped = true
       else {
         steps += top
+        // strip exactly the ONE separator added at each end by the
+        // wrap (a trim-ALL would also eat boundary empty tokens from
+        // leading/trailing whitespace, silently changing round r+1's
+        // pair counts)
         val next = cur.crossJoin(broadcast(top.select(col("w1"), col("w2"))))
           .select(col(id), expr(
-            s"""trim(BOTH '$sep' FROM replace(
+            s"""replace(
                |  '$sep' || s || '$sep',
                |  '$sep' || w1 || '$sep' || w2 || '$sep',
-               |  '$sep' || w1 || '_' || w2 || '$sep'))""".stripMargin).as("s"))
+               |  '$sep' || w1 || '_' || w2 || '$sep')""".stripMargin).as("__t"))
+          .select(col(id),
+            expr("substring(__t, 2, length(__t) - 2)").as("s"))
           .localCheckpoint(true)
         val prev = cur
         cur = next

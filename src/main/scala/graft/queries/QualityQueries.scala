@@ -252,12 +252,12 @@ object QualityQueries {
               GROUP BY 1, 2),
       m$r AS (SELECT $r AS step, w1, w2, CAST(n AS BIGINT) AS n
               FROM p$r ORDER BY n DESC, w1, w2 LIMIT 1),
-      r$r AS (SELECT doc_id,
-                     trim(replace('␟' || s || '␟',
-                                  '␟' || m.w1 || '␟' || m.w2 || '␟',
-                                  '␟' || m.w1 || '_' || m.w2 || '␟'),
-                          '␟') AS s
-              FROM r${r - 1}, m$r m)"""
+      r$r AS (SELECT doc_id, substr(t, 2, length(t) - 2) AS s FROM (
+                SELECT doc_id,
+                       replace('␟' || s || '␟',
+                               '␟' || m.w1 || '␟' || m.w2 || '␟',
+                               '␟' || m.w1 || '_' || m.w2 || '␟') AS t
+                FROM r${r - 1}, m$r m) x)"""
 
   /** BPE merge-table training, 3 rounds (QualityModels.bpeMerges): the
     * tokenizer-fit loop — count pairs, adopt the top pair, rewrite,

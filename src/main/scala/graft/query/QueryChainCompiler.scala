@@ -107,11 +107,15 @@ object QueryChainCompiler {
     * silently rendering a truncated result as complete. */
   def runToJson(spark: SparkSession, markdown: String,
       maxRows: Int = 10000): Map[String, Either[String, JsonResult]] =
-    run(spark, markdown).map { case (id, r) =>
-      id -> r.map { df =>
-        val rows = df.limit(maxRows + 1).toJSON.collect().toSeq
-        if (rows.length > maxRows) JsonResult(rows.take(maxRows), truncated = true)
-        else JsonResult(rows, truncated = false)
-      }
-    }
+    run(spark, markdown).map { case (id, r) => id -> r.map(collectJson(_, maxRows)) }
+
+  /** The bounded-collect device shared by every serving surface (page
+    * endpoint, ad-hoc `/sql`): collect maxRows+1 so "exactly maxRows"
+    * and "cut off" stay distinguishable — ONE implementation of the
+    * row-cap contract. */
+  def collectJson(df: org.apache.spark.sql.DataFrame, maxRows: Int): JsonResult = {
+    val rows = df.limit(maxRows + 1).toJSON.collect().toSeq
+    if (rows.length > maxRows) JsonResult(rows.take(maxRows), truncated = true)
+    else JsonResult(rows, truncated = false)
+  }
 }

@@ -40,6 +40,7 @@ final class QueryServer(
 
   private var server: Option[HttpServer] = None
   private val route = "^/api/([A-Za-z0-9_-]+)\\.json$".r
+  private val maxSqlBytes = 1 << 20 // 1 MiB statement cap
 
   /** Start on `port` (0 = ephemeral); returns the bound port.
     * Requests run on a cached thread pool, not the server's single
@@ -77,9 +78,17 @@ final class QueryServer(
         case ("GET", route(name)) =>
           respond(exchange, 404, s"""{"error":"no page '${escape(name)}'"}""")
         case ("POST", "/sql") =>
-          val sql = new String(exchange.getRequestBody.readAllBytes(),
-            StandardCharsets.UTF_8)
-          respond(exchange, 200, sqlJson(sql))
+          // bound the body BEFORE buffering it: readNBytes stops at the
+          // cap, and one extra probe byte distinguishes "exactly at the
+          // cap" from "over it" — an oversized statement is a 413, not
+          // an unbounded heap allocation
+          val body = exchange.getRequestBody.readNBytes(maxSqlBytes + 1)
+          if (body.length > maxSqlBytes)
+            respond(exchange, 413,
+              s"""{"error":"statement exceeds $maxSqlBytes bytes"}""")
+          else
+            respond(exchange, 200,
+              sqlJson(new String(body, StandardCharsets.UTF_8)))
         case ("GET", _) =>
           respond(exchange, 404, """{"error":"not found"}""")
         case (_, _) =>
@@ -108,15 +117,19 @@ final class QueryServer(
     * protocol is JSON — a postgres-wire listener proper remains the
     * stock Spark Thrift/Connect servers' job). Query errors (parse,
     * missing table) come back `ok:false` in a 200 — a bad query is a
-    * result, not a server failure — with the same row cap + `truncated`
-    * contract as the page endpoint. */
+    * result, not a server failure — with the row cap + `truncated`
+    * contract shared with the page endpoint
+    * (QueryChainCompiler.collectJson).
+    *
+    * Trust model: like Spark's own Thrift/Connect servers, statements
+    * run with the session's full privileges — SET/DDL from one client
+    * is visible to every other (that shared mutability IS what the
+    * reference's concurrency proxy exposes to dbt). Bind to localhost /
+    * trusted networks only; this is a gateway, not an auth boundary. */
   private def sqlJson(sql: String): String =
     try {
-      val rows = spark.sql(sql).limit(maxRows + 1).toJSON.collect().toSeq
-      val (kept, trunc) =
-        if (rows.length > maxRows) (rows.take(maxRows), true)
-        else (rows, false)
-      s"""{"ok":true,"truncated":$trunc,"rows":[${kept.mkString(",")}]}"""
+      val r = QueryChainCompiler.collectJson(spark.sql(sql), maxRows)
+      s"""{"ok":true,"truncated":${r.truncated},"rows":[${r.rows.mkString(",")}]}"""
     } catch {
       case e: Exception =>
         s"""{"ok":false,"error":"${escape(String.valueOf(e.getMessage))}"}"""

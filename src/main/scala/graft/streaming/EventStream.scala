@@ -373,30 +373,13 @@ object EventStream {
     * latest version strictly OLDER than the current batch. */
   def runIncrementalAgg(events: DataFrame, statePath: String,
       checkpoint: String): StreamingQuery =
-    events.writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val spark = batch.sparkSession
-        val fs = new java.io.File(statePath)
-        fs.mkdirs()
-        val versions = Option(fs.listFiles()).getOrElse(Array.empty)
-          .filter(f => f.isDirectory && f.getName.startsWith("v="))
-          .map(_.getName.stripPrefix("v=").toLong)
-        val deltaAgg = batch.groupBy("event_type")
-          .agg(count(lit(1)).as("n"),
-            sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
-              .as("total"))
-        val prev = versions.filter(_ < batchId).sorted.lastOption
-        val refreshed = prev match {
-          case Some(v) => graft.operators.Cdc.refreshAgg(
-            spark.read.parquet(s"$statePath/v=$v"), deltaAgg,
-            Seq("event_type"), Seq("n", "total"))
-          case None => deltaAgg
-        }
-        refreshed.write.mode("overwrite").parquet(s"$statePath/v=$batchId")
-      }
-      .option("checkpointLocation", checkpoint)
-      .trigger(Trigger.AvailableNow())
-      .start()
+    runVersionedAggSink(events, statePath, checkpoint,
+      keys = Seq("event_type"), aggCols = Seq("n", "total")) { batch =>
+      batch.groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .as("total"))
+    }
 
   /** Ingest-time fuzzy decontamination: every streamed shard of
     * training documents is screened against a fixed benchmark frame
@@ -436,7 +419,25 @@ object EventStream {
   def streamingSourceTokenCounts(docs: DataFrame, statePath: String,
       checkpoint: String, source: String = "source", text: String = "text")
       : StreamingQuery =
-    docs.writeStream
+    runVersionedAggSink(docs, statePath, checkpoint,
+      keys = Seq(source), aggCols = Seq("tokens")) { batch =>
+      batch
+        .select(col(source), size(split(col(text), " ")).cast("long").as("n"))
+        .groupBy(source).agg(sum("n").as("tokens"))
+    }
+
+  /** The versioned-state exactly-once protocol shared by every
+    * incremental-aggregate sink ([[runIncrementalAgg]],
+    * [[streamingSourceTokenCounts]]): compute the batch's delta
+    * aggregate, merge it into the latest state version STRICTLY older
+    * than this batch id (so a replayed batch re-merges from the same
+    * base instead of compounding), and overwrite `v=<batchId>`. One
+    * implementation — the replay-safety rules live here only. */
+  private def runVersionedAggSink(src: DataFrame, statePath: String,
+      checkpoint: String, keys: Seq[String], aggCols: Seq[String])(
+      delta: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row] => DataFrame)
+      : StreamingQuery =
+    src.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
         val fs = new java.io.File(statePath)
@@ -444,15 +445,12 @@ object EventStream {
         val versions = Option(fs.listFiles()).getOrElse(Array.empty)
           .filter(f => f.isDirectory && f.getName.startsWith("v="))
           .map(_.getName.stripPrefix("v=").toLong)
-        val delta = batch
-          .select(col(source), size(split(col(text), " ")).cast("long").as("n"))
-          .groupBy(source).agg(sum("n").as("tokens"))
+        val d = delta(batch)
         val prev = versions.filter(_ < batchId).sorted.lastOption
         val refreshed = prev match {
           case Some(v) => graft.operators.Cdc.refreshAgg(
-            spark.read.parquet(s"$statePath/v=$v"), delta,
-            Seq(source), Seq("tokens"))
-          case None => delta
+            spark.read.parquet(s"$statePath/v=$v"), d, keys, aggCols)
+          case None => d
         }
         refreshed.write.mode("overwrite").parquet(s"$statePath/v=$batchId")
       }

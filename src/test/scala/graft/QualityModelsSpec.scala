@@ -104,6 +104,19 @@ class QualityModelsSpec extends AnyFunSuite with SparkSpec {
     assert(out.toSeq == Seq((1, "a", "b", 3L), (2, "a", "b", 1L)))
   }
 
+  test("bpeMerges: boundary empty tokens from leading whitespace survive the rewrite") {
+    import spark.implicits._
+    // " a b a b" tokenizes to ["", a, b, a, b]: after (a,b) is adopted
+    // (first occurrence only — the second shares its separator), round 2
+    // sees ["", a_b, a, b], so the leading empty token still opens a
+    // countable pair and ("", a_b) wins the count-1 tie by w1 asc
+    val docs = Seq((1L, " a b a b")).toDF("doc_id", "text")
+    val out = graft.operators.QualityModels
+      .bpeMerges(docs, "doc_id", "text", rounds = 2)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(out.toSeq == Seq((1, "a", "b", 2L), (2, "", "a_b", 1L)))
+  }
+
   test("bpeMerges: a pair-less corpus adopts nothing and never empties the input") {
     import spark.implicits._
     val docs = Seq((1L, "only"), (2L, "single")).toDF("doc_id", "text")
