@@ -733,6 +733,41 @@ object DedupQueries {
                AS transitivity
       FROM ne, tri, w"""))
 
+  /** The incremental append path under the ORACLE (it was spec-only):
+    * even doc_ids play the stored index, odd ids the newly ingested
+    * batch; `incrementalLshPairs` must report exactly the full-corpus
+    * pairs that touch a new doc (new↔old ∪ new↔new — old↔old pairs were
+    * reported by "earlier batches"). Bucket keys are deterministic per
+    * doc, so the incremental candidate set equals the full chain's
+    * candidates minus old↔old — the oracle is the q36 chain filtered to
+    * pairs with an odd endpoint. This is the 100 TB ingest path:
+    * batch-proportional cost, oracle-verified output. */
+  val q170 = Q(
+    "q170_incremental_append",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      val oldIndex = graft.operators.Dedup.indexDocs(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+        n = ShingleN, k = K)
+      graft.operators.Dedup.incrementalLshPairs(
+          oldIndex, docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+          n = ShingleN, k = K, bands = Bands, threshold = 0.5)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+          round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    },
+    Some(s"""
+      WITH ${nearDupCtes("documents")}
+      SELECT i.da AS doc_a, i.db AS doc_b,
+             ROUND(CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter), 4) AS jaccard
+      FROM inter i
+      JOIN sizes sa ON i.da = sa.doc_id
+      JOIN sizes sb ON i.db = sb.doc_id
+      WHERE CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter) >= 0.5
+        AND (i.da % 2 = 1 OR i.db % 2 = 1)
+      ORDER BY doc_a, doc_b"""))
+
   def all: Seq[Q] = Seq(q36, q37, q38, q45, q47, q51, q55, q134, q145, q146,
-    q151, q152, q163, q166, q168)
+    q151, q152, q163, q166, q168, q170)
 }
