@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -237,6 +237,109 @@ object Similarity {
       centroids = centroids.map { case (c, prev) => c -> means.getOrElse(c, prev) }
     }
     (assign(centroidDf), centroidDf)
+  }
+
+  /** Product-quantization model: `codebooks(j)(c)` is codeword `c` of
+    * subspace `j` (`sub = dim/m` doubles each). O(m·ksub·sub) doubles —
+    * model state like k-means centroids, held on the driver and shipped
+    * into expressions as literals, never joined. */
+  final case class PqModel(m: Int, sub: Int, codebooks: Array[Array[Array[Double]]]) {
+    require(m >= 1 && codebooks.length == m && codebooks.forall(_.nonEmpty))
+    def ksub: Int = codebooks(0).length
+  }
+
+  /** Sampled PQ codebooks from an anchors frame `(anchor_id, av)`: each
+    * anchor vector is cut into `m` equal subvectors; slice `j` of anchor
+    * `c` becomes codeword `c` of subspace `j` (codeword ids = 0-based
+    * anchor rank by id). Data-sampled codebooks are the zero-training PQ
+    * baseline (any codebook is a valid PQ model); swap in per-subspace
+    * k-means centroids via [[kmeans]] when recall needs it. */
+  def pqCodebooksSampled(anchors: DataFrame, m: Int): PqModel = {
+    val vecs = anchors.orderBy("anchor_id").select("av").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(vecs.nonEmpty, "pqCodebooksSampled: empty anchors")
+    val dim = vecs.head.length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    PqModel(m, sub, Array.tabulate(m)(j => vecs.map(_.slice(j * sub, (j + 1) * sub))))
+  }
+
+  /** Per-subspace PQ assignment as ONE map-side expression over the
+    * embedding column: `array<struct<d: double, code: bigint>>`, element
+    * `j` = (rounded squared distance, codeword) chosen for subspace `j`.
+    * The argmin is an `array_sort` of (d, code) structs — rounded-first
+    * ranking with ties to the lower code, the same cross-engine rule as
+    * [[ivfAssign]]. No shuffle, no window, no join: encoding a 100 TB
+    * corpus is a single scan with the O(m·ksub·sub) codebook inlined. */
+  def pqEncodeDetailCol(embedding: Column, model: PqModel, roundAt: Int = 4): Column =
+    array((0 until model.m).map { j =>
+      val sl = slice(embedding, j * model.sub + 1, model.sub)
+      val cands = model.codebooks(j).zipWithIndex.map { case (cw, c) =>
+        val cwLit = array(cw.map(lit).toIndexedSeq: _*)
+        val d2 = aggregate(
+          zip_with(sl, cwLit, (x, w) => pow(x.cast("double") - w, lit(2))),
+          lit(0.0), (a, v) => a + v)
+        struct(round(d2, roundAt).as("d"), lit(c.toLong).as("code"))
+      }
+      element_at(array_sort(array(cands.toIndexedSeq: _*)), 1)
+    }: _*)
+
+  /** PQ codes only: `array<bigint>` of length m — the persisted index
+    * payload (m bytes-ish per vector vs 4·dim for the raw floats; 32×
+    * compression at dim=64, m=4 with byte codes). */
+  def pqCodesCol(embedding: Column, model: PqModel, roundAt: Int = 4): Column =
+    transform(pqEncodeDetailCol(embedding, model, roundAt), s => s.getField("code"))
+
+  private def roundHalfUp(x: Double, scale: Int): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(scale, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** PQ top-k by asymmetric distance computation (ADC) with exact
+    * re-rank: the query's per-(subspace, codeword) squared distances form
+    * an O(m·ksub) lookup table computed on the driver (model state); each
+    * corpus vector's approximate distance is the sum of m table lookups
+    * on its codes — a map-only scan that never touches the floats — and
+    * only the `refine` best candidates pay an exact cosine before the
+    * final top-k. At 100 TB the scan reads the m-byte codes column
+    * instead of the 256-byte vectors: the memory/bandwidth lever that
+    * makes billion-vector search feasible (IVF-PQ = partition the scan
+    * by [[ivfAssign]] cells on top of this).
+    *
+    * Determinism: LUT entries are rounded to 6 dp (driver BigDecimal
+    * HALF_UP — the same decimal rule as engine ROUND), the m-term sum is
+    * accumulated in subspace order, and both rank keys (`adist`, `sim`)
+    * are rounded before ordering with id tie-breaks. */
+  def pqTopK(emb: DataFrame, id: String, queryId: Long, model: PqModel,
+      refine: Int, k: Int, roundAt: Int = 4): DataFrame = {
+    val q = emb.filter(col(id) === queryId).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble).toArray
+    require(q.length == model.m * model.sub, "query dim != model dim")
+    val lut: Array[Array[Double]] = Array.tabulate(model.m) { j =>
+      model.codebooks(j).map { cw =>
+        var s = 0.0
+        var i = 0
+        while (i < model.sub) {
+          val dlt = q(j * model.sub + i) - cw(i); s += dlt * dlt; i += 1
+        }
+        roundHalfUp(s, 6)
+      }
+    }
+    val adist = (0 until model.m).map { j =>
+      val lutLit = array(lut(j).map(lit).toIndexedSeq: _*)
+      element_at(lutLit, (element_at(col("codes"), j + 1) + 1).cast("int"))
+    }.reduce(_ + _)
+    val cands = emb.filter(col(id) =!= queryId)
+      .withColumn("codes", pqCodesCol(col("embedding"), model, roundAt))
+      .withColumn("adist", round(adist, roundAt))
+      .orderBy(asc("adist"), asc(id))
+      .limit(refine)
+    val qv = broadcast(
+      emb.filter(col(id) === queryId).select(col("embedding").as("qv")))
+    cands.crossJoin(qv)
+      .withColumn("sim", round(vec.cosine(col("embedding"), col("qv")), roundAt))
+      .select(col(id), col("label"), col("adist"), col("sim"))
+      .orderBy(desc("sim"), asc(id))
+      .limit(k)
   }
 
   /** IVF top-k: probe the query's `nprobe` nearest cells, rank only

@@ -438,5 +438,89 @@ object SimilarityQueries {
       SELECT cluster, COUNT(*) AS n_vectors, ROUND(SUM(dist2), 2) AS sse
       FROM a4 GROUP BY cluster ORDER BY cluster"""))
 
-  def all: Seq[Q] = Seq(q34, q35, q39, q40, q48, q59, q60, q109, q136, q155)
+  /** The anchors-as-codebook frame shared by q171/q172: vectors 0-7 cut
+    * into 4 subspaces of 16 dims each (the q40 anchor convention carried
+    * to PQ). */
+  private def pqModel(s: SparkSession, d: String) = {
+    val anchors = Tables.embeddings(s, d).filter(col("vec_id") < 8)
+      .select(col("vec_id").as("anchor_id"), col("embedding").as("av"))
+    graft.operators.Similarity.pqCodebooksSampled(anchors, m = 4)
+  }
+
+  /** The matching DuckDB CTE chain: `e` (double-cast corpus), `cb`
+    * (subspace × codeword slices of anchors 0-7), `enc` (per-vector
+    * per-subspace argmin codeword, rounded-distance rank with code
+    * tie-break — exactly [[graft.operators.Similarity.pqEncodeDetailCol]]). */
+  private val PqCtes = """e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+      js AS (SELECT UNNEST(range(0, 4)) AS j),
+      cb AS (SELECT j, vec_id AS code, list_slice(x, j*16 + 1, j*16 + 16) AS cw
+             FROM e, js WHERE vec_id < 8),
+      enc AS (SELECT vec_id, j, code, d FROM (
+                SELECT e.vec_id, c.j, c.code,
+                       ROUND(list_sum(list_transform(range(1, 17),
+                         i -> pow(e.x[c.j*16 + i] - c.cw[i], 2))), 4) AS d,
+                       ROW_NUMBER() OVER (PARTITION BY e.vec_id, c.j
+                         ORDER BY ROUND(list_sum(list_transform(range(1, 17),
+                           i -> pow(e.x[c.j*16 + i] - c.cw[i], 2))), 4), c.code) AS rk
+                FROM e CROSS JOIN cb c) t WHERE rk = 1)"""
+
+  /** Product-quantization ANN: codes-only ADC scan (sum of m lookup-table
+    * entries per vector — the floats are never read), top-`refine`
+    * candidates by approximate distance, exact-cosine re-rank to top-k.
+    * The 32× compression lever for billion-vector search; the oracle
+    * replays codebook slicing, encoding, the LUT and the two-stage rank
+    * definition-for-definition. */
+  val q171 = Q(
+    "q171_pq_adc",
+    (s, d) =>
+      graft.operators.Similarity.pqTopK(
+        Tables.embeddings(s, d), "vec_id", queryId = 0, pqModel(s, d),
+        refine = 40, k = 10),
+    Some(s"""
+      WITH $PqCtes,
+      q AS (SELECT x AS qx FROM e WHERE vec_id = 0),
+      lut AS (SELECT c.j, c.code,
+                     ROUND(list_sum(list_transform(range(1, 17),
+                       i -> pow(q.qx[c.j*16 + i] - c.cw[i], 2))), 6) AS lv
+              FROM cb c, q),
+      ad AS (SELECT enc.vec_id,
+                    ROUND(list_sum(list(lut.lv ORDER BY enc.j)), 4) AS adist
+             FROM enc JOIN lut ON enc.j = lut.j AND enc.code = lut.code
+             GROUP BY enc.vec_id),
+      cand AS (SELECT vec_id, adist FROM ad WHERE vec_id <> 0
+               ORDER BY adist, vec_id LIMIT 40)
+      SELECT c.vec_id, e.label, c.adist,
+             ROUND(list_cosine_similarity(e.x, q.qx), 4) AS sim
+      FROM cand c JOIN e USING (vec_id), q
+      ORDER BY sim DESC, vec_id
+      LIMIT 10"""))
+
+  /** PQ codebook utilization profile: per (subspace, codeword) population
+    * and total quantization error — the encode-quality diagnostic that
+    * decides whether sampled codebooks suffice or k-means training is
+    * needed (dead codewords / fat cells = poor recall at a given m).
+    * Pins the full encode assignment over every vector, not just the
+    * query path q171 exercises. */
+  val q172 = Q(
+    "q172_pq_code_stats",
+    (s, d) => {
+      val model = pqModel(s, d)
+      Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          posexplode(graft.operators.Similarity
+            .pqEncodeDetailCol(col("embedding"), model)))
+        .select(col("pos").as("subspace"), col("col.code").as("code"),
+          col("col.d").as("d"))
+        .groupBy("subspace", "code")
+        .agg(count(lit(1)).as("n"), round(sum("d"), 2).as("err_sum"))
+        .orderBy("subspace", "code")
+    },
+    Some(s"""
+      WITH $PqCtes
+      SELECT CAST(j AS INTEGER) AS subspace, code, COUNT(*) AS n,
+             ROUND(SUM(d), 2) AS err_sum
+      FROM enc GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  def all: Seq[Q] =
+    Seq(q34, q35, q39, q40, q48, q59, q60, q109, q136, q155, q171, q172)
 }

@@ -60,6 +60,15 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin"), p) // 1-row query side broadcast
   }
 
+  test("q171: PQ ADC candidate scan is map-only — no hash-partition shuffle") {
+    val p = plan(run("q171_pq_adc"))
+    // codes + LUT sums are inlined expressions over the scan; candidate
+    // selection and the final top-k are k-row reduces, and the only
+    // exchanges are the broadcast of the 1-row query vector
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
   test("minhash signatures are computed without any shuffle") {
     val docs = Tables.documents(spark, d)
     val p = plan(graft.operators.Dedup.minHashSignatures(docs, "doc_id", "text"))

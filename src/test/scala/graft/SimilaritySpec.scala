@@ -146,6 +146,54 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(curve.last < curve.head)
   }
 
+  test("PQ: anchor vectors encode to their own codewords with zero error") {
+    val model = Similarity.pqCodebooksSampled(anchors, m = 4)
+    assert(model.m == 4 && model.sub == 16 && model.ksub == 8)
+    val det = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id"),
+        Similarity.pqEncodeDetailCol(col("embedding"), model).as("det"))
+      .collect()
+    assert(det.length == 8)
+    det.foreach { r =>
+      val id = r.getLong(0)
+      val entries = r.getSeq[org.apache.spark.sql.Row](1)
+      assert(entries.length == 4)
+      // each anchor's subvectors ARE codeword `id` — distance exactly 0
+      entries.foreach { e =>
+        assert(e.getDouble(0) == 0.0, s"vec $id nonzero self-distance $e")
+        assert(e.getLong(1) == id, s"vec $id chose foreign codeword $e")
+      }
+    }
+  }
+
+  test("PQ: codes are partition-independent") {
+    val model = Similarity.pqCodebooksSampled(anchors, m = 4)
+    def codes(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("vec_id"), Similarity.pqCodesCol(col("embedding"), model).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(codes(emb) == codes(emb.repartition(7)))
+  }
+
+  test("PQ ADC: re-ranked sims are exact; top-k overlaps the true neighbors") {
+    val model = Similarity.pqCodebooksSampled(anchors, m = 4)
+    val out = Similarity.pqTopK(emb, "vec_id", 0, model, refine = 40, k = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(out.size == 10)
+    // the re-rank pays the TRUE cosine: sims must equal the brute-force
+    // values for the same ids (ADC only selects candidates, never scores
+    // the output)
+    val brute = Similarity.cosineTopK(emb, "vec_id", 0, k = 10000)
+      .collect().map(r => (r.getLong(0), r.getAs[Double]("sim"))).toMap
+    out.foreach { case (id, sim) =>
+      assert(brute(id) == sim, s"vec $id rerank sim $sim != exact ${brute(id)}")
+    }
+    // and the approximation finds a non-trivial share of the exact top-10
+    val exactTop = brute.toSeq.sortBy { case (id, s) => (-s, id) }
+      .take(10).map(_._1).toSet
+    assert((exactTop intersect out.keySet).nonEmpty,
+      s"zero overlap: exact $exactTop vs PQ ${out.keySet}")
+  }
+
   test("kmeans: deterministic under repartitioning") {
     val base = Similarity.kmeans(emb, "vec_id", k = 4, iters = 2)._1
       .select("vec_id", "cluster").collect()
