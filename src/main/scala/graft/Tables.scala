@@ -15,15 +15,24 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects
-    * ([PARQUET_TYPE_ILLEGAL]). Read it as raw nanos (legacy conf) and
-    * convert with integer division — (ts / 1000) via double would lose
-    * precision above 2^53 and corrupt microseconds.
+  /** events.ts has shipped as either parquet TIMESTAMP(NANOS) — which
+    * Spark's reader rejects ([PARQUET_TYPE_ILLEGAL]) — or TIMESTAMP(MICROS)
+    * without a UTC flag (read as TIMESTAMP_NTZ). Normalize both to session
+    * TimestampType: nanos are read raw (legacy conf) and converted with
+    * integer division — (ts / 1000) via double would lose precision above
+    * 2^53 and corrupt microseconds; NTZ micros cast 1:1 because the
+    * session timezone is pinned to UTC (GraftSession.recommendedConf).
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
 
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
