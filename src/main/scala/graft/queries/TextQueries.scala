@@ -450,7 +450,159 @@ object TextQueries {
              ROUND(regr_slope(ln(n), ln(rank)), 4) AS zipf_slope
       FROM r"""))
 
+  /** Vocabulary-coverage curve: the smallest frequency-ranked vocabulary
+    * covering 50/75/90/95/99% of token mass — the sizing question every
+    * tokenizer build answers first. Scale shape: the global window runs
+    * over the AGGREGATED vocab frame (distinct tokens, ≪ corpus; Heaps'
+    * law keeps it sublinear), never the token stream; the corpus-sized
+    * stage is the partial-aggregated groupBy(tok). At extreme vocab
+    * cardinality the rank window would move to a partitioned prefix-sum,
+    * but the frame it sorts is bounded by vocabulary, not data volume. */
+  val q173 = Q(
+    "q173_vocab_coverage",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("cnt").desc, col("tok"))
+      val freq = Tables.documents(s, d)
+        .select(explode(split(lower(col("text")), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      freq
+        .withColumn("rank", row_number().over(w))
+        .withColumn("cum", sum("cnt").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("total", sum("cnt").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .select(col("rank"), col("cum"), col("total"),
+          explode(array(Seq(0.5, 0.75, 0.9, 0.95, 0.99).map(lit): _*)).as("threshold"))
+        .filter(col("cum").cast("double") >= col("threshold") * col("total"))
+        .groupBy("threshold")
+        .agg(min(col("rank")).cast("long").as("vocab_size"),
+          min(col("cum")).as("covered_tokens"),
+          max(col("total")).as("total_tokens"))
+        .orderBy("threshold")
+    },
+    Some("""
+      WITH toks AS (SELECT UNNEST(string_split(lower(text), ' ')) AS tok FROM documents),
+      f AS (SELECT tok, COUNT(*) AS cnt FROM toks WHERE tok <> '' GROUP BY tok),
+      r AS (SELECT cnt, tok,
+                   ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS rank,
+                   SUM(cnt) OVER (ORDER BY cnt DESC, tok
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                   SUM(cnt) OVER () AS total
+            FROM f),
+      t AS (SELECT UNNEST([0.5, 0.75, 0.9, 0.95, 0.99]) AS threshold)
+      SELECT threshold, CAST(MIN(rank) AS BIGINT) AS vocab_size,
+             CAST(MIN(cum) AS BIGINT) AS covered_tokens,
+             CAST(MAX(total) AS BIGINT) AS total_tokens
+      FROM r, t WHERE CAST(cum AS DOUBLE) >= threshold * total
+      GROUP BY threshold ORDER BY threshold"""))
+
+  /** Per-source document caps (domain balancing): rank docs within each
+    * source by lexical diversity and cap the source at its 10 best — the
+    * "no domain dominates the mixture" pass pretraining corpora apply
+    * after dedup. One hash-partitioned window per source; nothing global. */
+  val q174 = Q(
+    "q174_source_caps",
+    (s, d) => {
+      val toks = split(lower(col("text")), " ")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(col("uniq_ratio").desc, col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          (size(array_distinct(toks)).cast("double") / size(toks)).as("uniq_ratio"))
+        .withColumn("rk", row_number().over(w))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("rk") <= 10, 1)).as("n_kept"),
+          sum(when(col("rk") <= 10, col("n_chars"))).as("kept_chars"),
+          sum(col("n_chars")).as("total_chars"))
+        .orderBy("source")
+    },
+    Some("""
+      WITH scored AS (
+        SELECT doc_id, source, n_chars,
+               CAST(len(list_distinct(string_split(lower(text), ' '))) AS DOUBLE)
+                 / len(string_split(lower(text), ' ')) AS uniq_ratio
+        FROM documents),
+      r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                                         ORDER BY uniq_ratio DESC, doc_id) AS rk
+            FROM scored)
+      SELECT source, COUNT(*) AS n_docs,
+             COUNT(CASE WHEN rk <= 10 THEN 1 END) AS n_kept,
+             CAST(SUM(CASE WHEN rk <= 10 THEN n_chars END) AS BIGINT) AS kept_chars,
+             CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      FROM r GROUP BY source ORDER BY source"""))
+
+  /** Retrieval chunking: overlapping 50-token windows at stride 25 with
+    * offsets and a chunk fingerprint — the doc→chunk explode feeding a RAG
+    * embedding pipeline (vs q77's disjoint chunks, which feed dedup).
+    * Start grid: multiples of 25 below max(n-25, 1), so the last window
+    * always reaches the document tail and short docs emit exactly one
+    * chunk. Fully narrow — no shuffle; the fan-out is bounded by n/25
+    * chunks per doc. */
+  val q175 = Q(
+    "q175_rag_chunks",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .withColumn("n", size(col("toks")))
+        .select(col("doc_id"), col("toks"), col("n"),
+          explode(sequence(lit(0), greatest(col("n") - 25, lit(1)) - 1, lit(25))).as("start"))
+        .select(col("doc_id"),
+          (col("start") / 25).cast("long").as("chunk_idx"),
+          col("start").cast("long").as("start_tok"),
+          least(lit(50), col("n") - col("start")).cast("long").as("chunk_tokens"),
+          md5(concat_ws(" ", slice(col("toks"), col("start") + 1, lit(50)))).as("chunk_fp"))
+        .orderBy("doc_id", "chunk_idx"),
+    Some("""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+                        len(string_split(text, ' ')) AS n
+                 FROM documents)
+      SELECT doc_id,
+             CAST(start // 25 AS BIGINT) AS chunk_idx,
+             CAST(start AS BIGINT) AS start_tok,
+             CAST(least(50, n - start) AS BIGINT) AS chunk_tokens,
+             md5(array_to_string(toks[start + 1 : start + 50], ' ')) AS chunk_fp
+      FROM t, LATERAL (SELECT UNNEST(range(0, greatest(n - 25, 1), 25)) AS start) u
+      ORDER BY doc_id, chunk_idx"""))
+
+  /** Within-source boilerplate detection: 8-grams shared by ≥2 distinct
+    * documents of the same source are template text (headers, footers,
+    * injected nav) — the C4-style repetition pass, adapted to word-bag
+    * docs at n-gram granularity. Scale shape: the shuffle key is
+    * (source, md5(gram)) — fixed width, never the raw n-gram string —
+    * and the per-doc DISTINCT is applied before the corpus-wide count so
+    * in-doc repetition can't inflate document frequency. */
+  val q176 = Q(
+    "q176_boilerplate_grams",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 8)
+        .select(col("doc_id"), col("source"),
+          explode(expr(
+            "transform(sequence(0, size(toks) - 8), i -> md5(array_join(slice(toks, i + 1, 8), ' ')))"
+          )).as("gram_h"))
+        .distinct()
+        .groupBy("source", "gram_h")
+        .agg(count(lit(1)).as("n_docs"))
+        .filter(col("n_docs") >= 2)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_boiler_grams"), max("n_docs").as("max_doc_freq"))
+        .orderBy("source"),
+    Some("""
+      WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents
+                 WHERE len(string_split(text, ' ')) >= 8),
+      g AS (SELECT DISTINCT doc_id, source,
+                   md5(array_to_string(toks[i + 1 : i + 8], ' ')) AS gram_h
+            FROM t, LATERAL (SELECT UNNEST(range(0, len(toks) - 7)) AS i) u),
+      b AS (SELECT source, gram_h, COUNT(*) AS n_docs
+            FROM g GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+      SELECT source, COUNT(*) AS n_boiler_grams, CAST(MAX(n_docs) AS BIGINT) AS max_doc_freq
+      FROM b GROUP BY source ORDER BY source"""))
+
   def all: Seq[Q] =
     Seq(q28, q29, q30, q31, q32, q33, q41, q43, q44, q52, q53, q54, q132, q135,
-      q144)
+      q144, q173, q174, q175, q176)
 }
