@@ -190,63 +190,69 @@ object QualityModels {
     * per-occurrence BPE greed whose semantics are byte-identical in
     * Spark and DuckDB (which is what makes the unrolled oracle exact).
     *
-    * Scale shape: each round is one corpus pass (pair count, map-side
-    * partial) + a 1-row broadcast of the adopted merge + one narrow
-    * rewrite pass; the corpus string is re-materialized per round
-    * (`localCheckpoint`) so round r's plan does not replay rounds
-    * 1..r-1. Driver holds nothing but the merge table (`rounds` rows).
+    * Scale shape: each round is ONE Spark job — the pair count
+    * (map-side partial, 1-row collect; the adopted merge is model
+    * state on the driver, the k-means-centroid precedent) whose scan
+    * also materializes the previous round's lazily-checkpointed
+    * rewrite. The rewrite itself is a narrow literal replace (no join:
+    * the merge is inlined as literals), checkpointed lazily so its
+    * cost lands inside the next round's count instead of a separate
+    * job, and each corpus version's blocks are freed one round later,
+    * once its successor is materialized. Driver holds nothing but the
+    * merge table (`rounds` rows).
     *
     * Output: (step, w1, w2, n) — the learned merge table with adoption
     * counts. */
   def bpeMerges(docs: DataFrame, id: String, text: String,
       rounds: Int = 3): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val spark = docs.sparkSession
+    import spark.implicits._
     val sep = "␟"
     var cur = docs.select(col(id), regexp_replace(col(text), " ", sep).as("s"))
-      .localCheckpoint(true)
-    val steps = scala.collection.mutable.ListBuffer.empty[DataFrame]
-    var lastTop: DataFrame = null
+      .localCheckpoint(false)
+    // the corpus version one behind `cur`: still holds the blocks the
+    // un-materialized `cur` checkpoint reads, so it is only freed after
+    // the next count job materializes `cur`
+    var prev: DataFrame = null
+    val steps = scala.collection.mutable.ListBuffer.empty[(Int, String, String, Long)]
     var stopped = false
     var r = 1
     while (r <= rounds && !stopped) {
       val toks = split(col("s"), sep)
-      // materialized (1 row) BEFORE the rewrite frees the prior corpus
-      // checkpoint its lineage reads
       val top = cur.select(toks.as("toks"))
         .filter(size(col("toks")) >= 2)
         .select(explode(expr(
           "transform(sequence(0, size(toks) - 2), i -> struct(toks[i] AS w1, toks[i + 1] AS w2))")).as("b"))
         .groupBy("b.w1", "b.w2").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("w1").asc, col("w2").asc)
-        .limit(1).withColumn("step", lit(r))
-        .localCheckpoint(true)
-      lastTop = top
-      // a pair-less round adopts nothing: stop instead of cross-joining
-      // the corpus with an empty merge frame (which would empty it)
+        .limit(1).collect()
+      if (prev != null) { Dedup.freeLocalCheckpoint(prev); prev = null }
+      // a pair-less round adopts nothing: stop
       if (top.isEmpty) stopped = true
       else {
-        steps += top
+        val (w1, w2) = (top(0).getString(0), top(0).getString(1))
+        steps += ((r, w1, w2, top(0).getLong(2)))
         // strip exactly the ONE separator added at each end by the
         // wrap (a trim-ALL would also eat boundary empty tokens from
         // leading/trailing whitespace, silently changing round r+1's
         // pair counts)
-        val next = cur.crossJoin(broadcast(top.select(col("w1"), col("w2"))))
-          .select(col(id), expr(
-            s"""replace(
-               |  '$sep' || s || '$sep',
-               |  '$sep' || w1 || '$sep' || w2 || '$sep',
-               |  '$sep' || w1 || '_' || w2 || '$sep')""".stripMargin).as("__t"))
+        val next = cur
+          .select(col(id), replace(
+            concat(lit(sep), col("s"), lit(sep)),
+            lit(sep + w1 + sep + w2 + sep),
+            lit(sep + w1 + "_" + w2 + sep)).as("__t"))
           .select(col(id),
             expr("substring(__t, 2, length(__t) - 2)").as("s"))
-          .localCheckpoint(true)
-        val prev = cur
+          .localCheckpoint(false)
+        prev = cur
         cur = next
-        Dedup.freeLocalCheckpoint(prev)
       }
       r += 1
     }
+    if (prev != null) Dedup.freeLocalCheckpoint(prev)
     Dedup.freeLocalCheckpoint(cur)
-    steps.foldLeft(lastTop.limit(0))(_ union _)
+    steps.toSeq.toDF("step", "w1", "w2", "n")
       .select("step", "w1", "w2", "n").orderBy("step")
   }
 

@@ -357,15 +357,48 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("hll_union"), p)
   }
 
-  test("q165: the returned merge table is pre-materialized 1-row frames — no live corpus lineage") {
+  test("q165: the returned merge table is driver-held model state — no live corpus lineage") {
     val df = run("q165_bpe_merges")
     val p = plan(df)
-    // each round's count/rewrite ran eagerly inside the loop (checkpoint
-    // boundaries); what remains is a union of merge-table-sized RDD
-    // scans — re-collecting the result must never replay a corpus pass
-    assert(p.contains("Union"), p)
-    assert(p.contains("Scan ExistingRDD"), p)
+    // each round's count ran inside the loop and collected exactly one
+    // row; the result is a local relation of `rounds` rows, so
+    // re-collecting it must never replay a corpus pass
+    assert(p.contains("LocalTableScan") || p.contains("Scan ExistingRDD"), p)
     assert(!p.contains("FileScan"), p)
+  }
+
+  test("q173: corpus-sized stage is the partial-aggregated token count; the window sorts only the vocab frame") {
+    val p = plan(run("q173_vocab_coverage"))
+    // map-side combine on the token stream before any exchange
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    // the single-partition window exists but its input is the AGGREGATED
+    // vocab frame (post-groupBy), never the raw token stream: the
+    // SinglePartition exchange must sit above the final token-count
+    // aggregate in the plan tree (i.e. appear before it in the printout)
+    assert(p.contains("Exchange SinglePartition"), p)
+    assert(p.indexOf("Exchange SinglePartition") < p.indexOf("Exchange hashpartitioning(tok"), p)
+  }
+
+  test("q174: source caps use a per-source window — no single-partition stage") {
+    val p = plan(run("q174_source_caps"))
+    assert(p.contains("Window"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
+  test("q175: chunking is narrow — the only exchange is the presentation sort") {
+    val p = plan(run("q175_rag_chunks"))
+    assert(p.contains("Generate explode"), p)
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 1, s"expected at most the final sort exchange, got $exchanges:\n$p")
+  }
+
+  test("q176: boilerplate grams shuffle on fixed-width hashes, never raw n-gram strings") {
+    val p = plan(run("q176_boilerplate_grams"))
+    // the md5 is computed inside the explode's lambda — in the top-down
+    // printout it sits BELOW every exchange, so each shuffle key is
+    // (source, 32-hex-char hash), never the raw n-gram string
+    assert(p.indexOf("md5") > p.lastIndexOf("Exchange"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
 
   test("events scan converts nanos without breaking codegen") {
