@@ -158,6 +158,38 @@ object Stress {
       graft.operators.QualityModels.sourceOverlap(
         docs.withColumn("src", col("doc_id") % 20), "src", "text").count()
     }
+    time("vocab_coverage") {
+      // token salting makes replica vocabularies disjoint, so the vocab
+      // frame itself grows ×N — this deliberately stresses the
+      // documented caveat (the rank window is single-partition but runs
+      // over the AGGREGATED vocab, whose growth is the worst case here,
+      // far worse than Heaps'-law reality)
+      val freq = docs
+        .select(explode(split(lower(col("text")), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("cnt").desc, col("tok"))
+      freq
+        .withColumn("cum", sum("cnt").over(w.rowsBetween(Long.MinValue, 0)))
+        .withColumn("total", sum("cnt").over(w.rowsBetween(Long.MinValue, Long.MaxValue)))
+        .filter(col("cum").cast("double") >= lit(0.95) * col("total"))
+        .agg(count(lit(1))).count()
+    }
+    time("boilerplate_grams") {
+      // within-source 8-gram document frequency: shuffle keys are
+      // (source, md5) fixed width; salting keeps cross-replica gram
+      // collisions at zero so boilerplate mass scales ×N
+      docs.withColumn("src", col("doc_id") % 20)
+        .filter(size(split(col("text"), " ")) >= 8)
+        .select(col("doc_id"), col("src"),
+          explode(expr(
+            "transform(sequence(0, size(split(text, ' ')) - 8), i -> md5(array_join(slice(split(text, ' '), i + 1, 8), ' ')))"
+          )).as("gram_h"))
+        .distinct()
+        .groupBy("src", "gram_h").agg(count(lit(1)).as("n_docs"))
+        .filter(col("n_docs") >= 2).count()
+    }
     time("pack_bins") {
       // single stratum = worst case: one window partition carries the
       // whole corpus ordering

@@ -444,44 +444,53 @@ object AnalyticsQueries {
 
   /** PageRank (3 iterations, damping 0.85) over the event-type
     * transition graph from q113 — the canonical iterative-computation
-    * shape, run as a driver-side loop of joins against a cached,
-    * broadcast-size edge frame. The node domain (distinct event types)
-    * is small by construction, so the per-iteration join broadcasts;
-    * at 100 TB the EDGE derivation is the heavy part and it's one
-    * window + one aggregate over the fact table. The oracle unrolls the
-    * same three iterations as chained CTEs; both engines sum the same
-    * ≤|V| IEEE doubles per node, so the 6 dp round is stable. */
+    * shape. At 100 TB the heavy part is the EDGE derivation (one
+    * window + one aggregate over the fact table); the aggregated
+    * transition matrix is |V|²-bounded, so it is collected as driver
+    * model state (the k-means-centroid precedent) and the rank
+    * iterations run in Scala — one Spark job total instead of a
+    * per-iteration broadcast-join lineage. With a node domain too big
+    * to collect, the loop would flip back to joins against the
+    * aggregated edge frame; nothing below depends on driver-side
+    * per-EVENT state. The oracle unrolls the same three iterations as
+    * chained CTEs; both engines sum the same ≤|V| IEEE doubles per
+    * node, so the 6 dp round is stable. */
   val q133 = Q(
     "q133_pagerank",
     (s, d) => {
       val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
       val ev = Tables.events(s, d)
+      // one distributed pass: per-(src,dst) transition counts PLUS each
+      // node's appearance (dst side of the union) so isolated nodes
+      // survive into the collected domain
       val edges = ev
         .withColumn("src", lag(col("event_type"), 1).over(w))
-        .filter(col("src").isNotNull)
-        .groupBy(col("src"), col("event_type").as("dst"))
-        .agg(count(lit(1)).as("c"))
-      val nodes = ev.select(col("event_type").as("v")).distinct().cache()
-      val n = nodes.count() // node domain, not data volume — driver-safe
-      val outdeg = edges.groupBy("src").agg(sum("c").as("tot"))
-      val wts = edges.join(outdeg, "src")
-        .select(col("src"), col("dst"),
-          (col("c").cast("double") / col("tot")).as("w"))
-        .cache()
-      var ranks = nodes.withColumn("r", lit(1.0 / n))
-      for (_ <- 1 to 3) {
-        val contrib = wts.join(broadcast(ranks), wts("src") === ranks("v"))
-          .groupBy(col("dst")).agg(sum(col("w") * col("r")).as("acc"))
-        ranks = nodes.join(broadcast(contrib), nodes("v") === contrib("dst"), "left")
-          .select(col("v"),
-            (lit(0.15 / n) + lit(0.85) * coalesce(col("acc"), lit(0.0))).as("r"))
+        .select(col("src"), col("event_type").as("dst"))
+        .groupBy("src", "dst").agg(count(lit(1)).as("c"))
+        .collect() // |V|²+|V| rows — model state, not data volume
+      val nodes = edges.map(_.getString(1)).distinct.sorted
+      val n = nodes.length
+      val wts = { // src -> (dst, c/outdeg), deterministic (src, dst) order
+        val real = edges.filter(!_.isNullAt(0))
+          .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+          .sortBy(t => (t._1, t._2))
+        val outdeg = real.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+        real.map { case (s0, d0, c) => (s0, d0, c.toDouble / outdeg(s0)) }
       }
-      val out = ranks
-        .select(col("v").as("event_type"), round(col("r"), 6).as("pagerank"))
+      var ranks = nodes.map(v => v -> (1.0 / n)).toMap
+      for (_ <- 1 to 3) {
+        val acc = scala.collection.mutable.Map.empty[String, Double]
+        wts.foreach { case (s0, d0, wt) =>
+          acc(d0) = acc.getOrElse(d0, 0.0) + wt * ranks(s0)
+        }
+        ranks = nodes.map(v => v -> (0.15 / n + 0.85 * acc.getOrElse(v, 0.0))).toMap
+      }
+      val spark = s
+      import spark.implicits._
+      nodes.map(v => (v, BigDecimal(ranks(v))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)).toSeq
+        .toDF("event_type", "pagerank")
         .orderBy("event_type")
-        .localCheckpoint(true)
-      nodes.unpersist(); wts.unpersist()
-      out
     },
     Some("""
       WITH seq AS (SELECT user_id, event_type AS dst,
