@@ -210,22 +210,28 @@ object Similarity {
       StructType(Seq(StructField("cluster", LongType),
         StructField("cv", ArrayType(DoubleType)))))
 
-    // nearest centroid per vector; ||x - c||² = dot(x,x) - 2·dot(x,c) + dot(c,c)
-    def assign(cs: DataFrame): DataFrame = {
-      val byDist = Window.partitionBy(id).orderBy(asc("dist2"), asc("cluster"))
-      vecs.crossJoin(broadcast(cs))
-        .withColumn("dist2",
-          vec.dot(col("embedding"), col("embedding"))
-            - lit(2.0) * vec.dot(col("embedding"), col("cv"))
-            + vec.dot(col("cv"), col("cv")))
-        .withColumn("__rk", row_number().over(byDist))
-        .filter(col("__rk") === 1)
-        .select(col(id), col("cluster"), col("dist2"))
+    // nearest centroid per vector as ONE narrow expression (the PQ
+    // pattern, pqEncodeDetailCol): the O(k·d) centroid model is inlined
+    // as a literal array, the argmin is array_min over (dist2, cluster)
+    // structs — same dist2 arithmetic and same tie-to-lower-cluster rule
+    // as the previous window form, but no crossJoin, no per-id shuffle,
+    // no re-join for the update step. Assigning a 100 TB corpus is a
+    // single scan. ||x - c||² = dot(x,x) - 2·dot(x,c) + dot(c,c)
+    def assignFull(cs: Array[(Long, Array[Double])]): DataFrame = {
+      val cArr = typedLit(cs.map { case (c, v) => (c, v.toSeq) }.toSeq)
+      vecs
+        .withColumn("__best", array_min(transform(cArr, c =>
+          struct(
+            (vec.dot(col("embedding"), col("embedding"))
+              - lit(2.0) * vec.dot(col("embedding"), c.getField("_2"))
+              + vec.dot(c.getField("_2"), c.getField("_2"))).as("dist2"),
+            c.getField("_1").as("cluster")))))
+        .select(col(id), col("__best.cluster").as("cluster"),
+          col("__best.dist2").as("dist2"), col("embedding"))
     }
 
     for (_ <- 1 to iters) {
-      val means = assign(centroidDf)
-        .join(vecs, id)
+      val means = assignFull(centroids)
         .select(col("cluster"), posexplode(col("embedding")))
         .groupBy("cluster", "pos")
         .agg(avg(col("col").cast("double")).as("m"))
@@ -236,7 +242,7 @@ object Similarity {
         }
       centroids = centroids.map { case (c, prev) => c -> means.getOrElse(c, prev) }
     }
-    (assign(centroidDf), centroidDf)
+    (assignFull(centroids).select(col(id), col("cluster"), col("dist2")), centroidDf)
   }
 
   /** Product-quantization model: `codebooks(j)(c)` is codeword `c` of
