@@ -181,11 +181,11 @@ object Stress {
       // (source, md5) fixed width; salting keeps cross-replica gram
       // collisions at zero so boilerplate mass scales ×N
       docs.withColumn("src", col("doc_id") % 20)
-        .filter(size(split(col("text"), " ")) >= 8)
+        .withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= 8)
         .select(col("doc_id"), col("src"),
-          explode(expr(
-            "transform(sequence(0, size(split(text, ' ')) - 8), i -> md5(array_join(slice(split(text, ' '), i + 1, 8), ' ')))"
-          )).as("gram_h"))
+          explode(transform(graft.operators.Dedup.shingles("toks", 8),
+            g => md5(g))).as("gram_h"))
         .distinct()
         .groupBy("src", "gram_h").agg(count(lit(1)).as("n_docs"))
         .filter(col("n_docs") >= 2).count()

@@ -468,12 +468,15 @@ object AnalyticsQueries {
         .select(col("src"), col("event_type").as("dst"))
         .groupBy("src", "dst").agg(count(lit(1)).as("c"))
         .collect() // |V|²+|V| rows — model state, not data volume
-      val nodes = edges.map(_.getString(1)).distinct.sorted
+      val nodes = edges.map(_.getString(1)).distinct
+        .sorted(Ordering.comparatorToOrdering(
+          java.util.Comparator.nullsFirst(
+            java.util.Comparator.naturalOrder[String]())))
       val n = nodes.length
       val wts = { // src -> (dst, c/outdeg), deterministic (src, dst) order
         val real = edges.filter(!_.isNullAt(0))
           .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
-          .sortBy(t => (t._1, t._2))
+          .sortBy(t => (t._1, Option(t._2).getOrElse("")))
         val outdeg = real.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
         real.map { case (s0, d0, c) => (s0, d0, c.toDouble / outdeg(s0)) }
       }

@@ -491,7 +491,7 @@ object TextQueries {
                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
                    SUM(cnt) OVER () AS total
             FROM f),
-      t AS (SELECT UNNEST([0.5, 0.75, 0.9, 0.95, 0.99]) AS threshold)
+      t AS (SELECT CAST(UNNEST([0.5, 0.75, 0.9, 0.95, 0.99]) AS DOUBLE) AS threshold)
       SELECT threshold, CAST(MIN(rank) AS BIGINT) AS vocab_size,
              CAST(MIN(cum) AS BIGINT) AS covered_tokens,
              CAST(MAX(total) AS BIGINT) AS total_tokens
@@ -581,9 +581,8 @@ object TextQueries {
         .select(col("doc_id"), col("source"), split(col("text"), " ").as("toks"))
         .filter(size(col("toks")) >= 8)
         .select(col("doc_id"), col("source"),
-          explode(expr(
-            "transform(sequence(0, size(toks) - 8), i -> md5(array_join(slice(toks, i + 1, 8), ' ')))"
-          )).as("gram_h"))
+          explode(transform(graft.operators.Dedup.shingles("toks", 8),
+            g => md5(g))).as("gram_h"))
         .distinct()
         .groupBy("source", "gram_h")
         .agg(count(lit(1)).as("n_docs"))
