@@ -180,15 +180,9 @@ object Stress {
       // within-source 8-gram document frequency: shuffle keys are
       // (source, md5) fixed width; salting keeps cross-replica gram
       // collisions at zero so boilerplate mass scales ×N
-      docs.withColumn("src", col("doc_id") % 20)
-        .withColumn("toks", split(col("text"), " "))
-        .filter(size(col("toks")) >= 8)
-        .select(col("doc_id"), col("src"),
-          explode(transform(graft.operators.Dedup.shingles("toks", 8),
-            g => md5(g))).as("gram_h"))
-        .distinct()
-        .groupBy("src", "gram_h").agg(count(lit(1)).as("n_docs"))
-        .filter(col("n_docs") >= 2).count()
+      CorpusPipeline.boilerplateGrams(
+        docs.withColumn("src", col("doc_id") % 20),
+        "doc_id", "src", "text", n = 8, minDocs = 2).count()
     }
     time("pack_bins") {
       // single stratum = worst case: one window partition carries the

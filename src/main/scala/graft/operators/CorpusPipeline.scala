@@ -211,6 +211,56 @@ object CorpusPipeline {
   /** Distinct (id, md5(n-gram)) pairs of a corpus — the shared gram
     * stream both decontamination paths consume. Documents shorter than
     * `n` tokens carry no gram (they cannot collide). */
+  /** Retrieval (RAG) chunking: overlapping `chunkTokens`-token windows
+    * at `stride`, with offsets and a content fingerprint per chunk —
+    * the doc→chunk explode feeding an embedding pipeline (vs
+    * [[graft.operators.Dedup.chunkKeepFirst]]'s disjoint chunks, which
+    * feed dedup). Start grid: multiples of `stride` below
+    * max(n - (chunkTokens - stride), 1), so the last window always
+    * reaches the document tail and short docs emit exactly one chunk
+    * (see the ChunkingSpec coverage property). Fully narrow — no
+    * shuffle; fan-out bounded by n/stride chunks per doc. */
+  def ragChunks(docs: DataFrame, id: String, text: String,
+      chunkTokens: Int = 50, stride: Int = 25): DataFrame = {
+    require(chunkTokens >= stride && stride > 0,
+      s"need chunkTokens >= stride > 0, got $chunkTokens/$stride")
+    val overlap = chunkTokens - stride
+    docs
+      .select(col(id), split(col(text), " ").as("toks"))
+      .withColumn("n", size(col("toks")))
+      .select(col(id), col("toks"), col("n"),
+        explode(sequence(lit(0),
+          greatest(col("n") - overlap, lit(1)) - 1, lit(stride))).as("start"))
+      .select(col(id),
+        (col("start") / stride).cast("long").as("chunk_idx"),
+        col("start").cast("long").as("start_tok"),
+        least(lit(chunkTokens), col("n") - col("start")).cast("long").as("chunk_tokens"),
+        md5(concat_ws(" ", slice(col("toks"), col("start") + 1, lit(chunkTokens))))
+          .as("chunk_fp"))
+  }
+
+  /** Within-source boilerplate n-grams: word `n`-grams appearing in at
+    * least `minDocs` DISTINCT documents of the same source — template
+    * text (headers, footers, injected nav), the C4-style repetition
+    * pass at n-gram granularity. Returns (source, gram_h, n_docs) at
+    * gram grain. Scale shape: shuffle keys are (source, md5(gram)) —
+    * fixed width, never the raw n-gram — and the per-doc DISTINCT is
+    * applied before the corpus-wide count so in-doc repetition cannot
+    * inflate document frequency. */
+  def boilerplateGrams(docs: DataFrame, id: String, source: String,
+      text: String, n: Int = 8, minDocs: Int = 2): DataFrame = {
+    require(n > 0 && minDocs >= 1)
+    docs
+      .select(col(id), col(source), split(col(text), " ").as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col(id), col(source),
+        explode(transform(Dedup.shingles("toks", n), g => md5(g))).as("gram_h"))
+      .distinct()
+      .groupBy(col(source), col("gram_h"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+  }
+
   private def gramTable(df: DataFrame, id: String, text: String,
       n: Int): DataFrame = df
     .select(col(id), split(col(text), " ").as("__toks"))

@@ -544,16 +544,9 @@ object TextQueries {
   val q175 = Q(
     "q175_rag_chunks",
     (s, d) =>
-      Tables.documents(s, d)
-        .select(col("doc_id"), split(col("text"), " ").as("toks"))
-        .withColumn("n", size(col("toks")))
-        .select(col("doc_id"), col("toks"), col("n"),
-          explode(sequence(lit(0), greatest(col("n") - 25, lit(1)) - 1, lit(25))).as("start"))
-        .select(col("doc_id"),
-          (col("start") / 25).cast("long").as("chunk_idx"),
-          col("start").cast("long").as("start_tok"),
-          least(lit(50), col("n") - col("start")).cast("long").as("chunk_tokens"),
-          md5(concat_ws(" ", slice(col("toks"), col("start") + 1, lit(50)))).as("chunk_fp"))
+      graft.operators.CorpusPipeline
+        .ragChunks(Tables.documents(s, d), "doc_id", "text",
+          chunkTokens = 50, stride = 25)
         .orderBy("doc_id", "chunk_idx"),
     Some("""
       WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
@@ -577,16 +570,9 @@ object TextQueries {
   val q176 = Q(
     "q176_boilerplate_grams",
     (s, d) =>
-      Tables.documents(s, d)
-        .select(col("doc_id"), col("source"), split(col("text"), " ").as("toks"))
-        .filter(size(col("toks")) >= 8)
-        .select(col("doc_id"), col("source"),
-          explode(transform(graft.operators.Dedup.shingles("toks", 8),
-            g => md5(g))).as("gram_h"))
-        .distinct()
-        .groupBy("source", "gram_h")
-        .agg(count(lit(1)).as("n_docs"))
-        .filter(col("n_docs") >= 2)
+      graft.operators.CorpusPipeline
+        .boilerplateGrams(Tables.documents(s, d), "doc_id", "source", "text",
+          n = 8, minDocs = 2)
         .groupBy("source")
         .agg(count(lit(1)).as("n_boiler_grams"), max("n_docs").as("max_doc_freq"))
         .orderBy("source"),
