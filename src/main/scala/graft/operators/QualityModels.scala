@@ -256,6 +256,35 @@ object QualityModels {
       .select("step", "w1", "w2", "n").orderBy("step")
   }
 
+  /** Apply a learned merge table ([[bpeMerges]] output, collected) to a
+    * corpus: the same wrap → literal replace → strip rewrite as each
+    * training round, folded in step order over the separator-joined
+    * token string — so applying the table to the ORIGINAL corpus
+    * reproduces the training loop's final rewritten state exactly.
+    * Fully narrow (the merge table is driver model state inlined as
+    * literals): tokenizing a 100 TB corpus with a learned tokenizer is
+    * a single scan. Output per doc: piece count after merging, count
+    * of merged (multi-word) pieces, and an md5 fingerprint of the
+    * rewritten string. */
+  def bpeApply(docs: DataFrame, id: String, text: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val sep = "␟"
+    val s0: Column = regexp_replace(col(text), " ", sep)
+    val merged = merges.foldLeft(s0) { case (acc, (w1, w2)) =>
+      val t = replace(
+        concat(lit(sep), acc, lit(sep)),
+        lit(sep + w1 + sep + w2 + sep),
+        lit(sep + w1 + "_" + w2 + sep))
+      t.substr(lit(2), length(t) - 2)
+    }
+    docs.select(col(id), merged.as("s"))
+      .select(col(id),
+        size(split(col("s"), sep)).cast("long").as("n_pieces"),
+        size(filter(split(col("s"), sep), p => p.contains("_")))
+          .cast("long").as("n_merged"),
+        md5(col("s")).as("bpe_fp"))
+  }
+
   /** Cross-source n-gram overlap matrix: exact Jaccard similarity of
     * the distinct word-`n`-gram sets of every source pair — the corpus
     * forensics view that flags two "different" crawls sharing a common

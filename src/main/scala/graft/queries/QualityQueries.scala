@@ -278,6 +278,39 @@ object QualityQueries {
         SELECT * FROM m1 UNION ALL SELECT * FROM m2 UNION ALL SELECT * FROM m3) u
       ORDER BY step"""))
 
+  /** The learn→apply tokenizer loop closed: train the 3-round merge
+    * table (q165) on the corpus, then APPLY it back with
+    * QualityModels.bpeApply — per doc, the piece count after merging,
+    * how many pieces are merged tokens, and a fingerprint of the
+    * rewritten string. The oracle replays the same three unrolled
+    * rounds and reads the final rewritten state `r3` directly, which
+    * is exactly what folding the merge table over the original corpus
+    * produces (each training round's rewrite IS the apply step for
+    * that merge). Apply itself is one narrow scan — the learned
+    * tokenizer rides along as literals. */
+  val q177 = Q(
+    "q177_bpe_apply",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val merges = graft.operators.QualityModels
+        .bpeMerges(docs, "doc_id", "text", rounds = 3)
+        .orderBy("step").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      graft.operators.QualityModels.bpeApply(docs, "doc_id", "text", merges)
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH r0 AS (SELECT doc_id, replace(text, ' ', '␟') AS s FROM documents),
+      ${bpeRoundSql(1)},
+      ${bpeRoundSql(2)},
+      ${bpeRoundSql(3)}
+      SELECT doc_id,
+             CAST(len(string_split(s, '␟')) AS BIGINT) AS n_pieces,
+             CAST(len(list_filter(string_split(s, '␟'),
+                                  p -> contains(p, '_'))) AS BIGINT) AS n_merged,
+             md5(s) AS bpe_fp
+      FROM r3 ORDER BY doc_id"""))
+
   /** Robust per-source length-outlier detection: median + MAD (median
     * absolute deviation) of token counts, and the count of docs beyond
     * 3 MADs — the outlier rule that survives the heavy tails that wreck
@@ -324,5 +357,5 @@ object QualityQueries {
       GROUP BY d.source ORDER BY d.source"""))
 
   def all: Seq[Q] = Seq(q156, q157, q158, q159, q160, q161, q162, q164, q165,
-    q167)
+    q167, q177)
 }

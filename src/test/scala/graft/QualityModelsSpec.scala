@@ -126,6 +126,34 @@ class QualityModelsSpec extends AnyFunSuite with SparkSpec {
     assert(out.columns.toSeq == Seq("step", "w1", "w2", "n"))
   }
 
+  test("bpeApply: empty merge table is identity tokenization") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c"), (2L, "x")).toDF("doc_id", "text")
+    val out = graft.operators.QualityModels
+      .bpeApply(docs, "doc_id", "text", Seq.empty)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1L) == ((3L, 0L)))
+    assert(out(2L) == ((1L, 0L)))
+  }
+
+  test("bpeApply: folding the learned table reproduces each round's rewrite semantics") {
+    import spark.implicits._
+    // merges learned on this corpus: round 1 adopts (a,b) — doc 1's
+    // SECOND "a b" shares its boundary separator and stays unmerged, the
+    // documented training approximation; apply must reproduce exactly
+    // that (not per-occurrence greed): doc 1 → [a_b, a, b, c]
+    val docs = Seq((1L, "a b a b c"), (2L, "a b")).toDF("doc_id", "text")
+    val merges = graft.operators.QualityModels
+      .bpeMerges(docs, "doc_id", "text", rounds = 1)
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(merges == Seq(("a", "b")))
+    val out = graft.operators.QualityModels
+      .bpeApply(docs, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1L) == ((4L, 1L))) // [a_b, a, b, c]
+    assert(out(2L) == ((1L, 1L))) // [a_b]
+  }
+
   test("sourceOverlapSketch: at sparse cardinalities the HLL estimates are exact") {
     import spark.implicits._
     val docs = Seq(
