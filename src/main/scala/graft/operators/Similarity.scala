@@ -251,6 +251,12 @@ object Similarity {
     * into expressions as literals, never joined. */
   final case class PqModel(m: Int, sub: Int, codebooks: Array[Array[Array[Double]]]) {
     require(m >= 1 && codebooks.length == m && codebooks.forall(_.nonEmpty))
+    // ragged models mis-encode silently (zip_with null-pads short
+    // codewords, corrupting ranks) — reject at construction instead
+    require(codebooks.forall(_.length == codebooks(0).length),
+      "all subspaces must hold the same number of codewords")
+    require(codebooks.forall(_.forall(_.length == sub)),
+      s"every codeword must have dimension sub=$sub")
     def ksub: Int = codebooks(0).length
   }
 
@@ -304,21 +310,50 @@ object Similarity {
     * re-rank: the query's per-(subspace, codeword) squared distances form
     * an O(m·ksub) lookup table computed on the driver (model state); each
     * corpus vector's approximate distance is the sum of m table lookups
-    * on its codes — a map-only scan that never touches the floats — and
-    * only the `refine` best candidates pay an exact cosine before the
-    * final top-k. At 100 TB the scan reads the m-byte codes column
-    * instead of the 256-byte vectors: the memory/bandwidth lever that
-    * makes billion-vector search feasible (IVF-PQ = partition the scan
-    * by [[ivfAssign]] cells on top of this).
+    * on its codes, and only the `refine` best candidates pay an exact
+    * cosine before the final top-k.
+    *
+    * This convenience entry ENCODES on the fly (one pass over the float
+    * vectors — fine for one-off queries and for the oracle, which replays
+    * exactly this). The deployment shape is [[pqTopKIndexed]] over a
+    * persisted codes frame, where the ADC scan reads the m-byte codes
+    * column instead of the 256-byte vectors — the memory/bandwidth lever
+    * that makes billion-vector search feasible (IVF-PQ = partition the
+    * scan by [[ivfAssign]] cells on top of this).
     *
     * Determinism: LUT entries are rounded to 6 dp (driver BigDecimal
     * HALF_UP — the same decimal rule as engine ROUND), the m-term sum is
     * accumulated in subspace order, and both rank keys (`adist`, `sim`)
     * are rounded before ordering with id tie-breaks. */
   def pqTopK(emb: DataFrame, id: String, queryId: Long, model: PqModel,
-      refine: Int, k: Int, roundAt: Int = 4): DataFrame = {
-    val q = emb.filter(col(id) === queryId).select("embedding")
-      .head().getSeq[Float](0).map(_.toDouble).toArray
+      refine: Int, k: Int, roundAt: Int = 4): DataFrame =
+    pqTopKIndexed(
+      emb.withColumn("codes", pqCodesCol(col("embedding"), model, roundAt))
+        .drop("embedding"),
+      emb.select(col(id), col("embedding")),
+      id, queryId, model, refine, k, roundAt)
+
+  /** PQ ADC top-k over a PRE-ENCODED index — the deployment path (the
+    * `incrementalLshPairsIndexed` precedent): `codes` is the persisted
+    * index frame `(id, codes [, payload cols])` whose ADC scan reads the
+    * m-byte codes and never the float vectors; `vectors` `(id,
+    * embedding)` is consulted only for the query vector and the exact
+    * re-rank of the top-`refine` candidates (an id-bounded broadcast
+    * join — at deployment the vector table is id-bucketed, so that
+    * lookup prunes). The query embedding is collected once and inlined
+    * as literals (LUT + float-array literal for the re-rank — identical
+    * arithmetic to scanning it). An absent `queryId` yields an empty
+    * result, the cosineTopK/ivfTopK contract. Output: the index frame's
+    * payload columns + (adist, sim), top-k by exact cosine. */
+  def pqTopKIndexed(codes: DataFrame, vectors: DataFrame, id: String,
+      queryId: Long, model: PqModel, refine: Int, k: Int,
+      roundAt: Int = 4): DataFrame = {
+    val emptyOut = codes.drop("codes")
+      .withColumn("adist", lit(0.0d)).withColumn("sim", lit(0.0d)).limit(0)
+    val qRows = vectors.filter(col(id) === queryId).select("embedding").take(1)
+    if (qRows.isEmpty) return emptyOut
+    val qF: Seq[Float] = qRows(0).getSeq[Float](0)
+    val q = qF.map(_.toDouble).toArray
     require(q.length == model.m * model.sub, "query dim != model dim")
     val lut: Array[Array[Double]] = Array.tabulate(model.m) { j =>
       model.codebooks(j).map { cw =>
@@ -334,16 +369,16 @@ object Similarity {
       val lutLit = array(lut(j).map(lit).toIndexedSeq: _*)
       element_at(lutLit, (element_at(col("codes"), j + 1) + 1).cast("int"))
     }.reduce(_ + _)
-    val cands = emb.filter(col(id) =!= queryId)
-      .withColumn("codes", pqCodesCol(col("embedding"), model, roundAt))
+    val cands = codes.filter(col(id) =!= queryId)
       .withColumn("adist", round(adist, roundAt))
       .orderBy(asc("adist"), asc(id))
       .limit(refine)
-    val qv = broadcast(
-      emb.filter(col(id) === queryId).select(col("embedding").as("qv")))
-    cands.crossJoin(qv)
-      .withColumn("sim", round(vec.cosine(col("embedding"), col("qv")), roundAt))
-      .select(col(id), col("label"), col("adist"), col("sim"))
+      .drop("codes")
+    val qLit = typedLit(qF) // float literal: bit-identical to scanning the row
+    cands
+      .join(vectors.select(col(id), col("embedding")), Seq(id))
+      .withColumn("sim", round(vec.cosine(col("embedding"), qLit), roundAt))
+      .drop("embedding")
       .orderBy(desc("sim"), asc(id))
       .limit(k)
   }

@@ -64,7 +64,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     val p = plan(run("q171_pq_adc"))
     // codes + LUT sums are inlined expressions over the scan; candidate
     // selection and the final top-k are k-row reduces, and the only
-    // exchanges are the broadcast of the 1-row query vector
+    // exchange is the broadcast of the refine-bounded candidate frame
+    // into the exact-re-rank join (the query vector rides as literals)
     assert(p.contains("TakeOrderedAndProject"), p)
     assert(!p.contains("Exchange hashpartitioning"), p)
   }

@@ -194,6 +194,28 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
       s"zero overlap: exact $exactTop vs PQ ${out.keySet}")
   }
 
+  test("PQ ADC: persisted-codes path returns exactly the on-the-fly result; absent query is empty") {
+    val model = Similarity.pqCodebooksSampled(anchors, m = 4)
+    // deployment shape: the stored index carries codes (+ payload), no floats
+    val codesDf = emb
+      .withColumn("codes", Similarity.pqCodesCol(col("embedding"), model))
+      .drop("embedding")
+    val vectors = emb.select(col("vec_id"), col("embedding"))
+    val indexed = Similarity
+      .pqTopKIndexed(codesDf, vectors, "vec_id", 0, model, refine = 40, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3))).toSeq
+    val direct = Similarity
+      .pqTopK(emb, "vec_id", 0, model, refine = 40, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3))).toSeq
+    assert(indexed == direct)
+    // absent query id: empty result with the output schema, the
+    // cosineTopK/ivfTopK contract (never an exception)
+    val none = Similarity.pqTopKIndexed(codesDf, vectors, "vec_id",
+      queryId = -1L, model, refine = 40, k = 10)
+    assert(none.count() == 0)
+    assert(none.columns.takeRight(2).toSeq == Seq("adist", "sim"))
+  }
+
   test("kmeans: deterministic under repartitioning") {
     val base = Similarity.kmeans(emb, "vec_id", k = 4, iters = 2)._1
       .select("vec_id", "cluster").collect()
