@@ -383,6 +383,38 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF-PQ top-k — the composed billion-vector shape (FAISS IVFPQ):
+    * probe the query's `nprobe` nearest cells on the [[ivfAssign]] grid,
+    * run the PQ ADC scan ONLY over vectors assigned to probed cells,
+    * exact-re-rank the `refine` best. A deployed index stores the
+    * cell-bucketed codes table, so one query reads ~nprobe/ncells of an
+    * m-byte-per-vector table — both levers at once. Probe ranking, code
+    * assignment, ADC and both rank keys all use the components'
+    * rounded-first determinism rules, so the whole composition is
+    * oracle-replayable (q178). */
+  def ivfPqTopK(emb: DataFrame, id: String, queryId: Long,
+      anchors: DataFrame, model: PqModel, nprobe: Int, refine: Int, k: Int,
+      roundAt: Int = 4): DataFrame = {
+    require(nprobe >= 1)
+    val vectors = emb.select(col(id), col("embedding"))
+    val codesAll = ivfAssign(emb, anchors, id, roundAt)
+      .withColumn("codes", pqCodesCol(col("embedding"), model, roundAt))
+      .drop("embedding")
+    val qRows = vectors.filter(col(id) === queryId).select("embedding").take(1)
+    if (qRows.isEmpty)
+      return pqTopKIndexed(codesAll.drop("cell").limit(0), vectors,
+        id, queryId, model, refine, k, roundAt)
+    val qLit = typedLit(qRows(0).getSeq[Float](0))
+    val probed = broadcast(anchors
+      .select(col("anchor_id"),
+        round(nanvl(vec.cosine(col("av"), qLit), lit(-1.0)), roundAt).as("qcos"))
+      .orderBy(desc("qcos"), asc("anchor_id"))
+      .limit(nprobe)
+      .select(col("anchor_id").as("cell")))
+    pqTopKIndexed(codesAll.join(probed, Seq("cell")).drop("cell"),
+      vectors, id, queryId, model, refine, k, roundAt)
+  }
+
   /** IVF top-k: probe the query's `nprobe` nearest cells, rank only
     * vectors assigned there — each query touches ~nprobe/ncells of the
     * corpus instead of all of it. */

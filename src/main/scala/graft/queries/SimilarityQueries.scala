@@ -495,6 +495,55 @@ object SimilarityQueries {
       ORDER BY sim DESC, vec_id
       LIMIT 10"""))
 
+  /** IVF-PQ: the composed billion-vector search shape — cell pruning
+    * (q40's probe grid) on top of the codes-only ADC scan (q171), exact
+    * re-rank last. The oracle chains both replays: assignment and probe
+    * CTEs from q40, codebook/encode/LUT CTEs from q171, with the ADC
+    * restricted to probed cells. One query on a deployed index reads
+    * ~nprobe/ncells of an m-byte-per-vector table. */
+  val q178 = Q(
+    "q178_ivfpq",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val anchors = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("anchor_id"), col("embedding").as("av"))
+      graft.operators.Similarity.ivfPqTopK(
+        e, "vec_id", queryId = 0, anchors, pqModel(s, d),
+        nprobe = 4, refine = 40, k = 10)
+    },
+    Some(s"""
+      WITH $PqCtes,
+      q AS (SELECT x AS qx FROM e WHERE vec_id = 0),
+      anchors AS (SELECT vec_id AS anchor_id, x AS av FROM e WHERE vec_id < 8),
+      assigned AS (SELECT vec_id, cell FROM (
+          SELECT e.vec_id, a.anchor_id AS cell,
+                 ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                   ORDER BY ROUND(CASE WHEN isnan(list_cosine_similarity(e.x, a.av))
+                                       THEN -1 ELSE list_cosine_similarity(e.x, a.av) END, 4) DESC,
+                            a.anchor_id) AS rk
+          FROM e CROSS JOIN anchors a) t WHERE rk = 1),
+      probe AS (SELECT anchor_id AS cell FROM anchors, q
+                ORDER BY ROUND(list_cosine_similarity(av, qx), 4) DESC, anchor_id
+                LIMIT 4),
+      lut AS (SELECT c.j, c.code,
+                     ROUND(list_sum(list_transform(range(1, 17),
+                       i -> pow(q.qx[c.j*16 + i] - c.cw[i], 2))), 6) AS lv
+              FROM cb c, q),
+      ad AS (SELECT enc.vec_id,
+                    ROUND(list_sum(list(lut.lv ORDER BY enc.j)), 4) AS adist
+             FROM enc
+             JOIN lut ON enc.j = lut.j AND enc.code = lut.code
+             JOIN assigned s ON s.vec_id = enc.vec_id
+             JOIN probe p ON p.cell = s.cell
+             GROUP BY enc.vec_id),
+      cand AS (SELECT vec_id, adist FROM ad WHERE vec_id <> 0
+               ORDER BY adist, vec_id LIMIT 40)
+      SELECT c.vec_id, e.label, c.adist,
+             ROUND(list_cosine_similarity(e.x, q.qx), 4) AS sim
+      FROM cand c JOIN e USING (vec_id), q
+      ORDER BY sim DESC, vec_id
+      LIMIT 10"""))
+
   /** PQ codebook utilization profile: per (subspace, codeword) population
     * and total quantization error — the encode-quality diagnostic that
     * decides whether sampled codebooks suffice or k-means training is
@@ -522,5 +571,6 @@ object SimilarityQueries {
       FROM enc GROUP BY 1, 2 ORDER BY 1, 2"""))
 
   def all: Seq[Q] =
-    Seq(q34, q35, q39, q40, q48, q59, q60, q109, q136, q155, q171, q172)
+    Seq(q34, q35, q39, q40, q48, q59, q60, q109, q136, q155, q171, q172,
+      q178)
 }

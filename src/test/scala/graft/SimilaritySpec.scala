@@ -216,6 +216,27 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(none.columns.takeRight(2).toSeq == Seq("adist", "sim"))
   }
 
+  test("IVF-PQ: results come only from probed cells, sims are exact, absent query is empty") {
+    val model = Similarity.pqCodebooksSampled(anchors, m = 4)
+    val out = Similarity.ivfPqTopK(emb, "vec_id", 0, anchors, model,
+        nprobe = 2, refine = 40, k = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(out.nonEmpty)
+    // every returned id sits in one of the query's 2 probed cells
+    val assigned = Similarity.ivfAssign(emb, anchors, "vec_id")
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val qCells = out.keySet.map(assigned)
+    assert(qCells.size <= 2, s"results span cells $qCells")
+    // the re-rank pays the TRUE cosine (ADC + probing only select)
+    val brute = Similarity.cosineTopK(emb, "vec_id", 0, k = 10000)
+      .collect().map(r => (r.getLong(0), r.getAs[Double]("sim"))).toMap
+    out.foreach { case (id, sim) => assert(brute(id) == sim, s"vec $id") }
+    // absent query: empty frame, never an exception
+    assert(Similarity.ivfPqTopK(emb, "vec_id", -1L, anchors, model,
+      nprobe = 2, refine = 40, k = 10).count() == 0)
+  }
+
   test("kmeans: deterministic under repartitioning") {
     val base = Similarity.kmeans(emb, "vec_id", k = 4, iters = 2)._1
       .select("vec_id", "cluster").collect()
