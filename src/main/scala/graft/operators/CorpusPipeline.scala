@@ -208,9 +208,6 @@ object CorpusPipeline {
       .drop("__fp")
       .write.mode("overwrite").partitionBy("shard").parquet(outDir)
 
-  /** Distinct (id, md5(n-gram)) pairs of a corpus — the shared gram
-    * stream both decontamination paths consume. Documents shorter than
-    * `n` tokens carry no gram (they cannot collide). */
   /** Retrieval (RAG) chunking: overlapping `chunkTokens`-token windows
     * at `stride`, with offsets and a content fingerprint per chunk —
     * the doc→chunk explode feeding an embedding pipeline (vs
@@ -250,26 +247,27 @@ object CorpusPipeline {
   def boilerplateGrams(docs: DataFrame, id: String, source: String,
       text: String, n: Int = 8, minDocs: Int = 2): DataFrame = {
     require(n > 0 && minDocs >= 1)
-    docs
-      .select(col(id), col(source), split(col(text), " ").as("toks"))
-      .filter(size(col("toks")) >= n)
-      .select(col(id), col(source),
-        explode(transform(Dedup.shingles("toks", n), g => md5(g))).as("gram_h"))
-      .distinct()
+    gramTable(docs, id, text, n, carry = Seq(source))
+      .withColumnRenamed("__g", "gram_h")
       .groupBy(col(source), col("gram_h"))
       .agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
   }
 
+  /** Distinct (id [, carry…], md5(n-gram)) tuples of a corpus — the
+    * shared gram stream the decontamination paths and the boilerplate
+    * detector consume. Documents shorter than `n` tokens carry no gram
+    * (they cannot collide). */
   private def gramTable(df: DataFrame, id: String, text: String,
-      n: Int): DataFrame = df
-    .select(col(id), split(col(text), " ").as("__toks"))
-    .filter(size(col("__toks")) >= n)
-    .select(col(id), explode(transform(
-      sequence(lit(0), size(col("__toks")) - n),
-      i => md5(array_join(slice(col("__toks"), (i + 1).cast("int"), lit(n)), " "))))
-      .as("__g"))
-    .distinct()
+      n: Int, carry: Seq[String] = Nil): DataFrame = {
+    val keep = (id +: carry).map(col)
+    df
+      .select(keep :+ split(col(text), " ").as("__toks"): _*)
+      .filter(size(col("__toks")) >= n)
+      .select(keep :+ explode(transform(Dedup.shingles("__toks", n),
+        g => md5(g))).as("__g"): _*)
+      .distinct()
+  }
 
   /** Left-join the per-doc shared-gram counts back onto every gram-bearing
     * training document (zero-share docs report 0, not absence). */

@@ -269,15 +269,24 @@ object QualityModels {
   def bpeApply(docs: DataFrame, id: String, text: String,
       merges: Seq[(String, String)]): DataFrame = {
     val sep = "␟"
-    val s0: Column = regexp_replace(col(text), " ", sep)
-    val merged = merges.foldLeft(s0) { case (acc, (w1, w2)) =>
-      val t = replace(
-        concat(lit(sep), acc, lit(sep)),
+    // wrap ONCE, fold single-reference replaces, strip ONCE behind a
+    // projection boundary: each replace pattern keeps the boundary
+    // separators, so the ends stay wrapped across merges and
+    // wrap/replace*/strip is step-identical to the training loop's
+    // per-round wrap/replace/strip. A per-merge wrap+substr would
+    // reference the accumulated expression twice and grow the Catalyst
+    // tree exponentially in |merges|; this chain is linear, so a
+    // realistically sized learned table (hundreds of merges) still
+    // plans — and runs as one narrow scan.
+    val wrapped: Column =
+      concat(lit(sep), regexp_replace(col(text), " ", sep), lit(sep))
+    val merged = merges.foldLeft(wrapped) { case (acc, (w1, w2)) =>
+      replace(acc,
         lit(sep + w1 + sep + w2 + sep),
         lit(sep + w1 + "_" + w2 + sep))
-      t.substr(lit(2), length(t) - 2)
     }
-    docs.select(col(id), merged.as("s"))
+    docs.select(col(id), merged.as("__w"))
+      .select(col(id), expr("substring(__w, 2, length(__w) - 2)").as("s"))
       .select(col(id),
         size(split(col("s"), sep)).cast("long").as("n_pieces"),
         size(filter(split(col("s"), sep), p => p.contains("_")))

@@ -348,11 +348,20 @@ object Similarity {
   def pqTopKIndexed(codes: DataFrame, vectors: DataFrame, id: String,
       queryId: Long, model: PqModel, refine: Int, k: Int,
       roundAt: Int = 4): DataFrame = {
+    val qRows = vectors.filter(col(id) === queryId).select("embedding").take(1)
+    pqTopKImpl(codes, vectors, id, queryId, model, refine, k, roundAt,
+      qRows.headOption.map(_.getSeq[Float](0)))
+  }
+
+  /** Shared body: the query vector arrives pre-collected so composed
+    * callers ([[ivfPqTopK]]) never pay a second vectors-frame scan. */
+  private def pqTopKImpl(codes: DataFrame, vectors: DataFrame, id: String,
+      queryId: Long, model: PqModel, refine: Int, k: Int, roundAt: Int,
+      query: Option[Seq[Float]]): DataFrame = {
     val emptyOut = codes.drop("codes")
       .withColumn("adist", lit(0.0d)).withColumn("sim", lit(0.0d)).limit(0)
-    val qRows = vectors.filter(col(id) === queryId).select("embedding").take(1)
-    if (qRows.isEmpty) return emptyOut
-    val qF: Seq[Float] = qRows(0).getSeq[Float](0)
+    if (query.isEmpty) return emptyOut
+    val qF: Seq[Float] = query.get
     val q = qF.map(_.toDouble).toArray
     require(q.length == model.m * model.sub, "query dim != model dim")
     val lut: Array[Array[Double]] = Array.tabulate(model.m) { j =>
@@ -369,8 +378,17 @@ object Similarity {
       val lutLit = array(lut(j).map(lit).toIndexedSeq: _*)
       element_at(lutLit, (element_at(col("codes"), j + 1) + 1).cast("int"))
     }.reduce(_ + _)
+    // a persisted index can drift from the model (retrained codebooks,
+    // truncated arrays): out-of-range codes would make element_at
+    // return NULL, and NULL adist sorts FIRST ascending — corrupt rows
+    // would silently fill every candidate slot. Fail loudly instead.
+    val okCodes = size(col("codes")) === model.m &&
+      forall(col("codes"), c => c >= 0 && c < model.ksub)
     val cands = codes.filter(col(id) =!= queryId)
-      .withColumn("adist", round(adist, roundAt))
+      .withColumn("adist",
+        when(okCodes, round(adist, roundAt)).otherwise(raise_error(
+          format_string(s"pq codes/model mismatch (m=${model.m} ksub=${model.ksub}) at id=%s",
+            col(id).cast("string")))))
       .orderBy(asc("adist"), asc(id))
       .limit(refine)
       .drop("codes")
@@ -402,17 +420,18 @@ object Similarity {
       .drop("embedding")
     val qRows = vectors.filter(col(id) === queryId).select("embedding").take(1)
     if (qRows.isEmpty)
-      return pqTopKIndexed(codesAll.drop("cell").limit(0), vectors,
-        id, queryId, model, refine, k, roundAt)
-    val qLit = typedLit(qRows(0).getSeq[Float](0))
+      return pqTopKImpl(codesAll.drop("cell").limit(0), vectors,
+        id, queryId, model, refine, k, roundAt, None)
+    val qF = qRows(0).getSeq[Float](0)
+    val qLit = typedLit(qF)
     val probed = broadcast(anchors
       .select(col("anchor_id"),
         round(nanvl(vec.cosine(col("av"), qLit), lit(-1.0)), roundAt).as("qcos"))
       .orderBy(desc("qcos"), asc("anchor_id"))
       .limit(nprobe)
       .select(col("anchor_id").as("cell")))
-    pqTopKIndexed(codesAll.join(probed, Seq("cell")).drop("cell"),
-      vectors, id, queryId, model, refine, k, roundAt)
+    pqTopKImpl(codesAll.join(probed, Seq("cell")).drop("cell"),
+      vectors, id, queryId, model, refine, k, roundAt, Some(qF))
   }
 
   /** IVF top-k: probe the query's `nprobe` nearest cells, rank only

@@ -244,7 +244,12 @@ object QualityQueries {
 
   /** One unrolled round of the BPE training loop (SQL mirror of
     * QualityModels.bpeMerges): count adjacent pairs over `r${r-1}`,
-    * adopt the top pair as `m$r`, rewrite into `r$r`. */
+    * adopt the top pair as `m$r`, rewrite into `r$r`. The rewrite
+    * LEFT-joins the (0-or-1 row) merge frame so a pair-less round
+    * passes the corpus through unchanged instead of cross-joining it
+    * empty — q165 reads only the m tables either way, but q177 reads
+    * the final corpus state, which must survive early adoption stop
+    * exactly as the Scala loop's does. */
   private def bpeRoundSql(r: Int): String = s"""
       p$r AS (SELECT toks[i] AS w1, toks[i + 1] AS w2, COUNT(*) AS n
               FROM (SELECT string_split(s, '␟') AS toks FROM r${r - 1}) t,
@@ -252,12 +257,17 @@ object QualityQueries {
               GROUP BY 1, 2),
       m$r AS (SELECT $r AS step, w1, w2, CAST(n AS BIGINT) AS n
               FROM p$r ORDER BY n DESC, w1, w2 LIMIT 1),
-      r$r AS (SELECT doc_id, substr(t, 2, length(t) - 2) AS s FROM (
-                SELECT doc_id,
-                       replace('␟' || s || '␟',
-                               '␟' || m.w1 || '␟' || m.w2 || '␟',
-                               '␟' || m.w1 || '_' || m.w2 || '␟') AS t
-                FROM r${r - 1}, m$r m) x)"""
+      r$r AS (SELECT doc_id,
+                     CASE WHEN m.w1 IS NULL THEN t.s ELSE
+                       substr(replace('␟' || t.s || '␟',
+                                      '␟' || m.w1 || '␟' || m.w2 || '␟',
+                                      '␟' || m.w1 || '_' || m.w2 || '␟'),
+                              2,
+                              length(replace('␟' || t.s || '␟',
+                                             '␟' || m.w1 || '␟' || m.w2 || '␟',
+                                             '␟' || m.w1 || '_' || m.w2 || '␟')) - 2)
+                     END AS s
+              FROM r${r - 1} t LEFT JOIN m$r m ON TRUE)"""
 
   /** BPE merge-table training, 3 rounds (QualityModels.bpeMerges): the
     * tokenizer-fit loop — count pairs, adopt the top pair, rewrite,

@@ -523,7 +523,9 @@ object SimilarityQueries {
                             a.anchor_id) AS rk
           FROM e CROSS JOIN anchors a) t WHERE rk = 1),
       probe AS (SELECT anchor_id AS cell FROM anchors, q
-                ORDER BY ROUND(list_cosine_similarity(av, qx), 4) DESC, anchor_id
+                ORDER BY ROUND(CASE WHEN isnan(list_cosine_similarity(av, qx))
+                                    THEN -1 ELSE list_cosine_similarity(av, qx) END, 4) DESC,
+                         anchor_id
                 LIMIT 4),
       lut AS (SELECT c.j, c.code,
                      ROUND(list_sum(list_transform(range(1, 17),

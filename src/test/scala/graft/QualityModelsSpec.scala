@@ -154,6 +154,21 @@ class QualityModelsSpec extends AnyFunSuite with SparkSpec {
     assert(out(2L) == ((1L, 1L))) // [a_b]
   }
 
+  test("bpeApply: a realistically sized merge table plans in linear time") {
+    import spark.implicits._
+    // 300 merges that never occur: output is identity, but the PLAN must
+    // stay linear in |merges| — the old per-merge wrap+substr fold
+    // doubled the expression tree per step and hung the analyzer long
+    // before this size
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val merges = (0 until 300).map(i => (s"zz$i", s"yy$i"))
+    val t0 = System.nanoTime()
+    val out = graft.operators.QualityModels
+      .bpeApply(docs, "doc_id", "text", merges).collect()
+    assert((System.nanoTime() - t0) / 1e9 < 60.0, "planning blew up")
+    assert(out.head.getLong(1) == 3L && out.head.getLong(2) == 0L)
+  }
+
   test("sourceOverlapSketch: at sparse cardinalities the HLL estimates are exact") {
     import spark.implicits._
     val docs = Seq(

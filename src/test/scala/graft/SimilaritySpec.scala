@@ -237,6 +237,20 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
       nprobe = 2, refine = 40, k = 10).count() == 0)
   }
 
+  test("PQ ADC: a persisted index that drifted from the model fails loudly, not silently") {
+    val model = Similarity.pqCodebooksSampled(anchors, m = 4)
+    // codes out of the model's codeword range (as after a retrain with
+    // smaller ksub): must raise, never rank the corrupt rows
+    val bad = emb.select(col("vec_id"),
+      typedLit(Seq(999L, 999L, 999L, 999L)).as("codes"))
+    val ex = intercept[Exception] {
+      Similarity.pqTopKIndexed(bad, emb.select(col("vec_id"), col("embedding")),
+        "vec_id", 0, model, refine = 10, k = 5).collect()
+    }
+    assert(ex.getMessage.contains("pq codes/model mismatch"),
+      ex.getMessage.take(200))
+  }
+
   test("kmeans: deterministic under repartitioning") {
     val base = Similarity.kmeans(emb, "vec_id", k = 4, iters = 2)._1
       .select("vec_id", "cluster").collect()
