@@ -163,6 +163,50 @@ object Similarity {
       .limit(k)
   }
 
+  /** Persist the composed IVF-PQ index: the cell-bucketed CODES table —
+    * (id [, payload], cell, codes), no float vectors — the artifact a
+    * billion-vector deployment serves from. One pass assigns cells and
+    * encodes; `Layout.writeBucketed` makes every search's
+    * `cell IN (probed)` filter prune to ~nprobe/numBuckets of the files
+    * (SelectedBucketsCount, asserted in SimilaritySpec). */
+  def ivfPqBuildIndex(emb: DataFrame, anchors: DataFrame, id: String,
+      model: PqModel, table: String, numBuckets: Int = 16): Unit =
+    Layout.writeBucketed(
+      ivfAssign(emb, anchors, id)
+        .withColumn("codes", pqCodesCol(col("embedding"), model))
+        .drop("embedding"),
+      table, bucketCols = Seq("cell"), numBuckets = numBuckets)
+
+  /** Top-k against a persisted IVF-PQ index: probe cells resolve from
+    * the broadcast anchors, the bucketed codes table is scanned with a
+    * pruning `cell IN (...)` filter, ADC ranks the pruned codes, and
+    * the exact re-rank joins the `refine` winners against the float
+    * vector table ([[pqTopKIndexed]]'s id-bounded join). Equals
+    * [[ivfPqTopK]] row-for-row on the same inputs (spec-pinned) while
+    * reading m bytes/vector from ~nprobe/numBuckets of the index. */
+  def ivfPqSearchIndexed(spark: org.apache.spark.sql.SparkSession,
+      table: String, vectors: DataFrame, id: String, queryId: Long,
+      anchors: DataFrame, model: PqModel, nprobe: Int, refine: Int, k: Int,
+      roundAt: Int = 4): DataFrame = {
+    require(nprobe >= 1)
+    val qRows = vectors.filter(col(id) === queryId).select("embedding").take(1)
+    if (qRows.isEmpty)
+      return pqTopKImpl(spark.table(table).drop("cell").limit(0), vectors,
+        id, queryId, model, refine, k, roundAt, None)
+    val qF = qRows(0).getSeq[Float](0)
+    val qLit = typedLit(qF)
+    val cells = anchors
+      .select(col("anchor_id"),
+        round(nanvl(vec.cosine(col("av"), qLit), lit(-1.0)), roundAt).as("qcos"))
+      .orderBy(desc("qcos"), asc("anchor_id"))
+      .limit(nprobe)
+      .collect().map(_.getAs[Number]("anchor_id").longValue())
+    pqTopKImpl(
+      spark.table(table)
+        .filter(col("cell").isin(cells.toIndexedSeq: _*)).drop("cell"),
+      vectors, id, queryId, model, refine, k, roundAt, Some(qF))
+  }
+
   /** Lloyd's k-means over `(id, embedding: array<float>)` — the
     * clustering pass that turns hash-picked IVF anchors into LEARNED
     * cell centroids (tighter cells → better recall at the same nprobe),

@@ -47,6 +47,41 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
         inline.select("vec_id", "sim").collect().map(r => (r.getLong(0), r.getDouble(1))).toSet)
   }
 
+  test("persisted IVF-PQ index: bucket-pruned codes scan, row-identical to the inline composition") {
+    val model = Similarity.pqCodebooksSampled(anchors, m = 4)
+    val db = "graft_ivfpq"
+    val loc = java.nio.file.Files.createTempDirectory("graft-ivfpqdb")
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$loc'")
+    spark.sql(s"DROP TABLE IF EXISTS $db.emb_ivfpq")
+
+    Similarity.ivfPqBuildIndex(emb, anchors, "vec_id", model,
+      s"$db.emb_ivfpq", numBuckets = 8)
+    // the persisted index is codes-only — no float column on disk
+    assert(!spark.table(s"$db.emb_ivfpq").columns.contains("embedding"))
+
+    val vectors = emb.select(col("vec_id"), col("embedding"))
+    val hits = Similarity.ivfPqSearchIndexed(spark, s"$db.emb_ivfpq",
+      vectors, "vec_id", 0, anchors, model, nprobe = 2, refine = 40, k = 10)
+
+    val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "false")
+      val plan = hits.queryExecution.executedPlan.toString
+      assert(plan.contains("SelectedBucketsCount"), plan)
+      val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(plan).get
+      assert(sel.group(1).toInt < sel.group(2).toInt,
+        s"expected pruning, read ${sel.group(1)}/${sel.group(2)} buckets")
+    } finally spark.conf.set(key, prev)
+
+    val inline = Similarity.ivfPqTopK(emb, "vec_id", 0, anchors, model,
+      nprobe = 2, refine = 40, k = 10)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("vec_id", "adist", "sim").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq
+    assert(rows(hits) == rows(inline))
+  }
+
   test("bucketed near-dup pairing: quadratic work shrinks, in-cell pairs are exact") {
     val lowT = 0.15 // low threshold so the tiny corpus yields pairs
     val exact = Similarity.nearDupPairs(emb, "vec_id", lowT)
