@@ -82,6 +82,32 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(rows(hits) == rows(inline))
   }
 
+  test("PQ encode is mode-agnostic: the streaming encode equals the batch encode") {
+    // a narrow expression works unchanged on a stream — the ingest-time
+    // index-append path (encode on arrival, append to the codes table)
+    // needs no separate streaming kernel
+    val model = Similarity.pqCodebooksSampled(anchors, m = 4)
+    val batch = emb.select(col("vec_id"),
+        Similarity.pqCodesCol(col("embedding"), model).as("codes"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = emb.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    val ms = MemoryStream[(Long, Seq[Float])]
+    ms.addData(rows)
+    val streamed = ms.toDF().toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        Similarity.pqCodesCol(col("embedding").cast("array<float>"), model).as("codes"))
+    val q = streamed.writeStream.format("memory")
+      .queryName("pq_stream_codes").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("pq_stream_codes")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(out == batch)
+  }
+
   test("bucketed near-dup pairing: quadratic work shrinks, in-cell pairs are exact") {
     val lowT = 0.15 // low threshold so the tiny corpus yields pairs
     val exact = Similarity.nearDupPairs(emb, "vec_id", lowT)
