@@ -8,9 +8,12 @@ object Bench {
     // steady-state timing: two measured runs per query, keep the min —
     // single-run numbers at this scale are dominated by JIT/GC noise
     // (observed ±2x swings on the same query across runs)
-    def timeOnce(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
+    def timeOnce(name: String,
+        fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // a throwing query must not masquerade as a fast one — record it
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => failed += name }
       (System.nanoTime() - t0) / 1e9
     }
     // SPARK_GRAFT_ONLY=q36,q38 (prefix match) narrows the run for local
@@ -25,7 +28,7 @@ object Bench {
     // (measured 13s cold vs 2s warm on the LSH stages, and whether the
     // second run is warm yet is a JIT-scheduling race). The reported
     // number is steady-state per-query latency.
-    selected.foreach { case (_, fn) => timeOnce(fn) }
+    selected.foreach { case (name, fn) => timeOnce(name, fn) }
     // Reclaim cross-query residue before each measured pair: queries that
     // localCheckpoint internal frames leave blocks in the block manager
     // until their RDDs are GC'd, and over ~140 queries x 3 executions
@@ -40,7 +43,7 @@ object Bench {
     }
     val results = selected.map { case (name, fn) =>
       reclaim()
-      name -> math.min(timeOnce(fn), timeOnce(fn))
+      name -> math.min(timeOnce(name, fn), timeOnce(name, fn))
     }
     def fmt(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     // Full per-query detail: printed early (scrolls out of the driver's
@@ -48,8 +51,9 @@ object Bench {
     val full = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"queries":$full,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"errors":$errs,"queries":$full,"sf":"$sfDir"}"""
     println(fullLine)
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/bench_full.json"),
