@@ -768,6 +768,60 @@ object DedupQueries {
         AND (i.da % 2 = 1 OR i.db % 2 = 1)
       ORDER BY doc_a, doc_b"""))
 
+  /** Train/test split-leakage audit: assign every document to a split by
+    * CONTENT hash (`CorpusPipeline.assignShards`, shard < 8 of 10 →
+    * train — the deterministic-splitter device of q71/q154), then count
+    * verified near-dup pairs (the q36 chain, jaccard ≥ 0.5) whose
+    * endpoints land in DIFFERENT splits — eval leakage via
+    * near-duplicates, the audit a corpus split must pass before held-out
+    * loss means anything. (Content hashing guarantees EXACT duplicates
+    * can never straddle the split; near-dups can, which is exactly what
+    * this measures.) Output: pair counts per split pair, including the
+    * leaking train↔test row. Scale shape: the pair frame is
+    * collision-bounded (LSH); the split column is one narrow hash; the
+    * metadata joins are q145's. */
+  val q179 = Q(
+    "q179_split_leakage",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      val pairs = graft.operators.Dedup
+        .minHashLshPairs(docs, "doc_id", "text",
+          n = ShingleN, k = K, bands = Bands, threshold = 0.5)
+      val split = graft.operators.CorpusPipeline
+        .assignShards(Tables.documents(s, d), "text", 10)
+        .select(col("doc_id"),
+          when(col("shard") < 8, lit("train")).otherwise(lit("test")).as("split"))
+      pairs
+        .join(split.select(col("doc_id").as("id_a"), col("split").as("__sa")), "id_a")
+        .join(split.select(col("doc_id").as("id_b"), col("split").as("__sb")), "id_b")
+        .groupBy(least(col("__sa"), col("__sb")).as("split_x"),
+          greatest(col("__sa"), col("__sb")).as("split_y"))
+        .agg(count(lit(1)).as("n_pairs"),
+          round(max("jaccard"), 4).as("max_jaccard"))
+        .orderBy("split_x", "split_y")
+    },
+    Some(s"""
+      WITH ${nearDupCtes("documents")},
+      verified AS (SELECT i.da, i.db,
+                          CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter) AS jaccard
+                   FROM inter i
+                   JOIN sizes sa ON i.da = sa.doc_id
+                   JOIN sizes sb ON i.db = sb.doc_id
+                   WHERE CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter) >= 0.5),
+      sp AS (SELECT doc_id,
+                    CASE WHEN ('0x' || substr(md5(text), 1, 8))::BIGINT % 10 < 8
+                         THEN 'train' ELSE 'test' END AS split
+             FROM documents)
+      SELECT LEAST(a.split, b.split) AS split_x,
+             GREATEST(a.split, b.split) AS split_y,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             ROUND(MAX(v.jaccard), 4) AS max_jaccard
+      FROM verified v
+      JOIN sp a ON a.doc_id = v.da
+      JOIN sp b ON b.doc_id = v.db
+      GROUP BY 1, 2 ORDER BY split_x, split_y"""))
+
   def all: Seq[Q] = Seq(q36, q37, q38, q45, q47, q51, q55, q134, q145, q146,
-    q151, q152, q163, q166, q168, q170)
+    q151, q152, q163, q166, q168, q170, q179)
 }
