@@ -29,6 +29,9 @@ object Bench {
     // second run is warm yet is a JIT-scheduling race). The reported
     // number is steady-state per-query latency.
     selected.foreach { case (name, fn) => timeOnce(name, fn) }
+    // a transient warmup-only failure must not brand a query that then
+    // measures fine: only MEASURED-run failures count as errors
+    failed.clear()
     // Reclaim cross-query residue before each measured pair: queries that
     // localCheckpoint internal frames leave blocks in the block manager
     // until their RDDs are GC'd, and over ~140 queries x 3 executions
@@ -41,10 +44,13 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
       System.gc() // lets ContextCleaner collect dropped broadcasts too
     }
+    // a query that threw in a measured run is excluded from the timing
+    // record entirely (its fail-fast elapsed would read as a fast time)
+    // and reported through the errors array instead
     val results = selected.map { case (name, fn) =>
       reclaim()
       name -> math.min(timeOnce(name, fn), timeOnce(name, fn))
-    }
+    }.filter { case (name, _) => !failed.contains(name) }
     def fmt(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     // Full per-query detail: printed early (scrolls out of the driver's
     // 2000-char stdout tail) and persisted for the judge / BENCHVS.
@@ -67,7 +73,8 @@ object Bench {
     // (the queries where throughput actually matters), hard-capped so the
     // whole line stays inside the window.
     val budget = 1700
-    val prefix = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"""
+    val prefix =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"errors":$errs,"""
     val suffix = s""","sf":"$sfDir"}"""
     var used = prefix.length + suffix.length + """"queries":{}""".length
     val headline = scala.collection.mutable.ListBuffer.empty[(String, Double)]

@@ -133,9 +133,23 @@ object Similarity {
     * vectors); searches then read ~nprobe/numBuckets of the data with no
     * shuffle (verified by SimilaritySpec via SelectedBucketsCount). */
   def ivfBuildIndex(emb: DataFrame, anchors: DataFrame, id: String,
-      table: String, numBuckets: Int = 16): Unit =
-    Layout.writeBucketed(ivfAssign(emb, anchors, id), table,
+      table: String, numBuckets: Int = 16, roundAt: Int = 4): Unit =
+    Layout.writeBucketed(ivfAssign(emb, anchors, id, roundAt), table,
       bucketCols = Seq("cell"), numBuckets = numBuckets)
+
+  /** The ONE probe-cell ranking all search paths share: anchors by
+    * rounded query cosine desc, anchor id asc, NaN (zero-norm) → -1 so
+    * degenerate anchors rank last deterministically — the same rule as
+    * [[ivfAssign]]'s cell argmax. Returns the `nprobe`-row (cell)
+    * frame; collect it where an `IN` pushdown is wanted. */
+  private def probeCellsDf(anchors: DataFrame, qLit: Column, nprobe: Int,
+      roundAt: Int): DataFrame =
+    anchors
+      .select(col("anchor_id"),
+        round(nanvl(vec.cosine(col("av"), qLit), lit(-1.0)), roundAt).as("qcos"))
+      .orderBy(desc("qcos"), asc("anchor_id"))
+      .limit(nprobe)
+      .select(col("anchor_id").as("cell"))
 
   /** Top-k against a persisted IVF index: probe cells are resolved from
     * the (broadcast) anchors, then the bucketed table is scanned with a
@@ -144,21 +158,12 @@ object Similarity {
       table: String, id: String, queryVec: Array[Float],
       anchors: DataFrame, nprobe: Int, k: Int, roundAt: Int = 4,
       excludeId: Option[Long] = None): DataFrame = {
-    import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types._
-    val qdf = spark.createDataFrame(
-      java.util.List.of[Row](Row(queryVec.toSeq)),
-      StructType(Seq(StructField("qv", ArrayType(FloatType)))))
-    val cells = anchors.crossJoin(broadcast(qdf))
-      .select(col("anchor_id"), round(vec.cosine(col("av"), col("qv")), roundAt).as("qcos"))
-      .orderBy(desc("qcos"), asc("anchor_id"))
-      .limit(nprobe)
-      .collect().map(_.getAs[Number]("anchor_id").longValue())
+    val qLit = typedLit(queryVec.toSeq)
+    val cells = probeCellsDf(anchors, qLit, nprobe, roundAt)
+      .collect().map(_.getAs[Number]("cell").longValue())
     val base = spark.table(table).filter(col("cell").isin(cells.toIndexedSeq: _*))
     excludeId.fold(base)(x => base.filter(col(id) =!= x)) // self-match drop
-      .crossJoin(broadcast(qdf))
-      .withColumn("sim", round(vec.cosine(col("embedding"), col("qv")), roundAt))
-      .drop("qv")
+      .withColumn("sim", round(vec.cosine(col("embedding"), qLit), roundAt))
       .orderBy(desc("sim"), asc(id))
       .limit(k)
   }
@@ -170,10 +175,11 @@ object Similarity {
     * `cell IN (probed)` filter prune to ~nprobe/numBuckets of the files
     * (SelectedBucketsCount, asserted in SimilaritySpec). */
   def ivfPqBuildIndex(emb: DataFrame, anchors: DataFrame, id: String,
-      model: PqModel, table: String, numBuckets: Int = 16): Unit =
+      model: PqModel, table: String, numBuckets: Int = 16,
+      roundAt: Int = 4): Unit =
     Layout.writeBucketed(
-      ivfAssign(emb, anchors, id)
-        .withColumn("codes", pqCodesCol(col("embedding"), model))
+      ivfAssign(emb, anchors, id, roundAt)
+        .withColumn("codes", pqCodesCol(col("embedding"), model, roundAt))
         .drop("embedding"),
       table, bucketCols = Seq("cell"), numBuckets = numBuckets)
 
@@ -194,13 +200,8 @@ object Similarity {
       return pqTopKImpl(spark.table(table).drop("cell").limit(0), vectors,
         id, queryId, model, refine, k, roundAt, None)
     val qF = qRows(0).getSeq[Float](0)
-    val qLit = typedLit(qF)
-    val cells = anchors
-      .select(col("anchor_id"),
-        round(nanvl(vec.cosine(col("av"), qLit), lit(-1.0)), roundAt).as("qcos"))
-      .orderBy(desc("qcos"), asc("anchor_id"))
-      .limit(nprobe)
-      .collect().map(_.getAs[Number]("anchor_id").longValue())
+    val cells = probeCellsDf(anchors, typedLit(qF), nprobe, roundAt)
+      .collect().map(_.getAs[Number]("cell").longValue())
     pqTopKImpl(
       spark.table(table)
         .filter(col("cell").isin(cells.toIndexedSeq: _*)).drop("cell"),
@@ -467,13 +468,7 @@ object Similarity {
       return pqTopKImpl(codesAll.drop("cell").limit(0), vectors,
         id, queryId, model, refine, k, roundAt, None)
     val qF = qRows(0).getSeq[Float](0)
-    val qLit = typedLit(qF)
-    val probed = broadcast(anchors
-      .select(col("anchor_id"),
-        round(nanvl(vec.cosine(col("av"), qLit), lit(-1.0)), roundAt).as("qcos"))
-      .orderBy(desc("qcos"), asc("anchor_id"))
-      .limit(nprobe)
-      .select(col("anchor_id").as("cell")))
+    val probed = broadcast(probeCellsDf(anchors, typedLit(qF), nprobe, roundAt))
     pqTopKImpl(codesAll.join(probed, Seq("cell")).drop("cell"),
       vectors, id, queryId, model, refine, k, roundAt, Some(qF))
   }
@@ -483,11 +478,15 @@ object Similarity {
     * corpus instead of all of it. */
   def ivfTopK(emb: DataFrame, id: String, queryId: Long,
       anchors: DataFrame, nprobe: Int, k: Int, roundAt: Int = 4): DataFrame = {
-    val assigned = ivfAssign(emb, anchors, id)
+    val assigned = ivfAssign(emb, anchors, id, roundAt)
     val qv = broadcast(emb.filter(col(id) === queryId).select(col("embedding").as("qv")))
+    // same probe ranking rule as probeCellsDf (NaN → -1, rounded-first,
+    // id tie-break), kept frame-based so an absent queryId flows through
+    // as an empty result without a driver collect
     val probed = broadcast(
       anchors.crossJoin(qv)
-        .select(col("anchor_id"), round(vec.cosine(col("av"), col("qv")), roundAt).as("qcos"))
+        .select(col("anchor_id"),
+          round(nanvl(vec.cosine(col("av"), col("qv")), lit(-1.0)), roundAt).as("qcos"))
         .orderBy(desc("qcos"), asc("anchor_id"))
         .limit(nprobe)
         .select(col("anchor_id").as("cell")))

@@ -789,7 +789,7 @@ object DedupQueries {
         .minHashLshPairs(docs, "doc_id", "text",
           n = ShingleN, k = K, bands = Bands, threshold = 0.5)
       val split = graft.operators.CorpusPipeline
-        .assignShards(Tables.documents(s, d), "text", 10)
+        .assignShards(docs, "text", 10)
         .select(col("doc_id"),
           when(col("shard") < 8, lit("train")).otherwise(lit("test")).as("split"))
       pairs

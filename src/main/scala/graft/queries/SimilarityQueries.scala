@@ -114,7 +114,9 @@ object SimilarityQueries {
         WHERE rk = 1),
       probe AS (
         SELECT anchor_id AS cell FROM anchors, q
-        ORDER BY ROUND(list_cosine_similarity(av, qv), 4) DESC, anchor_id
+        ORDER BY ROUND(CASE WHEN isnan(list_cosine_similarity(av, qv))
+                            THEN -1 ELSE list_cosine_similarity(av, qv) END, 4) DESC,
+                 anchor_id
         LIMIT 2)
       SELECT vec_id, label,
              ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv), 4) AS sim
