@@ -822,6 +822,68 @@ object DedupQueries {
       JOIN sp b ON b.doc_id = v.db
       GROUP BY 1, 2 ORDER BY split_x, split_y"""))
 
+  /** Split-leakage REPAIR — q179's audit closed into a fix: any TRAIN
+    * document near-duplicating a TEST document (the q36 verified-pair
+    * chain across the content-hash split) is purged from train, the
+    * standard decontamination direction (eval stays pristine, training
+    * mass pays). Output: per split, docs before, docs dropped, docs
+    * after — the before/after accounting a split build logs. Scale
+    * shape: the leaked-id set is pair-bounded (LSH collisions), the
+    * purge is one semi-join — nothing quadratic, nothing collected. */
+  val q180 = Q(
+    "q180_split_repair",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      val pairs = graft.operators.Dedup
+        .minHashLshPairs(docs, "doc_id", "text",
+          n = ShingleN, k = K, bands = Bands, threshold = 0.5)
+      val split = graft.operators.CorpusPipeline
+        .assignShards(docs, "text", 10)
+        .select(col("doc_id"),
+          when(col("shard") < 8, lit("train")).otherwise(lit("test")).as("split"))
+      val tagged = pairs
+        .join(split.select(col("doc_id").as("id_a"), col("split").as("__sa")), "id_a")
+        .join(split.select(col("doc_id").as("id_b"), col("split").as("__sb")), "id_b")
+      // train-side endpoints of cross-split pairs, either orientation
+      val leaked = tagged.filter(col("__sa") === "train" && col("__sb") === "test")
+        .select(col("id_a").as("doc_id"))
+        .union(tagged.filter(col("__sa") === "test" && col("__sb") === "train")
+          .select(col("id_b").as("doc_id")))
+        .distinct()
+      split
+        .join(leaked.withColumn("__leak", lit(true)), Seq("doc_id"), "left")
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_before"),
+          count(when(col("__leak"), 1)).as("n_dropped"),
+          count(when(col("__leak").isNull, 1)).as("n_after"))
+        .orderBy("split")
+    },
+    Some(s"""
+      WITH ${nearDupCtes("documents")},
+      verified AS (SELECT i.da, i.db
+                   FROM inter i
+                   JOIN sizes sa ON i.da = sa.doc_id
+                   JOIN sizes sb ON i.db = sb.doc_id
+                   WHERE CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter) >= 0.5),
+      sp AS (SELECT doc_id,
+                    CASE WHEN ('0x' || substr(md5(text), 1, 8))::BIGINT % 10 < 8
+                         THEN 'train' ELSE 'test' END AS split
+             FROM documents),
+      leaked AS (
+        SELECT DISTINCT x.doc_id FROM (
+          SELECT v.da AS doc_id, a.split AS sa, b.split AS sb
+          FROM verified v JOIN sp a ON a.doc_id = v.da JOIN sp b ON b.doc_id = v.db
+          UNION ALL
+          SELECT v.db AS doc_id, b.split AS sa, a.split AS sb
+          FROM verified v JOIN sp a ON a.doc_id = v.da JOIN sp b ON b.doc_id = v.db) x
+        WHERE x.sa = 'train' AND x.sb = 'test')
+      SELECT s.split, COUNT(*) AS n_before,
+             COUNT(CASE WHEN l.doc_id IS NOT NULL THEN 1 END) AS n_dropped,
+             COUNT(CASE WHEN l.doc_id IS NULL THEN 1 END) AS n_after
+      FROM sp s LEFT JOIN leaked l ON l.doc_id = s.doc_id
+      GROUP BY s.split ORDER BY s.split"""))
+
   def all: Seq[Q] = Seq(q36, q37, q38, q45, q47, q51, q55, q134, q145, q146,
-    q151, q152, q163, q166, q168, q170, q179)
+    q151, q152, q163, q166, q168, q170, q179, q180)
 }
