@@ -36,4 +36,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // allocation-heaviest query at -Xmx90g, and cumulative across a long
   // run). ParallelGC keeps the same numbers at 8g and 90g.
   "-XX:+UseParallelGC",
+  // Deep-but-linear Column chains (bpeApply folds one replace per
+  // learned merge — hundreds for a realistic table) recurse once per
+  // node in Catalyst's converter/analyzer; the JVM default stack
+  // (512k-1M) makes that conversion depth-limited and intermittently
+  // flaky. 32m matches what spark-submit setups use for deep plans.
+  "-Xss32m",
 )

@@ -208,6 +208,57 @@ object CorpusPipeline {
       .drop("__fp")
       .write.mode("overwrite").partitionBy("shard").parquet(outDir)
 
+  /** Shard novelty curve — the dedup-ROI view of an append-ordered
+    * corpus: split the corpus into `numShards` contiguous id ranges
+    * (the stand-in for ingestion batches / crawl snapshots), and for
+    * each shard report how many of its distinct word-`n`-grams appear
+    * here for the FIRST time (no earlier shard contains them). A crawl
+    * whose novelty rate decays toward zero is re-crawling known
+    * content — the signal that tells a pipeline when another snapshot
+    * stops buying new training data.
+    *
+    * Scale shape: shard assignment is narrow (id-range bucketing
+    * against one broadcast max — never a global row-number sort);
+    * grams are distinct-ed per (shard, md5(gram)) — the one big
+    * shuffle, on the fixed-width hash, never raw text; first-occurrence
+    * is a min-aggregate on the gram key (same key, exchange reusable);
+    * everything after is shards-sized. Output per shard:
+    * (shard, n_docs, n_grams, n_new, novelty_rate), rate 4 dp; shards
+    * whose documents are all shorter than `n` tokens report 0 grams
+    * and a 0 rate rather than vanishing. */
+  def shardNovelty(docs: DataFrame, id: String, text: String,
+      numShards: Int, n: Int = 4): DataFrame = {
+    require(numShards > 0 && n > 0)
+    val mx = broadcast(docs.agg(max(col(id).cast("long")).as("mx")))
+    val sharded = docs.crossJoin(mx)
+      .select(
+        least(lit(numShards - 1),
+          floor(col(id).cast("long") * numShards / (col("mx") + lit(1.0)))
+            .cast("long")).as("shard"),
+        col(id), col(text))
+    val grams = sharded
+      .select(col("shard"), split(col(text), " ").as("__toks"))
+      .filter(size(col("__toks")) >= n)
+      .select(col("shard"),
+        explode(transform(Dedup.shingles("__toks", n), g => md5(g))).as("g"))
+      .distinct()
+    val perShard = grams.groupBy("shard").agg(count(lit(1)).as("n_grams"))
+    val firstSeen = grams.groupBy("g").agg(min("shard").as("shard"))
+      .groupBy("shard").agg(count(lit(1)).as("n_new"))
+    sharded.groupBy("shard").agg(count(lit(1)).as("n_docs"))
+      .join(perShard, Seq("shard"), "left")
+      .join(firstSeen, Seq("shard"), "left")
+      .select(col("shard"), col("n_docs"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        round(coalesce(col("n_new"), lit(0L)) /
+          when(coalesce(col("n_grams"), lit(0L)) === 0, lit(null))
+            .otherwise(coalesce(col("n_grams"), lit(0L))).cast("double"), 4)
+          .as("novelty_rate"))
+      .na.fill(0.0, Seq("novelty_rate"))
+      .orderBy("shard")
+  }
+
   /** Retrieval (RAG) chunking: overlapping `chunkTokens`-token windows
     * at `stride`, with offsets and a content fingerprint per chunk —
     * the doc→chunk explode feeding an embedding pipeline (vs

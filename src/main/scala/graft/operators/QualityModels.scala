@@ -294,6 +294,129 @@ object QualityModels {
         md5(col("s")).as("bpe_fp"))
   }
 
+  /** Interpolated Kneser-Ney bigram cross-entropy per document — the
+    * real-LM upgrade of [[bigramSurprisal]]'s add-k stand-in, and the
+    * CCNet-style perplexity filter: fit absolute-discounted bigram
+    * probabilities on the corpus,
+    * `P(w|p) = (c(p,w) - D)/c(p·) + D·N1+(p·)/c(p·) · Pcont(w)` with
+    * `Pcont(w) = N1+(·w)/|bigram types|`, then score each document by
+    * the mean negative log2 probability of its bigrams and bucket the
+    * corpus into head/middle/tail at the exact entropy terciles (the
+    * CCNet split: head = most-predictable third). KN's continuation
+    * probability is what separates it from add-k: a token seen in many
+    * CONTEXTS backs off strong, a burst token seen often in one context
+    * backs off weak — the distinction that makes boilerplate score
+    * "head" even when its raw counts are modest.
+    *
+    * Every scored bigram is an observed one, so `c(p,w) >= 1 > D`,
+    * `c(p·) >= 1` and `N1+(·w) >= 1` — no zero probabilities by
+    * construction, no epsilon guards.
+    *
+    * Scale shape: the model is the bigram-count table (one shuffle on
+    * the bigram key, never collected) plus three vocab-sized side
+    * frames (context mass, context fan-out, continuation fan-in) that
+    * broadcast; scoring re-joins the per-doc bigram stream on the same
+    * bigram key. The tercile boundaries are one exact-percentile
+    * aggregate over the per-doc scores (doc-count-sized, not
+    * corpus-sized) broadcast back for the bucket label — never a
+    * global sort. Output: (id, n_bigrams, kn_entropy, bucket),
+    * entropy rounded to 4 dp before the tercile split so the
+    * boundaries are cross-engine stable (the q167 percentile
+    * equivalence). */
+  def knBigramEntropy(docs: DataFrame, id: String, text: String,
+      discount: Double = 0.75): DataFrame = {
+    require(discount > 0 && discount < 1,
+      s"absolute discount must be in (0,1), got $discount")
+    val arr = docs.select(col(id), split(col(text), " ").as("toks"))
+    val bi = arr.filter(size(col("toks")) >= 2)
+      .select(col(id), explode(expr(
+        "transform(sequence(0, size(toks) - 2), i -> struct(toks[i] AS p, toks[i + 1] AS w))")).as("b"))
+      .select(col(id), col("b.p").as("p"), col("b.w").as("w"))
+    val bcnt = bi.groupBy("p", "w").agg(count(lit(1)).as("cb"))
+    // context mass c(p·) and fan-out N1+(p·) in one pass over the model
+    val ctx = bcnt.groupBy("p")
+      .agg(sum("cb").as("cp"), count(lit(1)).as("n1p"))
+    // continuation fan-in N1+(·w); |bigram types| normalizes it
+    val cont = bcnt.groupBy("w").agg(count(lit(1)).as("n1w"))
+    val types = broadcast(bcnt.agg(count(lit(1)).as("nbb")))
+    val scored = bi.join(bcnt, Seq("p", "w"))
+      .join(broadcast(ctx), Seq("p"))
+      .join(broadcast(cont), Seq("w"))
+      .crossJoin(types)
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(-log2(
+          (col("cb") - lit(discount)) / col("cp") +
+            lit(discount) * col("n1p") / col("cp") *
+              (col("n1w").cast("double") / col("nbb")))), 4).as("kn_entropy"))
+    val bounds = broadcast(scored.agg(
+      expr("percentile(kn_entropy, 0.3333)").as("b1"),
+      expr("percentile(kn_entropy, 0.6667)").as("b2")))
+    scored.crossJoin(bounds)
+      .select(col(id), col("n_bigrams"), col("kn_entropy"),
+        when(col("kn_entropy") <= col("b1"), "head")
+          .when(col("kn_entropy") <= col("b2"), "middle")
+          .otherwise("tail").as("bucket"))
+      .orderBy(col(id))
+  }
+
+  /** Count-based word vectors: positive pointwise mutual information
+    * over symmetric ±`window` co-occurrence, then the `topK` most
+    * cosine-similar word pairs — the word2vec-era distributional
+    * similarity model (PPMI + cosine is the classic count baseline),
+    * fit entirely with relational passes. The co-occurrence matrix is
+    * built from directed (center, context) pairs in both directions, so
+    * `c(a,c)` is symmetric; `PPMI(a,c) = max(0, log2(c(a,c)·N /
+    * (c(a·)·c(·c))))`, and similarity is the sparse-vector cosine
+    * computed by self-joining the PPMI table on the context key.
+    *
+    * Scale shape: pair generation is narrow (fan-out ≤ 2·window per
+    * token); the matrix is one shuffle on the (center, context) key and
+    * is CO-OCCURRENCE-sized, not corpus-sized; marginals are vocab-sized
+    * broadcasts; the cosine self-join shuffles the PPMI table on
+    * context — bounded by matrix mass — and the final ranking is
+    * orderBy+limit (TakeOrderedAndProject: per-partition heaps, no
+    * global sort). Ranking is by ROUNDED similarity with a lexical
+    * (w1, w2) tie-break, the cross-engine determinism device. Output:
+    * (w1, w2, n_ctx, cosine). */
+  def ppmiTopPairs(docs: DataFrame, text: String,
+      window: Int = 2, topK: Int = 20): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val pairs = docs.select(split(col(text), " ").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        s"""flatten(flatten(transform(sequence(0, size(toks) - 2), i ->
+           transform(sequence(1, least($window, size(toks) - 1 - i)), k ->
+             array(struct(toks[i] AS a, toks[i + k] AS c),
+                   struct(toks[i + k] AS a, toks[i] AS c))))))""")).as("p"))
+      .select(col("p.a").as("a"), col("p.c").as("c"))
+    val ccnt = pairs.groupBy("a", "c").agg(count(lit(1)).as("nac"))
+    val marg = ccnt.groupBy("a").agg(sum("nac").as("na"))
+    val tot = broadcast(ccnt.agg(sum("nac").as("ntot")))
+    // PPMI table: only positive entries survive (the sparse vectors)
+    val ppmi = ccnt
+      .join(broadcast(marg), Seq("a"))
+      .join(broadcast(marg.select(col("a").as("c"), col("na").as("nc"))), Seq("c"))
+      .crossJoin(tot)
+      .select(col("a"), col("c"), col("nac"),
+        log2((col("nac").cast("double") * col("ntot")) /
+          (col("na").cast("double") * col("nc"))).as("v"))
+      .filter(col("v") > 0)
+    val norms = ppmi.groupBy("a").agg(sqrt(sum(col("v") * col("v"))).as("nrm"))
+    ppmi.select(col("a").as("w1"), col("c"), col("v").as("v1"))
+      .join(ppmi.select(col("a").as("w2"), col("c"), col("v").as("v2")), Seq("c"))
+      .filter(col("w1") < col("w2"))
+      .groupBy("w1", "w2")
+      .agg(count(lit(1)).as("n_ctx"), sum(col("v1") * col("v2")).as("dot"))
+      .join(broadcast(norms.select(col("a").as("w1"), col("nrm").as("nrm1"))), Seq("w1"))
+      .join(broadcast(norms.select(col("a").as("w2"), col("nrm").as("nrm2"))), Seq("w2"))
+      .select(col("w1"), col("w2"), col("n_ctx"),
+        round(col("dot") / (col("nrm1") * col("nrm2")), 4).as("cosine"))
+      .orderBy(col("cosine").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
+
   /** Cross-source n-gram overlap matrix: exact Jaccard similarity of
     * the distinct word-`n`-gram sets of every source pair — the corpus
     * forensics view that flags two "different" crawls sharing a common

@@ -366,6 +366,78 @@ object QualityQueries {
              JOIN md ON d.source = md.source
       GROUP BY d.source ORDER BY d.source"""))
 
+  /** Interpolated Kneser-Ney bigram cross-entropy + CCNet-style
+    * head/middle/tail terciles (QualityModels.knBigramEntropy) — the
+    * real-LM perplexity filter: absolute-discounted bigram
+    * probabilities with continuation-count backoff, per-doc mean
+    * -log2 P, bucketed at the exact entropy terciles. All counts are
+    * integers and the discount is a fixed literal, so DuckDB replays
+    * identical arithmetic; entropy is rounded before the tercile
+    * split (the q167 percentile equivalence). */
+  val q181 = Q(
+    "q181_kn_bigram_lm",
+    (s, d) => QualityModels.knBigramEntropy(
+      Tables.documents(s, d), "doc_id", "text", discount = 0.75),
+    Some("""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      bi AS (SELECT doc_id, toks[i] AS p, toks[i + 1] AS w
+             FROM (SELECT doc_id, toks FROM t WHERE len(toks) >= 2) tf,
+                  LATERAL (SELECT UNNEST(range(1, len(toks))) AS i) g),
+      bcnt AS (SELECT p, w, COUNT(*) AS cb FROM bi GROUP BY p, w),
+      ctx AS (SELECT p, SUM(cb) AS cp, COUNT(*) AS n1p FROM bcnt GROUP BY p),
+      cont AS (SELECT w, COUNT(*) AS n1w FROM bcnt GROUP BY w),
+      ty AS (SELECT COUNT(*) AS nbb FROM bcnt),
+      sc AS (SELECT bi.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                    ROUND(AVG(-log2(
+                      (bcnt.cb - 0.75) / ctx.cp +
+                      0.75 * ctx.n1p / ctx.cp *
+                        (CAST(cont.n1w AS DOUBLE) / ty.nbb))), 4) AS kn_entropy
+             FROM bi JOIN bcnt USING (p, w) JOIN ctx USING (p)
+                  JOIN cont USING (w), ty
+             GROUP BY bi.doc_id),
+      b AS (SELECT quantile_cont(kn_entropy, 0.3333) AS b1,
+                   quantile_cont(kn_entropy, 0.6667) AS b2 FROM sc)
+      SELECT doc_id, n_bigrams, kn_entropy,
+             CASE WHEN kn_entropy <= b1 THEN 'head'
+                  WHEN kn_entropy <= b2 THEN 'middle'
+                  ELSE 'tail' END AS bucket
+      FROM sc, b ORDER BY doc_id"""))
+
+  /** PPMI count-based word vectors + top-20 cosine-similar word pairs
+    * (QualityModels.ppmiTopPairs): symmetric ±2 co-occurrence, positive
+    * PMI sparse vectors, cosine via the context-key self-join. Ranking
+    * is by ROUNDED cosine with a lexical pair tie-break — the
+    * cross-engine top-k determinism device. */
+  val q182 = Q(
+    "q182_ppmi_word_sim",
+    (s, d) => QualityModels.ppmiTopPairs(
+      Tables.documents(s, d), "text", window = 2, topK = 20),
+    Some("""
+      WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+      fw AS (SELECT toks[i] AS a, toks[i + k] AS c
+             FROM (SELECT toks FROM t WHERE len(toks) >= 2) tf,
+                  LATERAL (SELECT UNNEST(range(1, len(toks))) AS i) ii,
+                  LATERAL (SELECT UNNEST(range(1, 3)) AS k) kk
+             WHERE i + k <= len(toks)),
+      pairs AS (SELECT a, c FROM fw UNION ALL SELECT c AS a, a AS c FROM fw),
+      cc AS (SELECT a, c, COUNT(*) AS nac FROM pairs GROUP BY a, c),
+      mg AS (SELECT a, SUM(nac) AS na FROM cc GROUP BY a),
+      tt AS (SELECT SUM(nac) AS ntot FROM cc),
+      pv AS (SELECT cc.a, cc.c,
+                    log2((CAST(cc.nac AS DOUBLE) * tt.ntot) /
+                         (CAST(mg.na AS DOUBLE) * mc.na)) AS v
+             FROM cc JOIN mg ON cc.a = mg.a JOIN mg mc ON cc.c = mc.a, tt),
+      pq AS (SELECT a, c, v FROM pv WHERE v > 0),
+      nr AS (SELECT a, sqrt(SUM(v * v)) AS nrm FROM pq GROUP BY a),
+      sm AS (SELECT p1.a AS w1, p2.a AS w2, CAST(COUNT(*) AS BIGINT) AS n_ctx,
+                    SUM(p1.v * p2.v) AS dot
+             FROM pq p1 JOIN pq p2 ON p1.c = p2.c AND p1.a < p2.a
+             GROUP BY p1.a, p2.a)
+      SELECT sm.w1, sm.w2, sm.n_ctx,
+             ROUND(sm.dot / (n1.nrm * n2.nrm), 4) AS cosine
+      FROM sm JOIN nr n1 ON sm.w1 = n1.a JOIN nr n2 ON sm.w2 = n2.a
+      ORDER BY cosine DESC, sm.w1, sm.w2 LIMIT 20"""))
+
   def all: Seq[Q] = Seq(q156, q157, q158, q159, q160, q161, q162, q164, q165,
-    q167, q177)
+    q167, q177, q181, q182)
 }

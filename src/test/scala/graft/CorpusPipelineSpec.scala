@@ -305,4 +305,48 @@ class CorpusPipelineSpec extends AnyFunSuite with SparkSpec {
     assert(losers > 0)
     assert(report.afterNearDup == report.afterExact - losers)
   }
+
+  test("shardNovelty: repeated content stops counting as new after its first shard") {
+    import spark.implicits._
+    val a = "w1 w2 w3 w4 w5"        // grams G_a (2 distinct 4-grams)
+    val b = "x1 x2 x3 x4"           // gram G_b (1 distinct 4-gram)
+    // ids 0-3 → shard 0, 4-7 → shard 1 (numShards=2, max id 7)
+    val docs = Seq(
+      (0L, a), (1L, a), (2L, b), (3L, "short doc"),
+      (4L, a),                      // all grams seen in shard 0 → 0 new
+      (5L, "y1 y2 y3 y4 y5 y6"),    // 3 new grams
+      (6L, b), (7L, "tiny")).toDF("doc_id", "text")
+    val out = CorpusPipeline.shardNovelty(docs, "doc_id", "text",
+      numShards = 2, n = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out(0L) == ((4L, 3L, 3L, 1.0)))   // everything is new in shard 0
+    assert(out(1L) == ((4L, 6L, 3L, 0.5)))   // a+b grams repeat, y grams new
+  }
+
+  test("shardNovelty: gram-less shards report zeros instead of vanishing") {
+    import spark.implicits._
+    // ids 0-1 → shard 0 (2 distinct 4-grams), ids 2-3 → shard 1 (none)
+    val docs = Seq(
+      (0L, "a b c d e"),
+      (1L, "no"), (2L, "grams"), (3L, "here")).toDF("doc_id", "text")
+    val out = CorpusPipeline.shardNovelty(docs, "doc_id", "text",
+      numShards = 2, n = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out(1L) == ((2L, 0L, 0L, 0.0)))
+    assert(out(0L) == ((2L, 2L, 2L, 1.0)))
+  }
+
+  test("shardNovelty: novelty decays on the real corpus and shard 0 is all-new") {
+    val out = CorpusPipeline.shardNovelty(
+      Tables.documents(spark, sf("sf0.01")), "doc_id", "text",
+      numShards = 10, n = 4).collect()
+    assert(out.length == 10)
+    assert(out.head.getDouble(4) == 1.0) // first shard: every gram is new
+    // later shards can only repeat more: mean of the second half of the
+    // curve is below the first half (planted near-dups repeat grams)
+    val rates = out.map(_.getDouble(4))
+    assert(rates.drop(5).sum <= rates.slice(1, 6).sum + 1e-9)
+  }
 }

@@ -404,6 +404,40 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
 
+  test("q181: KN model side-frames broadcast; the bigram lookup is hash-keyed; terciles are an aggregate, not a sort") {
+    val df = run("q181_kn_bigram_lm")
+    df.collect() // finalize AQE
+    val p = plan(df)
+    // ctx/cont/types/bounds ride as broadcasts; the (p,w) lookup joins
+    // on its key — never a cartesian over the bigram stream
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the head/middle/tail split is percentile aggregate + broadcast,
+    // not an ntile window (which would single-partition the corpus)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("q182: PPMI marginals broadcast, the cosine self-join is hash-keyed on context, top-k is TakeOrdered") {
+    val df = run("q182_ppmi_word_sim")
+    df.collect() // finalize AQE
+    val p = plan(df)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q183: shard assignment is narrow (one broadcast max) and gram shuffles carry md5 hashes") {
+    val df = run("q183_shard_novelty")
+    df.collect() // finalize AQE
+    val p = plan(df)
+    // the max-id frame is a 1-row broadcast nested loop; everything else
+    // is hash aggregates/joins on (shard, md5) keys
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("events scan converts nanos without breaking codegen") {
     val p = plan(Tables.events(spark, d).filter(col("event_type") === "click")
       .select("event_id", "ts"))

@@ -181,6 +181,71 @@ class QualityModelsSpec extends AnyFunSuite with SparkSpec {
     assert(r.getDouble(5) == 0.3333) // (2+2-3)/3
   }
 
+  test("knBigramEntropy: absolute-discount probabilities match hand computation") {
+    import spark.implicits._
+    // corpus: d1 = "a b a", d2 = "a b"
+    // bigram counts: (a,b)=2, (b,a)=1; ctx: a → cp=2,n1p=1; b → cp=1,n1p=1
+    // cont: b → n1w=1, a → n1w=1; bigram types nbb=2
+    // P(b|a) = (2-.75)/2 + .75*1/2*(1/2) = 0.625 + 0.1875 = 0.8125
+    // P(a|b) = (1-.75)/1 + .75*1/1*(1/2) = 0.25 + 0.375 = 0.625
+    val docs = Seq((1L, "a b a"), (2L, "a b")).toDF("doc_id", "text")
+    val out = QualityModels.knBigramEntropy(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // d1: avg(-log2(.8125), -log2(.625)) = (0.29956 + 0.67807)/2 = 0.4888
+    assert(out(1L) == ((2L, 0.4888)))
+    // d2: -log2(.8125) = 0.2996
+    assert(out(2L) == ((1L, 0.2996)))
+  }
+
+  test("knBigramEntropy: observed bigrams never get zero probability") {
+    import spark.implicits._
+    // every token that closes a bigram has continuation count >= 1 by
+    // construction — entropies must all be finite
+    val docs = Seq((1L, "x y z"), (2L, "z q"), (3L, "lone")).toDF("doc_id", "text")
+    val out = QualityModels.knBigramEntropy(docs, "doc_id", "text").collect()
+    assert(out.map(_.getLong(0)).toSet == Set(1L, 2L)) // no-bigram doc excluded
+    assert(out.forall(r => !r.getDouble(2).isNaN && !r.getDouble(2).isInfinite))
+  }
+
+  test("knBigramEntropy: tercile buckets split head/middle/tail deterministically") {
+    import spark.implicits._
+    // three docs with strictly ordered entropies land one per bucket
+    val docs = Seq(
+      (1L, "a b a b a b a b"), // highly predictable → head
+      (2L, "a b c a b c"),
+      (3L, "p q r s t u")).toDF("doc_id", "text")
+    val out = QualityModels.knBigramEntropy(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(2), r.getString(3)))).toMap
+    assert(out(1L)._1 < out(2L)._1 && out(2L)._1 < out(3L)._1)
+    assert(out(1L)._2 == "head" && out(2L)._2 == "middle" && out(3L)._2 == "tail")
+  }
+
+  test("ppmiTopPairs: words sharing contexts rank above words that never do") {
+    import spark.implicits._
+    // "cat" and "dog" occur in identical contexts ("the _ runs"); "rock"
+    // shares none of them
+    val docs = Seq(
+      (1L, "the cat runs fast"),
+      (2L, "the dog runs fast"),
+      (3L, "a rock sits still")).toDF("doc_id", "text")
+    val out = QualityModels.ppmiTopPairs(docs, "text", window = 2, topK = 50)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    assert(out.contains(("cat", "dog")))
+    assert(out(("cat", "dog")) > 0.5)
+    assert(!out.contains(("cat", "rock")) || out(("cat", "rock")) < out(("cat", "dog")))
+  }
+
+  test("ppmiTopPairs: ranking is by rounded cosine with lexical tie-break and honors topK") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e a b c d e"),
+      (2L, "b c d e a")).toDF("doc_id", "text")
+    val rows = QualityModels.ppmiTopPairs(docs, "text", window = 2, topK = 3).collect()
+    assert(rows.length == 3)
+    val sims = rows.map(_.getDouble(3))
+    assert(sims.sameElements(sims.sortBy(-(_: Double))))
+  }
+
   test("sourceOverlap: duplicate grams within one source count once") {
     import spark.implicits._
     val docs = Seq(
