@@ -58,6 +58,66 @@ object Similarity {
       .select("id_a", "id_b", "sim")
   }
 
+  /** Hard-negative mining for embedding-model training: for each query
+    * vector in a (small, broadcast) batch, the top-`k` most similar
+    * vectors carrying a DIFFERENT label — the highest-loss negatives a
+    * contrastive trainer wants in the same batch as the positive. One
+    * scan of the candidate set joined against the broadcast query
+    * batch; ranking is a per-query window (partitioned by query id —
+    * parallel across the batch) on ROUNDED cosine with the candidate-id
+    * tie-break, the cross-engine top-k rule. At corpus scale the query
+    * batch is whatever fits a training step (hundreds), so the
+    * join+window stage is batch × corpus map work with no self-join.
+    * Output: (q_id, rk, neg_id, neg_label, sim). */
+  def hardNegatives(emb: DataFrame, id: String, label: String,
+      queryIds: Seq[Long], k: Int, roundAt: Int = 4): DataFrame = {
+    require(queryIds.nonEmpty && k >= 1)
+    val q = emb.filter(col(id).isInCollection(queryIds))
+      .select(col(id).as("q_id"), col("embedding").as("qv"),
+        col(label).as("q_label"))
+    val byQ = Window.partitionBy("q_id").orderBy(desc("sim"), asc("neg_id"))
+    emb.select(col(id).as("neg_id"), col("embedding"), col(label).as("neg_label"))
+      .join(broadcast(q), col("neg_label") =!= col("q_label"))
+      .withColumn("sim", round(vec.cosine(col("embedding"), col("qv")), roundAt))
+      .withColumn("rk", row_number().over(byQ).cast("long"))
+      .filter(col("rk") <= k)
+      .select("q_id", "rk", "neg_id", "neg_label", "sim")
+      .orderBy("q_id", "rk")
+  }
+
+  /** Matryoshka-style dimension-truncation audit: for each query in a
+    * broadcast batch, the exact nearest neighbor under FULL-dimension
+    * cosine vs under the first-`dims` prefix — whether a truncated
+    * index would return the same answer, and at what similarity. The
+    * per-query argmax is a struct-max aggregate (rounded sim, then
+    * smallest id — the q134 packed-key device), so the whole audit is
+    * one scan + one partial-aggregable reduce per query batch: no
+    * window, no sort, no self-join. Output:
+    * (q_id, nn_full, sim_full, nn_trunc, sim_trunc, agree). */
+  def truncatedDimAgreement(emb: DataFrame, id: String,
+      queryIds: Seq[Long], dims: Int, roundAt: Int = 4): DataFrame = {
+    require(queryIds.nonEmpty && dims >= 1)
+    val q = emb.filter(col(id).isInCollection(queryIds))
+      .select(col(id).as("q_id"), col("embedding").as("qv"))
+    val scored = emb.select(col(id).as("neg_id"), col("embedding"))
+      .join(broadcast(q), col("neg_id") =!= col("q_id"))
+      .select(col("q_id"), col("neg_id"),
+        round(vec.cosine(col("embedding"), col("qv")), roundAt).as("sim_full"),
+        round(vec.cosine(slice(col("embedding"), 1, dims),
+          slice(col("qv"), 1, dims)), roundAt).as("sim_trunc"))
+    scored.groupBy("q_id")
+      .agg(
+        max(struct(col("sim_full").as("s"), (-col("neg_id")).as("ni"),
+          col("neg_id").as("pid"))).as("mf"),
+        max(struct(col("sim_trunc").as("s"), (-col("neg_id")).as("ni"),
+          col("neg_id").as("pid"))).as("mt"))
+      .select(col("q_id"),
+        col("mf.pid").as("nn_full"), col("mf.s").as("sim_full"),
+        col("mt.pid").as("nn_trunc"), col("mt.s").as("sim_trunc"),
+        (col("mf.pid") === col("mt.pid")).as("agree"))
+      .orderBy("q_id")
+  }
+
   /** IVF cell assignment: nearest anchor per vector (anchors broadcast;
     * ties → lower anchor id). At scale this is written once as a
     * cell-bucketed table. The argmax ranks on ROUNDED cosine (same rule

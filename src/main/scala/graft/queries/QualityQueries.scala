@@ -438,6 +438,49 @@ object QualityQueries {
       FROM sm JOIN nr n1 ON sm.w1 = n1.a JOIN nr n2 ON sm.w2 = n2.a
       ORDER BY cosine DESC, sm.w1, sm.w2 LIMIT 20"""))
 
+  /** Per-source tokenizer stats with the learned merge table applied:
+    * word count, piece count after the 3-round BPE table, merged-piece
+    * count, and the compression ratio pieces/words — the per-source
+    * fertility report that tells a pipeline which sources the tokenizer
+    * serves well. Replays the q165/q177 unrolled training rounds in the
+    * oracle and reads the final corpus state joined back to source. */
+  val q186 = Q(
+    "q186_tokenizer_stats",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val merges = QualityModels
+        .bpeMerges(docs, "doc_id", "text", rounds = 3)
+        .orderBy("step").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val applied = QualityModels.bpeApply(docs, "doc_id", "text", merges)
+      docs.select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_words"))
+        .join(applied, Seq("doc_id"))
+        .groupBy("source")
+        .agg(sum("n_words").as("n_words"),
+          sum("n_pieces").as("n_pieces"),
+          sum("n_merged").as("n_merged"))
+        .select(col("source"), col("n_words"), col("n_pieces"), col("n_merged"),
+          round(col("n_pieces") / col("n_words").cast("double"), 4)
+            .as("compression"))
+        .orderBy("source")
+    },
+    Some(s"""
+      WITH r0 AS (SELECT doc_id, replace(text, ' ', '␟') AS s FROM documents),
+      ${bpeRoundSql(1)},
+      ${bpeRoundSql(2)},
+      ${bpeRoundSql(3)}
+      SELECT d.source,
+             CAST(SUM(len(string_split(d.text, ' '))) AS BIGINT) AS n_words,
+             CAST(SUM(len(string_split(r3.s, '␟'))) AS BIGINT) AS n_pieces,
+             CAST(SUM(len(list_filter(string_split(r3.s, '␟'),
+                                      p -> contains(p, '_')))) AS BIGINT) AS n_merged,
+             ROUND(SUM(len(string_split(r3.s, '␟'))) /
+                   CAST(SUM(len(string_split(d.text, ' '))) AS DOUBLE), 4)
+               AS compression
+      FROM r3 JOIN documents d USING (doc_id)
+      GROUP BY d.source ORDER BY d.source"""))
+
   def all: Seq[Q] = Seq(q156, q157, q158, q159, q160, q161, q162, q164, q165,
-    q167, q177, q181, q182)
+    q167, q177, q181, q182, q186)
 }

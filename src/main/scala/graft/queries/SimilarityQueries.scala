@@ -574,7 +574,57 @@ object SimilarityQueries {
              ROUND(SUM(d), 2) AS err_sum
       FROM enc GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** Hard-negative mining (Similarity.hardNegatives): for each of 5
+    * query vectors, the top-5 most cosine-similar vectors with a
+    * DIFFERENT label — the contrastive-training batch builder. Queries
+    * broadcast; one candidate scan; per-query window on rounded sim
+    * with the id tie-break. */
+  val q184 = Q(
+    "q184_hard_negatives",
+    (s, d) => graft.operators.Similarity.hardNegatives(
+      Tables.embeddings(s, d), "vec_id", "label",
+      queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 5),
+    Some("""
+      WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv,
+                        label AS q_label
+                 FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)),
+      r AS (SELECT q.q_id, e.vec_id AS neg_id, e.label AS neg_label,
+                   ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 4) AS sim
+            FROM embeddings e JOIN q ON e.label <> q.q_label),
+      rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                         ORDER BY sim DESC, neg_id) AS rk FROM r)
+      SELECT q_id, CAST(rk AS BIGINT) AS rk, neg_id, neg_label, sim
+      FROM rk WHERE rk <= 5 ORDER BY q_id, rk"""))
+
+  /** Matryoshka truncation audit (Similarity.truncatedDimAgreement):
+    * per query, the exact nearest neighbor under full 64-dim cosine vs
+    * under the first 16 dims — would a truncated index return the same
+    * answer? Argmax is a struct-max aggregate on (rounded sim, id) —
+    * no window, no sort. */
+  val q185 = Q(
+    "q185_dim_truncation",
+    (s, d) => graft.operators.Similarity.truncatedDimAgreement(
+      Tables.embeddings(s, d), "vec_id",
+      queryIds = Seq(0L, 1L, 2L, 3L, 4L), dims = 16),
+    Some("""
+      WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+                 FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)),
+      r AS (SELECT q.q_id, e.vec_id AS neg_id,
+                   ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 4) AS sim_full,
+                   ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[])[1:16], q.qv[1:16]), 4) AS sim_trunc
+            FROM embeddings e JOIN q ON e.vec_id <> q.q_id),
+      rk AS (SELECT *,
+                    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim_full DESC, neg_id) AS rf,
+                    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim_trunc DESC, neg_id) AS rt
+             FROM r)
+      SELECT f.q_id, f.neg_id AS nn_full, f.sim_full,
+             t.neg_id AS nn_trunc, t.sim_trunc,
+             f.neg_id = t.neg_id AS agree
+      FROM (SELECT * FROM rk WHERE rf = 1) f
+           JOIN (SELECT * FROM rk WHERE rt = 1) t USING (q_id)
+      ORDER BY f.q_id"""))
+
   def all: Seq[Q] =
     Seq(q34, q35, q39, q40, q48, q59, q60, q109, q136, q155, q171, q172,
-      q178)
+      q178, q184, q185)
 }

@@ -312,6 +312,61 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
       ex.getMessage.take(200))
   }
 
+  test("hardNegatives: every mined negative carries a different label and ranks by sim") {
+    val out = Similarity.hardNegatives(emb, "vec_id", "label",
+      queryIds = Seq(0L, 1L), k = 3).collect()
+    assert(out.length == 6) // 2 queries x top-3
+    val labels = emb.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    out.foreach { r =>
+      val (qid, rk, negId, negLabel) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))
+      assert(negLabel != labels(qid), s"q$qid mined a same-label negative $negId")
+      assert(rk >= 1 && rk <= 3)
+    }
+    // within each query the sims are non-increasing in rank order
+    out.groupBy(_.getLong(0)).values.foreach { rows =>
+      val sims = rows.sortBy(_.getLong(1)).map(_.getDouble(4))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("hardNegatives: the top negative is the max different-label cosine") {
+    val top = Similarity.hardNegatives(emb, "vec_id", "label",
+      queryIds = Seq(0L), k = 1).head()
+    // recompute by brute force through the same rounded-cosine path
+    val labels = emb.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val qv = emb.filter(col("vec_id") === 0)
+    val best = emb.filter(col("label") =!= labels(0L))
+      .crossJoin(broadcast(qv.select(col("embedding").as("qv"))))
+      .select(col("vec_id"),
+        round(graft.functions.vec.cosine(col("embedding"), col("qv")), 4).as("s"))
+      .orderBy(desc("s"), asc("vec_id")).head()
+    assert(top.getLong(2) == best.getLong(0))
+    assert(top.getDouble(4) == best.getDouble(1))
+  }
+
+  test("truncatedDimAgreement: full-width truncation agrees with itself exactly") {
+    val dims = emb.head().getAs[Seq[Float]]("embedding").length
+    val out = Similarity.truncatedDimAgreement(emb, "vec_id",
+      queryIds = Seq(0L, 1L, 2L), dims = dims).collect()
+    assert(out.length == 3)
+    out.foreach { r =>
+      assert(r.getLong(1) == r.getLong(3)) // nn_full == nn_trunc
+      assert(r.getDouble(2) == r.getDouble(4))
+      assert(r.getBoolean(5))
+    }
+  }
+
+  test("truncatedDimAgreement: nn_full matches the brute-force top-1") {
+    val out = Similarity.truncatedDimAgreement(emb, "vec_id",
+      queryIds = Seq(0L), dims = 16).head()
+    val expect = Similarity.cosineTopK(emb, "vec_id", queryId = 0, k = 1)
+      .head().getLong(0)
+    assert(out.getLong(1) == expect)
+  }
+
   test("kmeans: deterministic under repartitioning") {
     val base = Similarity.kmeans(emb, "vec_id", k = 4, iters = 2)._1
       .select("vec_id", "cluster").collect()
