@@ -208,6 +208,48 @@ object CorpusPipeline {
       .drop("__fp")
       .write.mode("overwrite").partitionBy("shard").parquet(outDir)
 
+  /** Leak-proof train/test split assignment — the q179/q180 leakage
+    * arc closed at the SOURCE: instead of splitting documents by their
+    * own content hash (which lets near-duplicates straddle the split),
+    * split every document by its near-dup CLUSTER representative's
+    * content hash. All members of a cluster inherit the same
+    * representative, so no verified near-dup pair can ever cross the
+    * split — leakage is impossible by construction, and the output
+    * carries the computed cross-split pair count (always 0) as the
+    * built-in proof rather than an assumed invariant.
+    *
+    * `pairs` is the verified near-dup pair frame (id_a, id_b) — the
+    * collision-bounded LSH output, so everything here is pair-bounded:
+    * cluster labels via [[Dedup.duplicateClusters]], one left join to
+    * default unclustered docs to themselves, one join to fetch the
+    * representative's hash, and shards-sized aggregates. Output per
+    * split: (split, n_docs, n_roots, n_cross_pairs). */
+  def leakProofSplits(docs: DataFrame, id: String, text: String,
+      pairs: DataFrame, numShards: Int = 10, trainShards: Int = 8): DataFrame = {
+    require(numShards > 0 && trainShards > 0 && trainShards < numShards)
+    val clusters = Dedup.duplicateClusters(pairs.select("id_a", "id_b"))
+      .select(col("id").as(id), col("cluster"))
+    val roots = docs.select(col(id))
+      .join(clusters, Seq(id), "left")
+      .select(col(id), coalesce(col("cluster"), col(id)).as("root"))
+    val rootHash = docs.select(col(id).as("root"),
+      (conv(substring(md5(col(text)), 1, 8), 16, 10).cast("long")
+        % numShards).as("__h"))
+    val splits = roots.join(rootHash, Seq("root"))
+      .select(col(id), col("root"),
+        when(col("__h") < trainShards, lit("train")).otherwise(lit("test"))
+          .as("split"))
+    val tagged = pairs
+      .join(splits.select(col(id).as("id_a"), col("split").as("__sa")), "id_a")
+      .join(splits.select(col(id).as("id_b"), col("split").as("__sb")), "id_b")
+    val cross = broadcast(tagged.filter(col("__sa") =!= col("__sb"))
+      .agg(count(lit(1)).as("n_cross_pairs")))
+    splits.groupBy("split")
+      .agg(count(lit(1)).as("n_docs"), countDistinct("root").as("n_roots"))
+      .crossJoin(cross)
+      .orderBy("split")
+  }
+
   /** Shard novelty curve — the dedup-ROI view of an append-ordered
     * corpus: split the corpus into `numShards` contiguous id ranges
     * (the stand-in for ingestion batches / crawl snapshots), and for

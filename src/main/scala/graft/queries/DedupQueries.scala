@@ -884,6 +884,57 @@ object DedupQueries {
       FROM sp s LEFT JOIN leaked l ON l.doc_id = s.doc_id
       GROUP BY s.split ORDER BY s.split"""))
 
+  /** Leak-proof split assignment (CorpusPipeline.leakProofSplits) — the
+    * q179/q180 arc closed at the source: split by the near-dup CLUSTER
+    * representative's content hash, so near-duplicates cannot straddle
+    * the split by construction. The output's n_cross_pairs column is
+    * the computed (not assumed) proof: the q36 verified pairs joined
+    * against the assignment must yield zero cross-split rows, and the
+    * oracle recomputes the same count through the recursive-closure
+    * chain. */
+  val q187 = Q(
+    "q187_cluster_splits",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      val pairs = graft.operators.Dedup
+        .minHashLshPairs(docs, "doc_id", "text",
+          n = ShingleN, k = K, bands = Bands, threshold = 0.5)
+      graft.operators.CorpusPipeline.leakProofSplits(
+        docs, "doc_id", "text", pairs, numShards = 10, trainShards = 8)
+    },
+    Some(s"""
+      WITH RECURSIVE ${nearDupCtes("documents")},
+      verified AS (SELECT i.da, i.db
+                   FROM inter i
+                   JOIN sizes sa ON i.da = sa.doc_id
+                   JOIN sizes sb ON i.db = sb.doc_id
+                   WHERE CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter) >= 0.5),
+      edges AS (SELECT da AS a, db AS b FROM verified
+                UNION SELECT db, da FROM verified),
+      reach AS (SELECT a, b FROM edges
+                UNION
+                SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      cl AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster
+             FROM reach GROUP BY a),
+      roots AS (SELECT d.doc_id, COALESCE(cl.cluster, d.doc_id) AS root
+                FROM documents d LEFT JOIN cl USING (doc_id)),
+      rh AS (SELECT doc_id AS root,
+                    ('0x' || substr(md5(text), 1, 8))::BIGINT % 10 AS h
+             FROM documents),
+      sp AS (SELECT r.doc_id, r.root,
+                    CASE WHEN rh.h < 8 THEN 'train' ELSE 'test' END AS split
+             FROM roots r JOIN rh ON r.root = rh.root),
+      x AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cross
+            FROM verified v
+            JOIN sp a ON a.doc_id = v.da
+            JOIN sp b ON b.doc_id = v.db
+            WHERE a.split <> b.split)
+      SELECT sp.split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COUNT(DISTINCT sp.root) AS BIGINT) AS n_roots,
+             x.n_cross AS n_cross_pairs
+      FROM sp, x GROUP BY sp.split, x.n_cross ORDER BY sp.split"""))
+
   def all: Seq[Q] = Seq(q36, q37, q38, q45, q47, q51, q55, q134, q145, q146,
-    q151, q152, q163, q166, q168, q170, q179, q180)
+    q151, q152, q163, q166, q168, q170, q179, q180, q187)
 }

@@ -338,6 +338,39 @@ class CorpusPipelineSpec extends AnyFunSuite with SparkSpec {
     assert(out(0L) == ((2L, 2L, 2L, 1.0)))
   }
 
+  test("leakProofSplits: cluster members inherit one split and cross pairs are zero") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta x"), // near-dup of 1 (same cluster)
+      (3L, "totally different words here"),
+      (4L, "another unrelated document")).toDF("doc_id", "text")
+    // hand the operator an explicit pair graph: 1-2 are duplicates
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val out = CorpusPipeline.leakProofSplits(docs, "doc_id", "text", pairs)
+    val rows = out.collect()
+    // every row reports the same zero cross-pair count
+    assert(rows.forall(_.getLong(3) == 0L))
+    // total docs conserved, roots <= docs (2 docs share one root)
+    assert(rows.map(_.getLong(1)).sum == 4L)
+    assert(rows.map(_.getLong(2)).sum == 3L)
+  }
+
+  test("leakProofSplits: on the real corpus no verified near-dup pair straddles the split") {
+    val docs = Tables.documents(spark, sf("sf0.01"))
+    val pairs = graft.operators.Dedup
+      .minHashLshPairs(docs, "doc_id", "text", threshold = 0.5)
+      .select("id_a", "id_b")
+    val out = CorpusPipeline.leakProofSplits(docs, "doc_id", "text", pairs)
+      .collect()
+    assert(out.map(_.getString(0)).toSet == Set("train", "test"))
+    assert(out.forall(_.getLong(3) == 0L))
+    // sanity: the content-hash split WITHOUT cluster roots does leak on
+    // this corpus (q179's finding) — the cluster-root device is what
+    // fixes it, not an accident of the data
+    assert(pairs.count() > 0)
+  }
+
   test("shardNovelty: novelty decays on the real corpus and shard 0 is all-new") {
     val out = CorpusPipeline.shardNovelty(
       Tables.documents(spark, sf("sf0.01")), "doc_id", "text",
