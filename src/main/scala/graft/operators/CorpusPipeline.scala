@@ -271,19 +271,7 @@ object CorpusPipeline {
   def shardNovelty(docs: DataFrame, id: String, text: String,
       numShards: Int, n: Int = 4): DataFrame = {
     require(numShards > 0 && n > 0)
-    val mx = broadcast(docs.agg(max(col(id).cast("long")).as("mx")))
-    val sharded = docs.crossJoin(mx)
-      .select(
-        least(lit(numShards - 1),
-          floor(col(id).cast("long") * numShards / (col("mx") + lit(1.0)))
-            .cast("long")).as("shard"),
-        col(id), col(text))
-    val grams = sharded
-      .select(col("shard"), split(col(text), " ").as("__toks"))
-      .filter(size(col("__toks")) >= n)
-      .select(col("shard"),
-        explode(transform(Dedup.shingles("__toks", n), g => md5(g))).as("g"))
-      .distinct()
+    val (sharded, grams) = shardGrams(docs, id, text, numShards, n)
     val perShard = grams.groupBy("shard").agg(count(lit(1)).as("n_grams"))
     val firstSeen = grams.groupBy("g").agg(min("shard").as("shard"))
       .groupBy("shard").agg(count(lit(1)).as("n_new"))
@@ -298,6 +286,73 @@ object CorpusPipeline {
             .otherwise(coalesce(col("n_grams"), lit(0L))).cast("double"), 4)
           .as("novelty_rate"))
       .na.fill(0.0, Seq("novelty_rate"))
+      .orderBy("shard")
+  }
+
+  /** Contiguous-id-range shard assignment + the distinct per-(shard,
+    * md5(gram)) stream — shared by the exact and sketch novelty paths.
+    * Assignment is narrow (one broadcast max-id, never a global
+    * row-number sort); the distinct is the one corpus-sized shuffle,
+    * keyed on the fixed-width hash. */
+  private def shardGrams(docs: DataFrame, id: String, text: String,
+      numShards: Int, n: Int): (DataFrame, DataFrame) = {
+    val mx = broadcast(docs.agg(max(col(id).cast("long")).as("mx")))
+    val sharded = docs.crossJoin(mx)
+      .select(
+        least(lit(numShards - 1),
+          floor(col(id).cast("long") * numShards / (col("mx") + lit(1.0)))
+            .cast("long")).as("shard"),
+        col(id), col(text))
+    val grams = sharded
+      .select(col("shard"), split(col(text), " ").as("__toks"))
+      .filter(size(col("__toks")) >= n)
+      .select(col("shard"),
+        explode(transform(Dedup.shingles("__toks", n), g => md5(g))).as("g"))
+      .distinct()
+    (sharded, grams)
+  }
+
+  /** [[shardNovelty]]'s sketch path — the state shape that survives a
+    * 100 TB append stream: instead of tracking every seen gram (state =
+    * gram mass), keep ONE Datasketches-HLL sketch per shard and
+    * estimate each shard's novelty as the growth of the running prefix
+    * union, `est_new(s) = |∪ sketches ≤ s| - |∪ sketches < s|`. The
+    * per-shard sketches are KB-sized and mergeable — exactly what an
+    * ingest pipeline checkpoints between batches; the prefix unions are
+    * shards² sketch merges of those KB blobs, nothing corpus-sized.
+    *
+    * Engines' sketches differ, so the cross-engine contract is the
+    * error bound (the q46/q164 device): the output carries the EXACT
+    * novelty columns alongside whether the sketch estimate landed
+    * within `bound` of the exact rate — a drift breaks the hash
+    * compare. `lgK = 16` ⇒ ~0.2% rsd per cardinality; the estimate of
+    * a difference compounds two prefix errors, hence the wider default
+    * bound than q164's. Only the exact columns and the bound flag are
+    * emitted (the raw estimate is engine-specific and cannot be
+    * hash-compared). Output: (shard, n_grams, n_new, novelty_rate,
+    * within_bound). */
+  def shardNoveltySketch(docs: DataFrame, id: String, text: String,
+      numShards: Int, n: Int = 4, lgK: Int = 16,
+      bound: Double = 0.1): DataFrame = {
+    require(numShards > 0 && n > 0)
+    val exact = shardNovelty(docs, id, text, numShards, n)
+    val (_, grams) = shardGrams(docs, id, text, numShards, n)
+    val sk = grams.groupBy("shard").agg(hll_sketch_agg(col("g"), lit(lgK)).as("sk"))
+    // running prefix unions: shards² KB-sized merges, never corpus data
+    val prefix = sk.select(col("shard").as("s"), col("sk"))
+      .join(sk.select(col("shard")), col("s") <= col("shard"))
+      .groupBy("shard")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_prefix"))
+    val lagged = prefix.select(col("shard"), col("est_prefix"))
+      .join(prefix.select((col("shard") + 1).as("shard"),
+        col("est_prefix").as("est_prev")), Seq("shard"), "left")
+      .select(col("shard"),
+        (col("est_prefix") - coalesce(col("est_prev"), lit(0.0))).as("est_new"))
+    exact.join(lagged, Seq("shard"), "left")
+      .select(col("shard"), col("n_grams"), col("n_new"), col("novelty_rate"),
+        when(col("n_grams") === 0, lit(true))
+          .otherwise(abs(coalesce(col("est_new"), lit(0.0)) / col("n_grams") -
+            col("novelty_rate")) <= bound).as("within_bound"))
       .orderBy("shard")
   }
 

@@ -394,7 +394,12 @@ object QualityModels {
     val ccnt = pairs.groupBy("a", "c").agg(count(lit(1)).as("nac"))
     val marg = ccnt.groupBy("a").agg(sum("nac").as("na"))
     val tot = broadcast(ccnt.agg(sum("nac").as("ntot")))
-    // PPMI table: only positive entries survive (the sparse vectors)
+    // PPMI table: only positive entries survive (the sparse vectors).
+    // Lazily checkpointed (the bpeMerges device): the cosine self-join
+    // references it on both sides and the norm pass a third time — one
+    // materialization of the vocab²-bounded matrix instead of three
+    // replays of the corpus-wide pair count. At deployment scale this
+    // frame is the persisted index table.
     val ppmi = ccnt
       .join(broadcast(marg), Seq("a"))
       .join(broadcast(marg.select(col("a").as("c"), col("na").as("nc"))), Seq("c"))
@@ -403,6 +408,7 @@ object QualityModels {
         log2((col("nac").cast("double") * col("ntot")) /
           (col("na").cast("double") * col("nc"))).as("v"))
       .filter(col("v") > 0)
+      .localCheckpoint(false)
     val norms = ppmi.groupBy("a").agg(sqrt(sum(col("v") * col("v"))).as("nrm"))
     ppmi.select(col("a").as("w1"), col("c"), col("v").as("v1"))
       .join(ppmi.select(col("a").as("w2"), col("c"), col("v").as("v2")), Seq("c"))

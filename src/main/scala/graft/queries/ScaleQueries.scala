@@ -354,6 +354,40 @@ object ScaleQueries {
       FROM dc LEFT JOIN ps USING (shard) LEFT JOIN nw USING (shard)
       ORDER BY dc.shard"""))
 
+  /** Sketch-path shard novelty (CorpusPipeline.shardNoveltySketch):
+    * per-shard HLL gram sketches + prefix-union growth instead of exact
+    * first-seen tracking — the checkpointable KB-sized state an ingest
+    * stream keeps. The q164 contract: exact columns + a sketch-error
+    * bound flag; the oracle asserts the bound trivially, so any drift
+    * breaks the hash compare. */
+  val q188 = Q(
+    "q188_shard_novelty_sketch",
+    (s, d) => CorpusPipeline.shardNoveltySketch(
+      Tables.documents(s, d), "doc_id", "text", numShards = 10, n = 4),
+    Some("""
+      WITH mx AS (SELECT MAX(doc_id) AS mx FROM documents),
+      d AS (SELECT LEAST(9, CAST(FLOOR(doc_id * 10 / (mx + 1.0)) AS BIGINT)) AS shard,
+                   doc_id, text
+            FROM documents, mx),
+      tl AS (SELECT shard, string_split(text, ' ') AS toks FROM d),
+      g AS (SELECT DISTINCT shard,
+                   md5(concat_ws(' ', toks[i], toks[i + 1], toks[i + 2], toks[i + 3])) AS g
+            FROM (SELECT shard, toks FROM tl WHERE len(toks) >= 4) tf,
+                 LATERAL (SELECT UNNEST(range(1, len(toks) - 2)) AS i) r),
+      ps AS (SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_grams FROM g GROUP BY shard),
+      fs AS (SELECT g, MIN(shard) AS shard FROM g GROUP BY g),
+      nw AS (SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_new FROM fs GROUP BY shard),
+      dc AS (SELECT DISTINCT shard FROM d)
+      SELECT dc.shard,
+             COALESCE(ps.n_grams, 0) AS n_grams,
+             COALESCE(nw.n_new, 0) AS n_new,
+             COALESCE(ROUND(COALESCE(nw.n_new, 0) /
+               CAST(NULLIF(COALESCE(ps.n_grams, 0), 0) AS DOUBLE), 4), 0.0)
+               AS novelty_rate,
+             TRUE AS within_bound
+      FROM dc LEFT JOIN ps USING (shard) LEFT JOIN nw USING (shard)
+      ORDER BY dc.shard"""))
+
   /** Regex redaction (PII-masking shape): replace every digit run in the
     * event props JSON with a placeholder and fingerprint the result —
     * the masking pass anonymization pipelines run before sharing data.
@@ -774,5 +808,5 @@ object ScaleQueries {
 
   def all: Seq[Q] = Seq(q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
     q90, q91, q92, q100, q101, q102, q103, q108, q111, q112, q137, q143,
-    q153, q154, q183)
+    q153, q154, q183, q188)
 }

@@ -338,6 +338,36 @@ class CorpusPipelineSpec extends AnyFunSuite with SparkSpec {
     assert(out(0L) == ((2L, 2L, 2L, 1.0)))
   }
 
+  test("shardNoveltySketch: exact columns equal the exact path, all within bound") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "w1 w2 w3 w4 w5"), (1L, "x1 x2 x3 x4"),
+      (2L, "w1 w2 w3 w4"),    // repeats shard-0 grams
+      (3L, "y1 y2 y3 y4 y5")).toDF("doc_id", "text")
+    val sk = CorpusPipeline.shardNoveltySketch(docs, "doc_id", "text",
+      numShards = 2, n = 4).collect()
+    val exact = CorpusPipeline.shardNovelty(docs, "doc_id", "text",
+      numShards = 2, n = 4).collect()
+    assert(sk.length == exact.length)
+    sk.zip(exact).foreach { case (s, e) =>
+      assert(s.getLong(0) == e.getLong(0))
+      assert(s.getLong(1) == e.getLong(2)) // n_grams
+      assert(s.getLong(2) == e.getLong(3)) // n_new
+      assert(s.getDouble(3) == e.getDouble(4))
+      // sparse cardinalities: HLL is exact → bound holds trivially
+      assert(s.getBoolean(4))
+    }
+  }
+
+  test("shardNoveltySketch: real-corpus estimates stay within the documented bound") {
+    val out = CorpusPipeline.shardNoveltySketch(
+      Tables.documents(spark, sf("sf0.01")), "doc_id", "text",
+      numShards = 10, n = 4).collect()
+    assert(out.length == 10)
+    assert(out.forall(_.getBoolean(4)),
+      out.map(r => s"${r.getLong(0)}:${r.getBoolean(4)}").mkString(","))
+  }
+
   test("leakProofSplits: cluster members inherit one split and cross pairs are zero") {
     import spark.implicits._
     val docs = Seq(
