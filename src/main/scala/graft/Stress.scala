@@ -152,6 +152,43 @@ object Stress {
       graft.operators.QualityModels
         .bigramSurprisal(docs, "doc_id", "text").count()
     }
+    time("kn_bigram_lm") {
+      // same fit/score shape as bigram_surprisal plus the continuation
+      // side-frames — all vocab-sized broadcasts, so the added cost must
+      // stay flat relative to the corpus-tracking base
+      graft.operators.QualityModels
+        .knBigramEntropy(docs, "doc_id", "text").count()
+    }
+    time("ppmi_pairs") {
+      // disjoint replica vocabularies: the co-occurrence matrix grows
+      // ×N in rows while the context self-join's matched mass grows ×N
+      // too (cross-replica contexts never collide) — the checkpointed
+      // matrix is what bounds the replay cost
+      graft.operators.QualityModels.ppmiTopPairs(docs, "text").count()
+    }
+    time("shard_novelty") {
+      // distinct + min-agg on the md5 gram key, both on the same
+      // exchange; gram mass scales ×N
+      CorpusPipeline.shardNovelty(docs, "doc_id", "text", 16).count()
+    }
+    time("shard_novelty_sketch") {
+      // the KB-state path: per-shard sketches are built in one pass and
+      // the prefix unions are shards²-of-KB work — cost must track the
+      // gram scan, never the union stage
+      CorpusPipeline.shardNoveltySketch(docs, "doc_id", "text", 16).count()
+    }
+    locally {
+      // pair graph built once outside the timer: the split assignment
+      // itself is pair-bounded + two hash joins — it must track pairs,
+      // not corpus
+      val pairs = Dedup.minHashLshPairs(docs, "doc_id", "text")
+        .select("id_a", "id_b").localCheckpoint(true)
+      pairs.count()
+      time("cluster_splits") {
+        CorpusPipeline.leakProofSplits(docs, "doc_id", "text", pairs).count()
+      }
+      Dedup.freeLocalCheckpoint(pairs)
+    }
     time("source_overlap") {
       // cross-replica grams never collide (salting), so the gram
       // self-join's matched mass scales ×N like the corpus, not ×N²

@@ -24,7 +24,7 @@ object Dedup {
     * corpus-sized signature/shingle blocks linger until GC collects the
     * RDD, piling up across repeated pipeline calls. No-op on plans
     * without a LogicalRDD. */
-  private[operators] def freeLocalCheckpoint(df: DataFrame): Unit =
+  private[graft] def freeLocalCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed.foreach {
       case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd.unpersist(false)
       case _ => ()
