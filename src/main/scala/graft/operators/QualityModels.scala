@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Statistical quality models a pretraining-data pipeline fits ON the
@@ -172,6 +173,51 @@ object QualityModels {
         round(col("p"), 4).as("actual_frac"),
         round(pow(col("p"), alpha) / col("z"), 4).as("temp_frac"),
         round(pow(col("p"), alpha) / col("z") / col("p"), 4).as("weight"))
+      .orderBy(col(source))
+  }
+
+  /** Token-budget water-filling — the mix-planning allocator: given a
+    * total token budget B and per-source token masses T_i, find the cap
+    * `t* = max integer t with Σ min(T_i, t) <= B` and allocate
+    * `min(T_i, t*)` per source — small sources keep everything, large
+    * sources are capped at a common level, the allocation that maximizes
+    * the minimum source share under the budget (the water-filling
+    * solution every sampling planner converges to).
+    *
+    * Closed form, no iteration: sort sources by mass ascending; on the
+    * segment where exactly the k-1 smallest fit fully,
+    * `Σ min = prefix_{k-1} + (n-k+1)·t`, so the segment's best cap is
+    * `floor((B - prefix_{k-1}) / (n-k+1))`, valid when it clears the
+    * previous source's mass; t* is the max valid candidate. Everything
+    * after the one token-count scan is sources-sized (the q159 shape) —
+    * the window runs over the per-source frame, never the corpus.
+    * All-integer arithmetic → exact cross-engine. Output per source:
+    * (source, tokens, alloc, capped, threshold). */
+  def budgetWaterfill(docs: DataFrame, source: String, text: String,
+      budgetFrac: Double): DataFrame = {
+    require(budgetFrac > 0, s"budget fraction must be positive, got $budgetFrac")
+    val perSource = docs
+      .select(col(source), size(split(col(text), " ")).cast("long").as("n"))
+      .groupBy(source).agg(sum("n").as("tokens"))
+    val meta = broadcast(perSource.agg(
+      floor(lit(budgetFrac) * sum("tokens")).cast("long").as("budget"),
+      count(lit(1)).as("n")))
+    val w = Window.orderBy(col("tokens").asc, col(source).asc)
+    val ranked = perSource.crossJoin(meta)
+      .withColumn("k", row_number().over(w).cast("long"))
+      .withColumn("prefix", coalesce(
+        sum("tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("prev_t", coalesce(lag("tokens", 1).over(w), lit(0L)))
+    val thr = broadcast(ranked
+      .select(floor((col("budget") - col("prefix")) /
+        (col("n") - col("k") + 1)).cast("long").as("cand"), col("prev_t"))
+      .filter(col("cand") >= col("prev_t"))
+      .agg(max("cand").as("threshold")))
+    perSource.crossJoin(thr)
+      .select(col(source), col("tokens"),
+        least(col("tokens"), col("threshold")).as("alloc"),
+        (col("tokens") > col("threshold")).as("capped"),
+        col("threshold"))
       .orderBy(col(source))
   }
 

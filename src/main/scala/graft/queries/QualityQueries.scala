@@ -481,6 +481,39 @@ object QualityQueries {
       FROM r3 JOIN documents d USING (doc_id)
       GROUP BY d.source ORDER BY d.source"""))
 
+  /** Token-budget water-filling at 60% of corpus mass
+    * (QualityModels.budgetWaterfill): the cap level t* with
+    * Σ min(tokens, t*) <= budget, allocated per source — the sampling
+    * plan that maximizes the minimum source share under a budget.
+    * Closed-form over the sources-sized frame; all-integer arithmetic,
+    * exact cross-engine. */
+  val q189 = Q(
+    "q189_token_budget_fill",
+    (s, d) => QualityModels.budgetWaterfill(
+      Tables.documents(s, d), "source", "text", budgetFrac = 0.6),
+    Some("""
+      WITH s AS (SELECT source,
+                        CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens
+                 FROM documents GROUP BY source),
+      b AS (SELECT CAST(FLOOR(0.6 * SUM(tokens)) AS BIGINT) AS budget,
+                   COUNT(*) AS n FROM s),
+      r AS (SELECT source, tokens,
+                   ROW_NUMBER() OVER (ORDER BY tokens, source) AS k,
+                   COALESCE(SUM(tokens) OVER (ORDER BY tokens, source
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix,
+                   COALESCE(LAG(tokens) OVER (ORDER BY tokens, source), 0) AS prev_t
+            FROM s),
+      t AS (SELECT CAST(MAX(cand) AS BIGINT) AS threshold FROM (
+              SELECT CAST(FLOOR((b.budget - r.prefix) / (b.n - r.k + 1)) AS BIGINT) AS cand,
+                     r.prev_t
+              FROM r, b) c
+            WHERE cand >= prev_t)
+      SELECT s.source, s.tokens,
+             LEAST(s.tokens, t.threshold) AS alloc,
+             s.tokens > t.threshold AS capped,
+             t.threshold
+      FROM s, t ORDER BY s.source"""))
+
   def all: Seq[Q] = Seq(q156, q157, q158, q159, q160, q161, q162, q164, q165,
-    q167, q177, q181, q182, q186)
+    q167, q177, q181, q182, q186, q189)
 }

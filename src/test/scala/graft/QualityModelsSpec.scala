@@ -246,6 +246,45 @@ class QualityModelsSpec extends AnyFunSuite with SparkSpec {
     assert(sims.sameElements(sims.sortBy(-(_: Double))))
   }
 
+  test("budgetWaterfill: the cap is the defining maximum and small sources go uncapped") {
+    import spark.implicits._
+    // masses 2/6/12 (total 20); budget = floor(0.6*20) = 12.
+    // t=4: 2+4+4=10 <= 12; t=5: 2+5+5=12 <= 12; t=6: 2+6+6=14 > 12 → t*=5
+    val docs = Seq(
+      ("s1", "a b"),
+      ("s2", "a b c d e f"),
+      ("s3", (1 to 12).map("w" + _).mkString(" "))).toDF("source", "text")
+    val out = QualityModels.budgetWaterfill(docs, "source", "text", 0.6)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3), r.getLong(4)))).toMap
+    assert(out("s1") == ((2L, 2L, false, 5L)))
+    assert(out("s2") == ((6L, 5L, true, 5L)))
+    assert(out("s3") == ((12L, 5L, true, 5L)))
+  }
+
+  test("budgetWaterfill: t* satisfies sum(min) <= B < sum(min at t*+1) on the real corpus") {
+    val docs = Tables.documents(spark, sf("sf0.01"))
+    val out = QualityModels.budgetWaterfill(docs, "source", "text", 0.6).collect()
+    val tokens = out.map(_.getLong(1))
+    val thr = out.head.getLong(4)
+    val budget = math.floor(0.6 * tokens.sum).toLong
+    assert(tokens.map(t => math.min(t, thr)).sum <= budget)
+    // t*+1 must overflow the budget unless every source is uncapped
+    if (out.exists(_.getBoolean(3)))
+      assert(tokens.map(t => math.min(t, thr + 1)).sum > budget)
+    // allocation equals the least-of columns
+    out.foreach(r => assert(r.getLong(2) == math.min(r.getLong(1), thr)))
+  }
+
+  test("budgetWaterfill: a budget above total mass caps nobody") {
+    import spark.implicits._
+    val docs = Seq(("s1", "a b"), ("s2", "a b c")).toDF("source", "text")
+    val out = QualityModels.budgetWaterfill(docs, "source", "text", 2.0)
+      .collect()
+    assert(out.forall(!_.getBoolean(3)))
+    assert(out.map(_.getLong(2)).sum == 5L)
+  }
+
   test("sourceOverlap: duplicate grams within one source count once") {
     import spark.implicits._
     val docs = Seq(
