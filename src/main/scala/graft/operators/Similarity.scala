@@ -118,6 +118,37 @@ object Similarity {
       .orderBy("q_id")
   }
 
+  /** 1-NN label transfer + confusion matrix — the auto-labeling QA op:
+    * hold out the vectors matching `holdout`, predict each one's label
+    * from its single nearest LABELED neighbor (rounded cosine, id
+    * tie-break), and tabulate predicted vs true — the quality report a
+    * pipeline runs before trusting propagated labels at corpus scale.
+    * The holdout/eval set is benchmark-sized, so it broadcasts; the
+    * labeled corpus streams through one scan, and the per-query argmax
+    * is the q185 struct-max device (payload label rides the packed key)
+    * — partial-aggregable, no window, no sort. Output:
+    * (true_label, pred_label, n) — label-count-squared rows. */
+  def knnLabelEval(emb: DataFrame, id: String, label: String,
+      holdout: Column, roundAt: Int = 4): DataFrame = {
+    val eval = emb.filter(holdout)
+      .select(col(id).as("q_id"), col("embedding").as("qv"),
+        col(label).as("true_label"))
+    val labeled = emb.filter(!holdout)
+      .select(col(id).as("n_id"), col("embedding"),
+        col(label).as("pred_label"))
+    labeled.crossJoin(broadcast(eval))
+      .select(col("q_id"), col("true_label"),
+        struct(
+          round(vec.cosine(col("embedding"), col("qv")), roundAt).as("s"),
+          (-col("n_id")).as("ni"),
+          col("pred_label").as("pl")).as("cand"))
+      .groupBy("q_id", "true_label")
+      .agg(max("cand").as("best"))
+      .groupBy(col("true_label"), col("best.pl").as("pred_label"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("true_label", "pred_label")
+  }
+
   /** IVF cell assignment: nearest anchor per vector (anchors broadcast;
     * ties → lower anchor id). At scale this is written once as a
     * cell-bucketed table. The argmax ranks on ROUNDED cosine (same rule

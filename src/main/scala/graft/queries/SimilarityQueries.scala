@@ -624,7 +624,33 @@ object SimilarityQueries {
            JOIN (SELECT * FROM rk WHERE rt = 1) t USING (q_id)
       ORDER BY f.q_id"""))
 
+  /** 1-NN label transfer QA (Similarity.knnLabelEval): every 5th vector
+    * held out, labels predicted from the nearest labeled neighbor,
+    * confusion matrix tabulated — the report run before trusting
+    * propagated labels. Struct-max argmax; rounded-sim determinism. */
+  val q190 = Q(
+    "q190_knn_label_eval",
+    (s, d) => graft.operators.Similarity.knnLabelEval(
+      Tables.embeddings(s, d), "vec_id", "label",
+      holdout = col("vec_id") % 5 === 0),
+    Some("""
+      WITH e AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv,
+                        label AS true_label
+                 FROM embeddings WHERE vec_id % 5 = 0),
+      l AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS x,
+                   label AS pred_label
+            FROM embeddings WHERE vec_id % 5 <> 0),
+      r AS (SELECT e.q_id, e.true_label, l.pred_label, l.n_id,
+                   ROUND(list_cosine_similarity(l.x, e.qv), 4) AS sim
+            FROM l, e),
+      rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                         ORDER BY sim DESC, n_id) AS rk FROM r)
+      SELECT true_label, pred_label, CAST(COUNT(*) AS BIGINT) AS n
+      FROM rk WHERE rk = 1
+      GROUP BY true_label, pred_label
+      ORDER BY true_label, pred_label"""))
+
   def all: Seq[Q] =
     Seq(q34, q35, q39, q40, q48, q59, q60, q109, q136, q155, q171, q172,
-      q178, q184, q185)
+      q178, q184, q185, q190)
 }

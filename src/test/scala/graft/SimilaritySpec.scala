@@ -367,6 +367,30 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(out.getLong(1) == expect)
   }
 
+  test("knnLabelEval: matrix equals an independent window-ranked rebuild, one count per held-out vector") {
+    import org.apache.spark.sql.expressions.Window
+    val holdout = col("vec_id") % 5 === 0
+    val out = Similarity.knnLabelEval(emb, "vec_id", "label", holdout)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(out.values.sum == emb.filter(holdout).count())
+    // independent rebuild: rank per query with a window instead of the
+    // struct-max argmax; the two must tabulate identically
+    val eval = emb.filter(holdout)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+        col("label").as("true_label"))
+    val byQ = Window.partitionBy("q_id").orderBy(desc("s"), asc("n_id"))
+    val expect = emb.filter(!holdout)
+      .select(col("vec_id").as("n_id"), col("embedding"),
+        col("label").as("pred_label"))
+      .crossJoin(broadcast(eval))
+      .withColumn("s", round(graft.functions.vec.cosine(col("embedding"), col("qv")), 4))
+      .withColumn("rk", row_number().over(byQ))
+      .filter(col("rk") === 1)
+      .groupBy("true_label", "pred_label").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(out == expect)
+  }
+
   test("kmeans: deterministic under repartitioning") {
     val base = Similarity.kmeans(emb, "vec_id", k = 4, iters = 2)._1
       .select("vec_id", "cluster").collect()
