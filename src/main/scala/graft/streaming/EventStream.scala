@@ -405,6 +405,58 @@ object EventStream {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming novelty monitor: fold every arriving document shard into
+    * the [[graft.operators.CorpusPipeline.noveltyAppend]] HLL state and
+    * land a per-batch novelty report — "is this crawl still buying new
+    * content" answered at ingest time, with KB-sized state. Replay
+    * safety is the versioned-state device: the new state merges the
+    * latest version STRICTLY older than this batch id and overwrites
+    * its own `v=<batchId>`; the report is derived from the two WRITTEN
+    * state versions (never from a re-evaluated sketch plan, whose HIP
+    * estimate could drift between jobs), so a replayed batch rewrites
+    * byte-identical outputs. Report rows land under `batch=<id>`
+    * (idempotent overwrite): (batch_seq, batch_grams, est_new,
+    * est_total). Input schema: (`id` long, `text` string). */
+  def streamingNovelty(docs: DataFrame, statePath: String, reportDir: String,
+      checkpoint: String, id: String = "doc_id", text: String = "text",
+      n: Int = 4, lgK: Int = 16): StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val fs = new java.io.File(statePath)
+        fs.mkdirs()
+        val versions = Option(fs.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.isDirectory && f.getName.startsWith("v="))
+          .map(_.getName.stripPrefix("v=").toLong)
+        val prev = versions.filter(_ < batchId).sorted.lastOption
+        val prior = prev.map(v => spark.read.parquet(s"$statePath/v=$v"))
+        val (ns, _) = graft.operators.CorpusPipeline
+          .noveltyAppend(prior, batch.toDF(), id, text, n, lgK)
+        ns.write.mode("overwrite").parquet(s"$statePath/v=$batchId")
+        // report from the two WRITTEN versions: deterministic on replay
+        val cur = spark.read.parquet(s"$statePath/v=$batchId")
+          .select(col("n_batches").as("batch_seq"),
+            col("est_total"))
+        val base = prior match {
+          case Some(p) => p.select(col("est_total").as("est_prev"))
+          case None => spark.range(1).select(lit(0.0).as("est_prev"))
+        }
+        val grams = batch.toDF()
+          .select(split(col(text), " ").as("__toks"))
+          .filter(size(col("__toks")) >= n)
+          .select(explode(transform(
+            graft.operators.Dedup.shingles("__toks", n), g => md5(g))).as("g"))
+          .agg(count_distinct(col("g")).as("batch_grams"))
+        cur.crossJoin(base).crossJoin(grams)
+          .select(col("batch_seq"), col("batch_grams"),
+            round(col("est_total") - col("est_prev"), 1).as("est_new"),
+            round(col("est_total"), 1).as("est_total"))
+          .write.mode("overwrite").parquet(s"$reportDir/batch=$batchId")
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Online data-mixing maintenance: keep per-source token counts as a
     * versioned parquet state while document shards stream in, so the
     * temperature-mixing weights (operators.QualityModels) can be

