@@ -484,6 +484,47 @@ object CorpusPipeline {
     * count would otherwise re-execute everything upstream, re-running
     * the LSH dedup ~3×); the returned frame stays cached — callers
     * materialize it once and may `unpersist()` after. */
+  /** Per-document curation ledger — [[curate]]'s audit trail at row
+    * grain: every input document labeled with the stage that dropped it
+    * (`quality`, `exact`, `near_dup`) or `kept`, plus the reference
+    * document that justified the drop (the exact-dup keeper / the
+    * near-dup cluster representative; -1 for quality drops, which have
+    * no reference). The artifact a data audit asks for: "why is this
+    * document not in the training set" answered per document, and the
+    * per-stage counts reconcile exactly with [[curate]]'s Report.
+    *
+    * Same stage rules and ordering as curate (cheap narrow quality
+    * gate, exact dedup before LSH so signatures are computed on
+    * survivors only); the ledger is the stages' drop sets unioned with
+    * the survivor set — no extra corpus passes beyond what curate
+    * already runs. Output: (id, stage, ref_id), one row per input
+    * document. */
+  def curationLedger(docs: DataFrame, id: String, text: String,
+      minTokens: Int = 10, maxTokens: Int = 100000,
+      nearDupThreshold: Double = 0.5): DataFrame = {
+    val toks = size(split(col(text), " "))
+    val qualityDrops = docs.filter(!toks.between(minTokens, maxTokens))
+      .select(col(id), lit("quality").as("stage"), lit(-1L).as("ref_id"))
+    val q = qualityFilter(docs, text, minTokens = minTokens, maxTokens = maxTokens)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(md5(col(text)))
+    val keyed = q.withColumn("__keeper", min(col(id)).over(w))
+    val exactDrops = keyed.filter(col(id) =!= col("__keeper"))
+      .select(col(id), lit("exact").as("stage"),
+        col("__keeper").cast("long").as("ref_id"))
+    val ex = keyed.filter(col(id) === col("__keeper")).drop("__keeper")
+    val clusters = Dedup.duplicateClusters(
+      Dedup.minHashLshPairs(ex, id, text, threshold = nearDupThreshold)
+        .select("id_a", "id_b"))
+    val nearDrops = clusters.filter(col("id") =!= col("cluster"))
+      .select(col("id").as(id), lit("near_dup").as("stage"),
+        col("cluster").cast("long").as("ref_id"))
+    val kept = ex.join(nearDrops.select(col(id)), Seq(id), "left_anti")
+      .select(col(id), lit("kept").as("stage"), col(id).cast("long").as("ref_id"))
+    qualityDrops.unionByName(exactDrops).unionByName(nearDrops)
+      .unionByName(kept)
+      .orderBy(col(id))
+  }
+
   def curate(docs: DataFrame, id: String, text: String,
       minTokens: Int = 10, maxTokens: Int = 100000,
       nearDupThreshold: Double = 0.5): (DataFrame, Report) = {

@@ -935,6 +935,55 @@ object DedupQueries {
              x.n_cross AS n_cross_pairs
       FROM sp, x GROUP BY sp.split, x.n_cross ORDER BY sp.split"""))
 
+  /** Per-document curation ledger (CorpusPipeline.curationLedger): the
+    * q55 pipeline's audit trail at row grain — every input document
+    * labeled with the stage that dropped it (quality / exact /
+    * near_dup, with the keeper or cluster representative as the
+    * reference) or kept. The oracle replays the q55 stage chain plus
+    * the q51 recursive closure and tabulates the same ledger; the
+    * per-stage counts reconcile with curate's Report by construction. */
+  val q191 = Q(
+    "q191_curation_ledger",
+    (s, d) => graft.operators.CorpusPipeline.curationLedger(
+      Tables.documents(s, d), "doc_id", "text",
+      minTokens = 10, maxTokens = 100000, nearDupThreshold = 0.5),
+    Some(s"""
+      WITH RECURSIVE q AS (SELECT doc_id, text FROM documents
+                           WHERE len(string_split(text, ' ')) BETWEEN 10 AND 100000),
+      keyed AS (SELECT doc_id, text,
+                       MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+                FROM q),
+      ex AS (SELECT doc_id, text FROM keyed WHERE doc_id = keeper),
+      ${nearDupCtes("ex")},
+      verified AS (SELECT i.da, i.db
+                   FROM inter i
+                   JOIN sizes sa ON i.da = sa.doc_id
+                   JOIN sizes sb ON i.db = sb.doc_id
+                   WHERE CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter) >= 0.5),
+      edges AS (SELECT da AS a, db AS b FROM verified
+                UNION SELECT db, da FROM verified),
+      reach AS (SELECT a, b FROM edges
+                UNION
+                SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      cl AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster
+             FROM reach GROUP BY a),
+      qd AS (SELECT doc_id, 'quality' AS stage, CAST(-1 AS BIGINT) AS ref_id
+             FROM documents
+             WHERE len(string_split(text, ' ')) NOT BETWEEN 10 AND 100000),
+      ed AS (SELECT doc_id, 'exact' AS stage, keeper AS ref_id
+             FROM keyed WHERE doc_id <> keeper),
+      nd AS (SELECT doc_id, 'near_dup' AS stage, cluster AS ref_id
+             FROM cl WHERE doc_id <> cluster),
+      kp AS (SELECT e.doc_id, 'kept' AS stage, e.doc_id AS ref_id
+             FROM ex e
+             LEFT JOIN (SELECT doc_id FROM cl WHERE doc_id <> cluster) l
+               USING (doc_id)
+             WHERE l.doc_id IS NULL)
+      SELECT doc_id, stage, ref_id FROM (
+        SELECT * FROM qd UNION ALL SELECT * FROM ed
+        UNION ALL SELECT * FROM nd UNION ALL SELECT * FROM kp) u
+      ORDER BY doc_id"""))
+
   def all: Seq[Q] = Seq(q36, q37, q38, q45, q47, q51, q55, q134, q145, q146,
-    q151, q152, q163, q166, q168, q170, q179, q180, q187)
+    q151, q152, q163, q166, q168, q170, q179, q180, q187, q191)
 }

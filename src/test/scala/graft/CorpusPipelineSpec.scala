@@ -368,6 +368,41 @@ class CorpusPipelineSpec extends AnyFunSuite with SparkSpec {
       out.map(r => s"${r.getLong(0)}:${r.getBoolean(4)}").mkString(","))
   }
 
+  test("curationLedger: stages and references match the hand-built corpus") {
+    import spark.implicits._
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, base),                     // kept
+      (2L, base),                     // exact dup of 1
+      (3L, base + " extra"),          // near dup of 1
+      (4L, "too short"),              // quality drop
+      (5L, (100 to 140).map(i => s"w$i").mkString(" "))) // kept
+      .toDF("doc_id", "text")
+    val out = CorpusPipeline.curationLedger(docs, "doc_id", "text",
+      minTokens = 10, nearDupThreshold = 0.5)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out == Map(
+      1L -> (("kept", 1L)),
+      2L -> (("exact", 1L)),
+      3L -> (("near_dup", 1L)),
+      4L -> (("quality", -1L)),
+      5L -> (("kept", 5L))))
+  }
+
+  test("curationLedger: stage counts reconcile exactly with curate's Report") {
+    val docs = Tables.documents(spark, sf("sf0.01"))
+    val (_, report) = CorpusPipeline.curate(docs, "doc_id", "text")
+    val counts = CorpusPipeline.curationLedger(docs, "doc_id", "text")
+      .groupBy("stage").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+      .withDefaultValue(0L)
+    assert(counts.values.sum == report.input)
+    assert(report.input - counts("quality") == report.afterQuality)
+    assert(report.afterQuality - counts("exact") == report.afterExact)
+    assert(report.afterExact - counts("near_dup") == report.afterNearDup)
+    assert(counts("kept") == report.afterNearDup)
+  }
+
   test("noveltyAppend: per-batch estimates track the exact novelty within the sketch bound") {
     val docs = Tables.documents(spark, sf("sf0.01"))
     // replay the q188 sharding as an append stream: 10 id-range batches
