@@ -180,14 +180,16 @@ object Stress {
     locally {
       // pair graph built once outside the timer: the split assignment
       // itself is pair-bounded + two hash joins — it must track pairs,
-      // not corpus
-      val pairs = Dedup.minHashLshPairs(docs, "doc_id", "text")
-        .select("id_a", "id_b").localCheckpoint(true)
-      pairs.count()
+      // not corpus. minHashLshPairs returns an eagerly checkpointed
+      // frame already; keep the handle so ITS blocks are the ones freed
+      // (re-checkpointing a copy would leave the inner blocks alive for
+      // the rest of the run)
+      val base = Dedup.minHashLshPairs(docs, "doc_id", "text")
       time("cluster_splits") {
-        CorpusPipeline.leakProofSplits(docs, "doc_id", "text", pairs).count()
+        CorpusPipeline.leakProofSplits(docs, "doc_id", "text",
+          base.select("id_a", "id_b")).count()
       }
-      Dedup.freeLocalCheckpoint(pairs)
+      Dedup.freeLocalCheckpoint(base)
     }
     time("source_overlap") {
       // cross-replica grams never collide (salting), so the gram

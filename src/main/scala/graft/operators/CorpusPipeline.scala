@@ -394,12 +394,17 @@ object CorpusPipeline {
     val prefix = sk.select(col("shard").as("s"), col("sk"))
       .join(sk.select(col("shard")), col("s") <= col("shard"))
       .groupBy("shard")
-      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_prefix"))
-    val lagged = prefix.select(col("shard"), col("est_prefix"))
-      .join(prefix.select((col("shard") + 1).as("shard"),
-        col("est_prefix").as("est_prev")), Seq("shard"), "left")
-      .select(col("shard"),
-        (col("est_prefix") - coalesce(col("est_prev"), lit(0.0))).as("est_new"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).cast("double")
+        .as("est_prefix"))
+    // previous prefix via lag over the ORDERED gram-bearing shards — a
+    // shard+1 self-join would lose the running total across a gram-less
+    // interior shard (its missing row would zero est_prev and inflate
+    // the next shard's delta to the whole prefix). The window is
+    // single-partition by construction over the shards-sized frame.
+    val byShard = org.apache.spark.sql.expressions.Window.orderBy("shard")
+    val lagged = prefix
+      .withColumn("est_prev", lag("est_prefix", 1, 0.0).over(byShard))
+      .select(col("shard"), (col("est_prefix") - col("est_prev")).as("est_new"))
     exact.join(lagged, Seq("shard"), "left")
       .select(col("shard"), col("n_grams"), col("n_new"), col("novelty_rate"),
         when(col("n_grams") === 0, lit(true))
@@ -479,11 +484,6 @@ object CorpusPipeline {
       coalesce(col("n_shared"), lit(0L)).as("n_shared"),
       (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
 
-  /** Full curation pass; returns the surviving corpus + stage counts.
-    * Intermediate stages are persisted while the audit counts run (each
-    * count would otherwise re-execute everything upstream, re-running
-    * the LSH dedup ~3×); the returned frame stays cached — callers
-    * materialize it once and may `unpersist()` after. */
   /** Per-document curation ledger — [[curate]]'s audit trail at row
     * grain: every input document labeled with the stage that dropped it
     * (`quality`, `exact`, `near_dup`) or `kept`, plus the reference
@@ -495,9 +495,12 @@ object CorpusPipeline {
     *
     * Same stage rules and ordering as curate (cheap narrow quality
     * gate, exact dedup before LSH so signatures are computed on
-    * survivors only); the ledger is the stages' drop sets unioned with
-    * the survivor set — no extra corpus passes beyond what curate
-    * already runs. Output: (id, stage, ref_id), one row per input
+    * survivors only); the keyed (quality + keeper-window) frame is
+    * lazily checkpointed — three branches (exact drops, the LSH index
+    * build, the kept anti-join) consume it, and without the checkpoint
+    * each would replay the corpus scan + md5 window (AQE exchange reuse
+    * does not bridge union branches — curate documents the same
+    * hazard). Output: (id, stage, ref_id), one row per input
     * document. */
   def curationLedger(docs: DataFrame, id: String, text: String,
       minTokens: Int = 10, maxTokens: Int = 100000,
@@ -508,6 +511,7 @@ object CorpusPipeline {
     val q = qualityFilter(docs, text, minTokens = minTokens, maxTokens = maxTokens)
     val w = org.apache.spark.sql.expressions.Window.partitionBy(md5(col(text)))
     val keyed = q.withColumn("__keeper", min(col(id)).over(w))
+      .localCheckpoint(false)
     val exactDrops = keyed.filter(col(id) =!= col("__keeper"))
       .select(col(id), lit("exact").as("stage"),
         col("__keeper").cast("long").as("ref_id"))
@@ -525,6 +529,11 @@ object CorpusPipeline {
       .orderBy(col(id))
   }
 
+  /** Full curation pass; returns the surviving corpus + stage counts.
+    * Intermediate stages are persisted while the audit counts run (each
+    * count would otherwise re-execute everything upstream, re-running
+    * the LSH dedup ~3×); the returned frame stays cached — callers
+    * materialize it once and may `unpersist()` after. */
   def curate(docs: DataFrame, id: String, text: String,
       minTokens: Int = 10, maxTokens: Int = 100000,
       nearDupThreshold: Double = 0.5): (DataFrame, Report) = {

@@ -409,14 +409,19 @@ object EventStream {
     * the [[graft.operators.CorpusPipeline.noveltyAppend]] HLL state and
     * land a per-batch novelty report — "is this crawl still buying new
     * content" answered at ingest time, with KB-sized state. Replay
-    * safety is the versioned-state device: the new state merges the
-    * latest version STRICTLY older than this batch id and overwrites
-    * its own `v=<batchId>`; the report is derived from the two WRITTEN
-    * state versions (never from a re-evaluated sketch plan, whose HIP
-    * estimate could drift between jobs), so a replayed batch rewrites
-    * byte-identical outputs. Report rows land under `batch=<id>`
-    * (idempotent overwrite): (batch_seq, batch_grams, est_new,
-    * est_total). Input schema: (`id` long, `text` string). */
+    * safety is the versioned-state device with a committed-version
+    * guard: the new state merges the latest version STRICTLY older
+    * than this batch id and writes its own `v=<batchId>` — but ONLY if
+    * that version is not already committed (`_SUCCESS` present). The
+    * guard matters here where plain re-merging suffices elsewhere:
+    * re-aggregating the batch sketch on replay re-runs the HLL union
+    * in a new merge order, and the HIP estimate can drift by a few
+    * counts — a replayed batch would otherwise mutate history. The
+    * report is then derived from the two WRITTEN state versions plus a
+    * deterministic exact gram count, so replays rewrite byte-identical
+    * outputs. Report rows land under `batch=<id>` (idempotent
+    * overwrite): (batch_seq, batch_grams, est_new, est_total). Input
+    * schema: (`id` long, `text` string). */
   def streamingNovelty(docs: DataFrame, statePath: String, reportDir: String,
       checkpoint: String, id: String = "doc_id", text: String = "text",
       n: Int = 4, lgK: Int = 16): StreamingQuery =
@@ -430,9 +435,13 @@ object EventStream {
           .map(_.getName.stripPrefix("v=").toLong)
         val prev = versions.filter(_ < batchId).sorted.lastOption
         val prior = prev.map(v => spark.read.parquet(s"$statePath/v=$v"))
-        val (ns, _) = graft.operators.CorpusPipeline
-          .noveltyAppend(prior, batch.toDF(), id, text, n, lgK)
-        ns.write.mode("overwrite").parquet(s"$statePath/v=$batchId")
+        val committed =
+          new java.io.File(s"$statePath/v=$batchId/_SUCCESS").exists()
+        if (!committed) {
+          val (ns, _) = graft.operators.CorpusPipeline
+            .noveltyAppend(prior, batch.toDF(), id, text, n, lgK)
+          ns.write.mode("overwrite").parquet(s"$statePath/v=$batchId")
+        }
         // report from the two WRITTEN versions: deterministic on replay
         val cur = spark.read.parquet(s"$statePath/v=$batchId")
           .select(col("n_batches").as("batch_seq"),

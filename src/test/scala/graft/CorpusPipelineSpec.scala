@@ -359,6 +359,28 @@ class CorpusPipelineSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("shardNoveltySketch: a gram-less INTERIOR shard does not break the running prefix") {
+    import spark.implicits._
+    // ids 0-2 → shard 0 (grams), 3-5 → shard 1 (no grams), 6-8 → shard 2
+    // (repeats shard 0's grams + one new). A shard+1 lag join would zero
+    // shard 2's est_prev across the gap and report its whole prefix as
+    // new; the ordered-lag fix must carry shard 0's prefix through.
+    val docs = Seq(
+      (0L, "a b c d e"), (1L, "f g h i"), (2L, "z z z z"),
+      (3L, "no"), (4L, "grams"), (5L, "here"),
+      (6L, "a b c d e"), (7L, "n1 n2 n3 n4"), (8L, "x")).toDF("doc_id", "text")
+    val out = CorpusPipeline.shardNoveltySketch(docs, "doc_id", "text",
+      numShards = 3, n = 4).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(out(1L) == ((0L, 0L, 0.0, true)))
+    // shard 2: 3 distinct grams (2 from doc 6 repeat shard 0, 1 new);
+    // exact novelty 1/3 — the estimate must stay in bound, which fails
+    // if est_prev collapsed to 0 (est_new would be ~5 of 3 grams)
+    assert(out(2L)._1 == 3L && out(2L)._2 == 1L)
+    assert(out(2L)._4, s"interior-gap prefix broken: ${out(2L)}")
+  }
+
   test("shardNoveltySketch: real-corpus estimates stay within the documented bound") {
     val out = CorpusPipeline.shardNoveltySketch(
       Tables.documents(spark, sf("sf0.01")), "doc_id", "text",

@@ -443,11 +443,15 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     df.collect()
     val p = plan(df)
     // different-label join = broadcast nested loop against the tiny
-    // query batch; the rank window is partitioned by q_id
+    // query batch; the rank window is PARTITIONED by q_id (the
+    // partition column leads the windowspecdefinition — an
+    // unpartitioned global window would not print it)
     assert(p.contains("BroadcastNestedLoopJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
-    assert(p.contains("partitionspec".toLowerCase) ||
-      "Window \\[.*q_id".r.findFirstIn(p).isDefined || p.contains("Window"), p)
+    assert("windowspecdefinition\\(q_id#".r.findFirstIn(p).isDefined, p)
+    // rank-limit pushdown: per-partition WindowGroupLimit trims to k
+    // rows before the exchange — the shape that holds at corpus scale
+    assert(p.contains("WindowGroupLimit"), p)
   }
 
   test("q185/q190: struct-max argmax — no window, no sort over the candidate stream") {
