@@ -99,6 +99,25 @@ object Stress {
       }
     }
 
+    // Whole-pipeline append: same claim as incremental_lsh_append, one
+    // level up — curating the SAME batch against a stored state must
+    // cost batch + collision mass, not corpus
+    locally {
+      val cut = (mult - 1).toLong * 10000000L
+      val (fps, idx) = CorpusPipeline.curateStateBuild(
+        docs.filter(col("doc_id") < cut), "doc_id", "text")
+      val fpsM = fps.localCheckpoint(true)
+      val idxM = idx.localCheckpoint(true)
+      fpsM.count(); idxM.count() // state build = the amortized one-off
+      time("curate_incremental") {
+        val (surv, _, _) = CorpusPipeline.curateIncremental(
+          fpsM, idxM, docs.filter(col("doc_id") >= cut), "doc_id", "text")
+        surv.count()
+      }
+      Dedup.freeLocalCheckpoint(fpsM)
+      Dedup.freeLocalCheckpoint(idxM)
+    }
+
     time("winnow_containment") {
       val fps = Dedup.winnowingFingerprints(docs, "doc_id", "text")
       fps.select(col("doc_id").as("a"), col("fp"))

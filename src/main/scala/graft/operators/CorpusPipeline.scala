@@ -529,6 +529,66 @@ object CorpusPipeline {
       .orderBy(col(id))
   }
 
+  /** Build the stored state [[curateIncremental]] appends against, from
+    * a corpus already ingested: the distinct content fingerprints and
+    * the [[Dedup.indexDocs]] signature index of every quality+exact
+    * survivor — near-dup LOSERS included. Keeping losers' signatures is
+    * what preserves transitive equivalence with a full recompute: a new
+    * doc that near-dups only a dropped old doc must still drop (the old
+    * doc's cluster representative keeps its slot), which the index can
+    * only know if the loser's signature stayed visible. */
+  def curateStateBuild(docs: DataFrame, id: String, text: String,
+      minTokens: Int = 10, maxTokens: Int = 100000): (DataFrame, DataFrame) = {
+    val ex = Dedup.dropExactDuplicates(
+      qualityFilter(docs, text, minTokens = minTokens, maxTokens = maxTokens),
+      id, text)
+    (ex.select(md5(col(text)).as("fp")).distinct(),
+      Dedup.indexDocs(ex, id, text))
+  }
+
+  /** The append form of [[curate]] — the 100 TB ingestion path: curate
+    * ONE new batch against the stored state instead of recomputing the
+    * corpus. Quality-gate the batch; drop exact duplicates within the
+    * batch and against the stored fingerprint set (one semi-join); drop
+    * near-duplicates via [[Dedup.incrementalLshPairs]] (batch-
+    * proportional: only pairs touching new docs are expanded) with the
+    * keep-lowest-id cluster rule. Returns (survivors, newFingerprints,
+    * newIndex) — the survivors annotated like curate's output, the
+    * state frames grown by the batch's quality+exact survivors.
+    *
+    * PRECONDITION: batch ids are strictly greater than every ingested
+    * id (append-ordered ingest). Under that ordering the result
+    * provably equals a full recompute restricted to the batch: a new
+    * doc connected (transitively, through any mix of new-new and
+    * new-old pairs) to an old doc always loses to the old side, and
+    * new-only components keep exactly their min id — old-old pairs,
+    * the only edges the incremental graph lacks, can never flip either
+    * decision (they only connect docs that are already dropped).
+    * q192's oracle pins exactly this equivalence. */
+  def curateIncremental(fingerprints: DataFrame, index: DataFrame,
+      batch: DataFrame, id: String, text: String,
+      minTokens: Int = 10, maxTokens: Int = 100000,
+      nearDupThreshold: Double = 0.5): (DataFrame, DataFrame, DataFrame) = {
+    val q = qualityFilter(batch, text, minTokens = minTokens, maxTokens = maxTokens)
+    val ex = Dedup.dropExactDuplicates(q, id, text)
+      .join(fingerprints, md5(col(text)) === fingerprints("fp"), "left_anti")
+    val pairs = Dedup.incrementalLshPairs(index, ex, id, text,
+      threshold = nearDupThreshold)
+    // cluster labels are min REACHABLE ids; old ids < batch ids by the
+    // precondition, so any batch doc whose label isn't itself loses —
+    // the anti-join is on batch ids only, old docs are never touched
+    val losers = Dedup.duplicateClusters(pairs.select("id_a", "id_b"))
+      .filter(col("id") =!= col("cluster"))
+      .select(col("id").as(id))
+    val survivors = ex.join(losers, Seq(id), "left_anti")
+      .withColumn("fingerprint", md5(col(text)))
+      .withColumn("n_tokens", size(split(col(text), " ")))
+    val newFps = fingerprints
+      .union(ex.select(md5(col(text)).as("fp"))).distinct()
+    val newIndex = index.unionByName(Dedup.indexDocs(ex, id, text))
+    (survivors, newFps, newIndex)
+  }
+
   /** Full curation pass; returns the surviving corpus + stage counts.
     * Intermediate stages are persisted while the audit counts run (each
     * count would otherwise re-execute everything upstream, re-running

@@ -984,6 +984,58 @@ object DedupQueries {
         UNION ALL SELECT * FROM nd UNION ALL SELECT * FROM kp) u
       ORDER BY doc_id"""))
 
+  /** Incremental curation under the oracle (the q170 device lifted to
+    * the WHOLE pipeline): the lower half of the corpus (by id) plays
+    * the already-ingested state (CorpusPipeline.curateStateBuild), the
+    * upper half plays the newly arriving batch, and
+    * CorpusPipeline.curateIncremental must return EXACTLY the full
+    * recompute's survivors restricted to the batch — the oracle runs
+    * the q55 chain over the full corpus and filters to batch ids. This
+    * is the 100 TB ingestion path proven equivalent, not assumed:
+    * batch-proportional cost, full-recompute semantics. */
+  val q192 = Q(
+    "q192_incremental_curate",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      val mx = docs.agg(max("doc_id")).head().getLong(0)
+      val cut = (mx + 1) / 2
+      val (fps, idx) = graft.operators.CorpusPipeline.curateStateBuild(
+        docs.filter(col("doc_id") < cut), "doc_id", "text")
+      val (surv, _, _) = graft.operators.CorpusPipeline.curateIncremental(
+        fps, idx, docs.filter(col("doc_id") >= cut), "doc_id", "text",
+        minTokens = 10, maxTokens = 100000, nearDupThreshold = 0.5)
+      surv.select(col("doc_id"), col("fingerprint"),
+        col("n_tokens").cast("long").as("n_tokens"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH RECURSIVE q AS (SELECT doc_id, text FROM documents
+                           WHERE len(string_split(text, ' ')) BETWEEN 10 AND 100000),
+      ex AS (SELECT doc_id, text FROM (
+               SELECT doc_id, text, MIN(doc_id) OVER (PARTITION BY text) AS keeper
+               FROM q) WHERE doc_id = keeper),
+      ${nearDupCtes("ex")},
+      verified AS (SELECT i.da, i.db
+                   FROM inter i
+                   JOIN sizes sa ON i.da = sa.doc_id
+                   JOIN sizes sb ON i.db = sb.doc_id
+                   WHERE CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter) >= 0.5),
+      edges AS (SELECT da AS a, db AS b FROM verified
+                UNION SELECT db, da FROM verified),
+      reach AS (SELECT a, b FROM edges
+                UNION
+                SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      losers AS (SELECT a AS doc_id FROM reach GROUP BY a
+                 HAVING LEAST(a, MIN(b)) <> a),
+      cut AS (SELECT (MAX(doc_id) + 1) // 2 AS c FROM documents)
+      SELECT e.doc_id, md5(e.text) AS fingerprint,
+             CAST(len(string_split(e.text, ' ')) AS BIGINT) AS n_tokens
+      FROM ex e, cut
+      WHERE e.doc_id NOT IN (SELECT doc_id FROM losers)
+        AND e.doc_id >= cut.c
+      ORDER BY doc_id"""))
+
   def all: Seq[Q] = Seq(q36, q37, q38, q45, q47, q51, q55, q134, q145, q146,
-    q151, q152, q163, q166, q168, q170, q179, q180, q187, q191)
+    q151, q152, q163, q166, q168, q170, q179, q180, q187, q191, q192)
 }

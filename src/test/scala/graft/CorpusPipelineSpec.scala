@@ -425,6 +425,51 @@ class CorpusPipelineSpec extends AnyFunSuite with SparkSpec {
     assert(counts("kept") == report.afterNearDup)
   }
 
+  test("curateIncremental: equals the full recompute restricted to the batch (sf0.01)") {
+    val docs = Tables.documents(spark, sf("sf0.01"))
+    val mx = docs.agg(max("doc_id")).head().getLong(0)
+    val cut = (mx + 1) / 2
+    val old = docs.filter(col("doc_id") < cut)
+    val batch = docs.filter(col("doc_id") >= cut)
+    val (fps, idx) = CorpusPipeline.curateStateBuild(old, "doc_id", "text")
+    val (surv, newFps, newIdx) = CorpusPipeline.curateIncremental(
+      fps, idx, batch, "doc_id", "text")
+    val incIds = surv.select("doc_id").collect().map(_.getLong(0)).toSet
+    val (full, _) = CorpusPipeline.curate(docs, "doc_id", "text")
+    val fullIds = full.select("doc_id").collect().map(_.getLong(0)).toSet
+    full.unpersist()
+    assert(incIds == fullIds.filter(_ >= cut))
+    // grown state covers every quality+exact survivor of the union
+    val exAll = graft.operators.Dedup.dropExactDuplicates(
+      CorpusPipeline.qualityFilter(docs, "text"), "doc_id", "text")
+    assert(newFps.count() == exAll.select("text").distinct().count())
+    assert(newIdx.count() == exAll.count())
+  }
+
+  test("curateIncremental: stored fingerprints drop re-ingested content; quality-failed old text doesn't block") {
+    import spark.implicits._
+    val a = (1 to 30).map(i => s"a$i").mkString(" ")
+    val b = (1 to 30).map(i => s"b$i").mkString(" ")
+    val old = Seq((1L, a), (2L, "tiny")).toDF("doc_id", "text")
+    val (fps, idx) = CorpusPipeline.curateStateBuild(old, "doc_id", "text")
+    val batch = Seq(
+      (10L, a),        // exact re-ingest of kept old content → drop
+      (11L, "tiny " + b), // contains old quality-failed text, passes now → keep
+      (12L, b + " x")) // fresh → keep (not near-dup of 11 at 0.5? shares most grams — drop either way, consistency below)
+      .toDF("doc_id", "text")
+    val (surv, _, _) = CorpusPipeline.curateIncremental(
+      fps, idx, batch, "doc_id", "text")
+    val ids = surv.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!ids.contains(10L))
+    assert(ids.contains(11L))
+    // whatever near-dup fate 12 has, it must match the full recompute
+    val (full, _) = CorpusPipeline.curate(
+      old.unionByName(batch), "doc_id", "text")
+    val fullIds = full.select("doc_id").collect().map(_.getLong(0)).toSet
+    full.unpersist()
+    assert(ids == fullIds.filter(_ >= 10L))
+  }
+
   test("noveltyAppend: per-batch estimates track the exact novelty within the sketch bound") {
     val docs = Tables.documents(spark, sf("sf0.01"))
     // replay the q188 sharding as an append stream: 10 id-range batches
