@@ -466,6 +466,56 @@ object EventStream {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** The curation pipeline as a stream: every arriving document shard
+    * is curated against the stored state with
+    * [[graft.operators.CorpusPipeline.curateIncremental]] — quality
+    * gate, exact dedup vs the fingerprint set, near-dedup vs the
+    * signature index, all batch-proportional — survivors land under
+    * `out/batch=<id>` and the grown state is written as version
+    * `v=<batchId>` (fingerprints + index side by side). Replay safety
+    * is the committed-version guard (the [[streamingNovelty]] device):
+    * a replayed batch whose state version is already committed skips
+    * the recompute entirely, so nothing is double-ingested and outputs
+    * stay byte-identical. PRECONDITION (inherited from
+    * curateIncremental): ids arrive append-ordered across batches.
+    * Input schema: (`id` long, `text` string). */
+  def streamingCurate(docs: DataFrame, statePath: String, outDir: String,
+      checkpoint: String, id: String = "doc_id", text: String = "text",
+      minTokens: Int = 10, maxTokens: Int = 100000,
+      nearDupThreshold: Double = 0.5): StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val fs = new java.io.File(statePath)
+        fs.mkdirs()
+        val committed =
+          new java.io.File(s"$statePath/v=$batchId/fp/_SUCCESS").exists() &&
+            new java.io.File(s"$statePath/v=$batchId/idx/_SUCCESS").exists()
+        if (!committed) {
+          val versions = Option(fs.listFiles()).getOrElse(Array.empty)
+            .filter(f => f.isDirectory && f.getName.startsWith("v="))
+            .map(_.getName.stripPrefix("v=").toLong)
+          val prev = versions.filter(_ < batchId).sorted.lastOption
+          val (fps, idx) = prev match {
+            case Some(v) => (spark.read.parquet(s"$statePath/v=$v/fp"),
+              spark.read.parquet(s"$statePath/v=$v/idx"))
+            case None =>
+              val (f0, i0) = graft.operators.CorpusPipeline
+                .curateStateBuild(batch.toDF().limit(0), id, text)
+              (f0, i0)
+          }
+          val (surv, newFps, newIdx) = graft.operators.CorpusPipeline
+            .curateIncremental(fps, idx, batch.toDF(), id, text,
+              minTokens, maxTokens, nearDupThreshold)
+          surv.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+          newFps.write.mode("overwrite").parquet(s"$statePath/v=$batchId/fp")
+          newIdx.write.mode("overwrite").parquet(s"$statePath/v=$batchId/idx")
+        }
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Online data-mixing maintenance: keep per-source token counts as a
     * versioned parquet state while document shards stream in, so the
     * temperature-mixing weights (operators.QualityModels) can be

@@ -471,6 +471,48 @@ class EventStreamSpec extends AnyFunSuite with SparkSpec {
     assert(EventStream.latestAggState(spark, state).head().getLong(1) == 2L)
   }
 
+  test("streaming curate: per-batch survivors equal the batch operator; replays are no-ops") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    def doc(id: Long, text: String) = s"""{"doc_id":$id,"text":"$text"}"""
+    val a = (1 to 30).map(i => s"a$i").mkString(" ")
+    val b = (1 to 30).map(i => s"b$i").mkString(" ")
+    val b2 = (1 to 29).map(i => s"b$i").mkString(" ") + " zz"
+    val (in, chk) = newDirs()
+    val state = Files.createTempDirectory("graft-curstate").toString
+    val out = Files.createTempDirectory("graft-curout").toString
+    val src = EventStream.jsonFileStream(spark, in, docSchema)
+    drop(in, "a.json", doc(1, a), doc(2, a), doc(3, "tiny"))
+    EventStream.streamingCurate(src, state, out, chk).awaitTermination()
+    val ids0 = spark.read.parquet(s"$out/batch=0")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids0 == Set(1L)) // exact dup and quality-fail dropped
+    drop(in, "b.json", doc(10, a), doc(11, b), doc(12, b2))
+    EventStream.streamingCurate(src, state, out, chk).awaitTermination()
+    val ids1 = spark.read.parquet(s"$out/batch=1")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // equivalence with the batch operator over the same state evolution
+    import spark.implicits._
+    val (fps, idx) = graft.operators.CorpusPipeline.curateStateBuild(
+      Seq((1L, a), (2L, a), (3L, "tiny")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    val (surv, _, _) = graft.operators.CorpusPipeline.curateIncremental(
+      fps, idx, Seq((10L, a), (11L, b), (12L, b2)).toDF("doc_id", "text"),
+      "doc_id", "text")
+    val expect = surv.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == expect)
+    assert(!ids1.contains(10L)) // stored fingerprint blocks re-ingest
+    assert(ids1.contains(11L))
+    // replay with no new input: committed-version guard leaves all as-is
+    EventStream.streamingCurate(src, state, out, chk).awaitTermination()
+    assert(spark.read.parquet(s"$out/batch=1")
+      .select("doc_id").collect().map(_.getLong(0)).toSet == ids1)
+    assert(spark.read.parquet(s"$state/v=1/fp").count() ==
+      fps.count() + 2) // md5(b), md5(b2) joined the set
+  }
+
   test("the batch flatteners run unchanged on a streaming DataFrame") {
     val (in, chk) = newDirs()
     drop(in, "blocks.json",
