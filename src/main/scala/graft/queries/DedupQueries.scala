@@ -1036,6 +1036,74 @@ object DedupQueries {
         AND e.doc_id >= cut.c
       ORDER BY doc_id"""))
 
+  /** Per-source curation funnel: the q191 ledger rolled up to (source ×
+    * stage) — which sources lose mass at which stage, the per-source
+    * data-card view of the curation pass (a source bleeding at
+    * `near_dup` is a mirror; one bleeding at `quality` is a format
+    * problem). One conditional aggregate over the ledger joined to the
+    * sources column; retention = kept/total, 4 dp. */
+  val q193 = Q(
+    "q193_source_funnel",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      graft.operators.CorpusPipeline
+        .curationLedger(docs, "doc_id", "text",
+          minTokens = 10, maxTokens = 100000, nearDupThreshold = 0.5)
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("stage") === "quality", 1)).as("n_quality"),
+          count(when(col("stage") === "exact", 1)).as("n_exact"),
+          count(when(col("stage") === "near_dup", 1)).as("n_near_dup"),
+          count(when(col("stage") === "kept", 1)).as("n_kept"))
+        .withColumn("retention",
+          round(col("n_kept") / col("n_docs").cast("double"), 4))
+        .orderBy("source")
+    },
+    Some(s"""
+      WITH RECURSIVE q AS (SELECT doc_id, text FROM documents
+                           WHERE len(string_split(text, ' ')) BETWEEN 10 AND 100000),
+      keyed AS (SELECT doc_id, text,
+                       MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+                FROM q),
+      ex AS (SELECT doc_id, text FROM keyed WHERE doc_id = keeper),
+      ${nearDupCtes("ex")},
+      verified AS (SELECT i.da, i.db
+                   FROM inter i
+                   JOIN sizes sa ON i.da = sa.doc_id
+                   JOIN sizes sb ON i.db = sb.doc_id
+                   WHERE CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter) >= 0.5),
+      edges AS (SELECT da AS a, db AS b FROM verified
+                UNION SELECT db, da FROM verified),
+      reach AS (SELECT a, b FROM edges
+                UNION
+                SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      cl AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster
+             FROM reach GROUP BY a),
+      ledger AS (
+        SELECT doc_id, 'quality' AS stage FROM documents
+        WHERE len(string_split(text, ' ')) NOT BETWEEN 10 AND 100000
+        UNION ALL
+        SELECT doc_id, 'exact' FROM keyed WHERE doc_id <> keeper
+        UNION ALL
+        SELECT doc_id, 'near_dup' FROM cl WHERE doc_id <> cluster
+        UNION ALL
+        SELECT e.doc_id, 'kept' FROM ex e
+        LEFT JOIN (SELECT doc_id FROM cl WHERE doc_id <> cluster) l
+          USING (doc_id)
+        WHERE l.doc_id IS NULL)
+      SELECT d.source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COUNT(CASE WHEN stage = 'quality' THEN 1 END) AS BIGINT) AS n_quality,
+             CAST(COUNT(CASE WHEN stage = 'exact' THEN 1 END) AS BIGINT) AS n_exact,
+             CAST(COUNT(CASE WHEN stage = 'near_dup' THEN 1 END) AS BIGINT) AS n_near_dup,
+             CAST(COUNT(CASE WHEN stage = 'kept' THEN 1 END) AS BIGINT) AS n_kept,
+             ROUND(COUNT(CASE WHEN stage = 'kept' THEN 1 END)
+                   / CAST(COUNT(*) AS DOUBLE), 4) AS retention
+      FROM ledger le JOIN documents d USING (doc_id)
+      GROUP BY d.source ORDER BY d.source"""))
+
   def all: Seq[Q] = Seq(q36, q37, q38, q45, q47, q51, q55, q134, q145, q146,
-    q151, q152, q163, q166, q168, q170, q179, q180, q187, q191, q192)
+    q151, q152, q163, q166, q168, q170, q179, q180, q187, q191, q192, q193)
 }
