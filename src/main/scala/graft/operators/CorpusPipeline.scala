@@ -569,10 +569,50 @@ object CorpusPipeline {
       batch: DataFrame, id: String, text: String,
       minTokens: Int = 10, maxTokens: Int = 100000,
       nearDupThreshold: Double = 0.5): (DataFrame, DataFrame, DataFrame) = {
+    val (survivors, fpDelta, idxDelta) = curateIncrementalDelta(
+      fingerprints, index, batch, id, text, minTokens, maxTokens,
+      nearDupThreshold)
+    // both sides are distinct and disjoint by construction (the anti-
+    // join against the stored set), so plain union IS the grown set —
+    // a distinct() here would shuffle the corpus-sized state per batch
+    (survivors, fingerprints.union(fpDelta), index.unionByName(idxDelta))
+  }
+
+  /** [[curateIncremental]] returning the batch's state DELTAS instead
+    * of the grown state — what an ingest sink persists per version so
+    * write I/O stays batch-proportional (the stored state is then the
+    * union of all version deltas). Same semantics, same precondition;
+    * the append-order precondition is ENFORCED in-plan via assert_true
+    * against the stored index's max id (a broadcast 1-row aggregate),
+    * so an out-of-order batch fails the job instead of silently
+    * retaining near-duplicates. */
+  def curateIncrementalDelta(fingerprints: DataFrame, index: DataFrame,
+      batch: DataFrame, id: String, text: String,
+      minTokens: Int = 10, maxTokens: Int = 100000,
+      nearDupThreshold: Double = 0.5): (DataFrame, DataFrame, DataFrame) = {
     val q = qualityFilter(batch, text, minTokens = minTokens, maxTokens = maxTokens)
+    val maxOld = broadcast(index.agg(
+      coalesce(max(col(id)), lit(Long.MinValue)).as("__mx")))
+    // checkpoint the quality+exact+anti-join chain: four consumers
+    // (the LSH candidates, survivors, both deltas) would otherwise
+    // re-execute it — including the state-sized fingerprint anti-join
+    // the check rides the id column itself (the q171 raise_error
+    // device) — an expression in a dropped side-column would be pruned
+    // by the optimizer and never evaluated
     val ex = Dedup.dropExactDuplicates(q, id, text)
       .join(fingerprints, md5(col(text)) === fingerprints("fp"), "left_anti")
-    val pairs = Dedup.incrementalLshPairs(index, ex, id, text,
+      .crossJoin(maxOld)
+      .withColumn(id, when(col(id) > col("__mx"), col(id))
+        .otherwise(raise_error(format_string(
+          "curateIncremental: batch id %s <= stored max id %s — batches must be append-ordered",
+          col(id).cast("string"), col("__mx").cast("string")))))
+      .drop("__mx")
+      .localCheckpoint(false)
+    // ONE signature pass for both the pair search and the index delta
+    // (incrementalLshPairs would recompute it internally — its Indexed
+    // twin exists for exactly this)
+    val batchIdx = Dedup.indexDocs(ex, id, text).localCheckpoint(false)
+    val pairs = Dedup.incrementalLshPairsIndexed(index, batchIdx, id,
       threshold = nearDupThreshold)
     // cluster labels are min REACHABLE ids; old ids < batch ids by the
     // precondition, so any batch doc whose label isn't itself loses —
@@ -583,10 +623,7 @@ object CorpusPipeline {
     val survivors = ex.join(losers, Seq(id), "left_anti")
       .withColumn("fingerprint", md5(col(text)))
       .withColumn("n_tokens", size(split(col(text), " ")))
-    val newFps = fingerprints
-      .union(ex.select(md5(col(text)).as("fp"))).distinct()
-    val newIndex = index.unionByName(Dedup.indexDocs(ex, id, text))
-    (survivors, newFps, newIndex)
+    (survivors, ex.select(md5(col(text)).as("fp")), batchIdx)
   }
 
   /** Full curation pass; returns the surviving corpus + stage counts.

@@ -471,14 +471,18 @@ object EventStream {
     * [[graft.operators.CorpusPipeline.curateIncremental]] — quality
     * gate, exact dedup vs the fingerprint set, near-dedup vs the
     * signature index, all batch-proportional — survivors land under
-    * `out/batch=<id>` and the grown state is written as version
-    * `v=<batchId>` (fingerprints + index side by side). Replay safety
+    * `out/batch=<id>` and the batch's state DELTA (its new
+    * fingerprints + index rows only) is written as version
+    * `v=<batchId>`; the stored state is the union of all committed
+    * version deltas, so per-batch write I/O is batch-proportional and
+    * total disk is O(corpus), not O(batches × corpus). Replay safety
     * is the committed-version guard (the [[streamingNovelty]] device):
     * a replayed batch whose state version is already committed skips
     * the recompute entirely, so nothing is double-ingested and outputs
-    * stay byte-identical. PRECONDITION (inherited from
-    * curateIncremental): ids arrive append-ordered across batches.
-    * Input schema: (`id` long, `text` string). */
+    * stay byte-identical. The append-ordered-id precondition is
+    * enforced in-plan (curateIncrementalDelta's assert_true): an
+    * out-of-order shard fails the batch instead of silently retaining
+    * near-duplicates. Input schema: (`id` long, `text` string). */
   def streamingCurate(docs: DataFrame, statePath: String, outDir: String,
       checkpoint: String, id: String = "doc_id", text: String = "text",
       minTokens: Int = 10, maxTokens: Int = 100000,
@@ -492,24 +496,25 @@ object EventStream {
           new java.io.File(s"$statePath/v=$batchId/fp/_SUCCESS").exists() &&
             new java.io.File(s"$statePath/v=$batchId/idx/_SUCCESS").exists()
         if (!committed) {
-          val versions = Option(fs.listFiles()).getOrElse(Array.empty)
+          val priorVs = Option(fs.listFiles()).getOrElse(Array.empty)
             .filter(f => f.isDirectory && f.getName.startsWith("v="))
             .map(_.getName.stripPrefix("v=").toLong)
-          val prev = versions.filter(_ < batchId).sorted.lastOption
-          val (fps, idx) = prev match {
-            case Some(v) => (spark.read.parquet(s"$statePath/v=$v/fp"),
-              spark.read.parquet(s"$statePath/v=$v/idx"))
-            case None =>
-              val (f0, i0) = graft.operators.CorpusPipeline
-                .curateStateBuild(batch.toDF().limit(0), id, text)
-              (f0, i0)
-          }
-          val (surv, newFps, newIdx) = graft.operators.CorpusPipeline
-            .curateIncremental(fps, idx, batch.toDF(), id, text,
+            .filter(_ < batchId).sorted
+          // stored state = union of all committed prior version deltas
+          val (fps, idx) =
+            if (priorVs.isEmpty) graft.operators.CorpusPipeline
+              .curateStateBuild(batch.toDF().limit(0), id, text)
+            else (
+              spark.read.parquet(
+                priorVs.map(v => s"$statePath/v=$v/fp"): _*),
+              spark.read.parquet(
+                priorVs.map(v => s"$statePath/v=$v/idx"): _*))
+          val (surv, fpDelta, idxDelta) = graft.operators.CorpusPipeline
+            .curateIncrementalDelta(fps, idx, batch.toDF(), id, text,
               minTokens, maxTokens, nearDupThreshold)
           surv.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
-          newFps.write.mode("overwrite").parquet(s"$statePath/v=$batchId/fp")
-          newIdx.write.mode("overwrite").parquet(s"$statePath/v=$batchId/idx")
+          fpDelta.write.mode("overwrite").parquet(s"$statePath/v=$batchId/fp")
+          idxDelta.write.mode("overwrite").parquet(s"$statePath/v=$batchId/idx")
         }
       }
       .option("checkpointLocation", checkpoint)

@@ -470,6 +470,22 @@ class CorpusPipelineSpec extends AnyFunSuite with SparkSpec {
     assert(ids == fullIds.filter(_ >= 10L))
   }
 
+  test("curateIncremental: an out-of-order batch fails loudly instead of silently keeping dups") {
+    import spark.implicits._
+    val a = (1 to 30).map(i => s"a$i").mkString(" ")
+    val b = (1 to 30).map(i => s"b$i").mkString(" ")
+    val old = Seq((100L, a)).toDF("doc_id", "text")
+    val (fps, idx) = CorpusPipeline.curateStateBuild(old, "doc_id", "text")
+    // batch id 5 < stored max 100: violates the append-order
+    // precondition the equivalence proof rests on
+    val ex = intercept[Exception] {
+      CorpusPipeline.curateIncremental(
+        fps, idx, Seq((5L, b)).toDF("doc_id", "text"), "doc_id", "text")
+        ._1.collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
   test("noveltyAppend: per-batch estimates track the exact novelty within the sketch bound") {
     val docs = Tables.documents(spark, sf("sf0.01"))
     // replay the q188 sharding as an append stream: 10 id-range batches

@@ -509,8 +509,11 @@ class EventStreamSpec extends AnyFunSuite with SparkSpec {
     EventStream.streamingCurate(src, state, out, chk).awaitTermination()
     assert(spark.read.parquet(s"$out/batch=1")
       .select("doc_id").collect().map(_.getLong(0)).toSet == ids1)
-    assert(spark.read.parquet(s"$state/v=1/fp").count() ==
-      fps.count() + 2) // md5(b), md5(b2) joined the set
+    // version deltas are batch-proportional: v=1 holds only the two
+    // fingerprints this batch contributed (md5(b), md5(b2)), never a
+    // rewrite of the whole stored set
+    assert(spark.read.parquet(s"$state/v=1/fp").count() == 2)
+    assert(spark.read.parquet(s"$state/v=0/fp").count() == 1)
   }
 
   test("the batch flatteners run unchanged on a streaming DataFrame") {
