@@ -478,6 +478,25 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("Window"), p)
   }
 
+  test("q191/q192: no cartesian products; the keeper window stays md5-partitioned") {
+    // the keeper window itself runs inside the checkpoint job (its
+    // lineage is truncated out of the returned plan), so the window
+    // shape is pinned at its source: dropExactDuplicates' plan
+    val dd = graft.operators.Dedup.dropExactDuplicates(
+      Tables.documents(spark, d), "doc_id", "text")
+    val pd = dd.queryExecution.executedPlan.toString
+    // the digest is projected as _w0 and the window partitions (and
+    // exchanges) on it — a global window would carry no partitioning
+    assert(pd.contains("hashpartitioning(_w0"), pd)
+    assert(pd.contains("md5(cast(text"), pd)
+    for (name <- Seq("q191_curation_ledger", "q192_incremental_curate")) {
+      val df = run(name)
+      df.collect()
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct"), s"$name:\n$p")
+    }
+  }
+
   test("events scan converts nanos without breaking codegen") {
     val p = plan(Tables.events(spark, d).filter(col("event_type") === "click")
       .select("event_id", "ts"))
