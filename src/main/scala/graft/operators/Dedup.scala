@@ -608,4 +608,83 @@ object Dedup {
   def simHashSignatures(docs: DataFrame, id: String, text: String): DataFrame =
     docs.select(col(id),
       TextHashAggregators.simhashOfTokens(split(lower(col(text)), " ")).as("simhash"))
+
+  /** Hashing-trick document vectors — the feature-hashing vectorizer
+    * that puts TEXT into the vector space the `Similarity` operators
+    * search: each token hashes to a bucket in [0, dims) with a ±1 sign
+    * (both md5-derived, engine-replayable), and the document's vector
+    * is the signed term-frequency sum per bucket. All-integer
+    * coordinates, so the vectors are exact cross-engine. Returns the
+    * sparse entries `(id, bucket, v)` with zero entries absent — the
+    * shape both the cosine join and the dense assembly consume. One
+    * token explode + one (id, bucket) aggregate; shuffle keys are
+    * fixed-width. */
+  def hashedVectorEntries(docs: DataFrame, id: String, text: String,
+      dims: Int = 64): DataFrame = {
+    require(dims > 0)
+    docs.select(col(id), explode(split(col(text), " ")).as("tok"))
+      .select(col(id),
+        (conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long")
+          % dims).as("bucket"),
+        when(conv(substring(md5(col("tok")), 9, 1), 16, 10)
+          .cast("long") % 2 === 1, 1L).otherwise(-1L).as("sign"))
+      .groupBy(col(id), col("bucket"))
+      .agg(sum("sign").as("v"))
+      .filter(col("v") =!= 0)
+  }
+
+  /** Per-document summary of the hashed vector: non-zero coordinate
+    * count, l2 norm, and a fingerprint of the DENSE vector in bucket
+    * order (emitting the fingerprint instead of the array keeps the
+    * cross-engine compare exact — list render differs between
+    * engines). */
+  def hashedDocVectors(docs: DataFrame, id: String, text: String,
+      dims: Int = 64): DataFrame =
+    // left join from the doc spine: a document whose buckets all cancel
+    // to zero still emits (the all-zero vector), matching the oracle
+    docs.select(col(id))
+      .join(hashedVectorEntries(docs, id, text, dims)
+        .groupBy(col(id))
+        .agg(map_from_entries(collect_list(struct(col("bucket"), col("v"))))
+          .as("__m")), Seq(id), "left")
+      .select(col(id),
+        expr(s"transform(sequence(0, ${dims - 1}), i -> coalesce(element_at(__m, CAST(i AS BIGINT)), 0L))")
+          .as("__vec"))
+      .select(col(id),
+        size(filter(col("__vec"), v => v =!= 0)).cast("long").as("nnz"),
+        round(sqrt(aggregate(col("__vec"), lit(0.0),
+          (acc, v) => acc + v * v)), 4).as("l2"),
+        md5(array_join(col("__vec"), ",")).as("vec_fp"))
+
+  /** Lexical-vs-semantic audit over the verified near-dup pair graph:
+    * for every MinHash-verified pair, the hashed-vector cosine — does
+    * cheap lexical dedup proxy semantic similarity, and which pairs
+    * disagree. Pair-bounded by construction (the LSH collision set),
+    * so the sparse dot product joins entries only for pair members:
+    * at 100 TB this is pairs × dims work, never all-pairs. Cosine is
+    * an exact integer dot over shared buckets divided by the two
+    * integer norms, rounded once. */
+  def lexicalSemanticAudit(docs: DataFrame, id: String, text: String,
+      dims: Int = 64, threshold: Double = 0.5): DataFrame = {
+    val pairs = minHashLshPairs(docs, id, text, threshold = threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+    val e = hashedVectorEntries(docs, id, text, dims)
+    val ea = e.select(col(id).as("id_a"), col("bucket"), col("v").as("va"))
+    val eb = e.select(col(id).as("id_b"), col("bucket"), col("v").as("vb"))
+    val dots = pairs.select("id_a", "id_b")
+      .join(ea, Seq("id_a"))
+      .join(eb, Seq("id_b", "bucket"))
+      .groupBy("id_a", "id_b")
+      .agg(sum(col("va") * col("vb")).as("dot"))
+    val norms = e.groupBy(col(id))
+      .agg(sqrt(sum(col("v") * col("v"))).as("nrm"))
+    pairs
+      .join(dots, Seq("id_a", "id_b"), "left")
+      .join(norms.select(col(id).as("id_a"), col("nrm").as("na")), Seq("id_a"))
+      .join(norms.select(col(id).as("id_b"), col("nrm").as("nb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("jaccard"),
+        round(coalesce(col("dot"), lit(0L)) / (col("na") * col("nb")), 4)
+          .as("cosine"))
+      .orderBy("id_a", "id_b")
+  }
 }

@@ -1104,6 +1104,79 @@ object DedupQueries {
       FROM ledger le JOIN documents d USING (doc_id)
       GROUP BY d.source ORDER BY d.source"""))
 
+  /** Hashing-trick document vectors (Dedup.hashedDocVectors): the
+    * feature-hashing vectorizer that puts text into vector space —
+    * md5-derived bucket + sign per token, signed-tf coordinates.
+    * All-integer vectors; the dense vector is fingerprinted rather
+    * than emitted (list render differs between engines). */
+  val q194 = Q(
+    "q194_hashed_doc_vectors",
+    (s, d) => graft.operators.Dedup.hashedDocVectors(
+      Tables.documents(s, d), "doc_id", "text", dims = 64)
+      .orderBy("doc_id"),
+    Some("""
+      WITH t AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents),
+      e AS (SELECT doc_id,
+                   ('0x' || substr(md5(tok), 1, 8))::BIGINT % 64 AS bucket,
+                   CASE WHEN ('0x' || substr(md5(tok), 9, 1))::BIGINT % 2 = 1
+                        THEN 1 ELSE -1 END AS sign
+            FROM t),
+      b AS (SELECT doc_id, bucket, CAST(SUM(sign) AS BIGINT) AS v
+            FROM e GROUP BY doc_id, bucket HAVING SUM(sign) <> 0),
+      g AS (SELECT d.doc_id, i.i, COALESCE(b.v, 0) AS v
+            FROM (SELECT DISTINCT doc_id FROM documents) d
+            CROSS JOIN (SELECT UNNEST(range(0, 64)) AS i) i
+            LEFT JOIN b ON b.doc_id = d.doc_id AND b.bucket = i.i)
+      SELECT doc_id,
+             CAST(COUNT(CASE WHEN v <> 0 THEN 1 END) AS BIGINT) AS nnz,
+             ROUND(sqrt(SUM(CAST(v AS DOUBLE) * v)), 4) AS l2,
+             md5(string_agg(CAST(v AS VARCHAR), ',' ORDER BY i)) AS vec_fp
+      FROM g GROUP BY doc_id ORDER BY doc_id"""))
+
+  /** Lexical-vs-semantic audit (Dedup.lexicalSemanticAudit): hashed-
+    * vector cosine for every MinHash-verified near-dup pair — does the
+    * cheap lexical signal proxy vector-space similarity, pair by pair.
+    * Pair-bounded: the sparse dot joins entries only for pair members. */
+  val q195 = Q(
+    "q195_lexical_semantic_audit",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      graft.operators.Dedup.lexicalSemanticAudit(
+        docs, "doc_id", "text", dims = 64, threshold = 0.5)
+    },
+    Some(s"""
+      WITH ${nearDupCtes("documents")},
+      verified AS (SELECT i.da AS id_a, i.db AS id_b,
+                          ROUND(CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter), 4) AS jaccard
+                   FROM inter i
+                   JOIN sizes sa ON i.da = sa.doc_id
+                   JOIN sizes sb ON i.db = sb.doc_id
+                   WHERE CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter) >= 0.5),
+      tt AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents),
+      ee AS (SELECT doc_id,
+                    ('0x' || substr(md5(tok), 1, 8))::BIGINT % 64 AS bucket,
+                    CASE WHEN ('0x' || substr(md5(tok), 9, 1))::BIGINT % 2 = 1
+                         THEN 1 ELSE -1 END AS sign
+             FROM tt),
+      bb AS (SELECT doc_id, bucket, CAST(SUM(sign) AS BIGINT) AS v
+             FROM ee GROUP BY doc_id, bucket HAVING SUM(sign) <> 0),
+      dd AS (SELECT v.id_a, v.id_b, SUM(ba.v * xb.v) AS dot
+             FROM verified v
+             JOIN bb ba ON ba.doc_id = v.id_a
+             JOIN bb xb ON xb.doc_id = v.id_b AND xb.bucket = ba.bucket
+             GROUP BY v.id_a, v.id_b),
+      nn AS (SELECT doc_id, sqrt(SUM(CAST(v AS DOUBLE) * v)) AS nrm
+             FROM bb GROUP BY doc_id)
+      SELECT v.id_a, v.id_b, v.jaccard,
+             ROUND(COALESCE(dd.dot, 0) / (na.nrm * nb.nrm), 4) AS cosine
+      FROM verified v
+      LEFT JOIN dd ON dd.id_a = v.id_a AND dd.id_b = v.id_b
+      JOIN nn na ON na.doc_id = v.id_a
+      JOIN nn nb ON nb.doc_id = v.id_b
+      ORDER BY v.id_a, v.id_b"""))
+
   def all: Seq[Q] = Seq(q36, q37, q38, q45, q47, q51, q55, q134, q145, q146,
-    q151, q152, q163, q166, q168, q170, q179, q180, q187, q191, q192, q193)
+    q151, q152, q163, q166, q168, q170, q179, q180, q187, q191, q192, q193,
+    q194, q195)
 }
