@@ -640,9 +640,10 @@ object Dedup {
     * engines). */
   def hashedDocVectors(docs: DataFrame, id: String, text: String,
       dims: Int = 64): DataFrame =
-    // left join from the doc spine: a document whose buckets all cancel
-    // to zero still emits (the all-zero vector), matching the oracle
-    docs.select(col(id))
+    // left join from the DISTINCT doc spine (the oracle's contract): a
+    // document whose buckets all cancel to zero still emits (the
+    // all-zero vector), and a duplicated input id emits once
+    docs.select(col(id)).distinct()
       .join(hashedVectorEntries(docs, id, text, dims)
         .groupBy(col(id))
         .agg(map_from_entries(collect_list(struct(col("bucket"), col("v"))))
@@ -663,12 +664,17 @@ object Dedup {
     * so the sparse dot product joins entries only for pair members:
     * at 100 TB this is pairs × dims work, never all-pairs. Cosine is
     * an exact integer dot over shared buckets divided by the two
-    * integer norms, rounded once. */
+    * integer norms, rounded once; a pair member whose buckets all
+    * cancel (the zero vector — no defined cosine) reports 0.0 by
+    * convention rather than dropping the verified pair. */
   def lexicalSemanticAudit(docs: DataFrame, id: String, text: String,
       dims: Int = 64, threshold: Double = 0.5): DataFrame = {
     val pairs = minHashLshPairs(docs, id, text, threshold = threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
-    val e = hashedVectorEntries(docs, id, text, dims)
+    // lazily checkpointed (the ppmi device): three consumers (both dot
+    // sides and the norms) would otherwise replay the corpus-wide
+    // tokenize + aggregate pass each
+    val e = hashedVectorEntries(docs, id, text, dims).localCheckpoint(false)
     val ea = e.select(col(id).as("id_a"), col("bucket"), col("v").as("va"))
     val eb = e.select(col(id).as("id_b"), col("bucket"), col("v").as("vb"))
     val dots = pairs.select("id_a", "id_b")
@@ -678,13 +684,19 @@ object Dedup {
       .agg(sum(col("va") * col("vb")).as("dot"))
     val norms = e.groupBy(col(id))
       .agg(sqrt(sum(col("v") * col("v"))).as("nrm"))
+    // norms joins are LEFT: an all-zero vector has no entries, and the
+    // verified pair must still report (cosine 0.0 by convention —
+    // anything else silently drops edges from the pair graph)
     pairs
       .join(dots, Seq("id_a", "id_b"), "left")
-      .join(norms.select(col(id).as("id_a"), col("nrm").as("na")), Seq("id_a"))
-      .join(norms.select(col(id).as("id_b"), col("nrm").as("nb")), Seq("id_b"))
+      .join(norms.select(col(id).as("id_a"), col("nrm").as("na")),
+        Seq("id_a"), "left")
+      .join(norms.select(col(id).as("id_b"), col("nrm").as("nb")),
+        Seq("id_b"), "left")
       .select(col("id_a"), col("id_b"), col("jaccard"),
-        round(coalesce(col("dot"), lit(0L)) / (col("na") * col("nb")), 4)
-          .as("cosine"))
+        when(col("na").isNull || col("nb").isNull, lit(0.0))
+          .otherwise(round(coalesce(col("dot"), lit(0L)) /
+            (col("na") * col("nb")), 4)).as("cosine"))
       .orderBy("id_a", "id_b")
   }
 }

@@ -1104,6 +1104,19 @@ object DedupQueries {
       FROM ledger le JOIN documents d USING (doc_id)
       GROUP BY d.source ORDER BY d.source"""))
 
+  /** The hashed-vector-entries CTE chain shared by q194/q195: token →
+    * md5 bucket+sign → signed-tf per (doc, bucket), zero entries
+    * dropped. One definition so the two oracles cannot drift. */
+  private def hashedEntriesCtes(src: String): String = s"""
+      ht AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM $src),
+      he AS (SELECT doc_id,
+                    ('0x' || substr(md5(tok), 1, 8))::BIGINT % 64 AS bucket,
+                    CASE WHEN ('0x' || substr(md5(tok), 9, 1))::BIGINT % 2 = 1
+                         THEN 1 ELSE -1 END AS sign
+             FROM ht),
+      hb AS (SELECT doc_id, bucket, CAST(SUM(sign) AS BIGINT) AS v
+             FROM he GROUP BY doc_id, bucket HAVING SUM(sign) <> 0)"""
+
   /** Hashing-trick document vectors (Dedup.hashedDocVectors): the
     * feature-hashing vectorizer that puts text into vector space —
     * md5-derived bucket + sign per token, signed-tf coordinates.
@@ -1114,19 +1127,12 @@ object DedupQueries {
     (s, d) => graft.operators.Dedup.hashedDocVectors(
       Tables.documents(s, d), "doc_id", "text", dims = 64)
       .orderBy("doc_id"),
-    Some("""
-      WITH t AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents),
-      e AS (SELECT doc_id,
-                   ('0x' || substr(md5(tok), 1, 8))::BIGINT % 64 AS bucket,
-                   CASE WHEN ('0x' || substr(md5(tok), 9, 1))::BIGINT % 2 = 1
-                        THEN 1 ELSE -1 END AS sign
-            FROM t),
-      b AS (SELECT doc_id, bucket, CAST(SUM(sign) AS BIGINT) AS v
-            FROM e GROUP BY doc_id, bucket HAVING SUM(sign) <> 0),
-      g AS (SELECT d.doc_id, i.i, COALESCE(b.v, 0) AS v
+    Some(s"""
+      WITH ${hashedEntriesCtes("documents")},
+      g AS (SELECT d.doc_id, i.i, COALESCE(hb.v, 0) AS v
             FROM (SELECT DISTINCT doc_id FROM documents) d
             CROSS JOIN (SELECT UNNEST(range(0, 64)) AS i) i
-            LEFT JOIN b ON b.doc_id = d.doc_id AND b.bucket = i.i)
+            LEFT JOIN hb ON hb.doc_id = d.doc_id AND hb.bucket = i.i)
       SELECT doc_id,
              CAST(COUNT(CASE WHEN v <> 0 THEN 1 END) AS BIGINT) AS nnz,
              ROUND(sqrt(SUM(CAST(v AS DOUBLE) * v)), 4) AS l2,
@@ -1153,27 +1159,22 @@ object DedupQueries {
                    JOIN sizes sa ON i.da = sa.doc_id
                    JOIN sizes sb ON i.db = sb.doc_id
                    WHERE CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter) >= 0.5),
-      tt AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents),
-      ee AS (SELECT doc_id,
-                    ('0x' || substr(md5(tok), 1, 8))::BIGINT % 64 AS bucket,
-                    CASE WHEN ('0x' || substr(md5(tok), 9, 1))::BIGINT % 2 = 1
-                         THEN 1 ELSE -1 END AS sign
-             FROM tt),
-      bb AS (SELECT doc_id, bucket, CAST(SUM(sign) AS BIGINT) AS v
-             FROM ee GROUP BY doc_id, bucket HAVING SUM(sign) <> 0),
+      ${hashedEntriesCtes("documents").replaceFirst("^\\s+", "")},
       dd AS (SELECT v.id_a, v.id_b, SUM(ba.v * xb.v) AS dot
              FROM verified v
-             JOIN bb ba ON ba.doc_id = v.id_a
-             JOIN bb xb ON xb.doc_id = v.id_b AND xb.bucket = ba.bucket
+             JOIN hb ba ON ba.doc_id = v.id_a
+             JOIN hb xb ON xb.doc_id = v.id_b AND xb.bucket = ba.bucket
              GROUP BY v.id_a, v.id_b),
       nn AS (SELECT doc_id, sqrt(SUM(CAST(v AS DOUBLE) * v)) AS nrm
-             FROM bb GROUP BY doc_id)
+             FROM hb GROUP BY doc_id)
       SELECT v.id_a, v.id_b, v.jaccard,
-             ROUND(COALESCE(dd.dot, 0) / (na.nrm * nb.nrm), 4) AS cosine
+             CASE WHEN na.nrm IS NULL OR nb.nrm IS NULL THEN 0.0
+                  ELSE ROUND(COALESCE(dd.dot, 0) / (na.nrm * nb.nrm), 4)
+             END AS cosine
       FROM verified v
       LEFT JOIN dd ON dd.id_a = v.id_a AND dd.id_b = v.id_b
-      JOIN nn na ON na.doc_id = v.id_a
-      JOIN nn nb ON nb.doc_id = v.id_b
+      LEFT JOIN nn na ON na.doc_id = v.id_a
+      LEFT JOIN nn nb ON nb.doc_id = v.id_b
       ORDER BY v.id_a, v.id_b"""))
 
   def all: Seq[Q] = Seq(q36, q37, q38, q45, q47, q51, q55, q134, q145, q146,

@@ -35,6 +35,35 @@ class DedupVectorSpec extends AnyFunSuite with SparkSpec {
     assert(out.select("doc_id").distinct().count() == n)
   }
 
+  test("lexicalSemanticAudit: a cancelling (zero-vector) pair member reports cosine 0.0, not a dropped edge") {
+    import spark.implicits._
+    // find two tokens landing in the SAME bucket with OPPOSITE signs so
+    // a doc of balanced repetitions hashes to the all-zero vector
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def bucket(t: String): Long = java.lang.Long.parseLong(md5hex(t).take(8), 16) % 64
+    def sign(t: String): Int =
+      if (Integer.parseInt(md5hex(t).substring(8, 9), 16) % 2 == 1) 1 else -1
+    val cands = (0 until 2000).map(i => s"w$i")
+    val pairOpt = (for {
+      a <- cands.iterator
+      b <- cands.iterator
+      if a < b && bucket(a) == bucket(b) && sign(a) == -sign(b)
+    } yield (a, b)).buffered.headOption
+    assert(pairOpt.isDefined, "no cancelling token pair in 2000 candidates")
+    val (t1, t2) = pairOpt.get
+    val d1 = Seq.fill(10)(s"$t1 $t2").mkString(" ")      // zero vector
+    val d2 = Seq.fill(12)(s"$t1 $t2").mkString(" ")      // near-dup, zero too
+    val docs = Seq((1L, d1), (2L, d2)).toDF("doc_id", "text")
+    val audit = Dedup.lexicalSemanticAudit(docs, "doc_id", "text").collect()
+    assert(audit.length == 1, "the verified pair must not be dropped")
+    assert(audit.head.getDouble(3) == 0.0)
+    // and the vectorizer itself still emits the docs (all-zero rows)
+    val vecs = Dedup.hashedDocVectors(docs, "doc_id", "text").collect()
+    assert(vecs.length == 2 && vecs.forall(_.getLong(1) == 0L))
+  }
+
   test("lexicalSemanticAudit: one row per verified pair, near-dups are vector-close") {
     val docs = Tables.documents(spark, sf("sf0.01"))
     val pairs = Dedup.minHashLshPairs(docs, "doc_id", "text", threshold = 0.5)
