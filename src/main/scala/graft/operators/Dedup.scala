@@ -657,6 +657,35 @@ object Dedup {
           (acc, v) => acc + v * v)), 4).as("l2"),
         md5(array_join(col("__vec"), ",")).as("vec_fp"))
 
+  /** Text-to-text retrieval over the hashed vectors: cosine top-k
+    * documents for one query document, no embedding model in the loop —
+    * the lexical-semantic search a corpus gets for free once
+    * [[hashedVectorEntries]] exists. The query doc's (≤ dims) entries
+    * broadcast; candidates join on the bucket key (only docs sharing a
+    * non-zero bucket can score — sparse candidate set, not a corpus
+    * cross join); ranking is rounded cosine + id tie-break into a
+    * TakeOrdered k-row reduce. Docs sharing no bucket with the query
+    * (cosine 0) are not returned — at k ≪ corpus they never rank. */
+  def hashedTopK(docs: DataFrame, id: String, text: String,
+      queryId: Long, k: Int, dims: Int = 64, roundAt: Int = 4): DataFrame = {
+    val e = hashedVectorEntries(docs, id, text, dims).localCheckpoint(false)
+    val norms = e.groupBy(col(id))
+      .agg(sqrt(sum(col("v") * col("v"))).as("nrm"))
+    val qe = e.filter(col(id) === queryId)
+      .select(col("bucket"), col("v").as("qv"))
+    val qn = norms.filter(col(id) === queryId).select(col("nrm").as("qn"))
+    e.filter(col(id) =!= queryId)
+      .join(broadcast(qe), Seq("bucket"))
+      .groupBy(col(id))
+      .agg(sum(col("v") * col("qv")).as("dot"))
+      .join(norms, Seq(id))
+      .crossJoin(broadcast(qn))
+      .select(col(id),
+        round(col("dot") / (col("nrm") * col("qn")), roundAt).as("cosine"))
+      .orderBy(desc("cosine"), col(id))
+      .limit(k)
+  }
+
   /** Lexical-vs-semantic audit over the verified near-dup pair graph:
     * for every MinHash-verified pair, the hashed-vector cosine — does
     * cheap lexical dedup proxy semantic similarity, and which pairs

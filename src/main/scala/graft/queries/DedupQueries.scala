@@ -1177,7 +1177,31 @@ object DedupQueries {
       LEFT JOIN nn nb ON nb.doc_id = v.id_b
       ORDER BY v.id_a, v.id_b"""))
 
+  /** Text-to-text retrieval (Dedup.hashedTopK): cosine top-10 documents
+    * for doc 0 over the hashed vectors — embedding-free corpus search.
+    * Query entries broadcast, candidates bucket-joined (sparse — only
+    * docs sharing a non-zero bucket score), TakeOrdered k-row reduce on
+    * rounded cosine with the id tie-break. */
+  val q196 = Q(
+    "q196_hashed_topk",
+    (s, d) => graft.operators.Dedup.hashedTopK(
+      Tables.documents(s, d), "doc_id", "text", queryId = 0L, k = 10),
+    Some(s"""
+      WITH ${hashedEntriesCtes("documents")},
+      nn AS (SELECT doc_id, sqrt(SUM(CAST(v AS DOUBLE) * v)) AS nrm
+             FROM hb GROUP BY doc_id),
+      qe AS (SELECT bucket, v AS qv FROM hb WHERE doc_id = 0),
+      qn AS (SELECT nrm AS qn FROM nn WHERE doc_id = 0),
+      dd AS (SELECT hb.doc_id, SUM(hb.v * qe.qv) AS dot
+             FROM hb JOIN qe USING (bucket)
+             WHERE hb.doc_id <> 0
+             GROUP BY hb.doc_id)
+      SELECT dd.doc_id,
+             ROUND(dd.dot / (nn.nrm * qn.qn), 4) AS cosine
+      FROM dd JOIN nn ON nn.doc_id = dd.doc_id, qn
+      ORDER BY cosine DESC, dd.doc_id LIMIT 10"""))
+
   def all: Seq[Q] = Seq(q36, q37, q38, q45, q47, q51, q55, q134, q145, q146,
     q151, q152, q163, q166, q168, q170, q179, q180, q187, q191, q192, q193,
-    q194, q195)
+    q194, q195, q196)
 }

@@ -64,6 +64,24 @@ class DedupVectorSpec extends AnyFunSuite with SparkSpec {
     assert(vecs.length == 2 && vecs.forall(_.getLong(1) == 0L))
   }
 
+  test("hashedTopK: a near-duplicate of the query ranks first; self never returned") {
+    import spark.implicits._
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (0L, base),
+      (1L, base + " extra"),                         // near-dup of 0
+      (2L, (100 to 130).map(i => s"w$i").mkString(" ")),
+      (3L, (200 to 230).map(i => s"x$i").mkString(" "))).toDF("doc_id", "text")
+    val out = Dedup.hashedTopK(docs, "doc_id", "text", queryId = 0L, k = 3)
+      .collect()
+    assert(out.nonEmpty && out.head.getLong(0) == 1L)
+    assert(out.head.getDouble(1) > 0.9)
+    assert(!out.map(_.getLong(0)).contains(0L))
+    // ranking is non-increasing
+    val sims = out.map(_.getDouble(1))
+    assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+  }
+
   test("lexicalSemanticAudit: one row per verified pair, near-dups are vector-close") {
     val docs = Tables.documents(spark, sf("sf0.01"))
     val pairs = Dedup.minHashLshPairs(docs, "doc_id", "text", threshold = 0.5)
