@@ -686,6 +686,53 @@ object Dedup {
       .limit(k)
   }
 
+  /** [[hashedTopK]] with IDF weighting — the TF-IDF upgrade: each
+    * token's contribution is `sign · tf · log2((N+1)/(df+1))`, so
+    * corpus-wide boilerplate (high document frequency) stops dominating
+    * retrieval and rare distinctive overlap ranks first. The IDF model
+    * is the vocab-sized document-frequency aggregate (broadcast); the
+    * doc-count is a 1-row broadcast; everything else is [[hashedTopK]]'s
+    * shape. Weights are floats, so per-bucket sums carry summation-
+    * order noise — ranking is on ROUNDED cosine with the id tie-break,
+    * the standing cross-engine device. */
+  def hashedTfidfTopK(docs: DataFrame, id: String, text: String,
+      queryId: Long, k: Int, dims: Int = 64, roundAt: Int = 4): DataFrame = {
+    require(dims > 0 && k >= 1)
+    val toks = docs.select(col(id), explode(split(col(text), " ")).as("tok"))
+    val nd = broadcast(docs.agg(countDistinct(col(id)).as("nd")))
+    val dfreq = toks.select(col(id), col("tok")).distinct()
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+    val e = toks
+      .groupBy(col(id), col("tok")).agg(count(lit(1)).as("tf"))
+      .join(broadcast(dfreq), Seq("tok"))
+      .crossJoin(nd)
+      .select(col(id),
+        (conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long")
+          % dims).as("bucket"),
+        (when(conv(substring(md5(col("tok")), 9, 1), 16, 10)
+          .cast("long") % 2 === 1, 1.0).otherwise(-1.0) *
+          col("tf") *
+          log2((col("nd") + 1).cast("double") / (col("df") + 1))).as("w"))
+      .groupBy(col(id), col("bucket"))
+      .agg(sum("w").as("v"))
+      .localCheckpoint(false)
+    val norms = e.groupBy(col(id))
+      .agg(sqrt(sum(col("v") * col("v"))).as("nrm"))
+    val qe = e.filter(col(id) === queryId)
+      .select(col("bucket"), col("v").as("qv"))
+    val qn = norms.filter(col(id) === queryId).select(col("nrm").as("qn"))
+    e.filter(col(id) =!= queryId)
+      .join(broadcast(qe), Seq("bucket"))
+      .groupBy(col(id))
+      .agg(sum(col("v") * col("qv")).as("dot"))
+      .join(norms, Seq(id))
+      .crossJoin(broadcast(qn))
+      .select(col(id),
+        round(col("dot") / (col("nrm") * col("qn")), roundAt).as("cosine"))
+      .orderBy(desc("cosine"), col(id))
+      .limit(k)
+  }
+
   /** Lexical-vs-semantic audit over the verified near-dup pair graph:
     * for every MinHash-verified pair, the hashed-vector cosine — does
     * cheap lexical dedup proxy semantic similarity, and which pairs

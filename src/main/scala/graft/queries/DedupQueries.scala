@@ -1201,7 +1201,40 @@ object DedupQueries {
       FROM dd JOIN nn ON nn.doc_id = dd.doc_id, qn
       ORDER BY cosine DESC, dd.doc_id LIMIT 10"""))
 
+  /** TF-IDF-weighted hashed retrieval (Dedup.hashedTfidfTopK): the IDF
+    * upgrade of q196 — corpus-wide boilerplate stops dominating and
+    * rare distinctive overlap ranks first. IDF is exact integer-ratio
+    * log2; float bucket sums ride the rounded-cosine ranking device. */
+  val q197 = Q(
+    "q197_tfidf_hashed_topk",
+    (s, d) => graft.operators.Dedup.hashedTfidfTopK(
+      Tables.documents(s, d), "doc_id", "text", queryId = 0L, k = 10),
+    Some("""
+      WITH t AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents),
+      nd AS (SELECT COUNT(DISTINCT doc_id) AS nd FROM documents),
+      tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM t GROUP BY doc_id, tok),
+      dfq AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM t GROUP BY tok),
+      e AS (SELECT tf.doc_id,
+                   ('0x' || substr(md5(tf.tok), 1, 8))::BIGINT % 64 AS bucket,
+                   (CASE WHEN ('0x' || substr(md5(tf.tok), 9, 1))::BIGINT % 2 = 1
+                         THEN 1.0 ELSE -1.0 END)
+                     * tf.tf
+                     * log2((nd.nd + 1) / CAST(dfq.df + 1 AS DOUBLE)) AS w
+            FROM tf JOIN dfq USING (tok), nd),
+      b AS (SELECT doc_id, bucket, SUM(w) AS v FROM e GROUP BY doc_id, bucket),
+      nn AS (SELECT doc_id, sqrt(SUM(v * v)) AS nrm FROM b GROUP BY doc_id),
+      qe AS (SELECT bucket, v AS qv FROM b WHERE doc_id = 0),
+      qn AS (SELECT nrm AS qn FROM nn WHERE doc_id = 0),
+      dd AS (SELECT b.doc_id, SUM(b.v * qe.qv) AS dot
+             FROM b JOIN qe USING (bucket)
+             WHERE b.doc_id <> 0
+             GROUP BY b.doc_id)
+      SELECT dd.doc_id,
+             ROUND(dd.dot / (nn.nrm * qn.qn), 4) AS cosine
+      FROM dd JOIN nn ON nn.doc_id = dd.doc_id, qn
+      ORDER BY cosine DESC, dd.doc_id LIMIT 10"""))
+
   def all: Seq[Q] = Seq(q36, q37, q38, q45, q47, q51, q55, q134, q145, q146,
     q151, q152, q163, q166, q168, q170, q179, q180, q187, q191, q192, q193,
-    q194, q195, q196)
+    q194, q195, q196, q197)
 }

@@ -82,6 +82,24 @@ class DedupVectorSpec extends AnyFunSuite with SparkSpec {
     assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
   }
 
+  test("hashedTfidfTopK: rare distinctive overlap outranks shared boilerplate") {
+    import spark.implicits._
+    // every doc is drowned in the same boilerplate; the query shares a
+    // RARE token only with doc 1. Plain hashed cosine ranks by raw
+    // overlap (boilerplate-dominated, ~uniform); the IDF weighting must
+    // put doc 1 first.
+    val boiler = (1 to 20).map(_ => "the of and").mkString(" ")
+    val docs = Seq(
+      (0L, s"$boiler zebra"),
+      (1L, s"$boiler zebra"),      // shares the rare token
+      (2L, s"$boiler quartz"),
+      (3L, s"$boiler basalt")).toDF("doc_id", "text")
+    val out = Dedup.hashedTfidfTopK(docs, "doc_id", "text", queryId = 0L, k = 3)
+      .collect()
+    assert(out.head.getLong(0) == 1L, out.mkString(","))
+    assert(out.head.getDouble(1) > out(1).getDouble(1))
+  }
+
   test("lexicalSemanticAudit: one row per verified pair, near-dups are vector-close") {
     val docs = Tables.documents(spark, sf("sf0.01"))
     val pairs = Dedup.minHashLshPairs(docs, "doc_id", "text", threshold = 0.5)
