@@ -521,6 +521,55 @@ object EventStream {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Maintenance compaction for a [[streamingCurate]] state dir: merge
+    * every committed version delta into ONE base version (kept under
+    * the highest existing version number, so subsequent batch ids stay
+    * strictly greater) and delete the older deltas — the smallfile
+    * cleanup a long-running ingest stream schedules in its maintenance
+    * window. Crash-CONVERGENT rather than atomic: the merged state is
+    * staged under `__compact.v=<target>` (the name carries the target
+    * version), and only once both staged parquet writes are committed
+    * (_SUCCESS) are the old versions deleted and the staging dir
+    * renamed in. Re-running after a crash at ANY point converges — an
+    * incomplete staging is rebuilt from the intact versions, a complete
+    * staging just finishes the swap. Must not run concurrently with the
+    * stream (the standard maintenance-window contract); on an object
+    * store, swap via the store's atomic rename/manifest instead. */
+  def compactCurateState(spark: SparkSession, statePath: String): Unit = {
+    val fs = new java.io.File(statePath)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete()
+    }
+    def versionDirs() = Option(fs.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("v="))
+    def finishSwap(staging: java.io.File, target: Long): Unit = {
+      versionDirs().foreach(rm)
+      require(staging.renameTo(new java.io.File(fs, s"v=$target")),
+        s"compaction swap failed for $statePath")
+    }
+    // recovery: a fully staged compaction from a crashed run only needs
+    // its swap finished
+    Option(fs.listFiles()).getOrElse(Array.empty)
+      .find(f => f.isDirectory && f.getName.startsWith("__compact.v=")) match {
+      case Some(staged)
+          if new java.io.File(staged, "fp/_SUCCESS").exists() &&
+            new java.io.File(staged, "idx/_SUCCESS").exists() =>
+        finishSwap(staged, staged.getName.stripPrefix("__compact.v=").toLong)
+        return
+      case Some(halfStaged) => rm(halfStaged) // incomplete: rebuild below
+      case None =>
+    }
+    val versions = versionDirs().map(_.getName.stripPrefix("v=").toLong).sorted
+    if (versions.length <= 1) return
+    val staging = new java.io.File(fs, s"__compact.v=${versions.max}")
+    spark.read.parquet(versions.map(v => s"$statePath/v=$v/fp"): _*)
+      .write.mode("overwrite").parquet(s"$staging/fp")
+    spark.read.parquet(versions.map(v => s"$statePath/v=$v/idx"): _*)
+      .write.mode("overwrite").parquet(s"$staging/idx")
+    finishSwap(staging, versions.max)
+  }
+
   /** Online data-mixing maintenance: keep per-source token counts as a
     * versioned parquet state while document shards stream in, so the
     * temperature-mixing weights (operators.QualityModels) can be

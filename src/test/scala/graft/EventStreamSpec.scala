@@ -516,6 +516,48 @@ class EventStreamSpec extends AnyFunSuite with SparkSpec {
     assert(spark.read.parquet(s"$state/v=0/fp").count() == 1)
   }
 
+  test("compactCurateState: versions merge to one, the stream continues, a crashed swap recovers") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    def doc(id: Long, text: String) = s"""{"doc_id":$id,"text":"$text"}"""
+    def words(a: Int, b: Int, p: String) = (a to b).map(i => s"$p$i").mkString(" ")
+    val (in, chk) = newDirs()
+    val state = Files.createTempDirectory("graft-cmpstate").toString
+    val out = Files.createTempDirectory("graft-cmpout").toString
+    val src = EventStream.jsonFileStream(spark, in, docSchema)
+    drop(in, "a.json", doc(1, words(1, 30, "a")))
+    EventStream.streamingCurate(src, state, out, chk).awaitTermination()
+    drop(in, "b.json", doc(10, words(1, 30, "b")))
+    EventStream.streamingCurate(src, state, out, chk).awaitTermination()
+    val before = spark.read.parquet(s"$state/v=*/fp").collect()
+      .map(_.getString(0)).toSet
+    EventStream.compactCurateState(spark, state)
+    val dirs = new java.io.File(state).listFiles().filter(_.isDirectory)
+    assert(dirs.map(_.getName).toSet == Set("v=1"), dirs.mkString(","))
+    assert(spark.read.parquet(s"$state/v=1/fp").collect()
+      .map(_.getString(0)).toSet == before)
+    // the stream continues against the compacted state: a re-ingest of
+    // batch-0 content is still recognized as a duplicate
+    drop(in, "c.json", doc(20, words(1, 30, "a")), doc(21, words(1, 30, "c")))
+    EventStream.streamingCurate(src, state, out, chk).awaitTermination()
+    val ids2 = spark.read.parquet(s"$out/batch=2")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids2 == Set(21L))
+    // crashed-swap recovery: simulate a crash AFTER staging completed
+    // but BEFORE the swap — rerunning compaction must finish it
+    val staged = new java.io.File(state, "__compact.v=2")
+    val full = spark.read.parquet(s"$state/v=*/fp")
+    full.write.mode("overwrite").parquet(s"$staged/fp")
+    spark.read.parquet(s"$state/v=*/idx")
+      .write.mode("overwrite").parquet(s"$staged/idx")
+    EventStream.compactCurateState(spark, state)
+    val dirs2 = new java.io.File(state).listFiles().filter(_.isDirectory)
+    assert(dirs2.map(_.getName).toSet == Set("v=2"), dirs2.mkString(","))
+    assert(spark.read.parquet(s"$state/v=2/fp").count() == 3) // a, b, c
+  }
+
   test("the batch flatteners run unchanged on a streaming DataFrame") {
     val (in, chk) = newDirs()
     drop(in, "blocks.json",
