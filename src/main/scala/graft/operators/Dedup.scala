@@ -619,18 +619,48 @@ object Dedup {
     * shape both the cosine join and the dense assembly consume. One
     * token explode + one (id, bucket) aggregate; shuffle keys are
     * fixed-width. */
+  // the ONE definition of the feature-hashing scheme (mirrored by the
+  // q194-q197 oracle CTEs): bucket from md5 hex 1-8, sign from hex 9
+  private def hashBucket(tok: Column, dims: Int): Column =
+    conv(substring(md5(tok), 1, 8), 16, 10).cast("long") % dims
+  private def hashSign(tok: Column): Column =
+    when(conv(substring(md5(tok), 9, 1), 16, 10).cast("long") % 2 === 1, 1L)
+      .otherwise(-1L)
+
   def hashedVectorEntries(docs: DataFrame, id: String, text: String,
       dims: Int = 64): DataFrame = {
     require(dims > 0)
     docs.select(col(id), explode(split(col(text), " ")).as("tok"))
-      .select(col(id),
-        (conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long")
-          % dims).as("bucket"),
-        when(conv(substring(md5(col("tok")), 9, 1), 16, 10)
-          .cast("long") % 2 === 1, 1L).otherwise(-1L).as("sign"))
+      .select(col(id), hashBucket(col("tok"), dims).as("bucket"),
+        hashSign(col("tok")).as("sign"))
       .groupBy(col(id), col("bucket"))
       .agg(sum("sign").as("v"))
       .filter(col("v") =!= 0)
+  }
+
+  /** The shared cosine-top-k tail over a sparse entries frame
+    * (id, bucket, v): query entries broadcast, candidates bucket-
+    * joined, rounded-cosine ranking with the id tie-break into a
+    * TakeOrdered k-row reduce. Zero entries must already be filtered —
+    * a zero-norm doc would otherwise score 0/0 = NaN, which Spark's
+    * desc ordering ranks FIRST. */
+  private def cosineTopKFromEntries(e: DataFrame, id: String,
+      queryId: Long, k: Int, roundAt: Int): DataFrame = {
+    val norms = e.groupBy(col(id))
+      .agg(sqrt(sum(col("v") * col("v"))).as("nrm"))
+    val qe = e.filter(col(id) === queryId)
+      .select(col("bucket"), col("v").as("qv"))
+    val qn = norms.filter(col(id) === queryId).select(col("nrm").as("qn"))
+    e.filter(col(id) =!= queryId)
+      .join(broadcast(qe), Seq("bucket"))
+      .groupBy(col(id))
+      .agg(sum(col("v") * col("qv")).as("dot"))
+      .join(norms, Seq(id))
+      .crossJoin(broadcast(qn))
+      .select(col(id),
+        round(col("dot") / (col("nrm") * col("qn")), roundAt).as("cosine"))
+      .orderBy(desc("cosine"), col(id))
+      .limit(k)
   }
 
   /** Per-document summary of the hashed vector: non-zero coordinate
@@ -667,24 +697,10 @@ object Dedup {
     * TakeOrdered k-row reduce. Docs sharing no bucket with the query
     * (cosine 0) are not returned — at k ≪ corpus they never rank. */
   def hashedTopK(docs: DataFrame, id: String, text: String,
-      queryId: Long, k: Int, dims: Int = 64, roundAt: Int = 4): DataFrame = {
-    val e = hashedVectorEntries(docs, id, text, dims).localCheckpoint(false)
-    val norms = e.groupBy(col(id))
-      .agg(sqrt(sum(col("v") * col("v"))).as("nrm"))
-    val qe = e.filter(col(id) === queryId)
-      .select(col("bucket"), col("v").as("qv"))
-    val qn = norms.filter(col(id) === queryId).select(col("nrm").as("qn"))
-    e.filter(col(id) =!= queryId)
-      .join(broadcast(qe), Seq("bucket"))
-      .groupBy(col(id))
-      .agg(sum(col("v") * col("qv")).as("dot"))
-      .join(norms, Seq(id))
-      .crossJoin(broadcast(qn))
-      .select(col(id),
-        round(col("dot") / (col("nrm") * col("qn")), roundAt).as("cosine"))
-      .orderBy(desc("cosine"), col(id))
-      .limit(k)
-  }
+      queryId: Long, k: Int, dims: Int = 64, roundAt: Int = 4): DataFrame =
+    cosineTopKFromEntries(
+      hashedVectorEntries(docs, id, text, dims).localCheckpoint(false),
+      id, queryId, k, roundAt)
 
   /** [[hashedTopK]] with IDF weighting — the TF-IDF upgrade: each
     * token's contribution is `sign · tf · log2((N+1)/(df+1))`, so
@@ -702,35 +718,22 @@ object Dedup {
     val nd = broadcast(docs.agg(countDistinct(col(id)).as("nd")))
     val dfreq = toks.select(col(id), col("tok")).distinct()
       .groupBy("tok").agg(count(lit(1)).as("df"))
+    // exact-zero entries (df = N tokens, or exact cancellation) are
+    // dropped like hashedVectorEntries' — a zero-norm doc otherwise
+    // scores 0/0 = NaN, which desc ordering would rank FIRST, putting
+    // pure-boilerplate docs at the top of the results
     val e = toks
       .groupBy(col(id), col("tok")).agg(count(lit(1)).as("tf"))
       .join(broadcast(dfreq), Seq("tok"))
       .crossJoin(nd)
-      .select(col(id),
-        (conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long")
-          % dims).as("bucket"),
-        (when(conv(substring(md5(col("tok")), 9, 1), 16, 10)
-          .cast("long") % 2 === 1, 1.0).otherwise(-1.0) *
-          col("tf") *
+      .select(col(id), hashBucket(col("tok"), dims).as("bucket"),
+        (hashSign(col("tok")).cast("double") * col("tf") *
           log2((col("nd") + 1).cast("double") / (col("df") + 1))).as("w"))
       .groupBy(col(id), col("bucket"))
       .agg(sum("w").as("v"))
+      .filter(col("v") =!= 0.0)
       .localCheckpoint(false)
-    val norms = e.groupBy(col(id))
-      .agg(sqrt(sum(col("v") * col("v"))).as("nrm"))
-    val qe = e.filter(col(id) === queryId)
-      .select(col("bucket"), col("v").as("qv"))
-    val qn = norms.filter(col(id) === queryId).select(col("nrm").as("qn"))
-    e.filter(col(id) =!= queryId)
-      .join(broadcast(qe), Seq("bucket"))
-      .groupBy(col(id))
-      .agg(sum(col("v") * col("qv")).as("dot"))
-      .join(norms, Seq(id))
-      .crossJoin(broadcast(qn))
-      .select(col(id),
-        round(col("dot") / (col("nrm") * col("qn")), roundAt).as("cosine"))
-      .orderBy(desc("cosine"), col(id))
-      .limit(k)
+    cosineTopKFromEntries(e, id, queryId, k, roundAt)
   }
 
   /** Lexical-vs-semantic audit over the verified near-dup pair graph:

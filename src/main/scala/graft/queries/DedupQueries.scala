@@ -1221,7 +1221,8 @@ object DedupQueries {
                      * tf.tf
                      * log2((nd.nd + 1) / CAST(dfq.df + 1 AS DOUBLE)) AS w
             FROM tf JOIN dfq USING (tok), nd),
-      b AS (SELECT doc_id, bucket, SUM(w) AS v FROM e GROUP BY doc_id, bucket),
+      b AS (SELECT doc_id, bucket, SUM(w) AS v FROM e GROUP BY doc_id, bucket
+            HAVING SUM(w) <> 0),
       nn AS (SELECT doc_id, sqrt(SUM(v * v)) AS nrm FROM b GROUP BY doc_id),
       qe AS (SELECT bucket, v AS qv FROM b WHERE doc_id = 0),
       qn AS (SELECT nrm AS qn FROM nn WHERE doc_id = 0),

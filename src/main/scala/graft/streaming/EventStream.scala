@@ -428,11 +428,8 @@ object EventStream {
     docs.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
-        val fs = new java.io.File(statePath)
-        fs.mkdirs()
-        val versions = Option(fs.listFiles()).getOrElse(Array.empty)
-          .filter(f => f.isDirectory && f.getName.startsWith("v="))
-          .map(_.getName.stripPrefix("v=").toLong)
+        new java.io.File(statePath).mkdirs()
+        val versions = stateVersionDirs(statePath).map(stateVersion)
         val prev = versions.filter(_ < batchId).sorted.lastOption
         val prior = prev.map(v => spark.read.parquet(s"$statePath/v=$v"))
         val committed =
@@ -496,9 +493,7 @@ object EventStream {
           new java.io.File(s"$statePath/v=$batchId/fp/_SUCCESS").exists() &&
             new java.io.File(s"$statePath/v=$batchId/idx/_SUCCESS").exists()
         if (!committed) {
-          val priorVs = Option(fs.listFiles()).getOrElse(Array.empty)
-            .filter(f => f.isDirectory && f.getName.startsWith("v="))
-            .map(_.getName.stripPrefix("v=").toLong)
+          val priorVs = stateVersionDirs(statePath).map(stateVersion)
             .filter(_ < batchId).sorted
           // stored state = union of all committed prior version deltas
           val (fps, idx) =
@@ -541,26 +536,37 @@ object EventStream {
       Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
       f.delete()
     }
-    def versionDirs() = Option(fs.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("v="))
+    def committed(f: java.io.File): Boolean =
+      new java.io.File(f, "fp/_SUCCESS").exists() &&
+        new java.io.File(f, "idx/_SUCCESS").exists()
+    // merge COMMITTED versions only: a mid-crash partial delta belongs
+    // to the batch the stream will replay, not to the compacted base —
+    // merging it would permanently duplicate its rows once the replay
+    // re-appends the full delta
+    def committedVersions() = stateVersionDirs(statePath).filter(committed)
+      .map(stateVersion).sorted
+    // the swap deletes only versions <= target: deltas appended AFTER a
+    // staging was built must survive it
     def finishSwap(staging: java.io.File, target: Long): Unit = {
-      versionDirs().foreach(rm)
+      stateVersionDirs(statePath)
+        .filter(f => stateVersion(f) <= target).foreach(rm)
       require(staging.renameTo(new java.io.File(fs, s"v=$target")),
         s"compaction swap failed for $statePath")
     }
-    // recovery: a fully staged compaction from a crashed run only needs
-    // its swap finished
+    // recovery: a fully staged compaction from a crashed run finishes
+    // its swap — UNLESS committed deltas newer than its target have
+    // arrived since (the staging is stale; discard and rebuild so the
+    // new deltas are included instead of silently deleted)
     Option(fs.listFiles()).getOrElse(Array.empty)
       .find(f => f.isDirectory && f.getName.startsWith("__compact.v=")) match {
-      case Some(staged)
-          if new java.io.File(staged, "fp/_SUCCESS").exists() &&
-            new java.io.File(staged, "idx/_SUCCESS").exists() =>
-        finishSwap(staged, staged.getName.stripPrefix("__compact.v=").toLong)
-        return
+      case Some(staged) if committed(staged) =>
+        val target = staged.getName.stripPrefix("__compact.v=").toLong
+        if (committedVersions().exists(_ > target)) rm(staged)
+        else { finishSwap(staged, target); return }
       case Some(halfStaged) => rm(halfStaged) // incomplete: rebuild below
       case None =>
     }
-    val versions = versionDirs().map(_.getName.stripPrefix("v=").toLong).sorted
+    val versions = committedVersions()
     if (versions.length <= 1) return
     val staging = new java.io.File(fs, s"__compact.v=${versions.max}")
     spark.read.parquet(versions.map(v => s"$statePath/v=$v/fp"): _*)
@@ -569,6 +575,14 @@ object EventStream {
       .write.mode("overwrite").parquet(s"$staging/idx")
     finishSwap(staging, versions.max)
   }
+
+  /** The versioned-state directory convention, defined once for the
+    * sinks and their compactor: one dir per version named `v=<n>`. */
+  private def stateVersionDirs(statePath: String): Array[java.io.File] =
+    Option(new java.io.File(statePath).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("v="))
+  private def stateVersion(f: java.io.File): Long =
+    f.getName.stripPrefix("v=").toLong
 
   /** Online data-mixing maintenance: keep per-source token counts as a
     * versioned parquet state while document shards stream in, so the
@@ -605,11 +619,8 @@ object EventStream {
     src.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
-        val fs = new java.io.File(statePath)
-        fs.mkdirs()
-        val versions = Option(fs.listFiles()).getOrElse(Array.empty)
-          .filter(f => f.isDirectory && f.getName.startsWith("v="))
-          .map(_.getName.stripPrefix("v=").toLong)
+        new java.io.File(statePath).mkdirs()
+        val versions = stateVersionDirs(statePath).map(stateVersion)
         val d = delta(batch)
         val prev = versions.filter(_ < batchId).sorted.lastOption
         val refreshed = prev match {

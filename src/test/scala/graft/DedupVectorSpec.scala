@@ -96,8 +96,12 @@ class DedupVectorSpec extends AnyFunSuite with SparkSpec {
       (3L, s"$boiler basalt")).toDF("doc_id", "text")
     val out = Dedup.hashedTfidfTopK(docs, "doc_id", "text", queryId = 0L, k = 3)
       .collect()
-    assert(out.head.getLong(0) == 1L, out.mkString(","))
-    assert(out.head.getDouble(1) > out(1).getDouble(1))
+    // corpus-wide tokens (df = N) carry zero IDF weight and are
+    // filtered from the entries, so docs sharing ONLY boilerplate with
+    // the query have no scoring bucket at all — the one returned doc
+    // is the rare-token match
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L), out.mkString(","))
+    assert(out.head.getDouble(1) > 0.9)
   }
 
   test("lexicalSemanticAudit: one row per verified pair, near-dups are vector-close") {

@@ -558,6 +558,45 @@ class EventStreamSpec extends AnyFunSuite with SparkSpec {
     assert(spark.read.parquet(s"$state/v=2/fp").count() == 3) // a, b, c
   }
 
+  test("compactCurateState: a stale staged snapshot is discarded, newer deltas survive") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    def doc(id: Long, text: String) = s"""{"doc_id":$id,"text":"$text"}"""
+    def words(a: Int, b: Int, p: String) = (a to b).map(i => s"$p$i").mkString(" ")
+    val (in, chk) = newDirs()
+    val state = Files.createTempDirectory("graft-stalestate").toString
+    val out = Files.createTempDirectory("graft-staleout").toString
+    val src = EventStream.jsonFileStream(spark, in, docSchema)
+    drop(in, "a.json", doc(1, words(1, 30, "a")))
+    EventStream.streamingCurate(src, state, out, chk).awaitTermination()
+    drop(in, "b.json", doc(10, words(1, 30, "b")))
+    EventStream.streamingCurate(src, state, out, chk).awaitTermination()
+    // simulate a compaction that staged v<=1 and crashed before its swap
+    val staged = new java.io.File(state, "__compact.v=1")
+    spark.read.parquet(s"$state/v=0/fp", s"$state/v=1/fp")
+      .write.mode("overwrite").parquet(s"$staged/fp")
+    spark.read.parquet(s"$state/v=0/idx", s"$state/v=1/idx")
+      .write.mode("overwrite").parquet(s"$staged/idx")
+    // a NEWER delta arrives before the next maintenance window
+    drop(in, "c.json", doc(20, words(1, 30, "c")))
+    EventStream.streamingCurate(src, state, out, chk).awaitTermination()
+    // compaction must notice the staging is stale, discard it, and
+    // rebuild including the batch-2 delta — finishing the stale swap
+    // would have deleted v=2 and lost the c-fingerprint
+    EventStream.compactCurateState(spark, state)
+    val dirs = new java.io.File(state).listFiles().filter(_.isDirectory)
+    assert(dirs.map(_.getName).toSet == Set("v=2"), dirs.mkString(","))
+    assert(spark.read.parquet(s"$state/v=2/fp").count() == 3)
+    // and the compacted state still blocks a re-ingest of c-content
+    drop(in, "d.json", doc(30, words(1, 30, "c")), doc(31, words(1, 30, "d")))
+    EventStream.streamingCurate(src, state, out, chk).awaitTermination()
+    val ids3 = spark.read.parquet(s"$out/batch=3")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids3 == Set(31L))
+  }
+
   test("the batch flatteners run unchanged on a streaming DataFrame") {
     val (in, chk) = newDirs()
     drop(in, "blocks.json",
