@@ -2,6 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
@@ -321,10 +322,9 @@ object EventStream {
         val newIdxPath = s"$indexDir/batch=$batchId"
         graft.operators.Dedup.indexDocs(batch, id, text, n, k)
           .write.mode("overwrite").parquet(newIdxPath)
-        val hasPrior = Option(new java.io.File(indexDir).listFiles())
-          .getOrElse(Array.empty[java.io.File])
-          .exists(f => f.isDirectory && f.getName.startsWith("batch=")
-            && f.getName.stripPrefix("batch=").toLong < batchId)
+        val hasPrior =
+          versionIds(stateFs(spark, indexDir), indexDir, "batch=")
+            .exists(_ < batchId)
         val newIndex = spark.read.parquet(newIdxPath)
         val prior =
           if (hasPrior) spark.read.parquet(indexDir)
@@ -428,12 +428,16 @@ object EventStream {
     docs.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
-        new java.io.File(statePath).mkdirs()
-        val versions = stateVersionDirs(statePath).map(stateVersion)
+        val hfs = stateFs(spark, statePath)
+        hfs.mkdirs(new Path(statePath))
+        // COMMITTED versions only: a partial dir below batchId (manual
+        // restore, copied state, foreign writer) must not be silently
+        // unioned as state — same predicate as the replay guard below
+        val versions = versionIds(hfs, statePath)
+          .filter(v => pathExists(hfs, s"$statePath/v=$v/_SUCCESS"))
         val prev = versions.filter(_ < batchId).sorted.lastOption
         val prior = prev.map(v => spark.read.parquet(s"$statePath/v=$v"))
-        val committed =
-          new java.io.File(s"$statePath/v=$batchId/_SUCCESS").exists()
+        val committed = versions.contains(batchId)
         if (!committed) {
           val (ns, _) = graft.operators.CorpusPipeline
             .noveltyAppend(prior, batch.toDF(), id, text, n, lgK)
@@ -458,6 +462,13 @@ object EventStream {
             round(col("est_total") - col("est_prev"), 1).as("est_new"),
             round(col("est_total"), 1).as("est_total"))
           .write.mode("overwrite").parquet(s"$reportDir/batch=$batchId")
+        // report derivation only ever needs the immediately previous
+        // version: retain the last 2 committed versions (current + the
+        // replay-guard predecessor) and delete the rest — otherwise a
+        // long-running stream accumulates version dirs without bound
+        // and the per-batch listing grows linearly with stream age
+        versions.filter(_ < batchId).sorted.dropRight(1)
+          .foreach(v => hfs.delete(new Path(s"$statePath/v=$v"), true))
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
@@ -487,15 +498,18 @@ object EventStream {
     docs.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
-        val fs = new java.io.File(statePath)
-        fs.mkdirs()
-        val committed =
-          new java.io.File(s"$statePath/v=$batchId/fp/_SUCCESS").exists() &&
-            new java.io.File(s"$statePath/v=$batchId/idx/_SUCCESS").exists()
-        if (!committed) {
-          val priorVs = stateVersionDirs(statePath).map(stateVersion)
-            .filter(_ < batchId).sorted
-          // stored state = union of all committed prior version deltas
+        val hfs = stateFs(spark, statePath)
+        hfs.mkdirs(new Path(statePath))
+        def committedV(v: Long): Boolean =
+          pathExists(hfs, s"$statePath/v=$v/fp/_SUCCESS") &&
+            pathExists(hfs, s"$statePath/v=$v/idx/_SUCCESS")
+        if (!committedV(batchId)) {
+          // stored state = union of COMMITTED prior version deltas only
+          // (same predicate as the replay guard): a partial dir below
+          // batchId — manual restore, copied state, foreign writer —
+          // must fail to count as state rather than be silently unioned
+          val priorVs = versionIds(hfs, statePath)
+            .filter(v => v < batchId && committedV(v)).sorted
           val (fps, idx) =
             if (priorVs.isEmpty) graft.operators.CorpusPipeline
               .curateStateBuild(batch.toDF().limit(0), id, text)
@@ -510,6 +524,14 @@ object EventStream {
           surv.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
           fpDelta.write.mode("overwrite").parquet(s"$statePath/v=$batchId/fp")
           idxDelta.write.mode("overwrite").parquet(s"$statePath/v=$batchId/idx")
+          // the three writes are done: release the per-batch
+          // localCheckpoint blocks (curateIncrementalDelta checkpoints
+          // its quality+exact chain and the batch index) — their RDDs
+          // are unreachable to us afterwards, and a long-running stream
+          // would otherwise accumulate checkpoint storage until GC
+          graft.operators.Dedup.freeLocalCheckpoint(surv)
+          graft.operators.Dedup.freeLocalCheckpoint(fpDelta)
+          graft.operators.Dedup.freeLocalCheckpoint(idxDelta)
         }
       }
       .option("checkpointLocation", checkpoint)
@@ -531,58 +553,73 @@ object EventStream {
     * stream (the standard maintenance-window contract); on an object
     * store, swap via the store's atomic rename/manifest instead. */
   def compactCurateState(spark: SparkSession, statePath: String): Unit = {
-    val fs = new java.io.File(statePath)
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-      f.delete()
-    }
-    def committed(f: java.io.File): Boolean =
-      new java.io.File(f, "fp/_SUCCESS").exists() &&
-        new java.io.File(f, "idx/_SUCCESS").exists()
+    val hfs = stateFs(spark, statePath)
+    val root = new Path(statePath)
+    if (!hfs.exists(root)) return
+    def committed(p: Path): Boolean =
+      hfs.exists(new Path(p, "fp/_SUCCESS")) &&
+        hfs.exists(new Path(p, "idx/_SUCCESS"))
     // merge COMMITTED versions only: a mid-crash partial delta belongs
     // to the batch the stream will replay, not to the compacted base —
     // merging it would permanently duplicate its rows once the replay
     // re-appends the full delta
-    def committedVersions() = stateVersionDirs(statePath).filter(committed)
-      .map(stateVersion).sorted
+    def committedVersions(): Seq[Long] = versionIds(hfs, statePath)
+      .filter(v => committed(new Path(root, s"v=$v"))).sorted
     // the swap deletes only versions <= target: deltas appended AFTER a
     // staging was built must survive it
-    def finishSwap(staging: java.io.File, target: Long): Unit = {
-      stateVersionDirs(statePath)
-        .filter(f => stateVersion(f) <= target).foreach(rm)
-      require(staging.renameTo(new java.io.File(fs, s"v=$target")),
+    def finishSwap(staging: Path, target: Long): Unit = {
+      versionIds(hfs, statePath).filter(_ <= target)
+        .foreach(v => hfs.delete(new Path(root, s"v=$v"), true))
+      require(hfs.rename(staging, new Path(root, s"v=$target")),
         s"compaction swap failed for $statePath")
     }
     // recovery: a fully staged compaction from a crashed run finishes
     // its swap — UNLESS committed deltas newer than its target have
     // arrived since (the staging is stale; discard and rebuild so the
     // new deltas are included instead of silently deleted)
-    Option(fs.listFiles()).getOrElse(Array.empty)
-      .find(f => f.isDirectory && f.getName.startsWith("__compact.v=")) match {
+    hfs.listStatus(root).toIndexedSeq.map(_.getPath)
+      .find(_.getName.startsWith("__compact.v=")) match {
       case Some(staged) if committed(staged) =>
         val target = staged.getName.stripPrefix("__compact.v=").toLong
-        if (committedVersions().exists(_ > target)) rm(staged)
+        if (committedVersions().exists(_ > target)) hfs.delete(staged, true)
         else { finishSwap(staged, target); return }
-      case Some(halfStaged) => rm(halfStaged) // incomplete: rebuild below
+      case Some(halfStaged) => hfs.delete(halfStaged, true) // incomplete: rebuild below
       case None =>
     }
     val versions = committedVersions()
     if (versions.length <= 1) return
-    val staging = new java.io.File(fs, s"__compact.v=${versions.max}")
+    val staging = new Path(root, s"__compact.v=${versions.max}")
     spark.read.parquet(versions.map(v => s"$statePath/v=$v/fp"): _*)
-      .write.mode("overwrite").parquet(s"$staging/fp")
+      .write.mode("overwrite").parquet(new Path(staging, "fp").toString)
     spark.read.parquet(versions.map(v => s"$statePath/v=$v/idx"): _*)
-      .write.mode("overwrite").parquet(s"$staging/idx")
+      .write.mode("overwrite").parquet(new Path(staging, "idx").toString)
     finishSwap(staging, versions.max)
   }
 
-  /** The versioned-state directory convention, defined once for the
-    * sinks and their compactor: one dir per version named `v=<n>`. */
-  private def stateVersionDirs(statePath: String): Array[java.io.File] =
-    Option(new java.io.File(statePath).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("v="))
-  private def stateVersion(f: java.io.File): Long =
-    f.getName.stripPrefix("v=").toLong
+  // --- versioned-state directory convention, defined once for the
+  // sinks and their compactor: one dir per version named `v=<n>`. All
+  // state I/O goes through the Hadoop FileSystem API (resolved from the
+  // path's scheme) so state dirs work identically on local disk, HDFS
+  // and S3A — java.io.File would silently see an empty directory for
+  // any non-local URI, which on a real cluster turns the replay guard
+  // and the state union into no-ops. ---
+
+  private def stateFs(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def pathExists(fs: FileSystem, path: String): Boolean =
+    fs.exists(new Path(path))
+
+  /** Version numbers of child dirs of `root` named `<prefix><n>`;
+    * empty if `root` does not exist. */
+  private def versionIds(fs: FileSystem, root: String,
+      prefix: String = "v="): Seq[Long] = {
+    val p = new Path(root)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toIndexedSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
+      .map(_.getPath.getName.stripPrefix(prefix).toLong)
+  }
 
   /** Online data-mixing maintenance: keep per-source token counts as a
     * versioned parquet state while document shards stream in, so the
@@ -619,8 +656,12 @@ object EventStream {
     src.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
-        new java.io.File(statePath).mkdirs()
-        val versions = stateVersionDirs(statePath).map(stateVersion)
+        val hfs = stateFs(spark, statePath)
+        hfs.mkdirs(new Path(statePath))
+        // merge from COMMITTED versions only — a torn prior write (died
+        // between parquet files) must not serve as the merge base
+        val versions = versionIds(hfs, statePath)
+          .filter(v => pathExists(hfs, s"$statePath/v=$v/_SUCCESS"))
         val d = delta(batch)
         val prev = versions.filter(_ < batchId).sorted.lastOption
         val refreshed = prev match {
@@ -647,9 +688,9 @@ object EventStream {
   /** Latest materialized state written by a versioned-state sink
     * ([[runIncrementalAgg]], [[streamingSourceTokenCounts]]). */
   def latestAggState(spark: SparkSession, statePath: String): DataFrame = {
-    val vs = Option(new java.io.File(statePath).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("v="))
-      .map(_.getName.stripPrefix("v=").toLong)
+    val hfs = stateFs(spark, statePath)
+    val vs = versionIds(hfs, statePath)
+      .filter(v => pathExists(hfs, s"$statePath/v=$v/_SUCCESS"))
     require(vs.nonEmpty, s"no state versions under $statePath")
     spark.read.parquet(s"$statePath/v=${vs.max}")
   }

@@ -597,6 +597,85 @@ class EventStreamSpec extends AnyFunSuite with SparkSpec {
     assert(ids3 == Set(31L))
   }
 
+  test("streaming curate + compaction run against an explicit file: URI state path (Hadoop FS, not java.io)") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    def doc(id: Long, text: String) = s"""{"doc_id":$id,"text":"$text"}"""
+    def words(a: Int, b: Int, p: String) = (a to b).map(i => s"$p$i").mkString(" ")
+    val (in, chk) = newDirs()
+    val stateDisk = Files.createTempDirectory("graft-uristate").toString
+    val state = s"file:$stateDisk" // scheme-qualified: resolved via Path#getFileSystem
+    val out = Files.createTempDirectory("graft-uriout").toString
+    val src = EventStream.jsonFileStream(spark, in, docSchema)
+    drop(in, "a.json", doc(1, words(1, 30, "a")))
+    EventStream.streamingCurate(src, state, out, chk).awaitTermination()
+    drop(in, "b.json", doc(10, words(1, 30, "a")), doc(11, words(1, 30, "b")))
+    EventStream.streamingCurate(src, state, out, chk).awaitTermination()
+    // the URI state blocked the re-ingest of batch-0 content
+    assert(spark.read.parquet(s"$out/batch=1")
+      .select("doc_id").collect().map(_.getLong(0)).toSet == Set(11L))
+    EventStream.compactCurateState(spark, state)
+    assert(new java.io.File(stateDisk).listFiles().filter(_.isDirectory)
+      .map(_.getName).toSet == Set("v=1"))
+    assert(spark.read.parquet(s"$state/v=1/fp").count() == 2)
+    // and the stream continues against the compacted URI state
+    drop(in, "c.json", doc(20, words(1, 30, "b")), doc(21, words(1, 30, "c")))
+    EventStream.streamingCurate(src, state, out, chk).awaitTermination()
+    assert(spark.read.parquet(s"$out/batch=2")
+      .select("doc_id").collect().map(_.getLong(0)).toSet == Set(21L))
+  }
+
+  test("streaming curate: an uncommitted prior version delta is not unioned as state") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    def doc(id: Long, text: String) = s"""{"doc_id":$id,"text":"$text"}"""
+    def words(a: Int, b: Int, p: String) = (a to b).map(i => s"$p$i").mkString(" ")
+    val (in, chk) = newDirs()
+    val state = Files.createTempDirectory("graft-uncommitted").toString
+    val out = Files.createTempDirectory("graft-uncommitted-out").toString
+    val src = EventStream.jsonFileStream(spark, in, docSchema)
+    drop(in, "a.json", doc(1, words(1, 30, "a")))
+    EventStream.streamingCurate(src, state, out, chk).awaitTermination()
+    drop(in, "b.json", doc(10, words(1, 30, "b")))
+    EventStream.streamingCurate(src, state, out, chk).awaitTermination()
+    // tear v=0 (simulated partial restore: parquet present, _SUCCESS gone)
+    assert(new java.io.File(s"$state/v=0/fp/_SUCCESS").delete())
+    // batch 2: v=0 must be EXCLUDED from the state union — batch-0
+    // content passes (its fingerprint is in the torn delta), batch-1
+    // content is still blocked by the intact v=1
+    drop(in, "c.json", doc(20, words(1, 30, "a")), doc(21, words(1, 30, "b")))
+    EventStream.streamingCurate(src, state, out, chk).awaitTermination()
+    assert(spark.read.parquet(s"$out/batch=2")
+      .select("doc_id").collect().map(_.getLong(0)).toSet == Set(20L))
+  }
+
+  test("streaming novelty: old state versions are pruned to the last two") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    def doc(id: Long, text: String) = s"""{"doc_id":$id,"text":"$text"}"""
+    val (in, chk) = newDirs()
+    val state = Files.createTempDirectory("graft-novprune").toString
+    val reports = Files.createTempDirectory("graft-novprune-rep").toString
+    val src = EventStream.jsonFileStream(spark, in, docSchema)
+    drop(in, "a.json", doc(1, "w1 w2 w3 w4 w5"))
+    EventStream.streamingNovelty(src, state, reports, chk).awaitTermination()
+    drop(in, "b.json", doc(2, "x1 x2 x3 x4 x5"))
+    EventStream.streamingNovelty(src, state, reports, chk).awaitTermination()
+    drop(in, "c.json", doc(3, "y1 y2 y3 y4 y5"))
+    EventStream.streamingNovelty(src, state, reports, chk).awaitTermination()
+    val vs = new java.io.File(state).listFiles().filter(_.isDirectory)
+      .map(_.getName).toSet
+    assert(vs == Set("v=1", "v=2"), s"expected last-2 retention, got $vs")
+    // reports for all three batches survive and totals accumulated
+    val rep = spark.read.parquet(reports).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(rep.keySet == Set(1L, 2L, 3L))
+    assert(rep(3L) == 6.0) // 2+2+2 distinct 4-grams, HLL exact when sparse
+  }
+
   test("the batch flatteners run unchanged on a streaming DataFrame") {
     val (in, chk) = newDirs()
     drop(in, "blocks.json",
