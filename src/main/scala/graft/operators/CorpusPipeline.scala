@@ -125,7 +125,7 @@ object CorpusPipeline {
     * train × bench. */
   def decontaminateFuzzy(train: DataFrame, bench: DataFrame, id: String,
       text: String, n: Int = 4, k: Int = 16, bands: Int = 4,
-      threshold: Double = 0.5, maxBucketSize: Int = Int.MaxValue): DataFrame = {
+      threshold: Double = 0.5, maxBucketSize: Int = Dedup.DefaultMaxBucketSize): DataFrame = {
     // index once: the train index feeds BOTH the pair search and the
     // report base (indexDocs already keeps exactly the ≥n-token docs),
     // so the corpus is scanned once, not twice

@@ -133,6 +133,21 @@ object Dedup {
          |  p -> p.__keep)""".stripMargin)
   }
 
+  /** Default LSH hot-bucket cap: ON by default, because the failure
+    * mode it prevents is a silent blow-up — at web-corpus scale one
+    * boilerplate bucket (empty-ish docs, template pages) makes the
+    * candidate stage quadratic in that bucket's population. 10k is far
+    * above any honest near-dup bucket at sane band widths while still
+    * bounding a degenerate bucket to ~5×10^7 in-bucket pairs. Pass
+    * `maxBucketSize = Int.MaxValue` to opt out explicitly. */
+  val DefaultMaxBucketSize: Int = 10000
+
+  private val hotBucketObserveSeq = new java.util.concurrent.atomic.AtomicLong
+  private val hotBucketListenerSessions =
+    java.util.Collections.synchronizedSet(
+      java.util.Collections.newSetFromMap(
+        new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, java.lang.Boolean]()))
+
   /** Hot-bucket guard for the LSH candidate stage. The in-bucket pair
     * expansion is quadratic in bucket size, and `collect_list` holds a
     * whole bucket in one aggregation buffer — so a single degenerate
@@ -145,17 +160,52 @@ object Dedup {
     * Recall note: a true near-dup pair is lost only if EVERY band it
     * collides in is hot — and hot buckets are overwhelmingly exact-dup/
     * boilerplate mass that upstream exact dedup should have removed.
-    * Default `Int.MaxValue` = guard off, behavior byte-identical. */
+    * `Int.MaxValue` = guard off, behavior byte-identical.
+    *
+    * No silent caps: the count pre-pass carries an `observe` metric
+    * (computed inside the existing aggregation — no extra job), and a
+    * per-session listener WARNs with the dropped-bucket count and the
+    * largest bucket whenever the cap actually fired. */
   private def hotBucketGuard(banded: DataFrame, maxBucketSize: Int): DataFrame =
     if (maxBucketSize == Int.MaxValue) banded
     else {
       require(maxBucketSize >= 2, s"maxBucketSize must be >= 2, got $maxBucketSize")
+      registerHotBucketListener(banded.sparkSession)
       val ok = banded.groupBy("band", "sig")
         .agg(count(lit(1)).as("__n"))
+        // unique node name: two guarded stages may share one executed plan
+        .observe(s"lsh_hot_bucket_guard_${hotBucketObserveSeq.incrementAndGet()}",
+          sum(when(col("__n") > maxBucketSize, 1L).otherwise(0L)).as("dropped_buckets"),
+          coalesce(max(col("__n")), lit(0L)).as("max_bucket"),
+          lit(maxBucketSize.toLong).as("cap"))
         .filter(col("__n") <= maxBucketSize)
         .select("band", "sig")
       banded.join(ok, Seq("band", "sig"))
     }
+
+  private def registerHotBucketListener(
+      spark: org.apache.spark.sql.SparkSession): Unit =
+    if (hotBucketListenerSessions.add(spark))
+      spark.listenerManager.register(
+        new org.apache.spark.sql.util.QueryExecutionListener {
+          private val log = org.apache.logging.log4j.LogManager.getLogger("graft.Dedup")
+          override def onSuccess(funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              durationNs: Long): Unit =
+            qe.observedMetrics.foreach { case (name, row) =>
+              if (name.startsWith("lsh_hot_bucket_guard_")) {
+                val dropped = row.getAs[Long]("dropped_buckets")
+                if (dropped > 0) log.warn(
+                  s"LSH hot-bucket guard dropped $dropped bucket(s) over cap=" +
+                    s"${row.getAs[Long]("cap")} (largest bucket: " +
+                    s"${row.getAs[Long]("max_bucket")} docs) — boilerplate/" +
+                    "exact-dup mass; run exact dedup upstream or raise maxBucketSize")
+              }
+            }
+          override def onFailure(funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              exception: Exception): Unit = ()
+        })
 
   /** Incremental near-dup maintenance — the append-a-shard path a 100 TB
     * corpus actually runs: keep the per-document [[indexDocs]] frame
@@ -183,7 +233,7 @@ object Dedup {
   def incrementalLshPairs(
       oldIndex: DataFrame, newDocs: DataFrame, id: String, text: String,
       n: Int = 4, k: Int = 16, bands: Int = 4,
-      threshold: Double = 0.5, maxBucketSize: Int = Int.MaxValue): DataFrame = {
+      threshold: Double = 0.5, maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     val newIndex = indexDocs(newDocs, id, text, n, k).localCheckpoint(true)
     val out = incrementalLshPairsIndexed(oldIndex, newIndex, id,
       k = k, bands = bands, threshold = threshold, maxBucketSize = maxBucketSize)
@@ -200,7 +250,7 @@ object Dedup {
   def incrementalLshPairsIndexed(
       oldIndex: DataFrame, newIndex: DataFrame, id: String,
       k: Int = 16, bands: Int = 4,
-      threshold: Double = 0.5, maxBucketSize: Int = Int.MaxValue): DataFrame = {
+      threshold: Double = 0.5, maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     val tagged = (isNew: Boolean, idx: DataFrame) =>
       bandedSignatures(idx.select(col(id), col("mh")), id, k, bands)
         .withColumn("__nw", lit(isNew))
@@ -267,7 +317,7 @@ object Dedup {
     * the corpus-sized base blocks are freed before returning. */
   def minHashLshPairs(docs: DataFrame, id: String, text: String,
       n: Int = 4, k: Int = 16, bands: Int = 4,
-      threshold: Double = 0.5, maxBucketSize: Int = Int.MaxValue): DataFrame = {
+      threshold: Double = 0.5, maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     val base = indexDocs(docs, id, text, n, k).localCheckpoint(true)
     val cands = hotBucketGuard(
         bandedSignatures(base.select(col(id), col("mh")), id, k, bands),
@@ -304,7 +354,7 @@ object Dedup {
   def crossFrameLshPairs(left: DataFrame, right: DataFrame,
       id: String, text: String,
       n: Int = 4, k: Int = 16, bands: Int = 4,
-      threshold: Double = 0.5, maxBucketSize: Int = Int.MaxValue): DataFrame = {
+      threshold: Double = 0.5, maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     val li = indexDocs(left, id, text, n, k).localCheckpoint(true)
     val ri = indexDocs(right, id, text, n, k).localCheckpoint(true)
     val out = crossFrameLshPairsIndexed(li, ri, id,
@@ -320,7 +370,7 @@ object Dedup {
     * many batches against one stored right index. */
   def crossFrameLshPairsIndexed(li: DataFrame, ri: DataFrame, id: String,
       k: Int = 16, bands: Int = 4,
-      threshold: Double = 0.5, maxBucketSize: Int = Int.MaxValue): DataFrame = {
+      threshold: Double = 0.5, maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     require(li.select(col(id)).join(ri.select(col(id)), Seq(id), "left_semi")
       .isEmpty, s"crossFrameLshPairs frames must be disjoint on '$id'")
     val tag = (isRight: Boolean, idx: DataFrame) =>

@@ -315,7 +315,7 @@ object EventStream {
       pairsDir: String, checkpoint: String,
       id: String = "doc_id", text: String = "text",
       n: Int = 4, k: Int = 16, bands: Int = 4, threshold: Double = 0.5,
-      maxBucketSize: Int = Int.MaxValue): StreamingQuery =
+      maxBucketSize: Int = graft.operators.Dedup.DefaultMaxBucketSize): StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession

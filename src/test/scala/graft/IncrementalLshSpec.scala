@@ -74,6 +74,24 @@ class IncrementalLshSpec extends SparkSpec {
     assert(incrCapped.forall { case (a, b) => a < 100L && b < 100L }, incrCapped)
   }
 
+  test("the DEFAULT cap engages against a >10k-doc degenerate bucket") {
+    import spark.implicits._
+    // 10,005 byte-identical docs land every band in one bucket just over
+    // DefaultMaxBucketSize. Without the default-on guard this expands
+    // ~2×10^8 in-bucket pair structs (minutes, or an executor OOM at
+    // scale); with it the flood is dropped in the count pre-pass and the
+    // genuine near-dup pair in its size-2 buckets is all that survives.
+    assert(Dedup.DefaultMaxBucketSize == 10000)
+    val boiler = (100L until 100L + 10005L)
+      .map(i => (i, "the same boilerplate line repeated across the whole crawl"))
+    val real = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"))
+    val docs = (boiler ++ real).toDF("doc_id", "text").repartition(8)
+    val pairs = pairSet(Dedup.minHashLshPairs(docs, "doc_id", "text"))
+    assert(pairs == Set((1L, 2L)), s"default cap did not engage: ${pairs.size} pairs")
+  }
+
   test("incremental batch == full recompute minus prior pairs (real corpus)") {
     val docs = Tables.documents(spark, sf("sf0.001"))
     val oldDocs = docs.filter(col("doc_id") % 3 =!= 0)
