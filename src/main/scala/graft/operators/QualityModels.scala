@@ -423,12 +423,24 @@ object QualityModels {
     * context — bounded by matrix mass — and the final ranking is
     * orderBy+limit (TakeOrderedAndProject: per-partition heaps, no
     * global sort). Ranking is by ROUNDED similarity with a lexical
-    * (w1, w2) tie-break, the cross-engine determinism device. Output:
+    * (w1, w2) tie-break, the cross-engine determinism device.
+    *
+    * Hot-context cap (`maxContextDf`, ON by default): the self-join's
+    * output mass is Σ_c m_c² for m_c = words whose PPMI with context c
+    * is positive — one stopword-ish context shared by 10^5 words alone
+    * yields 10^10 pairs, the quadratic blow-up of this operator at
+    * web-corpus scale. Context dimensions with more than `maxContextDf`
+    * positive partners are dropped from the VECTORS (norms included)
+    * before the join — standard PPMI practice (stopword contexts carry
+    * ~no distributional signal and drown the cosine) that also bounds
+    * the join output by vocab·cap. `Int.MaxValue` opts out. Output:
     * (w1, w2, n_ctx, cosine). */
   def ppmiTopPairs(docs: DataFrame, text: String,
-      window: Int = 2, topK: Int = 20): DataFrame = {
+      window: Int = 2, topK: Int = 20,
+      maxContextDf: Int = 1000): DataFrame = {
     require(window >= 1, s"window must be >= 1, got $window")
     require(topK >= 1, s"topK must be >= 1, got $topK")
+    require(maxContextDf >= 1, s"maxContextDf must be >= 1, got $maxContextDf")
     val pairs = docs.select(split(col(text), " ").as("toks"))
       .filter(size(col("toks")) >= 2)
       .select(explode(expr(
@@ -455,9 +467,18 @@ object QualityModels {
           (col("na").cast("double") * col("nc"))).as("v"))
       .filter(col("v") > 0)
       .localCheckpoint(false)
-    val norms = ppmi.groupBy("a").agg(sqrt(sum(col("v") * col("v"))).as("nrm"))
-    ppmi.select(col("a").as("w1"), col("c"), col("v").as("v1"))
-      .join(ppmi.select(col("a").as("w2"), col("c"), col("v").as("v2")), Seq("c"))
+    // hot-context cap: per-context partner counts are a cheap aggregate
+    // over the checkpointed matrix (fixed-width keys); the filter runs
+    // BEFORE norms so dropped dimensions leave the vectors entirely
+    val ppmiC =
+      if (maxContextDf == Int.MaxValue) ppmi
+      else ppmi.join(
+        ppmi.groupBy("c").agg(count(lit(1)).as("__m"))
+          .filter(col("__m") <= maxContextDf).select("c"),
+        Seq("c"))
+    val norms = ppmiC.groupBy("a").agg(sqrt(sum(col("v") * col("v"))).as("nrm"))
+    ppmiC.select(col("a").as("w1"), col("c"), col("v").as("v1"))
+      .join(ppmiC.select(col("a").as("w2"), col("c"), col("v").as("v2")), Seq("c"))
       .filter(col("w1") < col("w2"))
       .groupBy("w1", "w2")
       .agg(count(lit(1)).as("n_ctx"), sum(col("v1") * col("v2")).as("dot"))

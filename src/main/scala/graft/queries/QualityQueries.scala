@@ -407,7 +407,10 @@ object QualityQueries {
     * (QualityModels.ppmiTopPairs): symmetric ±2 co-occurrence, positive
     * PMI sparse vectors, cosine via the context-key self-join. Ranking
     * is by ROUNDED cosine with a lexical pair tie-break — the
-    * cross-engine top-k determinism device. */
+    * cross-engine top-k determinism device. The default hot-context cap
+    * (context dims with > 1000 positive partners leave the vectors
+    * before norms and the join) is mirrored in the oracle's `cd`/`pf`
+    * CTEs, so both engines fit the same capped model. */
   val q182 = Q(
     "q182_ppmi_word_sim",
     (s, d) => QualityModels.ppmiTopPairs(
@@ -428,10 +431,12 @@ object QualityQueries {
                          (CAST(mg.na AS DOUBLE) * mc.na)) AS v
              FROM cc JOIN mg ON cc.a = mg.a JOIN mg mc ON cc.c = mc.a, tt),
       pq AS (SELECT a, c, v FROM pv WHERE v > 0),
-      nr AS (SELECT a, sqrt(SUM(v * v)) AS nrm FROM pq GROUP BY a),
+      cd AS (SELECT c FROM pq GROUP BY c HAVING COUNT(*) <= 1000),
+      pf AS (SELECT pq.a, pq.c, pq.v FROM pq JOIN cd USING (c)),
+      nr AS (SELECT a, sqrt(SUM(v * v)) AS nrm FROM pf GROUP BY a),
       sm AS (SELECT p1.a AS w1, p2.a AS w2, CAST(COUNT(*) AS BIGINT) AS n_ctx,
                     SUM(p1.v * p2.v) AS dot
-             FROM pq p1 JOIN pq p2 ON p1.c = p2.c AND p1.a < p2.a
+             FROM pf p1 JOIN pf p2 ON p1.c = p2.c AND p1.a < p2.a
              GROUP BY p1.a, p2.a)
       SELECT sm.w1, sm.w2, sm.n_ctx,
              ROUND(sm.dot / (n1.nrm * n2.nrm), 4) AS cosine

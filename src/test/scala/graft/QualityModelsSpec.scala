@@ -246,6 +246,29 @@ class QualityModelsSpec extends AnyFunSuite with SparkSpec {
     assert(sims.sameElements(sims.sortBy(-(_: Double))))
   }
 
+  test("ppmiTopPairs: the hot-context cap drops pairs that share only the hot dimension") {
+    import spark.implicits._
+    // every xN co-occurs with the stopword-ish "the" (the hot context);
+    // cat/dog additionally share "runs". With the cap at 3 the "the"
+    // dimension (>3 positive partners) leaves the vectors, so pairs
+    // whose ONLY shared context is "the" disappear while (cat, dog)
+    // survives on "runs".
+    val docs = Seq(
+      (1L, "the cat runs"), (2L, "the dog runs"),
+      (3L, "the x1 sits"), (4L, "the x2 waits"),
+      (5L, "the x3 stands"), (6L, "the x4 jumps")).toDF("doc_id", "text")
+    val capped = QualityModels
+      .ppmiTopPairs(docs, "text", window = 2, topK = 100, maxContextDf = 3)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val uncapped = QualityModels
+      .ppmiTopPairs(docs, "text", window = 2, topK = 100, maxContextDf = Int.MaxValue)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(capped.contains(("cat", "dog")))
+    assert(uncapped.contains(("x1", "x2"))) // only-shared-"the" pair exists uncapped
+    assert(!capped.contains(("x1", "x2")), capped)
+    assert(capped.subsetOf(uncapped))
+  }
+
   test("budgetWaterfill: the cap is the defining maximum and small sources go uncapped") {
     import spark.implicits._
     // masses 2/6/12 (total 20); budget = floor(0.6*20) = 12.
