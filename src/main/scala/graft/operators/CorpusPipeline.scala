@@ -287,10 +287,18 @@ object CorpusPipeline {
     val rootHash = docs.select(col(id).as("root"),
       (conv(substring(md5(col(text)), 1, 8), 16, 10).cast("long")
         % numShards).as("__h"))
-    val splits = roots.join(rootHash, Seq("root"))
+    // LEFT join + in-plan assert: an inner join would silently drop
+    // every member of a cluster whose root id is absent from docs (a
+    // stale caller-supplied pair graph) from BOTH splits — a stale
+    // input must fail loudly, not shrink the corpus
+    val splits = roots.join(rootHash, Seq("root"), "left")
       .select(col(id), col("root"),
-        when(col("__h") < trainShards, lit("train")).otherwise(lit("test"))
-          .as("split"))
+        when(col("__h").isNull, raise_error(format_string(
+          "leakProofSplits: cluster root %s is not in docs — the pairs " +
+            "frame references ids absent from the corpus (stale pair graph)",
+          col("root").cast("string"))))
+          .otherwise(when(col("__h") < trainShards, lit("train"))
+            .otherwise(lit("test"))).as("split"))
     val tagged = pairs
       .join(splits.select(col(id).as("id_a"), col("split").as("__sa")), "id_a")
       .join(splits.select(col(id).as("id_b"), col("split").as("__sb")), "id_b")
@@ -345,15 +353,22 @@ object CorpusPipeline {
     * md5(gram)) stream — shared by the exact and sketch novelty paths.
     * Assignment is narrow (one broadcast max-id, never a global
     * row-number sort); the distinct is the one corpus-sized shuffle,
-    * keyed on the fixed-width hash. */
+    * keyed on the fixed-width hash.
+    *
+    * PRECONDITION: ids are NON-NEGATIVE and below ~2^53/numShards. The
+    * bucket multiply runs in double (a long `id * numShards` overflows
+    * int64 for ids near Long.MaxValue/numShards); doubles are exact to
+    * 2^53, beyond which assignment could drift between engines. A
+    * negative id clamps to shard 0 rather than emitting a negative
+    * shard. */
   private def shardGrams(docs: DataFrame, id: String, text: String,
       numShards: Int, n: Int): (DataFrame, DataFrame) = {
     val mx = broadcast(docs.agg(max(col(id).cast("long")).as("mx")))
     val sharded = docs.crossJoin(mx)
       .select(
-        least(lit(numShards - 1),
-          floor(col(id).cast("long") * numShards / (col("mx") + lit(1.0)))
-            .cast("long")).as("shard"),
+        greatest(lit(0L), least(lit(numShards - 1).cast("long"),
+          floor(col(id).cast("double") * numShards / (col("mx") + lit(1.0)))
+            .cast("long"))).as("shard"),
         col(id), col(text))
     val grams = sharded
       .select(col("shard"), split(col(text), " ").as("__toks"))

@@ -540,6 +540,35 @@ class CorpusPipelineSpec extends AnyFunSuite with SparkSpec {
     assert(rows.map(_.getLong(2)).sum == 3L)
   }
 
+  test("leakProofSplits: a stale pair graph referencing absent ids fails loudly") {
+    import spark.implicits._
+    val docs = Seq(
+      (2L, "alpha beta gamma delta x"),
+      (3L, "totally different words here")).toDF("doc_id", "text")
+    // pair references id 1, which is NOT in docs: its cluster root (1)
+    // has no content hash — the old inner join silently dropped doc 2
+    // from both splits; now the plan raises instead
+    val stale = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val e = intercept[Exception] {
+      CorpusPipeline.leakProofSplits(docs, "doc_id", "text", stale).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("stale pair graph")), e.getMessage)
+  }
+
+  test("shardNovelty: a negative id clamps to shard 0 instead of a negative shard") {
+    import spark.implicits._
+    val docs = Seq(
+      (-5L, "w1 w2 w3 w4 w5"),
+      (1L, "x1 x2 x3 x4 x5"),
+      (9L, "y1 y2 y3 y4 y5")).toDF("doc_id", "text")
+    val shards = CorpusPipeline.shardNovelty(docs, "doc_id", "text",
+      numShards = 10, n = 4).collect().map(_.getLong(0))
+    assert(shards.forall(_ >= 0L), shards.toSeq)
+    assert(shards.contains(0L))
+  }
+
   test("leakProofSplits: on the real corpus no verified near-dup pair straddles the split") {
     val docs = Tables.documents(spark, sf("sf0.01"))
     val pairs = graft.operators.Dedup
