@@ -145,7 +145,13 @@ object Flatteners {
   }
 
   /** events wide table: dynamic pivot on observed `combined_key`s
-    * (parse.py:179). Column set is data-dependent, same as pandas. */
+    * (parse.py:179). Column set is data-dependent, same as pandas;
+    * batches pivot independently and the read-side `mergeSchema` union
+    * reproduces the reference's concat of differently-shaped wide
+    * frames. DIVERGENCE #8 (DIVERGENCES.md): pandas widens unboundedly,
+    * Spark's pivot distinct-scan fails loudly past
+    * `spark.sql.pivotMaxValues` (default 10k) — a type_key explosion
+    * becomes an analysis error, not an unusably wide table. */
   def parseEventsWide(raw: DataFrame): DataFrame =
     parseEventsLong(raw)
       .groupBy("hash", "height", "occurrence")

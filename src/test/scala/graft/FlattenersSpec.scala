@@ -125,12 +125,40 @@ class FlattenersSpec extends AnyFunSuite with SparkSpec {
     Flatteners.writePartitioned(w2, s"$dir/events")
 
     val merged = spark.read.option("mergeSchema", "true").parquet(s"$dir/events")
+    // read-side union schema is EXACTLY the union of the two batches'
+    // pivot columns — the reference's pd.concat of differently-shaped
+    // wide frames, no extras, nothing dropped
+    assert(merged.columns.toSet == w1.columns.toSet ++ w2.columns.toSet)
     assert(merged.columns.toSet.contains("transfer_amount"))
     assert(merged.columns.toSet.contains("mint_supply"))
     assert(merged.count() == 2)
     val a = merged.filter(col("hash") === "A").head()
     assert(a.getAs[String]("transfer_amount") == "v")
     assert(a.getAs[String]("mint_supply") == null) // absent in batch 1
+    val b = merged.filter(col("hash") === "B").head()
+    assert(b.getAs[String]("mint_supply") == "v")
+    assert(b.getAs[String]("transfer_amount") == null) // absent in batch 2
+  }
+
+  test("pivot fails loudly past spark.sql.pivotMaxValues (DIVERGENCES #8)") {
+    import spark.implicits._
+    // 5 distinct type_key combinations against a cap of 4: pandas would
+    // quietly widen; Spark must raise an analysis error naming the
+    // config, so a key explosion cannot produce an unusably wide table
+    def tx(hash: String, key: String): String =
+      s"""{"hash":"$hash","height":"1","tx_result":{"code":0,"log":"","info":"","gas_wanted":"1","gas_used":"1","codespace":"",
+         |"events":[{"type":"t","attributes":[{"key":"${b64(key)}","value":"${b64("v")}"}]}]}}"""
+        .stripMargin.replace("\n", "")
+    val raw = spark.read.schema(Flatteners.txSchema)
+      .json((1 to 5).map(i => tx(s"H$i", s"k$i")).toDS())
+    val prev = spark.conf.get("spark.sql.pivotMaxValues")
+    try {
+      spark.conf.set("spark.sql.pivotMaxValues", 4)
+      val e = intercept[Exception] { Flatteners.parseEventsWide(raw).collect() }
+      assert(e.getMessage.contains("spark.sql.pivotMaxValues"), e.getMessage)
+    } finally spark.conf.set("spark.sql.pivotMaxValues", prev)
+    // within the bound the same input pivots fine
+    assert(Flatteners.parseEventsWide(raw).columns.length == 3 + 5)
   }
 
   test("enrichTime + partitioned write/read roundtrip (parse.py:182-226)") {
