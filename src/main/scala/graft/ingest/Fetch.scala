@@ -142,7 +142,17 @@ object Fetch {
       fetch: String => String,
       urlOf: (Long, Long, Int, Int) => String,
       totalOf: String => Long): Seq[FetchResult] = {
-    val total = totalOf(fetch(urlOf(chunk.start, chunk.end, 1, 1)))
+    // a failing COUNT PROBE quarantines the chunk instead of failing
+    // the task: the probe's 1-item page contains the chunk's first
+    // height, so an oversized first item (the very thing the degrade
+    // path guards against) would otherwise crash the whole extract job
+    // — and a gap-fill refetch of a still-broken height would crash
+    // the run that is supposed to re-claim it
+    val total = Try(totalOf(fetch(urlOf(chunk.start, chunk.end, 1, 1))))
+      .getOrElse(-1L)
+    if (total < 0)
+      return Seq(FetchResult(chunk.start, chunk.end, 1, initialPerPage,
+        None, quarantined = true))
     val out = Seq.newBuilder[FetchResult]
     var next = 0L // index of the first item no fetched page has covered
     var perPage = initialPerPage

@@ -50,10 +50,22 @@ final class Manifest(directory: String) {
 
   /** Append names under `dataType` (parse.py:87-95). */
   def record(names: Seq[String], dataType: String): Unit = {
-    val updated = {
-      val cur = load()
-      cur + (dataType -> (cur.getOrElse(dataType, Nil) ++ names))
-    }
+    val cur = load()
+    save(cur + (dataType -> (cur.getOrElse(dataType, Nil) ++ names)))
+  }
+
+  /** Un-record names under `dataType` — the gap-fill refetch device:
+    * when a refetched raw file's name collides with an already-parsed
+    * one (only possible when the recorded parse landed nothing for the
+    * refetched heights), forgetting the name makes the next parse()
+    * consume the overwritten content. */
+  def forget(names: Seq[String], dataType: String): Unit = {
+    val drop = names.toSet
+    val cur = load()
+    save(cur + (dataType -> cur.getOrElse(dataType, Nil).filterNot(drop)))
+  }
+
+  private def save(updated: Map[String, Seq[String]]): Unit = {
     Files.createDirectories(path.getParent)
     val fields = updated.toSeq.sortBy(_._1).map { case (k, vs) =>
       s""""$k":[${vs.map(v => s""""$v"""").mkString(",")}]"""

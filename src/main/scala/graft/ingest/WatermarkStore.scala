@@ -86,29 +86,57 @@ final class WatermarkStore(directory: String) {
   * exactly-once end to end), and `read` returns distinct values (repairs
   * ledgers written before this invariant held). */
 object ErrorHeights {
-  private def path(directory: String): Path =
-    Paths.get(directory, "errors", "error_heights.txt")
+  // the kind-less file keeps the reference's exact layout (its extractor
+  // only tracked tx heights); the pipeline uses PER-KIND ledgers
+  // (`error_heights_{blocks,txs}.txt`) because blocks and txs quarantine
+  // independently and gap-fill must re-extract only the kind that
+  // actually failed — re-fetching the OTHER kind's already-landed
+  // heights would duplicate rows in its parsed zone
+  private def path(directory: String, kind: Option[String]): Path =
+    Paths.get(directory, "errors",
+      kind.fold("error_heights.txt")(k => s"error_heights_$k.txt"))
 
-  def read(directory: String): Seq[Long] = {
-    val p = path(directory)
+  def read(directory: String): Seq[Long] = readFile(path(directory, None))
+  def read(directory: String, kind: String): Seq[Long] =
+    readFile(path(directory, Some(kind)))
+
+  private def readFile(p: Path): Seq[Long] =
     if (!Files.isRegularFile(p)) Nil
     else Files.readAllLines(p).asScala.toSeq
       .map(_.trim).filter(_.nonEmpty).map(_.toLong).distinct
-  }
 
   // append is a read-modify-write: serialize it within the JVM — the
   // blocks and txs streaming queries run their foreachBatch bodies on
   // concurrent driver threads and share one ledger. (foreachBatch always
   // executes on the driver, so a JVM lock is sufficient; multiple driver
   // PROCESSES writing one ledger are out of contract.)
-  def append(directory: String, heights: Seq[Long]): Unit = synchronized {
+  def append(directory: String, heights: Seq[Long]): Unit =
+    appendTo(path(directory, None), heights)
+  def append(directory: String, kind: String, heights: Seq[Long]): Unit =
+    appendTo(path(directory, Some(kind)), heights)
+
+  private def appendTo(p: Path, heights: Seq[Long]): Unit = synchronized {
     if (heights.isEmpty) return
-    val p = path(directory)
     Files.createDirectories(p.getParent)
-    val existing = read(directory).toSet
+    val existing = readFile(p).toSet
     val fresh = heights.distinct.filterNot(existing)
     if (fresh.isEmpty) return
     val prefix = if (Files.isRegularFile(p)) Files.readString(p) else ""
     Files.writeString(p, prefix + fresh.mkString("", "\n", "\n"))
   }
+
+  /** Drop heights from a per-kind ledger — the gap-fill CLAIM step:
+    * claimed heights leave the ledger before the refetch, and a
+    * still-failing page re-appends its heights through the normal
+    * quarantine path, so healed heights clear while persistent
+    * failures stay. */
+  def remove(directory: String, kind: String, heights: Seq[Long]): Unit =
+    synchronized {
+      val p = path(directory, Some(kind))
+      if (heights.isEmpty || !Files.isRegularFile(p)) return
+      val drop = heights.toSet
+      val keep = readFile(p).filterNot(drop)
+      Files.writeString(p,
+        if (keep.isEmpty) "" else keep.mkString("", "\n", "\n"))
+    }
 }

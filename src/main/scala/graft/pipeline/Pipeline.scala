@@ -101,17 +101,39 @@ final class Pipeline(
         case _          => Nil
       }
     }.distinct
-    // quarantined pages → error-height ledger for the gap-fill planner
+    // quarantined pages → per-kind error-height ledger for the gap-fill
+    // planner. Only heights MISSING from the landed items are recorded:
+    // a quarantined chunk still lands its successful pages' items, and
+    // ledgering the whole chunk span would make gap-fill re-extract (and
+    // duplicate) heights that already landed. A no-data height (e.g. a
+    // block with no txs) inside a quarantined span ledgers too — its
+    // gap-fill refetch lands nothing and the claim clears it.
     val failed = results.filter(_.quarantined)
-    if (failed.nonEmpty)
-      graft.ingest.ErrorHeights.append(dataRoot,
-        failed.toIndexedSeq.flatMap(r => r.start to r.end).distinct)
+    if (failed.nonEmpty) {
+      val landed = items.flatMap(itemHeight).toSet
+      graft.ingest.ErrorHeights.append(dataRoot, kind,
+        failed.toIndexedSeq.flatMap(r => r.start to r.end)
+          .distinct.filterNot(landed))
+    }
     val dir = Paths.get(rawDir(kind))
     Files.createDirectories(dir)
     val path = dir.resolve(s"${start}_$end.json")
     Files.writeString(path, JsonMethods.compact(JArray(items.toList)))
     new WatermarkStore(rawDir(kind)).updateFromFiles()
     path.toString
+  }
+
+  /** Height of a raw item, for the missing-height ledger: tx items carry
+    * a top-level `height` string; block items carry it at
+    * `block.header.height`. Unparseable items cover no height. */
+  private def itemHeight(v: org.json4s.JValue): Option[Long] = {
+    import org.json4s._
+    def asLong(j: JValue): Option[Long] = j match {
+      case JString(s) => scala.util.Try(s.toLong).toOption
+      case JInt(i)    => Some(i.toLong)
+      case _          => None
+    }
+    asLong(v \ "height").orElse(asLong(v \ "block" \ "header" \ "height"))
   }
 
   /** The reference's sync loop as ONE continuous streaming query:
@@ -159,7 +181,7 @@ final class Pipeline(
         val failed = pages.filter(col("quarantined"))
           .select("start", "end").collect()
         if (failed.nonEmpty)
-          graft.ingest.ErrorHeights.append(dataRoot,
+          graft.ingest.ErrorHeights.append(dataRoot, "blocks",
             failed.toIndexedSeq.flatMap(r => r.getLong(0) to r.getLong(1)).distinct)
         val raw = pages
           .filter(col("quarantined") === false && col("body").isNotNull)
@@ -223,7 +245,7 @@ final class Pipeline(
           val failed = pages.filter(col("quarantined"))
             .select("start", "end").collect()
           if (failed.nonEmpty)
-            graft.ingest.ErrorHeights.append(dataRoot,
+            graft.ingest.ErrorHeights.append(dataRoot, "txs",
               failed.toIndexedSeq.flatMap(r => r.getLong(0) to r.getLong(1)).distinct)
           // the batch's height window bounds the enrichment broadcast —
           // the streaming analog of the batch path's filename-span prune
@@ -382,9 +404,40 @@ final class Pipeline(
     new ModelRunner(spark).run(models)
   }
 
+  /** Gap-fill stage (Q3 — left dormant in the reference,
+    * pipelines/pipeline.py:99-109/120-123; wired into the flow here per
+    * SURVEY §2.10): re-extract the per-kind quarantined heights from
+    * the error ledger as contiguous ranges.
+    *
+    * Claim-then-refetch: claimed heights leave the ledger BEFORE the
+    * fetch, and a still-failing page re-appends its missing heights
+    * through writeRaw's normal quarantine path — healed heights clear,
+    * persistent failures stay (and never loop within one run). A crash
+    * between claim and fetch drops the claim — the same at-least-once
+    * window the reference's dormant loop had; the raw-zone coverage
+    * diff (expected heights ∖ landed heights, the J3 anti-join) remains
+    * the recovery net. Refetched file names are un-recorded from the
+    * parse manifest so a name collision with an already-parsed file
+    * (only possible when that parse landed nothing for these heights)
+    * cannot stop the next parse() from consuming the refetched
+    * content. Returns the refetched ranges per kind. */
+  def gapFill(): Map[String, Seq[(Long, Long)]] =
+    Seq("blocks", "txs").map { kind =>
+      val gaps = graft.ingest.ErrorHeights.read(dataRoot, kind)
+      val ranges = RangePlanner.gapFillRanges(gaps)
+      if (gaps.nonEmpty) {
+        graft.ingest.ErrorHeights.remove(dataRoot, kind, gaps)
+        val written = ranges.map { case (s, e) => extractRange(kind, s, e) }
+        new Manifest(parsedRoot).forget(
+          written.map(p => Paths.get(p).getFileName.toString), kind)
+      }
+      kind -> ranges
+    }.toMap
+
   /** The full flow (pipeline.py:115-131): sync newest → backfill older
-    * chunks → parse → models. `tip`/`chainFloor` come from the node
-    * client in production; injected here. */
+    * chunks → gap-fill quarantined heights → parse → models.
+    * `tip`/`chainFloor` come from the node client in production;
+    * injected here. */
   def run(tip: Long, chainFloor: Long, numBlocks: Long,
       models: Seq[Model]): Map[String, DataFrame] = {
     val blocksWs = new WatermarkStore(rawDir("blocks"))
@@ -401,6 +454,8 @@ final class Pipeline(
         extractRange("blocks", s, e)
         extractRange("txs", s, e)
     }
+
+    gapFill()
 
     parse()
     runModels(models)

@@ -163,6 +163,19 @@ class IngestSpec extends AnyFunSuite with SparkSpec {
     assert(res.last.quarantined && res.last.page == 2)
   }
 
+  test("a failing count probe quarantines the chunk instead of failing the task") {
+    // the probe's 1-item page carries the chunk's first height, so an
+    // oversized FIRST item breaks the probe itself — the chunk must
+    // quarantine (heights reach the gap-fill ledger) rather than crash
+    // the extract job, or a gap-fill refetch of a still-broken height
+    // would kill the very run that is re-claiming it
+    def fetchF(u: String): String = throw new RuntimeException("oversized")
+    def url(s: Long, e: Long, page: Int, perPage: Int) = s"$page:$perPage"
+    val res = Fetch.fetchChunk(HeightChunk(7, 9), initialPerPage = 4,
+      fetchF, url, ChainClient.parseTotalCount)
+    assert(res == Seq(graft.ingest.FetchResult(7, 9, 1, 4, None, quarantined = true)))
+  }
+
   test("LCD scan: offset pagination URL + parallel-array zip (extract.py:107-141)") {
     val url = Fetch.lcdTxsUrl("http://n", 10, 20, page = 3, perPage = 50)
     assert(url.contains("pagination.offset=100") && url.contains("pagination.limit=50"))

@@ -70,7 +70,76 @@ class FlakyChainFetcher extends graft.sources.RpcFetcher {
     else inner.fetch(url)
 }
 
+/** Paging-honest fake node (5 blocks, one tx at height 1) with a
+  * "monster block" at height 4: until healed, ANY block page whose
+  * served items would include height 4 fails — the count probe
+  * included, exactly like an oversized first item would on a real node.
+  * Drives the batch degrade → quarantine → gap-fill loop end-to-end. */
+object HealingNode extends Serializable {
+  @volatile var healed = false
+  private val pageRe = "page=(\\d+)&per_page=(\\d+)".r.unanchored
+  private val rangeRe = "height>=(\\d+) AND \\w+\\.height<=(\\d+)".r.unanchored
+  private def b64(s: String): String =
+    Base64.getEncoder.encodeToString(s.getBytes(StandardCharsets.UTF_8))
+  def fetch(url: String): String = {
+    val pm = pageRe.findFirstMatchIn(url).getOrElse(sys.error(s"no page in $url"))
+    val (page, pp) = (pm.group(1).toInt, pm.group(2).toInt)
+    val rm = rangeRe.findFirstMatchIn(url).getOrElse(sys.error(s"no range in $url"))
+    val (lo, hi) = (rm.group(1).toLong, rm.group(2).toLong)
+    if (url.contains("block_search")) {
+      val all = (math.max(1L, lo) to math.min(5L, hi))
+      val hs = all.slice((page - 1) * pp, math.min(all.size, page * pp))
+      if (!HealingNode.healed && hs.contains(4L))
+        sys.error("oversized response")
+      def block(h: Long) =
+        s"""{"block":{"header":{"height":"$h","chain_id":"e2e-1","time":"2023-08-0${h}T00:00:0$h.00000000${h}Z","proposer_address":"P$h"},"data":{"txs":[]}}}"""
+      s"""{"result":{"total_count":"${all.size}","blocks":[${hs.map(block).mkString(",")}]}}"""
+    } else {
+      val txs = if (lo <= 1L && 1L <= hi && page == 1)
+        Seq(s"""{"hash":"T1","height":"1","tx_result":{"code":0,"log":"","info":"","gas_wanted":"1000","gas_used":"900","codespace":"","events":[{"type":"transfer","attributes":[{"key":"${b64("amount")}","value":"${b64("100uakt")}"}]}]}}""")
+      else Nil
+      val total = if (lo <= 1L && 1L <= hi) 1 else 0
+      s"""{"result":{"total_count":"$total","txs":[${txs.mkString(",")}]}}"""
+    }
+  }
+}
+
 class PipelineSpec extends AnyFunSuite with SparkSpec {
+
+  test("gap-fill: a quarantined height is re-extracted by the next run and the ledger clears") {
+    val root = Files.createTempDirectory("graft-gapfill").toString
+    val pipe = new Pipeline(spark, root, HealingNode.fetch)
+    HealingNode.healed = false
+    try {
+      // run 1: the degrade path covers heights 1-3 at per_page 1, then
+      // the page serving the monster height 4 fails below per_page 1 →
+      // quarantine; only heights that never landed enter the ledger.
+      // The SAME run's gap-fill stage re-claims 4-5 but the refetch's
+      // count probe also fails (the monster is the range's first item)
+      // → the chunk re-quarantines instead of crashing the run, and the
+      // heights re-enter the ledger.
+      pipe.run(tip = 5, chainFloor = 1, numBlocks = 10, models = Nil)
+      val blocks1 = spark.read.parquet(s"$root/parsed/blocks")
+        .select("height").collect().map(_.getLong(0)).sorted.toSeq
+      assert(blocks1 == Seq(1L, 2L, 3L), s"run-1 blocks: $blocks1")
+      assert(graft.ingest.ErrorHeights.read(root, "blocks") == Seq(4L, 5L))
+      assert(graft.ingest.ErrorHeights.read(root, "txs").isEmpty)
+
+      // run 2 (node healed): the gap-fill stage re-extracts range 4-5
+      // (overwriting run-1's empty 4_5.json — the manifest-forget
+      // collision path), parse consumes the refetched file, the ledger
+      // clears, and no height is duplicated in the parsed zone
+      HealingNode.healed = true
+      pipe.run(tip = 5, chainFloor = 1, numBlocks = 10, models = Nil)
+      val blocks2 = spark.read.parquet(s"$root/parsed/blocks")
+        .select("height").collect().map(_.getLong(0)).sorted.toSeq
+      assert(blocks2 == (1L to 5L), s"run-2 blocks: $blocks2")
+      assert(graft.ingest.ErrorHeights.read(root, "blocks").isEmpty)
+      // a third run finds nothing to gap-fill and changes nothing
+      assert(pipe.gapFill().values.forall(_.isEmpty))
+      assert(spark.read.parquet(s"$root/parsed/blocks").count() == 5)
+    } finally HealingNode.healed = false
+  }
 
   test("streaming sync: rpc stream -> flatteners -> hive zone, exactly-once") {
     val dir = Files.createTempDirectory("graft-stream-sync").toString
@@ -142,7 +211,7 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     // the quarantined chunk's heights are recorded for gap-fill even
     // though the stream's offset committed past them
     assert(heights == (1L to 5L), s"zone heights: $heights")
-    val ledger = graft.ingest.ErrorHeights.read(dir)
+    val ledger = graft.ingest.ErrorHeights.read(dir, "blocks")
     assert(ledger.toSet == Set(3L, 4L), s"ledger: $ledger")
   }
 
