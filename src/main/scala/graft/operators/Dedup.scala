@@ -148,39 +148,51 @@ object Dedup {
       java.util.Collections.newSetFromMap(
         new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, java.lang.Boolean]()))
 
-  /** Hot-bucket guard for the LSH candidate stage. The in-bucket pair
-    * expansion is quadratic in bucket size, and `collect_list` holds a
-    * whole bucket in one aggregation buffer — so a single degenerate
-    * bucket (millions of near-identical boilerplate docs landing on one
-    * (band, sig) key) can dominate the job or OOM an executor. With a
-    * cap set, a count pre-pass (fixed-width keys, map-side partial
-    * count — cheap) drops buckets above `maxBucketSize` BEFORE any list
-    * is collected, bounding both memory and pair mass by construction.
+  /** The guarded LSH bucket aggregation: group the banded frame by
+    * (band, sig) and collect each bucket's elements (`elem` per row)
+    * as `__ids`, dropping buckets over `maxBucketSize` and singleton
+    * buckets. The in-bucket pair expansion downstream is quadratic in
+    * bucket size, so one degenerate bucket (millions of near-identical
+    * boilerplate docs on one (band, sig) key) would otherwise dominate
+    * the job — and the collection buffer itself would OOM an executor.
+    *
+    * Single-shuffle: the cap rides the SAME aggregation as the
+    * collection — a [[graft.functions.BoundedCollectList]] buffer that
+    * stops growing at the cap (map-side partials included) next to a
+    * count, with over-limit groups dropped on the count BEFORE any
+    * pair expansion. (A count-prepass + semi-join formulation measured
+    * ~1.3-1.5× on the whole operator — the guard must not double the
+    * stage it protects.)
     *
     * Recall note: a true near-dup pair is lost only if EVERY band it
     * collides in is hot — and hot buckets are overwhelmingly exact-dup/
     * boilerplate mass that upstream exact dedup should have removed.
     * `Int.MaxValue` = guard off, behavior byte-identical.
     *
-    * No silent caps: the count pre-pass carries an `observe` metric
-    * (computed inside the existing aggregation — no extra job), and a
-    * per-session listener WARNs with the dropped-bucket count and the
-    * largest bucket whenever the cap actually fired. */
-  private def hotBucketGuard(banded: DataFrame, maxBucketSize: Int): DataFrame =
-    if (maxBucketSize == Int.MaxValue) banded
+    * No silent caps: the aggregation carries an `observe` metric (no
+    * extra job), and a per-session listener WARNs with the
+    * dropped-bucket count and the largest bucket size whenever the cap
+    * actually fired. */
+  private def guardedBuckets(banded: DataFrame, elem: Column,
+      maxBucketSize: Int): DataFrame =
+    if (maxBucketSize == Int.MaxValue)
+      banded.groupBy("band", "sig")
+        .agg(collect_list(elem).as("__ids"))
+        .filter(size(col("__ids")) > 1)
     else {
       require(maxBucketSize >= 2, s"maxBucketSize must be >= 2, got $maxBucketSize")
       registerHotBucketListener(banded.sparkSession)
-      val ok = banded.groupBy("band", "sig")
-        .agg(count(lit(1)).as("__n"))
+      banded.groupBy("band", "sig")
+        .agg(count(lit(1)).as("__n"),
+          graft.functions.BoundedCollect
+            .boundedCollectList(elem, maxBucketSize).as("__ids"))
         // unique node name: two guarded stages may share one executed plan
         .observe(s"lsh_hot_bucket_guard_${hotBucketObserveSeq.incrementAndGet()}",
           sum(when(col("__n") > maxBucketSize, 1L).otherwise(0L)).as("dropped_buckets"),
           coalesce(max(col("__n")), lit(0L)).as("max_bucket"),
           lit(maxBucketSize.toLong).as("cap"))
-        .filter(col("__n") <= maxBucketSize)
-        .select("band", "sig")
-      banded.join(ok, Seq("band", "sig"))
+        .filter(col("__n") <= maxBucketSize && col("__n") > 1)
+        .drop("__n")
     }
 
   private def registerHotBucketListener(
@@ -254,11 +266,9 @@ object Dedup {
     val tagged = (isNew: Boolean, idx: DataFrame) =>
       bandedSignatures(idx.select(col(id), col("mh")), id, k, bands)
         .withColumn("__nw", lit(isNew))
-    val cands = hotBucketGuard(
-        tagged(false, oldIndex).union(tagged(true, newIndex)), maxBucketSize)
-      .groupBy("band", "sig")
-      .agg(collect_list(struct(col(id).as("i"), col("__nw").as("nw"))).as("__ids"))
-      .filter(size(col("__ids")) > 1)
+    val cands = guardedBuckets(
+        tagged(false, oldIndex).union(tagged(true, newIndex)),
+        struct(col(id).as("i"), col("__nw").as("nw")), maxBucketSize)
       .select(explode(bucketPairs("__ids", "id_a", "id_b",
         aExpr = "x.i", bExpr = "y.i",
         extraPred = Some("x.nw OR y.nw"))).as("__p"))
@@ -311,20 +321,17 @@ object Dedup {
     *
     * The in-bucket expansion is quadratic in BUCKET size — the same
     * near-dup collision mass the self-join formulation pays, just
-    * without the join machinery; set `maxBucketSize` to engage the
-    * [[hotBucketGuard]] against degenerate boilerplate buckets. The
+    * without the join machinery; `maxBucketSize` engages the
+    * [[guardedBuckets]] cap against degenerate boilerplate buckets. The
     * returned frame is checkpointed (it is candidate-bounded tiny) so
     * the corpus-sized base blocks are freed before returning. */
   def minHashLshPairs(docs: DataFrame, id: String, text: String,
       n: Int = 4, k: Int = 16, bands: Int = 4,
       threshold: Double = 0.5, maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     val base = indexDocs(docs, id, text, n, k).localCheckpoint(true)
-    val cands = hotBucketGuard(
+    val cands = guardedBuckets(
         bandedSignatures(base.select(col(id), col("mh")), id, k, bands),
-        maxBucketSize)
-      .groupBy("band", "sig")
-      .agg(collect_list(col(id)).as("__ids"))
-      .filter(size(col("__ids")) > 1)
+        col(id), maxBucketSize)
       .select(explode(bucketPairs("__ids", "id_a", "id_b")).as("__p"))
       .select(col("__p.id_a").as("id_a"), col("__p.id_b").as("id_b"))
       .distinct()
@@ -376,11 +383,9 @@ object Dedup {
     val tag = (isRight: Boolean, idx: DataFrame) =>
       bandedSignatures(idx.select(col(id), col("mh")), id, k, bands)
         .withColumn("__r", lit(isRight))
-    val cands = hotBucketGuard(
-        tag(false, li).union(tag(true, ri)), maxBucketSize)
-      .groupBy("band", "sig")
-      .agg(collect_list(struct(col(id).as("i"), col("__r").as("r"))).as("__ids"))
-      .filter(size(col("__ids")) > 1)
+    val cands = guardedBuckets(
+        tag(false, li).union(tag(true, ri)),
+        struct(col(id).as("i"), col("__r").as("r")), maxBucketSize)
       // oriented in-bucket expansion: the side tag picks which element
       // is the left endpoint, so no later lookup must recover sides
       .select(explode(expr(
