@@ -61,10 +61,16 @@ object Bench {
     val fullLine =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"errors":$errs,"queries":$full,"sf":"$sfDir"}"""
     println(fullLine)
-    try {
-      java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/bench_full.json"),
+    // the COMPLETE per-query map goes to a file (the driver's stdout
+    // tail keeps only ~2000 chars — a 197-query map cannot fit), so
+    // round-over-round per-query regression diffs are mechanical:
+    // bench_queries.json in the repo root (committed per round) plus
+    // the /tmp copy for ad-hoc comparison scripts
+    Seq("bench_queries.json", "/tmp/bench_full.json").foreach { p =>
+      try java.nio.file.Files.write(java.nio.file.Paths.get(p),
         fullLine.getBytes("UTF-8"))
-    } catch { case _: Throwable => () }
+      catch { case _: Throwable => () }
+    }
     // Final line MUST be the machine-readable record, and the driver only
     // keeps the LAST 2000 chars of stdout (sbt appends its own ~70-char
     // "[success]" line after us) — rounds 1-5 all came back "parsed": null

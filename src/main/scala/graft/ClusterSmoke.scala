@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Multi-JVM deployment smoke — run via `tools/cluster_smoke.sh`, which
+  * spark-submits this class against `local-cluster[2,4,2048]`: two REAL
+  * executor JVMs separate from the driver, so any code path that
+  * silently assumes one JVM (driver-local file state, non-serializable
+  * closures, single-block-manager assumptions) fails here instead of on
+  * a production cluster.
+  *
+  * Coverage is one representative per operator family whose execution
+  * shape differs under multiple JVMs:
+  *  - relational agg + broadcast-dim join (shuffle + broadcast exchange
+  *    across executors);
+  *  - MinHash LSH near-dup (localCheckpoint blocks live on REMOTE
+  *    executors; freeLocalCheckpoint must release them there);
+  *  - full curation + IVF ANN (persist/unpersist, driver-held model
+  *    literals shipped into executor-side expressions);
+  *  - the streaming curate sink + state compaction against a
+  *    scheme-qualified (`file:`) state path — the Hadoop FS state I/O
+  *    on a path executors don't interpret as java.io.File.
+  *
+  * Executor-loss stance (documented in DEPLOY.md): localCheckpoint
+  * truncates lineage, so losing an executor mid-operator fails that
+  * job; the retry unit is the OPERATOR call (idempotent by
+  * construction — outputs are overwrite-by-batch/version). Durable
+  * cross-job state is always parquet (`v=<id>` / `batch=<id>`), never
+  * checkpoint blocks.
+  *
+  * Prints ONE JSON line: `{"smoke":"ok","executors":N,...}`; any
+  * failure exits nonzero with the exception on stderr. */
+object ClusterSmoke {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val b = SparkSession.builder().appName("graft-cluster-smoke")
+    GraftSession.recommendedConf.foreach { case (k, v) => b.config(k, v) }
+    val spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.plans.GraftExtensions.register(spark)
+
+    // getExecutorMemoryStatus counts driver + executor block managers;
+    // on local-cluster[2,...] that is >= 3 entries once the executor
+    // JVMs REGISTER (takes a few seconds — asserting immediately after
+    // getOrCreate races the registration and tears the cluster down).
+    // On plain local[*] it stays 1 forever — the assert is what makes
+    // this a MULTI-JVM smoke.
+    def executorCount(): Int = spark.sparkContext.getExecutorMemoryStatus.size - 1
+    val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+    while (executorCount() < 2 && System.nanoTime() < deadline) Thread.sleep(500)
+    val executors = executorCount()
+    require(executors >= 2,
+      s"expected >= 2 remote executors, got $executors — run via tools/cluster_smoke.sh (local-cluster master)")
+
+    val picks = Seq("q01", "q04", "q36", "q55", "q60")
+    val counts = picks.map { prefix =>
+      val (name, fn) = SparkEntry.queries.toSeq.sortBy(_._1)
+        .find(_._1.startsWith(prefix))
+        .getOrElse(sys.error(s"no query with prefix $prefix"))
+      name -> fn(spark, sfDir).count()
+    }
+    require(counts.forall(_._2 >= 0))
+    // the relational families must produce rows at any SF
+    require(counts.take(2).forall(_._2 > 0), s"empty relational result: $counts")
+
+    // streaming curate + compaction on a scheme-qualified state path
+    val root = java.nio.file.Files.createTempDirectory("graft-smoke").toString
+    val in = s"$root/in"; java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    def doc(id: Long, text: String) = s"""{"doc_id":$id,"text":"$text"}"""
+    def words(a: Int, z: Int, p: String) = (a to z).map(i => s"$p$i").mkString(" ")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(in, "a.json"),
+      Seq(doc(1, words(1, 30, "a")), doc(2, words(1, 30, "b"))).mkString("\n"))
+    val docSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    val src = graft.streaming.EventStream.jsonFileStream(spark, in, docSchema)
+    val state = s"file:$root/state"
+    graft.streaming.EventStream
+      .streamingCurate(src, state, s"$root/out", s"$root/chk")
+      .awaitTermination()
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(in, "b.json"),
+      Seq(doc(10, words(1, 30, "a")), doc(11, words(1, 30, "c"))).mkString("\n"))
+    graft.streaming.EventStream
+      .streamingCurate(src, state, s"$root/out", s"$root/chk")
+      .awaitTermination()
+    val survivors = spark.read.parquet(s"$root/out/batch=1")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    require(survivors == Set(11L), s"streaming curate state failed across JVMs: $survivors")
+    graft.streaming.EventStream.compactCurateState(spark, state)
+    require(spark.read.parquet(s"$state/v=1/fp").count() == 3)
+
+    val qs = counts.map { case (k, v) => s""""$k":$v""" }.mkString(",")
+    println(s"""{"smoke":"ok","executors":$executors,"sf":"$sfDir",$qs}""")
+    spark.stop()
+  }
+}
