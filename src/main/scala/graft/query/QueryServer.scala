@@ -40,6 +40,7 @@ final class QueryServer(
 
   private var server: Option[HttpServer] = None
   private val route = "^/api/([A-Za-z0-9_-]+)\\.json$".r
+  private val pageRoute = "^/page/([A-Za-z0-9_-]+)\\.html$".r
   private val maxSqlBytes = 1 << 20 // 1 MiB statement cap
 
   /** Start on `port` (0 = ephemeral); returns the bound port.
@@ -59,6 +60,7 @@ final class QueryServer(
     }))
     s.createContext("/api", (exchange: HttpExchange) => handle(exchange))
     s.createContext("/sql", (exchange: HttpExchange) => handle(exchange))
+    s.createContext("/page", (exchange: HttpExchange) => handle(exchange))
     s.start()
     server = Some(s)
     s.getAddress.getPort
@@ -76,6 +78,14 @@ final class QueryServer(
         case ("GET", route(name)) if pages.contains(name) =>
           respond(exchange, 200, pageJson(name))
         case ("GET", route(name)) =>
+          respond(exchange, 404, s"""{"error":"no page '${escape(name)}'"}""")
+        // the rendered front door: same page registry, same bounded
+        // collect, HTML+inline-SVG out (DashboardRenderer)
+        case ("GET", pageRoute(name)) if pages.contains(name) =>
+          respond(exchange, 200,
+            DashboardRenderer.render(spark, pages(name), maxRows),
+            contentType = "text/html; charset=utf-8")
+        case ("GET", pageRoute(name)) =>
           respond(exchange, 404, s"""{"error":"no page '${escape(name)}'"}""")
         case ("POST", "/sql") =>
           // bound the body BEFORE buffering it: readNBytes stops at the
@@ -146,9 +156,10 @@ final class QueryServer(
       case c             => c.toString
     }
 
-  private def respond(exchange: HttpExchange, code: Int, body: String): Unit = {
+  private def respond(exchange: HttpExchange, code: Int, body: String,
+      contentType: String = "application/json"): Unit = {
     val bytes = body.getBytes(StandardCharsets.UTF_8)
-    exchange.getResponseHeaders.set("Content-Type", "application/json")
+    exchange.getResponseHeaders.set("Content-Type", contentType)
     exchange.sendResponseHeaders(code, bytes.length.toLong)
     val out = exchange.getResponseBody
     try out.write(bytes) finally out.close()

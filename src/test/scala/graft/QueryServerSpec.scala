@@ -123,4 +123,26 @@ class QueryServerSpec extends SparkSpec {
       }
     } finally srv.stop()
   }
+
+  test("GET /page/{route}.html serves the rendered dashboard") {
+    import spark.implicits._
+    Seq((1, 2), (3, 4)).toDF("gas_used", "gas_wanted")
+      .createOrReplaceTempView("tx_result")
+    val page =
+      """```sql gas
+        |select gas_used, gas_wanted from tx_result
+        |```
+        |<LineChart data={gas}/>
+        |""".stripMargin
+    val srv = new QueryServer(spark, Map("index" -> page))
+    val port = srv.start()
+    try {
+      val (code, body) = get(port, "/page/index.html")
+      assert(code == 200, body)
+      assert(body.startsWith("<!doctype html>"))
+      assert(body.contains("<polyline"), body)
+      val (nf, _) = get(port, "/page/nope.html")
+      assert(nf == 404)
+    } finally srv.stop()
+  }
 }
