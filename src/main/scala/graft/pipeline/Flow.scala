@@ -1,0 +1,61 @@
+package graft.pipeline
+
+import scala.collection.mutable
+
+/** The Prefect-runtime slice the reference's flow gets for free
+  * (pipelines/pipeline.py:64-131 declares `@prefect.task`s inside a
+  * `@prefect.flow`; Prefect supplies bounded task retries and run
+  * observability): named stages with retry + linear backoff, and a
+  * per-task report (attempts, wall seconds, outcome) the caller can
+  * log or serve.
+  *
+  * Deliberately driver-side and tiny: Spark ALREADY retries failed
+  * tasks/stages inside a job, so flow-level retry exists for the
+  * failures Spark cannot see — a node HTTP probe dying, a filesystem
+  * rename refused, a model's SQL failing on a transient view. A stage
+  * that exhausts its retries rethrows (the flow is not durable
+  * orchestration — rerunning the whole flow is the recovery unit, and
+  * every stage output is idempotent by construction: overwrite-by-
+  * range files, versioned state, manifest-gated parse). */
+final class Flow(retries: Int = 2, backoffMs: Long = 500,
+    sleep: Long => Unit = Thread.sleep) {
+
+  final case class TaskRun(name: String, attempts: Int, seconds: Double,
+      error: Option[String])
+
+  private val runs = mutable.ArrayBuffer.empty[TaskRun]
+
+  /** Run `body` as a named task: up to `retries` re-attempts with
+    * linear backoff (attempt i sleeps i × backoffMs first), timing and
+    * outcome recorded. Rethrows the last failure once exhausted. */
+  def task[T](name: String)(body: => T): T = {
+    val t0 = System.nanoTime()
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      try {
+        val out = body
+        runs += TaskRun(name, attempt, (System.nanoTime() - t0) / 1e9, None)
+        return out
+      } catch {
+        case e: Exception if attempt <= retries =>
+          sleep(backoffMs * attempt)
+        case e: Exception =>
+          runs += TaskRun(name, attempt, (System.nanoTime() - t0) / 1e9,
+            Some(String.valueOf(e.getMessage)))
+          throw e
+      }
+    }
+    sys.error("unreachable")
+  }
+
+  /** Tasks in execution order (failures included). */
+  def report: Seq[TaskRun] = runs.toSeq
+
+  /** One JSON line per run — the flow-observability record. */
+  def reportJson: String = runs.map { r =>
+    val err = r.error.fold("null")(m => "\"" + m.replace("\\", "\\\\")
+      .replace("\"", "\\\"").replace("\n", "\\n") + "\"")
+    f"""{"task":"${r.name}","attempts":${r.attempts},"sec":${r.seconds}%.3f,"error":$err}"""
+  }.mkString("[", ",", "]")
+}

@@ -439,26 +439,43 @@ final class Pipeline(
     * `tip`/`chainFloor` come from the node client in production;
     * injected here. */
   def run(tip: Long, chainFloor: Long, numBlocks: Long,
-      models: Seq[Model]): Map[String, DataFrame] = {
+      models: Seq[Model]): Map[String, DataFrame] =
+    runWithReport(tip, chainFloor, numBlocks, models)._1
+
+  /** [[run]] with the flow-observability report: each stage is a
+    * [[Flow]] task (bounded retry + timing), mirroring what the
+    * reference's `@prefect.task` decorations get from Prefect's
+    * runtime. Retries cover failures Spark's own task retry cannot see
+    * (driver-side HTTP, FS metadata ops, transient SQL); every stage is
+    * idempotent (overwrite-by-range, versioned state, manifest-gated
+    * parse), so a retried or rerun stage converges. */
+  def runWithReport(tip: Long, chainFloor: Long, numBlocks: Long,
+      models: Seq[Model], retries: Int = 2, backoffMs: Long = 500)
+      : (Map[String, DataFrame], Flow) = {
+    val flow = new Flow(retries, backoffMs)
     val blocksWs = new WatermarkStore(rawDir("blocks"))
 
-    val (syncStart, syncEnd) =
-      RangePlanner.syncRange(tip, chainFloor, blocksWs.maxHeightFromFiles, numBlocks)
-    extractRange("blocks", syncStart, syncEnd)
-    extractRange("txs", syncStart, syncEnd)
-
-    val (bfStart, bfEnd) =
-      RangePlanner.backfillRange(chainFloor, blocksWs.minHeightFromFiles, numBlocks)
-    RangePlanner.backfillChunks(bfStart, bfEnd, numBlocks).foreach {
-      case (s, e) =>
-        extractRange("blocks", s, e)
-        extractRange("txs", s, e)
+    val (syncStart, syncEnd) = flow.task("determine_sync_range")(
+      RangePlanner.syncRange(tip, chainFloor, blocksWs.maxHeightFromFiles, numBlocks))
+    flow.task("extract_sync") {
+      extractRange("blocks", syncStart, syncEnd)
+      extractRange("txs", syncStart, syncEnd)
     }
 
-    gapFill()
+    val (bfStart, bfEnd) = flow.task("determine_backfill_range")(
+      RangePlanner.backfillRange(chainFloor, blocksWs.minHeightFromFiles, numBlocks))
+    flow.task("extract_backfill") {
+      RangePlanner.backfillChunks(bfStart, bfEnd, numBlocks).foreach {
+        case (s, e) =>
+          extractRange("blocks", s, e)
+          extractRange("txs", s, e)
+      }
+    }
 
-    parse()
-    runModels(models)
+    flow.task("gap_fill")(gapFill())
+
+    flow.task("parse_data")(parse())
+    (flow.task("run_models")(runModels(models)), flow)
   }
 }
 
