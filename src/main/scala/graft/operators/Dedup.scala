@@ -84,7 +84,7 @@ object Dedup {
 
   /** Band a signature frame: one row per (id, band) carrying the
     * concatenated in-band minhashes as the bucket key. */
-  private def bandedSignatures(signatures: DataFrame, id: String,
+  private[graft] def bandedSignatures(signatures: DataFrame, id: String,
       k: Int, bands: Int): DataFrame = {
     val rows = k / bands
     signatures
@@ -173,7 +173,7 @@ object Dedup {
     * extra job), and a per-session listener WARNs with the
     * dropped-bucket count and the largest bucket size whenever the cap
     * actually fired. */
-  private def guardedBuckets(banded: DataFrame, elem: Column,
+  private[graft] def guardedBuckets(banded: DataFrame, elem: Column,
       maxBucketSize: Int): DataFrame =
     if (maxBucketSize == Int.MaxValue)
       banded.groupBy("band", "sig")

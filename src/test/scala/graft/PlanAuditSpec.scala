@@ -312,6 +312,27 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).size <= 3, p)
   }
 
+  test("q36: the default-on hot-bucket guard adds NO join and NO extra exchange to the candidate stage") {
+    // the guard rides the one bucket aggregation (bounded collect +
+    // count in the same ObjectHashAggregate); a count-prepass + join
+    // formulation measured 1.3-1.5x on the whole operator — this pins
+    // the single-pass shape so it cannot quietly regress. The operator
+    // checkpoints its result, so audit the candidate STAGE directly.
+    import org.apache.spark.sql.functions.col
+    val idx = graft.operators.Dedup.indexDocs(
+      Tables.documents(spark, d), "doc_id", "text")
+    val buckets = graft.operators.Dedup.guardedBuckets(
+      graft.operators.Dedup.bandedSignatures(
+        idx.select(col("doc_id"), col("mh")), "doc_id", k = 16, bands = 4),
+      col("doc_id"), graft.operators.Dedup.DefaultMaxBucketSize)
+    val p = plan(buckets)
+    assert(p.contains("bounded_collect_list"), p)
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(!p.contains("Join"), p)
+    // exactly ONE exchange: the (band, sig) bucket shuffle
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
   test("q156: bigram-LM model joins are hash-based, count aggregates partial map-side") {
     val df = run("q156_bigram_surprisal")
     df.collect() // execute df's OWN QueryExecution so AQE finalizes it
