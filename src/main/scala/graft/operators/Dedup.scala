@@ -188,7 +188,11 @@ object Dedup {
             .boundedCollectList(elem, maxBucketSize).as("__ids"))
         // unique node name: two guarded stages may share one executed plan
         .observe(s"lsh_hot_bucket_guard_${hotBucketObserveSeq.incrementAndGet()}",
-          sum(when(col("__n") > maxBucketSize, 1L).otherwise(0L)).as("dropped_buckets"),
+          // both metrics coalesced: over an EMPTY banded frame (all-short
+          // batch) sum/max observe as NULL and the listener's getAs[Long]
+          // would NPE on every such query
+          coalesce(sum(when(col("__n") > maxBucketSize, 1L).otherwise(0L)),
+            lit(0L)).as("dropped_buckets"),
           coalesce(max(col("__n")), lit(0L)).as("max_bucket"),
           lit(maxBucketSize.toLong).as("cap"))
         .filter(col("__n") <= maxBucketSize && col("__n") > 1)

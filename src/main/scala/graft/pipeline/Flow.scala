@@ -52,10 +52,22 @@ final class Flow(retries: Int = 2, backoffMs: Long = 500,
   /** Tasks in execution order (failures included). */
   def report: Seq[TaskRun] = runs.toSeq
 
-  /** One JSON line per run — the flow-observability record. */
+  /** One JSON record per run — the flow-observability record. Every
+    * control character is escaped (a failed Spark stage's message can
+    * embed plan fragments with tabs/CRs — the record must stay
+    * parseable exactly when a stage failed). */
   def reportJson: String = runs.map { r =>
-    val err = r.error.fold("null")(m => "\"" + m.replace("\\", "\\\\")
-      .replace("\"", "\\\"").replace("\n", "\\n") + "\"")
-    f"""{"task":"${r.name}","attempts":${r.attempts},"sec":${r.seconds}%.3f,"error":$err}"""
+    val err = r.error.fold("null")(m => "\"" + jsonEscape(m) + "\"")
+    f"""{"task":"${jsonEscape(r.name)}","attempts":${r.attempts},"sec":${r.seconds}%.3f,"error":$err}"""
   }.mkString("[", ",", "]")
+
+  private def jsonEscape(s: String): String = s.flatMap {
+    case '"'          => "\\\""
+    case '\\'         => "\\\\"
+    case '\n'         => "\\n"
+    case '\r'         => "\\r"
+    case '\t'         => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c            => c.toString
+  }
 }

@@ -91,30 +91,37 @@ final class Pipeline(
       results: Array[graft.ingest.FetchResult]): String = {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
+    // Quarantine is ALL-OR-NOTHING per chunk: a quarantined chunk lands
+    // NONE of its pages' items and its whole span goes to the per-kind
+    // error ledger. The tempting alternative — land the successful
+    // pages and ledger only the heights missing from them — silently
+    // loses data for multi-item heights (a height whose txs straddle a
+    // fetched and a failed page looks "landed", so gap-fill never
+    // refetches its missing txs), and landing partials while ledgering
+    // the span would make the gap-fill refetch duplicate them. With
+    // all-or-nothing, the gap-fill refetch re-lands the span exactly
+    // once. (The reference saves partial accumulations AND logs the
+    // span, extract.py:88-101/186-192 — which double-ingests on any
+    // replay of those heights; its gap-fill loop is dormant so the bug
+    // never fires there.) A no-data height inside a quarantined span
+    // ledgers too — its refetch lands nothing and the claim clears it.
+    val failed = results.filter(_.quarantined)
+    val badChunks = failed.map(r => (r.start, r.end)).toSet
     // distinct absorbs the page-overlap duplicates a mid-chunk per-page
     // degrade can emit (Fetch.fetchChunk: a recomputed page may re-cover
     // already-fetched items when the halved per_page no longer divides
     // the fetched prefix). Structural JValue equality, keep-first order.
-    val items = results.flatMap(_.body).flatMap { b =>
-      (JsonMethods.parse(b) \ "result" \ kind) match {
-        case JArray(vs) => vs
-        case _          => Nil
-      }
-    }.distinct
-    // quarantined pages → per-kind error-height ledger for the gap-fill
-    // planner. Only heights MISSING from the landed items are recorded:
-    // a quarantined chunk still lands its successful pages' items, and
-    // ledgering the whole chunk span would make gap-fill re-extract (and
-    // duplicate) heights that already landed. A no-data height (e.g. a
-    // block with no txs) inside a quarantined span ledgers too — its
-    // gap-fill refetch lands nothing and the claim clears it.
-    val failed = results.filter(_.quarantined)
-    if (failed.nonEmpty) {
-      val landed = items.flatMap(itemHeight).toSet
+    val items = results
+      .filter(r => !badChunks.contains((r.start, r.end)))
+      .flatMap(_.body).flatMap { b =>
+        (JsonMethods.parse(b) \ "result" \ kind) match {
+          case JArray(vs) => vs
+          case _          => Nil
+        }
+      }.distinct
+    if (failed.nonEmpty)
       graft.ingest.ErrorHeights.append(dataRoot, kind,
-        failed.toIndexedSeq.flatMap(r => r.start to r.end)
-          .distinct.filterNot(landed))
-    }
+        failed.toIndexedSeq.flatMap(r => r.start to r.end).distinct)
     val dir = Paths.get(rawDir(kind))
     Files.createDirectories(dir)
     val path = dir.resolve(s"${start}_$end.json")
@@ -123,18 +130,6 @@ final class Pipeline(
     path.toString
   }
 
-  /** Height of a raw item, for the missing-height ledger: tx items carry
-    * a top-level `height` string; block items carry it at
-    * `block.header.height`. Unparseable items cover no height. */
-  private def itemHeight(v: org.json4s.JValue): Option[Long] = {
-    import org.json4s._
-    def asLong(j: JValue): Option[Long] = j match {
-      case JString(s) => scala.util.Try(s.toLong).toOption
-      case JInt(i)    => Some(i.toLong)
-      case _          => None
-    }
-    asLong(v \ "height").orElse(asLong(v \ "block" \ "header" \ "height"))
-  }
 
   /** The reference's sync loop as ONE continuous streaming query:
     * `readStream.format("tendermint-rpc")` (offsets = block heights,
@@ -364,7 +359,15 @@ final class Pipeline(
   private[graft] def enrichmentBlocks(txSpan: Option[(Long, Long)],
       zoneName: String = "blocks"): DataFrame = {
     val blocksZone = Paths.get(s"$parsedRoot/$zoneName")
-    if (Files.isDirectory(blocksZone)) {
+    // an EMPTY zone dir (a zero-row write leaves only _SUCCESS — e.g.
+    // every block chunk of a batch quarantined) must behave like a
+    // missing one: parquet schema inference over no files throws
+    def hasParquet(p: java.nio.file.Path): Boolean = {
+      val s = Files.walk(p)
+      try s.iterator().asScala.exists(_.getFileName.toString.endsWith(".parquet"))
+      finally s.close()
+    }
+    if (Files.isDirectory(blocksZone) && hasParquet(blocksZone)) {
       val zone = spark.read.parquet(blocksZone.toString)
         .withColumn("ts", to_timestamp(col("time")))
       txSpan match {
@@ -427,9 +430,22 @@ final class Pipeline(
       val ranges = RangePlanner.gapFillRanges(gaps)
       if (gaps.nonEmpty) {
         graft.ingest.ErrorHeights.remove(dataRoot, kind, gaps)
-        val written = ranges.map { case (s, e) => extractRange(kind, s, e) }
-        new Manifest(parsedRoot).forget(
-          written.map(p => Paths.get(p).getFileName.toString), kind)
+        // restore the claim if the refetch dies mid-way: without this a
+        // transient failure here (or a retry wrapper around the stage)
+        // would drop the claimed heights on the floor and the retry
+        // would no-op against an empty ledger — masking the loss as
+        // success. Re-appending is idempotent against whatever subset
+        // the partial run already re-quarantined, and every refetch
+        // output is overwrite-in-place, so retry-after-restore converges.
+        try {
+          val written = ranges.map { case (s, e) => extractRange(kind, s, e) }
+          new Manifest(parsedRoot).forget(
+            written.map(p => Paths.get(p).getFileName.toString), kind)
+        } catch {
+          case e: Throwable =>
+            graft.ingest.ErrorHeights.append(dataRoot, kind, gaps)
+            throw e
+        }
       }
       kind -> ranges
     }.toMap

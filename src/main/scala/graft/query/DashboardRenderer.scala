@@ -79,6 +79,7 @@ object DashboardRenderer {
        |<style>
        |body{font-family:sans-serif;max-width:860px;margin:2rem auto;color:#222}
        |.chart{margin:1rem 0}.error{color:#b00;border:1px solid #b00;padding:.5rem}
+       |.notice{color:#665;font-size:.85em}
        |table{border-collapse:collapse}td,th{border:1px solid #ccc;padding:.3rem .6rem}
        |text{font-size:11px;fill:#555}.axis{stroke:#999;stroke-width:1}
        |</style></head><body>
@@ -95,12 +96,20 @@ object DashboardRenderer {
         s"""<div class=error>${escapeHtml(err)}</div>\n"""
       case Some(Right(df)) =>
         try {
-          val rows = df.limit(maxRows + 1).collect().take(maxRows).toSeq
-          kind match {
+          // maxRows+1 so "exactly maxRows" and "cut off" stay
+          // distinguishable (the collectJson contract) — and the cut is
+          // SAID, never silently rendered as a complete result
+          val collected = df.limit(maxRows + 1).collect()
+          val truncated = collected.length > maxRows
+          val rows = collected.take(maxRows).toSeq
+          val body = kind match {
             case "DataTable" => dataTable(df, rows)
             case "LineChart" => chartSvg(df, rows, attrs, bars = false)
             case "BarChart"  => chartSvg(df, rows, attrs, bars = true)
           }
+          if (truncated)
+            body + s"<div class=notice>showing the first $maxRows rows — result truncated</div>\n"
+          else body
         } catch {
           case e: Exception =>
             s"""<div class=error>${escapeHtml(s"$id: ${e.getMessage}")}</div>\n"""
@@ -121,7 +130,10 @@ object DashboardRenderer {
 
   /** Extract (x, series...) data: x = `x` attr or first column; y = `y`
     * attr or every numeric non-x column. A non-numeric x becomes a
-    * categorical axis (positions 0..n-1 with the values as labels). */
+    * categorical axis (positions 0..n-1 with the values as labels).
+    * NULLS ARE GAPS, never points: a null x drops the row, a null y
+    * drops that series' point — rendering a null as 0 would fabricate a
+    * measured-zero data point (the Evidence contract plots missing). */
   private[query] def seriesOf(df: DataFrame, rows: Seq[Row],
       attrs: Map[String, String]): Seq[Series] = {
     val cols = df.schema.fields.toSeq
@@ -136,33 +148,34 @@ object DashboardRenderer {
       case None => numericIdx
     }
     require(yIdx.nonEmpty, "no numeric y column to plot")
+    val keep = rows.filter(r => !r.isNullAt(xIdx))
     val xNumeric = cols(xIdx).dataType.isInstanceOf[NumericType]
     val xs: Seq[Double] =
-      if (xNumeric) rows.map(r => numAt(r, xIdx))
-      else rows.indices.map(_.toDouble)
+      if (xNumeric) keep.map(r => numAt(r, xIdx))
+      else keep.indices.map(_.toDouble)
     val xLabels =
-      if (xNumeric) None
-      else Some(rows.map(r => if (r.isNullAt(xIdx)) "" else r.get(xIdx).toString))
+      if (xNumeric) None else Some(keep.map(_.get(xIdx).toString))
     yIdx.map { yi =>
       Series(cols(yi).name,
-        xs.zip(rows.map(r => numAt(r, yi))), xLabels)
+        keep.zip(xs).collect { case (r, x) if !r.isNullAt(yi) => (x, numAt(r, yi)) },
+        xLabels)
     }
   }
 
-  private def numAt(r: Row, i: Int): Double =
-    if (r.isNullAt(i)) 0.0 else r.get(i) match {
-      case n: java.lang.Number => n.doubleValue()
-      case d: java.math.BigDecimal => d.doubleValue()
-      case other => other.toString.toDouble
-    }
+  private def numAt(r: Row, i: Int): Double = r.get(i) match {
+    case n: java.lang.Number => n.doubleValue()
+    case other => other.toString.toDouble
+  }
 
   private def chartSvg(df: DataFrame, rows: Seq[Row],
       attrs: Map[String, String], bars: Boolean): String = {
     if (rows.isEmpty) return "<div class=chart>(no rows)</div>\n"
     val series = seriesOf(df, rows, attrs)
+    val allPts = series.flatMap(_.points)
+    if (allPts.isEmpty) return "<div class=chart>(no plottable points)</div>\n"
     val (w, h, padL, padB, padT) = (640, 280, 56, 28, 12)
-    val xs = series.head.points.map(_._1)
-    val ys = series.flatMap(_.points.map(_._2))
+    val xs = allPts.map(_._1)
+    val ys = allPts.map(_._2)
     val (x0, x1) = (xs.min, xs.max)
     val (yMin, yMax) = (math.min(ys.min, 0.0), math.max(ys.max, 0.0))
     val xSpan = if (x1 == x0) 1.0 else x1 - x0

@@ -79,6 +79,28 @@ class DashboardRendererSpec extends SparkSpec {
     assert(!html.contains("<polyline"))
   }
 
+  test("nulls are gaps, not fabricated zeros; truncation is said, not silent") {
+    import spark.implicits._
+    // day 2's value is NULL (an outer-join hole): the polyline must
+    // have 2 points, never a dip to a fabricated zero
+    Seq(("d1", Some(5.0)), ("d2", None), ("d3", Some(7.0)))
+      .toDF("day", "v").createOrReplaceTempView("gappy")
+    val page =
+      """```sql g
+        |select day, v from gappy
+        |```
+        |<LineChart data={g}/>
+        |""".stripMargin
+    val html = DashboardRenderer.render(spark, page)
+    val pts = "points=\"([^\"]+)\"".r.findFirstMatchIn(html).get.group(1)
+    assert(pts.split(" ").length == 2, pts)
+
+    // row cap: 3 rows, maxRows 2 → truncated notice rendered
+    val capped = DashboardRenderer.render(spark, page, maxRows = 2)
+    assert(capped.contains("result truncated"), capped)
+    assert(!html.contains("result truncated"))
+  }
+
   test("prose is escaped, never interpreted as HTML") {
     val html = DashboardRenderer.render(spark, "# a <b>bold</b> & title")
     assert(html.contains("<h1>a &lt;b&gt;bold&lt;/b&gt; &amp; title</h1>"))

@@ -111,22 +111,24 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     val pipe = new Pipeline(spark, root, HealingNode.fetch)
     HealingNode.healed = false
     try {
-      // run 1: the degrade path covers heights 1-3 at per_page 1, then
-      // the page serving the monster height 4 fails below per_page 1 →
-      // quarantine; only heights that never landed enter the ledger.
-      // The SAME run's gap-fill stage re-claims 4-5 but the refetch's
-      // count probe also fails (the monster is the range's first item)
-      // → the chunk re-quarantines instead of crashing the run, and the
-      // heights re-enter the ledger.
+      // run 1: the page serving the monster height 4 fails below
+      // per_page 1 → the chunk quarantines ALL-OR-NOTHING (its partial
+      // pages land nothing — a landed partial would make a multi-item
+      // height look covered and its remaining items unrecoverable) and
+      // the whole span enters the blocks ledger. The SAME run's
+      // gap-fill stage re-claims 1-5, the refetch re-quarantines (no
+      // crash), and the heights re-enter the ledger.
       pipe.run(tip = 5, chainFloor = 1, numBlocks = 10, models = Nil)
-      val blocks1 = spark.read.parquet(s"$root/parsed/blocks")
-        .select("height").collect().map(_.getLong(0)).sorted.toSeq
-      assert(blocks1 == Seq(1L, 2L, 3L), s"run-1 blocks: $blocks1")
-      assert(graft.ingest.ErrorHeights.read(root, "blocks") == Seq(4L, 5L))
+      // nothing landed for blocks (empty raw file → zero parsed rows)
+      assert(scala.util.Try(
+        spark.read.parquet(s"$root/parsed/blocks").count()).getOrElse(0L) == 0L)
+      assert(graft.ingest.ErrorHeights.read(root, "blocks") == (1L to 5L))
       assert(graft.ingest.ErrorHeights.read(root, "txs").isEmpty)
+      // the tx side was unaffected: T1 landed and enriches later
+      assert(spark.read.parquet(s"$root/parsed/tx_result").count() == 1)
 
-      // run 2 (node healed): the gap-fill stage re-extracts range 4-5
-      // (overwriting run-1's empty 4_5.json — the manifest-forget
+      // run 2 (node healed): the gap-fill stage re-extracts range 1-5
+      // (overwriting run-1's empty 1_5.json — the manifest-forget
       // collision path), parse consumes the refetched file, the ledger
       // clears, and no height is duplicated in the parsed zone
       HealingNode.healed = true
@@ -139,6 +141,19 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
       assert(pipe.gapFill().values.forall(_.isEmpty))
       assert(spark.read.parquet(s"$root/parsed/blocks").count() == 5)
     } finally HealingNode.healed = false
+  }
+
+  test("gap-fill: a failure mid-stage restores the claimed heights to the ledger") {
+    val root = Files.createTempDirectory("graft-gapclaim").toString
+    val pipe = new Pipeline(spark, root, FakeNode.fetch)
+    graft.ingest.ErrorHeights.append(root, "blocks", Seq(2L, 3L))
+    // sabotage the post-refetch manifest step: parsed_files.json as a
+    // DIRECTORY makes Manifest.forget's write throw after the claim
+    Files.createDirectories(Paths.get(root, "parsed", "parsed_files.json"))
+    intercept[Exception] { pipe.gapFill() }
+    // the claim was restored — a retry (or the next run) still sees the
+    // heights instead of a silently emptied ledger
+    assert(graft.ingest.ErrorHeights.read(root, "blocks") == Seq(2L, 3L))
   }
 
   test("streaming sync: rpc stream -> flatteners -> hive zone, exactly-once") {
