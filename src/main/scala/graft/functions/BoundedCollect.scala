@@ -23,11 +23,13 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.Collect
   *
   * Semantics: a group with more than `limit` input values collects an
   * arbitrary `limit`-subset — callers must treat an at-limit result as
-  * "overflowed" (the guard pairs it with a `count` column and filters
-  * on that), never as the group's contents. Groups at or under the
-  * limit collect exactly their values (order arbitrary, like
-  * collect_list). Runs in ObjectHashAggregate exactly like
-  * collect_list — same execution path, same cost. */
+  * "overflowed", never as the group's contents. The guard does this by
+  * collecting with `limit = cap + 1` and testing `size(out) > cap`:
+  * overflow detection by LENGTH, so no separate exact `count`
+  * aggregate rides the hot aggregation. Groups at or under the limit
+  * collect exactly their values (order arbitrary, like collect_list).
+  * Runs in ObjectHashAggregate exactly like collect_list — same
+  * execution path, same cost. */
 final case class BoundedCollectList(
     child: Expression,
     limit: Int,

@@ -122,10 +122,22 @@ object CorpusPipeline {
     * cross-frame bucket collisions; the bench index is batch-sized and
     * the train corpus is indexed once (the same fused kernel pass the
     * dedup family uses), so cost tracks train + collision mass — never
-    * train × bench. */
+    * train × bench.
+    *
+    * Hot-bucket guard OFF by default HERE (unlike the dedup family):
+    * this operator's contract is LEAK PREVENTION — a dropped hot
+    * bucket could let contaminated training docs through unreported,
+    * and benchmarks with boilerplate prompt headers plausibly form
+    * exactly such buckets. Cross-frame-only expansion already bounds a
+    * hot bucket to |train-side| × |bench-side| (linear in the bucket
+    * when the bench side is small), so the quadratic blow-up the dedup
+    * default defends against cannot occur here. Callers that still
+    * want throughput protection pass an explicit `maxBucketSize` and
+    * accept weaker leak guarantees (dropped buckets WARN via the
+    * guard's observe metric). */
   def decontaminateFuzzy(train: DataFrame, bench: DataFrame, id: String,
       text: String, n: Int = 4, k: Int = 16, bands: Int = 4,
-      threshold: Double = 0.5, maxBucketSize: Int = Dedup.DefaultMaxBucketSize): DataFrame = {
+      threshold: Double = 0.5, maxBucketSize: Int = Int.MaxValue): DataFrame = {
     // index once: the train index feeds BOTH the pair search and the
     // report base (indexDocs already keeps exactly the ≥n-token docs),
     // so the corpus is scanned once, not twice

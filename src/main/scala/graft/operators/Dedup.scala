@@ -156,12 +156,16 @@ object Dedup {
     * boilerplate docs on one (band, sig) key) would otherwise dominate
     * the job — and the collection buffer itself would OOM an executor.
     *
-    * Single-shuffle: the cap rides the SAME aggregation as the
-    * collection — a [[graft.functions.BoundedCollectList]] buffer that
-    * stops growing at the cap (map-side partials included) next to a
-    * count, with over-limit groups dropped on the count BEFORE any
-    * pair expansion. (A count-prepass + semi-join formulation measured
-    * ~1.3-1.5× on the whole operator — the guard must not double the
+    * Single-shuffle, single-aggregate: the cap rides the SAME
+    * aggregation as the collection — a
+    * [[graft.functions.BoundedCollectList]] buffer that stops growing
+    * at `cap + 1` elements (map-side partials included). Overflow is
+    * detected by LENGTH (`size(__ids) > cap`), so no separate exact
+    * `count` aggregate is carried: over-limit groups are dropped on
+    * the collected length BEFORE any pair expansion. (A count-prepass
+    * + semi-join formulation measured ~1.3-1.5× on the whole operator;
+    * the r7 same-aggregation `count(lit(1))` variant still cost
+    * ~10-30% on the LSH family at sf0.1 — the guard must not tax the
     * stage it protects.)
     *
     * Recall note: a true near-dup pair is lost only if EVERY band it
@@ -182,21 +186,18 @@ object Dedup {
     else {
       require(maxBucketSize >= 2, s"maxBucketSize must be >= 2, got $maxBucketSize")
       registerHotBucketListener(banded.sparkSession)
+      val overflowed = size(col("__ids")) > maxBucketSize
       banded.groupBy("band", "sig")
-        .agg(count(lit(1)).as("__n"),
-          graft.functions.BoundedCollect
-            .boundedCollectList(elem, maxBucketSize).as("__ids"))
+        .agg(graft.functions.BoundedCollect
+          .boundedCollectList(elem, maxBucketSize + 1).as("__ids"))
         // unique node name: two guarded stages may share one executed plan
         .observe(s"lsh_hot_bucket_guard_${hotBucketObserveSeq.incrementAndGet()}",
-          // both metrics coalesced: over an EMPTY banded frame (all-short
-          // batch) sum/max observe as NULL and the listener's getAs[Long]
-          // would NPE on every such query
-          coalesce(sum(when(col("__n") > maxBucketSize, 1L).otherwise(0L)),
+          // coalesced: over an EMPTY banded frame (all-short batch) sum
+          // observes as NULL and the listener's getAs[Long] would NPE
+          coalesce(sum(when(overflowed, 1L).otherwise(0L)),
             lit(0L)).as("dropped_buckets"),
-          coalesce(max(col("__n")), lit(0L)).as("max_bucket"),
           lit(maxBucketSize.toLong).as("cap"))
-        .filter(col("__n") <= maxBucketSize && col("__n") > 1)
-        .drop("__n")
+        .filter(!overflowed && size(col("__ids")) > 1)
     }
 
   private def registerHotBucketListener(
@@ -213,9 +214,8 @@ object Dedup {
                 val dropped = row.getAs[Long]("dropped_buckets")
                 if (dropped > 0) log.warn(
                   s"LSH hot-bucket guard dropped $dropped bucket(s) over cap=" +
-                    s"${row.getAs[Long]("cap")} (largest bucket: " +
-                    s"${row.getAs[Long]("max_bucket")} docs) — boilerplate/" +
-                    "exact-dup mass; run exact dedup upstream or raise maxBucketSize")
+                    s"${row.getAs[Long]("cap")} — boilerplate/exact-dup " +
+                    "mass; run exact dedup upstream or raise maxBucketSize")
               }
             }
           override def onFailure(funcName: String,

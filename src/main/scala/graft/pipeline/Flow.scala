@@ -21,28 +21,43 @@ final class Flow(retries: Int = 2, backoffMs: Long = 500,
     sleep: Long => Unit = Thread.sleep) {
 
   final case class TaskRun(name: String, attempts: Int, seconds: Double,
-      error: Option[String])
+      error: Option[String], counters: Map[String, Long] = Map.empty)
 
   private val runs = mutable.ArrayBuffer.empty[TaskRun]
+  // counters the CURRENT attempt's body records via count(); reset per
+  // attempt so a retried body doesn't double-count its partial progress
+  private var current = mutable.LinkedHashMap.empty[String, Long]
+
+  /** Record a named counter against the task currently running — the
+    * quantitative half of flow observability (e.g. an extract stage's
+    * quarantined-chunk count: a run can "succeed" with every chunk
+    * quarantined, and without the counter that regression signal is
+    * reduced to log lines and ledger growth). Additive within one
+    * attempt; reset on retry. */
+  def count(key: String, n: Long): Unit =
+    current(key) = current.getOrElse(key, 0L) + n
 
   /** Run `body` as a named task: up to `retries` re-attempts with
-    * linear backoff (attempt i sleeps i × backoffMs first), timing and
-    * outcome recorded. Rethrows the last failure once exhausted. */
+    * linear backoff (attempt i sleeps i × backoffMs first), timing,
+    * outcome and body-recorded counters recorded. Rethrows the last
+    * failure once exhausted. */
   def task[T](name: String)(body: => T): T = {
     val t0 = System.nanoTime()
     var attempt = 0
     while (true) {
       attempt += 1
+      current = mutable.LinkedHashMap.empty[String, Long]
       try {
         val out = body
-        runs += TaskRun(name, attempt, (System.nanoTime() - t0) / 1e9, None)
+        runs += TaskRun(name, attempt, (System.nanoTime() - t0) / 1e9, None,
+          current.toMap)
         return out
       } catch {
         case e: Exception if attempt <= retries =>
           sleep(backoffMs * attempt)
         case e: Exception =>
           runs += TaskRun(name, attempt, (System.nanoTime() - t0) / 1e9,
-            Some(String.valueOf(e.getMessage)))
+            Some(String.valueOf(e.getMessage)), current.toMap)
           throw e
       }
     }
@@ -58,7 +73,12 @@ final class Flow(retries: Int = 2, backoffMs: Long = 500,
     * parseable exactly when a stage failed). */
   def reportJson: String = runs.map { r =>
     val err = r.error.fold("null")(m => "\"" + jsonEscape(m) + "\"")
-    f"""{"task":"${jsonEscape(r.name)}","attempts":${r.attempts},"sec":${r.seconds}%.3f,"error":$err}"""
+    val ctr =
+      if (r.counters.isEmpty) ""
+      else r.counters
+        .map { case (k, v) => s""""${jsonEscape(k)}":$v""" }
+        .mkString(""","counters":{""", ",", "}")
+    f"""{"task":"${jsonEscape(r.name)}","attempts":${r.attempts},"sec":${r.seconds}%.3f,"error":$err$ctr}"""
   }.mkString("[", ",", "]")
 
   private def jsonEscape(s: String): String = s.flatMap {

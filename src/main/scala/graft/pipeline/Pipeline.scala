@@ -46,7 +46,7 @@ final class Pipeline(
     * page envelopes are flattened to their item arrays (the reference's
     * process_responses, extract.py:408-424) and written as one JSON array
     * file per range (save_json layout, extract.py:186-192). */
-  def extractRange(kind: String, start: Long, end: Long): String = {
+  def extractRange(kind: String, start: Long, end: Long): Pipeline.RawWrite = {
     // locals, not fields: these close over executor-side lambdas and must
     // not drag the (non-serializable) Pipeline in with them
     val (api, fetch) = (apiUrl, fetcher)
@@ -57,7 +57,7 @@ final class Pipeline(
       spark, Seq(HeightChunk(start, end)), perPage, fetch, urlOf,
       graft.ingest.ChainClient.parseTotalCount
     ).collect()
-    writeRaw(kind, start, end, results)
+    writeRaw(kind, start, end, results, chunksPlanned = 1)
   }
 
   /** Extract through the DataSourceV2 source instead of the
@@ -68,7 +68,7 @@ final class Pipeline(
     * `RpcFetcher` with a no-arg constructor (or a Scala object) — DSv2
     * options can't carry closures. */
   def extractRangeViaSource(kind: String, start: Long, end: Long,
-      fetcherClass: String, chunk: Long = 10000L): String = {
+      fetcherClass: String, chunk: Long = 10000L): Pipeline.RawWrite = {
     val results = spark.read.format("tendermint-rpc")
       .option("url", apiUrl)
       .option("kind", kind)
@@ -81,14 +81,16 @@ final class Pipeline(
       .collect()
       .map(r => graft.ingest.FetchResult(r.getLong(0), r.getLong(1),
         r.getInt(2), r.getInt(3), Option(r.getString(4)), r.getBoolean(5)))
-    writeRaw(kind, start, end, results)
+    writeRaw(kind, start, end, results,
+      chunksPlanned = Fetch.chunks(start, end, chunk).size)
   }
 
   /** Flatten page envelopes to item arrays and land the `{start}_{end}`
     * raw file + error ledger + watermark (save_json layout,
     * extract.py:186-192). */
   private def writeRaw(kind: String, start: Long, end: Long,
-      results: Array[graft.ingest.FetchResult]): String = {
+      results: Array[graft.ingest.FetchResult],
+      chunksPlanned: Int): Pipeline.RawWrite = {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
     // Quarantine is ALL-OR-NOTHING per chunk: a quarantined chunk lands
@@ -127,7 +129,8 @@ final class Pipeline(
     val path = dir.resolve(s"${start}_$end.json")
     Files.writeString(path, JsonMethods.compact(JArray(items.toList)))
     new WatermarkStore(rawDir(kind)).updateFromFiles()
-    path.toString
+    Pipeline.RawWrite(path.toString, chunksPlanned, badChunks.size,
+      failed.toIndexedSeq.flatMap(r => r.start to r.end).distinct.size.toLong)
   }
 
 
@@ -423,8 +426,15 @@ final class Pipeline(
     * parse manifest so a name collision with an already-parsed file
     * (only possible when that parse landed nothing for these heights)
     * cannot stop the next parse() from consuming the refetched
-    * content. Returns the refetched ranges per kind. */
-  def gapFill(): Map[String, Seq[(Long, Long)]] =
+    * content. Returns the refetched ranges per kind.
+    *
+    * When a `flow` is supplied, refetch/re-quarantine counts are
+    * recorded as stage counters. Unlike the sync/backfill extracts,
+    * 100% re-quarantine here does NOT fail the stage: gap-fill's input
+    * is exactly the heights that already failed once, so a persistent
+    * bad height (the degrade path's terminal case) would otherwise
+    * make every future run red — the counter is the signal. */
+  def gapFill(flow: Option[Flow] = None): Map[String, Seq[(Long, Long)]] =
     Seq("blocks", "txs").map { kind =>
       val gaps = graft.ingest.ErrorHeights.read(dataRoot, kind)
       val ranges = RangePlanner.gapFillRanges(gaps)
@@ -439,8 +449,15 @@ final class Pipeline(
         // output is overwrite-in-place, so retry-after-restore converges.
         try {
           val written = ranges.map { case (s, e) => extractRange(kind, s, e) }
+          flow.foreach { f =>
+            f.count(s"${kind}_ranges_refetched", written.size.toLong)
+            f.count(s"${kind}_chunks_requarantined",
+              written.map(_.chunksQuarantined.toLong).sum)
+            f.count(s"${kind}_heights_requarantined",
+              written.map(_.heightsQuarantined).sum)
+          }
           new Manifest(parsedRoot).forget(
-            written.map(p => Paths.get(p).getFileName.toString), kind)
+            written.map(w => Paths.get(w.path).getFileName.toString), kind)
         } catch {
           case e: Throwable =>
             graft.ingest.ErrorHeights.append(dataRoot, kind, gaps)
@@ -474,28 +491,65 @@ final class Pipeline(
     val (syncStart, syncEnd) = flow.task("determine_sync_range")(
       RangePlanner.syncRange(tip, chainFloor, blocksWs.maxHeightFromFiles, numBlocks))
     flow.task("extract_sync") {
-      extractRange("blocks", syncStart, syncEnd)
-      extractRange("txs", syncStart, syncEnd)
+      noteExtracts(flow, Seq(
+        extractRange("blocks", syncStart, syncEnd),
+        extractRange("txs", syncStart, syncEnd)))
     }
 
     val (bfStart, bfEnd) = flow.task("determine_backfill_range")(
       RangePlanner.backfillRange(chainFloor, blocksWs.minHeightFromFiles, numBlocks))
     flow.task("extract_backfill") {
-      RangePlanner.backfillChunks(bfStart, bfEnd, numBlocks).foreach {
-        case (s, e) =>
-          extractRange("blocks", s, e)
-          extractRange("txs", s, e)
-      }
+      noteExtracts(flow,
+        RangePlanner.backfillChunks(bfStart, bfEnd, numBlocks).flatMap {
+          case (s, e) => Seq(
+            extractRange("blocks", s, e),
+            extractRange("txs", s, e))
+        })
     }
 
-    flow.task("gap_fill")(gapFill())
+    flow.task("gap_fill")(gapFill(Some(flow)))
 
     flow.task("parse_data")(parse())
     (flow.task("run_models")(runModels(models)), flow)
   }
+
+  /** Quarantine accounting for an extract stage: counts into the flow
+    * report, and a LOUD failure when EVERY planned chunk quarantined —
+    * a fully unreachable node used to produce a "successful" run with
+    * empty output and all heights ledgered, its only signal log lines
+    * and ledger growth. Partial quarantine stays a success (that is
+    * the degrade contract — gap-fill owns the ledgered heights); total
+    * quarantine is indistinguishable from "the node is down" and must
+    * fail the stage so Flow's retry/backoff gets a chance and the run
+    * goes red instead of silently empty. */
+  private def noteExtracts(flow: Flow, ws: Seq[Pipeline.RawWrite]): Unit = {
+    val planned = ws.map(_.chunksPlanned.toLong).sum
+    val bad = ws.map(_.chunksQuarantined.toLong).sum
+    flow.count("chunks_planned", planned)
+    flow.count("chunks_quarantined", bad)
+    flow.count("heights_quarantined", ws.map(_.heightsQuarantined).sum)
+    if (planned > 0 && bad >= planned)
+      throw new IllegalStateException(
+        s"extract stage quarantined ALL $planned chunk(s) — node unreachable " +
+          "or every count probe failed; heights are ledgered for gap-fill " +
+          "but this run produced no output")
+  }
 }
 
 object Pipeline {
+  /** Outcome of one raw-zone extract: the landed `{start}_{end}.json`
+    * path plus quarantine accounting. A run with quarantined chunks is
+    * still a "successful" write (the heights are ledgered for gap-fill),
+    * so callers that need a loud signal — rather than log lines and
+    * ledger growth — read the counts here. */
+  final case class RawWrite(path: String, chunksPlanned: Int,
+      chunksQuarantined: Int, heightsQuarantined: Long) {
+    /** Every planned chunk quarantined — the fully-unreachable-node
+      * shape: zero output, everything ledgered. */
+    def fullyQuarantined: Boolean =
+      chunksPlanned > 0 && chunksQuarantined >= chunksPlanned
+  }
+
   /** Inclusive height span covered by a batch of raw `{start}_{end}.json`
     * files — the filename contract writeRaw pins (extract.py:186-192).
     * Driver-side and free: this is what bounds the parse stage's

@@ -52,27 +52,52 @@ object DashboardRenderer {
       content ++= s"<h1 class=page-title>${escapeHtml(title)}</h1>\n"
 
     // strip sql blocks (they execute, they don't render), then walk the
-    // remaining lines: component tags render charts, everything else is
-    // minimal markdown (headings + paragraphs)
+    // remaining lines: component tags render charts (with any prose
+    // around them on the same line kept), non-sql code fences render
+    // preformatted, everything else is minimal markdown (headings +
+    // paragraphs)
     val sqlBlock = "(?s)```\\s*sql\\s+[A-Za-z0-9_]+\\s*\\n.*?```".r
     val prose = sqlBlock.replaceAllIn(body, "")
     val component =
       "<(LineChart|BarChart|DataTable)\\s+data=\\{\\s*([A-Za-z0-9_]+)\\s*\\}([^/>]*)/?>".r
+    // a fenced non-sql block passes through as preformatted text —
+    // rendering it line-by-line as paragraphs would collapse
+    // indentation and read as prose
+    var codeBuf: Option[StringBuilder] = None
+    def flushCode(): Unit = codeBuf.foreach { buf =>
+      content ++= s"<pre><code>${escapeHtml(buf.result().stripSuffix("\n"))}</code></pre>\n"
+      codeBuf = None
+    }
     prose.linesIterator.foreach { line =>
       val t = line.trim
-      component.findFirstMatchIn(t) match {
-        case Some(m) =>
-          val (kind, id, attrs) = (m.group(1), m.group(2), m.group(3))
-          content ++= renderComponent(kind, id, parseAttrs(attrs),
-            results.get(id), maxRows)
-        case None if t.startsWith("#") =>
-          val level = math.min(t.takeWhile(_ == '#').length, 6)
-          content ++= s"<h$level>${escapeHtml(t.dropWhile(_ == '#').trim)}</h$level>\n"
-        case None if t.nonEmpty =>
-          content ++= s"<p>${escapeHtml(t)}</p>\n"
-        case None => ()
+      codeBuf match {
+        case Some(buf) =>
+          if (t.startsWith("```")) flushCode() else buf ++= line + "\n"
+        case None if t.startsWith("```") =>
+          codeBuf = Some(new StringBuilder)
+        case None =>
+          val ms = component.findAllMatchIn(t).toList
+          if (ms.nonEmpty) {
+            // surrounding prose on a component line renders too — the
+            // tag replaces only ITS span, not the whole line
+            var pos = 0
+            ms.foreach { m =>
+              val pre = t.substring(pos, m.start).trim
+              if (pre.nonEmpty) content ++= s"<p>${escapeHtml(pre)}</p>\n"
+              content ++= renderComponent(m.group(1), m.group(2),
+                parseAttrs(m.group(3)), results.get(m.group(2)), maxRows)
+              pos = m.end
+            }
+            val post = t.substring(pos).trim
+            if (post.nonEmpty) content ++= s"<p>${escapeHtml(post)}</p>\n"
+          } else if (t.startsWith("#")) {
+            val level = math.min(t.takeWhile(_ == '#').length, 6)
+            content ++= s"<h$level>${escapeHtml(t.dropWhile(_ == '#').trim)}</h$level>\n"
+          } else if (t.nonEmpty)
+            content ++= s"<p>${escapeHtml(t)}</p>\n"
       }
     }
+    flushCode() // an unclosed fence still renders what it collected
 
     s"""<!doctype html>
        |<html><head><meta charset="utf-8"><title>${escapeHtml(title)}</title>

@@ -670,6 +670,14 @@ object EventStream {
           case None => d
         }
         refreshed.write.mode("overwrite").parquet(s"$statePath/v=$batchId")
+        // a merged-state sink never needs more than the current version
+        // plus the replay-guard predecessor (the merge base a replayed
+        // batch re-merges from): retain those 2, delete the rest —
+        // otherwise version dirs accumulate without bound and the
+        // per-batch listing grows linearly with stream age (the same
+        // retention streamingNovelty applies)
+        versions.filter(_ < batchId).sorted.dropRight(1)
+          .foreach(v => hfs.delete(new Path(s"$statePath/v=$v"), true))
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())

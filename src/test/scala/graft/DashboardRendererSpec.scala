@@ -105,4 +105,37 @@ class DashboardRendererSpec extends SparkSpec {
     val html = DashboardRenderer.render(spark, "# a <b>bold</b> & title")
     assert(html.contains("<h1>a &lt;b&gt;bold&lt;/b&gt; &amp; title</h1>"))
   }
+
+  test("prose around a component tag on the same line renders too") {
+    import spark.implicits._
+    Seq((1, 2), (2, 3)).toDF("x", "y").createOrReplaceTempView("t_inline")
+    val page =
+      """```sql q
+        |select x, y from t_inline
+        |```
+        |
+        |Daily gas: <LineChart data={q}/> as measured on-chain.
+        |""".stripMargin
+    val html = DashboardRenderer.render(spark, page)
+    assert(html.contains("<p>Daily gas:</p>"), html)
+    assert(html.contains("<polyline"), html)
+    assert(html.contains("<p>as measured on-chain.</p>"), html)
+  }
+
+  test("non-sql code fences render preformatted, not as paragraphs") {
+    val page =
+      """Install with:
+        |
+        |```bash
+        |  make pipeline
+        |  make dashboard
+        |```
+        |
+        |then open the page.
+        |""".stripMargin
+    val html = DashboardRenderer.render(spark, page)
+    assert(html.contains("<pre><code>  make pipeline\n  make dashboard</code></pre>"), html)
+    assert(!html.contains("<p>make pipeline</p>"), html)
+    assert(html.contains("<p>then open the page.</p>"), html)
+  }
 }

@@ -236,6 +236,12 @@ class EventStreamSpec extends AnyFunSuite with SparkSpec {
     EventStream.streamingSourceTokenCounts(src, state, chk).awaitTermination()
     assert(EventStream.latestAggState(spark, state)
       .agg(sum(col("tokens"))).head().getLong(0) == 8L)
+    // version retention: merged-state sinks keep only the current
+    // version + the replay-guard predecessor — a long-running stream
+    // must not accumulate version dirs (listing cost ∝ stream age)
+    val vdirs = new java.io.File(state).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("v=")).map(_.getName)
+    assert(vdirs.length <= 2, vdirs.toSeq)
   }
 
   test("streaming dedup drops cross-batch re-deliveries within the watermark") {

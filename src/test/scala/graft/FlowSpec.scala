@@ -47,5 +47,49 @@ class FlowSpec extends AnyFunSuite with SparkSpec {
       "parse_data", "run_models"), names)
     assert(flow.report.forall(r => r.error.isEmpty && r.attempts == 1))
     assert(spark.read.parquet(s"$root/parsed/blocks").count() == 5)
+    // extract stages carry quarantine accounting (all-healthy here)
+    val sync = flow.report.find(_.name == "extract_sync").get
+    assert(sync.counters("chunks_planned") == 2L &&
+      sync.counters("chunks_quarantined") == 0L, sync.counters)
+    assert(flow.reportJson.contains(""""counters":{"chunks_planned":2"""))
+  }
+
+  test("counters reset per attempt — a retried body does not double-count") {
+    val flow = new Flow(retries = 2, backoffMs = 1, sleep = _ => ())
+    var calls = 0
+    flow.task("counted") {
+      calls += 1
+      flow.count("items", 5)
+      if (calls < 2) sys.error("transient")
+    }
+    assert(flow.report.head.counters == Map("items" -> 5L))
+  }
+
+  test("a fully unreachable node fails the extract stage LOUDLY, not silently-empty") {
+    // regression for the count-probe Try swallowing every cause: all
+    // chunks quarantining is indistinguishable from "node down" and
+    // must fail the run (after Flow's retries), with the quarantine
+    // counts still in the report — never a "successful" empty run
+    val root = java.nio.file.Files.createTempDirectory("graft-flow-down").toString
+    val pipe = new graft.pipeline.Pipeline(spark, root,
+      _ => sys.error("connection refused"))
+    val e = intercept[IllegalStateException] {
+      pipe.runWithReport(tip = 5, chainFloor = 1, numBlocks = 10,
+        models = Nil, retries = 1, backoffMs = 1)
+    }
+    assert(e.getMessage.contains("quarantined ALL"), e.getMessage)
+    val (_, flow2) = {
+      // partial quarantine stays a success: blocks fetch healthy, txs
+      // probe down → heights ledgered, counters carry the signal
+      val half = new graft.pipeline.Pipeline(spark,
+        java.nio.file.Files.createTempDirectory("graft-flow-half").toString,
+        url => if (url.contains("tx_search")) sys.error("down")
+               else FakeNode.fetch(url))
+      half.runWithReport(tip = 5, chainFloor = 1, numBlocks = 10, models = Nil)
+    }
+    val sync = flow2.report.find(_.name == "extract_sync").get
+    assert(sync.error.isEmpty &&
+      sync.counters("chunks_quarantined") == 1L &&
+      sync.counters("heights_quarantined") == 5L, sync.counters)
   }
 }

@@ -246,7 +246,7 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
       s"""{"result":{"total_count":"7","blocks":[${blocks.mkString(",")}]}}"""
     }
     val p = new Pipeline(spark, dir, fetch, perPage = 5)
-    val path = p.extractRange("blocks", 1, 7)
+    val path = p.extractRange("blocks", 1, 7).path
     val heights = org.json4s.jackson.JsonMethods.parse(Files.readString(Paths.get(path))) match {
       case org.json4s.JArray(vs) => vs.map(v =>
         (v \ "block" \ "header" \ "height").asInstanceOf[org.json4s.JString].s.toLong)
@@ -275,7 +275,7 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
       .extractRange("txs", 1, 5)
     val b = new Pipeline(spark, rootB, FakeNode.fetch)
       .extractRangeViaSource("txs", 1, 5, FakeNodeFetcher.getClass.getName)
-    assert(Files.readString(Paths.get(a)) == Files.readString(Paths.get(b)))
+    assert(Files.readString(Paths.get(a.path)) == Files.readString(Paths.get(b.path)))
     // and the parse stage consumes it unchanged
     val pipeB = new Pipeline(spark, rootB, FakeNode.fetch)
     pipeB.parse()

@@ -313,11 +313,13 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("q36: the default-on hot-bucket guard adds NO join and NO extra exchange to the candidate stage") {
-    // the guard rides the one bucket aggregation (bounded collect +
-    // count in the same ObjectHashAggregate); a count-prepass + join
-    // formulation measured 1.3-1.5x on the whole operator — this pins
-    // the single-pass shape so it cannot quietly regress. The operator
-    // checkpoints its result, so audit the candidate STAGE directly.
+    // the guard IS the one bucket aggregation: a cap+1 bounded collect
+    // whose overflow is detected by length — no count aggregate, no
+    // prepass, no join (a count-prepass + join formulation measured
+    // 1.3-1.5x on the whole operator; even an in-aggregation count cost
+    // ~10-30% on the family at sf0.1). This pins the single-pass shape
+    // so it cannot quietly regress. The operator checkpoints its
+    // result, so audit the candidate STAGE directly.
     import org.apache.spark.sql.functions.col
     val idx = graft.operators.Dedup.indexDocs(
       Tables.documents(spark, d), "doc_id", "text")
@@ -329,6 +331,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("bounded_collect_list"), p)
     assert(p.contains("ObjectHashAggregate"), p)
     assert(!p.contains("Join"), p)
+    // no count aggregate rides the guard — overflow is length-detected
+    assert(!p.contains("partial_count") && !p.contains("count(1)"), p)
     // exactly ONE exchange: the (band, sig) bucket shuffle
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
   }
