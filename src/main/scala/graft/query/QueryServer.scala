@@ -36,12 +36,22 @@ import org.apache.spark.sql.SparkSession
 final class QueryServer(
     spark: SparkSession,
     pages: Map[String, String],
-    maxRows: Int = 10000) {
+    maxRows: Int = 10000,
+    statusDir: Option[String] = None) {
 
   private var server: Option[HttpServer] = None
   private val route = "^/api/([A-Za-z0-9_-]+)\\.json$".r
+  private val statusRoute = "^/api/status/([A-Za-z0-9_-]+)$".r
   private val pageRoute = "^/page/([A-Za-z0-9_-]+)\\.html$".r
   private val maxSqlBytes = 1 << 20 // 1 MiB statement cap
+
+  /** Evidence's md5-keyed compile/run status cache (`GET
+    * /api/status/{route}` — the endpoint a client polls before loading
+    * a page). `statusDir` pins the cache across server restarts (the
+    * reference's `./.evidence-queries`); default is a per-instance
+    * temp dir, so the endpoint always serves. */
+  private val statusStore = new QueryStatusStore(statusDir.getOrElse(
+    java.nio.file.Files.createTempDirectory("graft-query-status").toString))
 
   /** Start on `port` (0 = ephemeral); returns the bound port.
     * Requests run on a cached thread pool, not the server's single
@@ -79,6 +89,17 @@ final class QueryServer(
           respond(exchange, 200, pageJson(name))
         case ("GET", route(name)) =>
           respond(exchange, 404, s"""{"error":"no page '${escape(name)}'"}""")
+        // compile-state poll (reference +server.js: GET /api/status/{route}
+        // → {"status":[{id,status}...]}); routes are keyed as '/'-prefixed
+        // paths, matching getStatusAndExtractQueries('/' + route)
+        case ("GET", statusRoute(name)) if pages.contains(name) =>
+          val st = statusStore.statusFor(s"/$name", pages(name))
+            .map { case (id, s) =>
+              s"""{"id":"${escape(id)}","status":"${escape(s)}"}""" }
+            .mkString("[", ",", "]")
+          respond(exchange, 200, s"""{"status":$st}""")
+        case ("GET", statusRoute(name)) =>
+          respond(exchange, 404, s"""{"error":"no page '${escape(name)}'"}""")
         // the rendered front door: same page registry, same bounded
         // collect, HTML+inline-SVG out (DashboardRenderer)
         case ("GET", pageRoute(name)) if pages.contains(name) =>
@@ -111,6 +132,16 @@ final class QueryServer(
 
   private def pageJson(name: String): String = {
     val results = QueryChainCompiler.runToJson(spark, pages(name), maxRows)
+    // the engine IS the query runner here, so it owns the status
+    // transitions the reference leaves to Evidence's dev runtime:
+    // executing a page marks each query done/error in the status cache
+    // (statusFor first: seed the entries when the page is served cold,
+    // before any status poll created them)
+    statusStore.statusFor(s"/$name", pages(name))
+    statusStore.record(s"/$name", results.map {
+      case (id, Right(_)) => id -> "done"
+      case (id, Left(_))  => id -> "error"
+    })
     results.toSeq.sortBy(_._1).map {
       case (id, Right(r)) =>
         s""""${escape(id)}":{"ok":true,"truncated":${r.truncated},"rows":[${r.rows.mkString(",")}]}"""

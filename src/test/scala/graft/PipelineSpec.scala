@@ -380,5 +380,49 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     // idempotent re-parse: manifest filters already-processed raw files
     pipe.parse()
     assert(spark.read.parquet(s"$root/parsed/tx_result").count() == 3)
+
+    // the rendered front door, end-to-end: the reference's
+    // pages/index.md VERBATIM (its `main.tx_result` resolved via a
+    // `main` database view over the parsed zone this very run landed),
+    // served over HTTP and rendered to a chart with the real gas rows
+    spark.sql("CREATE DATABASE IF NOT EXISTS main")
+    spark.sql("CREATE OR REPLACE VIEW main.tx_result AS " +
+      s"SELECT * FROM parquet.`$root/parsed/tx_result`")
+    val indexMd =
+      """---
+        |title: bread 🍞
+        |hide_title: true
+        |---
+        |
+        |# bread 🍞
+        |
+        |```sql gas
+        |select cast(gas_used as int), cast(gas_wanted as int) from main.tx_result
+        |```
+        |
+        |<LineChart data={gas}/>
+        |""".stripMargin
+    val srv = new graft.query.QueryServer(spark, Map("index" -> indexMd))
+    val port = srv.start()
+    try {
+      val conn = java.net.URI.create(s"http://127.0.0.1:$port/page/index.html")
+        .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
+      assert(conn.getResponseCode == 200)
+      val html = new String(conn.getInputStream.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      conn.disconnect()
+      assert(html.contains("<h1>bread 🍞</h1>"), html.take(400))
+      // x defaults to the first column (gas_used), y to the one other
+      // numeric column → exactly ONE series, its 3 tx rows as 3 points
+      val polylines = "<polyline points=\"([^\"]*)\"".r
+        .findAllMatchIn(html).map(_.group(1)).toList
+      assert(polylines.size == 1, html)
+      assert(polylines.head.trim.split(" ").length == 3, polylines.head)
+      assert(html.contains(""">gas_wanted</text>"""), html) // series legend
+    } finally {
+      srv.stop()
+      spark.sql("DROP VIEW IF EXISTS main.tx_result")
+      spark.sql("DROP DATABASE IF EXISTS main")
+    }
   }
 }

@@ -145,4 +145,68 @@ class QueryServerSpec extends SparkSpec {
       assert(nf == 404)
     } finally srv.stop()
   }
+
+  test("GET /api/status/{route}: cold-compile → cached after run → invalidated on page change") {
+    Tables.nation(spark, sf("sf0.001")).createOrReplaceTempView("nation")
+    val statusDir = java.nio.file.Files
+      .createTempDirectory("graft-status-cache").toString
+    def page(limit: Int) =
+      s"""```sql regions
+         |SELECT n_regionkey FROM nation GROUP BY n_regionkey LIMIT $limit
+         |```
+         |```sql top
+         |SELECT * FROM $${regions} LIMIT 1
+         |```
+         |```sql broken
+         |SELECT * FROM $${broken}
+         |```
+       """.stripMargin
+    val srv = new QueryServer(spark, Map("n" -> page(5)),
+      statusDir = Some(statusDir))
+    val port = srv.start()
+    try {
+      // cold: every query compiles fresh → "not run"
+      val (c0, b0) = get(port, "/api/status/n")
+      assert(c0 == 200, b0)
+      assert(b0 == """{"status":[{"id":"regions","status":"not run"},{"id":"top","status":"not run"},{"id":"broken","status":"not run"}]}""", b0)
+      // running the page transitions done/error
+      get(port, "/api/n.json")
+      val (_, b1) = get(port, "/api/status/n")
+      assert(b1.contains("""{"id":"regions","status":"done"}""") &&
+        b1.contains("""{"id":"top","status":"done"}""") &&
+        b1.contains("""{"id":"broken","status":"error"}"""), b1)
+      assert(get(port, "/api/status/nope")._1 == 404)
+    } finally srv.stop()
+    // same cache dir, edited page: `regions` changed, so BOTH regions
+    // and the chained `top` (whose compiled text inlines it) invalidate
+    // back to "not run" — md5 keys the COMPILED text, exactly the
+    // reference's extractQueries.server.js:19-30 semantics
+    val srv2 = new QueryServer(spark, Map("n" -> page(4)),
+      statusDir = Some(statusDir))
+    val port2 = srv2.start()
+    try {
+      val (_, b2) = get(port2, "/api/status/n")
+      assert(b2.contains("""{"id":"regions","status":"not run"}""") &&
+        b2.contains("""{"id":"top","status":"not run"}""") &&
+        b2.contains("""{"id":"broken","status":"error"}"""), b2)
+    } finally srv2.stop()
+  }
+
+  test("status store: md5-keyed carry-forward and zero-query page empties the cache") {
+    val store = new graft.query.QueryStatusStore(
+      java.nio.file.Files.createTempDirectory("graft-status-store").toString)
+    // routeHash is md5 of the route string (the reference's dir key)
+    assert(store.routeHash("/n") == "b852ca18b86701a48600366c50bc1cbc")
+    val md = "```sql a\nSELECT 1 AS x\n```"
+    assert(store.statusFor("/n", md) == Seq("a" -> "not run"))
+    store.record("/n", Map("a" -> "done"))
+    assert(store.statusFor("/n", md) == Seq("a" -> "done"))
+    // unchanged id + changed SQL → invalidated; unknown recorded id ignored
+    store.record("/n", Map("ghost" -> "done"))
+    assert(store.statusFor("/n", "```sql a\nSELECT 2 AS x\n```")
+      == Seq("a" -> "not run"))
+    // zero queries: the cache empties (extractQueries.server.js:33-34)
+    assert(store.statusFor("/n", "# just prose").isEmpty)
+    assert(store.statusFor("/n", md) == Seq("a" -> "not run"))
+  }
 }
