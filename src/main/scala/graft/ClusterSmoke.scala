@@ -26,7 +26,10 @@ import org.apache.spark.sql.SparkSession
   * job; the retry unit is the OPERATOR call (idempotent by
   * construction — outputs are overwrite-by-batch/version). Durable
   * cross-job state is always parquet (`v=<id>` / `batch=<id>`), never
-  * checkpoint blocks.
+  * checkpoint blocks. The smoke ends with a DRILL of exactly that
+  * stance: halt one executor JVM, assert the in-flight checkpointed
+  * frame FAILS (never silently recomputes partial data), then assert
+  * a fresh operator call converges to the identical result.
   *
   * Prints ONE JSON line: `{"smoke":"ok","executors":N,...}`; any
   * failure exits nonzero with the exception on stderr. */
@@ -91,8 +94,47 @@ object ClusterSmoke {
     graft.streaming.EventStream.compactCurateState(spark, state)
     require(spark.read.parquet(s"$state/v=1/fp").count() == 3)
 
+    // ---- executor-loss drill (the DEPLOY.md stance, exercised) ----
+    // 1) materialize an operator-internal frame exactly the way the
+    //    operators do: localCheckpoint = truncated lineage, blocks
+    //    held only on executors (16 partitions → both JVMs hold some)
+    val docs = Tables.documents(spark, sfDir)
+    val inflight = graft.operators.Dedup.indexDocs(docs, "doc_id", "text")
+      .repartition(16).localCheckpoint(true)
+    require(inflight.count() > 0)
+    // reference result from a complete operator run, pre-loss
+    def pairs() = graft.operators.Dedup
+      .minHashLshPairs(docs, "doc_id", "text")
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val before = pairs()
+    require(before.nonEmpty)
+    // 2) abruptly lose ONE executor JVM: a task schedules a delayed
+    //    halt (not System.exit — no shutdown hooks, a real crash) and
+    //    completes, then its JVM dies taking its blocks with it
+    spark.sparkContext.parallelize(Seq(1), 1).foreach { _ =>
+      new Thread(() => { Thread.sleep(300); Runtime.getRuntime.halt(77) })
+        .start()
+    }
+    Thread.sleep(4000)
+    // 3) the in-flight frame is DEAD: lost blocks + truncated lineage
+    //    must fail the job — silently recomputing partial data would
+    //    be corruption, not resilience
+    val poisoned = scala.util.Try(inflight.count())
+    require(poisoned.isFailure,
+      s"expected job failure on the checkpointed frame after executor loss, got $poisoned")
+    // 4) the retry unit is the operator CALL: once the standalone
+    //    master registers a replacement executor, a fresh run
+    //    converges to the identical output (all inputs are table
+    //    reads; outputs overwrite-by-version)
+    val redeadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+    while (executorCount() < 2 && System.nanoTime() < redeadline) Thread.sleep(500)
+    require(executorCount() >= 2, "replacement executor never registered")
+    require(pairs() == before,
+      "operator retry after executor loss diverged from the pre-loss result")
+
     val qs = counts.map { case (k, v) => s""""$k":$v""" }.mkString(",")
-    println(s"""{"smoke":"ok","executors":$executors,"sf":"$sfDir",$qs}""")
+    println(s"""{"smoke":"ok","executors":$executors,"drill":"executor-loss-ok","sf":"$sfDir",$qs}""")
     spark.stop()
   }
 }
