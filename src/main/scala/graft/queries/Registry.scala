@@ -25,7 +25,7 @@ object Registry {
     RelationalQueries.all ++ TextQueries.all ++ SimilarityQueries.all ++
       DedupQueries.all ++ MultimodalQueries.all ++ TemporalQueries.all ++
       ScaleQueries.all ++ AnalyticsQueries.all ++ CdcQueries.all ++
-      QualityQueries.all
+      QualityQueries.all ++ IngestQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.spark).toMap
