@@ -178,6 +178,30 @@ object Stress {
       graft.operators.QualityModels
         .knBigramEntropy(docs, "doc_id", "text").count()
     }
+    time("hashed_doc_vectors") {
+      // one token scan + one (id, bucket) aggregate; vector width is a
+      // constant (dims), so rows and shuffle mass both scale ×N
+      Dedup.hashedDocVectors(docs, "doc_id", "text").count()
+    }
+    time("hashed_tfidf_topk") {
+      // IDF is a vocab-sized broadcast and the query side is ONE doc's
+      // buckets — the pair-bounded sparse dot must track corpus size,
+      // never corpus × vocab
+      Dedup.hashedTfidfTopK(docs, "doc_id", "text", queryId = 1L, k = 10).count()
+    }
+    locally {
+      // merges learned once on a fixed-size slice (driver model state,
+      // like kmeans centroids) — the APPLY scan is the corpus-tracking
+      // stage under test: a narrow per-doc fold over merge literals
+      val merges = graft.operators.QualityModels
+        .bpeMerges(docs.limit(2000), "doc_id", "text", rounds = 3)
+        .orderBy("step").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      time("bpe_apply") {
+        graft.operators.QualityModels
+          .bpeApply(docs, "doc_id", "text", merges).count()
+      }
+    }
     time("ppmi_pairs") {
       // disjoint replica vocabularies: the co-occurrence matrix grows
       // ×N in rows while the context self-join's matched mass grows ×N
