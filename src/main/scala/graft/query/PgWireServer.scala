@@ -1,0 +1,467 @@
+package graft.query
+
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream, EOFException, IOException}
+import java.net.{InetAddress, ServerSocket, Socket}
+import java.nio.charset.StandardCharsets
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, to_json}
+import org.apache.spark.sql.types._
+
+/** PostgreSQL wire-protocol (v3) front end for the SQL gateway —
+  * SURVEY §2.10 Q8 closed natively.
+  *
+  * The reference fronts DuckDB with the Buena Vista postgres proxy so
+  * dbt and the dashboard can query ONE warehouse concurrently over the
+  * postgres protocol (`dbt/profiles.yml:7-14` — host 0.0.0.0 port 5433,
+  * `docker-compose.yaml:11`). This is the same surface speaking to
+  * Spark: a listener implementing the publicly documented protocol
+  * (postgresql.org/docs/current/protocol-message-formats.html) straight
+  * over `ServerSocket` — no driver jar, no framework.
+  *
+  * Supported flow, enough for real clients (psql, JDBC, psycopg):
+  *  - SSLRequest → refused with 'N' (cleartext localhost gateway);
+  *    GSSENCRequest likewise; CancelRequest → connection dropped.
+  *  - StartupMessage(3.0) → AuthenticationOk (trust — same trust model
+  *    as the HTTP gateway and Buena Vista's default), ParameterStatus
+  *    basics, BackendKeyData, ReadyForQuery.
+  *  - Simple protocol: 'Q' → RowDescription / DataRow* /
+  *    CommandComplete / ReadyForQuery; empty string →
+  *    EmptyQueryResponse; failures → ErrorResponse then ReadyForQuery
+  *    (a bad query is a result — the connection stays usable).
+  *  - Extended protocol: Parse/Bind/Describe/Execute/Close/Flush/Sync
+  *    for unparameterized statements (dbt compiles literals into its
+  *    SQL, so $n binding is not needed; a Bind carrying parameters gets
+  *    a clean ErrorResponse). Errors put the connection in the
+  *    protocol's skip-until-Sync state.
+  *
+  * Execution: every statement runs `spark.sql` on the connection's
+  * handler thread — concurrent clients interleave inside one
+  * SparkContext exactly like the HTTP gateway's request pool (that
+  * concurrency is the one thing the reference added the proxy FOR).
+  * All values ship in text format; complex columns (array/map/struct)
+  * are serialized to JSON server-side before collect. Driver safety:
+  * collects are capped at `maxRows` with a NoticeResponse when the cap
+  * fires — same bounded-collect contract as QueryServer, since the
+  * protocol has no `truncated` flag.
+  */
+final class PgWireServer(spark: SparkSession, maxRows: Int = 10000) {
+
+  private var server: Option[ServerSocket] = None
+  @volatile private var running = false
+
+  /** Bind 127.0.0.1:`port` (0 = ephemeral) and serve until `stop()`.
+    * Returns the bound port. One daemon accept thread; one daemon
+    * thread per connection (a gateway fronting dbt + a dashboard holds
+    * a handful of connections, not thousands — C10K belongs to Spark
+    * Connect's grpc tier). */
+  def start(port: Int = 0): Int = synchronized {
+    require(server.isEmpty, "PgWireServer already started")
+    val ss = new ServerSocket(port, 50, InetAddress.getByName("127.0.0.1"))
+    server = Some(ss)
+    running = true
+    val acceptor = new Thread(() => {
+      while (running) {
+        try {
+          val sock = ss.accept()
+          val t = new Thread(() => handleConnection(sock), "graft-pgwire-conn")
+          t.setDaemon(true)
+          t.start()
+        } catch {
+          case _: IOException => // socket closed by stop()
+        }
+      }
+    }, "graft-pgwire-accept")
+    acceptor.setDaemon(true)
+    acceptor.start()
+    ss.getLocalPort
+  }
+
+  def stop(): Unit = synchronized {
+    running = false
+    server.foreach(s => try s.close() catch { case _: IOException => })
+    server = None
+  }
+
+  // ---- protocol constants (public wire format) ----
+  private val ProtocolV3 = 196608      // 3 << 16
+  private val SslRequestCode = 80877103
+  private val GssEncRequestCode = 80877104
+  private val CancelRequestCode = 80877102
+
+  private def handleConnection(sock: Socket): Unit = {
+    sock.setTcpNoDelay(true)
+    val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
+    val out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
+    try {
+      if (!handshake(in, out)) return
+      sendAuthAndReady(out)
+      messageLoop(in, out)
+    } catch {
+      case _: EOFException => // client hung up
+      case _: IOException  =>
+    } finally {
+      try sock.close() catch { case _: IOException => }
+    }
+  }
+
+  /** Pre-startup negotiation: refuse SSL/GSS encryption (respond 'N',
+    * client retries cleartext on the same socket), drop cancel
+    * requests, accept a v3 StartupMessage. Returns false when the
+    * connection should end without a session. */
+  @annotation.tailrec
+  private def handshake(in: DataInputStream, out: DataOutputStream): Boolean = {
+    val len = in.readInt()
+    if (len < 8 || len > (1 << 20)) return false
+    val code = in.readInt()
+    code match {
+      case SslRequestCode | GssEncRequestCode =>
+        out.writeByte('N'); out.flush()
+        handshake(in, out)
+      case CancelRequestCode =>
+        in.skipBytes(len - 8) // no out-of-band cancel for a local gateway
+        false
+      case ProtocolV3 =>
+        in.skipBytes(len - 8) // user/database params — trust auth, single catalog
+        true
+      case _ =>
+        writeError(out, "08P01", s"unsupported protocol code $code")
+        out.flush()
+        false
+    }
+  }
+
+  private def sendAuthAndReady(out: DataOutputStream): Unit = {
+    writeMsg(out, 'R') { b => b.writeInt(0) } // AuthenticationOk
+    Seq(
+      "server_version" -> "15.0 (graft)",
+      "server_encoding" -> "UTF8",
+      "client_encoding" -> "UTF8",
+      "DateStyle" -> "ISO, MDY",
+      "integer_datetimes" -> "on",
+      "standard_conforming_strings" -> "on").foreach { case (k, v) =>
+      writeMsg(out, 'S') { b => writeCStr(b, k); writeCStr(b, v) }
+    }
+    writeMsg(out, 'K') { b => b.writeInt(0); b.writeInt(0) } // BackendKeyData
+    writeReady(out)
+    out.flush()
+  }
+
+  /** Per-connection extended-protocol state: named prepared statements
+    * and portals (sql text only — no parameter binding). */
+  private final class SessionState {
+    val statements = mutable.Map.empty[String, String]
+    val portals = mutable.Map.empty[String, String]
+    var skipUntilSync = false
+  }
+
+  private def messageLoop(in: DataInputStream, out: DataOutputStream): Unit = {
+    val st = new SessionState
+    while (true) {
+      val tpe = in.readByte().toChar
+      val len = in.readInt()
+      if (len < 4 || len > (64 << 20)) throw new IOException("bad frame length")
+      val payload = new Array[Byte](len - 4)
+      in.readFully(payload)
+      // after an extended-protocol error, discard until Sync (protocol's
+      // error-recovery rule); Sync and Terminate always processed
+      if (st.skipUntilSync && tpe != 'S' && tpe != 'X') ()
+      else tpe match {
+        case 'Q' => simpleQuery(out, new String(payload, 0,
+          math.max(0, payload.length - 1), StandardCharsets.UTF_8))
+        case 'P' => parse(st, out, payload)
+        case 'B' => bind(st, out, payload)
+        case 'D' => describe(st, out, payload)
+        case 'E' => execute(st, out, payload)
+        case 'C' => closeTarget(st, out, payload)
+        case 'H' => out.flush() // Flush
+        case 'S' => // Sync: clear error state, end the implicit transaction
+          st.skipUntilSync = false
+          writeReady(out); out.flush()
+        case 'X' => return // Terminate
+        case other =>
+          writeError(out, "08P01", s"unsupported message type '$other'")
+          st.skipUntilSync = true
+      }
+    }
+  }
+
+  // ---- simple protocol ----
+
+  private def simpleQuery(out: DataOutputStream, sql: String): Unit = {
+    if (sql.trim.isEmpty) {
+      writeMsg(out, 'I') { _ => } // EmptyQueryResponse
+    } else {
+      try {
+        val df = textualize(spark.sql(sql))
+        val schema = df.schema
+        if (schema.nonEmpty) writeRowDescription(out, schema)
+        val n = if (schema.nonEmpty) writeRows(out, df) else 0L
+        writeMsg(out, 'C') { b => writeCStr(b, commandTag(sql, n)) }
+      } catch {
+        case e: Exception =>
+          writeError(out, "42601", String.valueOf(e.getMessage))
+      }
+    }
+    writeReady(out)
+    out.flush()
+  }
+
+  // ---- extended protocol ----
+
+  private def parse(st: SessionState, out: DataOutputStream,
+      payload: Array[Byte]): Unit = {
+    val r = new PayloadReader(payload)
+    val name = r.cstr()
+    val sql = r.cstr()
+    val nParamTypes = r.int16()
+    (0 until nParamTypes).foreach(_ => r.int32())
+    st.statements(name) = sql
+    writeMsg(out, '1') { _ => } // ParseComplete
+  }
+
+  private def bind(st: SessionState, out: DataOutputStream,
+      payload: Array[Byte]): Unit = {
+    val r = new PayloadReader(payload)
+    val portal = r.cstr()
+    val stmt = r.cstr()
+    val nFmt = r.int16(); (0 until nFmt).foreach(_ => r.int16())
+    val nParams = r.int16()
+    if (nParams > 0) {
+      // dbt/Evidence never bind parameters against the proxy; a client
+      // that does gets the standard feature-not-supported error
+      writeError(out, "0A000", "parameter binding not supported")
+      st.skipUntilSync = true
+    } else st.statements.get(stmt) match {
+      case Some(sql) =>
+        st.portals(portal) = sql
+        writeMsg(out, '2') { _ => } // BindComplete
+      case None =>
+        writeError(out, "26000", s"prepared statement \"$stmt\" does not exist")
+        st.skipUntilSync = true
+    }
+  }
+
+  private def describe(st: SessionState, out: DataOutputStream,
+      payload: Array[Byte]): Unit = {
+    val r = new PayloadReader(payload)
+    val kind = r.byte().toChar // 'S' statement | 'P' portal
+    val name = r.cstr()
+    val sql = if (kind == 'S') st.statements.get(name) else st.portals.get(name)
+    sql match {
+      case None =>
+        writeError(out, "26000", s"unknown ${if (kind == 'S') "statement" else "portal"} \"$name\"")
+        st.skipUntilSync = true
+      case Some(s) =>
+        try {
+          if (kind == 'S') // statements also advertise their (empty) param list
+            writeMsg(out, 't') { b => b.writeShort(0) } // ParameterDescription
+          val schema = textualize(spark.sql(s)).schema
+          if (schema.nonEmpty) writeRowDescription(out, schema)
+          else writeMsg(out, 'n') { _ => } // NoData
+        } catch {
+          case e: Exception =>
+            writeError(out, "42601", String.valueOf(e.getMessage))
+            st.skipUntilSync = true
+        }
+    }
+  }
+
+  private def execute(st: SessionState, out: DataOutputStream,
+      payload: Array[Byte]): Unit = {
+    val r = new PayloadReader(payload)
+    val portal = r.cstr()
+    // max-rows field ignored: the server-side cap governs
+    st.portals.get(portal) match {
+      case None =>
+        writeError(out, "34000", s"portal \"$portal\" does not exist")
+        st.skipUntilSync = true
+      case Some(sql) =>
+        try {
+          val df = textualize(spark.sql(sql))
+          val n = if (df.schema.nonEmpty) writeRows(out, df) else 0L
+          writeMsg(out, 'C') { b => writeCStr(b, commandTag(sql, n)) }
+        } catch {
+          case e: Exception =>
+            writeError(out, "42601", String.valueOf(e.getMessage))
+            st.skipUntilSync = true
+        }
+    }
+  }
+
+  private def closeTarget(st: SessionState, out: DataOutputStream,
+      payload: Array[Byte]): Unit = {
+    val r = new PayloadReader(payload)
+    val kind = r.byte().toChar
+    val name = r.cstr()
+    if (kind == 'S') st.statements.remove(name) else st.portals.remove(name)
+    writeMsg(out, '3') { _ => } // CloseComplete
+  }
+
+  // ---- execution helpers ----
+
+  /** Complex columns can't ride the text format as scala toString —
+    * serialize array/map/struct to JSON in-plan (codegen'd `to_json`),
+    * so the collect ships strings and the client sees valid JSON. */
+  private def textualize(df: DataFrame): DataFrame = {
+    val needsJson = df.schema.fields.exists(f => isComplex(f.dataType))
+    if (!needsJson) df
+    else df.select(df.schema.fields.map { f =>
+      if (isComplex(f.dataType)) to_json(col(s"`${f.name}`")).as(f.name)
+      else col(s"`${f.name}`")
+    }.toSeq: _*)
+  }
+
+  private def isComplex(dt: DataType): Boolean = dt match {
+    case _: ArrayType | _: MapType | _: StructType => true
+    case _ => false
+  }
+
+  /** Text-format rendering per postgres conventions (bool t/f, ISO
+    * timestamps, plain decimals); everything else toString. */
+  private def renderCell(v: Any): String = v match {
+    case b: Boolean => if (b) "t" else "f"
+    case t: java.sql.Timestamp => t.toLocalDateTime.toString.replace('T', ' ')
+    case i: java.time.Instant =>
+      java.time.LocalDateTime.ofInstant(i, java.time.ZoneOffset.UTC)
+        .toString.replace('T', ' ')
+    case d: java.math.BigDecimal => d.toPlainString
+    case d: BigDecimal => d.bigDecimal.toPlainString
+    case bytes: Array[Byte] => // bytea hex format
+      "\\x" + bytes.map(b => f"$b%02x").mkString
+    case other => String.valueOf(other)
+  }
+
+  /** Collect capped at maxRows (+1 probe row to detect truncation) and
+    * stream DataRow messages; NoticeResponse when the cap fires — the
+    * wire protocol's equivalent of the HTTP gateway's `truncated`. */
+  private def writeRows(out: DataOutputStream, df: DataFrame): Long = {
+    val rows = df.limit(maxRows + 1).collect()
+    val emit = rows.take(maxRows)
+    emit.foreach { row =>
+      writeMsg(out, 'D') { b =>
+        b.writeShort(row.length)
+        (0 until row.length).foreach { i =>
+          if (row.isNullAt(i)) b.writeInt(-1)
+          else {
+            val bytes = renderCell(row.get(i)).getBytes(StandardCharsets.UTF_8)
+            b.writeInt(bytes.length)
+            b.write(bytes)
+          }
+        }
+      }
+    }
+    if (rows.length > maxRows)
+      writeNotice(out, s"result truncated at $maxRows rows")
+    emit.length.toLong
+  }
+
+  /** pg_type OIDs for the types Spark emits; unknowns ship as text. */
+  private def pgType(dt: DataType): (Int, Int) = dt match { // (oid, size)
+    case BooleanType => (16, 1)
+    case ShortType | ByteType => (21, 2)
+    case IntegerType => (23, 4)
+    case LongType => (20, 8)
+    case FloatType => (700, 4)
+    case DoubleType => (701, 8)
+    case _: DecimalType => (1700, -1)
+    case DateType => (1082, 4)
+    case TimestampType | TimestampNTZType => (1114, 8)
+    case BinaryType => (17, -1)
+    case _ => (25, -1) // text
+  }
+
+  private def writeRowDescription(out: DataOutputStream, schema: StructType): Unit =
+    writeMsg(out, 'T') { b =>
+      b.writeShort(schema.length)
+      schema.fields.foreach { f =>
+        val (oid, size) = pgType(f.dataType)
+        writeCStr(b, f.name)
+        b.writeInt(0)   // table oid
+        b.writeShort(0) // column attr number
+        b.writeInt(oid)
+        b.writeShort(size)
+        b.writeInt(-1)  // type modifier
+        b.writeShort(0) // text format
+      }
+    }
+
+  /** Postgres-style command tag: SELECT gets its row count; DDL/utility
+    * statements echo their leading verb(s) the way postgres does
+    * ("CREATE VIEW", "DROP TABLE", ...). */
+  private def commandTag(sql: String, rows: Long): String = {
+    val words = sql.trim.split("\\s+").take(2).map(_.toUpperCase)
+    words.headOption match {
+      case Some("SELECT") | Some("WITH") | Some("VALUES") | Some("SHOW") |
+           Some("DESCRIBE") | Some("EXPLAIN") | Some("TABLE") => s"SELECT $rows"
+      case Some(v) if words.length > 1 &&
+          (v == "CREATE" || v == "DROP" || v == "ALTER") =>
+        s"$v ${words(1)}"
+      case Some(v) => v
+      case None => "SELECT 0"
+    }
+  }
+
+  // ---- frame writers ----
+
+  private def writeMsg(out: DataOutputStream, tpe: Char)(
+      body: DataOutputStream => Unit): Unit = {
+    val buf = new java.io.ByteArrayOutputStream()
+    val b = new DataOutputStream(buf)
+    body(b)
+    b.flush()
+    out.writeByte(tpe)
+    out.writeInt(4 + buf.size())
+    buf.writeTo(out)
+  }
+
+  private def writeReady(out: DataOutputStream): Unit =
+    writeMsg(out, 'Z') { b => b.writeByte('I') } // idle, no transactions
+
+  private def writeError(out: DataOutputStream, code: String, msg: String): Unit = {
+    writeMsg(out, 'E') { b =>
+      b.writeByte('S'); writeCStr(b, "ERROR")
+      b.writeByte('V'); writeCStr(b, "ERROR")
+      b.writeByte('C'); writeCStr(b, code)
+      b.writeByte('M'); writeCStr(b, msg)
+      b.writeByte(0)
+    }
+    out.flush()
+  }
+
+  private def writeNotice(out: DataOutputStream, msg: String): Unit =
+    writeMsg(out, 'N') { b =>
+      b.writeByte('S'); writeCStr(b, "NOTICE")
+      b.writeByte('V'); writeCStr(b, "NOTICE")
+      b.writeByte('C'); writeCStr(b, "01000")
+      b.writeByte('M'); writeCStr(b, msg)
+      b.writeByte(0)
+    }
+
+  private def writeCStr(out: DataOutputStream, s: String): Unit = {
+    out.write(s.getBytes(StandardCharsets.UTF_8))
+    out.writeByte(0)
+  }
+
+  /** Cursor over a received payload (big-endian, NUL-terminated strings
+    * — the protocol's field encodings). */
+  private final class PayloadReader(bytes: Array[Byte]) {
+    private var pos = 0
+    def byte(): Byte = { val v = bytes(pos); pos += 1; v }
+    def int16(): Int = { val v = ((bytes(pos) & 0xff) << 8) | (bytes(pos + 1) & 0xff); pos += 2; v }
+    def int32(): Int = {
+      val v = ((bytes(pos) & 0xff) << 24) | ((bytes(pos + 1) & 0xff) << 16) |
+        ((bytes(pos + 2) & 0xff) << 8) | (bytes(pos + 3) & 0xff)
+      pos += 4; v
+    }
+    def cstr(): String = {
+      val start = pos
+      while (pos < bytes.length && bytes(pos) != 0) pos += 1
+      val s = new String(bytes, start, pos - start, StandardCharsets.UTF_8)
+      pos += 1
+      s
+    }
+  }
+}

@@ -29,9 +29,10 @@ import org.apache.spark.sql.SparkSession
   * makes a cut-off response self-describing); the server thread pool is
   * the JDK default executor — a production deployment would front MANY
   * Spark apps, but the per-request path here (compile → Catalyst →
-  * collect) is exactly what any deployment runs. For a concurrent
-  * multi-tenant gateway, Spark's own Thrift/Connect servers are the
-  * stock answer (SURVEY §2.10 Q8 — out of scope by design).
+  * collect) is exactly what any deployment runs. The postgres-wire
+  * face of the same gateway is `PgWireServer` (SURVEY §2.10 Q8); for
+  * a fully multi-tenant deployment, Spark's own Thrift/Connect
+  * servers remain the stock heavyweight answer.
   */
 final class QueryServer(
     spark: SparkSession,
@@ -58,8 +59,8 @@ final class QueryServer(
     * dispatcher thread: Spark schedules jobs from concurrent caller
     * threads FIFO within one SparkContext, so simultaneous page loads
     * interleave instead of queueing behind each other — the small-N
-    * concurrent story (the full multi-tenant gateway remains Spark
-    * Thrift/Connect, SURVEY §2.10 Q8). */
+    * concurrent story (same model as `PgWireServer`'s per-connection
+    * threads, SURVEY §2.10 Q8). */
   def start(port: Int = 0): Int = synchronized {
     require(server.isEmpty, "QueryServer already started")
     val s = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
@@ -155,8 +156,9 @@ final class QueryServer(
     * reference fronts DuckDB with a postgres-wire proxy so dbt and the
     * dashboard can query concurrently; here concurrent POSTs run on the
     * request pool against one thread-safe SparkSession, and the wire
-    * protocol is JSON — a postgres-wire listener proper remains the
-    * stock Spark Thrift/Connect servers' job). Query errors (parse,
+    * protocol is JSON — the postgres-wire protocol proper is
+    * `PgWireServer`, the same shared session behind a real pg-v3
+    * listener). Query errors (parse,
     * missing table) come back `ok:false` in a 200 — a bad query is a
     * result, not a server failure — with the row cap + `truncated`
     * contract shared with the page endpoint

@@ -1,0 +1,255 @@
+package graft
+
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream}
+import java.net.Socket
+import java.nio.charset.StandardCharsets
+
+import scala.collection.mutable
+
+import graft.query.PgWireServer
+
+/** Drives the Q8 postgres-wire gateway with a from-scratch protocol
+  * client (the same public message formats a real libpq speaks):
+  * SSL-refusal handshake, simple queries with typed RowDescriptions,
+  * error recovery on one connection, the extended
+  * Parse/Bind/Describe/Execute/Sync flow, concurrent connections, and
+  * the bounded-collect truncation notice. */
+class PgWireSpec extends SparkSpec {
+
+  /** Minimal libpq-alike over a raw socket. */
+  private final class Client(port: Int) {
+    private val sock = new Socket("127.0.0.1", port)
+    sock.setSoTimeout(30000)
+    private val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
+    private val out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
+
+    def connect(): Unit = {
+      // SSLRequest first, like psql: expect the 'N' refusal byte
+      out.writeInt(8); out.writeInt(80877103); out.flush()
+      assert(in.readByte().toChar == 'N', "expected SSL refusal")
+      val params = "user\u0000dev\u0000database\u0000main\u0000\u0000"
+        .getBytes(StandardCharsets.UTF_8)
+      out.writeInt(8 + params.length); out.writeInt(196608)
+      out.write(params); out.flush()
+      val msgs = readUntilReady()
+      assert(msgs.exists(_._1 == 'R'), "expected AuthenticationOk")
+      assert(msgs.exists(_._1 == 'S'), "expected ParameterStatus")
+      assert(msgs.exists(_._1 == 'K'), "expected BackendKeyData")
+    }
+
+    def send(tpe: Char, body: Array[Byte]): Unit = {
+      out.writeByte(tpe); out.writeInt(4 + body.length); out.write(body)
+    }
+    def flush(): Unit = out.flush()
+
+    def query(sql: String): Seq[(Char, Array[Byte])] = {
+      send('Q', cstr(sql)); flush()
+      readUntilReady()
+    }
+
+    /** Read frames until ReadyForQuery; returns all frames incl. 'Z'. */
+    def readUntilReady(): Seq[(Char, Array[Byte])] = {
+      val buf = mutable.ArrayBuffer.empty[(Char, Array[Byte])]
+      var done = false
+      while (!done) {
+        val tpe = in.readByte().toChar
+        val len = in.readInt()
+        val payload = new Array[Byte](len - 4)
+        in.readFully(payload)
+        buf += ((tpe, payload))
+        if (tpe == 'Z') done = true
+      }
+      buf.toSeq
+    }
+
+    def close(): Unit = { send('X', Array.emptyByteArray); flush(); sock.close() }
+
+    def cstr(s: String): Array[Byte] =
+      (s + "\u0000").getBytes(StandardCharsets.UTF_8)
+  }
+
+  // ---- response parsing helpers ----
+
+  private def rowDescription(msgs: Seq[(Char, Array[Byte])]): Seq[(String, Int)] =
+    msgs.find(_._1 == 'T').map { case (_, p) =>
+      var pos = 2
+      val n = ((p(0) & 0xff) << 8) | (p(1) & 0xff)
+      (0 until n).map { _ =>
+        val start = pos
+        while (p(pos) != 0) pos += 1
+        val name = new String(p, start, pos - start, StandardCharsets.UTF_8)
+        pos += 1
+        val oid = ((p(pos + 6) & 0xff) << 24) | ((p(pos + 7) & 0xff) << 16) |
+          ((p(pos + 8) & 0xff) << 8) | (p(pos + 9) & 0xff)
+        pos += 18
+        (name, oid)
+      }
+    }.getOrElse(Seq.empty)
+
+  private def dataRows(msgs: Seq[(Char, Array[Byte])]): Seq[Seq[Option[String]]] =
+    msgs.filter(_._1 == 'D').map { case (_, p) =>
+      var pos = 2
+      val n = ((p(0) & 0xff) << 8) | (p(1) & 0xff)
+      (0 until n).map { _ =>
+        val len = ((p(pos) & 0xff) << 24) | ((p(pos + 1) & 0xff) << 16) |
+          ((p(pos + 2) & 0xff) << 8) | (p(pos + 3) & 0xff)
+        pos += 4
+        if (len == -1) None
+        else { val s = new String(p, pos, len, StandardCharsets.UTF_8); pos += len; Some(s) }
+      }
+    }
+
+  private def errorMessage(msgs: Seq[(Char, Array[Byte])]): Option[String] =
+    msgs.find(_._1 == 'E').map { case (_, p) =>
+      // fields: code byte + cstr, terminated by a lone 0
+      var pos = 0
+      var msg = ""
+      while (pos < p.length && p(pos) != 0) {
+        val field = p(pos).toChar; pos += 1
+        val start = pos
+        while (p(pos) != 0) pos += 1
+        if (field == 'M') msg = new String(p, start, pos - start, StandardCharsets.UTF_8)
+        pos += 1
+      }
+      msg
+    }
+
+  private def commandTag(msgs: Seq[(Char, Array[Byte])]): Option[String] =
+    msgs.find(_._1 == 'C').map { case (_, p) =>
+      new String(p, 0, p.length - 1, StandardCharsets.UTF_8)
+    }
+
+  private def withServer(maxRows: Int = 10000)(f: (PgWireServer, Int) => Unit): Unit = {
+    val srv = new PgWireServer(spark, maxRows)
+    val port = srv.start()
+    try f(srv, port) finally srv.stop()
+  }
+
+  test("handshake + simple query: typed row description and text rows") {
+    Tables.nation(spark, sf("sf0.001")).createOrReplaceTempView("pg_nation")
+    withServer() { (_, port) =>
+      val c = new Client(port); c.connect()
+      val msgs = c.query(
+        "SELECT n_regionkey, count(*) AS n, true AS flag FROM pg_nation GROUP BY n_regionkey ORDER BY n_regionkey")
+      val desc = rowDescription(msgs)
+      assert(desc.map(_._1) == Seq("n_regionkey", "n", "flag"))
+      assert(desc.map(_._2) == Seq(23, 20, 16)) // int4, int8, bool
+      val rows = dataRows(msgs)
+      assert(rows.length == 5)
+      assert(rows.head(0).contains("0"))
+      assert(rows.forall(_(2).contains("t"))) // postgres bool text format
+      assert(commandTag(msgs).contains("SELECT 5"))
+      c.close()
+    }
+  }
+
+  test("errors recover: bad SQL yields ErrorResponse, connection stays usable") {
+    withServer() { (_, port) =>
+      val c = new Client(port); c.connect()
+      val bad = c.query("SELECT * FROM no_such_table_xyz")
+      assert(errorMessage(bad).exists(_.toLowerCase.contains("no_such_table_xyz")))
+      val good = c.query("SELECT 1 AS one")
+      assert(dataRows(good) == Seq(Seq(Some("1"))))
+      // empty query is its own protocol response, not an error
+      val empty = c.query("   ")
+      assert(empty.exists(_._1 == 'I'))
+      c.close()
+    }
+  }
+
+  test("DDL through the wire: views created by one client serve another") {
+    Tables.region(spark, sf("sf0.001")).createOrReplaceTempView("pg_region")
+    withServer() { (_, port) =>
+      val c1 = new Client(port); c1.connect()
+      val ddl = c1.query(
+        "CREATE OR REPLACE TEMP VIEW pg_r2 AS SELECT r_regionkey FROM pg_region WHERE r_regionkey < 3")
+      assert(commandTag(ddl).contains("CREATE OR")) // leading verb pair
+      c1.close()
+      // same SparkSession → a second connection sees the view, exactly
+      // the shared-warehouse semantics the reference's proxy provides
+      val c2 = new Client(port); c2.connect()
+      assert(dataRows(c2.query("SELECT count(*) AS n FROM pg_r2")) ==
+        Seq(Seq(Some("3"))))
+      c2.close()
+    }
+  }
+
+  test("extended protocol: Parse/Bind/Describe/Execute/Sync") {
+    Tables.nation(spark, sf("sf0.001")).createOrReplaceTempView("pg_nation")
+    withServer() { (_, port) =>
+      val c = new Client(port); c.connect()
+      val sql = "SELECT n_name FROM pg_nation WHERE n_nationkey = 7"
+      // Parse(stmt "s1"), Bind(portal "", stmt "s1"), Describe portal,
+      // Execute, Sync — pipelined like a real driver
+      c.send('P', c.cstr("s1") ++ c.cstr(sql) ++ Array[Byte](0, 0))
+      c.send('B', c.cstr("") ++ c.cstr("s1") ++ Array[Byte](0, 0, 0, 0, 0, 0))
+      c.send('D', Array[Byte]('P'.toByte) ++ c.cstr(""))
+      c.send('E', c.cstr("") ++ Array[Byte](0, 0, 0, 0))
+      c.send('S', Array.emptyByteArray)
+      c.flush()
+      val msgs = c.readUntilReady()
+      assert(msgs.exists(_._1 == '1'), "ParseComplete")
+      assert(msgs.exists(_._1 == '2'), "BindComplete")
+      assert(rowDescription(msgs).map(_._1) == Seq("n_name"))
+      assert(dataRows(msgs).length == 1)
+      assert(commandTag(msgs).contains("SELECT 1"))
+      // unknown portal errors then skips to Sync without killing the link
+      c.send('E', c.cstr("nope") ++ Array[Byte](0, 0, 0, 0))
+      c.send('S', Array.emptyByteArray)
+      c.flush()
+      val err = c.readUntilReady()
+      assert(errorMessage(err).exists(_.contains("nope")))
+      assert(dataRows(c.query("SELECT 2 AS two")) == Seq(Seq(Some("2"))))
+      c.close()
+    }
+  }
+
+  test("complex columns ship as JSON text; nulls as wire NULLs") {
+    withServer() { (_, port) =>
+      val c = new Client(port); c.connect()
+      val msgs = c.query(
+        "SELECT array(1, 2, 3) AS arr, named_struct('a', 1) AS st, CAST(NULL AS STRING) AS miss")
+      val desc = rowDescription(msgs)
+      assert(desc.map(_._2) == Seq(25, 25, 25)) // all text after to_json
+      assert(dataRows(msgs) ==
+        Seq(Seq(Some("[1,2,3]"), Some("""{"a":1}"""), None)))
+      c.close()
+    }
+  }
+
+  test("bounded collect: over-cap results truncate with a NoticeResponse") {
+    withServer(maxRows = 10) { (_, port) =>
+      val c = new Client(port); c.connect()
+      val msgs = c.query("SELECT id FROM range(100) ORDER BY id")
+      assert(dataRows(msgs).length == 10)
+      assert(msgs.exists(_._1 == 'N'), "expected truncation notice")
+      assert(commandTag(msgs).contains("SELECT 10"))
+      // under the cap: no notice
+      val small = c.query("SELECT id FROM range(3)")
+      assert(dataRows(small).length == 3)
+      assert(!small.exists(_._1 == 'N'))
+      c.close()
+    }
+  }
+
+  test("concurrent connections interleave against one session") {
+    Tables.nation(spark, sf("sf0.001")).createOrReplaceTempView("pg_nation")
+    withServer() { (_, port) =>
+      val results = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+      val threads = (0 until 4).map { i =>
+        new Thread(() => {
+          val c = new Client(port); c.connect()
+          (0 until 3).foreach { _ =>
+            val rows = dataRows(c.query(
+              s"SELECT count(*) AS n FROM pg_nation WHERE n_nationkey >= $i"))
+            results.add(rows.head.head.get.toInt)
+          }
+          c.close()
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join(60000))
+      assert(results.size == 12)
+      assert(results.stream().allMatch(n => n >= 21 && n <= 25))
+    }
+  }
+}
