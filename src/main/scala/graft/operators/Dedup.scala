@@ -795,6 +795,52 @@ object Dedup {
     cosineTopKFromEntries(e, id, queryId, k, roundAt)
   }
 
+  /** Okapi BM25 top-k retrieval over exact terms — the ranking function
+    * behind Lucene/Elasticsearch and the standard lexical baseline next
+    * to embedding retrieval (and the retriever used to mine hard
+    * negatives for training data). Per candidate doc d for the query
+    * doc's distinct terms t:
+    * `idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·|d|/avgdl))` with the
+    * Lucene non-negative idf `ln(1 + (N − df + ½)/(df + ½))`.
+    *
+    * Scale shape: the query side is ONE document's distinct terms
+    * (broadcast), so the candidate set is Σ df(t) over query terms —
+    * postings for the query's vocabulary, never a corpus cross join.
+    * The df/length/avgdl statistics are the index: one token scan, two
+    * aggregates (df is vocab-sized, lengths doc-sized), both reusable
+    * across queries — at deployment scale these persist as the inverted
+    * index's side tables. avgdl/N ride a 1-row broadcast. Scores are
+    * double sums in arbitrary order → ranking is on ROUNDED score with
+    * the id tie-break (the standing cross-engine device), TakeOrdered
+    * k-row reduce at the top. */
+  def bm25TopK(docs: DataFrame, id: String, text: String,
+      queryId: Long, k: Int, k1: Double = 1.2, b: Double = 0.75,
+      roundAt: Int = 4): DataFrame = {
+    require(k >= 1 && k1 >= 0 && b >= 0 && b <= 1)
+    val toks = docs.select(col(id), explode(split(col(text), " ")).as("tok"))
+    val tf = toks.groupBy(col(id), col("tok")).agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy(col(id)).agg(count(lit(1)).as("dl"))
+    val stats = broadcast(dl.agg(
+      avg(col("dl")).as("avgdl"), count(lit(1)).as("n")))
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val qterms = broadcast(
+      toks.filter(col(id) === queryId).select("tok").distinct())
+    tf.filter(col(id) =!= queryId)
+      .join(qterms, Seq("tok"))
+      .join(dfreq, Seq("tok"))
+      .join(dl, Seq(id))
+      .crossJoin(stats)
+      .groupBy(col(id))
+      .agg(sum(
+        log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5)) *
+          (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+        .as("raw"))
+      .select(col(id), round(col("raw"), roundAt).as("score"))
+      .orderBy(desc("score"), col(id))
+      .limit(k)
+  }
+
   /** Lexical-vs-semantic audit over the verified near-dup pair graph:
     * for every MinHash-verified pair, the hashed-vector cosine — does
     * cheap lexical dedup proxy semantic similarity, and which pairs

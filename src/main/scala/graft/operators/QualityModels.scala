@@ -566,4 +566,73 @@ object QualityModels {
           .as("jaccard"))
       .orderBy("source_a", "source_b")
   }
+
+  /** Classifier-based quality filtering — the fastText-style move the
+    * public pretraining stacks use (GPT-3/LLaMA/RefinedWeb train a
+    * small classifier on known-good text and keep documents it scores
+    * high): logistic regression fit by full-batch gradient descent on
+    * cheap per-doc features, then the whole corpus scored with the
+    * fitted weights.
+    *
+    * Features are deterministic functions of the row — intercept,
+    * `ln(1+chars)`, `ln(1+tokens)` — and the label is a caller-chosen
+    * boolean column (here typically "is the document in the target
+    * language", the proxy a real stack would bootstrap from). Training
+    * is `rounds` full-batch steps `w += lr · avg((y − σ(w·x)) · x)`
+    * from w = 0: one narrow aggregation job per round over the feature
+    * frame, with the model state (3 doubles) on the driver — the
+    * k-means/BPE iteration idiom, so a 100 TB fit is `rounds` map-side-
+    * combined scans, and scoring is one more map-only pass (weights
+    * fold in as literals; no join, no shuffle). `keep` derives from the
+    * ROUNDED score so the filter decision is reproducible cross-engine.
+    *
+    * Returns (id, score, keep) per document, plus the fitted weights
+    * via the companion [[logregQualityWeights]] for inspection. */
+  def logregQualityScores(docs: DataFrame, id: String, label: Column,
+      charsCol: String, text: String, rounds: Int = 3, lr: Double = 1.0,
+      threshold: Double = 0.5, roundAt: Int = 4): DataFrame = {
+    val f = featureFrame(docs, id, label, charsCol, text)
+    val w = fitLogreg(f, rounds, lr)
+    val z = lit(w(0)) + lit(w(1)) * col("f1") + lit(w(2)) * col("f2")
+    val sigma = lit(1.0) / (lit(1.0) + exp(-z))
+    f.select(col(id), round(sigma, roundAt).as("score"))
+      .withColumn("keep", col("score") >= threshold)
+  }
+
+  /** The fitted weight vector (w0 intercept, w1 ln-chars, w2 ln-tokens)
+    * as a 1-row frame — the model artifact a pipeline would persist. */
+  def logregQualityWeights(docs: DataFrame, id: String, label: Column,
+      charsCol: String, text: String, rounds: Int = 3, lr: Double = 1.0,
+      roundAt: Int = 4): DataFrame = {
+    val f = featureFrame(docs, id, label, charsCol, text)
+    val w = fitLogreg(f, rounds, lr)
+    f.sparkSession.range(1).select(
+      round(lit(w(0)), roundAt).as("w0"),
+      round(lit(w(1)), roundAt).as("w1"),
+      round(lit(w(2)), roundAt).as("w2"))
+  }
+
+  private def featureFrame(docs: DataFrame, id: String, label: Column,
+      charsCol: String, text: String): DataFrame =
+    docs.select(col(id),
+      when(label, 1.0).otherwise(0.0).as("y"),
+      log(lit(1.0) + col(charsCol).cast("double")).as("f1"),
+      log(lit(1.0) + size(split(col(text), " ")).cast("double")).as("f2"))
+
+  private def fitLogreg(f: DataFrame, rounds: Int, lr: Double): Array[Double] = {
+    require(rounds >= 0)
+    val w = Array(0.0, 0.0, 0.0)
+    for (_ <- 1 to rounds) {
+      val z = lit(w(0)) + lit(w(1)) * col("f1") + lit(w(2)) * col("f2")
+      val resid = col("y") - lit(1.0) / (lit(1.0) + exp(-z))
+      val g = f.agg(
+        avg(resid).as("g0"),
+        avg(resid * col("f1")).as("g1"),
+        avg(resid * col("f2")).as("g2")).head()
+      w(0) += lr * g.getDouble(0)
+      w(1) += lr * g.getDouble(1)
+      w(2) += lr * g.getDouble(2)
+    }
+    w
+  }
 }

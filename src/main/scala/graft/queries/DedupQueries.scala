@@ -1235,7 +1235,34 @@ object DedupQueries {
       FROM dd JOIN nn ON nn.doc_id = dd.doc_id, qn
       ORDER BY cosine DESC, dd.doc_id LIMIT 10"""))
 
+  /** Okapi BM25 top-10 for one query document over exact terms — the
+    * Lucene-style lexical retriever next to q197's hashed TF-IDF
+    * cosine: same sparse candidate shape (query-term postings only),
+    * but length-normalized tf saturation and the non-negative idf.
+    * Ranking compares on the rounded score with the id tie-break. */
+  val q201 = Q(
+    "q201_bm25_topk",
+    (s, d) => graft.operators.Dedup.bm25TopK(
+      Tables.documents(s, d), "doc_id", "text", queryId = 0L, k = 10),
+    Some("""
+      WITH t AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents),
+      tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM t GROUP BY doc_id, tok),
+      dl AS (SELECT doc_id, COUNT(*) AS dl FROM t GROUP BY doc_id),
+      st AS (SELECT avg(dl) AS avgdl, COUNT(*) AS n FROM dl),
+      dfq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+      q AS (SELECT DISTINCT tok FROM t WHERE doc_id = 0),
+      sc AS (SELECT tf.doc_id,
+               SUM(ln(1.0 + (st.n - dfq.df + 0.5) / (dfq.df + 0.5)) *
+                   (tf.tf * (1.2 + 1.0)) /
+                   (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl))) AS raw
+             FROM tf JOIN q USING (tok) JOIN dfq USING (tok)
+                  JOIN dl USING (doc_id), st
+             WHERE tf.doc_id <> 0
+             GROUP BY tf.doc_id)
+      SELECT CAST(doc_id AS BIGINT) AS doc_id, ROUND(raw, 4) AS score
+      FROM sc ORDER BY score DESC, doc_id LIMIT 10"""))
+
   def all: Seq[Q] = Seq(q36, q37, q38, q45, q47, q51, q55, q134, q145, q146,
     q151, q152, q163, q166, q168, q170, q179, q180, q187, q191, q192, q193,
-    q194, q195, q196, q197)
+    q194, q195, q196, q197, q201)
 }

@@ -519,6 +519,50 @@ object QualityQueries {
              t.threshold
       FROM s, t ORDER BY s.source"""))
 
+  /** Classifier-based quality filter (fastText-style): logistic
+    * regression fit by 3 full-batch gradient steps on (ln chars,
+    * ln tokens) with the is-English label as the target proxy, then
+    * every document scored and the keep decision taken on the rounded
+    * score. The oracle unrolls the 3 training rounds as CTE layers —
+    * the same replayed-iteration device as the k-means/BPE oracles. */
+  val q200 = Q(
+    "q200_logreg_quality",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      QualityModels.logregQualityScores(docs, "doc_id",
+        col("lang") === "en", "n_chars", "text", rounds = 3, lr = 1.0)
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH f AS (SELECT doc_id,
+                   CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+                   ln(1.0 + CAST(n_chars AS DOUBLE)) AS f1,
+                   ln(1.0 + CAST(len(string_split(text, ' ')) AS DOUBLE)) AS f2
+                 FROM documents),
+      u0 AS (SELECT 0.0 AS a, 0.0 AS b, 0.0 AS c),
+      r1 AS (SELECT avg(y - 1/(1+exp(-(a + b*f1 + c*f2)))) AS g0,
+                    avg((y - 1/(1+exp(-(a + b*f1 + c*f2)))) * f1) AS g1,
+                    avg((y - 1/(1+exp(-(a + b*f1 + c*f2)))) * f2) AS g2,
+                    any_value(a) AS a, any_value(b) AS b, any_value(c) AS c
+             FROM f, u0),
+      u1 AS (SELECT a + 1.0*g0 AS a, b + 1.0*g1 AS b, c + 1.0*g2 AS c FROM r1),
+      r2 AS (SELECT avg(y - 1/(1+exp(-(a + b*f1 + c*f2)))) AS g0,
+                    avg((y - 1/(1+exp(-(a + b*f1 + c*f2)))) * f1) AS g1,
+                    avg((y - 1/(1+exp(-(a + b*f1 + c*f2)))) * f2) AS g2,
+                    any_value(a) AS a, any_value(b) AS b, any_value(c) AS c
+             FROM f, u1),
+      u2 AS (SELECT a + 1.0*g0 AS a, b + 1.0*g1 AS b, c + 1.0*g2 AS c FROM r2),
+      r3 AS (SELECT avg(y - 1/(1+exp(-(a + b*f1 + c*f2)))) AS g0,
+                    avg((y - 1/(1+exp(-(a + b*f1 + c*f2)))) * f1) AS g1,
+                    avg((y - 1/(1+exp(-(a + b*f1 + c*f2)))) * f2) AS g2,
+                    any_value(a) AS a, any_value(b) AS b, any_value(c) AS c
+             FROM f, u2),
+      u3 AS (SELECT a + 1.0*g0 AS a, b + 1.0*g1 AS b, c + 1.0*g2 AS c FROM r3)
+      SELECT CAST(f.doc_id AS BIGINT) AS doc_id,
+             ROUND(1/(1+exp(-(a + b*f1 + c*f2))), 4) AS score,
+             ROUND(1/(1+exp(-(a + b*f1 + c*f2))), 4) >= 0.5 AS keep
+      FROM f, u3 ORDER BY doc_id"""))
+
   def all: Seq[Q] = Seq(q156, q157, q158, q159, q160, q161, q162, q164, q165,
-    q167, q177, q181, q182, q186, q189)
+    q167, q177, q181, q182, q186, q189, q200)
 }

@@ -118,4 +118,30 @@ class DedupVectorSpec extends AnyFunSuite with SparkSpec {
       assert(c > 0.3, s"pair ${r.getLong(0)}-${r.getLong(1)}: jaccard $j cosine $c")
     }
   }
+
+  test("bm25TopK: idf downweights boilerplate, length normalization penalizes padding") {
+    import spark.implicits._
+    val boiler = (1 to 10).map(_ => "the of and").mkString(" ")
+    val pad = (1 to 200).map(_ => "filler").mkString(" ")
+    val docs = Seq(
+      (0L, s"$boiler zebra quartz"),     // query: rare terms zebra+quartz
+      (1L, s"$boiler zebra quartz"),     // both rare terms, short
+      (2L, s"$boiler zebra quartz $pad"),// both rare terms, padded long
+      (3L, s"$boiler zebra"),            // one rare term
+      (4L, s"$boiler basalt")            // boilerplate only
+    ).toDF("doc_id", "text")
+    val out = Dedup.bm25TopK(docs, "doc_id", "text", queryId = 0L, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(!out.exists(_._1 == 0L), "query doc excluded")
+    val rank = out.map(_._1)
+    val score = out.toMap
+    // exact twin first; the padded twin drops below it (same term
+    // matches, heavy length penalty — here even below the short
+    // single-term doc, which is BM25's defining trade); boilerplate-only
+    // doc still scores (idf > 0 under the +1 variant) but last
+    assert(rank.head == 1L, out.mkString(","))
+    assert(score(2L) < score(1L), out.mkString(","))
+    assert(rank.last == 4L, out.mkString(","))
+    assert(out.forall(_._2 > 0.0))
+  }
 }

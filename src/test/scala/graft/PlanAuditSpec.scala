@@ -522,6 +522,23 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q201: BM25 candidates come from broadcast query terms + TakeOrdered top-k") {
+    val df = run("q201_bm25_topk")
+    df.collect()
+    val p = plan(df)
+    // the query-doc's distinct terms and the 1-row avgdl/N stats ride
+    // broadcasts; the ranking is a k-row reduce, never a global sort
+    assert("BroadcastHashJoin|BroadcastNestedLoopJoin".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q200: logreg scoring pass is map-only over the feature scan (no join, no shuffle past the agg)") {
+    val df = run("q200_logreg_quality")
+    val p = plan(df)
+    // weights fold in as literals: scoring must not join a model frame
+    assert(!p.contains("Join"), p)
+  }
+
   test("events scan converts nanos without breaking codegen") {
     val p = plan(Tables.events(spark, d).filter(col("event_type") === "click")
       .select("event_id", "ts"))

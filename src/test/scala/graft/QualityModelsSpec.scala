@@ -316,4 +316,37 @@ class QualityModelsSpec extends AnyFunSuite with SparkSpec {
     val r = QualityModels.sourceOverlap(docs, "source", "text", n = 2).head()
     assert((r.getLong(2), r.getLong(3)) == (1L, 2L))
   }
+
+  test("logregQualityScores: a label separable on length is learned and filtered on") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // long docs labeled positive, short negative — 3 GD rounds must move
+    // the length weight positive and rank every long doc above every short
+    val docs = (0 until 20).map { i =>
+      val long = i % 2 == 0
+      val text = if (long) ("tok " * 50).trim else "tok"
+      (i.toLong, text, if (long) "en" else "xx", text.length)
+    }.toDF("doc_id", "text", "lang", "n_chars")
+    val scored = QualityModels.logregQualityScores(
+      docs, "doc_id", col("lang") === "en", "n_chars", "text", rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2))).toSeq
+    val (pos, neg) = scored.partition(_._1 % 2 == 0)
+    assert(pos.map(_._2).min > neg.map(_._2).max, "positives outrank negatives")
+    assert(scored.forall { case (_, s, keep) => keep == (s >= 0.5) })
+    val w = QualityModels.logregQualityWeights(
+      docs, "doc_id", col("lang") === "en", "n_chars", "text", rounds = 3).head()
+    assert(w.getDouble(1) > 0.0 && w.getDouble(2) > 0.0,
+      "length features get positive weight")
+  }
+
+  test("logregQualityScores: zero rounds scores everything at the 0.5 prior") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = Seq((1L, "a b", "en", 3), (2L, "c", "xx", 1))
+      .toDF("doc_id", "text", "lang", "n_chars")
+    val r = QualityModels.logregQualityScores(
+      docs, "doc_id", col("lang") === "en", "n_chars", "text", rounds = 0)
+      .collect()
+    assert(r.forall(_.getDouble(1) == 0.5) && r.forall(_.getBoolean(2)))
+  }
 }
