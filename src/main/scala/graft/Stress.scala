@@ -202,6 +202,21 @@ object Stress {
           .bpeApply(docs, "doc_id", "text", merges).count()
       }
     }
+    time("bm25_topk") {
+      // query side is ONE doc's terms at every scale; candidate mass is
+      // that query's postings — the df/length index aggregates are the
+      // corpus-tracking stages
+      Dedup.bm25TopK(docs, "doc_id", "text", queryId = 1L, k = 10).count()
+    }
+    time("logreg_fit_score") {
+      // 3 full-batch GD rounds (one narrow agg job each, weights on the
+      // driver) + the map-only scoring pass — pure scan work, must track
+      // corpus size with no join anywhere
+      graft.operators.QualityModels.logregQualityScores(
+        docs.withColumn("lang", lit("en")).withColumn("n_chars",
+          org.apache.spark.sql.functions.length(col("text"))),
+        "doc_id", col("doc_id") % 2 === 0, "n_chars", "text").count()
+    }
     time("ppmi_pairs") {
       // disjoint replica vocabularies: the co-occurrence matrix grows
       // ×N in rows while the context self-join's matched mass grows ×N
