@@ -190,23 +190,76 @@ final class PgWireServer(spark: SparkSession, maxRows: Int = 10000) {
 
   // ---- simple protocol ----
 
+  /** One Query message may carry several ';'-separated statements (psql
+    * ships a whole `SELECT 1; SELECT 2` line as one message): run each
+    * in order with its own result cycle, stop at the first error
+    * (postgres's implicit-transaction abort skips the remainder), one
+    * ReadyForQuery at the end. */
   private def simpleQuery(out: DataOutputStream, sql: String): Unit = {
-    if (sql.trim.isEmpty) {
+    val stmts = splitStatements(sql)
+    if (stmts.isEmpty) {
       writeMsg(out, 'I') { _ => } // EmptyQueryResponse
     } else {
-      try {
-        val df = textualize(spark.sql(sql))
-        val schema = df.schema
-        if (schema.nonEmpty) writeRowDescription(out, schema)
-        val n = if (schema.nonEmpty) writeRows(out, df) else 0L
-        writeMsg(out, 'C') { b => writeCStr(b, commandTag(sql, n)) }
-      } catch {
-        case e: Exception =>
-          writeError(out, "42601", String.valueOf(e.getMessage))
+      var failed = false
+      val it = stmts.iterator
+      while (!failed && it.hasNext) {
+        val stmt = it.next()
+        try {
+          val df = textualize(spark.sql(stmt))
+          val schema = df.schema
+          if (schema.nonEmpty) writeRowDescription(out, schema)
+          val n = if (schema.nonEmpty) writeRows(out, df) else 0L
+          writeMsg(out, 'C') { b => writeCStr(b, commandTag(stmt, n)) }
+        } catch {
+          case e: Exception =>
+            writeError(out, "42601", String.valueOf(e.getMessage))
+            failed = true
+        }
       }
     }
     writeReady(out)
     out.flush()
+  }
+
+  /** Split on top-level ';' only — quoted strings ('' escape), quoted
+    * identifiers, line comments and block comments are opaque, matching
+    * how the postgres frontend lexes a simple-query string. */
+  private[query] def splitStatements(sql: String): Seq[String] = {
+    val out = Vector.newBuilder[String]
+    val cur = new StringBuilder
+    var i = 0
+    var state: Char = 'n' // n-ormal, s-ingle quote, d-ouble quote, l-ine comment, b-lock comment
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      val next = if (i + 1 < sql.length) sql.charAt(i + 1) else ' '
+      state match {
+        case 'n' =>
+          if (c == '\'') { state = 's'; cur += c }
+          else if (c == '"') { state = 'd'; cur += c }
+          else if (c == '-' && next == '-') { state = 'l'; cur += c }
+          else if (c == '/' && next == '*') { state = 'b'; cur += c }
+          else if (c == ';') { out += cur.toString; cur.clear() }
+          else cur += c
+        case 's' =>
+          cur += c
+          if (c == '\'') {
+            if (next == '\'') { cur += next; i += 1 } // '' escape stays inside
+            else state = 'n'
+          }
+        case 'd' =>
+          cur += c
+          if (c == '"') state = 'n'
+        case 'l' =>
+          cur += c
+          if (c == '\n') state = 'n'
+        case 'b' =>
+          cur += c
+          if (c == '*' && next == '/') { cur += next; i += 1; state = 'n' }
+      }
+      i += 1
+    }
+    out += cur.toString
+    out.result().map(_.trim).filter(_.nonEmpty)
   }
 
   // ---- extended protocol ----

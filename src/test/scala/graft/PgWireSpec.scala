@@ -232,6 +232,26 @@ class PgWireSpec extends SparkSpec {
     }
   }
 
+  test("multi-statement simple query: per-statement result cycles, error aborts the rest") {
+    withServer() { (_, port) =>
+      val c = new Client(port); c.connect()
+      // psql ships the whole line as ONE Query message, trailing ';' included
+      val msgs = c.query("SELECT 1 AS a; SELECT 'x;y' AS b, 2 AS c;")
+      assert(msgs.count(_._1 == 'T') == 2, "two RowDescriptions")
+      assert(msgs.count(_._1 == 'C') == 2, "two CommandCompletes")
+      assert(dataRows(msgs) ==
+        Seq(Seq(Some("1")), Seq(Some("x;y"), Some("2"))))
+      assert(msgs.count(_._1 == 'Z') == 1, "single ReadyForQuery")
+      // first statement runs, second fails, third is skipped (implicit
+      // transaction abort) — then the connection is fine again
+      val part = c.query("SELECT 3 AS a; SELECT * FROM nope_xyz; SELECT 4 AS a")
+      assert(dataRows(part) == Seq(Seq(Some("3"))))
+      assert(errorMessage(part).isDefined)
+      assert(dataRows(c.query("SELECT 5 AS a")) == Seq(Seq(Some("5"))))
+      c.close()
+    }
+  }
+
   test("concurrent connections interleave against one session") {
     Tables.nation(spark, sf("sf0.001")).createOrReplaceTempView("pg_nation")
     withServer() { (_, port) =>
