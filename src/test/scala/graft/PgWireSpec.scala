@@ -252,6 +252,37 @@ class PgWireSpec extends SparkSpec {
     }
   }
 
+  test("malformed clients can't take the server down") {
+    withServer() { (_, port) =>
+      // garbage pre-startup: an absurd length prefix — server must drop
+      // the connection, not allocate or crash
+      val bad1 = new java.net.Socket("127.0.0.1", port)
+      bad1.getOutputStream.write(Array[Byte](0x7f, -1, -1, -1, 1, 2, 3, 4))
+      bad1.getOutputStream.flush()
+      assert(bad1.getInputStream.read() == -1, "connection dropped")
+      bad1.close()
+      // unknown protocol version → clean ErrorResponse then close
+      val bad2 = new java.net.Socket("127.0.0.1", port)
+      val o2 = new DataOutputStream(bad2.getOutputStream)
+      o2.writeInt(8); o2.writeInt(424242); o2.flush()
+      assert(bad2.getInputStream.read() == 'E', "ErrorResponse")
+      bad2.close()
+      // an unknown message type mid-session errors and recovers at Sync
+      val c = new Client(port); c.connect()
+      c.send('?', Array[Byte](1, 2, 3))
+      c.send('S', Array.emptyByteArray)
+      c.flush()
+      val msgs = c.readUntilReady()
+      assert(errorMessage(msgs).exists(_.contains("unsupported message type")))
+      assert(dataRows(c.query("SELECT 9 AS n")) == Seq(Seq(Some("9"))))
+      c.close()
+      // and a healthy client is unaffected throughout
+      val c2 = new Client(port); c2.connect()
+      assert(dataRows(c2.query("SELECT 1 AS n")) == Seq(Seq(Some("1"))))
+      c2.close()
+    }
+  }
+
   test("concurrent connections interleave against one session") {
     Tables.nation(spark, sf("sf0.001")).createOrReplaceTempView("pg_nation")
     withServer() { (_, port) =>
