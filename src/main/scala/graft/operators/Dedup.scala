@@ -175,8 +175,9 @@ object Dedup {
     *
     * No silent caps: the aggregation carries an `observe` metric (no
     * extra job), and a per-session listener WARNs with the
-    * dropped-bucket count and the largest bucket size whenever the cap
-    * actually fired. */
+    * dropped-bucket count and the cap whenever the cap actually fired
+    * (exact bucket sizes are no longer computed — overflow is detected
+    * by collecting cap+1 elements, which is what keeps the guard free). */
   private[graft] def guardedBuckets(banded: DataFrame, elem: Column,
       maxBucketSize: Int): DataFrame =
     if (maxBucketSize == Int.MaxValue)

@@ -47,17 +47,20 @@ final class Flow(retries: Int = 2, backoffMs: Long = 500,
     while (true) {
       attempt += 1
       current = mutable.LinkedHashMap.empty[String, Long]
+      // ListMap keeps the body's count() insertion order all the way to
+      // reportJson — a plain toMap would re-order >4 counters by hash
       try {
         val out = body
         runs += TaskRun(name, attempt, (System.nanoTime() - t0) / 1e9, None,
-          current.toMap)
+          scala.collection.immutable.ListMap(current.toSeq: _*))
         return out
       } catch {
         case e: Exception if attempt <= retries =>
           sleep(backoffMs * attempt)
         case e: Exception =>
           runs += TaskRun(name, attempt, (System.nanoTime() - t0) / 1e9,
-            Some(String.valueOf(e.getMessage)), current.toMap)
+            Some(String.valueOf(e.getMessage)),
+            scala.collection.immutable.ListMap(current.toSeq: _*))
           throw e
       }
     }

@@ -121,16 +121,17 @@ final class Pipeline(
           case _          => Nil
         }
       }.distinct
-    if (failed.nonEmpty)
-      graft.ingest.ErrorHeights.append(dataRoot, kind,
-        failed.toIndexedSeq.flatMap(r => r.start to r.end).distinct)
+    val quarantinedHeights =
+      failed.toIndexedSeq.flatMap(r => r.start to r.end).distinct
+    if (quarantinedHeights.nonEmpty)
+      graft.ingest.ErrorHeights.append(dataRoot, kind, quarantinedHeights)
     val dir = Paths.get(rawDir(kind))
     Files.createDirectories(dir)
     val path = dir.resolve(s"${start}_$end.json")
     Files.writeString(path, JsonMethods.compact(JArray(items.toList)))
     new WatermarkStore(rawDir(kind)).updateFromFiles()
     Pipeline.RawWrite(path.toString, chunksPlanned, badChunks.size,
-      failed.toIndexedSeq.flatMap(r => r.start to r.end).distinct.size.toLong)
+      quarantinedHeights.size.toLong)
   }
 
 
@@ -528,7 +529,7 @@ final class Pipeline(
     flow.count("chunks_planned", planned)
     flow.count("chunks_quarantined", bad)
     flow.count("heights_quarantined", ws.map(_.heightsQuarantined).sum)
-    if (planned > 0 && bad >= planned)
+    if (Pipeline.fullyQuarantined(planned, bad))
       throw new IllegalStateException(
         s"extract stage quarantined ALL $planned chunk(s) — node unreachable " +
           "or every count probe failed; heights are ledgered for gap-fill " +
@@ -547,8 +548,14 @@ object Pipeline {
     /** Every planned chunk quarantined — the fully-unreachable-node
       * shape: zero output, everything ledgered. */
     def fullyQuarantined: Boolean =
-      chunksPlanned > 0 && chunksQuarantined >= chunksPlanned
+      Pipeline.fullyQuarantined(chunksPlanned.toLong, chunksQuarantined.toLong)
   }
+
+  /** THE definition of "fully quarantined" — shared by the per-write
+    * accessor above and the stage-level gate in noteExtracts, so the
+    * enforced predicate can't drift from the reported one. */
+  def fullyQuarantined(planned: Long, quarantined: Long): Boolean =
+    planned > 0 && quarantined >= planned
 
   /** Inclusive height span covered by a batch of raw `{start}_{end}.json`
     * files — the filename contract writeRaw pins (extract.py:186-192).

@@ -51,6 +51,8 @@ final class PgWireServer(spark: SparkSession, maxRows: Int = 10000) {
 
   private var server: Option[ServerSocket] = None
   @volatile private var running = false
+  private val connections =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[Socket]()
 
   /** Bind 127.0.0.1:`port` (0 = ephemeral) and serve until `stop()`.
     * Returns the bound port. One daemon accept thread; one daemon
@@ -66,6 +68,7 @@ final class PgWireServer(spark: SparkSession, maxRows: Int = 10000) {
       while (running) {
         try {
           val sock = ss.accept()
+          connections.add(sock)
           val t = new Thread(() => handleConnection(sock), "graft-pgwire-conn")
           t.setDaemon(true)
           t.start()
@@ -83,6 +86,10 @@ final class PgWireServer(spark: SparkSession, maxRows: Int = 10000) {
     running = false
     server.foreach(s => try s.close() catch { case _: IOException => })
     server = None
+    // live handler threads block in readByte(); closing their sockets is
+    // what actually ends the sessions (and the daemon threads with them)
+    connections.forEach(s => try s.close() catch { case _: IOException => })
+    connections.clear()
   }
 
   // ---- protocol constants (public wire format) ----
@@ -103,6 +110,7 @@ final class PgWireServer(spark: SparkSession, maxRows: Int = 10000) {
       case _: EOFException => // client hung up
       case _: IOException  =>
     } finally {
+      connections.remove(sock)
       try sock.close() catch { case _: IOException => }
     }
   }
@@ -282,10 +290,22 @@ final class PgWireServer(spark: SparkSession, maxRows: Int = 10000) {
     val stmt = r.cstr()
     val nFmt = r.int16(); (0 until nFmt).foreach(_ => r.int16())
     val nParams = r.int16()
+    // with zero parameters the next section is the result-format codes;
+    // this server only speaks text, so a binary request must be REFUSED
+    // — silently shipping text a client will parse as binary is garbage
+    // data, not degraded service (pgJDBC asks for binary once a
+    // statement crosses its prepareThreshold)
+    val binaryRequested = nParams == 0 && {
+      val nResFmt = r.int16()
+      (0 until nResFmt).exists(_ => r.int16() == 1)
+    }
     if (nParams > 0) {
       // dbt/Evidence never bind parameters against the proxy; a client
       // that does gets the standard feature-not-supported error
       writeError(out, "0A000", "parameter binding not supported")
+      st.skipUntilSync = true
+    } else if (binaryRequested) {
+      writeError(out, "0A000", "binary result format not supported (text only)")
       st.skipUntilSync = true
     } else st.statements.get(stmt) match {
       case Some(sql) =>
@@ -311,14 +331,37 @@ final class PgWireServer(spark: SparkSession, maxRows: Int = 10000) {
         try {
           if (kind == 'S') // statements also advertise their (empty) param list
             writeMsg(out, 't') { b => b.writeShort(0) } // ParameterDescription
-          val schema = textualize(spark.sql(s)).schema
-          if (schema.nonEmpty) writeRowDescription(out, schema)
-          else writeMsg(out, 'n') { _ => } // NoData
+          // Describe must not EXECUTE: spark.sql is lazy for queries but
+          // eager for commands (DDL/DML run inside the call), and a
+          // Describe that inserts rows or creates a table would then do
+          // it AGAIN at Execute. Only statements that are provably pure
+          // queries get a schema; everything else describes as NoData
+          // (postgres reports row descriptions for utility statements
+          // only via RETURNING, which Spark SQL doesn't have).
+          if (isPureQuery(s)) {
+            val schema = textualize(spark.sql(s)).schema
+            if (schema.nonEmpty) writeRowDescription(out, schema)
+            else writeMsg(out, 'n') { _ => } // NoData
+          } else writeMsg(out, 'n') { _ => } // NoData
         } catch {
           case e: Exception =>
             writeError(out, "42601", String.valueOf(e.getMessage))
             st.skipUntilSync = true
         }
+    }
+  }
+
+  /** True when `spark.sql(sql)` is side-effect-free (a lazily planned
+    * query): leading SELECT/VALUES/TABLE family, or a WITH that doesn't
+    * wrap a data-modifying verb (Spark allows `WITH ... INSERT INTO`). */
+  private def isPureQuery(sql: String): Boolean = {
+    val head = sql.trim.split("\\s+").headOption.map(_.toUpperCase).getOrElse("")
+    head match {
+      case "SELECT" | "VALUES" | "TABLE" | "SHOW" | "DESCRIBE" | "DESC" |
+           "EXPLAIN" => true
+      case "WITH" =>
+        !"(?i)\\b(INSERT|UPDATE|DELETE|MERGE)\\b".r.findFirstIn(sql).isDefined
+      case _ => false
     }
   }
 
@@ -372,19 +415,28 @@ final class PgWireServer(spark: SparkSession, maxRows: Int = 10000) {
     case _ => false
   }
 
-  /** Text-format rendering per postgres conventions (bool t/f, ISO
-    * timestamps, plain decimals); everything else toString. */
+  /** Text-format rendering per postgres conventions (bool t/f,
+    * `yyyy-MM-dd HH:mm:ss[.ffffff]` timestamps — NEVER
+    * LocalDateTime.toString, which uses a 'T' separator and drops :00
+    * seconds, neither of which postgres text parsers accept — plain
+    * decimals, hex bytea); everything else toString. */
   private def renderCell(v: Any): String = v match {
     case b: Boolean => if (b) "t" else "f"
-    case t: java.sql.Timestamp => t.toLocalDateTime.toString.replace('T', ' ')
+    case t: java.sql.Timestamp => pgTimestamp(t.toLocalDateTime)
+    case d: java.time.LocalDateTime => pgTimestamp(d) // TIMESTAMP_NTZ collects as this
     case i: java.time.Instant =>
-      java.time.LocalDateTime.ofInstant(i, java.time.ZoneOffset.UTC)
-        .toString.replace('T', ' ')
+      pgTimestamp(java.time.LocalDateTime.ofInstant(i, java.time.ZoneOffset.UTC))
     case d: java.math.BigDecimal => d.toPlainString
     case d: BigDecimal => d.bigDecimal.toPlainString
     case bytes: Array[Byte] => // bytea hex format
       "\\x" + bytes.map(b => f"$b%02x").mkString
     case other => String.valueOf(other)
+  }
+
+  private def pgTimestamp(d: java.time.LocalDateTime): String = {
+    val base = f"${d.getYear}%04d-${d.getMonthValue}%02d-${d.getDayOfMonth}%02d " +
+      f"${d.getHour}%02d:${d.getMinute}%02d:${d.getSecond}%02d"
+    if (d.getNano == 0) base else base + f".${d.getNano / 1000}%06d"
   }
 
   /** Collect capped at maxRows (+1 probe row to detect truncation) and

@@ -50,8 +50,9 @@ final class QueryServer(
     * /api/status/{route}` — the endpoint a client polls before loading
     * a page). `statusDir` pins the cache across server restarts (the
     * reference's `./.evidence-queries`); default is a per-instance
-    * temp dir, so the endpoint always serves. */
-  private val statusStore = new QueryStatusStore(statusDir.getOrElse(
+    * temp dir, created lazily on first use so servers that never touch
+    * the status/page surface don't litter the temp filesystem. */
+  private lazy val statusStore = new QueryStatusStore(statusDir.getOrElse(
     java.nio.file.Files.createTempDirectory("graft-query-status").toString))
 
   /** Start on `port` (0 = ephemeral); returns the bound port.

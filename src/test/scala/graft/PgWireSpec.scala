@@ -252,6 +252,69 @@ class PgWireSpec extends SparkSpec {
     }
   }
 
+  test("timestamps ship in postgres text format (space separator, seconds always present)") {
+    withServer() { (_, port) =>
+      val c = new Client(port); c.connect()
+      val msgs = c.query(
+        "SELECT TIMESTAMP '2024-01-01 10:00:00' AS t0, TIMESTAMP '2024-01-01 10:00:00.123456' AS t1")
+      assert(dataRows(msgs) == Seq(Seq(
+        Some("2024-01-01 10:00:00"), Some("2024-01-01 10:00:00.123456"))))
+      c.close()
+    }
+  }
+
+  test("Describe never executes a side-effecting statement") {
+    withServer() { (_, port) =>
+      val c = new Client(port); c.connect()
+      val ddl = "CREATE TEMP VIEW describe_probe AS SELECT 42 AS v"
+      c.send('P', c.cstr("sd") ++ c.cstr(ddl) ++ Array[Byte](0, 0))
+      c.send('D', Array[Byte]('S'.toByte) ++ c.cstr("sd"))
+      c.send('S', Array.emptyByteArray)
+      c.flush()
+      val msgs = c.readUntilReady()
+      assert(msgs.exists(_._1 == 'n'), "DDL describes as NoData")
+      // the view must NOT exist yet — Describe did not run the CREATE
+      val probe = c.query("SELECT * FROM describe_probe")
+      assert(errorMessage(probe).isDefined, "view must not exist before Execute")
+      // Execute creates it exactly once
+      c.send('B', c.cstr("") ++ c.cstr("sd") ++ Array[Byte](0, 0, 0, 0, 0, 0))
+      c.send('E', c.cstr("") ++ Array[Byte](0, 0, 0, 0))
+      c.send('S', Array.emptyByteArray)
+      c.flush()
+      c.readUntilReady()
+      assert(dataRows(c.query("SELECT v FROM describe_probe")) ==
+        Seq(Seq(Some("42"))))
+      c.close()
+    }
+  }
+
+  test("a Bind requesting binary results is refused, not answered with text bytes") {
+    withServer() { (_, port) =>
+      val c = new Client(port); c.connect()
+      c.send('P', c.cstr("sb") ++ c.cstr("SELECT 1 AS n") ++ Array[Byte](0, 0))
+      // Bind: no param formats, no params, ONE result-format code = 1 (binary)
+      c.send('B', c.cstr("") ++ c.cstr("sb") ++
+        Array[Byte](0, 0, 0, 0, 0, 1, 0, 1))
+      c.send('S', Array.emptyByteArray)
+      c.flush()
+      val msgs = c.readUntilReady()
+      assert(errorMessage(msgs).exists(_.contains("binary result format")))
+      assert(dataRows(c.query("SELECT 1 AS n")) == Seq(Seq(Some("1"))))
+      c.close()
+    }
+  }
+
+  test("stop() ends live connections, not just the listener") {
+    val srv = new PgWireServer(spark)
+    val port = srv.start()
+    val c = new Client(port); c.connect()
+    assert(dataRows(c.query("SELECT 1 AS n")) == Seq(Seq(Some("1"))))
+    srv.stop()
+    // the server closed our socket: the next read hits EOF quickly
+    // rather than blocking on a dead-but-open session
+    intercept[Exception] { c.query("SELECT 2 AS n") }
+  }
+
   test("malformed clients can't take the server down") {
     withServer() { (_, port) =>
       // garbage pre-startup: an absurd length prefix — server must drop
