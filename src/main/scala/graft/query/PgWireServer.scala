@@ -23,7 +23,10 @@ import org.apache.spark.sql.types._
   *
   * Supported flow, enough for real clients (psql, JDBC, psycopg):
   *  - SSLRequest → refused with 'N' (cleartext localhost gateway);
-  *    GSSENCRequest likewise; CancelRequest → connection dropped.
+  *    GSSENCRequest likewise; CancelRequest → the target session's
+  *    Spark job group is cancelled iff the BackendKeyData secret
+  *    matches (postgres's out-of-band Ctrl-C, wired to
+  *    `cancelJobGroup` with task interruption).
   *  - StartupMessage(3.0) → AuthenticationOk (trust — same trust model
   *    as the HTTP gateway and Buena Vista's default), ParameterStatus
   *    basics, BackendKeyData, ReadyForQuery.
@@ -98,27 +101,44 @@ final class PgWireServer(spark: SparkSession, maxRows: Int = 10000) {
   private val GssEncRequestCode = 80877104
   private val CancelRequestCode = 80877102
 
+  /** Cancel registry: backend pid → (secret, Spark job group). A
+    * CancelRequest arrives on its OWN connection (that's the protocol —
+    * the session socket is busy executing), so the key data must
+    * resolve to something cancellable out-of-band: the session's job
+    * group, which `cancelJobGroup` kills with interruptOnCancel. */
+  private val backendSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val cancelKeys =
+    new java.util.concurrent.ConcurrentHashMap[Int, (Int, String)]()
+  private val secretRng = new java.security.SecureRandom()
+
   private def handleConnection(sock: Socket): Unit = {
     sock.setTcpNoDelay(true)
     val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
     val out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
+    val pid = backendSeq.incrementAndGet()
+    val secret = secretRng.nextInt()
+    val jobGroup = s"graft-pgwire-$pid"
     try {
       if (!handshake(in, out)) return
-      sendAuthAndReady(out)
-      messageLoop(in, out)
+      cancelKeys.put(pid, (secret, jobGroup))
+      sendAuthAndReady(out, pid, secret)
+      messageLoop(in, out, jobGroup)
     } catch {
       case _: EOFException => // client hung up
       case _: IOException  =>
     } finally {
+      cancelKeys.remove(pid)
       connections.remove(sock)
       try sock.close() catch { case _: IOException => }
     }
   }
 
   /** Pre-startup negotiation: refuse SSL/GSS encryption (respond 'N',
-    * client retries cleartext on the same socket), drop cancel
-    * requests, accept a v3 StartupMessage. Returns false when the
-    * connection should end without a session. */
+    * client retries cleartext on the same socket), honor cancel
+    * requests (kill the target session's Spark job group iff the
+    * secret matches — then drop, no response, per protocol), accept a
+    * v3 StartupMessage. Returns false when the connection should end
+    * without a session. */
   @annotation.tailrec
   private def handshake(in: DataInputStream, out: DataOutputStream): Boolean = {
     val len = in.readInt()
@@ -129,8 +149,12 @@ final class PgWireServer(spark: SparkSession, maxRows: Int = 10000) {
         out.writeByte('N'); out.flush()
         handshake(in, out)
       case CancelRequestCode =>
-        in.skipBytes(len - 8) // no out-of-band cancel for a local gateway
-        false
+        val pid = in.readInt()
+        val secret = in.readInt()
+        Option(cancelKeys.get(pid)).foreach { case (expected, group) =>
+          if (expected == secret) spark.sparkContext.cancelJobGroup(group)
+        }
+        false // cancel connections carry no response and close immediately
       case ProtocolV3 =>
         in.skipBytes(len - 8) // user/database params — trust auth, single catalog
         true
@@ -141,7 +165,7 @@ final class PgWireServer(spark: SparkSession, maxRows: Int = 10000) {
     }
   }
 
-  private def sendAuthAndReady(out: DataOutputStream): Unit = {
+  private def sendAuthAndReady(out: DataOutputStream, pid: Int, secret: Int): Unit = {
     writeMsg(out, 'R') { b => b.writeInt(0) } // AuthenticationOk
     Seq(
       "server_version" -> "15.0 (graft)",
@@ -152,7 +176,8 @@ final class PgWireServer(spark: SparkSession, maxRows: Int = 10000) {
       "standard_conforming_strings" -> "on").foreach { case (k, v) =>
       writeMsg(out, 'S') { b => writeCStr(b, k); writeCStr(b, v) }
     }
-    writeMsg(out, 'K') { b => b.writeInt(0); b.writeInt(0) } // BackendKeyData
+    // real key data: what a libpq client sends back in a CancelRequest
+    writeMsg(out, 'K') { b => b.writeInt(pid); b.writeInt(secret) }
     writeReady(out)
     out.flush()
   }
@@ -165,8 +190,23 @@ final class PgWireServer(spark: SparkSession, maxRows: Int = 10000) {
     var skipUntilSync = false
   }
 
-  private def messageLoop(in: DataInputStream, out: DataOutputStream): Unit = {
+  private def messageLoop(in: DataInputStream, out: DataOutputStream,
+      jobGroup: String): Unit = {
     val st = new SessionState
+    // every Spark action this session runs happens on THIS thread, so
+    // one thread-local job group makes the whole session cancellable by
+    // an out-of-band CancelRequest (interruptOnCancel reaches into
+    // running tasks); a cancelled collect surfaces as an ErrorResponse
+    // on the session connection, exactly like postgres's "canceling
+    // statement due to user request"
+    spark.sparkContext.setJobGroup(jobGroup,
+      s"pg-wire session $jobGroup", interruptOnCancel = true)
+    try messageLoopInner(in, out, st)
+    finally spark.sparkContext.clearJobGroup()
+  }
+
+  private def messageLoopInner(in: DataInputStream, out: DataOutputStream,
+      st: SessionState): Unit = {
     while (true) {
       val tpe = in.readByte().toChar
       val len = in.readInt()
@@ -239,7 +279,7 @@ final class PgWireServer(spark: SparkSession, maxRows: Int = 10000) {
     var state: Char = 'n' // n-ormal, s-ingle quote, d-ouble quote, l-ine comment, b-lock comment
     while (i < sql.length) {
       val c = sql.charAt(i)
-      val next = if (i + 1 < sql.length) sql.charAt(i + 1) else ' '
+      val next = if (i + 1 < sql.length) sql.charAt(i + 1) else '\u0000'
       state match {
         case 'n' =>
           if (c == '\'') { state = 's'; cur += c }

@@ -34,8 +34,17 @@ class PgWireSpec extends SparkSpec {
       val msgs = readUntilReady()
       assert(msgs.exists(_._1 == 'R'), "expected AuthenticationOk")
       assert(msgs.exists(_._1 == 'S'), "expected ParameterStatus")
-      assert(msgs.exists(_._1 == 'K'), "expected BackendKeyData")
+      val key = msgs.find(_._1 == 'K')
+      assert(key.isDefined, "expected BackendKeyData")
+      val p = key.get._2
+      backendPid = ((p(0) & 0xff) << 24) | ((p(1) & 0xff) << 16) |
+        ((p(2) & 0xff) << 8) | (p(3) & 0xff)
+      backendSecret = ((p(4) & 0xff) << 24) | ((p(5) & 0xff) << 16) |
+        ((p(6) & 0xff) << 8) | (p(7) & 0xff)
     }
+
+    var backendPid = 0
+    var backendSecret = 0
 
     def send(tpe: Char, body: Array[Byte]): Unit = {
       out.writeByte(tpe); out.writeInt(4 + body.length); out.write(body)
@@ -300,6 +309,41 @@ class PgWireSpec extends SparkSpec {
       val msgs = c.readUntilReady()
       assert(errorMessage(msgs).exists(_.contains("binary result format")))
       assert(dataRows(c.query("SELECT 1 AS n")) == Seq(Seq(Some("1"))))
+      c.close()
+    }
+  }
+
+  test("CancelRequest kills the running statement out-of-band; wrong secret is ignored") {
+    withServer() { (_, port) =>
+      val c = new Client(port); c.connect()
+      assert(c.backendPid != 0, "real backend key data")
+
+      def cancelWith(secret: Int): Unit = {
+        val s = new java.net.Socket("127.0.0.1", port)
+        val o = new DataOutputStream(s.getOutputStream)
+        o.writeInt(16); o.writeInt(80877102)
+        o.writeInt(c.backendPid); o.writeInt(secret); o.flush()
+        assert(s.getInputStream.read() == -1, "cancel connection closes silently")
+        s.close()
+      }
+
+      // ~1e10-row codegen count: minutes of work if not cancelled
+      val slow = "SELECT count(*) AS n FROM range(100000) a, range(100000) b"
+      @volatile var result: Seq[(Char, Array[Byte])] = Seq.empty
+      val runner = new Thread(() => result = c.query(slow))
+      runner.start()
+      Thread.sleep(1500) // let the job actually start
+      cancelWith(c.backendSecret + 1) // wrong secret: must NOT cancel
+      Thread.sleep(500)
+      assert(runner.isAlive, "wrong secret left the query running")
+      val t0 = System.nanoTime()
+      cancelWith(c.backendSecret)
+      runner.join(30000)
+      assert(!runner.isAlive, "cancel must end the statement")
+      assert((System.nanoTime() - t0) / 1e9 < 30, "cancel was prompt")
+      assert(errorMessage(result).isDefined, "cancelled query surfaces as an error")
+      // the session survives and runs fresh statements
+      assert(dataRows(c.query("SELECT 7 AS n")) == Seq(Seq(Some("7"))))
       c.close()
     }
   }
