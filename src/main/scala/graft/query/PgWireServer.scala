@@ -68,13 +68,23 @@ final class PgWireServer(spark: SparkSession, maxRows: Int = 10000) {
     server = Some(ss)
     running = true
     val acceptor = new Thread(() => {
-      while (running) {
+      // loop on THIS listener's liveness, not the shared `running` flag:
+      // a stop()/start() cycle flips `running` back to true and a
+      // flag-guarded loop would then busy-spin on its closed socket
+      while (!ss.isClosed) {
         try {
           val sock = ss.accept()
           connections.add(sock)
-          val t = new Thread(() => handleConnection(sock), "graft-pgwire-conn")
-          t.setDaemon(true)
-          t.start()
+          if (!running) {
+            // stop() ran between accept and add and may have missed this
+            // socket in its close sweep — honor the stop guarantee
+            connections.remove(sock)
+            try sock.close() catch { case _: IOException => }
+          } else {
+            val t = new Thread(() => handleConnection(sock), "graft-pgwire-conn")
+            t.setDaemon(true)
+            t.start()
+          }
         } catch {
           case _: IOException => // socket closed by stop()
         }
@@ -149,10 +159,15 @@ final class PgWireServer(spark: SparkSession, maxRows: Int = 10000) {
         out.writeByte('N'); out.flush()
         handshake(in, out)
       case CancelRequestCode =>
-        val pid = in.readInt()
-        val secret = in.readInt()
-        Option(cancelKeys.get(pid)).foreach { case (expected, group) =>
-          if (expected == secret) spark.sparkContext.cancelJobGroup(group)
+        // the frame must declare its own key data (len 16 = len + code +
+        // pid + secret): reading past a shorter frame would block the
+        // handler thread on bytes the client never promised to send
+        if (len == 16) {
+          val pid = in.readInt()
+          val secret = in.readInt()
+          Option(cancelKeys.get(pid)).foreach { case (expected, group) =>
+            if (expected == secret) spark.sparkContext.cancelJobGroup(group)
+          }
         }
         false // cancel connections carry no response and close immediately
       case ProtocolV3 =>
@@ -273,8 +288,9 @@ final class PgWireServer(spark: SparkSession, maxRows: Int = 10000) {
     * identifiers, line comments and block comments are opaque, matching
     * how the postgres frontend lexes a simple-query string. */
   private[query] def splitStatements(sql: String): Seq[String] = {
-    val out = Vector.newBuilder[String]
+    val segments = Vector.newBuilder[(String, Boolean)]
     val cur = new StringBuilder
+    var hasContent = false // any non-comment, non-whitespace char seen
     var i = 0
     var state: Char = 'n' // n-ormal, s-ingle quote, d-ouble quote, l-ine comment, b-lock comment
     while (i < sql.length) {
@@ -282,12 +298,16 @@ final class PgWireServer(spark: SparkSession, maxRows: Int = 10000) {
       val next = if (i + 1 < sql.length) sql.charAt(i + 1) else '\u0000'
       state match {
         case 'n' =>
-          if (c == '\'') { state = 's'; cur += c }
-          else if (c == '"') { state = 'd'; cur += c }
+          if (c == '\'') { state = 's'; cur += c; hasContent = true }
+          else if (c == '"') { state = 'd'; cur += c; hasContent = true }
           else if (c == '-' && next == '-') { state = 'l'; cur += c }
           else if (c == '/' && next == '*') { state = 'b'; cur += c }
-          else if (c == ';') { out += cur.toString; cur.clear() }
-          else cur += c
+          else if (c == ';') {
+            segments += ((cur.toString, hasContent)); cur.clear(); hasContent = false
+          } else {
+            cur += c
+            if (!c.isWhitespace) hasContent = true
+          }
         case 's' =>
           cur += c
           if (c == '\'') {
@@ -306,8 +326,11 @@ final class PgWireServer(spark: SparkSession, maxRows: Int = 10000) {
       }
       i += 1
     }
-    out += cur.toString
-    out.result().map(_.trim).filter(_.nonEmpty)
+    segments += ((cur.toString, hasContent))
+    // comment-only segments are NOT statements: psql ships
+    // `SELECT 1; -- done` as one message, and the trailing comment must
+    // not reach spark.sql as a bogus second statement
+    segments.result().collect { case (s, true) => s.trim }.filter(_.nonEmpty)
   }
 
   // ---- extended protocol ----
@@ -371,37 +394,23 @@ final class PgWireServer(spark: SparkSession, maxRows: Int = 10000) {
         try {
           if (kind == 'S') // statements also advertise their (empty) param list
             writeMsg(out, 't') { b => b.writeShort(0) } // ParameterDescription
-          // Describe must not EXECUTE: spark.sql is lazy for queries but
-          // eager for commands (DDL/DML run inside the call), and a
-          // Describe that inserts rows or creates a table would then do
-          // it AGAIN at Execute. Only statements that are provably pure
-          // queries get a schema; everything else describes as NoData
-          // (postgres reports row descriptions for utility statements
-          // only via RETURNING, which Spark SQL doesn't have).
-          if (isPureQuery(s)) {
-            val schema = textualize(spark.sql(s)).schema
-            if (schema.nonEmpty) writeRowDescription(out, schema)
-            else writeMsg(out, 'n') { _ => } // NoData
-          } else writeMsg(out, 'n') { _ => } // NoData
+          // Describe must not EXECUTE (spark.sql runs DDL/DML eagerly
+          // inside the call — a Describe that inserts rows would insert
+          // them AGAIN at Execute) yet must return the exact
+          // RowDescription Execute will stream (pgJDBC Describes
+          // `SET extra_float_digits=3` at startup and expects its
+          // (key, value) row). Parse + analyze with command execution
+          // skipped gives both. Complex columns need no schema rewrite:
+          // they ship as JSON text and their pg OID is already 25.
+          val schema = org.apache.spark.sql.GraftBridge
+            .analyzedSchemaNoExec(spark, s)
+          if (schema.nonEmpty) writeRowDescription(out, schema)
+          else writeMsg(out, 'n') { _ => } // NoData
         } catch {
           case e: Exception =>
             writeError(out, "42601", String.valueOf(e.getMessage))
             st.skipUntilSync = true
         }
-    }
-  }
-
-  /** True when `spark.sql(sql)` is side-effect-free (a lazily planned
-    * query): leading SELECT/VALUES/TABLE family, or a WITH that doesn't
-    * wrap a data-modifying verb (Spark allows `WITH ... INSERT INTO`). */
-  private def isPureQuery(sql: String): Boolean = {
-    val head = sql.trim.split("\\s+").headOption.map(_.toUpperCase).getOrElse("")
-    head match {
-      case "SELECT" | "VALUES" | "TABLE" | "SHOW" | "DESCRIBE" | "DESC" |
-           "EXPLAIN" => true
-      case "WITH" =>
-        !"(?i)\\b(INSERT|UPDATE|DELETE|MERGE)\\b".r.findFirstIn(sql).isDefined
-      case _ => false
     }
   }
 
@@ -535,18 +544,49 @@ final class PgWireServer(spark: SparkSession, maxRows: Int = 10000) {
 
   /** Postgres-style command tag: SELECT gets its row count; DDL/utility
     * statements echo their leading verb(s) the way postgres does
-    * ("CREATE VIEW", "DROP TABLE", ...). */
+    * ("CREATE VIEW", "DROP TABLE", ...). Verbs are read past leading
+    * comments/whitespace, so `/* dbt */ SELECT 1` tags as a SELECT. */
   private def commandTag(sql: String, rows: Long): String = {
-    val words = sql.trim.split("\\s+").take(2).map(_.toUpperCase)
+    val words = leadingKeywords(sql, 2)
     words.headOption match {
       case Some("SELECT") | Some("WITH") | Some("VALUES") | Some("SHOW") |
-           Some("DESCRIBE") | Some("EXPLAIN") | Some("TABLE") => s"SELECT $rows"
+           Some("DESCRIBE") | Some("DESC") | Some("EXPLAIN") |
+           Some("TABLE") => s"SELECT $rows"
       case Some(v) if words.length > 1 &&
           (v == "CREATE" || v == "DROP" || v == "ALTER") =>
         s"$v ${words(1)}"
       case Some(v) => v
       case None => "SELECT 0"
     }
+  }
+
+  /** First `n` word tokens of `sql`, uppercased, skipping leading
+    * whitespace and SQL comments — the one place "what statement is
+    * this" sniffing lives. */
+  private def leadingKeywords(sql: String, n: Int): Seq[String] = {
+    val words = Vector.newBuilder[String]
+    var count = 0
+    var i = 0
+    while (i < sql.length && count < n) {
+      val c = sql.charAt(i)
+      val next = if (i + 1 < sql.length) sql.charAt(i + 1) else ' '
+      if (c.isWhitespace) i += 1
+      else if (c == '-' && next == '-') {
+        while (i < sql.length && sql.charAt(i) != '\n') i += 1
+      } else if (c == '/' && next == '*') {
+        i += 2
+        while (i + 1 < sql.length &&
+          !(sql.charAt(i) == '*' && sql.charAt(i + 1) == '/')) i += 1
+        i = math.min(i + 2, sql.length)
+      } else {
+        val start = i
+        while (i < sql.length && !sql.charAt(i).isWhitespace &&
+          sql.charAt(i) != ';' && sql.charAt(i) != '(') i += 1
+        if (i > start) { words += sql.substring(start, i).toUpperCase; count += 1 }
+        else i += 1
+      }
+    }
+    words.result()
   }
 
   // ---- frame writers ----

@@ -10,4 +10,18 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Resolved output schema of `sql` WITHOUT executing it — parse, then
+    * analyze with command execution skipped (`CommandExecutionMode.SKIP`;
+    * plain `spark.sql` runs DDL/DML eagerly inside the call). This is
+    * what a wire-protocol Describe needs: the exact RowDescription that
+    * Execute will later stream, including for commands like `SET k=v`
+    * (whose (key, value) row pgJDBC expects at connection startup),
+    * with zero side effects. */
+  def analyzedSchemaNoExec(spark: SparkSession, sql: String): types.StructType = {
+    val plan = spark.sessionState.sqlParser.parsePlan(sql)
+    spark.sessionState
+      .executePlan(plan, execution.CommandExecutionMode.SKIP)
+      .analyzed.schema
+  }
 }

@@ -313,6 +313,57 @@ class PgWireSpec extends SparkSpec {
     }
   }
 
+  test("pgJDBC startup shape: Describe on SET returns its (key, value) schema without executing twice") {
+    withServer() { (_, port) =>
+      val c = new Client(port); c.connect()
+      // the statement pgJDBC prepares on every new connection
+      val set = "SET spark.sql.ansi.enabled=false"
+      c.send('P', c.cstr("ss") ++ c.cstr(set) ++ Array[Byte](0, 0))
+      c.send('B', c.cstr("") ++ c.cstr("ss") ++ Array[Byte](0, 0, 0, 0, 0, 0))
+      c.send('D', Array[Byte]('P'.toByte) ++ c.cstr(""))
+      c.send('E', c.cstr("") ++ Array[Byte](0, 0, 0, 0))
+      c.send('S', Array.emptyByteArray)
+      c.flush()
+      val msgs = c.readUntilReady()
+      // Describe promised a RowDescription and Execute delivered the row —
+      // the two protocol phases must agree for real drivers to work
+      assert(rowDescription(msgs).map(_._1) == Seq("key", "value"), msgs.map(_._1))
+      assert(dataRows(msgs) ==
+        Seq(Seq(Some("spark.sql.ansi.enabled"), Some("false"))))
+      c.close()
+    }
+  }
+
+  test("comments don't confuse the simple protocol") {
+    withServer() { (_, port) =>
+      val c = new Client(port); c.connect()
+      // trailing comment after the last ';' is NOT a second statement
+      val m1 = c.query("SELECT 1 AS n; -- done")
+      assert(errorMessage(m1).isEmpty, m1.map(_._1))
+      assert(dataRows(m1) == Seq(Seq(Some("1"))))
+      // leading comment doesn't break the command tag
+      val m2 = c.query("/* dbt */ SELECT 1 AS n")
+      assert(commandTag(m2).contains("SELECT 1"))
+      // a message that is ONLY a comment is an empty query, not an error
+      val m3 = c.query("/* nothing here */")
+      assert(m3.exists(_._1 == 'I'), m3.map(_._1))
+      c.close()
+    }
+  }
+
+  test("a truncated CancelRequest frame is dropped without hanging a handler thread") {
+    withServer() { (_, port) =>
+      val s = new java.net.Socket("127.0.0.1", port)
+      val o = new DataOutputStream(s.getOutputStream)
+      o.writeInt(12); o.writeInt(80877102); o.writeInt(7); o.flush()
+      assert(s.getInputStream.read() == -1, "short cancel frame just closes")
+      s.close()
+      val c = new Client(port); c.connect()
+      assert(dataRows(c.query("SELECT 1 AS n")) == Seq(Seq(Some("1"))))
+      c.close()
+    }
+  }
+
   test("CancelRequest kills the running statement out-of-band; wrong secret is ignored") {
     withServer() { (_, port) =>
       val c = new Client(port); c.connect()
