@@ -27,6 +27,26 @@ import org.apache.spark.sql.functions._
   */
 object QualityModels {
 
+  /** (id, p, w) consecutive-bigram stream — the ONE definition of
+    * "bigram" every LM here fits on (a tokenization change must hit all
+    * consumers at once, not one copy of four). */
+  private def bigrams(docs: DataFrame, id: String, text: String): DataFrame =
+    docs.select(col(id), split(col(text), " ").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col(id), explode(expr(
+        "transform(sequence(0, size(toks) - 2), i -> struct(toks[i] AS p, toks[i + 1] AS w))")).as("b"))
+      .select(col(id), col("b.p").as("p"), col("b.w").as("w"))
+
+  /** (src, g) space-joined n-gram stream per source — shared by the
+    * exact and sketch overlap operators. */
+  private def sourceGrams(docs: DataFrame, source: String, text: String,
+      n: Int): DataFrame =
+    docs.select(col(source).as("src"), split(col(text), " ").as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("src"), explode(expr(
+        s"transform(sequence(0, size(toks) - $n), i -> " +
+          s"array_join(slice(toks, i + 1, $n), ' '))")).as("g"))
+
   private def toks(docs: DataFrame, id: String, text: String): DataFrame =
     docs.select(col(id), explode(split(col(text), " ")).as("tok"))
 
@@ -49,11 +69,7 @@ object QualityModels {
   def bigramSurprisal(docs: DataFrame, id: String, text: String,
       k: Double = 1.0): DataFrame = {
     require(k > 0, s"smoothing constant must be positive, got $k")
-    val arr = docs.select(col(id), split(col(text), " ").as("toks"))
-    val bi = arr.filter(size(col("toks")) >= 2)
-      .select(col(id), explode(expr(
-        "transform(sequence(0, size(toks) - 2), i -> struct(toks[i] AS p, toks[i + 1] AS w))")).as("b"))
-      .select(col(id), col("b.p").as("p"), col("b.w").as("w"))
+    val bi = bigrams(docs, id, text)
     val bcnt = bi.groupBy("p", "w").agg(count(lit(1)).as("cb"))
     // context mass = bigram occurrences starting at p (NOT the unigram
     // count: the last token of a doc opens no bigram), so P(·|p) sums
@@ -163,8 +179,14 @@ object QualityModels {
   def temperatureMixFromCounts(perSource: DataFrame, source: String,
       alpha: Double): DataFrame = {
     require(alpha >= 0, s"alpha must be >= 0, got $alpha")
-    val total = broadcast(perSource.agg(sum("tokens").as("total")))
-    val frac = perSource.crossJoin(total)
+    // a registered-but-empty source (tokens = 0) is reachable through
+    // externally-maintained counts; its p = 0 would make weight
+    // pow(0,α)/z/0 = NaN (or Infinity at α = 0) and poison the
+    // resampling plan — a source with no tokens has no resampling
+    // weight, so it is excluded rather than emitted as NaN
+    val live = perSource.filter(col("tokens") > 0)
+    val total = broadcast(live.agg(sum("tokens").as("total")))
+    val frac = live.crossJoin(total)
       .select(col(source), col("tokens"),
         (col("tokens").cast("double") / col("total")).as("p"))
     val z = broadcast(frac.agg(sum(pow(col("p"), alpha)).as("z")))
@@ -373,11 +395,7 @@ object QualityModels {
       discount: Double = 0.75): DataFrame = {
     require(discount > 0 && discount < 1,
       s"absolute discount must be in (0,1), got $discount")
-    val arr = docs.select(col(id), split(col(text), " ").as("toks"))
-    val bi = arr.filter(size(col("toks")) >= 2)
-      .select(col(id), explode(expr(
-        "transform(sequence(0, size(toks) - 2), i -> struct(toks[i] AS p, toks[i + 1] AS w))")).as("b"))
-      .select(col(id), col("b.p").as("p"), col("b.w").as("w"))
+    val bi = bigrams(docs, id, text)
     val bcnt = bi.groupBy("p", "w").agg(count(lit(1)).as("cb"))
     // context mass c(p·) and fan-out N1+(p·) in one pass over the model
     val ctx = bcnt.groupBy("p")
@@ -395,6 +413,9 @@ object QualityModels {
           (col("cb") - lit(discount)) / col("cp") +
             lit(discount) * col("n1p") / col("cp") *
               (col("n1w").cast("double") / col("nbb")))), 4).as("kn_entropy"))
+      // consumed twice (percentile bounds + the final select): without
+      // the boundary the whole explode/join pipeline executes twice
+      .localCheckpoint(false)
     val bounds = broadcast(scored.agg(
       expr("percentile(kn_entropy, 0.3333)").as("b1"),
       expr("percentile(kn_entropy, 0.6667)").as("b2")))
@@ -519,12 +540,7 @@ object QualityModels {
   def sourceOverlapSketch(docs: DataFrame, source: String, text: String,
       n: Int = 3, lgK: Int = 14): DataFrame = {
     require(n >= 1, s"n-gram order must be >= 1, got $n")
-    val grams = docs
-      .select(col(source).as("src"), split(col(text), " ").as("toks"))
-      .filter(size(col("toks")) >= n)
-      .select(col("src"), explode(expr(
-        s"transform(sequence(0, size(toks) - $n), i -> " +
-          s"array_join(slice(toks, i + 1, $n), ' '))")).as("g"))
+    val grams = sourceGrams(docs, source, text, n)
     val sk = grams.groupBy("src").agg(hll_sketch_agg(col("g"), lgK).as("sk"))
     val a = sk.select(col("src").as("source_a"), col("sk").as("ska"))
     val b = sk.select(col("src").as("source_b"), col("sk").as("skb"))
@@ -533,22 +549,21 @@ object QualityModels {
         hll_sketch_estimate(col("ska")).as("est_a"),
         hll_sketch_estimate(col("skb")).as("est_b"),
         hll_sketch_estimate(hll_union(col("ska"), col("skb"))).as("est_union"))
+      // HLL error can push est_union past est_a + est_b for disjoint
+      // sources, estimating a (slightly) NEGATIVE intersection — clamp
+      // at 0: the exact operator can never emit jaccard < 0, and the
+      // estimate's error bound is one-sided-safe after the clamp
       .withColumn("jaccard_est",
-        round((col("est_a") + col("est_b") - col("est_union")).cast("double") /
-          col("est_union"), 4))
+        greatest(lit(0.0), round(
+          (col("est_a") + col("est_b") - col("est_union")).cast("double") /
+            col("est_union"), 4)))
       .orderBy("source_a", "source_b")
   }
 
   def sourceOverlap(docs: DataFrame, source: String, text: String,
       n: Int = 3): DataFrame = {
     require(n >= 1, s"n-gram order must be >= 1, got $n")
-    val grams = docs
-      .select(col(source).as("src"), split(col(text), " ").as("toks"))
-      .filter(size(col("toks")) >= n)
-      .select(col("src"), explode(expr(
-        s"transform(sequence(0, size(toks) - $n), i -> " +
-          s"array_join(slice(toks, i + 1, $n), ' '))")).as("g"))
-      .distinct()
+    val grams = sourceGrams(docs, source, text, n).distinct()
     val sizes = grams.groupBy("src").agg(count(lit(1)).as("sz"))
     val inter = grams.select(col("src").as("source_a"), col("g"))
       .join(grams.select(col("src").as("source_b"), col("g")), Seq("g"))

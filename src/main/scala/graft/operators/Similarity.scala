@@ -25,7 +25,12 @@ object Similarity {
     val qv = emb.filter(col(id) === queryId).select(col("embedding").as("qv"))
     emb.filter(col(id) =!= queryId)
       .crossJoin(broadcast(qv))
-      .withColumn("sim", round(vec.cosine(col("embedding"), col("qv")), roundAt))
+      // nanvl: a zero-norm vector (padding row, failed encoder) has
+      // cosine 0/0 = NaN, which Spark sorts ABOVE every real value —
+      // unguarded it would take rank 1. Map to -1 so degenerates rank
+      // last (same convention as ivfAssign).
+      .withColumn("sim",
+        round(nanvl(vec.cosine(col("embedding"), col("qv")), lit(-1.0)), roundAt))
       .drop("qv")
       .orderBy(desc("sim"), asc(id))
       .limit(k)
@@ -76,9 +81,16 @@ object Similarity {
       .select(col(id).as("q_id"), col("embedding").as("qv"),
         col(label).as("q_label"))
     val byQ = Window.partitionBy("q_id").orderBy(desc("sim"), asc("neg_id"))
+    // NULL labels make `neg_label =!= q_label` NULL (not true), silently
+    // dropping those rows from the candidate pool AND those queries from
+    // the output — surface the partially-labeled corpus explicitly
+    // instead of shipping a weaker negative set
     emb.select(col(id).as("neg_id"), col("embedding"), col(label).as("neg_label"))
-      .join(broadcast(q), col("neg_label") =!= col("q_label"))
-      .withColumn("sim", round(vec.cosine(col("embedding"), col("qv")), roundAt))
+      .filter(col("neg_label").isNotNull)
+      .join(broadcast(q.filter(col("q_label").isNotNull)),
+        col("neg_label") =!= col("q_label"))
+      .withColumn("sim",
+        round(nanvl(vec.cosine(col("embedding"), col("qv")), lit(-1.0)), roundAt))
       .withColumn("rk", row_number().over(byQ).cast("long"))
       .filter(col("rk") <= k)
       .select("q_id", "rk", "neg_id", "neg_label", "sim")
@@ -102,9 +114,19 @@ object Similarity {
     val scored = emb.select(col(id).as("neg_id"), col("embedding"))
       .join(broadcast(q), col("neg_id") =!= col("q_id"))
       .select(col("q_id"), col("neg_id"),
-        round(vec.cosine(col("embedding"), col("qv")), roundAt).as("sim_full"),
-        round(vec.cosine(slice(col("embedding"), 1, dims),
-          slice(col("qv"), 1, dims)), roundAt).as("sim_trunc"))
+        // a vector shorter than `dims` would make slice() a silent
+        // no-op and the audit trivially "agree" — fail loudly instead;
+        // nanvl because a prefix that happens to be all-zero has
+        // cosine NaN, which would WIN the struct-max argmax
+        when(size(col("embedding")) < dims || size(col("qv")) < dims,
+          raise_error(format_string(
+            s"truncation audit needs >= $dims dims, got %s",
+            least(size(col("embedding")), size(col("qv"))).cast("string"))))
+          .otherwise(
+            round(nanvl(vec.cosine(col("embedding"), col("qv")), lit(-1.0)),
+              roundAt)).as("sim_full"),
+        round(nanvl(vec.cosine(slice(col("embedding"), 1, dims),
+          slice(col("qv"), 1, dims)), lit(-1.0)), roundAt).as("sim_trunc"))
     scored.groupBy("q_id")
       .agg(
         max(struct(col("sim_full").as("s"), (-col("neg_id")).as("ni"),
@@ -139,7 +161,10 @@ object Similarity {
     labeled.crossJoin(broadcast(eval))
       .select(col("q_id"), col("true_label"),
         struct(
-          round(vec.cosine(col("embedding"), col("qv")), roundAt).as("s"),
+          // nanvl: one zero-norm labeled neighbor must not win every
+          // argmax and become the predicted label for the whole eval set
+          round(nanvl(vec.cosine(col("embedding"), col("qv")), lit(-1.0)),
+            roundAt).as("s"),
           (-col("n_id")).as("ni"),
           col("pred_label").as("pl")).as("cand"))
       .groupBy("q_id", "true_label")
@@ -254,7 +279,8 @@ object Similarity {
       .collect().map(_.getAs[Number]("cell").longValue())
     val base = spark.table(table).filter(col("cell").isin(cells.toIndexedSeq: _*))
     excludeId.fold(base)(x => base.filter(col(id) =!= x)) // self-match drop
-      .withColumn("sim", round(vec.cosine(col("embedding"), qLit), roundAt))
+      .withColumn("sim",
+        round(nanvl(vec.cosine(col("embedding"), qLit), lit(-1.0)), roundAt))
       .orderBy(desc("sim"), asc(id))
       .limit(k)
   }
@@ -419,8 +445,8 @@ object Similarity {
     * ranking with ties to the lower code, the same cross-engine rule as
     * [[ivfAssign]]. No shuffle, no window, no join: encoding a 100 TB
     * corpus is a single scan with the O(m·ksub·sub) codebook inlined. */
-  def pqEncodeDetailCol(embedding: Column, model: PqModel, roundAt: Int = 4): Column =
-    array((0 until model.m).map { j =>
+  def pqEncodeDetailCol(embedding: Column, model: PqModel, roundAt: Int = 4): Column = {
+    val enc = array((0 until model.m).map { j =>
       val sl = slice(embedding, j * model.sub + 1, model.sub)
       val cands = model.codebooks(j).zipWithIndex.map { case (cw, c) =>
         val cwLit = array(cw.map(lit).toIndexedSeq: _*)
@@ -431,6 +457,15 @@ object Similarity {
       }
       element_at(array_sort(array(cands.toIndexedSeq: _*)), 1)
     }: _*)
+    // dim mismatch vs the fitted model would null-pad zip_with, make d2
+    // NULL for EVERY codeword and silently encode the subspace as code 0
+    // — a corrupt index the downstream okCodes range check cannot catch
+    // (0 is valid). Refuse mixed-dim input loudly at encode time.
+    val dim = model.m * model.sub
+    when(size(embedding) === dim, enc)
+      .otherwise(raise_error(format_string(
+        s"pq model expects dim=$dim vectors, got %s", size(embedding).cast("string"))))
+  }
 
   /** PQ codes only: `array<bigint>` of length m — the persisted index
     * payload (m bytes-ish per vector vs 4·dim for the raw floats; 32×
@@ -531,7 +566,8 @@ object Similarity {
     val qLit = typedLit(qF) // float literal: bit-identical to scanning the row
     cands
       .join(vectors.select(col(id), col("embedding")), Seq(id))
-      .withColumn("sim", round(vec.cosine(col("embedding"), qLit), roundAt))
+      .withColumn("sim",
+        round(nanvl(vec.cosine(col("embedding"), qLit), lit(-1.0)), roundAt))
       .drop("embedding")
       .orderBy(desc("sim"), asc(id))
       .limit(k)
@@ -584,7 +620,8 @@ object Similarity {
     assigned.join(probed, Seq("cell"))
       .filter(col(id) =!= queryId)
       .crossJoin(qv)
-      .withColumn("sim", round(vec.cosine(col("embedding"), col("qv")), roundAt))
+      .withColumn("sim",
+        round(nanvl(vec.cosine(col("embedding"), col("qv")), lit(-1.0)), roundAt))
       .drop("qv")
       .orderBy(desc("sim"), asc(id))
       .limit(k)
