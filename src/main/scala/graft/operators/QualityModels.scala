@@ -393,6 +393,26 @@ object QualityModels {
     * equivalence). */
   def knBigramEntropy(docs: DataFrame, id: String, text: String,
       discount: Double = 0.75): DataFrame = {
+    // consumed twice (percentile bounds + the final select): without
+    // the boundary the whole explode/join pipeline executes twice
+    val scored = knBigramScores(docs, id, text, discount).localCheckpoint(false)
+    val bounds = broadcast(scored.agg(
+      expr("percentile(kn_entropy, 0.3333)").as("b1"),
+      expr("percentile(kn_entropy, 0.6667)").as("b2")))
+    scored.crossJoin(bounds)
+      .select(col(id), col("n_bigrams"), col("kn_entropy"),
+        when(col("kn_entropy") <= col("b1"), "head")
+          .when(col("kn_entropy") <= col("b2"), "middle")
+          .otherwise("tail").as("bucket"))
+      .orderBy(col(id))
+  }
+
+  /** The KN scoring stage, pre-checkpoint — separated so PlanAuditSpec
+    * can pin the compute plan's properties (broadcast model frames,
+    * hash-keyed bigram lookup) that the checkpoint boundary hides from
+    * the public operator's final plan. */
+  private[graft] def knBigramScores(docs: DataFrame, id: String,
+      text: String, discount: Double): DataFrame = {
     require(discount > 0 && discount < 1,
       s"absolute discount must be in (0,1), got $discount")
     val bi = bigrams(docs, id, text)
@@ -403,7 +423,7 @@ object QualityModels {
     // continuation fan-in N1+(·w); |bigram types| normalizes it
     val cont = bcnt.groupBy("w").agg(count(lit(1)).as("n1w"))
     val types = broadcast(bcnt.agg(count(lit(1)).as("nbb")))
-    val scored = bi.join(bcnt, Seq("p", "w"))
+    bi.join(bcnt, Seq("p", "w"))
       .join(broadcast(ctx), Seq("p"))
       .join(broadcast(cont), Seq("w"))
       .crossJoin(types)
@@ -413,18 +433,6 @@ object QualityModels {
           (col("cb") - lit(discount)) / col("cp") +
             lit(discount) * col("n1p") / col("cp") *
               (col("n1w").cast("double") / col("nbb")))), 4).as("kn_entropy"))
-      // consumed twice (percentile bounds + the final select): without
-      // the boundary the whole explode/join pipeline executes twice
-      .localCheckpoint(false)
-    val bounds = broadcast(scored.agg(
-      expr("percentile(kn_entropy, 0.3333)").as("b1"),
-      expr("percentile(kn_entropy, 0.6667)").as("b2")))
-    scored.crossJoin(bounds)
-      .select(col(id), col("n_bigrams"), col("kn_entropy"),
-        when(col("kn_entropy") <= col("b1"), "head")
-          .when(col("kn_entropy") <= col("b2"), "middle")
-          .otherwise("tail").as("bucket"))
-      .orderBy(col(id))
   }
 
   /** Count-based word vectors: positive pointwise mutual information

@@ -174,44 +174,68 @@ object Similarity {
       .orderBy("true_label", "pred_label")
   }
 
-  /** IVF cell assignment: nearest anchor per vector (anchors broadcast;
+  /** The anchor model collected to the driver and inlined as one
+    * struct candidate per anchor — (−rounded-cosine, anchor id, cell):
+    * `array_sort` over these is EXACTLY the old window's
+    * `desc(acos), asc(anchor_id)` order (negated rounded cosine asc =
+    * cosine desc; ties → lower id; nanvl(−1) keeps zero-norm vectors
+    * ranked last as before), but the argmax is now a single narrow
+    * expression — no crossJoin streaming corpus×anchors rows, no
+    * per-id window shuffle (the kmeans `assignFull` device, which this
+    * file already uses for k-means itself). The literal payload is
+    * O(|anchors|·dim) — the same data the old plan broadcast. Literal
+    * element types mirror the anchors frame so the cosine arithmetic
+    * is bit-identical to the joined-column formulation. */
+  private def anchorCandCols(anchors: DataFrame, roundAt: Int): Seq[Column] = {
+    import org.apache.spark.sql.types.{ArrayType, FloatType, LongType}
+    val aidType = anchors.schema("anchor_id").dataType
+    val isFloat = anchors.schema("av").dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    val rows = anchors
+      .select(col("anchor_id").cast(LongType).as("aid"), col("av"))
+      .collect()
+    require(rows.nonEmpty, "ivf assignment needs at least one anchor")
+    rows.sortBy(_.getLong(0)).map { r =>
+      val avLit =
+        if (isFloat) typedLit(r.getSeq[Float](1))
+        else typedLit(r.getSeq[Double](1))
+      struct(
+        (-round(nanvl(vec.cosine(col("embedding"), avLit), lit(-1.0)), roundAt))
+          .as("nc"),
+        lit(r.getLong(0)).as("aid"),
+        lit(r.getLong(0)).cast(aidType).as("cell"))
+    }.toIndexedSeq
+  }
+
+  /** IVF cell assignment: nearest anchor per vector (anchors inlined;
     * ties → lower anchor id). At scale this is written once as a
-    * cell-bucketed table. The argmax ranks on ROUNDED cosine (same rule
-    * as cosineTopK): raw-double ranking is not reproducible across
-    * engines whose summation order differs, and a flipped assignment
-    * changes the candidate set downstream. */
+    * cell-bucketed table; assigning a 100 TB corpus is a single scan.
+    * The argmax ranks on ROUNDED cosine (same rule as cosineTopK):
+    * raw-double ranking is not reproducible across engines whose
+    * summation order differs, and a flipped assignment changes the
+    * candidate set downstream. */
   def ivfAssign(emb: DataFrame, anchors: DataFrame, id: String,
       roundAt: Int = 4): DataFrame = {
-    val byCos = Window.partitionBy(id).orderBy(desc("acos"), asc("anchor_id"))
-    emb.crossJoin(broadcast(anchors))
-      // nanvl: a zero-norm vector's cosine is NaN, which would sort
-      // ABOVE every real similarity; map it to -1 so such vectors land
-      // deterministically in the lowest-id anchor's cell instead
-      .withColumn("acos",
-        round(nanvl(vec.cosine(col("embedding"), col("av")), lit(-1.0)), roundAt))
-      .withColumn("rk", row_number().over(byCos))
-      .filter(col("rk") === 1)
-      .drop("av", "acos", "rk")
-      .withColumnRenamed("anchor_id", "cell")
+    val best =
+      element_at(array_sort(array(anchorCandCols(anchors, roundAt): _*)), 1)
+    emb.withColumn("cell", best.getField("cell"))
   }
 
   /** Multi-probe IVF assignment: one row per (vector, probed cell) for
     * the vector's `nprobe` nearest anchors — rank 1 is [[ivfAssign]]'s
-    * home cell, rank 2 the second-nearest, etc. Ranking rounds the
-    * cosine first (cross-engine reproducibility, see [[ivfAssign]]);
-    * zero-norm vectors probe the lowest-id anchors via the nanvl(-1)
-    * rule. */
+    * home cell, rank 2 the second-nearest, etc. Same inlined-argmax
+    * shape: sort the per-anchor candidates in one expression, slice the
+    * top `nprobe`, posexplode — still one narrow scan, no window. */
   def ivfAssignProbes(emb: DataFrame, anchors: DataFrame, id: String,
       nprobe: Int, roundAt: Int = 4): DataFrame = {
     require(nprobe >= 1)
-    val byCos = Window.partitionBy(id).orderBy(desc("acos"), asc("anchor_id"))
-    emb.crossJoin(broadcast(anchors))
-      .withColumn("acos",
-        round(nanvl(vec.cosine(col("embedding"), col("av")), lit(-1.0)), roundAt))
-      .withColumn("probe_rk", row_number().over(byCos))
-      .filter(col("probe_rk") <= nprobe)
-      .drop("av", "acos")
-      .withColumnRenamed("anchor_id", "cell")
+    val sorted = array_sort(array(anchorCandCols(anchors, roundAt): _*))
+    emb.select(col("*"), posexplode(slice(sorted, 1, nprobe)))
+      .withColumn("cell", col("col").getField("cell"))
+      .withColumn("probe_rk", (col("pos") + 1).cast("int"))
+      .drop("pos", "col")
   }
 
   /** All-pairs near-dup, bucketed: assign vectors to IVF cells and pair

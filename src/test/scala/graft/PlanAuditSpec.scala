@@ -430,17 +430,26 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("q181: KN model side-frames broadcast; the bigram lookup is hash-keyed; terciles are an aggregate, not a sort") {
+    // the public operator checkpoints the scored frame (it feeds both
+    // the percentile bounds and the final select), so the compute
+    // properties are pinned on the pre-checkpoint scoring stage
+    val scored = graft.operators.QualityModels.knBigramScores(
+      graft.Tables.documents(spark, d), "doc_id", "text", discount = 0.75)
+    scored.collect() // finalize AQE
+    val ps = plan(scored)
+    // ctx/cont/types ride as broadcasts; the (p,w) lookup joins on its
+    // key — never a cartesian over the bigram stream
+    assert(ps.contains("BroadcastHashJoin"), ps)
+    assert(!ps.contains("CartesianProduct"), ps)
+    assert(ps.contains("partial_count"), ps)
+    // the public plan: checkpoint scan + broadcast bounds — the
+    // head/middle/tail split is percentile aggregate + broadcast, not
+    // an ntile window (which would single-partition the corpus)
     val df = run("q181_kn_bigram_lm")
-    df.collect() // finalize AQE
+    df.collect()
     val p = plan(df)
-    // ctx/cont/types/bounds ride as broadcasts; the (p,w) lookup joins
-    // on its key — never a cartesian over the bigram stream
-    assert(p.contains("BroadcastHashJoin"), p)
-    assert(!p.contains("CartesianProduct"), p)
-    // the head/middle/tail split is percentile aggregate + broadcast,
-    // not an ntile window (which would single-partition the corpus)
     assert(!p.contains("Window"), p)
-    assert(p.contains("partial_count"), p)
+    assert(!p.contains("CartesianProduct"), p)
   }
 
   test("q182: PPMI marginals broadcast, the cosine self-join is hash-keyed on context, top-k is TakeOrdered") {
@@ -537,6 +546,20 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     val p = plan(df)
     // weights fold in as literals: scoring must not join a model frame
     assert(!p.contains("Join"), p)
+  }
+
+  test("ivfAssign is a pure scan: no join, no window, no exchange") {
+    val e = Tables.embeddings(spark, d)
+    val anchors = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("anchor_id"), col("embedding").as("av"))
+    // the anchor model is inlined as literals (kmeans assignFull
+    // device) — a regression back to crossJoin+window would re-shuffle
+    // corpus × anchors rows on every index build
+    val p = plan(graft.operators.Similarity.ivfAssign(e, anchors, "vec_id"))
+    assert(!p.contains("Window") && !p.contains("Join") && !p.contains("Exchange"), p)
+    val pp = plan(graft.operators.Similarity
+      .ivfAssignProbes(e, anchors, "vec_id", nprobe = 2))
+    assert(!pp.contains("Window") && !pp.contains("Join"), pp)
   }
 
   test("events scan converts nanos without breaking codegen") {
