@@ -27,6 +27,14 @@ import org.apache.spark.sql.functions._
   */
 object QualityModels {
 
+  /** BPE merge glue joining an adopted pair inside one piece. U+241D
+    * (group-separator symbol) — like the U+241F token separator, it
+    * cannot occur in natural text, so "piece contains glue" exactly
+    * means "merged piece". A plain '_' glue miscounted snake_case
+    * tokens as merges and made a learned merge a+b indistinguishable
+    * from a native token "a_b" in later training rounds. */
+  private val Glue = "␝"
+
   /** (id, p, w) consecutive-bigram stream — the ONE definition of
     * "bigram" every LM here fits on (a tokenization change must hit all
     * consumers at once, not one copy of four). */
@@ -309,7 +317,7 @@ object QualityModels {
           .select(col(id), replace(
             concat(lit(sep), col("s"), lit(sep)),
             lit(sep + w1 + sep + w2 + sep),
-            lit(sep + w1 + "_" + w2 + sep)).as("__t"))
+            lit(sep + w1 + Glue + w2 + sep)).as("__t"))
           .select(col(id),
             expr("substring(__t, 2, length(__t) - 2)").as("s"))
           .localCheckpoint(false)
@@ -351,13 +359,13 @@ object QualityModels {
     val merged = merges.foldLeft(wrapped) { case (acc, (w1, w2)) =>
       replace(acc,
         lit(sep + w1 + sep + w2 + sep),
-        lit(sep + w1 + "_" + w2 + sep))
+        lit(sep + w1 + Glue + w2 + sep))
     }
     docs.select(col(id), merged.as("__w"))
       .select(col(id), expr("substring(__w, 2, length(__w) - 2)").as("s"))
       .select(col(id),
         size(split(col("s"), sep)).cast("long").as("n_pieces"),
-        size(filter(split(col("s"), sep), p => p.contains("_")))
+        size(filter(split(col("s"), sep), p => p.contains(Glue)))
           .cast("long").as("n_merged"),
         md5(col("s")).as("bpe_fp"))
   }

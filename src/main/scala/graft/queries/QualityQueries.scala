@@ -261,11 +261,11 @@ object QualityQueries {
                      CASE WHEN m.w1 IS NULL THEN t.s ELSE
                        substr(replace('␟' || t.s || '␟',
                                       '␟' || m.w1 || '␟' || m.w2 || '␟',
-                                      '␟' || m.w1 || '_' || m.w2 || '␟'),
+                                      '␟' || m.w1 || '␝' || m.w2 || '␟'),
                               2,
                               length(replace('␟' || t.s || '␟',
                                              '␟' || m.w1 || '␟' || m.w2 || '␟',
-                                             '␟' || m.w1 || '_' || m.w2 || '␟')) - 2)
+                                             '␟' || m.w1 || '␝' || m.w2 || '␟')) - 2)
                      END AS s
               FROM r${r - 1} t LEFT JOIN m$r m ON TRUE)"""
 
@@ -317,7 +317,7 @@ object QualityQueries {
       SELECT doc_id,
              CAST(len(string_split(s, '␟')) AS BIGINT) AS n_pieces,
              CAST(len(list_filter(string_split(s, '␟'),
-                                  p -> contains(p, '_'))) AS BIGINT) AS n_merged,
+                                  p -> contains(p, '␝'))) AS BIGINT) AS n_merged,
              md5(s) AS bpe_fp
       FROM r3 ORDER BY doc_id"""))
 
@@ -479,7 +479,7 @@ object QualityQueries {
              CAST(SUM(len(string_split(d.text, ' '))) AS BIGINT) AS n_words,
              CAST(SUM(len(string_split(r3.s, '␟'))) AS BIGINT) AS n_pieces,
              CAST(SUM(len(list_filter(string_split(r3.s, '␟'),
-                                      p -> contains(p, '_')))) AS BIGINT) AS n_merged,
+                                      p -> contains(p, '␝')))) AS BIGINT) AS n_merged,
              ROUND(SUM(len(string_split(r3.s, '␟'))) /
                    CAST(SUM(len(string_split(d.text, ' '))) AS DOUBLE), 4)
                AS compression

@@ -95,7 +95,7 @@ class QualityModelsSpec extends AnyFunSuite with SparkSpec {
     import spark.implicits._
     // round 1: (a,b)=3 wins. The rewrite merges doc 1's FIRST "a b" only
     // (the second shares its boundary separator with the match) →
-    // [a_b, a, b, c] / [a_b]. round 2: all pairs tie at 1; "a" < "a_b"
+    // [a␝b, a, b, c] / [a␝b]. round 2: all pairs tie at 1; "a" < "a␝b"
     // so (a,b) wins again by the pair tie-break.
     val docs = Seq((1L, "a b a b c"), (2L, "a b")).toDF("doc_id", "text")
     val out = graft.operators.QualityModels
@@ -108,13 +108,13 @@ class QualityModelsSpec extends AnyFunSuite with SparkSpec {
     import spark.implicits._
     // " a b a b" tokenizes to ["", a, b, a, b]: after (a,b) is adopted
     // (first occurrence only — the second shares its separator), round 2
-    // sees ["", a_b, a, b], so the leading empty token still opens a
-    // countable pair and ("", a_b) wins the count-1 tie by w1 asc
+    // sees ["", a␝b, a, b], so the leading empty token still opens a
+    // countable pair and ("", a␝b) wins the count-1 tie by w1 asc
     val docs = Seq((1L, " a b a b")).toDF("doc_id", "text")
     val out = graft.operators.QualityModels
       .bpeMerges(docs, "doc_id", "text", rounds = 2)
       .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
-    assert(out.toSeq == Seq((1, "a", "b", 2L), (2, "", "a_b", 1L)))
+    assert(out.toSeq == Seq((1, "a", "b", 2L), (2, "", "a␝b", 1L)))
   }
 
   test("bpeMerges: a pair-less corpus adopts nothing and never empties the input") {
@@ -141,7 +141,7 @@ class QualityModelsSpec extends AnyFunSuite with SparkSpec {
     // merges learned on this corpus: round 1 adopts (a,b) — doc 1's
     // SECOND "a b" shares its boundary separator and stays unmerged, the
     // documented training approximation; apply must reproduce exactly
-    // that (not per-occurrence greed): doc 1 → [a_b, a, b, c]
+    // that (not per-occurrence greed): doc 1 → [a␝b, a, b, c]
     val docs = Seq((1L, "a b a b c"), (2L, "a b")).toDF("doc_id", "text")
     val merges = graft.operators.QualityModels
       .bpeMerges(docs, "doc_id", "text", rounds = 1)
@@ -150,8 +150,8 @@ class QualityModelsSpec extends AnyFunSuite with SparkSpec {
     val out = graft.operators.QualityModels
       .bpeApply(docs, "doc_id", "text", merges)
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
-    assert(out(1L) == ((4L, 1L))) // [a_b, a, b, c]
-    assert(out(2L) == ((1L, 1L))) // [a_b]
+    assert(out(1L) == ((4L, 1L))) // [a␝b, a, b, c]
+    assert(out(2L) == ((1L, 1L))) // [a␝b]
   }
 
   test("bpeApply: a realistically sized merge table plans in linear time") {
