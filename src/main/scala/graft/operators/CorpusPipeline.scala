@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** End-to-end training-data curation over a document corpus, composed
@@ -22,8 +22,12 @@ object CorpusPipeline {
   final case class Report(
       input: Long, afterQuality: Long, afterExact: Long, afterNearDup: Long)
 
-  /** Quality gate: token count and stopword-free-ratio bounds — cheap,
-    * narrow, runs first so later stages never see junk. */
+  /** Quality gate: token-count bounds — cheap, narrow, runs first so
+    * later stages never see junk. Deliberately ONLY the length rule:
+    * richer signals (stopword ratios, repetition, classifier scores)
+    * live as composable scorers in q29/q54/q100/q200 and are applied
+    * per deployment; this gate is the one filter every curation run
+    * shares, and the curation oracles replay exactly it. */
   def qualityFilter(docs: DataFrame, text: String,
       minTokens: Int = 10, maxTokens: Int = 100000): DataFrame = {
     val toks = split(col(text), " ")
@@ -62,6 +66,9 @@ object CorpusPipeline {
     * sort, each stratum's slice packs independently. */
   def packBins(docs: DataFrame, stratum: String, orderCol: String,
       text: String, budgetTokens: Int): DataFrame = {
+    // division by zero would silently put every row in bin
+    // Long.MaxValue (double Infinity through floor), not error
+    require(budgetTokens > 0, s"bin budget must be positive, got $budgetTokens")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(stratum).orderBy(orderCol)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
@@ -191,9 +198,15 @@ object CorpusPipeline {
   def shardManifest(docs: DataFrame, id: String, text: String,
       numShards: Int): DataFrame =
     assignShards(docs, text, numShards)
+      // the canonical order sorts on the id's NATIVE type and only the
+      // RENDERING casts to string: the old long cast made every
+      // non-numeric id null, and array_join SKIPS nulls — entire shards
+      // fingerprinted as partial strings while n_docs still counted
+      // every doc, voiding the any-change-changes-shard_fp contract
+      // (for numeric ids, native sort + string render is unchanged)
       .select(col("shard"), md5(col(text)).as("__fp"),
         size(split(col(text), " ")).cast("long").as("__tok"),
-        col(id).cast("long").as("__id"))
+        col(id).as("__id"))
       .groupBy("shard")
       .agg(
         count(lit(1)).as("n_docs"),
@@ -296,9 +309,11 @@ object CorpusPipeline {
     val roots = docs.select(col(id))
       .join(clusters, Seq(id), "left")
       .select(col(id), coalesce(col("cluster"), col(id)).as("root"))
-    val rootHash = docs.select(col(id).as("root"),
-      (conv(substring(md5(col(text)), 1, 8), 16, 10).cast("long")
-        % numShards).as("__h"))
+    // the split hash IS the sharding scheme: route through assignShards
+    // so the same-content-same-shard story can't silently diverge from
+    // a future change to that expression
+    val rootHash = assignShards(docs, text, numShards)
+      .select(col(id).as("root"), col("shard").as("__h"))
     // LEFT join + in-plan assert: an inner join would silently drop
     // every member of a cluster whose root id is absent from docs (a
     // stale caller-supplied pair graph) from BOTH splits — a stale
@@ -311,9 +326,24 @@ object CorpusPipeline {
           col("root").cast("string"))))
           .otherwise(when(col("__h") < trainShards, lit("train"))
             .otherwise(lit("test"))).as("split"))
+    // LEFT joins + in-plan assert, same rationale as the root check: an
+    // inner join here silently DROPPED any pair whose (non-root)
+    // endpoint is absent from docs, so the n_cross_pairs proof counted
+    // a pruned pair graph — a stale member must fail as loudly as a
+    // stale root
     val tagged = pairs
-      .join(splits.select(col(id).as("id_a"), col("split").as("__sa")), "id_a")
-      .join(splits.select(col(id).as("id_b"), col("split").as("__sb")), "id_b")
+      .join(splits.select(col(id).as("id_a"), col("split").as("__sa")),
+        Seq("id_a"), "left")
+      .join(splits.select(col(id).as("id_b"), col("split").as("__sb")),
+        Seq("id_b"), "left")
+      .select(
+        when(col("__sa").isNull || col("__sb").isNull, raise_error(
+          format_string(
+            "leakProofSplits: pair (%s, %s) references a doc absent from " +
+              "the corpus (stale pair graph)",
+            col("id_a").cast("string"), col("id_b").cast("string"))))
+          .otherwise(col("__sa")).as("__sa"),
+        col("__sb"))
     val cross = broadcast(tagged.filter(col("__sa") =!= col("__sb"))
       .agg(count(lit(1)).as("n_cross_pairs")))
     splits.groupBy("split")
@@ -532,6 +562,15 @@ object CorpusPipeline {
   def curationLedger(docs: DataFrame, id: String, text: String,
       minTokens: Int = 10, maxTokens: Int = 100000,
       nearDupThreshold: Double = 0.5): DataFrame = {
+    // ref_id rides as LONG so the no-reference quality rows can carry
+    // -1; a non-numeric id corpus must fail loudly here — a silent
+    // cast-to-null answered "why was this dropped" with null refs
+    // indistinguishable from corruption
+    def refId(c: Column): Column =
+      when(c.isNotNull && c.cast("long").isNull, raise_error(concat(
+        lit("curationLedger: non-numeric id '"), c.cast("string"),
+        lit("' cannot carry a long ref_id"))))
+        .otherwise(c.cast("long"))
     val toks = size(split(col(text), " "))
     val qualityDrops = docs.filter(!toks.between(minTokens, maxTokens))
       .select(col(id), lit("quality").as("stage"), lit(-1L).as("ref_id"))
@@ -541,16 +580,16 @@ object CorpusPipeline {
       .localCheckpoint(false)
     val exactDrops = keyed.filter(col(id) =!= col("__keeper"))
       .select(col(id), lit("exact").as("stage"),
-        col("__keeper").cast("long").as("ref_id"))
+        refId(col("__keeper")).as("ref_id"))
     val ex = keyed.filter(col(id) === col("__keeper")).drop("__keeper")
     val clusters = Dedup.duplicateClusters(
       Dedup.minHashLshPairs(ex, id, text, threshold = nearDupThreshold)
         .select("id_a", "id_b"))
     val nearDrops = clusters.filter(col("id") =!= col("cluster"))
       .select(col("id").as(id), lit("near_dup").as("stage"),
-        col("cluster").cast("long").as("ref_id"))
+        refId(col("cluster")).as("ref_id"))
     val kept = ex.join(nearDrops.select(col(id)), Seq(id), "left_anti")
-      .select(col(id), lit("kept").as("stage"), col(id).cast("long").as("ref_id"))
+      .select(col(id), lit("kept").as("stage"), refId(col(id)).as("ref_id"))
     qualityDrops.unionByName(exactDrops).unionByName(nearDrops)
       .unionByName(kept)
       .orderBy(col(id))

@@ -83,33 +83,31 @@ object Dedup {
       .select(col(id), TextHashAggregators.minhash(shingles("toks", n), k).as("mh"))
 
   /** Band a signature frame: one row per (id, band) carrying the
-    * concatenated in-band minhashes as the bucket key. */
+    * concatenated in-band minhashes as the bucket key.
+    *
+    * Validated hard: a k that doesn't divide into bands would silently
+    * ignore trailing hashes, and a STORED index whose signatures were
+    * built with a different k would slice past the array — empty
+    * slices give every doc the same "" bucket key in the tail bands,
+    * which is either a corpus-sized bucket (guard off) or a silently
+    * dropped one (guard on, WARN misattributed to boilerplate). Both
+    * are recall/blow-up corruption with no error, so the screening k
+    * is checked against each signature in-plan. */
   private[graft] def bandedSignatures(signatures: DataFrame, id: String,
       k: Int, bands: Int): DataFrame = {
+    require(bands >= 1 && k >= bands && k % bands == 0,
+      s"signature length k=$k must be a positive multiple of bands=$bands")
     val rows = k / bands
     signatures
+      .select(col(id),
+        when(size(col("mh")) === k, col("mh"))
+          .otherwise(raise_error(format_string(
+            s"stored signature length %s does not match screening k=$k " +
+              "(index built with different minhash parameters?)",
+            size(col("mh")).cast("string")))).as("mh"))
       .select(col(id), explode(sequence(lit(0), lit(bands - 1))).as("band"), col("mh"))
       .select(col(id), col("band"),
         expr(s"array_join(slice(mh, band * $rows + 1, $rows), '|')").as("sig"))
-  }
-
-  /** LSH candidate pairs: band the signature, self-join on band
-    * signatures. Only colliding buckets pay join cost — the quadratic
-    * mass is the near-duplicate mass itself, not the corpus. */
-  def lshCandidatePairs(signatures: DataFrame, id: String,
-      k: Int = 16, bands: Int = 4): DataFrame = {
-    // repartition inserts an exchange AFTER the signature computation:
-    // the self-join's two identical subplans then collapse into one via
-    // ReuseExchange, so the (CPU-bound) signatures are computed once
-    // instead of once per join side
-    val banded = bandedSignatures(signatures, id, k, bands)
-      .repartition(col("band"), col("sig"))
-    banded.select(col(id).as("id_a"), col("band"), col("sig"))
-      .join(banded.select(col(id).as("id_b"), col("band"), col("sig")),
-        Seq("band", "sig"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-      .distinct()
   }
 
   /** In-bucket i<j pair expansion over a collected id list column: each
