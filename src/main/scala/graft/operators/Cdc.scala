@@ -26,7 +26,13 @@ object Cdc {
       case Some(del) => changes.select(key).unionByName(del.select(key))
       case None      => changes.select(key)
     }
-    base.join(dropKeys, Seq(key), "left_anti").unionByName(changes)
+    // null-safe anti-join (like refreshAgg/tableDiff): a plain equality
+    // anti-join never matches a null key, so a null-key change row would
+    // land NEXT TO the base's null-key row instead of superseding it,
+    // and a null-key tombstone would never delete
+    base.join(dropKeys.select(col(key).as("__dk")),
+        col(key) <=> col("__dk"), "left_anti")
+      .unionByName(changes)
   }
 
   /** SCD2 history from an event/change log: appends `valid_from`
@@ -59,16 +65,23 @@ object Cdc {
     * key; only key + compared columns travel. */
   def tableDiff(v1: DataFrame, v2: DataFrame, key: String,
       compareCols: Seq[String]): DataFrame = {
-    val a = v1.select((key +: compareCols).map(col): _*).as("a")
-    val b = v2.select((key +: compareCols).map(col): _*).as("b")
+    val a = v1.select((key +: compareCols).map(col): _*)
+      .withColumn("__in_a", lit(true)).as("a")
+    val b = v2.select((key +: compareCols).map(col): _*)
+      .withColumn("__in_b", lit(true)).as("b")
     val changed = compareCols
       .map(c => !(col(s"a.$c") <=> col(s"b.$c")))
       .reduceOption(_ || _).getOrElse(lit(false))
-    a.join(b, col(s"a.$key") === col(s"b.$key"), "full_outer")
+    // null-safe key match + side-presence flags: with a plain === join a
+    // null key present in both versions splits into an "added" AND a
+    // "removed" row (violating one-row-per-key), and a null-key row in
+    // v1 alone classifies as "added" because testing the a-side KEY for
+    // null can't distinguish "no a-side match" from "a-side key is null"
+    a.join(b, col(s"a.$key") <=> col(s"b.$key"), "full_outer")
       .select(
         coalesce(col(s"a.$key"), col(s"b.$key")).as(key),
-        when(col(s"a.$key").isNull, "added")
-          .when(col(s"b.$key").isNull, "removed")
+        when(col("__in_a").isNull, "added")
+          .when(col("__in_b").isNull, "removed")
           .when(changed, "changed")
           .otherwise("unchanged").as("status"))
   }
@@ -93,11 +106,20 @@ object Cdc {
     * is what a log-backed format (Delta/Iceberg) buys. */
   def writeVersioned(df: DataFrame, path: String, version: Long): String = {
     val dir = s"$path/v=$version"
-    df.write.mode("overwrite").parquet(dir)
-    dir
+    // committed-version guard (the streaming sinks' replay rule): a
+    // version that already carries its _SUCCESS marker is NOT
+    // rewritten — deterministic replay means run-twice ≡ run-once, and
+    // skipping also keeps an orchestration retry from deleting the
+    // CURRENT latest version out from under a concurrent reader
+    // (overwrite drops the directory before rewriting it). A
+    // half-written crash victim (no marker) is overwritten as before.
+    if (completeVersions(df.sparkSession, path).contains(version)) dir
+    else { df.write.mode("overwrite").parquet(dir); dir }
   }
 
-  /** Versions under `path` with a `_SUCCESS` marker, ascending. */
+  /** Versions under `path` with a `_SUCCESS` marker, ascending.
+    * Non-numeric `v=` entries (a human-made `v=latest` pointer, a
+    * foreign hive partition) are skipped, not crashed on. */
   def completeVersions(spark: org.apache.spark.sql.SparkSession,
       path: String): Seq[Long] = {
     import org.apache.hadoop.fs.Path
@@ -107,7 +129,8 @@ object Cdc {
     else fs.listStatus(p).toIndexedSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
       .filter(s => fs.exists(new Path(s.getPath, "_SUCCESS")))
-      .map(_.getPath.getName.stripPrefix("v=").toLong)
+      .flatMap(s =>
+        scala.util.Try(s.getPath.getName.stripPrefix("v=").toLong).toOption)
       .sorted
   }
 

@@ -56,11 +56,17 @@ object Layout {
     * non-negative integer columns: bit i of `a` lands at position 2i,
     * bit i of `b` at 2i+1. Points close in BOTH dimensions are close in
     * z, which is what makes min/max stats tight on both columns at once. */
-  def zValue(a: Column, b: Column, bits: Int = 16): Column =
+  def zValue(a: Column, b: Column, bits: Int = 16): Column = {
+    // bits=32 would shift b's top bit into the long SIGN bit: rows with
+    // it set get negative z and range-partition BEFORE all small-z rows
+    // — the clustering silently inverts instead of erroring
+    require(bits >= 1 && bits <= 31,
+      s"zValue interleaves 1..31 low bits per column, got $bits")
     (0 until bits).map { i =>
       shiftleft(shiftright(a.cast("long"), i).bitwiseAND(lit(1L)), 2 * i) +
         shiftleft(shiftright(b.cast("long"), i).bitwiseAND(lit(1L)), 2 * i + 1)
     }.reduce(_ + _)
+  }
 
   /** Z-order clustered write: range-partition + sort by the interleaved
     * key so every output file covers a compact z-range — its parquet
@@ -144,6 +150,14 @@ object Layout {
       case other => throw new IllegalArgumentException(
         s"bloomPrunedJoin supports long/int/string keys, got $other")
     }
+    // BOTH sides must hash identically: a long-keyed filter probed with
+    // string bytes (or vice versa) returns false for virtually every
+    // real match — the plain join would still match via implicit casts,
+    // so the mismatch SILENTLY empties the result instead of erroring
+    require(fact.schema(key).dataType == dim.schema(key).dataType,
+      s"bloomPrunedJoin key type mismatch: fact ${fact.schema(key).dataType} " +
+        s"vs dim ${dim.schema(key).dataType} — the bloom probe would miss " +
+        "every match the join's implicit cast would have made")
     val bf = dim.stat.bloomFilter(key, expectedItems, fpp)
     // codegen'd membership probe (graft.functions.BloomMightContain):
     // the filter rides the codegen references array, each row pays one
@@ -173,18 +187,23 @@ object Layout {
         && !s.getPath.getName.startsWith("."))
       .map(s => (s.getPath.getName, s.getLen))
       .sortBy { case (name, len) => (-len, name) } // FFD; name-tie for determinism
-    val bins = scala.collection.mutable.ArrayBuffer.empty[(Long, scala.collection.mutable.ArrayBuffer[(String, Long)])]
+    // parallel used-bytes array + indexWhere: the operator exists for
+    // huge file counts, and a find-then-indexOf (element-wise buffer
+    // equality!) made planning quadratic-with-big-constants on the
+    // driver; this is one linear probe per file
+    val used = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val bins = scala.collection.mutable.ArrayBuffer
+      .empty[scala.collection.mutable.ArrayBuffer[(String, Long)]]
     files.foreach { case (name, len) =>
-      bins.find { case (used, _) => used + len <= targetBytes } match {
-        case Some(b) =>
-          val i = bins.indexOf(b)
-          bins(i) = (b._1 + len, b._2 += ((name, len)))
-        case None =>
-          bins += ((len, scala.collection.mutable.ArrayBuffer((name, len))))
+      val i = used.indexWhere(_ + len <= targetBytes)
+      if (i >= 0) { used(i) += len; bins(i) += ((name, len)) }
+      else {
+        used += len
+        bins += scala.collection.mutable.ArrayBuffer((name, len))
       }
     }
     import spark.implicits._
-    bins.zipWithIndex.flatMap { case ((_, fls), bin) =>
+    bins.zipWithIndex.flatMap { case (fls, bin) =>
       fls.map { case (name, len) => (bin.toLong, name, len, fls.size.toLong) }
     }.toSeq.toDF("bin", "file", "bytes", "n_files_in_bin")
   }
@@ -206,6 +225,13 @@ object Layout {
       .toSeq.sortBy(_._1)
     groups.foreach { case (bin, rows) =>
       val names = rows.map(_.getString(1)).sorted
+      // retry-idempotency: UUID part names mean a re-run (orchestrator
+      // retry, crash between rename and staging-dir delete) would
+      // APPEND a second complete copy of the bin next to the first —
+      // clear this bin's previous output before writing, so re-runs
+      // converge like the versioned sinks do
+      fs.globStatus(new Path(s"$outDir/bin-$bin-*"))
+        .foreach(s => fs.delete(s.getPath, false))
       if (names.length == 1) {
         org.apache.hadoop.fs.FileUtil.copy(
           fs, new Path(s"$dir/${names.head}"),
@@ -214,12 +240,17 @@ object Layout {
       } else {
         spark.read.parquet(names.map(n => s"$dir/$n"): _*)
           .coalesce(1)
-          .write.mode("append").parquet(s"$outDir/__bin-$bin")
+          .write.mode("overwrite").parquet(s"$outDir/__bin-$bin")
         // hoist the single part file up and drop the per-bin dir, so the
         // output directory is a flat healthy-file layout
         val part = fs.listStatus(new Path(s"$outDir/__bin-$bin"))
           .filter(s => s.getPath.getName.startsWith("part-")).head.getPath
-        fs.rename(part, new Path(s"$outDir/bin-$bin-${part.getName}"))
+        val dest = new Path(s"$outDir/bin-$bin-${part.getName}")
+        // HDFS-style rename signals failure by RETURNING false; ignoring
+        // it and deleting the staging dir would silently drop the bin
+        if (!fs.rename(part, dest))
+          throw new java.io.IOException(
+            s"compact: rename $part -> $dest failed; staging dir kept")
         fs.delete(new Path(s"$outDir/__bin-$bin"), true)
       }
     }

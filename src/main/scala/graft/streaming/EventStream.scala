@@ -611,14 +611,18 @@ object EventStream {
     fs.exists(new Path(path))
 
   /** Version numbers of child dirs of `root` named `<prefix><n>`;
-    * empty if `root` does not exist. */
+    * empty if `root` does not exist. Non-numeric entries (a stray
+    * `v=latest` pointer, a foreign hive partition) are skipped — same
+    * tolerant parse as `Cdc.completeVersions`, which is this helper's
+    * batch-side twin. */
   private def versionIds(fs: FileSystem, root: String,
       prefix: String = "v="): Seq[Long] = {
     val p = new Path(root)
     if (!fs.exists(p)) Seq.empty
     else fs.listStatus(p).toIndexedSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
-      .map(_.getPath.getName.stripPrefix(prefix).toLong)
+      .flatMap(s =>
+        scala.util.Try(s.getPath.getName.stripPrefix(prefix).toLong).toOption)
   }
 
   /** Online data-mixing maintenance: keep per-source token counts as a

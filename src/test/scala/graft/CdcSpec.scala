@@ -125,4 +125,56 @@ class CdcSpec extends SparkSpec {
       .as[(Option[String], Long)].collect().toSeq
     assert(merged == Seq((None, 5L)))
   }
+
+  test("upsert and tableDiff are null-safe on the KEY, not just the compared columns") {
+    import spark.implicits._
+    // a null-key change row must SUPERSEDE the base's null-key row
+    val base = Seq((Option(1L), "a"), (Option.empty[Long], "old"))
+      .toDF("k", "v")
+    val changes = Seq((Option.empty[Long], "new")).toDF("k", "v")
+    val up = Cdc.upsert(base, changes, "k")
+      .as[(Option[Long], String)].collect().toSet
+    assert(up == Set((Some(1L), "a"), (None, "new")))
+    // and a null-key tombstone must delete it
+    val del = Cdc.upsert(base, changes.limit(0), "k",
+      deletes = Some(Seq(Option.empty[Long]).toDF("k")))
+      .as[(Option[Long], String)].collect().toSet
+    assert(del == Set((Some(1L), "a")))
+    // tableDiff: a null key present in both versions is ONE row with a
+    // real status, not an added+removed pair; null-key only in v1 is
+    // "removed", not "added"
+    val v1 = Seq((Option(1L), "x"), (Option.empty[Long], "y")).toDF("k", "c")
+    val v2 = Seq((Option(1L), "x"), (Option.empty[Long], "z")).toDF("k", "c")
+    val diff = Cdc.tableDiff(v1, v2, "k", Seq("c"))
+      .as[(Option[Long], String)].collect().toSet
+    assert(diff == Set((Some(1L), "unchanged"), (None, "changed")))
+    val gone = Cdc.tableDiff(v1, v1.filter(col("k").isNotNull), "k", Seq("c"))
+      .as[(Option[Long], String)].collect().toSet
+    assert(gone == Set((Some(1L), "unchanged"), (None, "removed")))
+  }
+
+  test("writeVersioned: a complete version is never rewritten (reader-safe retries)") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-cdc-skip").toString
+    Cdc.writeVersioned(Seq((1L, "a")).toDF("k", "v"), s"$root/t", 5L)
+    val before = new java.io.File(s"$root/t/v=5").listFiles().map(_.getName).toSet
+    // a retry with (buggy) different data must be a no-op on a
+    // committed version — deterministic replay is the contract, and
+    // skipping keeps overwrite from deleting the dir under a reader
+    Cdc.writeVersioned(Seq((9L, "z")).toDF("k", "v"), s"$root/t", 5L)
+    val after = new java.io.File(s"$root/t/v=5").listFiles().map(_.getName).toSet
+    assert(before == after)
+    assert(Cdc.readLatest(spark, s"$root/t")
+      .as[(Long, String)].collect().toSeq == Seq((1L, "a")))
+  }
+
+  test("completeVersions skips foreign v= entries instead of crashing") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-cdc-alien").toString
+    Cdc.writeVersioned(Seq((1L, "a")).toDF("k", "v"), s"$root/t", 3L)
+    new java.io.File(s"$root/t/v=latest").mkdirs()
+    new java.io.File(s"$root/t/v=latest/_SUCCESS").createNewFile()
+    assert(Cdc.completeVersions(spark, s"$root/t") == Seq(3L))
+    assert(Cdc.readLatest(spark, s"$root/t").count() == 1L)
+  }
 }

@@ -233,5 +233,26 @@ class LayoutSpec extends AnyFunSuite with SparkSpec {
     val outFiles = new java.io.File(out).listFiles()
       .filter(f => f.isFile && f.getName.startsWith("bin-"))
     assert(outFiles.length.toLong == bins, outFiles.map(_.getName).mkString(","))
+
+    // retry-idempotency: re-running compact into the same outDir must
+    // converge (the old append + UUID part names duplicated every
+    // multi-file bin's rows on a retry)
+    Layout.compact(spark, dir, out, target)
+    val rerun = spark.read.parquet(out).groupBy("v").count()
+    assert(before.exceptAll(rerun).isEmpty && rerun.exceptAll(before).isEmpty,
+      "re-run must not duplicate rows")
+    val rerunFiles = new java.io.File(out).listFiles()
+      .filter(f => f.isFile && f.getName.startsWith("bin-"))
+    assert(rerunFiles.length.toLong == bins)
+  }
+
+  test("bloomPrunedJoin refuses a fact/dim key type mismatch instead of dropping matches") {
+    import spark.implicits._
+    val fact = Seq("123", "456").toDF("k")
+    val dim = Seq(123L, 789L).toDF("k")
+    val e = intercept[IllegalArgumentException] {
+      Layout.bloomPrunedJoin(fact, dim, "k")
+    }
+    assert(e.getMessage.contains("type mismatch"))
   }
 }
