@@ -719,4 +719,102 @@ object CorpusPipeline {
     exact.unpersist()
     (annotated, report)
   }
+
+  /** GPT-style sequence packing: concatenate the corpus token stream in
+    * `orderCol` order and chunk it into fixed `seqLen`-token training
+    * sequences, letting documents SPAN sequence boundaries (contrast
+    * [[packBins]], which keeps each document whole inside its bin).
+    * Appends per document: `n_tokens`, `first_seq`, `last_seq`,
+    * `n_seqs`, and `seq_offset` (the position of the document's first
+    * token inside `first_seq`).
+    *
+    * Scale shape — a distributed exclusive prefix sum, never a global
+    * single-partition window: (1) range-partition a SKINNY
+    * (orderCol, n_tokens) projection by the pack order so each
+    * partition holds a contiguous slice of the stream, and pin the
+    * layout (localCheckpoint) so both passes below see the same
+    * partition ids; (2) aggregate ONE row per partition and fold the
+    * per-partition token totals into exclusive offsets on the driver
+    * (numPartitions entries — tiny); (3) a PER-PARTITION running-sum
+    * window plus the broadcast offset map yields each document's
+    * global start token. The full-width corpus is touched once, to
+    * join the assignments back by `orderCol` — which must be unique
+    * (ties would make the pack order, and hence the chunking,
+    * ambiguous). */
+  def packSequences(docs: DataFrame, orderCol: String, text: String,
+      seqLen: Int): DataFrame = {
+    require(seqLen > 0, s"sequence length must be positive, got $seqLen")
+    val skinny = docs
+      .select(col(orderCol),
+        size(split(col(text), " ")).cast("long").as("n_tokens"))
+      .repartitionByRange(col(orderCol))
+      .sortWithinPartitions(orderCol)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    val totals = skinny.groupBy("__pid").agg(sum("n_tokens").as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    var acc = 0L
+    val offsets: Map[Int, Long] =
+      (0 to totals.keys.foldLeft(-1)(math.max)).map { p =>
+        val o = acc; acc += totals.getOrElse(p, 0L); p -> o
+      }.toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__pid").orderBy(orderCol)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val start = sum("n_tokens").over(w) - col("n_tokens") +
+      coalesce(element_at(typedLit(offsets), col("__pid")), lit(0L))
+    val assigned = skinny
+      .withColumn("__start", start)
+      .select(col(orderCol), col("n_tokens"),
+        floor(col("__start") / seqLen).cast("long").as("first_seq"),
+        floor((col("__start") + col("n_tokens") - 1) / seqLen).cast("long")
+          .as("last_seq"),
+        (col("__start") % seqLen).as("seq_offset"))
+      .withColumn("n_seqs", col("last_seq") - col("first_seq") + 1)
+    docs.join(assigned, Seq(orderCol))
+  }
+
+  /** Epoch-mix materialization: expand the corpus into the exact stream
+    * a training run consumes, given per-stratum epoch factors (e.g.
+    * wiki ×2.5, web ×0.8). Each document materializes `floor(e)` full
+    * copies plus one more iff its deterministic unit hash u(id) falls
+    * below frac(e) — a 2.5-epoch source repeats every document twice
+    * and a content-independent, reproducible half of them a third
+    * time, so the realized token share matches the mix spec in
+    * expectation with zero RNG state. Strata absent from `epochs` are
+    * dropped, matching mix specs where unlisted sources are excluded.
+    * Appends `copy` (0-based) and `order_key` = md5(id ":" copy) — the
+    * deterministic global shuffle key: sorting the materialized stream
+    * by it interleaves sources and scatters a document's copies, and
+    * the SAME training order comes out on any engine, any
+    * partitioning, any run.
+    *
+    * Scale shape: the epoch table is a broadcast literal, the
+    * expansion is a narrow explode whose output mass is Σ e(s)·|s| —
+    * exactly the stream the trainer reads, nothing more — and nothing
+    * shuffles here; a sharded export sorts by `order_key` per shard,
+    * never globally. */
+  def materializeMix(docs: DataFrame, id: String, stratum: String,
+      epochs: Map[String, Double]): DataFrame = {
+    require(epochs.nonEmpty, "epoch mix must name at least one stratum")
+    // an absurd factor would explode output mass quietly; real mixes
+    // repeat a source a handful of times
+    require(epochs.values.forall(e => e >= 0.0 && e <= 1000.0),
+      s"epoch factors must be in [0, 1000], got $epochs")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val eDf = epochs.toSeq.toDF(stratum, "__e")
+    val u = (conv(substring(md5(col(id).cast("string")), 1, 8), 16, 10)
+      .cast("long").cast("double") + 0.5) / 4294967296.0
+    docs.join(broadcast(eDf), Seq(stratum))
+      .withColumn("__copies",
+        floor(col("__e")).cast("long") +
+          when(u < col("__e") - floor(col("__e")), 1L).otherwise(0L))
+      .filter(col("__copies") > 0)
+      .withColumn("copy", explode(sequence(lit(0L), col("__copies") - 1)))
+      .withColumn("order_key",
+        md5(concat_ws(":", col(id).cast("string"), col("copy"))))
+      .drop("__e", "__copies")
+  }
 }

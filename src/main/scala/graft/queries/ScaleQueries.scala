@@ -806,7 +806,68 @@ object ScaleQueries {
       SELECT tok, n_exact, TRUE AS no_undercount, TRUE AS within_eps
       FROM t ORDER BY n_exact DESC, tok LIMIT 20"""))
 
+  /** GPT-style sequence packing (CorpusPipeline.packSequences): the
+    * corpus concatenates into one token stream (doc_id order) and
+    * chunks into 2048-token training sequences, documents spanning
+    * boundaries — the packing step proper, where q90 is the
+    * keep-docs-whole binning prep. The Spark side is a distributed
+    * exclusive prefix sum (range partition → per-partition totals →
+    * driver fold → per-partition window + broadcast offsets); the
+    * oracle replays it as the global window Spark must never run. */
+  val q202 = Q(
+    "q202_pack_sequences",
+    (s, d) =>
+      CorpusPipeline.packSequences(Tables.documents(s, d),
+          orderCol = "doc_id", text = "text", seqLen = 2048)
+        .select("doc_id", "n_tokens", "first_seq", "last_seq", "n_seqs",
+          "seq_offset")
+        .orderBy("doc_id"),
+    Some("""
+      WITH d AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                 FROM documents),
+      c AS (SELECT doc_id, n_tokens,
+                   SUM(n_tokens) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS s
+            FROM d)
+      SELECT doc_id, n_tokens,
+             CAST(s // 2048 AS BIGINT) AS first_seq,
+             CAST((s + n_tokens - 1) // 2048 AS BIGINT) AS last_seq,
+             CAST((s + n_tokens - 1) // 2048 - s // 2048 + 1 AS BIGINT) AS n_seqs,
+             CAST(s % 2048 AS BIGINT) AS seq_offset
+      FROM c ORDER BY doc_id"""))
+
+  /** Epoch-mix materialization (CorpusPipeline.materializeMix): per-
+    * source epoch factors expand the corpus into the literal training
+    * stream — floor(e) full copies per doc plus a deterministic
+    * md5-fraction extra for frac(e), unlisted sources dropped, and an
+    * order_key = md5(id:copy) whose sort IS the reproducible training
+    * shuffle. Exactly the q92 mix arithmetic made physical. */
+  val q203 = Q(
+    "q203_materialize_mix",
+    (s, d) =>
+      CorpusPipeline.materializeMix(Tables.documents(s, d),
+          id = "doc_id", stratum = "source",
+          epochs = Map("src0" -> 2.5, "src3" -> 0.25, "src7" -> 1.0,
+            "src9" -> 0.0, "src12" -> 0.5, "src17" -> 3.0))
+        .select("source", "doc_id", "copy", "order_key")
+        .orderBy("order_key", "doc_id", "copy"),
+    Some("""
+      WITH e(source, e) AS (VALUES ('src0', 2.5), ('src3', 0.25), ('src7', 1.0),
+                                   ('src9', 0.0), ('src12', 0.5), ('src17', 3.0)),
+      d AS (SELECT doc_id, dd.source, e.e,
+                   (CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS DOUBLE) + 0.5)
+                     / 4294967296.0 AS u
+            FROM documents dd JOIN e USING (source)),
+      c AS (SELECT doc_id, source,
+                   CAST(FLOOR(e) AS BIGINT)
+                     + CASE WHEN u < e - FLOOR(e) THEN 1 ELSE 0 END AS n
+            FROM d)
+      SELECT source, doc_id, CAST(g.copy AS BIGINT) AS copy,
+             md5(CAST(doc_id AS VARCHAR) || ':' || CAST(g.copy AS VARCHAR)) AS order_key
+      FROM c, LATERAL (SELECT UNNEST(range(0, n)) AS copy) g
+      ORDER BY order_key, doc_id, copy"""))
+
   def all: Seq[Q] = Seq(q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
     q90, q91, q92, q100, q101, q102, q103, q108, q111, q112, q137, q143,
-    q153, q154, q183, q188)
+    q153, q154, q183, q188, q202, q203)
 }

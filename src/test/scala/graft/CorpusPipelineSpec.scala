@@ -214,6 +214,71 @@ class CorpusPipelineSpec extends AnyFunSuite with SparkSpec {
     assert(got == Seq((1L, 0L), (2L, 1L), (3L, 1L), (4L, 0L)))
   }
 
+  test("packSequences: docs span fixed-length sequence boundaries") {
+    import spark.implicits._
+    // token stream in doc_id order: 5 + 4 + 3 + 6 tokens, seqLen 8 →
+    // doc 1 [0,5) seq 0; doc 2 [5,9) spans seqs 0-1; doc 3 [9,12) seq 1;
+    // doc 4 [12,18) spans seqs 1-2
+    val docs = Seq(
+      (1L, "a b c d e"), (2L, "f g h i"), (3L, "j k l"), (4L, "m n o p q r"))
+      .toDF("doc_id", "text")
+    val got = CorpusPipeline.packSequences(docs, "doc_id", "text", seqLen = 8)
+      .select("doc_id", "first_seq", "last_seq", "n_seqs", "seq_offset")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 0L, 0L, 1L, 0L), (2L, 0L, 1L, 2L, 5L),
+      (3L, 1L, 1L, 1L, 1L), (4L, 1L, 2L, 2L, 4L)))
+    // the global prefix sum must be exact across MANY range partitions,
+    // not just within one: 200 one-token docs → doc i starts at token i-1
+    val wide = (1 to 200).map(i => (i.toLong, "t")).toDF("doc_id", "text")
+      .repartition(16)
+    val offs = CorpusPipeline.packSequences(wide, "doc_id", "text", seqLen = 7)
+      .select("doc_id", "first_seq", "seq_offset").orderBy("doc_id")
+      .as[(Long, Long, Long)].collect()
+    assert(offs.forall { case (id, fs, off) =>
+      fs == (id - 1) / 7 && off == (id - 1) % 7 })
+    assertThrows[IllegalArgumentException] {
+      CorpusPipeline.packSequences(docs, "doc_id", "text", seqLen = 0)
+    }
+  }
+
+  test("materializeMix: deterministic copies, unlisted strata dropped") {
+    import spark.implicits._
+    val docs = (1L to 40L).map(i =>
+      (i, if (i <= 20) "wiki" else if (i <= 30) "web" else "junk", s"doc $i"))
+      .toDF("doc_id", "source", "text")
+    val out = CorpusPipeline.materializeMix(docs, "doc_id", "source",
+      Map("wiki" -> 2.5, "web" -> 0.5)).cache()
+    val bySrc = out.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    // wiki: 20 docs × (2 + ~half get a 3rd copy) → strictly between 40 and 60;
+    // web: ~half of 10 docs; junk: unlisted → absent
+    assert(bySrc("wiki") > 40 && bySrc("wiki") < 60, bySrc)
+    assert(bySrc.getOrElse("web", 0L) > 0 && bySrc("web") < 10, bySrc)
+    assert(!bySrc.contains("junk"))
+    // every wiki doc has copies 0 and 1; the extra copy is always copy 2
+    val wikiCopies = out.filter(col("source") === "wiki")
+      .groupBy("doc_id").agg(collect_set("copy").as("c"))
+      .as[(Long, Seq[Long])].collect()
+    assert(wikiCopies.length == 20)
+    assert(wikiCopies.forall { case (_, c) =>
+      c.sorted == (0L until c.length).toSeq && c.length >= 2 })
+    // order_key is a pure function of (id, copy): same expansion twice
+    // yields the identical training order
+    val again = CorpusPipeline.materializeMix(docs, "doc_id", "source",
+      Map("wiki" -> 2.5, "web" -> 0.5))
+    assert(out.select("doc_id", "copy", "order_key").except(
+      again.select("doc_id", "copy", "order_key")).isEmpty)
+    out.unpersist()
+    assertThrows[IllegalArgumentException] {
+      CorpusPipeline.materializeMix(docs, "doc_id", "source", Map.empty)
+    }
+    assertThrows[IllegalArgumentException] {
+      CorpusPipeline.materializeMix(docs, "doc_id", "source", Map("wiki" -> -1.0))
+    }
+  }
+
   test("decontaminate: only docs sharing an n-gram with the bench set flag") {
     import spark.implicits._
     val bench = Seq((100L, "w1 w2 w3 w4 w5 w6 w7 w8 tail")).toDF("doc_id", "text")

@@ -548,6 +548,27 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
+  test("q202: packSequences windows per range-partition, never one global partition") {
+    val df = run("q202_pack_sequences")
+    df.collect()
+    val p = plan(df)
+    // the running sum must partition by __pid (the distributed prefix
+    // sum) — a regression to a global orderBy-only window serializes
+    // the corpus through one task
+    assert(p.contains("Window"), p)
+    assert("windowspecdefinition\\(__pid#\\d+, doc_id".r.findFirstIn(p).isDefined, p)
+  }
+
+  test("q203: materializeMix is broadcast + narrow explode — no shuffle at all") {
+    val df = run("q203_materialize_mix")
+    val p = plan(df)
+    // epoch table broadcasts; the expansion adds rows, not exchanges —
+    // the only sort is the query's own output ORDER BY
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty, p)
+  }
+
   test("ivfAssign is a pure scan: no join, no window, no exchange") {
     val e = Tables.embeddings(spark, d)
     val anchors = e.filter(col("vec_id") < 8)
