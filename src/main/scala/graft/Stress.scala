@@ -287,6 +287,22 @@ object Stress {
       CorpusPipeline.packBins(docs.withColumn("src", col("doc_id") % 20),
         "src", "doc_id", "text", 2048).groupBy("src", "bin").count().count()
     }
+    time("pack_sequences") {
+      // a GLOBAL order over the whole corpus — the distributed prefix
+      // sum must keep this linear; a single-partition window would
+      // serialize the multiplier into one task here
+      CorpusPipeline.packSequences(docs, "doc_id", "text", 2048).count()
+    }
+    time("materialize_mix") {
+      // output mass ≈ 1.05× corpus (Σ e(s)·|s|); cost must track that
+      // mass, not the epoch table or stratum count
+      CorpusPipeline.materializeMix(
+        docs.withColumn("src", concat(lit("src"), col("doc_id") % 20)),
+        "doc_id", "src",
+        (0 until 20).map(i => s"src$i" -> (if (i % 4 == 0) 2.5
+          else if (i % 4 == 1) 1.0 else if (i % 4 == 2) 0.5 else 0.25)).toMap)
+        .count()
+    }
 
     // embeddings: each replica is the base vector cyclically ROTATED by r
     // positions — norms and all within-replica cosines are preserved
