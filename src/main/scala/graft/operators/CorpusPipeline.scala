@@ -772,7 +772,11 @@ object CorpusPipeline {
           .as("last_seq"),
         (col("__start") % seqLen).as("seq_offset"))
       .withColumn("n_seqs", col("last_seq") - col("first_seq") + 1)
-    docs.join(assigned, Seq(orderCol))
+    // replace-semantics like packBins's withColumn: curate() output
+    // already carries n_tokens, and a join would otherwise emit the
+    // column twice (ambiguous downstream)
+    val appended = Seq("n_tokens", "first_seq", "last_seq", "seq_offset", "n_seqs")
+    docs.drop(appended: _*).join(assigned, Seq(orderCol))
   }
 
   /** Epoch-mix materialization: expand the corpus into the exact stream

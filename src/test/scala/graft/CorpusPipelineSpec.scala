@@ -241,6 +241,11 @@ class CorpusPipelineSpec extends AnyFunSuite with SparkSpec {
     assertThrows[IllegalArgumentException] {
       CorpusPipeline.packSequences(docs, "doc_id", "text", seqLen = 0)
     }
+    // replace-semantics: input already carrying n_tokens (curate output)
+    // must not produce a duplicate column
+    val pre = docs.withColumn("n_tokens", lit(-1L))
+    val cols = CorpusPipeline.packSequences(pre, "doc_id", "text", 8).columns
+    assert(cols.count(_ == "n_tokens") == 1, cols.toSeq)
   }
 
   test("materializeMix: deterministic copies, unlisted strata dropped") {
