@@ -104,7 +104,8 @@ object Cdc {
     * are reaped by the caller's retention policy; concurrent WRITERS to
     * the SAME version are the one thing this does not arbitrate — that
     * is what a log-backed format (Delta/Iceberg) buys. */
-  def writeVersioned(df: DataFrame, path: String, version: Long): String = {
+  def writeVersioned(df: DataFrame, path: String, version: Long,
+      force: Boolean = false): String = {
     val dir = s"$path/v=$version"
     // committed-version guard (the streaming sinks' replay rule): a
     // version that already carries its _SUCCESS marker is NOT
@@ -113,8 +114,16 @@ object Cdc {
     // CURRENT latest version out from under a concurrent reader
     // (overwrite drops the directory before rewriting it). A
     // half-written crash victim (no marker) is overwritten as before.
-    if (completeVersions(df.sparkSession, path).contains(version)) dir
-    else { df.write.mode("overwrite").parquet(dir); dir }
+    // A deliberate republish of CORRECTED data to an existing version
+    // is NOT a replay — pass `force = true` to overwrite a committed
+    // version (accepting the reader-visible gap), or bump `version`.
+    if (!force && completeVersions(df.sparkSession, path).contains(version)) {
+      org.apache.log4j.Logger.getLogger(getClass)
+        .warn(s"writeVersioned: $dir is already committed; skipping " +
+          "write (replay semantics). Republishing corrected data needs " +
+          "force=true or a new version.")
+      dir
+    } else { df.write.mode("overwrite").parquet(dir); dir }
   }
 
   /** Versions under `path` with a `_SUCCESS` marker, ascending.

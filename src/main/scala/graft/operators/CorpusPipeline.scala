@@ -131,20 +131,23 @@ object CorpusPipeline {
     * dedup family uses), so cost tracks train + collision mass — never
     * train × bench.
     *
-    * Hot-bucket guard OFF by default HERE (unlike the dedup family):
-    * this operator's contract is LEAK PREVENTION — a dropped hot
-    * bucket could let contaminated training docs through unreported,
-    * and benchmarks with boilerplate prompt headers plausibly form
-    * exactly such buckets. Cross-frame-only expansion already bounds a
-    * hot bucket to |train-side| × |bench-side| (linear in the bucket
-    * when the bench side is small), so the quadratic blow-up the dedup
-    * default defends against cannot occur here. Callers that still
-    * want throughput protection pass an explicit `maxBucketSize` and
-    * accept weaker leak guarantees (dropped buckets WARN via the
-    * guard's observe metric). */
+    * Hot-bucket handling is FAIL-LOUD by default HERE (unlike the
+    * dedup family's silent-drop guard): this operator's contract is
+    * LEAK PREVENTION — a dropped hot bucket could let contaminated
+    * training docs through unreported, and benchmarks with boilerplate
+    * prompt headers plausibly form exactly such buckets. But an
+    * UNBOUNDED collect has its own failure mode: one corpus-sized
+    * boilerplate bucket buffers its whole id list in a single executor
+    * aggregation buffer and OOMs the job with an opaque crash. So the
+    * default bounds the buffer at `maxBucketSize + 1` (memory-safe)
+    * and RAISES an actionable error if any bucket overflows (never a
+    * silent drop): run exact dedup upstream, raise the cap, or pass
+    * `failOnHotBucket = false` to accept silent drops (WARN via the
+    * guard's observe metric) for throughput. */
   def decontaminateFuzzy(train: DataFrame, bench: DataFrame, id: String,
       text: String, n: Int = 4, k: Int = 16, bands: Int = 4,
-      threshold: Double = 0.5, maxBucketSize: Int = Int.MaxValue): DataFrame = {
+      threshold: Double = 0.5, maxBucketSize: Int = 1 << 20,
+      failOnHotBucket: Boolean = true): DataFrame = {
     // index once: the train index feeds BOTH the pair search and the
     // report base (indexDocs already keeps exactly the ≥n-token docs),
     // so the corpus is scanned once, not twice
@@ -153,7 +156,7 @@ object CorpusPipeline {
     val perDoc = Dedup
       .crossFrameLshPairsIndexed(li, ri, id,
         k = k, bands = bands, threshold = threshold,
-        maxBucketSize = maxBucketSize)
+        maxBucketSize = maxBucketSize, failOnHotBucket = failOnHotBucket)
       .groupBy(col("id_l").as(id))
       .agg(count(lit(1)).as("n_hits"), max("jaccard").as("__mx"))
     val out = li.select(col(id)).distinct()
@@ -764,8 +767,22 @@ object CorpusPipeline {
         org.apache.spark.sql.expressions.Window.currentRow)
     val start = sum("n_tokens").over(w) - col("n_tokens") +
       coalesce(element_at(typedLit(offsets), col("__pid")), lit(0L))
+    // in-plan uniqueness guard: a duplicate pack key would make the
+    // chunking ambiguous AND multiply rows at the join-back, silently
+    // corrupting first_seq/seq_offset. Range partitioning co-locates
+    // equal keys, so a lag-equality probe over the window sort we
+    // already pay for catches every duplicate — fail loudly, no extra
+    // shuffle, no extra aggregate.
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy("__pid").orderBy(orderCol)
     val assigned = skinny
+      .withColumn("__prev", lag(col(orderCol), 1).over(wOrd))
       .withColumn("__start", start)
+      .filter(isnull(assert_true(
+        col(orderCol).isNotNull &&
+          (col("__prev").isNull || col("__prev") =!= col(orderCol)),
+        concat(lit(s"packSequences: orderCol '$orderCol' must be unique " +
+          "and non-null; offending key: "), col(orderCol).cast("string")))))
       .select(col(orderCol), col("n_tokens"),
         floor(col("__start") / seqLen).cast("long").as("first_seq"),
         floor((col("__start") + col("n_tokens") - 1) / seqLen).cast("long")

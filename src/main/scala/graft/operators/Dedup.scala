@@ -177,12 +177,35 @@ object Dedup {
     * (exact bucket sizes are no longer computed — overflow is detected
     * by collecting cap+1 elements, which is what keeps the guard free). */
   private[graft] def guardedBuckets(banded: DataFrame, elem: Column,
-      maxBucketSize: Int): DataFrame =
+      maxBucketSize: Int, failOnOverflow: Boolean = false): DataFrame =
     if (maxBucketSize == Int.MaxValue)
+      // explicit opt-out: UNBOUNDED collect — one corpus-sized
+      // boilerplate bucket buffers its whole id list in a single
+      // aggregation buffer and can OOM an executor. Callers that must
+      // not drop buckets should prefer failOnOverflow with a large cap
+      // (bounded memory, loud failure) over this.
       banded.groupBy("band", "sig")
         .agg(collect_list(elem).as("__ids"))
         .filter(size(col("__ids")) > 1)
-    else {
+    else if (failOnOverflow) {
+      // leak-safe bounded mode: the buffer still stops at cap+1 (so a
+      // degenerate bucket cannot OOM the executor), but an over-cap
+      // bucket FAILS the job with an actionable message instead of
+      // being silently dropped — the contract decontamination needs,
+      // where a dropped hot bucket would let contaminated docs through
+      // unreported.
+      require(maxBucketSize >= 2, s"maxBucketSize must be >= 2, got $maxBucketSize")
+      val overflowed = size(col("__ids")) > maxBucketSize
+      banded.groupBy("band", "sig")
+        .agg(graft.functions.BoundedCollect
+          .boundedCollectList(elem, maxBucketSize + 1).as("__ids"))
+        .filter(isnull(assert_true(!overflowed,
+          concat(lit("LSH bucket (band="), col("band"), lit(", sig="),
+            col("sig"), lit(s") exceeds maxBucketSize=$maxBucketSize — "),
+            lit("boilerplate/exact-dup mass; run exact dedup upstream, " +
+              "raise maxBucketSize, or allow drops (failOnOverflow=false)"))))
+          && size(col("__ids")) > 1)
+    } else {
       require(maxBucketSize >= 2, s"maxBucketSize must be >= 2, got $maxBucketSize")
       registerHotBucketListener(banded.sparkSession)
       val overflowed = size(col("__ids")) > maxBucketSize
@@ -380,7 +403,8 @@ object Dedup {
     * many batches against one stored right index. */
   def crossFrameLshPairsIndexed(li: DataFrame, ri: DataFrame, id: String,
       k: Int = 16, bands: Int = 4,
-      threshold: Double = 0.5, maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+      threshold: Double = 0.5, maxBucketSize: Int = DefaultMaxBucketSize,
+      failOnHotBucket: Boolean = false): DataFrame = {
     require(li.select(col(id)).join(ri.select(col(id)), Seq(id), "left_semi")
       .isEmpty, s"crossFrameLshPairs frames must be disjoint on '$id'")
     val tag = (isRight: Boolean, idx: DataFrame) =>
@@ -388,7 +412,8 @@ object Dedup {
         .withColumn("__r", lit(isRight))
     val cands = guardedBuckets(
         tag(false, li).union(tag(true, ri)),
-        struct(col(id).as("i"), col("__r").as("r")), maxBucketSize)
+        struct(col(id).as("i"), col("__r").as("r")), maxBucketSize,
+        failOnOverflow = failOnHotBucket)
       // oriented in-bucket expansion: the side tag picks which element
       // is the left endpoint, so no later lookup must recover sides
       .select(explode(expr(

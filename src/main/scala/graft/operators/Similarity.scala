@@ -193,10 +193,18 @@ object Similarity {
       case ArrayType(FloatType, _) => true
       case _ => false
     }
+    // try_cast, not cast: under ANSI a malformed value (string UUID
+    // anchor ids) would throw CAST_INVALID_INPUT mid-collect — and with
+    // ANSI off it would null out and NPE at getLong. Either way the
+    // caller deserves a message naming the actual contract.
     val rows = anchors
-      .select(col("anchor_id").cast(LongType).as("aid"), col("av"))
+      .select(col("anchor_id").try_cast(LongType).as("aid"), col("av"))
       .collect()
     require(rows.nonEmpty, "ivf assignment needs at least one anchor")
+    require(rows.forall(!_.isNullAt(0)),
+      s"ivf assignment needs numeric anchor_id values; got type $aidType " +
+        "with values that do not cast to BIGINT (e.g. string UUIDs) — " +
+        "map anchor_id to a dense numeric id before calling ivfAssign")
     rows.sortBy(_.getLong(0)).map { r =>
       val avLit =
         if (isFloat) typedLit(r.getSeq[Float](1))

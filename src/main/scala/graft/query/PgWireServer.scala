@@ -555,6 +555,15 @@ final class PgWireServer(spark: SparkSession, maxRows: Int = 10000) {
       case Some(v) if words.length > 1 &&
           (v == "CREATE" || v == "DROP" || v == "ALTER") =>
         s"$v ${words(1)}"
+      // DML tags carry a row count in postgres ("INSERT 0 N" — the 0 is
+      // a legacy OID slot — "UPDATE N", "DELETE N"); tag-parsing clients
+      // (pgJDBC executeUpdate, psycopg2 rowcount) split on that format,
+      // so a bare verb mis-parses. Spark SQL commands don't report
+      // affected counts, so N is 0 — documented-format over accuracy.
+      case Some("INSERT") => "INSERT 0 0"
+      case Some("UPDATE") => "UPDATE 0"
+      case Some("DELETE") => "DELETE 0"
+      case Some("MERGE") => "MERGE 0"
       case Some(v) => v
       case None => "SELECT 0"
     }

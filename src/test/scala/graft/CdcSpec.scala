@@ -168,6 +168,16 @@ class CdcSpec extends SparkSpec {
       .as[(Long, String)].collect().toSeq == Seq((1L, "a")))
   }
 
+  test("writeVersioned: force=true republishes corrected data over a committed version") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-cdc-force").toString
+    Cdc.writeVersioned(Seq((1L, "a")).toDF("k", "v"), s"$root/t", 5L)
+    // a deliberate correction is NOT a replay: force overwrites in place
+    Cdc.writeVersioned(Seq((9L, "z")).toDF("k", "v"), s"$root/t", 5L, force = true)
+    assert(Cdc.readLatest(spark, s"$root/t")
+      .as[(Long, String)].collect().toSeq == Seq((9L, "z")))
+  }
+
   test("completeVersions skips foreign v= entries instead of crashing") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-cdc-alien").toString

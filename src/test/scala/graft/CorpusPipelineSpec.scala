@@ -654,6 +654,40 @@ class CorpusPipelineSpec extends AnyFunSuite with SparkSpec {
     assert(pairs.count() > 0)
   }
 
+  private def causeMessages(t: Throwable): Seq[String] =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+      .map(e => Option(e.getMessage).getOrElse("")).toSeq
+
+  test("packSequences: a duplicate pack key fails loudly, not silently corrupts") {
+    import spark.implicits._
+    val dup = Seq((1L, "a b c"), (1L, "d e"), (2L, "f")).toDF("doc_id", "text")
+    val ex = intercept[Throwable] {
+      CorpusPipeline.packSequences(dup, "doc_id", "text", seqLen = 8).collect()
+    }
+    assert(causeMessages(ex).exists(_.contains("must be unique")),
+      s"wanted the uniqueness assert, got: ${causeMessages(ex)}")
+  }
+
+  test("decontaminateFuzzy: a hot bucket fails loudly by default, drops only on request") {
+    import spark.implicits._
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    // three exact-dup train docs share every band signature → every
+    // bucket holds 3 train (+1 bench) members, over a cap of 2
+    val train = Seq((10L, base), (11L, base), (12L, base)).toDF("doc_id", "text")
+    val bench = Seq((1L, base + " extra")).toDF("doc_id", "text")
+    val ex = intercept[Throwable] {
+      CorpusPipeline.decontaminateFuzzy(train, bench, "doc_id", "text",
+        maxBucketSize = 2).collect()
+    }
+    assert(causeMessages(ex).exists(_.contains("exceeds maxBucketSize")),
+      s"wanted the hot-bucket error, got: ${causeMessages(ex)}")
+    // explicit opt-in to silent drops (throughput over leak guarantees):
+    // every bucket is hot here, so nothing is flagged — but the job runs
+    val rep = CorpusPipeline.decontaminateFuzzy(train, bench, "doc_id", "text",
+      maxBucketSize = 2, failOnHotBucket = false).collect()
+    assert(rep.length == 3 && rep.forall(!_.getBoolean(3)))
+  }
+
   test("shardNovelty: novelty decays on the real corpus and shard 0 is all-new") {
     val out = CorpusPipeline.shardNovelty(
       Tables.documents(spark, sf("sf0.01")), "doc_id", "text",

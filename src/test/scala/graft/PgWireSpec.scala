@@ -183,6 +183,23 @@ class PgWireSpec extends SparkSpec {
     }
   }
 
+  test("DML command tags carry postgres-shaped row counts") {
+    withServer() { (_, port) =>
+      val c = new Client(port); c.connect()
+      val loc = java.nio.file.Files.createTempDirectory("graft-pg-dml").toString
+      c.query("DROP TABLE IF EXISTS pg_dml_tags")
+      c.query(s"CREATE TABLE pg_dml_tags (k INT) USING parquet LOCATION '$loc'")
+      // pgJDBC executeUpdate / psycopg2 rowcount parse the count out of
+      // the tag — "INSERT 0 N" (legacy oid slot), not a bare verb
+      val ins = c.query("INSERT INTO pg_dml_tags VALUES (1)")
+      assert(commandTag(ins).contains("INSERT 0 0"), commandTag(ins))
+      assert(dataRows(c.query("SELECT k FROM pg_dml_tags")) ==
+        Seq(Seq(Some("1"))))
+      c.query("DROP TABLE pg_dml_tags")
+      c.close()
+    }
+  }
+
   test("extended protocol: Parse/Bind/Describe/Execute/Sync") {
     Tables.nation(spark, sf("sf0.001")).createOrReplaceTempView("pg_nation")
     withServer() { (_, port) =>

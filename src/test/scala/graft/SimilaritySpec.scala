@@ -401,4 +401,15 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(base == shuffled)
   }
+
+  test("ivfAssign rejects non-numeric anchor ids with a clear message") {
+    import spark.implicits._
+    val strAnchors = Seq(("anchor-uuid-1", Array(1.0f, 0.0f)))
+      .toDF("anchor_id", "av")
+    val twoD = Seq((1L, Array(0.9f, 0.1f))).toDF("vec_id", "embedding")
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.ivfAssign(twoD, strAnchors, "vec_id")
+    }
+    assert(ex.getMessage.contains("numeric anchor_id"), ex.getMessage)
+  }
 }
