@@ -34,11 +34,16 @@ import org.apache.spark.sql.types._
   *    CommandComplete / ReadyForQuery; empty string →
   *    EmptyQueryResponse; failures → ErrorResponse then ReadyForQuery
   *    (a bad query is a result — the connection stays usable).
-  *  - Extended protocol: Parse/Bind/Describe/Execute/Close/Flush/Sync
-  *    for unparameterized statements (dbt compiles literals into its
-  *    SQL, so $n binding is not needed; a Bind carrying parameters gets
-  *    a clean ErrorResponse). Errors put the connection in the
-  *    protocol's skip-until-Sync state.
+  *  - Extended protocol: Parse/Bind/Describe/Execute/Close/Flush/Sync,
+  *    including TEXT-format `$n` parameter binding: Bind's values are
+  *    substituted into the statement as typed SQL literals (typed by
+  *    the Parse message's declared OIDs; numeric/bool/temporal values
+  *    are validated before they are inlined, strings are escaped — a
+  *    parameter can never alter the statement shape), which is how
+  *    psycopg2 `execute(sql, params)` and pgJDBC PreparedStatement
+  *    work against this gateway. Binary-format parameters get a clean
+  *    ErrorResponse (text only, like results). Errors put the
+  *    connection in the protocol's skip-until-Sync state.
   *
   * Execution: every statement runs `spark.sql` on the connection's
   * handler thread — concurrent clients interleave inside one
@@ -197,10 +202,16 @@ final class PgWireServer(spark: SparkSession, maxRows: Int = 10000) {
     out.flush()
   }
 
+  /** A Parse-d statement: its SQL text plus the parameter type OIDs the
+    * client declared (0 = unspecified; pgJDBC declares the OID of every
+    * setX call, psycopg2 usually declares none). */
+  private final case class Prepared(sql: String, paramOids: IndexedSeq[Int])
+
   /** Per-connection extended-protocol state: named prepared statements
-    * and portals (sql text only — no parameter binding). */
+    * and portals (a portal holds the statement's SQL with its Bind
+    * parameters already substituted as typed literals). */
   private final class SessionState {
-    val statements = mutable.Map.empty[String, String]
+    val statements = mutable.Map.empty[String, Prepared]
     val portals = mutable.Map.empty[String, String]
     var skipUntilSync = false
   }
@@ -341,8 +352,8 @@ final class PgWireServer(spark: SparkSession, maxRows: Int = 10000) {
     val name = r.cstr()
     val sql = r.cstr()
     val nParamTypes = r.int16()
-    (0 until nParamTypes).foreach(_ => r.int32())
-    st.statements(name) = sql
+    val oids = (0 until nParamTypes).map(_ => r.int32()).toIndexedSeq
+    st.statements(name) = Prepared(sql, oids)
     writeMsg(out, '1') { _ => } // ParseComplete
   }
 
@@ -351,29 +362,42 @@ final class PgWireServer(spark: SparkSession, maxRows: Int = 10000) {
     val r = new PayloadReader(payload)
     val portal = r.cstr()
     val stmt = r.cstr()
-    val nFmt = r.int16(); (0 until nFmt).foreach(_ => r.int16())
+    // parameter format codes: 0 entries = all text, 1 entry = applies
+    // to every parameter, else one per parameter
+    val fmts = {
+      val nFmt = r.int16(); (0 until nFmt).map(_ => r.int16())
+    }
     val nParams = r.int16()
-    // with zero parameters the next section is the result-format codes;
-    // this server only speaks text, so a binary request must be REFUSED
-    // — silently shipping text a client will parse as binary is garbage
-    // data, not degraded service (pgJDBC asks for binary once a
-    // statement crosses its prepareThreshold)
-    val binaryRequested = nParams == 0 && {
+    val params: IndexedSeq[Option[String]] = (0 until nParams).map { _ =>
+      val len = r.int32()
+      if (len == -1) None
+      else Some(new String(r.take(len), StandardCharsets.UTF_8))
+    }
+    // this server only speaks text in BOTH directions, and a refused
+    // request must be refused loudly — silently shipping text a client
+    // will parse as binary is garbage data, not degraded service
+    // (pgJDBC asks for binary once a statement crosses its
+    // prepareThreshold)
+    val binaryResult = {
       val nResFmt = r.int16()
       (0 until nResFmt).exists(_ => r.int16() == 1)
     }
-    if (nParams > 0) {
-      // dbt/Evidence never bind parameters against the proxy; a client
-      // that does gets the standard feature-not-supported error
-      writeError(out, "0A000", "parameter binding not supported")
+    if (nParams > 0 && fmts.exists(_ == 1)) {
+      writeError(out, "0A000", "binary parameter format not supported (text only)")
       st.skipUntilSync = true
-    } else if (binaryRequested) {
+    } else if (binaryResult) {
       writeError(out, "0A000", "binary result format not supported (text only)")
       st.skipUntilSync = true
     } else st.statements.get(stmt) match {
-      case Some(sql) =>
-        st.portals(portal) = sql
-        writeMsg(out, '2') { _ => } // BindComplete
+      case Some(p) =>
+        try {
+          st.portals(portal) = PgParams.substitute(p.sql, params, p.paramOids)
+          writeMsg(out, '2') { _ => } // BindComplete
+        } catch {
+          case e: IllegalArgumentException =>
+            writeError(out, "22P02", String.valueOf(e.getMessage))
+            st.skipUntilSync = true
+        }
       case None =>
         writeError(out, "26000", s"prepared statement \"$stmt\" does not exist")
         st.skipUntilSync = true
@@ -385,15 +409,29 @@ final class PgWireServer(spark: SparkSession, maxRows: Int = 10000) {
     val r = new PayloadReader(payload)
     val kind = r.byte().toChar // 'S' statement | 'P' portal
     val name = r.cstr()
-    val sql = if (kind == 'S') st.statements.get(name) else st.portals.get(name)
-    sql match {
+    // a portal's SQL already has its parameters substituted; a
+    // statement Describe probes the schema with typed NULLs in the
+    // parameter slots (Describe must not depend on values it will only
+    // see at Bind)
+    val target: Option[(String, IndexedSeq[Int])] =
+      if (kind == 'S')
+        st.statements.get(name).map(p =>
+          (PgParams.substitute(p.sql, IndexedSeq.empty, p.paramOids,
+            probe = true), p.paramOids))
+      else st.portals.get(name).map(sql => (sql, IndexedSeq.empty))
+    target match {
       case None =>
         writeError(out, "26000", s"unknown ${if (kind == 'S') "statement" else "portal"} \"$name\"")
         st.skipUntilSync = true
-      case Some(s) =>
+      case Some((s, oids)) =>
         try {
-          if (kind == 'S') // statements also advertise their (empty) param list
-            writeMsg(out, 't') { b => b.writeShort(0) } // ParameterDescription
+          if (kind == 'S') // statements also advertise their param list
+            writeMsg(out, 't') { b => // ParameterDescription
+              b.writeShort(oids.length)
+              // unspecified (0) declared as text — the substitution
+              // treats undeclared params as strings too
+              oids.foreach(o => b.writeInt(if (o == 0) 25 else o))
+            }
           // Describe must not EXECUTE (spark.sql runs DDL/DML eagerly
           // inside the call — a Describe that inserts rows would insert
           // them AGAIN at Execute) yet must return the exact
@@ -657,5 +695,151 @@ final class PgWireServer(spark: SparkSession, maxRows: Int = 10000) {
       pos += 1
       s
     }
+    def take(len: Int): Array[Byte] = {
+      if (len < 0 || pos + len > bytes.length)
+        throw new IOException(s"bad field length $len")
+      val v = java.util.Arrays.copyOfRange(bytes, pos, pos + len)
+      pos += len
+      v
+    }
   }
+}
+
+/** Text-format `$n` parameter substitution for the pg-wire extended
+  * protocol: Bind's parameter values become typed SQL literals inlined
+  * into the statement text before it reaches `spark.sql`.
+  *
+  * Safety: a parameter can never change the statement's shape —
+  * numeric/bool/temporal values are VALIDATED before they are inlined
+  * bare, and everything else is inlined as a string literal with quote
+  * and backslash escaping. `$n` tokens are recognized only OUTSIDE
+  * string literals, quoted identifiers and comments (a literal `'$1'`
+  * stays text), and never as the tail of an identifier (`a$1` is an
+  * identifier, not a parameter).
+  *
+  * Typing follows the Parse message's declared OIDs (pgJDBC declares
+  * one per setX call); an undeclared (0 / absent) OID binds as text,
+  * which Spark's ANSI coercion handles in comparisons the same way
+  * postgres's `unknown` type does. */
+private[query] object PgParams {
+
+  /** Substitute `params` into `sql`. With `probe = true` (Describe on a
+    * statement, values not yet bound) every `$n` becomes a typed NULL so
+    * the statement can be analyzed for its result schema. Throws
+    * `IllegalArgumentException` on a parameter-count mismatch or a value
+    * that fails its declared type's validation. */
+  def substitute(sql: String, params: IndexedSeq[Option[String]],
+      oids: IndexedSeq[Int], probe: Boolean = false): String = {
+    val out = new java.lang.StringBuilder(sql.length + 16)
+    val n = sql.length
+    def isIdentChar(c: Char) = c.isLetterOrDigit || c == '_' || c == '$'
+    var i = 0
+    var maxRef = 0
+    while (i < n) {
+      val c = sql.charAt(i)
+      if (c == '\'') { // string literal: honor \' escapes and '' doubling
+        out.append(c); i += 1
+        var closed = false
+        while (i < n && !closed) {
+          val d = sql.charAt(i)
+          out.append(d)
+          if (d == '\\' && i + 1 < n) { out.append(sql.charAt(i + 1)); i += 2 }
+          else if (d == '\'' && i + 1 < n && sql.charAt(i + 1) == '\'') {
+            out.append('\''); i += 2
+          } else if (d == '\'') { closed = true; i += 1 }
+          else i += 1
+        }
+      } else if (c == '"' || c == '`') { // quoted identifier
+        out.append(c); i += 1
+        while (i < n && sql.charAt(i) != c) { out.append(sql.charAt(i)); i += 1 }
+        if (i < n) { out.append(c); i += 1 }
+      } else if (c == '-' && i + 1 < n && sql.charAt(i + 1) == '-') {
+        while (i < n && sql.charAt(i) != '\n') { out.append(sql.charAt(i)); i += 1 }
+      } else if (c == '/' && i + 1 < n && sql.charAt(i + 1) == '*') {
+        out.append("/*"); i += 2
+        while (i + 1 < n && !(sql.charAt(i) == '*' && sql.charAt(i + 1) == '/')) {
+          out.append(sql.charAt(i)); i += 1
+        }
+        if (i + 1 < n) { out.append("*/"); i += 2 } else i = n
+      } else if (c == '$' && i + 1 < n && sql.charAt(i + 1).isDigit &&
+          (i == 0 || !isIdentChar(sql.charAt(i - 1)))) {
+        var j = i + 1
+        while (j < n && sql.charAt(j).isDigit) j += 1
+        val k = sql.substring(i + 1, j).toInt
+        if (k < 1) throw new IllegalArgumentException(
+          s"there is no parameter $$$k")
+        val oid = if (k <= oids.length) oids(k - 1) else 0
+        if (probe) out.append(nullLiteral(oid))
+        else {
+          if (k > params.length) throw new IllegalArgumentException(
+            s"bind message supplies ${params.length} parameters, but " +
+              s"prepared statement requires at least $k ($$$k referenced)")
+          maxRef = math.max(maxRef, k)
+          out.append(literal(params(k - 1), oid))
+        }
+        i = j
+      } else { out.append(c); i += 1 }
+    }
+    if (!probe && params.length > maxRef)
+      throw new IllegalArgumentException(
+        s"bind message supplies ${params.length} parameters, but " +
+          s"prepared statement requires $maxRef")
+    out.toString
+  }
+
+  /** Spark type name for a typed NULL slot, from the pg type OID. */
+  private def sparkTypeName(oid: Int): String = oid match {
+    case 16 => "BOOLEAN"
+    case 21 => "SMALLINT"
+    case 23 => "INT"
+    case 20 => "BIGINT"
+    case 700 => "FLOAT"
+    case 701 => "DOUBLE"
+    case 1700 => "DECIMAL(38,18)"
+    case 1082 => "DATE"
+    case 1114 | 1184 => "TIMESTAMP"
+    case _ => "STRING"
+  }
+
+  private def nullLiteral(oid: Int): String =
+    s"CAST(NULL AS ${sparkTypeName(oid)})"
+
+  /** Render one bound value as a SQL literal of its declared type.
+    * Numeric/bool values are parsed first, so only a VALIDATED
+    * canonical form is ever inlined bare; temporal values ride inside
+    * escaped typed literals; everything else is an escaped string. */
+  private def literal(value: Option[String], oid: Int): String = value match {
+    case None => nullLiteral(oid)
+    case Some(v) => oid match {
+      case 16 => v.trim.toLowerCase match {
+        case "t" | "true" | "1" | "on" | "yes" => "true"
+        case "f" | "false" | "0" | "off" | "no" => "false"
+        case other => throw new IllegalArgumentException(
+          s"invalid input syntax for type boolean: \"$other\"")
+      }
+      case 20 | 21 | 23 =>
+        try java.lang.Long.parseLong(v.trim).toString
+        catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"invalid input syntax for type integer: \"$v\"") }
+      case 700 | 701 =>
+        // validated, then inlined via a cast from the text form —
+        // covers NaN/Infinity, which bare SQL double literals can't
+        try { java.lang.Double.parseDouble(v.trim); s"CAST('${escape(v.trim)}' AS DOUBLE)" }
+        catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"invalid input syntax for type double precision: \"$v\"") }
+      case 1700 =>
+        try { new java.math.BigDecimal(v.trim); v.trim }
+        catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"invalid input syntax for type numeric: \"$v\"") }
+      case 1082 => s"DATE '${escape(v.trim)}'"
+      case 1114 | 1184 => s"TIMESTAMP '${escape(v.trim)}'"
+      case _ => s"'${escape(v)}'"
+    }
+  }
+
+  private def escape(v: String): String =
+    v.replace("\\", "\\\\").replace("'", "\\'")
 }

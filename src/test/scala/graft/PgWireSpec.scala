@@ -230,6 +230,116 @@ class PgWireSpec extends SparkSpec {
     }
   }
 
+  private def i16(v: Int): Array[Byte] =
+    Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+  private def i32(v: Int): Array[Byte] =
+    Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+
+  /** Bind with text-format parameters (None = wire NULL), text results. */
+  private def bindParams(c: Client, stmt: String,
+      params: Seq[Option[String]]): Array[Byte] =
+    c.cstr("") ++ c.cstr(stmt) ++ i16(0) ++ i16(params.length) ++
+      params.toArray.flatMap {
+        case None => i32(-1)
+        case Some(v) =>
+          val b = v.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          i32(b.length) ++ b
+      } ++ i16(0)
+
+  /** Parse with declared parameter-type OIDs. */
+  private def parseParams(c: Client, name: String, sql: String,
+      oids: Seq[Int]): Array[Byte] =
+    c.cstr(name) ++ c.cstr(sql) ++ i16(oids.length) ++ oids.toArray.flatMap(i32)
+
+  test("extended protocol: $n parameters bind as typed literals (int/text/timestamp/null)") {
+    Tables.nation(spark, sf("sf0.001")).createOrReplaceTempView("pg_nation")
+    withServer() { (_, port) =>
+      val c = new Client(port); c.connect()
+      // int + text params, the pgJDBC PreparedStatement shape
+      val sql = "SELECT n_name FROM pg_nation WHERE n_nationkey = $1 AND n_name <> $2"
+      c.send('P', parseParams(c, "ps", sql, Seq(23, 25)))
+      // Describe on the statement: ParameterDescription advertises the
+      // declared OIDs and the row schema comes from a typed-NULL probe
+      c.send('D', Array[Byte]('S'.toByte) ++ c.cstr("ps"))
+      c.send('B', bindParams(c, "ps", Seq(Some("7"), Some("nope"))))
+      c.send('E', c.cstr("") ++ i32(0))
+      c.send('S', Array.emptyByteArray)
+      c.flush()
+      val msgs = c.readUntilReady()
+      val pd = msgs.find(_._1 == 't').map(_._2)
+      assert(pd.isDefined, "ParameterDescription present")
+      assert(pd.get.length == 2 + 8, "two int32 oids")
+      assert(rowDescription(msgs).map(_._1) == Seq("n_name"))
+      assert(dataRows(msgs) == Seq(Seq(Some("NATION_7"))))
+      // timestamp param round-trips through the typed literal
+      c.send('P', parseParams(c, "ts", "SELECT $1 AS t", Seq(1114)))
+      c.send('B', bindParams(c, "ts", Seq(Some("2024-01-02 03:04:05"))))
+      c.send('E', c.cstr("") ++ i32(0))
+      c.send('S', Array.emptyByteArray)
+      c.flush()
+      val ts = c.readUntilReady()
+      assert(dataRows(ts) == Seq(Seq(Some("2024-01-02 03:04:05"))))
+      // a NULL parameter is a typed NULL, not the string "null"
+      c.send('P', parseParams(c, "nn",
+        "SELECT count(*) AS n FROM pg_nation WHERE n_nationkey = $1", Seq(23)))
+      c.send('B', bindParams(c, "nn", Seq(None)))
+      c.send('E', c.cstr("") ++ i32(0))
+      c.send('S', Array.emptyByteArray)
+      c.flush()
+      assert(dataRows(c.readUntilReady()) == Seq(Seq(Some("0"))))
+      c.close()
+    }
+  }
+
+  test("$n binding is injection-safe and malformed params error cleanly") {
+    Tables.nation(spark, sf("sf0.001")).createOrReplaceTempView("pg_nation")
+    withServer() { (_, port) =>
+      val c = new Client(port); c.connect()
+      // a hostile text value stays INSIDE its literal
+      c.send('P', parseParams(c, "inj",
+        "SELECT count(*) AS n FROM pg_nation WHERE n_name = $1", Seq(25)))
+      c.send('B', bindParams(c, "inj", Seq(Some("x' OR '1'='1"))))
+      c.send('E', c.cstr("") ++ i32(0))
+      c.send('S', Array.emptyByteArray)
+      c.flush()
+      assert(dataRows(c.readUntilReady()) == Seq(Seq(Some("0"))))
+      // a non-numeric value for an int param is a CLEAN error, and the
+      // connection recovers at Sync
+      c.send('P', parseParams(c, "bad",
+        "SELECT 1 AS x WHERE 1 = $1", Seq(23)))
+      c.send('B', bindParams(c, "bad", Seq(Some("1; DROP TABLE pg_nation"))))
+      c.send('S', Array.emptyByteArray)
+      c.flush()
+      val err = c.readUntilReady()
+      assert(errorMessage(err).exists(_.contains("invalid input syntax")))
+      // wrong parameter count is the postgres-shaped error
+      c.send('P', parseParams(c, "cnt", "SELECT 1 AS x WHERE 1 = $1", Seq(23)))
+      c.send('B', bindParams(c, "cnt", Nil))
+      c.send('S', Array.emptyByteArray)
+      c.flush()
+      assert(errorMessage(c.readUntilReady())
+        .exists(_.contains("supplies 0 parameters")))
+      // binary-format params are refused, not mis-decoded as text
+      c.send('P', parseParams(c, "bin", "SELECT $1 AS x", Seq(23)))
+      c.send('B', c.cstr("") ++ c.cstr("bin") ++ i16(1) ++ i16(1) ++
+        i16(1) ++ i32(4) ++ i32(7) ++ i16(0))
+      c.send('S', Array.emptyByteArray)
+      c.flush()
+      assert(errorMessage(c.readUntilReady())
+        .exists(_.contains("binary parameter format")))
+      // a '$1' inside a string literal is data, not a parameter slot
+      c.send('P', parseParams(c, "lit", "SELECT '$1' AS s", Nil))
+      c.send('B', bindParams(c, "lit", Nil))
+      c.send('E', c.cstr("") ++ i32(0))
+      c.send('S', Array.emptyByteArray)
+      c.flush()
+      assert(dataRows(c.readUntilReady()) == Seq(Seq(Some("$1"))))
+      // and the session is still healthy
+      assert(dataRows(c.query("SELECT 3 AS ok")) == Seq(Seq(Some("3"))))
+      c.close()
+    }
+  }
+
   test("complex columns ship as JSON text; nulls as wire NULLs") {
     withServer() { (_, port) =>
       val c = new Client(port); c.connect()
