@@ -49,13 +49,21 @@ import org.apache.spark.sql.types._
   * handler thread — concurrent clients interleave inside one
   * SparkContext exactly like the HTTP gateway's request pool (that
   * concurrency is the one thing the reference added the proxy FOR).
+  * By default all connections share one SparkSession catalog (the
+  * reference proxy's semantics: dbt materializes views on one
+  * connection, a dashboard reads them on another); pass
+  * `isolateSessions = true` to give each connection a `newSession()`
+  * clone — own temp-view namespace and SQL conf, shared SparkContext
+  * and persistent catalog — when concurrent tenants must not see each
+  * other's DDL.
   * All values ship in text format; complex columns (array/map/struct)
   * are serialized to JSON server-side before collect. Driver safety:
   * collects are capped at `maxRows` with a NoticeResponse when the cap
   * fires — same bounded-collect contract as QueryServer, since the
   * protocol has no `truncated` flag.
   */
-final class PgWireServer(spark: SparkSession, maxRows: Int = 10000) {
+final class PgWireServer(spark: SparkSession, maxRows: Int = 10000,
+    isolateSessions: Boolean = false) {
 
   private var server: Option[ServerSocket] = None
   @volatile private var running = false
@@ -207,10 +215,12 @@ final class PgWireServer(spark: SparkSession, maxRows: Int = 10000) {
     * setX call, psycopg2 usually declares none). */
   private final case class Prepared(sql: String, paramOids: IndexedSeq[Int])
 
-  /** Per-connection extended-protocol state: named prepared statements
-    * and portals (a portal holds the statement's SQL with its Bind
-    * parameters already substituted as typed literals). */
-  private final class SessionState {
+  /** Per-connection extended-protocol state: the connection's
+    * SparkSession (the shared one, or a `newSession()` clone when
+    * session isolation is on), named prepared statements, and portals
+    * (a portal holds the statement's SQL with its Bind parameters
+    * already substituted as typed literals). */
+  private final class SessionState(val sess: SparkSession) {
     val statements = mutable.Map.empty[String, Prepared]
     val portals = mutable.Map.empty[String, String]
     var skipUntilSync = false
@@ -218,7 +228,13 @@ final class PgWireServer(spark: SparkSession, maxRows: Int = 10000) {
 
   private def messageLoop(in: DataInputStream, out: DataOutputStream,
       jobGroup: String): Unit = {
-    val st = new SessionState
+    // isolation: a newSession() clone shares the SparkContext (and so
+    // the job-group cancellation wiring) but gets its own temp-view
+    // catalog and SQL conf — one connection's CREATE TEMP VIEW can't
+    // shadow another's tables. Default OFF: the shared catalog is the
+    // reference proxy's semantics (dbt materializes views one
+    // connection, a dashboard reads them on another).
+    val st = new SessionState(if (isolateSessions) spark.newSession() else spark)
     // every Spark action this session runs happens on THIS thread, so
     // one thread-local job group makes the whole session cancellable by
     // an out-of-band CancelRequest (interruptOnCancel reaches into
@@ -243,7 +259,7 @@ final class PgWireServer(spark: SparkSession, maxRows: Int = 10000) {
       // error-recovery rule); Sync and Terminate always processed
       if (st.skipUntilSync && tpe != 'S' && tpe != 'X') ()
       else tpe match {
-        case 'Q' => simpleQuery(out, new String(payload, 0,
+        case 'Q' => simpleQuery(st, out, new String(payload, 0,
           math.max(0, payload.length - 1), StandardCharsets.UTF_8))
         case 'P' => parse(st, out, payload)
         case 'B' => bind(st, out, payload)
@@ -269,7 +285,8 @@ final class PgWireServer(spark: SparkSession, maxRows: Int = 10000) {
     * in order with its own result cycle, stop at the first error
     * (postgres's implicit-transaction abort skips the remainder), one
     * ReadyForQuery at the end. */
-  private def simpleQuery(out: DataOutputStream, sql: String): Unit = {
+  private def simpleQuery(st: SessionState, out: DataOutputStream,
+      sql: String): Unit = {
     val stmts = splitStatements(sql)
     if (stmts.isEmpty) {
       writeMsg(out, 'I') { _ => } // EmptyQueryResponse
@@ -279,7 +296,7 @@ final class PgWireServer(spark: SparkSession, maxRows: Int = 10000) {
       while (!failed && it.hasNext) {
         val stmt = it.next()
         try {
-          val df = textualize(spark.sql(stmt))
+          val df = textualize(st.sess.sql(stmt))
           val schema = df.schema
           if (schema.nonEmpty) writeRowDescription(out, schema)
           val n = if (schema.nonEmpty) writeRows(out, df) else 0L
@@ -441,7 +458,7 @@ final class PgWireServer(spark: SparkSession, maxRows: Int = 10000) {
           // skipped gives both. Complex columns need no schema rewrite:
           // they ship as JSON text and their pg OID is already 25.
           val schema = org.apache.spark.sql.GraftBridge
-            .analyzedSchemaNoExec(spark, s)
+            .analyzedSchemaNoExec(st.sess, s)
           if (schema.nonEmpty) writeRowDescription(out, schema)
           else writeMsg(out, 'n') { _ => } // NoData
         } catch {
@@ -463,7 +480,7 @@ final class PgWireServer(spark: SparkSession, maxRows: Int = 10000) {
         st.skipUntilSync = true
       case Some(sql) =>
         try {
-          val df = textualize(spark.sql(sql))
+          val df = textualize(st.sess.sql(sql))
           val n = if (df.schema.nonEmpty) writeRows(out, df) else 0L
           writeMsg(out, 'C') { b => writeCStr(b, commandTag(sql, n)) }
         } catch {

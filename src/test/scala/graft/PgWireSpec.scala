@@ -340,6 +340,25 @@ class PgWireSpec extends SparkSpec {
     }
   }
 
+  test("isolateSessions: per-connection temp-view namespaces") {
+    val srv = new PgWireServer(spark, isolateSessions = true)
+    val port = srv.start(0)
+    try {
+      val c1 = new Client(port); c1.connect()
+      val c2 = new Client(port); c2.connect()
+      assert(commandTag(c1.query(
+        "CREATE TEMP VIEW pg_iso_probe AS SELECT 7 AS v")).isDefined)
+      // the creating connection sees it…
+      assert(dataRows(c1.query("SELECT v FROM pg_iso_probe")) ==
+        Seq(Seq(Some("7"))))
+      // …the other connection does NOT (own catalog)
+      assert(errorMessage(c2.query("SELECT v FROM pg_iso_probe")).isDefined)
+      // and neither does the host session the server was built from
+      assert(!spark.catalog.tableExists("pg_iso_probe"))
+      c1.close(); c2.close()
+    } finally srv.stop()
+  }
+
   test("complex columns ship as JSON text; nulls as wire NULLs") {
     withServer() { (_, port) =>
       val c = new Client(port); c.connect()
