@@ -303,6 +303,20 @@ object Stress {
           else if (i % 4 == 1) 1.0 else if (i % 4 == 2) 0.5 else 0.25)).toMap)
         .count()
     }
+    time("token_shard_export") {
+      // mix → shard → per-shard pack → manifest: ONE shuffle keyed on
+      // shard for the whole export; cost must track the mixed stream
+      // mass, and per-shard windows must not serialize (16 shards all
+      // pack in parallel)
+      CorpusPipeline.tokenShardManifest(
+        CorpusPipeline.tokenShardStream(
+          docs.withColumn("src", concat(lit("src"), col("doc_id") % 20)),
+          "doc_id", "src", "text",
+          (0 until 20).map(i => s"src$i" -> (if (i % 4 == 0) 2.5
+            else if (i % 4 == 1) 1.0 else if (i % 4 == 2) 0.5 else 0.25)).toMap,
+          numShards = 16, seqLen = 2048),
+        seqLen = 2048).count()
+    }
 
     // embeddings: each replica is the base vector cyclically ROTATED by r
     // positions — norms and all within-replica cosines are preserved

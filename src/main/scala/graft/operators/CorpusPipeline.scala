@@ -838,4 +838,96 @@ object CorpusPipeline {
         md5(concat_ws(":", col(id).cast("string"), col("copy"))))
       .drop("__e", "__copies")
   }
+
+  /** The tokenizer-ready training stream: [[materializeMix]] composed
+    * with per-shard sequence packing — the frame an export writer
+    * materializes and a training run reads. Each (doc, copy) of the
+    * mixed stream is assigned a shard from its `order_key` (content ×
+    * copy hash, so a document's epochs scatter across shards and
+    * shards are balanced regardless of source skew), and WITHIN its
+    * shard — in `order_key` order, which IS the training order — gets
+    * the [[packSequences]] span columns: `n_tokens`, `first_seq`,
+    * `last_seq`, `n_seqs`, `seq_offset`, all shard-local.
+    *
+    * Scale shape: one shuffle, keyed on shard; the per-shard running
+    * sum rides a window inside each shard's partition (a shard is
+    * file-sized by construction — numShards is chosen so |corpus| /
+    * numShards fits an executor's sort spill comfortably, the same
+    * sizing a real export wants for its output files). Packing is
+    * shard-local ON PURPOSE: a global prefix sum would serialize the
+    * export, and training runs consume shards independently anyway.
+    * Requires unique `id` per input doc ((id, copy) keys the stream). */
+  def tokenShardStream(docs: DataFrame, id: String, stratum: String,
+      text: String, epochs: Map[String, Double], numShards: Int,
+      seqLen: Int): DataFrame = {
+    require(numShards > 0, s"numShards must be positive, got $numShards")
+    require(seqLen > 0, s"sequence length must be positive, got $seqLen")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("order_key")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    materializeMix(docs, id, stratum, epochs)
+      .withColumn("n_tokens", size(split(col(text), " ")).cast("long"))
+      .withColumn("shard",
+        conv(substring(col("order_key"), 1, 8), 16, 10).cast("long")
+          % numShards)
+      .withColumn("__start", sum("n_tokens").over(w) - col("n_tokens"))
+      .withColumn("first_seq", floor(col("__start") / seqLen).cast("long"))
+      .withColumn("last_seq",
+        floor((col("__start") + col("n_tokens") - 1) / seqLen).cast("long"))
+      .withColumn("n_seqs", col("last_seq") - col("first_seq") + 1)
+      .withColumn("seq_offset", col("__start") % seqLen)
+      .drop("__start")
+  }
+
+  /** Per-shard manifest of a [[tokenShardStream]] — what a training run
+    * verifies before trusting an export: document count, token count,
+    * sequence count (the last sequence may be partial), and an ORDER-
+    * SENSITIVE fingerprint of the shard's training order (md5 over the
+    * concatenated `order_key`s in stream order — any dropped,
+    * duplicated or reordered document changes it). Same bounded-state
+    * argument as [[shardManifest]]: the fold holds one shard's keys
+    * (32 bytes each) transiently, and numShards is sized so a shard
+    * fits an executor. */
+  def tokenShardManifest(stream: DataFrame, seqLen: Int): DataFrame = {
+    require(seqLen > 0, s"sequence length must be positive, got $seqLen")
+    stream.groupBy("shard").agg(
+      count(lit(1)).as("n_docs"),
+      sum("n_tokens").as("n_tokens"),
+      expr(s"CAST((sum(n_tokens) + ${seqLen - 1}) DIV $seqLen AS BIGINT)")
+        .as("n_seqs"),
+      md5(concat_ws("", array_sort(collect_list(col("order_key")))))
+        .as("shard_fp"))
+  }
+
+  /** Materialize a [[tokenShardStream]] export on disk: the stream is
+    * written under `outDir/stream/shard=<s>/` with each shard's rows
+    * physically SORTED by `order_key` (a trainer reads a shard's files
+    * top to bottom and gets the training order without sorting), and
+    * the manifest — computed from the FILES JUST WRITTEN, so it
+    * certifies what is actually on disk, not what the plan intended —
+    * lands under `outDir/manifest/`. Returns the manifest frame.
+    * S9's partitioned-sink discipline at LLM scale: one job writes the
+    * stream (shuffle keyed on shard, in-partition sort), one
+    * shard-parallel job folds the manifest. */
+  def writeTokenShards(docs: DataFrame, id: String, stratum: String,
+      text: String, epochs: Map[String, Double], numShards: Int,
+      seqLen: Int, outDir: String): DataFrame = {
+    val spark = docs.sparkSession
+    // no extra repartition: the packing window already shuffled by
+    // shard, so each shard sits whole inside one partition and the
+    // in-partition (shard, order_key) sort is a near-no-op on the
+    // window's existing order — one shuffle total for the whole export
+    tokenShardStream(docs, id, stratum, text, epochs, numShards, seqLen)
+      .sortWithinPartitions("shard", "order_key")
+      .write.mode("overwrite").partitionBy("shard")
+      .parquet(s"$outDir/stream")
+    // partition-column type inference reads `shard=N` dirs back as INT;
+    // normalize to the stream's BIGINT so both manifest faces agree
+    val manifest = tokenShardManifest(
+      spark.read.parquet(s"$outDir/stream")
+        .withColumn("shard", col("shard").cast("long")), seqLen)
+    manifest.write.mode("overwrite").parquet(s"$outDir/manifest")
+    spark.read.parquet(s"$outDir/manifest")
+  }
 }

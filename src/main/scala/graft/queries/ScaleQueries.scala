@@ -867,7 +867,90 @@ object ScaleQueries {
       FROM c, LATERAL (SELECT UNNEST(range(0, n)) AS copy) g
       ORDER BY order_key, doc_id, copy"""))
 
+  /** Tokenizer-ready shard export, manifest face
+    * (CorpusPipeline.tokenShardStream + tokenShardManifest): the
+    * q203 mix assigned to 8 shards by order_key hash and packed into
+    * 1024-token sequences PER SHARD, summarized as the manifest a
+    * training run verifies — counts plus an order-sensitive
+    * fingerprint of each shard's training order. The oracle replays
+    * mix → shard → per-shard pack in SQL and fingerprints with an
+    * ordered string_agg (≡ Spark's sorted-array concat, since the
+    * stream order IS the order_key order). */
+  val q204 = Q(
+    "q204_token_shard_manifest",
+    (s, d) =>
+      CorpusPipeline.tokenShardManifest(
+        CorpusPipeline.tokenShardStream(Tables.documents(s, d),
+          id = "doc_id", stratum = "source", text = "text",
+          epochs = Map("src0" -> 2.5, "src3" -> 0.25, "src7" -> 1.0,
+            "src9" -> 0.0, "src12" -> 0.5, "src17" -> 3.0),
+          numShards = 8, seqLen = 1024),
+        seqLen = 1024)
+        .orderBy("shard"),
+    Some("""
+      WITH e(source, e) AS (VALUES ('src0', 2.5), ('src3', 0.25), ('src7', 1.0),
+                                   ('src9', 0.0), ('src12', 0.5), ('src17', 3.0)),
+      d AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, e.e,
+                   (CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS DOUBLE) + 0.5)
+                     / 4294967296.0 AS u
+            FROM documents dd JOIN e USING (source)),
+      c AS (SELECT doc_id, n_tokens,
+                   CAST(FLOOR(e) AS BIGINT)
+                     + CASE WHEN u < e - FLOOR(e) THEN 1 ELSE 0 END AS n
+            FROM d),
+      m AS (SELECT doc_id, n_tokens,
+                   md5(CAST(doc_id AS VARCHAR) || ':' || CAST(g.copy AS VARCHAR)) AS order_key
+            FROM c, LATERAL (SELECT UNNEST(range(0, n)) AS copy) g),
+      sh AS (SELECT CAST(CAST('0x' || substr(order_key, 1, 8) AS BIGINT) % 8 AS BIGINT) AS shard,
+                    order_key, n_tokens FROM m)
+      SELECT shard, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+             CAST((SUM(n_tokens) + 1023) // 1024 AS BIGINT) AS n_seqs,
+             md5(string_agg(order_key, '' ORDER BY order_key)) AS shard_fp
+      FROM sh GROUP BY shard ORDER BY shard"""))
+
+  /** Shard-export stream face: the per-(doc, copy) span columns of
+    * [[q204]]'s stream — every row's shard, training position and
+    * sequence span, hash-compared end to end (the manifest pins the
+    * aggregate; this pins every individual packing decision). */
+  val q205 = Q(
+    "q205_token_shard_spans",
+    (s, d) =>
+      CorpusPipeline.tokenShardStream(Tables.documents(s, d),
+          id = "doc_id", stratum = "source", text = "text",
+          epochs = Map("src0" -> 2.5, "src3" -> 0.25, "src7" -> 1.0,
+            "src9" -> 0.0, "src12" -> 0.5, "src17" -> 3.0),
+          numShards = 8, seqLen = 1024)
+        .select("shard", "order_key", "doc_id", "copy", "n_tokens",
+          "first_seq", "last_seq", "n_seqs", "seq_offset")
+        .orderBy("shard", "order_key"),
+    Some("""
+      WITH e(source, e) AS (VALUES ('src0', 2.5), ('src3', 0.25), ('src7', 1.0),
+                                   ('src9', 0.0), ('src12', 0.5), ('src17', 3.0)),
+      d AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, e.e,
+                   (CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS DOUBLE) + 0.5)
+                     / 4294967296.0 AS u
+            FROM documents dd JOIN e USING (source)),
+      c AS (SELECT doc_id, n_tokens,
+                   CAST(FLOOR(e) AS BIGINT)
+                     + CASE WHEN u < e - FLOOR(e) THEN 1 ELSE 0 END AS n
+            FROM d),
+      m AS (SELECT doc_id, n_tokens, CAST(g.copy AS BIGINT) AS copy,
+                   md5(CAST(doc_id AS VARCHAR) || ':' || CAST(g.copy AS VARCHAR)) AS order_key
+            FROM c, LATERAL (SELECT UNNEST(range(0, n)) AS copy) g),
+      sh AS (SELECT CAST(CAST('0x' || substr(order_key, 1, 8) AS BIGINT) % 8 AS BIGINT) AS shard,
+                    order_key, doc_id, copy, n_tokens FROM m),
+      w AS (SELECT shard, order_key, doc_id, copy, n_tokens,
+                   SUM(n_tokens) OVER (PARTITION BY shard ORDER BY order_key
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS st
+            FROM sh)
+      SELECT shard, order_key, doc_id, copy, n_tokens,
+             CAST(st // 1024 AS BIGINT) AS first_seq,
+             CAST((st + n_tokens - 1) // 1024 AS BIGINT) AS last_seq,
+             CAST((st + n_tokens - 1) // 1024 - st // 1024 + 1 AS BIGINT) AS n_seqs,
+             CAST(st % 1024 AS BIGINT) AS seq_offset
+      FROM w ORDER BY shard, order_key"""))
+
   def all: Seq[Q] = Seq(q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
     q90, q91, q92, q100, q101, q102, q103, q108, q111, q112, q137, q143,
-    q153, q154, q183, q188, q202, q203)
+    q153, q154, q183, q188, q202, q203, q204, q205)
 }

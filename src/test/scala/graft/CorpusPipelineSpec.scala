@@ -688,6 +688,58 @@ class CorpusPipelineSpec extends AnyFunSuite with SparkSpec {
     assert(rep.length == 3 && rep.forall(!_.getBoolean(3)))
   }
 
+  test("writeTokenShards: on-disk stream is shard-partitioned in training order; manifest certifies it") {
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val epochs = Map("src0" -> 2.5, "src1" -> 1.0, "src2" -> 0.5)
+    val out = java.nio.file.Files.createTempDirectory("graft-shards").toString
+    val manifest = CorpusPipeline.writeTokenShards(docs, "doc_id", "source",
+      "text", epochs, numShards = 4, seqLen = 256, outDir = out)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    // manifest ≡ an independent recompute of the stream it certifies
+    val stream = CorpusPipeline.tokenShardStream(docs, "doc_id", "source",
+      "text", epochs, numShards = 4, seqLen = 256)
+      .select("shard", "order_key", "n_tokens").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byShard = stream.groupBy(_._1)
+    assert(manifest.keySet == byShard.keySet)
+    byShard.foreach { case (shard, rows) =>
+      val (nDocs, nToks, nSeqs, fp) = manifest(shard)
+      assert(nDocs == rows.length && nToks == rows.map(_._3).sum)
+      assert(nSeqs == (nToks + 255) / 256)
+      val expectFp = java.security.MessageDigest.getInstance("MD5")
+        .digest(rows.map(_._2).sorted.mkString("").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(fp == expectFp, s"shard $shard fingerprint")
+    }
+    // each shard directory's file holds its rows already in training
+    // order (a trainer reads top to bottom, no sort)
+    val shardDirs = new java.io.File(s"$out/stream").listFiles()
+      .filter(_.getName.startsWith("shard=")).toSeq
+    assert(shardDirs.size == byShard.size)
+    shardDirs.foreach { dir =>
+      val keys = spark.read.parquet(dir.toString)
+        .select("order_key").collect().map(_.getString(0)).toSeq
+      assert(keys == keys.sorted, s"${dir.getName} not in training order")
+    }
+    // the span columns agree with a local replay of per-shard packing
+    val spans = spark.read.parquet(s"$out/stream")
+      .select(col("shard").cast("long").as("shard"), col("order_key"),
+        col("n_tokens"), col("first_seq"), col("seq_offset"))
+      .collect().map(r =>
+        (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    byShard.foreach { case (shard, rows) =>
+      var pos = 0L
+      rows.sortBy(_._2).foreach { case (_, key, nt) =>
+        val (gotNt, gotFirst, gotOff) = spans((shard, key))
+        assert(gotNt == nt && gotFirst == pos / 256 && gotOff == pos % 256,
+          s"span mismatch at ($shard, $key)")
+        pos += nt
+      }
+    }
+  }
+
   test("shardNovelty: novelty decays on the real corpus and shard 0 is all-new") {
     val out = CorpusPipeline.shardNovelty(
       Tables.documents(spark, sf("sf0.01")), "doc_id", "text",
