@@ -650,7 +650,165 @@ object SimilarityQueries {
       GROUP BY true_label, pred_label
       ORDER BY true_label, pred_label"""))
 
+  /** ANN recall evaluation, IVF face: recall@10 of [[q40]]'s IVF search
+    * against [[q34]]'s exact brute force, swept over 4 query vectors ×
+    * nprobe ∈ {1, 2, 4} — the recall/cost dial table an operator reads
+    * before sizing a deployed index (documented in SimilaritySpec, now
+    * pinned in CORRECTNESS). The oracle replays assignment, probe
+    * ranking and both top-10s generically over a params grid rather
+    * than 12 copied CTE chains. */
+  val q206 = Q(
+    "q206_ann_recall_eval",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val anchors = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("anchor_id"), col("embedding").as("av"))
+      val dials = for (qid <- Seq(0L, 1L, 2L, 3L); np <- Seq(1, 2, 4))
+        yield (qid, np)
+      dials.map { case (qid, np) =>
+        val brute = graft.operators.Similarity
+          .cosineTopK(e, "vec_id", qid, k = 10).select("vec_id")
+        val ivf = graft.operators.Similarity
+          .ivfTopK(e, "vec_id", qid, anchors, nprobe = np, k = 10)
+          .select("vec_id")
+        ivf.join(brute, Seq("vec_id"))
+          .agg(round(count(lit(1)) / 10.0, 4).as("recall_at_10"))
+          .select(lit(qid).as("query_id"), lit(np).as("nprobe"),
+            col("recall_at_10"))
+      }.reduce(_.unionAll(_)).orderBy("query_id", "nprobe")
+    },
+    Some("""
+      WITH params AS (SELECT CAST(q.query_id AS BIGINT) AS query_id, n.nprobe
+                      FROM (VALUES (0), (1), (2), (3)) q(query_id)
+                      CROSS JOIN (VALUES (1), (2), (4)) n(nprobe)),
+      qv AS (SELECT CAST(vec_id AS BIGINT) AS query_id, CAST(embedding AS DOUBLE[]) AS qx
+             FROM embeddings WHERE vec_id IN (0, 1, 2, 3)),
+      anchors AS (SELECT vec_id AS anchor_id, CAST(embedding AS DOUBLE[]) AS av
+                  FROM embeddings WHERE vec_id < 8),
+      assigned AS (SELECT vec_id, cell FROM (
+          SELECT e.vec_id, a.anchor_id AS cell,
+                 ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                   ORDER BY ROUND(CASE WHEN isnan(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), a.av))
+                                       THEN -1 ELSE list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), a.av) END, 4) DESC,
+                            a.anchor_id) AS rk
+          FROM embeddings e CROSS JOIN anchors a) t WHERE rk = 1),
+      sims AS (SELECT q.query_id, e.vec_id,
+                      ROUND(CASE WHEN isnan(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qx))
+                                 THEN -1 ELSE list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qx) END, 4) AS sim
+               FROM embeddings e CROSS JOIN qv q
+               WHERE e.vec_id <> q.query_id),
+      brute AS (SELECT query_id, vec_id FROM (
+                  SELECT query_id, vec_id,
+                         ROW_NUMBER() OVER (PARTITION BY query_id
+                                            ORDER BY sim DESC, vec_id) AS rk
+                  FROM sims) t WHERE rk <= 10),
+      probes AS (SELECT q.query_id, a.anchor_id AS cell,
+                        ROW_NUMBER() OVER (PARTITION BY q.query_id
+                          ORDER BY ROUND(CASE WHEN isnan(list_cosine_similarity(a.av, q.qx))
+                                              THEN -1 ELSE list_cosine_similarity(a.av, q.qx) END, 4) DESC,
+                                   a.anchor_id) AS prk
+                 FROM anchors a CROSS JOIN qv q),
+      ivf AS (SELECT query_id, nprobe, vec_id FROM (
+                SELECT p.query_id, p.nprobe, s.vec_id,
+                       ROW_NUMBER() OVER (PARTITION BY p.query_id, p.nprobe
+                                          ORDER BY s.sim DESC, s.vec_id) AS rk
+                FROM params p
+                JOIN probes pr ON pr.query_id = p.query_id AND pr.prk <= p.nprobe
+                JOIN assigned c ON c.cell = pr.cell
+                JOIN sims s ON s.query_id = p.query_id AND s.vec_id = c.vec_id) t
+              WHERE rk <= 10)
+      SELECT p.query_id, p.nprobe,
+             ROUND(COALESCE(SUM(CASE WHEN b.vec_id IS NOT NULL THEN 1 ELSE 0 END), 0) / 10.0, 4) AS recall_at_10
+      FROM params p
+      LEFT JOIN ivf i ON i.query_id = p.query_id AND i.nprobe = p.nprobe
+      LEFT JOIN brute b ON b.query_id = i.query_id AND b.vec_id = i.vec_id
+      GROUP BY p.query_id, p.nprobe
+      ORDER BY p.query_id, p.nprobe"""))
+
+  /** ANN recall evaluation, IVF-PQ face: recall@10 of the composed
+    * cell-pruned + product-quantized search ([[q178]]) against exact
+    * brute force, swept over (nprobe, refine) — the two dials that
+    * trade recall for read volume on a deployed billion-vector index.
+    * Oracle = q178's replay chain parameterized by a params grid, plus
+    * the q34 brute top-10 and the recall fold. */
+  val q207 = Q(
+    "q207_ivfpq_recall_eval",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val anchors = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("anchor_id"), col("embedding").as("av"))
+      val model = pqModel(s, d)
+      val dials = Seq((1, 20), (2, 40), (4, 40))
+      dials.map { case (np, rf) =>
+        val hits = graft.operators.Similarity
+          .ivfPqTopK(e, "vec_id", queryId = 0, anchors, model,
+            nprobe = np, refine = rf, k = 10)
+          .select("vec_id")
+        val brute = graft.operators.Similarity
+          .cosineTopK(e, "vec_id", queryId = 0, k = 10).select("vec_id")
+        hits.join(brute, Seq("vec_id"))
+          .agg(round(count(lit(1)) / 10.0, 4).as("recall_at_10"))
+          .select(lit(np).as("nprobe"), lit(rf).as("refine"),
+            col("recall_at_10"))
+      }.reduce(_.unionAll(_)).orderBy("nprobe", "refine")
+    },
+    Some(s"""
+      WITH $PqCtes,
+      params AS (SELECT * FROM (VALUES (1, 20), (2, 40), (4, 40)) p(nprobe, refine)),
+      q AS (SELECT x AS qx FROM e WHERE vec_id = 0),
+      anchors AS (SELECT vec_id AS anchor_id, x AS av FROM e WHERE vec_id < 8),
+      assigned AS (SELECT vec_id, cell FROM (
+          SELECT e.vec_id, a.anchor_id AS cell,
+                 ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                   ORDER BY ROUND(CASE WHEN isnan(list_cosine_similarity(e.x, a.av))
+                                       THEN -1 ELSE list_cosine_similarity(e.x, a.av) END, 4) DESC,
+                            a.anchor_id) AS rk
+          FROM e CROSS JOIN anchors a) t WHERE rk = 1),
+      probes AS (SELECT a.anchor_id AS cell,
+                        ROW_NUMBER() OVER (
+                          ORDER BY ROUND(CASE WHEN isnan(list_cosine_similarity(a.av, q.qx))
+                                              THEN -1 ELSE list_cosine_similarity(a.av, q.qx) END, 4) DESC,
+                                   a.anchor_id) AS prk
+                 FROM anchors a, q),
+      lut AS (SELECT c.j, c.code,
+                     ROUND(list_sum(list_transform(range(1, 17),
+                       i -> pow(q.qx[c.j*16 + i] - c.cw[i], 2))), 6) AS lv
+              FROM cb c, q),
+      ad AS (SELECT p.nprobe, p.refine, enc.vec_id,
+                    ROUND(list_sum(list(lut.lv ORDER BY enc.j)), 4) AS adist
+             FROM params p
+             JOIN probes pr ON pr.prk <= p.nprobe
+             JOIN assigned s ON s.cell = pr.cell
+             JOIN enc ON enc.vec_id = s.vec_id
+             JOIN lut ON enc.j = lut.j AND enc.code = lut.code
+             GROUP BY p.nprobe, p.refine, enc.vec_id),
+      cand AS (SELECT nprobe, refine, vec_id FROM (
+                 SELECT nprobe, refine, vec_id,
+                        ROW_NUMBER() OVER (PARTITION BY nprobe, refine
+                                           ORDER BY adist, vec_id) AS rk
+                 FROM ad WHERE vec_id <> 0) t WHERE rk <= refine),
+      rer AS (SELECT nprobe, refine, vec_id FROM (
+                SELECT c.nprobe, c.refine, c.vec_id,
+                       ROW_NUMBER() OVER (PARTITION BY c.nprobe, c.refine
+                         ORDER BY ROUND(list_cosine_similarity(e.x, q.qx), 4) DESC,
+                                  c.vec_id) AS rk
+                FROM cand c JOIN e USING (vec_id), q) t WHERE rk <= 10),
+      brute AS (SELECT vec_id FROM (
+                  SELECT e.vec_id,
+                         ROW_NUMBER() OVER (
+                           ORDER BY ROUND(CASE WHEN isnan(list_cosine_similarity(e.x, q.qx))
+                                               THEN -1 ELSE list_cosine_similarity(e.x, q.qx) END, 4) DESC,
+                                    e.vec_id) AS rk
+                  FROM e, q WHERE e.vec_id <> 0) t WHERE rk <= 10)
+      SELECT p.nprobe, p.refine,
+             ROUND(COALESCE(SUM(CASE WHEN b.vec_id IS NOT NULL THEN 1 ELSE 0 END), 0) / 10.0, 4) AS recall_at_10
+      FROM params p
+      LEFT JOIN rer r ON r.nprobe = p.nprobe AND r.refine = p.refine
+      LEFT JOIN brute b ON b.vec_id = r.vec_id
+      GROUP BY p.nprobe, p.refine
+      ORDER BY p.nprobe, p.refine"""))
+
   def all: Seq[Q] =
     Seq(q34, q35, q39, q40, q48, q59, q60, q109, q136, q155, q171, q172,
-      q178, q184, q185, q190)
+      q178, q184, q185, q190, q206, q207)
 }
