@@ -598,6 +598,32 @@ object CorpusPipeline {
       .orderBy(col(id))
   }
 
+  /** Compaction for an append-only curation ledger: a long-running
+    * ingest appends a decision row per (doc, audit pass) — replays
+    * re-append identical rows, re-audits (a raised quality bar, a
+    * corrected dedup verdict) append SUPERSEDING rows under a higher
+    * `batchCol` — and the serving view is latest-per-doc. This folds
+    * the history to exactly that view: per `id`, the row from the
+    * highest batch (fully deterministic: within a batch, ties order by
+    * (stage, ref_id), though a well-formed ledger writes one row per
+    * doc per batch). Keep-latest, like the state compactor
+    * [[graft.streaming.EventStream.compactCurateState]] folds version
+    * deltas — run it in the same maintenance window and the ledger's
+    * storage stops growing with audit history.
+    *
+    * Scale shape: one shuffle keyed on `id`, a per-doc window over
+    * ledger rows (rows per doc = number of audits that touched it —
+    * single digits), never corpus×history. */
+  def compactLedger(ledger: DataFrame, id: String,
+      batchCol: String = "batch"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(id))
+      .orderBy(col(batchCol).desc, col("stage"), col("ref_id"))
+    ledger.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .drop("__rk")
+  }
+
   /** Build the stored state [[curateIncremental]] appends against, from
     * a corpus already ingested: the distinct content fingerprints and
     * the [[Dedup.indexDocs]] signature index of every quality+exact

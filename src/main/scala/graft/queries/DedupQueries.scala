@@ -1262,7 +1262,75 @@ object DedupQueries {
       SELECT CAST(doc_id AS BIGINT) AS doc_id, ROUND(raw, 4) AS score
       FROM sc ORDER BY score DESC, doc_id LIMIT 10"""))
 
+  /** Curation-ledger compaction (CorpusPipeline.compactLedger): the
+    * ledger is append-only — a re-audit (here: the quality bar raised
+    * from 10 to 40 tokens) appends superseding decision rows under a
+    * higher batch id — and compaction folds the history to the
+    * latest-per-doc view. The Spark side builds the real two-batch
+    * history (batch 0 = the q191 ledger; batch 1 = exactly the rows
+    * the re-audit changed) and compacts it; the oracle computes the
+    * stricter one-shot ledger directly, which the compacted view must
+    * equal row for row — keep-latest proven against an independent
+    * recompute, not against the compactor's own input. */
+  val q208 = Q(
+    "q208_ledger_compaction",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      val cp = graft.operators.CorpusPipeline
+      val b0 = cp.curationLedger(docs, "doc_id", "text",
+          minTokens = 10, maxTokens = 100000, nearDupThreshold = 0.5)
+        .withColumn("batch", lit(0L))
+      val reaudit = cp.curationLedger(docs, "doc_id", "text",
+        minTokens = 40, maxTokens = 100000, nearDupThreshold = 0.5)
+      val corrections = reaudit.alias("n").join(b0.alias("o"), Seq("doc_id"))
+        .filter(col("n.stage") =!= col("o.stage") ||
+          col("n.ref_id") =!= col("o.ref_id"))
+        .select(col("doc_id"), col("n.stage").as("stage"),
+          col("n.ref_id").as("ref_id"))
+        .withColumn("batch", lit(1L))
+      cp.compactLedger(b0.unionByName(corrections), "doc_id", "batch")
+        .select("doc_id", "stage", "ref_id")
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH RECURSIVE q AS (SELECT doc_id, text FROM documents
+                           WHERE len(string_split(text, ' ')) BETWEEN 40 AND 100000),
+      keyed AS (SELECT doc_id, text,
+                       MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+                FROM q),
+      ex AS (SELECT doc_id, text FROM keyed WHERE doc_id = keeper),
+      ${nearDupCtes("ex")},
+      verified AS (SELECT i.da, i.db
+                   FROM inter i
+                   JOIN sizes sa ON i.da = sa.doc_id
+                   JOIN sizes sb ON i.db = sb.doc_id
+                   WHERE CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter) >= 0.5),
+      edges AS (SELECT da AS a, db AS b FROM verified
+                UNION SELECT db, da FROM verified),
+      reach AS (SELECT a, b FROM edges
+                UNION
+                SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      cl AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster
+             FROM reach GROUP BY a),
+      qd AS (SELECT doc_id, 'quality' AS stage, CAST(-1 AS BIGINT) AS ref_id
+             FROM documents
+             WHERE len(string_split(text, ' ')) NOT BETWEEN 40 AND 100000),
+      ed AS (SELECT doc_id, 'exact' AS stage, keeper AS ref_id
+             FROM keyed WHERE doc_id <> keeper),
+      nd AS (SELECT doc_id, 'near_dup' AS stage, cluster AS ref_id
+             FROM cl WHERE doc_id <> cluster),
+      kp AS (SELECT e.doc_id, 'kept' AS stage, e.doc_id AS ref_id
+             FROM ex e
+             LEFT JOIN (SELECT doc_id FROM cl WHERE doc_id <> cluster) l
+               USING (doc_id)
+             WHERE l.doc_id IS NULL)
+      SELECT doc_id, stage, ref_id FROM (
+        SELECT * FROM qd UNION ALL SELECT * FROM ed
+        UNION ALL SELECT * FROM nd UNION ALL SELECT * FROM kp) u
+      ORDER BY doc_id"""))
+
   def all: Seq[Q] = Seq(q36, q37, q38, q45, q47, q51, q55, q134, q145, q146,
     q151, q152, q163, q166, q168, q170, q179, q180, q187, q191, q192, q193,
-    q194, q195, q196, q197, q201)
+    q194, q195, q196, q197, q201, q208)
 }

@@ -688,6 +688,20 @@ class CorpusPipelineSpec extends AnyFunSuite with SparkSpec {
     assert(rep.length == 3 && rep.forall(!_.getBoolean(3)))
   }
 
+  test("compactLedger: latest batch wins per doc, replays fold away") {
+    import spark.implicits._
+    val led = Seq(
+      (1L, "kept", 1L, 0L), (1L, "exact", 0L, 1L), (1L, "quality", -1L, 2L),
+      (2L, "kept", 2L, 0L),
+      (3L, "near_dup", 1L, 5L), (3L, "near_dup", 1L, 5L)) // replayed row
+      .toDF("doc_id", "stage", "ref_id", "batch")
+    val got = CorpusPipeline.compactLedger(led, "doc_id")
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, "quality", -1L, 2L), (2L, "kept", 2L, 0L),
+      (3L, "near_dup", 1L, 5L)))
+  }
+
   test("writeTokenShards: on-disk stream is shard-partitioned in training order; manifest certifies it") {
     val docs = Tables.documents(spark, sf("sf0.001"))
     val epochs = Map("src0" -> 2.5, "src1" -> 1.0, "src2" -> 0.5)
