@@ -27,8 +27,14 @@ object Serve {
     val pgPort = args.lift(2).map(_.toInt).getOrElse(5433)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
     val spark: SparkSession = GraftSession.local("graft-serve", cpus)
-    Tables.names.foreach(n =>
-      Tables.table(spark, sfDir, n).createOrReplaceTempView(n))
+    Tables.names.foreach { n =>
+      val t = Tables.table(spark, sfDir, n)
+      t.createOrReplaceTempView(n)
+      // also published under `global_temp.<name>`: global temp views
+      // cross newSession() boundaries, so gateways running with
+      // per-connection isolation still see the warehouse
+      t.createOrReplaceGlobalTempView(n)
+    }
 
     val pages = Map("index" ->
       """# Warehouse

@@ -118,7 +118,7 @@ object Cdc {
     // is NOT a replay — pass `force = true` to overwrite a committed
     // version (accepting the reader-visible gap), or bump `version`.
     if (!force && completeVersions(df.sparkSession, path).contains(version)) {
-      org.apache.log4j.Logger.getLogger(getClass)
+      org.apache.logging.log4j.LogManager.getLogger("graft.Cdc")
         .warn(s"writeVersioned: $dir is already committed; skipping " +
           "write (replay semantics). Republishing corrected data needs " +
           "force=true or a new version.")

@@ -604,9 +604,10 @@ object CorpusPipeline {
     * corrected dedup verdict) append SUPERSEDING rows under a higher
     * `batchCol` — and the serving view is latest-per-doc. This folds
     * the history to exactly that view: per `id`, the row from the
-    * highest batch (fully deterministic: within a batch, ties order by
-    * (stage, ref_id), though a well-formed ledger writes one row per
-    * doc per batch). Keep-latest, like the state compactor
+    * highest batch (fully deterministic for ANY payload schema: within
+    * a batch, ties order by the remaining columns — though a
+    * well-formed ledger writes one row per doc per batch).
+    * Keep-latest, like the state compactor
     * [[graft.streaming.EventStream.compactCurateState]] folds version
     * deltas — run it in the same maintenance window and the ledger's
     * storage stops growing with audit history.
@@ -616,9 +617,14 @@ object CorpusPipeline {
     * single digits), never corpus×history. */
   def compactLedger(ledger: DataFrame, id: String,
       batchCol: String = "batch"): DataFrame = {
+    // tie-break over whatever payload columns the ledger carries, so
+    // the contract really is just (id, batchCol) — not a hidden
+    // dependency on the curation ledger's exact schema
+    val tieCols = ledger.columns.toIndexedSeq
+      .filter(c => c != id && c != batchCol).map(col)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(id))
-      .orderBy(col(batchCol).desc, col("stage"), col("ref_id"))
+      .orderBy(col(batchCol).desc +: tieCols: _*)
     ledger.withColumn("__rk", row_number().over(w))
       .filter(col("__rk") === 1)
       .drop("__rk")
@@ -892,11 +898,27 @@ object CorpusPipeline {
       .partitionBy("shard").orderBy("order_key")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
+    // duplicate-id guard, same device as packSequences: a duplicate
+    // input id makes every copy's order_key collide, which would give
+    // the tied rows nondeterministic relative positions in the shard
+    // stream (silently ambiguous training order and spans). Equal
+    // order_keys land in the same shard (shard is derived from the
+    // key), so a lag-equality probe over the per-shard window sort we
+    // already pay for catches every collision — fail loudly, no extra
+    // shuffle.
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("order_key")
     materializeMix(docs, id, stratum, epochs)
       .withColumn("n_tokens", size(split(col(text), " ")).cast("long"))
       .withColumn("shard",
         conv(substring(col("order_key"), 1, 8), 16, 10).cast("long")
           % numShards)
+      .withColumn("__prev", lag(col("order_key"), 1).over(wOrd))
+      .filter(isnull(assert_true(
+        col("__prev").isNull || col("__prev") =!= col("order_key"),
+        concat(lit(s"tokenShardStream: input '$id' must be unique — "),
+          lit("duplicate ids collide on order_key "), col("order_key")))))
+      .drop("__prev")
       .withColumn("__start", sum("n_tokens").over(w) - col("n_tokens"))
       .withColumn("first_seq", floor(col("__start") / seqLen).cast("long"))
       .withColumn("last_seq",

@@ -231,10 +231,20 @@ final class PgWireServer(spark: SparkSession, maxRows: Int = 10000,
     // isolation: a newSession() clone shares the SparkContext (and so
     // the job-group cancellation wiring) but gets its own temp-view
     // catalog and SQL conf — one connection's CREATE TEMP VIEW can't
-    // shadow another's tables. Default OFF: the shared catalog is the
-    // reference proxy's semantics (dbt materializes views one
-    // connection, a dashboard reads them on another).
-    val st = new SessionState(if (isolateSessions) spark.newSession() else spark)
+    // shadow another's tables. The clone's fresh function registry
+    // must re-learn graft's SQL functions (vec_dot/minhash/...), or an
+    // isolated client would lose them; shared DATA should be published
+    // as persistent catalog tables or global temp views
+    // (`global_temp.<name>`), both of which cross sessions. Default
+    // OFF: the shared catalog is the reference proxy's semantics (dbt
+    // materializes views one connection, a dashboard reads them on
+    // another).
+    val st = new SessionState(
+      if (isolateSessions) {
+        val sess = spark.newSession()
+        graft.plans.GraftExtensions.register(sess)
+        sess
+      } else spark)
     // every Spark action this session runs happens on THIS thread, so
     // one thread-local job group makes the whole session cancellable by
     // an out-of-band CancelRequest (interruptOnCancel reaches into
@@ -338,7 +348,11 @@ final class PgWireServer(spark: SparkSession, maxRows: Int = 10000,
           }
         case 's' =>
           cur += c
-          if (c == '\'') {
+          // Spark's string rules, because the segments feed spark.sql:
+          // backslash escapes the next char (so \' stays inside), and
+          // '' doubling stays inside too
+          if (c == '\\' && i + 1 < sql.length) { cur += next; i += 1 }
+          else if (c == '\'') {
             if (next == '\'') { cur += next; i += 1 } // '' escape stays inside
             else state = 'n'
           }
@@ -430,24 +444,35 @@ final class PgWireServer(spark: SparkSession, maxRows: Int = 10000,
     // statement Describe probes the schema with typed NULLs in the
     // parameter slots (Describe must not depend on values it will only
     // see at Bind)
-    val target: Option[(String, IndexedSeq[Int])] =
-      if (kind == 'S')
-        st.statements.get(name).map(p =>
-          (PgParams.substitute(p.sql, IndexedSeq.empty, p.paramOids,
-            probe = true), p.paramOids))
-      else st.portals.get(name).map(sql => (sql, IndexedSeq.empty))
+    val target: Option[Prepared] =
+      if (kind == 'S') st.statements.get(name)
+      else st.portals.get(name).map(Prepared(_, IndexedSeq.empty))
     target match {
       case None =>
         writeError(out, "26000", s"unknown ${if (kind == 'S') "statement" else "portal"} \"$name\"")
         st.skipUntilSync = true
-      case Some((s, oids)) =>
+      case Some(p) =>
+        // everything below can throw on a malformed statement ($0, a
+        // absurd parameter index, an unanalyzable query) — all of it
+        // must surface as an ErrorResponse, never kill the connection
         try {
+          val s =
+            if (kind == 'S')
+              PgParams.substitute(p.sql, IndexedSeq.empty, p.paramOids,
+                probe = true)
+            else p.sql
           if (kind == 'S') // statements also advertise their param list
             writeMsg(out, 't') { b => // ParameterDescription
-              b.writeShort(oids.length)
-              // unspecified (0) declared as text — the substitution
-              // treats undeclared params as strings too
-              oids.foreach(o => b.writeInt(if (o == 0) 25 else o))
+              // count = what the statement REFERENCES, not what the
+              // client declared: drivers may declare zero OIDs and
+              // learn the count here; undeclared slots report text
+              val count = math.max(p.paramOids.length,
+                PgParams.paramCount(p.sql))
+              b.writeShort(count)
+              (0 until count).foreach { i =>
+                val o = if (i < p.paramOids.length) p.paramOids(i) else 0
+                b.writeInt(if (o == 0) 25 else o)
+              }
             }
           // Describe must not EXECUTE (spark.sql runs DDL/DML eagerly
           // inside the call — a Describe that inserts rows would insert
@@ -747,6 +772,34 @@ private[query] object PgParams {
     * that fails its declared type's validation. */
   def substitute(sql: String, params: IndexedSeq[Option[String]],
       oids: IndexedSeq[Int], probe: Boolean = false): String = {
+    val (out, maxRef) = walk(sql) { k =>
+      val oid = if (k <= oids.length) oids(k - 1) else 0
+      if (probe) nullLiteral(oid)
+      else if (k > params.length) throw new IllegalArgumentException(
+        s"bind message supplies ${params.length} parameters, but " +
+          s"prepared statement requires at least $k ($$$k referenced)")
+      else literal(params(k - 1), oid)
+    }
+    if (!probe && params.length > maxRef)
+      throw new IllegalArgumentException(
+        s"bind message supplies ${params.length} parameters, but " +
+          s"prepared statement requires $maxRef")
+    out
+  }
+
+  /** Number of parameters `sql` actually references (highest `$n`) —
+    * what ParameterDescription must report: the protocol lets Parse
+    * declare FEWER type OIDs than the statement uses (many drivers
+    * declare zero and learn the count from Describe). */
+  def paramCount(sql: String): Int = walk(sql)(_ => "?")._2
+
+  /** The one `$n` scanner: rewrite each placeholder via `onParam`
+    * (1-based index → replacement text), skipping string literals
+    * (backslash escapes and '' doubling — Spark's rules, since the
+    * output feeds `spark.sql`), quoted identifiers and comments, and
+    * never matching `$` at the tail of an identifier. Returns the
+    * rewritten text and the highest index seen. */
+  private def walk(sql: String)(onParam: Int => String): (String, Int) = {
     val out = new java.lang.StringBuilder(sql.length + 16)
     val n = sql.length
     def isIdentChar(c: Char) = c.isLetterOrDigit || c == '_' || c == '$'
@@ -782,26 +835,19 @@ private[query] object PgParams {
           (i == 0 || !isIdentChar(sql.charAt(i - 1)))) {
         var j = i + 1
         while (j < n && sql.charAt(j).isDigit) j += 1
-        val k = sql.substring(i + 1, j).toInt
+        val k =
+          try sql.substring(i + 1, j).toInt
+          catch { case _: NumberFormatException =>
+            throw new IllegalArgumentException(
+              s"invalid parameter reference ${sql.substring(i, j)}") }
         if (k < 1) throw new IllegalArgumentException(
           s"there is no parameter $$$k")
-        val oid = if (k <= oids.length) oids(k - 1) else 0
-        if (probe) out.append(nullLiteral(oid))
-        else {
-          if (k > params.length) throw new IllegalArgumentException(
-            s"bind message supplies ${params.length} parameters, but " +
-              s"prepared statement requires at least $k ($$$k referenced)")
-          maxRef = math.max(maxRef, k)
-          out.append(literal(params(k - 1), oid))
-        }
+        maxRef = math.max(maxRef, k)
+        out.append(onParam(k))
         i = j
       } else { out.append(c); i += 1 }
     }
-    if (!probe && params.length > maxRef)
-      throw new IllegalArgumentException(
-        s"bind message supplies ${params.length} parameters, but " +
-          s"prepared statement requires $maxRef")
-    out.toString
+    (out.toString, maxRef)
   }
 
   /** Spark type name for a typed NULL slot, from the pg type OID. */

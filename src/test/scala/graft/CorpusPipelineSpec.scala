@@ -702,6 +702,18 @@ class CorpusPipelineSpec extends AnyFunSuite with SparkSpec {
       (3L, "near_dup", 1L, 5L)))
   }
 
+  test("tokenShardStream: duplicate input ids fail loudly, not silently scramble the stream") {
+    import spark.implicits._
+    val dup = Seq((1L, "s", "a b"), (1L, "s", "c d"), (2L, "s", "e"))
+      .toDF("doc_id", "source", "text")
+    val ex = intercept[Throwable] {
+      CorpusPipeline.tokenShardStream(dup, "doc_id", "source", "text",
+        Map("s" -> 1.0), numShards = 2, seqLen = 8).collect()
+    }
+    assert(causeMessages(ex).exists(_.contains("must be unique")),
+      s"wanted the uniqueness assert, got: ${causeMessages(ex)}")
+  }
+
   test("writeTokenShards: on-disk stream is shard-partitioned in training order; manifest certifies it") {
     val docs = Tables.documents(spark, sf("sf0.001"))
     val epochs = Map("src0" -> 2.5, "src1" -> 1.0, "src2" -> 0.5)

@@ -355,8 +355,49 @@ class PgWireSpec extends SparkSpec {
       assert(errorMessage(c2.query("SELECT v FROM pg_iso_probe")).isDefined)
       // and neither does the host session the server was built from
       assert(!spark.catalog.tableExists("pg_iso_probe"))
+      // graft's SQL functions survive the newSession() clone (fresh
+      // function registry, re-registered per connection)
+      assert(dataRows(c2.query(
+        "SELECT CAST(vec_norm(array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS INT) AS n")) ==
+        Seq(Seq(Some("5"))))
+      // global temp views cross the isolation boundary — the sharing
+      // channel Serve publishes the warehouse through
+      Tables.region(spark, sf("sf0.001"))
+        .createOrReplaceGlobalTempView("pg_iso_shared")
+      assert(dataRows(c1.query(
+        "SELECT count(*) AS n FROM global_temp.pg_iso_shared")) ==
+        Seq(Seq(Some("5"))))
       c1.close(); c2.close()
     } finally srv.stop()
+  }
+
+  test("Describe on a malformed parameter reference errors cleanly, and reports the referenced param count") {
+    Tables.nation(spark, sf("sf0.001")).createOrReplaceTempView("pg_nation")
+    withServer() { (_, port) =>
+      val c = new Client(port); c.connect()
+      // $0 is invalid — the Describe must answer with an ErrorResponse,
+      // not kill the connection
+      c.send('P', parseParams(c, "d0", "SELECT $0 AS x", Nil))
+      c.send('D', Array[Byte]('S'.toByte) ++ c.cstr("d0"))
+      c.send('S', Array.emptyByteArray)
+      c.flush()
+      assert(errorMessage(c.readUntilReady())
+        .exists(_.contains("there is no parameter")))
+      // zero DECLARED OIDs, one REFERENCED param: ParameterDescription
+      // reports the referenced count (drivers learn the count here)
+      c.send('P', parseParams(c, "dc", "SELECT n_name FROM pg_nation WHERE n_nationkey = $1", Nil))
+      c.send('D', Array[Byte]('S'.toByte) ++ c.cstr("dc"))
+      c.send('S', Array.emptyByteArray)
+      c.flush()
+      val msgs = c.readUntilReady()
+      val pd = msgs.find(_._1 == 't').map(_._2)
+      assert(pd.isDefined)
+      assert(((pd.get(0) & 0xff) << 8 | (pd.get(1) & 0xff)) == 1,
+        "one referenced parameter")
+      // connection still healthy
+      assert(dataRows(c.query("SELECT 4 AS ok")) == Seq(Seq(Some("4"))))
+      c.close()
+    }
   }
 
   test("complex columns ship as JSON text; nulls as wire NULLs") {
