@@ -42,9 +42,13 @@ object Serve {
         |SHOW VIEWS
         |```
       """.stripMargin)
-    val http = new QueryServer(spark, pages)
+    // opt-in gateway credentials (both faces stay trust when unset —
+    // the reference proxy's default; see DEPLOY.md for the TLS story)
+    val http = new QueryServer(spark, pages,
+      bearerToken = sys.env.get("SPARK_GRAFT_HTTP_TOKEN"))
     val boundHttp = http.start(httpPort)
-    val pg = new PgWireServer(spark)
+    val pg = new PgWireServer(spark,
+      password = sys.env.get("SPARK_GRAFT_PG_PASSWORD"))
     val boundPg = pg.start(pgPort)
     println(s"""{"serve":"up","http":$boundHttp,"pg":$boundPg,"sf":"$sfDir"}""")
     Thread.currentThread().join() // serve until the process is killed

@@ -63,7 +63,7 @@ import org.apache.spark.sql.types._
   * protocol has no `truncated` flag.
   */
 final class PgWireServer(spark: SparkSession, maxRows: Int = 10000,
-    isolateSessions: Boolean = false) {
+    isolateSessions: Boolean = false, password: Option[String] = None) {
 
   private var server: Option[ServerSocket] = None
   @volatile private var running = false
@@ -143,6 +143,7 @@ final class PgWireServer(spark: SparkSession, maxRows: Int = 10000,
     val jobGroup = s"graft-pgwire-$pid"
     try {
       if (!handshake(in, out)) return
+      if (!authenticate(in, out)) return
       cancelKeys.put(pid, (secret, jobGroup))
       sendAuthAndReady(out, pid, secret)
       messageLoop(in, out, jobGroup)
@@ -191,6 +192,37 @@ final class PgWireServer(spark: SparkSession, maxRows: Int = 10000,
         out.flush()
         false
     }
+  }
+
+  /** Opt-in cleartext password auth (AuthenticationCleartextPassword,
+    * the scheme libpq/psycopg2/pgJDBC all speak with zero driver
+    * config): with no `password` configured the gateway stays trust —
+    * the reference proxy's default. Cleartext over the wire is the
+    * localhost-gateway trade; a network deployment terminates TLS in
+    * front (DEPLOY.md). Constant-time compare, and a wrong password
+    * gets postgres's 28P01 before any session state exists. */
+  private def authenticate(in: DataInputStream,
+      out: DataOutputStream): Boolean = password match {
+    case None => true
+    case Some(expected) =>
+      writeMsg(out, 'R') { b => b.writeInt(3) } // AuthenticationCleartextPassword
+      out.flush()
+      val tpe = in.readByte().toChar
+      val len = in.readInt()
+      if (tpe != 'p' || len < 5 || len > (1 << 20)) {
+        writeError(out, "28P01", "password authentication failed")
+        out.flush(); return false
+      }
+      val payload = new Array[Byte](len - 4)
+      in.readFully(payload)
+      val got = java.util.Arrays.copyOf(payload,
+        math.max(0, payload.length - 1)) // strip the trailing NUL
+      if (java.security.MessageDigest.isEqual(got,
+          expected.getBytes(StandardCharsets.UTF_8))) true
+      else {
+        writeError(out, "28P01", "password authentication failed")
+        out.flush(); false
+      }
   }
 
   private def sendAuthAndReady(out: DataOutputStream, pid: Int, secret: Int): Unit = {

@@ -38,7 +38,8 @@ final class QueryServer(
     spark: SparkSession,
     pages: Map[String, String],
     maxRows: Int = 10000,
-    statusDir: Option[String] = None) {
+    statusDir: Option[String] = None,
+    bearerToken: Option[String] = None) {
 
   private var server: Option[HttpServer] = None
   private val route = "^/api/([A-Za-z0-9_-]+)\\.json$".r
@@ -83,8 +84,25 @@ final class QueryServer(
     server = None
   }
 
+  /** Opt-in bearer-token auth: with no token configured the gateway
+    * stays open (the reference's trust model); with one, every route
+    * requires `Authorization: Bearer <token>` (constant-time compare).
+    * A gateway credential, not a user model — front with TLS off-box. */
+  private def authorized(exchange: HttpExchange): Boolean =
+    bearerToken.forall { tok =>
+      Option(exchange.getRequestHeaders.getFirst("Authorization")).exists(h =>
+        java.security.MessageDigest.isEqual(
+          h.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          s"Bearer $tok".getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+    }
+
   private def handle(exchange: HttpExchange): Unit =
     try {
+      if (!authorized(exchange)) {
+        exchange.getResponseHeaders.add("WWW-Authenticate", "Bearer")
+        respond(exchange, 401, """{"error":"unauthorized"}""")
+        return
+      }
       val path = exchange.getRequestURI.getPath
       (exchange.getRequestMethod, path) match {
         case ("GET", route(name)) if pages.contains(name) =>

@@ -46,6 +46,33 @@ class PgWireSpec extends SparkSpec {
     var backendPid = 0
     var backendSecret = 0
 
+    /** Startup against a password-protected server: returns the frames
+      * following the PasswordMessage (AuthenticationOk + ready on
+      * success, a lone ErrorResponse on failure). */
+    def connectAuth(password: String): Seq[(Char, Array[Byte])] = {
+      out.writeInt(8); out.writeInt(80877103); out.flush()
+      assert(in.readByte().toChar == 'N', "expected SSL refusal")
+      val params = "user\u0000dev\u0000database\u0000main\u0000\u0000"
+        .getBytes(StandardCharsets.UTF_8)
+      out.writeInt(8 + params.length); out.writeInt(196608)
+      out.write(params); out.flush()
+      val (t, body) = readFrame()
+      assert(t == 'R' && body.length == 4 && body(3) == 3,
+        "expected AuthenticationCleartextPassword")
+      send('p', cstr(password)); flush()
+      val first = readFrame()
+      if (first._1 == 'E') Seq(first)
+      else first +: readUntilReady()
+    }
+
+    def readFrame(): (Char, Array[Byte]) = {
+      val t = in.readByte().toChar
+      val len = in.readInt()
+      val body = new Array[Byte](len - 4)
+      in.readFully(body)
+      (t, body)
+    }
+
     def send(tpe: Char, body: Array[Byte]): Unit = {
       out.writeByte(tpe); out.writeInt(4 + body.length); out.write(body)
     }
@@ -368,6 +395,23 @@ class PgWireSpec extends SparkSpec {
         "SELECT count(*) AS n FROM global_temp.pg_iso_shared")) ==
         Seq(Seq(Some("5"))))
       c1.close(); c2.close()
+    } finally srv.stop()
+  }
+
+  test("cleartext password auth: right password serves, wrong gets 28P01, no password stays trust") {
+    val srv = new PgWireServer(spark, password = Some("s3cret"))
+    val port = srv.start(0)
+    try {
+      val ok = new Client(port)
+      val msgs = ok.connectAuth("s3cret")
+      assert(msgs.exists(m => m._1 == 'R' &&
+        m._2.length == 4 && m._2(3) == 0), "AuthenticationOk")
+      assert(dataRows(ok.query("SELECT 1 AS n")) == Seq(Seq(Some("1"))))
+      ok.close()
+      val bad = new Client(port)
+      val err = bad.connectAuth("wrong")
+      assert(err.length == 1 && err.head._1 == 'E')
+      assert(errorMessage(err).exists(_.contains("password authentication failed")))
     } finally srv.stop()
   }
 

@@ -11,15 +11,34 @@ import graft.query.QueryServer
   * unknown routes 404. */
 class QueryServerSpec extends SparkSpec {
 
-  private def get(port: Int, path: String): (Int, String) = {
+  private def get(port: Int, path: String,
+      headers: Map[String, String] = Map.empty): (Int, String) = {
     val conn = URI.create(s"http://127.0.0.1:$port$path").toURL
       .openConnection().asInstanceOf[HttpURLConnection]
     conn.setRequestMethod("GET")
+    headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }
     val code = conn.getResponseCode
     val in = if (code >= 400) conn.getErrorStream else conn.getInputStream
     val body = new String(in.readAllBytes(), StandardCharsets.UTF_8)
     conn.disconnect()
     (code, body)
+  }
+
+  test("bearer-token auth: 401 without the token, serves with it, open when unset") {
+    val page = "```sql one\nSELECT 1 AS v\n```"
+    val srv = new QueryServer(spark, Map("p" -> page),
+      bearerToken = Some("tok123"))
+    val port = srv.start(0)
+    try {
+      val (noAuth, _) = get(port, "/api/p.json")
+      assert(noAuth == 401)
+      val (badAuth, _) = get(port, "/api/p.json",
+        Map("Authorization" -> "Bearer nope"))
+      assert(badAuth == 401)
+      val (okCode, body) = get(port, "/api/p.json",
+        Map("Authorization" -> "Bearer tok123"))
+      assert(okCode == 200 && body.contains("\"v\":1"), body)
+    } finally srv.stop()
   }
 
   test("GET /api/{route}.json serves a chained page's queries as JSON rows") {
