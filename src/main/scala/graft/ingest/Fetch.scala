@@ -118,7 +118,17 @@ object Fetch {
   /** Fetch every page of one chunk with the reference's adaptive degrade
     * (extract.py:81-101): on an unparseable/oversized response, halve
     * per_page and recompute the current page from items already fetched;
-    * below per_page 1, quarantine the failing height and move on.
+    * below per_page 1, quarantine the failing ITEM and keep fetching the
+    * rest of the chunk — a single poison item must not block its whole
+    * span forever (a gap-fill refetch of the span re-lands every good
+    * item and re-quarantines only the poison one; the raw-zone sink
+    * dedups re-landed items structurally).
+    *
+    * "Unparseable" is checked HERE, not left to the sink: a node/proxy
+    * that answers 200 with a truncated or HTML body must trigger the
+    * degrade exactly like a thrown fetch — counting it as a good page
+    * would advance past items that never landed (silent loss in the
+    * streaming path, a crashed parse in the batch path).
     *
     * Progress is tracked as the index of the first UNFETCHED item; after
     * a success on page p the next index is `p * per_page` (what the page
@@ -156,10 +166,12 @@ object Fetch {
     val out = Seq.newBuilder[FetchResult]
     var next = 0L // index of the first item no fetched page has covered
     var perPage = initialPerPage
-    var failed = false
-    while (next < total && !failed) {
+    while (next < total) {
       val page = (next / perPage).toInt + 1
-      val body = Try(fetch(urlOf(chunk.start, chunk.end, page, perPage))).toOption
+      // a 200 with an unparseable body is a failure, same as a throw
+      val body = Try(fetch(urlOf(chunk.start, chunk.end, page, perPage)))
+        .toOption
+        .filter(b => Try(org.json4s.jackson.JsonMethods.parse(b)).isSuccess)
       body match {
         case Some(b) =>
           out += FetchResult(chunk.start, chunk.end, page, perPage, Some(b), quarantined = false)
@@ -167,8 +179,12 @@ object Fetch {
         case None if perPage > 1 =>
           perPage = perPage / 2 // degrade and recompute page from next
         case None =>
-          failed = true // per_page < 1 equivalent: give up, quarantine
+          // fully degraded: this 1-item page IS the poison item —
+          // quarantine exactly it (the row's page/perPage pin the item
+          // index for accounting) and move on; per_page stays 1, the
+          // rest of the chunk still lands
           out += FetchResult(chunk.start, chunk.end, page, perPage, None, quarantined = true)
+          next += 1
       }
     }
     out.result()

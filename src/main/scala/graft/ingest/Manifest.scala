@@ -1,8 +1,7 @@
 package graft.ingest
 
-import java.nio.file.{Files, Path, Paths}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
-import scala.jdk.CollectionConverters._
 import scala.util.Try
 
 import org.json4s._
@@ -62,14 +61,32 @@ final class Manifest(directory: String) {
   def forget(names: Seq[String], dataType: String): Unit = {
     val drop = names.toSet
     val cur = load()
-    save(cur + (dataType -> cur.getOrElse(dataType, Nil).filterNot(drop)))
+    // also clear any "<dataType>:<table>" sub-keys (the parse stage's
+    // per-table retry records): a refetched file must be re-consumed by
+    // EVERY table, not just re-enter the umbrella pending list
+    save(cur.map { case (k, vs) =>
+      if (k == dataType || k.startsWith(dataType + ":"))
+        k -> vs.filterNot(drop)
+      else k -> vs
+    })
   }
 
   private def save(updated: Map[String, Seq[String]]): Unit = {
     Files.createDirectories(path.getParent)
-    val fields = updated.toSeq.sortBy(_._1).map { case (k, vs) =>
-      s""""$k":[${vs.map(v => s""""$v"""").mkString(",")}]"""
-    }
-    Files.writeString(path, fields.mkString("{", ",", "}"))
+    // real JSON serialization (names can carry quotes/backslashes —
+    // hand-built strings would produce invalid JSON that the lenient
+    // load resets to empty, re-parsing the whole raw zone), written
+    // via temp file + atomic rename so a crash mid-write can never
+    // leave a torn manifest with the same empty-reset blast radius
+    val json = JsonMethods.compact(JObject(
+      updated.toSeq.sortBy(_._1).map { case (k, vs) =>
+        k -> JArray(vs.toList.map(JString(_)))
+      }.toList))
+    val tmp = path.resolveSibling(path.getFileName.toString + ".tmp")
+    Files.writeString(tmp, json)
+    try Files.move(tmp, path, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    catch { case _: java.nio.file.AtomicMoveNotSupportedException =>
+      Files.move(tmp, path, StandardCopyOption.REPLACE_EXISTING) }
   }
 }

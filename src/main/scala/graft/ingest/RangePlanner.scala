@@ -43,6 +43,8 @@ object RangePlanner {
     * on every subsequent run. We loop `while s <= end` so chunks always
     * cover [start, end] exactly (pinned by PropertySpec). */
   def backfillChunks(start: Long, end: Long, numBlocks: Long): Seq[(Long, Long)] = {
+    // numBlocks = -1 would advance s by zero each loop: hang + OOM
+    require(numBlocks >= 0, s"numBlocks must be >= 0, got $numBlocks")
     val out = Seq.newBuilder[(Long, Long)]
     var s = start
     while (s <= end) {

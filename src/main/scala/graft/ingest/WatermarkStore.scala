@@ -100,10 +100,15 @@ object ErrorHeights {
   def read(directory: String, kind: String): Seq[Long] =
     readFile(path(directory, Some(kind)))
 
-  private def readFile(p: Path): Seq[Long] =
+  // synchronized with the writers: append/remove rewrite the file in
+  // place (truncate-then-write), so an unsynchronized read could see a
+  // torn line (NumberFormatException fails the gap-fill task) or a
+  // cleanly-truncated prefix (silently dropped ledgered heights)
+  private def readFile(p: Path): Seq[Long] = synchronized {
     if (!Files.isRegularFile(p)) Nil
     else Files.readAllLines(p).asScala.toSeq
       .map(_.trim).filter(_.nonEmpty).map(_.toLong).distinct
+  }
 
   // append is a read-modify-write: serialize it within the JVM — the
   // blocks and txs streaming queries run their foreachBatch bodies on

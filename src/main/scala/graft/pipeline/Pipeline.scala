@@ -46,18 +46,24 @@ final class Pipeline(
     * page envelopes are flattened to their item arrays (the reference's
     * process_responses, extract.py:408-424) and written as one JSON array
     * file per range (save_json layout, extract.py:186-192). */
-  def extractRange(kind: String, start: Long, end: Long): Pipeline.RawWrite = {
+  def extractRange(kind: String, start: Long, end: Long,
+      chunkSize: Long = 10000L): Pipeline.RawWrite = {
     // locals, not fields: these close over executor-side lambdas and must
     // not drag the (non-serializable) Pipeline in with them
     val (api, fetch) = (apiUrl, fetcher)
     val urlOf: (Long, Long, Int, Int) => String =
       if (kind == "blocks") Fetch.blockSearchUrl(api, _, _, _, _)
       else Fetch.txSearchUrl(api, _, _, _, _)
+    // chunked like extractRangeViaSource, not one monolithic span: a
+    // single chunk means one Spark task (zero fan-out for a large sync
+    // window) AND the maximal quarantine blast radius, since the count
+    // probe quarantines per chunk
+    val chunks = Fetch.chunks(start, end, chunkSize)
     val results = Fetch.fetchAll(
-      spark, Seq(HeightChunk(start, end)), perPage, fetch, urlOf,
+      spark, chunks, perPage, fetch, urlOf,
       graft.ingest.ChainClient.parseTotalCount
     ).collect()
-    writeRaw(kind, start, end, results, chunksPlanned = 1)
+    writeRaw(kind, start, end, results, chunksPlanned = chunks.size)
   }
 
   /** Extract through the DataSourceV2 source instead of the
@@ -337,21 +343,36 @@ final class Pipeline(
       // pushes down to the parquet scan (row-group pruning).
       val txSpan = Pipeline.fileHeightSpan(txFiles)
       val allBlocks = enrichmentBlocks(txSpan)
-      val rawTxs = spark.read.schema(Flatteners.txSchema)
-        .option("multiLine", "true")
-        .json(txFiles.map(f => s"${rawDir("txs")}/$f"): _*)
       // if no filename bounded the span (foreign files in the raw dir),
       // the blocks side is the whole zone — skip the broadcast hint and
       // let AQE pick the strategy from the real size
       def enrich(df: DataFrame) =
         Flatteners.enrichTime(df, allBlocks,
           hintBroadcast = txSpan.isDefined).drop("ts")
-      Flatteners.writePartitioned(
-        enrich(Flatteners.parseTxResult(rawTxs)), s"$parsedRoot/tx_result")
-      Flatteners.writePartitioned(
-        enrich(Flatteners.parseLogAttributes(rawTxs)), s"$parsedRoot/log_attributes")
-      Flatteners.writePartitioned(
-        enrich(Flatteners.parseEventsWide(rawTxs)), s"$parsedRoot/events")
+      // per-TABLE manifest keys ("txs:<table>") make the three appends
+      // retry-idempotent as a group: Flow retries parse() whole, and
+      // with one umbrella record after all three writes, a crash
+      // between the first land and the record would re-append the
+      // already-landed tables. Each table records right after its own
+      // write, so a retry resumes exactly the tables that didn't
+      // finish; the legacy umbrella "txs" record (kept for the
+      // manifest's what-is-parsed surface and old manifests) lands
+      // only after all three.
+      val txTables: Seq[(String, DataFrame => DataFrame)] = Seq(
+        "tx_result" -> (Flatteners.parseTxResult(_)),
+        "log_attributes" -> (Flatteners.parseLogAttributes(_)),
+        "events" -> (Flatteners.parseEventsWide(_)))
+      txTables.foreach { case (table, parseF) =>
+        val pending = manifest.newFiles(txFiles, s"txs:$table")
+        if (pending.nonEmpty) {
+          val rawTxs = spark.read.schema(Flatteners.txSchema)
+            .option("multiLine", "true")
+            .json(pending.map(f => s"${rawDir("txs")}/$f"): _*)
+          Flatteners.writePartitioned(
+            enrich(parseF(rawTxs)), s"$parsedRoot/$table")
+          manifest.record(pending, s"txs:$table")
+        }
+      }
       manifest.record(txFiles, "txs")
     }
   }
@@ -492,9 +513,14 @@ final class Pipeline(
     val (syncStart, syncEnd) = flow.task("determine_sync_range")(
       RangePlanner.syncRange(tip, chainFloor, blocksWs.maxHeightFromFiles, numBlocks))
     flow.task("extract_sync") {
-      noteExtracts(flow, Seq(
-        extractRange("blocks", syncStart, syncEnd),
-        extractRange("txs", syncStart, syncEnd)))
+      // an unchanged tip yields an inverted (start > end) plan — a
+      // no-op sync, NOT a fetch: extracting it would write a junk
+      // `{tip+1}_{tip}.json` pair per idle run and feed pointless RPC
+      // probes into every parse
+      if (syncStart <= syncEnd)
+        noteExtracts(flow, Seq(
+          extractRange("blocks", syncStart, syncEnd),
+          extractRange("txs", syncStart, syncEnd)))
     }
 
     val (bfStart, bfEnd) = flow.task("determine_backfill_range")(

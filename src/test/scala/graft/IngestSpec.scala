@@ -148,7 +148,7 @@ class IngestSpec extends AnyFunSuite with SparkSpec {
     assert(res.map(r => (r.page, r.perPage)) == Seq((1, 100), (9, 12), (10, 12)))
   }
 
-  test("per_page exhaustion quarantines instead of looping forever") {
+  test("per_page exhaustion quarantines the poison item and keeps fetching the rest") {
     // only the page-1/per_page-1 shape ever succeeds: the count probe and
     // the fully-degraded first page; everything else is "oversized"
     def fetchF(u: String): String =
@@ -157,10 +157,49 @@ class IngestSpec extends AnyFunSuite with SparkSpec {
     def url(s: Long, e: Long, page: Int, perPage: Int) = s"$page:$perPage"
     val res = Fetch.fetchChunk(HeightChunk(1, 10), initialPerPage = 4,
       fetchF, url, ChainClient.parseTotalCount)
-    // 4 → 2 → 1: page 1 succeeds at per_page 1, page 2 cannot → quarantine
-    assert(res.size == 2)
+    // 4 → 2 → 1: page 1 succeeds at per_page 1; items 2-5 each fail and
+    // quarantine INDIVIDUALLY — one poison item must never block the span
+    assert(res.size == 5)
     assert(!res.head.quarantined && res.head.page == 1 && res.head.perPage == 1)
-    assert(res.last.quarantined && res.last.page == 2)
+    assert(res.tail.forall(r => r.quarantined && r.perPage == 1))
+    assert(res.tail.map(_.page) == Seq(2, 3, 4, 5))
+  }
+
+  test("a poison item mid-chunk quarantines alone; items after it still land") {
+    // 6 items; item index 2 (page 3 at per_page 1) is permanently
+    // oversized, everything else serves at per_page <= 2
+    def url(s: Long, e: Long, page: Int, perPage: Int) = s"$page:$perPage"
+    def fetchF(u: String): String = {
+      val Array(p, pp) = u.split(":").map(_.toInt)
+      if (pp > 2 && u != "1:1") throw new RuntimeException("oversized")
+      if (pp == 2 && p == 2) throw new RuntimeException("oversized") // covers item 2
+      if (pp == 1 && p == 3) throw new RuntimeException("oversized")
+      s"""{"result":{"total_count":"6"}}"""
+    }
+    val res = Fetch.fetchChunk(HeightChunk(1, 10), initialPerPage = 4,
+      fetchF, url, ChainClient.parseTotalCount)
+    val (bad, good) = res.partition(_.quarantined)
+    assert(bad.map(r => (r.page, r.perPage)) == Seq((3, 1)))
+    // coverage complete: good pages cover items 0-1 (page 1 @ 2), 3, 4, 5
+    assert(good.forall(_.body.isDefined))
+    val covered = good.flatMap(r =>
+      ((r.page - 1).toLong * r.perPage) until math.min(r.page.toLong * r.perPage, 6L)).toSet
+    assert(covered == Set(0L, 1L, 3L, 4L, 5L), covered)
+  }
+
+  test("an unparseable 200 body degrades exactly like a thrown fetch") {
+    // per_page > 4 answers 200 with an HTML error page; the degrade must
+    // treat it as a failure, not advance past items that never landed
+    def url(s: Long, e: Long, page: Int, perPage: Int) = s"$page:$perPage"
+    def fetchF(u: String): String = {
+      val Array(p, pp) = u.split(":").map(_.toInt)
+      if (pp > 4 && u != "1:1") "<html>502 Bad Gateway</html>"
+      else s"""{"result":{"total_count":"10"}}"""
+    }
+    val res = Fetch.fetchChunk(HeightChunk(1, 100), initialPerPage = 16,
+      fetchF, url, ChainClient.parseTotalCount)
+    assert(res.forall(!_.quarantined))
+    assert(res.map(r => (r.page, r.perPage)) == Seq((1, 4), (2, 4), (3, 4)))
   }
 
   test("a failing count probe quarantines the chunk instead of failing the task") {

@@ -295,6 +295,37 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(txr.filter("day IS NULL").count() == 3)
   }
 
+  test("parse retry resumes per table: an already-recorded table is not re-appended") {
+    // simulate a crash between the tx-table lands: tx_result was
+    // written AND recorded under its per-table key, the others were
+    // not — the retry must land ONLY the missing tables (no duplicate
+    // tx_result rows) and then complete the umbrella record
+    val root = Files.createTempDirectory("graft-retry").toString
+    val pipe = new Pipeline(spark, root, FakeNode.fetch)
+    pipe.extractRange("txs", 1, 5)
+    pipe.parse() // clean first run: all three tables land
+    val before = spark.read.parquet(s"$root/parsed/tx_result").count()
+    // a second raw file arrives; pretend the crashed first attempt got
+    // tx_result landed+recorded before dying
+    pipe.extractRange("txs", 6, 9)
+    val m = new graft.ingest.Manifest(s"$root/parsed")
+    val newFile = "6_9.json"
+    assert(Files.isRegularFile(java.nio.file.Paths.get(s"$root/rpc/txs/$newFile")))
+    m.record(Seq(newFile), "txs:tx_result")
+    val txrAfterCrash = spark.read.parquet(s"$root/parsed/tx_result").count()
+    pipe.parse() // the "retry"
+    // tx_result unchanged (already recorded); the other tables caught up
+    assert(spark.read.parquet(s"$root/parsed/tx_result").count() == txrAfterCrash)
+    assert(txrAfterCrash == before) // nothing was double-appended
+    val la = spark.read.parquet(s"$root/parsed/log_attributes").count()
+    val ev = spark.read.parquet(s"$root/parsed/events")
+      .select("height").distinct().count()
+    assert(ev >= 2, s"events caught up, got $ev heights") // heights 7, 9
+    assert(la > 0)
+    // umbrella recorded: a third parse is a no-op
+    assert(m.newFiles(Seq(newFile), "txs").isEmpty)
+  }
+
   test("time-enrichment blocks side is pruned to the tx batch's height span") {
     // the blocks zone grows with chain height forever; the enrichment
     // broadcast must be bounded by the BATCH window, with the range
