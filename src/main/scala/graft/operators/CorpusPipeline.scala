@@ -254,15 +254,23 @@ object CorpusPipeline {
     * is spec-verified against the exact path under the q188 error
     * bound rather than oracle-hashed. One gram scan per batch + 1-row
     * unions — cost is batch-proportional by construction. */
+  /** THE novelty gram stream — one definition shared by
+    * [[noveltyAppend]] and the streaming monitor's replay path
+    * (EventStream.streamingNovelty), so the two can never silently
+    * diverge on the tokenizer/shingle/hash rule: tokenized on single
+    * spaces, docs shorter than `n` tokens dropped, n-gram shingles,
+    * md5 per gram, one row per gram occurrence (column `g`). */
+  private[graft] def gramHashes(batch: DataFrame, text: String,
+      n: Int): DataFrame =
+    batch.select(split(col(text), " ").as("__toks"))
+      .filter(size(col("__toks")) >= n)
+      .select(explode(transform(Dedup.shingles("__toks", n), g => md5(g))).as("g"))
+
   def noveltyAppend(state: Option[DataFrame], batch: DataFrame,
       id: String, text: String, n: Int = 4, lgK: Int = 16)
       : (DataFrame, DataFrame) = {
     require(n > 0)
-    val grams = batch
-      .select(split(col(text), " ").as("__toks"))
-      .filter(size(col("__toks")) >= n)
-      .select(explode(transform(Dedup.shingles("__toks", n), g => md5(g))).as("g"))
-    val bsk = grams.agg(
+    val bsk = gramHashes(batch, text, n).agg(
       hll_sketch_agg(col("g"), lit(lgK)).as("bsk"),
       count_distinct(col("g")).as("batch_grams"))
     val merged = state match {

@@ -146,27 +146,31 @@ object EventStream {
             state.remove()
             Iterator(closed(uid, s))
           } else {
-            val batch = evs.toSeq.sortBy(_.ts.getTime)
-            val emitted = Seq.newBuilder[SessionOut]
-            var open = state.getOption
-            batch.foreach { e =>
-              val t = e.ts.getTime
-              open match {
-                case Some(s) if t - s.endMs > gapMs =>
-                  emitted += closed(uid, s) // gap inside the batch
-                  open = Some(SessionAgg(t, t, 1, e.value))
-                case Some(s) =>
-                  open = Some(SessionAgg(s.startMs, math.max(s.endMs, t),
-                    s.n + 1, s.sum + e.value))
-                case None =>
-                  open = Some(SessionAgg(t, t, 1, e.value))
-              }
-            }
-            open.foreach { s =>
+            val batch = evs.toSeq
+            // interval merge over (stored session ∪ batch events),
+            // ordered by start: handles a late-but-within-watermark
+            // event EARLIER than the open session — it extends the
+            // session backwards (min start) or forms its own earlier
+            // session — where a forward-only fold would silently fold
+            // it in without moving startMs (wrong start AND duration)
+            val intervals = (state.getOption.toSeq ++
+              batch.map(e => SessionAgg(e.ts.getTime, e.ts.getTime, 1, e.value)))
+              .sortBy(s => (s.startMs, s.endMs))
+            val merged = intervals.foldLeft(List.empty[SessionAgg]) {
+              case (h :: rest, iv) if iv.startMs <= h.endMs + gapMs =>
+                SessionAgg(h.startMs, math.max(h.endMs, iv.endMs),
+                  h.n + iv.n, h.sum + iv.sum) :: rest
+              case (acc, iv) => iv :: acc
+            }.reverse
+            // all but the latest close now (a gap separates them from
+            // anything that can still arrive in event-time order); the
+            // latest stays open awaiting its gap or timeout
+            val emitted = merged.dropRight(1).map(closed(uid, _))
+            merged.lastOption.foreach { s =>
               state.update(s)
               state.setTimeoutTimestamp(s.endMs + gapMs)
             }
-            emitted.result().iterator
+            emitted.iterator
           }
       }
   }
@@ -194,6 +198,12 @@ object EventStream {
   def lshNearDupHits(docs: DataFrame, n: Int = 4, k: Int = 16,
       bands: Int = 4, lateness: String = "1 hour"): Dataset[BucketHit] = {
     import docs.sparkSession.implicits._
+    // same banding contract as Dedup.bandedSignatures: a non-dividing k
+    // would silently drop signature tail-hashes (recall loss), and
+    // bands > k would give every doc an empty band signature — one
+    // global bucket reporting the whole stream as near-dups
+    require(bands >= 1 && k >= bands && k % bands == 0,
+      s"bands ($bands) must divide k ($k)")
     val rows = k / bands
     val banded = docs
       .withWatermark("ts", lateness)
@@ -217,8 +227,14 @@ object EventStream {
             val batch = vs.toSeq.sortBy(_._1) // deterministic fold order
             var owner = state.getOption.map(_.owner).getOrElse(Long.MaxValue)
             val hits = batch.map { case (docId, _, band, _) =>
+              // the collision partner is whoever owned the bucket
+              // BEFORE this doc: a late-arriving SMALLER id must still
+              // report its hit against the earlier-ingested owner —
+              // taking ownership first would make the hit row carry
+              // owner == itself and the collision would vanish
+              val prev = owner
               if (docId < owner) owner = docId
-              BucketHit(docId, band, owner)
+              BucketHit(docId, band, if (prev == Long.MaxValue) docId else prev)
             }
             state.update(BucketState(owner))
             val horizon = batch.map(_._2.getTime).max
@@ -250,20 +266,8 @@ object EventStream {
     * the bound — state stays proportional to the lateness horizon, not
     * the stream. */
   def purchaseClickJoin(events: DataFrame,
-      lateness: String = "1 hour"): DataFrame = {
-    val purchases = events.filter(col("event_type") === "purchase")
-      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("purchase_ts"))
-      .withWatermark("purchase_ts", lateness)
-    val clicks = events.filter(col("event_type") === "click")
-      .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
-        col("ts").as("click_ts"))
-      .withWatermark("click_ts", lateness)
-    purchases.join(clicks,
-      expr("""user_id = click_user
-              AND click_ts >= purchase_ts - INTERVAL 15 MINUTES
-              AND click_ts < purchase_ts"""))
-      .select("purchase_id", "user_id", "click_id", "click_ts")
-  }
+      lateness: String = "1 hour"): DataFrame =
+    purchaseClickJoinImpl(events, lateness, "inner")
 
   /** LEFT OUTER variant of the stream-stream interval join: purchases
     * with no preceding click still emit, with nulls on the click side —
@@ -273,7 +277,13 @@ object EventStream {
     * null row's emission time is a watermark decision, not a data
     * arrival. State bounds are the same as the inner variant. */
   def purchaseClickLeftJoin(events: DataFrame,
-      lateness: String = "1 hour"): DataFrame = {
+      lateness: String = "1 hour"): DataFrame =
+    purchaseClickJoinImpl(events, lateness, "left_outer")
+
+  // one definition of the sides and the interval condition, so the
+  // inner and left-outer variants can never silently diverge
+  private def purchaseClickJoinImpl(events: DataFrame, lateness: String,
+      joinType: String): DataFrame = {
     val purchases = events.filter(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("purchase_ts"))
       .withWatermark("purchase_ts", lateness)
@@ -285,7 +295,7 @@ object EventStream {
       expr("""user_id = click_user
               AND click_ts >= purchase_ts - INTERVAL 15 MINUTES
               AND click_ts < purchase_ts"""),
-      "left_outer")
+      joinType)
       .select("purchase_id", "user_id", "click_id", "click_ts")
   }
 
@@ -322,19 +332,28 @@ object EventStream {
         val newIdxPath = s"$indexDir/batch=$batchId"
         graft.operators.Dedup.indexDocs(batch, id, text, n, k)
           .write.mode("overwrite").parquet(newIdxPath)
-        val hasPrior =
-          versionIds(stateFs(spark, indexDir), indexDir, "batch=")
-            .exists(_ < batchId)
+        // prior = COMMITTED older batches only (same _SUCCESS gate as
+        // the versioned-state sinks): a torn partition from a mid-write
+        // restore, or a foreign writer's partial, must not be unioned
+        // as state — missing signatures mean silently retained dups
+        val hfs = stateFs(spark, indexDir)
+        val priorVs = versionIds(hfs, indexDir, "batch=")
+          .filter(v => v < batchId &&
+            pathExists(hfs, s"$indexDir/batch=$v/_SUCCESS"))
         val newIndex = spark.read.parquet(newIdxPath)
         val prior =
-          if (hasPrior) spark.read.parquet(indexDir)
-            .filter(col("batch") < batchId).drop("batch")
+          if (priorVs.nonEmpty)
+            spark.read.parquet(priorVs.map(v => s"$indexDir/batch=$v"): _*)
           else newIndex.limit(0)
-        graft.operators.Dedup
+        val pairs = graft.operators.Dedup
           .incrementalLshPairsIndexed(prior, newIndex, id,
             k = k, bands = bands, threshold = threshold,
             maxBucketSize = maxBucketSize)
-          .write.mode("overwrite").parquet(s"$pairsDir/batch=$batchId")
+        pairs.write.mode("overwrite").parquet(s"$pairsDir/batch=$batchId")
+        // the operator returns an eagerly localCheckpoint-ed frame; a
+        // long-running stream must free it or accumulate one persisted
+        // RDD per micro-batch (streamingCurate's rule)
+        graft.operators.Dedup.freeLocalCheckpoint(pairs)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
@@ -397,9 +416,12 @@ object EventStream {
       threshold: Double = 0.5): StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        graft.operators.CorpusPipeline
+        val rep = graft.operators.CorpusPipeline
           .decontaminateFuzzy(batch, bench, id, text, n, k, bands, threshold)
-          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        rep.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        // free the operator's eager localCheckpoint — one persisted RDD
+        // per micro-batch otherwise lingers until GC
+        graft.operators.Dedup.freeLocalCheckpoint(rep)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
@@ -451,11 +473,10 @@ object EventStream {
           case Some(p) => p.select(col("est_total").as("est_prev"))
           case None => spark.range(1).select(lit(0.0).as("est_prev"))
         }
-        val grams = batch.toDF()
-          .select(split(col(text), " ").as("__toks"))
-          .filter(size(col("__toks")) >= n)
-          .select(explode(transform(
-            graft.operators.Dedup.shingles("__toks", n), g => md5(g))).as("g"))
+        // same gram definition as noveltyAppend (shared helper) — the
+        // report must not mix two tokenizer/shingle rules in one row
+        val grams = graft.operators.CorpusPipeline
+          .gramHashes(batch.toDF(), text, n)
           .agg(count_distinct(col("g")).as("batch_grams"))
         cur.crossJoin(base).crossJoin(grams)
           .select(col("batch_seq"), col("batch_grams"),

@@ -409,6 +409,64 @@ class EventStreamSpec extends AnyFunSuite with SparkSpec {
     assert(rows.count(_._1 == 3L) == 4) // one hit per band
   }
 
+  test("lshNearDupHits: a late SMALLER doc_id still reports the collision with the earlier owner") {
+    val (in, chk) = newDirs()
+    val out = Files.createTempDirectory("graft-lsh-late").toString
+    def doc(id: Long, ts: String, text: String): String =
+      s"""{"doc_id":$id,"text":"$text","ts":"$ts"}"""
+    val textA = (1 to 12).map(i => s"w$i").mkString(" ")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType)))
+    val hits = EventStream.lshNearDupHits(
+      spark.readStream.schema(schema).json(in))
+    // batch 1: doc 7 owns the buckets
+    drop(in, "a.json", doc(7, "2024-01-01T00:00:00Z", textA))
+    EventStream.runAvailableNowToParquet(hits.toDF(), out, chk).awaitTermination()
+    // batch 2: doc 5 (smaller id) is a byte-copy — it must REPORT the
+    // collision with 7, not silently take ownership
+    drop(in, "b.json", doc(5, "2024-01-01T00:10:00Z", textA))
+    EventStream.runAvailableNowToParquet(hits.toDF(), out, chk).awaitTermination()
+    val rows = spark.read.parquet(out).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("owner")))
+    assert(rows.filter(_._1 == 5L).map(_._2).toSet == Set(7L),
+      s"late smaller id must hit the prior owner: ${rows.toSeq}")
+    // bad banding parameters fail loudly, like the batch twin
+    assertThrows[IllegalArgumentException] {
+      EventStream.lshNearDupHits(
+        spark.readStream.schema(schema).json(in), k = 16, bands = 5)
+    }
+  }
+
+  test("sessionize: a late-but-within-watermark event EARLIER than the open session extends it backward") {
+    val (in, chk) = newDirs()
+    val outDir = Files.createTempDirectory("graft-sess-late").toString
+    val sessions = EventStream.sessionize(
+      spark.readStream.schema(EventStream.eventSchema).json(in),
+      gapMs = 30 * 60 * 1000L, lateness = "2 hours")
+    // batch 1: user 7 at 10:00 (open session [10:00, 10:00])
+    drop(in, "a.json", ev(1, "2024-01-01T10:00:00Z", 7, "click", 1.0))
+    EventStream.runAvailableNowToParquet(sessions.toDF(), outDir, chk)
+      .awaitTermination()
+    // batch 2: a LATE event at 09:45 (within lateness) — must move the
+    // session start back, then a far-future event closes everything
+    drop(in, "b.json",
+      ev(2, "2024-01-01T09:45:00Z", 7, "view", 2.0),
+      ev(3, "2024-01-02T00:00:00Z", 9, "click", 0.5))
+    EventStream.runAvailableNowToParquet(sessions.toDF(), outDir, chk)
+      .awaitTermination()
+    drop(in, "c.json", ev(4, "2024-01-03T00:00:00Z", 11, "click", 0.5))
+    EventStream.runAvailableNowToParquet(sessions.toDF(), outDir, chk)
+      .awaitTermination()
+    val got = spark.read.parquet(outDir).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("n_events"),
+        r.getAs[Double]("duration_sec")))
+      .filter(_._1 == 7L).toSet
+    // one session, 2 events, 900 s — NOT duration 0 with a wrong start
+    assert(got == Set((7L, 2, 900.0)), s"got $got")
+  }
+
   test("streaming near-dup maintenance: cross-batch pairs equal a full recompute") {
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     val (in, chk) = newDirs()
