@@ -83,15 +83,22 @@ object QuantileSketch {
     ms.last
   }
 
-  /** Aggregator producing the q-quantile estimate of a double column. */
-  final class QuantileAgg(q: Double) extends Aggregator[Double, Digest, Double] {
+  /** Aggregator producing the q-quantile estimate of a double column.
+    * Boxed input so NULL rows are SKIPPED like percentile_approx (a
+    * primitive Double encoder would fail the whole job on the first
+    * null with AssertNotNull); an all-null/empty group finishes to
+    * null, again matching the built-in. */
+  final class QuantileAgg(q: Double)
+      extends Aggregator[java.lang.Double, Digest, java.lang.Double] {
     def zero: Digest = Digest(Array.empty, Array.empty)
-    def reduce(b: Digest, x: Double): Digest = add(b, x, 1.0)
+    def reduce(b: Digest, x: java.lang.Double): Digest =
+      if (x == null) b else add(b, x.doubleValue(), 1.0)
     def merge(a: Digest, b: Digest): Digest =
       compress(a.means ++ b.means, a.weights ++ b.weights)
-    def finish(b: Digest): Double = quantile(b, q)
+    def finish(b: Digest): java.lang.Double =
+      if (b.means.isEmpty) null else java.lang.Double.valueOf(quantile(b, q))
     def bufferEncoder: Encoder[Digest] = Encoders.product[Digest]
-    def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+    def outputEncoder: Encoder[java.lang.Double] = Encoders.DOUBLE
   }
 
   /** Column function: `tdigestQuantile(0.5)` usable in agg(...). */

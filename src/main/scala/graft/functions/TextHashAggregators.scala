@@ -126,13 +126,20 @@ object TextHashAggregators {
     val mins = Array.fill[Long](k)(-1L)
     val md = digests.get()
     var idx = 0
+    var any = false // non-null shingle seen — same rule as the fused kernel
     while (idx < n) {
       if (!shingles.isNullAt(idx)) {
+        any = true
         md.reset()
         foldDigestInto(mins, md.digest(shingles.getUTF8String(idx).getBytes), k)
       }
       idx += 1
     }
+    // a non-empty array of ONLY nulls has no signature: all-nulls out,
+    // bit-identical to minhashAndHalvesData — the sentinel max values
+    // would otherwise give every such degenerate doc the SAME band
+    // signature (one giant false candidate bucket)
+    if (!any) return new GenericArrayData(new Array[Any](k))
     val out = new Array[Any](k)
     var i = 0
     while (i < k) { out(i) = UTF8String.fromString(pad20(mins(i))); i += 1 }
@@ -219,10 +226,7 @@ object TextHashAggregators {
       false
     }
     val seen = new java.util.LinkedHashSet[String]()
-    def selectMin(from: Int, until: Int): Unit = {
-      var best = from
-      var p = from + 1
-      while (p < until) { if (less(ds(p), ds(best))) best = p; p += 1 }
+    def emit(best: Int): Unit = {
       val d = ds(best)
       val sb = new java.lang.StringBuilder(32)
       var q = 0
@@ -233,10 +237,27 @@ object TextHashAggregators {
       }
       seen.add(sb.toString)
     }
-    if (ns < w) selectMin(0, ns)
-    else {
-      var p = w - 1
-      while (p < ns) { selectMin(p - w + 1, p + 1); p += 1 }
+    if (ns < w) {
+      var best = 0
+      var p = 1
+      while (p < ns) { if (less(ds(p), ds(best))) best = p; p += 1 }
+      emit(best)
+    } else {
+      // monotonic-deque sliding minimum: O(ns) instead of O(ns·w) —
+      // each index enters and leaves the deque once. Tie handling is
+      // value-irrelevant here (equal digests hex-encode identically and
+      // the output is a SET), so popping on >= is safe.
+      val dq = new Array[Int](ns)
+      var head = 0
+      var tail = 0 // live window indices, digests strictly increasing
+      var p = 0
+      while (p < ns) {
+        while (tail > head && !less(ds(dq(tail - 1)), ds(p))) tail -= 1
+        dq(tail) = p; tail += 1
+        if (dq(head) <= p - w) head += 1
+        if (p >= w - 1) emit(dq(head))
+        p += 1
+      }
     }
     val out = new Array[Any](seen.size)
     val it = seen.iterator()
@@ -247,10 +268,23 @@ object TextHashAggregators {
 
   /** SimHash over md5(token): 64 bit-vote counters (+1 set / −1 clear per
     * hex-digit bit), finished to the 16-hex signature with the same
-    * sum>0 rule as the relational formulation. */
+    * sum>0 rule as the relational formulation.
+    *
+    * INPUT CONTRACT: one row per DISTINCT token per group (run
+    * `.distinct()` on (group, md5) before aggregating). The scalar
+    * twins ([[simhashArrayData]], [[simhashSignature]]) dedup tokens
+    * internally; this aggregator votes per ROW — deduping inside the
+    * buffer would make the partial state variable-width and lose the
+    * fixed-width partial aggregation that is this shape's point — so a
+    * repeated token fed as repeated rows would vote more than once and
+    * diverge from the scalar kernels. */
   final class SimHashAggregator extends Aggregator[String, Array[Int], String] {
     override def zero: Array[Int] = new Array[Int](64)
     override def reduce(acc: Array[Int], tokenMd5: String): Array[Int] = {
+      // skip nulls like the relational sum-of-votes formulation would
+      // (md5(NULL) = NULL rows simply don't vote) instead of NPE-ing
+      // the whole aggregation
+      if (tokenMd5 == null) return acc
       var p = 0
       while (p < 16) {
         val digit = Character.digit(tokenMd5.charAt(p), 16)

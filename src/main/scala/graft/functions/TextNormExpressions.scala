@@ -20,7 +20,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * kernels (TextHashAggregators).
   */
 object TextNorm {
-  private def norm(s: UTF8String, form: Normalizer.Form): UTF8String = {
+  private[functions] def norm(s: UTF8String, form: Normalizer.Form): UTF8String = {
     val str = s.toString
     // fast path: NFC/NFKC-normalized is the common case for real corpora
     // (ASCII always is); skip the allocation when already normalized
@@ -53,11 +53,10 @@ case class UnicodeNormalize(child: Expression, form: String)
 
   @transient private lazy val javaForm = Normalizer.Form.valueOf(form)
 
-  override protected def nullSafeEval(v: Any): Any = {
-    val s = v.asInstanceOf[UTF8String].toString
-    if (Normalizer.isNormalized(s, javaForm)) v
-    else UTF8String.fromString(Normalizer.normalize(s, javaForm))
-  }
+  // dispatch to the SAME static helper the generated code calls, so
+  // interpreted eval and codegen can never diverge
+  override protected def nullSafeEval(v: Any): Any =
+    TextNorm.norm(v.asInstanceOf[UTF8String], javaForm)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,

@@ -22,7 +22,10 @@ import org.apache.spark.sql.types._
   *
   * Accumulation is double (floats widened per element, ascending index
   * order) — matches an oracle that casts to DOUBLE[] before folding.
-  * Dimension mismatch folds over the shorter prefix; null input → null.
+  * Dimension mismatch folds over the shorter prefix; null input → null,
+  * and a null ELEMENT also → null (DuckDB's list fold propagates NULL —
+  * treating a null slot as 0.0 would silently skew every similarity
+  * score computed from a partially-null vector).
   */
 trait VecArrayHelpers { self: Expression =>
   protected def elemType(e: Expression): DataType =
@@ -62,6 +65,7 @@ case class VecDot(left: Expression, right: Expression)
   override def checkInputDataTypes(): TypeCheckResult =
     checkVecInputs(Seq(left, right))
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true // null ELEMENTS also null the result
   override def prettyName: String = "vec_dot"
 
   override protected def nullSafeEval(l: Any, r: Any): Any = {
@@ -70,7 +74,11 @@ case class VecDot(left: Expression, right: Expression)
     val n = math.min(a.numElements(), b.numElements())
     var sum = 0.0
     var i = 0
-    while (i < n) { sum += elemAt(a, lt, i) * elemAt(b, rt, i); i += 1 }
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      sum += elemAt(a, lt, i) * elemAt(b, rt, i)
+      i += 1
+    }
     sum
   }
 
@@ -84,9 +92,10 @@ case class VecDot(left: Expression, right: Expression)
          |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $sum = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  $sum += (double) $a.$ga($i) * (double) $b.$gb($i);
          |}
-         |${ev.value} = $sum;
+         |if (!${ev.isNull}) { ${ev.value} = $sum; }
        """.stripMargin
     })
 
@@ -102,6 +111,7 @@ case class VecNorm(child: Expression)
   override def checkInputDataTypes(): TypeCheckResult =
     checkVecInputs(Seq(child))
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true // null ELEMENTS also null the result
   override def prettyName: String = "vec_norm"
 
   override protected def nullSafeEval(v: Any): Any = {
@@ -110,7 +120,10 @@ case class VecNorm(child: Expression)
     val n = a.numElements()
     var sum = 0.0
     var i = 0
-    while (i < n) { val x = elemAt(a, t, i); sum += x * x; i += 1 }
+    while (i < n) {
+      if (a.isNullAt(i)) return null
+      val x = elemAt(a, t, i); sum += x * x; i += 1
+    }
     math.sqrt(sum)
   }
 
@@ -125,10 +138,11 @@ case class VecNorm(child: Expression)
          |final int $n = $a.numElements();
          |double $sum = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  final double $x = (double) $a.$g($i);
          |  $sum += $x * $x;
          |}
-         |${ev.value} = java.lang.Math.sqrt($sum);
+         |if (!${ev.isNull}) { ${ev.value} = java.lang.Math.sqrt($sum); }
        """.stripMargin
     })
 

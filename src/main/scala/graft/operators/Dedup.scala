@@ -686,8 +686,10 @@ object Dedup {
   /** 64-bit SimHash per document as a 16-hex signature — one narrow
     * scalar pass over the token array (no explode, no shuffle). For
     * inputs where tokens arrive as rows (streams, EAV tables), use
-    * `TextHashAggregators.SimHashAggregator` instead: same result,
-    * aggregation shape. */
+    * `TextHashAggregators.SimHashAggregator` instead: same result over
+    * DISTINCT (id, token) rows — dedup before aggregating, because the
+    * scalar kernel votes once per distinct token while the aggregator
+    * votes once per row. */
   def simHashSignatures(docs: DataFrame, id: String, text: String): DataFrame =
     docs.select(col(id),
       TextHashAggregators.simhashOfTokens(split(lower(col(text)), " ")).as("simhash"))

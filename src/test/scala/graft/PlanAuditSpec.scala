@@ -88,12 +88,20 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     val toks = Tables.documents(spark, d)
       .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
       .select(col("doc_id"), md5(col("tok")).as("h"))
+      .distinct() // the aggregator's contract: one row per distinct token
       .groupBy("doc_id")
       .agg(graft.functions.TextHashAggregators.simhash(col("h")).as("simhash"))
     val p = plan(toks)
-    // ObjectHashAggregate partial + final around a single exchange
+    // ObjectHashAggregate partial + final; the distinct adds its own
+    // exchange ahead of the group-by's
     assert("ObjectHashAggregate".r.findAllIn(p).size == 2, p)
-    assert("Exchange".r.findAllIn(p).size == 1, p)
+    assert("Exchange".r.findAllIn(p).size == 2, p)
+    // and the two shapes now agree: scalar kernel ≡ distinct-fed aggregator
+    val viaScalar = graft.operators.Dedup
+      .simHashSignatures(Tables.documents(spark, d), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val viaAgg = toks.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(viaScalar == viaAgg)
   }
 
   test("q40: IVF probe side is broadcast — the corpus scan never moves for the query") {

@@ -65,6 +65,19 @@ class QuantileSketchSpec extends SparkSpec {
       assert(QuantileSketch.quantile(const, q) === 7.5)
   }
 
+  test("null rows are skipped like percentile_approx; an all-null group yields null") {
+    import spark.implicits._
+    val df = Seq[(Long, Option[Double])](
+      (1L, Some(1.0)), (1L, None), (1L, Some(3.0)),
+      (2L, None), (2L, None))
+      .toDF("g", "x")
+    val got = df.groupBy("g")
+      .agg(graft.functions.QuantileSketch.tdigestQuantile(0.5)(col("x")).as("med"))
+      .orderBy("g").collect()
+    assert(got(0).getDouble(1) == 2.0) // nulls skipped, median of {1, 3}
+    assert(got(1).isNullAt(1))         // all-null group → null, not a crash
+  }
+
   test("as a grouped udaf the estimate lands within 3% rank error per group") {
     import spark.implicits._
     val df = data.zipWithIndex

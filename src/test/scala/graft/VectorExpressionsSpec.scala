@@ -66,4 +66,30 @@ class VectorExpressionsSpec extends AnyFunSuite with SparkSpec {
       df.select(vec.norm(col("id"))).head()
     }
   }
+
+  test("a null ELEMENT nulls the result (DuckDB list-fold parity), in both eval paths") {
+    val schema = StructType(Seq(
+      StructField("a", ArrayType(DoubleType, containsNull = true)),
+      StructField("b", ArrayType(DoubleType, containsNull = true))))
+    val df = spark.createDataFrame(
+      java.util.List.of(
+        Row(Seq[Any](2.0, null, 9.0), Seq[Any](1.0, 1.0, 1.0)),
+        Row(Seq[Any](2.0, 3.0), Seq[Any](1.0, 1.0))), schema)
+    val rows = df.select(
+      vec.dot(col("a"), col("b")).as("d"),
+      vec.norm(col("a")).as("n")).collect()
+    assert(rows(0).isNullAt(0) && rows(0).isNullAt(1),
+      "null element must propagate, not count as 0.0")
+    assert(rows(1).getDouble(0) == 5.0)
+    // interpreted path too (codegen disabled)
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val r2 = df.select(vec.dot(col("a"), col("b"))).collect()
+      assert(r2(0).isNullAt(0) && r2(1).getDouble(0) == 5.0)
+    } finally {
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+      spark.conf.set("spark.sql.codegen.wholeStage", prev)
+    }
+  }
 }
