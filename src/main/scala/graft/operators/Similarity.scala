@@ -509,6 +509,40 @@ object Similarity {
     java.math.BigDecimal.valueOf(x)
       .setScale(scale, java.math.RoundingMode.HALF_UP).doubleValue()
 
+  /** The ADC arithmetic shared by [[pqTopKImpl]] and [[ivfPqRecallEval]]:
+    * the query's per-(subspace, codeword) squared distances form an
+    * O(m·ksub) driver-side LUT (roundHalfUp to 6 dp — the same decimal
+    * rule as engine ROUND); each vector's approximate distance is the
+    * m-term lookup sum over its `codes` column, accumulated in subspace
+    * order, rounded to `roundAt` for ranking.
+    *
+    * A persisted index can drift from the model (retrained codebooks,
+    * truncated arrays): out-of-range codes would make element_at return
+    * NULL, and NULL adist sorts FIRST ascending — corrupt rows would
+    * silently fill every candidate slot. Fail loudly instead. */
+  private def adcDistCol(model: PqModel, q: Array[Double], id: String,
+      roundAt: Int): Column = {
+    val lut: Array[Array[Double]] = Array.tabulate(model.m) { j =>
+      model.codebooks(j).map { cw =>
+        var s = 0.0
+        var i = 0
+        while (i < model.sub) {
+          val dlt = q(j * model.sub + i) - cw(i); s += dlt * dlt; i += 1
+        }
+        roundHalfUp(s, 6)
+      }
+    }
+    val adist = (0 until model.m).map { j =>
+      val lutLit = array(lut(j).map(lit).toIndexedSeq: _*)
+      element_at(lutLit, (element_at(col("codes"), j + 1) + 1).cast("int"))
+    }.reduce(_ + _)
+    val okCodes = size(col("codes")) === model.m &&
+      forall(col("codes"), c => c >= 0 && c < model.ksub)
+    when(okCodes, round(adist, roundAt)).otherwise(raise_error(
+      format_string(s"pq codes/model mismatch (m=${model.m} ksub=${model.ksub}) at id=%s",
+        col(id).cast("string"))))
+  }
+
   /** PQ top-k by asymmetric distance computation (ADC) with exact
     * re-rank: the query's per-(subspace, codeword) squared distances form
     * an O(m·ksub) lookup table computed on the driver (model state); each
@@ -567,31 +601,8 @@ object Similarity {
     val qF: Seq[Float] = query.get
     val q = qF.map(_.toDouble).toArray
     require(q.length == model.m * model.sub, "query dim != model dim")
-    val lut: Array[Array[Double]] = Array.tabulate(model.m) { j =>
-      model.codebooks(j).map { cw =>
-        var s = 0.0
-        var i = 0
-        while (i < model.sub) {
-          val dlt = q(j * model.sub + i) - cw(i); s += dlt * dlt; i += 1
-        }
-        roundHalfUp(s, 6)
-      }
-    }
-    val adist = (0 until model.m).map { j =>
-      val lutLit = array(lut(j).map(lit).toIndexedSeq: _*)
-      element_at(lutLit, (element_at(col("codes"), j + 1) + 1).cast("int"))
-    }.reduce(_ + _)
-    // a persisted index can drift from the model (retrained codebooks,
-    // truncated arrays): out-of-range codes would make element_at
-    // return NULL, and NULL adist sorts FIRST ascending — corrupt rows
-    // would silently fill every candidate slot. Fail loudly instead.
-    val okCodes = size(col("codes")) === model.m &&
-      forall(col("codes"), c => c >= 0 && c < model.ksub)
     val cands = codes.filter(col(id) =!= queryId)
-      .withColumn("adist",
-        when(okCodes, round(adist, roundAt)).otherwise(raise_error(
-          format_string(s"pq codes/model mismatch (m=${model.m} ksub=${model.ksub}) at id=%s",
-            col(id).cast("string")))))
+      .withColumn("adist", adcDistCol(model, q, id, roundAt))
       .orderBy(asc("adist"), asc(id))
       .limit(refine)
       .drop("codes")
@@ -657,5 +668,134 @@ object Similarity {
       .drop("qv")
       .orderBy(desc("sim"), asc(id))
       .limit(k)
+  }
+
+  /** IVF recall evaluation — the (query × nprobe → recall@k vs exact
+    * brute force) dial table an operator reads before sizing a deployed
+    * index. The corpus-wide work is computed ONCE and shared by every
+    * dial: one [[ivfAssign]] cell-assignment scan and one corpus ×
+    * query-batch cosine pass, whose brute ground-truth rank is a window
+    * COLUMN on the same frame — so sweeping 12 dials costs the same two
+    * scans as sweeping one. (The naive per-dial composition — ivfTopK +
+    * cosineTopK per (query, nprobe) — re-scans the corpus twice per dial
+    * and cannot run against a billion-vector index; PlanAuditSpec pins
+    * this shape's scan count as dial-independent.)
+    *
+    * Every rank key is rounded-first with an id tie-break ([[cosineTopK]]'s
+    * cross-engine rule). The ground-truth rank window partitions by query
+    * id, so its parallelism is the query-batch size — the right shape
+    * when recall is measured over a sampled batch, which is how recall
+    * is measured. Output: (query_id, nprobe, recall_at_k). */
+  def recallEval(emb: DataFrame, id: String, queryIds: Seq[Long],
+      anchors: DataFrame, nprobes: Seq[Int], k: Int,
+      roundAt: Int = 4): DataFrame = {
+    require(queryIds.nonEmpty && k >= 1)
+    require(nprobes.nonEmpty && nprobes.forall(_ >= 1))
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val recallCol = s"recall_at_$k"
+    val paramsDf = queryIds.flatMap(q => nprobes.map(np => (q, np)))
+      .toDF("q_id", "nprobe")
+    val q = emb.filter(col(id).isInCollection(queryIds))
+      .select(col(id).as("q_id"), col("embedding").as("qv"))
+    // scan 1: corpus × query-batch cosine, brute rank as a column
+    val scored = emb.select(col(id), col("embedding"))
+      .join(broadcast(q), col(id) =!= col("q_id"))
+      .select(col("q_id"), col(id),
+        round(nanvl(vec.cosine(col("embedding"), col("qv")), lit(-1.0)), roundAt).as("sim"))
+      .withColumn("brute_rk",
+        row_number().over(Window.partitionBy("q_id").orderBy(desc("sim"), asc(id))))
+    // scan 2: ONE cell assignment, shared by every dial
+    val assigned = ivfAssign(emb.select(col(id), col("embedding")), anchors, id, roundAt)
+      .select(col(id), col("cell"))
+    // probe ranking per query over the tiny anchor grid, capped at the
+    // widest dial (same NaN → -1 / rounded-first / id-tie rule as
+    // probeCellsDf)
+    val probes = anchors.crossJoin(broadcast(q))
+      .select(col("q_id"), col("anchor_id").as("cell"),
+        round(nanvl(vec.cosine(col("av"), col("qv")), lit(-1.0)), roundAt).as("qcos"))
+      .withColumn("prk",
+        row_number().over(Window.partitionBy("q_id").orderBy(desc("qcos"), asc("cell"))))
+      .filter(col("prk") <= nprobes.max)
+      .select("q_id", "cell", "prk")
+    // per-dial work starts HERE, on cell-pruned candidates only: a rank
+    // window per (query, nprobe) and the recall fold
+    val hits = scored
+      .join(assigned, Seq(id))
+      .join(broadcast(probes), Seq("q_id", "cell"))
+      .join(broadcast(paramsDf), Seq("q_id"))
+      .filter(col("prk") <= col("nprobe"))
+      .withColumn("ivf_rk", row_number().over(
+        Window.partitionBy("q_id", "nprobe").orderBy(desc("sim"), asc(id))))
+      .filter(col("ivf_rk") <= k)
+    val recall = hits.groupBy("q_id", "nprobe")
+      .agg(round(sum(when(col("brute_rk") <= k, 1).otherwise(0)) / k.toDouble, roundAt)
+        .as(recallCol))
+    // left join back so a dial whose probed cells hold zero candidates
+    // still reports recall 0 instead of vanishing
+    paramsDf.join(recall, Seq("q_id", "nprobe"), "left")
+      .select(col("q_id").as("query_id"), col("nprobe"),
+        coalesce(col(recallCol), lit(0.0)).as(recallCol))
+      .orderBy("query_id", "nprobe")
+  }
+
+  /** IVF-PQ recall evaluation over (nprobe, refine) dials for one query
+    * — the same shared-scan discipline as [[recallEval]]: ONE
+    * assign+encode pass over the corpus, ONE ADC evaluation per
+    * candidate (the approximate distance does not depend on the dial),
+    * one exact brute top-k; the per-dial residue is a rank window over
+    * cell-pruned candidates and a refine-bounded exact re-rank.
+    * Output: (nprobe, refine, recall_at_k). */
+  def ivfPqRecallEval(emb: DataFrame, id: String, queryId: Long,
+      anchors: DataFrame, model: PqModel, dials: Seq[(Int, Int)], k: Int,
+      roundAt: Int = 4): DataFrame = {
+    require(k >= 1 && dials.nonEmpty && dials.forall(d => d._1 >= 1 && d._2 >= 1))
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val recallCol = s"recall_at_$k"
+    val paramsDf = dials.toDF("nprobe", "refine")
+    val vectors = emb.select(col(id), col("embedding"))
+    val qRows = vectors.filter(col(id) === queryId).select("embedding").take(1)
+    if (qRows.isEmpty) // absent query: every dial retrieves nothing
+      return paramsDf.withColumn(recallCol, lit(0.0)).orderBy("nprobe", "refine")
+    val qF = qRows(0).getSeq[Float](0)
+    val q = qF.map(_.toDouble).toArray
+    require(q.length == model.m * model.sub, "query dim != model dim")
+    val qLit = typedLit(qF)
+    // scan 1: ONE assignment + PQ encode over the corpus
+    val idx = ivfAssign(emb, anchors, id, roundAt)
+      .withColumn("codes", pqCodesCol(col("embedding"), model, roundAt))
+      .select(col(id), col("cell"), col("codes"))
+    val probes = anchors
+      .select(col("anchor_id").as("cell"),
+        round(nanvl(vec.cosine(col("av"), qLit), lit(-1.0)), roundAt).as("qcos"))
+      .withColumn("prk", row_number().over(Window.orderBy(desc("qcos"), asc("cell"))))
+      .filter(col("prk") <= dials.map(_._1).max)
+      .select("cell", "prk")
+    // ADC once per candidate in any probed cell — dial-independent
+    val scoredAd = idx.filter(col(id) =!= queryId)
+      .join(broadcast(probes), Seq("cell"))
+      .withColumn("adist", adcDistCol(model, q, id, roundAt))
+      .select(col(id), col("prk"), col("adist"))
+    val refined = scoredAd.join(broadcast(paramsDf), col("prk") <= col("nprobe"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("nprobe", "refine").orderBy(asc("adist"), asc(id))))
+      .filter(col("rk") <= col("refine"))
+      .select(col("nprobe"), col("refine"), col(id))
+    // exact re-rank: Σ refine rows joined back to the float vectors
+    val hits = vectors.join(broadcast(refined), Seq(id))
+      .withColumn("sim", round(nanvl(vec.cosine(col("embedding"), qLit), lit(-1.0)), roundAt))
+      .withColumn("srk", row_number().over(
+        Window.partitionBy("nprobe", "refine").orderBy(desc("sim"), asc(id))))
+      .filter(col("srk") <= k)
+      .select(col("nprobe"), col("refine"), col(id))
+    val brute = cosineTopK(emb, id, queryId, k, roundAt).select(col(id))
+    val recall = hits.join(brute, Seq(id))
+      .groupBy("nprobe", "refine")
+      .agg(round(count(lit(1)) / k.toDouble, roundAt).as(recallCol))
+    paramsDf.join(recall, Seq("nprobe", "refine"), "left")
+      .select(col("nprobe"), col("refine"),
+        coalesce(col(recallCol), lit(0.0)).as(recallCol))
+      .orderBy("nprobe", "refine")
   }
 }

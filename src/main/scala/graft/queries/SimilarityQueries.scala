@@ -654,28 +654,21 @@ object SimilarityQueries {
     * against [[q34]]'s exact brute force, swept over 4 query vectors ×
     * nprobe ∈ {1, 2, 4} — the recall/cost dial table an operator reads
     * before sizing a deployed index (documented in SimilaritySpec, now
-    * pinned in CORRECTNESS). The oracle replays assignment, probe
-    * ranking and both top-10s generically over a params grid rather
-    * than 12 copied CTE chains. */
+    * pinned in CORRECTNESS). Runs through Similarity.recallEval, which
+    * computes the corpus-wide work (cell assignment, query-batch cosine
+    * + brute ranks) ONCE and sweeps the 12 dials over the shared frames
+    * — PlanAuditSpec pins the scan count as dial-independent. The
+    * oracle replays assignment, probe ranking and both top-10s
+    * generically over a params grid rather than 12 copied CTE chains. */
   val q206 = Q(
     "q206_ann_recall_eval",
     (s, d) => {
       val e = Tables.embeddings(s, d)
       val anchors = e.filter(col("vec_id") < 8)
         .select(col("vec_id").as("anchor_id"), col("embedding").as("av"))
-      val dials = for (qid <- Seq(0L, 1L, 2L, 3L); np <- Seq(1, 2, 4))
-        yield (qid, np)
-      dials.map { case (qid, np) =>
-        val brute = graft.operators.Similarity
-          .cosineTopK(e, "vec_id", qid, k = 10).select("vec_id")
-        val ivf = graft.operators.Similarity
-          .ivfTopK(e, "vec_id", qid, anchors, nprobe = np, k = 10)
-          .select("vec_id")
-        ivf.join(brute, Seq("vec_id"))
-          .agg(round(count(lit(1)) / 10.0, 4).as("recall_at_10"))
-          .select(lit(qid).as("query_id"), lit(np).as("nprobe"),
-            col("recall_at_10"))
-      }.reduce(_.unionAll(_)).orderBy("query_id", "nprobe")
+      graft.operators.Similarity.recallEval(
+        e, "vec_id", queryIds = Seq(0L, 1L, 2L, 3L), anchors,
+        nprobes = Seq(1, 2, 4), k = 10)
     },
     Some("""
       WITH params AS (SELECT CAST(q.query_id AS BIGINT) AS query_id, n.nprobe
@@ -729,6 +722,9 @@ object SimilarityQueries {
     * cell-pruned + product-quantized search ([[q178]]) against exact
     * brute force, swept over (nprobe, refine) — the two dials that
     * trade recall for read volume on a deployed billion-vector index.
+    * Runs through Similarity.ivfPqRecallEval: ONE assign+encode scan,
+    * one dial-independent ADC per candidate, one brute top-10 — shared
+    * by every dial instead of recomputed per (nprobe, refine).
     * Oracle = q178's replay chain parameterized by a params grid, plus
     * the q34 brute top-10 and the recall fold. */
   val q207 = Q(
@@ -737,20 +733,9 @@ object SimilarityQueries {
       val e = Tables.embeddings(s, d)
       val anchors = e.filter(col("vec_id") < 8)
         .select(col("vec_id").as("anchor_id"), col("embedding").as("av"))
-      val model = pqModel(s, d)
-      val dials = Seq((1, 20), (2, 40), (4, 40))
-      dials.map { case (np, rf) =>
-        val hits = graft.operators.Similarity
-          .ivfPqTopK(e, "vec_id", queryId = 0, anchors, model,
-            nprobe = np, refine = rf, k = 10)
-          .select("vec_id")
-        val brute = graft.operators.Similarity
-          .cosineTopK(e, "vec_id", queryId = 0, k = 10).select("vec_id")
-        hits.join(brute, Seq("vec_id"))
-          .agg(round(count(lit(1)) / 10.0, 4).as("recall_at_10"))
-          .select(lit(np).as("nprobe"), lit(rf).as("refine"),
-            col("recall_at_10"))
-      }.reduce(_.unionAll(_)).orderBy("nprobe", "refine")
+      graft.operators.Similarity.ivfPqRecallEval(
+        e, "vec_id", queryId = 0, anchors, pqModel(s, d),
+        dials = Seq((1, 20), (2, 40), (4, 40)), k = 10)
     },
     Some(s"""
       WITH $PqCtes,

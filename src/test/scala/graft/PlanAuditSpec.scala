@@ -591,6 +591,33 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert(!pp.contains("Window") && !pp.contains("Join"), pp)
   }
 
+  test("recallEval: corpus scan count is dial-independent (one assignment, one sims pass)") {
+    val e = Tables.embeddings(spark, d)
+    val anchors = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("anchor_id"), col("embedding").as("av"))
+    def scans(df: DataFrame): Int =
+      "Scan parquet|FileScan parquet|BatchScan".r.findAllIn(plan(df)).size
+    // the naive per-dial composition re-scanned the corpus 2× per dial;
+    // the shared-scan eval must read the same number of times for 1
+    // dial as for 12 — a regression here dies at a billion-vector index
+    val one = scans(graft.operators.Similarity.recallEval(
+      e, "vec_id", queryIds = Seq(0L), anchors, nprobes = Seq(1), k = 10))
+    val twelve = scans(graft.operators.Similarity.recallEval(
+      e, "vec_id", queryIds = Seq(0L, 1L, 2L, 3L), anchors,
+      nprobes = Seq(1, 2, 4), k = 10))
+    assert(twelve == one, s"scan count grew with dial count: $one -> $twelve")
+    assert(twelve <= 5, s"expected <=5 embedding scans, got $twelve")
+    val pqOne = scans(graft.operators.Similarity.ivfPqRecallEval(
+      e, "vec_id", queryId = 0, anchors,
+      graft.operators.Similarity.pqCodebooksSampled(anchors, m = 4),
+      dials = Seq((1, 20)), k = 10))
+    val pqThree = scans(graft.operators.Similarity.ivfPqRecallEval(
+      e, "vec_id", queryId = 0, anchors,
+      graft.operators.Similarity.pqCodebooksSampled(anchors, m = 4),
+      dials = Seq((1, 20), (2, 40), (4, 40)), k = 10))
+    assert(pqThree == pqOne, s"PQ scan count grew with dial count: $pqOne -> $pqThree")
+  }
+
   test("events scan converts nanos without breaking codegen") {
     val p = plan(Tables.events(spark, d).filter(col("event_type") === "click")
       .select("event_id", "ts"))
