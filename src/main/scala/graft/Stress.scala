@@ -318,6 +318,19 @@ object Stress {
         seqLen = 2048).count()
     }
 
+    // Ledger compaction: ×N audit HISTORY (mult batches per doc over the
+    // base corpus). One id-keyed shuffle + a per-doc window over depth
+    // rows; cost must track the ledger mass (docs × depth) — linear in
+    // the multiplier because the INPUT is — never corpus × history².
+    time("compact_ledger") {
+      val base = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), (length(col("text")) % 1000).as("n_tokens"))
+      val ledger = base
+        .crossJoin(replicas.select(col("r").cast("long").as("batch")))
+        .withColumn("kept", (col("doc_id") + col("batch")) % 3 =!= 0)
+      CorpusPipeline.compactLedger(ledger, "doc_id").count()
+    }
+
     // embeddings: each replica is the base vector cyclically ROTATED by r
     // positions — norms and all within-replica cosines are preserved
     // exactly, while cross-replica cosines are decorrelated (a rotation
@@ -342,6 +355,40 @@ object Stress {
     time("kmeans") {
       graft.operators.Similarity.kmeans(embs, "vec_id", k = 8, iters = 3)
         ._1.groupBy("cluster").count().count()
+    }
+    // Recall eval: 12 dials over the ×N corpus must cost the shared
+    // scans (one assignment + one query-batch cosine), not 12 corpus
+    // passes — the q206 restructure's scale claim.
+    time("ann_recall_eval") {
+      val anchors8 = embs.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("anchor_id"), col("embedding").as("av"))
+      graft.operators.Similarity.recallEval(embs, "vec_id",
+        queryIds = Seq(0L, 1L, 2L, 3L), anchors8,
+        nprobes = Seq(1, 2, 4), k = 10).count()
+    }
+    // Index append: growing a STORED (mult-1)× IVF index by one
+    // replica's batch must cost assignment + append over the batch, not
+    // the index — the ANN twin of incremental_lsh_append. The skew
+    // report the operator returns is lazy (a column-pruned scan of the
+    // index when consumed) and oracle-pinned by q210; the timed path is
+    // the batch-proportional ingest.
+    locally {
+      val cut = (mult - 1).toLong * 10000000L
+      val anchors8 = embs.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("anchor_id"), col("embedding").as("av"))
+      val db = "graft_stress_ivf"
+      val loc = java.nio.file.Files.createTempDirectory("graft-stress-ivf")
+      spark.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$loc'")
+      spark.sql(s"DROP TABLE IF EXISTS $db.emb_ivf")
+      graft.operators.Similarity.ivfBuildIndex( // amortized one-off, not timed
+        embs.filter(col("vec_id") < cut), anchors8, "vec_id",
+        s"$db.emb_ivf", numBuckets = 8)
+      val batch = embs.filter(col("vec_id") >= cut)
+      time("ivf_index_append") {
+        graft.operators.Similarity.ivfIndexAppend(
+          batch, anchors8, "vec_id", s"$db.emb_ivf", numBuckets = 8)
+        batch.count()
+      }
     }
     embs.unpersist()
 

@@ -29,6 +29,19 @@ object Layout {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Batch append into an existing bucketed table with the same spec —
+    * the incremental-ingest twin of [[writeBucketed]]. Spark checks the
+    * declared (numBuckets, bucketCols) against the catalog's and fails
+    * the append on a mismatch, so layout drift is loud, never silent. */
+  def appendBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+      numBuckets: Int): Unit =
+    df.write
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .mode("append")
+      .format("parquet")
+      .saveAsTable(table)
+
   /** Salted equi-join for skewed keys: the (small) `dim` side is
     * replicated `salts`× and the skewed side scatters uniformly across
     * the salt domain. Row-level salt assignment uses a hash of the whole

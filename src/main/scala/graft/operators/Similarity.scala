@@ -285,6 +285,66 @@ object Similarity {
     Layout.writeBucketed(ivfAssign(emb, anchors, id, roundAt), table,
       bucketCols = Seq("cell"), numBuckets = numBuckets)
 
+  /** Incremental append to a persisted IVF index: assign ONLY the new
+    * vectors against the EXISTING anchor grid and append them to the
+    * bucketed store — the ingest path that grows a deployed index by a
+    * batch without re-encoding the corpus (the ANN twin of
+    * Dedup.incrementalLshPairs). Cost is batch-proportional: one
+    * assignment scan over `newVecs` plus a bucketed append; the existing
+    * index files are never read or rewritten, and because [[ivfAssign]]
+    * is a pure per-vector function of (vector, anchors), the appended
+    * index is row-identical to a full rebuild over old ∪ new
+    * (oracle-pinned by q209, spec-pinned for the PQ twin).
+    *
+    * Returns the post-append [[ivfCellStats]] occupancy report: appended
+    * batches follow the OLD centroids, so drifting data shows up as a
+    * climbing max ratio_to_mean on the hot cells — the operator's signal
+    * to re-train anchors and rebuild rather than keep appending. Spark
+    * validates the bucket spec against the catalog on append, so a
+    * writer configured with a different numBuckets fails loudly instead
+    * of corrupting the layout. */
+  def ivfIndexAppend(newVecs: DataFrame, anchors: DataFrame, id: String,
+      table: String, numBuckets: Int = 16, roundAt: Int = 4): DataFrame = {
+    Layout.appendBucketed(ivfAssign(newVecs, anchors, id, roundAt), table,
+      bucketCols = Seq("cell"), numBuckets = numBuckets)
+    ivfCellStats(newVecs.sparkSession, table, roundAt)
+  }
+
+  /** Incremental append to a persisted IVF-PQ codes index
+    * ([[ivfPqBuildIndex]]'s table): assign + PQ-encode only the batch
+    * under the EXISTING anchors and codebook, append the codes rows.
+    * Same equivalence argument as [[ivfIndexAppend]] (assignment and
+    * encoding are pure per-vector functions of the frozen model), same
+    * skew report — plus the PQ-specific caveat that a frozen codebook's
+    * quantization error grows as the data distribution drifts, which the
+    * cell-occupancy skew is the cheap observable proxy for. */
+  def ivfPqIndexAppend(newVecs: DataFrame, anchors: DataFrame, id: String,
+      model: PqModel, table: String, numBuckets: Int = 16,
+      roundAt: Int = 4): DataFrame = {
+    Layout.appendBucketed(
+      ivfAssign(newVecs, anchors, id, roundAt)
+        .withColumn("codes", pqCodesCol(col("embedding"), model, roundAt))
+        .drop("embedding"),
+      table, bucketCols = Seq("cell"), numBuckets = numBuckets)
+    ivfCellStats(newVecs.sparkSession, table, roundAt)
+  }
+
+  /** Per-cell occupancy of a persisted IVF(-PQ) index: vectors per cell
+    * and each cell's ratio to the mean occupancy — the skew report that
+    * tells an operator when the anchor grid has drifted from the data
+    * (one cell absorbing appends ⇒ its probe reads stop pruning; time to
+    * re-train + rebuild). One count agg over the index's cell column
+    * (bucket-local, no wide shuffle) joined against its own 1-row mean. */
+  def ivfCellStats(spark: org.apache.spark.sql.SparkSession, table: String,
+      roundAt: Int = 4): DataFrame = {
+    val counts = spark.table(table).groupBy("cell")
+      .agg(count(lit(1)).as("n_vectors"))
+    counts.crossJoin(broadcast(counts.agg(avg("n_vectors").as("mean_n"))))
+      .select(col("cell"), col("n_vectors"),
+        round(col("n_vectors") / col("mean_n"), roundAt).as("ratio_to_mean"))
+      .orderBy("cell")
+  }
+
   /** The ONE probe-cell ranking all search paths share: anchors by
     * rounded query cosine desc, anchor id asc, NaN (zero-norm) → -1 so
     * degenerate anchors rank last deterministically — the same rule as

@@ -793,7 +793,110 @@ object SimilarityQueries {
       GROUP BY p.nprobe, p.refine
       ORDER BY p.nprobe, p.refine"""))
 
+  /** The build-then-append fixture q209/q210 share: persist the lower
+    * half of the corpus (by id) as the existing cell-bucketed IVF index,
+    * then [[graft.operators.Similarity.ivfIndexAppend]] the upper half —
+    * the q170/q192 split device on the ANN side. Returns the appended
+    * table's name and the append's skew report. Each call builds into a
+    * fresh temp location so the queries stay self-contained under
+    * SPARK_GRAFT_ONLY and repeated Bench runs. */
+  private def ivfAppendFixture(s: SparkSession, d: String): (String, DataFrame) = {
+    val e = Tables.embeddings(s, d)
+    val anchors = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("anchor_id"), col("embedding").as("av"))
+    val db = "graft_ivf_append"
+    val loc = java.nio.file.Files.createTempDirectory("graft-ivf-append")
+    s.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$loc'")
+    s.sql(s"DROP TABLE IF EXISTS $db.emb_ivf")
+    val mx = e.agg(max("vec_id")).head().getLong(0)
+    val cut = (mx + 1) / 2
+    graft.operators.Similarity.ivfBuildIndex(
+      e.filter(col("vec_id") < cut), anchors, "vec_id",
+      s"$db.emb_ivf", numBuckets = 8)
+    val skew = graft.operators.Similarity.ivfIndexAppend(
+      e.filter(col("vec_id") >= cut), anchors, "vec_id",
+      s"$db.emb_ivf", numBuckets = 8)
+    (s"$db.emb_ivf", skew)
+  }
+
+  /** Incremental IVF index append, search-equivalence face: build the
+    * persisted index from HALF the corpus, ivfIndexAppend the other
+    * half, then search the appended store — the oracle is q40's
+    * full-corpus IVF replay, so green here PROVES append ≡ rebuild
+    * (assignment is a pure per-vector function of the frozen anchors).
+    * This is the ingest path that grows a 100 TB index
+    * batch-proportionally instead of re-encoding the corpus. */
+  val q209 = Q(
+    "q209_ivf_index_append",
+    (s, d) => {
+      val (table, _) = ivfAppendFixture(s, d)
+      val e = Tables.embeddings(s, d)
+      val anchors = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("anchor_id"), col("embedding").as("av"))
+      val qv = e.filter(col("vec_id") === 0)
+        .head().getAs[Seq[Float]]("embedding").toArray
+      graft.operators.Similarity.ivfSearchIndexed(
+          s, table, "vec_id", qv, anchors, nprobe = 2, k = 10,
+          excludeId = Some(0L))
+        .select("vec_id", "label", "sim")
+    },
+    Some("""
+      WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+      anchors AS (SELECT vec_id AS anchor_id, CAST(embedding AS DOUBLE[]) AS av
+                  FROM embeddings WHERE vec_id < 8),
+      assigned AS (
+        SELECT vec_id, label, embedding, anchor_id AS cell FROM (
+          SELECT e.vec_id, e.label, e.embedding, a.anchor_id,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY ROUND(CASE WHEN isnan(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), a.av))
+                                       THEN -1 ELSE list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), a.av) END, 4) DESC,
+                            a.anchor_id) AS rk
+          FROM embeddings e CROSS JOIN anchors a) t
+        WHERE rk = 1),
+      probe AS (
+        SELECT anchor_id AS cell FROM anchors, q
+        ORDER BY ROUND(CASE WHEN isnan(list_cosine_similarity(av, qv))
+                            THEN -1 ELSE list_cosine_similarity(av, qv) END, 4) DESC,
+                 anchor_id
+        LIMIT 2)
+      SELECT vec_id, label,
+             ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv), 4) AS sim
+      FROM assigned JOIN probe USING (cell), q
+      WHERE vec_id <> 0
+      ORDER BY sim DESC, vec_id
+      LIMIT 10"""))
+
+  /** Incremental IVF index append, skew-report face: the per-cell
+    * occupancy table [[graft.operators.Similarity.ivfIndexAppend]]
+    * returns after landing a batch — n_vectors per cell and its ratio to
+    * the mean, the drift observable that tells the operator when the
+    * frozen anchor grid needs a re-train+rebuild. Oracle = the q40
+    * assignment replay over the full corpus, grouped, against its own
+    * average. */
+  val q210 = Q(
+    "q210_ivf_append_skew",
+    (s, d) => ivfAppendFixture(s, d)._2,
+    Some("""
+      WITH anchors AS (SELECT vec_id AS anchor_id, CAST(embedding AS DOUBLE[]) AS av
+                       FROM embeddings WHERE vec_id < 8),
+      assigned AS (
+        SELECT vec_id, anchor_id AS cell FROM (
+          SELECT e.vec_id, a.anchor_id,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY ROUND(CASE WHEN isnan(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), a.av))
+                                       THEN -1 ELSE list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), a.av) END, 4) DESC,
+                            a.anchor_id) AS rk
+          FROM embeddings e CROSS JOIN anchors a) t
+        WHERE rk = 1),
+      counts AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vectors
+                 FROM assigned GROUP BY cell)
+      SELECT cell, n_vectors,
+             ROUND(n_vectors / (SELECT AVG(n_vectors) FROM counts), 4) AS ratio_to_mean
+      FROM counts ORDER BY cell"""))
+
   def all: Seq[Q] =
     Seq(q34, q35, q39, q40, q48, q59, q60, q109, q136, q155, q171, q172,
-      q178, q184, q185, q190, q206, q207)
+      q178, q184, q185, q190, q206, q207, q209, q210)
 }

@@ -82,6 +82,41 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(rows(hits) == rows(inline))
   }
 
+  test("ivfPqIndexAppend: search after append is row-identical to a rebuilt index") {
+    val model = Similarity.pqCodebooksSampled(anchors, m = 4)
+    val db = "graft_ivfpq_append"
+    val loc = java.nio.file.Files.createTempDirectory("graft-ivfpq-append")
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$loc'")
+    spark.sql(s"DROP TABLE IF EXISTS $db.appended")
+    spark.sql(s"DROP TABLE IF EXISTS $db.rebuilt")
+
+    val mx = emb.agg(max("vec_id")).head().getLong(0)
+    val cut = (mx + 1) / 2
+    Similarity.ivfPqBuildIndex(emb.filter(col("vec_id") < cut), anchors,
+      "vec_id", model, s"$db.appended", numBuckets = 8)
+    val skew = Similarity.ivfPqIndexAppend(emb.filter(col("vec_id") >= cut),
+      anchors, "vec_id", model, s"$db.appended", numBuckets = 8)
+    // the skew report covers the UNION and its shares sum to the cells
+    assert(skew.agg(sum("n_vectors")).head().getLong(0) == emb.count())
+
+    Similarity.ivfPqBuildIndex(emb, anchors, "vec_id", model,
+      s"$db.rebuilt", numBuckets = 8)
+
+    val vectors = emb.select(col("vec_id"), col("embedding"))
+    def rows(table: String) = Similarity.ivfPqSearchIndexed(spark, table,
+        vectors, "vec_id", 0, anchors, model, nprobe = 2, refine = 40, k = 10)
+      .select("vec_id", "adist", "sim").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq
+    assert(rows(s"$db.appended") == rows(s"$db.rebuilt"))
+
+    // a writer configured with a different bucket count must fail loudly
+    val err = intercept[Exception] {
+      Similarity.ivfPqIndexAppend(emb.limit(1), anchors, "vec_id", model,
+        s"$db.appended", numBuckets = 4)
+    }
+    assert(err.getMessage.toLowerCase.contains("bucket"), err.getMessage)
+  }
+
   test("PQ encode is mode-agnostic: the streaming encode equals the batch encode") {
     // a narrow expression works unchanged on a stream — the ingest-time
     // index-append path (encode on arrival, append to the codes table)
