@@ -181,8 +181,17 @@ object Fetch {
         case None =>
           // fully degraded: this 1-item page IS the poison item —
           // quarantine exactly it (the row's page/perPage pin the item
-          // index for accounting) and move on; per_page stays 1, the
-          // rest of the chunk still lands
+          // index for ACCOUNTING — q199's oracle counts these) and keep
+          // fetching; per_page stays 1. Whether the chunk's good pages
+          // LAND is the sink's contract, not this fetcher's: the
+          // streaming path (EventStream) lands them row-wise, while the
+          // batch raw zone (Pipeline.writeRaw) is deliberately
+          // all-or-nothing per chunk — the poison item's HEIGHT is
+          // unknowable (its body is what failed to parse), so landing
+          // partials would let a multi-item height that straddles a
+          // good page and the poison item read as "landed" and the
+          // gap-fill ledger could never heal it. See writeRaw's
+          // rationale block.
           out += FetchResult(chunk.start, chunk.end, page, perPage, None, quarantined = true)
           next += 1
       }

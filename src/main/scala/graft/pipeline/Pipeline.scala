@@ -113,6 +113,12 @@ final class Pipeline(
     // replay of those heights; its gap-fill loop is dormant so the bug
     // never fires there.) A no-data height inside a quarantined span
     // ledgers too — its refetch lands nothing and the claim clears it.
+    // Cost accepted with eyes open: while a poison ITEM persists
+    // upstream, each gap-fill cycle refetches the chunk's good pages
+    // and drops them again — bounded waste (one chunk per cycle),
+    // traded for never silently losing a multi-item height. The
+    // streaming path (EventStream) has no such span ledger and lands
+    // good pages row-wise instead.
     val failed = results.filter(_.quarantined)
     val badChunks = failed.map(r => (r.start, r.end)).toSet
     // distinct absorbs the page-overlap duplicates a mid-chunk per-page

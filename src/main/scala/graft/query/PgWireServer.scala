@@ -35,15 +35,18 @@ import org.apache.spark.sql.types._
   *    EmptyQueryResponse; failures → ErrorResponse then ReadyForQuery
   *    (a bad query is a result — the connection stays usable).
   *  - Extended protocol: Parse/Bind/Describe/Execute/Close/Flush/Sync,
-  *    including TEXT-format `$n` parameter binding: Bind's values are
-  *    substituted into the statement as typed SQL literals (typed by
-  *    the Parse message's declared OIDs; numeric/bool/temporal values
-  *    are validated before they are inlined, strings are escaped — a
-  *    parameter can never alter the statement shape), which is how
-  *    psycopg2 `execute(sql, params)` and pgJDBC PreparedStatement
-  *    work against this gateway. Binary-format parameters get a clean
-  *    ErrorResponse (text only, like results). Errors put the
-  *    connection in the protocol's skip-until-Sync state.
+  *    including `$n` parameter binding in BOTH wire formats: Bind's
+  *    values are substituted into the statement as typed SQL literals
+  *    (typed by the Parse message's declared OIDs; numeric/bool/
+  *    temporal values are validated before they are inlined, strings
+  *    are escaped — a parameter can never alter the statement shape),
+  *    which is how psycopg2 `execute(sql, params)` and pgJDBC
+  *    PreparedStatement work against this gateway. Binary-format
+  *    parameters (network-order numerics, 1-byte bool, postgres-epoch
+  *    date/timestamp, utf8 text) decode to the same validated literal
+  *    path; an oid with no binary decoding gets a clean 0A000, never a
+  *    guess. Errors put the connection in the protocol's
+  *    skip-until-Sync state.
   *
   * Execution: every statement runs `spark.sql` on the connection's
   * handler thread — concurrent clients interleave inside one
@@ -56,7 +59,12 @@ import org.apache.spark.sql.types._
   * clone — own temp-view namespace and SQL conf, shared SparkContext
   * and persistent catalog — when concurrent tenants must not see each
   * other's DDL.
-  * All values ship in text format; complex columns (array/map/struct)
+  * Results ship in text format by default; a Bind may request BINARY
+  * result columns (per column or all — pgJDBC `binaryTransfer`,
+  * psycopg3 binary cursors) for bool/int2/int4/int8/float4/float8/
+  * text/bytea/date/timestamp; a binary request for a type with no
+  * binary encoding (numeric) is refused 0A000 — declared capability,
+  * never silently-degraded garbage. Complex columns (array/map/struct)
   * are serialized to JSON server-side before collect. Driver safety:
   * collects are capped at `maxRows` with a NoticeResponse when the cap
   * fires — same bounded-collect contract as QueryServer, since the
@@ -247,14 +255,20 @@ final class PgWireServer(spark: SparkSession, maxRows: Int = 10000,
     * setX call, psycopg2 usually declares none). */
   private final case class Prepared(sql: String, paramOids: IndexedSeq[Int])
 
+  /** A bound portal: the statement's SQL with its Bind parameters
+    * already substituted as typed literals, plus the result format
+    * codes the Bind requested (0 entries = all text, 1 entry = all
+    * columns, else one per column — resolved against the result schema
+    * at Describe/Execute time, when the column count is known). */
+  private final case class Portal(sql: String,
+      resultFormats: IndexedSeq[Int])
+
   /** Per-connection extended-protocol state: the connection's
     * SparkSession (the shared one, or a `newSession()` clone when
-    * session isolation is on), named prepared statements, and portals
-    * (a portal holds the statement's SQL with its Bind parameters
-    * already substituted as typed literals). */
+    * session isolation is on), named prepared statements, and portals. */
   private final class SessionState(val sess: SparkSession) {
     val statements = mutable.Map.empty[String, Prepared]
-    val portals = mutable.Map.empty[String, String]
+    val portals = mutable.Map.empty[String, Portal]
     var skipUntilSync = false
   }
 
@@ -342,6 +356,7 @@ final class PgWireServer(spark: SparkSession, maxRows: Int = 10000,
           val schema = df.schema
           if (schema.nonEmpty) writeRowDescription(out, schema)
           val n = if (schema.nonEmpty) writeRows(out, df) else 0L
+          dmlTagNotice(stmt).foreach(writeNotice(out, _))
           writeMsg(out, 'C') { b => writeCStr(b, commandTag(stmt, n)) }
         } catch {
           case e: Exception =>
@@ -431,32 +446,41 @@ final class PgWireServer(spark: SparkSession, maxRows: Int = 10000,
       val nFmt = r.int16(); (0 until nFmt).map(_ => r.int16())
     }
     val nParams = r.int16()
-    val params: IndexedSeq[Option[String]] = (0 until nParams).map { _ =>
+    val rawParams: IndexedSeq[Option[Array[Byte]]] = (0 until nParams).map { _ =>
       val len = r.int32()
-      if (len == -1) None
-      else Some(new String(r.take(len), StandardCharsets.UTF_8))
+      if (len == -1) None else Some(r.take(len))
     }
-    // this server only speaks text in BOTH directions, and a refused
-    // request must be refused loudly — silently shipping text a client
-    // will parse as binary is garbage data, not degraded service
-    // (pgJDBC asks for binary once a statement crosses its
-    // prepareThreshold)
-    val binaryResult = {
+    // result format codes are stored with the portal and resolved at
+    // Describe/Execute, when the result column count is known
+    val resFmts = {
       val nResFmt = r.int16()
-      (0 until nResFmt).exists(_ => r.int16() == 1)
+      (0 until nResFmt).map(_ => r.int16()).toIndexedSeq
     }
-    if (nParams > 0 && fmts.exists(_ == 1)) {
-      writeError(out, "0A000", "binary parameter format not supported (text only)")
-      st.skipUntilSync = true
-    } else if (binaryResult) {
-      writeError(out, "0A000", "binary result format not supported (text only)")
-      st.skipUntilSync = true
-    } else st.statements.get(stmt) match {
+    def paramFmt(i: Int): Int =
+      if (fmts.isEmpty) 0 else if (fmts.length == 1) fmts.head else fmts(i)
+    st.statements.get(stmt) match {
       case Some(p) =>
         try {
-          st.portals(portal) = PgParams.substitute(p.sql, params, p.paramOids)
+          // binary-format parameters decode to their canonical text form
+          // per the DECLARED oid (pgJDBC binaryTransfer, psycopg3 binary
+          // params); an oid outside the supported set is refused loudly
+          // — never guessed at
+          val params: IndexedSeq[Option[String]] =
+            rawParams.zipWithIndex.map { case (raw, i) =>
+              raw.map { bytes =>
+                if (paramFmt(i) == 1) {
+                  val oid = if (i < p.paramOids.length) p.paramOids(i) else 0
+                  decodeBinaryParam(bytes, oid)
+                } else new String(bytes, StandardCharsets.UTF_8)
+              }
+            }
+          st.portals(portal) =
+            Portal(PgParams.substitute(p.sql, params, p.paramOids), resFmts)
           writeMsg(out, '2') { _ => } // BindComplete
         } catch {
+          case e: UnsupportedOperationException =>
+            writeError(out, "0A000", String.valueOf(e.getMessage))
+            st.skipUntilSync = true
           case e: IllegalArgumentException =>
             writeError(out, "22P02", String.valueOf(e.getMessage))
             st.skipUntilSync = true
@@ -476,9 +500,16 @@ final class PgWireServer(spark: SparkSession, maxRows: Int = 10000,
     // statement Describe probes the schema with typed NULLs in the
     // parameter slots (Describe must not depend on values it will only
     // see at Bind)
+    // a portal's RowDescription advertises the format codes its Bind
+    // requested (a statement's are unknown pre-Bind → all 0, postgres's
+    // convention)
+    val portalFmts: IndexedSeq[Int] =
+      if (kind == 'P') st.portals.get(name).map(_.resultFormats)
+        .getOrElse(IndexedSeq.empty)
+      else IndexedSeq.empty
     val target: Option[Prepared] =
       if (kind == 'S') st.statements.get(name)
-      else st.portals.get(name).map(Prepared(_, IndexedSeq.empty))
+      else st.portals.get(name).map(p => Prepared(p.sql, IndexedSeq.empty))
     target match {
       case None =>
         writeError(out, "26000", s"unknown ${if (kind == 'S') "statement" else "portal"} \"$name\"")
@@ -516,9 +547,14 @@ final class PgWireServer(spark: SparkSession, maxRows: Int = 10000,
           // they ship as JSON text and their pg OID is already 25.
           val schema = org.apache.spark.sql.GraftBridge
             .analyzedSchemaNoExec(st.sess, s)
-          if (schema.nonEmpty) writeRowDescription(out, schema)
+          if (schema.nonEmpty)
+            writeRowDescription(out, schema,
+              resolveFormats(schema, portalFmts))
           else writeMsg(out, 'n') { _ => } // NoData
         } catch {
+          case e: UnsupportedOperationException =>
+            writeError(out, "0A000", String.valueOf(e.getMessage))
+            st.skipUntilSync = true
           case e: Exception =>
             writeError(out, "42601", String.valueOf(e.getMessage))
             st.skipUntilSync = true
@@ -535,12 +571,18 @@ final class PgWireServer(spark: SparkSession, maxRows: Int = 10000,
       case None =>
         writeError(out, "34000", s"portal \"$portal\" does not exist")
         st.skipUntilSync = true
-      case Some(sql) =>
+      case Some(p) =>
         try {
-          val df = textualize(st.sess.sql(sql))
-          val n = if (df.schema.nonEmpty) writeRows(out, df) else 0L
-          writeMsg(out, 'C') { b => writeCStr(b, commandTag(sql, n)) }
+          val df = textualize(st.sess.sql(p.sql))
+          val fmts = resolveFormats(df.schema, p.resultFormats)
+          val n =
+            if (df.schema.nonEmpty) writeRows(out, df, fmts) else 0L
+          dmlTagNotice(p.sql).foreach(writeNotice(out, _))
+          writeMsg(out, 'C') { b => writeCStr(b, commandTag(p.sql, n)) }
         } catch {
+          case e: UnsupportedOperationException =>
+            writeError(out, "0A000", String.valueOf(e.getMessage))
+            st.skipUntilSync = true
           case e: Exception =>
             writeError(out, "42601", String.valueOf(e.getMessage))
             st.skipUntilSync = true
@@ -602,8 +644,13 @@ final class PgWireServer(spark: SparkSession, maxRows: Int = 10000,
 
   /** Collect capped at maxRows (+1 probe row to detect truncation) and
     * stream DataRow messages; NoticeResponse when the cap fires — the
-    * wire protocol's equivalent of the HTTP gateway's `truncated`. */
-  private def writeRows(out: DataOutputStream, df: DataFrame): Long = {
+    * wire protocol's equivalent of the HTTP gateway's `truncated`.
+    * `formats` is one code per column (resolved by [[resolveFormats]]):
+    * 0 ships the postgres text rendering, 1 the binary encoding. */
+  private def writeRows(out: DataOutputStream, df: DataFrame,
+      formats: IndexedSeq[Int] = IndexedSeq.empty): Long = {
+    val types = df.schema.fields.map(_.dataType)
+    def fmt(i: Int): Int = if (i < formats.length) formats(i) else 0
     val rows = df.limit(maxRows + 1).collect()
     val emit = rows.take(maxRows)
     emit.foreach { row =>
@@ -611,6 +658,7 @@ final class PgWireServer(spark: SparkSession, maxRows: Int = 10000,
         b.writeShort(row.length)
         (0 until row.length).foreach { i =>
           if (row.isNullAt(i)) b.writeInt(-1)
+          else if (fmt(i) == 1) writeBinaryCell(b, row.get(i), types(i))
           else {
             val bytes = renderCell(row.get(i)).getBytes(StandardCharsets.UTF_8)
             b.writeInt(bytes.length)
@@ -622,6 +670,123 @@ final class PgWireServer(spark: SparkSession, maxRows: Int = 10000,
     if (rows.length > maxRows)
       writeNotice(out, s"result truncated at $maxRows rows")
     emit.length.toLong
+  }
+
+  private val PgEpochDay = 10957L             // 2000-01-01 in unix days
+  private val PgEpochMicros = 946684800000000L // 2000-01-01T00:00Z in unix µs
+
+  /** Binary-format cell per the postgres wire encodings: network-order
+    * fixed-width ints/floats, 1-byte bool, raw utf8 for text, raw bytes
+    * for bytea, day/µs offsets from the 2000-01-01 postgres epoch for
+    * date/timestamp. Only called for types [[resolveFormats]] admitted. */
+  private def writeBinaryCell(b: DataOutputStream, v: Any, dt: DataType): Unit = {
+    def epochMicros(v: Any): Long = v match {
+      case t: java.sql.Timestamp =>
+        Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+      case i: java.time.Instant =>
+        i.getEpochSecond * 1000000L + i.getNano / 1000L
+      case d: java.time.LocalDateTime => // NTZ: wall-clock, rendered at UTC
+        epochMicros(d.toInstant(java.time.ZoneOffset.UTC))
+      case other => throw new UnsupportedOperationException(
+        s"unexpected timestamp class ${other.getClass.getName}")
+    }
+    dt match {
+      case BooleanType =>
+        b.writeInt(1); b.writeByte(if (v.asInstanceOf[Boolean]) 1 else 0)
+      case ShortType | ByteType =>
+        b.writeInt(2); b.writeShort(v.asInstanceOf[Number].intValue())
+      case IntegerType =>
+        b.writeInt(4); b.writeInt(v.asInstanceOf[Number].intValue())
+      case LongType =>
+        b.writeInt(8); b.writeLong(v.asInstanceOf[Number].longValue())
+      case FloatType =>
+        b.writeInt(4); b.writeFloat(v.asInstanceOf[Number].floatValue())
+      case DoubleType =>
+        b.writeInt(8); b.writeDouble(v.asInstanceOf[Number].doubleValue())
+      case StringType => // binary text IS utf8 text
+        val bytes = String.valueOf(v).getBytes(StandardCharsets.UTF_8)
+        b.writeInt(bytes.length); b.write(bytes)
+      case BinaryType =>
+        val bytes = v.asInstanceOf[Array[Byte]]
+        b.writeInt(bytes.length); b.write(bytes)
+      case DateType =>
+        val days = v match {
+          case d: java.sql.Date => d.toLocalDate.toEpochDay
+          case d: java.time.LocalDate => d.toEpochDay
+          case other => throw new UnsupportedOperationException(
+            s"unexpected date class ${other.getClass.getName}")
+        }
+        b.writeInt(4); b.writeInt((days - PgEpochDay).toInt)
+      case TimestampType | TimestampNTZType =>
+        b.writeInt(8); b.writeLong(epochMicros(v) - PgEpochMicros)
+      case other => throw new UnsupportedOperationException(
+        s"binary result format not supported for type ${other.simpleString}")
+    }
+  }
+
+  /** Expand Bind's result format codes (0 entries = all text, 1 = all
+    * columns, else per column) against the result schema, refusing — in
+    * the declared-capability error class, not by shipping garbage — any
+    * BINARY request for a type this server has no binary encoding for
+    * (numeric/decimal stays text-only; complex columns are already
+    * JSON text by the time they hit the wire). */
+  private def resolveFormats(schema: StructType,
+      requested: IndexedSeq[Int]): IndexedSeq[Int] = {
+    if (requested.isEmpty || schema.isEmpty) return IndexedSeq.empty
+    val codes: IndexedSeq[Int] =
+      if (requested.length == 1) IndexedSeq.fill(schema.length)(requested.head)
+      else if (requested.length == schema.length) requested
+      else throw new UnsupportedOperationException(
+        s"bind message has ${requested.length} result formats but query " +
+          s"has ${schema.length} columns")
+    schema.fields.zip(codes).foreach { case (f, c) =>
+      if (c == 1 && !binaryCapable(f.dataType))
+        throw new UnsupportedOperationException(
+          "binary result format not supported for type " +
+            s"${f.dataType.simpleString} (column ${f.name})")
+    }
+    codes
+  }
+
+  private def binaryCapable(dt: DataType): Boolean = dt match {
+    case BooleanType | ShortType | ByteType | IntegerType | LongType |
+         FloatType | DoubleType | StringType | BinaryType | DateType |
+         TimestampType | TimestampNTZType => true
+    case c if isComplex(c) => true // ships as JSON text (oid 25)
+    case _ => false
+  }
+
+  /** Decode one BINARY-format Bind parameter into the canonical text
+    * form [[PgParams.literal]] validates and inlines — network-order
+    * fixed-width numerics, 1-byte bool, postgres-epoch date/timestamp,
+    * raw utf8 for text/unknown. Wrong width → 22P02; an oid with no
+    * binary decoding here → 0A000, never a guess. */
+  private def decodeBinaryParam(bytes: Array[Byte], oid: Int): String = {
+    val bb = java.nio.ByteBuffer.wrap(bytes) // network order = BE default
+    def need(n: Int): Unit =
+      if (bytes.length != n) throw new IllegalArgumentException(
+        s"binary parameter for type oid $oid must be $n bytes, got ${bytes.length}")
+    oid match {
+      case 16 => need(1); if (bytes(0) != 0) "true" else "false"
+      case 21 => need(2); bb.getShort.toString
+      case 23 => need(4); bb.getInt.toString
+      case 20 => need(8); bb.getLong.toString
+      case 700 => need(4); bb.getFloat.toString
+      case 701 => need(8); bb.getDouble.toString
+      case 1082 =>
+        need(4)
+        java.time.LocalDate.ofEpochDay(bb.getInt.toLong + PgEpochDay).toString
+      case 1114 | 1184 =>
+        need(8)
+        val micros = bb.getLong + PgEpochMicros
+        pgTimestamp(java.time.LocalDateTime.ofInstant(
+          java.time.Instant.ofEpochSecond(Math.floorDiv(micros, 1000000L),
+            Math.floorMod(micros, 1000000L) * 1000L),
+          java.time.ZoneOffset.UTC))
+      case 0 | 25 | 1043 => new String(bytes, StandardCharsets.UTF_8)
+      case other => throw new UnsupportedOperationException(
+        s"binary parameter format not supported for type oid $other")
+    }
   }
 
   /** pg_type OIDs for the types Spark emits; unknowns ship as text. */
@@ -639,10 +804,11 @@ final class PgWireServer(spark: SparkSession, maxRows: Int = 10000,
     case _ => (25, -1) // text
   }
 
-  private def writeRowDescription(out: DataOutputStream, schema: StructType): Unit =
+  private def writeRowDescription(out: DataOutputStream, schema: StructType,
+      formats: IndexedSeq[Int] = IndexedSeq.empty): Unit =
     writeMsg(out, 'T') { b =>
       b.writeShort(schema.length)
-      schema.fields.foreach { f =>
+      schema.fields.zipWithIndex.foreach { case (f, i) =>
         val (oid, size) = pgType(f.dataType)
         writeCStr(b, f.name)
         b.writeInt(0)   // table oid
@@ -650,7 +816,7 @@ final class PgWireServer(spark: SparkSession, maxRows: Int = 10000,
         b.writeInt(oid)
         b.writeShort(size)
         b.writeInt(-1)  // type modifier
-        b.writeShort(0) // text format
+        b.writeShort(if (i < formats.length) formats(i) else 0)
       }
     }
 
@@ -671,8 +837,12 @@ final class PgWireServer(spark: SparkSession, maxRows: Int = 10000,
       // a legacy OID slot — "UPDATE N", "DELETE N"); tag-parsing clients
       // (pgJDBC executeUpdate, psycopg2 rowcount) split on that format,
       // so a bare verb mis-parses. Spark SQL commands don't report
-      // affected counts, so N is 0 — documented-format over accuracy.
-      case Some("INSERT") => "INSERT 0 0"
+      // affected counts; `INSERT ... VALUES` gets its statically-known
+      // tuple count, every other DML reports 0 WITH a NoticeResponse
+      // ([[dmlTagNotice]]) so clients branching on the count aren't
+      // silently misled.
+      case Some("INSERT") =>
+        s"INSERT 0 ${staticInsertValuesCount(sql).getOrElse(0L)}"
       case Some("UPDATE") => "UPDATE 0"
       case Some("DELETE") => "DELETE 0"
       case Some("MERGE") => "MERGE 0"
@@ -680,6 +850,78 @@ final class PgWireServer(spark: SparkSession, maxRows: Int = 10000,
       case None => "SELECT 0"
     }
   }
+
+  /** Statically-known row count for `INSERT INTO t [(cols)] VALUES
+    * (...), (...)`: the number of top-level tuple groups after the
+    * VALUES keyword. None for INSERT...SELECT (count unknowable without
+    * executing twice) — those fall back to 0 + [[dmlTagNotice]]. The
+    * scan honors strings/comments/nesting so a 'VALUES' inside a
+    * literal or a subquery's parens can't miscount. */
+  private def staticInsertValuesCount(sql: String): Option[Long] = {
+    var i = 0
+    val n = sql.length
+    var depth = 0
+    var sawValues = false
+    var tuples = 0L
+    var inTuple = false
+    while (i < n) {
+      val c = sql.charAt(i)
+      val next = if (i + 1 < n) sql.charAt(i + 1) else ' '
+      if (c == '\'') { // string literal (Spark rules, as in PgParams.walk)
+        i += 1
+        var closed = false
+        while (i < n && !closed) {
+          val d = sql.charAt(i)
+          if (d == '\\' && i + 1 < n) i += 2
+          else if (d == '\'' && i + 1 < n && sql.charAt(i + 1) == '\'') i += 2
+          else if (d == '\'') { closed = true; i += 1 }
+          else i += 1
+        }
+      } else if (c == '"' || c == '`') {
+        i += 1
+        while (i < n && sql.charAt(i) != c) i += 1
+        if (i < n) i += 1
+      } else if (c == '-' && next == '-') {
+        while (i < n && sql.charAt(i) != '\n') i += 1
+      } else if (c == '/' && next == '*') {
+        i += 2
+        while (i + 1 < n && !(sql.charAt(i) == '*' && sql.charAt(i + 1) == '/')) i += 1
+        i += 2
+      } else if (c == '(') {
+        if (sawValues && depth == 0) { tuples += 1; inTuple = true }
+        depth += 1; i += 1
+      } else if (c == ')') {
+        depth -= 1
+        if (depth == 0) inTuple = false
+        i += 1
+      } else if (!sawValues && depth == 0 && c.isLetter) {
+        var j = i
+        while (j < n && (sql.charAt(j).isLetterOrDigit || sql.charAt(j) == '_')) j += 1
+        val word = sql.substring(i, j).toUpperCase(java.util.Locale.ROOT)
+        if (word == "VALUES") sawValues = true
+        else if (word == "SELECT" || word == "WITH") return None // INSERT...SELECT
+        i = j
+      } else if (sawValues && depth == 0 && c.isLetter) {
+        // a keyword after the tuple list at top level (e.g. a trailing
+        // SELECT in some dialect) — bail rather than guess
+        return None
+      } else i += 1
+    }
+    if (sawValues && tuples > 0 && depth == 0 && !inTuple) Some(tuples) else None
+  }
+
+  /** The honesty companion to [[commandTag]]'s DML zeros: postgres
+    * clients branch on affected-row counts (pgJDBC executeUpdate,
+    * psycopg2 rowcount), and Spark doesn't report them — say so on the
+    * wire instead of letting a successful write read as a no-op. */
+  private def dmlTagNotice(sql: String): Option[String] =
+    leadingKeywords(sql, 1).headOption match {
+      case Some("INSERT") if staticInsertValuesCount(sql).isEmpty =>
+        Some("affected-row count is not reported by this gateway; the INSERT command tag carries 0")
+      case Some("UPDATE") | Some("DELETE") | Some("MERGE") =>
+        Some("affected-row counts are not reported by this gateway; DML command tags carry 0")
+      case _ => None
+    }
 
   /** First `n` word tokens of `sql`, uppercased, skipping leading
     * whitespace and SQL comments — the one place "what statement is
@@ -935,6 +1177,16 @@ private[query] object PgParams {
     }
   }
 
+  /** Escape for inlining inside a single-quoted Spark SQL literal.
+    * Quotes are escaped by DOUBLING (''), an in-string escape under
+    * BOTH of Spark's parser modes — backslash-escaping a quote is an
+    * escape only under the default mode, so with
+    * `spark.sql.parser.escapedStringLiterals=true` it would let a
+    * crafted value close the literal and alter the statement shape.
+    * Backslashes are doubled for the default mode, where \ IS an
+    * escape character (under the legacy conf a backslash-bearing VALUE
+    * round-trips doubled — a fidelity cost on an exotic conf, never a
+    * shape change). */
   private def escape(v: String): String =
-    v.replace("\\", "\\\\").replace("'", "\\'")
+    v.replace("\\", "\\\\").replace("'", "''")
 }

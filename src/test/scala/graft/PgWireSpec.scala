@@ -155,6 +155,49 @@ class PgWireSpec extends SparkSpec {
       new String(p, 0, p.length - 1, StandardCharsets.UTF_8)
     }
 
+  private def noticeMessages(msgs: Seq[(Char, Array[Byte])]): Seq[String] =
+    msgs.filter(_._1 == 'N').map { case (_, p) =>
+      var pos = 0
+      var msg = ""
+      while (pos < p.length && p(pos) != 0) {
+        val field = p(pos).toChar; pos += 1
+        val start = pos
+        while (p(pos) != 0) pos += 1
+        if (field == 'M') msg = new String(p, start, pos - start, StandardCharsets.UTF_8)
+        pos += 1
+      }
+      msg
+    }
+
+  /** Raw (undecoded) DataRow cells — what a binary-format assertion
+    * needs; [[dataRows]]'s UTF-8 decode would mangle fixed-width ints. */
+  private def dataRowsRaw(msgs: Seq[(Char, Array[Byte])]): Seq[Seq[Option[Array[Byte]]]] =
+    msgs.filter(_._1 == 'D').map { case (_, p) =>
+      var pos = 2
+      val n = ((p(0) & 0xff) << 8) | (p(1) & 0xff)
+      (0 until n).map { _ =>
+        val len = ((p(pos) & 0xff) << 24) | ((p(pos + 1) & 0xff) << 16) |
+          ((p(pos + 2) & 0xff) << 8) | (p(pos + 3) & 0xff)
+        pos += 4
+        if (len == -1) None
+        else { val b = java.util.Arrays.copyOfRange(p, pos, pos + len); pos += len; Some(b) }
+      }
+    }
+
+  /** Per-column format codes out of a RowDescription frame. */
+  private def rowDescFormats(msgs: Seq[(Char, Array[Byte])]): Seq[Int] =
+    msgs.find(_._1 == 'T').map { case (_, p) =>
+      var pos = 2
+      val n = ((p(0) & 0xff) << 8) | (p(1) & 0xff)
+      (0 until n).map { _ =>
+        while (p(pos) != 0) pos += 1
+        pos += 1
+        val fmt = ((p(pos + 16) & 0xff) << 8) | (p(pos + 17) & 0xff)
+        pos += 18
+        fmt
+      }
+    }.getOrElse(Seq.empty)
+
   private def withServer(maxRows: Int = 10000)(f: (PgWireServer, Int) => Unit): Unit = {
     val srv = new PgWireServer(spark, maxRows)
     val port = srv.start()
@@ -217,11 +260,23 @@ class PgWireSpec extends SparkSpec {
       c.query("DROP TABLE IF EXISTS pg_dml_tags")
       c.query(s"CREATE TABLE pg_dml_tags (k INT) USING parquet LOCATION '$loc'")
       // pgJDBC executeUpdate / psycopg2 rowcount parse the count out of
-      // the tag — "INSERT 0 N" (legacy oid slot), not a bare verb
+      // the tag — "INSERT 0 N" (legacy oid slot), not a bare verb. For
+      // INSERT ... VALUES the tuple count is statically known and
+      // reported for real
       val ins = c.query("INSERT INTO pg_dml_tags VALUES (1)")
-      assert(commandTag(ins).contains("INSERT 0 0"), commandTag(ins))
-      assert(dataRows(c.query("SELECT k FROM pg_dml_tags")) ==
-        Seq(Seq(Some("1"))))
+      assert(commandTag(ins).contains("INSERT 0 1"), commandTag(ins))
+      assert(noticeMessages(ins).isEmpty, "static count needs no notice")
+      val multi = c.query("INSERT INTO pg_dml_tags VALUES (2), (3)")
+      assert(commandTag(multi).contains("INSERT 0 2"), commandTag(multi))
+      // INSERT ... SELECT's count is unknowable without double
+      // execution: the tag carries 0 AND a NoticeResponse says so, so a
+      // client branching on executeUpdate()==0 isn't silently misled
+      val insSel = c.query(
+        "INSERT INTO pg_dml_tags SELECT k + 10 FROM pg_dml_tags")
+      assert(commandTag(insSel).contains("INSERT 0 0"), commandTag(insSel))
+      assert(noticeMessages(insSel).exists(_.contains("not reported")))
+      assert(dataRows(c.query("SELECT count(*) AS n FROM pg_dml_tags")) ==
+        Seq(Seq(Some("6"))))
       c.query("DROP TABLE pg_dml_tags")
       c.close()
     }
@@ -346,14 +401,23 @@ class PgWireSpec extends SparkSpec {
       c.flush()
       assert(errorMessage(c.readUntilReady())
         .exists(_.contains("supplies 0 parameters")))
-      // binary-format params are refused, not mis-decoded as text
-      c.send('P', parseParams(c, "bin", "SELECT $1 AS x", Seq(23)))
+      // a binary param for an oid with no binary decoding (numeric) is
+      // refused 0A000, never guessed at
+      c.send('P', parseParams(c, "bin", "SELECT $1 AS x", Seq(1700)))
       c.send('B', c.cstr("") ++ c.cstr("bin") ++ i16(1) ++ i16(1) ++
         i16(1) ++ i32(4) ++ i32(7) ++ i16(0))
       c.send('S', Array.emptyByteArray)
       c.flush()
       assert(errorMessage(c.readUntilReady())
-        .exists(_.contains("binary parameter format")))
+        .exists(_.contains("binary parameter format not supported")))
+      // a binary param of the WRONG width is a clean 22P02, not garbage
+      c.send('P', parseParams(c, "binw", "SELECT $1 AS x", Seq(23)))
+      c.send('B', c.cstr("") ++ c.cstr("binw") ++ i16(1) ++ i16(1) ++
+        i16(1) ++ i32(2) ++ i16(7) ++ i16(0))
+      c.send('S', Array.emptyByteArray)
+      c.flush()
+      assert(errorMessage(c.readUntilReady())
+        .exists(_.contains("must be 4 bytes")))
       // a '$1' inside a string literal is data, not a parameter slot
       c.send('P', parseParams(c, "lit", "SELECT '$1' AS s", Nil))
       c.send('B', bindParams(c, "lit", Nil))
@@ -528,18 +592,121 @@ class PgWireSpec extends SparkSpec {
     }
   }
 
-  test("a Bind requesting binary results is refused, not answered with text bytes") {
+  /** Bind with explicit wire control over param formats, raw param
+    * bytes, and result format codes. */
+  private def bindWire(c: Client, stmt: String, paramFmts: Seq[Int],
+      params: Seq[Option[Array[Byte]]], resultFmts: Seq[Int]): Array[Byte] =
+    c.cstr("") ++ c.cstr(stmt) ++ i16(paramFmts.length) ++
+      paramFmts.toArray.flatMap(i16) ++ i16(params.length) ++
+      params.toArray.flatMap {
+        case None => i32(-1)
+        case Some(b) => i32(b.length) ++ b
+      } ++ i16(resultFmts.length) ++ resultFmts.toArray.flatMap(i16)
+
+  private def i64(v: Long): Array[Byte] =
+    i32((v >>> 32).toInt) ++ i32(v.toInt)
+  private def f64(v: Double): Array[Byte] =
+    i64(java.lang.Double.doubleToLongBits(v))
+
+  test("binary result format: pgJDBC binaryTransfer shapes decode correctly") {
     withServer() { (_, port) =>
       val c = new Client(port); c.connect()
-      c.send('P', c.cstr("sb") ++ c.cstr("SELECT 1 AS n") ++ Array[Byte](0, 0))
-      // Bind: no param formats, no params, ONE result-format code = 1 (binary)
-      c.send('B', c.cstr("") ++ c.cstr("sb") ++
-        Array[Byte](0, 0, 0, 0, 0, 1, 0, 1))
+      val sql = "SELECT CAST(7 AS INT) AS i, CAST(-9 AS BIGINT) AS l, " +
+        "CAST(1.5 AS DOUBLE) AS d, 'txt' AS s, true AS b, " +
+        "DATE '2000-01-03' AS dt, TIMESTAMP '2000-01-01 00:00:01' AS ts"
+      c.send('P', c.cstr("sb") ++ c.cstr(sql) ++ Array[Byte](0, 0))
+      // ONE result-format code = 1 → every column binary
+      c.send('B', bindWire(c, "sb", Nil, Nil, Seq(1)))
+      c.send('D', Array[Byte]('P'.toByte) ++ c.cstr(""))
+      c.send('E', c.cstr("") ++ i32(0))
       c.send('S', Array.emptyByteArray)
       c.flush()
       val msgs = c.readUntilReady()
-      assert(errorMessage(msgs).exists(_.contains("binary result format")))
+      // the portal's RowDescription advertises the binary codes
+      assert(rowDescFormats(msgs) == Seq(1, 1, 1, 1, 1, 1, 1))
+      val row = dataRowsRaw(msgs).head
+      assert(row(0).get.toSeq == i32(7).toSeq)                  // int4
+      assert(row(1).get.toSeq == i64(-9L).toSeq)                // int8
+      assert(row(2).get.toSeq == f64(1.5).toSeq)                // float8
+      assert(new String(row(3).get, StandardCharsets.UTF_8) == "txt")
+      assert(row(4).get.toSeq == Seq(1.toByte))                 // bool
+      assert(row(5).get.toSeq == i32(2).toSeq)                  // days since 2000-01-01
+      assert(row(6).get.toSeq == i64(1000000L).toSeq)           // µs since pg epoch
+      c.close()
+    }
+  }
+
+  test("mixed per-column result formats are honored; unsupported binary types refuse cleanly") {
+    withServer() { (_, port) =>
+      val c = new Client(port); c.connect()
+      // first column binary, second text — psycopg3's per-column shape
+      val sql = "SELECT CAST(300 AS INT) AS i, CAST(42 AS BIGINT) AS l"
+      c.send('P', c.cstr("mx") ++ c.cstr(sql) ++ Array[Byte](0, 0))
+      c.send('B', bindWire(c, "mx", Nil, Nil, Seq(1, 0)))
+      c.send('E', c.cstr("") ++ i32(0))
+      c.send('S', Array.emptyByteArray)
+      c.flush()
+      val row = dataRowsRaw(c.readUntilReady()).head
+      assert(row(0).get.toSeq == i32(300).toSeq)
+      assert(new String(row(1).get, StandardCharsets.UTF_8) == "42")
+      // a binary request for a type with no binary encoding (numeric)
+      // is a 0A000 refusal, never silently-degraded text bytes
+      c.send('P', c.cstr("nb") ++
+        c.cstr("SELECT CAST(1.25 AS DECIMAL(10,2)) AS d") ++ Array[Byte](0, 0))
+      c.send('B', bindWire(c, "nb", Nil, Nil, Seq(1)))
+      c.send('E', c.cstr("") ++ i32(0))
+      c.send('S', Array.emptyByteArray)
+      c.flush()
+      assert(errorMessage(c.readUntilReady())
+        .exists(_.contains("binary result format not supported")))
+      // format-count/column-count mismatch is a clean refusal too
+      c.send('P', c.cstr("fc") ++ c.cstr("SELECT 1 AS a, 2 AS b") ++
+        Array[Byte](0, 0))
+      c.send('B', bindWire(c, "fc", Nil, Nil, Seq(1, 0, 1)))
+      c.send('E', c.cstr("") ++ i32(0))
+      c.send('S', Array.emptyByteArray)
+      c.flush()
+      assert(errorMessage(c.readUntilReady())
+        .exists(_.contains("3 result formats")))
+      // and the connection is still healthy
       assert(dataRows(c.query("SELECT 1 AS n")) == Seq(Seq(Some("1"))))
+      c.close()
+    }
+  }
+
+  test("binary parameter format: network-order values decode to typed literals") {
+    Tables.nation(spark, sf("sf0.001")).createOrReplaceTempView("pg_nation")
+    withServer() { (_, port) =>
+      val c = new Client(port); c.connect()
+      // int4 binary param drives a real predicate
+      c.send('P', parseParams(c, "bp",
+        "SELECT n_name FROM pg_nation WHERE n_nationkey = $1", Seq(23)))
+      c.send('B', bindWire(c, "bp", Seq(1), Seq(Some(i32(7))), Nil))
+      c.send('E', c.cstr("") ++ i32(0))
+      c.send('S', Array.emptyByteArray)
+      c.flush()
+      assert(dataRows(c.readUntilReady()) == Seq(Seq(Some("NATION_7"))))
+      // int8 + float8 + text binary params in one statement; the text
+      // param's binary form IS utf8, and the float round-trips exactly
+      c.send('P', parseParams(c, "bp3",
+        "SELECT $1 AS l, $2 AS d, $3 AS s", Seq(20, 701, 25)))
+      c.send('B', bindWire(c, "bp3", Seq(1),
+        Seq(Some(i64(1234567890123L)), Some(f64(2.25)), Some(
+          "it's".getBytes(StandardCharsets.UTF_8))), Nil))
+      c.send('E', c.cstr("") ++ i32(0))
+      c.send('S', Array.emptyByteArray)
+      c.flush()
+      assert(dataRows(c.readUntilReady()) ==
+        Seq(Seq(Some("1234567890123"), Some("2.25"), Some("it's"))))
+      // mixed param formats: first binary, second text
+      c.send('P', parseParams(c, "bpm",
+        "SELECT $1 + $2 AS n", Seq(23, 23)))
+      c.send('B', bindWire(c, "bpm", Seq(1, 0),
+        Seq(Some(i32(40)), Some("2".getBytes(StandardCharsets.UTF_8))), Nil))
+      c.send('E', c.cstr("") ++ i32(0))
+      c.send('S', Array.emptyByteArray)
+      c.flush()
+      assert(dataRows(c.readUntilReady()) == Seq(Seq(Some("42"))))
       c.close()
     }
   }
