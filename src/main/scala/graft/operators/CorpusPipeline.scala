@@ -938,22 +938,44 @@ object CorpusPipeline {
 
   /** Per-shard manifest of a [[tokenShardStream]] — what a training run
     * verifies before trusting an export: document count, token count,
-    * sequence count (the last sequence may be partial), and an ORDER-
-    * SENSITIVE fingerprint of the shard's training order (md5 over the
-    * concatenated `order_key`s in stream order — any dropped,
-    * duplicated or reordered document changes it). Same bounded-state
-    * argument as [[shardManifest]]: the fold holds one shard's keys
-    * (32 bytes each) transiently, and numShards is sized so a shard
-    * fits an executor. */
+    * sequence count (the last sequence may be partial), and TWO order-
+    * sensitive fingerprints of the shard's training order (any dropped,
+    * duplicated or reordered document changes both):
+    *
+    *  - `shard_fp`: md5 over the concatenated `order_key`s in stream
+    *    order — cryptographic, but the concat buffers one shard's keys
+    *    (32 bytes each) in a single agg buffer, so it relies on the
+    *    [[tokenShardStream]] sizing discipline (numShards chosen so a
+    *    shard fits an executor).
+    *  - `shard_fp_pos`: Σ (md5₃₂(order_key) mod M) · (position mod M)
+    *    mod 2⁶¹−1, position = the key's 1-based rank in training order.
+    *    NEVER buffers: the rank rides the per-shard sort the export
+    *    already pays (spillable), and the sum is a plain partial-
+    *    aggregable fold in decimal(38,0) (term ≤ 2⁶², so even a
+    *    10¹⁵-row shard stays within 38 digits). Not cryptographic — a
+    *    position-weighted checksum — but any drop/dup/reorder changes
+    *    it except under engineered collisions. THE fingerprint to
+    *    verify when a config cannot guarantee executor-sized shards. */
   def tokenShardManifest(stream: DataFrame, seqLen: Int): DataFrame = {
     require(seqLen > 0, s"sequence length must be positive, got $seqLen")
-    stream.groupBy("shard").agg(
-      count(lit(1)).as("n_docs"),
-      sum("n_tokens").as("n_tokens"),
-      expr(s"CAST((sum(n_tokens) + ${seqLen - 1}) DIV $seqLen AS BIGINT)")
-        .as("n_seqs"),
-      md5(concat_ws("", array_sort(collect_list(col("order_key")))))
-        .as("shard_fp"))
+    val M = 2147483647L          // 2^31 - 1: bounds each h·pos term
+    val P = 2305843009213693951L // 2^61 - 1: final modulus, fits a long
+    val wPos = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("order_key")
+    val h32 = conv(substring(md5(col("order_key")), 1, 8), 16, 10)
+      .cast("long") % M
+    stream
+      .withColumn("__pos", row_number().over(wPos).cast("long"))
+      .groupBy("shard").agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_tokens"),
+        expr(s"CAST((sum(n_tokens) + ${seqLen - 1}) DIV $seqLen AS BIGINT)")
+          .as("n_seqs"),
+        md5(concat_ws("", array_sort(collect_list(col("order_key")))))
+          .as("shard_fp"),
+        pmod(sum(h32.cast("decimal(38,0)")
+            * (col("__pos") % M).cast("decimal(38,0)")), lit(P))
+          .cast("long").as("shard_fp_pos"))
   }
 
   /** Materialize a [[tokenShardStream]] export on disk: the stream is

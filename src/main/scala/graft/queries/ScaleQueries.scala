@@ -871,11 +871,14 @@ object ScaleQueries {
     * (CorpusPipeline.tokenShardStream + tokenShardManifest): the
     * q203 mix assigned to 8 shards by order_key hash and packed into
     * 1024-token sequences PER SHARD, summarized as the manifest a
-    * training run verifies — counts plus an order-sensitive
-    * fingerprint of each shard's training order. The oracle replays
-    * mix → shard → per-shard pack in SQL and fingerprints with an
+    * training run verifies — counts plus BOTH order-sensitive
+    * fingerprints of each shard's training order: the md5 concat and
+    * the bounded-state position-weighted checksum (shard_fp_pos, the
+    * one to trust when a shard may exceed an executor). The oracle
+    * replays mix → shard → per-shard pack in SQL, fingerprints with an
     * ordered string_agg (≡ Spark's sorted-array concat, since the
-    * stream order IS the order_key order). */
+    * stream order IS the order_key order) and folds the same
+    * md5₃₂·pos sum mod 2⁶¹−1. */
   val q204 = Q(
     "q204_token_shard_manifest",
     (s, d) =>
@@ -902,11 +905,16 @@ object ScaleQueries {
                    md5(CAST(doc_id AS VARCHAR) || ':' || CAST(g.copy AS VARCHAR)) AS order_key
             FROM c, LATERAL (SELECT UNNEST(range(0, n)) AS copy) g),
       sh AS (SELECT CAST(CAST('0x' || substr(order_key, 1, 8) AS BIGINT) % 8 AS BIGINT) AS shard,
-                    order_key, n_tokens FROM m)
+                    order_key, n_tokens FROM m),
+      w AS (SELECT shard, order_key, n_tokens,
+                   ROW_NUMBER() OVER (PARTITION BY shard ORDER BY order_key) AS pos
+            FROM sh)
       SELECT shard, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
              CAST((SUM(n_tokens) + 1023) // 1024 AS BIGINT) AS n_seqs,
-             md5(string_agg(order_key, '' ORDER BY order_key)) AS shard_fp
-      FROM sh GROUP BY shard ORDER BY shard"""))
+             md5(string_agg(order_key, '' ORDER BY order_key)) AS shard_fp,
+             CAST(SUM((CAST('0x' || substr(md5(order_key), 1, 8) AS BIGINT) % 2147483647)
+                      * (pos % 2147483647)) % 2305843009213693951 AS BIGINT) AS shard_fp_pos
+      FROM w GROUP BY shard ORDER BY shard"""))
 
   /** Shard-export stream face: the per-(doc, copy) span columns of
     * [[q204]]'s stream — every row's shard, training position and

@@ -766,6 +766,40 @@ class CorpusPipelineSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("tokenShardManifest: the bounded position-weighted fingerprint matches a local fold and is order-sensitive") {
+    val M = 2147483647L
+    val P = BigInt(2305843009213693951L)
+    def h32(key: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(8), 16) % M
+    }
+    def fold(keysInOrder: Seq[String]): BigInt =
+      keysInOrder.zipWithIndex
+        .map { case (k, i) => BigInt(h32(k)) * ((i + 1) % M) }.sum % P
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val epochs = Map("src0" -> 1.0, "src1" -> 1.0, "src2" -> 2.0)
+    val stream = CorpusPipeline.tokenShardStream(docs, "doc_id", "source",
+      "text", epochs, numShards = 2, seqLen = 64)
+    val manifest = CorpusPipeline.tokenShardManifest(stream, seqLen = 64)
+      .select("shard", "shard_fp_pos").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byShard = stream.select("shard", "order_key").collect()
+      .map(r => (r.getLong(0), r.getString(1))).groupBy(_._1)
+    assert(manifest.keySet == byShard.keySet && manifest.nonEmpty)
+    byShard.foreach { case (shard, rows) =>
+      val inOrder = rows.map(_._2).sorted // training order IS key order
+      val expect = fold(inOrder)
+      assert(BigInt(manifest(shard)) == expect, s"shard $shard fp_pos")
+      // order sensitivity: swapping the first two keys changes the fold
+      // (the md5 concat fp would catch it too, but THIS one never
+      // buffers the shard's keys)
+      if (inOrder.length >= 2)
+        assert(fold(inOrder.updated(0, inOrder(1)).updated(1, inOrder(0)))
+          != expect, s"swap must change fp_pos (shard $shard)")
+    }
+  }
+
   test("shardNovelty: novelty decays on the real corpus and shard 0 is all-new") {
     val out = CorpusPipeline.shardNovelty(
       Tables.documents(spark, sf("sf0.01")), "doc_id", "text",

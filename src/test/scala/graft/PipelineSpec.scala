@@ -456,4 +456,85 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
       spark.sql("DROP DATABASE IF EXISTS main")
     }
   }
+
+  test("corpus flow e2e: fixture JSON -> curate -> token shards, manifest certifies the store") {
+    import graft.operators.CorpusPipeline
+    import graft.pipeline.CorpusFlow
+    import org.apache.spark.sql.functions._
+    val in = Files.createTempDirectory("graft-corpus-in").toString
+    val out = Files.createTempDirectory("graft-corpus-out").toString
+    // 10 good docs over two sources, a planted EXACT duplicate (doc 11
+    // repeats doc 1's text), one too-short doc, one corrupt line, one
+    // null-id line
+    val words = (0 until 40).map(i => s"w$i")
+    def textOf(seed: Int) = (0 until 20).map(i => words((seed * 7 + i) % 40)).mkString(" ")
+    val lines =
+      (1 to 10).map { i =>
+        val src = if (i % 2 == 0) "a" else "b"
+        s"""{"doc_id": $i, "source": "$src", "text": "${textOf(i)}"}"""
+      } ++ Seq(
+        s"""{"doc_id": 11, "source": "a", "text": "${textOf(1)}"}""", // exact dup of doc 1
+        """{"doc_id": 12, "source": "a", "text": "too short"}""",     // fails quality
+        """this line is not json at all""",                           // corrupt
+        """{"source": "b", "text": "null id line of sixteen words or so padded out to pass quality gates fine"}""")
+    Files.writeString(Paths.get(in, "docs.json"), lines.mkString("\n"))
+
+    val epochs = Map("a" -> 2.0, "b" -> 1.0)
+    val (manifest, flow) = CorpusFlow.runWithReport(spark, in, epochs,
+      numShards = 2, seqLen = 16, outDir = out)
+    val rows = manifest.collect()
+
+    // the flow report: three stages, no errors, honest counters
+    val report = flow.report
+    assert(report.map(_.name) ==
+      Seq("ingest_documents", "curate", "export_token_shards"))
+    assert(report.forall(_.error.isEmpty))
+    val ingest = report(0).counters
+    assert(ingest("corrupt_or_null_lines") == 2L, ingest)
+    assert(ingest("docs_read") == 12L, ingest)
+    val curate = report(1).counters
+    assert(curate("docs_in") == 12L && curate("after_quality") == 11L &&
+      curate("after_exact_dedup") == 10L, curate)
+    val export = report(2).counters
+    assert(export("shards") == rows.length.toLong)
+    // epoch mix with integer factors is exact: a-survivors ×2 + b-survivors ×1
+    val bySrc = spark.read.parquet(s"$out/stream")
+      .groupBy("source").agg(countDistinct("doc_id").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(export("mixed_docs") == 2L * bySrc.getOrElse("a", 0L) +
+      bySrc.getOrElse("b", 0L), (export, bySrc))
+
+    // the manifest certifies the on-disk store: recompute it from the
+    // files and from an independent in-memory replay — all three agree
+    val disk = spark.read.parquet(s"$out/stream")
+      .withColumn("shard", col("shard").cast("long"))
+    val fromDisk = CorpusPipeline.tokenShardManifest(disk, seqLen = 16)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getLong(5))).toMap
+    val replay = {
+      val docs = spark.read
+        .schema("doc_id LONG, source STRING, text STRING, _corrupt STRING")
+        .option("columnNameOfCorruptRecord", "_corrupt").json(in)
+        .filter(col("_corrupt").isNull && col("doc_id").isNotNull &&
+          col("text").isNotNull)
+        .select("doc_id", "source", "text")
+      val (curated, _) = CorpusPipeline.curate(docs, "doc_id", "text")
+      CorpusPipeline.tokenShardManifest(
+        CorpusPipeline.tokenShardStream(curated, "doc_id", "source", "text",
+          epochs, numShards = 2, seqLen = 16), seqLen = 16)
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getLong(5))).toMap
+    }
+    val returned = rows.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getLong(5))).toMap
+    assert(returned == fromDisk, "manifest must certify the written files")
+    assert(returned == replay, "flow output must equal an independent replay")
+    assert(returned.values.map(_._1).sum == export("mixed_docs"))
+    // rerun converges (idempotent overwrite sinks): same manifest
+    val (again, _) = CorpusFlow.runWithReport(spark, in, epochs,
+      numShards = 2, seqLen = 16, outDir = out)
+    val rerun = again.collect().map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getLong(5))).toMap
+    assert(rerun == returned)
+  }
 }
