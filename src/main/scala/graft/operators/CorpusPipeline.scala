@@ -955,8 +955,13 @@ object CorpusPipeline {
     *    10¹⁵-row shard stays within 38 digits). Not cryptographic — a
     *    position-weighted checksum — but any drop/dup/reorder changes
     *    it except under engineered collisions. THE fingerprint to
-    *    verify when a config cannot guarantee executor-sized shards. */
-  def tokenShardManifest(stream: DataFrame, seqLen: Int): DataFrame = {
+    *    verify when a config cannot guarantee executor-sized shards:
+    *    pass `boundedOnly = true` to OMIT the md5 concat entirely, so
+    *    the manifest job itself never materializes a shard's keys in
+    *    one buffer (a flag, because computing the buffering fp "too"
+    *    would defeat the reason this fold exists). */
+  def tokenShardManifest(stream: DataFrame, seqLen: Int,
+      boundedOnly: Boolean = false): DataFrame = {
     require(seqLen > 0, s"sequence length must be positive, got $seqLen")
     val M = 2147483647L          // 2^31 - 1: bounds each h·pos term
     val P = 2305843009213693951L // 2^61 - 1: final modulus, fits a long
@@ -964,18 +969,22 @@ object CorpusPipeline {
       .partitionBy("shard").orderBy("order_key")
     val h32 = conv(substring(md5(col("order_key")), 1, 8), 16, 10)
       .cast("long") % M
+    val fpPos = pmod(sum(h32.cast("decimal(38,0)")
+        * (col("__pos") % M).cast("decimal(38,0)")), lit(P))
+      .cast("long").as("shard_fp_pos")
+    val aggs = Seq(
+      sum("n_tokens").as("n_tokens"),
+      expr(s"CAST((sum(n_tokens) + ${seqLen - 1}) DIV $seqLen AS BIGINT)")
+        .as("n_seqs")) ++
+      (if (boundedOnly) Seq(fpPos)
+       else Seq(
+         md5(concat_ws("", array_sort(collect_list(col("order_key")))))
+           .as("shard_fp"),
+         fpPos))
     stream
       .withColumn("__pos", row_number().over(wPos).cast("long"))
-      .groupBy("shard").agg(
-        count(lit(1)).as("n_docs"),
-        sum("n_tokens").as("n_tokens"),
-        expr(s"CAST((sum(n_tokens) + ${seqLen - 1}) DIV $seqLen AS BIGINT)")
-          .as("n_seqs"),
-        md5(concat_ws("", array_sort(collect_list(col("order_key")))))
-          .as("shard_fp"),
-        pmod(sum(h32.cast("decimal(38,0)")
-            * (col("__pos") % M).cast("decimal(38,0)")), lit(P))
-          .cast("long").as("shard_fp_pos"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), aggs: _*)
   }
 
   /** Materialize a [[tokenShardStream]] export on disk: the stream is

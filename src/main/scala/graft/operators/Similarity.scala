@@ -333,15 +333,19 @@ object Similarity {
     * and each cell's ratio to the mean occupancy — the skew report that
     * tells an operator when the anchor grid has drifted from the data
     * (one cell absorbing appends ⇒ its probe reads stop pruning; time to
-    * re-train + rebuild). One count agg over the index's cell column
-    * (bucket-local, no wide shuffle) joined against its own 1-row mean. */
+    * re-train + rebuild). ONE count agg over the index's cell column
+    * (column-pruned, partial-aggregable); the mean rides an
+    * unpartitioned window over the post-agg frame — |cells| rows, anchor
+    * -grid-sized, so the single-partition window is trivially safe and
+    * the index is scanned exactly once. */
   def ivfCellStats(spark: org.apache.spark.sql.SparkSession, table: String,
       roundAt: Int = 4): DataFrame = {
-    val counts = spark.table(table).groupBy("cell")
+    val all = Window.partitionBy()
+    spark.table(table).groupBy("cell")
       .agg(count(lit(1)).as("n_vectors"))
-    counts.crossJoin(broadcast(counts.agg(avg("n_vectors").as("mean_n"))))
       .select(col("cell"), col("n_vectors"),
-        round(col("n_vectors") / col("mean_n"), roundAt).as("ratio_to_mean"))
+        round(col("n_vectors") / avg("n_vectors").over(all), roundAt)
+          .as("ratio_to_mean"))
       .orderBy("cell")
   }
 

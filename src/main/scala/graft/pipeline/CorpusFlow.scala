@@ -48,18 +48,21 @@ object CorpusFlow {
         .schema("doc_id LONG, source STRING, text STRING, _corrupt STRING")
         .option("columnNameOfCorruptRecord", "_corrupt")
         .json(inputDir)
-        .persist()
       // corrupt lines and null-key rows are ingest FAILURES with a
       // count, not silent nulls that crash curation later (the S2
       // degrade discipline applied to the document zone)
       val bad = df.filter(col("_corrupt").isNotNull ||
         col("doc_id").isNull || col("text").isNull)
       flow.count("corrupt_or_null_lines", bad.count())
+      // persist the GOOD frame — it is what curate and the export scan
+      // repeatedly; the docs_read count doubles as the cache fill, so
+      // the raw JSON zone is parsed twice total (bad count + this),
+      // never once per downstream action
       val good = df.filter(col("_corrupt").isNull &&
         col("doc_id").isNotNull && col("text").isNotNull)
         .select("doc_id", "source", "text")
+        .persist()
       flow.count("docs_read", good.count())
-      df.unpersist()
       good
     }
 
@@ -89,6 +92,10 @@ object CorpusFlow {
       m
     }
 
+    // the export is on disk and the manifest re-reads from it — the
+    // cached ingest frame (and curate's internal persist) are done
+    docs.unpersist()
+    curated.unpersist()
     (manifest, flow)
   }
 }

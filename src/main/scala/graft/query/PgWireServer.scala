@@ -456,9 +456,22 @@ final class PgWireServer(spark: SparkSession, maxRows: Int = 10000,
       val nResFmt = r.int16()
       (0 until nResFmt).map(_ => r.int16()).toIndexedSeq
     }
+    // malformed format-code lists are PROTOCOL violations (postgres
+    // answers 08P01) — validated up front so a fuzzer can't kill the
+    // connection with an uncaught index error, and unknown codes are
+    // refused rather than silently treated as text
+    val badProto: Option[String] =
+      if (fmts.length > 1 && fmts.length != rawParams.length)
+        Some(s"bind message has ${fmts.length} parameter format codes " +
+          s"but ${rawParams.length} parameters")
+      else (fmts ++ resFmts).find(c => c != 0 && c != 1)
+        .map(c => s"unsupported format code: $c")
     def paramFmt(i: Int): Int =
       if (fmts.isEmpty) 0 else if (fmts.length == 1) fmts.head else fmts(i)
-    st.statements.get(stmt) match {
+    if (badProto.isDefined) {
+      writeError(out, "08P01", badProto.get)
+      st.skipUntilSync = true
+    } else st.statements.get(stmt) match {
       case Some(p) =>
         try {
           // binary-format parameters decode to their canonical text form
@@ -680,13 +693,20 @@ final class PgWireServer(spark: SparkSession, maxRows: Int = 10000,
     * for bytea, day/µs offsets from the 2000-01-01 postgres epoch for
     * date/timestamp. Only called for types [[resolveFormats]] admitted. */
   private def writeBinaryCell(b: DataOutputStream, v: Any, dt: DataType): Unit = {
+    // pg oid 1114 binary carries WALL-CLOCK microseconds — the binary
+    // cell must encode the same wall-clock the text path renders
+    // (renderCell), or the same value reads differently per requested
+    // format. java.sql.Timestamp therefore goes through toLocalDateTime
+    // (the text path's clock), NOT getTime's UTC instant, so the two
+    // formats agree on any JVM default timezone.
     def epochMicros(v: Any): Long = v match {
       case t: java.sql.Timestamp =>
-        Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
-      case i: java.time.Instant =>
+        epochMicros(t.toLocalDateTime)
+      case i: java.time.Instant => // text path renders instants at UTC
         i.getEpochSecond * 1000000L + i.getNano / 1000L
       case d: java.time.LocalDateTime => // NTZ: wall-clock, rendered at UTC
-        epochMicros(d.toInstant(java.time.ZoneOffset.UTC))
+        d.toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000L +
+          d.getNano / 1000L
       case other => throw new UnsupportedOperationException(
         s"unexpected timestamp class ${other.getClass.getName}")
     }
@@ -740,6 +760,8 @@ final class PgWireServer(spark: SparkSession, maxRows: Int = 10000,
         s"bind message has ${requested.length} result formats but query " +
           s"has ${schema.length} columns")
     schema.fields.zip(codes).foreach { case (f, c) =>
+      if (c != 0 && c != 1) // Bind validates; kept as defense in depth
+        throw new UnsupportedOperationException(s"unsupported format code: $c")
       if (c == 1 && !binaryCapable(f.dataType))
         throw new UnsupportedOperationException(
           "binary result format not supported for type " +
@@ -779,10 +801,16 @@ final class PgWireServer(spark: SparkSession, maxRows: Int = 10000,
       case 1114 | 1184 =>
         need(8)
         val micros = bb.getLong + PgEpochMicros
-        pgTimestamp(java.time.LocalDateTime.ofInstant(
+        val wall = pgTimestamp(java.time.LocalDateTime.ofInstant(
           java.time.Instant.ofEpochSecond(Math.floorDiv(micros, 1000000L),
             Math.floorMod(micros, 1000000L) * 1000L),
           java.time.ZoneOffset.UTC))
+        // timestamptz binary is an ABSOLUTE instant (µs since the pg
+        // epoch at UTC); the rendered wall-clock is UTC, so the literal
+        // must SAY so or Spark re-reads it in the session timezone,
+        // shifting the instant. Plain timestamp (1114) is wall-clock by
+        // definition and ships bare.
+        if (oid == 1184) wall + "+00:00" else wall
       case 0 | 25 | 1043 => new String(bytes, StandardCharsets.UTF_8)
       case other => throw new UnsupportedOperationException(
         s"binary parameter format not supported for type oid $other")
@@ -867,6 +895,15 @@ final class PgWireServer(spark: SparkSession, maxRows: Int = 10000,
     while (i < n) {
       val c = sql.charAt(i)
       val next = if (i + 1 < n) sql.charAt(i + 1) else ' '
+      // after VALUES, the only countable top-level tokens are tuple
+      // parens, separators, whitespace and comments. Spark's inline-
+      // table grammar ALSO accepts bare expression rows (`VALUES (1),
+      // 2`, `VALUES 1, 'x'`), which a paren counter cannot count — any
+      // other top-level character bails to the honest 0-plus-notice
+      // fallback rather than a confident wrong count.
+      if (sawValues && depth == 0 && !c.isWhitespace && c != ',' &&
+          c != '(' && !(c == '-' && next == '-') && !(c == '/' && next == '*'))
+        return None
       if (c == '\'') { // string literal (Spark rules, as in PgParams.walk)
         i += 1
         var closed = false
@@ -901,10 +938,6 @@ final class PgWireServer(spark: SparkSession, maxRows: Int = 10000,
         if (word == "VALUES") sawValues = true
         else if (word == "SELECT" || word == "WITH") return None // INSERT...SELECT
         i = j
-      } else if (sawValues && depth == 0 && c.isLetter) {
-        // a keyword after the tuple list at top level (e.g. a trailing
-        // SELECT in some dialect) — bail rather than guess
-        return None
       } else i += 1
     }
     if (sawValues && tuples > 0 && depth == 0 && !inTuple) Some(tuples) else None

@@ -798,6 +798,14 @@ class CorpusPipelineSpec extends AnyFunSuite with SparkSpec {
         assert(fold(inOrder.updated(0, inOrder(1)).updated(1, inOrder(0)))
           != expect, s"swap must change fp_pos (shard $shard)")
     }
+    // boundedOnly really omits the buffering md5 fp (the whole point —
+    // a manifest job over over-executor shards must not compute it
+    // "too") and keeps fp_pos identical
+    val bounded = CorpusPipeline.tokenShardManifest(stream, seqLen = 64,
+      boundedOnly = true)
+    assert(!bounded.columns.contains("shard_fp"), bounded.columns.toSeq)
+    assert(bounded.select("shard", "shard_fp_pos").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap == manifest)
   }
 
   test("shardNovelty: novelty decays on the real corpus and shard 0 is all-new") {

@@ -275,8 +275,14 @@ class PgWireSpec extends SparkSpec {
         "INSERT INTO pg_dml_tags SELECT k + 10 FROM pg_dml_tags")
       assert(commandTag(insSel).contains("INSERT 0 0"), commandTag(insSel))
       assert(noticeMessages(insSel).exists(_.contains("not reported")))
+      // Spark's inline-table grammar accepts BARE expression rows; a
+      // paren counter can't count those — honest 0 + notice, never a
+      // confidently wrong count
+      val bare = c.query("INSERT INTO pg_dml_tags VALUES (100), 101")
+      assert(commandTag(bare).contains("INSERT 0 0"), commandTag(bare))
+      assert(noticeMessages(bare).exists(_.contains("not reported")))
       assert(dataRows(c.query("SELECT count(*) AS n FROM pg_dml_tags")) ==
-        Seq(Seq(Some("6"))))
+        Seq(Seq(Some("8")))) // 1 + 2 + 3 (insert-select) + 2 (bare rows)
       c.query("DROP TABLE pg_dml_tags")
       c.close()
     }
@@ -668,6 +674,24 @@ class PgWireSpec extends SparkSpec {
       c.flush()
       assert(errorMessage(c.readUntilReady())
         .exists(_.contains("3 result formats")))
+      // an UNKNOWN format code (2) is a protocol error, not silent text
+      c.send('P', c.cstr("uf") ++ c.cstr("SELECT 1 AS a") ++ Array[Byte](0, 0))
+      c.send('B', bindWire(c, "uf", Nil, Nil, Seq(2)))
+      c.send('S', Array.emptyByteArray)
+      c.flush()
+      assert(errorMessage(c.readUntilReady())
+        .exists(_.contains("unsupported format code")))
+      // a param-format-code count that matches neither 0/1 nor the
+      // param count is an 08P01 ErrorResponse — never a dead socket
+      c.send('P', c.cstr("pf") ++ c.cstr("SELECT $1 AS a") ++ Array[Byte](0, 0))
+      c.send('B', bindWire(c, "pf", Seq(0, 0),
+        Seq(Some("1".getBytes(StandardCharsets.UTF_8)),
+          Some("2".getBytes(StandardCharsets.UTF_8)),
+          Some("3".getBytes(StandardCharsets.UTF_8))), Nil))
+      c.send('S', Array.emptyByteArray)
+      c.flush()
+      assert(errorMessage(c.readUntilReady())
+        .exists(_.contains("parameter format codes")))
       // and the connection is still healthy
       assert(dataRows(c.query("SELECT 1 AS n")) == Seq(Seq(Some("1"))))
       c.close()
@@ -707,15 +731,32 @@ class PgWireSpec extends SparkSpec {
       c.send('S', Array.emptyByteArray)
       c.flush()
       assert(dataRows(c.readUntilReady()) == Seq(Seq(Some("42"))))
+      // timestamptz (1184) binary is an ABSOLUTE instant: µs since the
+      // pg epoch at UTC must come back as that instant (session tz is
+      // pinned UTC), not re-anchored to a session wall-clock
+      c.send('P', parseParams(c, "btz",
+        "SELECT CAST($1 AS STRING) AS t", Seq(1184)))
+      c.send('B', bindWire(c, "btz", Seq(1),
+        Seq(Some(i64(86400L * 1000000L))), Nil)) // 2000-01-02T00:00:00Z
+      c.send('E', c.cstr("") ++ i32(0))
+      c.send('S', Array.emptyByteArray)
+      c.flush()
+      assert(dataRows(c.readUntilReady()) ==
+        Seq(Seq(Some("2000-01-02 00:00:00"))))
       c.close()
     }
   }
 
   test("pgJDBC startup shape: Describe on SET returns its (key, value) schema without executing twice") {
-    withServer() { (_, port) =>
+    // the SET executes on the suite's SHARED session: restore the conf
+    // after, or every later suite in this JVM runs with ANSI off
+    // (size(null) flips to legacy -1, silently breaking unrelated tests)
+    val ansiKey = "spark.sql.ansi.enabled"
+    val prevAnsi = spark.conf.get(ansiKey)
+    try withServer() { (_, port) =>
       val c = new Client(port); c.connect()
       // the statement pgJDBC prepares on every new connection
-      val set = "SET spark.sql.ansi.enabled=false"
+      val set = s"SET $ansiKey=false"
       c.send('P', c.cstr("ss") ++ c.cstr(set) ++ Array[Byte](0, 0))
       c.send('B', c.cstr("") ++ c.cstr("ss") ++ Array[Byte](0, 0, 0, 0, 0, 0))
       c.send('D', Array[Byte]('P'.toByte) ++ c.cstr(""))
@@ -729,7 +770,7 @@ class PgWireSpec extends SparkSpec {
       assert(dataRows(msgs) ==
         Seq(Seq(Some("spark.sql.ansi.enabled"), Some("false"))))
       c.close()
-    }
+    } finally spark.conf.set(ansiKey, prevAnsi)
   }
 
   test("comments don't confuse the simple protocol") {
