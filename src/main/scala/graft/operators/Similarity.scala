@@ -329,6 +329,80 @@ object Similarity {
     ivfCellStats(newVecs.sparkSession, table, roundAt)
   }
 
+  /** Re-train + rebuild for a drifted IVF index — the operator the
+    * [[ivfCellStats]] skew report tells you to run: appended batches
+    * follow the OLD centroids, so occupancy skew creeps up until the
+    * probe reads stop pruning. Fits `k` fresh centroids over the STORED
+    * vectors with [[kmeans]] (driver model state, one job per
+    * iteration), rebuilds the bucketed store under `newTable` (a fresh
+    * version — never an in-place overwrite of a table that is being
+    * read from), and returns the new `(anchor_id, av)` anchors frame.
+    * The caller swaps serving to (newTable, returned anchors) together:
+    * an index version and its anchor grid are one artifact — searching
+    * a store with the wrong grid returns silently wrong cells.
+    * Cost: the kmeans fits (iters scans) + one assignment scan + the
+    * bucketed write — the amortized one-off [[ivfIndexAppend]] defers. */
+  def ivfRetrain(spark: org.apache.spark.sql.SparkSession, table: String,
+      newTable: String, id: String, k: Int, iters: Int = 3,
+      numBuckets: Int = 16, roundAt: Int = 4): DataFrame = {
+    require(table != newTable,
+      "ivfRetrain rebuilds into a NEW table version: reading and " +
+        "overwriting the same bucketed table is not a safe operation")
+    val vectors = spark.table(table).select(col(id), col("embedding"))
+    val (_, centroids) = kmeans(vectors, id, k, iters)
+    // centroids are driver state (a local relation) — the anchors frame
+    // is k rows of O(dim) doubles, the same payload ivfAssign inlines
+    val anchors = centroids
+      .select(col("cluster").as("anchor_id"), col("cv").as("av"))
+    ivfBuildIndex(vectors, anchors, id, newTable, numBuckets, roundAt)
+    anchors
+  }
+
+  /** Fold staged streaming batches (EventStream.streamingIvfStage's
+    * `stageDir/batch=<n>` dirs) into the persisted IVF index —
+    * exactly-once WITHOUT a marker ledger: staged rows are anti-joined
+    * against the index's ids before the append, so a crash between
+    * append and cleanup, a replayed absorb, or a half-deleted stage can
+    * never duplicate a vector. The staging zone is already idempotent
+    * per batch (overwrite-by-batchId), so the whole arrival path is
+    * crash-convergent end to end. Only `_SUCCESS`-committed batch dirs
+    * are read (the EventStream gate). Absorbed batch dirs are deleted
+    * after the append lands; a failed delete is re-absorbed to zero new
+    * rows next time.
+    *
+    * Cost: one column-pruned id scan of the index per absorb (the
+    * anti-join's build side) + the staged mass — absorb runs at
+    * compaction cadence, not per micro-batch, exactly so this scan
+    * amortizes. Returns (batches_absorbed, rows_appended). */
+  def ivfIndexAbsorb(spark: org.apache.spark.sql.SparkSession,
+      stageDir: String, table: String, id: String,
+      numBuckets: Int = 16): (Long, Long) = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(stageDir)
+    val hfs = root.getFileSystem(hconf)
+    if (!hfs.exists(root)) return (0L, 0L)
+    val committed = hfs.listStatus(root).toIndexedSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+      .filter(s => hfs.exists(
+        new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
+      .map(_.getPath)
+      .sortBy(_.getName)
+    if (committed.isEmpty) return (0L, 0L)
+    val staged = spark.read
+      .parquet(committed.map(_.toString): _*)
+      // a vector id staged in two batches (client retry) keeps its
+      // first-staged row — same keep-first rule as the raw-zone dedup
+      .dropDuplicates(id)
+    val fresh = staged.join(
+      spark.table(table).select(col(id)), Seq(id), "left_anti")
+    val n = fresh.count()
+    if (n > 0)
+      Layout.appendBucketed(fresh, table,
+        bucketCols = Seq("cell"), numBuckets = numBuckets)
+    committed.foreach(p => hfs.delete(p, true))
+    (committed.size.toLong, n)
+  }
+
   /** Per-cell occupancy of a persisted IVF(-PQ) index: vectors per cell
     * and each cell's ratio to the mean occupancy — the skew report that
     * tells an operator when the anchor grid has drifted from the data

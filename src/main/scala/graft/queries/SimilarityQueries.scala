@@ -896,7 +896,57 @@ object SimilarityQueries {
              ROUND(n_vectors / (SELECT AVG(n_vectors) FROM counts), 4) AS ratio_to_mean
       FROM counts ORDER BY cell"""))
 
+  /** IVF re-train + rebuild (Similarity.ivfRetrain — the operator the
+    * skew report tells you to run): build v1 on the q40 anchor grid,
+    * re-fit 8 centroids over the STORED vectors with 3 Lloyd rounds
+    * (q136's kmeans, driver model state), rebuild into v2, and report
+    * v2's occupancy. The oracle replays the kmeans rounds as unrolled
+    * CTE layers (the q136 chain), then assigns by ROUNDED COSINE to the
+    * final centroids — ivfBuildIndex's assignment rule, NOT the fit's
+    * dist² rule — and folds the q210 occupancy arithmetic. Green here
+    * pins the whole lifecycle edge cross-engine: stored vectors →
+    * re-trained grid → rebuilt cells. */
+  val q211 = Q(
+    "q211_ivf_retrain",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val anchors = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("anchor_id"), col("embedding").as("av"))
+      val db = "graft_q211"
+      val loc = java.nio.file.Files.createTempDirectory("graft-q211")
+      s.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$loc'")
+      s.sql(s"DROP TABLE IF EXISTS $db.v1")
+      s.sql(s"DROP TABLE IF EXISTS $db.v2")
+      graft.operators.Similarity.ivfBuildIndex(e, anchors, "vec_id",
+        s"$db.v1", numBuckets = 8)
+      graft.operators.Similarity.ivfRetrain(s, s"$db.v1", s"$db.v2",
+        "vec_id", k = 8, iters = 3, numBuckets = 8)
+      graft.operators.Similarity.ivfCellStats(s, s"$db.v2")
+    },
+    Some(s"""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+      c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cluster,
+                    x AS cv
+             FROM (SELECT vec_id, x FROM e
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8) s),
+      ${kmeansIterSql(1)},
+      ${kmeansIterSql(2)},
+      ${kmeansIterSql(3)},
+      anchors AS (SELECT cluster AS anchor_id, cv AS av FROM c3),
+      assigned AS (SELECT vec_id, cell FROM (
+          SELECT e.vec_id, a.anchor_id AS cell,
+                 ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                   ORDER BY ROUND(CASE WHEN isnan(list_cosine_similarity(e.x, a.av))
+                                       THEN -1 ELSE list_cosine_similarity(e.x, a.av) END, 4) DESC,
+                            a.anchor_id) AS rk
+          FROM e CROSS JOIN anchors a) t WHERE rk = 1),
+      counts AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vectors
+                 FROM assigned GROUP BY cell)
+      SELECT cell, n_vectors,
+             ROUND(n_vectors / (SELECT AVG(n_vectors) FROM counts), 4) AS ratio_to_mean
+      FROM counts ORDER BY cell"""))
+
   def all: Seq[Q] =
     Seq(q34, q35, q39, q40, q48, q59, q60, q109, q136, q155, q171, q172,
-      q178, q184, q185, q190, q206, q207, q209, q210)
+      q178, q184, q185, q190, q206, q207, q209, q210, q211)
 }

@@ -740,4 +740,28 @@ object EventStream {
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start()
+
+  /** Streaming arrival path of the IVF index lifecycle (build →
+    * [[graft.operators.Similarity.ivfIndexAppend]] → skew → retrain):
+    * each micro-batch of `(id, embedding)` rows is assigned against the
+    * FROZEN anchor grid (`ivfAssign` is a pure map expression, so it
+    * runs unchanged on a stream) and landed as `stageDir/batch=<id>`
+    * with per-batch OVERWRITE — the [[runForeachBatchIdempotent]]
+    * contract, so a crash-replayed batch rewrites its own dir instead
+    * of duplicating rows. A bucketed catalog append is NOT
+    * replay-idempotent, which is exactly why arrival stages here and
+    * [[graft.operators.Similarity.ivfIndexAbsorb]] (anti-join-guarded,
+    * crash-convergent) folds the stage into the served table at
+    * compaction cadence. A search wanting zero staleness reads
+    * table ∪ stage — the incrementalLsh "index + recent" pattern. */
+  def streamingIvfStage(vecs: DataFrame, anchors: DataFrame, id: String,
+      stageDir: String, checkpoint: String): StreamingQuery =
+    vecs.writeStream
+      .foreachBatch { (df: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.operators.Similarity.ivfAssign(df, anchors, id)
+          .write.mode("overwrite").parquet(s"$stageDir/batch=$batchId")
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
 }

@@ -376,6 +376,75 @@ class EventStreamSpec extends AnyFunSuite with SparkSpec {
       Seq(1L, 2L, 3L))
   }
 
+  test("streaming IVF arrival: staged batches absorb into the index exactly once, replays converge") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    val anchors = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("anchor_id"), col("embedding").as("av"))
+    val db = "graft_ivf_stream"
+    val loc = Files.createTempDirectory("graft-ivf-streamdb")
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$loc'")
+    spark.sql(s"DROP TABLE IF EXISTS $db.served")
+    val stage = Files.createTempDirectory("graft-ivf-stage").toString
+    val chk = Files.createTempDirectory("graft-ivf-chk").toString
+
+    // served index starts from the lower half of the corpus
+    val mx = emb.agg(max("vec_id")).head().getLong(0)
+    val cut = (mx + 1) / 2
+    graft.operators.Similarity.ivfBuildIndex(
+      emb.filter(col("vec_id") < cut), anchors, "vec_id",
+      s"$db.served", numBuckets = 8)
+
+    // the upper half arrives as two micro-batches on a stream
+    val rows = emb.filter(col("vec_id") >= cut)
+      .select("vec_id", "embedding", "label").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1), r.getInt(2))).toSeq
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    val ms = MemoryStream[(Long, Seq[Float], Int)]
+    def stream = ms.toDF().toDF("vec_id", "embedding", "label")
+    ms.addData(b1)
+    EventStream.streamingIvfStage(stream, anchors, "vec_id", stage, chk)
+      .awaitTermination()
+    ms.addData(b2)
+    EventStream.streamingIvfStage(stream, anchors, "vec_id", stage, chk)
+      .awaitTermination()
+
+    // absorb folds both staged batches in; a second absorb is a no-op
+    val (nb, nr) = graft.operators.Similarity.ivfIndexAbsorb(
+      spark, stage, s"$db.served", "vec_id", numBuckets = 8)
+    assert(nb == 2 && nr == rows.length.toLong, (nb, nr))
+    assert(graft.operators.Similarity.ivfIndexAbsorb(
+      spark, stage, s"$db.served", "vec_id", numBuckets = 8) == (0L, 0L))
+    assert(spark.table(s"$db.served").count() == emb.count())
+
+    // crash window: the append landed but the staged dir survived —
+    // re-absorbing the SAME rows appends nothing (anti-join guard)
+    val replayDir = s"$stage/batch=99"
+    graft.operators.Similarity.ivfAssign(
+        emb.filter(col("vec_id") >= cut), anchors, "vec_id")
+      .write.mode("overwrite").parquet(replayDir)
+    val (rb, rr) = graft.operators.Similarity.ivfIndexAbsorb(
+      spark, stage, s"$db.served", "vec_id", numBuckets = 8)
+    assert(rb == 1L && rr == 0L, (rb, rr))
+    assert(spark.table(s"$db.served").count() == emb.count())
+
+    // the absorbed index serves exactly like a one-shot full build
+    val qv = emb.filter(col("vec_id") === 0)
+      .head().getAs[Seq[Float]]("embedding").toArray
+    spark.sql(s"DROP TABLE IF EXISTS $db.rebuilt")
+    graft.operators.Similarity.ivfBuildIndex(emb, anchors, "vec_id",
+      s"$db.rebuilt", numBuckets = 8)
+    def hits(t: String) = graft.operators.Similarity.ivfSearchIndexed(
+        spark, t, "vec_id", qv, anchors, nprobe = 2, k = 10,
+        excludeId = Some(0L))
+      .select("vec_id", "sim").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(hits(s"$db.served") == hits(s"$db.rebuilt"))
+  }
+
   test("streaming LSH near-dup filter: later near-copies hit the earlier owner's buckets") {
     val (in, chk) = newDirs()
     val out = Files.createTempDirectory("graft-lsh-out").toString

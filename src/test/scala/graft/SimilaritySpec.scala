@@ -117,6 +117,55 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(err.getMessage.toLowerCase.contains("bucket"), err.getMessage)
   }
 
+  test("ivfRetrain: fresh centroids rebuild into a new version; search agrees with the inline plan") {
+    val db = "graft_ivf_retrain"
+    val loc = java.nio.file.Files.createTempDirectory("graft-ivf-retrain")
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$loc'")
+    spark.sql(s"DROP TABLE IF EXISTS $db.v1")
+    spark.sql(s"DROP TABLE IF EXISTS $db.v2")
+
+    // v1 is built on a DEGENERATE 2-anchor grid — the drifted-index
+    // stand-in whose skew report motivates the retrain
+    val badAnchors = emb.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("anchor_id"), col("embedding").as("av"))
+    Similarity.ivfBuildIndex(emb, badAnchors, "vec_id", s"$db.v1", numBuckets = 8)
+
+    val newAnchors = Similarity.ivfRetrain(spark, s"$db.v1", s"$db.v2",
+      "vec_id", k = 8, iters = 3, numBuckets = 8)
+    // same corpus, fresh grid: no vector lost or duplicated
+    assert(spark.table(s"$db.v2").count() == emb.count())
+    assert(newAnchors.count() == 8)
+    // the retrain's lever is PRUNING GRANULARITY: v1's 2-cell grid can
+    // never prune below 1/2 of the corpus per probe; the retrained grid
+    // has k populated cells and its occupancy report accounts for every
+    // vector. (ratio_to_mean is relative to each grid's own mean, so a
+    // cross-grid skew comparison is not an operator property — a 2-cell
+    // grid is trivially "balanced".)
+    val stats = Similarity.ivfCellStats(spark, s"$db.v2").collect()
+    // (an empty kmeans cluster simply has no rows in the store, so the
+    // report can carry fewer than k cells — but always more than v1's 2)
+    assert(stats.length > 2 && stats.length <= 8, stats.toSeq)
+    assert(stats.forall(_.getLong(1) > 0) &&
+      stats.map(_.getLong(1)).sum == emb.count())
+    // the rebuilt store + returned anchors answer exactly like the
+    // inline IVF plan over the same vectors and grid
+    val qv = emb.filter(col("vec_id") === 0)
+      .head().getAs[Seq[Float]]("embedding").toArray
+    val stored = Similarity.ivfSearchIndexed(spark, s"$db.v2", "vec_id",
+        qv, newAnchors, nprobe = 2, k = 10, excludeId = Some(0L))
+      .select("vec_id", "sim").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val inline = Similarity.ivfTopK(emb, "vec_id", 0, newAnchors,
+        nprobe = 2, k = 10)
+      .select("vec_id", "sim").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(stored == inline)
+    // in-place retrain (read + overwrite the same table) is refused
+    intercept[IllegalArgumentException] {
+      Similarity.ivfRetrain(spark, s"$db.v2", s"$db.v2", "vec_id", k = 4)
+    }
+  }
+
   test("PQ encode is mode-agnostic: the streaming encode equals the batch encode") {
     // a narrow expression works unchanged on a stream — the ingest-time
     // index-append path (encode on arrival, append to the codes table)
