@@ -877,6 +877,59 @@ object Similarity {
       .orderBy("query_id", "nprobe")
   }
 
+  /** [[recallEval]] against a PERSISTED index ([[ivfBuildIndex]]'s
+    * cell-bucketed table): the deployment face — cell assignments are
+    * READ from the store, so the eval's corpus-wide work drops to ONE
+    * query-batch cosine pass over the stored `(id, embedding, cell)`
+    * rows (brute ground truth and IVF candidates both derive from it as
+    * rank columns). Evaluating a billion-vector index costs one scan of
+    * it, no assignment or encode pass at all. `anchors` must be the
+    * grid the store was built with (the [[ivfRetrain]] version-pairing
+    * contract). Output and ranking rules identical to [[recallEval]] —
+    * spec-pinned equal on the same data. */
+  def recallEvalIndexed(spark: org.apache.spark.sql.SparkSession,
+      table: String, id: String, queryIds: Seq[Long], anchors: DataFrame,
+      nprobes: Seq[Int], k: Int, roundAt: Int = 4): DataFrame = {
+    require(queryIds.nonEmpty && k >= 1)
+    require(nprobes.nonEmpty && nprobes.forall(_ >= 1))
+    import spark.implicits._
+    val recallCol = s"recall_at_$k"
+    val paramsDf = queryIds.flatMap(q => nprobes.map(np => (q, np)))
+      .toDF("q_id", "nprobe")
+    val stored = spark.table(table)
+    val q = stored.filter(col(id).isInCollection(queryIds))
+      .select(col(id).as("q_id"), col("embedding").as("qv"))
+    // THE one corpus pass: stored rows × query batch, carrying the
+    // stored cell; brute rank is a window column on the same frame
+    val scored = stored.select(col(id), col("embedding"), col("cell"))
+      .join(broadcast(q), col(id) =!= col("q_id"))
+      .select(col("q_id"), col(id), col("cell"),
+        round(nanvl(vec.cosine(col("embedding"), col("qv")), lit(-1.0)), roundAt).as("sim"))
+      .withColumn("brute_rk",
+        row_number().over(Window.partitionBy("q_id").orderBy(desc("sim"), asc(id))))
+    val probes = anchors.crossJoin(broadcast(q))
+      .select(col("q_id"), col("anchor_id").as("cell"),
+        round(nanvl(vec.cosine(col("av"), col("qv")), lit(-1.0)), roundAt).as("qcos"))
+      .withColumn("prk",
+        row_number().over(Window.partitionBy("q_id").orderBy(desc("qcos"), asc("cell"))))
+      .filter(col("prk") <= nprobes.max)
+      .select("q_id", "cell", "prk")
+    val hits = scored
+      .join(broadcast(probes), Seq("q_id", "cell"))
+      .join(broadcast(paramsDf), Seq("q_id"))
+      .filter(col("prk") <= col("nprobe"))
+      .withColumn("ivf_rk", row_number().over(
+        Window.partitionBy("q_id", "nprobe").orderBy(desc("sim"), asc(id))))
+      .filter(col("ivf_rk") <= k)
+    val recall = hits.groupBy("q_id", "nprobe")
+      .agg(round(sum(when(col("brute_rk") <= k, 1).otherwise(0)) / k.toDouble, roundAt)
+        .as(recallCol))
+    paramsDf.join(recall, Seq("q_id", "nprobe"), "left")
+      .select(col("q_id").as("query_id"), col("nprobe"),
+        coalesce(col(recallCol), lit(0.0)).as(recallCol))
+      .orderBy("query_id", "nprobe")
+  }
+
   /** IVF-PQ recall evaluation over (nprobe, refine) dials for one query
     * — the same shared-scan discipline as [[recallEval]]: ONE
     * assign+encode pass over the corpus, ONE ADC evaluation per

@@ -870,7 +870,7 @@ final class PgWireServer(spark: SparkSession, maxRows: Int = 10000,
       // ([[dmlTagNotice]]) so clients branching on the count aren't
       // silently misled.
       case Some("INSERT") =>
-        s"INSERT 0 ${staticInsertValuesCount(sql).getOrElse(0L)}"
+        s"INSERT 0 ${PgWireServer.staticInsertValuesCount(sql).getOrElse(0L)}"
       case Some("UPDATE") => "UPDATE 0"
       case Some("DELETE") => "DELETE 0"
       case Some("MERGE") => "MERGE 0"
@@ -879,77 +879,13 @@ final class PgWireServer(spark: SparkSession, maxRows: Int = 10000,
     }
   }
 
-  /** Statically-known row count for `INSERT INTO t [(cols)] VALUES
-    * (...), (...)`: the number of top-level tuple groups after the
-    * VALUES keyword. None for INSERT...SELECT (count unknowable without
-    * executing twice) — those fall back to 0 + [[dmlTagNotice]]. The
-    * scan honors strings/comments/nesting so a 'VALUES' inside a
-    * literal or a subquery's parens can't miscount. */
-  private def staticInsertValuesCount(sql: String): Option[Long] = {
-    var i = 0
-    val n = sql.length
-    var depth = 0
-    var sawValues = false
-    var tuples = 0L
-    var inTuple = false
-    while (i < n) {
-      val c = sql.charAt(i)
-      val next = if (i + 1 < n) sql.charAt(i + 1) else ' '
-      // after VALUES, the only countable top-level tokens are tuple
-      // parens, separators, whitespace and comments. Spark's inline-
-      // table grammar ALSO accepts bare expression rows (`VALUES (1),
-      // 2`, `VALUES 1, 'x'`), which a paren counter cannot count — any
-      // other top-level character bails to the honest 0-plus-notice
-      // fallback rather than a confident wrong count.
-      if (sawValues && depth == 0 && !c.isWhitespace && c != ',' &&
-          c != '(' && !(c == '-' && next == '-') && !(c == '/' && next == '*'))
-        return None
-      if (c == '\'') { // string literal (Spark rules, as in PgParams.walk)
-        i += 1
-        var closed = false
-        while (i < n && !closed) {
-          val d = sql.charAt(i)
-          if (d == '\\' && i + 1 < n) i += 2
-          else if (d == '\'' && i + 1 < n && sql.charAt(i + 1) == '\'') i += 2
-          else if (d == '\'') { closed = true; i += 1 }
-          else i += 1
-        }
-      } else if (c == '"' || c == '`') {
-        i += 1
-        while (i < n && sql.charAt(i) != c) i += 1
-        if (i < n) i += 1
-      } else if (c == '-' && next == '-') {
-        while (i < n && sql.charAt(i) != '\n') i += 1
-      } else if (c == '/' && next == '*') {
-        i += 2
-        while (i + 1 < n && !(sql.charAt(i) == '*' && sql.charAt(i + 1) == '/')) i += 1
-        i += 2
-      } else if (c == '(') {
-        if (sawValues && depth == 0) { tuples += 1; inTuple = true }
-        depth += 1; i += 1
-      } else if (c == ')') {
-        depth -= 1
-        if (depth == 0) inTuple = false
-        i += 1
-      } else if (!sawValues && depth == 0 && c.isLetter) {
-        var j = i
-        while (j < n && (sql.charAt(j).isLetterOrDigit || sql.charAt(j) == '_')) j += 1
-        val word = sql.substring(i, j).toUpperCase(java.util.Locale.ROOT)
-        if (word == "VALUES") sawValues = true
-        else if (word == "SELECT" || word == "WITH") return None // INSERT...SELECT
-        i = j
-      } else i += 1
-    }
-    if (sawValues && tuples > 0 && depth == 0 && !inTuple) Some(tuples) else None
-  }
-
   /** The honesty companion to [[commandTag]]'s DML zeros: postgres
     * clients branch on affected-row counts (pgJDBC executeUpdate,
     * psycopg2 rowcount), and Spark doesn't report them — say so on the
     * wire instead of letting a successful write read as a no-op. */
   private def dmlTagNotice(sql: String): Option[String] =
     leadingKeywords(sql, 1).headOption match {
-      case Some("INSERT") if staticInsertValuesCount(sql).isEmpty =>
+      case Some("INSERT") if PgWireServer.staticInsertValuesCount(sql).isEmpty =>
         Some("affected-row count is not reported by this gateway; the INSERT command tag carries 0")
       case Some("UPDATE") | Some("DELETE") | Some("MERGE") =>
         Some("affected-row counts are not reported by this gateway; DML command tags carry 0")
@@ -1070,6 +1006,73 @@ final class PgWireServer(spark: SparkSession, maxRows: Int = 10000,
   * one per setX call); an undeclared (0 / absent) OID binds as text,
   * which Spark's ANSI coercion handles in comparisons the same way
   * postgres's `unknown` type does. */
+private[query] object PgWireServer {
+
+  /** Statically-known row count for `INSERT INTO t [(cols)] VALUES
+    * (...), (...)`: the number of top-level tuple groups after the
+    * VALUES keyword. None for INSERT...SELECT (count unknowable without
+    * executing twice) — those fall back to 0 + [[dmlTagNotice]]. The
+    * scan honors strings/comments/nesting so a 'VALUES' inside a
+    * literal or a subquery's parens can't miscount. */
+  private[query] def staticInsertValuesCount(sql: String): Option[Long] = {
+    var i = 0
+    val n = sql.length
+    var depth = 0
+    var sawValues = false
+    var tuples = 0L
+    var inTuple = false
+    while (i < n) {
+      val c = sql.charAt(i)
+      val next = if (i + 1 < n) sql.charAt(i + 1) else ' '
+      // after VALUES, the only countable top-level tokens are tuple
+      // parens, separators, whitespace and comments. Spark's inline-
+      // table grammar ALSO accepts bare expression rows (`VALUES (1),
+      // 2`, `VALUES 1, 'x'`), which a paren counter cannot count — any
+      // other top-level character bails to the honest 0-plus-notice
+      // fallback rather than a confident wrong count.
+      if (sawValues && depth == 0 && !c.isWhitespace && c != ',' &&
+          c != '(' && !(c == '-' && next == '-') && !(c == '/' && next == '*'))
+        return None
+      if (c == '\'') { // string literal (Spark rules, as in PgParams.walk)
+        i += 1
+        var closed = false
+        while (i < n && !closed) {
+          val d = sql.charAt(i)
+          if (d == '\\' && i + 1 < n) i += 2
+          else if (d == '\'' && i + 1 < n && sql.charAt(i + 1) == '\'') i += 2
+          else if (d == '\'') { closed = true; i += 1 }
+          else i += 1
+        }
+      } else if (c == '"' || c == '`') {
+        i += 1
+        while (i < n && sql.charAt(i) != c) i += 1
+        if (i < n) i += 1
+      } else if (c == '-' && next == '-') {
+        while (i < n && sql.charAt(i) != '\n') i += 1
+      } else if (c == '/' && next == '*') {
+        i += 2
+        while (i + 1 < n && !(sql.charAt(i) == '*' && sql.charAt(i + 1) == '/')) i += 1
+        i += 2
+      } else if (c == '(') {
+        if (sawValues && depth == 0) { tuples += 1; inTuple = true }
+        depth += 1; i += 1
+      } else if (c == ')') {
+        depth -= 1
+        if (depth == 0) inTuple = false
+        i += 1
+      } else if (!sawValues && depth == 0 && c.isLetter) {
+        var j = i
+        while (j < n && (sql.charAt(j).isLetterOrDigit || sql.charAt(j) == '_')) j += 1
+        val word = sql.substring(i, j).toUpperCase(java.util.Locale.ROOT)
+        if (word == "VALUES") sawValues = true
+        else if (word == "SELECT" || word == "WITH") return None // INSERT...SELECT
+        i = j
+      } else i += 1
+    }
+    if (sawValues && tuples > 0 && depth == 0 && !inTuple) Some(tuples) else None
+  }
+}
+
 private[query] object PgParams {
 
   /** Substitute `params` into `sql`. With `probe = true` (Describe on a

@@ -117,6 +117,27 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(err.getMessage.toLowerCase.contains("bucket"), err.getMessage)
   }
 
+  test("recallEvalIndexed: stored-assignment eval equals the frame-based eval, with no assignment scan") {
+    val db = "graft_recall_idx"
+    val loc = java.nio.file.Files.createTempDirectory("graft-recall-idx")
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$loc'")
+    spark.sql(s"DROP TABLE IF EXISTS $db.idx")
+    Similarity.ivfBuildIndex(emb, anchors, "vec_id", s"$db.idx", numBuckets = 8)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+    val fromStore = Similarity.recallEvalIndexed(spark, s"$db.idx",
+      "vec_id", queryIds = Seq(0L, 1L, 2L, 3L), anchors,
+      nprobes = Seq(1, 2, 4), k = 10)
+    val fromFrames = Similarity.recallEval(emb, "vec_id",
+      queryIds = Seq(0L, 1L, 2L, 3L), anchors, nprobes = Seq(1, 2, 4), k = 10)
+    assert(rows(fromStore) == rows(fromFrames))
+    // the deployment claim: evaluating against the store runs NO
+    // assignment argmax — the only array_sort in recallEval's plan is
+    // ivfAssign's inlined anchor argmax, absent here
+    val p = fromStore.queryExecution.executedPlan.toString
+    assert(!p.contains("array_sort"), p)
+  }
+
   test("ivfRetrain: fresh centroids rebuild into a new version; search agrees with the inline plan") {
     val db = "graft_ivf_retrain"
     val loc = java.nio.file.Files.createTempDirectory("graft-ivf-retrain")
