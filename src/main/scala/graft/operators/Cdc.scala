@@ -152,26 +152,42 @@ object Cdc {
   }
 
   /** Incremental aggregate maintenance (materialized-view refresh for
-    * ADDITIVE aggregates): merge a stored aggregate state with the SAME-
-    * shaped aggregate of a delta batch — one full outer join on the
-    * grouping keys, each additive column summed with null-as-zero. The
-    * refreshed state equals the direct aggregate over base ∪ delta (the
-    * oracle contract q119 pins), at the cost of |state| + |delta| rather
-    * than a full recompute. Counts and decimal sums are additive; for
-    * avg carry (sum, count), for min/max this only works for inserts. */
+    * mergeable aggregates): merge a stored aggregate state with the
+    * SAME-shaped aggregate of a delta batch — one full outer join on
+    * the grouping keys. The refreshed state equals the direct aggregate
+    * over base ∪ delta (the oracle contract q119 pins), at the cost of
+    * |state| + |delta| rather than a full recompute.
+    *
+    * Merge rules per column class:
+    *  - `aggCols` (counts, sums): SQL SUM semantics — `coalesce(a + b,
+    *    a, b)`, so a side absent from the join contributes nothing and
+    *    a group whose stored sum is NULL (SUM over an all-NULL group)
+    *    STAYS NULL instead of being corrupted to 0.
+    *  - `minCols` / `maxCols`: `least` / `greatest` (null-skipping) —
+    *    correct for INSERT-ONLY maintenance; a delete/update can raise
+    *    a min, which no merge of (old min, delta min) can see. That
+    *    caveat is structural to incremental min/max, not a flag here.
+    * For avg, carry (sum, count) in aggCols and divide at read time.
+    * An empty `keys` is the global (one-row) aggregate — the join
+    * degenerates to a 1×1 full outer on TRUE. */
   def refreshAgg(state: DataFrame, deltaAgg: DataFrame, keys: Seq[String],
-      aggCols: Seq[String]): DataFrame = {
+      aggCols: Seq[String], minCols: Seq[String] = Nil,
+      maxCols: Seq[String] = Nil): DataFrame = {
     // NULL-SAFE key match (like tableDiff): a using-columns join treats a
     // null state key and a null delta key as different rows, which would
     // split a null group into two and break the ≡-direct-aggregate
     // contract for nullable grouping keys
+    val valCols = aggCols ++ minCols ++ maxCols
     val d = deltaAgg.select(
       (keys.map(k => col(k).as(s"__d_$k")) ++
-        aggCols.map(c => col(c).as(s"__d_$c"))): _*)
-    state.join(d, keys.map(k => col(k) <=> col(s"__d_$k")).reduce(_ && _),
+        valCols.map(c => col(c).as(s"__d_$c"))): _*)
+    state.join(d,
+        keys.map(k => col(k) <=> col(s"__d_$k")).foldLeft(lit(true))(_ && _),
         "full_outer")
       .select((keys.map(k => coalesce(col(k), col(s"__d_$k")).as(k)) ++
-        aggCols.map(c =>
-          (coalesce(col(c), lit(0)) + coalesce(col(s"__d_$c"), lit(0))).as(c))): _*)
+        aggCols.map(c => coalesce(col(c) + col(s"__d_$c"),
+          col(c), col(s"__d_$c")).as(c)) ++
+        minCols.map(c => least(col(c), col(s"__d_$c")).as(c)) ++
+        maxCols.map(c => greatest(col(c), col(s"__d_$c")).as(c))): _*)
   }
 }

@@ -75,9 +75,25 @@ object Layout {
     // — the clustering silently inverts instead of erroring
     require(bits >= 1 && bits <= 31,
       s"zValue interleaves 1..31 low bits per column, got $bits")
+    val cap = 1L << bits
+    // values outside [0, 2^bits) make the interleave SILENTLY useless:
+    // only the low bits differ, so values 2^bits apart collide in z and
+    // file stats go wide (negative values are worse — arithmetic shift
+    // makes every extracted bit 1, collapsing all of them to max-z).
+    // A wrong layout looks exactly like a working one until pruning is
+    // measured, so refuse loudly instead: rank/normalize the column
+    // into range, or raise `bits`.
+    def checked(c: Column): Column = {
+      val l = c.cast("long")
+      when(l >= 0 && l < cap, l).otherwise(raise_error(format_string(
+        s"zValue: value %s outside [0, $cap) — low-$bits-bit interleave " +
+          "would collide distant values; normalize the column or raise bits",
+        l.cast("string"))))
+    }
+    val (al, bl) = (checked(a), checked(b))
     (0 until bits).map { i =>
-      shiftleft(shiftright(a.cast("long"), i).bitwiseAND(lit(1L)), 2 * i) +
-        shiftleft(shiftright(b.cast("long"), i).bitwiseAND(lit(1L)), 2 * i + 1)
+      shiftleft(shiftright(al, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(bl, i).bitwiseAND(lit(1L)), 2 * i + 1)
     }.reduce(_ + _)
   }
 
@@ -195,11 +211,22 @@ object Layout {
     import org.apache.hadoop.fs.Path
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val files = fs.listStatus(p).toIndexedSeq
-      .filter(s => s.isFile && !s.getPath.getName.startsWith("_")
+    val entries = fs.listStatus(p).toIndexedSeq
+      .filter(s => !s.getPath.getName.startsWith("_")
         && !s.getPath.getName.startsWith("."))
+    val files = entries.filter(_.isFile)
       .map(s => (s.getPath.getName, s.getLen))
       .sortBy { case (name, len) => (-len, name) } // FFD; name-tie for determinism
+    // a hive-partitioned table holds its data one level DOWN — an empty
+    // plan here would let compact() "succeed" into an empty outDir and a
+    // caller that swaps dirs would lose the table. Refuse loudly: this
+    // operator compacts ONE directory; run it per partition.
+    val subdirs = entries.filter(_.isDirectory)
+    require(files.nonEmpty || subdirs.isEmpty,
+      s"compactionPlan: $dir has no top-level data files but " +
+        s"${subdirs.size} subdirectories (hive partitions?) — compaction " +
+        s"is per-directory; point it at a partition dir, e.g. " +
+        s"${subdirs.head.getPath}")
     // parallel used-bytes array + indexWhere: the operator exists for
     // huge file counts, and a find-then-indexOf (element-wise buffer
     // equality!) made planning quadratic-with-big-constants on the
@@ -233,18 +260,21 @@ object Layout {
     val plan = compactionPlan(spark, dir, targetBytes)
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(new Path(outDir))
+    // retry-idempotency: UUID part names mean a re-run (orchestrator
+    // retry, crash between rename and staging-dir delete) would APPEND
+    // a second complete copy of a bin next to the first — and a source
+    // dir that CHANGED between runs renumbers the bins, so a re-run can
+    // leave stale high-numbered bins from the old plan. Clear ALL prior
+    // compaction output (bins and staging), not just this plan's bin
+    // ids, so re-runs converge like the versioned sinks do.
+    (fs.globStatus(new Path(s"$outDir/bin-*")) ++
+      fs.globStatus(new Path(s"$outDir/__bin-*")))
+      .foreach(s => fs.delete(s.getPath, true))
     val groups = plan.collect()
       .groupBy(_.getLong(0))
       .toSeq.sortBy(_._1)
     groups.foreach { case (bin, rows) =>
       val names = rows.map(_.getString(1)).sorted
-      // retry-idempotency: UUID part names mean a re-run (orchestrator
-      // retry, crash between rename and staging-dir delete) would
-      // APPEND a second complete copy of the bin next to the first —
-      // clear this bin's previous output before writing, so re-runs
-      // converge like the versioned sinks do
-      fs.globStatus(new Path(s"$outDir/bin-$bin-*"))
-        .foreach(s => fs.delete(s.getPath, false))
       if (names.length == 1) {
         org.apache.hadoop.fs.FileUtil.copy(
           fs, new Path(s"$dir/${names.head}"),

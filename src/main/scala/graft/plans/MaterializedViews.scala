@@ -70,10 +70,11 @@ object MaterializedViews {
       extends Rule[LogicalPlan] {
 
     override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-      case agg @ Aggregate(groupExprs, resultExprs, child, _)
-          if findMv(child).exists(mv => rewritable(mv, groupExprs, resultExprs)) =>
-        val mv = findMv(child).get
-        rewrite(mv, agg).getOrElse(agg)
+      case agg @ Aggregate(groupExprs, resultExprs, child, _) =>
+        findMv(child)
+          .filter(mv => rewritable(mv, groupExprs, resultExprs))
+          .flatMap(mv => rewrite(mv, agg))
+          .getOrElse(agg)
     }
 
     /** The base-table scan this child wraps, if it is ONLY a scan (an
@@ -121,10 +122,41 @@ object MaterializedViews {
       // already-optimized plan, past the point where the planner would
       // eliminate SubqueryAlias / resolve views for us. (Optimizing the
       // bare table scan cannot re-enter this rule: the scan contains no
-      // Aggregate over a registered base path.)
+      // Aggregate over a registered base path.) Re-derived PER FIRING on
+      // purpose: a cached plan would reuse ExprIds, and the same MV
+      // appearing twice in one query would then carry duplicate ids.
       val mvPlan = spark.table(mv.mvTable).queryExecution.optimizedPlan
+      // Spark resolves column names with the session resolver (case-
+      // insensitive by default) — the MV lookup must match, or a case
+      // difference between the MvDef and the table silently misses
+      val resolver = spark.sessionState.analyzer.resolver
+      def findAttr(name: String): Option[Attribute] =
+        mvPlan.output.find(a => resolver(a.name, name))
+      // a registration whose mapped columns don't exist in the MV table
+      // (typo, schema drift) must DECLINE the rewrite — the base plan is
+      // always correct, and "correctness never depends on the rule
+      // firing" has to include misregistration, not just query shape
+      val needed: Seq[String] =
+        agg.groupingExpressions.collect { case a: AttributeReference => a.name } ++
+        agg.aggregateExpressions.flatMap {
+          case a: AttributeReference => Seq(a.name)
+          case Alias(ae: AggregateExpression, _) => ae.aggregateFunction match {
+            case Sum(c: AttributeReference, _) => mv.sums.get(c.name).toSeq
+            case Count(_)                      => Seq(mv.countCol)
+            case Min(c: AttributeReference)    => mv.mins.get(c.name).toSeq
+            case Max(c: AttributeReference)    => mv.maxs.get(c.name).toSeq
+            case _                             => Seq.empty
+          }
+          case _ => Seq.empty
+        }
+      if (!needed.forall(n => findAttr(n).isDefined)) {
+        logWarning(s"materialized view ${mv.mvTable} lacks column(s) " +
+          s"${needed.filter(n => findAttr(n).isEmpty).mkString(", ")} — " +
+          "declining the rewrite (query served from the base table)")
+        return None
+      }
       def mvAttr(name: String): Attribute =
-        mvPlan.output.find(_.name == name).getOrElse(
+        findAttr(name).getOrElse( // unreachable: validated above
           throw new IllegalStateException(
             s"materialized view ${mv.mvTable} lacks column '$name'"))
 

@@ -126,6 +126,35 @@ class CdcSpec extends SparkSpec {
     assert(merged == Seq((None, 5L)))
   }
 
+  test("refreshAgg: NULL sums stay NULL, min/max merge, empty keys = global aggregate") {
+    import spark.implicits._
+    // SQL SUM over an all-NULL group is NULL; the merge must keep it
+    // NULL (a refresh that flips it to 0 diverges from the direct
+    // aggregate over base ∪ delta), while a one-sided NULL takes the
+    // other side's value
+    val s = Seq(("a", Option.empty[Double]), ("b", Some(5.0)))
+      .toDF("k", "total")
+    val d = Seq(("a", Option.empty[Double]), ("c", Option.empty[Double]))
+      .toDF("k", "total")
+    val got = Cdc.refreshAgg(s, d, Seq("k"), Seq("total"))
+      .orderBy("k").as[(String, Option[Double])].collect().toSeq
+    assert(got == Seq(("a", None), ("b", Some(5.0)), ("c", None)))
+    // min/max columns merge with least/greatest (insert-only contract)
+    val sm = Seq(("a", 5L, 9L), ("b", 2L, 3L)).toDF("k", "lo", "hi")
+    val dm = Seq(("a", 3L, 7L), ("c", 8L, 8L)).toDF("k", "lo", "hi")
+    val mm = Cdc.refreshAgg(sm, dm, Seq("k"), Nil,
+        minCols = Seq("lo"), maxCols = Seq("hi"))
+      .orderBy("k").as[(String, Long, Long)].collect().toSeq
+    assert(mm == Seq(("a", 3L, 9L), ("b", 2L, 3L), ("c", 8L, 8L)))
+    // the global (no-key) aggregate: two 1-row states merge to one row
+    val g = Cdc.refreshAgg(
+        Seq((2L, 10.0)).toDF("n", "total"),
+        Seq((3L, 7.5)).toDF("n", "total"),
+        Seq.empty, Seq("n", "total"))
+      .as[(Long, Double)].collect().toSeq
+    assert(g == Seq((5L, 17.5)))
+  }
+
   test("upsert and tableDiff are null-safe on the KEY, not just the compared columns") {
     import spark.implicits._
     // a null-key change row must SUPERSEDE the base's null-key row

@@ -145,6 +145,15 @@ class LayoutSpec extends AnyFunSuite with SparkSpec {
       .select(Layout.zValue(col("a"), col("b"), 8).as("z"))
       .head().getLong(0)
     assert(z == 27L)
+    // out-of-range values refuse loudly: a silent low-bit interleave
+    // collides values 2^bits apart (and collapses ALL negatives to
+    // max-z) — a useless layout that looks like a working one
+    def zOf(a: Int, b: Int): Long = Seq((a, b)).toDF("a", "b")
+      .select(Layout.zValue(col("a"), col("b"), 8).as("z")).head().getLong(0)
+    val big = intercept[Exception] { zOf(256, 0) }
+    assert(big.getMessage != null && big.getMessage.contains("outside"), big.getMessage)
+    val neg = intercept[Exception] { zOf(5, -1) }
+    assert(neg.getMessage != null && neg.getMessage.contains("outside"), neg.getMessage)
   }
 
   test("salted left join keeps unmatched fact rows exactly once") {
@@ -244,6 +253,35 @@ class LayoutSpec extends AnyFunSuite with SparkSpec {
     val rerunFiles = new java.io.File(out).listFiles()
       .filter(f => f.isFile && f.getName.startsWith("bin-"))
     assert(rerunFiles.length.toLong == bins)
+
+    // a SHRUNKEN source renumbers the bins — a re-run must clear the
+    // old plan's stale high-numbered bins, not leave their rows mixed
+    // in next to the fresh output
+    val dataFiles = new java.io.File(dir).listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith("."))
+      .sortBy(_.getName)
+    dataFiles.drop(2).foreach { f =>
+      f.delete()
+      new java.io.File(f.getParent, s".${f.getName}.crc").delete()
+    }
+    Layout.compact(spark, dir, out, target)
+    val shrunk = spark.read.parquet(dir).groupBy("v").count()
+    val shrunkOut = spark.read.parquet(out).groupBy("v").count()
+    assert(shrunk.exceptAll(shrunkOut).isEmpty && shrunkOut.exceptAll(shrunk).isEmpty,
+      "stale bins from the previous plan must not survive a re-run")
+  }
+
+  test("compactionPlan refuses a hive-partitioned root instead of planning nothing") {
+    val root = java.nio.file.Files.createTempDirectory("graft-compact-hive").toString
+    spark.range(10).withColumn("p", col("id") % 2)
+      .write.partitionBy("p").mode("overwrite").parquet(root)
+    val e = intercept[IllegalArgumentException] {
+      Layout.compactionPlan(spark, root, 1024 * 1024)
+    }
+    assert(e.getMessage.contains("per-directory"), e.getMessage)
+    // pointed at a partition directory it plans normally
+    assert(Layout.compactionPlan(spark, s"$root/p=0", 1024 * 1024).count() > 0)
   }
 
   test("bloomPrunedJoin refuses a fact/dim key type mismatch instead of dropping matches") {

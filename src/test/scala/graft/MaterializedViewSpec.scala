@@ -179,4 +179,49 @@ class MaterializedViewSpec extends SparkSpec {
         === expect)
     } finally MaterializedViews.clear(spark)
   }
+
+  test("a misregistered MV (missing column) declines the rewrite instead of failing the query") {
+    val baseDir = java.nio.file.Files.createTempDirectory("graft-mv-bad-base").toString
+    val mvDir = java.nio.file.Files.createTempDirectory("graft-mv-bad-view").toString
+    Tables.events(spark, sf("sf0.001"))
+      .select(col("event_type"), col("value").cast("long").as("v"))
+      .write.mode("overwrite").parquet(baseDir)
+    spark.read.parquet(baseDir).groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("v").as("sum_v"))
+      .write.mode("overwrite").parquet(mvDir)
+    spark.read.parquet(mvDir).createOrReplaceTempView("mv_bad")
+    try {
+      // the registration names a sum column the MV table does NOT have
+      // (typo / schema drift) — "correctness never depends on the rule
+      // firing" must include misregistration: the query runs from the
+      // base table, it does not throw out of the optimizer
+      MaterializedViews.register(spark, Seq(MvDef(
+        basePathMarker = baseDir,
+        mvTable = "mv_bad",
+        groupCols = Set("event_type"),
+        sums = Map("v" -> "sum_v_typo"),
+        countCol = "n")))
+      val q = spark.read.parquet(baseDir)
+        .groupBy("event_type").agg(sum("v").as("total"))
+      val direct = Tables.events(spark, sf("sf0.001"))
+        .select(col("event_type"), col("value").cast("long").as("v"))
+        .groupBy("event_type").agg(sum("v").as("total"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(q.collect().map(r => (r.getString(0), r.getLong(1))).toSet == direct)
+      assert(scanPaths(q).contains(baseDir)) // served from base, not broken
+      // a CASE-mismatched but real column still rewrites (Spark resolves
+      // case-insensitively by default; the MV lookup must match)
+      MaterializedViews.clear(spark)
+      MaterializedViews.register(spark, Seq(MvDef(
+        basePathMarker = baseDir,
+        mvTable = "mv_bad",
+        groupCols = Set("event_type"),
+        sums = Map("v" -> "SUM_V"),
+        countCol = "N")))
+      val q2 = spark.read.parquet(baseDir)
+        .groupBy("event_type").agg(sum("v").as("total"))
+      assert(scanPaths(q2).contains(mvDir), scanPaths(q2))
+      assert(q2.collect().map(r => (r.getString(0), r.getLong(1))).toSet == direct)
+    } finally MaterializedViews.clear(spark)
+  }
 }
