@@ -63,8 +63,16 @@ final class WatermarkStore(directory: String) {
 
   def write(minHeight: Long, maxHeight: Long): Unit = {
     Files.createDirectories(metaPath.getParent)
-    Files.writeString(metaPath,
+    // tmp + atomic rename (Manifest.save's discipline): an in-place
+    // write torn by a crash leaves partial JSON, which the lenient
+    // reader silently resets to watermark 0 — a healthy zone reads as
+    // never-ingested until a repair runs
+    val tmp = metaPath.resolveSibling(metaPath.getFileName.toString + ".tmp")
+    Files.writeString(tmp,
       s"""{"min_height":$minHeight,"max_height":$maxHeight}""")
+    Files.move(tmp, metaPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
   /** metadata matches filename-derived truth (extract.py:516-528). */
@@ -126,7 +134,14 @@ object ErrorHeights {
     val existing = readFile(p).toSet
     val fresh = heights.distinct.filterNot(existing)
     if (fresh.isEmpty) return
-    val prefix = if (Files.isRegularFile(p)) Files.readString(p) else ""
+    val raw = if (Files.isRegularFile(p)) Files.readString(p) else ""
+    // a legacy ledger (reference extractor, hand edits) may lack the
+    // trailing newline — blind concat would fuse its last height with
+    // the first appended one ("101" + "200" → bogus 101200, real 101
+    // lost from gap-fill). read() repairs such files; append must not
+    // corrupt them.
+    val prefix =
+      if (raw.nonEmpty && !raw.endsWith("\n")) raw + "\n" else raw
     Files.writeString(p, prefix + fresh.mkString("", "\n", "\n"))
   }
 

@@ -72,6 +72,14 @@ final class ModelRunner(
 
   /** Kahn topo sort over ref edges; fails on cycles and unknown refs. */
   def topoSort(models: Seq[Model]): Seq[Model] = {
+    // names key every map below — a duplicate (two same-basename .sql
+    // files in different subdirs) would collapse last-wins: one model's
+    // SQL silently never runs, or the indeg collapse reports a bogus
+    // "circular ref". Refuse up front with the colliding names.
+    val dup = models.groupBy(_.name).collect { case (n, ms) if ms.size > 1 => n }
+    require(dup.isEmpty,
+      s"duplicate model name(s): ${dup.toSeq.sorted.mkString(", ")} — " +
+        "model names (file basenames) must be unique across the DAG")
     val byName = models.map(m => m.name -> m).toMap
     models.foreach { m =>
       refsOf(m).foreach { r =>
@@ -103,12 +111,15 @@ final class ModelRunner(
   /** Build every model in dependency order; returns name → DataFrame. */
   def run(models: Seq[Model]): Map[String, DataFrame] = {
     val built = mutable.LinkedHashMap.empty[String, DataFrame]
+    // one materialization dir per RUN, not per table model — a fresh
+    // createTempDirectory per model litters /tmp with N never-cleaned
+    // dirs every invocation
+    lazy val runDir = Files.createTempDirectory("graft-models").toString
     topoSort(models).foreach { m =>
       val df = spark.sql(resolve(m.sql))
       val registered = m.materialization match {
         case "table" =>
-          val dir = workDir.getOrElse(
-            Files.createTempDirectory("graft-models").toString)
+          val dir = workDir.getOrElse(runDir)
           val path = s"$dir/${m.name}"
           df.write.mode("overwrite").parquet(path)
           spark.read.parquet(path)

@@ -30,8 +30,15 @@ object TemporalJoin {
     * (key, rightTime) — pre-aggregate otherwise (equal-time right rows
     * tie in the window order and `last` would pick arbitrarily).
     *
+    * The right attributes travel as ONE struct, and `last(_,
+    * ignoreNulls)` picks the latest preceding right ROW whole — a
+    * per-column `last` would instead backfill a NULL attribute of the
+    * matched row from an OLDER right row, splicing together a row that
+    * never existed (nullable right columns made that silent).
+    *
     * Column contract: left keeps all its columns; `rightCols` must not
-    * collide with them (alias on the way in).
+    * collide with them (alias on the way in); `__t`/`__side`/`__r` are
+    * reserved working names.
     */
   def asOf(left: DataFrame, right: DataFrame, key: String,
       leftTime: String, rightTime: String,
@@ -39,26 +46,35 @@ object TemporalJoin {
     val leftCols = left.columns.toSeq
     require(rightCols.intersect(leftCols).isEmpty,
       s"rightCols ${rightCols.intersect(leftCols).mkString(",")} collide with left side")
+    val reserved = Seq("__t", "__side", "__r")
+    val clash = reserved.filter(n => leftCols.contains(n) || rightCols.contains(n))
+    require(clash.isEmpty, // withColumn would silently REPLACE them
+      s"column(s) ${clash.mkString(",")} collide with asOf's working columns — rename them first")
+    val rType = org.apache.spark.sql.types.StructType(
+      rightCols.map(c => right.schema(c)))
     val l = left
       .withColumn("__t", col(leftTime))
       .withColumn("__side", lit(1))
       .select(Seq(col(key), col("__t"), col("__side")) ++
-        leftCols.filterNot(_ == key).map(col) ++
-        rightCols.map(c => lit(null).as(c)): _*)
+        leftCols.filterNot(_ == key).map(col) :+
+        lit(null).cast(rType).as("__r"): _*)
     val r = right
       .withColumn("__t", col(rightTime))
       .withColumn("__side", lit(0))
       .select(Seq(col(key), col("__t"), col("__side")) ++
-        leftCols.filterNot(_ == key).map(c => lit(null).as(c)) ++
-        rightCols.map(col): _*)
+        leftCols.filterNot(_ == key).map(c => lit(null).as(c)) :+
+        struct(rightCols.map(col): _*).as("__r"): _*)
     val w = Window.partitionBy(key).orderBy(col("__t"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(r)
       .select(Seq(col(key)) ++ leftCols.filterNot(_ == key).map(col) ++
-        Seq(col("__side")) ++
-        rightCols.map(c => last(col(c), ignoreNulls = true).over(w).as(c)): _*)
+        Seq(col("__side"),
+          last(col("__r"), ignoreNulls = true).over(w).as("__r")): _*)
       .filter(col("__side") === 1)
-      .drop("__side")
+      // getField on the null struct (no preceding right row) is null —
+      // the left-outer null extension falls out per column
+      .select(Seq(col(key)) ++ leftCols.filterNot(_ == key).map(col) ++
+        rightCols.map(c => col("__r").getField(c).as(c)): _*)
   }
 
   /** Interval join: all (left, right) pairs with the same `key` whose
@@ -86,6 +102,11 @@ object TemporalJoin {
     // out of the join as an ambiguous duplicate column
     val shared = left.columns.intersect(right.columns).filterNot(_ == key)
     require(shared.isEmpty, s"rename colliding columns before joining: ${shared.mkString(",")}")
+    val reserved = Seq("__lt", "__rt", "__bucket")
+    val clash = reserved.filter(n =>
+      left.columns.contains(n) || right.columns.contains(n))
+    require(clash.isEmpty, // withColumn would silently REPLACE them
+      s"column(s) ${clash.mkString(",")} collide with intervalJoin's working columns — rename them first")
     val width = upperMicros - lowerMicros
     def bucketOf(t: Column): Column = floor(t / lit(width))
     val l = left

@@ -107,7 +107,20 @@ object QueryChainCompiler {
     * silently rendering a truncated result as complete. */
   def runToJson(spark: SparkSession, markdown: String,
       maxRows: Int = 10000): Map[String, Either[String, JsonResult]] =
-    run(spark, markdown).map { case (id, r) => id -> r.map(collectJson(_, maxRows)) }
+    runCompiledToJson(spark, compile(extractQueries(markdown)), maxRows)
+
+  /** The pre-compiled face of [[runToJson]]: callers that also need the
+    * compiled chain for something else (the page endpoint seeds the
+    * status cache with it) compile ONCE and pass it here instead of
+    * paying extract+compile a second time. */
+  def runCompiledToJson(spark: SparkSession, compiled: Seq[Compiled],
+      maxRows: Int = 10000): Map[String, Either[String, JsonResult]] =
+    compiled.map { c =>
+      c.id -> (c.error match {
+        case Some(msg) => Left(msg): Either[String, JsonResult]
+        case None      => Right(collectJson(spark.sql(c.sql), maxRows))
+      })
+    }.toMap
 
   /** The bounded-collect device shared by every serving surface (page
     * endpoint, ad-hoc `/sql`): collect maxRows+1 so "exactly maxRows"

@@ -151,14 +151,18 @@ final class QueryServer(
     } finally exchange.close()
 
   private def pageJson(name: String): String = {
-    val results = QueryChainCompiler.runToJson(spark, pages(name), maxRows)
+    // compile ONCE: the run and the status cache share the chain (the
+    // old runToJson + statusFor pair compiled the markdown twice and
+    // took the store lock twice per page load)
+    val compiled = QueryChainCompiler.compile(
+      QueryChainCompiler.extractQueries(pages(name)))
+    val results = QueryChainCompiler.runCompiledToJson(spark, compiled, maxRows)
     // the engine IS the query runner here, so it owns the status
     // transitions the reference leaves to Evidence's dev runtime:
-    // executing a page marks each query done/error in the status cache
-    // (statusFor first: seed the entries when the page is served cold,
-    // before any status poll created them)
-    statusStore.statusFor(s"/$name", pages(name))
-    statusStore.record(s"/$name", results.map {
+    // executing a page marks each query done/error in the status cache,
+    // seeding entries when the page is served cold in the same locked
+    // pass
+    statusStore.seedAndRecord(s"/$name", compiled, results.map {
       case (id, Right(_)) => id -> "done"
       case (id, Left(_))  => id -> "error"
     })

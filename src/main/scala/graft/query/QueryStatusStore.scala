@@ -66,6 +66,28 @@ final class QueryStatusStore(root: String) {
       entries.map(e => e.id -> e.status)
     }
 
+  /** The runner's combined seed+record (the page endpoint's path):
+    * takes the PRE-COMPILED chain so serving a page compiles it exactly
+    * once, and folds the cold-seed and the outcome write into ONE
+    * locked read-modify-write — the old statusFor-then-record pair
+    * recompiled the markdown and took the store lock twice per page
+    * load, serializing the concurrent page serving it exists for. */
+  def seedAndRecord(route: String,
+      compiled: Seq[QueryChainCompiler.Compiled],
+      outcomes: Map[String, String]): Unit = synchronized {
+    val dir = queryDir(route)
+    val existing = readEntries(dir)
+    val entries = compiled.map { c =>
+      val m = md5hex(c.sql)
+      val carried = existing
+        .find(e => e.id == c.id && e.queryStringMD5 == m).map(_.status)
+      Entry(c.id, c.sql, m,
+        outcomes.getOrElse(c.id, carried.getOrElse("not run")))
+    }
+    if (entries.isEmpty) Files.deleteIfExists(dir.resolve("queries.json"))
+    else writeEntries(dir, entries)
+  }
+
   /** Record run outcomes for queries already cached under `route` —
     * the runner's half of the protocol. Ids not in the cache are
     * ignored (the page changed between run and record; the next

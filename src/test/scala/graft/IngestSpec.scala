@@ -103,6 +103,15 @@ class IngestSpec extends AnyFunSuite with SparkSpec {
     assert(ErrorHeights.read(dir) == Seq(7L, 8L, 12L))
     assert(RangePlanner.gapFillRanges(ErrorHeights.read(dir)) ==
       Seq((7L, 8L), (12L, 12L)))
+    // a LEGACY ledger without a trailing newline (reference extractor,
+    // hand edits) must not have its last height fused with the first
+    // appended one ("101" + "200" → bogus 101200, real 101 lost)
+    val legacy = tempDir()
+    val p = java.nio.file.Paths.get(legacy, "errors", "error_heights.txt")
+    java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.writeString(p, "100\n101")
+    ErrorHeights.append(legacy, Seq(200L))
+    assert(ErrorHeights.read(legacy) == Seq(100L, 101L, 200L))
   }
 
   // --- fetch harness (extract.py:48-105) ---

@@ -105,6 +105,12 @@ class ModelRunnerSpec extends SparkSpec {
       Model("x", "select * from {{ ref('y') }}"),
       Model("y", "select * from {{ ref('x') }}"))
     assertThrows[IllegalStateException](r.topoSort(cyc))
+    // duplicate basenames (models/a/daily.sql + models/b/daily.sql)
+    // would collapse last-wins in the name-keyed maps — one model's SQL
+    // silently never running; refused up front instead
+    val dup = Seq(Model("daily", "select 1"), Model("daily", "select 2"))
+    val e = intercept[IllegalArgumentException](r.topoSort(dup))
+    assert(e.getMessage.contains("daily"), e.getMessage)
   }
 
   test("ibc_transfers_in extracts amount/denom and filters on array equality") {

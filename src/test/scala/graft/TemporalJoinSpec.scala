@@ -63,4 +63,37 @@ class TemporalJoinSpec extends AnyFunSuite with SparkSpec {
     intercept[IllegalArgumentException](
       TemporalJoin.intervalJoin(l, r, "u", "t", "rt", -1000000L, 0L))
   }
+
+  test("asOf: a NULL attribute of the matched right row stays NULL — no splicing from older rows") {
+    import spark.implicits._
+    // right rows: t=5 has (a=3, b=7); t=10 has (a=5, b=NULL). A left row
+    // at t=12 matches the t=10 ROW — its b must be NULL, not backfilled
+    // from t=5's b (a row that never existed)
+    val right = Seq(
+      ("k", ts("2024-01-01 00:00:05"), Some(3L), Some(7L)),
+      ("k", ts("2024-01-01 00:00:10"), Some(5L), Option.empty[Long]))
+      .toDF("key", "rt", "a", "b")
+    val left = Seq(("k", ts("2024-01-01 00:00:12"), 1L))
+      .toDF("key", "lt", "id")
+    val got = TemporalJoin.asOf(left, right, "key", "lt", "rt", Seq("a", "b"))
+      .select("a", "b").head()
+    assert(got.getLong(0) == 5L && got.isNullAt(1), got)
+    // and a left row BEFORE any right row null-extends every column
+    val early = Seq(("k", ts("2024-01-01 00:00:01"), 2L))
+      .toDF("key", "lt", "id")
+    val g2 = TemporalJoin.asOf(early, right, "key", "lt", "rt", Seq("a", "b"))
+      .select("a", "b").head()
+    assert(g2.isNullAt(0) && g2.isNullAt(1), g2)
+  }
+
+  test("reserved working columns are refused, not silently clobbered") {
+    import spark.implicits._
+    val l = Seq(("k", ts("2024-01-01 00:00:00"), 1L)).toDF("key", "lt", "__t")
+    val r = Seq(("k", ts("2024-01-01 00:00:00"), 2L)).toDF("key", "rt", "v")
+    intercept[IllegalArgumentException](
+      TemporalJoin.asOf(l, r, "key", "lt", "rt", Seq("v")))
+    val l2 = Seq(("k", ts("2024-01-01 00:00:00"), 1L)).toDF("key", "lt", "__bucket")
+    intercept[IllegalArgumentException](
+      TemporalJoin.intervalJoin(l2, r, "key", "lt", "rt", -1000000L, 0L))
+  }
 }
