@@ -104,10 +104,14 @@ object TextHashAggregators {
     val mins = Array.fill[Long](k)(-1L) // unsigned max
     var any = false
     shingles.foreach { sh =>
-      any = true
-      val md = digests.get()
-      md.reset()
-      foldDigestInto(mins, md.digest(sh.getBytes(StandardCharsets.UTF_8)), k)
+      // skip null elements — the ArrayData twin does, and these Seq
+      // variants are the parity reference it is tested against
+      if (sh != null) {
+        any = true
+        val md = digests.get()
+        md.reset()
+        foldDigestInto(mins, md.digest(sh.getBytes(StandardCharsets.UTF_8)), k)
+      }
     }
     if (!any) Seq.fill[String](k)(null)
     else mins.toSeq.map(pad20)
@@ -330,7 +334,8 @@ object TextHashAggregators {
     val acc = new Array[Int](64)
     val seen = new java.util.HashSet[String]()
     tokens.foreach { tok =>
-      if (seen.add(tok)) {
+      // null elements skipped, matching simhashArrayData
+      if (tok != null && seen.add(tok)) {
         val h = md5hex(tok)
         var p = 0
         while (p < 16) {

@@ -156,5 +156,14 @@ object vec {
 
   def dot(a: Column, b: Column): Column = column(VecDot(expression(a), expression(b)))
   def norm(a: Column): Column = column(VecNorm(expression(a)))
+
+  /** Raw cosine — DELIBERATELY propagates the degenerate shapes: a
+    * zero-norm input gives 0/0 = NaN (like DuckDB's
+    * list_cosine_similarity, which the oracles replay), and Spark
+    * sorts NaN ABOVE every real double. NEVER rank on this bare: every
+    * ranking path in this repo wraps it `nanvl(cosine(..), lit(-1.0))`
+    * so degenerates rank LAST (SimilaritySpec pins that), or filters
+    * `norm > 0` first. A silent -1 here instead would desync the
+    * cross-engine oracle arithmetic. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 }

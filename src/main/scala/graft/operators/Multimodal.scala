@@ -93,6 +93,13 @@ object Multimodal {
     * serializable; ImageIO readers are obtained per call, which is the
     * codec-context cost a heavier codec would amortize per partition. */
   final class JdkImageDecoder extends MediaDecoder {
+    // ImageIO's default is a DISK-backed image input stream cache: with
+    // it on, every decode copies the (already in-memory) payload to a
+    // temp file — doubled I/O and /tmp churn on the per-record hot
+    // path. Static JVM-wide setting, flipped once per decoder class
+    // load; memory-backed streams are strictly better for byte-array
+    // input.
+    javax.imageio.ImageIO.setUseCache(false)
     override def decode(fmt: String, bytes: Array[Byte]): Option[(Int, Int, Int, Double)] = {
       if (bytes == null || bytes.isEmpty) None
       else {
@@ -336,9 +343,13 @@ object Multimodal {
           // ceil stride keeps output <= targetBytes (floor would leave
           // up to ~2x the target: len=127/target=64 → stride 1 = no-op)
           val stride = (r.content.length + targetBytes - 1) / targetBytes
-          val out = r.content.indices.collect {
-            case i if i % stride == 0 => r.content(i)
-          }.toArray
+          // pre-sized while loop: the indices.collect form boxed every
+          // byte of a multi-MB payload on this bulk-media hot path
+          val n = (r.content.length + stride - 1) / stride
+          val out = new Array[Byte](n.toInt)
+          var i = 0
+          var j = 0
+          while (j < out.length) { out(j) = r.content(i); i += stride.toInt; j += 1 }
           r.copy(content = out,
             meta = r.meta.copy(n_bytes = out.length))
         }
@@ -371,7 +382,7 @@ object Multimodal {
     val fps = frameFingerprints(media, frameBytes, stride)
       .localCheckpoint(true) // three consumers: sizes + both join sides
     val sizes = fps.groupBy("media_id").agg(count(lit(1)).as("n"))
-    fps.select(col("media_id").as("media_a"), col("fp"))
+    val out = fps.select(col("media_id").as("media_a"), col("fp"))
       .join(fps.select(col("media_id").as("media_b"), col("fp")), "fp")
       .filter(col("media_a") < col("media_b"))
       .groupBy("media_a", "media_b")
@@ -382,6 +393,12 @@ object Multimodal {
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select("media_a", "media_b", "jaccard")
+      // pair-scale result; checkpointing it lets the corpus-scale
+      // fingerprint blocks be FREED instead of leaking across repeated
+      // calls (the Dedup.freeLocalCheckpoint discipline)
+      .localCheckpoint(true)
+    Dedup.freeLocalCheckpoint(fps)
+    out
   }
 
   /** Deterministic per-media embedding from sampled frames: the 16-dim

@@ -28,11 +28,19 @@ trait RpcFetcher extends Serializable {
   * bounded (Spark task retry is the outer loop, unlike the reference's
   * infinite sleep-retry, extract.py:352-370). */
 final class JavaHttpFetcher extends RpcFetcher {
-  @transient private lazy val client = java.net.http.HttpClient.newHttpClient()
+  @transient private lazy val client = java.net.http.HttpClient.newBuilder()
+    // bounded, always: the JDK defaults are INFINITE, and a node that
+    // accepts the connection but never answers would hang the task (or
+    // a driver-side tip probe) forever — a hang never fails, so neither
+    // task retry nor the stream's restart policy ever gets a chance
+    .connectTimeout(java.time.Duration.ofSeconds(15))
+    .build()
 
   override def fetch(url: String): String = {
     val req = java.net.http.HttpRequest
-      .newBuilder(java.net.URI.create(JavaHttpFetcher.escapeUrl(url))).GET().build()
+      .newBuilder(java.net.URI.create(JavaHttpFetcher.escapeUrl(url)))
+      .timeout(java.time.Duration.ofSeconds(60))
+      .GET().build()
     val rsp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
     require(rsp.statusCode() == 200, s"HTTP ${rsp.statusCode()} for $url")
     rsp.body()
@@ -85,7 +93,12 @@ class RpcDataSource extends TableProvider with DataSourceRegister {
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
-    new RpcTable(properties.asScala.toMap)
+    // DSv2 options are case-INsensitive by convention (the engine hands
+    // scan builders a CaseInsensitiveStringMap); normalizing once here
+    // keeps every downstream lookup honest — a miscased .option("Start",
+    // ...) used to fall back to its default silently
+    new RpcTable(properties.asScala.toMap.map { case (k, v) =>
+      k.toLowerCase(java.util.Locale.ROOT) -> v })
 }
 
 object RpcDataSource {
@@ -184,7 +197,22 @@ final class RpcMicroBatchStream(options: Map[String, String])
   private val fetcherClass = options.getOrElse("fetcher", classOf[JavaHttpFetcher].getName)
   @transient private lazy val fetcher = RpcDataSource.instantiateFetcher(fetcherClass)
 
-  private def tip(): Long = ChainClient.parseTip(fetcher.fetch(Fetch.abciInfoUrl(url)))
+  // DRIVER-side probe: there is no task-retry outer loop up here, and
+  // latestOffset runs once per micro-batch — a single transient 502 on
+  // /abci_info would otherwise kill a long-running stream. Bounded
+  // linear-backoff retry, then rethrow (the stream's restart policy is
+  // the next layer, not an infinite in-place loop).
+  private def tip(): Long = {
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      try return ChainClient.parseTip(fetcher.fetch(Fetch.abciInfoUrl(url)))
+      catch {
+        case e: Exception if attempt < 3 => Thread.sleep(500L * attempt)
+      }
+    }
+    sys.error("unreachable")
+  }
 
   // Trigger.AvailableNow: pin the tip once at query start; the engine
   // then drains [last, pinnedTip] in maxBlocksPerBatch-capped batches

@@ -32,6 +32,19 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkSpec {
       TextHashAggregators.minhashSignature(Seq("a b c d", "b c d e", "c d e f"), 4))
     assert(row.getString(1) ==
       TextHashAggregators.simhashSignature(Seq("alpha", "beta", "alpha")))
+    // null elements: the Seq reference variants must SKIP them, exactly
+    // like the ArrayData kernels they are the parity baseline for — a
+    // null-bearing array used to NPE here while the SQL path worked
+    val sqlNull = spark.sql(
+      """SELECT minhash(array('a b c d', NULL, 'b c d e'), 4) AS mh,
+        |       simhash_tokens(array('alpha', NULL, 'beta')) AS sh""".stripMargin)
+      .collect().head
+    assert(sqlNull.getSeq[String](0) ==
+      TextHashAggregators.minhashSignature(Seq("a b c d", null, "b c d e"), 4))
+    assert(sqlNull.getSeq[String](0) ==
+      TextHashAggregators.minhashSignature(Seq("a b c d", "b c d e"), 4))
+    assert(sqlNull.getString(1) ==
+      TextHashAggregators.simhashSignature(Seq("alpha", null, "beta")))
   }
 
   test("nfc/nfkc normalization: composes combining marks, fixed point, null-safe") {

@@ -46,6 +46,22 @@ class RpcDataSourceSpec extends AnyFunSuite with SparkSpec {
       Seq("start", "end", "page", "per_page", "body", "quarantined"))
   }
 
+  test("options are case-insensitive (DSv2 convention): miscased keys bind, never silently default") {
+    // 'Start'/'End'/'Chunk' in arbitrary case — a miscased option used
+    // to fall back to its default silently (Start=26 → stream from 1)
+    val rows = spark.read.format("tendermint-rpc")
+      .option("URL", "http://node")
+      .option("Kind", "txs")
+      .option("Start", 26).option("End", 50)
+      .option("Chunk", 25).option("PerPage", 10)
+      .option("Fetcher", classOf[FakeRpcFetcher].getName)
+      .load().collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(r => (r.getAs[Long]("start"), r.getAs[Long]("end"))).toSet ==
+      Set((26L, 50L)))
+    assert(rows.forall(_.getAs[Int]("per_page") == 10))
+  }
+
   test("one input partition per height chunk; pages per chunk follow total_count") {
     val df = read(1, 100, 25, 10)
     // 4 chunks of 25 heights; 25 items at per_page 10 → 3 pages each
