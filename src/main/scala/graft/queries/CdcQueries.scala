@@ -176,6 +176,42 @@ object CdcQueries {
              CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
       FROM events GROUP BY event_type ORDER BY event_type"""))
 
+  /** Incremental min/max + NULL-sum refresh (the round-10 refreshAgg
+    * upgrades, q119's device extended): per-type state over the first
+    * date span merged with the second span's delta — counts/sums by the
+    * null-preserving SUM merge, min/max by least/greatest (the
+    * insert-only contract; events only ever append). The oracle is the
+    * direct aggregate over the WHOLE table, so green here hash-proves
+    * refresh ≡ recompute for every merge class at once. */
+  val q212 = Q(
+    "q212_incremental_minmax",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val cut = to_date(lit("2024-01-25"))
+      def aggOf(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast(DecimalType(18, 2))).as("total"),
+            min(col("value").cast(DecimalType(18, 2))).as("lo"),
+            max(col("value").cast(DecimalType(18, 2))).as("hi"))
+      Cdc.refreshAgg(
+        aggOf(ev.filter(col("ts").cast("date") <= cut)),
+        aggOf(ev.filter(col("ts").cast("date") > cut)),
+        Seq("event_type"), Seq("n", "total"),
+        minCols = Seq("lo"), maxCols = Seq("hi"))
+        .select(col("event_type"), col("n").cast("long").as("n"),
+          col("total").cast("double").as("total"),
+          col("lo").cast("double").as("lo"),
+          col("hi").cast("double").as("hi"))
+        .orderBy("event_type")
+    },
+    Some("""
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+             CAST(MIN(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS lo,
+             CAST(MAX(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS hi
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
   /** Weekly purchase retention cohorts: of the users purchasing in week
     * w, the fraction purchasing again in week w+1 — the distinct-per-
     * period self-join every growth dashboard runs. Week index uses
@@ -214,5 +250,5 @@ object CdcQueries {
              ROUND(CAST(retained AS DOUBLE) / active, 4) AS retention
       FROM r ORDER BY w"""))
 
-  def all: Seq[Q] = Seq(q93, q94, q95, q96, q119, q120)
+  def all: Seq[Q] = Seq(q93, q94, q95, q96, q119, q120, q212)
 }
