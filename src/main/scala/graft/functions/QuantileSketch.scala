@@ -90,6 +90,9 @@ object QuantileSketch {
     * null, again matching the built-in. */
   final class QuantileAgg(q: Double)
       extends Aggregator[java.lang.Double, Digest, java.lang.Double] {
+    // out-of-range q would silently return the group min/max labeled
+    // as a quantile; reject like percentile/percentile_approx do
+    require(q >= 0.0 && q <= 1.0, s"quantile must be in [0, 1], got $q")
     def zero: Digest = Digest(Array.empty, Array.empty)
     def reduce(b: Digest, x: java.lang.Double): Digest =
       if (x == null) b else add(b, x.doubleValue(), 1.0)

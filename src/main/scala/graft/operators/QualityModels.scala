@@ -51,9 +51,10 @@ object QualityModels {
       n: Int): DataFrame =
     docs.select(col(source).as("src"), split(col(text), " ").as("toks"))
       .filter(size(col("toks")) >= n)
-      .select(col("src"), explode(expr(
-        s"transform(sequence(0, size(toks) - $n), i -> " +
-          s"array_join(slice(toks, i + 1, $n), ' '))")).as("g"))
+      // THE n-gram definition lives in Dedup.shingles — the overlap
+      // detector and the dedup family must always agree on what an
+      // n-gram is, so there is exactly one spelling of it
+      .select(col("src"), explode(Dedup.shingles("toks", n)).as("g"))
 
   private def toks(docs: DataFrame, id: String, text: String): DataFrame =
     docs.select(col(id), explode(split(col(text), " ")).as("tok"))
@@ -569,10 +570,14 @@ object QualityModels {
       // sources, estimating a (slightly) NEGATIVE intersection — clamp
       // at 0: the exact operator can never emit jaccard < 0, and the
       // estimate's error bound is one-sided-safe after the clamp
+      // ...and the mirror-image error (two near-identical sources whose
+      // per-source estimates overshoot while the union undershoots) can
+      // push the estimate PAST 1 — clamp both sides to the exact
+      // operator's [0, 1] range
       .withColumn("jaccard_est",
-        greatest(lit(0.0), round(
+        least(lit(1.0), greatest(lit(0.0), round(
           (col("est_a") + col("est_b") - col("est_union")).cast("double") /
-            col("est_union"), 4)))
+            col("est_union"), 4))))
       .orderBy("source_a", "source_b")
   }
 
@@ -660,6 +665,11 @@ object QualityModels {
         avg(resid).as("g0"),
         avg(resid * col("f1")).as("g1"),
         avg(resid * col("f2")).as("g2")).head()
+      // avg over ZERO rows (empty / all-null-feature input) is NULL:
+      // the gradient is undefined, so keep the current weights instead
+      // of NPE-ing at getDouble — scoring with them yields an empty
+      // frame anyway, the other fitters' empty-input convention
+      if (g.isNullAt(0)) return w
       w(0) += lr * g.getDouble(0)
       w(1) += lr * g.getDouble(1)
       w(2) += lr * g.getDouble(2)

@@ -27,9 +27,19 @@ object Registry {
       ScaleQueries.all ++ AnalyticsQueries.all ++ CdcQueries.all ++
       QualityQueries.all ++ IngestQueries.all
 
+  // toMap keeps the LAST entry per key: a name collision between two
+  // registry files would silently drop a query from the driver's run
+  // list. Refuse loudly at first access instead.
+  private lazy val checked: Seq[Q] = {
+    val dup = all.groupBy(_.name).collect { case (n, qs) if qs.size > 1 => n }
+    require(dup.isEmpty,
+      s"duplicate registry query name(s): ${dup.toSeq.sorted.mkString(", ")}")
+    all
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    all.map(q => q.name -> q.spark).toMap
+    checked.map(q => q.name -> q.spark).toMap
 
   def oracleSql: Map[String, String] =
-    all.flatMap(q => q.oracle.map(q.name -> _)).toMap
+    checked.flatMap(q => q.oracle.map(q.name -> _)).toMap
 }

@@ -339,6 +339,16 @@ class QualityModelsSpec extends AnyFunSuite with SparkSpec {
       "length features get positive weight")
   }
 
+  test("logregQualityScores: an empty input returns an empty frame, not an NPE from the null gradient") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val empty = Seq.empty[(Long, String, String, Int)]
+      .toDF("doc_id", "text", "lang", "n_chars")
+    assert(QualityModels.logregQualityScores(
+      empty, "doc_id", col("lang") === "en", "n_chars", "text",
+      rounds = 3).count() == 0L)
+  }
+
   test("logregQualityScores: zero rounds scores everything at the 0.5 prior") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

@@ -28,6 +28,13 @@ class QuantileSketchSpec extends SparkSpec {
   // handled fine by a rank contract
   private val data: Seq[Double] = Seq.fill(20000)(math.exp(rnd.nextGaussian() * 2))
 
+  test("out-of-range quantiles are rejected, never mislabeled min/max") {
+    intercept[IllegalArgumentException](
+      graft.functions.QuantileSketch.tdigestQuantile(1.5))
+    intercept[IllegalArgumentException](
+      graft.functions.QuantileSketch.tdigestQuantile(-0.1))
+  }
+
   test("single-pass rank error stays under 2% on skewed data") {
     val d = digestOf(data)
     for (q <- Seq(0.05, 0.25, 0.5, 0.75, 0.95, 0.99))
