@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.vec
+import graft.functions.BoundedTopK.topKIds
 
 /** Reusable similarity-search operators over an embeddings DataFrame
   * `(id, embedding: array<float>)` — the library surface behind
@@ -810,20 +811,21 @@ object Similarity {
 
   /** IVF recall evaluation — the (query × nprobe → recall@k vs exact
     * brute force) dial table an operator reads before sizing a deployed
-    * index. The corpus-wide work is computed ONCE and shared by every
-    * dial: one [[ivfAssign]] cell-assignment scan and one corpus ×
-    * query-batch cosine pass, whose brute ground-truth rank is a window
-    * COLUMN on the same frame — so sweeping 12 dials costs the same two
-    * scans as sweeping one. (The naive per-dial composition — ivfTopK +
-    * cosineTopK per (query, nprobe) — re-scans the corpus twice per dial
-    * and cannot run against a billion-vector index; PlanAuditSpec pins
-    * this shape's scan count as dial-independent.)
+    * index. The corpus-wide work is ONE scan shared by everything: the
+    * [[ivfAssign]] cell assignment (a pure projection) rides the same
+    * pass as the corpus × query-batch cosine, so sweeping 12 dials
+    * costs the same single corpus read as sweeping one. (The naive
+    * per-dial composition — ivfTopK + cosineTopK per (query, nprobe) —
+    * re-scans the corpus twice per dial and cannot run against a
+    * billion-vector index; PlanAuditSpec pins this shape's scan count
+    * as dial-independent.)
     *
     * Every rank key is rounded-first with an id tie-break ([[cosineTopK]]'s
-    * cross-engine rule). The ground-truth rank window partitions by query
-    * id, so its parallelism is the query-batch size — the right shape
-    * when recall is measured over a sampled batch, which is how recall
-    * is measured. Output: (query_id, nprobe, recall_at_k). */
+    * cross-engine rule). Both top-k's — the exact brute ground truth and
+    * each dial's IVF retrieval — are BOUNDED aggregates computed in one
+    * grouped aggregation ([[recallDialFold]]): size-k heaps with
+    * map-side partials, so no stage sorts a full per-query corpus
+    * partition. Output: (query_id, nprobe, recall_at_k). */
   def recallEval(emb: DataFrame, id: String, queryIds: Seq[Long],
       anchors: DataFrame, nprobes: Seq[Int], k: Int,
       roundAt: Int = 4): DataFrame = {
@@ -836,41 +838,61 @@ object Similarity {
       .toDF("q_id", "nprobe")
     val q = emb.filter(col(id).isInCollection(queryIds))
       .select(col(id).as("q_id"), col("embedding").as("qv"))
-    // scan 1: corpus × query-batch cosine, brute rank as a column
-    val scored = emb.select(col(id), col("embedding"))
+    val probes = probeRanks(anchors, q, nprobes.max, roundAt)
+    // THE one corpus pass: the cell assignment is a pure projection
+    // (ivfAssign inlines the anchors — PlanAuditSpec pins it as a
+    // windowless, joinless scan), so it rides the SAME scan as the
+    // query-batch cosine; each row's probe rank arrives by broadcast
+    // (q_id, cell) lookup, null when its cell is outside the widest dial
+    val scored = ivfAssign(emb.select(col(id), col("embedding")), anchors, id, roundAt)
       .join(broadcast(q), col(id) =!= col("q_id"))
-      .select(col("q_id"), col(id),
+      .select(col("q_id"), col(id), col("cell"),
         round(nanvl(vec.cosine(col("embedding"), col("qv")), lit(-1.0)), roundAt).as("sim"))
-      .withColumn("brute_rk",
-        row_number().over(Window.partitionBy("q_id").orderBy(desc("sim"), asc(id))))
-    // scan 2: ONE cell assignment, shared by every dial
-    val assigned = ivfAssign(emb.select(col(id), col("embedding")), anchors, id, roundAt)
-      .select(col(id), col("cell"))
-    // probe ranking per query over the tiny anchor grid, capped at the
-    // widest dial (same NaN → -1 / rounded-first / id-tie rule as
-    // probeCellsDf)
-    val probes = anchors.crossJoin(broadcast(q))
+      .join(broadcast(probes), Seq("q_id", "cell"), "left")
+    recallDialFold(scored, id, paramsDf, nprobes, k, roundAt, recallCol)
+  }
+
+  /** The probe-cell ranking the recall evals share: anchors × query
+    * batch, probe rank per (q_id, cell), capped at the widest dial —
+    * same NaN → -1 / rounded-first / id-tie rule as [[probeCellsDf]].
+    * The rank window partitions by query over the anchor GRID (k cells
+    * per query), never over corpus rows. */
+  private def probeRanks(anchors: DataFrame, q: DataFrame, maxProbe: Int,
+      roundAt: Int): DataFrame =
+    anchors.crossJoin(broadcast(q))
       .select(col("q_id"), col("anchor_id").as("cell"),
         round(nanvl(vec.cosine(col("av"), col("qv")), lit(-1.0)), roundAt).as("qcos"))
       .withColumn("prk",
         row_number().over(Window.partitionBy("q_id").orderBy(desc("qcos"), asc("cell"))))
-      .filter(col("prk") <= nprobes.max)
+      .filter(col("prk") <= maxProbe)
       .select("q_id", "cell", "prk")
-    // per-dial work starts HERE, on cell-pruned candidates only: a rank
-    // window per (query, nprobe) and the recall fold
-    val hits = scored
-      .join(assigned, Seq(id))
-      .join(broadcast(probes), Seq("q_id", "cell"))
-      .join(broadcast(paramsDf), Seq("q_id"))
-      .filter(col("prk") <= col("nprobe"))
-      .withColumn("ivf_rk", row_number().over(
-        Window.partitionBy("q_id", "nprobe").orderBy(desc("sim"), asc(id))))
-      .filter(col("ivf_rk") <= k)
-    val recall = hits.groupBy("q_id", "nprobe")
-      .agg(round(sum(when(col("brute_rk") <= k, 1).otherwise(0)) / k.toDouble, roundAt)
-        .as(recallCol))
-    // left join back so a dial whose probed cells hold zero candidates
-    // still reports recall 0 instead of vanishing
+
+  /** The recall evals' shared fold over a scored frame
+    * `(q_id, id, sim, prk)`: ONE bounded aggregation per query computes
+    * the exact brute top-k (ground truth) AND every dial's cell-pruned
+    * top-k — `when(prk <= np, sim)` is null outside the dial's probed
+    * cells and [[graft.functions.BoundedTopKIds]] skips null scores, so
+    * each per-dial heap aggregates exactly its candidate set. recall@k
+    * is then `|dial ∩ truth| / k` via an intersect of two ≤k-element
+    * arrays — no second corpus pass, no join, and no rank window (the
+    * row_number form funnelled the whole corpus through one task's sort
+    * per query; PlanAuditSpec pins its absence). */
+  private def recallDialFold(scored: DataFrame, id: String,
+      paramsDf: DataFrame, nprobes: Seq[Int], k: Int, roundAt: Int,
+      recallCol: String): DataFrame = {
+    val dials = nprobes.distinct
+    val aggCols = topKIds(col("sim"), col(id), k).as("gt_ids") +:
+      dials.map(np =>
+        topKIds(when(col("prk") <= np, col("sim")), col(id), k).as(s"ids_$np"))
+    val folded = scored.groupBy("q_id").agg(aggCols.head, aggCols.tail: _*)
+    val dialMap = map(dials.flatMap(np => Seq(lit(np), col(s"ids_$np"))): _*)
+    val recall = folded
+      .select(col("q_id"), col("gt_ids"), explode(dialMap).as(Seq("nprobe", "ids")))
+      .select(col("q_id"), col("nprobe"),
+        round(size(array_intersect(col("ids"), col("gt_ids"))) / k.toDouble,
+          roundAt).as(recallCol))
+    // left join back so a query id absent from the corpus still reports
+    // its dials at recall 0 instead of vanishing
     paramsDf.join(recall, Seq("q_id", "nprobe"), "left")
       .select(col("q_id").as("query_id"), col("nprobe"),
         coalesce(col(recallCol), lit(0.0)).as(recallCol))
@@ -881,8 +903,8 @@ object Similarity {
     * cell-bucketed table): the deployment face — cell assignments are
     * READ from the store, so the eval's corpus-wide work drops to ONE
     * query-batch cosine pass over the stored `(id, embedding, cell)`
-    * rows (brute ground truth and IVF candidates both derive from it as
-    * rank columns). Evaluating a billion-vector index costs one scan of
+    * rows (brute ground truth and IVF candidates both derive from it
+    * via bounded top-k aggregates). Evaluating a billion-vector index costs one scan of
     * it, no assignment or encode pass at all. `anchors` must be the
     * grid the store was built with (the [[ivfRetrain]] version-pairing
     * contract). Output and ranking rules identical to [[recallEval]] —
@@ -899,35 +921,16 @@ object Similarity {
     val stored = spark.table(table)
     val q = stored.filter(col(id).isInCollection(queryIds))
       .select(col(id).as("q_id"), col("embedding").as("qv"))
+    val probes = probeRanks(anchors, q, nprobes.max, roundAt)
     // THE one corpus pass: stored rows × query batch, carrying the
-    // stored cell; brute rank is a window column on the same frame
+    // STORED cell — no assignment or encode pass; ground truth and
+    // every dial fold out of it in one bounded aggregation
     val scored = stored.select(col(id), col("embedding"), col("cell"))
       .join(broadcast(q), col(id) =!= col("q_id"))
       .select(col("q_id"), col(id), col("cell"),
         round(nanvl(vec.cosine(col("embedding"), col("qv")), lit(-1.0)), roundAt).as("sim"))
-      .withColumn("brute_rk",
-        row_number().over(Window.partitionBy("q_id").orderBy(desc("sim"), asc(id))))
-    val probes = anchors.crossJoin(broadcast(q))
-      .select(col("q_id"), col("anchor_id").as("cell"),
-        round(nanvl(vec.cosine(col("av"), col("qv")), lit(-1.0)), roundAt).as("qcos"))
-      .withColumn("prk",
-        row_number().over(Window.partitionBy("q_id").orderBy(desc("qcos"), asc("cell"))))
-      .filter(col("prk") <= nprobes.max)
-      .select("q_id", "cell", "prk")
-    val hits = scored
-      .join(broadcast(probes), Seq("q_id", "cell"))
-      .join(broadcast(paramsDf), Seq("q_id"))
-      .filter(col("prk") <= col("nprobe"))
-      .withColumn("ivf_rk", row_number().over(
-        Window.partitionBy("q_id", "nprobe").orderBy(desc("sim"), asc(id))))
-      .filter(col("ivf_rk") <= k)
-    val recall = hits.groupBy("q_id", "nprobe")
-      .agg(round(sum(when(col("brute_rk") <= k, 1).otherwise(0)) / k.toDouble, roundAt)
-        .as(recallCol))
-    paramsDf.join(recall, Seq("q_id", "nprobe"), "left")
-      .select(col("q_id").as("query_id"), col("nprobe"),
-        coalesce(col(recallCol), lit(0.0)).as(recallCol))
-      .orderBy("query_id", "nprobe")
+      .join(broadcast(probes), Seq("q_id", "cell"), "left")
+    recallDialFold(scored, id, paramsDf, nprobes, k, roundAt, recallCol)
   }
 
   /** IVF-PQ recall evaluation over (nprobe, refine) dials for one query

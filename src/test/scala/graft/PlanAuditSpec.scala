@@ -618,6 +618,31 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert(pqThree == pqOne, s"PQ scan count grew with dial count: $pqOne -> $pqThree")
   }
 
+  test("recallEval: top-k's are bounded aggregates — no corpus-sized rank window remains") {
+    val e = Tables.embeddings(spark, d)
+    val anchors = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("anchor_id"), col("embedding").as("av"))
+    // both the brute ground truth and the per-dial IVF retrieval must
+    // run as size-k heap aggregates (map-side partials); a regression
+    // back to row_number().over(partitionBy(q_id)) funnels the whole
+    // corpus through ONE task's sort per query — invisible at test SF,
+    // hours at a billion vectors. The single legitimate window left is
+    // the probe ranking over the tiny anchor grid.
+    val p = plan(graft.operators.Similarity.recallEval(
+      e, "vec_id", queryIds = Seq(0L, 1L), anchors, nprobes = Seq(1, 2), k = 10))
+    assert(p.contains("bounded_top_k_ids"), p)
+    assert("Window ".r.findAllIn(p).size == 1, p)
+    graft.operators.Similarity.ivfBuildIndex(
+      e, anchors, "vec_id", "plan_audit_recall_idx")
+    try {
+      val pi = plan(graft.operators.Similarity.recallEvalIndexed(
+        spark, "plan_audit_recall_idx", "vec_id", Seq(0L, 1L), anchors,
+        nprobes = Seq(1, 2), k = 10))
+      assert(pi.contains("bounded_top_k_ids"), pi)
+      assert("Window ".r.findAllIn(pi).size == 1, pi)
+    } finally spark.sql("DROP TABLE IF EXISTS plan_audit_recall_idx")
+  }
+
   test("events scan converts nanos without breaking codegen") {
     val p = plan(Tables.events(spark, d).filter(col("event_type") === "click")
       .select("event_id", "ts"))
