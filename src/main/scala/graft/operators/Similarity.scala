@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.vec
-import graft.functions.BoundedTopK.topKIds
+import graft.functions.BoundedTopK.{topKIds, topKPairs}
 
 /** Reusable similarity-search operators over an embeddings DataFrame
   * `(id, embedding: array<float>)` — the library surface behind
@@ -660,20 +660,32 @@ object Similarity {
     * NULL, and NULL adist sorts FIRST ascending — corrupt rows would
     * silently fill every candidate slot. Fail loudly instead. */
   private def adcDistCol(model: PqModel, q: Array[Double], id: String,
-      roundAt: Int): Column = {
-    val lut: Array[Array[Double]] = Array.tabulate(model.m) { j =>
-      model.codebooks(j).map { cw =>
-        var s = 0.0
-        var i = 0
-        while (i < model.sub) {
-          val dlt = q(j * model.sub + i) - cw(i); s += dlt * dlt; i += 1
-        }
-        roundHalfUp(s, 6)
+      roundAt: Int): Column =
+    adcDistFromLut(model,
+      array(flatAdcLut(model, q).map(lit).toIndexedSeq: _*), id, roundAt)
+
+  /** One query's ADC LUT, flattened `[j * ksub + code]` — the layout
+    * [[adcDistFromLut]] indexes, and the per-query value of the
+    * broadcast LUT map in the batched [[ivfPqRecallEval]]. */
+  private def flatAdcLut(model: PqModel, q: Array[Double]): Array[Double] =
+    Array.tabulate(model.m * model.ksub) { idx =>
+      val j = idx / model.ksub
+      val cw = model.codebooks(j)(idx % model.ksub)
+      var s = 0.0
+      var i = 0
+      while (i < model.sub) {
+        val dlt = q(j * model.sub + i) - cw(i); s += dlt * dlt; i += 1
       }
+      roundHalfUp(s, 6)
     }
+
+  /** The m-term ADC lookup sum over a flat LUT column (a literal for a
+    * single query; `element_at(lutMap, q_id)` for a batch). */
+  private def adcDistFromLut(model: PqModel, lutq: Column, id: String,
+      roundAt: Int): Column = {
     val adist = (0 until model.m).map { j =>
-      val lutLit = array(lut(j).map(lit).toIndexedSeq: _*)
-      element_at(lutLit, (element_at(col("codes"), j + 1) + 1).cast("int"))
+      element_at(lutq,
+        (lit(j * model.ksub) + element_at(col("codes"), j + 1) + 1).cast("int"))
     }.reduce(_ + _)
     val okCodes = size(col("codes")) === model.m &&
       forall(col("codes"), c => c >= 0 && c < model.ksub)
@@ -933,63 +945,92 @@ object Similarity {
     recallDialFold(scored, id, paramsDf, nprobes, k, roundAt, recallCol)
   }
 
-  /** IVF-PQ recall evaluation over (nprobe, refine) dials for one query
-    * — the same shared-scan discipline as [[recallEval]]: ONE
-    * assign+encode pass over the corpus, ONE ADC evaluation per
-    * candidate (the approximate distance does not depend on the dial),
-    * one exact brute top-k; the per-dial residue is a rank window over
-    * cell-pruned candidates and a refine-bounded exact re-rank.
-    * Output: (nprobe, refine, recall_at_k). */
-  def ivfPqRecallEval(emb: DataFrame, id: String, queryId: Long,
+  /** IVF-PQ recall evaluation over a QUERY BATCH × (nprobe, refine)
+    * dials — the full index-sizing sweep a deployment runs before
+    * picking its read-volume dials. ONE corpus pass shared by
+    * everything: the cell assignment and PQ encode ride the same scan
+    * as the corpus × query-batch cosine, and each query's ADC LUT
+    * (driver model state, O(m·ksub) doubles) ships as one broadcast
+    * map literal keyed by query id — the approximate distance is
+    * dial-independent and computed once per (candidate, query).
+    *
+    * Per (query, dial): candidates are the ADC top-refine via a
+    * bounded heap ([[graft.functions.BoundedTopKPairs]], score =
+    * NEGATED adist — the heap keeps high scores, ADC is an ascending
+    * distance) carrying each candidate's exact cosine; the exact
+    * re-rank then runs INSIDE the ≤refine-element array (struct sort +
+    * slice), and recall@k is an array intersect with the query's exact
+    * top-k from the same aggregation. No rank window, no second corpus
+    * scan; PlanAuditSpec pins the scan count as dial- AND query-count-
+    * independent. Output: (query_id, nprobe, refine, recall_at_k). */
+  def ivfPqRecallEval(emb: DataFrame, id: String, queryIds: Seq[Long],
       anchors: DataFrame, model: PqModel, dials: Seq[(Int, Int)], k: Int,
       roundAt: Int = 4): DataFrame = {
-    require(k >= 1 && dials.nonEmpty && dials.forall(d => d._1 >= 1 && d._2 >= 1))
+    require(queryIds.nonEmpty && k >= 1)
+    require(dials.nonEmpty && dials.forall(d => d._1 >= 1 && d._2 >= 1))
     val spark = emb.sparkSession
     import spark.implicits._
     val recallCol = s"recall_at_$k"
-    val paramsDf = dials.toDF("nprobe", "refine")
+    val paramsDf = queryIds.flatMap(qid => dials.map(d => (qid, d._1, d._2)))
+      .toDF("q_id", "nprobe", "refine")
     val vectors = emb.select(col(id), col("embedding"))
-    val qRows = vectors.filter(col(id) === queryId).select("embedding").take(1)
-    if (qRows.isEmpty) // absent query: every dial retrieves nothing
-      return paramsDf.withColumn(recallCol, lit(0.0)).orderBy("nprobe", "refine")
-    val qF = qRows(0).getSeq[Float](0)
-    val q = qF.map(_.toDouble).toArray
-    require(q.length == model.m * model.sub, "query dim != model dim")
-    val qLit = typedLit(qF)
-    // scan 1: ONE assignment + PQ encode over the corpus
-    val idx = ivfAssign(emb, anchors, id, roundAt)
+    // driver model state: one flat ADC LUT per present query vector
+    val qCollected = vectors.filter(col(id).isInCollection(queryIds)).collect()
+    if (qCollected.isEmpty) // no query present: every dial retrieves nothing
+      return paramsDf
+        .select(col("q_id").as("query_id"), col("nprobe"), col("refine"),
+          lit(0.0).as(recallCol))
+        .orderBy("query_id", "nprobe", "refine")
+    val lutMap = map(qCollected.toIndexedSeq.flatMap { r =>
+      val qid = r.getAs[Number](0).longValue()
+      val qd = r.getSeq[Float](1).map(_.toDouble).toArray
+      require(qd.length == model.m * model.sub,
+        s"query dim != model dim for $id=$qid")
+      Seq(lit(qid), array(flatAdcLut(model, qd).map(lit).toIndexedSeq: _*))
+    }: _*)
+    val q = vectors.filter(col(id).isInCollection(queryIds))
+      .select(col(id).as("q_id"), col("embedding").as("qv"))
+    val probes = probeRanks(anchors, q, dials.map(_._1).max, roundAt)
+    // THE one corpus pass: assign + encode + query-batch cosine on the
+    // same scan; probe rank by broadcast lookup (null outside the
+    // widest dial); ADC only where a dial could use it
+    val scored = ivfAssign(vectors, anchors, id, roundAt)
       .withColumn("codes", pqCodesCol(col("embedding"), model, roundAt))
-      .select(col(id), col("cell"), col("codes"))
-    val probes = anchors
-      .select(col("anchor_id").as("cell"),
-        round(nanvl(vec.cosine(col("av"), qLit), lit(-1.0)), roundAt).as("qcos"))
-      .withColumn("prk", row_number().over(Window.orderBy(desc("qcos"), asc("cell"))))
-      .filter(col("prk") <= dials.map(_._1).max)
-      .select("cell", "prk")
-    // ADC once per candidate in any probed cell — dial-independent
-    val scoredAd = idx.filter(col(id) =!= queryId)
-      .join(broadcast(probes), Seq("cell"))
-      .withColumn("adist", adcDistCol(model, q, id, roundAt))
-      .select(col(id), col("prk"), col("adist"))
-    val refined = scoredAd.join(broadcast(paramsDf), col("prk") <= col("nprobe"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("nprobe", "refine").orderBy(asc("adist"), asc(id))))
-      .filter(col("rk") <= col("refine"))
-      .select(col("nprobe"), col("refine"), col(id))
-    // exact re-rank: Σ refine rows joined back to the float vectors
-    val hits = vectors.join(broadcast(refined), Seq(id))
-      .withColumn("sim", round(nanvl(vec.cosine(col("embedding"), qLit), lit(-1.0)), roundAt))
-      .withColumn("srk", row_number().over(
-        Window.partitionBy("nprobe", "refine").orderBy(desc("sim"), asc(id))))
-      .filter(col("srk") <= k)
-      .select(col("nprobe"), col("refine"), col(id))
-    val brute = cosineTopK(emb, id, queryId, k, roundAt).select(col(id))
-    val recall = hits.join(brute, Seq(id))
-      .groupBy("nprobe", "refine")
-      .agg(round(count(lit(1)) / k.toDouble, roundAt).as(recallCol))
-    paramsDf.join(recall, Seq("nprobe", "refine"), "left")
-      .select(col("nprobe"), col("refine"),
+      .join(broadcast(q), col(id) =!= col("q_id"))
+      .select(col("q_id"), col(id), col("cell"), col("codes"),
+        round(nanvl(vec.cosine(col("embedding"), col("qv")), lit(-1.0)), roundAt).as("sim"))
+      .join(broadcast(probes), Seq("q_id", "cell"), "left")
+      .withColumn("adist", when(col("prk").isNotNull,
+        adcDistFromLut(model, element_at(lutMap, col("q_id")), id, roundAt)))
+    // ONE bounded aggregation per query: exact ground truth + each
+    // dial's ADC top-refine candidates, sim carried for the re-rank
+    val dialKeys = dials.distinct
+    val aggCols = topKIds(col("sim"), col(id), k).as("gt_ids") +:
+      dialKeys.map { case (np, rf) =>
+        topKPairs(when(col("prk") <= np, -col("adist")), col(id), col("sim"), rf)
+          .as(s"cand_${np}_$rf")
+      }
+    val folded = scored.groupBy("q_id").agg(aggCols.head, aggCols.tail: _*)
+    val dialArr = array(dialKeys.map { case (np, rf) =>
+      struct(lit(np).as("nprobe"), lit(rf).as("refine"),
+        col(s"cand_${np}_$rf").as("cand"))
+    }: _*)
+    // exact re-rank INSIDE each ≤refine-element candidate array:
+    // (sim DESC, id ASC) via a natural struct sort, then the top-k slice
+    val recall = folded
+      .select(col("q_id"), col("gt_ids"), explode(dialArr).as("d"))
+      .select(col("q_id"), col("d.nprobe").as("nprobe"),
+        col("d.refine").as("refine"), col("gt_ids"),
+        transform(
+          slice(array_sort(transform(col("d.cand"),
+            x => struct((-x("payload")).as("ns"), x("id").as("id")))), 1, k),
+          x => x("id")).as("ids"))
+      .select(col("q_id"), col("nprobe"), col("refine"),
+        round(size(array_intersect(col("ids"), col("gt_ids"))) / k.toDouble,
+          roundAt).as(recallCol))
+    paramsDf.join(recall, Seq("q_id", "nprobe", "refine"), "left")
+      .select(col("q_id").as("query_id"), col("nprobe"), col("refine"),
         coalesce(col(recallCol), lit(0.0)).as(recallCol))
-      .orderBy("nprobe", "refine")
+      .orderBy("query_id", "nprobe", "refine")
   }
 }

@@ -720,13 +720,16 @@ object SimilarityQueries {
 
   /** ANN recall evaluation, IVF-PQ face: recall@10 of the composed
     * cell-pruned + product-quantized search ([[q178]]) against exact
-    * brute force, swept over (nprobe, refine) — the two dials that
-    * trade recall for read volume on a deployed billion-vector index.
-    * Runs through Similarity.ivfPqRecallEval: ONE assign+encode scan,
-    * one dial-independent ADC per candidate, one brute top-10 — shared
-    * by every dial instead of recomputed per (nprobe, refine).
-    * Oracle = q178's replay chain parameterized by a params grid, plus
-    * the q34 brute top-10 and the recall fold. */
+    * brute force, swept over a QUERY BATCH × (nprobe, refine) — the
+    * full sizing sweep for the two dials that trade recall for read
+    * volume on a deployed billion-vector index. Runs through
+    * Similarity.ivfPqRecallEval: ONE corpus pass (assign + encode +
+    * query-batch cosine on the same scan), per-query ADC LUTs shipped
+    * as one broadcast map, bounded top-refine heaps carrying the exact
+    * cosine for an in-array re-rank — scan count dial- AND query-count-
+    * independent (PlanAuditSpec). Oracle = q178's replay chain
+    * parameterized by a (query × dial) grid, plus the per-query brute
+    * top-10 and the recall fold. */
   val q207 = Q(
     "q207_ivfpq_recall_eval",
     (s, d) => {
@@ -734,13 +737,16 @@ object SimilarityQueries {
       val anchors = e.filter(col("vec_id") < 8)
         .select(col("vec_id").as("anchor_id"), col("embedding").as("av"))
       graft.operators.Similarity.ivfPqRecallEval(
-        e, "vec_id", queryId = 0, anchors, pqModel(s, d),
+        e, "vec_id", queryIds = Seq(0L, 5L), anchors, pqModel(s, d),
         dials = Seq((1, 20), (2, 40), (4, 40)), k = 10)
     },
     Some(s"""
       WITH $PqCtes,
-      params AS (SELECT * FROM (VALUES (1, 20), (2, 40), (4, 40)) p(nprobe, refine)),
-      q AS (SELECT x AS qx FROM e WHERE vec_id = 0),
+      params AS (SELECT CAST(qq.query_id AS BIGINT) AS query_id, dl.nprobe, dl.refine
+                 FROM (VALUES (0), (5)) qq(query_id)
+                 CROSS JOIN (VALUES (1, 20), (2, 40), (4, 40)) dl(nprobe, refine)),
+      qs AS (SELECT CAST(vec_id AS BIGINT) AS query_id, x AS qx
+             FROM e WHERE vec_id IN (0, 5)),
       anchors AS (SELECT vec_id AS anchor_id, x AS av FROM e WHERE vec_id < 8),
       assigned AS (SELECT vec_id, cell FROM (
           SELECT e.vec_id, a.anchor_id AS cell,
@@ -749,49 +755,51 @@ object SimilarityQueries {
                                        THEN -1 ELSE list_cosine_similarity(e.x, a.av) END, 4) DESC,
                             a.anchor_id) AS rk
           FROM e CROSS JOIN anchors a) t WHERE rk = 1),
-      probes AS (SELECT a.anchor_id AS cell,
-                        ROW_NUMBER() OVER (
-                          ORDER BY ROUND(CASE WHEN isnan(list_cosine_similarity(a.av, q.qx))
-                                              THEN -1 ELSE list_cosine_similarity(a.av, q.qx) END, 4) DESC,
+      probes AS (SELECT qs.query_id, a.anchor_id AS cell,
+                        ROW_NUMBER() OVER (PARTITION BY qs.query_id
+                          ORDER BY ROUND(CASE WHEN isnan(list_cosine_similarity(a.av, qs.qx))
+                                              THEN -1 ELSE list_cosine_similarity(a.av, qs.qx) END, 4) DESC,
                                    a.anchor_id) AS prk
-                 FROM anchors a, q),
-      lut AS (SELECT c.j, c.code,
+                 FROM anchors a CROSS JOIN qs),
+      lut AS (SELECT qs.query_id, c.j, c.code,
                      ROUND(list_sum(list_transform(range(1, 17),
-                       i -> pow(q.qx[c.j*16 + i] - c.cw[i], 2))), 6) AS lv
-              FROM cb c, q),
-      ad AS (SELECT p.nprobe, p.refine, enc.vec_id,
+                       i -> pow(qs.qx[c.j*16 + i] - c.cw[i], 2))), 6) AS lv
+              FROM cb c, qs),
+      ad AS (SELECT p.query_id, p.nprobe, p.refine, enc.vec_id,
                     ROUND(list_sum(list(lut.lv ORDER BY enc.j)), 4) AS adist
              FROM params p
-             JOIN probes pr ON pr.prk <= p.nprobe
+             JOIN probes pr ON pr.query_id = p.query_id AND pr.prk <= p.nprobe
              JOIN assigned s ON s.cell = pr.cell
              JOIN enc ON enc.vec_id = s.vec_id
-             JOIN lut ON enc.j = lut.j AND enc.code = lut.code
-             GROUP BY p.nprobe, p.refine, enc.vec_id),
-      cand AS (SELECT nprobe, refine, vec_id FROM (
-                 SELECT nprobe, refine, vec_id,
-                        ROW_NUMBER() OVER (PARTITION BY nprobe, refine
+             JOIN lut ON lut.query_id = p.query_id AND enc.j = lut.j AND enc.code = lut.code
+             WHERE enc.vec_id <> p.query_id
+             GROUP BY p.query_id, p.nprobe, p.refine, enc.vec_id),
+      cand AS (SELECT query_id, nprobe, refine, vec_id FROM (
+                 SELECT query_id, nprobe, refine, vec_id,
+                        ROW_NUMBER() OVER (PARTITION BY query_id, nprobe, refine
                                            ORDER BY adist, vec_id) AS rk
-                 FROM ad WHERE vec_id <> 0) t WHERE rk <= refine),
-      rer AS (SELECT nprobe, refine, vec_id FROM (
-                SELECT c.nprobe, c.refine, c.vec_id,
-                       ROW_NUMBER() OVER (PARTITION BY c.nprobe, c.refine
-                         ORDER BY ROUND(list_cosine_similarity(e.x, q.qx), 4) DESC,
+                 FROM ad) t WHERE rk <= refine),
+      rer AS (SELECT query_id, nprobe, refine, vec_id FROM (
+                SELECT c.query_id, c.nprobe, c.refine, c.vec_id,
+                       ROW_NUMBER() OVER (PARTITION BY c.query_id, c.nprobe, c.refine
+                         ORDER BY ROUND(list_cosine_similarity(e.x, qs.qx), 4) DESC,
                                   c.vec_id) AS rk
-                FROM cand c JOIN e USING (vec_id), q) t WHERE rk <= 10),
-      brute AS (SELECT vec_id FROM (
-                  SELECT e.vec_id,
-                         ROW_NUMBER() OVER (
-                           ORDER BY ROUND(CASE WHEN isnan(list_cosine_similarity(e.x, q.qx))
-                                               THEN -1 ELSE list_cosine_similarity(e.x, q.qx) END, 4) DESC,
+                FROM cand c JOIN e USING (vec_id)
+                JOIN qs ON qs.query_id = c.query_id) t WHERE rk <= 10),
+      brute AS (SELECT query_id, vec_id FROM (
+                  SELECT qs.query_id, e.vec_id,
+                         ROW_NUMBER() OVER (PARTITION BY qs.query_id
+                           ORDER BY ROUND(CASE WHEN isnan(list_cosine_similarity(e.x, qs.qx))
+                                               THEN -1 ELSE list_cosine_similarity(e.x, qs.qx) END, 4) DESC,
                                     e.vec_id) AS rk
-                  FROM e, q WHERE e.vec_id <> 0) t WHERE rk <= 10)
-      SELECT p.nprobe, p.refine,
+                  FROM e CROSS JOIN qs WHERE e.vec_id <> qs.query_id) t WHERE rk <= 10)
+      SELECT p.query_id, p.nprobe, p.refine,
              ROUND(COALESCE(SUM(CASE WHEN b.vec_id IS NOT NULL THEN 1 ELSE 0 END), 0) / 10.0, 4) AS recall_at_10
       FROM params p
-      LEFT JOIN rer r ON r.nprobe = p.nprobe AND r.refine = p.refine
-      LEFT JOIN brute b ON b.vec_id = r.vec_id
-      GROUP BY p.nprobe, p.refine
-      ORDER BY p.nprobe, p.refine"""))
+      LEFT JOIN rer r ON r.query_id = p.query_id AND r.nprobe = p.nprobe AND r.refine = p.refine
+      LEFT JOIN brute b ON b.query_id = r.query_id AND b.vec_id = r.vec_id
+      GROUP BY p.query_id, p.nprobe, p.refine
+      ORDER BY p.query_id, p.nprobe, p.refine"""))
 
   /** The build-then-append fixture q209/q210 share: persist the lower
     * half of the corpus (by id) as the existing cell-bucketed IVF index,

@@ -47,6 +47,20 @@ class BoundedTopKSpec extends AnyFunSuite with SparkSpec {
     assert(got.toList == List(1L, 3L))
   }
 
+  test("topKPairs carries the payload without it joining the ordering") {
+    import spark.implicits._
+    import graft.functions.BoundedTopK.topKPairs
+    // payload deliberately anti-correlated with score: ordering must
+    // follow score alone (the two-stage-selection device)
+    val df = Seq((0.9, 1L, 0.1), (0.5, 2L, 0.9), (0.7, 3L, 0.5))
+      .toDF("score", "id", "p")
+    val got = df.repartition(4)
+      .agg(topKPairs(col("score"), col("id"), col("p"), 2))
+      .collect().head.getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getLong(0), r.getDouble(1))).toList
+    assert(got == List((1L, 0.1), (3L, 0.5)))
+  }
+
   test("wrong input types refuse at analysis, not silently") {
     import spark.implicits._
     val df = Seq((1, "x")).toDF("score", "id")

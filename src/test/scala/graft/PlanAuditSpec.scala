@@ -607,15 +607,15 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       nprobes = Seq(1, 2, 4), k = 10))
     assert(twelve == one, s"scan count grew with dial count: $one -> $twelve")
     assert(twelve <= 5, s"expected <=5 embedding scans, got $twelve")
+    val pqModel = graft.operators.Similarity.pqCodebooksSampled(anchors, m = 4)
     val pqOne = scans(graft.operators.Similarity.ivfPqRecallEval(
-      e, "vec_id", queryId = 0, anchors,
-      graft.operators.Similarity.pqCodebooksSampled(anchors, m = 4),
+      e, "vec_id", queryIds = Seq(0L), anchors, pqModel,
       dials = Seq((1, 20)), k = 10))
-    val pqThree = scans(graft.operators.Similarity.ivfPqRecallEval(
-      e, "vec_id", queryId = 0, anchors,
-      graft.operators.Similarity.pqCodebooksSampled(anchors, m = 4),
+    val pqSix = scans(graft.operators.Similarity.ivfPqRecallEval(
+      e, "vec_id", queryIds = Seq(0L, 5L), anchors, pqModel,
       dials = Seq((1, 20), (2, 40), (4, 40)), k = 10))
-    assert(pqThree == pqOne, s"PQ scan count grew with dial count: $pqOne -> $pqThree")
+    assert(pqSix == pqOne,
+      s"PQ scan count grew with dial or query count: $pqOne -> $pqSix")
   }
 
   test("recallEval: top-k's are bounded aggregates — no corpus-sized rank window remains") {
