@@ -276,15 +276,108 @@ object Similarity {
       .dropDuplicates("id_a", "id_b")
   }
 
+  /** The paired-anchors artifact table of a persisted index. */
+  def anchorsTableName(table: String): String = s"${table}__anchors"
+
+  /** The paired-codebook artifact table of a persisted IVF-PQ index. */
+  def pqTableName(table: String): String = s"${table}__pq"
+
+  /** Canonical fingerprint of an anchor grid: md5 over the id-sorted
+    * (anchor_id, av) rows' exact float text. Driver-side over k rows —
+    * the same payload [[ivfAssign]] already collects to inline. */
+  private def gridFingerprint(anchors: DataFrame): String = {
+    val rows = anchors
+      .select(col("anchor_id").cast("long").as("aid"), col("av"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Any](1).map(String.valueOf).mkString(","))
+      .sortBy(_._1)
+    md5Hex(rows.map { case (i, v) => s"$i:$v" }.mkString(";"))
+  }
+
+  private def pqFingerprint(model: PqModel): String = {
+    val sb = new StringBuilder
+    sb.append(model.m).append('|').append(model.sub)
+    for (j <- model.codebooks.indices; c <- model.codebooks(j).indices) {
+      sb.append(';').append(j).append(':').append(c).append(':')
+      sb.append(model.codebooks(j)(c).mkString(","))
+    }
+    md5Hex(sb.toString)
+  }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def tableProp(spark: org.apache.spark.sql.SparkSession,
+      table: String, key: String): Option[String] =
+    spark.sql(s"SHOW TBLPROPERTIES $table").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap.get(key)
+
+  /** Persist the grid WITH the index it was built with: the anchors as
+    * `<table>__anchors` and the grid fingerprint as a `graft.grid_id`
+    * table property on BOTH tables. An index version and its grid are
+    * ONE artifact — [[storedAnchors]] reloads it by table name, and the
+    * explicit-anchors serving faces refuse a grid whose fingerprint
+    * disagrees with the store's instead of returning silently wrong
+    * cells. */
+  private def writeAnchorsArtifact(spark: org.apache.spark.sql.SparkSession,
+      table: String, anchors: DataFrame): Unit = {
+    val gid = gridFingerprint(anchors)
+    val at = anchorsTableName(table)
+    anchors.select(col("anchor_id"), col("av"))
+      .write.mode("overwrite").format("parquet").saveAsTable(at)
+    spark.sql(s"ALTER TABLE $at SET TBLPROPERTIES ('graft.grid_id' = '$gid')")
+    spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES ('graft.grid_id' = '$gid')")
+  }
+
+  /** The anchor grid a persisted index was built with — loaded from the
+    * paired `<table>__anchors` artifact after checking its fingerprint
+    * against the index's own `graft.grid_id` (a swapped or half-updated
+    * artifact pair refuses instead of serving wrong cells). */
+  def storedAnchors(spark: org.apache.spark.sql.SparkSession,
+      table: String): DataFrame = {
+    val at = anchorsTableName(table)
+    require(spark.catalog.tableExists(at),
+      s"index $table has no paired anchors artifact $at — built before " +
+        "the artifact existed? pass the grid explicitly or rebuild")
+    val want = tableProp(spark, table, "graft.grid_id")
+    val got = tableProp(spark, at, "graft.grid_id")
+    require(want.nonEmpty && want == got,
+      s"grid pairing broken for $table: index records grid " +
+        s"${want.getOrElse("<none>")}, artifact $at records " +
+        s"${got.getOrElse("<none>")} — rebuild the pair")
+    spark.table(at)
+  }
+
+  /** Refuse an anchors frame whose fingerprint disagrees with what the
+    * store was built with. A store without a recorded grid (built by an
+    * older writer) is accepted — validation is best-effort there. */
+  private def requireGridMatch(spark: org.apache.spark.sql.SparkSession,
+      table: String, anchors: DataFrame): Unit =
+    tableProp(spark, table, "graft.grid_id").foreach { want =>
+      val got = gridFingerprint(anchors)
+      require(got == want,
+        s"anchor grid mismatch for index $table: store built with grid " +
+          s"$want, caller passed grid $got — a wrong grid returns " +
+          "silently wrong cells; load the paired grid with " +
+          "storedAnchors(spark, table) or rebuild the index")
+    }
+
   /** Persist the IVF assignment as a cell-bucketed table: the one-off
     * build cost that turns every later search into a bucket-pruned scan.
     * At 100 TB the assignment pass runs once (or incrementally on new
     * vectors); searches then read ~nprobe/numBuckets of the data with no
-    * shuffle (verified by SimilaritySpec via SelectedBucketsCount). */
+    * shuffle (verified by SimilaritySpec via SelectedBucketsCount).
+    * The grid is persisted WITH the index (`<table>__anchors` +
+    * `graft.grid_id` on both) so the (index, grid) pairing is an
+    * artifact, not caller discipline. */
   def ivfBuildIndex(emb: DataFrame, anchors: DataFrame, id: String,
-      table: String, numBuckets: Int = 16, roundAt: Int = 4): Unit =
+      table: String, numBuckets: Int = 16, roundAt: Int = 4): Unit = {
     Layout.writeBucketed(ivfAssign(emb, anchors, id, roundAt), table,
       bucketCols = Seq("cell"), numBuckets = numBuckets)
+    writeAnchorsArtifact(emb.sparkSession, table, anchors)
+  }
 
   /** Incremental append to a persisted IVF index: assign ONLY the new
     * vectors against the EXISTING anchor grid and append them to the
@@ -306,6 +399,10 @@ object Similarity {
     * of corrupting the layout. */
   def ivfIndexAppend(newVecs: DataFrame, anchors: DataFrame, id: String,
       table: String, numBuckets: Int = 16, roundAt: Int = 4): DataFrame = {
+    // a writer configured with a drifted grid corrupts silently (rows
+    // land in cells the serving grid never probes) — refuse up front,
+    // like Spark's own bucket-spec check refuses a drifted layout
+    requireGridMatch(newVecs.sparkSession, table, anchors)
     Layout.appendBucketed(ivfAssign(newVecs, anchors, id, roundAt), table,
       bucketCols = Seq("cell"), numBuckets = numBuckets)
     ivfCellStats(newVecs.sparkSession, table, roundAt)
@@ -322,6 +419,15 @@ object Similarity {
   def ivfPqIndexAppend(newVecs: DataFrame, anchors: DataFrame, id: String,
       model: PqModel, table: String, numBuckets: Int = 16,
       roundAt: Int = 4): DataFrame = {
+    requireGridMatch(newVecs.sparkSession, table, anchors)
+    tableProp(newVecs.sparkSession, table, "graft.pq_id").foreach { want =>
+      val got = pqFingerprint(model)
+      require(got == want,
+        s"PQ codebook mismatch for index $table: store encoded with " +
+          s"codebook $want, caller passed $got — mixed-codebook codes " +
+          "are unrankable; load the paired model with " +
+          "storedPqModel(spark, table) or rebuild the index")
+    }
     Layout.appendBucketed(
       ivfAssign(newVecs, anchors, id, roundAt)
         .withColumn("codes", pqCodesCol(col("embedding"), model, roundAt))
@@ -349,13 +455,17 @@ object Similarity {
     require(table != newTable,
       "ivfRetrain rebuilds into a NEW table version: reading and " +
         "overwriting the same bucketed table is not a safe operation")
-    val vectors = spark.table(table).select(col(id), col("embedding"))
-    val (_, centroids) = kmeans(vectors, id, k, iters)
+    // kmeans fits on the (id, embedding) projection, but the REBUILD
+    // reads the full stored row minus the stale cell — payload columns
+    // the v1 index carried (labels, source tags) survive into v2
+    val stored = spark.table(table).drop("cell")
+    val (_, centroids) =
+      kmeans(stored.select(col(id), col("embedding")), id, k, iters)
     // centroids are driver state (a local relation) — the anchors frame
     // is k rows of O(dim) doubles, the same payload ivfAssign inlines
     val anchors = centroids
       .select(col("cluster").as("anchor_id"), col("cv").as("av"))
-    ivfBuildIndex(vectors, anchors, id, newTable, numBuckets, roundAt)
+    ivfBuildIndex(stored, anchors, id, newTable, numBuckets, roundAt)
     anchors
   }
 
@@ -445,6 +555,7 @@ object Similarity {
       table: String, id: String, queryVec: Array[Float],
       anchors: DataFrame, nprobe: Int, k: Int, roundAt: Int = 4,
       excludeId: Option[Long] = None): DataFrame = {
+    requireGridMatch(spark, table, anchors)
     val qLit = typedLit(queryVec.toSeq)
     val cells = probeCellsDf(anchors, qLit, nprobe, roundAt)
       .collect().map(_.getAs[Number]("cell").longValue())
@@ -456,6 +567,15 @@ object Similarity {
       .limit(k)
   }
 
+  /** [[ivfSearchIndexed]] against the index's OWN persisted grid — the
+    * serving face that takes only the table name, so pairing the wrong
+    * grid with a store is not constructible. */
+  def ivfSearchStored(spark: org.apache.spark.sql.SparkSession,
+      table: String, id: String, queryVec: Array[Float], nprobe: Int,
+      k: Int, roundAt: Int = 4, excludeId: Option[Long] = None): DataFrame =
+    ivfSearchIndexed(spark, table, id, queryVec,
+      storedAnchors(spark, table), nprobe, k, roundAt, excludeId)
+
   /** Persist the composed IVF-PQ index: the cell-bucketed CODES table —
     * (id [, payload], cell, codes), no float vectors — the artifact a
     * billion-vector deployment serves from. One pass assigns cells and
@@ -464,12 +584,57 @@ object Similarity {
     * (SelectedBucketsCount, asserted in SimilaritySpec). */
   def ivfPqBuildIndex(emb: DataFrame, anchors: DataFrame, id: String,
       model: PqModel, table: String, numBuckets: Int = 16,
-      roundAt: Int = 4): Unit =
+      roundAt: Int = 4): Unit = {
     Layout.writeBucketed(
       ivfAssign(emb, anchors, id, roundAt)
         .withColumn("codes", pqCodesCol(col("embedding"), model, roundAt))
         .drop("embedding"),
       table, bucketCols = Seq("cell"), numBuckets = numBuckets)
+    val spark = emb.sparkSession
+    writeAnchorsArtifact(spark, table, anchors)
+    writePqArtifact(spark, table, model)
+  }
+
+  /** Persist the codebook WITH the codes it encoded (`<table>__pq`,
+    * rows (j, code, cw)) plus a `graft.pq_id` fingerprint property on
+    * both — the PQ half of the one-artifact pairing rule. */
+  private def writePqArtifact(spark: org.apache.spark.sql.SparkSession,
+      table: String, model: PqModel): Unit = {
+    import spark.implicits._
+    val pid = pqFingerprint(model)
+    val pt = pqTableName(table)
+    model.codebooks.zipWithIndex.flatMap { case (cb, j) =>
+      cb.zipWithIndex.map { case (cw, c) => (j, c, cw.toSeq) }
+    }.toIndexedSeq.toDF("j", "code", "cw")
+      .write.mode("overwrite").format("parquet").saveAsTable(pt)
+    spark.sql(s"ALTER TABLE $pt SET TBLPROPERTIES ('graft.pq_id' = '$pid')")
+    spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES ('graft.pq_id' = '$pid')")
+  }
+
+  /** The [[PqModel]] a persisted codes table was encoded with — loaded
+    * from the paired `<table>__pq` artifact, fingerprint-checked
+    * against the index's own `graft.pq_id`. */
+  def storedPqModel(spark: org.apache.spark.sql.SparkSession,
+      table: String): PqModel = {
+    val pt = pqTableName(table)
+    require(spark.catalog.tableExists(pt),
+      s"index $table has no paired codebook artifact $pt — built before " +
+        "the artifact existed? pass the model explicitly or rebuild")
+    val rows = spark.table(pt).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    val m = rows.map(_._1).max + 1
+    val codebooks = Array.tabulate(m) { j =>
+      rows.filter(_._1 == j).sortBy(_._2).map(_._3)
+    }
+    val model = PqModel(m, codebooks(0)(0).length, codebooks)
+    val want = tableProp(spark, table, "graft.pq_id")
+    val got = pqFingerprint(model)
+    require(want.contains(got),
+      s"codebook pairing broken for $table: index records " +
+        s"${want.getOrElse("<none>")}, artifact $pt reloads as $got — " +
+        "rebuild the pair")
+    model
+  }
 
   /** Top-k against a persisted IVF-PQ index: probe cells resolve from
     * the broadcast anchors, the bucketed codes table is scanned with a
@@ -926,6 +1091,7 @@ object Similarity {
       nprobes: Seq[Int], k: Int, roundAt: Int = 4): DataFrame = {
     require(queryIds.nonEmpty && k >= 1)
     require(nprobes.nonEmpty && nprobes.forall(_ >= 1))
+    requireGridMatch(spark, table, anchors)
     import spark.implicits._
     val recallCol = s"recall_at_$k"
     val paramsDf = queryIds.flatMap(q => nprobes.map(np => (q, np)))
@@ -944,6 +1110,14 @@ object Similarity {
       .join(broadcast(probes), Seq("q_id", "cell"), "left")
     recallDialFold(scored, id, paramsDf, nprobes, k, roundAt, recallCol)
   }
+
+  /** [[recallEvalIndexed]] against the index's OWN persisted grid —
+    * the sizing sweep by table name alone. */
+  def recallEvalStored(spark: org.apache.spark.sql.SparkSession,
+      table: String, id: String, queryIds: Seq[Long], nprobes: Seq[Int],
+      k: Int, roundAt: Int = 4): DataFrame =
+    recallEvalIndexed(spark, table, id, queryIds,
+      storedAnchors(spark, table), nprobes, k, roundAt)
 
   /** IVF-PQ recall evaluation over a QUERY BATCH × (nprobe, refine)
     * dials — the full index-sizing sweep a deployment runs before

@@ -640,7 +640,10 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
         nprobes = Seq(1, 2), k = 10))
       assert(pi.contains("bounded_top_k_ids"), pi)
       assert("Window ".r.findAllIn(pi).size == 1, pi)
-    } finally spark.sql("DROP TABLE IF EXISTS plan_audit_recall_idx")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS plan_audit_recall_idx")
+      spark.sql("DROP TABLE IF EXISTS plan_audit_recall_idx__anchors")
+    }
   }
 
   test("events scan converts nanos without breaking codegen") {

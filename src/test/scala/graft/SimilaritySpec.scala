@@ -187,6 +187,91 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("the (index, grid) pairing is ONE artifact: stored faces load it, wrong grids refuse") {
+    val db = "graft_grid_artifact"
+    val loc = java.nio.file.Files.createTempDirectory("graft-grid-art")
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$loc'")
+    Seq("idx", "idx__anchors", "v2", "v2__anchors")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $db.$t"))
+    // the index carries a payload column beyond (id, embedding)
+    val withPayload = emb.withColumn("label", col("vec_id") % 3)
+    Similarity.ivfBuildIndex(withPayload, anchors, "vec_id", s"$db.idx",
+      numBuckets = 8)
+
+    // 1. the stored faces need only the table name and agree with the
+    //    explicit-anchors faces
+    val qv = emb.filter(col("vec_id") === 0)
+      .head().getAs[Seq[Float]]("embedding").toArray
+    def hitSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "sim").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(
+      hitSet(Similarity.ivfSearchStored(spark, s"$db.idx", "vec_id", qv,
+        nprobe = 2, k = 10, excludeId = Some(0L))) ==
+        hitSet(Similarity.ivfSearchIndexed(spark, s"$db.idx", "vec_id", qv,
+          anchors, nprobe = 2, k = 10, excludeId = Some(0L))))
+    val viaStored = Similarity.recallEvalStored(spark, s"$db.idx",
+      "vec_id", queryIds = Seq(0L, 1L), nprobes = Seq(1, 2), k = 10).collect()
+    val viaExplicit = Similarity.recallEvalIndexed(spark, s"$db.idx",
+      "vec_id", queryIds = Seq(0L, 1L), anchors,
+      nprobes = Seq(1, 2), k = 10).collect()
+    assert(viaStored.toSeq == viaExplicit.toSeq)
+
+    // 2. a DIFFERENT grid against the same store refuses loudly on
+    //    every serving face — search, eval, and incremental append
+    val wrongGrid = emb.filter(col("vec_id") >= 8 && col("vec_id") < 12)
+      .select(col("vec_id").as("anchor_id"), col("embedding").as("av"))
+    def refusal(f: => Any): Unit = {
+      val e = intercept[IllegalArgumentException](f)
+      assert(e.getMessage.contains("grid mismatch"), e.getMessage)
+    }
+    refusal(Similarity.ivfSearchIndexed(spark, s"$db.idx", "vec_id", qv,
+      wrongGrid, nprobe = 2, k = 10))
+    refusal(Similarity.recallEvalIndexed(spark, s"$db.idx", "vec_id",
+      Seq(0L), wrongGrid, Seq(1), k = 10).collect())
+    refusal(Similarity.ivfIndexAppend(
+      emb.limit(1), wrongGrid, "vec_id", s"$db.idx", numBuckets = 8))
+
+    // 3. retrain preserves payload columns (rebuild reads the full
+    //    stored row) and writes the v2 artifact pair
+    Similarity.ivfRetrain(spark, s"$db.idx", s"$db.v2", "vec_id",
+      k = 4, iters = 2, numBuckets = 8)
+    assert(spark.table(s"$db.v2").columns.contains("label"),
+      spark.table(s"$db.v2").columns.mkString(","))
+    assert(spark.catalog.tableExists(s"$db.v2__anchors"))
+    // the v2 stored face serves with v2's OWN grid — and the v1 grid
+    // refuses against v2
+    assert(Similarity.ivfSearchStored(spark, s"$db.v2", "vec_id", qv,
+      nprobe = 2, k = 5, excludeId = Some(0L)).count() == 5)
+    refusal(Similarity.ivfSearchIndexed(spark, s"$db.v2", "vec_id", qv,
+      anchors, nprobe = 2, k = 5))
+  }
+
+  test("storedPqModel reloads the exact codebook the codes table was encoded with") {
+    val db = "graft_pq_artifact"
+    val loc = java.nio.file.Files.createTempDirectory("graft-pq-art")
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$loc'")
+    Seq("codes", "codes__anchors", "codes__pq")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $db.$t"))
+    val model = Similarity.pqCodebooksSampled(anchors, m = 4)
+    Similarity.ivfPqBuildIndex(emb, anchors, "vec_id", model,
+      s"$db.codes", numBuckets = 8)
+    val reloaded = Similarity.storedPqModel(spark, s"$db.codes")
+    assert(reloaded.m == model.m && reloaded.sub == model.sub)
+    assert(reloaded.codebooks.flatten.flatten.toSeq ==
+      model.codebooks.flatten.flatten.toSeq)
+    // a drifted codebook refuses on append
+    val other = Similarity.pqCodebooksSampled(
+      emb.filter(col("vec_id") >= 8 && col("vec_id") < 16)
+        .select(col("vec_id").as("anchor_id"), col("embedding").as("av")),
+      m = 4)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ivfPqIndexAppend(emb.limit(1), anchors, "vec_id", other,
+        s"$db.codes", numBuckets = 8)
+    }
+    assert(e.getMessage.contains("codebook mismatch"), e.getMessage)
+  }
+
   test("PQ encode is mode-agnostic: the streaming encode equals the batch encode") {
     // a narrow expression works unchanged on a stream — the ingest-time
     // index-append path (encode on arrival, append to the codes table)
