@@ -996,10 +996,16 @@ object CorpusPipeline {
     * lands under `outDir/manifest/`. Returns the manifest frame.
     * S9's partitioned-sink discipline at LLM scale: one job writes the
     * stream (shuffle keyed on shard, in-partition sort), one
-    * shard-parallel job folds the manifest. */
+    * shard-parallel job folds the manifest.
+    *
+    * `boundedOnly` threads through to [[tokenShardManifest]]: a
+    * deployment whose shards exceed executor memory runs the WHOLE
+    * export bounded — the manifest then carries only the never-
+    * buffering `shard_fp_pos` fingerprint, omitting the md5-concat
+    * `shard_fp` whose agg buffer holds one shard's keys. */
   def writeTokenShards(docs: DataFrame, id: String, stratum: String,
       text: String, epochs: Map[String, Double], numShards: Int,
-      seqLen: Int, outDir: String): DataFrame = {
+      seqLen: Int, outDir: String, boundedOnly: Boolean = false): DataFrame = {
     val spark = docs.sparkSession
     // no extra repartition: the packing window already shuffled by
     // shard, so each shard sits whole inside one partition and the
@@ -1013,7 +1019,7 @@ object CorpusPipeline {
     // normalize to the stream's BIGINT so both manifest faces agree
     val manifest = tokenShardManifest(
       spark.read.parquet(s"$outDir/stream")
-        .withColumn("shard", col("shard").cast("long")), seqLen)
+        .withColumn("shard", col("shard").cast("long")), seqLen, boundedOnly)
     manifest.write.mode("overwrite").parquet(s"$outDir/manifest")
     spark.read.parquet(s"$outDir/manifest")
   }

@@ -40,7 +40,7 @@ object CorpusFlow {
       epochs: Map[String, Double], numShards: Int, seqLen: Int,
       outDir: String, minTokens: Int = 10, maxTokens: Int = 100000,
       nearDupThreshold: Double = 0.5, retries: Int = 2,
-      backoffMs: Long = 500): (DataFrame, Flow) = {
+      backoffMs: Long = 500, boundedManifest: Boolean = false): (DataFrame, Flow) = {
     val flow = new Flow(retries, backoffMs)
 
     val docs = flow.task("ingest_documents") {
@@ -78,9 +78,11 @@ object CorpusFlow {
     }
 
     val manifest = flow.task("export_token_shards") {
+      // boundedManifest: the >executor-shard deployment dial — the
+      // manifest job never buffers a shard's keys (shard_fp_pos only)
       val m = CorpusPipeline.writeTokenShards(curated, "doc_id", "source",
         "text", epochs, numShards = numShards, seqLen = seqLen,
-        outDir = outDir)
+        outDir = outDir, boundedOnly = boundedManifest)
       val tot = m.agg(count(lit(1)).as("shards"),
         coalesce(sum("n_docs"), lit(0L)).as("docs"),
         coalesce(sum("n_tokens"), lit(0L)).as("tokens"),

@@ -536,5 +536,18 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     val rerun = again.collect().map(r => r.getLong(0) ->
       (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getLong(5))).toMap
     assert(rerun == returned)
+
+    // boundedManifest=true: the WHOLE export (flow → writeTokenShards →
+    // manifest job) runs without the buffering md5 fingerprint — the
+    // manifest carries shard_fp_pos ONLY, with the same values the
+    // unbounded manifest computed for the same store
+    val outB = Files.createTempDirectory("graft-flow-bounded").toString
+    val (bounded, _) = CorpusFlow.runWithReport(spark, in, epochs,
+      numShards = 2, seqLen = 16, outDir = outB, boundedManifest = true)
+    assert(!bounded.columns.contains("shard_fp") &&
+      bounded.columns.contains("shard_fp_pos"), bounded.columns.mkString(","))
+    val boundedFps = bounded.collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("shard_fp_pos")).toMap
+    assert(boundedFps == returned.map { case (s, v) => s -> v._5 })
   }
 }
