@@ -253,7 +253,13 @@ object Layout {
     * files); each multi-file bin is read and rewritten as ONE file. Row
     * content is preserved exactly; file count drops to the bin count.
     * One small Spark job per rewritten bin — compaction is a maintenance
-    * pass, and per-bin jobs keep peak memory at one bin, not the table. */
+    * pass, and per-bin jobs keep peak memory at one bin, not the table.
+    *
+    * `outDir` is exclusively owned by ONE source dir per run: the
+    * retry-idempotency clear below removes ALL prior bins (not just
+    * this plan's bin ids), so two compactions fanning different source
+    * dirs into a shared outDir would destroy each other's output —
+    * give each source its own outDir. */
   def compact(spark: org.apache.spark.sql.SparkSession, dir: String,
       outDir: String, targetBytes: Long): DataFrame = {
     import org.apache.hadoop.fs.Path

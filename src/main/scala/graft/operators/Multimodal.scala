@@ -92,14 +92,21 @@ object Multimodal {
     * null-feature path as empty payloads). Stateless → trivially
     * serializable; ImageIO readers are obtained per call, which is the
     * codec-context cost a heavier codec would amortize per partition. */
-  final class JdkImageDecoder extends MediaDecoder {
+  object JdkImageDecoder {
     // ImageIO's default is a DISK-backed image input stream cache: with
     // it on, every decode copies the (already in-memory) payload to a
     // temp file — doubled I/O and /tmp churn on the per-record hot
-    // path. Static JVM-wide setting, flipped once per decoder class
-    // load; memory-backed streams are strictly better for byte-array
-    // input.
+    // path. This is a DELIBERATE JVM-global flip (it also affects any
+    // other ImageIO user in the executor/driver JVM), applied exactly
+    // once per classload from this static initializer rather than as a
+    // hidden side effect of each decoder instantiation; memory-backed
+    // streams are strictly better for byte-array input.
     javax.imageio.ImageIO.setUseCache(false)
+    private[operators] def ensureInit(): Unit = ()
+  }
+
+  final class JdkImageDecoder extends MediaDecoder {
+    JdkImageDecoder.ensureInit()
     override def decode(fmt: String, bytes: Array[Byte]): Option[(Int, Int, Int, Double)] = {
       if (bytes == null || bytes.isEmpty) None
       else {

@@ -499,11 +499,22 @@ object Similarity {
       .map(_.getPath)
       .sortBy(_.getName)
     if (committed.isEmpty) return (0L, 0L)
+    // a vector id staged in two batches (client retry) keeps its
+    // FIRST-staged batch's row — deterministic because the rule is
+    // min(batch id), not "whichever partition read first"; duplicate
+    // ids WITHIN one micro-batch (same batch dir) keep one row
+    // arbitrarily, which the overwrite-by-batchId staging contract
+    // makes content-identical in practice. The rank window partitions
+    // by vector id over staged-batch rows only — per-id groups are
+    // retry-sized, never index-sized.
     val staged = spark.read
       .parquet(committed.map(_.toString): _*)
-      // a vector id staged in two batches (client retry) keeps its
-      // first-staged row — same keep-first rule as the raw-zone dedup
-      .dropDuplicates(id)
+      .withColumn("__batch",
+        regexp_extract(input_file_name(), "batch=(\\d+)", 1).cast("long"))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col(id)).orderBy(asc("__batch"))))
+      .filter(col("__rk") === 1)
+      .drop("__rk", "__batch")
     val fresh = staged.join(
       spark.table(table).select(col(id)), Seq(id), "left_anti")
     val n = fresh.count()

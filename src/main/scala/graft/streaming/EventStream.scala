@@ -755,10 +755,13 @@ object EventStream {
     * compaction cadence. A search wanting zero staleness reads
     * table ∪ stage — the incrementalLsh "index + recent" pattern. */
   def streamingIvfStage(vecs: DataFrame, anchors: DataFrame, id: String,
-      stageDir: String, checkpoint: String): StreamingQuery =
+      stageDir: String, checkpoint: String, roundAt: Int = 4): StreamingQuery =
     vecs.writeStream
       .foreachBatch { (df: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        graft.operators.Similarity.ivfAssign(df, anchors, id)
+        // roundAt must match what the index was built/appended with —
+        // a different rounding can flip boundary assignments, landing
+        // absorbed rows in cells the serving grid never probes
+        graft.operators.Similarity.ivfAssign(df, anchors, id, roundAt)
           .write.mode("overwrite").parquet(s"$stageDir/batch=$batchId")
       }
       .option("checkpointLocation", checkpoint)
