@@ -62,8 +62,8 @@ import org.apache.spark.sql.types._
   * Results ship in text format by default; a Bind may request BINARY
   * result columns (per column or all — pgJDBC `binaryTransfer`,
   * psycopg3 binary cursors) for bool/int2/int4/int8/float4/float8/
-  * text/bytea/date/timestamp; a binary request for a type with no
-  * binary encoding (numeric) is refused 0A000 — declared capability,
+  * numeric/text/bytea/date/timestamp; a binary request for a type with
+  * no binary encoding is refused 0A000 — declared capability,
   * never silently-degraded garbage. Complex columns (array/map/struct)
   * are serialized to JSON server-side before collect. Driver safety:
   * collects are capped at `maxRows` with a NoticeResponse when the cap
@@ -739,17 +739,97 @@ final class PgWireServer(spark: SparkSession, maxRows: Int = 10000,
         b.writeInt(4); b.writeInt((days - PgEpochDay).toInt)
       case TimestampType | TimestampNTZType =>
         b.writeInt(8); b.writeLong(epochMicros(v) - PgEpochMicros)
+      case _: DecimalType =>
+        writeNumericBinary(b, v.asInstanceOf[java.math.BigDecimal])
       case other => throw new UnsupportedOperationException(
         s"binary result format not supported for type ${other.simpleString}")
     }
+  }
+
+  /** Postgres binary NUMERIC: `int16 ndigits, weight, sign, dscale`
+    * followed by `ndigits` base-10000 digit groups, the first weighted
+    * `10000^weight`. The digit string is aligned so the decimal point
+    * falls on a group boundary, then leading/trailing zero groups are
+    * stripped (weight tracks the strip); dscale carries the value's
+    * display scale, so pgJDBC/psycopg reconstruct the exact decimal the
+    * text path would have rendered. Zero is the canonical empty-digits
+    * form. Spark decimals are finite, so the NaN sign (0xC000) is never
+    * written. */
+  private def writeNumericBinary(b: DataOutputStream,
+      v0: java.math.BigDecimal): Unit = {
+    val dscale = math.max(v0.scale, 0)
+    val v = v0.setScale(dscale) // plain digits (expands 1E+2 forms)
+    val neg = v.signum() < 0
+    val unscaled = v.abs().unscaledValue().toString
+    val digitsOnly = // value < 1: restore the leading zeros of the fraction
+      if (unscaled.length < dscale) "0" * (dscale - unscaled.length) + unscaled
+      else unscaled
+    val intLen = digitsOnly.length - dscale
+    val lpad = (4 - intLen % 4) % 4
+    val rpad = (4 - dscale % 4) % 4
+    val aligned = ("0" * lpad) + digitsOnly + ("0" * rpad)
+    var groups = aligned.grouped(4).map(_.toInt).toIndexedSeq
+    var weight = (intLen + lpad) / 4 - 1
+    val lead = groups.indexWhere(_ != 0)
+    if (lead < 0) { groups = IndexedSeq.empty; weight = 0 } // zero
+    else {
+      weight -= lead
+      groups = groups.slice(lead, groups.lastIndexWhere(_ != 0) + 1)
+    }
+    b.writeInt(8 + 2 * groups.length)
+    b.writeShort(groups.length)
+    b.writeShort(weight)
+    b.writeShort(if (neg && groups.nonEmpty) 0x4000 else 0x0000)
+    b.writeShort(dscale)
+    groups.foreach(b.writeShort)
+  }
+
+  /** Decode a binary NUMERIC parameter to its canonical plain-text
+    * form. NaN (sign 0xC000) is refused — SQL decimal has no NaN — and
+    * malformed group values or a non-exact dscale are rejected as
+    * invalid parameter bytes, never guessed. */
+  private def decodeNumericBinary(bytes: Array[Byte]): String = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    if (bytes.length < 8) throw new IllegalArgumentException(
+      s"binary numeric parameter must be >= 8 bytes, got ${bytes.length}")
+    val nd = bb.getShort.toInt
+    val weight = bb.getShort.toInt
+    val sign = bb.getShort & 0xFFFF
+    val dscale = bb.getShort.toInt
+    if (bytes.length != 8 + 2 * nd) throw new IllegalArgumentException(
+      s"binary numeric parameter declares $nd digit groups but has " +
+        s"${bytes.length - 8} payload bytes")
+    if (sign == 0xC000) throw new UnsupportedOperationException(
+      "NaN numeric has no SQL decimal representation")
+    if (sign != 0x0000 && sign != 0x4000) throw new IllegalArgumentException(
+      f"invalid numeric sign word 0x$sign%04X")
+    if (dscale < 0) throw new IllegalArgumentException(
+      s"invalid numeric dscale $dscale")
+    var acc = java.math.BigDecimal.ZERO
+    var i = 0
+    while (i < nd) {
+      val d = bb.getShort.toInt
+      if (d < 0 || d > 9999) throw new IllegalArgumentException(
+        s"numeric digit group $d out of base-10000 range")
+      acc = acc.add(
+        java.math.BigDecimal.valueOf(d.toLong).movePointRight(4 * (weight - i)))
+      i += 1
+    }
+    val scaled =
+      try acc.setScale(dscale, java.math.RoundingMode.UNNECESSARY)
+      catch {
+        case _: ArithmeticException => throw new IllegalArgumentException(
+          s"numeric digits carry more precision than dscale $dscale declares")
+      }
+    (if (sign == 0x4000) scaled.negate() else scaled).toPlainString
   }
 
   /** Expand Bind's result format codes (0 entries = all text, 1 = all
     * columns, else per column) against the result schema, refusing — in
     * the declared-capability error class, not by shipping garbage — any
     * BINARY request for a type this server has no binary encoding for
-    * (numeric/decimal stays text-only; complex columns are already
-    * JSON text by the time they hit the wire). */
+    * (complex columns are already JSON text by the time they hit the
+    * wire). */
   private def resolveFormats(schema: StructType,
       requested: IndexedSeq[Int]): IndexedSeq[Int] = {
     if (requested.isEmpty || schema.isEmpty) return IndexedSeq.empty
@@ -774,6 +854,7 @@ final class PgWireServer(spark: SparkSession, maxRows: Int = 10000,
     case BooleanType | ShortType | ByteType | IntegerType | LongType |
          FloatType | DoubleType | StringType | BinaryType | DateType |
          TimestampType | TimestampNTZType => true
+    case _: DecimalType => true // pg binary numeric (base-10000 groups)
     case c if isComplex(c) => true // ships as JSON text (oid 25)
     case _ => false
   }
@@ -811,6 +892,7 @@ final class PgWireServer(spark: SparkSession, maxRows: Int = 10000,
         // shifting the instant. Plain timestamp (1114) is wall-clock by
         // definition and ships bare.
         if (oid == 1184) wall + "+00:00" else wall
+      case 1700 => decodeNumericBinary(bytes)
       case 0 | 25 | 1043 => new String(bytes, StandardCharsets.UTF_8)
       case other => throw new UnsupportedOperationException(
         s"binary parameter format not supported for type oid $other")

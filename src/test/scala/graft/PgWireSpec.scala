@@ -407,11 +407,11 @@ class PgWireSpec extends SparkSpec {
       c.flush()
       assert(errorMessage(c.readUntilReady())
         .exists(_.contains("supplies 0 parameters")))
-      // a binary param for an oid with no binary decoding (numeric) is
+      // a binary param for an oid with no binary decoding (money) is
       // refused 0A000, never guessed at
-      c.send('P', parseParams(c, "bin", "SELECT $1 AS x", Seq(1700)))
+      c.send('P', parseParams(c, "bin", "SELECT $1 AS x", Seq(790)))
       c.send('B', c.cstr("") ++ c.cstr("bin") ++ i16(1) ++ i16(1) ++
-        i16(1) ++ i32(4) ++ i32(7) ++ i16(0))
+        i16(1) ++ i32(8) ++ i64(700L) ++ i16(0))
       c.send('S', Array.emptyByteArray)
       c.flush()
       assert(errorMessage(c.readUntilReady())
@@ -642,6 +642,59 @@ class PgWireSpec extends SparkSpec {
     }
   }
 
+  test("binary numeric: base-10000 digit groups in both directions") {
+    // pg numeric wire form: ndigits, weight, sign, dscale, digit groups
+    def num(weight: Int, sign: Int, dscale: Int, digits: Int*): Array[Byte] =
+      i16(digits.length) ++ i16(weight) ++ i16(sign) ++ i16(dscale) ++
+        digits.flatMap(i16).toArray
+    withServer() { (_, port) =>
+      val c = new Client(port); c.connect()
+      val sql = "SELECT CAST(1.25 AS DECIMAL(10,2)) AS a, " +
+        "CAST(-0.05 AS DECIMAL(10,2)) AS b, " +
+        "CAST(0 AS DECIMAL(10,2)) AS z, " +
+        "CAST(0.00001234 AS DECIMAL(20,8)) AS hs, " +
+        "CAST(123456789 AS DECIMAL(18,0)) AS big"
+      c.send('P', c.cstr("num") ++ c.cstr(sql) ++ Array[Byte](0, 0))
+      c.send('B', bindWire(c, "num", Nil, Nil, Seq(1)))
+      c.send('E', c.cstr("") ++ i32(0))
+      c.send('S', Array.emptyByteArray)
+      c.flush()
+      val row = dataRowsRaw(c.readUntilReady()).head
+      assert(row(0).get.toSeq == num(0, 0x0000, 2, 1, 2500).toSeq)   // 1.25
+      assert(row(1).get.toSeq == num(-1, 0x4000, 2, 500).toSeq)      // -0.05
+      assert(row(2).get.toSeq == num(0, 0x0000, 2).toSeq)            // 0.00
+      assert(row(3).get.toSeq == num(-2, 0x0000, 8, 1234).toSeq)     // 0.00001234
+      assert(row(4).get.toSeq == num(2, 0x0000, 0, 1, 2345, 6789).toSeq)
+      // binary numeric PARAM decodes to the exact decimal literal
+      c.send('P', parseParams(c, "np", "SELECT $1 AS x", Seq(1700)))
+      val pBytes = num(0, 0x4000, 2, 1, 2500) // -1.25
+      c.send('B', c.cstr("") ++ c.cstr("np") ++ i16(1) ++ i16(1) ++
+        i16(1) ++ i32(pBytes.length) ++ pBytes ++ i16(0))
+      c.send('E', c.cstr("") ++ i32(0))
+      c.send('S', Array.emptyByteArray)
+      c.flush()
+      assert(dataRows(c.readUntilReady()).head == Seq(Some("-1.25")))
+      // NaN numeric (sign 0xC000) refuses — SQL decimal has no NaN
+      c.send('P', parseParams(c, "nn", "SELECT $1 AS x", Seq(1700)))
+      val nanBytes = num(0, 0xC000, 0)
+      c.send('B', c.cstr("") ++ c.cstr("nn") ++ i16(1) ++ i16(1) ++
+        i16(1) ++ i32(nanBytes.length) ++ nanBytes ++ i16(0))
+      c.send('S', Array.emptyByteArray)
+      c.flush()
+      assert(errorMessage(c.readUntilReady())
+        .exists(_.contains("NaN numeric")))
+      // truncated payload is a clean refusal, not garbage
+      c.send('P', parseParams(c, "nt", "SELECT $1 AS x", Seq(1700)))
+      c.send('B', c.cstr("") ++ c.cstr("nt") ++ i16(1) ++ i16(1) ++
+        i16(1) ++ i32(4) ++ i32(7) ++ i16(0))
+      c.send('S', Array.emptyByteArray)
+      c.flush()
+      assert(errorMessage(c.readUntilReady())
+        .exists(_.contains(">= 8 bytes")))
+      c.close()
+    }
+  }
+
   test("mixed per-column result formats are honored; unsupported binary types refuse cleanly") {
     withServer() { (_, port) =>
       val c = new Client(port); c.connect()
@@ -655,10 +708,10 @@ class PgWireSpec extends SparkSpec {
       val row = dataRowsRaw(c.readUntilReady()).head
       assert(row(0).get.toSeq == i32(300).toSeq)
       assert(new String(row(1).get, StandardCharsets.UTF_8) == "42")
-      // a binary request for a type with no binary encoding (numeric)
+      // a binary request for a type with no binary encoding (interval)
       // is a 0A000 refusal, never silently-degraded text bytes
       c.send('P', c.cstr("nb") ++
-        c.cstr("SELECT CAST(1.25 AS DECIMAL(10,2)) AS d") ++ Array[Byte](0, 0))
+        c.cstr("SELECT INTERVAL '1' DAY AS iv") ++ Array[Byte](0, 0))
       c.send('B', bindWire(c, "nb", Nil, Nil, Seq(1)))
       c.send('E', c.cstr("") ++ i32(0))
       c.send('S', Array.emptyByteArray)
