@@ -344,6 +344,11 @@ object Stress {
                              size(embedding) - pmod(r, size(embedding))),
                        slice(embedding, 1, pmod(r, size(embedding))))""")
           .as("embedding"))
+      // without this the ×N frame inherits the base parquet's ONE split
+      // and every corpus pass below runs single-task — a harness
+      // artifact a real many-file corpus doesn't have (found when the
+      // recall evals timed 10× their parallel cost)
+      .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
       .persist()
     embs.count()
     time("embed_neardup_bucketed") {
@@ -388,6 +393,29 @@ object Stress {
         graft.operators.Similarity.ivfIndexAppend(
           batch, anchors8, "vec_id", s"$db.emb_ivf", numBuckets = 8)
         batch.count()
+      }
+      // Recall eval against the PERSISTED ×N index (now holding the
+      // full corpus post-append): assignments are READ from the store,
+      // so the whole 12-dial sweep is ONE scan of the index — no
+      // assignment argmax, no second pass — with the grid loaded from
+      // the store's own __anchors artifact. The cost is the single
+      // index read; everything else is dial-count-free.
+      time("ann_recall_eval_indexed") {
+        graft.operators.Similarity.recallEvalStored(spark, s"$db.emb_ivf",
+          "vec_id", queryIds = Seq(0L, 1L, 2L, 3L),
+          nprobes = Seq(1, 2, 4), k = 10).count()
+      }
+      // Retrain over the stored ×N index: the k-means refit (iters
+      // scans of the (id, embedding) projection) + one assignment pass
+      // + the bucketed rewrite — DELIBERATELY index-proportional, the
+      // amortized one-off that batch-proportional appends defer until
+      // the skew report demands it. Timed to pin the slope of that
+      // cost curve.
+      spark.sql(s"DROP TABLE IF EXISTS $db.emb_ivf_v2")
+      time("ivf_retrain") {
+        graft.operators.Similarity.ivfRetrain(spark, s"$db.emb_ivf",
+          s"$db.emb_ivf_v2", "vec_id", k = 8, iters = 3, numBuckets = 8)
+        spark.table(s"$db.emb_ivf_v2").count()
       }
     }
     embs.unpersist()
