@@ -106,8 +106,12 @@ object Multimodal {
   }
 
   final class JdkImageDecoder extends MediaDecoder {
-    JdkImageDecoder.ensureInit()
     override def decode(fmt: String, bytes: Array[Byte]): Option[(Int, Int, Int, Double)] = {
+      // in decode(), not the constructor: the decoder ships to executors
+      // via closure SERIALIZATION, which never runs constructors — this
+      // is the first line that provably executes in the decoding JVM.
+      // After the first call it is a no-op static-init check.
+      JdkImageDecoder.ensureInit()
       if (bytes == null || bytes.isEmpty) None
       else {
         // NonFatal, not just IOException: ImageIO plugins throw

@@ -231,8 +231,11 @@ object Similarity {
     // (negated-cosine, anchor-id) lexicographic rule as the sorted
     // form, but pairwise codegen'd comparisons instead of allocating
     // and sorting a k-anchor array PER ROW (the corpus-pass hot path:
-    // measured ~3× on a 500k-vector assignment)
-    val best = least(anchorCandCols(anchors, roundAt): _*)
+    // measured ~3× on a 500k-vector assignment). least() requires two
+    // children, so a degenerate one-anchor grid takes its lone
+    // candidate directly.
+    val cands = anchorCandCols(anchors, roundAt)
+    val best = if (cands.length == 1) cands.head else least(cands: _*)
     emb.withColumn("cell", best.getField("cell"))
   }
 
@@ -336,9 +339,12 @@ object Similarity {
   }
 
   /** The anchor grid a persisted index was built with — loaded from the
-    * paired `<table>__anchors` artifact after checking its fingerprint
-    * against the index's own `graft.grid_id` (a swapped or half-updated
-    * artifact pair refuses instead of serving wrong cells). */
+    * paired `<table>__anchors` artifact after fingerprinting its CONTENT
+    * against the index's own `graft.grid_id` (a swapped, half-updated,
+    * or hand-edited artifact refuses instead of serving wrong cells).
+    * The stored serving faces go through this check and then skip the
+    * explicit-anchors faces' re-validation — the pairing is verified
+    * exactly once per call either way. */
   def storedAnchors(spark: org.apache.spark.sql.SparkSession,
       table: String): DataFrame = {
     val at = anchorsTableName(table)
@@ -346,12 +352,15 @@ object Similarity {
       s"index $table has no paired anchors artifact $at — built before " +
         "the artifact existed? pass the grid explicitly or rebuild")
     val want = tableProp(spark, table, "graft.grid_id")
-    val got = tableProp(spark, at, "graft.grid_id")
-    require(want.nonEmpty && want == got,
+    require(want.nonEmpty,
+      s"index $table records no graft.grid_id — built before the " +
+        "artifact existed? pass the grid explicitly or rebuild")
+    val artifact = spark.table(at)
+    val got = gridFingerprint(artifact)
+    require(want.contains(got),
       s"grid pairing broken for $table: index records grid " +
-        s"${want.getOrElse("<none>")}, artifact $at records " +
-        s"${got.getOrElse("<none>")} — rebuild the pair")
-    spark.table(at)
+        s"${want.get}, artifact $at fingerprints as $got — rebuild the pair")
+    artifact
   }
 
   /** Refuse an anchors frame whose fingerprint disagrees with what the
@@ -366,6 +375,20 @@ object Similarity {
           s"$want, caller passed grid $got — a wrong grid returns " +
           "silently wrong cells; load the paired grid with " +
           "storedAnchors(spark, table) or rebuild the index")
+    }
+
+  /** Refuse a [[PqModel]] whose fingerprint disagrees with what the
+    * codes table was encoded with; legacy stores without the property
+    * are accepted. */
+  private def requirePqMatch(spark: org.apache.spark.sql.SparkSession,
+      table: String, model: PqModel): Unit =
+    tableProp(spark, table, "graft.pq_id").foreach { want =>
+      val got = pqFingerprint(model)
+      require(got == want,
+        s"PQ codebook mismatch for index $table: store encoded with " +
+          s"codebook $want, caller passed $got — mixed-codebook codes " +
+          "are unrankable; load the paired model with " +
+          "storedPqModel(spark, table) or rebuild the index")
     }
 
   /** Persist the IVF assignment as a cell-bucketed table: the one-off
@@ -424,14 +447,7 @@ object Similarity {
       model: PqModel, table: String, numBuckets: Int = 16,
       roundAt: Int = 4): DataFrame = {
     requireGridMatch(newVecs.sparkSession, table, anchors)
-    tableProp(newVecs.sparkSession, table, "graft.pq_id").foreach { want =>
-      val got = pqFingerprint(model)
-      require(got == want,
-        s"PQ codebook mismatch for index $table: store encoded with " +
-          s"codebook $want, caller passed $got — mixed-codebook codes " +
-          "are unrankable; load the paired model with " +
-          "storedPqModel(spark, table) or rebuild the index")
-    }
+    requirePqMatch(newVecs.sparkSession, table, model)
     Layout.appendBucketed(
       ivfAssign(newVecs, anchors, id, roundAt)
         .withColumn("codes", pqCodesCol(col("embedding"), model, roundAt))
@@ -571,6 +587,14 @@ object Similarity {
       anchors: DataFrame, nprobe: Int, k: Int, roundAt: Int = 4,
       excludeId: Option[Long] = None): DataFrame = {
     requireGridMatch(spark, table, anchors)
+    ivfSearchCore(spark, table, id, queryVec, anchors, nprobe, k, roundAt,
+      excludeId)
+  }
+
+  private def ivfSearchCore(spark: org.apache.spark.sql.SparkSession,
+      table: String, id: String, queryVec: Array[Float],
+      anchors: DataFrame, nprobe: Int, k: Int, roundAt: Int,
+      excludeId: Option[Long]): DataFrame = {
     val qLit = typedLit(queryVec.toSeq)
     val cells = probeCellsDf(anchors, qLit, nprobe, roundAt)
       .collect().map(_.getAs[Number]("cell").longValue())
@@ -588,7 +612,9 @@ object Similarity {
   def ivfSearchStored(spark: org.apache.spark.sql.SparkSession,
       table: String, id: String, queryVec: Array[Float], nprobe: Int,
       k: Int, roundAt: Int = 4, excludeId: Option[Long] = None): DataFrame =
-    ivfSearchIndexed(spark, table, id, queryVec,
+    // storedAnchors already content-verified the pairing — go straight
+    // to the core, not through the explicit face's re-validation
+    ivfSearchCore(spark, table, id, queryVec,
       storedAnchors(spark, table), nprobe, k, roundAt, excludeId)
 
   /** Persist the composed IVF-PQ index: the cell-bucketed CODES table —
@@ -663,6 +689,11 @@ object Similarity {
       anchors: DataFrame, model: PqModel, nprobe: Int, refine: Int, k: Int,
       roundAt: Int = 4): DataFrame = {
     require(nprobe >= 1)
+    // same drifted-artifact refusals as the IVF faces: wrong grid probes
+    // wrong cells, wrong codebook ranks codes against a mismatched LUT —
+    // both return plausible-looking wrong neighbors with no error
+    requireGridMatch(spark, table, anchors)
+    requirePqMatch(spark, table, model)
     val qRows = vectors.filter(col(id) === queryId).select("embedding").take(1)
     if (qRows.isEmpty)
       return pqTopKImpl(spark.table(table).drop("cell").limit(0), vectors,
@@ -1073,9 +1104,12 @@ object Similarity {
       paramsDf: DataFrame, nprobes: Seq[Int], k: Int, roundAt: Int,
       recallCol: String): DataFrame = {
     val dials = nprobes.distinct
-    val aggCols = topKIds(col("sim"), col(id), k).as("gt_ids") +:
+    // cast("long"): the aggregate hard-requires BIGINT ids; an integer
+    // id column (fine under the old rank-window forms) widens losslessly
+    val idL = col(id).cast("long")
+    val aggCols = topKIds(col("sim"), idL, k).as("gt_ids") +:
       dials.map(np =>
-        topKIds(when(col("prk") <= np, col("sim")), col(id), k).as(s"ids_$np"))
+        topKIds(when(col("prk") <= np, col("sim")), idL, k).as(s"ids_$np"))
     val folded = scored.groupBy("q_id").agg(aggCols.head, aggCols.tail: _*)
     val dialMap = map(dials.flatMap(np => Seq(lit(np), col(s"ids_$np"))): _*)
     val recall = folded
@@ -1104,9 +1138,15 @@ object Similarity {
   def recallEvalIndexed(spark: org.apache.spark.sql.SparkSession,
       table: String, id: String, queryIds: Seq[Long], anchors: DataFrame,
       nprobes: Seq[Int], k: Int, roundAt: Int = 4): DataFrame = {
+    requireGridMatch(spark, table, anchors)
+    recallEvalCore(spark, table, id, queryIds, anchors, nprobes, k, roundAt)
+  }
+
+  private def recallEvalCore(spark: org.apache.spark.sql.SparkSession,
+      table: String, id: String, queryIds: Seq[Long], anchors: DataFrame,
+      nprobes: Seq[Int], k: Int, roundAt: Int): DataFrame = {
     require(queryIds.nonEmpty && k >= 1)
     require(nprobes.nonEmpty && nprobes.forall(_ >= 1))
-    requireGridMatch(spark, table, anchors)
     import spark.implicits._
     val recallCol = s"recall_at_$k"
     val paramsDf = queryIds.flatMap(q => nprobes.map(np => (q, np)))
@@ -1131,7 +1171,8 @@ object Similarity {
   def recallEvalStored(spark: org.apache.spark.sql.SparkSession,
       table: String, id: String, queryIds: Seq[Long], nprobes: Seq[Int],
       k: Int, roundAt: Int = 4): DataFrame =
-    recallEvalIndexed(spark, table, id, queryIds,
+    // storedAnchors already content-verified the pairing
+    recallEvalCore(spark, table, id, queryIds,
       storedAnchors(spark, table), nprobes, k, roundAt)
 
   /** IVF-PQ recall evaluation over a QUERY BATCH × (nprobe, refine)
@@ -1194,9 +1235,10 @@ object Similarity {
     // ONE bounded aggregation per query: exact ground truth + each
     // dial's ADC top-refine candidates, sim carried for the re-rank
     val dialKeys = dials.distinct
-    val aggCols = topKIds(col("sim"), col(id), k).as("gt_ids") +:
+    val idL = col(id).cast("long") // integer-id corpora widen losslessly
+    val aggCols = topKIds(col("sim"), idL, k).as("gt_ids") +:
       dialKeys.map { case (np, rf) =>
-        topKPairs(when(col("prk") <= np, -col("adist")), col(id), col("sim"), rf)
+        topKPairs(when(col("prk") <= np, -col("adist")), idL, col("sim"), rf)
           .as(s"cand_${np}_$rf")
       }
     val folded = scored.groupBy("q_id").agg(aggCols.head, aggCols.tail: _*)

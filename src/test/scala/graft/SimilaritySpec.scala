@@ -132,10 +132,14 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
       queryIds = Seq(0L, 1L, 2L, 3L), anchors, nprobes = Seq(1, 2, 4), k = 10)
     assert(rows(fromStore) == rows(fromFrames))
     // the deployment claim: evaluating against the store runs NO
-    // assignment argmax — the only array_sort in recallEval's plan is
-    // ivfAssign's inlined anchor argmax, absent here
+    // assignment argmax. The argmax's signature is the least() over the
+    // (nc, aid, cell) candidate structs (its pre-least form was an
+    // array_sort — pin BOTH so neither shape sneaks back in); the
+    // frame-based eval's plan carries it, the indexed one must not.
     val p = fromStore.queryExecution.executedPlan.toString
-    assert(!p.contains("array_sort"), p)
+    assert(!p.contains("least(struct(nc") && !p.contains("array_sort"), p)
+    assert(fromFrames.queryExecution.executedPlan.toString
+      .contains("least(struct(nc")) // the sentinel stays meaningful
   }
 
   test("ivfRetrain: fresh centroids rebuild into a new version; search agrees with the inline plan") {
@@ -185,6 +189,22 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     intercept[IllegalArgumentException] {
       Similarity.ivfRetrain(spark, s"$db.v2", s"$db.v2", "vec_id", k = 4)
     }
+  }
+
+  test("degenerate shapes analyze: one-anchor grid, integer-id corpus") {
+    // least() needs two children — a k=1 grid takes its lone candidate
+    val one = anchors.limit(1)
+    val cells = Similarity.ivfAssign(emb, one, "vec_id")
+      .select("cell").distinct().collect().map(_.getLong(0)).toSeq
+    assert(cells == Seq(0L))
+    // an INT id column (legal under the old rank-window evals) must
+    // still analyze — the bounded aggregates widen it to BIGINT
+    val embInt = emb.withColumn("vec_id", col("vec_id").cast("int"))
+    val viaInt = Similarity.recallEval(embInt, "vec_id",
+      queryIds = Seq(0L, 1L), anchors, nprobes = Seq(1, 2), k = 10).collect()
+    val viaLong = Similarity.recallEval(emb, "vec_id",
+      queryIds = Seq(0L, 1L), anchors, nprobes = Seq(1, 2), k = 10).collect()
+    assert(viaInt.toSeq == viaLong.toSeq)
   }
 
   test("the (index, grid) pairing is ONE artifact: stored faces load it, wrong grids refuse") {
