@@ -292,14 +292,16 @@ object Similarity {
   /** Canonical fingerprint of an anchor grid: md5 over the id-sorted
     * (anchor_id, av) rows' exact float text. Driver-side over k rows —
     * the same payload [[ivfAssign]] already collects to inline. */
-  private def gridFingerprint(anchors: DataFrame): String = {
-    val rows = anchors
-      .select(col("anchor_id").cast("long").as("aid"), col("av"))
-      .collect()
-      .map(r => r.getLong(0) ->
+  private def gridFingerprint(anchors: DataFrame): String =
+    anchorFingerprintOf(anchors.select(col("anchor_id"), col("av")).collect())
+
+  private def anchorFingerprintOf(rows: Array[org.apache.spark.sql.Row]): String = {
+    val canon = rows
+      .map(r => r.getAs[Number](0).longValue() ->
         r.getSeq[Any](1).map(String.valueOf).mkString(","))
       .sortBy(_._1)
-    md5Hex(rows.map { case (i, v) => s"$i:$v" }.mkString(";"))
+      .map { case (i, v) => s"$i:$v" }.mkString(";")
+    md5Hex(canon)
   }
 
   private def pqFingerprint(model: PqModel): String = {
@@ -318,8 +320,7 @@ object Similarity {
 
   private def tableProp(spark: org.apache.spark.sql.SparkSession,
       table: String, key: String): Option[String] =
-    spark.sql(s"SHOW TBLPROPERTIES $table").collect()
-      .map(r => r.getString(0) -> r.getString(1)).toMap.get(key)
+    org.apache.spark.sql.GraftBridge.tableProperties(spark, table).get(key)
 
   /** Persist the grid WITH the index it was built with: the anchors as
     * `<table>__anchors` and the grid fingerprint as a `graft.grid_id`
@@ -330,9 +331,14 @@ object Similarity {
     * cells. */
   private def writeAnchorsArtifact(spark: org.apache.spark.sql.SparkSession,
       table: String, anchors: DataFrame): Unit = {
-    val gid = gridFingerprint(anchors)
+    // ONE collect serves both the fingerprint and the artifact write
+    // (k anchor rows re-shipped as a local relation — no second
+    // distributed job against the anchors query)
+    val proj = anchors.select(col("anchor_id"), col("av"))
+    val rows = proj.collect()
+    val gid = anchorFingerprintOf(rows)
     val at = anchorsTableName(table)
-    anchors.select(col("anchor_id"), col("av"))
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), proj.schema)
       .write.mode("overwrite").format("parquet").saveAsTable(at)
     spark.sql(s"ALTER TABLE $at SET TBLPROPERTIES ('graft.grid_id' = '$gid')")
     spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES ('graft.grid_id' = '$gid')")

@@ -18,6 +18,20 @@ object GraftBridge {
     * Execute will later stream, including for commands like `SET k=v`
     * (whose (key, value) row pgJDBC expects at connection startup),
     * with zero side effects. */
+  /** Table properties via the session catalog — what SHOW TBLPROPERTIES
+    * renders, without paying a SQL parse/analyze round-trip per lookup
+    * (the artifact-pairing checks read one key on every serving call).
+    * A missing table reads as empty. */
+  def tableProperties(spark: SparkSession, table: String): Map[String, String] =
+    try {
+      val id = spark.sessionState.sqlParser.parseTableIdentifier(table)
+      spark.sessionState.catalog.getTableMetadata(id).properties
+    } catch {
+      case _: org.apache.spark.sql.catalyst.analysis.NoSuchTableException |
+           _: org.apache.spark.sql.catalyst.analysis.NoSuchDatabaseException =>
+        Map.empty
+    }
+
   def analyzedSchemaNoExec(spark: SparkSession, sql: String): types.StructType = {
     val plan = spark.sessionState.sqlParser.parsePlan(sql)
     spark.sessionState
