@@ -48,7 +48,10 @@ object Serve {
       bearerToken = sys.env.get("SPARK_GRAFT_HTTP_TOKEN"))
     val boundHttp = http.start(httpPort)
     val pg = new PgWireServer(spark,
-      password = sys.env.get("SPARK_GRAFT_PG_PASSWORD"))
+      password = sys.env.get("SPARK_GRAFT_PG_PASSWORD"),
+      // SCRAM-SHA-256 by default when a password is set — the password
+      // then never crosses the wire; set =cleartext for a legacy client
+      scram = !sys.env.get("SPARK_GRAFT_PG_AUTH").contains("cleartext"))
     val boundPg = pg.start(pgPort)
     println(s"""{"serve":"up","http":$boundHttp,"pg":$boundPg,"sf":"$sfDir"}""")
     Thread.currentThread().join() // serve until the process is killed

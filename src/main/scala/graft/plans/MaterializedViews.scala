@@ -178,9 +178,14 @@ object MaterializedViews {
               // (empty) MV is NULL — coalesce restores count semantics
               Coalesce(Seq(sum, Literal(0L)))
             case Min(c: AttributeReference) =>
-              ae.copy(aggregateFunction = Min(mvAttr(mv.mins(c.name))))
+              // same type guard as Sum: an MV whose min/max column drifted
+              // wider (schema evolution) must not change the aggregate's
+              // output type under the consumer
+              val re = ae.copy(aggregateFunction = Min(mvAttr(mv.mins(c.name))))
+              if (re.dataType == ae.dataType) re else Cast(re, ae.dataType)
             case Max(c: AttributeReference) =>
-              ae.copy(aggregateFunction = Max(mvAttr(mv.maxs(c.name))))
+              val re = ae.copy(aggregateFunction = Max(mvAttr(mv.maxs(c.name))))
+              if (re.dataType == ae.dataType) re else Cast(re, ae.dataType)
             case other =>
               throw new IllegalStateException(s"unexpected aggregate $other")
           }

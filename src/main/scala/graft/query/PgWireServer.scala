@@ -71,7 +71,8 @@ import org.apache.spark.sql.types._
   * protocol has no `truncated` flag.
   */
 final class PgWireServer(spark: SparkSession, maxRows: Int = 10000,
-    isolateSessions: Boolean = false, password: Option[String] = None) {
+    isolateSessions: Boolean = false, password: Option[String] = None,
+    scram: Boolean = false) {
 
   private var server: Option[ServerSocket] = None
   @volatile private var running = false
@@ -202,16 +203,20 @@ final class PgWireServer(spark: SparkSession, maxRows: Int = 10000,
     }
   }
 
-  /** Opt-in cleartext password auth (AuthenticationCleartextPassword,
-    * the scheme libpq/psycopg2/pgJDBC all speak with zero driver
-    * config): with no `password` configured the gateway stays trust —
-    * the reference proxy's default. Cleartext over the wire is the
-    * localhost-gateway trade; a network deployment terminates TLS in
-    * front (DEPLOY.md). Constant-time compare, and a wrong password
-    * gets postgres's 28P01 before any session state exists. */
+  /** Opt-in password auth: with no `password` configured the gateway
+    * stays trust — the reference proxy's default. `scram = true`
+    * upgrades to SASL SCRAM-SHA-256 ([[authenticateScram]] — the
+    * password never crosses the wire and the server proves itself
+    * back); the default is AuthenticationCleartextPassword, the scheme
+    * every client speaks with zero driver config, whose wire exposure
+    * is the localhost-gateway trade (a network deployment terminates
+    * TLS in front, DEPLOY.md). Constant-time compares either way, and a
+    * wrong password gets postgres's 28P01 before any session state
+    * exists. */
   private def authenticate(in: DataInputStream,
       out: DataOutputStream): Boolean = password match {
     case None => true
+    case Some(expected) if scram => authenticateScram(in, out, expected)
     case Some(expected) =>
       writeMsg(out, 'R') { b => b.writeInt(3) } // AuthenticationCleartextPassword
       out.flush()
@@ -231,6 +236,129 @@ final class PgWireServer(spark: SparkSession, maxRows: Int = 10000,
         writeError(out, "28P01", "password authentication failed")
         out.flush(); false
       }
+  }
+
+  /** SASL SCRAM-SHA-256 auth (RFC 5802/7677 as postgres speaks it —
+    * AuthenticationSASL → SASLInitialResponse → SASLContinue →
+    * SASLResponse → SASLFinal): the password never crosses the wire,
+    * the server proves it too (the `v=` server signature), and a replay
+    * of a captured exchange is useless (fresh server nonce + fresh salt
+    * per connection — this gateway verifies against its CONFIGURED
+    * password, so the salt need not be stable across connections the
+    * way pg_authid's stored verifier salt must be).
+    *
+    * Scope: channel binding is not advertised (no -PLUS mechanism; a
+    * `p=...` gs2 header refuses), and SASLprep normalization is not
+    * applied — ASCII passwords, the configured-gateway case, are
+    * unaffected. The username attribute is ignored: one configured
+    * credential, like the cleartext face. Every verdict compares
+    * constant-time; any malformed step gets postgres's 28P01. */
+  private def authenticateScram(in: DataInputStream, out: DataOutputStream,
+      expected: String): Boolean = {
+    val mechanism = "SCRAM-SHA-256"
+    val iterations = 4096
+    def fail(msg: String): Boolean = {
+      writeError(out, "28P01", msg); out.flush(); false
+    }
+    def hmac(key: Array[Byte], data: String): Array[Byte] = {
+      val m = javax.crypto.Mac.getInstance("HmacSHA256")
+      m.init(new javax.crypto.spec.SecretKeySpec(key, "HmacSHA256"))
+      m.doFinal(data.getBytes(StandardCharsets.UTF_8))
+    }
+    def sha256(data: Array[Byte]): Array[Byte] =
+      java.security.MessageDigest.getInstance("SHA-256").digest(data)
+    def readP(): Option[Array[Byte]] = {
+      val tpe = in.readByte().toChar
+      val len = in.readInt()
+      if (tpe != 'p' || len < 4 || len > (1 << 20)) None
+      else { val p = new Array[Byte](len - 4); in.readFully(p); Some(p) }
+    }
+    writeMsg(out, 'R') { b => // AuthenticationSASL: the mechanism list
+      b.writeInt(10)
+      b.write(mechanism.getBytes(StandardCharsets.UTF_8)); b.writeByte(0)
+      b.writeByte(0)
+    }
+    out.flush()
+    try {
+      // SASLInitialResponse: mechanism cstr + int32 len + client-first
+      val p1 = readP().getOrElse(return fail("password authentication failed"))
+      val z = p1.indexOf(0: Byte)
+      if (z < 0) return fail("malformed SASLInitialResponse")
+      val mech = new String(p1, 0, z, StandardCharsets.UTF_8)
+      if (mech != mechanism)
+        return fail(s"unsupported SASL mechanism $mech")
+      if (p1.length < z + 5) return fail("malformed SASLInitialResponse")
+      val ilen = ((p1(z + 1) & 0xff) << 24) | ((p1(z + 2) & 0xff) << 16) |
+        ((p1(z + 3) & 0xff) << 8) | (p1(z + 4) & 0xff)
+      if (ilen < 0 || z + 5 + ilen != p1.length)
+        return fail("malformed SASLInitialResponse")
+      val clientFirst = new String(p1, z + 5, ilen, StandardCharsets.UTF_8)
+      val gs2Header = // "p=..." would request the -PLUS channel binding
+        if (clientFirst.startsWith("n,,")) "n,,"
+        else if (clientFirst.startsWith("y,,")) "y,,"
+        else return fail("channel binding is not supported")
+      val clientFirstBare = clientFirst.drop(gs2Header.length)
+      val clientNonce = clientFirstBare.split(",")
+        .collectFirst { case a if a.startsWith("r=") => a.drop(2) } match {
+        case Some(n) if n.nonEmpty => n
+        case _ => return fail("malformed client-first message")
+      }
+      // server-first: fresh salt + extended nonce
+      val salt = new Array[Byte](16)
+      val nonceBytes = new Array[Byte](18)
+      secretRng.nextBytes(salt); secretRng.nextBytes(nonceBytes)
+      val fullNonce = clientNonce +
+        java.util.Base64.getEncoder.encodeToString(nonceBytes)
+      val serverFirst = "r=" + fullNonce +
+        ",s=" + java.util.Base64.getEncoder.encodeToString(salt) +
+        ",i=" + iterations
+      writeMsg(out, 'R') { b => // AuthenticationSASLContinue
+        b.writeInt(11)
+        b.write(serverFirst.getBytes(StandardCharsets.UTF_8))
+      }
+      out.flush()
+      // SASLResponse: client-final = c=<b64 gs2>,r=<full nonce>,p=<proof>
+      val p2 = readP().getOrElse(return fail("password authentication failed"))
+      val clientFinal = new String(p2, StandardCharsets.UTF_8)
+      val proofAt = clientFinal.lastIndexOf(",p=")
+      if (proofAt < 0) return fail("malformed client-final message")
+      val withoutProof = clientFinal.substring(0, proofAt)
+      val fAttrs = withoutProof.split(",").toSeq
+      val cOk = fAttrs.headOption.contains("c=" + java.util.Base64.getEncoder
+        .encodeToString(gs2Header.getBytes(StandardCharsets.UTF_8)))
+      val rOk = fAttrs.collectFirst {
+        case a if a.startsWith("r=") => a.drop(2)
+      }.contains(fullNonce)
+      if (!cOk || !rOk) return fail("SCRAM exchange did not verify")
+      val proof =
+        try java.util.Base64.getDecoder.decode(clientFinal.substring(proofAt + 3))
+        catch { case _: IllegalArgumentException =>
+          return fail("malformed client proof") }
+      val authMessage = clientFirstBare + "," + serverFirst + "," + withoutProof
+      val spec = new javax.crypto.spec.PBEKeySpec(
+        expected.toCharArray, salt, iterations, 256)
+      val salted = javax.crypto.SecretKeyFactory
+        .getInstance("PBKDF2WithHmacSHA256").generateSecret(spec).getEncoded
+      val clientKey = hmac(salted, "Client Key")
+      val storedKey = sha256(clientKey)
+      val clientSig = hmac(storedKey, authMessage)
+      if (proof.length != clientSig.length)
+        return fail("password authentication failed")
+      val recovered = Array.tabulate(proof.length)(i =>
+        (proof(i) ^ clientSig(i)).toByte)
+      if (!java.security.MessageDigest.isEqual(sha256(recovered), storedKey))
+        return fail("password authentication failed")
+      val serverSig = hmac(hmac(salted, "Server Key"), authMessage)
+      writeMsg(out, 'R') { b => // AuthenticationSASLFinal: prove ourselves
+        b.writeInt(12)
+        b.write(("v=" + java.util.Base64.getEncoder.encodeToString(serverSig))
+          .getBytes(StandardCharsets.UTF_8))
+      }
+      out.flush()
+      true
+    } catch {
+      case _: EOFException => false
+    }
   }
 
   private def sendAuthAndReady(out: DataOutputStream, pid: Int, secret: Int): Unit = {

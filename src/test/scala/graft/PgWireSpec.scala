@@ -65,6 +65,81 @@ class PgWireSpec extends SparkSpec {
       else first +: readUntilReady()
     }
 
+    /** From-scratch SCRAM-SHA-256 client (RFC 5802 via JDK crypto) —
+      * proves the server's flow against an INDEPENDENT implementation.
+      * Returns (post-auth messages, verified server signature ok). */
+    def connectScram(password: String,
+        breakNonce: Boolean = false): (Seq[(Char, Array[Byte])], Boolean) = {
+      out.writeInt(8); out.writeInt(80877103); out.flush()
+      assert(in.readByte().toChar == 'N', "expected SSL refusal")
+      val params = "user\u0000dev\u0000database\u0000main\u0000\u0000"
+        .getBytes(StandardCharsets.UTF_8)
+      out.writeInt(8 + params.length); out.writeInt(196608)
+      out.write(params); out.flush()
+      val (t0, b0) = readFrame()
+      assert(t0 == 'R' && b0.length >= 4 && b0(3) == 10,
+        "expected AuthenticationSASL")
+      assert(new String(b0, 4, b0.length - 6, StandardCharsets.UTF_8)
+        == "SCRAM-SHA-256", "expected the SCRAM-SHA-256 mechanism list")
+      def hmac(key: Array[Byte], data: String): Array[Byte] = {
+        val m = javax.crypto.Mac.getInstance("HmacSHA256")
+        m.init(new javax.crypto.spec.SecretKeySpec(key, "HmacSHA256"))
+        m.doFinal(data.getBytes(StandardCharsets.UTF_8))
+      }
+      def sha(d: Array[Byte]): Array[Byte] =
+        java.security.MessageDigest.getInstance("SHA-256").digest(d)
+      val clientNonce = "testnonce" + System.nanoTime()
+      val clientFirstBare = s"n=dev,r=$clientNonce"
+      val cf = ("n,," + clientFirstBare).getBytes(StandardCharsets.UTF_8)
+      val init = cstr("SCRAM-SHA-256") ++
+        Array[Byte]((cf.length >> 24).toByte, (cf.length >> 16).toByte,
+          (cf.length >> 8).toByte, cf.length.toByte) ++ cf
+      send('p', init); flush()
+      val (t1, b1) = readFrame()
+      if (t1 == 'E') return (Seq((t1, b1)), false)
+      assert(t1 == 'R' && b1(3) == 11, "expected SASLContinue")
+      val serverFirst = new String(b1, 4, b1.length - 4, StandardCharsets.UTF_8)
+      val attrs = serverFirst.split(",").map(a => a.take(1) -> a.drop(2)).toMap
+      val fullNonce = attrs("r")
+      assert(fullNonce.startsWith(clientNonce), "server must extend our nonce")
+      val salt = java.util.Base64.getDecoder.decode(attrs("s"))
+      val iters = attrs("i").toInt
+      val spec = new javax.crypto.spec.PBEKeySpec(
+        password.toCharArray, salt, iters, 256)
+      val salted = javax.crypto.SecretKeyFactory
+        .getInstance("PBKDF2WithHmacSHA256").generateSecret(spec).getEncoded
+      val sentNonce = if (breakNonce) fullNonce + "X" else fullNonce
+      val withoutProof = s"c=biws,r=$sentNonce"
+      val authMessage = clientFirstBare + "," + serverFirst + "," + withoutProof
+      val clientKey = hmac(salted, "Client Key")
+      val clientSig = hmac(sha(clientKey), authMessage)
+      val proof = clientKey.zip(clientSig).map { case (a, b) => (a ^ b).toByte }
+      val fin = (withoutProof + ",p=" +
+        java.util.Base64.getEncoder.encodeToString(proof))
+        .getBytes(StandardCharsets.UTF_8)
+      send('p', fin); flush()
+      val (t2, b2) = readFrame()
+      if (t2 == 'E') return (Seq((t2, b2)), false)
+      assert(t2 == 'R' && b2(3) == 12, "expected SASLFinal")
+      val serverSig = hmac(hmac(salted, "Server Key"), authMessage)
+      val vOk = new String(b2, 4, b2.length - 4, StandardCharsets.UTF_8) ==
+        ("v=" + java.util.Base64.getEncoder.encodeToString(serverSig))
+      (readUntilReady(), vOk)
+    }
+
+    /** Startup only, stopping at the AuthenticationSASL advert — the
+      * entry point for hand-rolled (malformed) SASL exchanges. */
+    def connectRaw(): Boolean = {
+      out.writeInt(8); out.writeInt(80877103); out.flush()
+      assert(in.readByte().toChar == 'N', "expected SSL refusal")
+      val params = "user\u0000dev\u0000database\u0000main\u0000\u0000"
+        .getBytes(StandardCharsets.UTF_8)
+      out.writeInt(8 + params.length); out.writeInt(196608)
+      out.write(params); out.flush()
+      val (t, b) = readFrame()
+      t == 'R' && b.length >= 4 && b(3) == 10
+    }
+
     def readFrame(): (Char, Array[Byte]) = {
       val t = in.readByte().toChar
       val len = in.readInt()
@@ -482,6 +557,42 @@ class PgWireSpec extends SparkSpec {
       val err = bad.connectAuth("wrong")
       assert(err.length == 1 && err.head._1 == 'E')
       assert(errorMessage(err).exists(_.contains("password authentication failed")))
+    } finally srv.stop()
+  }
+
+  test("SCRAM-SHA-256 auth: mutual proof serves, wrong password/nonce refuse, password never on the wire") {
+    val srv = new PgWireServer(spark, password = Some("s3cret"), scram = true)
+    val port = srv.start(0)
+    try {
+      // right password: the full RFC 5802 exchange verifies BOTH ways —
+      // our independent client accepts the server's v= signature
+      val ok = new Client(port)
+      val (msgs, serverProved) = ok.connectScram("s3cret")
+      assert(serverProved, "server signature must verify")
+      assert(msgs.exists(m => m._1 == 'R' &&
+        m._2.length == 4 && m._2(3) == 0), "AuthenticationOk")
+      assert(dataRows(ok.query("SELECT 1 AS n")) == Seq(Seq(Some("1"))))
+      ok.close()
+      // wrong password: proof mismatch, clean 28P01
+      val bad = new Client(port)
+      val (err, _) = bad.connectScram("wrong")
+      assert(err.length == 1 && err.head._1 == 'E')
+      assert(errorMessage(err).exists(_.contains("password authentication failed")))
+      // tampered nonce in client-final: the exchange must NOT verify
+      // even with the right password (replay/splice defense)
+      val splice = new Client(port)
+      val (err2, _) = splice.connectScram("s3cret", breakNonce = true)
+      assert(err2.length == 1 && err2.head._1 == 'E')
+      assert(errorMessage(err2).exists(_.contains("did not verify")))
+      // an unknown mechanism refuses instead of guessing
+      val mech = new Client(port)
+      val raw = mech.connectRaw()
+      assert(raw, "expected AuthenticationSASL")
+      mech.send('p', mech.cstr("SCRAM-SHA-1") ++
+        Array[Byte](0, 0, 0, 3) ++ "n,,".getBytes(StandardCharsets.UTF_8))
+      mech.flush()
+      val mm = mech.readFrame()
+      assert(mm._1 == 'E')
     } finally srv.stop()
   }
 
