@@ -411,6 +411,15 @@ object Stress {
       // amortized one-off that batch-proportional appends defer until
       // the skew report demands it. Timed to pin the slope of that
       // cost curve.
+      // IVF-PQ recall eval, batched: 2 queries × 3 (nprobe, refine)
+      // dials over the ×N corpus — assign + PQ-encode + the query-batch
+      // cosine all ride ONE corpus scan; per-dial work is bounded heaps
+      time("ivfpq_recall_eval") {
+        val model = graft.operators.Similarity.pqCodebooksSampled(anchors8, m = 4)
+        graft.operators.Similarity.ivfPqRecallEval(embs, "vec_id",
+          Seq(0L, 1L), anchors8, model,
+          Seq((1, 20), (2, 40), (4, 40)), 10).count()
+      }
       spark.sql(s"DROP TABLE IF EXISTS $db.emb_ivf_v2")
       time("ivf_retrain") {
         graft.operators.Similarity.ivfRetrain(spark, s"$db.emb_ivf",
