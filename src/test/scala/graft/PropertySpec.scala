@@ -214,4 +214,35 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
       assert(r.getString(2).replaceAll("\r\n", "") == jvm)
     }
   }
+
+  test("bounded top-k equals the rank-window form on arbitrary grouped data") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import graft.functions.BoundedTopK.topKIds
+    import spark.implicits._
+    // scores from a SMALL value set force heavy ties at every k-boundary;
+    // a handful of seeds rather than 200 ScalaCheck cases — each case is
+    // a Spark job, and the aggregate's pure kernel is already covered by
+    // BoundedTopKSpec. This pins the DISTRIBUTED equivalence.
+    for (seed <- Seq(1, 2, 3)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 500 + rnd.nextInt(1500)
+      val k = 1 + rnd.nextInt(12)
+      val rows = (0 until n).map { i =>
+        (s"g${rnd.nextInt(5)}", rnd.nextInt(7).toDouble / 2.0, i.toLong)
+      }
+      val df = rows.toDF("g", "score", "id").repartition(8)
+      val viaAgg = df.groupBy("g")
+        .agg(topKIds(col("score"), col("id"), k).as("ids"))
+        .select(col("g"), explode(col("ids")).as("id"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      val viaWindow = df
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("g").orderBy(desc("score"), asc("id"))))
+        .filter(col("rk") <= k)
+        .select("g", "id")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(viaAgg == viaWindow, s"seed=$seed k=$k")
+    }
+  }
 }
