@@ -954,7 +954,65 @@ object SimilarityQueries {
              ROUND(n_vectors / (SELECT AVG(n_vectors) FROM counts), 4) AS ratio_to_mean
       FROM counts ORDER BY cell"""))
 
+  /** The one-artifact serving loop under the cross-engine gate: build a
+    * persisted IVF index (which persists its grid as `<table>__anchors`
+    * + fingerprint), then search through
+    * [[graft.operators.Similarity.ivfSearchStored]] — TABLE NAME ONLY,
+    * the grid loads from the store's own artifact and is content-
+    * fingerprint-verified before serving. The oracle is q40's inline
+    * IVF replay over the full corpus, so green here proves the
+    * artifact roundtrip (write → reload → fingerprint check → probe →
+    * search) returns exactly what the frame-based plan computes — the
+    * deployment face a 100 TB serving tier actually calls. */
+  val q213 = Q(
+    "q213_ann_stored_search",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val anchors = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("anchor_id"), col("embedding").as("av"))
+      val db = "graft_ivf_stored"
+      val loc = java.nio.file.Files.createTempDirectory("graft-ivf-stored")
+      s.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$loc'")
+      s.sql(s"DROP TABLE IF EXISTS $db.emb_ivf")
+      s.sql(s"DROP TABLE IF EXISTS $db.emb_ivf__anchors")
+      graft.operators.Similarity.ivfBuildIndex(
+        e, anchors, "vec_id", s"$db.emb_ivf", numBuckets = 8)
+      val qv = e.filter(col("vec_id") === 0)
+        .head().getAs[Seq[Float]]("embedding").toArray
+      graft.operators.Similarity.ivfSearchStored(
+          s, s"$db.emb_ivf", "vec_id", qv, nprobe = 2, k = 10,
+          excludeId = Some(0L))
+        .select("vec_id", "label", "sim")
+    },
+    Some("""
+      WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+      anchors AS (SELECT vec_id AS anchor_id, CAST(embedding AS DOUBLE[]) AS av
+                  FROM embeddings WHERE vec_id < 8),
+      assigned AS (
+        SELECT vec_id, label, embedding, anchor_id AS cell FROM (
+          SELECT e.vec_id, e.label, e.embedding, a.anchor_id,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY ROUND(CASE WHEN isnan(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), a.av))
+                                       THEN -1 ELSE list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), a.av) END, 4) DESC,
+                            a.anchor_id) AS rk
+          FROM embeddings e CROSS JOIN anchors a) t
+        WHERE rk = 1),
+      probe AS (
+        SELECT anchor_id AS cell FROM anchors, q
+        ORDER BY ROUND(CASE WHEN isnan(list_cosine_similarity(av, qv))
+                            THEN -1 ELSE list_cosine_similarity(av, qv) END, 4) DESC,
+                 anchor_id
+        LIMIT 2)
+      SELECT vec_id, label,
+             ROUND(CASE WHEN isnan(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv))
+                        THEN -1 ELSE list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv) END, 4) AS sim
+      FROM assigned JOIN probe USING (cell), q
+      WHERE vec_id <> 0
+      ORDER BY sim DESC, vec_id
+      LIMIT 10"""))
+
   def all: Seq[Q] =
     Seq(q34, q35, q39, q40, q48, q59, q60, q109, q136, q155, q171, q172,
-      q178, q184, q185, q190, q206, q207, q209, q210, q211)
+      q178, q184, q185, q190, q206, q207, q209, q210, q211, q213)
 }
