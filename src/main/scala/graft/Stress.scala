@@ -405,12 +405,6 @@ object Stress {
           "vec_id", queryIds = Seq(0L, 1L, 2L, 3L),
           nprobes = Seq(1, 2, 4), k = 10).count()
       }
-      // Retrain over the stored ×N index: the k-means refit (iters
-      // scans of the (id, embedding) projection) + one assignment pass
-      // + the bucketed rewrite — DELIBERATELY index-proportional, the
-      // amortized one-off that batch-proportional appends defer until
-      // the skew report demands it. Timed to pin the slope of that
-      // cost curve.
       // IVF-PQ recall eval, batched: 2 queries × 3 (nprobe, refine)
       // dials over the ×N corpus — assign + PQ-encode + the query-batch
       // cosine all ride ONE corpus scan; per-dial work is bounded heaps
@@ -420,6 +414,12 @@ object Stress {
           Seq(0L, 1L), anchors8, model,
           Seq((1, 20), (2, 40), (4, 40)), 10).count()
       }
+      // Retrain over the stored ×N index: the k-means refit (iters
+      // scans of the (id, embedding) projection) + one assignment pass
+      // + the bucketed rewrite — DELIBERATELY index-proportional, the
+      // amortized one-off that batch-proportional appends defer until
+      // the skew report demands it. Timed to pin the slope of that
+      // cost curve.
       spark.sql(s"DROP TABLE IF EXISTS $db.emb_ivf_v2")
       time("ivf_retrain") {
         graft.operators.Similarity.ivfRetrain(spark, s"$db.emb_ivf",

@@ -296,8 +296,15 @@ object Similarity {
     anchorFingerprintOf(anchors.select(col("anchor_id"), col("av")).collect())
 
   private def anchorFingerprintOf(rows: Array[org.apache.spark.sql.Row]): String = {
+    // anchor_id follows ivfAssign's try_cast contract: any value that
+    // casts to BIGINT is legal, including numeric STRINGS — fingerprint
+    // them identically to their numeric form
+    def aidOf(v: Any): Long = v match {
+      case n: java.lang.Number => n.longValue()
+      case other => String.valueOf(other).trim.toLong
+    }
     val canon = rows
-      .map(r => r.getAs[Number](0).longValue() ->
+      .map(r => aidOf(r.get(0)) ->
         r.getSeq[Any](1).map(String.valueOf).mkString(","))
       .sortBy(_._1)
       .map { case (i, v) => s"$i:$v" }.mkString(";")
@@ -353,6 +360,8 @@ object Similarity {
     * exactly once per call either way. */
   def storedAnchors(spark: org.apache.spark.sql.SparkSession,
       table: String): DataFrame = {
+    require(spark.catalog.tableExists(table),
+      s"no such index table: $table")
     val at = anchorsTableName(table)
     require(spark.catalog.tableExists(at),
       s"index $table has no paired anchors artifact $at — built before " +

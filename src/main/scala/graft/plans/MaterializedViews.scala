@@ -162,30 +162,38 @@ object MaterializedViews {
 
       // every output keeps its original name AND ExprId, so parents of
       // the aggregate see identical attributes
+      // type guard for drifted MV columns: casts are spliced POST-analysis
+      // (ResolveTimeZone never runs on them), so build them with the
+      // session zone — a tz-less temporal cast would be unresolved here
+      def castBack(e: Expression, dt: org.apache.spark.sql.types.DataType): Expression =
+        if (e.dataType == dt) e
+        else Cast(e, dt, Some(spark.sessionState.conf.sessionLocalTimeZone))
       val newResult: Seq[NamedExpression] = agg.aggregateExpressions.map {
         case a: AttributeReference =>
           Alias(mvAttr(a.name), a.name)(a.exprId, a.qualifier)
         case al @ Alias(ae: AggregateExpression, name) =>
           val rewritten: Expression = ae.aggregateFunction match {
             case s @ Sum(c: AttributeReference, _) =>
-              val re = ae.copy(aggregateFunction = s.copy(child = mvAttr(mv.sums(c.name))))
               // re-summing a widened sum widens again (decimals): cast back
-              if (re.dataType == ae.dataType) re else Cast(re, ae.dataType)
+              castBack(
+                ae.copy(aggregateFunction = s.copy(child = mvAttr(mv.sums(c.name)))),
+                ae.dataType)
             case Count(_) =>
               val re = ae.copy(aggregateFunction = Sum(mvAttr(mv.countCol)))
-              val sum = if (re.dataType == LongType) re else Cast(re, LongType)
               // global count(*) over an empty base is 0, but SUM over the
               // (empty) MV is NULL — coalesce restores count semantics
-              Coalesce(Seq(sum, Literal(0L)))
+              Coalesce(Seq(castBack(re, LongType), Literal(0L)))
             case Min(c: AttributeReference) =>
               // same type guard as Sum: an MV whose min/max column drifted
-              // wider (schema evolution) must not change the aggregate's
-              // output type under the consumer
-              val re = ae.copy(aggregateFunction = Min(mvAttr(mv.mins(c.name))))
-              if (re.dataType == ae.dataType) re else Cast(re, ae.dataType)
+              // (schema evolution) must not change the aggregate's output
+              // type under the consumer
+              castBack(
+                ae.copy(aggregateFunction = Min(mvAttr(mv.mins(c.name)))),
+                ae.dataType)
             case Max(c: AttributeReference) =>
-              val re = ae.copy(aggregateFunction = Max(mvAttr(mv.maxs(c.name))))
-              if (re.dataType == ae.dataType) re else Cast(re, ae.dataType)
+              castBack(
+                ae.copy(aggregateFunction = Max(mvAttr(mv.maxs(c.name)))),
+                ae.dataType)
             case other =>
               throw new IllegalStateException(s"unexpected aggregate $other")
           }

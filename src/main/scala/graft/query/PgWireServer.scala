@@ -251,8 +251,10 @@ final class PgWireServer(spark: SparkSession, maxRows: Int = 10000,
     * `p=...` gs2 header refuses), and SASLprep normalization is not
     * applied — ASCII passwords, the configured-gateway case, are
     * unaffected. The username attribute is ignored: one configured
-    * credential, like the cleartext face. Every verdict compares
-    * constant-time; any malformed step gets postgres's 28P01. */
+    * credential, like the cleartext face. Secret-bearing comparisons
+    * (the proof) are constant-time; mechanism/gs2/nonce checks compare
+    * plainly — those values are public protocol state. Any malformed
+    * step gets postgres's 28P01. */
   private def authenticateScram(in: DataInputStream, out: DataOutputStream,
       expected: String): Boolean = {
     val mechanism = "SCRAM-SHA-256"

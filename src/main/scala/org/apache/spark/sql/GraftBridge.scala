@@ -18,10 +18,19 @@ object GraftBridge {
     * Execute will later stream, including for commands like `SET k=v`
     * (whose (key, value) row pgJDBC expects at connection startup),
     * with zero side effects. */
+  def analyzedSchemaNoExec(spark: SparkSession, sql: String): types.StructType = {
+    val plan = spark.sessionState.sqlParser.parsePlan(sql)
+    spark.sessionState
+      .executePlan(plan, execution.CommandExecutionMode.SKIP)
+      .analyzed.schema
+  }
+
   /** Table properties via the session catalog — what SHOW TBLPROPERTIES
     * renders, without paying a SQL parse/analyze round-trip per lookup
     * (the artifact-pairing checks read one key on every serving call).
-    * A missing table reads as empty. */
+    * A missing table/database reads as empty — callers that must
+    * distinguish "no property" from "no table" check existence first
+    * (Similarity.storedAnchors does). */
   def tableProperties(spark: SparkSession, table: String): Map[String, String] =
     try {
       val id = spark.sessionState.sqlParser.parseTableIdentifier(table)
@@ -31,11 +40,4 @@ object GraftBridge {
            _: org.apache.spark.sql.catalyst.analysis.NoSuchDatabaseException =>
         Map.empty
     }
-
-  def analyzedSchemaNoExec(spark: SparkSession, sql: String): types.StructType = {
-    val plan = spark.sessionState.sqlParser.parsePlan(sql)
-    spark.sessionState
-      .executePlan(plan, execution.CommandExecutionMode.SKIP)
-      .analyzed.schema
-  }
 }
