@@ -42,6 +42,66 @@ object Layout {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Equal-count bucketing (SQL `NTILE(buckets) OVER (ORDER BY ...)`)
+    * without the single-partition global Window Spark plans for an
+    * empty-partitionBy frame — at scale that shape funnels the whole
+    * table through one task's sort.
+    *
+    * Same distributed exclusive-prefix-sum device as
+    * [[graft.operators.CorpusPipeline.packSequences]]: (1)
+    * range-partition by the sort key so each partition holds a
+    * contiguous slice of the global order, pin the layout
+    * (localCheckpoint) so both passes see the same partition ids; (2)
+    * ONE row per partition folds into exclusive row offsets on the
+    * driver (numPartitions entries — tiny), which also yields the total
+    * row count N; (3) global rank = broadcast offset + per-partition
+    * row_number, and the tile falls out of the ntile remainder rule:
+    * with q = N/buckets and rem = N%buckets, the first `rem` tiles get
+    * q+1 rows and the rest get q.
+    *
+    * The combined sort key must be UNIQUE and non-null — ties would
+    * make tile assignment ambiguous (guarded in-plan via the same
+    * lag-equality probe as packSequences, over the window sort we
+    * already pay for). */
+  def distributedNtile(df: DataFrame, buckets: Int, orderCols: Seq[Column],
+      out: String = "ntile"): DataFrame = {
+    require(buckets > 0, s"ntile bucket count must be positive, got $buckets")
+    require(orderCols.nonEmpty, "distributedNtile needs at least one sort column")
+    val pinned = df
+      .repartitionByRange(orderCols: _*)
+      .sortWithinPartitions(orderCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    val counts = pinned.groupBy("__pid").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    var acc = 0L
+    val offsets: Map[Int, Long] =
+      (0 to counts.keys.foldLeft(-1)(math.max)).map { p =>
+        val o = acc; acc += counts.getOrElse(p, 0L); p -> o
+      }.toMap
+    val n = acc
+    val q = n / buckets
+    val rem = n % buckets
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__pid").orderBy(orderCols: _*)
+    val rank = row_number().over(w).cast("long") +
+      coalesce(element_at(typedLit(offsets), col("__pid")), lit(0L))
+    val key = struct(orderCols: _*)
+    // first rem tiles hold q+1 rows each; guard the q=0 divisor — when
+    // q == 0 every row lands in the rem branch, the otherwise never fires
+    val tile = when(lit(rem) > 0L && rank <= lit((q + 1) * rem),
+        (rank - 1L) / lit(q + 1))
+      .otherwise(lit(rem) + (rank - 1L - lit(rem * (q + 1))) / lit(math.max(q, 1L))) + 1L
+    pinned
+      .withColumn("__prev", lag(key, 1).over(w))
+      .filter(isnull(assert_true(
+        orderCols.map(_.isNotNull).reduce(_ && _) &&
+          (col("__prev").isNull || col("__prev") =!= key),
+        lit("distributedNtile: the combined sort key must be unique and non-null"))))
+      .withColumn(out, tile.cast("long"))
+      .drop("__pid", "__prev")
+  }
+
   /** Salted equi-join for skewed keys: the (small) `dim` side is
     * replicated `salts`× and the skewed side scatters uniformly across
     * the salt domain. Row-level salt assignment uses a hash of the whole

@@ -790,13 +790,23 @@ object RelationalQueries {
   /** Decile assignment (ntile) over order value, summarized per decile —
     * the equal-count bucketing used for spend-tier segmentation. ntile
     * semantics (first buckets get the remainder) match across engines;
-    * ties broken by orderkey for total determinism. */
+    * ties broken by orderkey for total determinism.
+    *
+    * Scale shape: NOT `ntile(10).over(Window.orderBy(...))` — Spark
+    * plans an empty-partitionBy window as ONE partition, funnelling the
+    * whole fact table through a single task's sort. Instead
+    * [[graft.operators.Layout.distributedNtile]] range-partitions a
+    * skinny (price, key) projection, folds per-partition counts into
+    * broadcast offsets on the driver, and applies the ntile remainder
+    * rule to global rank = offset + local row_number — same result,
+    * every stage parallel. */
   val q67 = Q(
     "q67_ntile_deciles",
     (s, d) => {
-      val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
-      Tables.orders(s, d)
-        .withColumn("decile", ntile(10).over(w).cast("long"))
+      val skinny = Tables.orders(s, d).select("o_totalprice", "o_orderkey")
+      graft.operators.Layout
+        .distributedNtile(skinny, 10,
+          Seq(col("o_totalprice"), col("o_orderkey")), "decile")
         .groupBy("decile")
         .agg(
           count(lit(1)).as("n"),

@@ -293,4 +293,51 @@ class LayoutSpec extends AnyFunSuite with SparkSpec {
     }
     assert(e.getMessage.contains("type mismatch"))
   }
+
+  test("distributedNtile matches the SQL NTILE remainder rule exactly") {
+    import spark.implicits._
+    // n=23, b=5: q=4, rem=3 → tiles of 5,5,5,4,4; scrambled input order
+    // and a deliberately skewed key distribution
+    val rows = scala.util.Random.shuffle(
+      (1 to 23).map(i => (i.toLong, (i * i % 97).toLong * 1000 + i)))
+    val df = rows.toDF("id", "v").repartition(7)
+    val got = Layout.distributedNtile(df, 5, Seq(col("v"), col("id")), "tile")
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("v"),
+        r.getAs[Long]("tile")))
+    // reference: sort by (v, id), apply the remainder rule on the rank
+    val sorted = rows.sortBy(t => (t._2, t._1))
+    val expect = sorted.zipWithIndex.map { case ((id, v), i) =>
+      val rank = i + 1L
+      val (q, rem) = (23L / 5, 23L % 5)
+      val tile = if (rank <= (q + 1) * rem) (rank - 1) / (q + 1) + 1
+                 else rem + (rank - 1 - rem * (q + 1)) / q + 1
+      (id, v, tile)
+    }.toSet
+    assert(got.toSet == expect)
+    // per-tile counts differ by at most 1 and first tiles get the extra
+    val counts = got.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(counts == Map(1L -> 5, 2L -> 5, 3L -> 5, 4L -> 4, 5L -> 4), counts)
+  }
+
+  test("distributedNtile: fewer rows than buckets — one row per leading tile") {
+    import spark.implicits._
+    val df = Seq(30L, 10L, 20L).toDF("v")
+    val got = Layout.distributedNtile(df, 10, Seq(col("v")), "tile")
+      .collect().map(r => r.getAs[Long]("v") -> r.getAs[Long]("tile")).toMap
+    assert(got == Map(10L -> 1L, 20L -> 2L, 30L -> 3L), got)
+  }
+
+  test("distributedNtile refuses duplicate or null sort keys") {
+    import spark.implicits._
+    val dup = Seq(1L -> "a", 1L -> "b", 2L -> "c").toDF("v", "x")
+    val e = intercept[Exception] {
+      Layout.distributedNtile(dup, 2, Seq(col("v")), "tile").collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("unique"), e.getMessage)
+    val withNull = Seq(Some(1L), None, Some(2L)).toDF("v")
+    val e2 = intercept[Exception] {
+      Layout.distributedNtile(withNull, 2, Seq(col("v")), "tile").collect()
+    }
+    assert(e2.getMessage != null && e2.getMessage.contains("unique"), e2.getMessage)
+  }
 }
