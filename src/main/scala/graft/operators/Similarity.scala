@@ -632,6 +632,83 @@ object Similarity {
     ivfSearchCore(spark, table, id, queryVec,
       storedAnchors(spark, table), nprobe, k, roundAt, excludeId)
 
+  /** Batch-of-queries serving against a persisted IVF index: ONE
+    * bucket-pruned scan of the stored table answers EVERY query vector
+    * in `queries` — the serving-tier shape, vs [[ivfSearchStored]]'s
+    * one-scan-per-call. Per query the semantics are IDENTICAL to the
+    * per-query face (SimilaritySpec pins row equality): probe cells =
+    * top-`nprobe` anchors by rounded cosine with [[probeCellsDf]]'s tie
+    * rule, candidates = stored rows in that query's probed cells, exact
+    * top-k by (rounded sim DESC, id ASC).
+    *
+    * Scale shape: the (q_id, cell) probe table is driver-collected —
+    * bounded by |batch| × nprobe, never by the corpus — and broadcast
+    * into the scan; the UNION of probed cells prunes buckets
+    * (`cell IN (...)`, SelectedBucketsCount); each query's top-k is a
+    * bounded heap ([[graft.functions.BoundedTopKPairs]]) inside ONE
+    * grouped aggregation — no rank window, no per-query scan.
+    * PlanAuditSpec pins the stored-table scan count query-count-
+    * independent. A query whose probed cells hold no rows (or that is
+    * absent after `excludeSelf`) returns no rows, exactly like the
+    * per-query face. Output: (query_id, rank, <id>, sim), rank 1-based
+    * best-first. */
+  def ivfSearchStoredBatch(spark: org.apache.spark.sql.SparkSession,
+      table: String, id: String, queries: DataFrame, qId: String,
+      qVec: String, nprobe: Int, k: Int, roundAt: Int = 4,
+      excludeSelf: Boolean = false): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val anchors = storedAnchors(spark, table)
+    val stored = spark.table(table)
+    requireIntegralId(stored, id, "ivfSearchStoredBatch index table")
+    requireIntegralId(queries.select(col(qId).as(qId)), qId,
+      "ivfSearchStoredBatch query batch")
+    import spark.implicits._
+    val q = queries.select(col(qId).cast("long").as("q_id"),
+      col(qVec).as("qv"))
+    // per-query probe cells, driver-collected once: |batch| × nprobe
+    // pairs — serving-tier metadata, not data volume
+    val probePairs = probeRanks(anchors, q, nprobe, roundAt)
+      .select(col("q_id"), col("cell").cast("long").as("cell"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toIndexedSeq
+    val cells = probePairs.map(_._2).distinct
+    val probeDf = broadcast(probePairs.toDF("q_id", "cell"))
+    val scored = stored
+      .filter(col("cell").isin(cells: _*)) // bucket-pruned union scan
+      .join(probeDf, stored("cell").cast("long") === probeDf("cell"))
+      .join(broadcast(q), Seq("q_id"))
+      .withColumn("sim",
+        round(nanvl(vec.cosine(col("embedding"), col("qv")), lit(-1.0)), roundAt))
+    val filtered =
+      if (excludeSelf) scored.filter(col(id).cast("long") =!= col("q_id"))
+      else scored
+    filtered
+      .groupBy("q_id")
+      .agg(topKPairs(col("sim"), col(id).cast("long"), col("sim"), k).as("top"))
+      .select(col("q_id").as("query_id"),
+        posexplode(col("top")).as(Seq("r", "p")))
+      .select(col("query_id"),
+        (col("r") + 1).cast("int").as("rank"),
+        col("p.id").as(id), col("p.payload").as("sim"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** The serving faces' id contract: per-query top-k ties break on the
+    * id's NATIVE order while the batched/bounded-heap faces order on
+    * the id cast to BIGINT — identical only for integral types. A
+    * string or fractional id would also null/truncate under the cast
+    * and silently shrink the candidate set, so refuse loudly. */
+  private def requireIntegralId(df: DataFrame, id: String,
+      context: String): Unit = {
+    val dt = df.schema(id).dataType
+    val ok = dt == org.apache.spark.sql.types.ByteType ||
+      dt == org.apache.spark.sql.types.ShortType ||
+      dt == org.apache.spark.sql.types.IntegerType ||
+      dt == org.apache.spark.sql.types.LongType
+    require(ok, s"$context: id column '$id' must be an integral type " +
+      s"(the bounded top-k heaps rank on it as BIGINT), got ${dt.simpleString}")
+  }
+
   /** Persist the composed IVF-PQ index: the cell-bucketed CODES table —
     * (id [, payload], cell, codes), no float vectors — the artifact a
     * billion-vector deployment serves from. One pass assigns cells and

@@ -1012,7 +1012,74 @@ object SimilarityQueries {
       ORDER BY sim DESC, vec_id
       LIMIT 10"""))
 
+  /** The batched stored-index serving face
+    * ([[graft.operators.Similarity.ivfSearchStoredBatch]]): build +
+    * persist the (index, grid) pair, then serve a 3-query batch from
+    * ONE bucket-pruned scan — per-query semantics identical to q213's
+    * one-at-a-time face (SimilaritySpec pins row equality; PlanAuditSpec
+    * pins the scan count batch-size-independent). The oracle replays
+    * the whole chain per query: assignment, top-2 probe cells with the
+    * rounded-cosine/anchor-id tie rule, candidate scoring, and the
+    * (sim DESC, vec_id) top-10 with a 1-based rank. */
+  val q214 = Q(
+    "q214_ann_stored_batch_search",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val anchors = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("anchor_id"), col("embedding").as("av"))
+      val db = "graft_ivf_batch"
+      val loc = java.nio.file.Files.createTempDirectory("graft-ivf-batch")
+      s.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$loc'")
+      s.sql(s"DROP TABLE IF EXISTS $db.emb_ivf")
+      s.sql(s"DROP TABLE IF EXISTS $db.emb_ivf__anchors")
+      graft.operators.Similarity.ivfBuildIndex(
+        e, anchors, "vec_id", s"$db.emb_ivf", numBuckets = 8)
+      val queries = e.filter(col("vec_id").isInCollection(Seq(0L, 5L, 9L)))
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      graft.operators.Similarity.ivfSearchStoredBatch(
+        s, s"$db.emb_ivf", "vec_id", queries, "query_id", "qvec",
+        nprobe = 2, k = 10)
+    },
+    Some("""
+      WITH anchors AS (SELECT vec_id AS anchor_id, CAST(embedding AS DOUBLE[]) AS av
+                       FROM embeddings WHERE vec_id < 8),
+      assigned AS (
+        SELECT vec_id, embedding, anchor_id AS cell FROM (
+          SELECT e.vec_id, e.embedding, a.anchor_id,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY ROUND(CASE WHEN isnan(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), a.av))
+                                       THEN -1 ELSE list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), a.av) END, 4) DESC,
+                            a.anchor_id) AS rk
+          FROM embeddings e CROSS JOIN anchors a) t
+        WHERE rk = 1),
+      q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+            FROM embeddings WHERE vec_id IN (0, 5, 9)),
+      probe AS (
+        SELECT query_id, cell FROM (
+          SELECT q.query_id, a.anchor_id AS cell,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY ROUND(CASE WHEN isnan(list_cosine_similarity(a.av, q.qv))
+                                       THEN -1 ELSE list_cosine_similarity(a.av, q.qv) END, 4) DESC,
+                            a.anchor_id) AS prk
+          FROM anchors a CROSS JOIN q) t
+        WHERE prk <= 2),
+      cand AS (
+        SELECT q.query_id, s.vec_id,
+               ROUND(CASE WHEN isnan(list_cosine_similarity(CAST(s.embedding AS DOUBLE[]), q.qv))
+                          THEN -1 ELSE list_cosine_similarity(CAST(s.embedding AS DOUBLE[]), q.qv) END, 4) AS sim
+        FROM assigned s JOIN probe p ON s.cell = p.cell
+                        JOIN q ON q.query_id = p.query_id)
+      SELECT query_id, rank, vec_id, sim FROM (
+        SELECT query_id, vec_id, sim,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY sim DESC, vec_id) AS INTEGER) AS rank
+        FROM cand) r
+      WHERE rank <= 10
+      ORDER BY query_id, rank"""))
+
   def all: Seq[Q] =
     Seq(q34, q35, q39, q40, q48, q59, q60, q109, q136, q155, q171, q172,
-      q178, q184, q185, q190, q206, q207, q209, q210, q211, q213)
+      q178, q184, q185, q190, q206, q207, q209, q210, q211, q213, q214)
 }

@@ -646,6 +646,37 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("ivfSearchStoredBatch: one bucket-pruned scan serves any batch size, no rank window") {
+    val e = Tables.embeddings(spark, d)
+    val anchors = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("anchor_id"), col("embedding").as("av"))
+    def scans(df: DataFrame): Int =
+      "Scan parquet|FileScan parquet|BatchScan".r.findAllIn(plan(df)).size
+    graft.operators.Similarity.ivfBuildIndex(
+      e, anchors, "vec_id", "plan_audit_batch_idx", numBuckets = 8)
+    try {
+      def face(qids: Seq[Long]): DataFrame =
+        graft.operators.Similarity.ivfSearchStoredBatch(spark,
+          "plan_audit_batch_idx", "vec_id",
+          e.filter(col("vec_id").isInCollection(qids))
+            .select(col("vec_id").as("query_id"), col("embedding").as("qvec")),
+          "query_id", "qvec", nprobe = 2, k = 10)
+      val one = face(Seq(0L))
+      val eight = face(Seq(0L, 1L, 2L, 3L, 4L, 5L, 6L, 7L))
+      assert(scans(eight) == scans(one),
+        s"index scan count grew with batch size: ${scans(one)} -> ${scans(eight)}")
+      val p = plan(eight)
+      // the per-query top-k is a bounded heap, never a rank window over
+      // corpus rows; the union-of-cells filter prunes buckets
+      assert(p.contains("bounded_top_k_pairs"), p)
+      assert(!p.contains("Window"), p)
+      assert(p.contains("SelectedBucketsCount"), p)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS plan_audit_batch_idx")
+      spark.sql("DROP TABLE IF EXISTS plan_audit_batch_idx__anchors")
+    }
+  }
+
   test("events scan converts nanos without breaking codegen") {
     val p = plan(Tables.events(spark, d).filter(col("event_type") === "click")
       .select("event_id", "ts"))

@@ -153,6 +153,8 @@ object RegistryPlanLintSpec {
     "q190_knn_label_eval" -> "eval batch broadcast vs corpus — linear in corpus × |eval batch|",
     "q206_ann_recall_eval" -> "query batch broadcast (recallDialFold) — ONE corpus scan for all dials, linear in |batch|",
     "q207_ivfpq_recall_eval" -> "query batch broadcast — corpus scan count pinned batch- and dial-independent",
+    // (q214_ann_stored_batch_search needs no entry: its probe and query
+    // joins are equi-joins — BroadcastHashJoin, not BNLJ)
     "q196_hashed_topk" -> "hashed query-term set broadcast; postings-bounded candidate frame",
     "q197_tfidf_hashed_topk" -> "query-term set broadcast; postings-bounded",
     "q201_bm25_topk" -> "query-term set broadcast; postings-bounded BM25 scoring",

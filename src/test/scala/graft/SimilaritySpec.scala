@@ -207,6 +207,61 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(viaInt.toSeq == viaLong.toSeq)
   }
 
+  test("ivfSearchStoredBatch: row-identical to N per-query ivfSearchStored calls") {
+    val db = "graft_batch_serve"
+    val loc = java.nio.file.Files.createTempDirectory("graft-batch-serve")
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$loc'")
+    Seq("idx", "idx__anchors")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $db.$t"))
+    Similarity.ivfBuildIndex(emb, anchors, "vec_id", s"$db.idx",
+      numBuckets = 8)
+    val qIds = Seq(0L, 3L, 17L, 41L)
+    val queries = emb.filter(col("vec_id").isInCollection(qIds))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val batch = Similarity.ivfSearchStoredBatch(spark, s"$db.idx",
+        "vec_id", queries, "query_id", "qvec", nprobe = 2, k = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    // ranks are 1-based, contiguous, best-first per query
+    val byQ = batch.groupBy(_._1)
+    assert(byQ.keySet == qIds.toSet, byQ.keySet)
+    for ((_, rows) <- byQ) {
+      assert(rows.map(_._2).sorted.sameElements(1 to rows.length))
+      val ordered = rows.sortBy(_._2)
+      assert(ordered.sliding(2).forall {
+        case Array((_, _, idA, sA), (_, _, idB, sB)) =>
+          sA > sB || (sA == sB && idA < idB)
+        case _ => true
+      })
+    }
+    // exact row equality with the per-query face, query by query
+    for (qid <- qIds) {
+      val qv = emb.filter(col("vec_id") === qid)
+        .head().getAs[Seq[Float]]("embedding").toArray
+      val single = Similarity.ivfSearchStored(spark, s"$db.idx", "vec_id",
+          qv, nprobe = 2, k = 10)
+        .select("vec_id", "sim").collect()
+        .map(r => (r.getLong(0), r.getDouble(1)))
+      val fromBatch = byQ(qid).sortBy(_._2).map(t => (t._3, t._4))
+      assert(fromBatch.toSeq == single.toSeq,
+        s"q$qid: batch=${fromBatch.toSeq} single=${single.toSeq}")
+    }
+    // excludeSelf drops exactly the query's own row
+    val noSelf = Similarity.ivfSearchStoredBatch(spark, s"$db.idx",
+        "vec_id", queries, "query_id", "qvec", nprobe = 2, k = 10,
+        excludeSelf = true)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(noSelf.forall { case (q, id) => q != id })
+    // a non-integral query id refuses loudly instead of null-casting
+    val badQ = queries.select(col("query_id").cast("string").as("query_id"),
+      col("qvec"))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ivfSearchStoredBatch(spark, s"$db.idx", "vec_id", badQ,
+        "query_id", "qvec", nprobe = 2, k = 10)
+    }
+    assert(e.getMessage.contains("integral"), e.getMessage)
+  }
+
   test("the (index, grid) pairing is ONE artifact: stored faces load it, wrong grids refuse") {
     val db = "graft_grid_artifact"
     val loc = java.nio.file.Files.createTempDirectory("graft-grid-art")
