@@ -335,9 +335,16 @@ object Similarity {
     * ONE artifact — [[storedAnchors]] reloads it by table name, and the
     * explicit-anchors serving faces refuse a grid whose fingerprint
     * disagrees with the store's instead of returning silently wrong
-    * cells. */
+    * cells.
+    *
+    * Build ordering contract: the artifact is written BEFORE the index
+    * data, and the index table's own `graft.grid_id` is stamped LAST
+    * ([[stampGridId]]) — so a crash anywhere mid-build leaves a store
+    * that REFUSES to serve (old-grid mismatch, missing table, or the
+    * half-built check in [[requireGridMatch]]/[[storedAnchors]]), never
+    * one that silently accepts an arbitrary grid. */
   private def writeAnchorsArtifact(spark: org.apache.spark.sql.SparkSession,
-      table: String, anchors: DataFrame): Unit = {
+      table: String, anchors: DataFrame): String = {
     // ONE collect serves both the fingerprint and the artifact write
     // (k anchor rows re-shipped as a local relation — no second
     // distributed job against the anchors query)
@@ -348,8 +355,14 @@ object Similarity {
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), proj.schema)
       .write.mode("overwrite").format("parquet").saveAsTable(at)
     spark.sql(s"ALTER TABLE $at SET TBLPROPERTIES ('graft.grid_id' = '$gid')")
-    spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES ('graft.grid_id' = '$gid')")
+    gid
   }
+
+  /** The build-complete marker: stamping the index table with its grid
+    * fingerprint is the LAST build step, after the data lands. */
+  private def stampGridId(spark: org.apache.spark.sql.SparkSession,
+      table: String, gid: String): Unit =
+    spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES ('graft.grid_id' = '$gid')")
 
   /** The anchor grid a persisted index was built with — loaded from the
     * paired `<table>__anchors` artifact after fingerprinting its CONTENT
@@ -368,29 +381,52 @@ object Similarity {
         "the artifact existed? pass the grid explicitly or rebuild")
     val want = tableProp(spark, table, "graft.grid_id")
     require(want.nonEmpty,
-      s"index $table records no graft.grid_id — built before the " +
-        "artifact existed? pass the grid explicitly or rebuild")
-    val artifact = spark.table(at)
-    val got = gridFingerprint(artifact)
+      s"index $table records no graft.grid_id but artifact $at exists — " +
+        "a build that crashed between the data write and the grid stamp; " +
+        "rebuild the pair")
+    // ONE collect serves the fingerprint check AND every downstream
+    // probe/assign inlining (the serving faces would otherwise re-run
+    // the artifact scan per call)
+    val proj = spark.table(at).select(col("anchor_id"), col("av"))
+    val rows = proj.collect()
+    val got = anchorFingerprintOf(rows)
     require(want.contains(got),
       s"grid pairing broken for $table: index records grid " +
         s"${want.get}, artifact $at fingerprints as $got — rebuild the pair")
-    artifact
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), proj.schema)
   }
 
-  /** Refuse an anchors frame whose fingerprint disagrees with what the
-    * store was built with. A store without a recorded grid (built by an
-    * older writer) is accepted — validation is best-effort there. */
+  /** Validate a caller-passed anchors frame against the store and hand
+    * back the grid as a driver-local relation: the fingerprint refusal
+    * and the probe/assign inlining share ONE collect of the caller's
+    * anchors plan instead of re-executing it per step. A store with a
+    * recorded grid refuses a mismatched fingerprint; a store WITHOUT
+    * one is accepted only when its paired artifact is ALSO absent (a
+    * genuinely pre-artifact table) — grid_id missing while
+    * `<table>__anchors` exists means a build crashed between the data
+    * write and the final stamp, and serving an arbitrary grid against
+    * it is exactly the hazard the pairing refuses. */
   private def requireGridMatch(spark: org.apache.spark.sql.SparkSession,
-      table: String, anchors: DataFrame): Unit =
-    tableProp(spark, table, "graft.grid_id").foreach { want =>
-      val got = gridFingerprint(anchors)
-      require(got == want,
-        s"anchor grid mismatch for index $table: store built with grid " +
-          s"$want, caller passed grid $got — a wrong grid returns " +
-          "silently wrong cells; load the paired grid with " +
-          "storedAnchors(spark, table) or rebuild the index")
+      table: String, anchors: DataFrame): DataFrame = {
+    val proj = anchors.select(col("anchor_id"), col("av"))
+    val rows = proj.collect()
+    tableProp(spark, table, "graft.grid_id") match {
+      case Some(want) =>
+        val got = anchorFingerprintOf(rows)
+        require(got == want,
+          s"anchor grid mismatch for index $table: store built with grid " +
+            s"$want, caller passed grid $got — a wrong grid returns " +
+            "silently wrong cells; load the paired grid with " +
+            "storedAnchors(spark, table) or rebuild the index")
+      case None =>
+        require(!spark.catalog.tableExists(anchorsTableName(table)),
+          s"index $table records no graft.grid_id but artifact " +
+            s"${anchorsTableName(table)} exists — a build that crashed " +
+            "between the data write and the grid stamp; rebuild the pair")
+      // legacy pre-artifact store: accepted, validation is best-effort
     }
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), proj.schema)
+  }
 
   /** Refuse a [[PqModel]] whose fingerprint disagrees with what the
     * codes table was encoded with; legacy stores without the property
@@ -416,9 +452,13 @@ object Similarity {
     * artifact, not caller discipline. */
   def ivfBuildIndex(emb: DataFrame, anchors: DataFrame, id: String,
       table: String, numBuckets: Int = 16, roundAt: Int = 4): Unit = {
+    // artifact FIRST, data second, index grid-stamp LAST: every crash
+    // window leaves a store the serving faces refuse (see
+    // writeAnchorsArtifact's ordering contract)
+    val gid = writeAnchorsArtifact(emb.sparkSession, table, anchors)
     Layout.writeBucketed(ivfAssign(emb, anchors, id, roundAt), table,
       bucketCols = Seq("cell"), numBuckets = numBuckets)
-    writeAnchorsArtifact(emb.sparkSession, table, anchors)
+    stampGridId(emb.sparkSession, table, gid)
   }
 
   /** Incremental append to a persisted IVF index: assign ONLY the new
@@ -444,8 +484,8 @@ object Similarity {
     // a writer configured with a drifted grid corrupts silently (rows
     // land in cells the serving grid never probes) — refuse up front,
     // like Spark's own bucket-spec check refuses a drifted layout
-    requireGridMatch(newVecs.sparkSession, table, anchors)
-    Layout.appendBucketed(ivfAssign(newVecs, anchors, id, roundAt), table,
+    val grid = requireGridMatch(newVecs.sparkSession, table, anchors)
+    Layout.appendBucketed(ivfAssign(newVecs, grid, id, roundAt), table,
       bucketCols = Seq("cell"), numBuckets = numBuckets)
     ivfCellStats(newVecs.sparkSession, table, roundAt)
   }
@@ -461,10 +501,10 @@ object Similarity {
   def ivfPqIndexAppend(newVecs: DataFrame, anchors: DataFrame, id: String,
       model: PqModel, table: String, numBuckets: Int = 16,
       roundAt: Int = 4): DataFrame = {
-    requireGridMatch(newVecs.sparkSession, table, anchors)
+    val grid = requireGridMatch(newVecs.sparkSession, table, anchors)
     requirePqMatch(newVecs.sparkSession, table, model)
     Layout.appendBucketed(
-      ivfAssign(newVecs, anchors, id, roundAt)
+      ivfAssign(newVecs, grid, id, roundAt)
         .withColumn("codes", pqCodesCol(col("embedding"), model, roundAt))
         .drop("embedding"),
       table, bucketCols = Seq("cell"), numBuckets = numBuckets)
@@ -601,8 +641,8 @@ object Similarity {
       table: String, id: String, queryVec: Array[Float],
       anchors: DataFrame, nprobe: Int, k: Int, roundAt: Int = 4,
       excludeId: Option[Long] = None): DataFrame = {
-    requireGridMatch(spark, table, anchors)
-    ivfSearchCore(spark, table, id, queryVec, anchors, nprobe, k, roundAt,
+    val grid = requireGridMatch(spark, table, anchors)
+    ivfSearchCore(spark, table, id, queryVec, grid, nprobe, k, roundAt,
       excludeId)
   }
 
@@ -718,21 +758,26 @@ object Similarity {
   def ivfPqBuildIndex(emb: DataFrame, anchors: DataFrame, id: String,
       model: PqModel, table: String, numBuckets: Int = 16,
       roundAt: Int = 4): Unit = {
+    val spark = emb.sparkSession
+    // both artifacts FIRST, codes data second, index stamps LAST —
+    // same crash-refuses-to-serve ordering as ivfBuildIndex
+    val gid = writeAnchorsArtifact(spark, table, anchors)
+    val pid = writePqArtifact(spark, table, model)
     Layout.writeBucketed(
       ivfAssign(emb, anchors, id, roundAt)
         .withColumn("codes", pqCodesCol(col("embedding"), model, roundAt))
         .drop("embedding"),
       table, bucketCols = Seq("cell"), numBuckets = numBuckets)
-    val spark = emb.sparkSession
-    writeAnchorsArtifact(spark, table, anchors)
-    writePqArtifact(spark, table, model)
+    stampGridId(spark, table, gid)
+    spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES ('graft.pq_id' = '$pid')")
   }
 
   /** Persist the codebook WITH the codes it encoded (`<table>__pq`,
-    * rows (j, code, cw)) plus a `graft.pq_id` fingerprint property on
-    * both — the PQ half of the one-artifact pairing rule. */
+    * rows (j, code, cw)) plus a `graft.pq_id` fingerprint property —
+    * the PQ half of the one-artifact pairing rule. The index table's
+    * own stamp is the caller's LAST build step. */
   private def writePqArtifact(spark: org.apache.spark.sql.SparkSession,
-      table: String, model: PqModel): Unit = {
+      table: String, model: PqModel): String = {
     import spark.implicits._
     val pid = pqFingerprint(model)
     val pt = pqTableName(table)
@@ -741,7 +786,7 @@ object Similarity {
     }.toIndexedSeq.toDF("j", "code", "cw")
       .write.mode("overwrite").format("parquet").saveAsTable(pt)
     spark.sql(s"ALTER TABLE $pt SET TBLPROPERTIES ('graft.pq_id' = '$pid')")
-    spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES ('graft.pq_id' = '$pid')")
+    pid
   }
 
   /** The [[PqModel]] a persisted codes table was encoded with — loaded
@@ -755,10 +800,28 @@ object Similarity {
         "the artifact existed? pass the model explicitly or rebuild")
     val rows = spark.table(pt).collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    // a torn or hand-edited artifact must refuse with the same "rebuild
+    // the pair" message as a fingerprint mismatch — not crash opaquely
+    // on max/apply while constructing the model
+    def corrupt(what: String): Nothing =
+      throw new IllegalArgumentException(
+        s"codebook artifact $pt is corrupt: $what — rebuild the pair")
+    if (rows.isEmpty) corrupt("no rows")
     val m = rows.map(_._1).max + 1
     val codebooks = Array.tabulate(m) { j =>
       rows.filter(_._1 == j).sortBy(_._2).map(_._3)
     }
+    codebooks.zipWithIndex.foreach { case (cb, j) =>
+      if (cb.isEmpty) corrupt(s"subspace $j has no codewords")
+      if (cb.map(_.length).distinct.length != 1 ||
+          cb.length != codebooks(0).length)
+        corrupt(s"subspace $j has a ragged codeword set")
+      if (!cb.indices.forall(c => rows.exists(r => r._1 == j && r._2 == c)))
+        corrupt(s"subspace $j is missing code indices")
+    }
+    if (codebooks(0)(0).isEmpty) corrupt("zero-width codewords")
+    if (codebooks.flatten.map(_.length).distinct.length != 1)
+      corrupt("subspace codeword widths differ")
     val model = PqModel(m, codebooks(0)(0).length, codebooks)
     val want = tableProp(spark, table, "graft.pq_id")
     val got = pqFingerprint(model)
@@ -784,14 +847,14 @@ object Similarity {
     // same drifted-artifact refusals as the IVF faces: wrong grid probes
     // wrong cells, wrong codebook ranks codes against a mismatched LUT —
     // both return plausible-looking wrong neighbors with no error
-    requireGridMatch(spark, table, anchors)
+    val grid = requireGridMatch(spark, table, anchors)
     requirePqMatch(spark, table, model)
     val qRows = vectors.filter(col(id) === queryId).select("embedding").take(1)
     if (qRows.isEmpty)
       return pqTopKImpl(spark.table(table).drop("cell").limit(0), vectors,
         id, queryId, model, refine, k, roundAt, None)
     val qF = qRows(0).getSeq[Float](0)
-    val cells = probeCellsDf(anchors, typedLit(qF), nprobe, roundAt)
+    val cells = probeCellsDf(grid, typedLit(qF), nprobe, roundAt)
       .collect().map(_.getAs[Number]("cell").longValue())
     pqTopKImpl(
       spark.table(table)
@@ -1146,6 +1209,7 @@ object Similarity {
       roundAt: Int = 4): DataFrame = {
     require(queryIds.nonEmpty && k >= 1)
     require(nprobes.nonEmpty && nprobes.forall(_ >= 1))
+    requireIntegralId(emb, id, "recallEval")
     val spark = emb.sparkSession
     import spark.implicits._
     val recallCol = s"recall_at_$k"
@@ -1230,8 +1294,8 @@ object Similarity {
   def recallEvalIndexed(spark: org.apache.spark.sql.SparkSession,
       table: String, id: String, queryIds: Seq[Long], anchors: DataFrame,
       nprobes: Seq[Int], k: Int, roundAt: Int = 4): DataFrame = {
-    requireGridMatch(spark, table, anchors)
-    recallEvalCore(spark, table, id, queryIds, anchors, nprobes, k, roundAt)
+    val grid = requireGridMatch(spark, table, anchors)
+    recallEvalCore(spark, table, id, queryIds, grid, nprobes, k, roundAt)
   }
 
   private def recallEvalCore(spark: org.apache.spark.sql.SparkSession,
@@ -1239,6 +1303,7 @@ object Similarity {
       nprobes: Seq[Int], k: Int, roundAt: Int): DataFrame = {
     require(queryIds.nonEmpty && k >= 1)
     require(nprobes.nonEmpty && nprobes.forall(_ >= 1))
+    requireIntegralId(spark.table(table), id, "recallEval (stored index)")
     import spark.implicits._
     val recallCol = s"recall_at_$k"
     val paramsDf = queryIds.flatMap(q => nprobes.map(np => (q, np)))
@@ -1290,6 +1355,7 @@ object Similarity {
       roundAt: Int = 4): DataFrame = {
     require(queryIds.nonEmpty && k >= 1)
     require(dials.nonEmpty && dials.forall(d => d._1 >= 1 && d._2 >= 1))
+    requireIntegralId(emb, id, "ivfPqRecallEval")
     val spark = emb.sparkSession
     import spark.implicits._
     val recallCol = s"recall_at_$k"

@@ -207,6 +207,76 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(viaInt.toSeq == viaLong.toSeq)
   }
 
+  test("a half-built store refuses to serve: grid_id missing but artifact present") {
+    val db = "graft_halfbuilt"
+    val loc = java.nio.file.Files.createTempDirectory("graft-halfbuilt")
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$loc'")
+    Seq("idx", "idx__anchors")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $db.$t"))
+    Similarity.ivfBuildIndex(emb, anchors, "vec_id", s"$db.idx",
+      numBuckets = 8)
+    // simulate a crash between the data write and the final grid stamp
+    spark.sql(s"ALTER TABLE $db.idx UNSET TBLPROPERTIES ('graft.grid_id')")
+    val qv = emb.filter(col("vec_id") === 0)
+      .head().getAs[Seq[Float]]("embedding").toArray
+    def refuses(f: => Any): Unit = {
+      val e = intercept[IllegalArgumentException](f)
+      assert(e.getMessage.contains("rebuild the pair"), e.getMessage)
+    }
+    // the stored face refuses
+    refuses(Similarity.ivfSearchStored(spark, s"$db.idx", "vec_id", qv,
+      nprobe = 2, k = 5))
+    // and the explicit-anchors faces no longer fall through the legacy
+    // escape hatch: ANY grid — even the right one — refuses against a
+    // half-built store instead of serving unvalidated
+    refuses(Similarity.ivfSearchIndexed(spark, s"$db.idx", "vec_id", qv,
+      anchors, nprobe = 2, k = 5))
+    refuses(Similarity.ivfIndexAppend(emb.limit(1), anchors, "vec_id",
+      s"$db.idx", numBuckets = 8))
+    // a genuinely pre-artifact table (no __anchors at all) keeps the
+    // permissive path
+    spark.sql(s"DROP TABLE $db.idx__anchors")
+    assert(Similarity.ivfSearchIndexed(spark, s"$db.idx", "vec_id", qv,
+      anchors, nprobe = 2, k = 5).count() == 5)
+  }
+
+  test("storedPqModel refuses a torn codebook artifact cleanly, never crashes opaquely") {
+    val db = "graft_tornpq"
+    val loc = java.nio.file.Files.createTempDirectory("graft-tornpq")
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$loc'")
+    Seq("idx", "idx__anchors", "idx__pq")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $db.$t"))
+    val model = Similarity.pqCodebooksSampled(anchors, m = 4)
+    Similarity.ivfPqBuildIndex(emb, anchors, "vec_id", model, s"$db.idx",
+      numBuckets = 8)
+    def refuses(f: => Any): Unit = {
+      val e = intercept[IllegalArgumentException](f)
+      assert(e.getMessage.contains("rebuild the pair"), e.getMessage)
+    }
+    // a missing subspace stratum refuses by name, before any ranking
+    spark.table(s"$db.idx__pq").filter(col("j") =!= 0)
+      .write.mode("overwrite").format("parquet").saveAsTable(s"$db.idx__pq_t")
+    spark.sql(s"DROP TABLE $db.idx__pq")
+    spark.sql(s"ALTER TABLE $db.idx__pq_t RENAME TO $db.idx__pq")
+    refuses(Similarity.storedPqModel(spark, s"$db.idx"))
+    // an EMPTY artifact refuses too (the old code crashed on max())
+    spark.table(s"$db.idx__pq").limit(0)
+      .write.mode("overwrite").format("parquet").saveAsTable(s"$db.idx__pq_e")
+    spark.sql(s"DROP TABLE $db.idx__pq")
+    spark.sql(s"ALTER TABLE $db.idx__pq_e RENAME TO $db.idx__pq")
+    refuses(Similarity.storedPqModel(spark, s"$db.idx"))
+  }
+
+  test("recall evals refuse a non-integral id column up front") {
+    val bad = emb.select(col("vec_id").cast("string").as("vec_id"),
+      col("embedding"))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.recallEval(bad, "vec_id", Seq(0L), anchors,
+        nprobes = Seq(1), k = 5)
+    }
+    assert(e.getMessage.contains("integral"), e.getMessage)
+  }
+
   test("ivfSearchStoredBatch: row-identical to N per-query ivfSearchStored calls") {
     val db = "graft_batch_serve"
     val loc = java.nio.file.Files.createTempDirectory("graft-batch-serve")
