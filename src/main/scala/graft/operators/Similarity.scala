@@ -172,7 +172,11 @@ object Similarity {
       .agg(max("cand").as("best"))
       .groupBy(col("true_label"), col("best.pl").as("pred_label"))
       .agg(count(lit(1)).as("n"))
-      .orderBy("true_label", "pred_label")
+      // the matrix is label²-sized by construction: one partition +
+      // local sort gives the same total order as orderBy without the
+      // range-partitioner's sampling pass (one fewer job per eval)
+      .coalesce(1)
+      .sortWithinPartitions("true_label", "pred_label")
   }
 
   /** The anchor model collected to the driver and inlined as one

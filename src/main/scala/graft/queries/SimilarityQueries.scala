@@ -631,7 +631,13 @@ object SimilarityQueries {
   val q190 = Q(
     "q190_knn_label_eval",
     (s, d) => graft.operators.Similarity.knnLabelEval(
-      Tables.embeddings(s, d), "vec_id", "label",
+      // the sf* embeddings parquet is ONE split, so the eval's whole
+      // corpus × eval-batch cosine pass would run on a single task —
+      // spread it (the q166/q187 harness fix; a real corpus arrives in
+      // many splits and never pays this shuffle)
+      Tables.embeddings(s, d)
+        .repartition(s.sparkContext.defaultParallelism, col("vec_id")),
+      "vec_id", "label",
       holdout = col("vec_id") % 5 === 0),
     Some("""
       WITH e AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv,

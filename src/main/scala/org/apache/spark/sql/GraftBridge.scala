@@ -25,6 +25,12 @@ object GraftBridge {
       .analyzed.schema
   }
 
+  /** Drain the listener bus — job-count assertions in the plan-audit
+    * specs read listener-fed counters, which lag the action that
+    * produced them. Test-support only. */
+  def waitForListenerBus(spark: SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
+
   /** Table properties via the session catalog — what SHOW TBLPROPERTIES
     * renders, without paying a SQL parse/analyze round-trip per lookup
     * (the artifact-pairing checks read one key on every serving call).

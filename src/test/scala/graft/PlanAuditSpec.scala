@@ -677,6 +677,32 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q190: the whole eval is a bounded number of jobs, cosine pass parallel") {
+    // the eval's cost at test SF is pure scheduling floor, so its job
+    // count IS its wall clock: one repartition spread, one broadcast
+    // build, the crossJoin+argmax pass, the confusion fold, the local
+    // sort, and AQE's stage materializations. A regression that adds a
+    // per-eval-row or per-label action shows up here as a job explosion
+    // long before the bench notices.
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      run("q190_knn_label_eval").collect()
+      org.apache.spark.sql.GraftBridge.waitForListenerBus(spark)
+      assert(jobs.get <= 8, s"q190 ran ${jobs.get} jobs — job-count diet regressed")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // and the heavy pass must not collapse to one task (the sf parquet
+    // is a single split; the query-level repartition spreads it)
+    val p = plan(run("q190_knn_label_eval"))
+    assert(p.contains("Exchange"), p)
+  }
+
   test("events scan converts nanos without breaking codegen") {
     val p = plan(Tables.events(spark, d).filter(col("event_type") === "click")
       .select("event_id", "ts"))
