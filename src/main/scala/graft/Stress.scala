@@ -53,8 +53,14 @@ object Stress {
     // for high-multiplier sweeps where the deliberately-quadratic ops
     // (embed_neardup's anchor dial) would dominate the wall-clock.
     val only = sys.env.get("SPARK_GRAFT_STRESS_ONLY").map(_.split(",").toSeq)
+    // an op is enabled when no filter is set or a filter entry prefixes
+    // it — used BOTH by time() and to skip the untimed setup (index
+    // builds, pair graphs) a filtered-out op would otherwise still pay
+    // for, which matters at mult=1000 where an unneeded LSH pair graph
+    // costs more than the measured op
+    def enabled(op: String): Boolean = only.forall(_.exists(op.startsWith))
     def time(op: String)(body: => Long): Unit =
-      if (only.forall(_.exists(op.startsWith))) {
+      if (enabled(op)) {
         val t0 = System.nanoTime()
         val rows = body
         val sec = (System.nanoTime() - t0) / 1e9
@@ -88,7 +94,7 @@ object Stress {
     // the multiplier grows), while the full-recompute rows above track
     // the whole corpus — the difference is the entire point of keeping
     // the index.
-    locally {
+    if (enabled("incremental_lsh_append")) locally {
       val cut = (mult - 1).toLong * 10000000L
       val old = docs.filter(col("doc_id") < cut)
       val fresh = docs.filter(col("doc_id") >= cut)
@@ -102,7 +108,7 @@ object Stress {
     // Whole-pipeline append: same claim as incremental_lsh_append, one
     // level up — curating the SAME batch against a stored state must
     // cost batch + collision mass, not corpus
-    locally {
+    if (enabled("curate_incremental")) locally {
       val cut = (mult - 1).toLong * 10000000L
       val (fps, idx) = CorpusPipeline.curateStateBuild(
         docs.filter(col("doc_id") < cut), "doc_id", "text")
@@ -189,7 +195,7 @@ object Stress {
       // never corpus × vocab
       Dedup.hashedTfidfTopK(docs, "doc_id", "text", queryId = 1L, k = 10).count()
     }
-    locally {
+    if (enabled("bpe_apply")) locally {
       // merges learned once on a fixed-size slice (driver model state,
       // like kmeans centroids) — the APPLY scan is the corpus-tracking
       // stage under test: a narrow per-doc fold over merge literals
@@ -235,7 +241,7 @@ object Stress {
       // gram scan, never the union stage
       CorpusPipeline.shardNoveltySketch(docs, "doc_id", "text", 16).count()
     }
-    locally {
+    if (enabled("cluster_splits")) locally {
       // pair graph built once outside the timer: the split assignment
       // itself is pair-bounded + two hash joins — it must track pairs,
       // not corpus. minHashLshPairs returns an eagerly checkpointed
@@ -336,6 +342,10 @@ object Stress {
     // exactly, while cross-replica cosines are decorrelated (a rotation
     // is an orthogonal transform), so near-dup mass scales ×N instead of
     // collapsing every replica into one direction
+    val embOps = Seq("embed_neardup_bucketed", "kmeans", "ann_recall_eval",
+      "ivf_index_append", "ivfpq_recall_eval", "ivf_retrain",
+      "ivf_search_stored_batch")
+    if (embOps.exists(enabled)) locally {
     val embs = Tables.embeddings(spark, sfDir)
       .crossJoin(replicas)
       .select(
@@ -361,15 +371,28 @@ object Stress {
       graft.operators.Similarity.kmeans(embs, "vec_id", k = 8, iters = 3)
         ._1.groupBy("cluster").count().count()
     }
+    val anchors8 = embs.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("anchor_id"), col("embedding").as("av"))
     // Recall eval: 12 dials over the ×N corpus must cost the shared
     // scans (one assignment + one query-batch cosine), not 12 corpus
     // passes — the q206 restructure's scale claim.
     time("ann_recall_eval") {
-      val anchors8 = embs.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("anchor_id"), col("embedding").as("av"))
       graft.operators.Similarity.recallEval(embs, "vec_id",
         queryIds = Seq(0L, 1L, 2L, 3L), anchors8,
         nprobes = Seq(1, 2, 4), k = 10).count()
+    }
+    // Query-batch axis (the one scale dimension the table didn't cover):
+    // 1/8/64 queries x 3 dials over the xN corpus. The scored frame is
+    // corpus x batch BY CONSTRUCTION (exact ground truth needs every
+    // (candidate, query) cosine), so cost must be LINEAR in the batch
+    // and FLAT in dials — sublinear wall here just means the scan
+    // amortizes; superlinear means a per-query pass crept in.
+    for (b <- Seq(1, 8, 64)) {
+      time(s"ann_recall_eval_qb$b") {
+        graft.operators.Similarity.recallEval(embs, "vec_id",
+          queryIds = 0L until b.toLong, anchors8,
+          nprobes = Seq(1, 2, 4), k = 10).count()
+      }
     }
     // Index append: growing a STORED (mult-1)× IVF index by one
     // replica's batch must cost assignment + append over the batch, not
@@ -377,17 +400,21 @@ object Stress {
     // report the operator returns is lazy (a column-pruned scan of the
     // index when consumed) and oracle-pinned by q210; the timed path is
     // the batch-proportional ingest.
-    locally {
+    if (Seq("ivf_index_append", "ann_recall_eval_indexed",
+        "ivfpq_recall_eval", "ivf_retrain", "ivf_search_stored_batch")
+        .exists(enabled)) locally {
       val cut = (mult - 1).toLong * 10000000L
-      val anchors8 = embs.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("anchor_id"), col("embedding").as("av"))
       val db = "graft_stress_ivf"
       val loc = java.nio.file.Files.createTempDirectory("graft-stress-ivf")
       spark.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$loc'")
       spark.sql(s"DROP TABLE IF EXISTS $db.emb_ivf")
-      graft.operators.Similarity.ivfBuildIndex( // amortized one-off, not timed
-        embs.filter(col("vec_id") < cut), anchors8, "vec_id",
-        s"$db.emb_ivf", numBuckets = 8)
+      // the stored-index ops share this untimed build; ivfpq_recall_eval
+      // alone doesn't need it
+      if (Seq("ivf_index_append", "ann_recall_eval_indexed", "ivf_retrain",
+          "ivf_search_stored_batch").exists(enabled))
+        graft.operators.Similarity.ivfBuildIndex( // amortized one-off, not timed
+          embs.filter(col("vec_id") < cut), anchors8, "vec_id",
+          s"$db.emb_ivf", numBuckets = 8)
       val batch = embs.filter(col("vec_id") >= cut)
       time("ivf_index_append") {
         graft.operators.Similarity.ivfIndexAppend(
@@ -426,8 +453,24 @@ object Stress {
           s"$db.emb_ivf_v2", "vec_id", k = 8, iters = 3, numBuckets = 8)
         spark.table(s"$db.emb_ivf_v2").count()
       }
+      // Batched serving against the post-append stored index: 1/8/64
+      // query vectors from ONE bucket-pruned scan. Probe metadata is
+      // |batch| x nprobe (driver-side), candidate mass is the probed
+      // cells x batch — cost must be linear in the batch and the scan
+      // count batch-independent (PlanAuditSpec pins the plan shape;
+      // this row pins the wall-clock slope).
+      for (b <- Seq(1, 8, 64)) {
+        time(s"ivf_search_stored_batch_qb$b") {
+          val queries = embs.filter(col("vec_id") < b.toLong)
+            .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+          graft.operators.Similarity.ivfSearchStoredBatch(spark,
+            s"$db.emb_ivf", "vec_id", queries, "query_id", "qvec",
+            nprobe = 2, k = 10).count()
+        }
+      }
     }
     embs.unpersist()
+    } // embOps
 
     val purchases = events.filter(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"), col("ts"))

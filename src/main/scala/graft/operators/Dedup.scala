@@ -292,8 +292,26 @@ object Dedup {
     val tagged = (isNew: Boolean, idx: DataFrame) =>
       bandedSignatures(idx.select(col(id), col("mh")), id, k, bands)
         .withColumn("__nw", lit(isNew))
+    val bandedNew = tagged(true, newIndex)
+    // Buckets the batch never touches cannot produce a new-involving
+    // pair (`x.nw OR y.nw`), so the stored index's banded rows are
+    // pruned MAP-SIDE by a broadcast semi-join against the batch's
+    // (band, sig) keys — batch-sized — BEFORE the bucket aggregation.
+    // Without this the guarded collect re-aggregated the ENTIRE index's
+    // banded rows every append; at a 1000× (5M-doc) index that one
+    // stage was 40 of the append's 49 seconds, and it grew with the
+    // index while everything else tracked the batch. The guard
+    // semantics are unchanged: a surviving bucket still aggregates ALL
+    // its old∪new rows, so the over-cap drop fires exactly as in the
+    // full recompute (IncrementalLshSpec's invariant).
+    val bandedOldHit = tagged(false, oldIndex)
+      .join(broadcast(bandedNew.select("band", "sig").distinct()),
+        Seq("band", "sig"), "leftsemi")
+      // the USING join moves (band, sig) to the front; the union below
+      // is POSITIONAL, so restore the banded column order explicitly
+      .select(bandedNew.columns.map(col).toIndexedSeq: _*)
     val cands = guardedBuckets(
-        tagged(false, oldIndex).union(tagged(true, newIndex)),
+        bandedOldHit.union(bandedNew),
         struct(col(id).as("i"), col("__nw").as("nw")), maxBucketSize)
       .select(explode(bucketPairs("__ids", "id_a", "id_b",
         aExpr = "x.i", bExpr = "y.i",
