@@ -59,6 +59,13 @@ object Stress {
     // for, which matters at mult=1000 where an unneeded LSH pair graph
     // costs more than the measured op
     def enabled(op: String): Boolean = only.forall(_.exists(op.startsWith))
+    // block-gate variant: "would any op under this name run?" — matches
+    // in BOTH directions so a filter naming a specific row (e.g.
+    // ann_recall_eval_qb64) still enables the block whose ops it
+    // prefixes-or-extends
+    def blockEnabled(ops: Seq[String]): Boolean =
+      only.forall(_.exists(f => ops.exists(op =>
+        op.startsWith(f) || f.startsWith(op))))
     def time(op: String)(body: => Long): Unit =
       if (enabled(op)) {
         val t0 = System.nanoTime()
@@ -345,7 +352,7 @@ object Stress {
     val embOps = Seq("embed_neardup_bucketed", "kmeans", "ann_recall_eval",
       "ivf_index_append", "ivfpq_recall_eval", "ivf_retrain",
       "ivf_search_stored_batch")
-    if (embOps.exists(enabled)) locally {
+    if (blockEnabled(embOps)) locally {
     val embs = Tables.embeddings(spark, sfDir)
       .crossJoin(replicas)
       .select(
@@ -400,9 +407,8 @@ object Stress {
     // report the operator returns is lazy (a column-pruned scan of the
     // index when consumed) and oracle-pinned by q210; the timed path is
     // the batch-proportional ingest.
-    if (Seq("ivf_index_append", "ann_recall_eval_indexed",
-        "ivfpq_recall_eval", "ivf_retrain", "ivf_search_stored_batch")
-        .exists(enabled)) locally {
+    if (blockEnabled(Seq("ivf_index_append", "ann_recall_eval_indexed",
+        "ivfpq_recall_eval", "ivf_retrain", "ivf_search_stored_batch"))) locally {
       val cut = (mult - 1).toLong * 10000000L
       val db = "graft_stress_ivf"
       val loc = java.nio.file.Files.createTempDirectory("graft-stress-ivf")
@@ -410,8 +416,8 @@ object Stress {
       spark.sql(s"DROP TABLE IF EXISTS $db.emb_ivf")
       // the stored-index ops share this untimed build; ivfpq_recall_eval
       // alone doesn't need it
-      if (Seq("ivf_index_append", "ann_recall_eval_indexed", "ivf_retrain",
-          "ivf_search_stored_batch").exists(enabled))
+      if (blockEnabled(Seq("ivf_index_append", "ann_recall_eval_indexed",
+          "ivf_retrain", "ivf_search_stored_batch")))
         graft.operators.Similarity.ivfBuildIndex( // amortized one-off, not timed
           embs.filter(col("vec_id") < cut), anchors8, "vec_id",
           s"$db.emb_ivf", numBuckets = 8)

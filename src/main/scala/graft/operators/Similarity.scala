@@ -433,17 +433,27 @@ object Similarity {
   }
 
   /** Refuse a [[PqModel]] whose fingerprint disagrees with what the
-    * codes table was encoded with; legacy stores without the property
-    * are accepted. */
+    * codes table was encoded with. A store without the property is
+    * accepted only when its paired `<table>__pq` artifact is ALSO
+    * absent (genuinely pre-artifact) — pq_id missing while the artifact
+    * exists means the build crashed between the codes write and the
+    * final stamp, the same half-built window [[requireGridMatch]]
+    * refuses for the grid. */
   private def requirePqMatch(spark: org.apache.spark.sql.SparkSession,
       table: String, model: PqModel): Unit =
-    tableProp(spark, table, "graft.pq_id").foreach { want =>
-      val got = pqFingerprint(model)
-      require(got == want,
-        s"PQ codebook mismatch for index $table: store encoded with " +
-          s"codebook $want, caller passed $got — mixed-codebook codes " +
-          "are unrankable; load the paired model with " +
-          "storedPqModel(spark, table) or rebuild the index")
+    tableProp(spark, table, "graft.pq_id") match {
+      case Some(want) =>
+        val got = pqFingerprint(model)
+        require(got == want,
+          s"PQ codebook mismatch for index $table: store encoded with " +
+            s"codebook $want, caller passed $got — mixed-codebook codes " +
+            "are unrankable; load the paired model with " +
+            "storedPqModel(spark, table) or rebuild the index")
+      case None =>
+        require(!spark.catalog.tableExists(pqTableName(table)),
+          s"index $table records no graft.pq_id but artifact " +
+            s"${pqTableName(table)} exists — a build that crashed between " +
+            "the codes write and the codebook stamp; rebuild the pair")
     }
 
   /** Persist the IVF assignment as a cell-bucketed table: the one-off

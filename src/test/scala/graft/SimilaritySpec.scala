@@ -265,6 +265,12 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     spark.sql(s"DROP TABLE $db.idx__pq")
     spark.sql(s"ALTER TABLE $db.idx__pq_e RENAME TO $db.idx__pq")
     refuses(Similarity.storedPqModel(spark, s"$db.idx"))
+    // and the half-built window on the PQ side: pq_id missing while the
+    // artifact exists must refuse ANY model — not fall through the
+    // pre-artifact permissive path
+    spark.sql(s"ALTER TABLE $db.idx UNSET TBLPROPERTIES ('graft.pq_id')")
+    refuses(Similarity.ivfPqIndexAppend(emb.limit(1), anchors, "vec_id",
+      model, s"$db.idx", numBuckets = 8))
   }
 
   test("recall evals refuse a non-integral id column up front") {
