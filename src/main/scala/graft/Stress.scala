@@ -101,14 +101,30 @@ object Stress {
     // the multiplier grows), while the full-recompute rows above track
     // the whole corpus — the difference is the entire point of keeping
     // the index.
-    if (enabled("incremental_lsh_append")) locally {
+    if (blockEnabled(Seq("incremental_lsh_append", "lsh_stored_append"))) locally {
       val cut = (mult - 1).toLong * 10000000L
       val old = docs.filter(col("doc_id") < cut)
       val fresh = docs.filter(col("doc_id") >= cut)
-      val index = Dedup.indexDocs(old, "doc_id", "text").localCheckpoint(true)
-      index.count() // index build = the amortized one-off, not timed
-      time("incremental_lsh_append") {
-        Dedup.incrementalLshPairs(index, fresh, "doc_id", "text").count()
+      if (enabled("incremental_lsh_append")) {
+        val index = Dedup.indexDocs(old, "doc_id", "text").localCheckpoint(true)
+        index.count() // index build = the amortized one-off, not timed
+        time("incremental_lsh_append") {
+          Dedup.incrementalLshPairs(index, fresh, "doc_id", "text").count()
+        }
+        Dedup.freeLocalCheckpoint(index)
+      }
+      // the DURABLE twin: same batch against an on-disk (mult-1)x store;
+      // the parquet scan replaces the in-memory checkpoint, everything
+      // else is the same batch-proportional shape
+      if (enabled("lsh_stored_append")) {
+        val db = "graft_stress_lsh"
+        val loc = java.nio.file.Files.createTempDirectory("graft-stress-lsh")
+        spark.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$loc'")
+        spark.sql(s"DROP TABLE IF EXISTS $db.idx")
+        Dedup.lshBuildIndex(old, "doc_id", "text", s"$db.idx") // untimed one-off
+        time("lsh_stored_append") {
+          Dedup.lshIndexAppend(spark, s"$db.idx", fresh, "doc_id", "text").count()
+        }
       }
     }
 

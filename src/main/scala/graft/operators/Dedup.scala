@@ -279,6 +279,82 @@ object Dedup {
     out
   }
 
+  /** Durable LSH dedup index: persist [[indexDocs]]'s (id, mh, hs) rows
+    * as an id-bucketed table with the LSH parameters stamped as table
+    * properties — the on-disk twin of the in-memory index frame, so the
+    * dedup state survives restarts and grows by [[lshIndexAppend]]
+    * batches exactly like the IVF family's stored indexes.
+    *
+    * Ordering contract (the round-12 crash rule shared with
+    * `Similarity.ivfBuildIndex`): the parameter stamp is the LAST build
+    * step, so a crash mid-build leaves a table [[lshIndexAppend]]
+    * REFUSES (no params = half-built) instead of one it would silently
+    * band with the caller's — possibly different — parameters. */
+  def lshBuildIndex(docs: DataFrame, id: String, text: String,
+      table: String, n: Int = 4, k: Int = 16, bands: Int = 4,
+      numBuckets: Int = 16): Unit = {
+    require(bands >= 1 && k >= bands && k % bands == 0,
+      s"signature length k=$k must be a positive multiple of bands=$bands")
+    val spark = docs.sparkSession
+    graft.operators.Layout.writeBucketed(
+      indexDocs(docs, id, text, n, k), table,
+      bucketCols = Seq(id), numBuckets = numBuckets)
+    spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES (" +
+      s"'graft.lsh_n' = '$n', 'graft.lsh_k' = '$k', " +
+      s"'graft.lsh_bands' = '$bands', 'graft.lsh_buckets' = '$numBuckets')")
+  }
+
+  /** The LSH parameters a stored index was built with — the banding
+    * contract lives WITH the index, so an append can never band a batch
+    * with drifted parameters. A table without them is half-built or
+    * foreign: refuse. */
+  private def storedLshParams(spark: org.apache.spark.sql.SparkSession,
+      table: String): (Int, Int, Int, Int) = {
+    require(spark.catalog.tableExists(table), s"no such index table: $table")
+    val props = org.apache.spark.sql.GraftBridge.tableProperties(spark, table)
+    def p(key: String): Int = props.get(key) match {
+      case Some(v) => v.toInt
+      case None => throw new IllegalArgumentException(
+        s"index $table records no $key — not built by lshBuildIndex, or " +
+          "a build that crashed before the final parameter stamp; rebuild")
+    }
+    (p("graft.lsh_n"), p("graft.lsh_k"), p("graft.lsh_bands"),
+      p("graft.lsh_buckets"))
+  }
+
+  /** Grow a [[lshBuildIndex]] store by a batch and return the NEW
+    * verified near-dup pairs (batch↔stored and batch↔batch, ids
+    * least-first) — the durable, crash-convergent form of
+    * [[incrementalLshPairs]]. Banding parameters are read from the
+    * store's own stamp, never the caller. The batch is anti-joined
+    * against the stored ids first (the `ivfIndexAbsorb` guard), so a
+    * replayed append — a client retry, a crash after the data landed —
+    * appends ZERO rows and returns zero pairs instead of duplicating
+    * index state; persist the returned pairs before relying on replay.
+    *
+    * Cost per append: the batch's signature pass + one column-pruned id
+    * scan of the store (the anti-join's stream side — id-bucketed, so
+    * it never shuffles) + the batch-key-pruned collision scan
+    * ([[incrementalLshPairsIndexed]]'s broadcast semi-join) + a bucketed
+    * append. Nothing aggregates or shuffles index-sized mass. */
+  def lshIndexAppend(spark: org.apache.spark.sql.SparkSession,
+      table: String, newDocs: DataFrame, id: String, text: String,
+      threshold: Double = 0.5,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    val (n, k, bands, numBuckets) = storedLshParams(spark, table)
+    val stored = spark.table(table)
+    val fresh = indexDocs(newDocs, id, text, n, k)
+      .join(stored.select(col(id)), Seq(id), "leftanti")
+      .localCheckpoint(true)
+    val pairs = incrementalLshPairsIndexed(stored, fresh, id,
+      k = k, bands = bands, threshold = threshold,
+      maxBucketSize = maxBucketSize)
+    graft.operators.Layout.appendBucketed(fresh, table,
+      bucketCols = Seq(id), numBuckets = numBuckets)
+    freeLocalCheckpoint(fresh) // pairs is checkpointed; safe to drop
+    pairs
+  }
+
   /** The [[incrementalLshPairs]] append path when the new batch's index
     * rows are ALREADY materialized (both frames in [[indexDocs]] shape)
     * — e.g. the streaming maintenance sink persists the batch's index

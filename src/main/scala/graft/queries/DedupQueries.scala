@@ -1330,7 +1330,48 @@ object DedupQueries {
         UNION ALL SELECT * FROM nd UNION ALL SELECT * FROM kp) u
       ORDER BY doc_id"""))
 
+  /** The DURABLE LSH index lifecycle cross-engine
+    * (`Dedup.{lshBuildIndex,lshIndexAppend}` — round 12): build the
+    * stored signature index on the even half, append the odd half
+    * (banding parameters read from the store's own stamp, batch
+    * anti-join-guarded), and report the build-phase pairs ∪ the
+    * append-returned pairs. That union must equal a full recompute over
+    * the whole corpus — q36's exact chain — so the oracle IS q36's SQL:
+    * green here pins build + append ≡ full, on-disk, cross-engine. */
+  val q215 = Q(
+    "q215_lsh_stored_append",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      val db = "graft_q215"
+      val loc = java.nio.file.Files.createTempDirectory("graft-q215")
+      s.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$loc'")
+      s.sql(s"DROP TABLE IF EXISTS $db.lsh")
+      val oldDocs = docs.filter(col("doc_id") % 2 === 0)
+      graft.operators.Dedup.lshBuildIndex(oldDocs, "doc_id", "text",
+        s"$db.lsh", n = ShingleN, k = K, bands = Bands)
+      val newPairs = graft.operators.Dedup.lshIndexAppend(
+        s, s"$db.lsh", docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", threshold = 0.5)
+      val oldPairs = graft.operators.Dedup.minHashLshPairs(
+        oldDocs, "doc_id", "text",
+        n = ShingleN, k = K, bands = Bands, threshold = 0.5)
+      oldPairs.union(newPairs)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+          round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    },
+    Some(s"""
+      WITH ${nearDupCtes("documents")}
+      SELECT i.da AS doc_a, i.db AS doc_b,
+             ROUND(CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter), 4) AS jaccard
+      FROM inter i
+      JOIN sizes sa ON i.da = sa.doc_id
+      JOIN sizes sb ON i.db = sb.doc_id
+      WHERE CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter) >= 0.5
+      ORDER BY doc_a, doc_b"""))
+
   def all: Seq[Q] = Seq(q36, q37, q38, q45, q47, q51, q55, q134, q145, q146,
     q151, q152, q163, q166, q168, q170, q179, q180, q187, q191, q192, q193,
-    q194, q195, q196, q197, q201, q208)
+    q194, q195, q196, q197, q201, q208, q215)
 }

@@ -147,4 +147,50 @@ class IncrementalLshSpec extends SparkSpec {
       newDocs, "doc_id", "text"))
     incr.foreach { case (k, j) => assert(full.get(k).contains(j), s"pair $k") }
   }
+
+  test("stored index lifecycle: build + append == full recompute; replay appends nothing") {
+    val db = "graft_lsh_store"
+    val loc = java.nio.file.Files.createTempDirectory("graft-lsh-store")
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$loc'")
+    spark.sql(s"DROP TABLE IF EXISTS $db.idx")
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val b1 = docs.filter(col("doc_id") % 3 === 1)
+    val b0 = docs.filter(col("doc_id") % 3 === 0)
+    Dedup.lshBuildIndex(b1, "doc_id", "text", s"$db.idx")
+    val firstTwo = pairSet(Dedup.minHashLshPairs(
+      docs.filter(col("doc_id") % 3 =!= 2), "doc_id", "text"))
+    val b1Only = pairSet(Dedup.minHashLshPairs(b1, "doc_id", "text"))
+    val rowsBefore = spark.table(s"$db.idx").count()
+
+    val appended = pairSet(
+      Dedup.lshIndexAppend(spark, s"$db.idx", b0, "doc_id", "text"))
+    assert((b1Only ++ appended) === firstTwo)
+    assert(b1Only.intersect(appended).isEmpty)
+    assert(spark.table(s"$db.idx").count() == rowsBefore + b0.count())
+
+    // replayed append (client retry / crash after the data landed):
+    // zero new pairs, zero new rows — crash-convergent like ivfIndexAbsorb
+    val replay = pairSet(
+      Dedup.lshIndexAppend(spark, s"$db.idx", b0, "doc_id", "text"))
+    assert(replay.isEmpty, replay)
+    assert(spark.table(s"$db.idx").count() == rowsBefore + b0.count())
+
+    // a PARTIALLY replayed batch (b0 already stored, %3==2 genuinely
+    // new) pairs and lands only the new rows, and the chain converges
+    // to the full-corpus recompute
+    val mixed = docs.filter(col("doc_id") % 3 =!= 1)
+    val mixedPairs = pairSet(
+      Dedup.lshIndexAppend(spark, s"$db.idx", mixed, "doc_id", "text"))
+    val full = pairSet(Dedup.minHashLshPairs(docs, "doc_id", "text"))
+    assert((b1Only ++ appended ++ mixedPairs) === full)
+    assert(spark.table(s"$db.idx").count() == docs.count())
+
+    // the banding contract lives with the index: a store without the
+    // parameter stamp (half-built / foreign) refuses
+    spark.sql(s"ALTER TABLE $db.idx UNSET TBLPROPERTIES ('graft.lsh_k')")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.lshIndexAppend(spark, s"$db.idx", b0, "doc_id", "text")
+    }
+    assert(e.getMessage.contains("graft.lsh_k"), e.getMessage)
+  }
 }
