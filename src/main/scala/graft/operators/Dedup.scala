@@ -292,10 +292,21 @@ object Dedup {
     * band with the caller's — possibly different — parameters. */
   def lshBuildIndex(docs: DataFrame, id: String, text: String,
       table: String, n: Int = 4, k: Int = 16, bands: Int = 4,
-      numBuckets: Int = 16): Unit = {
+      numBuckets: Int = 16, threshold: Double = 0.5,
+      maxBucketSize: Int = DefaultMaxBucketSize): Unit = {
     require(bands >= 1 && k >= bands && k % bands == 0,
       s"signature length k=$k must be a positive multiple of bands=$bands")
     val spark = docs.sparkSession
+    // the pair LEDGER (`<table>__pairs`) is part of the durable state:
+    // the build seeds it with the build corpus's own verified pairs, and
+    // every append adds only its new pairs BEFORE the index rows land —
+    // so the ledger always equals a full recompute over the stored docs,
+    // and a crash can never lose a batch's pair report (see
+    // lshIndexAppend's crash analysis)
+    val pairs = minHashLshPairs(docs, id, text, n, k, bands, threshold,
+      maxBucketSize)
+    pairs.write.mode("overwrite").format("parquet")
+      .saveAsTable(lshPairsTableName(table))
     graft.operators.Layout.writeBucketed(
       indexDocs(docs, id, text, n, k), table,
       bucketCols = Seq(id), numBuckets = numBuckets)
@@ -303,6 +314,9 @@ object Dedup {
       s"'graft.lsh_n' = '$n', 'graft.lsh_k' = '$k', " +
       s"'graft.lsh_bands' = '$bands', 'graft.lsh_buckets' = '$numBuckets')")
   }
+
+  /** The durable pair ledger of a [[lshBuildIndex]] store. */
+  def lshPairsTableName(table: String): String = s"${table}__pairs"
 
   /** The LSH parameters a stored index was built with — the banding
     * contract lives WITH the index, so an append can never band a batch
@@ -349,6 +363,22 @@ object Dedup {
     val pairs = incrementalLshPairsIndexed(stored, fresh, id,
       k = k, bands = bands, threshold = threshold,
       maxBucketSize = maxBucketSize)
+    // Durability order: pair LEDGER first, index rows second. Crash
+    // after the ledger write but before the index append → the replay's
+    // anti-join still sees the batch as new, recomputes the SAME pairs
+    // (the batch ids are still absent from the store), and the
+    // ledger-side anti-join below drops them — convergent, no
+    // duplicates, no loss. Crash after both → the replay appends
+    // nothing and the pairs are already durable. The old order (index
+    // first) lost the batch's pair report forever if the caller died
+    // before persisting the returned frame.
+    val pt = lshPairsTableName(table)
+    val durable =
+      if (spark.catalog.tableExists(pt))
+        pairs.join(spark.table(pt).select(col("id_a"), col("id_b")),
+          Seq("id_a", "id_b"), "leftanti")
+      else pairs
+    durable.write.mode("append").format("parquet").saveAsTable(pt)
     graft.operators.Layout.appendBucketed(fresh, table,
       bucketCols = Seq(id), numBuckets = numBuckets)
     freeLocalCheckpoint(fresh) // pairs is checkpointed; safe to drop

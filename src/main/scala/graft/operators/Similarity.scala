@@ -293,11 +293,6 @@ object Similarity {
   /** The paired-codebook artifact table of a persisted IVF-PQ index. */
   def pqTableName(table: String): String = s"${table}__pq"
 
-  /** Canonical fingerprint of an anchor grid: md5 over the id-sorted
-    * (anchor_id, av) rows' exact float text. Driver-side over k rows —
-    * the same payload [[ivfAssign]] already collects to inline. */
-  private def gridFingerprint(anchors: DataFrame): String =
-    anchorFingerprintOf(anchors.select(col("anchor_id"), col("av")).collect())
 
   private def anchorFingerprintOf(rows: Array[org.apache.spark.sql.Row]): String = {
     // anchor_id follows ivfAssign's try_cast contract: any value that
@@ -348,18 +343,20 @@ object Similarity {
     * half-built check in [[requireGridMatch]]/[[storedAnchors]]), never
     * one that silently accepts an arbitrary grid. */
   private def writeAnchorsArtifact(spark: org.apache.spark.sql.SparkSession,
-      table: String, anchors: DataFrame): String = {
-    // ONE collect serves both the fingerprint and the artifact write
-    // (k anchor rows re-shipped as a local relation — no second
-    // distributed job against the anchors query)
+      table: String, anchors: DataFrame): (String, DataFrame) = {
+    // ONE collect serves the fingerprint, the artifact write AND the
+    // returned local grid the build assigns with — fingerprinting one
+    // execution of the anchors plan while assigning from another would
+    // let a nondeterministic plan (limit/sample without order) stamp
+    // grid A over B-assigned cells, and every later check would pass
     val proj = anchors.select(col("anchor_id"), col("av"))
     val rows = proj.collect()
     val gid = anchorFingerprintOf(rows)
     val at = anchorsTableName(table)
-    spark.createDataFrame(java.util.Arrays.asList(rows: _*), proj.schema)
-      .write.mode("overwrite").format("parquet").saveAsTable(at)
+    val local = spark.createDataFrame(java.util.Arrays.asList(rows: _*), proj.schema)
+    local.write.mode("overwrite").format("parquet").saveAsTable(at)
     spark.sql(s"ALTER TABLE $at SET TBLPROPERTIES ('graft.grid_id' = '$gid')")
-    gid
+    (gid, local)
   }
 
   /** The build-complete marker: stamping the index table with its grid
@@ -469,8 +466,8 @@ object Similarity {
     // artifact FIRST, data second, index grid-stamp LAST: every crash
     // window leaves a store the serving faces refuse (see
     // writeAnchorsArtifact's ordering contract)
-    val gid = writeAnchorsArtifact(emb.sparkSession, table, anchors)
-    Layout.writeBucketed(ivfAssign(emb, anchors, id, roundAt), table,
+    val (gid, grid) = writeAnchorsArtifact(emb.sparkSession, table, anchors)
+    Layout.writeBucketed(ivfAssign(emb, grid, id, roundAt), table,
       bucketCols = Seq("cell"), numBuckets = numBuckets)
     stampGridId(emb.sparkSession, table, gid)
   }
@@ -718,8 +715,16 @@ object Similarity {
     requireIntegralId(queries.select(col(qId).as(qId)), qId,
       "ivfSearchStoredBatch query batch")
     import spark.implicits._
-    val q = queries.select(col(qId).cast("long").as("q_id"),
+    // ONE execution of the caller's queries plan, re-shipped as a local
+    // relation (the writeAnchorsArtifact device): probe ranking and the
+    // final scoring join MUST see the same (q_id, qv) rows — a
+    // nondeterministic queries frame (limit/sample without order)
+    // evaluated twice could pair probe cells from one evaluation with
+    // vectors from another, returning plausible wrong neighbors
+    val qProj = queries.select(col(qId).cast("long").as("q_id"),
       col(qVec).as("qv"))
+    val q = spark.createDataFrame(
+      java.util.Arrays.asList(qProj.collect(): _*), qProj.schema)
     // per-query probe cells, driver-collected once: |batch| × nprobe
     // pairs — serving-tier metadata, not data volume
     val probePairs = probeRanks(anchors, q, nprobe, roundAt)
@@ -775,10 +780,10 @@ object Similarity {
     val spark = emb.sparkSession
     // both artifacts FIRST, codes data second, index stamps LAST —
     // same crash-refuses-to-serve ordering as ivfBuildIndex
-    val gid = writeAnchorsArtifact(spark, table, anchors)
+    val (gid, grid) = writeAnchorsArtifact(spark, table, anchors)
     val pid = writePqArtifact(spark, table, model)
     Layout.writeBucketed(
-      ivfAssign(emb, anchors, id, roundAt)
+      ivfAssign(emb, grid, id, roundAt)
         .withColumn("codes", pqCodesCol(col("embedding"), model, roundAt))
         .drop("embedding"),
       table, bucketCols = Seq("cell"), numBuckets = numBuckets)

@@ -1334,10 +1334,12 @@ object DedupQueries {
     * (`Dedup.{lshBuildIndex,lshIndexAppend}` — round 12): build the
     * stored signature index on the even half, append the odd half
     * (banding parameters read from the store's own stamp, batch
-    * anti-join-guarded), and report the build-phase pairs ∪ the
-    * append-returned pairs. That union must equal a full recompute over
-    * the whole corpus — q36's exact chain — so the oracle IS q36's SQL:
-    * green here pins build + append ≡ full, on-disk, cross-engine. */
+    * anti-join-guarded), then read back the store's durable PAIR LEDGER
+    * (`<table>__pairs` — seeded at build, grown pair-durably by every
+    * append). The ledger must equal a full recompute over the whole
+    * corpus — q36's exact chain — so the oracle IS q36's SQL: green
+    * here pins build + append ≡ full, through the on-disk ledger,
+    * cross-engine. */
   val q215 = Q(
     "q215_lsh_stored_append",
     (s, d) => {
@@ -1347,16 +1349,14 @@ object DedupQueries {
       val loc = java.nio.file.Files.createTempDirectory("graft-q215")
       s.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$loc'")
       s.sql(s"DROP TABLE IF EXISTS $db.lsh")
-      val oldDocs = docs.filter(col("doc_id") % 2 === 0)
-      graft.operators.Dedup.lshBuildIndex(oldDocs, "doc_id", "text",
+      s.sql(s"DROP TABLE IF EXISTS $db.lsh__pairs")
+      graft.operators.Dedup.lshBuildIndex(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
         s"$db.lsh", n = ShingleN, k = K, bands = Bands)
-      val newPairs = graft.operators.Dedup.lshIndexAppend(
+      graft.operators.Dedup.lshIndexAppend(
         s, s"$db.lsh", docs.filter(col("doc_id") % 2 === 1),
-        "doc_id", "text", threshold = 0.5)
-      val oldPairs = graft.operators.Dedup.minHashLshPairs(
-        oldDocs, "doc_id", "text",
-        n = ShingleN, k = K, bands = Bands, threshold = 0.5)
-      oldPairs.union(newPairs)
+        "doc_id", "text", threshold = 0.5).count()
+      s.table(graft.operators.Dedup.lshPairsTableName(s"$db.lsh"))
         .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
           round(col("jaccard"), 4).as("jaccard"))
         .orderBy("doc_a", "doc_b")

@@ -153,6 +153,7 @@ class IncrementalLshSpec extends SparkSpec {
     val loc = java.nio.file.Files.createTempDirectory("graft-lsh-store")
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$loc'")
     spark.sql(s"DROP TABLE IF EXISTS $db.idx")
+    spark.sql(s"DROP TABLE IF EXISTS $db.idx__pairs")
     val docs = Tables.documents(spark, sf("sf0.001"))
     val b1 = docs.filter(col("doc_id") % 3 === 1)
     val b0 = docs.filter(col("doc_id") % 3 === 0)
@@ -184,6 +185,13 @@ class IncrementalLshSpec extends SparkSpec {
     val full = pairSet(Dedup.minHashLshPairs(docs, "doc_id", "text"))
     assert((b1Only ++ appended ++ mixedPairs) === full)
     assert(spark.table(s"$db.idx").count() == docs.count())
+
+    // the durable pair LEDGER equals the full recompute at every point
+    // in the chain — seeded at build, grown by each append, never
+    // duplicated by the replay above
+    val ledger = spark.table(s"$db.idx__pairs")
+    assert(pairSet(ledger) === full)
+    assert(ledger.count() == full.size, "ledger holds duplicate pair rows")
 
     // the banding contract lives with the index: a store without the
     // parameter stamp (half-built / foreign) refuses
