@@ -34,6 +34,13 @@ import org.apache.spark.sql.types._
   *    CommandComplete / ReadyForQuery; empty string →
   *    EmptyQueryResponse; failures → ErrorResponse then ReadyForQuery
   *    (a bad query is a result — the connection stays usable).
+  *  - COPY sub-protocol, export face: `COPY (query) TO STDOUT` /
+  *    `COPY table [(cols)] TO STDOUT` → CopyOutResponse / CopyData* /
+  *    CopyDone / CommandComplete, in postgres TEXT format (tab, `\N`,
+  *    control escapes) or CSV (`FORMAT csv`, optional `HEADER`) — the
+  *    bulk path psql `\copy ... to` and pgJDBC CopyManager.copyOut
+  *    speak; rows stream via toLocalIterator with NO row cap (bulk
+  *    export is the point). `COPY ... FROM STDIN` refuses with 0A000.
   *  - Extended protocol: Parse/Bind/Describe/Execute/Close/Flush/Sync,
   *    including `$n` parameter binding in BOTH wire formats: Bind's
   *    values are substituted into the statement as typed SQL literals
@@ -482,13 +489,19 @@ final class PgWireServer(spark: SparkSession, maxRows: Int = 10000,
       while (!failed && it.hasNext) {
         val stmt = it.next()
         try {
-          val df = textualize(st.sess.sql(stmt))
-          val schema = df.schema
-          if (schema.nonEmpty) writeRowDescription(out, schema)
-          val n = if (schema.nonEmpty) writeRows(out, df) else 0L
-          dmlTagNotice(stmt).foreach(writeNotice(out, _))
-          writeMsg(out, 'C') { b => writeCStr(b, commandTag(stmt, n)) }
+          if (isCopyStatement(stmt)) copyOut(st, out, stmt)
+          else {
+            val df = textualize(st.sess.sql(stmt))
+            val schema = df.schema
+            if (schema.nonEmpty) writeRowDescription(out, schema)
+            val n = if (schema.nonEmpty) writeRows(out, df) else 0L
+            dmlTagNotice(stmt).foreach(writeNotice(out, _))
+            writeMsg(out, 'C') { b => writeCStr(b, commandTag(stmt, n)) }
+          }
         } catch {
+          case e: PgProtocolError =>
+            writeError(out, e.code, e.getMessage)
+            failed = true
           case e: Exception =>
             writeError(out, "42601", String.valueOf(e.getMessage))
             failed = true
@@ -550,6 +563,149 @@ final class PgWireServer(spark: SparkSession, maxRows: Int = 10000,
     // `SELECT 1; -- done` as one message, and the trailing comment must
     // not reach spark.sql as a bogus second statement
     segments.result().collect { case (s, true) => s.trim }.filter(_.nonEmpty)
+  }
+
+  // ---- COPY sub-protocol (bulk export) ----
+
+  /** A protocol-level failure with its SQLSTATE — thrown by the COPY
+    * parser so the catch site can ship the right code ('0A000' for
+    * unsupported forms) instead of blanket syntax-error. */
+  private final class PgProtocolError(val code: String, msg: String)
+    extends Exception(msg)
+
+  private def isCopyStatement(stmt: String): Boolean =
+    stmt.trim.length >= 5 && stmt.trim.take(5).matches("(?i)copy[\\s(]")
+
+  /** `COPY (query) TO STDOUT [options]` / `COPY table [(cols)] TO
+    * STDOUT [options]` — the bulk-export face psql's `\\copy ... to`
+    * and pgJDBC's CopyManager.copyOut speak. Unlike the row-capped
+    * DataRow path, COPY streams EVERY row through `toLocalIterator`
+    * (one partition in driver memory at a time — bulk export is the
+    * one place the cap would defeat the point). Formats: postgres TEXT
+    * (tab delimiter, `\\N` null, control-char escapes) and CSV
+    * (RFC-style quoting, empty=null, `""`=empty string, optional
+    * HEADER row). `COPY ... FROM STDIN` is refused with a clean 0A000
+    * — this gateway is an export face; ingest goes through the
+    * library's write paths, not the wire. */
+  private def copyOut(st: SessionState, out: DataOutputStream,
+      stmt: String): Unit = {
+    val body = stmt.trim.drop(4).trim // after COPY
+    val (target, direction, tail) = splitCopyTarget(body)
+    if (direction.equalsIgnoreCase("FROM"))
+      throw new PgProtocolError("0A000",
+        "COPY FROM STDIN is not supported: this gateway is an export " +
+          "face — load data through the library's write paths")
+    val tailTrim = tail.trim
+    if (!tailTrim.take(6).equalsIgnoreCase("STDOUT"))
+      throw new PgProtocolError("0A000",
+        "only COPY ... TO STDOUT is supported (no server-side files)")
+    val opts = tailTrim.drop(6).toLowerCase
+    val csv = "\\bcsv\\b".r.findFirstIn(opts).isDefined
+    val header = csv &&
+      "\\bheader\\b(?!\\s+(false|off|0))".r.findFirstIn(opts).isDefined
+    val select =
+      if (target.startsWith("(")) target.substring(1, target.length - 1)
+      else {
+        // table name with optional parenthesized column list
+        val m = "^([^(\\s]+)\\s*(?:\\(([^)]*)\\))?$".r
+        target.trim match {
+          case m(tbl, cols) =>
+            val proj = Option(cols).map(_.trim).filter(_.nonEmpty).getOrElse("*")
+            s"SELECT $proj FROM $tbl"
+          case other =>
+            throw new PgProtocolError("42601", s"cannot parse COPY target: $other")
+        }
+      }
+    val df = textualize(st.sess.sql(select))
+    val fields = df.schema.fields
+    writeMsg(out, 'H') { b => // CopyOutResponse: overall + per-col text format
+      b.writeByte(0)
+      b.writeShort(fields.length)
+      fields.foreach(_ => b.writeShort(0))
+    }
+    def copyData(line: String): Unit = writeMsg(out, 'd') { b =>
+      b.write(line.getBytes(StandardCharsets.UTF_8)); b.write('\n')
+    }
+    if (header) copyData(fields.map(f => csvCell(f.name)).mkString(","))
+    var n = 0L
+    // the bulk path: stream partitions, never a capped collect
+    val it = df.toLocalIterator()
+    while (it.hasNext) {
+      val row = it.next()
+      val cells = (0 until row.length).map { i =>
+        if (row.isNullAt(i)) { if (csv) "" else "\\N" }
+        else {
+          val s = renderCell(row.get(i))
+          if (csv) { if (s.isEmpty) "\"\"" else csvCell(s) }
+          else copyTextEscape(s)
+        }
+      }
+      copyData(cells.mkString(if (csv) "," else "\t"))
+      n += 1
+    }
+    writeMsg(out, 'c') { _ => } // CopyDone
+    writeMsg(out, 'C') { b => writeCStr(b, s"COPY $n") }
+  }
+
+  /** Split `COPY <target> <TO|FROM> <rest>` at the first top-level
+    * TO/FROM keyword (outside quotes and parens), so a subquery's own
+    * TO/FROM tokens can't truncate the target. */
+  private def splitCopyTarget(body: String): (String, String, String) = {
+    var i = 0
+    var depth = 0
+    var state: Char = 'n'
+    while (i < body.length) {
+      val c = body.charAt(i)
+      state match {
+        case 'n' =>
+          if (c == '\'') state = 's'
+          else if (c == '"') state = 'd'
+          else if (c == '(') depth += 1
+          else if (c == ')') depth -= 1
+          else if (depth == 0 && (c == 't' || c == 'T' || c == 'f' || c == 'F')) {
+            val boundaryBefore = i == 0 || body.charAt(i - 1).isWhitespace ||
+              body.charAt(i - 1) == ')'
+            def wordIs(w: String): Boolean =
+              boundaryBefore && i + w.length <= body.length &&
+                body.substring(i, i + w.length).equalsIgnoreCase(w) &&
+                (i + w.length == body.length ||
+                  body.charAt(i + w.length).isWhitespace)
+            if (wordIs("TO"))
+              return (body.substring(0, i).trim, "TO", body.substring(i + 2))
+            if (wordIs("FROM"))
+              return (body.substring(0, i).trim, "FROM", body.substring(i + 4))
+          }
+        case 's' => if (c == '\'') state = 'n'
+        case 'd' => if (c == '"') state = 'n'
+      }
+      i += 1
+    }
+    throw new PgProtocolError("42601",
+      "cannot parse COPY statement: expected TO STDOUT after the target")
+  }
+
+  /** CSV cell per postgres COPY CSV rules: quote iff the cell contains
+    * the delimiter, a quote, or a line break; quotes double. */
+  private def csvCell(s: String): String =
+    if (s.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r'))
+      "\"" + s.replace("\"", "\"\"") + "\""
+    else s
+
+  /** Postgres TEXT-format escapes: backslash and the control characters
+    * the format reserves; everything else passes through raw. */
+  private def copyTextEscape(s: String): String = {
+    val b = new StringBuilder(s.length)
+    s.foreach {
+      case '\\' => b.append("\\\\")
+      case '\n' => b.append("\\n")
+      case '\r' => b.append("\\r")
+      case '\t' => b.append("\\t")
+      case '\b' => b.append("\\b")
+      case '\f' => b.append("\\f")
+      case 0x0b => b.append("\\v")
+      case c => b.append(c)
+    }
+    b.toString
   }
 
   // ---- extended protocol ----

@@ -1064,4 +1064,68 @@ class PgWireSpec extends SparkSpec {
       assert(results.stream().allMatch(n => n >= 21 && n <= 25))
     }
   }
+
+  // ---- COPY sub-protocol (bulk export) ----
+
+  private def copyFrames(msgs: Seq[(Char, Array[Byte])]): (Seq[String], Boolean, Option[String]) = {
+    val lines = msgs.filter(_._1 == 'd')
+      .map(p => new String(p._2, StandardCharsets.UTF_8))
+    val done = msgs.exists(_._1 == 'c')
+    (lines, done, commandTag(msgs))
+  }
+
+  test("COPY (query) TO STDOUT streams text-format rows: tab delimiter, \\N nulls, escapes") {
+    withServer() { (_, port) =>
+      val c = new Client(port); c.connect()
+      val msgs = c.query(
+        "COPY (SELECT 1 AS a, CAST(NULL AS STRING) AS b, 'x\ty\\\\z' AS s " +
+          "UNION ALL SELECT 2, 'ok', 'line1\nline2' ORDER BY a) TO STDOUT")
+      // CopyOutResponse advertises 3 text-format columns
+      val h = msgs.find(_._1 == 'H').get._2
+      assert(h(0) == 0 && ((h(1) << 8) | h(2)) == 3, h.toSeq)
+      val (lines, done, tag) = copyFrames(msgs)
+      assert(done && tag.contains("COPY 2"), msgs.map(_._1))
+      assert(lines == Seq(
+        "1\t\\N\tx\\ty\\\\z\n",
+        "2\tok\tline1\\nline2\n"), lines)
+      // the connection stays usable after the copy
+      assert(dataRows(c.query("SELECT 7 AS n")) == Seq(Seq(Some("7"))))
+      c.close()
+    }
+  }
+
+  test("COPY table TO STDOUT with column list and CSV HEADER quoting rules") {
+    Tables.region(spark, sf("sf0.001")).createOrReplaceTempView("pg_copy_region")
+    withServer() { (_, port) =>
+      val c = new Client(port); c.connect()
+      val msgs = c.query(
+        "COPY pg_copy_region (r_regionkey, r_name) TO STDOUT (FORMAT csv, HEADER)")
+      val (lines, done, tag) = copyFrames(msgs)
+      assert(done && tag.exists(_.startsWith("COPY ")))
+      assert(lines.head == "r_regionkey,r_name\n", lines.head)
+      assert(lines.length >= 2)
+      assert(lines.tail.forall(_.split(",").length == 2), lines.tail)
+      // CSV null vs empty-string distinction + quoting of the delimiter
+      val q = c.query("COPY (SELECT CAST(NULL AS STRING) AS a, '' AS b, " +
+        "'a,b' AS m, 'q\"q' AS qq) TO STDOUT (FORMAT CSV)")
+      assert(copyFrames(q)._1 == Seq(",\"\",\"a,b\",\"q\"\"q\"\n"), copyFrames(q)._1)
+      c.close()
+    }
+  }
+
+  test("COPY refusals: FROM STDIN and server-side files get 0A000, connection survives") {
+    withServer() { (_, port) =>
+      val c = new Client(port); c.connect()
+      val fromStdin = c.query("COPY pg_copy_region FROM STDIN")
+      assert(errorMessage(fromStdin).exists(_.contains("not supported")), fromStdin.map(_._1))
+      val toFile = c.query("COPY (SELECT 1) TO '/tmp/evil'")
+      assert(errorMessage(toFile).exists(_.toLowerCase.contains("stdout")))
+      // a subquery whose OWN from/to tokens must not confuse the splitter
+      val nested = c.query(
+        "COPY (SELECT r_name FROM pg_copy_region WHERE r_name LIKE '%to%' OR 1=1 ORDER BY r_name LIMIT 1) TO STDOUT")
+      assert(copyFrames(nested)._3.contains("COPY 1"), nested.map(_._1))
+      assert(dataRows(c.query("SELECT 3 AS n")) == Seq(Seq(Some("3"))))
+      c.close()
+    }
+  }
 }
