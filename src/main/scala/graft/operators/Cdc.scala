@@ -41,9 +41,22 @@ object Cdc {
     * original columns. `tieBreak` totalizes the order for same-ts rows
     * so interval boundaries are deterministic. */
   def scd2(log: DataFrame, key: String, ts: String, tieBreak: String): DataFrame = {
+    val outCols = Seq("valid_from", "valid_to", "is_current")
+    val clash = outCols.filter(log.columns.contains)
+    require(clash.isEmpty, // withColumn would silently REPLACE them
+      s"column(s) ${clash.mkString(",")} collide with scd2's output " +
+        "columns — rename them first (re-running scd2 on its own output " +
+        "would silently clobber the intervals)")
     val w = Window.partitionBy(key).orderBy(ts, tieBreak)
     log
-      .withColumn("valid_from", col(ts))
+      // a NULL change timestamp has no place on a validity timeline —
+      // nulls-first ordering would make lead(ts) of the first null row
+      // the SECOND row's null, indistinguishable from the open interval,
+      // so is_current would hold on a non-latest row. Refuse in-plan.
+      .withColumn("valid_from",
+        when(col(ts).isNotNull, col(ts)).otherwise(raise_error(
+          lit(s"scd2: null $ts — a change row without a timestamp cannot " +
+            "be placed on the validity timeline"))))
       .withColumn("valid_to", lead(col(ts), 1).over(w))
       .withColumn("is_current", col("valid_to").isNull)
   }
@@ -52,12 +65,15 @@ object Cdc {
     * `order` columns descending-first semantics supplied by the caller
     * (e.g. Seq(col("ts").desc, col("id").desc)). One window pass — no
     * max-subquery self-join, which would scan and shuffle twice. */
-  def compactLatest(log: DataFrame, key: String, order: Seq[Column]): DataFrame =
+  def compactLatest(log: DataFrame, key: String, order: Seq[Column]): DataFrame = {
+    require(!log.columns.contains("__rn"), // withColumn would REPLACE it
+      "column __rn collides with compactLatest's working column — rename it first")
     log
       .withColumn("__rn", row_number().over(
         Window.partitionBy(key).orderBy(order: _*)))
       .filter(col("__rn") === 1)
       .drop("__rn")
+  }
 
   /** Reconcile two versions of a keyed table: one row per key with
     * status added / removed / changed / unchanged, judged on
@@ -65,9 +81,21 @@ object Cdc {
     * key; only key + compared columns travel. */
   def tableDiff(v1: DataFrame, v2: DataFrame, key: String,
       compareCols: Seq[String]): DataFrame = {
-    val a = v1.select((key +: compareCols).map(col): _*)
+    // one-row-per-key is the documented CONTRACT: a duplicated key in
+    // either version would make the full outer join a per-key cross
+    // product of status rows (silently double-counting changes). The
+    // per-key count window rides the same hash partitioning the join
+    // needs, so the guard adds no extra shuffle.
+    def guarded(v: DataFrame, side: String): DataFrame = v
+      .withColumn("__kn", count(lit(1)).over(Window.partitionBy(col(key))))
+      .filter(isnull(assert_true(col("__kn") === 1,
+        concat(lit(s"tableDiff: duplicate $side-side key "), col(key).cast("string"),
+          lit(" — the one-row-per-key contract requires pre-compaction " +
+            "(compactLatest)")))))
+      .drop("__kn")
+    val a = guarded(v1.select((key +: compareCols).map(col): _*), "v1")
       .withColumn("__in_a", lit(true)).as("a")
-    val b = v2.select((key +: compareCols).map(col): _*)
+    val b = guarded(v2.select((key +: compareCols).map(col): _*), "v2")
       .withColumn("__in_b", lit(true)).as("b")
     val changed = compareCols
       .map(c => !(col(s"a.$c") <=> col(s"b.$c")))
@@ -185,8 +213,13 @@ object Cdc {
         keys.map(k => col(k) <=> col(s"__d_$k")).foldLeft(lit(true))(_ && _),
         "full_outer")
       .select((keys.map(k => coalesce(col(k), col(s"__d_$k")).as(k)) ++
+        // cast each merged sum back to the STATE's column type: Add on
+        // decimals widens precision by one (decimal(20,0) -> 21 -> 22
+        // ...), so without the cast every refresh cycle would drift the
+        // maintained state's schema until it caps at 38 — breaking
+        // fixed-schema sinks fed by the state
         aggCols.map(c => coalesce(col(c) + col(s"__d_$c"),
-          col(c), col(s"__d_$c")).as(c)) ++
+          col(c), col(s"__d_$c")).cast(state.schema(c).dataType).as(c)) ++
         minCols.map(c => least(col(c), col(s"__d_$c")).as(c)) ++
         maxCols.map(c => greatest(col(c), col(s"__d_$c")).as(c))): _*)
   }

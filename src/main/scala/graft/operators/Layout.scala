@@ -67,6 +67,10 @@ object Layout {
       out: String = "ntile"): DataFrame = {
     require(buckets > 0, s"ntile bucket count must be positive, got $buckets")
     require(orderCols.nonEmpty, "distributedNtile needs at least one sort column")
+    val clash = Seq("__pid", "__prev").filter(df.columns.contains)
+    require(clash.isEmpty, // withColumn would silently REPLACE them
+      s"column(s) ${clash.mkString(",")} collide with distributedNtile's " +
+        "working columns — rename them first")
     val pinned = df
       .repartitionByRange(orderCols: _*)
       .sortWithinPartitions(orderCols: _*)
@@ -118,6 +122,8 @@ object Layout {
     require(supported.contains(joinType.toLowerCase.replace("_", "")),
       s"saltedJoin supports fact-side-preserving join types only, got '$joinType' " +
         "(right/full outer would emit one row per salt for unmatched dim keys)")
+    require(!skewed.columns.contains("__salt") && !dim.columns.contains("__salt"),
+      "column __salt collides with saltedJoin's working column — rename it first")
     val saltedFact = skewed.withColumn("__salt",
       pmod(hash(col(key), monotonically_increasing_id()), lit(salts)))
     val saltedDim = dim.withColumn("__salt",
@@ -145,10 +151,15 @@ object Layout {
     // into range, or raise `bits`.
     def checked(c: Column): Column = {
       val l = c.cast("long")
+      // NULL falls through the when-condition to the refusal too —
+      // name it, so a nullable clustering column fails with "null has
+      // no z-order position" instead of a misleading range message
       when(l >= 0 && l < cap, l).otherwise(raise_error(format_string(
-        s"zValue: value %s outside [0, $cap) — low-$bits-bit interleave " +
-          "would collide distant values; normalize the column or raise bits",
-        l.cast("string"))))
+        s"zValue: value %s outside [0, $cap) — a NULL has no z-order " +
+          s"position (filter or impute first) and a low-$bits-bit " +
+          "interleave would collide distant values; normalize the " +
+          "column or raise bits",
+        coalesce(l.cast("string"), lit("null")))))
     }
     val (al, bl) = (checked(a), checked(b))
     (0 until bits).map { i =>
@@ -168,12 +179,15 @@ object Layout {
     * a y-range predicate touches every x-sorted file but a minority of
     * z-ordered ones). */
   def zorderWrite(df: DataFrame, dir: String, colA: String, colB: String,
-      numFiles: Int, bits: Int = 16): Unit =
+      numFiles: Int, bits: Int = 16): Unit = {
+    require(!df.columns.contains("__z"), // withColumn would REPLACE it
+      "column __z collides with zorderWrite's working column — rename it first")
     df.withColumn("__z", zValue(col(colA), col(colB), bits))
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
       .write.mode("overwrite").parquet(dir)
+  }
 
   /** Per-file column statistics of whatever the frame scans — the
     * file-skipping audit for a layout: one row per input file with row

@@ -59,6 +59,15 @@ object TemporalJoin {
         leftCols.filterNot(_ == key).map(col) :+
         lit(null).cast(rType).as("__r"): _*)
     val r = right
+      // rows that can NEVER match under the documented semantics:
+      // `l.t >= r.t` is false for a NULL right time, and the equality
+      // key never matches NULL. Unfiltered, the window's nulls-first
+      // ordering would treat a NULL right time as "-infinity" (matching
+      // everything after it), and partitionBy would pair NULL keys with
+      // each other — both silent wrong attributions clean oracle data
+      // never exercises. A NULL LEFT time/key needs no guard: it sorts
+      // before every (filtered) right row and null-extends correctly.
+      .filter(col(key).isNotNull && col(rightTime).isNotNull)
       .withColumn("__t", col(rightTime))
       .withColumn("__side", lit(0))
       .select(Seq(col(key), col("__t"), col("__side")) ++
@@ -108,15 +117,23 @@ object TemporalJoin {
     require(clash.isEmpty, // withColumn would silently REPLACE them
       s"column(s) ${clash.mkString(",")} collide with intervalJoin's working columns — rename them first")
     val width = upperMicros - lowerMicros
-    def bucketOf(t: Column): Column = floor(t / lit(width))
+    // integral floor-division via SQL `div`, never `/`: Divide runs in
+    // DOUBLE, and beyond 2^53 µs (far-future sentinel timestamps) the
+    // two sides' buckets would round independently and could disagree
+    // by one at a boundary — silently dropping a true match before the
+    // exact range filter ever sees it. pmod keeps the remainder
+    // non-negative, so `div`'s truncation equals mathematical floor for
+    // negative times too, all in 64-bit integer arithmetic.
+    def bucketExpr(t: String): String =
+      s"(($t) - pmod(($t), ${width}L)) div ${width}L"
     val l = left
       .withColumn("__lt", unix_micros(col(leftTime)))
-      .withColumn("__bucket",
-        explode(sequence(bucketOf(col("__lt") + lit(lowerMicros)),
-          bucketOf(col("__lt") + lit(upperMicros)))))
+      .withColumn("__bucket", explode(expr(
+        s"sequence(${bucketExpr(s"__lt + (${lowerMicros}L)")}, " +
+          s"${bucketExpr(s"__lt + (${upperMicros}L)")})")))
     val r = right
       .withColumn("__rt", unix_micros(col(rightTime)))
-      .withColumn("__bucket", bucketOf(col("__rt")))
+      .withColumn("__bucket", expr(bucketExpr("__rt")))
     l.join(r, Seq(key, "__bucket"))
       .filter(col("__rt") >= col("__lt") + lit(lowerMicros) &&
         col("__rt") < col("__lt") + lit(upperMicros))

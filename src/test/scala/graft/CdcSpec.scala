@@ -216,4 +216,53 @@ class CdcSpec extends SparkSpec {
     assert(Cdc.completeVersions(spark, s"$root/t") == Seq(3L))
     assert(Cdc.readLatest(spark, s"$root/t").count() == 1L)
   }
+
+  test("scd2 refuses NULL change timestamps instead of faking multiple current rows") {
+    val log = Seq(
+      (1L, None: Option[java.sql.Timestamp], "a"),
+      (1L, None: Option[java.sql.Timestamp], "b"),
+      (1L, Some(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")), "c"))
+      .toDF("k", "ts", "v")
+    val e = intercept[Exception] {
+      Cdc.scd2(log, "k", "ts", "v").collect()
+    }
+    assert(String.valueOf(e.getMessage).contains("null ts"), e.getMessage)
+    // and re-running scd2 on its own output refuses instead of clobbering
+    val ok = Cdc.scd2(log.filter(col("ts").isNotNull), "k", "ts", "v")
+    val e2 = intercept[IllegalArgumentException] {
+      Cdc.scd2(ok, "k", "ts", "v")
+    }
+    assert(e2.getMessage.contains("valid_from"), e2.getMessage)
+  }
+
+  test("tableDiff refuses duplicate keys instead of emitting a per-key cross product") {
+    val v1 = Seq((7L, "a"), (7L, "b"), (8L, "c")).toDF("k", "v")
+    val v2 = Seq((7L, "a"), (8L, "c")).toDF("k", "v")
+    val e = intercept[Exception] {
+      Cdc.tableDiff(v1, v2, "k", Seq("v")).collect()
+    }
+    assert(String.valueOf(e.getMessage).contains("duplicate v1-side key"),
+      e.getMessage)
+    // unique keys still diff normally
+    val ok = Cdc.tableDiff(v1.filter(col("v") =!= "b"), v2, "k", Seq("v"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(ok == Map(7L -> "unchanged", 8L -> "unchanged"), ok)
+  }
+
+  test("refreshAgg keeps the state's decimal type stable across refresh cycles") {
+    val state = spark.sql(
+      "SELECT 1L AS k, CAST(10 AS DECIMAL(20,0)) AS s")
+    val delta = spark.sql(
+      "SELECT 1L AS k, CAST(5 AS DECIMAL(20,0)) AS s")
+    var cur = state
+    // Add widens decimal precision by one per cycle; without the cast
+    // the third refresh would already be decimal(23,0) and a
+    // fixed-schema sink fed by the state would refuse the drift
+    (1 to 3).foreach { _ =>
+      cur = Cdc.refreshAgg(cur, delta, Seq("k"), Seq("s"))
+      assert(cur.schema("s").dataType == state.schema("s").dataType,
+        cur.schema("s").dataType.toString)
+    }
+    assert(cur.collect().head.getDecimal(1).longValueExact == 25L)
+  }
 }

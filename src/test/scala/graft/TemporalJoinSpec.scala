@@ -96,4 +96,39 @@ class TemporalJoinSpec extends AnyFunSuite with SparkSpec {
     intercept[IllegalArgumentException](
       TemporalJoin.intervalJoin(l2, r, "key", "lt", "rt", -1000000L, 0L))
   }
+
+  test("asOf: NULL right times and NULL keys never match (ASOF `l.t >= r.t` semantics)") {
+    import spark.implicits._
+    // a NULL right time would sort nulls-first ('-infinity') and attach
+    // to every left row with no other preceding right row; a NULL key
+    // would pair with a NULL-key left row through the window partition —
+    // both diverge from the documented equality/inequality semantics
+    val left = Seq((Some(1L), ts("2024-01-01 10:00:00")),
+        (None: Option[Long], ts("2024-01-01 11:00:00")))
+      .toDF("key", "lt")
+    val right = Seq(
+        (Some(1L), None: Option[java.sql.Timestamp], Some(9.0)),
+        (None: Option[Long], Some(ts("2024-01-01 09:00:00")), Some(7.0)))
+      .toDF("key", "rt", "price")
+    val got = TemporalJoin.asOf(left, right, "key", "lt", "rt", Seq("price"))
+      .collect().map(r => (Option(r.get(0)), Option(r.get(2)))).toSet
+    // both left rows survive (left outer) and neither matched anything
+    assert(got == Set((Some(1L), None), (None, None)), got)
+  }
+
+  test("intervalJoin: bucket math is exact past 2^53 microseconds (far-future sentinels)") {
+    import spark.implicits._
+    // unix_micros(9999-12-31) ~ 2.5e17 > 2^53: double division would
+    // round the two sides' buckets independently and could disagree at
+    // a boundary, silently dropping the pair before the range filter
+    val farL = "9999-12-30 23:59:59"
+    val farR = "9999-12-31 00:00:30"
+    val l = Seq((1L, ts(farL))).toDF("key", "lt")
+    val r = Seq((1L, ts(farR)), (1L, ts("9999-12-31 00:02:00"))).toDF("key", "rt")
+    // window [0, +60s): only the :00:30 row is inside
+    val got = TemporalJoin.intervalJoin(l, r, "key", "lt", "rt",
+        0L, 60L * 1000000L)
+      .select("rt").collect().map(_.getTimestamp(0)).toSet
+    assert(got == Set(ts(farR)), got)
+  }
 }
