@@ -5,7 +5,12 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir) = args match {
+      case Array(s, o) => (s, o)
+      case _ =>
+        System.err.println("usage: graft.Verify <sfDir> <outDir>")
+        sys.exit(2)
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.local("graft-verify", cpus.toInt)
     new java.io.File(outDir).mkdirs()

@@ -217,9 +217,24 @@ object Cdc {
         // decimals widens precision by one (decimal(20,0) -> 21 -> 22
         // ...), so without the cast every refresh cycle would drift the
         // maintained state's schema until it caps at 38 — breaking
-        // fixed-schema sinks fed by the state
-        aggCols.map(c => coalesce(col(c) + col(s"__d_$c"),
-          col(c), col(s"__d_$c")).cast(state.schema(c).dataType).as(c)) ++
+        // fixed-schema sinks fed by the state. Under non-ANSI mode a
+        // merged sum that GENUINELY exceeds the state type casts to
+        // NULL — which the next refresh's coalesce would read as "no
+        // state", silently dropping the accumulated total. Overflow must
+        // refuse loudly instead: a non-null merged value whose cast came
+        // back null is asserted in-plan.
+        aggCols.map { c =>
+          val merged = coalesce(col(c) + col(s"__d_$c"),
+            col(c), col(s"__d_$c"))
+          val narrowed = merged.cast(state.schema(c).dataType)
+          when(merged.isNotNull && narrowed.isNull,
+            raise_error(concat(
+              lit(s"refreshAgg: merged value of '$c' overflows the state " +
+                s"type ${state.schema(c).dataType.simpleString} (value "),
+              merged.cast("string"),
+              lit(") — widen the state column before refreshing"))))
+            .otherwise(narrowed).as(c)
+        } ++
         minCols.map(c => least(col(c), col(s"__d_$c")).as(c)) ++
         maxCols.map(c => greatest(col(c), col(s"__d_$c")).as(c))): _*)
   }

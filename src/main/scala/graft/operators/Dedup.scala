@@ -283,13 +283,24 @@ object Dedup {
     * as an id-bucketed table with the LSH parameters stamped as table
     * properties — the on-disk twin of the in-memory index frame, so the
     * dedup state survives restarts and grows by [[lshIndexAppend]]
-    * batches exactly like the IVF family's stored indexes.
+    * batches exactly like the IVF family's stored indexes. The banded
+    * rows are ALSO persisted, as the `<table>__bands` twin bucketed on
+    * a (band, sig) hash key, so appends read only the buckets the batch
+    * collides into instead of re-banding the whole store (see
+    * [[storedBandsPruned]]).
     *
     * Ordering contract (the round-12 crash rule shared with
     * `Similarity.ivfBuildIndex`): the parameter stamp is the LAST build
     * step, so a crash mid-build leaves a table [[lshIndexAppend]]
     * REFUSES (no params = half-built) instead of one it would silently
-    * band with the caller's — possibly different — parameters. */
+    * band with the caller's — possibly different — parameters. A
+    * REBUILD over an existing store additionally UNSETS the old stamp
+    * as its FIRST step: without that, a crash between the ledger
+    * overwrite and the index overwrite would leave the OLD index (old
+    * stamp still valid, so appends would serve it) paired with the NEW
+    * corpus's ledger — silently breaking the ledger-equals-recompute
+    * invariant. Un-stamping first makes every mid-rebuild crash window
+    * a refusal. */
   def lshBuildIndex(docs: DataFrame, id: String, text: String,
       table: String, n: Int = 4, k: Int = 16, bands: Int = 4,
       numBuckets: Int = 16, threshold: Double = 0.5,
@@ -297,6 +308,10 @@ object Dedup {
     require(bands >= 1 && k >= bands && k % bands == 0,
       s"signature length k=$k must be a positive multiple of bands=$bands")
     val spark = docs.sparkSession
+    if (spark.catalog.tableExists(table))
+      spark.sql(s"ALTER TABLE $table UNSET TBLPROPERTIES IF EXISTS (" +
+        "'graft.lsh_n', 'graft.lsh_k', 'graft.lsh_bands', " +
+        "'graft.lsh_buckets')")
     // the pair LEDGER (`<table>__pairs`) is part of the durable state:
     // the build seeds it with the build corpus's own verified pairs, and
     // every append adds only its new pairs BEFORE the index rows land —
@@ -307,9 +322,17 @@ object Dedup {
       maxBucketSize)
     pairs.write.mode("overwrite").format("parquet")
       .saveAsTable(lshPairsTableName(table))
+    // the index rows feed two writes (bands + main) — materialize the
+    // signature pass once instead of running the fused kernel twice
+    val index = indexDocs(docs, id, text, n, k).localCheckpoint(true)
     graft.operators.Layout.writeBucketed(
-      indexDocs(docs, id, text, n, k), table,
+      withBandsKey(bandedSignatures(index.select(col(id), col("mh")),
+        id, k, bands)),
+      lshBandsTableName(table), bucketCols = Seq("bkey"),
+      numBuckets = numBuckets)
+    graft.operators.Layout.writeBucketed(index, table,
       bucketCols = Seq(id), numBuckets = numBuckets)
+    freeLocalCheckpoint(index)
     spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES (" +
       s"'graft.lsh_n' = '$n', 'graft.lsh_k' = '$k', " +
       s"'graft.lsh_bands' = '$bands', 'graft.lsh_buckets' = '$numBuckets')")
@@ -317,6 +340,61 @@ object Dedup {
 
   /** The durable pair ledger of a [[lshBuildIndex]] store. */
   def lshPairsTableName(table: String): String = s"${table}__pairs"
+
+  /** The banded-rows twin of a [[lshBuildIndex]] store: one row per
+    * (doc, band) with the bucket signature precomputed — what appends
+    * scan instead of re-banding every stored signature. */
+  def lshBandsTableName(table: String): String = s"${table}__bands"
+
+  /** Bucket-key domain of the `__bands` twin. The table is BUCKETED on
+    * `bkey = pmod(hash(band, sig), domain)`, so an append's
+    * `bkey IN (batch keys)` filter prunes FILES (the IVF family's
+    * `cell IN (...)`/SelectedBucketsCount device) — a small batch (the
+    * serving-style trickle append) reads only the buckets it can collide
+    * into. The domain caps the IN-list the driver collects at 1024
+    * int literals regardless of batch size; pruning granularity itself
+    * is the table's numBuckets. */
+  private[graft] val BandsKeyDomain = 1024
+
+  private def bandsKey: Column =
+    pmod(hash(col("band"), col("sig")), lit(BandsKeyDomain))
+
+  private def withBandsKey(banded: DataFrame): DataFrame =
+    banded.withColumn("bkey", bandsKey)
+
+  /** The stored `__bands` rows that can collide with a batch — the
+    * batch-proportional read at the heart of [[lshIndexAppend]]:
+    * (1) the batch's ≤[[BandsKeyDomain]] distinct bucket keys are
+    * driver-collected and pushed as `bkey IN (...)` into the bucketed
+    * scan (file pruning, SelectedBucketsCount — pinned by
+    * IncrementalLshSpec); (2) an exact broadcast semi-join on the
+    * batch's (band, sig) keys prunes the surviving rows map-side;
+    * (3) `dropDuplicates` over the collision-bounded remainder makes
+    * the read immune to the one crash-replay window that can append a
+    * batch's band rows twice (crash between the bands append and the
+    * index append — see [[lshIndexAppend]]'s ordering analysis).
+    * Nothing in the path aggregates or shuffles index-sized mass. */
+  private[graft] def storedBandsPruned(
+      spark: org.apache.spark.sql.SparkSession, table: String,
+      batchBanded: DataFrame, id: String): DataFrame = {
+    val keys = batchBanded.select(bandsKey.as("bkey")).distinct()
+      .collect().map(_.getInt(0)).toIndexedSeq
+    val twin = spark.table(lshBandsTableName(table))
+    if (keys.isEmpty) // empty/fully-replayed batch: nothing can collide
+      return twin.filter(lit(false)).select(col(id), col("band"), col("sig"))
+    // a batch covering the whole key domain can prune nothing — planning
+    // and codegen'ing the 1024-literal IN would be pure fixed cost there
+    // (the big-batch case); the filter earns its keep exactly when the
+    // batch is small enough to leave buckets untouched
+    val pruned =
+      if (keys.length == BandsKeyDomain) twin
+      else twin.filter(col("bkey").isin(keys: _*))
+    pruned
+      .join(broadcast(batchBanded.select("band", "sig").distinct()),
+        Seq("band", "sig"), "leftsemi")
+      .dropDuplicates(id, "band")
+      .select(col(id), col("band"), col("sig"))
+  }
 
   /** The LSH parameters a stored index was built with — the banding
     * contract lives WITH the index, so an append can never band a batch
@@ -348,9 +426,13 @@ object Dedup {
     *
     * Cost per append: the batch's signature pass + one column-pruned id
     * scan of the store (the anti-join's stream side — id-bucketed, so
-    * it never shuffles) + the batch-key-pruned collision scan
-    * ([[incrementalLshPairsIndexed]]'s broadcast semi-join) + a bucketed
-    * append. Nothing aggregates or shuffles index-sized mass. */
+    * it never shuffles) + the bucket-pruned `__bands` read
+    * ([[storedBandsPruned]]: file pruning by the batch's bucket keys,
+    * then an exact broadcast semi-join — no re-banding of stored
+    * signatures, no index-sized aggregation) + the pair verification's
+    * hs-column scan + two bucketed appends. A store built before the
+    * bands twin existed falls back to re-banding the main table's
+    * signatures (the round-12 path) — rebuild to get the pruned read. */
   def lshIndexAppend(spark: org.apache.spark.sql.SparkSession,
       table: String, newDocs: DataFrame, id: String, text: String,
       threshold: Double = 0.5,
@@ -360,18 +442,29 @@ object Dedup {
     val fresh = indexDocs(newDocs, id, text, n, k)
       .join(stored.select(col(id)), Seq(id), "leftanti")
       .localCheckpoint(true)
-    val pairs = incrementalLshPairsIndexed(stored, fresh, id,
-      k = k, bands = bands, threshold = threshold,
-      maxBucketSize = maxBucketSize)
-    // Durability order: pair LEDGER first, index rows second. Crash
-    // after the ledger write but before the index append → the replay's
-    // anti-join still sees the batch as new, recomputes the SAME pairs
-    // (the batch ids are still absent from the store), and the
-    // ledger-side anti-join below drops them — convergent, no
-    // duplicates, no loss. Crash after both → the replay appends
-    // nothing and the pairs are already durable. The old order (index
-    // first) lost the batch's pair report forever if the caller died
-    // before persisting the returned frame.
+    // the batch's banded rows feed three consumers (the bkey collect,
+    // the bucket union, the bands append) — materialize once
+    val bandedNew = bandedSignatures(fresh.select(col(id), col("mh")),
+      id, k, bands).localCheckpoint(true)
+    val hasTwin = spark.catalog.tableExists(lshBandsTableName(table))
+    val oldBanded =
+      if (hasTwin) storedBandsPruned(spark, table, bandedNew, id)
+      else bandedSignatures(stored.select(col(id), col("mh")), id, k, bands)
+    val pairs = incrementalPairsFromBanded(stored.select(col(id), col("hs")),
+      oldBanded, bandedNew, fresh.select(col(id), col("hs")), id,
+      threshold, maxBucketSize)
+    // Durability order: pair LEDGER first, bands twin second, index rows
+    // LAST. Crash after the ledger write → the replay's anti-join still
+    // sees the batch as new (its ids are absent from the MAIN table,
+    // which commits last), recomputes the SAME pairs, and the
+    // ledger-side anti-join below drops them — convergent. Crash after
+    // the bands append → same replay; the batch's band rows land twice
+    // in the twin, which [[storedBandsPruned]]'s dropDuplicates makes
+    // invisible to every later read (disk bloat only, never wrong
+    // pairs). The REVERSE order (index before bands) would be the
+    // dangerous one: a crash between them leaves stored docs whose band
+    // rows are permanently missing from the twin — silently lost
+    // collisions with every future batch.
     val pt = lshPairsTableName(table)
     val durable =
       if (spark.catalog.tableExists(pt))
@@ -379,8 +472,16 @@ object Dedup {
           Seq("id_a", "id_b"), "leftanti")
       else pairs
     durable.write.mode("append").format("parquet").saveAsTable(pt)
+    // legacy (pre-twin) stores stay legacy: seeding a twin with ONLY
+    // this batch's rows would make later appends read an incomplete
+    // bands set and silently miss collisions against the older mass
+    if (hasTwin)
+      graft.operators.Layout.appendBucketed(withBandsKey(bandedNew),
+        lshBandsTableName(table), bucketCols = Seq("bkey"),
+        numBuckets = numBuckets)
     graft.operators.Layout.appendBucketed(fresh, table,
       bucketCols = Seq(id), numBuckets = numBuckets)
+    freeLocalCheckpoint(bandedNew)
     freeLocalCheckpoint(fresh) // pairs is checkpointed; safe to drop
     pairs
   }
@@ -394,38 +495,48 @@ object Dedup {
   def incrementalLshPairsIndexed(
       oldIndex: DataFrame, newIndex: DataFrame, id: String,
       k: Int = 16, bands: Int = 4,
-      threshold: Double = 0.5, maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
-    val tagged = (isNew: Boolean, idx: DataFrame) =>
-      bandedSignatures(idx.select(col(id), col("mh")), id, k, bands)
-        .withColumn("__nw", lit(isNew))
-    val bandedNew = tagged(true, newIndex)
-    // Buckets the batch never touches cannot produce a new-involving
-    // pair (`x.nw OR y.nw`), so the stored index's banded rows are
-    // pruned MAP-SIDE by a broadcast semi-join against the batch's
-    // (band, sig) keys — batch-sized — BEFORE the bucket aggregation.
-    // Without this the guarded collect re-aggregated the ENTIRE index's
-    // banded rows every append; at a 1000× (5M-doc) index that one
-    // stage was 40 of the append's 49 seconds, and it grew with the
-    // index while everything else tracked the batch. The guard
-    // semantics are unchanged: a surviving bucket still aggregates ALL
-    // its old∪new rows, so the over-cap drop fires exactly as in the
-    // full recompute (IncrementalLshSpec's invariant).
-    val bandedOldHit = tagged(false, oldIndex)
+      threshold: Double = 0.5, maxBucketSize: Int = DefaultMaxBucketSize): DataFrame =
+    incrementalPairsFromBanded(
+      oldIndex.select(col(id), col("hs")),
+      bandedSignatures(oldIndex.select(col(id), col("mh")), id, k, bands),
+      bandedSignatures(newIndex.select(col(id), col("mh")), id, k, bands),
+      newIndex.select(col(id), col("hs")), id, threshold, maxBucketSize)
+
+  /** The shared append core over ALREADY-BANDED frames — what
+    * [[incrementalLshPairsIndexed]] (in-memory index) and
+    * [[lshIndexAppend]] (durable store, bands read pre-pruned from the
+    * `__bands` twin) both run. `oldBanded` may be any SUPERSET of the
+    * old rows in batch-touched buckets: buckets the batch never touches
+    * cannot produce a new-involving pair (`x.nw OR y.nw`), so the old
+    * side is pruned MAP-SIDE by a broadcast semi-join against the
+    * batch's (band, sig) keys — batch-sized — BEFORE the bucket
+    * aggregation. Without this the guarded collect re-aggregated the
+    * ENTIRE index's banded rows every append; at a 1000× (5M-doc) index
+    * that one stage was 40 of the append's 49 seconds, and it grew with
+    * the index while everything else tracked the batch. The guard
+    * semantics are unchanged: a surviving bucket still aggregates ALL
+    * its old∪new rows, so the over-cap drop fires exactly as in the
+    * full recompute (IncrementalLshSpec's invariant). */
+  private[graft] def incrementalPairsFromBanded(
+      oldSets: DataFrame, oldBanded: DataFrame,
+      bandedNew: DataFrame, newSets: DataFrame, id: String,
+      threshold: Double, maxBucketSize: Int): DataFrame = {
+    val bNew = bandedNew.withColumn("__nw", lit(true))
+    val bOldHit = oldBanded.withColumn("__nw", lit(false))
       .join(broadcast(bandedNew.select("band", "sig").distinct()),
         Seq("band", "sig"), "leftsemi")
       // the USING join moves (band, sig) to the front; the union below
       // is POSITIONAL, so restore the banded column order explicitly
-      .select(bandedNew.columns.map(col).toIndexedSeq: _*)
+      .select(bNew.columns.map(col).toIndexedSeq: _*)
     val cands = guardedBuckets(
-        bandedOldHit.union(bandedNew),
+        bOldHit.union(bNew),
         struct(col(id).as("i"), col("__nw").as("nw")), maxBucketSize)
       .select(explode(bucketPairs("__ids", "id_a", "id_b",
         aExpr = "x.i", bExpr = "y.i",
         extraPred = Some("x.nw OR y.nw"))).as("__p"))
       .select(col("__p.id_a").as("id_a"), col("__p.id_b").as("id_b"))
       .distinct()
-    val sets = oldIndex.select(col(id), col("hs"))
-      .union(newIndex.select(col(id), col("hs")))
+    val sets = oldSets.union(newSets)
     verifyPairs(cands, sets, id, threshold).localCheckpoint(true)
   }
 

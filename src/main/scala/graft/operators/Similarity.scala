@@ -723,8 +723,21 @@ object Similarity {
     // vectors from another, returning plausible wrong neighbors
     val qProj = queries.select(col(qId).cast("long").as("q_id"),
       col(qVec).as("qv"))
+    val qRows = qProj.collect()
+    // duplicate q_id values would have their candidate sets MERGED by
+    // the per-query heap groupBy — one blended top-k attributed to both
+    // rows, no error. The batch is already on the driver: refuse loudly,
+    // the tableDiff one-row-per-key rule.
+    val dupIds = qRows.groupBy(_.getLong(0)).collect {
+      case (qid, rows) if rows.length > 1 => qid
+    }
+    require(dupIds.isEmpty,
+      s"ivfSearchStoredBatch query batch has duplicate $qId value(s) " +
+        s"${dupIds.toSeq.sorted.take(5).mkString(", ")} — each query " +
+        "vector needs a distinct id (duplicates would merge into one " +
+        "blended top-k); dedup the batch first")
     val q = spark.createDataFrame(
-      java.util.Arrays.asList(qProj.collect(): _*), qProj.schema)
+      java.util.Arrays.asList(qRows: _*), qProj.schema)
     // per-query probe cells, driver-collected once: |batch| × nprobe
     // pairs — serving-tier metadata, not data volume
     val probePairs = probeRanks(anchors, q, nprobe, roundAt)

@@ -155,6 +155,46 @@ class CdcSpec extends SparkSpec {
     assert(g == Seq((5L, 17.5)))
   }
 
+  test("refreshAgg: decimal schema is stable across cycles; a true overflow refuses loudly") {
+    import spark.implicits._
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(4, 0)
+    val s = Seq(("a", "9000"), ("b", "10")).toDF("k", "total")
+      .select(col("k"), col("total").cast(dec).as("total"))
+    val small = Seq(("b", "5")).toDF("k", "total")
+      .select(col("k"), col("total").cast(dec).as("total"))
+    // the cast-back keeps the state schema fixed (no precision drift)
+    val refreshed = Cdc.refreshAgg(s, small, Seq("k"), Seq("total"))
+    assert(refreshed.schema("total").dataType == dec)
+    assert(refreshed.orderBy("k").select("total").as[String].collect()
+      .toSeq == Seq("9000", "15"))
+    // a merged sum that exceeds decimal(4,0) must FAIL, not cast to
+    // NULL (which the next cycle's coalesce would read as empty state,
+    // silently dropping the accumulated total). Under ANSI (the Spark 4
+    // default) the narrowing cast itself throws; under non-ANSI the
+    // cast returns NULL and the in-plan raise_error guard must fire —
+    // both modes are pinned here so neither configuration can lose a
+    // delta silently.
+    val big = Seq(("a", "9000")).toDF("k", "total")
+      .select(col("k"), col("total").cast(dec).as("total"))
+    def messages(t: Throwable): String =
+      if (t == null) "" else s"${t.getMessage}\n${messages(t.getCause)}"
+    val ansiKey = "spark.sql.ansi.enabled"
+    val prevAnsi = spark.conf.get(ansiKey)
+    try {
+      spark.conf.set(ansiKey, "true")
+      val eAnsi = intercept[Exception] {
+        Cdc.refreshAgg(s, big, Seq("k"), Seq("total")).collect()
+      }
+      assert(messages(eAnsi).contains("NUMERIC_VALUE_OUT_OF_RANGE") ||
+        messages(eAnsi).contains("overflows"), messages(eAnsi))
+      spark.conf.set(ansiKey, "false")
+      val eNull = intercept[Exception] {
+        Cdc.refreshAgg(s, big, Seq("k"), Seq("total")).collect()
+      }
+      assert(messages(eNull).contains("overflows"), messages(eNull))
+    } finally spark.conf.set(ansiKey, prevAnsi)
+  }
+
   test("upsert and tableDiff are null-safe on the KEY, not just the compared columns") {
     import spark.implicits._
     // a null-key change row must SUPERSEDE the base's null-key row

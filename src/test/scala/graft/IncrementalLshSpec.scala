@@ -154,6 +154,7 @@ class IncrementalLshSpec extends SparkSpec {
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$loc'")
     spark.sql(s"DROP TABLE IF EXISTS $db.idx")
     spark.sql(s"DROP TABLE IF EXISTS $db.idx__pairs")
+    spark.sql(s"DROP TABLE IF EXISTS $db.idx__bands")
     val docs = Tables.documents(spark, sf("sf0.001"))
     val b1 = docs.filter(col("doc_id") % 3 === 1)
     val b0 = docs.filter(col("doc_id") % 3 === 0)
@@ -193,6 +194,19 @@ class IncrementalLshSpec extends SparkSpec {
     assert(pairSet(ledger) === full)
     assert(ledger.count() == full.size, "ledger holds duplicate pair rows")
 
+    // the __bands twin tracks the main table exactly: its deduped rows
+    // equal a fresh banding of every stored signature at every point in
+    // the chain — the invariant that makes the pruned append read ≡ the
+    // round-12 full re-banding path
+    val twinRows = spark.table(s"$db.idx__bands")
+      .select("doc_id", "band", "sig").distinct()
+    val rebanded = graft.operators.Dedup.bandedSignatures(
+      spark.table(s"$db.idx").select(col("doc_id"), col("mh")),
+      "doc_id", k = 16, bands = 4)
+    assert(twinRows.exceptAll(rebanded).isEmpty &&
+      rebanded.exceptAll(twinRows).isEmpty,
+      "__bands twin drifted from the banding of the stored signatures")
+
     // the banding contract lives with the index: a store without the
     // parameter stamp (half-built / foreign) refuses
     spark.sql(s"ALTER TABLE $db.idx UNSET TBLPROPERTIES ('graft.lsh_k')")
@@ -200,5 +214,40 @@ class IncrementalLshSpec extends SparkSpec {
       Dedup.lshIndexAppend(spark, s"$db.idx", b0, "doc_id", "text")
     }
     assert(e.getMessage.contains("graft.lsh_k"), e.getMessage)
+  }
+
+  test("append reads the __bands twin bucket-pruned, never re-banding the store") {
+    val db = "graft_lsh_prune"
+    val loc = java.nio.file.Files.createTempDirectory("graft-lsh-prune")
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$loc'")
+    Seq("idx", "idx__pairs", "idx__bands")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $db.$t"))
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    Dedup.lshBuildIndex(docs.filter(col("doc_id") % 3 =!= 0),
+      "doc_id", "text", s"$db.idx")
+    // a 2-doc batch touches ≤ 2·bands (band, sig) buckets → ≤ 8 of the
+    // twin's 1024 bucket keys → the bkey IN (...) filter must prune
+    // FILES (SelectedBucketsCount < numBuckets), the IVF device
+    val batch = Dedup.indexDocs(docs.filter(col("doc_id").isin(3L, 6L)),
+      "doc_id", "text")
+    val banded = Dedup.bandedSignatures(
+      batch.select(col("doc_id"), col("mh")), "doc_id", 16, 4)
+    val pruned = Dedup.storedBandsPruned(spark, s"$db.idx", banded, "doc_id")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("SelectedBucketsCount"), plan)
+    val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      .findFirstMatchIn(plan).get
+    assert(sel.group(1).toInt < sel.group(2).toInt,
+      s"bands read not pruned: $plan")
+    // and the pruned read is a true superset of the batch's collision
+    // rows: the append over it reports exactly the recompute's new pairs
+    val full = Dedup.minHashLshPairs(
+      docs.filter(col("doc_id") % 3 =!= 0 || col("doc_id").isin(3L, 6L)),
+      "doc_id", "text")
+    val oldOnly = Dedup.minHashLshPairs(
+      docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text")
+    val appended = Dedup.lshIndexAppend(spark, s"$db.idx",
+      docs.filter(col("doc_id").isin(3L, 6L)), "doc_id", "text")
+    assert(pairSet(oldOnly) ++ pairSet(appended) == pairSet(full))
   }
 }

@@ -336,6 +336,14 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
         "query_id", "qvec", nprobe = 2, k = 10)
     }
     assert(e.getMessage.contains("integral"), e.getMessage)
+    // duplicate q_id values would MERGE two queries' candidate sets into
+    // one blended top-k attributed to both — refuse, never blend
+    val dup = intercept[IllegalArgumentException] {
+      Similarity.ivfSearchStoredBatch(spark, s"$db.idx", "vec_id",
+        queries.union(queries.limit(1)), "query_id", "qvec",
+        nprobe = 2, k = 10)
+    }
+    assert(dup.getMessage.contains("duplicate"), dup.getMessage)
   }
 
   test("the (index, grid) pairing is ONE artifact: stored faces load it, wrong grids refuse") {
