@@ -582,9 +582,11 @@ final class PgWireServer(spark: SparkSession, maxRows: Int = 10000,
     * DataRow path, COPY streams EVERY row through `toLocalIterator`
     * (one partition in driver memory at a time — bulk export is the
     * one place the cap would defeat the point). Formats: postgres TEXT
-    * (tab delimiter, `\\N` null, control-char escapes) and CSV
+    * (tab delimiter, `\\N` null, control-char escapes), CSV
     * (RFC-style quoting, empty=null, `""`=empty string, optional
-    * HEADER row). `COPY ... FROM STDIN` is refused with a clean 0A000
+    * HEADER row) and BINARY ([[copyOutBinary]]); options are TOKENIZED
+    * and anything unrecognized refuses 0A000 ([[parseCopyOptions]]) —
+    * never silently ignored. `COPY ... FROM STDIN` is refused 0A000
     * — this gateway is an export face; ingest goes through the
     * library's write paths, not the wire. */
   private def copyOut(st: SessionState, out: DataOutputStream,
@@ -596,13 +598,16 @@ final class PgWireServer(spark: SparkSession, maxRows: Int = 10000,
         "COPY FROM STDIN is not supported: this gateway is an export " +
           "face — load data through the library's write paths")
     val tailTrim = tail.trim
-    if (!tailTrim.take(6).equalsIgnoreCase("STDOUT"))
-      throw new PgProtocolError("0A000",
+    // word boundary after STDOUT: 'STDOUTX' (or any target token merely
+    // STARTING with stdout) is a syntax error, not STDOUT plus options
+    val stdoutRe = "(?is)^STDOUT\\b\\s*(.*)$".r
+    val optsRaw = tailTrim match {
+      case stdoutRe(rest) => rest.trim
+      case _ => throw new PgProtocolError("0A000",
         "only COPY ... TO STDOUT is supported (no server-side files)")
-    val opts = tailTrim.drop(6).toLowerCase
-    val csv = "\\bcsv\\b".r.findFirstIn(opts).isDefined
-    val header = csv &&
-      "\\bheader\\b(?!\\s+(false|off|0))".r.findFirstIn(opts).isDefined
+    }
+    val (format, header) = parseCopyOptions(optsRaw)
+    val csv = format == "csv"
     val select =
       if (target.startsWith("(")) target.substring(1, target.length - 1)
       else {
@@ -618,6 +623,7 @@ final class PgWireServer(spark: SparkSession, maxRows: Int = 10000,
       }
     val df = textualize(st.sess.sql(select))
     val fields = df.schema.fields
+    if (format == "binary") { copyOutBinary(out, df); return }
     writeMsg(out, 'H') { b => // CopyOutResponse: overall + per-col text format
       b.writeByte(0)
       b.writeShort(fields.length)
@@ -626,7 +632,9 @@ final class PgWireServer(spark: SparkSession, maxRows: Int = 10000,
     def copyData(line: String): Unit = writeMsg(out, 'd') { b =>
       b.write(line.getBytes(StandardCharsets.UTF_8)); b.write('\n')
     }
-    if (header) copyData(fields.map(f => csvCell(f.name)).mkString(","))
+    if (header) copyData(
+      if (csv) fields.map(f => csvCell(f.name)).mkString(",")
+      else fields.map(f => copyTextEscape(f.name)).mkString("\t"))
     var n = 0L
     // the bulk path: stream partitions, never a capped collect
     val it = df.toLocalIterator()
@@ -645,6 +653,138 @@ final class PgWireServer(spark: SparkSession, maxRows: Int = 10000,
     }
     writeMsg(out, 'c') { _ => } // CopyDone
     writeMsg(out, 'C') { b => writeCStr(b, s"COPY $n") }
+  }
+
+  /** `COPY ... TO STDOUT (FORMAT binary)`: the postgres binary COPY
+    * stream — `PGCOPY\n\377\r\n\0` signature + int32 flags + int32
+    * extension length, one int16-field-count tuple per row with each
+    * field as int32 length + the SAME wire encodings the binary DataRow
+    * path ships ([[writeBinaryCell]]), and the int16 -1 trailer. Types
+    * with no binary send path refuse 0A000 up front (declared
+    * capability, like [[resolveFormats]]); complex columns are already
+    * JSON text by this point ([[textualize]]), matching the DataRow
+    * face. HEADER is rejected by the option parser in binary mode. */
+  private def copyOutBinary(out: DataOutputStream,
+      df: DataFrame): Unit = {
+    val fields = df.schema.fields
+    val types = fields.map(_.dataType)
+    fields.foreach { f =>
+      if (!binaryCapable(f.dataType))
+        throw new PgProtocolError("0A000",
+          s"binary COPY not supported for type ${f.dataType.simpleString} " +
+            s"(column ${f.name})")
+    }
+    writeMsg(out, 'H') { b => // CopyOutResponse: overall + per-col BINARY
+      b.writeByte(1)
+      b.writeShort(fields.length)
+      fields.foreach(_ => b.writeShort(1))
+    }
+    writeMsg(out, 'd') { b => // stream header
+      b.write(Array[Byte]('P', 'G', 'C', 'O', 'P', 'Y', '\n',
+        0xFF.toByte, '\r', '\n', 0))
+      b.writeInt(0) // flags: no OIDs
+      b.writeInt(0) // header extension length
+    }
+    var n = 0L
+    val it = df.toLocalIterator()
+    while (it.hasNext) {
+      val row = it.next()
+      writeMsg(out, 'd') { b =>
+        b.writeShort(row.length)
+        (0 until row.length).foreach { i =>
+          if (row.isNullAt(i)) b.writeInt(-1)
+          else writeBinaryCell(b, row.get(i), types(i))
+        }
+      }
+      n += 1
+    }
+    writeMsg(out, 'd') { b => b.writeShort(-1) } // binary trailer
+    writeMsg(out, 'c') { _ => } // CopyDone
+    writeMsg(out, 'C') { b => writeCStr(b, s"COPY $n") }
+  }
+
+  /** Tokenize the COPY options clause — the new-style parenthesized
+    * list (`(FORMAT csv, HEADER true)`) or the legacy bare keywords
+    * (`[WITH] [BINARY] [CSV] [HEADER]`) — into (format, header) with
+    * format ∈ text/csv/binary. Every option this export face does not
+    * implement (DELIMITER, NULL, QUOTE, FORCE_QUOTE, ENCODING, ...)
+    * REFUSES 0A000 instead of being silently ignored: a client that
+    * asked for `DELIMITER '|'` and got commas would misparse every
+    * exported row with no error anywhere. */
+  private def parseCopyOptions(raw0: String): (String, Boolean) = {
+    var format = "text"
+    var header = false
+    var headerSet = false
+    def applyOption(name: String, value: String): Unit =
+      name.toUpperCase match {
+        case "FORMAT" => value.trim.toLowerCase match {
+          case "text" | "'text'" => format = "text"
+          case "csv" | "'csv'" => format = "csv"
+          case "binary" | "'binary'" => format = "binary"
+          case other => throw new PgProtocolError("42601",
+            s"invalid COPY FORMAT: $other (text, csv, or binary)")
+        }
+        case "HEADER" => value.trim.toLowerCase match {
+          case "" | "true" | "on" | "1" => header = true; headerSet = true
+          case "false" | "off" | "0" => header = false; headerSet = true
+          case "match" => throw new PgProtocolError("0A000",
+            "HEADER match applies to COPY FROM, which this export face " +
+              "does not support")
+          case other => throw new PgProtocolError("42601",
+            s"invalid COPY HEADER value: $other")
+        }
+        case other => throw new PgProtocolError("0A000",
+          s"COPY option $other is not supported by this export face " +
+            "(supported: FORMAT text/csv/binary, HEADER)")
+      }
+    val raw = {
+      val t = raw0.trim
+      if (t.matches("(?is)^WITH\\b.*")) t.drop(4).trim else t
+    }
+    if (raw.nonEmpty) {
+      if (raw.startsWith("(")) {
+        if (!raw.endsWith(")"))
+          throw new PgProtocolError("42601",
+            s"cannot parse COPY options: $raw")
+        splitTopLevelCommas(raw.substring(1, raw.length - 1)).foreach { o =>
+          val t = o.trim
+          if (t.nonEmpty) {
+            val sp = t.indexWhere(_.isWhitespace)
+            if (sp < 0) applyOption(t, "")
+            else applyOption(t.substring(0, sp), t.substring(sp + 1).trim)
+          }
+        }
+      } else raw.split("\\s+").foreach { tok =>
+        tok.toUpperCase match {
+          case "CSV" => format = "csv"
+          case "BINARY" => format = "binary"
+          case "HEADER" => header = true; headerSet = true
+          case other => throw new PgProtocolError("0A000",
+            s"COPY option $other is not supported by this export face " +
+              "(supported: BINARY, CSV, HEADER)")
+        }
+      }
+    }
+    if (headerSet && header && format == "binary")
+      throw new PgProtocolError("42601",
+        "cannot specify HEADER in BINARY mode")
+    (format, header)
+  }
+
+  /** Split an option list on top-level commas — quote-aware, so a
+    * refused option's quoted value (`DELIMITER ','`) cannot smuggle a
+    * delimiter comma past the tokenizer. */
+  private def splitTopLevelCommas(s: String): Seq[String] = {
+    val parts = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var inQuote = false
+    s.foreach { c =>
+      if (c == '\'') { inQuote = !inQuote; cur.append(c) }
+      else if (c == ',' && !inQuote) { parts += cur.toString; cur.clear() }
+      else cur.append(c)
+    }
+    parts += cur.toString
+    parts.result()
   }
 
   /** Split `COPY <target> <TO|FROM> <rest>` at the first top-level
