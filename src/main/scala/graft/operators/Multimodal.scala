@@ -103,6 +103,29 @@ object Multimodal {
     // streams are strictly better for byte-array input.
     javax.imageio.ImageIO.setUseCache(false)
     private[operators] def ensureInit(): Unit = ()
+
+    /** Σ per-pixel (r+g+b)/3 and the pixel count — the shared luminance
+      * kernel of the image decoder and the MJPG frame path. Bulk getRGB:
+      * one ColorModel conversion per ROW of pixels, not one virtual call
+      * + bounds check per pixel; the scratch buffer stays O(width). */
+    private[operators] def luminanceSum(
+        img: java.awt.image.BufferedImage): (Double, Long) = {
+      val (w, h) = (img.getWidth, img.getHeight)
+      val row = new Array[Int](w)
+      var s = 0.0
+      var y = 0
+      while (y < h) {
+        img.getRGB(0, y, w, 1, row, 0, w)
+        var x = 0
+        while (x < w) {
+          val rgb = row(x)
+          s += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3.0
+          x += 1
+        }
+        y += 1
+      }
+      (s, w.toLong * h)
+    }
   }
 
   final class JdkImageDecoder extends MediaDecoder {
@@ -122,25 +145,8 @@ object Multimodal {
           catch { case scala.util.control.NonFatal(_) => null }
         if (img == null) None
         else {
-          val (w, h) = (img.getWidth, img.getHeight)
-          // bulk getRGB: one ColorModel conversion per ROW of pixels,
-          // not one virtual call + bounds check per pixel — this loop is
-          // the per-byte hot path the class doc describes. Row-at-a-time
-          // keeps the scratch buffer O(width), not O(pixels).
-          val row = new Array[Int](w)
-          var s = 0.0
-          var y = 0
-          while (y < h) {
-            img.getRGB(0, y, w, 1, row, 0, w)
-            var x = 0
-            while (x < w) {
-              val rgb = row(x)
-              s += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3.0
-              x += 1
-            }
-            y += 1
-          }
-          Some((w, h, 1, s / (w.toLong * h)))
+          val (s, px) = JdkImageDecoder.luminanceSum(img)
+          Some((img.getWidth, img.getHeight, 1, s / px))
         }
       }
     }
@@ -209,24 +215,124 @@ object Multimodal {
     }
   }
 
-  /** REAL video-container metadata probe: walks the RIFF chunk tree of
-    * an AVI payload (no codec needed — the container layout is plain
-    * byte structure) to the `avih` main header and reads the true
-    * width, height and total frame count; mean_byte is computed over
-    * the actual payload bytes. PIXEL decode still requires a codec the
-    * container does not ship (the `StubDecoder` boundary) — but
-    * dimension/duration extraction, the metadata half of every video
-    * curation filter ("drop < 240p", "drop < 10 frames"), is real.
-    * Truncated or non-AVI payloads probe to None like any other
-    * unparseable record. Chunk sizes are validated against the buffer
-    * before every read — a hostile length field cannot index out of
-    * bounds. */
+  /** REAL video decoder for the RIFF/AVI container: walks the chunk
+    * tree (plain byte structure, no codec needed) to the `avih` main
+    * header for width/height/frame-count metadata, and — when the video
+    * stream's fourcc is MJPG — DECODES the actual frames: every MJPG
+    * frame chunk is a standalone JPEG, so the existing `javax.imageio`
+    * path reads real pixels (width/height from the decoded raster,
+    * n_frames = frames decoded, mean_byte = mean luminance across every
+    * frame's pixels, the image decoder's kernel). Codecs the JDK does
+    * not ship (XVID, H.264, ...) keep the metadata probe: avih
+    * dimensions + payload byte mean — the remaining stub boundary, now
+    * confined to genuinely absent codecs. Truncated or non-AVI payloads
+    * probe to None like any other unparseable record. Chunk sizes are
+    * validated against the buffer before every read — a hostile length
+    * field cannot index out of bounds. */
   final class RiffAviProbe extends MediaDecoder {
     private def le32(b: Array[Byte], off: Int): Long =
       ((b(off) & 0xffL)) | ((b(off + 1) & 0xffL) << 8) |
         ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
     private def tag(b: Array[Byte], off: Int): String =
       new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+    /** Bounds-checked iteration over one RIFF chunk run [from, until):
+      * (id, dataStart, dataSize) per chunk; stops at the first chunk
+      * whose declared size leaves the window (lying header). */
+    private def chunkRun(b: Array[Byte], from: Int,
+        until: Int): Iterator[(String, Int, Int)] =
+      new Iterator[(String, Int, Int)] {
+        private var off = from
+        private var nxt: (String, Int, Int) = _
+        private def advance(): Unit = {
+          nxt = null
+          if (off + 8 <= until) {
+            val id = tag(b, off)
+            val size = le32(b, off + 4)
+            val ds = off + 8
+            if (size >= 0 && ds + size <= until) {
+              nxt = (id, ds, size.toInt)
+              off = ds + size.toInt + (size.toInt & 1) // chunks even-padded
+            }
+          }
+        }
+        advance()
+        override def hasNext: Boolean = nxt != null
+        override def next(): (String, Int, Int) = { val r = nxt; advance(); r }
+      }
+
+    private def listType(b: Array[Byte], ds: Int, size: Int): String =
+      if (size >= 4) tag(b, ds) else ""
+
+    /** First 'vids' stream: (stream index, fourcc) — the fourcc from
+      * strh's fccHandler, falling back to strf's biCompression (writers
+      * disagree on which carries it). */
+    private def findVideoStream(b: Array[Byte]): Option[(Int, String)] = {
+      var streamIdx = -1
+      for ((id, ds, size) <- chunkRun(b, 12, b.length)
+           if id == "LIST" && listType(b, ds, size) == "hdrl";
+           (id2, ds2, size2) <- chunkRun(b, ds + 4, ds + size)
+           if id2 == "LIST" && listType(b, ds2, size2) == "strl") {
+        streamIdx += 1
+        var isVids = false
+        var handler = ""
+        var compression = ""
+        for ((id3, ds3, size3) <- chunkRun(b, ds2 + 4, ds2 + size2)) {
+          if (id3 == "strh" && size3 >= 8) {
+            isVids = tag(b, ds3) == "vids"
+            handler = tag(b, ds3 + 4).trim
+          } else if (id3 == "strf" && size3 >= 20)
+            compression = tag(b, ds3 + 16).trim
+        }
+        if (isVids)
+          return Some((streamIdx, if (handler.nonEmpty) handler else compression))
+      }
+      None
+    }
+
+    /** The video stream's frame chunks (`NNdc`/`NNdb` inside the movi
+      * list, including `rec ` groupings) as (dataStart, size) spans. */
+    private def frameChunks(b: Array[Byte], streamIdx: Int): Seq[(Int, Int)] = {
+      val want = f"$streamIdx%02d"
+      val out = Seq.newBuilder[(Int, Int)]
+      def walk(from: Int, until: Int, inMovi: Boolean): Unit =
+        for ((id, ds, size) <- chunkRun(b, from, until)) {
+          val lt = if (id == "LIST") listType(b, ds, size) else ""
+          if (lt == "movi" || (inMovi && lt == "rec "))
+            walk(ds + 4, ds + size, inMovi = true)
+          else if (inMovi && id.startsWith(want) &&
+              (id.endsWith("dc") || id.endsWith("db")))
+            out += ((ds, size))
+        }
+      walk(12, b.length, inMovi = false)
+      out.result()
+    }
+
+    /** Decode every MJPG frame chunk as a standalone JPEG; None when no
+      * frame decodes (corrupt stream → the metadata fallback). */
+    private def decodeMjpgFrames(b: Array[Byte],
+        streamIdx: Int): Option[(Int, Int, Int, Double)] = {
+      JdkImageDecoder.ensureInit()
+      var w = 0
+      var h = 0
+      var n = 0
+      var lum = 0.0
+      var pixels = 0L
+      frameChunks(b, streamIdx).foreach { case (ds, size) =>
+        val img =
+          try javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(b, ds, size))
+          catch { case scala.util.control.NonFatal(_) => null }
+        if (img != null) {
+          if (n == 0) { w = img.getWidth; h = img.getHeight }
+          val (s, px) = JdkImageDecoder.luminanceSum(img)
+          lum += s
+          pixels += px
+          n += 1
+        }
+      }
+      if (n == 0 || pixels == 0) None else Some((w, h, n, lum / pixels))
+    }
 
     /** Depth-first walk over a chunk run [from, until); returns the data
       * offset of the first `avih` chunk whose DECLARED size covers the
@@ -264,10 +370,21 @@ object Multimodal {
           // metadata — the contract is None, never negative dimensions
           if (w > Int.MaxValue || h > Int.MaxValue || frames > Int.MaxValue) None
           else {
-            var s = 0L
-            var i = 0
-            while (i < bytes.length) { s += (bytes(i) & 0xff); i += 1 }
-            Some((w.toInt, h.toInt, frames.toInt, s.toDouble / bytes.length))
+            // MJPG: real pixels through ImageIO (each frame is a
+            // standalone JPEG); any other fourcc — or an MJPG stream
+            // whose frames all fail to decode — keeps the metadata
+            // probe with the payload byte mean
+            val decoded = findVideoStream(bytes) match {
+              case Some((idx, cc)) if cc.equalsIgnoreCase("MJPG") =>
+                decodeMjpgFrames(bytes, idx)
+              case _ => None
+            }
+            decoded.orElse {
+              var s = 0L
+              var i = 0
+              while (i < bytes.length) { s += (bytes(i) & 0xff); i += 1 }
+              Some((w.toInt, h.toInt, frames.toInt, s.toDouble / bytes.length))
+            }
           }
         }
     }

@@ -182,6 +182,80 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(probe.decode("avi", lying).isEmpty)
   }
 
+  test("MJPG AVI decodes REAL pixels; a non-MJPG fourcc keeps the metadata probe") {
+    // minimal RIFF writer: chunk = id + le32(size) + data (+ pad byte)
+    def le32(n: Int): Array[Byte] = java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(n).array()
+    def chunk(id: String, data: Array[Byte]): Array[Byte] =
+      id.getBytes("US-ASCII") ++ le32(data.length) ++ data ++
+        (if (data.length % 2 == 1) Array[Byte](0) else Array.empty[Byte])
+    def list(typ: String, children: Array[Byte]*): Array[Byte] =
+      chunk("LIST", typ.getBytes("US-ASCII") ++ children.flatten)
+    def avih(w: Int, h: Int, frames: Int): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(56)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.putInt(33333).putInt(0).putInt(0).putInt(0)
+      b.putInt(frames).putInt(0).putInt(0).putInt(0)
+      b.putInt(w).putInt(h); b.array()
+    }
+    def strh(fourcc: String): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(56)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("vids".getBytes("US-ASCII")).put(fourcc.getBytes("US-ASCII"))
+      b.array()
+    }
+    def strf(fourcc: String, w: Int, h: Int): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(40)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      b.put(fourcc.getBytes("US-ASCII")); b.array()
+    }
+    def jpeg(gray: Int, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      g.setColor(new java.awt.Color(gray, gray, gray))
+      g.fillRect(0, 0, w, h); g.dispose()
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", out)
+      out.toByteArray
+    }
+    def avi(fourcc: String, declaredW: Int, declaredH: Int,
+        declaredFrames: Int, frames: Array[Byte]*): Array[Byte] = {
+      val body = list("hdrl", chunk("avih", avih(declaredW, declaredH,
+          declaredFrames)),
+          list("strl", chunk("strh", strh(fourcc)),
+            chunk("strf", strf(fourcc, declaredW, declaredH)))) ++
+        list("movi", frames.map(f => chunk("00dc", f)): _*)
+      "RIFF".getBytes("US-ASCII") ++ le32(4 + body.length) ++
+        "AVI ".getBytes("US-ASCII") ++ body
+    }
+    val probe = new Multimodal.RiffAviProbe
+    // the avih DECLARES 999x777/50 frames, but the decoded JPEG rasters
+    // are 8x6 with gray levels 100 and 200 — real pixels must win
+    val mjpg = avi("MJPG", 999, 777, 50, jpeg(100, 8, 6), jpeg(200, 8, 6))
+    val got = probe.decode("avi", mjpg).get
+    assert((got._1, got._2, got._3) == (8, 6, 2), got)
+    assert(math.abs(got._4 - 150.0) < 4, s"mean luminance ${got._4}")
+    // a one-frame stream reports that frame's own luminance
+    val one = probe.decode("avi", avi("MJPG", 1, 1, 1, jpeg(200, 8, 6))).get
+    assert(one._3 == 1 && math.abs(one._4 - 200.0) < 4, one)
+    // non-MJPG fourcc: codec genuinely absent → metadata + byte-mean
+    // (the remaining stub boundary), never a pixel decode
+    val xvidFrame = Array.tabulate[Byte](64)(i => i.toByte)
+    val xvid = avi("XVID", 320, 240, 9, xvidFrame)
+    val gotX = probe.decode("avi", xvid).get
+    assert((gotX._1, gotX._2, gotX._3) == (320, 240, 9), gotX)
+    // an MJPG stream whose frames are all corrupt falls back to
+    // metadata rather than returning None for a parseable container
+    val corrupt = avi("MJPG", 44, 33, 3, Array[Byte](1, 2, 3, 4))
+    val gotC = probe.decode("avi", corrupt).get
+    assert((gotC._1, gotC._2, gotC._3) == (44, 33, 3), gotC)
+    // routed by format through the mixed-corpus decoder too
+    assert(new Multimodal.JdkMediaDecoder()
+      .decode("avi", mjpg).map(_._3).contains(2))
+  }
+
   test("decodeFeatures: null/empty payload → empty features, no crash") {
     import spark.implicits._
     val m = Multimodal.fromDocuments(
