@@ -1,6 +1,9 @@
 package graft
 
-import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+import org.apache.spark.sql.execution.{CoalesceExec, LocalLimitExec, SparkPlan}
+import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
 import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
 import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
 import org.scalatest.funsuite.AnyFunSuite
@@ -26,6 +29,15 @@ import graft.queries.Registry
   *  (c) `BroadcastNestedLoopJoinExec` — quadratic unless one side is a
   *      bounded query/eval batch; each site is justified by name in
   *      [[RegistryPlanLintSpec.bnljAllow]].
+  *  (d) single-partition funnels — `coalesce(1)` or a SinglePartition
+  *      shuffle — over input the plan itself doesn't bound: everything
+  *      above the funnel runs as ONE task. Auto-allowed when the input
+  *      is a partial aggregate (the global-agg pattern: one combined
+  *      row per upstream partition crosses the wire), a LocalLimit, or
+  *      a funnel check (b) already adjudicates under a global window;
+  *      the rest justify by name in
+  *      [[RegistryPlanLintSpec.singlePartitionAllow]] (q190's
+  *      label²-sized confusion-matrix sort is the template entry).
   *
   * The lint enumerates the registry programmatically (Registry.all), so
   * a new query is linted the day it lands — the allowlists are the only
@@ -46,6 +58,7 @@ class RegistryPlanLintSpec extends AnyFunSuite with SparkSpec {
     val offenders = scala.collection.mutable.Buffer[String]()
     val usedWindowAllow = scala.collection.mutable.Set[String]()
     val usedBnljAllow = scala.collection.mutable.Set[String]()
+    val usedFunnelAllow = scala.collection.mutable.Set[String]()
     try {
       spark.conf.set(aqeKey, "false")
       for (q <- Registry.all) {
@@ -76,6 +89,48 @@ class RegistryPlanLintSpec extends AnyFunSuite with SparkSpec {
           if (bnljAllow.contains(q.name)) usedBnljAllow += q.name
           else offenders += s"${q.name}: BroadcastNestedLoopJoin outside the allowlist"
         }
+
+        // (d) single-partition funnels: coalesce(1) or a SinglePartition
+        // shuffle serializes everything above it into ONE task. Auto-
+        // allowed when the funnel's input is bounded by construction:
+        // a partial aggregate below (the global-agg pattern — the one
+        // task receives one pre-aggregated row per input partition), a
+        // LocalLimit below (≤ k rows per partition cross the wire), or
+        // a funnel feeding a global window that check (b) already
+        // adjudicates. Everything else is justified by name.
+        def boundedFunnelChild(p: SparkPlan): Boolean = p match {
+          case h: HashAggregateExec =>
+            h.aggregateExpressions.forall(a => a.mode.toString.startsWith("Partial"))
+          case h: ObjectHashAggregateExec =>
+            h.aggregateExpressions.forall(a => a.mode.toString.startsWith("Partial"))
+          case h: SortAggregateExec =>
+            h.aggregateExpressions.forall(a => a.mode.toString.startsWith("Partial"))
+          case _: LocalLimitExec => true
+          case _: WindowGroupLimitExec => true
+          // row-count-preserving wrappers between the exchange and the
+          // node that actually bounds the funnel's input
+          case w: org.apache.spark.sql.execution.WholeStageCodegenExec =>
+            boundedFunnelChild(w.child)
+          case i: org.apache.spark.sql.execution.InputAdapter =>
+            boundedFunnelChild(i.child)
+          case pr: org.apache.spark.sql.execution.ProjectExec =>
+            boundedFunnelChild(pr.child)
+          case _ => false
+        }
+        val windowOwned = globalWindows.flatMap(w =>
+          w.child.collect { case e: ShuffleExchangeExec => e }).toSet
+        val funnels =
+          nodes { case c: CoalesceExec if c.numPartitions == 1 => "coalesce(1)" } ++
+          nodes {
+            case e: ShuffleExchangeExec
+                if e.outputPartitioning == SinglePartition &&
+                  !windowOwned.contains(e) && !boundedFunnelChild(e.child) =>
+              "SinglePartition exchange over un-bounded input"
+          }
+        if (funnels.nonEmpty) {
+          if (singlePartitionAllow.contains(q.name)) usedFunnelAllow += q.name
+          else offenders += s"${q.name}: ${funnels.mkString(", ")}"
+        }
       }
     } finally spark.conf.set(aqeKey, prevAqe)
     assert(offenders.isEmpty,
@@ -85,9 +140,11 @@ class RegistryPlanLintSpec extends AnyFunSuite with SparkSpec {
     // shape is stale — delete it so the list stays a live audit record
     val staleW = globalWindowAllow.keySet -- usedWindowAllow
     val staleB = bnljAllow.keySet -- usedBnljAllow
-    assert(staleW.isEmpty && staleB.isEmpty,
+    val staleF = singlePartitionAllow.keySet -- usedFunnelAllow
+    assert(staleW.isEmpty && staleB.isEmpty && staleF.isEmpty,
       s"stale allowlist entries (the plan improved — remove them): " +
-        s"windows=${staleW.toSeq.sorted} bnlj=${staleB.toSeq.sorted}")
+        s"windows=${staleW.toSeq.sorted} bnlj=${staleB.toSeq.sorted} " +
+        s"funnels=${staleF.toSeq.sorted}")
   }
 
   test("q67: decile plan has no single-partition window — every Window partitions by __pid") {
@@ -181,5 +238,13 @@ object RegistryPlanLintSpec {
     "q164_source_overlap_sketch" -> "source-pair HLL sketch frame — one row per source",
     "q183_shard_novelty" -> "numShards-sized frame broadcast",
     "q87_array_setops" -> "self-join of an explicitly doc_id<10-filtered frame — ≤10-row broadcast side"
+  )
+
+  /** Single-partition funnels (coalesce(1) / SinglePartition exchange
+    * over input the auto-allow can't prove bounded) that are SMALL BY
+    * CONSTRUCTION — each entry names the frame the one task actually
+    * receives and why it cannot grow with corpus row count. */
+  val singlePartitionAllow: Map[String, String] = Map(
+    "q190_knn_label_eval" -> "coalesce(1) sorts the label^2-sized confusion MATRIX (|labels|=3 here), never the corpus — the r12 job-diet shape; corpus mass is reduced by the upstream per-query top-k aggregation"
   )
 }
