@@ -113,9 +113,11 @@ object Stress {
         }
         Dedup.freeLocalCheckpoint(index)
       }
-      // the DURABLE twin: same batch against an on-disk (mult-1)x store;
-      // the parquet scan replaces the in-memory checkpoint, everything
-      // else is the same batch-proportional shape
+      // the DURABLE twin: same batch against an on-disk (mult-1)x store.
+      // Since round 13 the append reads the store's __bands twin
+      // bucket-pruned instead of re-banding every stored signature, so
+      // this row must stay flat in the multiplier (the 37.7s r12 tail
+      // was the re-banding scan growing with the index)
       if (enabled("lsh_stored_append")) {
         val db = "graft_stress_lsh"
         val loc = java.nio.file.Files.createTempDirectory("graft-stress-lsh")

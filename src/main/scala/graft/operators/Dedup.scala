@@ -429,8 +429,11 @@ object Dedup {
     * it never shuffles) + the bucket-pruned `__bands` read
     * ([[storedBandsPruned]]: file pruning by the batch's bucket keys,
     * then an exact broadcast semi-join — no re-banding of stored
-    * signatures, no index-sized aggregation) + the pair verification's
-    * hs-column scan + two bucketed appends. A store built before the
+    * signatures, no index-sized aggregation) + ONE (id, hs) scan of the
+    * store for verification, semi-pruned to touched-bucket ids and
+    * materialized collision-bounded (old candidate ids can only come
+    * from buckets the batch touches, so nothing outside the pruned set
+    * can reach a pair) + two bucketed appends. A store built before the
     * bands twin existed falls back to re-banding the main table's
     * signatures (the round-12 path) — rebuild to get the pruned read. */
   def lshIndexAppend(spark: org.apache.spark.sql.SparkSession,
@@ -447,12 +450,33 @@ object Dedup {
     val bandedNew = bandedSignatures(fresh.select(col(id), col("mh")),
       id, k, bands).localCheckpoint(true)
     val hasTwin = spark.catalog.tableExists(lshBandsTableName(table))
-    val oldBanded =
-      if (hasTwin) storedBandsPruned(spark, table, bandedNew, id)
-      else bandedSignatures(stored.select(col(id), col("mh")), id, k, bands)
-    val pairs = incrementalPairsFromBanded(stored.select(col(id), col("hs")),
+    val (oldBanded, oldSets) =
+      if (hasTwin) {
+        // materialize the pruned twin read once: it feeds the bucket
+        // union AND the verification prune below, and it is collision-
+        // bounded (rows in batch-touched buckets only)
+        val pruned = storedBandsPruned(spark, table, bandedNew, id)
+          .localCheckpoint(true)
+        // old candidate ids ⊆ pruned-bucket ids (candidates only come
+        // from buckets the batch touches), so verification needs the
+        // stored hs sets ONLY for those ids — one column-pruned parquet
+        // scan materialized collision-bounded, instead of verifyPairs's
+        // two broadcast joins each streaming the full (id, hs) store
+        val sets = stored.select(col(id), col("hs"))
+          .join(broadcast(pruned.select(col(id)).distinct()),
+            Seq(id), "leftsemi")
+          .localCheckpoint(true)
+        (pruned, sets)
+      } else
+        (bandedSignatures(stored.select(col(id), col("mh")), id, k, bands),
+          stored.select(col(id), col("hs")))
+    val pairs = incrementalPairsFromBanded(oldSets,
       oldBanded, bandedNew, fresh.select(col(id), col("hs")), id,
       threshold, maxBucketSize)
+    if (hasTwin) {
+      freeLocalCheckpoint(oldBanded) // pairs is checkpointed; drop both
+      freeLocalCheckpoint(oldSets)
+    }
     // Durability order: pair LEDGER first, bands twin second, index rows
     // LAST. Crash after the ledger write → the replay's anti-join still
     // sees the batch as new (its ids are absent from the MAIN table,
