@@ -324,19 +324,21 @@ object Dedup {
       spark.sql(s"ALTER TABLE $table UNSET TBLPROPERTIES IF EXISTS (" +
         "'graft.lsh_n', 'graft.lsh_k', 'graft.lsh_bands', " +
         "'graft.lsh_buckets')")
+    // ONE corpus pass: the fused signature kernel materializes the index
+    // once, and the ledger seed, the bands twin, and the index write all
+    // derive from it (the pairs previously re-ran indexDocs internally —
+    // a second full kernel pass per build)
+    val index = indexDocs(docs, id, text, n, k).localCheckpoint(true)
     // the pair LEDGER (`<table>__pairs`) is part of the durable state:
     // the build seeds it with the build corpus's own verified pairs, and
     // every append adds only its new pairs BEFORE the index rows land —
     // so the ledger always equals a full recompute over the stored docs,
     // and a crash can never lose a batch's pair report (see
     // lshIndexAppend's crash analysis)
-    val pairs = minHashLshPairs(docs, id, text, n, k, bands, threshold,
+    val pairs = minHashLshPairsFromIndex(index, id, k, bands, threshold,
       maxBucketSize)
     pairs.write.mode("overwrite").format("parquet")
       .saveAsTable(lshPairsTableName(table))
-    // the index rows feed two writes (bands + main) — materialize the
-    // signature pass once instead of running the fused kernel twice
-    val index = indexDocs(docs, id, text, n, k).localCheckpoint(true)
     graft.operators.Layout.writeBucketed(
       withBandsKey(bandedSignatures(index.select(col(id), col("mh")),
         id, k, bands)),
@@ -626,16 +628,26 @@ object Dedup {
       n: Int = 4, k: Int = 16, bands: Int = 4,
       threshold: Double = 0.5, maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     val base = indexDocs(docs, id, text, n, k).localCheckpoint(true)
+    val out = minHashLshPairsFromIndex(base, id, k, bands, threshold,
+      maxBucketSize)
+    freeLocalCheckpoint(base)
+    out
+  }
+
+  /** [[minHashLshPairs]] over an ALREADY-materialized [[indexDocs]]
+    * frame — the entry point when the caller needs the index too
+    * ([[lshBuildIndex]] writes it as the store), so the corpus-wide
+    * fused signature kernel runs once, not once per consumer. */
+  private[graft] def minHashLshPairsFromIndex(base: DataFrame, id: String,
+      k: Int, bands: Int, threshold: Double, maxBucketSize: Int): DataFrame = {
     val cands = guardedBuckets(
         bandedSignatures(base.select(col(id), col("mh")), id, k, bands),
         col(id), maxBucketSize)
       .select(explode(bucketPairs("__ids", "id_a", "id_b")).as("__p"))
       .select(col("__p.id_a").as("id_a"), col("__p.id_b").as("id_b"))
       .distinct()
-    val out = verifyPairs(cands, base.select(col(id), col("hs")), id, threshold)
+    verifyPairs(cands, base.select(col(id), col("hs")), id, threshold)
       .localCheckpoint(true)
-    freeLocalCheckpoint(base)
-    out
   }
 
   /** Near-dup pairs BETWEEN two corpora: same banding/verification
