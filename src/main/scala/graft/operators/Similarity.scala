@@ -894,6 +894,109 @@ object Similarity {
       vectors, id, queryId, model, refine, k, roundAt, Some(qF))
   }
 
+  /** Batch-of-queries serving against a persisted IVF-PQ codes index
+    * ([[ivfPqBuildIndex]]'s table) — the PQ twin of
+    * [[ivfSearchStoredBatch]]: N query vectors answered from ONE
+    * bucket-pruned scan of the m-byte codes, with the stored grid AND
+    * codebook loaded from the index's own artifacts (a mismatched pair
+    * is not constructible). Per query the semantics are IDENTICAL to
+    * serving each vector through the per-query chain (probe →
+    * ADC-top-`refine` → exact re-rank → top-k; SimilaritySpec pins row
+    * equality against [[ivfPqSearchIndexed]] on indexed query ids):
+    * probe cells by rounded anchor cosine with the [[probeCellsDf]] tie
+    * rule, ADC over each query's own LUT, candidates by (adist ASC, id
+    * ASC), final ranking by (exact sim DESC, id ASC). Rows whose id
+    * equals their query's id are dropped (the [[pqTopKImpl]] self-drop).
+    *
+    * Scale shape: probe metadata is |batch| × nprobe driver pairs; the
+    * per-query ADC LUTs ship as ONE broadcast map literal (|batch| ×
+    * m·ksub doubles — model state); the union-of-cells `IN` prunes
+    * buckets (SelectedBucketsCount); each query's ADC top-`refine` is a
+    * bounded heap in one grouped aggregation (score = NEGATED adist);
+    * the exact re-rank joins the ≤|batch|·refine candidates against the
+    * float `vectors` frame as the BROADCAST side (the id-bounded
+    * lookup — at deployment the vector table is id-bucketed), and the
+    * final top-k window sorts ≤refine rows per query — candidate-
+    * bounded, never corpus-bounded. Output: (query_id, rank, <id>,
+    * adist, sim), rank 1-based best-first. */
+  def ivfPqSearchStoredBatch(spark: org.apache.spark.sql.SparkSession,
+      table: String, vectors: DataFrame, id: String, queries: DataFrame,
+      qId: String, qVec: String, nprobe: Int, refine: Int, k: Int,
+      roundAt: Int = 4): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    require(refine >= 1, s"refine must be >= 1, got $refine")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val anchors = storedAnchors(spark, table)
+    val model = storedPqModel(spark, table)
+    val stored = spark.table(table)
+    requireIntegralId(stored, id, "ivfPqSearchStoredBatch index table")
+    requireIntegralId(vectors, id, "ivfPqSearchStoredBatch vectors frame")
+    requireIntegralId(queries.select(col(qId).as(qId)), qId,
+      "ivfPqSearchStoredBatch query batch")
+    import spark.implicits._
+    // ONE execution of the caller's queries plan, re-shipped as a local
+    // relation (the ivfSearchStoredBatch device): probe ranking, the
+    // LUT map, and the re-rank join must all see the same (q_id, qv)
+    // rows — and duplicate q_id values would merge two queries'
+    // candidate heaps into one blended top-k, so they refuse
+    val qProj = queries.select(col(qId).cast("long").as("q_id"),
+      col(qVec).as("qv"))
+    val qRows = qProj.collect()
+    val dupIds = qRows.groupBy(_.getLong(0)).collect {
+      case (qid, rows) if rows.length > 1 => qid
+    }
+    require(dupIds.isEmpty,
+      s"ivfPqSearchStoredBatch query batch has duplicate $qId value(s) " +
+        s"${dupIds.toSeq.sorted.take(5).mkString(", ")} — each query " +
+        "vector needs a distinct id; dedup the batch first")
+    val outSchema = Seq("query_id", "rank", id, "adist", "sim")
+    if (qRows.isEmpty)
+      return Seq.empty[(Long, Int, Long, Double, Double)]
+        .toDF(outSchema: _*)
+    val q = spark.createDataFrame(
+      java.util.Arrays.asList(qRows: _*), qProj.schema)
+    // driver model state: one flat ADC LUT per query vector
+    val lutMap = map(qRows.toIndexedSeq.flatMap { r =>
+      val qid = r.getLong(0)
+      val qd = r.getSeq[Float](1).map(_.toDouble).toArray
+      require(qd.length == model.m * model.sub,
+        s"query dim != model dim for $qId=$qid")
+      Seq(lit(qid), array(flatAdcLut(model, qd).map(lit).toIndexedSeq: _*))
+    }: _*)
+    val probePairs = probeRanks(anchors, q, nprobe, roundAt)
+      .select(col("q_id"), col("cell").cast("long").as("cell"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toIndexedSeq
+    val cells = probePairs.map(_._2).distinct
+    val probeDf = broadcast(probePairs.toDF("q_id", "cell"))
+    val cands = stored
+      .filter(col("cell").isin(cells: _*)) // bucket-pruned union scan
+      .join(probeDf, stored("cell").cast("long") === probeDf("cell"))
+      .filter(col(id).cast("long") =!= col("q_id")) // per-query self-drop
+      .withColumn("adist",
+        adcDistFromLut(model, element_at(lutMap, col("q_id")), id, roundAt))
+      .groupBy("q_id")
+      .agg(topKPairs(-col("adist"), col(id).cast("long"), col("adist"),
+        refine).as("cand"))
+      .select(col("q_id"), explode(col("cand")).as("c"))
+      .select(col("q_id"), col("c.id").as("__cid"),
+        col("c.payload").as("adist"))
+    // exact re-rank: the candidate frame (≤ |batch|·refine rows) is the
+    // BROADCAST side; the corpus-sized float table streams once
+    val w = Window.partitionBy("q_id").orderBy(desc("sim"), asc("__cid"))
+    broadcast(cands)
+      .join(vectors.select(col(id).cast("long").as("__cid"),
+        col("embedding")), Seq("__cid"))
+      .join(broadcast(q), Seq("q_id"))
+      .withColumn("sim",
+        round(nanvl(vec.cosine(col("embedding"), col("qv")), lit(-1.0)),
+          roundAt))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id").as("query_id"), col("rank").cast("int").as("rank"),
+        col("__cid").as(id), col("adist"), col("sim"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Lloyd's k-means over `(id, embedding: array<float>)` — the
     * clustering pass that turns hash-picked IVF anchors into LEARNED
     * cell centroids (tighter cells → better recall at the same nprobe),

@@ -1085,7 +1085,83 @@ object SimilarityQueries {
       WHERE rank <= 10
       ORDER BY query_id, rank"""))
 
+  /** The batched stored-index serving face for IVF-PQ
+    * ([[graft.operators.Similarity.ivfPqSearchStoredBatch]]): build +
+    * persist the (codes, grid, codebook) triple, then serve a 3-query
+    * batch from ONE bucket-pruned scan of the m-byte codes — per-query
+    * semantics identical to the q178 chain served one at a time
+    * (SimilaritySpec pins row equality against ivfPqSearchIndexed).
+    * The oracle replays the whole composition per query: full-corpus
+    * encode (q171's CTEs), assignment + per-query top-2 probe cells
+    * (q214's rules), each query's own 6-dp LUT, ADC over probed cells
+    * with the self-drop, top-40 by (adist, vec_id), exact-cosine
+    * re-rank to a 1-based top-10. */
+  val q216 = Q(
+    "q216_ann_stored_batch_pq",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val anchors = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("anchor_id"), col("embedding").as("av"))
+      val db = "graft_ivfpq_batch"
+      val loc = java.nio.file.Files.createTempDirectory("graft-ivfpq-batch")
+      s.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$loc'")
+      Seq("idx", "idx__anchors", "idx__pq")
+        .foreach(t => s.sql(s"DROP TABLE IF EXISTS $db.$t"))
+      graft.operators.Similarity.ivfPqBuildIndex(
+        e, anchors, "vec_id", pqModel(s, d), s"$db.idx", numBuckets = 8)
+      val queries = e.filter(col("vec_id").isInCollection(Seq(0L, 5L, 9L)))
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      graft.operators.Similarity.ivfPqSearchStoredBatch(
+        s, s"$db.idx", e.select(col("vec_id"), col("embedding")), "vec_id",
+        queries, "query_id", "qvec", nprobe = 2, refine = 40, k = 10)
+    },
+    Some(s"""
+      WITH $PqCtes,
+      anchors AS (SELECT vec_id AS anchor_id, x AS av FROM e WHERE vec_id < 8),
+      assigned AS (SELECT vec_id, cell FROM (
+          SELECT e.vec_id, a.anchor_id AS cell,
+                 ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                   ORDER BY ROUND(CASE WHEN isnan(list_cosine_similarity(e.x, a.av))
+                                       THEN -1 ELSE list_cosine_similarity(e.x, a.av) END, 4) DESC,
+                            a.anchor_id) AS rk
+          FROM e CROSS JOIN anchors a) t WHERE rk = 1),
+      q AS (SELECT vec_id AS query_id, x AS qv FROM e WHERE vec_id IN (0, 5, 9)),
+      probe AS (SELECT query_id, cell FROM (
+          SELECT q.query_id, a.anchor_id AS cell,
+                 ROW_NUMBER() OVER (PARTITION BY q.query_id
+                   ORDER BY ROUND(CASE WHEN isnan(list_cosine_similarity(a.av, q.qv))
+                                       THEN -1 ELSE list_cosine_similarity(a.av, q.qv) END, 4) DESC,
+                            a.anchor_id) AS prk
+          FROM anchors a CROSS JOIN q) t WHERE prk <= 2),
+      lut AS (SELECT q.query_id, c.j, c.code,
+                     ROUND(list_sum(list_transform(range(1, 17),
+                       i -> pow(q.qv[c.j*16 + i] - c.cw[i], 2))), 6) AS lv
+              FROM cb c, q),
+      ad AS (SELECT l.query_id, enc.vec_id,
+                    ROUND(list_sum(list(l.lv ORDER BY enc.j)), 4) AS adist
+             FROM enc
+             JOIN lut l ON enc.j = l.j AND enc.code = l.code
+             JOIN assigned s ON s.vec_id = enc.vec_id
+             JOIN probe p ON p.cell = s.cell AND p.query_id = l.query_id
+             WHERE enc.vec_id <> l.query_id
+             GROUP BY l.query_id, enc.vec_id),
+      cand AS (SELECT query_id, vec_id, adist FROM (
+                 SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY adist, vec_id) AS crk FROM ad) t
+               WHERE crk <= 40)
+      SELECT query_id, rank, vec_id, adist, sim FROM (
+        SELECT c.query_id, c.vec_id, c.adist,
+               ROUND(list_cosine_similarity(e.x, q.qv), 4) AS sim,
+               CAST(ROW_NUMBER() OVER (PARTITION BY c.query_id
+                 ORDER BY ROUND(list_cosine_similarity(e.x, q.qv), 4) DESC,
+                          c.vec_id) AS INTEGER) AS rank
+        FROM cand c JOIN e USING (vec_id)
+             JOIN q ON q.query_id = c.query_id) r
+      WHERE rank <= 10
+      ORDER BY query_id, rank"""))
+
   def all: Seq[Q] =
     Seq(q34, q35, q39, q40, q48, q59, q60, q109, q136, q155, q171, q172,
-      q178, q184, q185, q190, q206, q207, q209, q210, q211, q213, q214)
+      q178, q184, q185, q190, q206, q207, q209, q210, q211, q213, q214,
+      q216)
 }

@@ -346,6 +346,58 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(dup.getMessage.contains("duplicate"), dup.getMessage)
   }
 
+  test("ivfPqSearchStoredBatch: row-identical to per-query ivfPqSearchIndexed, stored artifacts only") {
+    val db = "graft_pq_batch_serve"
+    val loc = java.nio.file.Files.createTempDirectory("graft-pq-batch-serve")
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$loc'")
+    Seq("idx", "idx__anchors", "idx__pq")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $db.$t"))
+    val model = Similarity.pqCodebooksSampled(anchors, m = 4)
+    Similarity.ivfPqBuildIndex(emb, anchors, "vec_id", model, s"$db.idx",
+      numBuckets = 8)
+    val vectors = emb.select(col("vec_id"), col("embedding"))
+    val qIds = Seq(0L, 3L, 17L, 41L)
+    val queries = emb.filter(col("vec_id").isInCollection(qIds))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val batch = Similarity.ivfPqSearchStoredBatch(spark, s"$db.idx",
+        vectors, "vec_id", queries, "query_id", "qvec",
+        nprobe = 2, refine = 40, k = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    val byQ = batch.groupBy(_._1)
+    assert(byQ.keySet == qIds.toSet, byQ.keySet)
+    for ((qid, rows) <- byQ) {
+      // ranks 1-based contiguous best-first, self dropped
+      assert(rows.map(_._2).sorted.sameElements(1 to rows.length))
+      assert(rows.forall(_._3 != qid))
+      // exact row equality with the per-query face (grid + codebook
+      // passed explicitly there; the batch face loads the artifacts)
+      val single = Similarity.ivfPqSearchIndexed(spark, s"$db.idx",
+          vectors, "vec_id", qid, anchors, model,
+          nprobe = 2, refine = 40, k = 10)
+        .select("vec_id", "adist", "sim").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+      val fromBatch = rows.sortBy(_._2).map(t => (t._3, t._4, t._5))
+      assert(fromBatch.toSeq == single.toSeq,
+        s"q$qid: batch=${fromBatch.toSeq} single=${single.toSeq}")
+    }
+    // duplicate q_id refusal, the ivfSearchStoredBatch rule
+    val dup = intercept[IllegalArgumentException] {
+      Similarity.ivfPqSearchStoredBatch(spark, s"$db.idx", vectors,
+        "vec_id", queries.union(queries.limit(1)), "query_id", "qvec",
+        nprobe = 2, refine = 40, k = 10)
+    }
+    assert(dup.getMessage.contains("duplicate"), dup.getMessage)
+    // an empty batch returns an empty, correctly-shaped frame
+    val empty = Similarity.ivfPqSearchStoredBatch(spark, s"$db.idx",
+      vectors, "vec_id", queries.limit(0), "query_id", "qvec",
+      nprobe = 2, refine = 40, k = 10)
+    assert(empty.columns.toSeq ==
+      Seq("query_id", "rank", "vec_id", "adist", "sim"))
+    assert(empty.isEmpty)
+  }
+
   test("the (index, grid) pairing is ONE artifact: stored faces load it, wrong grids refuse") {
     val db = "graft_grid_artifact"
     val loc = java.nio.file.Files.createTempDirectory("graft-grid-art")
