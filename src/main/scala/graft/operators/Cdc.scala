@@ -217,20 +217,39 @@ object Cdc {
         // decimals widens precision by one (decimal(20,0) -> 21 -> 22
         // ...), so without the cast every refresh cycle would drift the
         // maintained state's schema until it caps at 38 — breaking
-        // fixed-schema sinks fed by the state. Under non-ANSI mode a
-        // merged sum that GENUINELY exceeds the state type casts to
-        // NULL — which the next refresh's coalesce would read as "no
-        // state", silently dropping the accumulated total. Overflow must
-        // refuse loudly instead: a non-null merged value whose cast came
-        // back null is asserted in-plan.
+        // fixed-schema sinks fed by the state. Overflow must refuse
+        // loudly, and under non-ANSI mode the two overflow shapes fail
+        // DIFFERENTLY: a decimal merge that exceeds the state type
+        // casts to NULL (which the next refresh's coalesce would read
+        // as "no state", silently dropping the total), while an
+        // INTEGRAL `+` and its narrowing cast both WRAP with no NULL at
+        // all. So integral state columns merge in a wider type first
+        // (byte/short/int → long, long → decimal(20,0) — two longs
+        // can't overflow 20 digits), and the guard asserts the
+        // round-trip: a merged value whose narrowed form is null OR
+        // fails to widen back to itself overflowed the state type.
+        // Float/double saturate to ±Infinity instead of wrapping —
+        // visible downstream, no silent corruption — and stay unwidened.
         aggCols.map { c =>
-          val merged = coalesce(col(c) + col(s"__d_$c"),
-            col(c), col(s"__d_$c"))
-          val narrowed = merged.cast(state.schema(c).dataType)
-          when(merged.isNotNull && narrowed.isNull,
+          import org.apache.spark.sql.types._
+          val st = state.schema(c).dataType
+          val wide: DataType = st match {
+            case ByteType | ShortType | IntegerType => LongType
+            case LongType => DecimalType(20, 0)
+            case other => other
+          }
+          val merged = coalesce(
+            col(c).cast(wide) + col(s"__d_$c").cast(wide),
+            col(c).cast(wide), col(s"__d_$c").cast(wide))
+          val narrowed = merged.cast(st)
+          val overflowed =
+            if (wide == st) merged.isNotNull && narrowed.isNull
+            else merged.isNotNull &&
+              (narrowed.isNull || narrowed.cast(wide) =!= merged)
+          when(overflowed,
             raise_error(concat(
               lit(s"refreshAgg: merged value of '$c' overflows the state " +
-                s"type ${state.schema(c).dataType.simpleString} (value "),
+                s"type ${st.simpleString} (value "),
               merged.cast("string"),
               lit(") — widen the state column before refreshing"))))
             .otherwise(narrowed).as(c)

@@ -414,7 +414,7 @@ object Dedup {
     * contract lives WITH the index, so an append can never band a batch
     * with drifted parameters. A table without them is half-built or
     * foreign: refuse. */
-  private def storedLshParams(spark: org.apache.spark.sql.SparkSession,
+  private[graft] def storedLshParams(spark: org.apache.spark.sql.SparkSession,
       table: String): (Int, Int, Int, Int) = {
     require(spark.catalog.tableExists(table), s"no such index table: $table")
     val props = org.apache.spark.sql.GraftBridge.tableProperties(spark, table)
@@ -443,20 +443,47 @@ object Dedup {
     * it never shuffles) + the bucket-pruned `__bands` read
     * ([[storedBandsPruned]]: file pruning by the batch's bucket keys,
     * then an exact broadcast semi-join — no re-banding of stored
-    * signatures, no index-sized aggregation) + ONE (id, hs) scan of the
-    * store for verification, semi-pruned to touched-bucket ids and
-    * materialized collision-bounded (old candidate ids can only come
-    * from buckets the batch touches, so nothing outside the pruned set
-    * can reach a pair) + two bucketed appends. A store built before the
-    * bands twin existed falls back to re-banding the main table's
-    * signatures (the round-12 path) — rebuild to get the pruned read. */
+    * signatures, no index-sized aggregation) + ONE FILE-PRUNED (id, hs)
+    * read of the store for verification: candidate ids can only come
+    * from buckets the batch touches, the store is id-bucketed, so the
+    * candidates' own id-buckets select which files to OPEN
+    * ([[graft.operators.Layout.readBucketSubset]]) before the exact
+    * broadcast semi-join prunes rows — nothing on the append path reads
+    * index-proportional bytes once the batch is small + two bucketed
+    * appends. A store built before the bands twin existed falls back to
+    * re-banding the main table's signatures (the round-12 path) —
+    * rebuild to get the pruned read. */
   def lshIndexAppend(spark: org.apache.spark.sql.SparkSession,
       table: String, newDocs: DataFrame, id: String, text: String,
       threshold: Double = 0.5,
       maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
-    val (n, k, bands, numBuckets) = storedLshParams(spark, table)
+    val (n, k, _, _) = storedLshParams(spark, table)
+    lshIndexAppendIndexed(spark, table,
+      indexDocs(newDocs, id, text, n, k), id, threshold, maxBucketSize)
+  }
+
+  /** [[lshIndexAppend]]'s core over an ALREADY-INDEXED batch — (id, mh,
+    * hs) rows in [[indexDocs]] shape under the STORE's own parameters.
+    * This is the face the staged-streaming path feeds
+    * ([[lshIndexAbsorb]]): the stage persisted the batch's index rows
+    * anyway, so re-running the signature kernel here would double the
+    * per-batch CPU (the [[incrementalLshPairsIndexed]] rationale,
+    * durable twin). A batch whose signature length disagrees with the
+    * store's stamped `k` refuses in-plan — banding a drifted signature
+    * would silently miss every collision past the shorter length. All
+    * ordering/crash/replay guarantees are [[lshIndexAppend]]'s. */
+  def lshIndexAppendIndexed(spark: org.apache.spark.sql.SparkSession,
+      table: String, newIndex: DataFrame, id: String,
+      threshold: Double = 0.5,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    val (_, k, bands, numBuckets) = storedLshParams(spark, table)
     val stored = spark.table(table)
-    val fresh = indexDocs(newDocs, id, text, n, k)
+    val fresh = newIndex
+      .withColumn("mh", when(size(col("mh")) === k, col("mh"))
+        .otherwise(raise_error(format_string(
+          s"lshIndexAppendIndexed: batch signature length %s != the " +
+            s"store's stamped k=$k — indexed under drifted parameters; " +
+            "re-index the batch from text", size(col("mh")).cast("string")))))
       .join(stored.select(col(id)), Seq(id), "leftanti")
       .localCheckpoint(true)
     // the batch's banded rows feed three consumers (the bkey collect,
@@ -473,13 +500,25 @@ object Dedup {
           .localCheckpoint(true)
         // old candidate ids ⊆ pruned-bucket ids (candidates only come
         // from buckets the batch touches), so verification needs the
-        // stored hs sets ONLY for those ids — one column-pruned parquet
-        // scan materialized collision-bounded, instead of verifyPairs's
-        // two broadcast joins each streaming the full (id, hs) store
-        val sets = stored.select(col(id), col("hs"))
-          .join(broadcast(pruned.select(col(id)).distinct()),
-            Seq(id), "leftsemi")
+        // stored hs sets ONLY for those ids — and the store is
+        // id-bucketed, so the candidate set prunes at FILE level too:
+        // the candidates' ≤numBuckets distinct id-buckets select which
+        // files to open ([[Layout.readBucketSubset]]), then the exact
+        // broadcast semi-join prunes rows. Without the file prune this
+        // was the one read that still grew with the index on the
+        // append path (the full hs column mass at page-cache mercy);
+        // with it a trickle batch reads only the buckets its collision
+        // candidates live in, and the materialized result stays
+        // collision-bounded either way.
+        val candIds = pruned.select(col(id)).distinct().localCheckpoint(true)
+        val touched = candIds
+          .select(pmod(hash(col(id)), lit(numBuckets)).as("b"))
+          .distinct().collect().map(_.getInt(0)).toSet
+        val sets = Layout.readBucketSubset(spark, table, touched)
+          .select(col(id), col("hs"))
+          .join(broadcast(candIds), Seq(id), "leftsemi")
           .localCheckpoint(true)
+        freeLocalCheckpoint(candIds)
         (pruned, sets)
       } else
         (bandedSignatures(stored.select(col(id), col("mh")), id, k, bands),
@@ -522,6 +561,82 @@ object Dedup {
     freeLocalCheckpoint(bandedNew)
     freeLocalCheckpoint(fresh) // pairs is checkpointed; safe to drop
     pairs
+  }
+
+  /** Name of the parameter marker [[graft.streaming.EventStream
+    * .streamingLshStage]] drops into each staged batch dir AFTER the
+    * data commit: `n,k` of the store the stage was cut for. */
+  private[graft] val LshStageParamsFile = "_lshparams"
+
+  /** Fold staged streaming batches (EventStream.streamingLshStage's
+    * `stageDir/batch=<n>` dirs of pre-indexed (id, mh, hs) rows) into a
+    * durable [[lshBuildIndex]] store — the LSH twin of
+    * `Similarity.ivfIndexAbsorb`, sharing its exactly-once argument:
+    * staged rows are anti-joined against the stored ids inside
+    * [[lshIndexAppendIndexed]], so a crash between the append and the
+    * cleanup, a replayed absorb, or a half-deleted stage can never
+    * duplicate index rows — and the pair LEDGER stays convergent
+    * because the core's ledger-side anti-join drops already-reported
+    * pairs. Only batch dirs with BOTH `_SUCCESS` (data committed) and
+    * the `_lshparams` marker (params recorded after the data) are
+    * absorbed; a dir missing the marker is a torn stage whose batch the
+    * stream will replay — skipped, not an error. A marker whose (n, k)
+    * disagrees with the store's stamp refuses loudly: the store was
+    * rebuilt under new parameters while this stage was outstanding, and
+    * its signatures are garbage for the new banding.
+    *
+    * A doc id staged in two batches (client retry) keeps its
+    * FIRST-staged batch's row — min(batch id), deterministic. Absorb
+    * runs at compaction cadence, not per micro-batch, so the per-absorb
+    * fixed costs amortize exactly like the IVF family's.
+    * Returns (batches_absorbed, rows_appended, new_pairs). */
+  def lshIndexAbsorb(spark: org.apache.spark.sql.SparkSession,
+      stageDir: String, table: String, id: String,
+      threshold: Double = 0.5,
+      maxBucketSize: Int = DefaultMaxBucketSize): (Long, Long, Long) = {
+    val (n, k, _, _) = storedLshParams(spark, table)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(stageDir)
+    val hfs = root.getFileSystem(hconf)
+    if (!hfs.exists(root)) return (0L, 0L, 0L)
+    val committed = hfs.listStatus(root).toIndexedSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+      .filter(s => hfs.exists(
+        new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
+      .filter { s =>
+        val marker = new org.apache.hadoop.fs.Path(s.getPath, LshStageParamsFile)
+        if (!hfs.exists(marker)) false // torn stage: the stream replays it
+        else {
+          val in = hfs.open(marker)
+          val got = try scala.io.Source.fromInputStream(in, "UTF-8")
+            .mkString.trim finally in.close()
+          require(got == s"$n,$k",
+            s"staged batch ${s.getPath.getName} was indexed under " +
+              s"parameters ($got) but $table is stamped ($n,$k) — the " +
+              "store was rebuilt while the stage was outstanding; drop " +
+              "the stage dir and re-ingest those batches from text")
+          true
+        }
+      }
+      .map(_.getPath)
+      .sortBy(_.getName)
+    if (committed.isEmpty) return (0L, 0L, 0L)
+    val staged = spark.read
+      .parquet(committed.map(_.toString): _*)
+      .withColumn("__batch",
+        regexp_extract(input_file_name(), "batch=(\\d+)", 1).cast("long"))
+      .withColumn("__rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col(id)).orderBy(asc("__batch"))))
+      .filter(col("__rk") === 1)
+      .drop("__rk", "__batch")
+    val rows = staged.join(
+      spark.table(table).select(col(id)), Seq(id), "leftanti").count()
+    val pairs = lshIndexAppendIndexed(spark, table, staged, id,
+      threshold, maxBucketSize)
+    val nPairs = pairs.count()
+    committed.foreach(p => hfs.delete(p, true))
+    (committed.size.toLong, rows, nPairs)
   }
 
   /** The [[incrementalLshPairs]] append path when the new batch's index

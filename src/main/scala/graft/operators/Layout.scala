@@ -22,13 +22,26 @@ object Layout {
     * files, and every later scan pays a parquet footer open per file
     * (measured: a 16-bucket table written from 64 tasks landed 1024
     * files and its scans cost seconds of pure footer overhead at ANY
-    * data size). Pre-shuffling on the bucket columns with exactly
-    * numBuckets partitions aligns task == bucket (repartition's hash
-    * is the same Murmur3-pmod the bucket id uses), so every write —
-    * build or append — lands exactly one file per non-empty bucket. */
+    * data size). Pre-shuffling on the bucket columns bounds that: with
+    * a partition count that is a MULTIPLE of numBuckets, every shuffle
+    * partition holds rows of exactly one bucket (pmod(h, m·B) fixes
+    * pmod(h, B) when B divides m·B — repartition's hash is the same
+    * Murmur3-pmod the bucket id uses), so each task writes one file and
+    * the table lands at most `m` files per bucket. `m` scales with the
+    * cluster's task slots (capped at [[MaxFilesPerBucket]]) so a
+    * corpus-scale BUILD keeps its write parallelism — repartitioning a
+    * 5M-row build to exactly 16 buckets would funnel it through 16
+    * tasks — while appends still add a small constant number of files
+    * per batch instead of T×numBuckets. */
+  private[graft] val MaxFilesPerBucket = 8
+
   private def oneFilePerBucket(df: DataFrame, bucketCols: Seq[String],
-      numBuckets: Int): DataFrame =
-    df.repartition(numBuckets, bucketCols.map(col): _*)
+      numBuckets: Int): DataFrame = {
+    val slots = df.sparkSession.sparkContext.defaultParallelism
+    val perBucket =
+      math.min(MaxFilesPerBucket, math.max(1, slots / numBuckets))
+    df.repartition(numBuckets * perBucket, bucketCols.map(col): _*)
+  }
 
   /** Write `df` as a bucketed+sorted parquet table. Joins and
     * aggregations between tables bucketed the same way on the same key
@@ -46,8 +59,8 @@ object Layout {
     * the incremental-ingest twin of [[writeBucketed]]. Spark checks the
     * declared (numBuckets, bucketCols) against the catalog's and fails
     * the append on a mismatch, so layout drift is loud, never silent.
-    * Appends get the same one-file-per-bucket shuffle as the build:
-    * without it every append of a T-partition batch adds up to
+    * Appends get the same bounded-files-per-bucket shuffle as the
+    * build: without it every append of a T-partition batch adds up to
     * T×numBuckets files and the store's scan cost creeps up with every
     * batch ingested. */
   def appendBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
@@ -58,6 +71,41 @@ object Layout {
       .mode("append")
       .format("parquet")
       .saveAsTable(table)
+
+  /** The bucket id a bucketed-table data file belongs to, parsed from
+    * Spark's file naming (`part-NNNNN-<uuid>_<bucketId>.c000...` — the
+    * trailing `_<digits>` before the extensions, the same rule Spark's
+    * own BucketingUtils applies when it reassembles buckets at read
+    * time). None for a name that carries no bucket id. */
+  private[graft] def bucketIdOfFile(path: String): Option[Int] = {
+    val name = path.substring(path.lastIndexOf('/') + 1)
+    """.*_(\d+)(?:\..*)?$""".r.findFirstMatchIn(name)
+      .flatMap(m => scala.util.Try(m.group(1).toInt).toOption)
+  }
+
+  /** Read ONLY the data files of `table` whose bucket id is in
+    * `buckets` — FILE-level pruning for predicates Spark's own bucket
+    * pruning can't see (e.g. "ids whose murmur3-pmod lands in these
+    * buckets", where the id list itself is too big to inline as an IN).
+    * The caller derives `buckets` with the same `pmod(hash(key),
+    * numBuckets)` the bucketed write used, so every row that could
+    * match lives in a selected file by construction. Falls back to the
+    * full table if any file name fails to parse a bucket id (never
+    * silently drops data). The result is a plain parquet read — no
+    * bucketing metadata — which is exactly right for callers that
+    * broadcast-join the result rather than shuffle it. */
+  private[graft] def readBucketSubset(
+      spark: org.apache.spark.sql.SparkSession, table: String,
+      buckets: Set[Int]): DataFrame = {
+    val t = spark.table(table)
+    if (buckets.isEmpty) return t.filter(lit(false))
+    val all = t.inputFiles
+    val parsed = all.map(f => bucketIdOfFile(f).map(b => (b, f)))
+    if (parsed.exists(_.isEmpty)) return t // unparseable layout: read all
+    val picked = parsed.flatten.collect { case (b, f) if buckets(b) => f }
+    if (picked.isEmpty) t.filter(lit(false))
+    else spark.read.schema(t.schema).parquet(picked.toIndexedSeq: _*)
+  }
 
   /** Equal-count bucketing (SQL `NTILE(buckets) OVER (ORDER BY ...)`)
     * without the single-partition global Window Spark plans for an

@@ -295,16 +295,24 @@ object Multimodal {
     private def frameChunks(b: Array[Byte], streamIdx: Int): Seq[(Int, Int)] = {
       val want = f"$streamIdx%02d"
       val out = Seq.newBuilder[(Int, Int)]
-      def walk(from: Int, until: Int, inMovi: Boolean): Unit =
-        for ((id, ds, size) <- chunkRun(b, from, until)) {
-          val lt = if (id == "LIST") listType(b, ds, size) else ""
-          if (lt == "movi" || (inMovi && lt == "rec "))
-            walk(ds + 4, ds + size, inMovi = true)
-          else if (inMovi && id.startsWith(want) &&
-              (id.endsWith("dc") || id.endsWith("db")))
-            out += ((ds, size))
-        }
-      walk(12, b.length, inMovi = false)
+      // real RIFF files nest LIST movi/`rec ` fewer than 5 deep; a
+      // hostile payload can nest a 12-byte LIST per level, so an
+      // unbounded walk would recurse ~len/12 frames deep and blow the
+      // stack (a StackOverflowError the NonFatal decode guards do NOT
+      // absorb). Over-deep branches are treated as unparseable — the
+      // walk just stops descending, and a frameless result falls back
+      // to the metadata probe like any other corrupt stream.
+      def walk(from: Int, until: Int, inMovi: Boolean, depth: Int): Unit =
+        if (depth <= 16)
+          for ((id, ds, size) <- chunkRun(b, from, until)) {
+            val lt = if (id == "LIST") listType(b, ds, size) else ""
+            if (lt == "movi" || (inMovi && lt == "rec "))
+              walk(ds + 4, ds + size, inMovi = true, depth + 1)
+            else if (inMovi && id.startsWith(want) &&
+                (id.endsWith("dc") || id.endsWith("db")))
+              out += ((ds, size))
+          }
+      walk(12, b.length, inMovi = false, depth = 0)
       out.result()
     }
 

@@ -555,6 +555,133 @@ object Similarity {
     anchors
   }
 
+  /** Warm-start Lloyd refit of PQ codebooks over `(id, embedding)`
+    * rows: each round is ONE scan — per-vector per-subspace codeword
+    * assignment under the CURRENT codebooks (exactly
+    * [[pqEncodeDetailCol]]'s rounded-distance, tie-to-lower-code rule),
+    * then per-(subspace, codeword, dim) means fold into the next
+    * codebooks on the driver (O(m·ksub·sub) doubles — model state, the
+    * [[kmeans]] update device applied per subspace). A codeword that
+    * attracted no vectors keeps its previous value, so the model shape
+    * (m, ksub, sub) is invariant and the result always constructs.
+    * Starting from the STORED model rather than fresh seeds is the
+    * point: drift repair moves codewords toward where the data went,
+    * monotonically reducing quantization error round over round. */
+  def pqRefitCodebooks(emb: DataFrame, model: PqModel, iters: Int,
+      roundAt: Int = 4): PqModel = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    var cur = model
+    for (_ <- 1 to iters) {
+      val means = emb
+        .select(col("embedding"),
+          posexplode(pqEncodeDetailCol(col("embedding"), cur, roundAt)))
+        .select(col("pos").as("j"), col("col.code").as("code"),
+          posexplode(slice(col("embedding"),
+            col("pos") * lit(cur.sub) + 1, lit(cur.sub))))
+        .groupBy(col("j"), col("code"), col("pos").as("i"))
+        .agg(avg(col("col").cast("double")).as("m"))
+        .collect()
+        .groupBy(r => (r.getInt(0), r.getLong(1)))
+        .map { case ((j, c), rows) =>
+          (j, c.toInt) -> rows.sortBy(_.getInt(2)).map(_.getDouble(3)).toArray
+        }
+      cur = PqModel(cur.m, cur.sub, Array.tabulate(cur.m) { j =>
+        Array.tabulate(cur.ksub) { c =>
+          means.getOrElse((j, c), cur.codebooks(j)(c))
+        }
+      })
+    }
+    cur
+  }
+
+  /** Codebook re-train + re-encode for a drifted IVF-PQ store — the
+    * repair [[pqDriftStats]] tells you to run, and the PQ twin of
+    * [[ivfRetrain]]: the anchor GRID is kept (cell skew is ivfRetrain's
+    * domain; this closes the other half of the lifecycle — the frozen
+    * codebook whose ADC error grows as appends drift), the codebooks
+    * are warm-start refit over the STORED rows' float vectors
+    * ([[pqRefitCodebooks]], `iters` one-scan rounds), and the store is
+    * re-encoded into `newTable` — a fresh version, never an in-place
+    * overwrite of a table being served. Payload columns the v1 rows
+    * carried survive into v2; the stale codes are replaced.
+    *
+    * The store holds CODES, not floats, so the caller supplies the
+    * float corpus (`vectors`) — and every stored id must be present in
+    * it: a silent inner join would shrink the index on rebuild, so a
+    * stored id with no vector refuses in-plan. Re-running into an
+    * existing `newTable` un-stamps it FIRST (the lshBuildIndex rebuild
+    * rule): every mid-rebuild crash window leaves a table the serving
+    * faces refuse, never v1 artifacts paired with v2 codes. Returns
+    * the refit model (also persisted as `newTable`'s own artifact).
+    * Cost: iters + 2 corpus scans + the bucketed write — deliberately
+    * index-proportional, the amortized one-off appends defer. */
+  def ivfPqRetrain(spark: org.apache.spark.sql.SparkSession, table: String,
+      newTable: String, vectors: DataFrame, id: String, iters: Int = 2,
+      numBuckets: Int = 16, roundAt: Int = 4): PqModel = {
+    require(table != newTable,
+      "ivfPqRetrain rebuilds into a NEW table version: reading and " +
+        "overwriting the same bucketed table is not a safe operation")
+    val anchors = storedAnchors(spark, table)
+    val model = storedPqModel(spark, table)
+    if (spark.catalog.tableExists(newTable))
+      spark.sql(s"ALTER TABLE $newTable UNSET TBLPROPERTIES IF EXISTS (" +
+        "'graft.grid_id', 'graft.pq_id', 'graft.pq_err')")
+    val stored = spark.table(table).drop("cell", "codes")
+    val floats = vectors.select(col(id), col("embedding"))
+    val joined = stored.join(floats, Seq(id), "left")
+      .withColumn("embedding",
+        when(col("embedding").isNotNull, col("embedding"))
+          .otherwise(raise_error(concat(
+            lit("ivfPqRetrain: stored id "), col(id).cast("string"),
+            lit(" has no vector in the caller's frame — the rebuild " +
+              "would silently drop it; pass the full float corpus")))))
+      .localCheckpoint(true) // refit rounds + the rebuild share one join
+    val refit = pqRefitCodebooks(
+      joined.select(col(id), col("embedding")), model, iters, roundAt)
+    ivfPqBuildIndex(joined, anchors, id, refit, newTable, numBuckets, roundAt)
+    freeLocalCheckpoint(joined)
+    refit
+  }
+
+  /** The WHEN of the codebook lifecycle: per-subspace quantization
+    * error of the store's CURRENT contents under its own frozen
+    * codebook, against the error stamped at build/retrain time
+    * (`graft.pq_err`). Appends encode drifting data with old codewords,
+    * so `drift_ratio` climbing above ~1 is the signal that ADC ranking
+    * quality is decaying and [[ivfPqRetrain]] is due — the codebook
+    * twin of [[ivfCellStats]]' occupancy skew (which only sees the
+    * GRID drift). The store holds codes, not floats, so the caller
+    * supplies the float corpus; ids absent from it are skipped and the
+    * per-subspace `n_vectors` says how much of the store was measured.
+    * ONE scan of the matched vectors (collision-free map-side encode +
+    * a subspace-keyed partial agg — m·ksub-bounded output). */
+  def pqDriftStats(spark: org.apache.spark.sql.SparkSession, table: String,
+      vectors: DataFrame, id: String, roundAt: Int = 4): DataFrame = {
+    val model = storedPqModel(spark, table)
+    val stamped = tableProp(spark, table, "graft.pq_err").getOrElse(
+      throw new IllegalArgumentException(
+        s"index $table records no graft.pq_err baseline — built before " +
+          "the drift signal existed; rebuild or retrain to stamp it"))
+    val errBuild = stamped.split(",").map(_.toDouble).toSeq
+    require(errBuild.length == model.m,
+      s"graft.pq_err on $table has ${errBuild.length} entries for a " +
+        s"model with m=${model.m} — artifact drift; rebuild the pair")
+    val matched = vectors.select(col(id), col("embedding"))
+      .join(spark.table(table).select(col(id)), Seq(id), "leftsemi")
+    matched
+      .select(posexplode(pqEncodeDetailCol(col("embedding"), model, roundAt)))
+      .groupBy(col("pos").as("subspace"))
+      .agg(count(lit(1)).as("n_vectors"), avg(col("col.d")).as("__e"))
+      .select(col("subspace"), col("n_vectors"),
+        round(col("__e"), roundAt).as("err_now"),
+        element_at(typedLit(errBuild), col("subspace") + 1).as("err_build"),
+        when(element_at(typedLit(errBuild), col("subspace") + 1) > 0,
+          round(col("__e") /
+            element_at(typedLit(errBuild), col("subspace") + 1), roundAt))
+          .as("drift_ratio"))
+      .orderBy("subspace")
+  }
+
   /** Fold staged streaming batches (EventStream.streamingIvfStage's
     * `stageDir/batch=<n>` dirs) into the persisted IVF index —
     * exactly-once WITHOUT a marker ledger: staged rows are anti-joined
@@ -800,8 +927,26 @@ object Similarity {
         .withColumn("codes", pqCodesCol(col("embedding"), model, roundAt))
         .drop("embedding"),
       table, bucketCols = Seq("cell"), numBuckets = numBuckets)
+    // the drift BASELINE ([[pqDriftStats]]): per-subspace mean encode
+    // error of the build corpus under this codebook — one extra agg
+    // scan, a build-time one-off. Stamped with the completion marker so
+    // a crash before it leaves a store the serving faces refuse anyway.
+    val err = pqSubspaceErr(emb, model, roundAt)
     stampGridId(spark, table, gid)
-    spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES ('graft.pq_id' = '$pid')")
+    spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES (" +
+      s"'graft.pq_id' = '$pid', 'graft.pq_err' = '${err.mkString(",")}')")
+  }
+
+  /** Per-subspace mean quantization error of `emb` under `model` —
+    * the [[pqDriftStats]] arithmetic, shared by the build-time stamp
+    * and the drift probe. */
+  private def pqSubspaceErr(emb: DataFrame, model: PqModel,
+      roundAt: Int): Array[Double] = {
+    val got = emb
+      .select(posexplode(pqEncodeDetailCol(col("embedding"), model, roundAt)))
+      .groupBy(col("pos")).agg(avg(col("col.d")).as("e"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    Array.tabulate(model.m)(j => roundHalfUp(got.getOrElse(j, 0.0), roundAt))
   }
 
   /** Persist the codebook WITH the codes it encoded (`<table>__pq`,
@@ -955,14 +1100,18 @@ object Similarity {
         .toDF(outSchema: _*)
     val q = spark.createDataFrame(
       java.util.Arrays.asList(qRows: _*), qProj.schema)
-    // driver model state: one flat ADC LUT per query vector
-    val lutMap = map(qRows.toIndexedSeq.flatMap { r =>
+    // driver model state: one flat ADC LUT per query vector, shipped as
+    // a SINGLE typed map literal — building it from per-element lit()
+    // nodes would put |batch|·m·ksub expression nodes in the tree
+    // (≈262k at batch=64, m=16, ksub=256), and analysis/codegen over
+    // that dominates wall clock long before the data does
+    val lutMap = typedLit(qRows.map { r =>
       val qid = r.getLong(0)
       val qd = r.getSeq[Float](1).map(_.toDouble).toArray
       require(qd.length == model.m * model.sub,
         s"query dim != model dim for $qId=$qid")
-      Seq(lit(qid), array(flatAdcLut(model, qd).map(lit).toIndexedSeq: _*))
-    }: _*)
+      qid -> flatAdcLut(model, qd).toSeq
+    }.toMap)
     val probePairs = probeRanks(anchors, q, nprobe, roundAt)
       .select(col("q_id"), col("cell").cast("long").as("cell"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toIndexedSeq
@@ -1162,8 +1311,7 @@ object Similarity {
     * silently fill every candidate slot. Fail loudly instead. */
   private def adcDistCol(model: PqModel, q: Array[Double], id: String,
       roundAt: Int): Column =
-    adcDistFromLut(model,
-      array(flatAdcLut(model, q).map(lit).toIndexedSeq: _*), id, roundAt)
+    adcDistFromLut(model, typedLit(flatAdcLut(model, q).toSeq), id, roundAt)
 
   /** One query's ADC LUT, flattened `[j * ksub + code]` — the layout
     * [[adcDistFromLut]] indexes, and the per-query value of the
@@ -1504,13 +1652,16 @@ object Similarity {
         .select(col("q_id").as("query_id"), col("nprobe"), col("refine"),
           lit(0.0).as(recallCol))
         .orderBy("query_id", "nprobe", "refine")
-    val lutMap = map(qCollected.toIndexedSeq.flatMap { r =>
+    // ONE typed map literal, not |queries|·m·ksub lit() nodes — the
+    // ivfPqSearchStoredBatch rationale: expression-tree size must stay
+    // independent of the LUT payload
+    val lutMap = typedLit(qCollected.map { r =>
       val qid = r.getAs[Number](0).longValue()
       val qd = r.getSeq[Float](1).map(_.toDouble).toArray
       require(qd.length == model.m * model.sub,
         s"query dim != model dim for $id=$qid")
-      Seq(lit(qid), array(flatAdcLut(model, qd).map(lit).toIndexedSeq: _*))
-    }: _*)
+      qid -> flatAdcLut(model, qd).toSeq
+    }.toMap)
     val q = vectors.filter(col(id).isInCollection(queryIds))
       .select(col(id).as("q_id"), col("embedding").as("qv"))
     val probes = probeRanks(anchors, q, dials.map(_._1).max, roundAt)

@@ -767,4 +767,36 @@ object EventStream {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .start()
+
+  /** Stage a micro-batched document stream for a durable LSH store
+    * (`Dedup.lshBuildIndex`'s table) — the LSH twin of
+    * [[streamingIvfStage]]: each micro-batch runs the signature kernel
+    * ONCE (under the store's own stamped (n, k) — never the caller's)
+    * and lands as an idempotent overwrite-by-batchId parquet dir of
+    * pre-indexed (id, mh, hs) rows; `Dedup.lshIndexAbsorb` later folds
+    * committed batches through the guarded append core at compaction
+    * cadence, so the blocking per-batch `lshIndexAppend` call drops out
+    * of the ingest hot path. The `_lshparams` marker is written AFTER
+    * the data commit: a crash between the two leaves a torn stage the
+    * absorb skips and this stream's checkpoint replays — the same
+    * convergence-by-replay rule as the IVF staging zone. */
+  def streamingLshStage(docs: DataFrame, table: String, id: String,
+      text: String, stageDir: String, checkpoint: String): StreamingQuery = {
+    val spark = docs.sparkSession
+    val (n, k, _, _) = graft.operators.Dedup.storedLshParams(spark, table)
+    docs.writeStream
+      .foreachBatch { (df: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val out = s"$stageDir/batch=$batchId"
+        graft.operators.Dedup.indexDocs(df, id, text, n, k)
+          .write.mode("overwrite").parquet(out)
+        val p = new org.apache.hadoop.fs.Path(
+          out, graft.operators.Dedup.LshStageParamsFile)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val os = fs.create(p, true)
+        try os.write(s"$n,$k".getBytes("UTF-8")) finally os.close()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
 }

@@ -195,6 +195,41 @@ class CdcSpec extends SparkSpec {
     } finally spark.conf.set(ansiKey, prevAnsi)
   }
 
+  test("refreshAgg: INTEGRAL sum overflow refuses loudly instead of wrapping") {
+    import spark.implicits._
+    def messages(t: Throwable): String =
+      if (t == null) "" else s"${t.getMessage}\n${messages(t.getCause)}"
+    val ansiKey = "spark.sql.ansi.enabled"
+    val prevAnsi = spark.conf.get(ansiKey)
+    try {
+      // non-ANSI is the dangerous mode: long + long and the narrowing
+      // cast both WRAP with no NULL, so without the widened merge the
+      // state would silently flip sign — the in-plan guard must fire
+      spark.conf.set(ansiKey, "false")
+      val sL = Seq(("a", Long.MaxValue - 5L), ("b", 10L)).toDF("k", "total")
+      val dL = Seq(("a", 10L), ("b", 5L)).toDF("k", "total")
+      val eL = intercept[Exception] {
+        Cdc.refreshAgg(sL, dL, Seq("k"), Seq("total")).collect()
+      }
+      assert(messages(eL).contains("overflows"), messages(eL))
+      // int state: the merge widens to long, the round-trip check
+      // catches the wrap that cast(long -> int) would hide
+      val sI = Seq(("a", Int.MaxValue - 5), ("b", 1)).toDF("k", "total")
+      val dI = Seq(("a", 10), ("b", 2)).toDF("k", "total")
+      val eI = intercept[Exception] {
+        Cdc.refreshAgg(sI, dI, Seq("k"), Seq("total")).collect()
+      }
+      assert(messages(eI).contains("overflows"), messages(eI))
+      // and the non-overflowing path keeps the state type AND the sums
+      val ok = Cdc.refreshAgg(sI, dI.filter(col("k") === "b"),
+        Seq("k"), Seq("total"))
+      assert(ok.schema("total").dataType ==
+        org.apache.spark.sql.types.IntegerType)
+      assert(ok.orderBy("k").as[(String, Int)].collect().toSeq ==
+        Seq(("a", Int.MaxValue - 5), ("b", 3)))
+    } finally spark.conf.set(ansiKey, prevAnsi)
+  }
+
   test("upsert and tableDiff are null-safe on the KEY, not just the compared columns") {
     import spark.implicits._
     // a null-key change row must SUPERSEDE the base's null-key row

@@ -445,6 +445,92 @@ class EventStreamSpec extends AnyFunSuite with SparkSpec {
     assert(hits(s"$db.served") == hits(s"$db.rebuilt"))
   }
 
+  test("streaming LSH arrival: staged batches absorb into the durable store, ledger equals recompute") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val db = "graft_lsh_stream"
+    val loc = Files.createTempDirectory("graft-lsh-streamdb")
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$loc'")
+    Seq("idx", "idx__pairs", "idx__bands")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $db.$t"))
+    val stage = Files.createTempDirectory("graft-lsh-stage").toString
+    val chk = Files.createTempDirectory("graft-lsh-chk").toString
+
+    // served store starts from two thirds of the corpus
+    graft.operators.Dedup.lshBuildIndex(
+      docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text", s"$db.idx")
+
+    // the rest arrives as two micro-batches on a stream
+    val rows = docs.filter(col("doc_id") % 3 === 0)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    val ms = MemoryStream[(Long, String)]
+    def stream = ms.toDF().toDF("doc_id", "text")
+    ms.addData(b1)
+    EventStream.streamingLshStage(stream, s"$db.idx", "doc_id", "text",
+      stage, chk).awaitTermination()
+    ms.addData(b2)
+    EventStream.streamingLshStage(stream, s"$db.idx", "doc_id", "text",
+      stage, chk).awaitTermination()
+
+    // a torn stage (data committed, params marker missing — the crash
+    // window between the two writes) is SKIPPED, not absorbed and not
+    // an error: its batch replays on stream restart
+    val torn = new java.io.File(s"$stage/batch=7")
+    graft.operators.Dedup.indexDocs(
+        docs.filter(col("doc_id") === 1L), "doc_id", "text")
+      .write.mode("overwrite").parquet(torn.toString)
+    new java.io.File(torn, graft.operators.Dedup.LshStageParamsFile).delete()
+
+    val (nb, nr, np) = graft.operators.Dedup.lshIndexAbsorb(
+      spark, stage, s"$db.idx", "doc_id")
+    assert(nb == 2 && nr == rows.length.toLong, (nb, nr, np))
+    // absorbed state ≡ synchronous appends ≡ full recompute: the main
+    // table holds every doc, the LEDGER equals minHashLshPairs over all
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select(col("id_a").cast("long"), col("id_b").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(spark.table(s"$db.idx").count() == docs.count())
+    val full = pairSet(graft.operators.Dedup.minHashLshPairs(
+      docs, "doc_id", "text"))
+    val ledger = pairSet(spark.table(s"$db.idx__pairs"))
+    assert(ledger == full, s"ledger != recompute: ${ledger.size} vs ${full.size}")
+
+    // the torn dir survived the absorb; completing its marker (the
+    // stream's replay) lets the NEXT absorb fold it — and those rows
+    // are already stored, so the anti-join appends nothing new (doc 1
+    // is in the build's two-thirds)
+    val os = new java.io.FileOutputStream(
+      new java.io.File(torn, graft.operators.Dedup.LshStageParamsFile))
+    os.write("4,16".getBytes("UTF-8")); os.close()
+    val (rb, rr, rp) = graft.operators.Dedup.lshIndexAbsorb(
+      spark, stage, s"$db.idx", "doc_id")
+    assert(rb == 1L && rr == 0L && rp == 0L, (rb, rr, rp))
+
+    // a replayed absorb over the emptied stage is a no-op
+    assert(graft.operators.Dedup.lshIndexAbsorb(
+      spark, stage, s"$db.idx", "doc_id") == (0L, 0L, 0L))
+
+    // a stage cut for DIFFERENT parameters refuses loudly — the store
+    // was rebuilt under a new stamp while the stage was outstanding
+    val drifted = new java.io.File(s"$stage/batch=8")
+    graft.operators.Dedup.indexDocs(
+        docs.filter(col("doc_id") === 2L), "doc_id", "text", n = 4, k = 8)
+      .write.mode("overwrite").parquet(drifted.toString)
+    val os2 = new java.io.FileOutputStream(
+      new java.io.File(drifted, graft.operators.Dedup.LshStageParamsFile))
+    os2.write("4,8".getBytes("UTF-8")); os2.close()
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Dedup.lshIndexAbsorb(spark, stage, s"$db.idx", "doc_id")
+    }
+    assert(e.getMessage.contains("rebuilt while the stage was outstanding"),
+      e.getMessage)
+  }
+
   test("streaming LSH near-dup filter: later near-copies hit the earlier owner's buckets") {
     val (in, chk) = newDirs()
     val out = Files.createTempDirectory("graft-lsh-out").toString

@@ -216,6 +216,42 @@ class IncrementalLshSpec extends SparkSpec {
     assert(e.getMessage.contains("graft.lsh_k"), e.getMessage)
   }
 
+  test("verification read opens only the candidate ids' bucket FILES") {
+    val db = "graft_lsh_vprune"
+    val loc = java.nio.file.Files.createTempDirectory("graft-lsh-vprune")
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$loc'")
+    Seq("idx", "idx__pairs", "idx__bands")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $db.$t"))
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    Dedup.lshBuildIndex(docs, "doc_id", "text", s"$db.idx")
+    val t = spark.table(s"$db.idx")
+    // a 2-id candidate set touches ≤ 2 of the store's 16 id-buckets —
+    // the bucket-subset read must OPEN strictly fewer files than the
+    // table holds (row pruning alone was the round-13 residual: a
+    // column-pruned scan that still read the full hs mass)
+    val candIds = t.select(col("doc_id")).limit(2).localCheckpoint(true)
+    val buckets = candIds
+      .select(pmod(hash(col("doc_id")), lit(16)).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    val sub = graft.operators.Layout.readBucketSubset(spark, s"$db.idx", buckets)
+    assert(sub.inputFiles.length < t.inputFiles.length,
+      s"subset read opens ${sub.inputFiles.length} of " +
+        s"${t.inputFiles.length} files — no file pruning")
+    // and the pmod(hash(id), numBuckets) bucket derivation matches where
+    // the bucketed write actually PLACED the rows: the semi-join over
+    // the subset returns exactly the full-scan semi-join's rows — a
+    // wrong bucket calc would silently lose candidates here
+    def setsOf(base: org.apache.spark.sql.DataFrame): Set[(Long, Seq[Long])] =
+      base.select(col("doc_id"), col("hs"))
+        .join(broadcast(candIds), Seq("doc_id"), "leftsemi")
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1).sorted.toSeq)).toSet
+    assert(setsOf(sub) == setsOf(t) && setsOf(sub).size == 2)
+    // empty candidate set → empty read, not a full scan
+    assert(graft.operators.Layout
+      .readBucketSubset(spark, s"$db.idx", Set.empty).count() == 0)
+  }
+
   test("append reads the __bands twin bucket-pruned, never re-banding the store") {
     val db = "graft_lsh_prune"
     val loc = java.nio.file.Files.createTempDirectory("graft-lsh-prune")

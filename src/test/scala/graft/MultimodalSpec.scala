@@ -256,6 +256,59 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
       .decode("avi", mjpg).map(_._3).contains(2))
   }
 
+  test("frame walk survives hostile LIST nesting (depth-capped, no StackOverflow)") {
+    def le32(n: Int): Array[Byte] = java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(n).array()
+    def chunk(id: String, data: Array[Byte]): Array[Byte] =
+      id.getBytes("US-ASCII") ++ le32(data.length) ++ data ++
+        (if (data.length % 2 == 1) Array[Byte](0) else Array.empty[Byte])
+    def list(typ: String, children: Array[Byte]*): Array[Byte] =
+      chunk("LIST", typ.getBytes("US-ASCII") ++ children.flatten)
+    def avih(w: Int, h: Int, frames: Int): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(56)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.putInt(33333).putInt(0).putInt(0).putInt(0)
+      b.putInt(frames).putInt(0).putInt(0).putInt(0)
+      b.putInt(w).putInt(h); b.array()
+    }
+    def strh(): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(56)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("vids".getBytes("US-ASCII")).put("MJPG".getBytes("US-ASCII"))
+      b.array()
+    }
+    def jpeg(gray: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        8, 6, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      g.setColor(new java.awt.Color(gray, gray, gray))
+      g.fillRect(0, 0, 8, 6); g.dispose()
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", out)
+      out.toByteArray
+    }
+    val hdrl = list("hdrl", chunk("avih", avih(44, 33, 5)),
+      list("strl", chunk("strh", strh())))
+    def riff(body: Array[Byte]): Array[Byte] =
+      "RIFF".getBytes("US-ASCII") ++ le32(4 + body.length) ++
+        "AVI ".getBytes("US-ASCII") ++ body
+    // 4 levels of `rec ` nesting is a legal-if-odd real file: the frame
+    // at the bottom must still decode (real pixels beat the lying avih)
+    var shallow = chunk("00dc", jpeg(200))
+    (1 to 4).foreach(_ => shallow = list("rec ", shallow))
+    val probe = new Multimodal.RiffAviProbe
+    val ok = probe.decode("avi", riff(hdrl ++ list("movi", shallow))).get
+    assert((ok._1, ok._2, ok._3) == (8, 6, 1), ok)
+    // 3000 levels of 12-byte LIST nesting is a stack bomb: a per-level
+    // recursive walk would StackOverflow (which NonFatal does NOT
+    // catch). The capped walk treats the over-deep branch as
+    // unparseable and falls back to the container metadata.
+    var deep = chunk("00dc", jpeg(100))
+    (1 to 3000).foreach(_ => deep = list("rec ", deep))
+    val got = probe.decode("avi", riff(hdrl ++ list("movi", deep))).get
+    assert((got._1, got._2, got._3) == (44, 33, 5), got)
+  }
+
   test("decodeFeatures: null/empty payload → empty features, no crash") {
     import spark.implicits._
     val m = Multimodal.fromDocuments(

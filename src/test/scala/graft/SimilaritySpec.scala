@@ -483,6 +483,73 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(e.getMessage.contains("codebook mismatch"), e.getMessage)
   }
 
+  test("ivfPqRetrain: refit codebooks rebuild into v2 — payloads survive, error never worse, drift stats reset") {
+    val db = "graft_pq_retrain"
+    val loc = java.nio.file.Files.createTempDirectory("graft-pq-retrain")
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$loc'")
+    Seq("v1", "v1__anchors", "v1__pq", "v2", "v2__anchors", "v2__pq")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $db.$t"))
+    val model = Similarity.pqCodebooksSampled(anchors, m = 4)
+    // v1 is built on HALF the corpus, then the other half appends — the
+    // drift scenario: the frozen codebook was fit before the appends
+    Similarity.ivfPqBuildIndex(emb.filter(col("vec_id") % 2 === 0),
+      anchors, "vec_id", model, s"$db.v1", numBuckets = 8)
+    Similarity.ivfPqIndexAppend(emb.filter(col("vec_id") % 2 =!= 0),
+      anchors, "vec_id", model, s"$db.v1", numBuckets = 8)
+
+    // the drift signal: err_build was stamped over the build half,
+    // err_now measures the full store — n_vectors says all were matched
+    val drift = Similarity.pqDriftStats(spark, s"$db.v1", emb, "vec_id")
+      .collect()
+    assert(drift.length == 4)
+    assert(drift.forall(_.getAs[Long]("n_vectors") == emb.count()))
+    assert(drift.forall(r => r.getAs[Double]("err_build") > 0
+      && r.getAs[Double]("drift_ratio") > 0))
+    val errV1 = drift.map(_.getAs[Double]("err_now")).sum
+
+    // retrain: warm-start refit over the STORED rows' floats, v2 build
+    val refit = Similarity.ivfPqRetrain(spark, s"$db.v1", s"$db.v2",
+      emb, "vec_id", iters = 2, numBuckets = 8)
+    assert(spark.table(s"$db.v2").count() == emb.count())
+    // payload survival: every (vec_id, label) pair of v1 is in v2
+    val labels = emb.select("vec_id", "label").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(spark.table(s"$db.v2").select("vec_id", "label").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet == labels)
+    // the artifact pairing is complete: v2 serves from its OWN stamps
+    val reloaded = Similarity.storedPqModel(spark, s"$db.v2")
+    assert(reloaded.codebooks.flatten.flatten.toSeq ==
+      refit.codebooks.flatten.flatten.toSeq)
+    // Lloyd monotonicity, warm start: the refit model's error over the
+    // same corpus is never worse than the frozen codebook's
+    val drift2 = Similarity.pqDriftStats(spark, s"$db.v2", emb, "vec_id")
+      .collect()
+    val errV2 = drift2.map(_.getAs[Double]("err_now")).sum
+    assert(errV2 <= errV1 + 1e-9, s"refit worsened error: $errV1 -> $errV2")
+    // v2's baseline was stamped over the SAME corpus it holds → ratio 1
+    assert(drift2.forall(r =>
+      math.abs(r.getAs[Double]("drift_ratio") - 1.0) < 1e-6), drift2.toSeq)
+
+    // refusals: in-place rebuild; a float corpus missing a stored id
+    intercept[IllegalArgumentException] {
+      Similarity.ivfPqRetrain(spark, s"$db.v2", s"$db.v2", emb, "vec_id")
+    }
+    val partial = emb.filter(col("vec_id") =!= 3L)
+    val e = intercept[Exception] {
+      Similarity.ivfPqRetrain(spark, s"$db.v1", s"$db.v2b", partial, "vec_id")
+    }
+    def messages(t: Throwable): String =
+      if (t == null) "" else s"${t.getMessage}\n${messages(t.getCause)}"
+    assert(messages(e).contains("has no vector"), messages(e))
+
+    // a pre-signal store (no graft.pq_err stamp) refuses the drift probe
+    spark.sql(s"ALTER TABLE $db.v1 UNSET TBLPROPERTIES ('graft.pq_err')")
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.pqDriftStats(spark, s"$db.v1", emb, "vec_id")
+    }
+    assert(e2.getMessage.contains("graft.pq_err"), e2.getMessage)
+  }
+
   test("PQ encode is mode-agnostic: the streaming encode equals the batch encode") {
     // a narrow expression works unchanged on a stream — the ingest-time
     // index-append path (encode on arrival, append to the codes table)
