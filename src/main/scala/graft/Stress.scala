@@ -368,7 +368,7 @@ object Stress {
     // is an orthogonal transform), so near-dup mass scales ×N instead of
     // collapsing every replica into one direction
     val embOps = Seq("embed_neardup_bucketed", "kmeans", "ann_recall_eval",
-      "ivf_index_append", "ivfpq_recall_eval", "ivf_retrain",
+      "ivf_index_append", "ivfpq_recall_eval", "ivf_retrain", "pq_retrain",
       "ivf_search_stored_batch")
     if (blockEnabled(embOps)) locally {
     val embs = Tables.embeddings(spark, sfDir)
@@ -426,7 +426,8 @@ object Stress {
     // index when consumed) and oracle-pinned by q210; the timed path is
     // the batch-proportional ingest.
     if (blockEnabled(Seq("ivf_index_append", "ann_recall_eval_indexed",
-        "ivfpq_recall_eval", "ivf_retrain", "ivf_search_stored_batch"))) locally {
+        "ivfpq_recall_eval", "ivf_retrain", "pq_retrain",
+        "ivf_search_stored_batch"))) locally {
       val cut = (mult - 1).toLong * 10000000L
       val db = "graft_stress_ivf"
       val loc = java.nio.file.Files.createTempDirectory("graft-stress-ivf")
@@ -476,6 +477,23 @@ object Stress {
         graft.operators.Similarity.ivfRetrain(spark, s"$db.emb_ivf",
           s"$db.emb_ivf_v2", "vec_id", k = 8, iters = 3, numBuckets = 8)
         spark.table(s"$db.emb_ivf_v2").count()
+      }
+      // Codebook retrain over a stored ×N IVF-PQ index: warm-start
+      // refit (iters one-scan rounds over the stored rows' floats) +
+      // re-encode + bucketed rewrite — the PQ twin of ivf_retrain,
+      // same deliberately index-proportional contract; this row pins
+      // that cost curve's slope too.
+      if (enabled("pq_retrain")) {
+        spark.sql(s"DROP TABLE IF EXISTS $db.emb_pq")
+        spark.sql(s"DROP TABLE IF EXISTS $db.emb_pq_v2")
+        val model = graft.operators.Similarity.pqCodebooksSampled(anchors8, m = 4)
+        graft.operators.Similarity.ivfPqBuildIndex(embs, anchors8, // untimed one-off
+          "vec_id", model, s"$db.emb_pq", numBuckets = 8)
+        time("pq_retrain") {
+          graft.operators.Similarity.ivfPqRetrain(spark, s"$db.emb_pq",
+            s"$db.emb_pq_v2", embs, "vec_id", iters = 2, numBuckets = 8)
+          spark.table(s"$db.emb_pq_v2").count()
+        }
       }
       // Batched serving against the post-append stored index: 1/8/64
       // query vectors from ONE bucket-pruned scan. Probe metadata is

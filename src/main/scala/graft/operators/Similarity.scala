@@ -639,7 +639,7 @@ object Similarity {
     val refit = pqRefitCodebooks(
       joined.select(col(id), col("embedding")), model, iters, roundAt)
     ivfPqBuildIndex(joined, anchors, id, refit, newTable, numBuckets, roundAt)
-    freeLocalCheckpoint(joined)
+    Dedup.freeLocalCheckpoint(joined)
     refit
   }
 
@@ -674,11 +674,13 @@ object Similarity {
       .agg(count(lit(1)).as("n_vectors"), avg(col("col.d")).as("__e"))
       .select(col("subspace"), col("n_vectors"),
         round(col("__e"), roundAt).as("err_now"),
-        element_at(typedLit(errBuild), col("subspace") + 1).as("err_build"),
-        when(element_at(typedLit(errBuild), col("subspace") + 1) > 0,
-          round(col("__e") /
-            element_at(typedLit(errBuild), col("subspace") + 1), roundAt))
-          .as("drift_ratio"))
+        element_at(typedLit(errBuild), col("subspace") + 1).as("err_build"))
+      // ratio of the ROUNDED error to the (rounded) stamp — comparing
+      // the unrounded average against a rounded baseline would report
+      // phantom ±1e-4 drift on an unchanged corpus
+      .withColumn("drift_ratio",
+        when(col("err_build") > 0,
+          round(col("err_now") / col("err_build"), roundAt)))
       .orderBy("subspace")
   }
 

@@ -1160,8 +1160,138 @@ object SimilarityQueries {
       WHERE rank <= 10
       ORDER BY query_id, rank"""))
 
+  /** One warm-start PQ codebook refit round as DuckDB CTEs (the
+    * kmeansIterSql device per subspace): `enc$i` assigns every vector's
+    * subspace-j slice to its nearest `cb${i-1}` codeword (ROUNDED
+    * squared distance at 4 dp, ties to the lower code — exactly
+    * pqEncodeDetailCol), `mu$i` is the per-(j, code, dim) mean, and
+    * `cb$i` folds the means back, keeping the old codeword where no
+    * vector landed — [[graft.operators.Similarity.pqRefitCodebooks]]'
+    * update rule. */
+  private def pqRefitIterSql(i: Int): String = {
+    val (cPrev, enc, mu, c) = (s"cb${i - 1}", s"enc$i", s"mu$i", s"cb$i")
+    s"""
+      $enc AS (SELECT vec_id, j, code FROM (
+                 SELECT e.vec_id, c.j, c.code,
+                        ROW_NUMBER() OVER (PARTITION BY e.vec_id, c.j
+                          ORDER BY ROUND(list_sum(list_transform(range(1, 17),
+                            i -> pow(e.x[c.j*16 + i] - c.cw[i], 2))), 4),
+                                   c.code) AS rk
+                 FROM e CROSS JOIN $cPrev c) t WHERE rk = 1),
+      $mu AS (SELECT a.j, a.code, g.i AS pos, AVG(e.x[a.j*16 + g.i]) AS m
+              FROM $enc a JOIN e USING (vec_id),
+                   LATERAL (SELECT UNNEST(range(1, 17)) AS i) g
+              GROUP BY a.j, a.code, g.i),
+      $c AS (SELECT c.j, c.code, COALESCE(mm.cw, c.cw) AS cw
+             FROM $cPrev c LEFT JOIN
+                  (SELECT j, code, list(m ORDER BY pos) AS cw
+                   FROM $mu GROUP BY j, code) mm USING (j, code))"""
+  }
+
+  /** IVF-PQ codebook re-train + re-encode
+    * ([[graft.operators.Similarity.ivfPqRetrain]] — the repair the
+    * pqDriftStats signal tells you to run): build v1 on the sampled
+    * codebook, warm-start refit it over the STORED vectors with 2
+    * Lloyd rounds, rebuild into v2, and report v2's per-(subspace,
+    * codeword) population joined with the refit codeword's first
+    * coordinate. The oracle unrolls both refit rounds as CTE layers
+    * (the q211 device, per subspace) and re-encodes under the final
+    * codebooks — green pins the whole lifecycle edge cross-engine:
+    * stored codes → refit codebooks → re-encoded v2 store. */
+  val q217 = Q(
+    "q217_pq_retrain",
+    (s, d) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, d)
+      val anchors = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("anchor_id"), col("embedding").as("av"))
+      val db = "graft_q217"
+      val loc = java.nio.file.Files.createTempDirectory("graft-q217")
+      s.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$loc'")
+      Seq("v1", "v1__anchors", "v1__pq", "v2", "v2__anchors", "v2__pq")
+        .foreach(t => s.sql(s"DROP TABLE IF EXISTS $db.$t"))
+      graft.operators.Similarity.ivfPqBuildIndex(e, anchors, "vec_id",
+        graft.operators.Similarity.pqCodebooksSampled(anchors, m = 4),
+        s"$db.v1", numBuckets = 8)
+      val refit = graft.operators.Similarity.ivfPqRetrain(
+        s, s"$db.v1", s"$db.v2", e, "vec_id", iters = 2, numBuckets = 8)
+      val hist = s.table(s"$db.v2")
+        .select(posexplode(col("codes")))
+        .groupBy(col("pos").as("subspace"), col("col").as("code"))
+        .agg(count(lit(1)).as("n"))
+      val cw1 = refit.codebooks.zipWithIndex.flatMap { case (cb, j) =>
+        cb.zipWithIndex.map { case (w, c) =>
+          (j, c.toLong, java.math.BigDecimal.valueOf(w(0))
+            .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue())
+        }
+      }.toIndexedSeq.toDF("subspace", "code", "cw1")
+      cw1.join(hist, Seq("subspace", "code"), "left")
+        .select(col("subspace"), col("code"),
+          coalesce(col("n"), lit(0L)).as("n"), col("cw1"))
+        .orderBy("subspace", "code")
+    },
+    Some(s"""
+      WITH $PqCtes,
+      cb0 AS (SELECT j, code, cw FROM cb),
+      ${pqRefitIterSql(1)},
+      ${pqRefitIterSql(2)},
+      encF AS (SELECT vec_id, j, code FROM (
+                 SELECT e.vec_id, c.j, c.code,
+                        ROW_NUMBER() OVER (PARTITION BY e.vec_id, c.j
+                          ORDER BY ROUND(list_sum(list_transform(range(1, 17),
+                            i -> pow(e.x[c.j*16 + i] - c.cw[i], 2))), 4),
+                                   c.code) AS rk
+                 FROM e CROSS JOIN cb2 c) t WHERE rk = 1),
+      hist AS (SELECT j, code, CAST(COUNT(*) AS BIGINT) AS n
+               FROM encF GROUP BY j, code)
+      SELECT CAST(c.j AS INTEGER) AS subspace, CAST(c.code AS BIGINT) AS code,
+             CAST(COALESCE(h.n, 0) AS BIGINT) AS n, ROUND(c.cw[1], 6) AS cw1
+      FROM cb2 c LEFT JOIN hist h USING (j, code)
+      ORDER BY 1, 2"""))
+
+  /** The codebook drift signal
+    * ([[graft.operators.Similarity.pqDriftStats]]): v1 is built on the
+    * even half of the corpus (stamping that half's per-subspace encode
+    * error as the baseline), the odd half appends under the frozen
+    * codebook, and the probe reports current vs baseline error per
+    * subspace — the WHEN of the q217 retrain. The oracle replays both
+    * encode+average chains over the same halves. */
+  val q218 = Q(
+    "q218_pq_drift",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val anchors = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("anchor_id"), col("embedding").as("av"))
+      val model = graft.operators.Similarity.pqCodebooksSampled(anchors, m = 4)
+      val db = "graft_q218"
+      val loc = java.nio.file.Files.createTempDirectory("graft-q218")
+      s.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$loc'")
+      Seq("v1", "v1__anchors", "v1__pq")
+        .foreach(t => s.sql(s"DROP TABLE IF EXISTS $db.$t"))
+      graft.operators.Similarity.ivfPqBuildIndex(
+        e.filter(col("vec_id") % 2 === 0), anchors, "vec_id", model,
+        s"$db.v1", numBuckets = 8)
+      graft.operators.Similarity.ivfPqIndexAppend(
+        e.filter(col("vec_id") % 2 =!= 0), anchors, "vec_id", model,
+        s"$db.v1", numBuckets = 8)
+      graft.operators.Similarity.pqDriftStats(s, s"$db.v1", e, "vec_id")
+    },
+    Some(s"""
+      WITH $PqCtes,
+      base AS (SELECT j, ROUND(AVG(d), 4) AS err_build
+               FROM enc WHERE vec_id % 2 = 0 GROUP BY j),
+      now AS (SELECT j, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+                     ROUND(AVG(d), 4) AS err_now
+              FROM enc GROUP BY j)
+      SELECT CAST(n.j AS INTEGER) AS subspace, n.n_vectors, n.err_now,
+             b.err_build,
+             CASE WHEN b.err_build > 0
+                  THEN ROUND(n.err_now / b.err_build, 4) END AS drift_ratio
+      FROM now n JOIN base b USING (j)
+      ORDER BY 1"""))
+
   def all: Seq[Q] =
     Seq(q34, q35, q39, q40, q48, q59, q60, q109, q136, q155, q171, q172,
       q178, q184, q185, q190, q206, q207, q209, q210, q211, q213, q214,
-      q216)
+      q216, q217, q218)
 }
