@@ -39,6 +39,7 @@ object GraftSession {
 
   def local(appName: String, cores: Int,
       shufflePartitions: Option[Int] = None): SparkSession = {
+    reapStaleFixtures()
     val b = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(appName)
@@ -50,4 +51,27 @@ object GraftSession {
     graft.plans.GraftExtensions.register(spark)
     spark
   }
+
+  /** Delete `graft-*` fixture dirs under java.io.tmpdir older than six
+    * hours. Registry queries, specs, and the stress harness build their
+    * store fixtures in `Files.createTempDirectory("graft-...")` dirs
+    * that nothing deletes — measured: ~1100 of them (≈45 GB) after a
+    * dozen bench/verify sweeps, driving the disk to ~90% and turning
+    * every later run's I/O erratic (the "same-box drift" the bench
+    * logs kept attributing to the host). Mains sweep the stale ones on
+    * startup; 6 h is far beyond any single run's lifetime, so a
+    * concurrent run's live fixtures are never touched. */
+  private def reapStaleFixtures(): Unit =
+    try {
+      val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+      val cutoff = System.currentTimeMillis() - 6L * 3600 * 1000
+      val stale = Option(tmp.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("graft-")
+          && f.lastModified() < cutoff)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(): Unit
+      }
+      stale.foreach(rm)
+    } catch { case scala.util.control.NonFatal(_) => () }
 }

@@ -46,8 +46,6 @@ object Stress {
         col("ts"),
         (col("user_id") + col("r").cast("long") * 10000L).as("user_id"),
         col("event_type"), col("value"))
-      .persist()
-    println(s"""{"op":"inputs","docs":${docs.count()},"events":${events.count()}}""")
 
     // SPARK_GRAFT_STRESS_ONLY=minhash,kmeans (prefix match) narrows a run
     // for high-multiplier sweeps where the deliberately-quadratic ops
@@ -73,6 +71,18 @@ object Stress {
         val sec = (System.nanoTime() - t0) / 1e9
         println(f"""{"op":"$op","sec":$sec%.2f,"rows":$rows}""")
       }
+
+    // materialize ONLY the inputs the enabled ops consume: at mult=1000
+    // the events frame is 100M rows (several GB of block-manager state),
+    // and persisting it for an LSH-only run evicts exactly the page
+    // cache the timed index reads depend on — a harness artifact that
+    // measured as a 3x run-to-run swing on the stored-append rows, not
+    // a property of the operator. events feed only the temporal joins.
+    val eventsNeeded = blockEnabled(Seq("asof_join", "interval_join"))
+    if (eventsNeeded) events.persist()
+    // "events":-1 = not materialized in this filtered run
+    println(s"""{"op":"inputs","docs":${docs.count()},"events":${
+      if (eventsNeeded) events.count() else -1L}}""")
 
     // Warm codegen/JIT on a small slice first so the timings measure
     // scaling, not first-execution compilation (see Bench).
@@ -118,15 +128,45 @@ object Stress {
       // bucket-pruned instead of re-banding every stored signature, so
       // this row must stay flat in the multiplier (the 37.7s r12 tail
       // was the re-banding scan growing with the index)
-      if (enabled("lsh_stored_append")) {
+      if (blockEnabled(Seq("lsh_stored_append", "lsh_stored_trickle"))) {
         val db = "graft_stress_lsh"
         val loc = java.nio.file.Files.createTempDirectory("graft-stress-lsh")
         spark.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$loc'")
         spark.sql(s"DROP TABLE IF EXISTS $db.idx")
-        Dedup.lshBuildIndex(old, "doc_id", "text", s"$db.idx") // untimed one-off
-        time("lsh_stored_append") {
-          Dedup.lshIndexAppend(spark, s"$db.idx", fresh, "doc_id", "text").count()
+        // deployment sizing (DEPLOY.md runbook): bucket count well above
+        // a trickle's touched-key count, so the serving-style append's
+        // file pruning has granularity to work with — 16 buckets on a
+        // 5M-doc store would make EVERY append read every file
+        Dedup.lshBuildIndex(old, "doc_id", "text", s"$db.idx",
+          numBuckets = 64) // untimed one-off
+        // the SERVING-style path first: a 2-doc trickle touches ≤8 of
+        // the twin's band-key buckets and its collision candidates live
+        // in a handful of the store's id-buckets, so BOTH index reads
+        // on the append path prune at FILE level — this row is the one
+        // that must stay flat AND steady in the multiplier. The
+        // shard-sized row below reads index-scale bytes by construction
+        // (a 5k-doc batch spans every bucket-key domain — no
+        // block-granular skip can engage when probe keys outnumber
+        // buckets); its compute is batch-proportional but its I/O rides
+        // the host's page cache.
+        if (enabled("lsh_stored_trickle")) {
+          // the arriving docs are a LOCAL relation (2 rows shipped from
+          // the driver), as they would be in a serving loop — filtering
+          // them out of the 5M-row cached corpus inside the timed body
+          // would bill a corpus scan to a 2-doc append
+          val proj = fresh.select(col("doc_id"), col("text"))
+          val arriving = proj.filter(col("doc_id") < cut + 2).collect()
+          val trickle = spark.createDataFrame(
+            java.util.Arrays.asList(arriving: _*), proj.schema)
+          time("lsh_stored_trickle") {
+            Dedup.lshIndexAppend(spark, s"$db.idx", trickle,
+              "doc_id", "text").count()
+          }
         }
+        if (enabled("lsh_stored_append"))
+          time("lsh_stored_append") {
+            Dedup.lshIndexAppend(spark, s"$db.idx", fresh, "doc_id", "text").count()
+          }
       }
     }
 

@@ -438,9 +438,11 @@ object Dedup {
     * appends ZERO rows and returns zero pairs instead of duplicating
     * index state; persist the returned pairs before relying on replay.
     *
-    * Cost per append: the batch's signature pass + one column-pruned id
-    * scan of the store (the anti-join's stream side — id-bucketed, so
-    * it never shuffles) + the bucket-pruned `__bands` read
+    * Cost per append: the batch's signature pass + a FILE-PRUNED stored
+    * -id lookup for the replay guard (the batch ids' own id-buckets
+    * pick the files, a broadcast semi finds the overlap, the batch
+    * anti-joins the broadcast overlap — no shuffle, no sort, and a
+    * trickle opens 1-2 bucket files) + the bucket-pruned `__bands` read
     * ([[storedBandsPruned]]: file pruning by the batch's bucket keys,
     * then an exact broadcast semi-join — no re-banding of stored
     * signatures, no index-sized aggregation) + ONE FILE-PRUNED (id, hs)
@@ -478,14 +480,35 @@ object Dedup {
       maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     val (_, k, bands, numBuckets) = storedLshParams(spark, table)
     val stored = spark.table(table)
-    val fresh = newIndex
+    val guarded = newIndex
       .withColumn("mh", when(size(col("mh")) === k, col("mh"))
         .otherwise(raise_error(format_string(
           s"lshIndexAppendIndexed: batch signature length %s != the " +
             s"store's stamped k=$k — indexed under drifted parameters; " +
             "re-index the batch from text", size(col("mh")).cast("string")))))
-      .join(stored.select(col(id)), Seq(id), "leftanti")
+    // Replay guard WITHOUT an index-scale shuffle: a plain left-anti of
+    // the batch against 5M+ stored ids plans a sort-merge join — the
+    // stored side shuffles and sorts at every append, which is exactly
+    // the index-linear work the append path exists to avoid. Instead:
+    // (1) the batch's own id-buckets FILE-prune the stored-id read (a
+    // trickle opens 1-2 bucket files; a shard-sized batch degrades to
+    // one map-side column scan — never a shuffle); (2) a broadcast
+    // SEMI-join finds the replay overlap (≤ batch rows); (3) the batch
+    // anti-joins the BROADCAST overlap. Same rows as the plain
+    // anti-join, zero exchanges on index-sized mass.
+    val batchIds = guarded.select(col(id)).distinct().localCheckpoint(true)
+    val batchBuckets = batchIds
+      .select(pmod(hash(col(id)), lit(numBuckets)).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    val overlap = Layout.readBucketSubset(spark, table, batchBuckets)
+      .select(col(id))
+      .join(broadcast(batchIds), Seq(id), "leftsemi")
       .localCheckpoint(true)
+    freeLocalCheckpoint(batchIds)
+    val fresh = guarded
+      .join(broadcast(overlap), Seq(id), "leftanti")
+      .localCheckpoint(true)
+    freeLocalCheckpoint(overlap)
     // the batch's banded rows feed three consumers (the bkey collect,
     // the bucket union, the bands append) — materialize once
     val bandedNew = bandedSignatures(fresh.select(col(id), col("mh")),
@@ -544,10 +567,17 @@ object Dedup {
     // collisions with every future batch.
     val pt = lshPairsTableName(table)
     val durable =
-      if (spark.catalog.tableExists(pt))
-        pairs.join(spark.table(pt).select(col("id_a"), col("id_b")),
-          Seq("id_a", "id_b"), "leftanti")
-      else pairs
+      if (spark.catalog.tableExists(pt)) {
+        // same double-hop as the id replay guard: the ledger is
+        // pair-mass-sized and unbucketed, so a plain anti-join would
+        // shuffle+sort it per append — semi-join it against the
+        // BROADCAST batch pairs (one map-side scan), then anti the
+        // batch against the broadcast overlap
+        val already = spark.table(pt).select(col("id_a"), col("id_b"))
+          .join(broadcast(pairs.select(col("id_a"), col("id_b"))),
+            Seq("id_a", "id_b"), "leftsemi")
+        pairs.join(broadcast(already), Seq("id_a", "id_b"), "leftanti")
+      } else pairs
     durable.write.mode("append").format("parquet").saveAsTable(pt)
     // legacy (pre-twin) stores stay legacy: seeding a twin with ONLY
     // this batch's rows would make later appends read an incomplete
