@@ -669,6 +669,25 @@ object Dedup {
     (committed.size.toLong, rows, nPairs)
   }
 
+  /** Compact a durable LSH store's bucketed tables (main + `__bands`
+    * twin) back to a fresh build's bounded per-bucket file count —
+    * run at the same compaction cadence as [[lshIndexAbsorb]]: every
+    * append adds files per bucket, and after thousands of micro-batches
+    * the footer-open cost creeps into every pruned read. Each table is
+    * one shuffle + a crash-convergent drop/rename swap
+    * ([[graft.operators.Layout.compactBucketedTable]] — the parameter
+    * stamps travel with the staging table, and mid-swap crash windows
+    * either resume or refuse loudly). The pair LEDGER is left alone:
+    * it is plain unbucketed parquet, append-only, and pair-mass-sized.
+    * Quiesce appends during the swap. */
+  def lshIndexCompact(spark: org.apache.spark.sql.SparkSession,
+      table: String): Unit = {
+    storedLshParams(spark, table) // refuse a half-built/foreign store
+    Layout.compactBucketedTable(spark, table)
+    if (spark.catalog.tableExists(lshBandsTableName(table)))
+      Layout.compactBucketedTable(spark, lshBandsTableName(table))
+  }
+
   /** The [[incrementalLshPairs]] append path when the new batch's index
     * rows are ALREADY materialized (both frames in [[indexDocs]] shape)
     * — e.g. the streaming maintenance sink persists the batch's index

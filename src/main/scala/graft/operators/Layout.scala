@@ -107,6 +107,54 @@ object Layout {
     else spark.read.schema(t.schema).parquet(picked.toIndexedSeq: _*)
   }
 
+  /** Rewrite a bucketed store back to the bounded per-bucket file count
+    * of a fresh build — the maintenance op every incremental store
+    * eventually needs: each [[appendBucketed]] batch adds up to
+    * [[MaxFilesPerBucket]] files per bucket, so a store absorbing
+    * thousands of micro-batches accretes files (and parquet footer
+    * opens on every scan) without bound. One shuffle of the table into
+    * a `<table>__compact` staging twin with the SAME bucket spec (read
+    * from the catalog — a drifted rewrite would silently break every
+    * bucket-pruned read), then a drop + rename swap.
+    *
+    * Crash-convergent by construction: the staging table carries the
+    * original's `graft.*` property stamps WITH it, so every window is
+    * safe — before the drop, the original is untouched (a re-run drops
+    * the half-written staging and rewrites); between the drop and the
+    * rename, the table is ABSENT (every serving face refuses loudly)
+    * and a re-run detects table-missing + staging-present and just
+    * completes the rename; after the rename, the store is whole,
+    * stamps included. Callers must quiesce writers during the swap —
+    * an append racing the drop/rename window fails loudly on the
+    * missing table (never silently writes to the doomed copy). */
+  def compactBucketedTable(spark: org.apache.spark.sql.SparkSession,
+      table: String): Unit = {
+    val staging = s"${table}__compact"
+    val exists = spark.catalog.tableExists(table)
+    if (!exists && spark.catalog.tableExists(staging)) {
+      // resume a compact that crashed between the drop and the rename
+      spark.sql(s"ALTER TABLE $staging RENAME TO $table")
+      return
+    }
+    require(exists, s"no such table: $table")
+    val spec = org.apache.spark.sql.GraftBridge.bucketSpec(spark, table)
+      .getOrElse(throw new IllegalArgumentException(
+        s"$table is not bucketed — compactBucketedTable preserves a " +
+          "bucket layout; use compact(dir) for plain parquet"))
+    val (numBuckets, bucketCols, _) = spec
+    val props = org.apache.spark.sql.GraftBridge
+      .tableProperties(spark, table)
+      .filter { case (k, _) => k.startsWith("graft.") }
+    spark.sql(s"DROP TABLE IF EXISTS $staging")
+    writeBucketed(spark.table(table), staging, bucketCols, numBuckets)
+    if (props.nonEmpty) {
+      val kv = props.map { case (k, v) => s"'$k' = '$v'" }.mkString(", ")
+      spark.sql(s"ALTER TABLE $staging SET TBLPROPERTIES ($kv)")
+    }
+    spark.sql(s"DROP TABLE $table")
+    spark.sql(s"ALTER TABLE $staging RENAME TO $table")
+  }
+
   /** Equal-count bucketing (SQL `NTILE(buckets) OVER (ORDER BY ...)`)
     * without the single-partition global Window Spark plans for an
     * empty-partitionBy frame — at scale that shape funnels the whole

@@ -700,6 +700,11 @@ object Similarity {
     * anti-join's build side) + the staged mass — absorb runs at
     * compaction cadence, not per micro-batch, exactly so this scan
     * amortizes. Returns (batches_absorbed, rows_appended). */
+  /** Marker [[graft.streaming.EventStream.streamingIvfPqStage]] drops
+    * into each staged batch dir AFTER the data commit: the grid and
+    * codebook fingerprints the batch was encoded under. */
+  val IvfStageMarkerFile = "_gridpq"
+
   def ivfIndexAbsorb(spark: org.apache.spark.sql.SparkSession,
       stageDir: String, table: String, id: String,
       numBuckets: Int = 16): (Long, Long) = {
@@ -711,6 +716,31 @@ object Similarity {
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
       .filter(s => hfs.exists(
         new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
+      .filter { s =>
+        // a `_gridpq`-marked batch (the PQ staging path) must have been
+        // encoded under the store's CURRENT model pair — a retrain
+        // swapped the stamps, and absorbing rows encoded under the old
+        // codebook would corrupt the index silently. Markerless dirs
+        // are the plain-IVF staging contract (assignment validity is
+        // the stage caller's anchors argument) and absorb as before.
+        val marker = new org.apache.hadoop.fs.Path(s.getPath, IvfStageMarkerFile)
+        if (!hfs.exists(marker)) true
+        else {
+          val in = hfs.open(marker)
+          val got = try scala.io.Source.fromInputStream(in, "UTF-8")
+            .mkString.trim finally in.close()
+          val props = org.apache.spark.sql.GraftBridge
+            .tableProperties(spark, table)
+          val want = s"${props.getOrElse("graft.grid_id", "")}," +
+            props.getOrElse("graft.pq_id", "")
+          require(got == want,
+            s"staged batch ${s.getPath.getName} was encoded under model " +
+              s"pair ($got) but $table is stamped ($want) — the store " +
+              "was retrained/rebuilt while the stage was outstanding; " +
+              "drop the stage dir and re-ingest those batches")
+          true
+        }
+      }
       .map(_.getPath)
       .sortBy(_.getName)
     if (committed.isEmpty) return (0L, 0L)

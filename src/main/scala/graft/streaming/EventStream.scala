@@ -768,6 +768,49 @@ object EventStream {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Stage a micro-batched vector stream for a persisted IVF-PQ CODES
+    * store (`Similarity.ivfPqBuildIndex`'s table) — the PQ twin of
+    * [[streamingIvfStage]], closing the staging asymmetry between the
+    * float and codes index families. Unlike the IVF stage (whose grid
+    * the caller passes), BOTH model artifacts load from the store's
+    * own fingerprint-checked pair (`storedAnchors` + `storedPqModel`),
+    * so a stage can never encode under a drifted grid or codebook.
+    * Each micro-batch assigns + PQ-encodes once and lands as an
+    * idempotent overwrite-by-batchId dir; a `_gridpq` marker (the
+    * grid/codebook fingerprints the stage encoded under) is written
+    * AFTER the data, and `Similarity.ivfIndexAbsorb` refuses a staged
+    * batch whose marker disagrees with the store's CURRENT stamps —
+    * the store was retrained/rebuilt while the stage was outstanding,
+    * and absorbing rows encoded under the old model would corrupt the
+    * index silently. */
+  def streamingIvfPqStage(vecs: DataFrame, table: String, id: String,
+      stageDir: String, checkpoint: String,
+      roundAt: Int = 4): StreamingQuery = {
+    val spark = vecs.sparkSession
+    val anchors = graft.operators.Similarity.storedAnchors(spark, table)
+    val model = graft.operators.Similarity.storedPqModel(spark, table)
+    val props = org.apache.spark.sql.GraftBridge.tableProperties(spark, table)
+    val marker = s"${props("graft.grid_id")},${props("graft.pq_id")}"
+    vecs.writeStream
+      .foreachBatch { (df: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val out = s"$stageDir/batch=$batchId"
+        graft.operators.Similarity.ivfAssign(df, anchors, id, roundAt)
+          .withColumn("codes", graft.operators.Similarity
+            .pqCodesCol(org.apache.spark.sql.functions.col("embedding"),
+              model, roundAt))
+          .drop("embedding")
+          .write.mode("overwrite").parquet(out)
+        val p = new org.apache.hadoop.fs.Path(
+          out, graft.operators.Similarity.IvfStageMarkerFile)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val os = fs.create(p, true)
+        try os.write(marker.getBytes("UTF-8")) finally os.close()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Stage a micro-batched document stream for a durable LSH store
     * (`Dedup.lshBuildIndex`'s table) — the LSH twin of
     * [[streamingIvfStage]]: each micro-batch runs the signature kernel

@@ -37,6 +37,17 @@ object GraftBridge {
     * A missing table/database reads as empty — callers that must
     * distinguish "no property" from "no table" check existence first
     * (Similarity.storedAnchors does). */
+  /** The bucketing layout a table was written with: (numBuckets,
+    * bucketColumns, sortColumns), None for an unbucketed table — what a
+    * store compaction must preserve exactly (a drifted rewrite would
+    * silently break every bucket-pruned read and co-located join). */
+  def bucketSpec(spark: SparkSession,
+      table: String): Option[(Int, Seq[String], Seq[String])] = {
+    val id = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    spark.sessionState.catalog.getTableMetadata(id).bucketSpec
+      .map(b => (b.numBuckets, b.bucketColumnNames, b.sortColumnNames))
+  }
+
   def tableProperties(spark: SparkSession, table: String): Map[String, String] =
     try {
       val id = spark.sessionState.sqlParser.parseTableIdentifier(table)

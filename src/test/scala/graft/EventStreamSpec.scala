@@ -445,6 +445,69 @@ class EventStreamSpec extends AnyFunSuite with SparkSpec {
     assert(hits(s"$db.served") == hits(s"$db.rebuilt"))
   }
 
+  test("streaming IVF-PQ arrival: staged codes absorb exactly once; a mid-stage retrain refuses the stale stage") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    val anchors = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("anchor_id"), col("embedding").as("av"))
+    val model = graft.operators.Similarity.pqCodebooksSampled(anchors, m = 4)
+    val db = "graft_ivfpq_stream"
+    val loc = Files.createTempDirectory("graft-ivfpq-streamdb")
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$loc'")
+    Seq("codes", "codes__anchors", "codes__pq", "v2", "v2__anchors", "v2__pq")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $db.$t"))
+    val stage = Files.createTempDirectory("graft-ivfpq-stage").toString
+    val chk = Files.createTempDirectory("graft-ivfpq-chk").toString
+
+    val mx = emb.agg(max("vec_id")).head().getLong(0)
+    val cut = (mx + 1) / 2
+    graft.operators.Similarity.ivfPqBuildIndex(
+      emb.filter(col("vec_id") < cut), anchors, "vec_id", model,
+      s"$db.codes", numBuckets = 8)
+
+    // the upper half arrives on a stream; the stage encodes under the
+    // store's OWN artifact pair (no caller-passed model to drift)
+    val rows = emb.filter(col("vec_id") >= cut)
+      .select("vec_id", "embedding", "label").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1), r.getInt(2))).toSeq
+    val ms = MemoryStream[(Long, Seq[Float], Int)]
+    def stream = ms.toDF().toDF("vec_id", "embedding", "label")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    ms.addData(rows)
+    EventStream.streamingIvfPqStage(stream, s"$db.codes", "vec_id",
+      stage, chk).awaitTermination()
+    val (nb, nr) = graft.operators.Similarity.ivfIndexAbsorb(
+      spark, stage, s"$db.codes", "vec_id", numBuckets = 8)
+    assert(nb == 1L && nr == rows.length.toLong, (nb, nr))
+    // absorbed store == the synchronous-append store, row for row
+    spark.sql(s"DROP TABLE IF EXISTS $db.direct")
+    graft.operators.Similarity.ivfPqBuildIndex(emb, anchors, "vec_id",
+      model, s"$db.direct", numBuckets = 8)
+    def codesOf(t: String) = spark.table(t)
+      .select("vec_id", "cell", "codes").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2))).toSet
+    assert(codesOf(s"$db.codes") == codesOf(s"$db.direct"))
+
+    // a stage cut BEFORE a retrain refuses after it: the marker's
+    // fingerprints no longer match the store's stamps
+    ms.addData(rows.take(3).map { case (i, v, l) => (i + 100000L, v, l) })
+    EventStream.streamingIvfPqStage(stream, s"$db.codes", "vec_id",
+      stage, chk).awaitTermination()
+    graft.operators.Similarity.ivfPqRetrain(spark, s"$db.codes",
+      s"$db.v2", emb, "vec_id", iters = 1, numBuckets = 8)
+    // (retrain writes v2; simulate the operational mistake of absorbing
+    // the old stage into the RETRAINED serving version)
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Similarity.ivfIndexAbsorb(
+        spark, stage, s"$db.v2", "vec_id", numBuckets = 8)
+    }
+    assert(e.getMessage.contains("retrained/rebuilt while the stage"),
+      e.getMessage)
+  }
+
   test("streaming LSH arrival: staged batches absorb into the durable store, ledger equals recompute") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions._

@@ -216,6 +216,33 @@ class IncrementalLshSpec extends SparkSpec {
     assert(e.getMessage.contains("graft.lsh_k"), e.getMessage)
   }
 
+  test("lshIndexCompact shrinks accreted files; the compacted store appends and pairs identically") {
+    val db = "graft_lsh_compact"
+    val loc = java.nio.file.Files.createTempDirectory("graft-lsh-compact")
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$loc'")
+    Seq("idx", "idx__pairs", "idx__bands", "idx__compact", "idx__bands__compact")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $db.$t"))
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    Dedup.lshBuildIndex(docs.filter(col("doc_id") % 3 === 0),
+      "doc_id", "text", s"$db.idx")
+    // several appends accrete files in BOTH bucketed tables
+    Dedup.lshIndexAppend(spark, s"$db.idx",
+      docs.filter(col("doc_id") % 3 === 1), "doc_id", "text")
+    val mainBefore = spark.table(s"$db.idx").inputFiles.length
+    val twinBefore = spark.table(s"$db.idx__bands").inputFiles.length
+    Dedup.lshIndexCompact(spark, s"$db.idx")
+    assert(spark.table(s"$db.idx").inputFiles.length < mainBefore)
+    assert(spark.table(s"$db.idx__bands").inputFiles.length < twinBefore)
+    // the compacted store still appends through the stamped params
+    // (stamps traveled with the swap) and the chain still converges
+    val appended = pairSet(Dedup.lshIndexAppend(spark, s"$db.idx",
+      docs.filter(col("doc_id") % 3 === 2), "doc_id", "text"))
+    val full = pairSet(Dedup.minHashLshPairs(docs, "doc_id", "text"))
+    assert(pairSet(spark.table(s"$db.idx__pairs")) == full)
+    assert(spark.table(s"$db.idx").count() == docs.count())
+    assert(appended.subsetOf(full))
+  }
+
   test("verification read opens only the candidate ids' bucket FILES") {
     val db = "graft_lsh_vprune"
     val loc = java.nio.file.Files.createTempDirectory("graft-lsh-vprune")

@@ -41,6 +41,58 @@ class LayoutSpec extends AnyFunSuite with SparkSpec {
     } finally spark.conf.set(key, prev)
   }
 
+  test("compactBucketedTable: appends accrete files, compact restores the build's bound — content, props, bucketing preserved") {
+    val db = "graft_compact_b"
+    val loc = java.nio.file.Files.createTempDirectory("graft-compact-b")
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$loc'")
+    Seq("t", "t__compact").foreach(x => spark.sql(s"DROP TABLE IF EXISTS $db.$x"))
+    val orders = Tables.orders(spark, sf("sf0.001"))
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    Layout.writeBucketed(orders.filter(col("o_orderkey") % 4 === 0),
+      s"$db.t", Seq("o_orderkey"), 8)
+    spark.sql(s"ALTER TABLE $db.t SET TBLPROPERTIES ('graft.demo' = 'v7')")
+    (1L to 3L).foreach(r => Layout.appendBucketed(
+      orders.filter(col("o_orderkey") % 4 === r), s"$db.t",
+      Seq("o_orderkey"), 8))
+    val before = spark.table(s"$db.t").inputFiles.length
+    val rows = spark.table(s"$db.t").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    Layout.compactBucketedTable(spark, s"$db.t")
+    val after = spark.table(s"$db.t").inputFiles.length
+    assert(after < before, s"compact did not shrink files: $before -> $after")
+    // one write's bound: <= numBuckets x files-per-bucket of a build
+    assert(after <= 8 * graft.operators.Layout.MaxFilesPerBucket)
+    assert(spark.table(s"$db.t").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet == rows)
+    // graft.* property stamps traveled with the staging swap
+    assert(org.apache.spark.sql.GraftBridge
+      .tableProperties(spark, s"$db.t").get("graft.demo").contains("v7"))
+    // the bucket layout survived: a same-spec append still validates,
+    // and the catalog reports the same spec
+    assert(org.apache.spark.sql.GraftBridge.bucketSpec(spark, s"$db.t")
+      .contains((8, Seq("o_orderkey"), Seq("o_orderkey"))))
+    Layout.appendBucketed(orders.limit(0), s"$db.t", Seq("o_orderkey"), 8)
+
+    // crash window between DROP and RENAME: table absent, staging holds
+    // everything — a re-run resumes by completing the rename
+    spark.sql(s"DROP TABLE IF EXISTS $db.t__compact")
+    Layout.writeBucketed(spark.table(s"$db.t"), s"$db.t__compact",
+      Seq("o_orderkey"), 8)
+    spark.sql(s"ALTER TABLE $db.t__compact SET TBLPROPERTIES ('graft.demo' = 'v7')")
+    spark.sql(s"DROP TABLE $db.t")
+    Layout.compactBucketedTable(spark, s"$db.t") // resume path
+    assert(spark.table(s"$db.t").count() == rows.size)
+    assert(org.apache.spark.sql.GraftBridge
+      .tableProperties(spark, s"$db.t").get("graft.demo").contains("v7"))
+    // and an unbucketed table refuses instead of silently flattening
+    spark.sql(s"DROP TABLE IF EXISTS $db.plain")
+    orders.limit(5).write.format("parquet").saveAsTable(s"$db.plain")
+    val e = intercept[IllegalArgumentException] {
+      Layout.compactBucketedTable(spark, s"$db.plain")
+    }
+    assert(e.getMessage.contains("not bucketed"), e.getMessage)
+  }
+
   test("salted join equals the plain join and spreads the hot key") {
     import spark.implicits._
     // skewed fact: one hot key (90%) + tail
