@@ -15,7 +15,9 @@ object ProfileTrickle {
     val spark = graft.GraftSession.local("graft-profile",
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
     val db = s"profile_lsh_$mult"
-    val loc = s"/tmp/graft_profile_lsh_$mult"
+    // under the janitor's graft-* prefix so stale profile stores are
+    // reaped like every other fixture (GraftSession.reapStaleFixtures)
+    val loc = s"/tmp/graft-profile-lsh-$mult"
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$loc'")
     def t[A](name: String)(body: => A): A = {
       val t0 = System.nanoTime()
