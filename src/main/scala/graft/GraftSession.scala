@@ -59,15 +59,24 @@ object GraftSession {
     * dozen bench/verify sweeps, driving the disk to ~90% and turning
     * every later run's I/O erratic (the "same-box drift" the bench
     * logs kept attributing to the host). Mains sweep the stale ones on
-    * startup; 6 h is far beyond any single run's lifetime, so a
-    * concurrent run's live fixtures are never touched. */
-  private def reapStaleFixtures(): Unit =
+    * startup; 6 h is far beyond any single run's IDLE time, so a
+    * concurrent run's live fixtures are never touched.
+    *
+    * Staleness is the max mtime across the WHOLE tree, not the root
+    * dir's: writing parquet parts under `<fixture>/table/part-...`
+    * advances only the leaf dir's mtime, so a root-mtime rule would
+    * reap a fixture mid-use the moment a long stress sweep passes the
+    * cutoff while still writing deep inside it. */
+  private[graft] def reapStaleFixtures(): Unit =
     try {
       val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
       val cutoff = System.currentTimeMillis() - 6L * 3600 * 1000
+      def newestMtime(f: java.io.File): Long =
+        Option(f.listFiles()).getOrElse(Array.empty)
+          .foldLeft(f.lastModified())((m, k) => math.max(m, newestMtime(k)))
       val stale = Option(tmp.listFiles()).getOrElse(Array.empty)
         .filter(f => f.isDirectory && f.getName.startsWith("graft-")
-          && f.lastModified() < cutoff)
+          && f.lastModified() < cutoff && newestMtime(f) < cutoff)
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
         f.delete(): Unit

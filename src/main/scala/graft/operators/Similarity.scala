@@ -712,6 +712,16 @@ object Similarity {
     val root = new org.apache.hadoop.fs.Path(stageDir)
     val hfs = root.getFileSystem(hconf)
     if (!hfs.exists(root)) return (0L, 0L)
+    val props = org.apache.spark.sql.GraftBridge.tableProperties(spark, table)
+    // a CODES store (stamped graft.pq_id) only ever receives PQ-encoded
+    // stages, and the PQ staging contract writes `_gridpq` AFTER the
+    // data — so for a PQ table a markerless-but-_SUCCESS dir can only be
+    // a TORN stage (crash between the data commit and the marker). It
+    // must be skipped, not absorbed: the stream's checkpoint has not
+    // committed that batch and will rewrite the dir, whereas absorbing
+    // it after a retrain would make codes encoded under the OLD codebook
+    // permanent (the replayed batch then anti-joins away on stored ids).
+    val tableIsPq = props.contains("graft.pq_id")
     val committed = hfs.listStatus(root).toIndexedSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
       .filter(s => hfs.exists(
@@ -722,23 +732,32 @@ object Similarity {
         // swapped the stamps, and absorbing rows encoded under the old
         // codebook would corrupt the index silently. Markerless dirs
         // are the plain-IVF staging contract (assignment validity is
-        // the stage caller's anchors argument) and absorb as before.
+        // the stage caller's anchors argument) — unless the TARGET is a
+        // PQ store, where markerless means torn (see tableIsPq above).
         val marker = new org.apache.hadoop.fs.Path(s.getPath, IvfStageMarkerFile)
-        if (!hfs.exists(marker)) true
+        if (!hfs.exists(marker)) !tableIsPq
         else {
           val in = hfs.open(marker)
           val got = try scala.io.Source.fromInputStream(in, "UTF-8")
             .mkString.trim finally in.close()
-          val props = org.apache.spark.sql.GraftBridge
-            .tableProperties(spark, table)
-          val want = s"${props.getOrElse("graft.grid_id", "")}," +
-            props.getOrElse("graft.pq_id", "")
-          require(got == want,
-            s"staged batch ${s.getPath.getName} was encoded under model " +
-              s"pair ($got) but $table is stamped ($want) — the store " +
-              "was retrained/rebuilt while the stage was outstanding; " +
-              "drop the stage dir and re-ingest those batches")
-          true
+          // a half-written marker (crash mid-write on a filesystem
+          // without atomic rename) is a torn stage, not model drift:
+          // skip it and let the stream's replay rewrite the dir. Only a
+          // WELL-FORMED marker that disagrees with the stamps is the
+          // loud retrain-drift refusal.
+          val wellFormed = got.count(_ == ',') == 1 &&
+            !got.startsWith(",") && !got.endsWith(",")
+          if (!wellFormed) false
+          else {
+            val want = s"${props.getOrElse("graft.grid_id", "")}," +
+              props.getOrElse("graft.pq_id", "")
+            require(got == want,
+              s"staged batch ${s.getPath.getName} was encoded under model " +
+                s"pair ($got) but $table is stamped ($want) — the store " +
+                "was retrained/rebuilt while the stage was outstanding; " +
+                "drop the stage dir and re-ingest those batches")
+            true
+          }
         }
       }
       .map(_.getPath)

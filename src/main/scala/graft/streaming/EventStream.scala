@@ -741,6 +741,26 @@ object EventStream {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Commit a staging-zone marker file atomically: write to a dotted
+    * temp name in the same dir, then rename into place. A bare
+    * create+write+close leaves a HALF-WRITTEN marker if the writer
+    * crashes mid-write — content that parses as neither the stamped
+    * params nor a missing marker, wedging every later absorb of the
+    * stage dir behind a misleading drift refusal. Rename is the atomic
+    * commit on HDFS/posix; on object stores without atomic rename the
+    * absorbs additionally treat an unparseable marker as a torn stage
+    * (skip + stream replay), so both halves of the defense hold. */
+  private def writeMarkerAtomic(spark: SparkSession, marker: Path,
+      content: String): Unit = {
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(marker.getParent, s".${marker.getName}.tmp")
+    val os = fs.create(tmp, true)
+    try os.write(content.getBytes("UTF-8")) finally os.close()
+    if (fs.exists(marker)) fs.delete(marker, false)
+    if (!fs.rename(tmp, marker))
+      throw new java.io.IOException(s"could not commit marker $marker")
+  }
+
   /** Streaming arrival path of the IVF index lifecycle (build →
     * [[graft.operators.Similarity.ivfIndexAppend]] → skew → retrain):
     * each micro-batch of `(id, embedding)` rows is assigned against the
@@ -800,11 +820,8 @@ object EventStream {
               model, roundAt))
           .drop("embedding")
           .write.mode("overwrite").parquet(out)
-        val p = new org.apache.hadoop.fs.Path(
-          out, graft.operators.Similarity.IvfStageMarkerFile)
-        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val os = fs.create(p, true)
-        try os.write(marker.getBytes("UTF-8")) finally os.close()
+        writeMarkerAtomic(spark, new org.apache.hadoop.fs.Path(
+          out, graft.operators.Similarity.IvfStageMarkerFile), marker)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
@@ -832,11 +849,8 @@ object EventStream {
         val out = s"$stageDir/batch=$batchId"
         graft.operators.Dedup.indexDocs(df, id, text, n, k)
           .write.mode("overwrite").parquet(out)
-        val p = new org.apache.hadoop.fs.Path(
-          out, graft.operators.Dedup.LshStageParamsFile)
-        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val os = fs.create(p, true)
-        try os.write(s"$n,$k".getBytes("UTF-8")) finally os.close()
+        writeMarkerAtomic(spark, new org.apache.hadoop.fs.Path(
+          out, graft.operators.Dedup.LshStageParamsFile), s"$n,$k")
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())

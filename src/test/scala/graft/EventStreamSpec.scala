@@ -508,6 +508,59 @@ class EventStreamSpec extends AnyFunSuite with SparkSpec {
       e.getMessage)
   }
 
+  test("torn PQ stage: markerless or half-written _gridpq dirs are skipped, never absorbed as plain IVF") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    val anchors = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("anchor_id"), col("embedding").as("av"))
+    val model = graft.operators.Similarity.pqCodebooksSampled(anchors, m = 4)
+    val db = "graft_tornstage"
+    val loc = Files.createTempDirectory("graft-tornstage-db")
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$loc'")
+    Seq("codes", "codes__anchors", "codes__pq")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $db.$t"))
+    val stage = Files.createTempDirectory("graft-tornstage-s").toString
+    graft.operators.Similarity.ivfPqBuildIndex(
+      emb.filter(col("vec_id") % 2 === 0), anchors, "vec_id", model,
+      s"$db.codes", numBuckets = 8)
+    // stage the odd half by hand WITHOUT the marker — exactly the crash
+    // window between the data commit (_SUCCESS lands) and the _gridpq
+    // write. The target is a CODES store, so this must read as TORN,
+    // not as a plain-IVF stage to absorb unchecked: if the store were
+    // retrained first, absorbing would make old-codebook codes
+    // permanent (replay then anti-joins away on the stored ids).
+    val oddCount = emb.filter(col("vec_id") % 2 =!= 0).count()
+    graft.operators.Similarity.ivfAssign(
+        emb.filter(col("vec_id") % 2 =!= 0), anchors, "vec_id")
+      .withColumn("codes", graft.operators.Similarity.pqCodesCol(
+        col("embedding"), model))
+      .drop("embedding")
+      .write.mode("overwrite").parquet(s"$stage/batch=0")
+    assert(graft.operators.Similarity.ivfIndexAbsorb(
+      spark, stage, s"$db.codes", "vec_id", numBuckets = 8) == (0L, 0L))
+    assert(new java.io.File(s"$stage/batch=0").exists(),
+      "a torn stage must survive for the stream's replay to rewrite")
+    // a HALF-WRITTEN marker (crash mid-write: content parses as neither
+    // params nor absence) is the same torn stage — skipped, not the
+    // loud retrain-drift refusal
+    val marker = new java.io.File(s"$stage/batch=0",
+      graft.operators.Similarity.IvfStageMarkerFile)
+    val os = new java.io.FileOutputStream(marker)
+    os.write("grid_abc".getBytes("UTF-8")); os.close()
+    assert(graft.operators.Similarity.ivfIndexAbsorb(
+      spark, stage, s"$db.codes", "vec_id", numBuckets = 8) == (0L, 0L))
+    // completing the marker with the store's own stamps (what the
+    // stream's replay of the batch does) lets the next absorb fold it
+    val props = org.apache.spark.sql.GraftBridge
+      .tableProperties(spark, s"$db.codes")
+    val os2 = new java.io.FileOutputStream(marker)
+    os2.write(s"${props("graft.grid_id")},${props("graft.pq_id")}"
+      .getBytes("UTF-8")); os2.close()
+    assert(graft.operators.Similarity.ivfIndexAbsorb(
+      spark, stage, s"$db.codes", "vec_id", numBuckets = 8) == (1L, oddCount))
+    assert(spark.table(s"$db.codes").count() == emb.count())
+  }
+
   test("streaming LSH arrival: staged batches absorb into the durable store, ledger equals recompute") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions._

@@ -27,6 +27,30 @@ class GraftSessionSpec extends AnyFunSuite with SparkSpec {
     assert(r.getInt(3) === 16)
   }
 
+  test("fixture janitor: a dir with fresh DEEP writes survives; a fully-stale dir is reaped") {
+    import java.nio.file.Files
+    val old = System.currentTimeMillis() - 7L * 3600 * 1000
+    // stale fixture: root and every file inside untouched for 7 h
+    val stale = Files.createTempDirectory("graft-janitorstale")
+    val sPart = stale.resolve("part-0"); Files.writeString(sPart, "x")
+    assert(sPart.toFile.setLastModified(old) && stale.toFile.setLastModified(old))
+    // live fixture: the ROOT mtime is 7 h old (parquet writes under
+    // table subdirs never touch it) but a part file deep inside is
+    // minutes old — the long-stress-sweep shape the root-mtime rule
+    // used to reap mid-use
+    val live = Files.createTempDirectory("graft-janitorlive")
+    val deep = live.resolve("table").resolve("part-0")
+    Files.createDirectories(deep.getParent)
+    Files.writeString(deep, "x")
+    assert(deep.getParent.toFile.setLastModified(old) &&
+      live.toFile.setLastModified(old))
+    GraftSession.reapStaleFixtures()
+    assert(!Files.exists(stale), "fully-stale fixture should be reaped")
+    assert(Files.exists(deep), "deep-fresh fixture must survive the janitor")
+    // cleanup the survivor
+    Files.delete(deep); Files.delete(deep.getParent); Files.delete(live)
+  }
+
   test("the recommended conf carries the documented scale contract") {
     val c = GraftSession.recommendedConf
     assert(c("spark.sql.adaptive.enabled") == "true")
