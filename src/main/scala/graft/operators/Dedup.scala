@@ -122,6 +122,35 @@ object Dedup {
           expr(s"array_join(slice(mh, band * $rows + 1, $rows), '|')")).as("sig"))
   }
 
+  /** [[bandedSignatures]] over a full [[indexDocs]] frame, carrying the
+    * shingle-hash SET through the band explode: one row per (doc, band)
+    * with (sig, hs) — what the `__bands` twin stores since round 15.
+    * The hs array is duplicated `bands`× on disk; that is the deliberate
+    * trade that lets an append's exact-Jaccard verification read ONLY
+    * bucket-pruned twin rows (collision-bounded) instead of the main
+    * table's hs column mass — the one read that still grew with the
+    * index (and rode the page cache) on the round-14 append path. */
+  private[graft] def bandedWithSets(index: DataFrame, id: String,
+      k: Int, bands: Int): DataFrame = {
+    require(bands >= 1 && k >= bands && k % bands == 0,
+      s"signature length k=$k must be a positive multiple of bands=$bands")
+    val rows = k / bands
+    index
+      .select(col(id),
+        when(size(col("mh")) === k, col("mh"))
+          .otherwise(raise_error(format_string(
+            s"stored signature length %s does not match screening k=$k " +
+              "(index built with different minhash parameters?)",
+            size(col("mh")).cast("string")))).as("mh"),
+        col("hs"))
+      .select(col(id), explode(sequence(lit(0), lit(bands - 1))).as("band"),
+        col("mh"), col("hs"))
+      .select(col(id), col("band"),
+        TextHashAggregators.md5Half(
+          expr(s"array_join(slice(mh, band * $rows + 1, $rows), '|')")).as("sig"),
+        col("hs"))
+  }
+
   /** In-bucket i<j pair expansion over a collected id list column: each
     * bucket's C(m,2) pairs as (id_a, id_b) structs, normalized
     * least-first so a cross-band distinct collapses mirrored orderings,
@@ -340,8 +369,7 @@ object Dedup {
     pairs.write.mode("overwrite").format("parquet")
       .saveAsTable(lshPairsTableName(table))
     graft.operators.Layout.writeBucketed(
-      withBandsKey(bandedSignatures(index.select(col(id), col("mh")),
-        id, k, bands)),
+      withBandsKey(bandedWithSets(index, id, k, bands)),
       lshBandsTableName(table), bucketCols = Seq("bkey"),
       numBuckets = numBuckets)
     graft.operators.Layout.writeBucketed(index, table,
@@ -357,7 +385,10 @@ object Dedup {
 
   /** The banded-rows twin of a [[lshBuildIndex]] store: one row per
     * (doc, band) with the bucket signature precomputed — what appends
-    * scan instead of re-banding every stored signature. */
+    * scan instead of re-banding every stored signature. Since round 15
+    * each row also carries the doc's shingle-hash set (`hs`, duplicated
+    * bands× on disk) so the append's verification never reads the main
+    * table. */
   def lshBandsTableName(table: String): String = s"${table}__bands"
 
   /** Bucket-key domain of the `__bands` twin. The table is BUCKETED on
@@ -394,8 +425,13 @@ object Dedup {
     val keys = batchBanded.select(bandsKey.as("bkey")).distinct()
       .collect().map(_.getInt(0)).toIndexedSeq
     val twin = spark.table(lshBandsTableName(table))
+    // a twin written since the hs-carrying layout (round 15) hands the
+    // verification its shingle sets for free — pre-hs twins return the
+    // banded rows only and the caller falls back to the main-table read
+    val outCols = Seq(col(id), col("band"), col("sig")) ++
+      (if (twin.columns.contains("hs")) Seq(col("hs")) else Nil)
     if (keys.isEmpty) // empty/fully-replayed batch: nothing can collide
-      return twin.filter(lit(false)).select(col(id), col("band"), col("sig"))
+      return twin.filter(lit(false)).select(outCols: _*)
     // a batch covering the whole key domain can prune nothing — planning
     // and codegen'ing the 1024-literal IN would be pure fixed cost there
     // (the big-batch case); the filter earns its keep exactly when the
@@ -407,7 +443,7 @@ object Dedup {
       .join(broadcast(batchBanded.select("band", "sig").distinct()),
         Seq("band", "sig"), "leftsemi")
       .dropDuplicates(id, "band")
-      .select(col(id), col("band"), col("sig"))
+      .select(outCols: _*)
   }
 
   /** The LSH parameters a stored index was built with — the banding
@@ -445,16 +481,16 @@ object Dedup {
     * trickle opens 1-2 bucket files) + the bucket-pruned `__bands` read
     * ([[storedBandsPruned]]: file pruning by the batch's bucket keys,
     * then an exact broadcast semi-join — no re-banding of stored
-    * signatures, no index-sized aggregation) + ONE FILE-PRUNED (id, hs)
-    * read of the store for verification: candidate ids can only come
-    * from buckets the batch touches, the store is id-bucketed, so the
-    * candidates' own id-buckets select which files to OPEN
-    * ([[graft.operators.Layout.readBucketSubset]]) before the exact
-    * broadcast semi-join prunes rows — nothing on the append path reads
-    * index-proportional bytes once the batch is small + two bucketed
-    * appends. A store built before the bands twin existed falls back to
-    * re-banding the main table's signatures (the round-12 path) —
-    * rebuild to get the pruned read. */
+    * signatures, no index-sized aggregation). The twin carries each
+    * row's shingle-hash SET (round 15), so the exact-Jaccard
+    * verification reads those same collision-bounded pruned rows —
+    * the MAIN table is never read beyond the replay guard's id column,
+    * and nothing on the append path reads index-proportional bytes
+    * once the batch is small + two bucketed appends. A store whose
+    * twin predates the hs column falls back to a file-pruned (id, hs)
+    * main-table read; a store built before the twin existed re-bands
+    * the main table's signatures (the round-12 path) — rebuild to get
+    * the pruned reads. */
   def lshIndexAppend(spark: org.apache.spark.sql.SparkSession,
       table: String, newDocs: DataFrame, id: String, text: String,
       threshold: Double = 0.5,
@@ -480,7 +516,26 @@ object Dedup {
       maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     val (_, k, bands, numBuckets) = storedLshParams(spark, table)
     val stored = spark.table(table)
-    val guarded = newIndex
+    // the replay guard and the bucket appends both hash the BATCH's id
+    // column — and murmur3 is type-sensitive: an int-typed batch id
+    // hashing against a long-typed store opens the WRONG bucket files,
+    // the overlap misses stored duplicates, and a replayed append
+    // silently duplicates index rows. Align the batch to the store's id
+    // type up front when the cast is lossless; refuse loudly otherwise
+    // (the final appendBucketed would have auto-cast it anyway, hiding
+    // the divergence).
+    val storeIdType = stored.schema(id).dataType
+    val batchIdType = newIndex.schema(id).dataType
+    val typed =
+      if (batchIdType == storeIdType) newIndex
+      else if (org.apache.spark.sql.catalyst.expressions.Cast
+          .canUpCast(batchIdType, storeIdType))
+        newIndex.withColumn(id, col(id).cast(storeIdType))
+      else throw new IllegalArgumentException(
+        s"lshIndexAppendIndexed: batch id column '$id' is $batchIdType " +
+          s"but $table stores $storeIdType — no lossless cast exists; " +
+          "align the batch's id type before appending")
+    val guarded = typed
       .withColumn("mh", when(size(col("mh")) === k, col("mh"))
         .otherwise(raise_error(format_string(
           s"lshIndexAppendIndexed: batch signature length %s != the " +
@@ -509,13 +564,35 @@ object Dedup {
       .join(broadcast(overlap), Seq(id), "leftanti")
       .localCheckpoint(true)
     freeLocalCheckpoint(overlap)
-    // the batch's banded rows feed three consumers (the bkey collect,
-    // the bucket union, the bands append) — materialize once
-    val bandedNew = bandedSignatures(fresh.select(col(id), col("mh")),
-      id, k, bands).localCheckpoint(true)
     val hasTwin = spark.catalog.tableExists(lshBandsTableName(table))
-    val (oldBanded, oldSets) =
-      if (hasTwin) {
+    // twins written since round 15 carry each row's shingle-hash set —
+    // verification then reads ONLY twin rows (already bucket-pruned and
+    // collision-bounded); pre-hs twins fall back to the file-pruned
+    // main-table read below
+    val twinHasSets = hasTwin &&
+      spark.table(lshBandsTableName(table)).columns.contains("hs")
+    // the batch's banded rows feed three consumers (the bkey collect,
+    // the bucket union, the bands append) — materialize once; when the
+    // twin carries hs the SAME frame carries it too, because the bands
+    // append below must match the twin's schema
+    val bandedNew = (if (twinHasSets) bandedWithSets(fresh, id, k, bands)
+      else bandedSignatures(fresh.select(col(id), col("mh")), id, k, bands))
+      .localCheckpoint(true)
+    val (oldBanded, oldSets, freeAfterPairs) =
+      if (twinHasSets) {
+        // ONE collision-bounded twin read serves both the banded rows
+        // and the verification sets: candidate ids can only come from
+        // buckets the batch touches, and their hs arrays ride the same
+        // pruned rows — nothing on the append path reads the main
+        // table's hs mass at all (the round-14 residual: even the
+        // id-bucket-pruned (id, hs) main read grew with the store
+        // within touched buckets, at page-cache mercy on repeat runs)
+        val pruned = storedBandsPruned(spark, table, bandedNew, id)
+          .localCheckpoint(true)
+        (pruned.drop("hs"),
+          pruned.select(col(id), col("hs")).dropDuplicates(id),
+          Seq(pruned))
+      } else if (hasTwin) {
         // materialize the pruned twin read once: it feeds the bucket
         // union AND the verification prune below, and it is collision-
         // bounded (rows in batch-touched buckets only)
@@ -527,12 +604,7 @@ object Dedup {
         // id-bucketed, so the candidate set prunes at FILE level too:
         // the candidates' ≤numBuckets distinct id-buckets select which
         // files to open ([[Layout.readBucketSubset]]), then the exact
-        // broadcast semi-join prunes rows. Without the file prune this
-        // was the one read that still grew with the index on the
-        // append path (the full hs column mass at page-cache mercy);
-        // with it a trickle batch reads only the buckets its collision
-        // candidates live in, and the materialized result stays
-        // collision-bounded either way.
+        // broadcast semi-join prunes rows.
         val candIds = pruned.select(col(id)).distinct().localCheckpoint(true)
         val touched = candIds
           .select(pmod(hash(col(id)), lit(numBuckets)).as("b"))
@@ -542,17 +614,14 @@ object Dedup {
           .join(broadcast(candIds), Seq(id), "leftsemi")
           .localCheckpoint(true)
         freeLocalCheckpoint(candIds)
-        (pruned, sets)
+        (pruned, sets, Seq(pruned, sets))
       } else
         (bandedSignatures(stored.select(col(id), col("mh")), id, k, bands),
-          stored.select(col(id), col("hs")))
+          stored.select(col(id), col("hs")), Seq.empty[DataFrame])
     val pairs = incrementalPairsFromBanded(oldSets,
-      oldBanded, bandedNew, fresh.select(col(id), col("hs")), id,
+      oldBanded, bandedNew.drop("hs"), fresh.select(col(id), col("hs")), id,
       threshold, maxBucketSize)
-    if (hasTwin) {
-      freeLocalCheckpoint(oldBanded) // pairs is checkpointed; drop both
-      freeLocalCheckpoint(oldSets)
-    }
+    freeAfterPairs.foreach(freeLocalCheckpoint) // pairs is checkpointed
     // Durability order: pair LEDGER first, bands twin second, index rows
     // LAST. Crash after the ledger write → the replay's anti-join still
     // sees the batch as new (its ids are absent from the MAIN table,
@@ -640,12 +709,20 @@ object Dedup {
           val in = hfs.open(marker)
           val got = try scala.io.Source.fromInputStream(in, "UTF-8")
             .mkString.trim finally in.close()
-          require(got == s"$n,$k",
-            s"staged batch ${s.getPath.getName} was indexed under " +
-              s"parameters ($got) but $table is stamped ($n,$k) — the " +
-              "store was rebuilt while the stage was outstanding; drop " +
-              "the stage dir and re-ingest those batches from text")
-          true
+          // a marker that is not two comma-separated ints is a HALF-
+          // WRITTEN marker (crash mid-write on a rename-less
+          // filesystem) — the same torn stage as a missing marker, so
+          // skip-and-replay; only a well-formed marker that disagrees
+          // with the stamp is the loud rebuilt-store refusal
+          if (!got.matches("\\d+,\\d+")) false
+          else {
+            require(got == s"$n,$k",
+              s"staged batch ${s.getPath.getName} was indexed under " +
+                s"parameters ($got) but $table is stamped ($n,$k) — the " +
+                "store was rebuilt while the stage was outstanding; drop " +
+                "the stage dir and re-ingest those batches from text")
+            true
+          }
         }
       }
       .map(_.getPath)

@@ -5,8 +5,10 @@ import org.apache.spark.sql.functions._
 import graft.operators.{Dedup, Layout}
 
 /** Dev-only phase profiler for the durable-LSH trickle append: builds
-  * (once, reused across runs via a fixed warehouse dir) a mult× store,
-  * then times each phase of the append path for a 2-doc batch.
+  * a mult× store (a fresh fixture per run — the session catalog is
+  * in-memory, so a bucketed table cannot be re-registered across JVMs
+  * and "reuse via a fixed dir" was never real), then times each phase
+  * of the append path for a 2-doc batch.
   * Usage: runMain graft.tools.ProfileTrickle [sfDir] [mult] */
 object ProfileTrickle {
   def main(args: Array[String]): Unit = {
@@ -17,7 +19,7 @@ object ProfileTrickle {
     val db = s"profile_lsh_$mult"
     // under the janitor's graft-* prefix so stale profile stores are
     // reaped like every other fixture (GraftSession.reapStaleFixtures)
-    val loc = s"/tmp/graft-profile-lsh-$mult"
+    val loc = java.nio.file.Files.createTempDirectory(s"graft-profile-lsh-")
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$loc'")
     def t[A](name: String)(body: => A): A = {
       val t0 = System.nanoTime()
@@ -35,11 +37,10 @@ object ProfileTrickle {
       .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .persist()
     val cut = (mult - 1).toLong * 10000000L
-    if (!spark.catalog.tableExists(s"$db.idx"))
-      t("build (one-off)") {
-        Dedup.lshBuildIndex(docs.filter(col("doc_id") < cut),
-          "doc_id", "text", s"$db.idx", numBuckets = 64)
-      }
+    t("build (one-off)") {
+      Dedup.lshBuildIndex(docs.filter(col("doc_id") < cut),
+        "doc_id", "text", s"$db.idx", numBuckets = 64)
+    }
     val table = s"$db.idx"
     val proj = docs.filter(col("doc_id") >= cut && col("doc_id") < cut + 2)
       .select(col("doc_id"), col("text"))
@@ -75,8 +76,7 @@ object ProfileTrickle {
       x.count(); x
     }
     val bandedNew = t("bandedNew ckpt") {
-      val x = Dedup.bandedSignatures(fresh.select(col(id), col("mh")),
-        id, k, bands).localCheckpoint(true)
+      val x = Dedup.bandedWithSets(fresh, id, k, bands).localCheckpoint(true)
       x.count(); x
     }
     val pruned = t("storedBandsPruned") {
@@ -84,23 +84,15 @@ object ProfileTrickle {
         .localCheckpoint(true)
       x.count(); x
     }
-    val candIds = t("candIds ckpt") {
-      val x = pruned.select(col(id)).distinct().localCheckpoint(true)
-      x.count(); x
-    }
-    val touched = t("touched collect") {
-      candIds.select(pmod(hash(col(id)), lit(numBuckets)).as("b"))
-        .distinct().collect().map(_.getInt(0)).toSet
-    }
-    val sets = t("sets (file-pruned hs read)") {
-      val x = Layout.readBucketSubset(spark, table, touched)
-        .select(col(id), col("hs"))
-        .join(broadcast(candIds), Seq(id), "leftsemi").localCheckpoint(true)
+    // round 15: the verification sets ride the pruned twin rows — no
+    // main-table read on the append path at all
+    val sets = t("sets (from pruned twin rows)") {
+      val x = pruned.select(col(id), col("hs")).dropDuplicates(id)
       x.count(); x
     }
     val pairs = t("incrementalPairsFromBanded") {
-      val x = Dedup.incrementalPairsFromBanded(sets, pruned,
-        bandedNew, fresh.select(col(id), col("hs")), id, 0.5,
+      val x = Dedup.incrementalPairsFromBanded(sets, pruned.drop("hs"),
+        bandedNew.drop("hs"), fresh.select(col(id), col("hs")), id, 0.5,
         Dedup.DefaultMaxBucketSize)
       x.count(); x
     }

@@ -31,6 +31,27 @@ object GraftBridge {
   def waitForListenerBus(spark: SparkSession): Unit =
     spark.sparkContext.listenerBus.waitUntilEmpty()
 
+  /** Every parquet file-scan leaf of an executed plan (descending
+    * through AQE wrappers and query stages), as (rootPaths,
+    * requiredSchema field names) — test support for "table X is never
+    * read with column Y on this path" pins, which plan-string matching
+    * gets wrong as soon as a node renders across lines. */
+  def parquetScans(plan: execution.SparkPlan): Seq[(Seq[String], Seq[String])] = {
+    val self = plan match {
+      case f: execution.FileSourceScanExec =>
+        Seq((f.relation.location.rootPaths.map(_.toString).toSeq,
+          f.requiredSchema.fieldNames.toSeq))
+      case _ => Nil
+    }
+    val kids = plan match {
+      case a: execution.adaptive.AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case s: execution.adaptive.QueryStageExec => Seq(s.plan)
+      case r: execution.exchange.ReusedExchangeExec => Seq(r.child)
+      case other => other.children
+    }
+    self ++ kids.flatMap(parquetScans)
+  }
+
   /** Table properties via the session catalog — what SHOW TBLPROPERTIES
     * renders, without paying a SQL parse/analyze round-trip per lookup
     * (the artifact-pairing checks read one key on every serving call).

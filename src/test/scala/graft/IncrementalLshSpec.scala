@@ -313,4 +313,87 @@ class IncrementalLshSpec extends SparkSpec {
       docs.filter(col("doc_id").isin(3L, 6L)), "doc_id", "text")
     assert(pairSet(oldOnly) ++ pairSet(appended) == pairSet(full))
   }
+
+  test("append path never reads the main table's hs column — verification rides the twin") {
+    val db = "graft_lsh_nomain"
+    val loc = java.nio.file.Files.createTempDirectory("graft-lsh-nomain")
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$loc'")
+    Seq("idx", "idx__pairs", "idx__bands")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $db.$t"))
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    Dedup.lshBuildIndex(docs.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", s"$db.idx")
+    // a round-15 twin carries the shingle sets...
+    assert(spark.table(s"$db.idx__bands").columns.contains("hs"))
+    // ...so across EVERY execution the append runs, no parquet scan of
+    // the MAIN table may project hs: the round-14 residual was exactly
+    // that read (file-pruned but still growing with the store inside
+    // touched buckets, at page-cache mercy on repeat appends)
+    val seen = scala.collection.mutable.ArrayBuffer
+      .empty[(Seq[String], Seq[String])]
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        seen.synchronized {
+          seen ++= org.apache.spark.sql.GraftBridge
+            .parquetScans(qe.executedPlan)
+        }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    val appended = try {
+      val p = Dedup.lshIndexAppend(spark, s"$db.idx",
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+      p.count()
+      org.apache.spark.sql.GraftBridge.waitForListenerBus(spark)
+      p
+    } finally spark.listenerManager.unregister(listener)
+    val mainHsScans = seen.synchronized {
+      seen.filter { case (paths, fields) =>
+        fields.contains("hs") && paths.exists(p =>
+          (p.endsWith("/idx") || p.contains("/idx/")) &&
+            !p.contains("__bands"))
+      }
+    }
+    assert(mainHsScans.isEmpty,
+      s"append read the main table's hs column: $mainHsScans")
+    // and the twin-fed verification is still the exact one: the chain
+    // converges to the full recompute through the durable ledger
+    assert(pairSet(spark.table(s"$db.idx__pairs")) ==
+      pairSet(Dedup.minHashLshPairs(docs, "doc_id", "text")))
+    assert(appended.count() >= 0) // materialized above; keep the handle live
+  }
+
+  test("append aligns an int-typed batch id to the store's long id; a lossy mismatch refuses") {
+    val db = "graft_lsh_idtype"
+    val loc = java.nio.file.Files.createTempDirectory("graft-lsh-idtype")
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$loc'")
+    Seq("idx", "idx__pairs", "idx__bands")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $db.$t"))
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    Dedup.lshBuildIndex(docs, "doc_id", "text", s"$db.idx")
+    val stored = spark.table(s"$db.idx").count()
+    // replay the SAME docs with the id DOWNCAST to int: murmur3 hashes
+    // int and long differently, so an unaligned replay guard would open
+    // the wrong bucket files, miss every stored duplicate, and silently
+    // double the index — the aligned guard must append exactly nothing
+    val intBatch = docs.withColumn("doc_id", col("doc_id").cast("int"))
+    val replay = Dedup.lshIndexAppend(
+      spark, s"$db.idx", intBatch, "doc_id", "text")
+    assert(replay.isEmpty, replay.collect().toSeq)
+    assert(spark.table(s"$db.idx").count() == stored,
+      "int-typed replay duplicated index rows")
+    // a mismatch with no lossless cast (string → long) refuses loudly
+    // instead of letting the final append auto-cast what the hashes
+    // already diverged on
+    val e = intercept[IllegalArgumentException] {
+      Dedup.lshIndexAppend(spark, s"$db.idx",
+        docs.withColumn("doc_id", col("doc_id").cast("string")),
+        "doc_id", "text")
+    }
+    assert(e.getMessage.contains("no lossless cast"), e.getMessage)
+  }
 }
