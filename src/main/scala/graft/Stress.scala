@@ -518,11 +518,13 @@ object Stress {
           s"$db.emb_ivf_v2", "vec_id", k = 8, iters = 3, numBuckets = 8)
         spark.table(s"$db.emb_ivf_v2").count()
       }
-      // Codebook retrain over a stored ×N IVF-PQ index: warm-start
-      // refit (iters one-scan rounds over the stored rows' floats) +
-      // re-encode + bucketed rewrite — the PQ twin of ivf_retrain,
-      // same deliberately index-proportional contract; this row pins
-      // that cost curve's slope too.
+      // Codebook retrain over a stored ×N IVF-PQ index under the
+      // round-15 deployment dial (refitSampleCap): the Lloyd refit
+      // runs over a 256-vector deterministic sample, so the only
+      // index-proportional work left is the re-encode pass + the
+      // bucketed rewrite — this row pins that the retrain wall now
+      // tracks ONE linear pass, not iters of them (the uncapped path,
+      // cap=0, is the cross-engine-exact q217 contract).
       if (enabled("pq_retrain")) {
         spark.sql(s"DROP TABLE IF EXISTS $db.emb_pq")
         spark.sql(s"DROP TABLE IF EXISTS $db.emb_pq_v2")
@@ -531,7 +533,8 @@ object Stress {
           "vec_id", model, s"$db.emb_pq", numBuckets = 8)
         time("pq_retrain") {
           graft.operators.Similarity.ivfPqRetrain(spark, s"$db.emb_pq",
-            s"$db.emb_pq_v2", embs, "vec_id", iters = 2, numBuckets = 8)
+            s"$db.emb_pq_v2", embs, "vec_id", iters = 2, numBuckets = 8,
+            refitSampleCap = 256)
           spark.table(s"$db.emb_pq_v2").count()
         }
       }

@@ -567,6 +567,26 @@ object Similarity {
     * Starting from the STORED model rather than fresh seeds is the
     * point: drift repair moves codewords toward where the data went,
     * monotonically reducing quantization error round over round. */
+  /** Deterministic fixed-size sample of `(id, …)` rows for a codebook
+    * refit: the `cap` rows with the smallest Knuth multiplicative hash
+    * of the id, ties to the lower id. The hash is plain modular
+    * arithmetic — `(id * 2654435761) % 2147483647` — NOT an engine
+    * hash function, precisely so a cross-engine oracle can replay the
+    * exact sample (`ORDER BY (id * 2654435761) % 2147483647, id
+    * LIMIT cap` in ANSI SQL); ids are assumed non-negative (Spark's
+    * `pmod` and SQL `%` agree there). Plans as a distributed top-N
+    * (TakeOrdered), never a global sort. Codebook quality is
+    * sample-stable — Lloyd means over a few hundred vectors land
+    * within quantization noise of the full-corpus refit — which is
+    * what makes [[ivfPqRetrain]]'s refit phase store-size-independent
+    * when a cap is set. */
+  def pqRefitSample(emb: DataFrame, id: String, cap: Int): DataFrame = {
+    require(cap > 0, s"sample cap must be positive, got $cap")
+    emb.orderBy(
+      pmod(col(id).cast("long") * lit(2654435761L), lit(2147483647L)).asc,
+      col(id).asc).limit(cap)
+  }
+
   def pqRefitCodebooks(emb: DataFrame, model: PqModel, iters: Int,
       roundAt: Int = 4): PqModel = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
@@ -613,11 +633,20 @@ object Similarity {
     * rule): every mid-rebuild crash window leaves a table the serving
     * faces refuse, never v1 artifacts paired with v2 codes. Returns
     * the refit model (also persisted as `newTable`'s own artifact).
-    * Cost: iters + 2 corpus scans + the bucketed write — deliberately
-    * index-proportional, the amortized one-off appends defer. */
+    *
+    * Cost: with `refitSampleCap = 0` (the cross-engine-exact default),
+    * iters + 2 corpus scans + the bucketed write — fully
+    * index-proportional. With a cap set, the refit phase runs over a
+    * deterministic [[pqRefitSample]] of the stored vectors instead of
+    * all of them, so the Lloyd rounds cost O(cap) and the only
+    * index-proportional work left is the one re-encode pass + the
+    * rewrite — the recommended deployment dial (a few hundred vectors
+    * pin the codeword means; the sample is id-hash-deterministic, so
+    * an oracle can still replay it exactly). */
   def ivfPqRetrain(spark: org.apache.spark.sql.SparkSession, table: String,
       newTable: String, vectors: DataFrame, id: String, iters: Int = 2,
-      numBuckets: Int = 16, roundAt: Int = 4): PqModel = {
+      numBuckets: Int = 16, roundAt: Int = 4,
+      refitSampleCap: Int = 0): PqModel = {
     require(table != newTable,
       "ivfPqRetrain rebuilds into a NEW table version: reading and " +
         "overwriting the same bucketed table is not a safe operation")
@@ -636,9 +665,17 @@ object Similarity {
             lit(" has no vector in the caller's frame — the rebuild " +
               "would silently drop it; pass the full float corpus")))))
       .localCheckpoint(true) // refit rounds + the rebuild share one join
-    val refit = pqRefitCodebooks(
-      joined.select(col(id), col("embedding")), model, iters, roundAt)
+    val proj = joined.select(col(id), col("embedding"))
+    // the sample is materialized ONCE (one TakeOrdered pass over the
+    // checkpointed join), so the Lloyd rounds iterate over cap rows —
+    // without this each round would replay the top-N scan
+    val fitRows =
+      if (refitSampleCap > 0)
+        pqRefitSample(proj, id, refitSampleCap).localCheckpoint(true)
+      else proj
+    val refit = pqRefitCodebooks(fitRows, model, iters, roundAt)
     ivfPqBuildIndex(joined, anchors, id, refit, newTable, numBuckets, roundAt)
+    if (refitSampleCap > 0) Dedup.freeLocalCheckpoint(fitRows)
     Dedup.freeLocalCheckpoint(joined)
     refit
   }

@@ -1372,7 +1372,61 @@ object DedupQueries {
       WHERE CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter) >= 0.5
       ORDER BY doc_a, doc_b"""))
 
+  /** Each q219 call appends a DISTINCT batch (the odd half, ids offset
+    * by call-number × 10⁹), so Bench's measured runs do real append
+    * work — a verbatim replay would be dropped by the store's replay
+    * guard and measure a no-op. Call 0 (Verify's only call, Bench's
+    * warmup) appends the ORIGINAL odd half, which is what the oracle
+    * sees. */
+  private val q219AppendCalls = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val Q219IdSpan = 1000000000L
+
+  /** The RECURRING face of the q215 lifecycle, measured alone: q215
+    * deliberately times store build + append in one body (it pins the
+    * whole durable edge), so its bench number is dominated by the
+    * one-off build. Here the even-half store is a build-once-per-JVM
+    * fixture ([[Fixtures.once]] — Bench's warmup call pays it), and
+    * the measured body is only what a deployment re-runs: one
+    * shard-sized [[graft.operators.Dedup.lshIndexAppend]] (signature
+    * pass + file-pruned replay guard + bucket-pruned `__bands`
+    * collision read + twin-carried verification + two bucketed
+    * appends). Later calls append id-shifted copies of the same texts,
+    * so their pairs involve only ids ≥ 10⁹ and the returned frame —
+    * the ledger restricted to original ids — is call-stable: after
+    * call 0 it equals a full recompute over the whole corpus, which is
+    * exactly q215's oracle. */
+  val q219 = Q(
+    "q219_lsh_append_only",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      val db = Fixtures.once(s, "graft_q219", d) { db =>
+        graft.operators.Dedup.lshBuildIndex(
+          docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+          s"$db.lsh", n = ShingleN, k = K, bands = Bands)
+      }
+      val callNo = q219AppendCalls.getAndIncrement()
+      val batch = docs.filter(col("doc_id") % 2 === 1)
+        .withColumn("doc_id", col("doc_id") + lit(callNo * Q219IdSpan))
+      graft.operators.Dedup.lshIndexAppend(
+        s, s"$db.lsh", batch, "doc_id", "text", threshold = 0.5).count()
+      s.table(graft.operators.Dedup.lshPairsTableName(s"$db.lsh"))
+        .filter(col("id_a") < Q219IdSpan && col("id_b") < Q219IdSpan)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+          round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    },
+    Some(s"""
+      WITH ${nearDupCtes("documents")}
+      SELECT i.da AS doc_a, i.db AS doc_b,
+             ROUND(CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter), 4) AS jaccard
+      FROM inter i
+      JOIN sizes sa ON i.da = sa.doc_id
+      JOIN sizes sb ON i.db = sb.doc_id
+      WHERE CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter) >= 0.5
+      ORDER BY doc_a, doc_b"""))
+
   def all: Seq[Q] = Seq(q36, q37, q38, q45, q47, q51, q55, q134, q145, q146,
     q151, q152, q163, q166, q168, q170, q179, q180, q187, q191, q192, q193,
-    q194, q195, q196, q197, q201, q208, q215)
+    q194, q195, q196, q197, q201, q208, q215, q219)
 }

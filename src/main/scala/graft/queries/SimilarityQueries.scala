@@ -1161,14 +1161,14 @@ object SimilarityQueries {
       ORDER BY query_id, rank"""))
 
   /** One warm-start PQ codebook refit round as DuckDB CTEs (the
-    * kmeansIterSql device per subspace): `enc$i` assigns every vector's
-    * subspace-j slice to its nearest `cb${i-1}` codeword (ROUNDED
-    * squared distance at 4 dp, ties to the lower code — exactly
-    * pqEncodeDetailCol), `mu$i` is the per-(j, code, dim) mean, and
-    * `cb$i` folds the means back, keeping the old codeword where no
-    * vector landed — [[graft.operators.Similarity.pqRefitCodebooks]]'
-    * update rule. */
-  private def pqRefitIterSql(i: Int): String = {
+    * kmeansIterSql device per subspace), fit over `src` rows: `enc$i`
+    * assigns every src vector's subspace-j slice to its nearest
+    * `cb${i-1}` codeword (ROUNDED squared distance at 4 dp, ties to
+    * the lower code — exactly pqEncodeDetailCol), `mu$i` is the
+    * per-(j, code, dim) mean, and `cb$i` folds the means back, keeping
+    * the old codeword where no vector landed —
+    * [[graft.operators.Similarity.pqRefitCodebooks]]' update rule. */
+  private def pqRefitIterSql(i: Int, src: String = "e"): String = {
     val (cPrev, enc, mu, c) = (s"cb${i - 1}", s"enc$i", s"mu$i", s"cb$i")
     s"""
       $enc AS (SELECT vec_id, j, code FROM (
@@ -1177,9 +1177,9 @@ object SimilarityQueries {
                           ORDER BY ROUND(list_sum(list_transform(range(1, 17),
                             i -> pow(e.x[c.j*16 + i] - c.cw[i], 2))), 4),
                                    c.code) AS rk
-                 FROM e CROSS JOIN $cPrev c) t WHERE rk = 1),
+                 FROM $src e CROSS JOIN $cPrev c) t WHERE rk = 1),
       $mu AS (SELECT a.j, a.code, g.i AS pos, AVG(e.x[a.j*16 + g.i]) AS m
-              FROM $enc a JOIN e USING (vec_id),
+              FROM $enc a JOIN $src e USING (vec_id),
                    LATERAL (SELECT UNNEST(range(1, 17)) AS i) g
               GROUP BY a.j, a.code, g.i),
       $c AS (SELECT c.j, c.code, COALESCE(mm.cw, c.cw) AS cw
@@ -1188,16 +1188,33 @@ object SimilarityQueries {
                    FROM $mu GROUP BY j, code) mm USING (j, code))"""
   }
 
+  /** The refit-fit sample both engines agree on exactly
+    * ([[graft.operators.Similarity.pqRefitSample]]): the
+    * [[RefitSampleCap]] vectors with the smallest Knuth multiplicative
+    * id hash — plain modular arithmetic, so the oracle's ORDER BY
+    * replays the very rows the Spark TakeOrdered picks. 256 < 500
+    * (the smallest SF's corpus), so the sampled path is genuinely
+    * exercised at every scale factor. */
+  private val RefitSampleCap = 256
+  private val RefitSampleSql =
+    s"""samp AS (SELECT vec_id, x FROM e
+               ORDER BY (vec_id * 2654435761) % 2147483647, vec_id
+               LIMIT $RefitSampleCap)"""
+
   /** IVF-PQ codebook re-train + re-encode
     * ([[graft.operators.Similarity.ivfPqRetrain]] — the repair the
     * pqDriftStats signal tells you to run): build v1 on the sampled
-    * codebook, warm-start refit it over the STORED vectors with 2
-    * Lloyd rounds, rebuild into v2, and report v2's per-(subspace,
+    * codebook, warm-start refit it over the deterministic
+    * [[RefitSampleCap]]-row sample of the STORED vectors with 2 Lloyd
+    * rounds (the sublinear deployment dial — the refit phase costs
+    * O(cap) regardless of store size; only the re-encode pass touches
+    * the whole store), rebuild into v2, and report v2's per-(subspace,
     * codeword) population joined with the refit codeword's first
-    * coordinate. The oracle unrolls both refit rounds as CTE layers
-    * (the q211 device, per subspace) and re-encodes under the final
-    * codebooks — green pins the whole lifecycle edge cross-engine:
-    * stored codes → refit codebooks → re-encoded v2 store. */
+    * coordinate. The oracle unrolls the sample and both refit rounds
+    * as CTE layers (the q211 device, per subspace) and re-encodes the
+    * FULL corpus under the final codebooks — green pins the whole
+    * lifecycle edge cross-engine: stored codes → sampled refit →
+    * re-encoded v2 store. */
   val q217 = Q(
     "q217_pq_retrain",
     (s, d) => {
@@ -1214,7 +1231,8 @@ object SimilarityQueries {
         graft.operators.Similarity.pqCodebooksSampled(anchors, m = 4),
         s"$db.v1", numBuckets = 8)
       val refit = graft.operators.Similarity.ivfPqRetrain(
-        s, s"$db.v1", s"$db.v2", e, "vec_id", iters = 2, numBuckets = 8)
+        s, s"$db.v1", s"$db.v2", e, "vec_id", iters = 2, numBuckets = 8,
+        refitSampleCap = RefitSampleCap)
       val hist = s.table(s"$db.v2")
         .select(posexplode(col("codes")))
         .groupBy(col("pos").as("subspace"), col("col").as("code"))
@@ -1232,9 +1250,10 @@ object SimilarityQueries {
     },
     Some(s"""
       WITH $PqCtes,
+      $RefitSampleSql,
       cb0 AS (SELECT j, code, cw FROM cb),
-      ${pqRefitIterSql(1)},
-      ${pqRefitIterSql(2)},
+      ${pqRefitIterSql(1, "samp")},
+      ${pqRefitIterSql(2, "samp")},
       encF AS (SELECT vec_id, j, code FROM (
                  SELECT e.vec_id, c.j, c.code,
                         ROW_NUMBER() OVER (PARTITION BY e.vec_id, c.j
@@ -1290,8 +1309,80 @@ object SimilarityQueries {
       FROM now n JOIN base b USING (j)
       ORDER BY 1"""))
 
+  /** The RECURRING face of the q217 lifecycle, measured alone: q217
+    * deliberately times build-v1 + refit + rebuild in one body (it
+    * pins the whole edge), which makes its bench number a one-off
+    * build cost masquerading as steady state. Here the v1 store is a
+    * build-once-per-JVM fixture ([[Fixtures.once]] — Bench's warmup
+    * call pays it), and the measured body is only what a deployment
+    * re-runs: sample the stored ids' vectors ([[RefitSampleCap]]
+    * rows, id-hash-deterministic), 2 warm-start Lloyd rounds over the
+    * sample, then the post-refit encode HISTOGRAM of the full corpus
+    * computed on the fly — no store write, so every call is
+    * idempotent and the measured pair is a true serve-face number.
+    * The oracle is q217's CTE chain unchanged — that chain never
+    * reads the store; both entries must produce the same rows, which
+    * itself pins serve-face ≡ lifecycle-face. */
+  val q220 = Q(
+    "q220_pq_refit_only",
+    (s, d) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, d)
+      val db = Fixtures.once(s, "graft_q220", d) { db =>
+        val anchors = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("anchor_id"), col("embedding").as("av"))
+        graft.operators.Similarity.ivfPqBuildIndex(
+          e, anchors, "vec_id", pqModel(s, d), s"$db.v1", numBuckets = 8)
+      }
+      val model = graft.operators.Similarity.storedPqModel(s, s"$db.v1")
+      // the store holds codes, not floats: the refit face reads the
+      // stored IDS (column-pruned) and matches them to the caller's
+      // float corpus — same contract as ivfPqRetrain, minus the rebuild
+      val storedVecs = e.select(col("vec_id"), col("embedding"))
+        .join(s.table(s"$db.v1").select(col("vec_id")), Seq("vec_id"),
+          "leftsemi")
+      val refit = graft.operators.Similarity.pqRefitCodebooks(
+        graft.operators.Similarity.pqRefitSample(
+          storedVecs, "vec_id", RefitSampleCap),
+        model, iters = 2)
+      val hist = e
+        .select(posexplode(
+          graft.operators.Similarity.pqCodesCol(col("embedding"), refit)))
+        .groupBy(col("pos").as("subspace"), col("col").as("code"))
+        .agg(count(lit(1)).as("n"))
+      val cw1 = refit.codebooks.zipWithIndex.flatMap { case (cb, j) =>
+        cb.zipWithIndex.map { case (w, c) =>
+          (j, c.toLong, java.math.BigDecimal.valueOf(w(0))
+            .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue())
+        }
+      }.toIndexedSeq.toDF("subspace", "code", "cw1")
+      cw1.join(hist, Seq("subspace", "code"), "left")
+        .select(col("subspace"), col("code"),
+          coalesce(col("n"), lit(0L)).as("n"), col("cw1"))
+        .orderBy("subspace", "code")
+    },
+    Some(s"""
+      WITH $PqCtes,
+      $RefitSampleSql,
+      cb0 AS (SELECT j, code, cw FROM cb),
+      ${pqRefitIterSql(1, "samp")},
+      ${pqRefitIterSql(2, "samp")},
+      encF AS (SELECT vec_id, j, code FROM (
+                 SELECT e.vec_id, c.j, c.code,
+                        ROW_NUMBER() OVER (PARTITION BY e.vec_id, c.j
+                          ORDER BY ROUND(list_sum(list_transform(range(1, 17),
+                            i -> pow(e.x[c.j*16 + i] - c.cw[i], 2))), 4),
+                                   c.code) AS rk
+                 FROM e CROSS JOIN cb2 c) t WHERE rk = 1),
+      hist AS (SELECT j, code, CAST(COUNT(*) AS BIGINT) AS n
+               FROM encF GROUP BY j, code)
+      SELECT CAST(c.j AS INTEGER) AS subspace, CAST(c.code AS BIGINT) AS code,
+             CAST(COALESCE(h.n, 0) AS BIGINT) AS n, ROUND(c.cw[1], 6) AS cw1
+      FROM cb2 c LEFT JOIN hist h USING (j, code)
+      ORDER BY 1, 2"""))
+
   def all: Seq[Q] =
     Seq(q34, q35, q39, q40, q48, q59, q60, q109, q136, q155, q171, q172,
       q178, q184, q185, q190, q206, q207, q209, q210, q211, q213, q214,
-      q216, q217, q218)
+      q216, q217, q218, q220)
 }
