@@ -960,8 +960,13 @@ object Dedup {
     * representative. Iterative min-label propagation; each round is one
     * join + aggregate, converging in O(graph diameter) rounds (duplicate
     * chains are short in practice; `maxIterations` bounds adversarial
-    * chains). `localCheckpoint` truncates the growing loop lineage —
-    * without it each iteration's plan contains all previous ones.
+    * chains). Each round's frame is materialized through
+    * [[graft.plans.Checkpoints.iter]] to truncate the growing loop
+    * lineage — without it each iteration's plan contains all previous
+    * ones. At local[*] that is a localCheckpoint; set
+    * `spark.graft.checkpoint.dir` on a real cluster to make the loop
+    * survive executor loss (reliable checkpoints recompute lost
+    * partitions from durable files instead of failing the job).
     *
     * Input: pairs (id_a, id_b). Output: (id, cluster) for every id that
     * appears in a pair; singletons never enter and keep themselves.
@@ -983,7 +988,7 @@ object Dedup {
     // AQE executes the two branches as independent subqueries — measured
     // ~2× the whole upstream cost on q55 (exchange reuse does not bridge
     // the differing final projects)
-    val p = pairs.localCheckpoint(true)
+    val p = graft.plans.Checkpoints.iter(pairs)
     val idType = pairs.schema("id_a").dataType
     // count is ~free: the frame was just materialized by the checkpoint.
     // The small-graph branch collects the PAIRS and mirrors them on the
@@ -1015,14 +1020,14 @@ object Dedup {
         .select(col("id").cast(idType).as("id"),
           col("cluster").cast(idType).as("cluster"))
     }
-    val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(p.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .distinct()
-      .localCheckpoint(true)
+    val edges = graft.plans.Checkpoints.iter(
+      p.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .union(p.select(col("id_b").as("src"), col("id_a").as("dst")))
+        .distinct())
     freeLocalCheckpoint(p) // edges is materialized; p's blocks are dead weight
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("cluster", col("id"))
-      .localCheckpoint(true)
+    var labels = graft.plans.Checkpoints.iter(
+      edges.select(col("src").as("id")).distinct()
+        .withColumn("cluster", col("id")))
     var converged = false
     var i = 0
     while (!converged && i < maxIterations) {
@@ -1034,10 +1039,10 @@ object Dedup {
       // carry the previous label through the checkpoint so convergence is
       // a narrow filter over the materialized step — not a second
       // shuffle join of next against labels per iteration
-      val step = labels.join(viaNeighbor, Seq("id"), "left")
-        .select(col("id"), col("cluster").as("__prev"),
-          least(col("cluster"), coalesce(col("ncluster"), col("cluster"))).as("cluster"))
-        .localCheckpoint(true)
+      val step = graft.plans.Checkpoints.iter(
+        labels.join(viaNeighbor, Seq("id"), "left")
+          .select(col("id"), col("cluster").as("__prev"),
+            least(col("cluster"), coalesce(col("ncluster"), col("cluster"))).as("cluster")))
       converged = step.filter(col("cluster") =!= col("__prev")).isEmpty
       freeLocalCheckpoint(labels) // release the superseded checkpoint's blocks
       labels = step.drop("__prev")

@@ -286,8 +286,12 @@ object QualityModels {
     val spark = docs.sparkSession
     import spark.implicits._
     val sep = "␟"
-    var cur = docs.select(col(id), regexp_replace(col(text), " ", sep).as("s"))
-      .localCheckpoint(false)
+    // each round's rewrite goes through Checkpoints.iter (lazy): lineage
+    // is cut per round, and the spark.graft.checkpoint.dir dial makes
+    // the chain executor-loss-proof on a real cluster
+    var cur = graft.plans.Checkpoints.iter(
+      docs.select(col(id), regexp_replace(col(text), " ", sep).as("s")),
+      eager = false)
     // the corpus version one behind `cur`: still holds the blocks the
     // un-materialized `cur` checkpoint reads, so it is only freed after
     // the next count job materializes `cur`
@@ -321,9 +325,8 @@ object QualityModels {
             lit(sep + w1 + Glue + w2 + sep)).as("__t"))
           .select(col(id),
             expr("substring(__t, 2, length(__t) - 2)").as("s"))
-          .localCheckpoint(false)
         prev = cur
-        cur = next
+        cur = graft.plans.Checkpoints.iter(next, eager = false)
       }
       r += 1
     }
