@@ -19,7 +19,12 @@ import org.apache.spark.sql.SparkSession
   *    literals shipped into executor-side expressions);
   *  - the streaming curate sink + state compaction against a
   *    scheme-qualified (`file:`) state path — the Hadoop FS state I/O
-  *    on a path executors don't interpret as java.io.File.
+  *    on a path executors don't interpret as java.io.File;
+  *  - the DURABLE-STORE lifecycle end to end (round 15): LSH
+  *    build → append → pair-ledger ≡ full recompute, and IVF-PQ
+  *    build → append → drift probe → sampled retrain → batch serve —
+  *    the reads/writes whose file-pruning and table-property plumbing
+  *    must hold when the scan tasks run in OTHER JVMs.
   *
   * Executor-loss stance (documented in DEPLOY.md): localCheckpoint
   * truncates lineage, so losing an executor mid-operator fails that
@@ -94,6 +99,62 @@ object ClusterSmoke {
     graft.streaming.EventStream.compactCurateState(spark, state)
     require(spark.read.parquet(s"$state/v=1/fp").count() == 3)
 
+    // ---- durable-store lifecycle across JVMs (round 15) ----
+    // build → append → serve for BOTH durable-index families, against
+    // real remote executors: flushes single-JVM assumptions (fixture
+    // state the driver holds, block-manager-resident reads, driver-only
+    // table-property visibility) that local[32] can never catch.
+    locally {
+      import org.apache.spark.sql.functions._
+      val lifeRoot = java.nio.file.Files.createTempDirectory("graft-smoke-life")
+      spark.sql(s"CREATE DATABASE IF NOT EXISTS smoke_life LOCATION '$lifeRoot'")
+      val docs2 = Tables.documents(spark, sfDir)
+      // LSH: even-half build, odd-half append; the durable pair ledger
+      // must equal a full recompute over the whole corpus — the q215
+      // device, here proven across executor JVMs
+      graft.operators.Dedup.lshBuildIndex(
+        docs2.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+        "smoke_life.lsh", n = 4, k = 16, bands = 4)
+      graft.operators.Dedup.lshIndexAppend(
+        spark, "smoke_life.lsh", docs2.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", threshold = 0.5).count()
+      val ledger = spark
+        .table(graft.operators.Dedup.lshPairsTableName("smoke_life.lsh"))
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val fullPairs = graft.operators.Dedup
+        .minHashLshPairs(docs2, "doc_id", "text")
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      require(ledger == fullPairs && ledger.nonEmpty,
+        s"durable-LSH lifecycle diverged across JVMs: ledger=${ledger.size} full=${fullPairs.size}")
+      // IVF-PQ: even-half build, odd-half append under the frozen
+      // codebook, drift probe, sampled retrain into v2, batch serve
+      val emb = Tables.embeddings(spark, sfDir)
+      val anchors = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("anchor_id"), col("embedding").as("av"))
+      val model = graft.operators.Similarity.pqCodebooksSampled(anchors, m = 4)
+      graft.operators.Similarity.ivfPqBuildIndex(
+        emb.filter(col("vec_id") % 2 === 0), anchors, "vec_id", model,
+        "smoke_life.pq_v1", numBuckets = 8)
+      graft.operators.Similarity.ivfPqIndexAppend(
+        emb.filter(col("vec_id") % 2 =!= 0), anchors, "vec_id", model,
+        "smoke_life.pq_v1", numBuckets = 8)
+      val drift = graft.operators.Similarity.pqDriftStats(
+        spark, "smoke_life.pq_v1", emb, "vec_id")
+      require(drift.count() == 4L, "drift probe must report every subspace")
+      graft.operators.Similarity.ivfPqRetrain(
+        spark, "smoke_life.pq_v1", "smoke_life.pq_v2", emb, "vec_id",
+        iters = 1, numBuckets = 8, refitSampleCap = 64)
+      val queries2 = emb.filter(col("vec_id") < 2)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      val served = graft.operators.Similarity.ivfPqSearchStoredBatch(
+        spark, "smoke_life.pq_v2", emb.select(col("vec_id"), col("embedding")),
+        "vec_id", queries2, "query_id", "qvec", nprobe = 2, refine = 20, k = 5)
+        .count()
+      require(served > 0, "stored batch serve returned no rows after retrain")
+    }
+
     // ---- executor-loss drill (the DEPLOY.md stance, exercised) ----
     // 1) materialize an operator-internal frame exactly the way the
     //    operators do: localCheckpoint = truncated lineage, blocks
@@ -102,6 +163,17 @@ object ClusterSmoke {
     val inflight = graft.operators.Dedup.indexDocs(docs, "doc_id", "text")
       .repartition(16).localCheckpoint(true)
     require(inflight.count() > 0)
+    // 1b) the CONTRAST frame for the reliable-checkpoint dial
+    //     (spark.graft.checkpoint.dir, DEPLOY.md): same shape, but
+    //     checkpointed to durable files — this one must SURVIVE the
+    //     executor loss the local frame dies of
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft-smoke-ckpt")
+    spark.conf.set(graft.plans.Checkpoints.DirConf, ckptDir.toString)
+    val durable = graft.plans.Checkpoints.iter(
+      graft.operators.Dedup.indexDocs(docs, "doc_id", "text").repartition(16))
+    val durableCount = durable.count()
+    spark.conf.unset(graft.plans.Checkpoints.DirConf)
+    require(durableCount > 0)
     // reference result from a complete operator run, pre-loss
     def pairs() = graft.operators.Dedup
       .minHashLshPairs(docs, "doc_id", "text")
@@ -123,6 +195,12 @@ object ClusterSmoke {
     val poisoned = scala.util.Try(inflight.count())
     require(poisoned.isFailure,
       s"expected job failure on the checkpointed frame after executor loss, got $poisoned")
+    // 3b) the reliably-checkpointed frame survives the SAME loss: its
+    //     partitions recompute from the checkpoint files, not from
+    //     dead executor blocks — the dial's entire claim
+    val survived = scala.util.Try(durable.count())
+    require(survived == scala.util.Success(durableCount),
+      s"reliable-checkpointed frame did not survive executor loss: $survived (expected $durableCount)")
     // 4) the retry unit is the operator CALL: once the standalone
     //    master registers a replacement executor, a fresh run
     //    converges to the identical output (all inputs are table
@@ -134,7 +212,7 @@ object ClusterSmoke {
       "operator retry after executor loss diverged from the pre-loss result")
 
     val qs = counts.map { case (k, v) => s""""$k":$v""" }.mkString(",")
-    println(s"""{"smoke":"ok","executors":$executors,"drill":"executor-loss-ok","sf":"$sfDir",$qs}""")
+    println(s"""{"smoke":"ok","executors":$executors,"drill":"executor-loss-ok","reliable":"survives-loss-ok","lifecycle":"durable-store-ok","sf":"$sfDir",$qs}""")
     spark.stop()
   }
 }
