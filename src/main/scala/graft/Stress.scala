@@ -64,12 +64,46 @@ object Stress {
     def blockEnabled(ops: Seq[String]): Boolean =
       only.forall(_.exists(f => ops.exists(op =>
         op.startsWith(f) || f.startsWith(op))))
+    // Per-op INPUT BYTES alongside wall-clock: this box's disk
+    // throughput swings 3-5x same-day (r13-r15 logs), so wall ratios on
+    // I/O-bound rows are weather — bytes read are the deterministic
+    // scale metric (flat bytes across repeats = the op's read mass
+    // really is bounded, whatever the disk felt like).
+    // Stress fixtures are per-run throwaways (every run rebuilds its
+    // stores), but a 1000x store is ~12 GB and the session janitor's
+    // 6h staleness cutoff does not cover same-day back-to-back sweeps —
+    // five consecutive trio runs filled the disk to a TASK_WRITE_FAILED
+    // (round 15). Track every fixture dir and delete it before exit.
+    val fixtureDirs = scala.collection.mutable.ListBuffer.empty[java.nio.file.Path]
+    def fixtureDir(prefix: String): java.nio.file.Path = {
+      val p = java.nio.file.Files.createTempDirectory(prefix)
+      fixtureDirs += p
+      p
+    }
+    val bytesRead = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (e.taskMetrics != null)
+            bytesRead.addAndGet(e.taskMetrics.inputMetrics.bytesRead)
+      })
     def time(op: String)(body: => Long): Unit =
       if (enabled(op)) {
+        // settle cross-op residue before timing (the Bench reclaim
+        // rationale): dropped checkpoint blocks of the PREVIOUS op
+        // linger until GC, and their collection lands inside the next
+        // timed body otherwise — measured as a 2-doc, zero-byte trickle
+        // "costing" 13 s at 1000×
+        System.gc()
+        org.apache.spark.sql.GraftBridge.waitForListenerBus(spark)
+        val b0 = bytesRead.get()
         val t0 = System.nanoTime()
         val rows = body
         val sec = (System.nanoTime() - t0) / 1e9
-        println(f"""{"op":"$op","sec":$sec%.2f,"rows":$rows}""")
+        org.apache.spark.sql.GraftBridge.waitForListenerBus(spark)
+        val mb = (bytesRead.get() - b0) / 1e6
+        println(f"""{"op":"$op","sec":$sec%.2f,"rows":$rows,"read_mb":$mb%.0f}""")
       }
 
     // materialize ONLY the inputs the enabled ops consume: at mult=1000
@@ -114,7 +148,15 @@ object Stress {
     if (blockEnabled(Seq("incremental_lsh_append", "lsh_stored_append"))) locally {
       val cut = (mult - 1).toLong * 10000000L
       val old = docs.filter(col("doc_id") < cut)
-      val fresh = docs.filter(col("doc_id") >= cut)
+      // The arriving batch is MATERIALIZED outside the timed bodies
+      // (both rows): extracting 5k docs from the 5M-row cached corpus
+      // is a full block-manager scan (~5 GB at 1000× — the bytes
+      // metric exposed it as the dominant "read" of both rows), and in
+      // a real ingest loop the batch arrives as its own small frame.
+      // Billing the corpus scan to the append was a harness artifact,
+      // the shard-size twin of the round-14 trickle-billing fix.
+      val fresh = docs.filter(col("doc_id") >= cut).localCheckpoint(true)
+      fresh.count()
       if (enabled("incremental_lsh_append")) {
         val index = Dedup.indexDocs(old, "doc_id", "text").localCheckpoint(true)
         index.count() // index build = the amortized one-off, not timed
@@ -130,25 +172,30 @@ object Stress {
       // was the re-banding scan growing with the index)
       if (blockEnabled(Seq("lsh_stored_append", "lsh_stored_trickle"))) {
         val db = "graft_stress_lsh"
-        val loc = java.nio.file.Files.createTempDirectory("graft-stress-lsh")
+        val loc = fixtureDir("graft-stress-lsh")
         spark.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$loc'")
         spark.sql(s"DROP TABLE IF EXISTS $db.idx")
         // deployment sizing (DEPLOY.md runbook): bucket count well above
-        // a trickle's touched-key count, so the serving-style append's
-        // file pruning has granularity to work with — 16 buckets on a
-        // 5M-doc store would make EVERY append read every file
+        // a trickle's touched-key count AND fine enough that a shard
+        // append's candidate ids (≈ the batch's near-dup partners, a
+        // few hundred at this duplicate density) leave most id-buckets
+        // untouched — the candidate (id, hs) verification read prunes
+        // at FILE level, so its byte mass is (touched/numBuckets) × the
+        // store's set mass. 64 buckets made every shard append read ONE
+        // full hs copy (~4.2 GB at 1000×); 256 cuts the touched
+        // fraction to ~1-e^(-cands/256).
         Dedup.lshBuildIndex(old, "doc_id", "text", s"$db.idx",
-          numBuckets = 64) // untimed one-off
+          numBuckets = 256) // untimed one-off
         // the SERVING-style path first: a 2-doc trickle touches ≤8 of
         // the twin's band-key buckets and its collision candidates live
         // in a handful of the store's id-buckets, so BOTH index reads
         // on the append path prune at FILE level — this row is the one
         // that must stay flat AND steady in the multiplier. The
-        // shard-sized row below reads index-scale bytes by construction
-        // (a 5k-doc batch spans every bucket-key domain — no
-        // block-granular skip can engage when probe keys outnumber
-        // buckets); its compute is batch-proportional but its I/O rides
-        // the host's page cache.
+        // shard-sized row below spans every bucket-key domain, so its
+        // twin read degrades to one (id, band, sig) column scan — but
+        // the round-15 adaptive verification keeps hs out of that scan
+        // (single-copy candidate-pruned main read instead), and read_mb
+        // pins the whole row's byte mass run over run.
         if (enabled("lsh_stored_trickle")) {
           // the arriving docs are a LOCAL relation (2 rows shipped from
           // the driver), as they would be in a serving loop — filtering
@@ -168,6 +215,7 @@ object Stress {
             Dedup.lshIndexAppend(spark, s"$db.idx", fresh, "doc_id", "text").count()
           }
       }
+      Dedup.freeLocalCheckpoint(fresh)
     }
 
     // Whole-pipeline append: same claim as incremental_lsh_append, one
@@ -470,7 +518,7 @@ object Stress {
         "ivf_search_stored_batch"))) locally {
       val cut = (mult - 1).toLong * 10000000L
       val db = "graft_stress_ivf"
-      val loc = java.nio.file.Files.createTempDirectory("graft-stress-ivf")
+      val loc = fixtureDir("graft-stress-ivf")
       spark.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$loc'")
       spark.sql(s"DROP TABLE IF EXISTS $db.emb_ivf")
       // the stored-index ops share this untimed build; ivfpq_recall_eval
@@ -571,5 +619,13 @@ object Stress {
         .groupBy("event_id").agg(count(lit(1))).count()
     }
     spark.stop()
+    fixtureDirs.foreach { p =>
+      try {
+        val s = java.nio.file.Files.walk(p)
+        try s.sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => java.nio.file.Files.deleteIfExists(f))
+        finally s.close()
+      } catch { case _: Throwable => () } // best-effort; janitor backstops
+    }
   }
 }

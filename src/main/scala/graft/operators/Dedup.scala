@@ -387,8 +387,9 @@ object Dedup {
     * (doc, band) with the bucket signature precomputed — what appends
     * scan instead of re-banding every stored signature. Since round 15
     * each row also carries the doc's shingle-hash set (`hs`, duplicated
-    * bands× on disk) so the append's verification never reads the main
-    * table. */
+    * bands× on disk) so a FILE-PRUNED append's verification never
+    * reads the main table; batches too large to prune fall back to the
+    * single-copy main-table read (see [[storedBandsPruned]]). */
   def lshBandsTableName(table: String): String = s"${table}__bands"
 
   /** Bucket-key domain of the `__bands` twin. The table is BUCKETED on
@@ -425,11 +426,26 @@ object Dedup {
     val keys = batchBanded.select(bandsKey.as("bkey")).distinct()
       .collect().map(_.getInt(0)).toIndexedSeq
     val twin = spark.table(lshBandsTableName(table))
-    // a twin written since the hs-carrying layout (round 15) hands the
-    // verification its shingle sets for free — pre-hs twins return the
-    // banded rows only and the caller falls back to the main-table read
+    // A twin written since the hs-carrying layout (round 15) can hand
+    // the verification its shingle sets on the same pruned read — but
+    // the sets are duplicated bands× on disk, so that only WINS when
+    // file pruning leaves most of the twin unread (the trickle/serving
+    // shape the twin exists for). Once the batch's bucket keys cover
+    // enough of the twin's files that the banded duplicates would
+    // outweigh ONE full copy of the store's sets, hs is NOT projected
+    // (the scan never reads the column) and the caller falls back to
+    // the single-copy main-table read pruned by candidate id-buckets —
+    // the round-15 shard-append fix: a domain-covering batch read
+    // bands× the hs mass through the twin (measured 1.8× the in-memory
+    // control at a 1000× store vs ~1× via the main read). Pre-hs twins
+    // always take the fallback.
+    val (_, _, bands, numBuckets) = storedLshParams(spark, table)
+    val expectedTouched =
+      1.0 - math.pow(1.0 - 1.0 / numBuckets, keys.length.toDouble)
+    val withSets = twin.columns.contains("hs") &&
+      expectedTouched * bands <= 1.0
     val outCols = Seq(col(id), col("band"), col("sig")) ++
-      (if (twin.columns.contains("hs")) Seq(col("hs")) else Nil)
+      (if (withSets) Seq(col("hs")) else Nil)
     if (keys.isEmpty) // empty/fully-replayed batch: nothing can collide
       return twin.filter(lit(false)).select(outCols: _*)
     // a batch covering the whole key domain can prune nothing — planning
@@ -482,15 +498,19 @@ object Dedup {
     * ([[storedBandsPruned]]: file pruning by the batch's bucket keys,
     * then an exact broadcast semi-join — no re-banding of stored
     * signatures, no index-sized aggregation). The twin carries each
-    * row's shingle-hash SET (round 15), so the exact-Jaccard
-    * verification reads those same collision-bounded pruned rows —
-    * the MAIN table is never read beyond the replay guard's id column,
-    * and nothing on the append path reads index-proportional bytes
-    * once the batch is small + two bucketed appends. A store whose
-    * twin predates the hs column falls back to a file-pruned (id, hs)
-    * main-table read; a store built before the twin existed re-bands
-    * the main table's signatures (the round-12 path) — rebuild to get
-    * the pruned reads. */
+    * row's shingle-hash SET (round 15), and verification picks its
+    * source ADAPTIVELY: a trickle/serving batch (file pruning
+    * engages) reads hs off those same collision-bounded pruned twin
+    * rows — the MAIN table is never read beyond the replay guard's id
+    * column, and nothing on the append path reads index-proportional
+    * bytes; a domain-covering shard batch instead reads the
+    * single-copy (id, hs) main table pruned by the candidate ids'
+    * buckets, because the twin's bands× hs duplication with no file
+    * pruning would cost bands× the store's set mass. A store whose
+    * twin predates the hs column always takes the main-table read; a
+    * store built before the twin existed re-bands the main table's
+    * signatures (the round-12 path) — rebuild to get the pruned
+    * reads. */
   def lshIndexAppend(spark: org.apache.spark.sql.SparkSession,
       table: String, newDocs: DataFrame, id: String, text: String,
       threshold: Double = 0.5,
@@ -579,42 +599,41 @@ object Dedup {
       else bandedSignatures(fresh.select(col(id), col("mh")), id, k, bands))
       .localCheckpoint(true)
     val (oldBanded, oldSets, freeAfterPairs) =
-      if (twinHasSets) {
-        // ONE collision-bounded twin read serves both the banded rows
-        // and the verification sets: candidate ids can only come from
-        // buckets the batch touches, and their hs arrays ride the same
-        // pruned rows — nothing on the append path reads the main
-        // table's hs mass at all (the round-14 residual: even the
-        // id-bucket-pruned (id, hs) main read grew with the store
-        // within touched buckets, at page-cache mercy on repeat runs)
-        val pruned = storedBandsPruned(spark, table, bandedNew, id)
-          .localCheckpoint(true)
-        (pruned.drop("hs"),
-          pruned.select(col(id), col("hs")).dropDuplicates(id),
-          Seq(pruned))
-      } else if (hasTwin) {
+      if (hasTwin) {
         // materialize the pruned twin read once: it feeds the bucket
-        // union AND the verification prune below, and it is collision-
-        // bounded (rows in batch-touched buckets only)
+        // union AND the verification below, and it is collision-
+        // bounded (rows in batch-touched buckets only). Whether it
+        // CARRIES the verification sets is storedBandsPruned's
+        // adaptive call (round 15): hs rides the twin when file
+        // pruning engages (trickle/serving batches — one read, no
+        // main-table hs scan at all), and a domain-covering batch
+        // falls back to the single-copy main read below instead of
+        // paying the twin's bands× hs duplication with no pruning.
         val pruned = storedBandsPruned(spark, table, bandedNew, id)
           .localCheckpoint(true)
-        // old candidate ids ⊆ pruned-bucket ids (candidates only come
-        // from buckets the batch touches), so verification needs the
-        // stored hs sets ONLY for those ids — and the store is
-        // id-bucketed, so the candidate set prunes at FILE level too:
-        // the candidates' ≤numBuckets distinct id-buckets select which
-        // files to open ([[Layout.readBucketSubset]]), then the exact
-        // broadcast semi-join prunes rows.
-        val candIds = pruned.select(col(id)).distinct().localCheckpoint(true)
-        val touched = candIds
-          .select(pmod(hash(col(id)), lit(numBuckets)).as("b"))
-          .distinct().collect().map(_.getInt(0)).toSet
-        val sets = Layout.readBucketSubset(spark, table, touched)
-          .select(col(id), col("hs"))
-          .join(broadcast(candIds), Seq(id), "leftsemi")
-          .localCheckpoint(true)
-        freeLocalCheckpoint(candIds)
-        (pruned, sets, Seq(pruned, sets))
+        if (pruned.columns.contains("hs"))
+          (pruned.drop("hs"),
+            pruned.select(col(id), col("hs")).dropDuplicates(id),
+            Seq(pruned))
+        else {
+          // old candidate ids ⊆ pruned-bucket ids (candidates only come
+          // from buckets the batch touches), so verification needs the
+          // stored hs sets ONLY for those ids — and the store is
+          // id-bucketed, so the candidate set prunes at FILE level too:
+          // the candidates' ≤numBuckets distinct id-buckets select which
+          // files to open ([[Layout.readBucketSubset]]), then the exact
+          // broadcast semi-join prunes rows.
+          val candIds = pruned.select(col(id)).distinct().localCheckpoint(true)
+          val touched = candIds
+            .select(pmod(hash(col(id)), lit(numBuckets)).as("b"))
+            .distinct().collect().map(_.getInt(0)).toSet
+          val sets = Layout.readBucketSubset(spark, table, touched)
+            .select(col(id), col("hs"))
+            .join(broadcast(candIds), Seq(id), "leftsemi")
+            .localCheckpoint(true)
+          freeLocalCheckpoint(candIds)
+          (pruned, sets, Seq(pruned, sets))
+        }
       } else
         (bandedSignatures(stored.select(col(id), col("mh")), id, k, bands),
           stored.select(col(id), col("hs")), Seq.empty[DataFrame])

@@ -314,21 +314,9 @@ class IncrementalLshSpec extends SparkSpec {
     assert(pairSet(oldOnly) ++ pairSet(appended) == pairSet(full))
   }
 
-  test("append path never reads the main table's hs column — verification rides the twin") {
-    val db = "graft_lsh_nomain"
-    val loc = java.nio.file.Files.createTempDirectory("graft-lsh-nomain")
-    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$loc'")
-    Seq("idx", "idx__pairs", "idx__bands")
-      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $db.$t"))
-    val docs = Tables.documents(spark, sf("sf0.001"))
-    Dedup.lshBuildIndex(docs.filter(col("doc_id") % 2 === 0),
-      "doc_id", "text", s"$db.idx")
-    // a round-15 twin carries the shingle sets...
-    assert(spark.table(s"$db.idx__bands").columns.contains("hs"))
-    // ...so across EVERY execution the append runs, no parquet scan of
-    // the MAIN table may project hs: the round-14 residual was exactly
-    // that read (file-pruned but still growing with the store inside
-    // touched buckets, at page-cache mercy on repeat appends)
+  /** Collect every parquet scan's (paths, projected fields) across the
+    * executions `body` runs. */
+  private def scansDuring(body: => Unit): Seq[(Seq[String], Seq[String])] = {
     val seen = scala.collection.mutable.ArrayBuffer
       .empty[(Seq[String], Seq[String])]
     val listener = new org.apache.spark.sql.util.QueryExecutionListener {
@@ -344,27 +332,75 @@ class IncrementalLshSpec extends SparkSpec {
           exception: Exception): Unit = ()
     }
     spark.listenerManager.register(listener)
-    val appended = try {
-      val p = Dedup.lshIndexAppend(spark, s"$db.idx",
-        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
-      p.count()
+    try {
+      body
       org.apache.spark.sql.GraftBridge.waitForListenerBus(spark)
-      p
     } finally spark.listenerManager.unregister(listener)
-    val mainHsScans = seen.synchronized {
-      seen.filter { case (paths, fields) =>
-        fields.contains("hs") && paths.exists(p =>
-          (p.endsWith("/idx") || p.contains("/idx/")) &&
-            !p.contains("__bands"))
-      }
+    seen.synchronized(seen.toSeq)
+  }
+
+  private def hsScansOf(scans: Seq[(Seq[String], Seq[String])],
+      pathMark: String): Seq[(Seq[String], Seq[String])] =
+    scans.filter { case (paths, fields) =>
+      fields.contains("hs") && paths.exists(_.contains(pathMark))
     }
-    assert(mainHsScans.isEmpty,
-      s"append read the main table's hs column: $mainHsScans")
-    // and the twin-fed verification is still the exact one: the chain
-    // converges to the full recompute through the durable ledger
+
+  test("trickle append never reads the main table's hs column — verification rides the twin") {
+    val db = "graft_lsh_nomain"
+    val loc = java.nio.file.Files.createTempDirectory("graft-lsh-nomain")
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$loc'")
+    Seq("idx", "idx__pairs", "idx__bands")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $db.$t"))
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    // deployment-shaped store: bucket count well above a trickle's
+    // touched-key count (the DEPLOY.md dial), so file pruning — the
+    // condition under which the twin carries verification — engages
+    Dedup.lshBuildIndex(docs.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", s"$db.idx", numBuckets = 64)
+    assert(spark.table(s"$db.idx__bands").columns.contains("hs"))
+    // a 2-doc serving-style trickle: across EVERY execution the append
+    // runs, no parquet scan of the MAIN table may project hs — the
+    // round-14 residual was exactly that read (file-pruned but still
+    // growing with the store inside touched buckets)
+    val trickle = docs.filter(col("doc_id").isin(1L, 3L))
+    val scans = scansDuring {
+      Dedup.lshIndexAppend(spark, s"$db.idx", trickle,
+        "doc_id", "text").count()
+    }
+    val mainHs = hsScansOf(scans, "/idx").filterNot(_._1.exists(_.contains("__bands")))
+    assert(mainHs.isEmpty,
+      s"trickle append read the main table's hs column: $mainHs")
+    // and the twin-fed verification is still the exact one: the ledger
+    // equals a full recompute over the docs actually in the store
+    val inStore = docs.filter(col("doc_id") % 2 === 0 ||
+      col("doc_id").isin(1L, 3L))
+    assert(pairSet(spark.table(s"$db.idx__pairs")) ==
+      pairSet(Dedup.minHashLshPairs(inStore, "doc_id", "text")))
+  }
+
+  test("shard append skips the twin's duplicated hs — verification reads the single-copy main table") {
+    val db = "graft_lsh_shard"
+    val loc = java.nio.file.Files.createTempDirectory("graft-lsh-shard")
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$loc'")
+    Seq("idx", "idx__pairs", "idx__bands")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $db.$t"))
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    Dedup.lshBuildIndex(docs.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", s"$db.idx")
+    // a half-corpus shard covers the twin's bucket-key domain: file
+    // pruning can't engage, so reading hs through the twin would cost
+    // bands× one copy of the store's sets — the adaptive read must NOT
+    // project hs off the twin (round 15)
+    val scans = scansDuring {
+      Dedup.lshIndexAppend(spark, s"$db.idx",
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text").count()
+    }
+    val twinHs = hsScansOf(scans, "__bands")
+    assert(twinHs.isEmpty,
+      s"shard append read the twin's duplicated hs column: $twinHs")
+    // the fallback main read is exact: ledger ≡ full recompute
     assert(pairSet(spark.table(s"$db.idx__pairs")) ==
       pairSet(Dedup.minHashLshPairs(docs, "doc_id", "text")))
-    assert(appended.count() >= 0) // materialized above; keep the handle live
   }
 
   test("append aligns an int-typed batch id to the store's long id; a lossy mismatch refuses") {
