@@ -35,6 +35,14 @@ object GraftSession {
     "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
     "spark.sql.adaptive.skewJoin.enabled" -> "true",
     "spark.sql.sources.partitionColumnTypeInference.enabled" -> "false",
+    // file listing goes DISTRIBUTED (a whole Spark job per listing)
+    // past this many paths; the default of 32 turns every table scan
+    // of a bucketed store that has seen a few appends into an extra
+    // driver job + scheduling round-trip. Hundreds of files list
+    // faster on the driver; a petabyte deployment with millions of
+    // files still crosses the raised threshold and keeps the
+    // distributed path.
+    "spark.sql.sources.parallelPartitionDiscovery.threshold" -> "1024",
     "spark.sql.session.timeZone" -> "UTC")
 
   def local(appName: String, cores: Int,

@@ -571,19 +571,51 @@ object Dedup {
     // SEMI-join finds the replay overlap (≤ batch rows); (3) the batch
     // anti-joins the BROADCAST overlap. Same rows as the plain
     // anti-join, zero exchanges on index-sized mass.
-    val batchIds = guarded.select(col(id)).distinct().localCheckpoint(true)
-    val batchBuckets = batchIds
+    // Materialize the batch's index rows ONCE (see `fresh` below):
+    // before round 15, batchIds/overlap/fresh each had their own
+    // checkpoint materialization — at serving cadence the append's
+    // wall IS the driver-job count, so the whole head now fuses into
+    // a single checkpointed frame plus one driver collect.
+    // AQE is pinned OFF for the append's internal micro-queries for
+    // the same reason: adaptive execution runs each query stage as its
+    // own driver job (a 2-stage broadcast probe becomes 2 jobs + a
+    // re-plan gap), and every frame on this path is batch-sized or
+    // broadcast-bounded — there is nothing for AQE to adapt. The
+    // toggle is session-wide for the duration of the call (Spark has
+    // no per-query switch), which a durable-index maintenance op can
+    // assume; the restore is in a finally.
+    val aqeWas = spark.conf.getOption("spark.sql.adaptive.enabled")
+    val shufWas = spark.conf.getOption("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+    // every shuffle on this path (the id distincts, the band-bucket
+    // aggregations, the pair dedup) carries batch-bounded mass — with
+    // AQE off they'd each fan out to the session's static
+    // shuffle-partition count (32 near-empty tasks per micro-stage).
+    // Scope the shuffle width to the batch's own partition count: a
+    // 4-partition trickle runs 4-task stages, a 32-partition shard
+    // append keeps full width. (.rdd is a lazy DAG here — AQE is off,
+    // so nothing executes.)
+    spark.conf.set("spark.sql.shuffle.partitions",
+      math.max(1, typed.rdd.getNumPartitions).toString)
+    // The replay-guard overlap derives from the RAW batch ids — a
+    // column-pruned scan of the arriving frame that never computes a
+    // signature ([[indexDocs]] is projection-only, so selecting the id
+    // prunes the kernel) — which lets the kernel and the anti-join
+    // fuse into ONE materialization below: `fresh` (kernel output
+    // minus replayed ids) is the path's only batch checkpoint, and
+    // every later consumer (banding, verification, the index append)
+    // reads its blocks instead of re-deriving the anti-join and
+    // re-reading the store per consumer.
+    val rawIds = typed.select(col(id)).distinct()
+    val batchBuckets = rawIds
       .select(pmod(hash(col(id)), lit(numBuckets)).as("b"))
       .distinct().collect().map(_.getInt(0)).toSet
     val overlap = Layout.readBucketSubset(spark, table, batchBuckets)
       .select(col(id))
-      .join(broadcast(batchIds), Seq(id), "leftsemi")
+      .join(broadcast(rawIds), Seq(id), "leftsemi")
+    val fresh = guarded.join(broadcast(overlap), Seq(id), "leftanti")
       .localCheckpoint(true)
-    freeLocalCheckpoint(batchIds)
-    val fresh = guarded
-      .join(broadcast(overlap), Seq(id), "leftanti")
-      .localCheckpoint(true)
-    freeLocalCheckpoint(overlap)
     val hasTwin = spark.catalog.tableExists(lshBandsTableName(table))
     // twins written since round 15 carry each row's shingle-hash set —
     // verification then reads ONLY twin rows (already bucket-pruned and
@@ -627,12 +659,18 @@ object Dedup {
           val touched = candIds
             .select(pmod(hash(col(id)), lit(numBuckets)).as("b"))
             .distinct().collect().map(_.getInt(0)).toSet
-          val sets = Layout.readBucketSubset(spark, table, touched)
-            .select(col(id), col("hs"))
-            .join(broadcast(candIds), Seq(id), "leftsemi")
-            .localCheckpoint(true)
+          // a batch of genuinely new content collides with nothing —
+          // the common serving case; an empty candidate set means zero
+          // sets to read, so skip the read + checkpoint jobs outright
+          val sets =
+            if (touched.isEmpty)
+              spark.table(table).filter(lit(false)).select(col(id), col("hs"))
+            else Layout.readBucketSubset(spark, table, touched)
+              .select(col(id), col("hs"))
+              .join(broadcast(candIds), Seq(id), "leftsemi")
+              .localCheckpoint(true)
           freeLocalCheckpoint(candIds)
-          (pruned, sets, Seq(pruned, sets))
+          (pruned, sets, if (touched.isEmpty) Seq(pruned) else Seq(pruned, sets))
         }
       } else
         (bandedSignatures(stored.select(col(id), col("mh")), id, k, bands),
@@ -654,8 +692,13 @@ object Dedup {
     // rows are permanently missing from the twin — silently lost
     // collisions with every future batch.
     val pt = lshPairsTableName(table)
+    // a pair-less batch (all-new content at serving cadence) has
+    // nothing to make durable: appending an empty frame would still pay
+    // a full commit + catalog refresh; pairs is checkpointed, so the
+    // emptiness probe reads one block
+    val skipLedger = pairs.isEmpty
     val durable =
-      if (spark.catalog.tableExists(pt)) {
+      if (!skipLedger && spark.catalog.tableExists(pt)) {
         // same double-hop as the id replay guard: the ledger is
         // pair-mass-sized and unbucketed, so a plain anti-join would
         // shuffle+sort it per append — semi-join it against the
@@ -666,19 +709,37 @@ object Dedup {
             Seq("id_a", "id_b"), "leftsemi")
         pairs.join(broadcast(already), Seq("id_a", "id_b"), "leftanti")
       } else pairs
-    durable.write.mode("append").format("parquet").saveAsTable(pt)
+    // the FIRST append must still create the ledger table even when
+    // pair-less — later appends' double-hop reads it
+    if (!skipLedger || !spark.catalog.tableExists(pt))
+      durable.write.mode("append").format("parquet").saveAsTable(pt)
     // legacy (pre-twin) stores stay legacy: seeding a twin with ONLY
     // this batch's rows would make later appends read an incomplete
     // bands set and silently miss collisions against the older mass
+    // the checkpointed frames' partition counts are known without
+    // executing anything — pass them so a small append's bucketed
+    // write schedules batch-proportional tasks, not numBuckets×m
     if (hasTwin)
       graft.operators.Layout.appendBucketed(withBandsKey(bandedNew),
         lshBandsTableName(table), bucketCols = Seq("bkey"),
-        numBuckets = numBuckets)
+        numBuckets = numBuckets,
+        batchParts = Some(bandedNew.rdd.getNumPartitions))
     graft.operators.Layout.appendBucketed(fresh, table,
-      bucketCols = Seq(id), numBuckets = numBuckets)
+      bucketCols = Seq(id), numBuckets = numBuckets,
+      batchParts = Some(fresh.rdd.getNumPartitions))
     freeLocalCheckpoint(bandedNew)
     freeLocalCheckpoint(fresh) // pairs is checkpointed; safe to drop
     pairs
+    } finally {
+      aqeWas match {
+        case Some(v) => spark.conf.set("spark.sql.adaptive.enabled", v)
+        case None => spark.conf.unset("spark.sql.adaptive.enabled")
+      }
+      shufWas match {
+        case Some(v) => spark.conf.set("spark.sql.shuffle.partitions", v)
+        case None => spark.conf.unset("spark.sql.shuffle.partitions")
+      }
+    }
   }
 
   /** Name of the parameter marker [[graft.streaming.EventStream

