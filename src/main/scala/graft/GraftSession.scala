@@ -45,6 +45,57 @@ object GraftSession {
     "spark.sql.sources.parallelPartitionDiscovery.threshold" -> "1024",
     "spark.sql.session.timeZone" -> "UTC")
 
+  /** (depth, saved AQE, saved shuffle width) per session with a
+    * maintenance scope open — see [[withMaintenanceConf]]. */
+  private val maintDepth =
+    new java.util.IdentityHashMap[SparkSession,
+      (Int, Option[String], Option[String])]
+
+  /** Run `body` with AQE pinned OFF and the shuffle width scoped to
+    * `shufflePartitions` on this session's SQLConf, restoring the
+    * caller's values afterwards. The serving-cadence index-maintenance
+    * ops use this: every frame on their paths is batch-sized or
+    * broadcast-bounded, so AQE's stage-per-job execution and a
+    * cluster-wide static shuffle width only add driver round-trips
+    * (measured on the durable-LSH append: 30 → 19 jobs per call).
+    *
+    * Reentrant and safe under CONCURRENT maintenance calls on the same
+    * session: a per-session depth counter makes the first entrant save
+    * the caller's values and the last exit restore them, so
+    * overlapping appends can never strand the session with AQE off or
+    * a stale width. `shufflePartitions` is by-name and evaluated AFTER
+    * AQE is off, so callers may derive it from `df.rdd` without
+    * triggering adaptive stage execution. Overlapping entrants each
+    * set their own width (both are batch-scale values; per-store
+    * appends are serialized by contract, so real overlap is rare). */
+  private[graft] def withMaintenanceConf[A](spark: SparkSession,
+      shufflePartitions: => Int)(body: => A): A = {
+    maintDepth.synchronized {
+      val cur = Option(maintDepth.get(spark)).getOrElse(
+        (0, spark.conf.getOption("spark.sql.adaptive.enabled"),
+          spark.conf.getOption("spark.sql.shuffle.partitions")))
+      maintDepth.put(spark, (cur._1 + 1, cur._2, cur._3))
+    }
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      math.max(1, shufflePartitions).toString)
+    try body
+    finally maintDepth.synchronized {
+      val (d, aqe, shuf) = maintDepth.get(spark)
+      if (d == 1) {
+        maintDepth.remove(spark)
+        aqe match {
+          case Some(v) => spark.conf.set("spark.sql.adaptive.enabled", v)
+          case None => spark.conf.unset("spark.sql.adaptive.enabled")
+        }
+        shuf match {
+          case Some(v) => spark.conf.set("spark.sql.shuffle.partitions", v)
+          case None => spark.conf.unset("spark.sql.shuffle.partitions")
+        }
+      } else maintDepth.put(spark, (d - 1, aqe, shuf))
+    }
+  }
+
   def local(appName: String, cores: Int,
       shufflePartitions: Option[Int] = None): SparkSession = {
     reapStaleFixtures()

@@ -576,28 +576,15 @@ object Dedup {
     // checkpoint materialization — at serving cadence the append's
     // wall IS the driver-job count, so the whole head now fuses into
     // a single checkpointed frame plus one driver collect.
-    // AQE is pinned OFF for the append's internal micro-queries for
-    // the same reason: adaptive execution runs each query stage as its
-    // own driver job (a 2-stage broadcast probe becomes 2 jobs + a
-    // re-plan gap), and every frame on this path is batch-sized or
-    // broadcast-bounded — there is nothing for AQE to adapt. The
-    // toggle is session-wide for the duration of the call (Spark has
-    // no per-query switch), which a durable-index maintenance op can
-    // assume; the restore is in a finally.
-    val aqeWas = spark.conf.getOption("spark.sql.adaptive.enabled")
-    val shufWas = spark.conf.getOption("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try {
-    // every shuffle on this path (the id distincts, the band-bucket
-    // aggregations, the pair dedup) carries batch-bounded mass — with
-    // AQE off they'd each fan out to the session's static
-    // shuffle-partition count (32 near-empty tasks per micro-stage).
-    // Scope the shuffle width to the batch's own partition count: a
-    // 4-partition trickle runs 4-task stages, a 32-partition shard
-    // append keeps full width. (.rdd is a lazy DAG here — AQE is off,
-    // so nothing executes.)
-    spark.conf.set("spark.sql.shuffle.partitions",
-      math.max(1, typed.rdd.getNumPartitions).toString)
+    // AQE is pinned OFF and the shuffle width scoped to the batch for
+    // the append's internal micro-queries (adaptive execution runs
+    // each query stage as its own driver job, and every frame on this
+    // path is batch-sized or broadcast-bounded — there is nothing for
+    // AQE to adapt, while a 4-partition trickle gets 4-task stages
+    // instead of the session's static 32). The scope is reentrant and
+    // concurrency-safe per session; see GraftSession.withMaintenanceConf.
+    graft.GraftSession.withMaintenanceConf(spark,
+        typed.rdd.getNumPartitions) {
     // The replay-guard overlap derives from the RAW batch ids — a
     // column-pruned scan of the arriving frame that never computes a
     // signature ([[indexDocs]] is projection-only, so selecting the id
@@ -730,15 +717,6 @@ object Dedup {
     freeLocalCheckpoint(bandedNew)
     freeLocalCheckpoint(fresh) // pairs is checkpointed; safe to drop
     pairs
-    } finally {
-      aqeWas match {
-        case Some(v) => spark.conf.set("spark.sql.adaptive.enabled", v)
-        case None => spark.conf.unset("spark.sql.adaptive.enabled")
-      }
-      shufWas match {
-        case Some(v) => spark.conf.set("spark.sql.shuffle.partitions", v)
-        case None => spark.conf.unset("spark.sql.shuffle.partitions")
-      }
     }
   }
 

@@ -974,15 +974,14 @@ object SimilarityQueries {
     "q213_ann_stored_search",
     (s, d) => {
       val e = Tables.embeddings(s, d)
-      val anchors = e.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("anchor_id"), col("embedding").as("av"))
-      val db = "graft_ivf_stored"
-      val loc = java.nio.file.Files.createTempDirectory("graft-ivf-stored")
-      s.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$loc'")
-      s.sql(s"DROP TABLE IF EXISTS $db.emb_ivf")
-      s.sql(s"DROP TABLE IF EXISTS $db.emb_ivf__anchors")
-      graft.operators.Similarity.ivfBuildIndex(
-        e, anchors, "vec_id", s"$db.emb_ivf", numBuckets = 8)
+      // read-only serve face over a one-off fixture store (round 15;
+      // q209/q210 are the IVF build/append lifecycle entries)
+      val db = Fixtures.once(s, "graft_ivf_stored", d) { db =>
+        val anchors = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("anchor_id"), col("embedding").as("av"))
+        graft.operators.Similarity.ivfBuildIndex(
+          e, anchors, "vec_id", s"$db.emb_ivf", numBuckets = 8)
+      }
       val qv = e.filter(col("vec_id") === 0)
         .head().getAs[Seq[Float]]("embedding").toArray
       graft.operators.Similarity.ivfSearchStored(
@@ -1031,15 +1030,13 @@ object SimilarityQueries {
     "q214_ann_stored_batch_search",
     (s, d) => {
       val e = Tables.embeddings(s, d)
-      val anchors = e.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("anchor_id"), col("embedding").as("av"))
-      val db = "graft_ivf_batch"
-      val loc = java.nio.file.Files.createTempDirectory("graft-ivf-batch")
-      s.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$loc'")
-      s.sql(s"DROP TABLE IF EXISTS $db.emb_ivf")
-      s.sql(s"DROP TABLE IF EXISTS $db.emb_ivf__anchors")
-      graft.operators.Similarity.ivfBuildIndex(
-        e, anchors, "vec_id", s"$db.emb_ivf", numBuckets = 8)
+      // read-only serve face over a one-off fixture store (round 15)
+      val db = Fixtures.once(s, "graft_ivf_batch", d) { db =>
+        val anchors = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("anchor_id"), col("embedding").as("av"))
+        graft.operators.Similarity.ivfBuildIndex(
+          e, anchors, "vec_id", s"$db.emb_ivf", numBuckets = 8)
+      }
       val queries = e.filter(col("vec_id").isInCollection(Seq(0L, 5L, 9L)))
         .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
       graft.operators.Similarity.ivfSearchStoredBatch(
@@ -1100,15 +1097,16 @@ object SimilarityQueries {
     "q216_ann_stored_batch_pq",
     (s, d) => {
       val e = Tables.embeddings(s, d)
-      val anchors = e.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("anchor_id"), col("embedding").as("av"))
-      val db = "graft_ivfpq_batch"
-      val loc = java.nio.file.Files.createTempDirectory("graft-ivfpq-batch")
-      s.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$loc'")
-      Seq("idx", "idx__anchors", "idx__pq")
-        .foreach(t => s.sql(s"DROP TABLE IF EXISTS $db.$t"))
-      graft.operators.Similarity.ivfPqBuildIndex(
-        e, anchors, "vec_id", pqModel(s, d), s"$db.idx", numBuckets = 8)
+      // the batched PQ search is a read-only SERVE face — the store is
+      // a one-off fixture (Fixtures.once), not part of the timed op;
+      // the build face is q217's lifecycle (round 15: this entry
+      // previously rebuilt the store inside every timed call)
+      val db = Fixtures.once(s, "graft_ivfpq_batch", d) { db =>
+        val anchors = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("anchor_id"), col("embedding").as("av"))
+        graft.operators.Similarity.ivfPqBuildIndex(
+          e, anchors, "vec_id", pqModel(s, d), s"$db.idx", numBuckets = 8)
+      }
       val queries = e.filter(col("vec_id").isInCollection(Seq(0L, 5L, 9L)))
         .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
       graft.operators.Similarity.ivfPqSearchStoredBatch(
