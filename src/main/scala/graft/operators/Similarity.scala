@@ -495,10 +495,21 @@ object Similarity {
     // a writer configured with a drifted grid corrupts silently (rows
     // land in cells the serving grid never probes) — refuse up front,
     // like Spark's own bucket-spec check refuses a drifted layout
-    val grid = requireGridMatch(newVecs.sparkSession, table, anchors)
-    Layout.appendBucketed(ivfAssign(newVecs, grid, id, roundAt), table,
-      bucketCols = Seq("cell"), numBuckets = numBuckets)
-    ivfCellStats(newVecs.sparkSession, table, roundAt)
+    val spark = newVecs.sparkSession
+    val grid = requireGridMatch(spark, table, anchors)
+    // batch-scoped maintenance conf, same rationale as the LSH append
+    // (GraftSession.withMaintenanceConf): the assignment and the write
+    // are batch-bounded, so AQE's stage-per-job execution and the
+    // session's static shuffle width only add driver round-trips. The
+    // returned occupancy report is LAZY and executes after the scope
+    // closes — store-scale reads keep the caller's full conf.
+    graft.GraftSession.withMaintenanceConf(spark,
+        newVecs.rdd.getNumPartitions) {
+      Layout.appendBucketed(ivfAssign(newVecs, grid, id, roundAt), table,
+        bucketCols = Seq("cell"), numBuckets = numBuckets,
+        batchParts = Some(math.max(1, newVecs.rdd.getNumPartitions)))
+    }
+    ivfCellStats(spark, table, roundAt)
   }
 
   /** Incremental append to a persisted IVF-PQ codes index
@@ -512,14 +523,20 @@ object Similarity {
   def ivfPqIndexAppend(newVecs: DataFrame, anchors: DataFrame, id: String,
       model: PqModel, table: String, numBuckets: Int = 16,
       roundAt: Int = 4): DataFrame = {
-    val grid = requireGridMatch(newVecs.sparkSession, table, anchors)
-    requirePqMatch(newVecs.sparkSession, table, model)
-    Layout.appendBucketed(
-      ivfAssign(newVecs, grid, id, roundAt)
-        .withColumn("codes", pqCodesCol(col("embedding"), model, roundAt))
-        .drop("embedding"),
-      table, bucketCols = Seq("cell"), numBuckets = numBuckets)
-    ivfCellStats(newVecs.sparkSession, table, roundAt)
+    val spark = newVecs.sparkSession
+    val grid = requireGridMatch(spark, table, anchors)
+    requirePqMatch(spark, table, model)
+    // batch-scoped maintenance conf — see [[ivfIndexAppend]]
+    graft.GraftSession.withMaintenanceConf(spark,
+        newVecs.rdd.getNumPartitions) {
+      Layout.appendBucketed(
+        ivfAssign(newVecs, grid, id, roundAt)
+          .withColumn("codes", pqCodesCol(col("embedding"), model, roundAt))
+          .drop("embedding"),
+        table, bucketCols = Seq("cell"), numBuckets = numBuckets,
+        batchParts = Some(math.max(1, newVecs.rdd.getNumPartitions)))
+    }
+    ivfCellStats(spark, table, roundAt)
   }
 
   /** Re-train + rebuild for a drifted IVF index — the operator the

@@ -59,4 +59,48 @@ class GraftSessionSpec extends AnyFunSuite with SparkSpec {
     assert(c("spark.sql.sources.partitionColumnTypeInference.enabled") == "false")
     assert(c("spark.sql.session.timeZone") == "UTC")
   }
+
+  test("withMaintenanceConf: scoped inside, restored after body, exception, and nesting") {
+    val aqe0 = spark.conf.getOption("spark.sql.adaptive.enabled")
+    val shuf0 = spark.conf.getOption("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.shuffle.partitions", "17")
+      // scoped inside, restored after a normal exit
+      GraftSession.withMaintenanceConf(spark, 3) {
+        assert(spark.conf.get("spark.sql.adaptive.enabled") == "false")
+        assert(spark.conf.get("spark.sql.shuffle.partitions") == "3")
+        // reentrant: a NESTED scope keeps its own width, and exiting it
+        // must NOT restore the caller's conf early — only the outermost
+        // exit does (the overlapping-appends guarantee)
+        GraftSession.withMaintenanceConf(spark, 5) {
+          assert(spark.conf.get("spark.sql.shuffle.partitions") == "5")
+        }
+        assert(spark.conf.get("spark.sql.adaptive.enabled") == "false",
+          "inner exit must not restore the session conf early")
+      }
+      assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
+      assert(spark.conf.get("spark.sql.shuffle.partitions") == "17")
+      // restored when the body throws (a failed append must not strand
+      // the session with AQE off)
+      intercept[RuntimeException] {
+        GraftSession.withMaintenanceConf(spark, 2) {
+          throw new RuntimeException("append failed")
+        }
+      }
+      assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
+      assert(spark.conf.get("spark.sql.shuffle.partitions") == "17")
+      // the width floor: a zero/negative hint still yields a valid conf
+      GraftSession.withMaintenanceConf(spark, 0) {
+        assert(spark.conf.get("spark.sql.shuffle.partitions") == "1")
+      }
+    } finally {
+      def put(k: String, v: Option[String]): Unit = v match {
+        case Some(x) => spark.conf.set(k, x)
+        case None => spark.conf.unset(k)
+      }
+      put("spark.sql.adaptive.enabled", aqe0)
+      put("spark.sql.shuffle.partitions", shuf0)
+    }
+  }
 }
