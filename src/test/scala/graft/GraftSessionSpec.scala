@@ -94,6 +94,28 @@ class GraftSessionSpec extends AnyFunSuite with SparkSpec {
       GraftSession.withMaintenanceConf(spark, 0) {
         assert(spark.conf.get("spark.sql.shuffle.partitions") == "1")
       }
+      // CONCURRENT overlap (the race the depth counter exists for):
+      // two appends on the same session interleave enter/exit — the
+      // first exit must leave the session scoped, the last must
+      // restore the ORIGINAL values, never the other scope's
+      val aEntered = new java.util.concurrent.CountDownLatch(1)
+      val bDone = new java.util.concurrent.CountDownLatch(1)
+      val t = new Thread(() =>
+        GraftSession.withMaintenanceConf(spark, 7) {
+          aEntered.countDown()
+          bDone.await() // hold the scope open across B's whole lifetime
+        })
+      t.start()
+      aEntered.await()
+      GraftSession.withMaintenanceConf(spark, 9) {
+        assert(spark.conf.get("spark.sql.adaptive.enabled") == "false")
+      } // B exits while A is still inside
+      assert(spark.conf.get("spark.sql.adaptive.enabled") == "false",
+        "B's exit must not restore while A's scope is open")
+      bDone.countDown(); t.join(10000)
+      assert(spark.conf.get("spark.sql.adaptive.enabled") == "true",
+        "A's exit (the last) must restore the pre-scope conf")
+      assert(spark.conf.get("spark.sql.shuffle.partitions") == "17")
     } finally {
       def put(k: String, v: Option[String]): Unit = v match {
         case Some(x) => spark.conf.set(k, x)
