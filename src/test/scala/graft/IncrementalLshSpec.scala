@@ -403,6 +403,39 @@ class IncrementalLshSpec extends SparkSpec {
       pairSet(Dedup.minHashLshPairs(docs, "doc_id", "text")))
   }
 
+  test("a serving append runs a bounded number of driver jobs (the job-count floor)") {
+    // at serving cadence the append's wall IS its driver-job count
+    // (round 15 fused the path from ~30 jobs to ~19: one batch
+    // checkpoint, AQE off + batch-scoped shuffle width, batch-sized
+    // bucketed writes, driver-side file listing) — pin a ceiling so
+    // the fusion can't silently regress job-by-job
+    val db = "graft_lsh_jobs"
+    val loc = java.nio.file.Files.createTempDirectory("graft-lsh-jobs")
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$loc'")
+    Seq("idx", "idx__pairs", "idx__bands")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $db.$t"))
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    Dedup.lshBuildIndex(docs.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", s"$db.idx", numBuckets = 64)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      Dedup.lshIndexAppend(spark, s"$db.idx",
+        docs.filter(col("doc_id").isin(1L, 3L)), "doc_id", "text").count()
+      org.apache.spark.sql.GraftBridge.waitForListenerBus(spark)
+      val n = jobs.get()
+      assert(n <= 24, s"serving append ran $n driver jobs — the fused " +
+        "path runs ~19; a count this high means a checkpoint, broadcast, " +
+        "listing, or AQE stage crept back in")
+      assert(n >= 5, s"listener saw only $n jobs — the probe is broken")
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
   test("append aligns an int-typed batch id to the store's long id; a lossy mismatch refuses") {
     val db = "graft_lsh_idtype"
     val loc = java.nio.file.Files.createTempDirectory("graft-lsh-idtype")
