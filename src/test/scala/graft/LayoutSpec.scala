@@ -41,6 +41,40 @@ class LayoutSpec extends AnyFunSuite with SparkSpec {
     } finally spark.conf.set(key, prev)
   }
 
+  test("small-batch append (batchParts < numBuckets) keeps bucket integrity and bounded files") {
+    val db = "graft_smallappend"
+    val loc = java.nio.file.Files.createTempDirectory("graft-smallappend")
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$loc'")
+    spark.sql(s"DROP TABLE IF EXISTS $db.t")
+    val orders = Tables.orders(spark, sf("sf0.001"))
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val (base, batch) = (orders.filter(col("o_orderkey") % 2 === 0),
+      orders.filter(col("o_orderkey") % 2 === 1))
+    Layout.writeBucketed(base, s"$db.t", Seq("o_orderkey"), 16)
+    val before = spark.table(s"$db.t").inputFiles.length
+    // a serving-sized append declares its own width — 2 shuffle
+    // partitions against a 16-bucket table. Partitioning on the bucket
+    // column colocates every bucket's rows for ANY partition count, so
+    // the writer must still land AT MOST one file per non-empty bucket
+    // and every row must be FINDABLE through bucket pruning afterwards
+    // (a row written under a wrong bucket id would vanish from pruned
+    // reads while surviving full scans — the silent failure mode).
+    Layout.appendBucketed(batch.repartition(2), s"$db.t",
+      Seq("o_orderkey"), 16, batchParts = Some(2))
+    val added = spark.table(s"$db.t").inputFiles.length - before
+    assert(added <= 16, s"small append added $added files (> one per bucket)")
+    assert(spark.table(s"$db.t").count() == orders.count())
+    // bucket-pruned point reads see every appended row: the join-side
+    // bucket pruning path (SelectedBucketsCount) is how serving reads
+    // find rows, so prune-by-key must return each appended key
+    val probe = batch.select("o_orderkey").limit(50).collect().map(_.getLong(0))
+    val found = spark.table(s"$db.t")
+      .filter(col("o_orderkey").isInCollection(probe.toSeq))
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    assert(probe.toSet.subsetOf(found),
+      s"appended keys missing from pruned read: ${probe.toSet -- found}")
+  }
+
   test("compactBucketedTable: appends accrete files, compact restores the build's bound — content, props, bucketing preserved") {
     val db = "graft_compact_b"
     val loc = java.nio.file.Files.createTempDirectory("graft-compact-b")
