@@ -43,6 +43,16 @@ object GraftSession {
     // files still crosses the raised threshold and keeps the
     // distributed path.
     "spark.sql.sources.parallelPartitionDiscovery.threshold" -> "1024",
+    // never take the bypass-merge shuffle path: it creates one file PER
+    // REDUCE PARTITION per map task (M×R creates + an NIO merge + R
+    // deletes per shuffle — stack-sampled as the top cost of the whole
+    // query sweep: FileOutputStream.open0 under
+    // BypassMergeSortShuffleWriter.write), where the serialized sort
+    // writer writes ONE file per map task. A real cluster runs with
+    // hundreds of reduce partitions, past the bypass threshold (200),
+    // so bypass never fires there anyway — pinning it off also makes
+    // local runs exercise the same writer the cluster uses.
+    "spark.shuffle.sort.bypassMergeThreshold" -> "1",
     "spark.sql.session.timeZone" -> "UTC")
 
   /** (depth, saved AQE, saved shuffle width) per session with a

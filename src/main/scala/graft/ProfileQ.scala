@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart, SparkListenerStageCompleted}
 import org.apache.spark.sql.SparkSession
 
 /** Dev tool: run one registry query with a job listener and print each
@@ -41,22 +41,70 @@ object ProfileQ {
           val at = (t0 - base.get()) / 1e9
           println(f"JOB ${j.jobId}%3d @$at%7.3f +${(System.nanoTime() - t0) / 1e9}%7.3f s  $site")
         }
+      // stage-level executor metrics separate real compute from GC and
+      // from scheduling/planning gaps — at bench scale (MBs of input)
+      // multi-second jobs are usually NOT data compute
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        val si = sc.stageInfo
+        if (si.submissionTime.exists(_ >= base.get() / 1000000 - 10) || cutoff.get() < Int.MaxValue) {
+          val m = si.taskMetrics
+          val run = m.executorRunTime / 1e3
+          val cpu = m.executorCpuTime / 1e9
+          val gc = m.jvmGCTime / 1e3
+          val deser = m.executorDeserializeTime / 1e3
+          if (run > 0.15 || deser > 0.15)
+            println(f"  STAGE ${si.stageId}%4d run=$run%6.2f cpu=$cpu%6.2f gc=$gc%5.2f deser=$deser%5.2f tasks=${si.numTasks}%3d  ${si.name.take(90)}")
+        }
+      }
     })
 
-    val q = queries.Registry.all.find(_.name == name)
-      .getOrElse(sys.error(s"unknown query $name"))
-    // cold run first: codegen compile + JIT dominate it (see
-    // spark4-api-gotchas); the printed per-job profile is the WARM run
-    q.spark(spark, sfDir).collect()
-    println("--- warm run ---")
-    Thread.sleep(200) // let the bus drain the cold run's queued events
-    cutoff.set((spark.sparkContext.statusTracker.getJobIdsForGroup(null) ++
-      starts.keys).foldLeft(-1)(math.max))
-    starts.clear()
-    base.set(System.nanoTime())
-    val t0 = System.nanoTime()
-    val n = q.spark(spark, sfDir).collect().length
-    println(f"TOTAL ${(System.nanoTime() - t0) / 1e9}%.3f s  rows=$n")
+    // in-JVM sampling profiler over the executor worker threads: every
+    // 25 ms, record the top frames of each task thread (the sandbox
+    // hides the JVM from external jstack). Prints a frame histogram at
+    // exit — separates real compute from lock waits.
+    val frameCounts = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+    val sampler = new Thread(() => {
+      while (true) {
+        val all = Thread.getAllStackTraces()
+        all.forEach { (t, frames) =>
+          if (t.getName.startsWith("Executor task launch worker") && frames.nonEmpty) {
+            val sig = t.getState.toString + " " +
+              frames.take(8).mkString(" <- ")
+            frameCounts.merge(sig, 1L, (a, b) => a + b)
+          }
+        }
+        Thread.sleep(25)
+      }
+    })
+    sampler.setDaemon(true)
+    if (sys.env.contains("GRAFT_PROFILE_STACKS")) sampler.start()
+
+    // comma-separated names profile several queries in ONE JVM (the
+    // dominant cost of a profiling sweep is sbt+JVM+session startup)
+    name.split(",").toSeq.foreach { qn =>
+      val q = queries.Registry.all.find(_.name == qn)
+        .getOrElse(sys.error(s"unknown query $qn"))
+      // cold run first: codegen compile + JIT dominate it (see
+      // spark4-api-gotchas); the printed per-job profile is the WARM run
+      cutoff.set(Int.MaxValue) // silence the cold run's job lines
+      q.spark(spark, sfDir).collect()
+      println(s"--- warm run $qn ---")
+      Thread.sleep(200) // let the bus drain the cold run's queued events
+      cutoff.set((spark.sparkContext.statusTracker.getJobIdsForGroup(null) ++
+        starts.keys).foldLeft(-1)(math.max))
+      starts.clear()
+      base.set(System.nanoTime())
+      val t0 = System.nanoTime()
+      val n = q.spark(spark, sfDir).collect().length
+      println(f"TOTAL $qn ${(System.nanoTime() - t0) / 1e9}%.3f s  rows=$n")
+    }
+    if (sys.env.contains("GRAFT_PROFILE_STACKS")) {
+      println("--- task-thread frame histogram (25ms samples) ---")
+      import scala.jdk.CollectionConverters._
+      frameCounts.asScala.toSeq.sortBy(-_._2).take(40).foreach {
+        case (sig, c) => println(f"$c%6d  $sig")
+      }
+    }
     spark.stop()
   }
 }

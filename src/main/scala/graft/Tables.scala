@@ -41,6 +41,30 @@ object Tables {
       case n        => spark.read.parquet(s"$sfDir/$n.parquet")
     }
 
+  /** Key-hash spread for the CPU-bound text/vector kernels, sized by the
+    * scan's own statistics instead of a fixed core-count fan-out. The
+    * synthetic corpus arrives as ONE small file (one input split), so
+    * some spread keeps the kernels off a single core — but a
+    * defaultParallelism-way hash of a few-MB corpus costs more in
+    * per-task shuffle machinery (map×reduce file creates, the shuffle
+    * commit lock, per-block fetch bookkeeping — stack-sampled as a top
+    * cost of the whole query sweep) than the spread saves. One partition
+    * per MiB of input, floored at 2 and capped at defaultParallelism:
+    * at cluster scale bytes/1MiB vastly exceeds the cap, so the width
+    * stays exactly the old defaultParallelism there; only the small-scan
+    * regime (where the machinery dominated the kernel) gets narrower.
+    * The floor is 2, not 1, so the plan NEVER contains a
+    * SinglePartition exchange — the fleet lint's single-partition-funnel
+    * ban stays enforceable with no allowlist hole.
+    * Usage: `Tables.documents(s, d).transform(Tables.spread("doc_id"))`. */
+  def spread(key: String)(df: DataFrame): DataFrame = {
+    val sc = df.sparkSession.sparkContext
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val parts = (bytes / (1L << 20) + 1).min(sc.defaultParallelism)
+      .max(2).toInt
+    df.repartition(parts, col(key))
+  }
+
   def region(s: SparkSession, d: String): DataFrame     = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = table(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame   = table(s, d, "customer")

@@ -109,7 +109,7 @@ object DedupQueries {
       // input split); the signature UDF is CPU-bound, so spread it across
       // cores — at real scale the scan already has that many splits
       val docs = Tables.documents(s, d)
-        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .transform(Tables.spread("doc_id"))
       graft.operators.Dedup
         .minHashLshPairs(docs, "doc_id", "text",
           n = ShingleN, k = K, bands = Bands, threshold = 0.5)
@@ -137,7 +137,7 @@ object DedupQueries {
     "q51_dup_clusters",
     (s, d) => {
       val docs = Tables.documents(s, d)
-        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .transform(Tables.spread("doc_id"))
       val pairs = graft.operators.Dedup
         .minHashLshPairs(docs, "doc_id", "text",
           n = ShingleN, k = K, bands = Bands, threshold = 0.5)
@@ -383,7 +383,7 @@ object DedupQueries {
     "q134_cluster_reps",
     (s, d) => {
       val docs = Tables.documents(s, d)
-        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .transform(Tables.spread("doc_id"))
       val pairs = graft.operators.Dedup
         .minHashLshPairs(docs, "doc_id", "text",
           n = ShingleN, k = K, bands = Bands, threshold = 0.5)
@@ -434,7 +434,7 @@ object DedupQueries {
     "q145_neardup_by_source",
     (s, d) => {
       val docs = Tables.documents(s, d)
-        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .transform(Tables.spread("doc_id"))
       val pairs = graft.operators.Dedup
         .minHashLshPairs(docs, "doc_id", "text",
           n = ShingleN, k = K, bands = Bands, threshold = 0.5)
@@ -482,7 +482,7 @@ object DedupQueries {
     (s, d) => {
       val c = 20 // chunk width in tokens
       val chunks = Tables.documents(s, d)
-        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .transform(Tables.spread("doc_id"))
         .select(col("doc_id"), split(col("text"), " ").as("__toks"))
         .select(col("doc_id"), posexplode(expr(
           s"transform(sequence(0, (size(__toks) - 1) div $c), i -> array_join(slice(__toks, i * $c + 1, $c), ' '))")))
@@ -614,7 +614,7 @@ object DedupQueries {
     "q163_decontaminate_fuzzy",
     (s, d) => {
       val docs = Tables.documents(s, d)
-        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .transform(Tables.spread("doc_id"))
       graft.operators.CorpusPipeline.decontaminateFuzzy(
         docs.filter(col("doc_id") % 10 =!= 0),
         docs.filter(col("doc_id") % 10 === 0),
@@ -654,7 +654,7 @@ object DedupQueries {
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(s, d)
-        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .transform(Tables.spread("doc_id"))
       graft.operators.Dedup
         .minHashLshPairs(docs, "doc_id", "text",
           n = ShingleN, k = K, bands = Bands, threshold = 0.0)
@@ -690,7 +690,7 @@ object DedupQueries {
     "q168_dup_triangles",
     (s, d) => {
       val docs = Tables.documents(s, d)
-        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .transform(Tables.spread("doc_id"))
       val e = graft.operators.Dedup
         .minHashLshPairs(docs, "doc_id", "text",
           n = ShingleN, k = K, bands = Bands, threshold = 0.5)
@@ -746,7 +746,7 @@ object DedupQueries {
     "q170_incremental_append",
     (s, d) => {
       val docs = Tables.documents(s, d)
-        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .transform(Tables.spread("doc_id"))
       val oldIndex = graft.operators.Dedup.indexDocs(
         docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
         n = ShingleN, k = K)
@@ -784,7 +784,7 @@ object DedupQueries {
     "q179_split_leakage",
     (s, d) => {
       val docs = Tables.documents(s, d)
-        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .transform(Tables.spread("doc_id"))
       val pairs = graft.operators.Dedup
         .minHashLshPairs(docs, "doc_id", "text",
           n = ShingleN, k = K, bands = Bands, threshold = 0.5)
@@ -834,7 +834,7 @@ object DedupQueries {
     "q180_split_repair",
     (s, d) => {
       val docs = Tables.documents(s, d)
-        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .transform(Tables.spread("doc_id"))
       val pairs = graft.operators.Dedup
         .minHashLshPairs(docs, "doc_id", "text",
           n = ShingleN, k = K, bands = Bands, threshold = 0.5)
@@ -896,7 +896,7 @@ object DedupQueries {
     "q187_cluster_splits",
     (s, d) => {
       val docs = Tables.documents(s, d)
-        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .transform(Tables.spread("doc_id"))
       val pairs = graft.operators.Dedup
         .minHashLshPairs(docs, "doc_id", "text",
           n = ShingleN, k = K, bands = Bands, threshold = 0.5)
@@ -997,7 +997,7 @@ object DedupQueries {
     "q192_incremental_curate",
     (s, d) => {
       val docs = Tables.documents(s, d)
-        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .transform(Tables.spread("doc_id"))
       val mx = docs.agg(max("doc_id")).head().getLong(0)
       val cut = (mx + 1) / 2
       val (fps, idx) = graft.operators.CorpusPipeline.curateStateBuild(
@@ -1046,7 +1046,7 @@ object DedupQueries {
     "q193_source_funnel",
     (s, d) => {
       val docs = Tables.documents(s, d)
-        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .transform(Tables.spread("doc_id"))
       graft.operators.CorpusPipeline
         .curationLedger(docs, "doc_id", "text",
           minTokens = 10, maxTokens = 100000, nearDupThreshold = 0.5)
@@ -1147,7 +1147,7 @@ object DedupQueries {
     "q195_lexical_semantic_audit",
     (s, d) => {
       val docs = Tables.documents(s, d)
-        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .transform(Tables.spread("doc_id"))
       graft.operators.Dedup.lexicalSemanticAudit(
         docs, "doc_id", "text", dims = 64, threshold = 0.5)
     },
@@ -1276,7 +1276,7 @@ object DedupQueries {
     "q208_ledger_compaction",
     (s, d) => {
       val docs = Tables.documents(s, d)
-        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .transform(Tables.spread("doc_id"))
       val cp = graft.operators.CorpusPipeline
       val b0 = cp.curationLedger(docs, "doc_id", "text",
           minTokens = 10, maxTokens = 100000, nearDupThreshold = 0.5)
@@ -1344,7 +1344,7 @@ object DedupQueries {
     "q215_lsh_stored_append",
     (s, d) => {
       val docs = Tables.documents(s, d)
-        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .transform(Tables.spread("doc_id"))
       val db = "graft_q215"
       val loc = java.nio.file.Files.createTempDirectory("graft-q215")
       s.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$loc'")
@@ -1409,7 +1409,7 @@ object DedupQueries {
     "q219_lsh_append_only",
     (s, d) => {
       val docs = Tables.documents(s, d)
-        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .transform(Tables.spread("doc_id"))
       val db = Fixtures.once(s, "graft_q219", d) { db =>
         graft.operators.Dedup.lshBuildIndex(
           docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",

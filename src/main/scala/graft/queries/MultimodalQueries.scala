@@ -50,7 +50,7 @@ object MultimodalQueries {
     "q142_media_neardup",
     (s, d) => {
       val media = Multimodal.fromDocuments(Tables.documents(s, d))
-        .repartition(s.sparkContext.defaultParallelism, col("media_id"))
+        .transform(Tables.spread("media_id"))
       Multimodal.nearDupMedia(media, frameBytes = 64, stride = 1, threshold = 0.3)
         .select(col("media_a"), col("media_b"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy("media_a", "media_b")
@@ -86,7 +86,7 @@ object MultimodalQueries {
     (s, d) => {
       import graft.functions.vec
       val media = Multimodal.fromDocuments(Tables.documents(s, d))
-        .repartition(s.sparkContext.defaultParallelism, col("media_id"))
+        .transform(Tables.spread("media_id"))
       val emb = Multimodal.hexHistogramEmbedding(media, frameBytes = 64, stride = 4)
         .withColumn("vd", expr("transform(v, x -> CAST(x AS DOUBLE))"))
         .filter(vec.norm(col("vd")) > 0)

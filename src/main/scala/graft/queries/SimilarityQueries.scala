@@ -636,7 +636,7 @@ object SimilarityQueries {
       // spread it (the q166/q187 harness fix; a real corpus arrives in
       // many splits and never pays this shuffle)
       Tables.embeddings(s, d)
-        .repartition(s.sparkContext.defaultParallelism, col("vec_id")),
+        .transform(Tables.spread("vec_id")),
       "vec_id", "label",
       holdout = col("vec_id") % 5 === 0),
     Some("""
