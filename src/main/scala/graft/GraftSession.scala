@@ -33,6 +33,13 @@ object GraftSession {
   val recommendedConf: Map[String, String] = Map(
     "spark.sql.adaptive.enabled" -> "true",
     "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+    // coalesce post-shuffle partitions to the ADVISORY SIZE, not to the
+    // cluster's parallelism: parallelismFirst=true (the default) keeps
+    // up-to-width partitions alive however small the shuffle, so every
+    // downstream stage schedules per-task machinery for KBs of data.
+    // false is the setting Spark's own AQE docs recommend; the advisory
+    // size is the scale dial and stays at Spark's default.
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "false",
     "spark.sql.adaptive.skewJoin.enabled" -> "true",
     "spark.sql.sources.partitionColumnTypeInference.enabled" -> "false",
     // file listing goes DISTRIBUTED (a whole Spark job per listing)
