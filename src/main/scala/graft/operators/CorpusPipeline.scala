@@ -569,10 +569,15 @@ object CorpusPipeline {
     * each would replay the corpus scan + md5 window (AQE exchange reuse
     * does not bridge union branches — curate documents the same
     * hazard). Output: (id, stage, ref_id), one row per input
-    * document. */
+    * document.
+    *
+    * `sorted = false` skips the final global ORDER BY — for consumers
+    * that immediately re-aggregate or re-sort the ledger (compaction,
+    * the per-source funnel), the range exchange + total sort is pure
+    * waste: a join or groupBy destroys the order one operator later. */
   def curationLedger(docs: DataFrame, id: String, text: String,
       minTokens: Int = 10, maxTokens: Int = 100000,
-      nearDupThreshold: Double = 0.5): DataFrame = {
+      nearDupThreshold: Double = 0.5, sorted: Boolean = true): DataFrame = {
     // ref_id rides as LONG so the no-reference quality rows can carry
     // -1; a non-numeric id corpus must fail loudly here — a silent
     // cast-to-null answered "why was this dropped" with null refs
@@ -601,9 +606,9 @@ object CorpusPipeline {
         refId(col("cluster")).as("ref_id"))
     val kept = ex.join(nearDrops.select(col(id)), Seq(id), "left_anti")
       .select(col(id), lit("kept").as("stage"), refId(col(id)).as("ref_id"))
-    qualityDrops.unionByName(exactDrops).unionByName(nearDrops)
+    val ledger = qualityDrops.unionByName(exactDrops).unionByName(nearDrops)
       .unionByName(kept)
-      .orderBy(col(id))
+    if (sorted) ledger.orderBy(col(id)) else ledger
   }
 
   /** Compaction for an append-only curation ledger: a long-running

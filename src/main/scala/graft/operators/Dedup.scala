@@ -874,7 +874,21 @@ object Dedup {
       .select(col("__p.id_a").as("id_a"), col("__p.id_b").as("id_b"))
       .distinct()
     val sets = oldSets.union(newSets)
-    verifyPairs(cands, sets, id, threshold).localCheckpoint(true)
+    // verification's output partitioning is the SETS side's (the stream
+    // side of the broadcast joins): stored-mass reads contribute up to
+    // one partition per bucket FILE, so the candidate-bounded pair frame
+    // comes back smeared over ~file-count near-empty partitions — and
+    // every downstream consumer (the emptiness probe, the ledger
+    // semi/anti joins, the ledger APPEND, which writes one file per
+    // partition) schedules that many tasks per append. Coalesce (no
+    // shuffle) to the session's shuffle width before materializing: the
+    // maintenance scope pins that width to the BATCH's partition count
+    // on the append path, so tasks and ledger file growth stay
+    // batch-proportional.
+    val width = math.max(1,
+      cands.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
+    verifyPairs(cands, sets, id, threshold).coalesce(width)
+      .localCheckpoint(true)
   }
 
   /** Exact-Jaccard verification of candidate pairs against per-doc

@@ -191,7 +191,8 @@ object Similarity {
     * O(|anchors|·dim) — the same data the old plan broadcast. Literal
     * element types mirror the anchors frame so the cosine arithmetic
     * is bit-identical to the joined-column formulation. */
-  private def anchorCandCols(anchors: DataFrame, roundAt: Int): Seq[Column] = {
+  private def anchorModel(anchors: DataFrame):
+      (Array[Long], Array[Array[Double]], Array[Double]) = {
     import org.apache.spark.sql.types.{ArrayType, FloatType, LongType}
     val aidType = anchors.schema("anchor_id").dataType
     val isFloat = anchors.schema("av").dataType match {
@@ -210,16 +211,21 @@ object Similarity {
       s"ivf assignment needs numeric anchor_id values; got type $aidType " +
         "with values that do not cast to BIGINT (e.g. string UUIDs) — " +
         "map anchor_id to a dense numeric id before calling ivfAssign")
-    rows.sortBy(_.getLong(0)).map { r =>
-      val avLit =
-        if (isFloat) typedLit(r.getSeq[Float](1))
-        else typedLit(r.getSeq[Double](1))
-      struct(
-        (-round(nanvl(vec.cosine(col("embedding"), avLit), lit(-1.0)), roundAt))
-          .as("nc"),
-        lit(r.getLong(0)).as("aid"),
-        lit(r.getLong(0)).cast(aidType).as("cell"))
-    }.toIndexedSeq
+    val sorted = rows.sortBy(_.getLong(0))
+    val aids = sorted.map(_.getLong(0))
+    // widen anchor elements to double PER ELEMENT — VecDot's own rule,
+    // so float grids keep bit-identical cosine arithmetic
+    val mat = sorted.map { r =>
+      if (isFloat) r.getSeq[Float](1).map(_.toDouble).toArray
+      else r.getSeq[Double](1).toArray
+    }
+    // VecNorm's fold: sum of squares ascending, then sqrt
+    val norms = mat.map { av =>
+      var s = 0.0; var i = 0
+      while (i < av.length) { s += av(i) * av(i); i += 1 }
+      math.sqrt(s)
+    }
+    (aids, mat, norms)
   }
 
   /** IVF cell assignment: nearest anchor per vector (anchors inlined;
@@ -231,16 +237,19 @@ object Similarity {
     * candidate set downstream. */
   def ivfAssign(emb: DataFrame, anchors: DataFrame, id: String,
       roundAt: Int = 4): DataFrame = {
-    // argmax via least() over the candidate structs — the same
-    // (negated-cosine, anchor-id) lexicographic rule as the sorted
-    // form, but pairwise codegen'd comparisons instead of allocating
-    // and sorting a k-anchor array PER ROW (the corpus-pass hot path:
-    // measured ~3× on a 500k-vector assignment). least() requires two
-    // children, so a degenerate one-anchor grid takes its lone
-    // candidate directly.
-    val cands = anchorCandCols(anchors, roundAt)
-    val best = if (cands.length == 1) cands.head else least(cands: _*)
-    emb.withColumn("cell", best.getField("cell"))
+    // argmax via the fused VecNearestAnchors expression: same
+    // (rounded-cosine desc, anchor-id asc) rule as the old per-anchor
+    // struct least(), but the anchor matrix rides as ONE reference
+    // object instead of |anchors| literal cosine subtrees — the plan,
+    // the task binary and the generated code stay O(1) in the anchor
+    // count (the literal form cost ~0.1-0.2s of task DESERIALIZATION
+    // per task on every IVF stage, plus a per-plan Janino compile of
+    // the unrolled candidates).
+    val aidType = anchors.schema("anchor_id").dataType
+    val (aids, mat, norms) = anchorModel(anchors)
+    emb.withColumn("cell",
+      element_at(vec.nearestAnchors(col("embedding"), aids, mat, norms,
+        k = 1, roundAt = roundAt), 1).cast(aidType))
   }
 
   /** Multi-probe IVF assignment: one row per (vector, probed cell) for
@@ -251,9 +260,14 @@ object Similarity {
   def ivfAssignProbes(emb: DataFrame, anchors: DataFrame, id: String,
       nprobe: Int, roundAt: Int = 4): DataFrame = {
     require(nprobe >= 1)
-    val sorted = array_sort(array(anchorCandCols(anchors, roundAt): _*))
-    emb.select(col("*"), posexplode(slice(sorted, 1, nprobe)))
-      .withColumn("cell", col("col").getField("cell"))
+    // same fused argmax as ivfAssign, keeping the top nprobe: the
+    // expression returns the probed anchor ids already in rank order
+    val aidType = anchors.schema("anchor_id").dataType
+    val (aids, mat, norms) = anchorModel(anchors)
+    val probed = vec.nearestAnchors(col("embedding"), aids, mat, norms,
+      k = nprobe, roundAt = roundAt)
+    emb.select(col("*"), posexplode(probed))
+      .withColumn("cell", col("col").cast(aidType))
       .withColumn("probe_rk", (col("pos") + 1).cast("int"))
       .drop("pos", "col")
   }

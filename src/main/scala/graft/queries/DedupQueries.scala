@@ -1049,7 +1049,10 @@ object DedupQueries {
         .transform(Tables.spread("doc_id"))
       graft.operators.CorpusPipeline
         .curationLedger(docs, "doc_id", "text",
-          minTokens = 10, maxTokens = 100000, nearDupThreshold = 0.5)
+          minTokens = 10, maxTokens = 100000, nearDupThreshold = 0.5,
+          // the rollup's groupBy destroys row order; the funnel sorts
+          // its own (source-keyed) output below
+          sorted = false)
         .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
@@ -1278,11 +1281,16 @@ object DedupQueries {
       val docs = Tables.documents(s, d)
         .transform(Tables.spread("doc_id"))
       val cp = graft.operators.CorpusPipeline
+      // sorted = false: the corrections join and compactLedger's window
+      // destroy row order immediately; the final orderBy below is the
+      // output contract's sort
       val b0 = cp.curationLedger(docs, "doc_id", "text",
-          minTokens = 10, maxTokens = 100000, nearDupThreshold = 0.5)
+          minTokens = 10, maxTokens = 100000, nearDupThreshold = 0.5,
+          sorted = false)
         .withColumn("batch", lit(0L))
       val reaudit = cp.curationLedger(docs, "doc_id", "text",
-        minTokens = 40, maxTokens = 100000, nearDupThreshold = 0.5)
+        minTokens = 40, maxTokens = 100000, nearDupThreshold = 0.5,
+        sorted = false)
       val corrections = reaudit.alias("n").join(b0.alias("o"), Seq("doc_id"))
         .filter(col("n.stage") =!= col("o.stage") ||
           col("n.ref_id") =!= col("o.ref_id"))

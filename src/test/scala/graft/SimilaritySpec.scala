@@ -132,14 +132,16 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
       queryIds = Seq(0L, 1L, 2L, 3L), anchors, nprobes = Seq(1, 2, 4), k = 10)
     assert(rows(fromStore) == rows(fromFrames))
     // the deployment claim: evaluating against the store runs NO
-    // assignment argmax. The argmax's signature is the least() over the
-    // (nc, aid, cell) candidate structs (its pre-least form was an
-    // array_sort — pin BOTH so neither shape sneaks back in); the
-    // frame-based eval's plan carries it, the indexed one must not.
+    // assignment argmax. The argmax's signature is the fused
+    // vec_nearest_anchors expression (earlier shapes: least() over
+    // per-anchor candidate structs, and array_sort before that — pin
+    // all three so none sneaks back in); the frame-based eval's plan
+    // carries it, the indexed one must not.
     val p = fromStore.queryExecution.executedPlan.toString
-    assert(!p.contains("least(struct(nc") && !p.contains("array_sort"), p)
+    assert(!p.contains("vec_nearest_anchors") &&
+      !p.contains("least(struct(nc") && !p.contains("array_sort"), p)
     assert(fromFrames.queryExecution.executedPlan.toString
-      .contains("least(struct(nc")) // the sentinel stays meaningful
+      .contains("vec_nearest_anchors")) // the sentinel stays meaningful
   }
 
   test("ivfRetrain: fresh centroids rebuild into a new version; search agrees with the inline plan") {

@@ -92,4 +92,56 @@ class VectorExpressionsSpec extends AnyFunSuite with SparkSpec {
       spark.conf.set("spark.sql.codegen.wholeStage", prev)
     }
   }
+
+  test("nearestAnchors equals the per-anchor struct-least formulation it replaced") {
+    // ANSI off for the whole test (Divide bakes failOnError at dataset
+    // construction): under ANSI the OLD formulation's 0/0 on the zero
+    // vector throws DIVIDE_BY_ZERO before nanvl ever sees the NaN —
+    // the fused expression implements the documented nanvl(-1)
+    // semantics directly, so the zero-vector row stays covered here
+    // with the legacy arithmetic as the reference.
+    val prevAnsi = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+    // independent reference: the EXACT expression shape ivfAssign used
+    // before the fused argmax — one struct candidate per anchor, least()
+    // for rank 1, array_sort+slice for the probe list
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("embedding", ArrayType(DoubleType))))
+    // includes: near-ties that only differ past 4dp (rounding ties ->
+    // aid), a zero vector (NaN cosine -> -1 for every anchor), and
+    // exact duplicates of an anchor
+    val vecs = Seq(
+      Seq(1.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0), Seq(0.70710, 0.70711, 0.0),
+      Seq(0.0, 0.0, 0.0), Seq(0.5, 0.5, 0.70710678), Seq(-1.0, 0.0, 0.0),
+      Seq(0.99999, 0.00001, 0.0), Seq(0.3333, 0.3333, 0.3334))
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(vecs.zipWithIndex.map {
+        case (v, i) => Row(i.toLong, v) }: _*), schema)
+    val anchors = Seq(
+      (7L, Seq(1.0, 0.0, 0.0)), (11L, Seq(0.0, 1.0, 0.0)),
+      (13L, Seq(0.577, 0.577, 0.578)), (17L, Seq(1.0, 0.0, 0.0)))
+    val cands = anchors.sortBy(_._1).map { case (aid, av) =>
+      struct(
+        (-round(nanvl(vec.cosine(col("embedding"), typedLit(av)), lit(-1.0)), 4)).as("nc"),
+        lit(aid).as("aid"))
+    }
+    val sorted = array_sort(array(cands: _*))
+    val refDf = df.withColumn("__s", sorted).select(col("id"),
+      least(cands: _*).getField("aid").as("best"),
+      expr("transform(slice(__s, 1, 3), x -> x.aid)").as("probes"))
+    val (aids, mat, nrm) = (anchors.sortBy(_._1).map(_._1).toArray,
+      anchors.sortBy(_._1).map(_._2.toArray).toArray,
+      anchors.sortBy(_._1).map(a => math.sqrt(a._2.map(x => x * x).sum)).toArray)
+    val fused = df.select(col("id"),
+      element_at(vec.nearestAnchors(col("embedding"), aids, mat, nrm, 1, 4), 1).as("best"),
+      vec.nearestAnchors(col("embedding"), aids, mat, nrm, 3, 4).as("probes"))
+    val r = refDf.orderBy("id").collect().map(x =>
+      (x.getLong(0), x.getLong(1), x.getSeq[Long](2)))
+    val f = fused.orderBy("id").collect().map(x =>
+      (x.getLong(0), x.getLong(1), x.getSeq[Long](2)))
+    assert(f.toSeq == r.toSeq)
+    } finally spark.conf.set("spark.sql.ansi.enabled", prevAnsi)
+  }
 }
