@@ -309,6 +309,122 @@ object VecNearestAnchors {
   }
 }
 
+/** Fused PQ subspace assignment: for each of `m` subspaces, the
+  * (rounded squared distance, codeword) argmin over that subspace's
+  * codebook — `array<struct<d: double, code: bigint>>`, element `j` for
+  * subspace `j`.
+  *
+  * Replaces the literal formulation (per codeword: a `sub`-element
+  * literal array + `zip_with`+`aggregate` lambdas + an `array_sort`
+  * over ksub structs, all × m subspaces): that plan was O(m·ksub·sub)
+  * expression nodes — profiled at 4-5 s aggregate task DESERIALIZATION
+  * per 32-task stage — and its higher-order lambdas evaluated
+  * interpreted, outside whole-stage codegen, on the encode hot path
+  * (every Lloyd iteration of a refit re-encodes). The codebooks ride as
+  * ONE reference object; the per-row body is a static call of primitive
+  * loops inside the fused codegen stage.
+  *
+  * Equivalence (mirrors the replaced plan exactly):
+  *  - d² folds `java.lang.Math.pow(x - w, 2.0)` ascending from 0.0 —
+  *    catalyst's Pow is Math.pow, and `aggregate`'s fold order is
+  *    ascending index;
+  *  - embedding elements cast to double per element;
+  *  - rounding is BigDecimal HALF_UP at `roundAt` (Spark Round's
+  *    double path); ranking is (d asc, code asc) with SQLOrderingUtil
+  *    double compare (so -0.0 == 0.0, NaN can't occur: d² >= 0);
+  *  - a null embedding ELEMENT in subspace `j` nulls every codeword's
+  *    d² there; null struct fields rank FIRST ascending, ties to the
+  *    lower code — so the element comes back as (null, 0), exactly the
+  *    replaced plan's output. The size guard (refuse dim mismatch)
+  *    stays OUTSIDE in pqEncodeDetailCol's when/raise_error wrapper,
+  *    unchanged.
+  */
+case class PqEncodeDetail(child: Expression,
+    codebooks: Array[Array[Array[Double]]], roundAt: Int)
+    extends UnaryExpression with VecArrayHelpers {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    checkVecInputs(Seq(child))
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("d", DoubleType, nullable = true),
+    StructField("code", LongType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "pq_encode_detail"
+
+  private def isFloat: Boolean = elemType(child) == FloatType
+
+  override protected def nullSafeEval(v: Any): Any =
+    PqEncodeDetail.compute(v.asInstanceOf[ArrayData], isFloat,
+      codebooks, roundAt)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("codebooks", codebooks, "double[][][]")
+    nullSafeCodeGen(ctx, ev, a => {
+      s"""
+         |${ev.value} = graft.functions.PqEncodeDetail$$.MODULE$$.compute(
+         |  $a, $isFloat, $cbRef, $roundAt);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncodeDetail =
+    copy(child = newChild)
+}
+
+object PqEncodeDetail {
+  /** Called from generated code — Java-friendly signature. */
+  def compute(arr: ArrayData, isFloat: Boolean,
+      codebooks: Array[Array[Array[Double]]], roundAt: Int): ArrayData = {
+    val m = codebooks.length
+    val out = new Array[Any](m)
+    var j = 0
+    while (j < m) {
+      val cb = codebooks(j)
+      val sub = if (cb.nonEmpty) cb(0).length else 0
+      val off = j * sub
+      // null embedding element anywhere in this subspace's slice nulls
+      // every codeword's distance → (null, 0), the replaced plan's
+      // null-field-first + lower-code tie outcome
+      var hasNull = false
+      var i = 0
+      while (i < sub && !hasNull) {
+        hasNull = arr.isNullAt(off + i); i += 1
+      }
+      var bestD = 0.0
+      var bestCode = 0L
+      if (!hasNull) {
+        var first = true
+        var c = 0
+        while (c < cb.length) {
+          val cw = cb(c)
+          var d2 = 0.0
+          var i2 = 0
+          while (i2 < sub) {
+            val x = if (isFloat) arr.getFloat(off + i2).toDouble
+              else arr.getDouble(off + i2)
+            d2 += java.lang.Math.pow(x - cw(i2), 2.0)
+            i2 += 1
+          }
+          val d = java.math.BigDecimal.valueOf(d2)
+            .setScale(roundAt, java.math.RoundingMode.HALF_UP).doubleValue()
+          // (d asc, code asc): strictly-less wins; ties keep the lower
+          // (earlier) code, so first-wins insertion is exact
+          if (first || org.apache.spark.sql.catalyst.util.SQLOrderingUtil
+              .compareDoubles(d, bestD) < 0) {
+            bestD = d; bestCode = c.toLong; first = false
+          }
+          c += 1
+        }
+      }
+      out(j) =
+        if (hasNull) org.apache.spark.sql.catalyst.InternalRow(null, 0L)
+        else org.apache.spark.sql.catalyst.InternalRow(bestD, bestCode)
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 /** Column-level entry points (usable anywhere a built-in Column is). */
 object vec {
   import org.apache.spark.sql.GraftBridge.{column, expression}
@@ -323,6 +439,11 @@ object vec {
       anchors: Array[Array[Double]], norms: Array[Double],
       k: Int, roundAt: Int): Column =
     column(VecNearestAnchors(expression(emb), aids, anchors, norms, k, roundAt))
+
+  /** Per-subspace PQ argmin — see [[PqEncodeDetail]]. */
+  def pqEncodeDetail(emb: Column, codebooks: Array[Array[Array[Double]]],
+      roundAt: Int): Column =
+    column(PqEncodeDetail(expression(emb), codebooks, roundAt))
 
   /** Raw cosine — DELIBERATELY propagates the degenerate shapes: a
     * zero-norm input gives 0/0 = NaN (like DuckDB's

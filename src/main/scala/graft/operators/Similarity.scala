@@ -1386,17 +1386,14 @@ object Similarity {
     * [[ivfAssign]]. No shuffle, no window, no join: encoding a 100 TB
     * corpus is a single scan with the O(m·ksub·sub) codebook inlined. */
   def pqEncodeDetailCol(embedding: Column, model: PqModel, roundAt: Int = 4): Column = {
-    val enc = array((0 until model.m).map { j =>
-      val sl = slice(embedding, j * model.sub + 1, model.sub)
-      val cands = model.codebooks(j).zipWithIndex.map { case (cw, c) =>
-        val cwLit = array(cw.map(lit).toIndexedSeq: _*)
-        val d2 = aggregate(
-          zip_with(sl, cwLit, (x, w) => pow(x.cast("double") - w, lit(2))),
-          lit(0.0), (a, v) => a + v)
-        struct(round(d2, roundAt).as("d"), lit(c.toLong).as("code"))
-      }
-      element_at(array_sort(array(cands.toIndexedSeq: _*)), 1)
-    }: _*)
+    // fused per-subspace argmin (graft.functions.PqEncodeDetail): the
+    // codebooks ride as ONE reference object instead of m·ksub literal
+    // arrays + zip_with/aggregate lambdas — the literal form was
+    // O(m·ksub·sub) plan nodes (seconds of task deserialization per
+    // encode stage) and its higher-order lambdas evaluated interpreted
+    // on the encode hot path. Equivalence notes live on the expression.
+    val enc = graft.functions.vec.pqEncodeDetail(
+      embedding, model.codebooks, roundAt)
     // dim mismatch vs the fitted model would null-pad zip_with, make d2
     // NULL for EVERY codeword and silently encode the subspace as code 0
     // — a corrupt index the downstream okCodes range check cannot catch

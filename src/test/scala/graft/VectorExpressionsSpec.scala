@@ -144,4 +144,41 @@ class VectorExpressionsSpec extends AnyFunSuite with SparkSpec {
     assert(f.toSeq == r.toSeq)
     } finally spark.conf.set("spark.sql.ansi.enabled", prevAnsi)
   }
+
+  test("pqEncodeDetail equals the literal zip_with/aggregate formulation it replaced") {
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("embedding", ArrayType(DoubleType))))
+    // m=2 subspaces of sub=2; codebooks engineered for exact distance
+    // ties (codewords 0 and 2 of subspace 0 are identical -> tie must
+    // go to the LOWER code) and sign/magnitude variety
+    val cbs: Array[Array[Array[Double]]] = Array(
+      Array(Array(0.0, 0.0), Array(1.0, 1.0), Array(0.0, 0.0)),
+      Array(Array(-1.0, 2.0), Array(0.5, 0.5), Array(2.0, -1.0)))
+    val vecs = Seq(
+      Seq(0.0, 0.0, 0.0, 0.0), Seq(1.0, 1.0, -1.0, 2.0),
+      Seq(0.5, 0.5, 0.5, 0.5), Seq(-3.0, 4.0, 2.0, -1.0),
+      Seq(0.70001, 0.69999, 1.00005, -0.00005))
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(vecs.zipWithIndex.map {
+        case (v, i) => Row(i.toLong, v) }: _*), schema)
+    val m = cbs.length; val sub = cbs(0)(0).length
+    val ref = array((0 until m).map { j =>
+      val sl = slice(col("embedding"), j * sub + 1, sub)
+      val cands = cbs(j).zipWithIndex.map { case (cw, c) =>
+        val cwLit = array(cw.map(lit).toIndexedSeq: _*)
+        val d2 = aggregate(
+          zip_with(sl, cwLit, (x, w) => pow(x.cast("double") - w, lit(2))),
+          lit(0.0), (a, v) => a + v)
+        struct(round(d2, 4).as("d"), lit(c.toLong).as("code"))
+      }
+      element_at(array_sort(array(cands.toIndexedSeq: _*)), 1)
+    }: _*)
+    val out = df.select(col("id"),
+      ref.as("ref"), vec.pqEncodeDetail(col("embedding"), cbs, 4).as("fused"))
+      .orderBy("id").collect()
+    out.foreach { r =>
+      assert(r.getSeq[Row](1) == r.getSeq[Row](2), s"row ${r.getLong(0)}")
+    }
+  }
 }
