@@ -11,6 +11,19 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify contract: the LAST raw stdout line of
+// `sbt "runMain graft.Bench"` must be the machine-readable JSON record.
+// sbt's default LoggedOutput strategy prefixes every forked-process line
+// with "[info] " and appends its own "[success] Total time ..." line
+// after the run, so the JSON was never last nor unprefixed. StdoutOutput
+// inherits the parent's stdout (no prefix); showSuccess=false drops the
+// trailing [success] line. Exit codes and logging to stderr are
+// unaffected.
+outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+// showSuccess is read by sbt's command loop, not by any task — the
+// lintUnused warning for it is a false positive (and stdout noise).
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -19,6 +19,9 @@ object ProfileQ {
     val spark = GraftSession.local("graft-profile", cpus)
 
     val base = new java.util.concurrent.atomic.AtomicLong(System.nanoTime())
+    // wall-clock twin of `base`: stage submissionTime is epoch millis, so
+    // filtering it against nanoTime/1e6 (arbitrary origin) was always-true
+    val baseMs = new java.util.concurrent.atomic.AtomicLong(System.currentTimeMillis())
     // jobs at or below the cutoff belong to the cold run: listener events
     // arrive on an async bus, so a clear()-based reset would let
     // still-queued cold events repopulate the map and print into the
@@ -46,7 +49,11 @@ object ProfileQ {
       // multi-second jobs are usually NOT data compute
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
         val si = sc.stageInfo
-        if (si.submissionTime.exists(_ >= base.get() / 1000000 - 10) || cutoff.get() < Int.MaxValue) {
+        // cold-run stages are silenced (cutoff == MaxValue while the cold
+        // run executes), and cold events that drain from the async bus
+        // AFTER the warm reset are dropped by the epoch-millis baseline
+        if (cutoff.get() < Int.MaxValue &&
+            si.submissionTime.exists(_ >= baseMs.get() - 10)) {
           val m = si.taskMetrics
           val run = m.executorRunTime / 1e3
           val cpu = m.executorCpuTime / 1e9
@@ -94,6 +101,7 @@ object ProfileQ {
         starts.keys).foldLeft(-1)(math.max))
       starts.clear()
       base.set(System.nanoTime())
+      baseMs.set(System.currentTimeMillis())
       val t0 = System.nanoTime()
       val n = q.spark(spark, sfDir).collect().length
       println(f"TOTAL $qn ${(System.nanoTime() - t0) / 1e9}%.3f s  rows=$n")

@@ -58,6 +58,18 @@ trait VecArrayHelpers { self: Expression =>
   }
 }
 
+private[functions] object VecRound {
+  /** HALF_UP rounding matching Spark's Round on doubles, INCLUDING its
+    * non-finite rule: Round passes ±Infinity (and NaN) through untouched,
+    * while `BigDecimal.valueOf` throws NumberFormatException on them — a
+    * cosine of +Inf (norm underflow) or a d² of +Inf (huge elements) must
+    * rank, not crash the task. */
+  def halfUp(v: Double, scale: Int): Double =
+    if (java.lang.Double.isInfinite(v) || java.lang.Double.isNaN(v)) v
+    else java.math.BigDecimal.valueOf(v)
+      .setScale(scale, java.math.RoundingMode.HALF_UP).doubleValue()
+}
+
 /** sum_i(a[i] * b[i]) in double; codegen'd primitive loop. */
 case class VecDot(left: Expression, right: Expression)
     extends BinaryExpression with VecArrayHelpers {
@@ -226,6 +238,28 @@ case class VecNearestAnchors(child: Expression, aids: Array[Long],
 
   override protected def withNewChildInternal(newChild: Expression): VecNearestAnchors =
     copy(child = newChild)
+
+  // Array fields make the synthesized case-class equals/hashCode
+  // reference-based, so two semantically identical expressions never
+  // compare equal — defeating subexpression elimination and
+  // exchange/cache reuse. Compare contents instead.
+  override def equals(o: Any): Boolean = o match {
+    case that: VecNearestAnchors =>
+      child == that.child && k == that.k && roundAt == that.roundAt &&
+        java.util.Arrays.equals(aids, that.aids) &&
+        java.util.Arrays.deepEquals(
+          anchors.asInstanceOf[Array[AnyRef]],
+          that.anchors.asInstanceOf[Array[AnyRef]]) &&
+        java.util.Arrays.equals(anchorNorms, that.anchorNorms)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(child, Integer.valueOf(k),
+      Integer.valueOf(roundAt),
+      Integer.valueOf(java.util.Arrays.hashCode(aids)),
+      Integer.valueOf(java.util.Arrays.deepHashCode(
+        anchors.asInstanceOf[Array[AnyRef]])),
+      Integer.valueOf(java.util.Arrays.hashCode(anchorNorms)))
 }
 
 object VecNearestAnchors {
@@ -285,8 +319,7 @@ object VecNearestAnchors {
         }
         val c = dot / (normE * anchorNorms(ai))
         val nv = if (java.lang.Double.isNaN(c)) -1.0 else c
-        rc = java.math.BigDecimal.valueOf(nv)
-          .setScale(roundAt, java.math.RoundingMode.HALF_UP).doubleValue()
+        rc = VecRound.halfUp(nv, roundAt)
       }
       // insertion into the size-k top list (k is 1-4 in practice)
       var pos = filled
@@ -369,6 +402,21 @@ case class PqEncodeDetail(child: Expression,
 
   override protected def withNewChildInternal(newChild: Expression): PqEncodeDetail =
     copy(child = newChild)
+
+  // contents-based equality: see VecNearestAnchors — the Array field
+  // otherwise defeats subexpression elimination and exchange reuse
+  override def equals(o: Any): Boolean = o match {
+    case that: PqEncodeDetail =>
+      child == that.child && roundAt == that.roundAt &&
+        java.util.Arrays.deepEquals(
+          codebooks.asInstanceOf[Array[AnyRef]],
+          that.codebooks.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(child, Integer.valueOf(roundAt),
+      Integer.valueOf(java.util.Arrays.deepHashCode(
+        codebooks.asInstanceOf[Array[AnyRef]])))
 }
 
 object PqEncodeDetail {
@@ -384,8 +432,12 @@ object PqEncodeDetail {
       val off = j * sub
       // null embedding element anywhere in this subspace's slice nulls
       // every codeword's distance → (null, 0), the replaced plan's
-      // null-field-first + lower-code tie outcome
-      var hasNull = false
+      // null-field-first + lower-code tie outcome. A vector SHORTER than
+      // m·sub gets the same treatment: the replaced plan's element_at
+      // past the end yielded null (never an unchecked read), so the
+      // bounds check makes the expression safe standalone, not only
+      // under pqEncodeDetailCol's size guard.
+      var hasNull = off + sub > arr.numElements()
       var i = 0
       while (i < sub && !hasNull) {
         hasNull = arr.isNullAt(off + i); i += 1
@@ -405,8 +457,7 @@ object PqEncodeDetail {
             d2 += java.lang.Math.pow(x - cw(i2), 2.0)
             i2 += 1
           }
-          val d = java.math.BigDecimal.valueOf(d2)
-            .setScale(roundAt, java.math.RoundingMode.HALF_UP).doubleValue()
+          val d = VecRound.halfUp(d2, roundAt)
           // (d asc, code asc): strictly-less wins; ties keep the lower
           // (earlier) code, so first-wins insertion is exact
           if (first || org.apache.spark.sql.catalyst.util.SQLOrderingUtil
