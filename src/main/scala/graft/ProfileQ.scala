@@ -34,6 +34,10 @@ object ProfileQ {
         val site = Option(j.properties)
           .flatMap(p => Option(p.getProperty("callSite.short")))
           .filter(_.nonEmpty)
+          // broadcast-exchange futures all share the useless
+          // "withThreadLocalCaptured at CompletableFuture" call site —
+          // the stage name (the exchange's own call site) locates them
+          .filter(!_.contains("CompletableFuture"))
           .orElse(j.stageInfos.lastOption.map(si =>
             s"${si.name} [${j.stageInfos.map(_.numTasks).sum} tasks/${j.stageInfos.size} stages]"))
           .getOrElse("?")
@@ -70,6 +74,11 @@ object ProfileQ {
     // hides the JVM from external jstack). Prints a frame histogram at
     // exit — separates real compute from lock waits.
     val frameCounts = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+    // the DRIVER thread gets its own histogram: at bench scale the gaps
+    // BETWEEN jobs (analysis/optimization/codegen/commit on this thread)
+    // often outweigh the jobs themselves
+    val driverThread = Thread.currentThread()
+    val driverCounts = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
     val sampler = new Thread(() => {
       while (true) {
         val all = Thread.getAllStackTraces()
@@ -78,6 +87,11 @@ object ProfileQ {
             val sig = t.getState.toString + " " +
               frames.take(8).mkString(" <- ")
             frameCounts.merge(sig, 1L, (a, b) => a + b)
+          }
+          if ((t eq driverThread) && frames.nonEmpty) {
+            val sig = t.getState.toString + " " +
+              frames.take(10).mkString(" <- ")
+            driverCounts.merge(sig, 1L, (a, b) => a + b)
           }
         }
         Thread.sleep(25)
@@ -107,9 +121,13 @@ object ProfileQ {
       println(f"TOTAL $qn ${(System.nanoTime() - t0) / 1e9}%.3f s  rows=$n")
     }
     if (sys.env.contains("GRAFT_PROFILE_STACKS")) {
-      println("--- task-thread frame histogram (25ms samples) ---")
       import scala.jdk.CollectionConverters._
+      println("--- task-thread frame histogram (25ms samples) ---")
       frameCounts.asScala.toSeq.sortBy(-_._2).take(40).foreach {
+        case (sig, c) => println(f"$c%6d  $sig")
+      }
+      println("--- driver-thread frame histogram (25ms samples) ---")
+      driverCounts.asScala.toSeq.sortBy(-_._2).take(40).foreach {
         case (sig, c) => println(f"$c%6d  $sig")
       }
     }

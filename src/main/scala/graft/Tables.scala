@@ -25,7 +25,7 @@ object Tables {
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    val raw = readParquet(spark, s"$sfDir/events.parquet")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
@@ -35,10 +35,32 @@ object Tables {
     }
   }
 
+  /** Parquet schemas per path, inferred once per JVM: a bare
+    * `spark.read.parquet(path)` runs a footer-reading Spark JOB to infer
+    * the schema on EVERY call, so each of the registry's queries paid
+    * one (or several, for multi-table queries) driver-job round-trips
+    * of pure metadata before any data moved. These are the immutable
+    * driver-provided tables — at deployment they'd be catalog tables
+    * whose schema IS cached metadata — so infer once and pass the
+    * schema explicitly afterwards. Data is NOT cached: every read
+    * still scans the parquet. */
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.types.StructType]()
+
+  private def readParquet(spark: SparkSession, path: String): DataFrame = {
+    val cached = schemaCache.get(path)
+    if (cached != null) spark.read.schema(cached).parquet(path)
+    else {
+      val df = spark.read.parquet(path)
+      schemaCache.put(path, df.schema)
+      df
+    }
+  }
+
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     name match {
       case "events" => events(spark, sfDir)
-      case n        => spark.read.parquet(s"$sfDir/$n.parquet")
+      case n        => readParquet(spark, s"$sfDir/$n.parquet")
     }
 
   /** Key-hash spread for the CPU-bound text/vector kernels, sized by the

@@ -368,12 +368,19 @@ object Dedup {
       maxBucketSize)
     pairs.write.mode("overwrite").format("parquet")
       .saveAsTable(lshPairsTableName(table))
+    // the index is checkpointed, so its partition count is known without
+    // executing anything — the write-width hint keeps a small corpus's
+    // bucketed writes (and the twin's file count, which every append's
+    // pruned read pays a footer open per file for) input-proportional
+    // instead of slot-wide; a corpus-scale build is unaffected
+    val indexParts = Some(index.rdd.getNumPartitions)
     graft.operators.Layout.writeBucketed(
       withBandsKey(bandedWithSets(index, id, k, bands)),
       lshBandsTableName(table), bucketCols = Seq("bkey"),
-      numBuckets = numBuckets)
+      numBuckets = numBuckets, inputParts = indexParts)
     graft.operators.Layout.writeBucketed(index, table,
-      bucketCols = Seq(id), numBuckets = numBuckets)
+      bucketCols = Seq(id), numBuckets = numBuckets,
+      inputParts = indexParts)
     freeLocalCheckpoint(index)
     spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES (" +
       s"'graft.lsh_n' = '$n', 'graft.lsh_k' = '$k', " +
@@ -422,9 +429,47 @@ object Dedup {
     * Nothing in the path aggregates or shuffles index-sized mass. */
   private[graft] def storedBandsPruned(
       spark: org.apache.spark.sql.SparkSession, table: String,
-      batchBanded: DataFrame, id: String): DataFrame = {
-    val keys = batchBanded.select(bandsKey.as("bkey")).distinct()
-      .collect().map(_.getInt(0)).toIndexedSeq
+      batchBanded: DataFrame, id: String): DataFrame =
+    storedBandsPrunedByKeys(spark, table,
+      collectBatchKeys(batchBanded), id)
+
+  /** The batch's distinct (band, sig) keys with their bucket key, as ONE
+    * driver collect — every consumer of the batch's band keys (the
+    * `bkey IN (...)` file prune, the twin's exact semi-join, the pair
+    * stage's old-side prune) derives from this array. The joins
+    * BROADCAST these rows anyway, so they were driver-collected either
+    * way; collecting once and re-wrapping as a local relation kills the
+    * per-consumer broadcast-build jobs that dominated the append's
+    * driver-job floor. */
+  private[graft] def collectBatchKeys(
+      batchBanded: DataFrame): BatchBandKeys = {
+    val rows = batchBanded
+      .select(col("band"), col("sig"), bandsKey.as("bkey"))
+      .distinct().collect()
+    BatchBandKeys(rows,
+      batchBanded.select(col("band"), col("sig")).schema)
+  }
+
+  /** Driver-collected batch band keys: (band, sig, bkey) rows plus the
+    * (band, sig) schema for rebuilding local relations. */
+  private[graft] case class BatchBandKeys(
+      rows: Array[org.apache.spark.sql.Row],
+      bandSigSchema: org.apache.spark.sql.types.StructType) {
+    def bkeys: IndexedSeq[Int] = rows.map(_.getInt(2)).distinct.toIndexedSeq
+    /** The (band, sig) keys as a LOCAL relation — broadcasting it never
+      * schedules an executor job (LocalTableScan collects driver-side). */
+    def bandSigFrame(spark: org.apache.spark.sql.SparkSession): DataFrame =
+      spark.createDataFrame(
+        java.util.Arrays.asList(rows.map(r =>
+          org.apache.spark.sql.Row(r.get(0), r.get(1))): _*),
+        bandSigSchema)
+  }
+
+  /** [[storedBandsPruned]]'s core over ALREADY-COLLECTED batch keys. */
+  private[graft] def storedBandsPrunedByKeys(
+      spark: org.apache.spark.sql.SparkSession, table: String,
+      batchKeys: BatchBandKeys, id: String): DataFrame = {
+    val keys = batchKeys.bkeys
     val twin = spark.table(lshBandsTableName(table))
     // A twin written since the hs-carrying layout (round 15) can hand
     // the verification its shingle sets on the same pruned read — but
@@ -448,15 +493,18 @@ object Dedup {
       (if (withSets) Seq(col("hs")) else Nil)
     if (keys.isEmpty) // empty/fully-replayed batch: nothing can collide
       return twin.filter(lit(false)).select(outCols: _*)
-    // a batch covering the whole key domain can prune nothing — planning
-    // and codegen'ing the 1024-literal IN would be pure fixed cost there
-    // (the big-batch case); the filter earns its keep exactly when the
-    // batch is small enough to leave buckets untouched
+    // the IN can only prune FILES through the twin's bkey bucketing
+    // (numBuckets granularity); once the batch's keys make every bucket
+    // expected-touched, the up-to-1024-literal predicate prunes nothing
+    // and costs real driver time to plan and codegen per append — skip
+    // it there (the semi-join below stays exact either way; the pruned
+    // read is allowed to be any superset). Trickle batches (few keys)
+    // keep the IN and its SelectedBucketsCount file pruning.
     val pruned =
-      if (keys.length == BandsKeyDomain) twin
+      if (expectedTouched >= 1.0 - 0.5 / numBuckets) twin
       else twin.filter(col("bkey").isin(keys: _*))
     pruned
-      .join(broadcast(batchBanded.select("band", "sig").distinct()),
+      .join(broadcast(batchKeys.bandSigFrame(spark)),
         Seq("band", "sig"), "leftsemi")
       .dropDuplicates(id, "band")
       .select(outCols: _*)
@@ -594,10 +642,18 @@ object Dedup {
     // every later consumer (banding, verification, the index append)
     // reads its blocks instead of re-deriving the anti-join and
     // re-reading the store per consumer.
-    val rawIds = typed.select(col(id)).distinct()
-    val batchBuckets = rawIds
-      .select(pmod(hash(col(id)), lit(numBuckets)).as("b"))
-      .distinct().collect().map(_.getInt(0)).toSet
+    // the batch's distinct ids were driver-collected anyway (the overlap
+    // semi-join below BROADCASTS them) — ONE collect of (id, bucket)
+    // folds the bucket probe into the same job, and the semi-join then
+    // probes a local relation (no executor job to build its broadcast)
+    val idRows = typed
+      .select(col(id), pmod(hash(col(id)), lit(numBuckets)).as("__b"))
+      .distinct().collect()
+    val batchBuckets = idRows.map(_.getInt(1)).toSet
+    val rawIds = spark.createDataFrame(
+      java.util.Arrays.asList(idRows.map(r =>
+        org.apache.spark.sql.Row(r.get(0))): _*),
+      org.apache.spark.sql.types.StructType(Seq(typed.schema(id))))
     val overlap = Layout.readBucketSubset(spark, table, batchBuckets)
       .select(col(id))
       .join(broadcast(rawIds), Seq(id), "leftsemi")
@@ -617,6 +673,10 @@ object Dedup {
     val bandedNew = (if (twinHasSets) bandedWithSets(fresh, id, k, bands)
       else bandedSignatures(fresh.select(col(id), col("mh")), id, k, bands))
       .localCheckpoint(true)
+    // the batch's distinct band keys, collected ONCE for every consumer
+    // (the twin's file prune + semi-join AND the pair stage's old-side
+    // prune) — see [[collectBatchKeys]]
+    val batchKeys = collectBatchKeys(bandedNew)
     val (oldBanded, oldSets, freeAfterPairs) =
       if (hasTwin) {
         // materialize the pruned twin read once: it feeds the bucket
@@ -628,8 +688,11 @@ object Dedup {
         // main-table hs scan at all), and a domain-covering batch
         // falls back to the single-copy main read below instead of
         // paying the twin's bands× hs duplication with no pruning.
-        val pruned = storedBandsPruned(spark, table, bandedNew, id)
-          .localCheckpoint(true)
+        // LAZY checkpoint: the first consumer's job materializes it (the
+        // candidate collect below, or the pair jobs on the hs path), so
+        // the separate eager-materialization job disappears
+        val pruned = storedBandsPrunedByKeys(spark, table, batchKeys, id)
+          .localCheckpoint(false)
         if (pruned.columns.contains("hs"))
           (pruned.drop("hs"),
             pruned.select(col(id), col("hs")).dropDuplicates(id),
@@ -641,30 +704,40 @@ object Dedup {
           // id-bucketed, so the candidate set prunes at FILE level too:
           // the candidates' ≤numBuckets distinct id-buckets select which
           // files to open ([[Layout.readBucketSubset]]), then the exact
-          // broadcast semi-join prunes rows.
-          val candIds = pruned.select(col(id)).distinct().localCheckpoint(true)
-          val touched = candIds
-            .select(pmod(hash(col(id)), lit(numBuckets)).as("b"))
-            .distinct().collect().map(_.getInt(0)).toSet
+          // broadcast semi-join prunes rows. The candidate ids were
+          // broadcast (= driver-collected) anyway, so ONE collect of
+          // (id, bucket) replaces the old checkpoint + bucket-collect
+          // pair of jobs, and the semi-join probes a local relation.
+          val candRows = pruned
+            .select(col(id), pmod(hash(col(id)), lit(numBuckets)).as("__b"))
+            .distinct().collect()
+          val touched = candRows.map(_.getInt(1)).toSet
           // a batch of genuinely new content collides with nothing —
           // the common serving case; an empty candidate set means zero
           // sets to read, so skip the read + checkpoint jobs outright
           val sets =
             if (touched.isEmpty)
               spark.table(table).filter(lit(false)).select(col(id), col("hs"))
-            else Layout.readBucketSubset(spark, table, touched)
-              .select(col(id), col("hs"))
-              .join(broadcast(candIds), Seq(id), "leftsemi")
-              .localCheckpoint(true)
-          freeLocalCheckpoint(candIds)
+            else {
+              val candLocal = spark.createDataFrame(
+                java.util.Arrays.asList(candRows.map(r =>
+                  org.apache.spark.sql.Row(r.get(0))): _*),
+                org.apache.spark.sql.types.StructType(
+                  Seq(pruned.schema(id))))
+              Layout.readBucketSubset(spark, table, touched)
+                .select(col(id), col("hs"))
+                .join(broadcast(candLocal), Seq(id), "leftsemi")
+                .localCheckpoint(true)
+            }
           (pruned, sets, if (touched.isEmpty) Seq(pruned) else Seq(pruned, sets))
         }
       } else
         (bandedSignatures(stored.select(col(id), col("mh")), id, k, bands),
           stored.select(col(id), col("hs")), Seq.empty[DataFrame])
-    val pairs = incrementalPairsFromBanded(oldSets,
+    val (pairs, nPairs) = incrementalPairsFromBandedCounted(oldSets,
       oldBanded, bandedNew.drop("hs"), fresh.select(col(id), col("hs")), id,
-      threshold, maxBucketSize)
+      threshold, maxBucketSize,
+      newKeys = Some(batchKeys.bandSigFrame(spark)))
     freeAfterPairs.foreach(freeLocalCheckpoint) // pairs is checkpointed
     // Durability order: pair LEDGER first, bands twin second, index rows
     // LAST. Crash after the ledger write → the replay's anti-join still
@@ -681,20 +754,31 @@ object Dedup {
     val pt = lshPairsTableName(table)
     // a pair-less batch (all-new content at serving cadence) has
     // nothing to make durable: appending an empty frame would still pay
-    // a full commit + catalog refresh; pairs is checkpointed, so the
-    // emptiness probe reads one block
-    val skipLedger = pairs.isEmpty
+    // a full commit + catalog refresh; the count came free with the
+    // pair checkpoint's own materialization job
+    val skipLedger = nPairs == 0L
     val durable =
       if (!skipLedger && spark.catalog.tableExists(pt)) {
         // same double-hop as the id replay guard: the ledger is
         // pair-mass-sized and unbucketed, so a plain anti-join would
         // shuffle+sort it per append — semi-join it against the
-        // BROADCAST batch pairs (one map-side scan), then anti the
-        // batch against the broadcast overlap
+        // BROADCAST batch pairs (one map-side scan). The overlap is
+        // ≤ the batch's pairs and the old formulation broadcast it
+        // (= driver-collected) anyway; collecting it explicitly lets
+        // the steady-state all-new batch (empty overlap) write the
+        // checkpointed pairs directly, with no anti-join plan or
+        // broadcast-build job at all
         val already = spark.table(pt).select(col("id_a"), col("id_b"))
           .join(broadcast(pairs.select(col("id_a"), col("id_b"))),
             Seq("id_a", "id_b"), "leftsemi")
-        pairs.join(broadcast(already), Seq("id_a", "id_b"), "leftanti")
+          .collect()
+        if (already.isEmpty) pairs
+        else pairs.join(
+          broadcast(spark.createDataFrame(
+            java.util.Arrays.asList(already: _*),
+            org.apache.spark.sql.types.StructType(Seq(
+              pairs.schema("id_a"), pairs.schema("id_b"))))),
+          Seq("id_a", "id_b"), "leftanti")
       } else pairs
     // the FIRST append must still create the ledger table even when
     // pair-less — later appends' double-hop reads it
@@ -857,10 +941,26 @@ object Dedup {
   private[graft] def incrementalPairsFromBanded(
       oldSets: DataFrame, oldBanded: DataFrame,
       bandedNew: DataFrame, newSets: DataFrame, id: String,
-      threshold: Double, maxBucketSize: Int): DataFrame = {
+      threshold: Double, maxBucketSize: Int): DataFrame =
+    incrementalPairsFromBandedCounted(oldSets, oldBanded, bandedNew,
+      newSets, id, threshold, maxBucketSize)._1
+
+  /** [[incrementalPairsFromBanded]] returning (pairs, count): the count
+    * rides the SAME job that materializes the lazy checkpoint, so
+    * callers that need an emptiness probe (the ledger-append skip) get
+    * it without a second driver job over the checkpointed blocks.
+    * `newKeys` optionally supplies the batch's distinct (band, sig)
+    * keys as an already-local frame (see [[collectBatchKeys]]) so the
+    * old-side prune's broadcast never schedules an executor job. */
+  private[graft] def incrementalPairsFromBandedCounted(
+      oldSets: DataFrame, oldBanded: DataFrame,
+      bandedNew: DataFrame, newSets: DataFrame, id: String,
+      threshold: Double, maxBucketSize: Int,
+      newKeys: Option[DataFrame] = None): (DataFrame, Long) = {
     val bNew = bandedNew.withColumn("__nw", lit(true))
     val bOldHit = oldBanded.withColumn("__nw", lit(false))
-      .join(broadcast(bandedNew.select("band", "sig").distinct()),
+      .join(broadcast(
+        newKeys.getOrElse(bandedNew.select("band", "sig").distinct())),
         Seq("band", "sig"), "leftsemi")
       // the USING join moves (band, sig) to the front; the union below
       // is POSITIONAL, so restore the banded column order explicitly
@@ -887,8 +987,12 @@ object Dedup {
     // batch-proportional.
     val width = math.max(1,
       cands.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
-    verifyPairs(cands, sets, id, threshold).coalesce(width)
-      .localCheckpoint(true)
+    // LAZY checkpoint + count: the count() job is what materializes the
+    // checkpoint blocks (the knBigramEntropy device), so the emptiness
+    // probe the append path needs is free instead of a second job
+    val out = verifyPairs(cands, sets, id, threshold).coalesce(width)
+      .localCheckpoint(false)
+    (out, out.count())
   }
 
   /** Exact-Jaccard verification of candidate pairs against per-doc

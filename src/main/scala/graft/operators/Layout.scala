@@ -36,19 +36,38 @@ object Layout {
   private[graft] val MaxFilesPerBucket = 8
 
   private def oneFilePerBucket(df: DataFrame, bucketCols: Seq[String],
-      numBuckets: Int): DataFrame = {
+      numBuckets: Int, inputParts: Option[Int] = None): DataFrame = {
     val slots = df.sparkSession.sparkContext.defaultParallelism
-    val perBucket =
-      math.min(MaxFilesPerBucket, math.max(1, slots / numBuckets))
-    df.repartition(numBuckets * perBucket, bucketCols.map(col): _*)
+    // `inputParts` is an optional caller hint (a partition count the
+    // caller already knows, e.g. from a checkpointed frame): a
+    // 2-partition corpus fanned out to numBuckets×m write tasks pays
+    // ~30 near-empty tasks' worth of parquet-writer setup, commit
+    // machinery, and files per write (and every later scan a footer
+    // open per file). Never wider than the input, never wider than the
+    // cluster's slots; a corpus-scale build (parts >= slots) keeps the
+    // old width exactly, so cluster behavior is unchanged.
+    val target = math.max(1, math.min(slots, inputParts.getOrElse(slots)))
+    val width =
+      if (target >= numBuckets)
+        numBuckets * math.min(MaxFilesPerBucket, target / numBuckets)
+      else
+        // largest divisor of numBuckets <= target: p | B keeps every
+        // bucket's rows in ONE partition (pmod(h, p) is constant when
+        // pmod(h, B) is and p divides B), so the table still lands one
+        // file per non-empty bucket
+        (target to 1 by -1).find(numBuckets % _ == 0).get
+    df.repartition(width, bucketCols.map(col): _*)
   }
 
   /** Write `df` as a bucketed+sorted parquet table. Joins and
     * aggregations between tables bucketed the same way on the same key
-    * execute without a shuffle (verified by LayoutSpec). */
+    * execute without a shuffle (verified by LayoutSpec). `inputParts`
+    * is the [[oneFilePerBucket]] write-width hint — pass it when the
+    * frame's partition count is already known (checkpointed input);
+    * callers that don't know it keep the slot-derived build fan-out. */
   def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
-      numBuckets: Int): Unit =
-    oneFilePerBucket(df, bucketCols, numBuckets).write
+      numBuckets: Int, inputParts: Option[Int] = None): Unit =
+    oneFilePerBucket(df, bucketCols, numBuckets, inputParts).write
       .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .mode("overwrite")
