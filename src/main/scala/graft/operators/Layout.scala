@@ -46,7 +46,14 @@ object Layout {
     // open per file). Never wider than the input, never wider than the
     // cluster's slots; a corpus-scale build (parts >= slots) keeps the
     // old width exactly, so cluster behavior is unchanged.
-    val target = math.max(1, math.min(slots, inputParts.getOrElse(slots)))
+    // no hint: derive the target from the plan's own size estimate at
+    // ~1 partition per MiB (Tables.spread's rule). Frames with no usable
+    // stats (a checkpointed LogicalRDD reports the session default —
+    // effectively infinite) and corpus-scale inputs both saturate at
+    // `slots`, the old behavior; only the small-input regime narrows.
+    lazy val statParts = (df.queryExecution.optimizedPlan.stats.sizeInBytes
+      / (1L << 20) + 1).min(slots).toInt
+    val target = math.max(1, math.min(slots, inputParts.getOrElse(statParts)))
     val width =
       if (target >= numBuckets)
         numBuckets * math.min(MaxFilesPerBucket, target / numBuckets)

@@ -490,14 +490,23 @@ object QualityModels {
              array(struct(toks[i] AS a, toks[i + k] AS c),
                    struct(toks[i + k] AS a, toks[i] AS c))))))""")).as("p"))
       .select(col("p.a").as("a"), col("p.c").as("c"))
+    // the co-occurrence matrix feeds THREE independent consumers (the
+    // PPMI join, the marginals, the total) whose differing column
+    // pruning makes their exchange subtrees non-identical — exchange
+    // reuse never fires, and their stages launch CONCURRENTLY, so a
+    // lazy boundary would still run the corpus-wide pair expansion
+    // once per consumer (profiled: 3 simultaneous copies of the scan).
+    // EAGER checkpoint = exactly one pair-generation pass.
     val ccnt = pairs.groupBy("a", "c").agg(count(lit(1)).as("nac"))
+      .localCheckpoint(true)
     val marg = ccnt.groupBy("a").agg(sum("nac").as("na"))
     val tot = broadcast(ccnt.agg(sum("nac").as("ntot")))
     // PPMI table: only positive entries survive (the sparse vectors).
-    // Lazily checkpointed (the bpeMerges device): the cosine self-join
-    // references it on both sides and the norm pass a third time — one
-    // materialization of the vocab²-bounded matrix instead of three
-    // replays of the corpus-wide pair count. At deployment scale this
+    // EAGERLY checkpointed, same rationale as ccnt: the cosine
+    // self-join references it on both sides, the norm pass and the
+    // hot-context aggregate two more times, and those stages launch
+    // concurrently — one materialization of the vocab²-bounded matrix
+    // instead of four concurrent replays. At deployment scale this
     // frame is the persisted index table.
     val ppmi = ccnt
       .join(broadcast(marg), Seq("a"))
@@ -507,7 +516,8 @@ object QualityModels {
         log2((col("nac").cast("double") * col("ntot")) /
           (col("na").cast("double") * col("nc"))).as("v"))
       .filter(col("v") > 0)
-      .localCheckpoint(false)
+      .localCheckpoint(true)
+    Dedup.freeLocalCheckpoint(ccnt) // ppmi is materialized; ccnt's blocks are done
     // hot-context cap: per-context partner counts are a cheap aggregate
     // over the checkpointed matrix (fixed-width keys); the filter runs
     // BEFORE norms so dropped dimensions leave the vectors entirely

@@ -368,7 +368,10 @@ object Similarity {
     val gid = anchorFingerprintOf(rows)
     val at = anchorsTableName(table)
     val local = spark.createDataFrame(java.util.Arrays.asList(rows: _*), proj.schema)
-    local.write.mode("overwrite").format("parquet").saveAsTable(at)
+    // the artifact is a driver-local, KB-sized grid — one write task and
+    // one file; the default write fans a LocalRelation over the
+    // parallelism (measured: 8 near-empty tasks per artifact write)
+    local.coalesce(1).write.mode("overwrite").format("parquet").saveAsTable(at)
     spark.sql(s"ALTER TABLE $at SET TBLPROPERTIES ('graft.grid_id' = '$gid')")
     (gid, local)
   }
@@ -1077,9 +1080,12 @@ object Similarity {
     import spark.implicits._
     val pid = pqFingerprint(model)
     val pt = pqTableName(table)
+    // driver-local, KB-sized codebook: one write task, one file (the
+    // default write fanned it over defaultParallelism — measured 32
+    // near-empty tasks paying ~0.1s task-deserialization each)
     model.codebooks.zipWithIndex.flatMap { case (cb, j) =>
       cb.zipWithIndex.map { case (cw, c) => (j, c, cw.toSeq) }
-    }.toIndexedSeq.toDF("j", "code", "cw")
+    }.toIndexedSeq.toDF("j", "code", "cw").coalesce(1)
       .write.mode("overwrite").format("parquet").saveAsTable(pt)
     spark.sql(s"ALTER TABLE $pt SET TBLPROPERTIES ('graft.pq_id' = '$pid')")
     pid

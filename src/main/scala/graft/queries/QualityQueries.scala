@@ -277,8 +277,11 @@ object QualityQueries {
     * both engines, so the learned merge table hash-matches. */
   val q165 = Q(
     "q165_bpe_merges",
+    // spread: each training round is one corpus-wide count job; the
+    // one-file corpus otherwise runs every round on a single task
     (s, d) => graft.operators.QualityModels.bpeMerges(
-      Tables.documents(s, d), "doc_id", "text", rounds = 3),
+      Tables.documents(s, d).transform(Tables.spread("doc_id")),
+      "doc_id", "text", rounds = 3),
     Some(s"""
       WITH r0 AS (SELECT doc_id, replace(text, ' ', '␟') AS s FROM documents),
       ${bpeRoundSql(1)},
@@ -301,7 +304,7 @@ object QualityQueries {
   val q177 = Q(
     "q177_bpe_apply",
     (s, d) => {
-      val docs = Tables.documents(s, d)
+      val docs = Tables.documents(s, d).transform(Tables.spread("doc_id"))
       val merges = graft.operators.QualityModels
         .bpeMerges(docs, "doc_id", "text", rounds = 3)
         .orderBy("step").collect()
@@ -377,7 +380,8 @@ object QualityQueries {
   val q181 = Q(
     "q181_kn_bigram_lm",
     (s, d) => QualityModels.knBigramEntropy(
-      Tables.documents(s, d), "doc_id", "text", discount = 0.75),
+      Tables.documents(s, d).transform(Tables.spread("doc_id")),
+      "doc_id", "text", discount = 0.75),
     Some("""
       WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
       bi AS (SELECT doc_id, toks[i] AS p, toks[i + 1] AS w
@@ -414,7 +418,8 @@ object QualityQueries {
   val q182 = Q(
     "q182_ppmi_word_sim",
     (s, d) => QualityModels.ppmiTopPairs(
-      Tables.documents(s, d), "text", window = 2, topK = 20),
+      Tables.documents(s, d).transform(Tables.spread("doc_id")),
+      "text", window = 2, topK = 20),
     Some("""
       WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
       fw AS (SELECT toks[i] AS a, toks[i + k] AS c
@@ -452,7 +457,7 @@ object QualityQueries {
   val q186 = Q(
     "q186_tokenizer_stats",
     (s, d) => {
-      val docs = Tables.documents(s, d)
+      val docs = Tables.documents(s, d).transform(Tables.spread("doc_id"))
       val merges = QualityModels
         .bpeMerges(docs, "doc_id", "text", rounds = 3)
         .orderBy("step").collect()

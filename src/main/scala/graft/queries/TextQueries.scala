@@ -571,8 +571,9 @@ object TextQueries {
     "q176_boilerplate_grams",
     (s, d) =>
       graft.operators.CorpusPipeline
-        .boilerplateGrams(Tables.documents(s, d), "doc_id", "source", "text",
-          n = 8, minDocs = 2)
+        .boilerplateGrams(
+          Tables.documents(s, d).transform(Tables.spread("doc_id")),
+          "doc_id", "source", "text", n = 8, minDocs = 2)
         .groupBy("source")
         .agg(count(lit(1)).as("n_boiler_grams"), max("n_docs").as("max_doc_freq"))
         .orderBy("source"),

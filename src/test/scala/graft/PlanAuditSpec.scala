@@ -430,10 +430,13 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
 
   test("q176: boilerplate grams shuffle on fixed-width hashes, never raw n-gram strings") {
     val p = plan(run("q176_boilerplate_grams"))
-    // the md5 is computed inside the explode's lambda — in the top-down
-    // printout it sits BELOW every exchange, so each shuffle key is
-    // (source, 32-hex-char hash), never the raw n-gram string
-    assert(p.indexOf("md5") > p.lastIndexOf("Exchange"), p)
+    // the md5 is computed inside the explode's lambda — every exchange
+    // ABOVE it in the top-down printout keys on (source, 32-hex hash),
+    // never the raw n-gram string. The only exchange allowed BELOW it
+    // is the corpus kernel spread (REPARTITION_BY_NUM on doc_id), which
+    // moves whole documents before any gram exists.
+    val below = p.substring(p.indexOf("md5"))
+    assert(!below.contains("ENSURE_REQUIREMENTS"), p)
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
 
