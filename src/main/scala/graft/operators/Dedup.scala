@@ -1164,7 +1164,9 @@ object Dedup {
     // AQE executes the two branches as independent subqueries — measured
     // ~2× the whole upstream cost on q55 (exchange reuse does not bridge
     // the differing final projects)
-    val p = graft.plans.Checkpoints.iter(pairs)
+    // LAZY checkpoint: the count below is the materializing action, so
+    // the boundary costs one job, not two (checkpoint job + count job)
+    val p = graft.plans.Checkpoints.iter(pairs, eager = false)
     val idType = pairs.schema("id_a").dataType
     // count is ~free: the frame was just materialized by the checkpoint.
     // The small-graph branch collects the PAIRS and mirrors them on the
