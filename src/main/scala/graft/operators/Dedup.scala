@@ -364,7 +364,12 @@ object Dedup {
     // so the ledger always equals a full recompute over the stored docs,
     // and a crash can never lose a batch's pair report (see
     // lshIndexAppend's crash analysis)
-    val pairs = minHashLshPairsFromIndex(index, id, k, bands, threshold,
+    // the UNcheckpointed pair plan: the ledger write below is its one
+    // consumer, so the write's own execution materializes it — a
+    // checkpoint here (minHashLshPairsFromIndex's contract, needed when
+    // the caller frees the index right after) would only add a
+    // materialization job per build
+    val pairs = minHashLshPairsPlan(index, id, k, bands, threshold,
       maxBucketSize)
     pairs.write.mode("overwrite").format("parquet")
       .saveAsTable(lshPairsTableName(table))
@@ -1056,6 +1061,16 @@ object Dedup {
     * ([[lshBuildIndex]] writes it as the store), so the corpus-wide
     * fused signature kernel runs once, not once per consumer. */
   private[graft] def minHashLshPairsFromIndex(base: DataFrame, id: String,
+      k: Int, bands: Int, threshold: Double, maxBucketSize: Int): DataFrame =
+    // EAGER checkpoint: callers free the corpus-sized base right after,
+    // so the pair frame must be materialized before its blocks go away
+    minHashLshPairsPlan(base, id, k, bands, threshold, maxBucketSize)
+      .localCheckpoint(true)
+
+  /** The pair plan WITHOUT the checkpoint boundary — for callers whose
+    * next action materializes it anyway (the build's ledger-seed write)
+    * and who keep `base`'s blocks alive until then. */
+  private def minHashLshPairsPlan(base: DataFrame, id: String,
       k: Int, bands: Int, threshold: Double, maxBucketSize: Int): DataFrame = {
     val cands = guardedBuckets(
         bandedSignatures(base.select(col(id), col("mh")), id, k, bands),
@@ -1064,7 +1079,6 @@ object Dedup {
       .select(col("__p.id_a").as("id_a"), col("__p.id_b").as("id_b"))
       .distinct()
     verifyPairs(cands, base.select(col(id), col("hs")), id, threshold)
-      .localCheckpoint(true)
   }
 
   /** Near-dup pairs BETWEEN two corpora: same banding/verification
