@@ -740,6 +740,25 @@ object CorpusPipeline {
     (survivors, ex.select(md5(col(text)).as("fp")), batchIdx)
   }
 
+  /** [[curate]]'s survivors-only face: the same quality → exact →
+    * near-dup pipeline with the same returned columns, minus the audit
+    * Report — callers that discard the report (the q55 registry face)
+    * otherwise pay its three counting jobs, one of which re-tokenizes
+    * the whole corpus. The exact-survivor frame is a LAZY checkpoint:
+    * the LSH signature pass materializes it and the keep anti-join then
+    * reads its blocks (curate's persist served the same two consumers).
+    * The returned frame references those blocks — materialize (or
+    * persist) it before freeing them. */
+  def curateDocs(docs: DataFrame, id: String, text: String,
+      minTokens: Int = 10, maxTokens: Int = 100000,
+      nearDupThreshold: Double = 0.5): DataFrame = {
+    val q = qualityFilter(docs, text, minTokens = minTokens, maxTokens = maxTokens)
+    val exact = Dedup.dropExactDuplicates(q, id, text).localCheckpoint(false)
+    dropNearDuplicates(exact, id, text, nearDupThreshold)
+      .withColumn("fingerprint", md5(col(text)))
+      .withColumn("n_tokens", size(split(col(text), " ")))
+  }
+
   /** Full curation pass; returns the surviving corpus + stage counts.
     * Intermediate stages are persisted while the audit counts run (each
     * count would otherwise re-execute everything upstream, re-running

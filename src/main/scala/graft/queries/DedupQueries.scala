@@ -175,14 +175,16 @@ object DedupQueries {
       // the CPU-bound LSH stage, and an extra exchange would be re-paid
       // by every audit count
       val docs = Tables.documents(s, d)
-      val (out, _) = graft.operators.CorpusPipeline
-        .curate(docs, "doc_id", "text", minTokens = 10, nearDupThreshold = 0.5)
+      // survivors-only face: the discarded Report's three counting jobs
+      // (one a full corpus re-tokenize) are never run
+      val out = graft.operators.CorpusPipeline
+        .curateDocs(docs, "doc_id", "text", minTokens = 10, nearDupThreshold = 0.5)
       val res = out
         .select(col("doc_id"), col("fingerprint"),
           col("n_tokens").cast("long").as("n_tokens"))
         .orderBy("doc_id")
-        .localCheckpoint(true) // materialize before curate's frame unpersists
-      out.unpersist()
+        .localCheckpoint(true) // materialize before freeing the pipeline's blocks
+      graft.operators.Dedup.freeLocalCheckpoint(out)
       res
     },
     Some(s"""

@@ -32,6 +32,28 @@ class CorpusPipelineSpec extends AnyFunSuite with SparkSpec {
     assert(out.filter(col("doc_id") === 1L).head().getAs[Int]("n_tokens") == 30)
   }
 
+  test("curateDocs equals curate's survivors row for row (report skipped, not semantics)") {
+    import spark.implicits._
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, base), (2L, base), (3L, base + " extra"),
+      (4L, "too short"),
+      (5L, (100 to 140).map(i => s"w$i").mkString(" ")),
+      (6L, (200 to 260).map(i => s"v$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "text", "fingerprint", "n_tokens")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getString(2), r.getInt(3))).toSet
+    val (full, _) = CorpusPipeline.curate(docs, "doc_id", "text",
+      minTokens = 10, nearDupThreshold = 0.5)
+    val lean = CorpusPipeline.curateDocs(docs, "doc_id", "text",
+      minTokens = 10, nearDupThreshold = 0.5)
+    assert(rows(lean) == rows(full))
+    assert(lean.columns.toSeq == full.columns.toSeq)
+    full.unpersist()
+  }
+
   test("crossFrameLshPairs: only cross-frame pairs, orientation restored") {
     import spark.implicits._
     val base = (1 to 30).map(i => s"tok$i").mkString(" ")
