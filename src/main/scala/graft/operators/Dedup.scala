@@ -662,8 +662,12 @@ object Dedup {
     val overlap = Layout.readBucketSubset(spark, table, batchBuckets)
       .select(col(id))
       .join(broadcast(rawIds), Seq(id), "leftsemi")
+    // LAZY checkpoint, like bandedNew below: the batch-key collect's one
+    // job computes bandedNew, whose computation runs (and thereby
+    // persists) this marked RDD too — two materialization jobs become
+    // zero, and every later consumer still reads blocks
     val fresh = guarded.join(broadcast(overlap), Seq(id), "leftanti")
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val hasTwin = spark.catalog.tableExists(lshBandsTableName(table))
     // twins written since round 15 carry each row's shingle-hash set —
     // verification then reads ONLY twin rows (already bucket-pruned and
@@ -672,15 +676,18 @@ object Dedup {
     val twinHasSets = hasTwin &&
       spark.table(lshBandsTableName(table)).columns.contains("hs")
     // the batch's banded rows feed three consumers (the bkey collect,
-    // the bucket union, the bands append) — materialize once; when the
-    // twin carries hs the SAME frame carries it too, because the bands
-    // append below must match the twin's schema
+    // the bucket union, the bands append) — one materialization; when
+    // the twin carries hs the SAME frame carries it too, because the
+    // bands append below must match the twin's schema. LAZY: the
+    // batch-key collect right below is the materializing job (its
+    // consumers are strictly sequential after it).
     val bandedNew = (if (twinHasSets) bandedWithSets(fresh, id, k, bands)
       else bandedSignatures(fresh.select(col(id), col("mh")), id, k, bands))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     // the batch's distinct band keys, collected ONCE for every consumer
     // (the twin's file prune + semi-join AND the pair stage's old-side
-    // prune) — see [[collectBatchKeys]]
+    // prune) — see [[collectBatchKeys]]; this collect materializes the
+    // fresh + bandedNew checkpoints above
     val batchKeys = collectBatchKeys(bandedNew)
     val (oldBanded, oldSets, freeAfterPairs) =
       if (hasTwin) {
